@@ -1,0 +1,143 @@
+"""Color science: camera RGB → XYZ → sRGB.
+
+Pure NumPy/JAX-friendly implementations of what the reference punted on
+(reference: color.rs:35-47 returns identity and leaves the real math in
+a disabled block). We provide both:
+
+- ``mode="parity"``   — identity matrix, bit-matching the shipped
+  reference behaviour.
+- ``mode="accurate"`` — the standard dcraw-style pipeline: normalize the
+  camera's xyz→cam matrix, white-balance-normalize rows so that sRGB
+  white maps to camera white, and invert. This is the correct math the
+  reference's disabled block was groping toward
+  (reference: color.rs:49-168).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# IEC 61966-2-1:1999 XYZ(D65) → linear sRGB (reference: color.rs:13-17).
+XYZ_TO_SRGB = np.array(
+    [
+        [3.2406, -1.5372, -0.4986],
+        [-0.9689, 1.8758, 0.0415],
+        [0.0557, -0.2040, 1.0570],
+    ],
+    dtype=np.float32,
+)
+
+SRGB_TO_XYZ = np.linalg.inv(XYZ_TO_SRGB.astype(np.float64)).astype(np.float32)
+
+# Rec.709 luma weights used throughout the reference develop shader
+# (reference: gpu/shaders.rs:222,243,256).
+LUMA_REC709 = np.array([0.2126, 0.7152, 0.0722], dtype=np.float32)
+
+_IDENTITY = np.eye(3, dtype=np.float32)
+
+
+def is_identity_matrix(matrix, epsilon: float = 0.001) -> bool:
+    """Identity check with the reference's epsilon
+    (reference: color.rs:172-178)."""
+    m = np.asarray(matrix, dtype=np.float32).reshape(3, 3)
+    return bool(np.all(np.abs(m - _IDENTITY) < epsilon))
+
+
+def cam_to_srgb_matrix(xyz_to_cam, mode: str = "parity") -> np.ndarray:
+    """Compute the camera-RGB → linear-sRGB 3×3 matrix.
+
+    Args:
+      xyz_to_cam: flat length-9 or (3,3) row-major camera matrix from RAW
+        metadata (reference: raw/loader.rs:115-134 extracts the 3×3 block
+        of rawloader's 3×4 xyz_to_cam).
+      mode: "parity" returns identity, matching the shipped reference
+        (reference: color.rs:36-47). "accurate" computes the real
+        conversion.
+
+    Returns:
+      (3,3) float32 row-major matrix.
+    """
+    m = np.asarray(xyz_to_cam, dtype=np.float64).reshape(3, 3)
+
+    if mode == "parity":
+        return _IDENTITY.copy()
+    if mode != "accurate":
+        raise ValueError(f"unknown mode: {mode!r}")
+
+    if is_identity_matrix(m):
+        return _IDENTITY.copy()
+
+    # Camera matrices in RAW metadata are often integer-scaled by 10000
+    # (the reference's disabled block guards for this too,
+    # reference: color.rs:63-73).
+    if np.any(np.abs(m) > 10.0):
+        m = m / 10000.0
+
+    # dcraw-style: cam_from_srgb = xyz_to_cam @ srgb_to_xyz, then
+    # normalize each row to sum to 1 so that sRGB white (1,1,1) maps to
+    # camera white — this folds the white-point adaptation in and keeps
+    # the inversion well-conditioned.
+    cam_from_srgb = m @ SRGB_TO_XYZ.astype(np.float64)
+    row_sums = cam_from_srgb.sum(axis=1, keepdims=True)
+    if np.any(np.abs(row_sums) < 1e-8):
+        return _IDENTITY.copy()
+    cam_from_srgb = cam_from_srgb / row_sums
+
+    try:
+        srgb_from_cam = np.linalg.inv(cam_from_srgb)
+    except np.linalg.LinAlgError:
+        return _IDENTITY.copy()
+
+    out = srgb_from_cam.astype(np.float32)
+    # Sanity clamp mirroring the reference's disabled guard
+    # (reference: color.rs:155-165): wild values mean broken metadata.
+    if not np.all(np.isfinite(out)) or np.any(np.abs(out) > 10.0):
+        return _IDENTITY.copy()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Transfer functions. The reference applies plain 1/2.2 gamma
+# (reference: gpu/shaders.rs:261); proper sRGB encoding is offered as the
+# accurate-mode alternative.
+# ---------------------------------------------------------------------------
+
+
+def gamma22_encode(x):
+    """Plain power-law 1/2.2 encode, negative values clamped to 0.
+
+    WGSL ``pow`` on negative bases is undefined; the reference clamps
+    after the pow (reference: gpu/shaders.rs:261-264). We define the
+    deterministic equivalent: clamp below at 0 before the pow.
+    """
+    import jax.numpy as jnp
+
+    xp = jnp if _is_jax(x) else np
+    x = xp.maximum(x, 0.0)
+    return xp.power(x, np.float32(1.0 / 2.2))
+
+
+def srgb_encode(x):
+    """IEC 61966-2-1 forward transfer (linear → sRGB)."""
+    import jax.numpy as jnp
+
+    xp = jnp if _is_jax(x) else np
+    x = xp.clip(x, 0.0, 1.0)
+    lo = x * np.float32(12.92)
+    hi = np.float32(1.055) * xp.power(x, np.float32(1.0 / 2.4)) - np.float32(0.055)
+    return xp.where(x <= np.float32(0.0031308), lo, hi)
+
+
+def srgb_decode(x):
+    """IEC 61966-2-1 inverse transfer (sRGB → linear)."""
+    import jax.numpy as jnp
+
+    xp = jnp if _is_jax(x) else np
+    x = xp.clip(x, 0.0, 1.0)
+    lo = x / np.float32(12.92)
+    hi = xp.power((x + np.float32(0.055)) / np.float32(1.055), np.float32(2.4))
+    return xp.where(x <= np.float32(0.04045), lo, hi)
+
+
+def _is_jax(x) -> bool:
+    return type(x).__module__.startswith("jax")

@@ -1,0 +1,184 @@
+"""Bayer demosaic kernels.
+
+The reference demosaics per-fragment in WGSL with a nearest-neighbor
+stencil over a "GBRG" pattern read through a deliberate y+1 CFA offset
+(reference: gpu/shaders.rs:104-158), with clamp-to-edge neighbor loads
+(reference: gpu/shaders.rs:161-169). With the offset folded in, the
+effective pattern in storage coordinates is:
+
+    row 0 (even y):  R  G2 R  G2 ...   R at even cols
+    row 1 (odd  y):  G1 B  G1 B  ...   B at odd cols
+
+Per-pixel stencil (storage coords, all loads clamped to the image):
+
+    y even, x even  (R):  r = v(x,y)    g = v(x+1,y)  b = v(x,y-1)
+    y even, x odd   (G2): g = v(x,y)    r = v(x-1,y)  b = v(x,y-1)
+    y odd,  x even  (G1): g = v(x,y)    b = v(x+1,y)  r = v(x,y+1)
+    y odd,  x odd   (B):  b = v(x,y)    g = v(x-1,y)  r = v(x-1,y+1)
+
+TPU-first design: instead of a scalar per-pixel loop, the stencil is six
+clamp-padded shifted views combined with broadcasted parity masks — pure
+element-wise VPU work that XLA fuses into the develop chain with no
+materialized intermediates. Channels are kept as separate (H, W) planes
+throughout: a trailing channel axis of 3 would waste 125/128 TPU lanes.
+
+A Malvar-He-Cutler bilinear upgrade is provided behind ``method=``
+for accurate mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _shifted(padded, dy: int, dx: int, h: int, w: int):
+    """View of the 1-px edge-padded mosaic shifted by (dy, dx)."""
+    return padded[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+
+
+def parity_masks(h: int, w: int):
+    """(H,1) row-parity and (1,W) col-parity boolean masks."""
+    ye = (jnp.arange(h, dtype=jnp.int32)[:, None] % 2) == 0
+    xe = (jnp.arange(w, dtype=jnp.int32)[None, :] % 2) == 0
+    return ye, xe
+
+
+def demosaic_nearest(mosaic):
+    """Nearest-neighbor demosaic, bit-matching the reference shader.
+
+    Args:
+      mosaic: (H, W) float32 normalized mosaic.
+
+    Returns:
+      (r, g, b) float32 (H, W) planes.
+    """
+    h, w = mosaic.shape
+    p = jnp.pad(mosaic, ((1, 1), (1, 1)), mode="edge")
+    v = mosaic
+    left = _shifted(p, 0, -1, h, w)
+    right = _shifted(p, 0, 1, h, w)
+    up = _shifted(p, -1, 0, h, w)
+    down = _shifted(p, 1, 0, h, w)
+    downleft = _shifted(p, 1, -1, h, w)
+
+    ye, xe = parity_masks(h, w)
+
+    r = jnp.where(ye, jnp.where(xe, v, left), jnp.where(xe, down, downleft))
+    g = jnp.where(ye, jnp.where(xe, right, v), jnp.where(xe, v, left))
+    b = jnp.where(ye, up, jnp.where(xe, right, v))
+    return r, g, b
+
+
+def demosaic_nearest_sampled(mosaic, yi, xi):
+    """Nearest-neighbor demosaic evaluated only at sampled positions.
+
+    This is the preview/histogram path: the reference renders the
+    full-res texture into a small target, so each output fragment
+    evaluates the demosaic stencil at one nearest-sampled *full-res*
+    coordinate (reference: gpu/pipeline.rs:440-465 + shaders.rs:183-192).
+    Doing the same — gather the stencil taps at the sampled coordinates,
+    then run the small develop — gives exact parity and touches ~5% of
+    the data.
+
+    Args:
+      mosaic: (H, W) float32 normalized mosaic.
+      yi: (Hp,) int32 sampled full-res row indices (already in-bounds).
+      xi: (Wp,) int32 sampled full-res col indices (already in-bounds).
+
+    Returns:
+      (r, g, b) float32 (Hp, Wp) planes.
+    """
+    h, w = mosaic.shape
+    yc = jnp.clip(yi, 0, h - 1)
+    xc = jnp.clip(xi, 0, w - 1)
+    y_dn = jnp.clip(yi + 1, 0, h - 1)
+    y_up = jnp.clip(yi - 1, 0, h - 1)
+    x_rt = jnp.clip(xi + 1, 0, w - 1)
+    x_lt = jnp.clip(xi - 1, 0, w - 1)
+
+    # Two-stage take (rows then cols) keeps the gathers regular; the row
+    # gather pulls only the needed scanlines out of HBM.
+    rows_c = jnp.take(mosaic, yc, axis=0)
+    rows_dn = jnp.take(mosaic, y_dn, axis=0)
+    rows_up = jnp.take(mosaic, y_up, axis=0)
+
+    v = jnp.take(rows_c, xc, axis=1)
+    left = jnp.take(rows_c, x_lt, axis=1)
+    right = jnp.take(rows_c, x_rt, axis=1)
+    up = jnp.take(rows_up, xc, axis=1)
+    down = jnp.take(rows_dn, xc, axis=1)
+    downleft = jnp.take(rows_dn, x_lt, axis=1)
+
+    ye = (yc[:, None] % 2) == 0
+    xe = (xc[None, :] % 2) == 0
+
+    r = jnp.where(ye, jnp.where(xe, v, left), jnp.where(xe, down, downleft))
+    g = jnp.where(ye, jnp.where(xe, right, v), jnp.where(xe, v, left))
+    b = jnp.where(ye, up, jnp.where(xe, right, v))
+    return r, g, b
+
+
+# ---------------------------------------------------------------------------
+# Accurate-mode upgrade: bilinear demosaic. Same RGGB layout as the
+# parity stencil (R at even-row/even-col).
+# ---------------------------------------------------------------------------
+
+
+def _conv_taps(padded, taps, h, w):
+    """Sum of weighted shifted views; taps = {(dy, dx): weight}."""
+    acc = None
+    for (dy, dx), wgt in taps.items():
+        t = _shifted(padded, dy, dx, h, w) * np.float32(wgt)
+        acc = t if acc is None else acc + t
+    return acc
+
+
+@functools.lru_cache(maxsize=None)
+def _bilinear_taps():
+    cross = {(0, 0): 1.0}
+    hmean = {(0, -1): 0.5, (0, 1): 0.5}
+    vmean = {(-1, 0): 0.5, (1, 0): 0.5}
+    plus = {(0, -1): 0.25, (0, 1): 0.25, (-1, 0): 0.25, (1, 0): 0.25}
+    diag = {(-1, -1): 0.25, (-1, 1): 0.25, (1, -1): 0.25, (1, 1): 0.25}
+    return cross, hmean, vmean, plus, diag
+
+
+def demosaic_bilinear(mosaic):
+    """Bilinear demosaic on the RGGB layout (accurate mode).
+
+    Interpolates each missing channel from its nearest same-channel
+    neighbors instead of copying one of them. Pure shifted-view algebra;
+    fuses like the nearest kernel.
+    """
+    h, w = mosaic.shape
+    p = jnp.pad(mosaic, ((1, 1), (1, 1)), mode="edge")
+    cross, hmean, vmean, plus, diag = _bilinear_taps()
+
+    v = mosaic
+    hm = _conv_taps(p, hmean, h, w)
+    vm = _conv_taps(p, vmean, h, w)
+    pm = _conv_taps(p, plus, h, w)
+    dm = _conv_taps(p, diag, h, w)
+
+    ye, xe = parity_masks(h, w)
+
+    # R: at R sites v; at G2 (even row, odd col) horizontal mean; at G1
+    # (odd row, even col) vertical mean; at B sites diagonal mean.
+    r = jnp.where(ye, jnp.where(xe, v, hm), jnp.where(xe, vm, dm))
+    # G: at G sites v; at R and B sites (row/col parity equal) the
+    # plus-mean of the 4 G neighbors.
+    g = jnp.where(ye == xe, pm, v)
+    # B: at B sites v; at G1 horizontal mean; at G2 vertical mean; at R diagonal.
+    b = jnp.where(ye, jnp.where(xe, dm, vm), jnp.where(xe, hm, v))
+    return r, g, b
+
+
+def demosaic(mosaic, method: str = "nearest"):
+    if method == "nearest":
+        return demosaic_nearest(mosaic)
+    if method == "bilinear":
+        return demosaic_bilinear(mosaic)
+    raise ValueError(f"unknown demosaic method: {method!r}")

@@ -1,0 +1,278 @@
+"""The fused develop pipeline.
+
+The reference executes an 11-step per-pixel chain in one WGSL fragment
+shader (reference: gpu/shaders.rs:171-267). Here the same chain is a
+single jit-compiled XLA program over channel *planes* — demosaic taps,
+white balance, temp/tint, color matrix, exposure, tone, levels,
+saturation, vibrance, gamma, quantize — which XLA fuses into one (or a
+few) HBM-bandwidth-bound kernels. Edit parameters are traced scalars:
+a slider change relaunches the compiled kernel, it never recompiles
+(the TPU analogue of the reference's uniform-buffer update,
+reference: gpu/pipeline.rs:367-398).
+
+Step order and constants are kept bit-compatible, including the quirks:
+
+- /4096 12-bit normalization (reference: gpu/shaders.rs:110). The
+  ``white_level`` argument defaults to 4096 for parity; accurate mode
+  passes the real camera white level.
+- temp/tint as ±0.3 linear channel gains (reference: gpu/shaders.rs:200-205).
+- WGSL ``mat3x3`` constructed from the row-major uniform rows makes the
+  shader multiply by the *transpose* of the uploaded matrix
+  (reference: gpu/shaders.rs:209-214 — invisible upstream because the
+  shipped matrix is identity, reference: color.rs:43-47). Parity mode
+  reproduces the transpose; accurate mode does the straight multiply.
+- one luminance read drives both highlights and shadows
+  (reference: gpu/shaders.rs:222-230).
+- levels epsilon +1e-4 (reference: gpu/shaders.rs:239).
+- plain 1/2.2 gamma, then clamp (reference: gpu/shaders.rs:261-264);
+  negative inputs are clamped to 0 *before* the pow (WGSL pow of a
+  negative base is undefined — this is the deterministic equivalent).
+- Rgba8Unorm quantization floor(c*255 + 0.5) (WebGPU conversion rules
+  for the reference's output texture, reference: gpu/pipeline.rs:454).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raweditor_tpu.ops import demosaic as _demosaic
+from raweditor_tpu.ops import sampling as _sampling
+from raweditor_tpu.params import EditParams
+
+_F = np.float32
+_LUMA_R, _LUMA_G, _LUMA_B = _F(0.2126), _F(0.7152), _F(0.0722)
+
+
+def _f32(x):
+    return jnp.asarray(x, dtype=jnp.float32)
+
+
+def apply_edit_stack(r, g, b, params: EditParams, wb, cam_matrix,
+                     matrix_transpose: bool = True):
+    """Steps 2–9 of the shader chain on linear camera-RGB planes.
+
+    Args:
+      r, g, b: (…, H, W) float32 planes in linear camera space.
+      params: EditParams (traced scalars).
+      wb: (3,) white-balance gains, green-normalized
+        (reference: raw/loader.rs:100-110).
+      cam_matrix: (3,3) row-major camera→sRGB matrix.
+      matrix_transpose: True reproduces the WGSL column-major quirk.
+
+    Returns (r, g, b) planes, still linear, pre-gamma.
+    """
+    wb = _f32(wb)
+    m = _f32(cam_matrix)
+    p = jax.tree.map(_f32, params)
+
+    # 2. White balance (reference: gpu/shaders.rs:195).
+    r = r * wb[0]
+    g = g * wb[1]
+    b = b * wb[2]
+
+    # 2.5 Temperature / tint (reference: gpu/shaders.rs:200-205).
+    r = r * (_F(1.0) + p.temperature * _F(0.3))
+    b = b * (_F(1.0) - p.temperature * _F(0.3))
+    g = g * (_F(1.0) + p.tint * _F(0.3))
+
+    # 3. Color matrix (reference: gpu/shaders.rs:209-214).
+    if matrix_transpose:
+        m = m.T
+    r2 = m[0, 0] * r + m[0, 1] * g + m[0, 2] * b
+    g2 = m[1, 0] * r + m[1, 1] * g + m[1, 2] * b
+    b2 = m[2, 0] * r + m[2, 1] * g + m[2, 2] * b
+    r, g, b = r2, g2, b2
+
+    # 4. Exposure (reference: gpu/shaders.rs:217-218).
+    ex = jnp.exp2(p.exposure)
+    r, g, b = r * ex, g * ex, b * ex
+
+    # 5. Highlights & shadows, one shared luminance read
+    # (reference: gpu/shaders.rs:222-230).
+    lum = _LUMA_R * r + _LUMA_G * g + _LUMA_B * b
+    tone = (_F(1.0) + lum * p.highlights) * (
+        _F(1.0) + (_F(1.0) - lum) * p.shadows
+    )
+    r, g, b = r * tone, g * tone, b * tone
+
+    # 6. Contrast about 0.5 (reference: gpu/shaders.rs:233-234).
+    cf = _F(1.0) + p.contrast / _F(100.0)
+    r = (r - _F(0.5)) * cf + _F(0.5)
+    g = (g - _F(0.5)) * cf + _F(0.5)
+    b = (b - _F(0.5)) * cf + _F(0.5)
+
+    # 7. Levels (reference: gpu/shaders.rs:239).
+    inv_range = _F(1.0) / (p.whites - p.blacks + _F(0.0001))
+    r = (r - p.blacks) * inv_range
+    g = (g - p.blacks) * inv_range
+    b = (b - p.blacks) * inv_range
+
+    # 8. Saturation: mix(luma, color, 1 + sat/100)
+    # (reference: gpu/shaders.rs:243-247).
+    luma = _LUMA_R * r + _LUMA_G * g + _LUMA_B * b
+    sf = _F(1.0) + p.saturation / _F(100.0)
+    r = luma + (r - luma) * sf
+    g = luma + (g - luma) * sf
+    b = luma + (b - luma) * sf
+
+    # 9. Vibrance, weighted by (1 - pixel saturation)
+    # (reference: gpu/shaders.rs:251-257).
+    mx = jnp.maximum(r, jnp.maximum(g, b))
+    mn = jnp.minimum(r, jnp.minimum(g, b))
+    amount = p.vibrance * (_F(1.0) - (mx - mn))
+    luma = _LUMA_R * r + _LUMA_G * g + _LUMA_B * b
+    vf = _F(1.0) + amount
+    r = luma + (r - luma) * vf
+    g = luma + (g - luma) * vf
+    b = luma + (b - luma) * vf
+    return r, g, b
+
+
+def finish_to_u8(r, g, b, valid=None):
+    """Steps 10–11 + output quantization: gamma, clamp, Rgba8Unorm round.
+
+    ``valid`` optionally masks out-of-frame pixels to black, matching the
+    shader's early return (reference: gpu/shaders.rs:173-178).
+    """
+    def enc(c):
+        c = jnp.maximum(c, _F(0.0))
+        c = jnp.power(c, _F(1.0 / 2.2))
+        c = jnp.minimum(c, _F(1.0))
+        q = jnp.floor(c * _F(255.0) + _F(0.5))
+        if valid is not None:
+            q = jnp.where(valid, q, _F(0.0))
+        return q.astype(jnp.uint8)
+
+    return enc(r), enc(g), enc(b)
+
+
+def _normalize(mosaic, white_level):
+    return mosaic.astype(jnp.float32) / _F(white_level)
+
+
+# ---------------------------------------------------------------------------
+# Whole-image entry points (jit-cached by shape + static config).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("white_level", "demosaic_method", "matrix_transpose"),
+)
+def develop(
+    mosaic,
+    params: EditParams,
+    wb,
+    cam_matrix,
+    white_level: float = 4096.0,
+    demosaic_method: str = "nearest",
+    matrix_transpose: bool = True,
+):
+    """Full-resolution develop: (H, W) u16 mosaic → (H, W, 3) u8 sRGB.
+
+    The TPU analogue of the reference's full-res export render
+    (reference: gpu/pipeline.rs:526-606), without the 96 MB synchronous
+    readback: the output stays on device until the caller fetches it.
+    """
+    norm = _normalize(mosaic, white_level)
+    r, g, b = _demosaic.demosaic(norm, demosaic_method)
+    r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix, matrix_transpose)
+    r, g, b = finish_to_u8(r, g, b)
+    return jnp.stack([r, g, b], axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_w", "out_h", "white_level", "matrix_transpose"),
+)
+def develop_preview(
+    mosaic,
+    params: EditParams,
+    wb,
+    cam_matrix,
+    out_w: int,
+    out_h: int,
+    zoom=1.0,
+    pan_x=0.0,
+    pan_y=0.0,
+    white_level: float = 4096.0,
+    matrix_transpose: bool = True,
+):
+    """Preview develop at an arbitrary target size with zoom/pan.
+
+    Bit-matches the reference preview path: nearest-sample the mosaic at
+    output fragment centers, then demosaic + develop at those full-res
+    coordinates (reference: gpu/pipeline.rs:442-465). zoom/pan are traced:
+    interactive pan/zoom never recompiles.
+
+    Returns (out_h, out_w, 3) u8.
+    """
+    h, w = mosaic.shape
+    xi, xvalid = _sampling.sample_axis(out_w, w, _f32(zoom), _f32(pan_x))
+    yi, yvalid = _sampling.sample_axis(out_h, h, _f32(zoom), _f32(pan_y))
+    valid = yvalid[:, None] & xvalid[None, :]
+
+    norm = _normalize(mosaic, white_level)
+    r, g, b = _demosaic.demosaic_nearest_sampled(norm, yi, xi)
+    r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix, matrix_transpose)
+    r, g, b = finish_to_u8(r, g, b, valid=valid)
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def develop_u8(mosaic, params, wb, cam_matrix, **kwargs):
+    """Convenience: full develop returned as a NumPy (H, W, 3) u8 array."""
+    return np.asarray(develop(mosaic, params, wb, cam_matrix, **kwargs))
+
+
+# ---------------------------------------------------------------------------
+# Histogram
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def histogram_256(rgb_u8):
+    """Per-channel 256-bin histogram of a u8 image.
+
+    XLA scatter-add replacing the reference's CPU byte loop
+    (reference: gpu/pipeline.rs:720-736). Input (…, 3) u8, output
+    (3, 256) int32 in R, G, B order.
+    """
+    x = rgb_u8.astype(jnp.int32)
+    flat = x.reshape(-1, 3)
+
+    def one(c):
+        return jnp.zeros((256,), jnp.int32).at[c].add(1)
+
+    return jnp.stack([one(flat[:, 0]), one(flat[:, 1]), one(flat[:, 2])])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_w", "out_h", "white_level", "matrix_transpose")
+)
+def develop_histogram(
+    mosaic,
+    params: EditParams,
+    wb,
+    cam_matrix,
+    out_w: int,
+    out_h: int,
+    zoom=1.0,
+    pan_x=0.0,
+    pan_y=0.0,
+    white_level: float = 4096.0,
+    matrix_transpose: bool = True,
+):
+    """The reference's live-histogram path: develop a tiny nearest-sampled
+    render (128 px wide) and bin it (reference: gpu/pipeline.rs:615-736,
+    histogram sizing at gpu/pipeline.rs:131-133). One fused XLA program;
+    no readback between render and binning."""
+    img = develop_preview(
+        mosaic, params, wb, cam_matrix, out_w, out_h,
+        zoom, pan_x, pan_y, white_level, matrix_transpose,
+    )
+    return histogram_256(img)

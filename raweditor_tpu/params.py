@@ -1,0 +1,124 @@
+"""Non-destructive edit parameters.
+
+The 10-slider edit model of the reference editor
+(reference: state/edit.rs:15-96), kept JSON round-trip compatible with
+the serde serialization the reference stores in SQLite
+(reference: state/edit.rs:105-112), so an existing catalog's ``edits``
+table replays unchanged.
+
+``EditParams`` is registered as a JAX pytree whose leaves are the ten
+slider values, so it can be passed straight into ``jax.jit``-compiled
+develop kernels as a *traced* argument: moving a slider never triggers
+recompilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any
+
+import jax
+
+# Field order matters: it defines the pytree flatten order and the
+# packed-array layout used by the batch exporter.
+_FIELDS = (
+    "exposure",
+    "contrast",
+    "highlights",
+    "shadows",
+    "whites",
+    "blacks",
+    "vibrance",
+    "saturation",
+    "temperature",
+    "tint",
+)
+
+# Defaults mirror the reference exactly: everything 0 except whites=1.0
+# (reference: state/edit.rs:79-96).
+_DEFAULTS = {name: 0.0 for name in _FIELDS}
+_DEFAULTS["whites"] = 1.0
+
+# Documented slider ranges (reference: state/edit.rs:15-77). The UI uses
+# narrower ranges for some sliders (contrast ±10, whites 0.8–1.2,
+# blacks 0–0.2, reference: main.rs:1624-1659); the engine accepts any
+# float, like the reference shader does.
+RANGES = {
+    "exposure": (-5.0, 5.0),
+    "contrast": (-100.0, 100.0),
+    "highlights": (-100.0, 100.0),
+    "shadows": (-100.0, 100.0),
+    "whites": (-100.0, 100.0),
+    "blacks": (-100.0, 100.0),
+    "vibrance": (-100.0, 100.0),
+    "saturation": (-100.0, 100.0),
+    "temperature": (-1.0, 1.0),
+    "tint": (-1.0, 1.0),
+}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EditParams:
+    """All edit parameters for one image. A frozen dataclass pytree.
+
+    Leaves may be Python floats, NumPy scalars, or traced JAX scalars —
+    the develop kernels treat them uniformly as f32 scalars.
+    """
+
+    exposure: Any = 0.0
+    contrast: Any = 0.0
+    highlights: Any = 0.0
+    shadows: Any = 0.0
+    whites: Any = 1.0
+    blacks: Any = 0.0
+    vibrance: Any = 0.0
+    saturation: Any = 0.0
+    temperature: Any = 0.0
+    tint: Any = 0.0
+
+    # -- persistence (serde-compatible JSON) -----------------------------
+    def to_json(self) -> str:
+        """Serialize to the same JSON shape serde produces
+        (reference: state/edit.rs:105-107)."""
+        return json.dumps({name: float(getattr(self, name)) for name in _FIELDS})
+
+    @classmethod
+    def from_json(cls, payload: str) -> "EditParams":
+        """Parse from a catalog JSON blob (reference: state/edit.rs:110-112).
+
+        Unknown keys are rejected, missing keys fall back to defaults —
+        matching serde's default derive behaviour for this struct
+        (all fields required in serde; we are permissive on missing keys
+        to survive forward-compatible catalogs).
+        """
+        data = json.loads(payload)
+        unknown = set(data) - set(_FIELDS)
+        if unknown:
+            raise ValueError(f"unknown edit parameter(s): {sorted(unknown)}")
+        merged = dict(_DEFAULTS)
+        merged.update({k: float(v) for k, v in data.items()})
+        return cls(**merged)
+
+    # -- convenience -----------------------------------------------------
+    def is_unedited(self) -> bool:
+        """True when every slider is at its default
+        (reference: state/edit.rs:115-117)."""
+        return all(
+            float(getattr(self, name)) == _DEFAULTS[name] for name in _FIELDS
+        )
+
+    def reset(self) -> "EditParams":
+        """Return default parameters (reference: state/edit.rs:120-122).
+
+        Unlike the reference's in-place reset, this is functional: the
+        dataclass is frozen."""
+        return EditParams()
+
+    def replace(self, **kwargs: Any) -> "EditParams":
+        return dataclasses.replace(self, **kwargs)
+
+    @classmethod
+    def field_names(cls) -> tuple:
+        return _FIELDS

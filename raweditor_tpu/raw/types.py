@@ -1,0 +1,62 @@
+"""Decoded RAW image container.
+
+The TPU-native equivalent of the reference's ``RawDataResult``
+(reference: raw/loader.rs:11-19): the u16 Bayer mosaic plus the color
+metadata the develop pipeline needs. Accurate mode additionally carries
+black/white levels and the CFA phase, which the reference hardcodes
+(/4096 and GBRG+offset, reference: gpu/shaders.rs:110-125).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class RawImage:
+    """A decoded RAW frame on the host."""
+
+    mosaic: np.ndarray  # (H, W) uint16 Bayer mosaic
+    wb_multipliers: np.ndarray  # (4,) f32 [R, G, B, G2], green-normalized
+    xyz_to_cam: np.ndarray  # (3, 3) f32 row-major camera matrix
+    black_level: float = 0.0
+    white_level: float = 4096.0  # parity default (reference: gpu/shaders.rs:110)
+    cfa_pattern: str = "RGGB"  # effective storage-space CFA phase
+    camera_make: str = ""
+    camera_model: str = ""
+    source_path: str = ""
+
+    @property
+    def width(self) -> int:
+        return int(self.mosaic.shape[1])
+
+    @property
+    def height(self) -> int:
+        return int(self.mosaic.shape[0])
+
+    def wb_rgb(self) -> np.ndarray:
+        """(3,) RGB gains as the shader consumes them
+        (reference: gpu/shaders.rs:195 uses wb_multipliers.rgb)."""
+        return np.asarray(self.wb_multipliers[:3], dtype=np.float32)
+
+    @staticmethod
+    def normalize_wb(coeffs) -> np.ndarray:
+        """Green-normalize camera WB coefficients with the reference's
+        fallbacks (reference: raw/loader.rs:78-110): 3-coeff cameras reuse
+        G for G2; non-finite or non-positive G2 falls back to G; green
+        reference floored at 0.001."""
+        c = [float(x) for x in coeffs]
+        if len(c) >= 4:
+            r, g, b, g2 = c[0], c[1], c[2], c[3]
+        elif len(c) == 3:
+            r, g, b = c
+            g2 = g
+        else:
+            r = g = b = g2 = 1.0
+        g_ref = max(g, 0.001)
+        if not np.isfinite(g2) or g2 <= 0.0:
+            g2 = g
+        return np.array([r / g_ref, g / g_ref, b / g_ref, g2 / g_ref],
+                        dtype=np.float32)

@@ -1,0 +1,158 @@
+"""1-LSB parity of the TPU develop pipeline against the NumPy oracle.
+
+The oracle (tests/oracle.py) re-implements the reference WGSL shader
+per-pixel (reference: gpu/shaders.rs:104-267); the production pipeline
+must match within 1 LSB of 8-bit sRGB across all 10 sliders — the
+BASELINE.md parity bar.
+"""
+
+import numpy as np
+import pytest
+
+from raweditor_tpu.params import EditParams
+from raweditor_tpu.ops.develop import develop, develop_preview
+
+import oracle
+
+IDENTITY = np.eye(3, dtype=np.float32)
+WB_NEUTRAL = np.ones(3, dtype=np.float32)
+WB_DAYLIGHT = np.array([2.07, 1.0, 1.32], dtype=np.float32)
+
+
+def assert_parity(got, want, lsb=1, frac_exact=None):
+    got = np.asarray(got, dtype=np.int32)
+    want = np.asarray(want, dtype=np.int32)
+    diff = np.abs(got - want)
+    assert diff.max() <= lsb, (
+        f"max diff {diff.max()} LSB at {np.unravel_index(diff.argmax(), diff.shape)}"
+    )
+    if frac_exact is not None:
+        assert (diff == 0).mean() >= frac_exact
+
+
+PARAM_CASES = {
+    "defaults": EditParams(),
+    "exposure_up": EditParams(exposure=1.7),
+    "exposure_down": EditParams(exposure=-2.3),
+    "contrast": EditParams(contrast=8.0),
+    "highlights_shadows": EditParams(highlights=-0.6, shadows=0.45),
+    "levels": EditParams(whites=0.85, blacks=0.12),
+    "saturation": EditParams(saturation=55.0),
+    "desaturate": EditParams(saturation=-100.0),
+    "vibrance": EditParams(vibrance=0.8),
+    "temp_tint": EditParams(temperature=0.5, tint=-0.35),
+    "everything": EditParams(
+        exposure=0.8, contrast=-4.0, highlights=0.3, shadows=-0.2,
+        whites=1.1, blacks=0.05, vibrance=-0.4, saturation=20.0,
+        temperature=-0.25, tint=0.15,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(PARAM_CASES))
+def test_full_develop_parity(name, rng):
+    params = PARAM_CASES[name]
+    mosaic = rng.integers(0, 4096, size=(24, 32), dtype=np.uint16)
+    want = oracle.develop_image(mosaic, params, WB_DAYLIGHT, IDENTITY)
+    got = develop(mosaic, params, WB_DAYLIGHT, IDENTITY)
+    assert_parity(got, want, lsb=1, frac_exact=0.99)
+
+
+def test_full_develop_nontrivial_matrix(rng):
+    # Arbitrary matrix exercises the WGSL transpose quirk
+    # (reference: gpu/shaders.rs:209-214).
+    m = np.array(
+        [[1.6, -0.3, -0.3], [-0.2, 1.5, -0.3], [0.0, -0.4, 1.4]],
+        dtype=np.float32,
+    )
+    mosaic = rng.integers(0, 4096, size=(16, 20), dtype=np.uint16)
+    params = EditParams(exposure=0.5)
+    want = oracle.develop_image(mosaic, params, WB_DAYLIGHT, m)
+    got = develop(mosaic, params, WB_DAYLIGHT, m)
+    assert_parity(got, want)
+
+
+def test_matrix_transpose_quirk_matters(rng):
+    m = np.array(
+        [[1.0, 0.5, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
+        dtype=np.float32,
+    )
+    mosaic = rng.integers(512, 3584, size=(16, 20), dtype=np.uint16)
+    with_quirk = np.asarray(
+        develop(mosaic, EditParams(), WB_NEUTRAL, m, matrix_transpose=True)
+    )
+    without = np.asarray(
+        develop(mosaic, EditParams(), WB_NEUTRAL, m, matrix_transpose=False)
+    )
+    assert (with_quirk != without).any()
+
+
+def test_debayer_edge_clamping():
+    # Constant mosaic: every channel must equal the constant value at
+    # every pixel including borders (clamp-to-edge,
+    # reference: gpu/shaders.rs:161-169), so output is uniform gray.
+    mosaic = np.full((10, 12), 2048, dtype=np.uint16)
+    out = np.asarray(develop(mosaic, EditParams(), WB_NEUTRAL, IDENTITY))
+    assert (out == out[0, 0]).all()
+    expected = np.floor((2048 / 4096) ** (1 / 2.2) * 255 + 0.5)
+    assert out[0, 0, 0] == expected
+
+
+def test_white_level_flag():
+    # Accurate mode reads the true white level instead of the hardcoded
+    # 4096 (reference: gpu/shaders.rs:110 is wrong for 14-bit RAWs).
+    mosaic = np.full((8, 8), 8192, dtype=np.uint16)
+    out14 = np.asarray(
+        develop(mosaic, EditParams(), WB_NEUTRAL, IDENTITY, white_level=16384.0)
+    )
+    expected = np.floor(0.5 ** (1 / 2.2) * 255 + 0.5)
+    assert out14[0, 0, 0] == expected
+
+
+@pytest.mark.parametrize("zoom,pan", [(1.0, (0.0, 0.0)), (2.5, (0.1, -0.05)),
+                                      (0.5, (0.0, 0.0))])
+def test_preview_parity(zoom, pan, rng):
+    mosaic = rng.integers(0, 4096, size=(40, 64), dtype=np.uint16)
+    params = EditParams(exposure=0.4, saturation=15.0)
+    want = oracle.develop_preview(
+        mosaic, params, WB_DAYLIGHT, IDENTITY, out_w=20, out_h=13,
+        zoom=zoom, pan_x=pan[0], pan_y=pan[1],
+    )
+    got = develop_preview(
+        mosaic, params, WB_DAYLIGHT, IDENTITY, out_w=20, out_h=13,
+        zoom=zoom, pan_x=pan[0], pan_y=pan[1],
+    )
+    assert_parity(got, want)
+
+
+def test_preview_zoomed_out_black_border(rng):
+    mosaic = rng.integers(1024, 4096, size=(32, 32), dtype=np.uint16)
+    out = np.asarray(
+        develop_preview(
+            mosaic, EditParams(), WB_NEUTRAL, IDENTITY,
+            out_w=16, out_h=16, zoom=0.5,
+        )
+    )
+    # At zoom 0.5 the image occupies the middle half; corners are black
+    # (reference: gpu/shaders.rs:173-178).
+    assert (out[0, 0] == 0).all()
+    assert (out[-1, -1] == 0).all()
+    assert (out[8, 8] > 0).any()
+
+
+def test_zoom_pan_do_not_recompile(rng):
+    import jax
+
+    mosaic = rng.integers(0, 4096, size=(32, 32), dtype=np.uint16)
+
+    def run(zoom, pan_x):
+        return develop_preview(
+            mosaic, EditParams(), WB_NEUTRAL, IDENTITY,
+            out_w=16, out_h=16, zoom=zoom, pan_x=pan_x,
+        )
+
+    run(1.0, 0.0)
+    misses_before = develop_preview._cache_size()
+    run(2.0, 0.1)
+    run(3.0, -0.2)
+    assert develop_preview._cache_size() == misses_before
