@@ -46,6 +46,14 @@ def parity_masks(h: int, w: int):
     return ye, xe
 
 
+def _combine(v, left, right, up, down, downleft, ye, xe):
+    """Apply the per-site channel selection table (module docstring)."""
+    r = jnp.where(ye, jnp.where(xe, v, left), jnp.where(xe, down, downleft))
+    g = jnp.where(ye, jnp.where(xe, right, v), jnp.where(xe, v, left))
+    b = jnp.where(ye, up, jnp.where(xe, right, v))
+    return r, g, b
+
+
 def demosaic_nearest(mosaic):
     """Nearest-neighbor demosaic, bit-matching the reference shader.
 
@@ -57,19 +65,46 @@ def demosaic_nearest(mosaic):
     """
     h, w = mosaic.shape
     p = jnp.pad(mosaic, ((1, 1), (1, 1)), mode="edge")
-    v = mosaic
-    left = _shifted(p, 0, -1, h, w)
-    right = _shifted(p, 0, 1, h, w)
-    up = _shifted(p, -1, 0, h, w)
-    down = _shifted(p, 1, 0, h, w)
-    downleft = _shifted(p, 1, -1, h, w)
-
     ye, xe = parity_masks(h, w)
+    return _combine(
+        mosaic,
+        _shifted(p, 0, -1, h, w),
+        _shifted(p, 0, 1, h, w),
+        _shifted(p, -1, 0, h, w),
+        _shifted(p, 1, 0, h, w),
+        _shifted(p, 1, -1, h, w),
+        ye,
+        xe,
+    )
 
-    r = jnp.where(ye, jnp.where(xe, v, left), jnp.where(xe, down, downleft))
-    g = jnp.where(ye, jnp.where(xe, right, v), jnp.where(xe, v, left))
-    b = jnp.where(ye, up, jnp.where(xe, right, v))
-    return r, g, b
+
+def demosaic_nearest_vpadded(padded, row_offset):
+    """Nearest demosaic of a row block carrying a 1-row vertical halo.
+
+    For row-sharded (spatial/context-parallel) develop: ``padded`` is
+    (h+2, W) — rows [1:h+1] are this shard's block, rows 0 and h+1 the
+    halo rows received from the neighbor shards (or clamped copies at
+    the global image edges). ``row_offset`` is the block's global
+    starting row, needed for CFA parity; it may be a traced scalar.
+
+    Returns (r, g, b) float32 (h, W) planes for the block.
+    """
+    hp2, w = padded.shape
+    h = hp2 - 2
+    p = jnp.pad(padded, ((0, 0), (1, 1)), mode="edge")
+    rows = jnp.arange(h, dtype=jnp.int32) + row_offset
+    ye = (rows[:, None] % 2) == 0
+    xe = (jnp.arange(w, dtype=jnp.int32)[None, :] % 2) == 0
+    return _combine(
+        p[1 : 1 + h, 1 : 1 + w],
+        p[1 : 1 + h, 0:w],
+        p[1 : 1 + h, 2 : 2 + w],
+        p[0:h, 1 : 1 + w],
+        p[2 : 2 + h, 1 : 1 + w],
+        p[2 : 2 + h, 0:w],
+        ye,
+        xe,
+    )
 
 
 def demosaic_nearest_sampled(mosaic, yi, xi):
@@ -114,11 +149,7 @@ def demosaic_nearest_sampled(mosaic, yi, xi):
 
     ye = (yc[:, None] % 2) == 0
     xe = (xc[None, :] % 2) == 0
-
-    r = jnp.where(ye, jnp.where(xe, v, left), jnp.where(xe, down, downleft))
-    g = jnp.where(ye, jnp.where(xe, right, v), jnp.where(xe, v, left))
-    b = jnp.where(ye, up, jnp.where(xe, right, v))
-    return r, g, b
+    return _combine(v, left, right, up, down, downleft, ye, xe)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,25 @@
+"""Multi-chip execution: device meshes, sharded batch develop, spatial
+(row-block) sharding of a single mosaic with halo exchange.
+
+The reference is a single-process, single-GPU app with no distributed
+layer (SURVEY.md §2); these are the TPU-native first-class equivalents:
+data-parallel batch export across a slice, and context-parallel-style
+row sharding of one mosaic for lowest-latency single-image develop.
+"""
+
+from raweditor_tpu.parallel.mesh import make_mesh, batch_row_mesh
+from raweditor_tpu.parallel.batch import (
+    pack_params,
+    batch_develop,
+    batch_develop_sharded,
+)
+from raweditor_tpu.parallel.spatial import spatial_develop
+
+__all__ = [
+    "make_mesh",
+    "batch_row_mesh",
+    "pack_params",
+    "batch_develop",
+    "batch_develop_sharded",
+    "spatial_develop",
+]

@@ -1,0 +1,162 @@
+"""Data-parallel batch develop across the chip mesh.
+
+The TPU replacement for the reference's one-image-at-a-time cache/export
+loop (reference: main.rs:481-490, 2036-2071): stack N same-shape mosaics
+and their per-image edit parameters, shard the batch axis over the mesh,
+and run the fused develop as one SPMD program. Per-image develop is
+embarrassingly parallel; the only collectives are the row-halo exchange
+(when intra-image row sharding is on) and the per-image histogram
+reduction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from raweditor_tpu.ops import demosaic as _demosaic
+from raweditor_tpu.ops.develop import apply_edit_stack, finish_to_u8
+from raweditor_tpu.params import EditParams
+from raweditor_tpu.parallel.spatial import develop_block
+
+_F = jnp.float32
+
+
+def pack_params(params_list) -> EditParams:
+    """Stack a list of EditParams into one EditParams of (N,) leaves."""
+    return EditParams(
+        **{
+            name: jnp.asarray(
+                [float(getattr(p, name)) for p in params_list], dtype=_F
+            )
+            for name in EditParams.field_names()
+        }
+    )
+
+
+def _develop_one(mosaic, params, wb, cm, white_level, matrix_transpose):
+    norm = mosaic.astype(_F) / _F(white_level)
+    r, g, b = _demosaic.demosaic_nearest(norm)
+    r, g, b = apply_edit_stack(r, g, b, params, wb, cm, matrix_transpose)
+    r, g, b = finish_to_u8(r, g, b)
+    return jnp.stack([r, g, b], axis=-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("white_level", "matrix_transpose")
+)
+def batch_develop(mosaics, params: EditParams, wb, cam_matrices,
+                  white_level: float = 4096.0, matrix_transpose: bool = True):
+    """vmapped batch develop: (N, H, W) u16 → (N, H, W, 3) u8.
+
+    Pure data parallelism: place the inputs with a
+    ``NamedSharding(mesh, P('batch'))`` and XLA partitions the whole
+    program with zero communication.
+    """
+    return jax.vmap(
+        functools.partial(
+            _develop_one,
+            white_level=white_level,
+            matrix_transpose=matrix_transpose,
+        )
+    )(mosaics, params, wb, cam_matrices)
+
+
+def _sharded_step(mosaics, params, wb, cms, *, axis_name, white_level,
+                  matrix_transpose, with_histogram):
+    """Per-device body: local (n, h_blk, W) batch of row blocks."""
+    imgs = jax.vmap(
+        functools.partial(
+            develop_block,
+            axis_name=axis_name,
+            white_level=white_level,
+            matrix_transpose=matrix_transpose,
+        )
+    )(mosaics, params, wb, cms)
+    if not with_histogram:
+        return imgs
+    # Per-image 256-bin histograms of the local row block, reduced over
+    # the row shards (XLA psum over ICI). Matches binning the full image.
+    x = imgs.astype(jnp.int32)
+
+    def hist_one(img):
+        flat = img.reshape(-1, 3)
+
+        def one(c):
+            return jnp.zeros((256,), jnp.int32).at[c].add(1)
+
+        return jnp.stack([one(flat[:, 0]), one(flat[:, 1]), one(flat[:, 2])])
+
+    hists = jax.vmap(hist_one)(x)
+    hists = jax.lax.psum(hists, axis_name)
+    return imgs, hists
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "batch_axis", "row_axis", "white_level",
+        "matrix_transpose", "with_histogram",
+    ),
+)
+def batch_develop_sharded(
+    mosaics,
+    params: EditParams,
+    wb,
+    cam_matrices,
+    mesh: Mesh,
+    batch_axis: str = "batch",
+    row_axis: str = "row",
+    white_level: float = 4096.0,
+    matrix_transpose: bool = True,
+    with_histogram: bool = False,
+):
+    """The full sharded export step: dp over images × sp over rows.
+
+    mosaics: (N, H, W) u16, N divisible by mesh[batch_axis], H divisible
+    by 2*mesh[row_axis]. params/wb/cam_matrices carry a leading (N,)
+    axis. Returns (N, H, W, 3) u8 images (and (N, 3, 256) histograms
+    when ``with_histogram``), sharded like the inputs.
+    """
+    n_b = mesh.shape[batch_axis]
+    n_r = mesh.shape[row_axis]
+    n, h, _ = mosaics.shape
+    if n % n_b:
+        raise ValueError(f"batch {n} not divisible by {n_b}")
+    if h % (2 * n_r):
+        raise ValueError(f"H={h} must be divisible by 2*{n_r}")
+
+    out_specs = (
+        (P(batch_axis, row_axis, None, None), P(batch_axis, None, None))
+        if with_histogram
+        else P(batch_axis, row_axis, None, None)
+    )
+    fn = jax.shard_map(
+        functools.partial(
+            _sharded_step,
+            axis_name=row_axis,
+            white_level=white_level,
+            matrix_transpose=matrix_transpose,
+            with_histogram=with_histogram,
+        ),
+        mesh=mesh,
+        in_specs=(
+            P(batch_axis, row_axis, None),
+            P(batch_axis),
+            P(batch_axis, None),
+            P(batch_axis, None, None),
+        ),
+        out_specs=out_specs,
+    )
+    return fn(mosaics, params, wb, cam_matrices)
+
+
+def batch_sharding(mesh: Mesh, batch_axis: str = "batch",
+                   row_axis: str | None = "row"):
+    """NamedSharding for staged (N, H, W) mosaics."""
+    if row_axis is None:
+        return NamedSharding(mesh, P(batch_axis, None, None))
+    return NamedSharding(mesh, P(batch_axis, row_axis, None))

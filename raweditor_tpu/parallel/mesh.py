@@ -1,0 +1,44 @@
+"""Device mesh construction helpers."""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_mesh(axis_sizes: dict, devices=None) -> Mesh:
+    """Build a Mesh from {axis_name: size}. Sizes must multiply to the
+    device count; a single -1 axis is inferred."""
+    devices = list(devices if devices is not None else jax.devices())
+    names = list(axis_sizes)
+    sizes = [axis_sizes[n] for n in names]
+    unknown = [i for i, s in enumerate(sizes) if s == -1]
+    if len(unknown) > 1:
+        raise ValueError("at most one axis size may be -1")
+    known = int(np.prod([s for s in sizes if s != -1]))
+    if unknown:
+        if len(devices) % known:
+            raise ValueError(
+                f"{len(devices)} devices not divisible by {known}"
+            )
+        sizes[unknown[0]] = len(devices) // known
+    if int(np.prod(sizes)) != len(devices):
+        raise ValueError(
+            f"mesh {dict(zip(names, sizes))} != {len(devices)} devices"
+        )
+    dev_array = np.asarray(devices).reshape(sizes)
+    return Mesh(dev_array, tuple(names))
+
+
+def batch_row_mesh(n_devices: int | None = None, row: int = 1,
+                   devices=None) -> Mesh:
+    """The standard export mesh: ('batch', 'row'). ``row > 1`` carves
+    chips out of the batch dimension for intra-image row sharding."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % row:
+        raise ValueError(f"{n} devices not divisible by row={row}")
+    return make_mesh({"batch": n // row, "row": row}, devices)

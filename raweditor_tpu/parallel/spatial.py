@@ -1,0 +1,98 @@
+"""Spatial (row-block) sharding of a single mosaic across chips.
+
+The reference never tiles — a 24 MP mosaic must fit one GPU texture
+(SURVEY.md §5 "long-context"). The TPU-native analogue of sequence /
+context parallelism here is sharding one mosaic's rows across the mesh:
+each chip develops a contiguous row block, exchanging one halo row with
+each neighbor over ICI (`lax.ppermute`) for the demosaic stencil —
+replacing the reference shader's clamp-at-texture-edge with
+clamp-at-*global*-edge so output is bit-identical to single-chip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from raweditor_tpu.ops.demosaic import demosaic_nearest_vpadded
+from raweditor_tpu.ops.develop import apply_edit_stack, finish_to_u8
+from raweditor_tpu.params import EditParams
+
+_F = jnp.float32
+
+
+def exchange_row_halos(block, axis_name: str):
+    """Fetch the neighboring shards' boundary rows over ICI.
+
+    Returns (up_halo, down_halo), each (1, W): the last row of the
+    previous shard and the first row of the next shard. At the global
+    top/bottom, the halo is the shard's own edge row — reproducing the
+    reference's clamp-to-edge load (reference: gpu/shaders.rs:161-169).
+    """
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    if n == 1:
+        return block[:1], block[-1:]
+    # Shift down: shard j receives shard j-1's last row.
+    up = jax.lax.ppermute(
+        block[-1:], axis_name, [(j, (j + 1) % n) for j in range(n)]
+    )
+    # Shift up: shard j receives shard j+1's first row.
+    down = jax.lax.ppermute(
+        block[:1], axis_name, [(j, (j - 1) % n) for j in range(n)]
+    )
+    up = jnp.where(idx == 0, block[:1], up)
+    down = jnp.where(idx == n - 1, block[-1:], down)
+    return up, down
+
+
+def develop_block(block_u16, params: EditParams, wb, cam_matrix,
+                  axis_name: str, white_level: float = 4096.0,
+                  matrix_transpose: bool = True):
+    """Develop one shard's row block inside a shard_map/collective
+    context. Returns (h_block, W, 3) u8."""
+    h_block = block_u16.shape[0]
+    row_offset = jax.lax.axis_index(axis_name) * h_block
+    norm = block_u16.astype(_F) / _F(white_level)
+    up, down = exchange_row_halos(norm, axis_name)
+    padded = jnp.concatenate([up, norm, down], axis=0)
+    r, g, b = demosaic_nearest_vpadded(padded, row_offset)
+    r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix,
+                               matrix_transpose)
+    r, g, b = finish_to_u8(r, g, b)
+    return jnp.stack([r, g, b], axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "axis_name", "white_level", "matrix_transpose"),
+)
+def spatial_develop(mosaic, params: EditParams, wb, cam_matrix,
+                    mesh: Mesh, axis_name: str = "row",
+                    white_level: float = 4096.0,
+                    matrix_transpose: bool = True):
+    """Row-sharded full-resolution develop of one mosaic.
+
+    mosaic: (H, W) u16 with H divisible by 2 * mesh axis size (keeps CFA
+    phase uniform across shards). Output (H, W, 3) u8, row-sharded.
+    """
+    n = mesh.shape[axis_name]
+    h = mosaic.shape[0]
+    if h % (2 * n):
+        raise ValueError(f"H={h} must be divisible by 2*{n} row shards")
+
+    fn = jax.shard_map(
+        functools.partial(
+            develop_block,
+            axis_name=axis_name,
+            white_level=white_level,
+            matrix_transpose=matrix_transpose,
+        ),
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(), P(), P()),
+        out_specs=P(axis_name, None, None),
+    )
+    return fn(mosaic, params, wb, cam_matrix)

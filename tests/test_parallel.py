@@ -1,0 +1,93 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh.
+
+Bit-equality bar: sharded execution must produce byte-identical output
+to the single-device fused develop — halo exchange replaces
+clamp-at-shard-edge with the true neighbor rows.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from raweditor_tpu.params import EditParams
+from raweditor_tpu.ops.develop import develop, histogram_256
+from raweditor_tpu.parallel import (
+    batch_develop,
+    batch_develop_sharded,
+    batch_row_mesh,
+    make_mesh,
+    pack_params,
+    spatial_develop,
+)
+from raweditor_tpu.parallel.batch import batch_sharding
+
+IDENTITY = np.eye(3, dtype=np.float32)
+WB = np.array([2.0, 1.0, 1.4], dtype=np.float32)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_infers_axis():
+    mesh = make_mesh({"batch": -1, "row": 2})
+    assert mesh.shape == {"batch": 4, "row": 2}
+
+
+def test_make_mesh_rejects_bad_product():
+    with pytest.raises(ValueError):
+        make_mesh({"batch": 3, "row": 2})
+
+
+def test_spatial_develop_matches_single_device(rng):
+    mosaic = rng.integers(0, 4096, size=(64, 48), dtype=np.uint16)
+    params = EditParams(exposure=0.7, shadows=0.3, saturation=25.0)
+    mesh = make_mesh({"row": 8})
+    want = np.asarray(develop(mosaic, params, WB, IDENTITY))
+    got = np.asarray(spatial_develop(mosaic, params, WB, IDENTITY, mesh))
+    assert (want == got).all()
+
+
+def test_spatial_develop_rejects_indivisible_height(rng):
+    mosaic = rng.integers(0, 4096, size=(36, 48), dtype=np.uint16)
+    mesh = make_mesh({"row": 8})
+    with pytest.raises(ValueError):
+        spatial_develop(mosaic, EditParams(), WB, IDENTITY, mesh)
+
+
+def test_batch_develop_matches_individual(rng):
+    n = 4
+    mosaics = rng.integers(0, 4096, size=(n, 16, 24), dtype=np.uint16)
+    plist = [EditParams(exposure=0.2 * i, contrast=float(i)) for i in range(n)]
+    wbs = np.tile(WB, (n, 1))
+    cms = np.tile(IDENTITY, (n, 1, 1))
+    got = np.asarray(batch_develop(mosaics, pack_params(plist), wbs, cms))
+    for i in range(n):
+        want = np.asarray(develop(mosaics[i], plist[i], WB, IDENTITY))
+        assert (got[i] == want).all()
+
+
+@pytest.mark.parametrize("with_histogram", [False, True])
+def test_batch_develop_sharded_dp_x_sp(rng, with_histogram):
+    mesh = batch_row_mesh(row=2)  # 4 batch × 2 row
+    n = 8
+    mosaics = rng.integers(0, 4096, size=(n, 32, 24), dtype=np.uint16)
+    plist = [EditParams(exposure=0.1 * i) for i in range(n)]
+    wbs = np.tile(WB, (n, 1))
+    cms = np.tile(IDENTITY, (n, 1, 1))
+
+    staged = jax.device_put(mosaics, batch_sharding(mesh))
+    out = batch_develop_sharded(
+        staged, pack_params(plist), wbs, cms, mesh,
+        with_histogram=with_histogram,
+    )
+    imgs = out[0] if with_histogram else out
+    imgs = np.asarray(imgs)
+    for i in range(n):
+        want = np.asarray(develop(mosaics[i], plist[i], WB, IDENTITY))
+        assert (imgs[i] == want).all()
+    if with_histogram:
+        hists = np.asarray(out[1])
+        for i in range(n):
+            want_h = np.asarray(histogram_256(imgs[i]))
+            assert (hists[i] == want_h).all()
