@@ -1,0 +1,281 @@
+"""The image library: SQLite catalog + edit store.
+
+Schema-compatible with the reference (reference: state/library.rs:52-124):
+the same ``images`` and ``edits`` tables, indexes, and idempotent
+ALTER-TABLE migrations, so a catalog written by the reference app opens
+here unchanged (and vice versa). Edit parameters are stored as one JSON
+row per image, upserted on every change — the edit store *is* the
+checkpoint (SURVEY.md §5); selecting an image replays its params.
+
+Departures from the reference, on purpose:
+- ``verify_thumbnails`` checks the three tier paths the schema actually
+  has; the reference reads a ``thumbnail_path`` column that no CREATE or
+  ALTER ever adds (latent legacy bug, reference: state/library.rs:242).
+- Paths are injectable (headless batch operation is config-driven);
+  defaults mirror the reference's platform dirs
+  (reference: state/library.rs:40-48).
+- One connection is safe across threads here only via one-Library-per-
+  thread, same discipline the reference uses (its rusqlite Connection is
+  not Send, reference: main.rs:125-126).
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import time
+from pathlib import Path
+from typing import List, Optional
+
+from raweditor_tpu.catalog.data import Image
+from raweditor_tpu.params import EditParams
+
+# The reference's import filter (reference: main.rs:1852-1855).
+RAW_EXTENSIONS = (
+    "nef", "dng", "cr2", "cr3", "arw", "raf", "orf", "rw2",
+    "pef", "srw", "erf", "kdc", "dcr", "mos", "raw", "rwl",
+)
+
+_IMAGE_COLS = (
+    "id, filename, path, cache_path_thumb, cache_path_instant, "
+    "cache_path_working, COALESCE(file_status, 'exists')"
+)
+
+
+def default_db_path() -> Path:
+    base = os.environ.get("XDG_DATA_HOME")
+    base = Path(base) if base else Path.home() / ".local" / "share"
+    return base / "raw-editor" / "raw_editor.db"
+
+
+class Library:
+    """Catalog database handle."""
+
+    def __init__(self, db_path: Optional[os.PathLike] = None):
+        self.db_path = Path(db_path) if db_path else default_db_path()
+        self.db_path.parent.mkdir(parents=True, exist_ok=True)
+        self.conn = sqlite3.connect(self.db_path)
+        self.conn.execute("PRAGMA foreign_keys = ON")
+        self._init_schema()
+
+    def close(self) -> None:
+        self.conn.close()
+
+    def __enter__(self) -> "Library":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- schema ----------------------------------------------------------
+    def _init_schema(self) -> None:
+        """Create tables/indexes + idempotent migrations
+        (reference: state/library.rs:52-124)."""
+        c = self.conn
+        c.execute(
+            """CREATE TABLE IF NOT EXISTS images (
+                id              INTEGER PRIMARY KEY AUTOINCREMENT,
+                path            TEXT NOT NULL UNIQUE,
+                filename        TEXT NOT NULL,
+                width           INTEGER,
+                height          INTEGER,
+                imported_at     INTEGER NOT NULL,
+                cache_status    TEXT DEFAULT 'pending'
+            )"""
+        )
+        c.execute(
+            """CREATE TABLE IF NOT EXISTS edits (
+                id              INTEGER PRIMARY KEY AUTOINCREMENT,
+                image_id        INTEGER NOT NULL,
+                settings_json   TEXT NOT NULL,
+                FOREIGN KEY(image_id) REFERENCES images(id) ON DELETE CASCADE
+            )"""
+        )
+        c.execute(
+            "CREATE INDEX IF NOT EXISTS idx_images_imported_at "
+            "ON images(imported_at DESC)"
+        )
+        c.execute(
+            "CREATE INDEX IF NOT EXISTS idx_edits_image_id ON edits(image_id)"
+        )
+        # Idempotent migrations (ALTERs fail harmlessly when the column
+        # exists, reference: state/library.rs:93-112).
+        for ddl in (
+            "ALTER TABLE images ADD COLUMN cache_path_thumb TEXT",
+            "ALTER TABLE images ADD COLUMN cache_path_instant TEXT",
+            "ALTER TABLE images ADD COLUMN cache_path_working TEXT",
+            "ALTER TABLE images ADD COLUMN file_status TEXT DEFAULT 'exists'",
+        ):
+            try:
+                c.execute(ddl)
+            except sqlite3.OperationalError:
+                pass
+        c.execute(
+            "CREATE INDEX IF NOT EXISTS idx_images_cache_status "
+            "ON images(cache_status)"
+        )
+        c.commit()
+
+    # -- image CRUD ------------------------------------------------------
+    def image_count(self) -> int:
+        return self.conn.execute("SELECT COUNT(*) FROM images").fetchone()[0]
+
+    def import_image(self, path: str, filename: str) -> int:
+        """Insert one file; returns the new id
+        (reference: state/library.rs:148-162)."""
+        cur = self.conn.execute(
+            "INSERT INTO images (path, filename, imported_at) "
+            "VALUES (?, ?, ?)",
+            (path, filename, int(time.time())),
+        )
+        self.conn.commit()
+        return cur.lastrowid
+
+    def import_folder(self, folder: os.PathLike) -> dict:
+        """Recursive import of a folder, filtered by RAW_EXTENSIONS,
+        duplicates skipped via the UNIQUE path constraint
+        (reference: main.rs:1840-1924)."""
+        imported = skipped = 0
+        for root, _dirs, files in os.walk(folder, followlinks=True):
+            for name in sorted(files):
+                ext = os.path.splitext(name)[1].lstrip(".").lower()
+                if ext not in RAW_EXTENSIONS:
+                    continue
+                full = os.path.join(root, name)
+                try:
+                    self.import_image(full, name)
+                    imported += 1
+                except sqlite3.IntegrityError:
+                    skipped += 1  # already imported
+        return {"imported": imported, "skipped": skipped}
+
+    def _rows_to_images(self, rows) -> List[Image]:
+        return [Image(*row) for row in rows]
+
+    def get_all_images(self) -> List[Image]:
+        """Newest-first listing (reference: state/library.rs:166-189)."""
+        rows = self.conn.execute(
+            f"SELECT {_IMAGE_COLS} FROM images ORDER BY imported_at DESC"
+        ).fetchall()
+        return self._rows_to_images(rows)
+
+    def get_image(self, image_id: int) -> Optional[Image]:
+        row = self.conn.execute(
+            f"SELECT {_IMAGE_COLS} FROM images WHERE id = ?", (image_id,)
+        ).fetchone()
+        return Image(*row) if row else None
+
+    def get_pending_cache(self, limit: int = 100) -> List[Image]:
+        """Images awaiting tier-cache generation
+        (reference: state/library.rs:192-218)."""
+        rows = self.conn.execute(
+            f"SELECT {_IMAGE_COLS} FROM images WHERE cache_status = 'pending' "
+            "LIMIT ?",
+            (limit,),
+        ).fetchall()
+        return self._rows_to_images(rows)
+
+    def set_cache_status(self, image_id: int, status: str) -> None:
+        """State machine pending → cached / failed; failed images are
+        quarantined, not retried (reference: main.rs:460-464)."""
+        self.conn.execute(
+            "UPDATE images SET cache_status = ? WHERE id = ?",
+            (status, image_id),
+        )
+        self.conn.commit()
+
+    def set_image_cache_paths(
+        self, image_id: int, thumb: str, instant: str, working: str
+    ) -> None:
+        """Record all three tier paths + mark cached
+        (reference: state/library.rs:374-391)."""
+        self.conn.execute(
+            "UPDATE images SET cache_status = 'cached', "
+            "cache_path_thumb = ?, cache_path_instant = ?, "
+            "cache_path_working = ? WHERE id = ?",
+            (thumb, instant, working, image_id),
+        )
+        self.conn.commit()
+
+    # -- startup self-healing -------------------------------------------
+    def verify_cache(self) -> int:
+        """Reset images whose cached tier files vanished back to
+        'pending' (reference: state/library.rs:240-270, fixed to check
+        the tier columns that actually exist)."""
+        rows = self.conn.execute(
+            "SELECT id, cache_path_thumb, cache_path_instant, "
+            "cache_path_working FROM images WHERE cache_status = 'cached'"
+        ).fetchall()
+        reset = 0
+        for image_id, *paths in rows:
+            if any(p is None or not os.path.exists(p) for p in paths):
+                self.conn.execute(
+                    "UPDATE images SET cache_status = 'pending', "
+                    "cache_path_thumb = NULL, cache_path_instant = NULL, "
+                    "cache_path_working = NULL WHERE id = ?",
+                    (image_id,),
+                )
+                reset += 1
+        self.conn.commit()
+        return reset
+
+    def verify_files(self) -> int:
+        """Mark RAW files missing from disk as 'deleted' tombstones
+        (reference: state/library.rs:274-304)."""
+        rows = self.conn.execute(
+            "SELECT id, path FROM images WHERE file_status = 'exists'"
+        ).fetchall()
+        deleted = 0
+        for image_id, path in rows:
+            if not os.path.exists(path):
+                self.conn.execute(
+                    "UPDATE images SET file_status = 'deleted' WHERE id = ?",
+                    (image_id,),
+                )
+                deleted += 1
+        self.conn.commit()
+        return deleted
+
+    # -- edit store ------------------------------------------------------
+    def save_edit_params(self, image_id: int, params: EditParams) -> None:
+        """Upsert the single edit row per image
+        (reference: state/library.rs:310-337)."""
+        payload = params.to_json()
+        row = self.conn.execute(
+            "SELECT id FROM edits WHERE image_id = ? ORDER BY id DESC LIMIT 1",
+            (image_id,),
+        ).fetchone()
+        if row:
+            self.conn.execute(
+                "UPDATE edits SET settings_json = ? WHERE id = ?",
+                (payload, row[0]),
+            )
+        else:
+            self.conn.execute(
+                "INSERT INTO edits (image_id, settings_json) VALUES (?, ?)",
+                (image_id, payload),
+            )
+        self.conn.commit()
+
+    def load_edit_params(self, image_id: int) -> EditParams:
+        """Replay stored params; defaults when never edited
+        (reference: state/library.rs:341-351 errors instead — callers
+        there treat the error as 'use defaults', we fold that in)."""
+        row = self.conn.execute(
+            "SELECT settings_json FROM edits WHERE image_id = ? "
+            "ORDER BY id DESC LIMIT 1",
+            (image_id,),
+        ).fetchone()
+        return EditParams.from_json(row[0]) if row else EditParams()
+
+    def has_edits(self, image_id: int) -> bool:
+        """(reference: state/library.rs:354-361)"""
+        n = self.conn.execute(
+            "SELECT COUNT(*) FROM edits WHERE image_id = ?", (image_id,)
+        ).fetchone()[0]
+        return n > 0
+
+    def delete_edits(self, image_id: int) -> None:
+        """Reset to unedited (reference: state/library.rs:364-370)."""
+        self.conn.execute("DELETE FROM edits WHERE image_id = ?", (image_id,))
+        self.conn.commit()

@@ -1,0 +1,199 @@
+"""RAW file decoding: container walk → sensor mosaic + color metadata.
+
+The host-side replacement for the reference's rawloader call
+(reference: raw/loader.rs:42-152). Dispatch prefers the native C++
+extension when built; this module is the complete Python fallback.
+
+Supported sensor encodings:
+- uncompressed / bit-packed CFA strips (8/10/12/14/16-bit)
+- lossless JPEG (SOF3) strips — DNG lossless, CR2-style
+Nikon's proprietary compressed NEF (TIFF compression 34713) raises
+``UnsupportedRawError`` until the native Huffman decoder lands.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Union
+
+import numpy as np
+
+from raweditor_tpu.raw import tiff as T
+from raweditor_tpu.raw.ljpeg import decode_lossless
+from raweditor_tpu.raw.packing import unpack_bits
+from raweditor_tpu.raw.types import RawImage
+
+
+class RawDecodeError(Exception):
+    pass
+
+
+class UnsupportedRawError(RawDecodeError):
+    pass
+
+
+def _read(path_or_bytes) -> bytes:
+    if isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
+        return bytes(path_or_bytes)
+    with open(path_or_bytes, "rb") as f:
+        return f.read()
+
+
+def _mosaic_from_ljpeg(strips: List[bytes], width: int, height: int):
+    """Reassemble SOF3 strips into the (H, W) mosaic. Two-component
+    scans (CR2 style) interleave columns."""
+    rows = []
+    for strip in strips:
+        planes, _prec = decode_lossless(strip)
+        nc, h, w = planes.shape
+        if nc == 1:
+            part = planes[0]
+            if part.shape[1] != width and part.size % width == 0:
+                part = part.reshape(-1, width)
+        elif nc == 2:
+            part = np.empty((h, 2 * w), dtype=np.uint16)
+            part[:, 0::2] = planes[0]
+            part[:, 1::2] = planes[1]
+        else:
+            raise UnsupportedRawError(f"{nc}-component lossless scan")
+        rows.append(part)
+    mosaic = np.vstack(rows) if len(rows) > 1 else rows[0]
+    if mosaic.shape != (height, width):
+        raise RawDecodeError(
+            f"decoded {mosaic.shape}, expected {(height, width)}"
+        )
+    return mosaic
+
+
+def _find_tag(tf: T.TiffFile, tag: int):
+    for ifd in tf.all_ifds():
+        v = ifd.get(tag)
+        if v is not None:
+            return v
+    return None
+
+
+def _wb_from_neutral(neutral) -> np.ndarray:
+    """DNG AsShotNeutral (camera-space white) → multipliers, then
+    green-normalized with the reference's fallback rules
+    (reference: raw/loader.rs:78-110)."""
+    vals = [float(v) for v in (neutral if isinstance(neutral, tuple) else (neutral,))]
+    if len(vals) < 3 or any(v <= 0 for v in vals[:3]):
+        return np.array([1.0, 1.0, 1.0, 1.0], dtype=np.float32)
+    coeffs = [1.0 / v for v in vals[:3]]
+    return RawImage.normalize_wb(coeffs)
+
+
+def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
+               source_path: str = "") -> RawImage:
+    """Decode a RAW file into a RawImage."""
+    data = _read(path_or_bytes)
+    if not isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
+        source_path = str(path_or_bytes)
+    try:
+        tf = T.TiffFile(data)
+    except ValueError as e:
+        raise RawDecodeError(str(e)) from e
+
+    ifd = tf.find_cfa_ifd()
+    if ifd is None:
+        raise UnsupportedRawError("no CFA sensor IFD found")
+
+    width = ifd.get_scalar(T.IMAGE_WIDTH)
+    height = ifd.get_scalar(T.IMAGE_LENGTH)
+    bpp = ifd.get_scalar(T.BITS_PER_SAMPLE, 16)
+    comp = ifd.get_scalar(T.COMPRESSION, T.COMPRESSION_NONE)
+    if not width or not height:
+        raise RawDecodeError("sensor IFD missing dimensions")
+
+    strips = tf.strip_data(ifd)
+    if comp == T.COMPRESSION_NONE:
+        mosaic = unpack_bits(b"".join(strips), width, height, bpp)
+    elif comp == T.COMPRESSION_LJPEG:
+        mosaic = _mosaic_from_ljpeg(strips, width, height)
+    elif comp == T.COMPRESSION_NIKON:
+        raise UnsupportedRawError(
+            "Nikon-compressed NEF (34713): native decoder not built yet"
+        )
+    else:
+        raise UnsupportedRawError(f"compression {comp}")
+
+    # --- color metadata -------------------------------------------------
+    neutral = _find_tag(tf, T.AS_SHOT_NEUTRAL)
+    wb = (
+        _wb_from_neutral(neutral)
+        if neutral is not None
+        else np.array([1.0, 1.0, 1.0, 1.0], dtype=np.float32)
+    )
+
+    cm = _find_tag(tf, T.COLOR_MATRIX_1)
+    if cm is not None and isinstance(cm, tuple) and len(cm) >= 9:
+        xyz_to_cam = np.array(cm[:9], dtype=np.float32).reshape(3, 3)
+        # Degenerate metadata → identity, like the reference
+        # (reference: raw/loader.rs:115-134).
+        if xyz_to_cam[0, 0] == 0.0 and xyz_to_cam[1, 1] == 0.0:
+            xyz_to_cam = np.eye(3, dtype=np.float32)
+    else:
+        xyz_to_cam = np.eye(3, dtype=np.float32)
+
+    black = _find_tag(tf, T.BLACK_LEVEL)
+    if isinstance(black, tuple):
+        black = black[0]
+    white = _find_tag(tf, T.WHITE_LEVEL)
+    if isinstance(white, tuple):
+        white = white[0]
+
+    cfa = _cfa_pattern_string(ifd)
+
+    return RawImage(
+        mosaic=mosaic,
+        wb_multipliers=wb,
+        xyz_to_cam=xyz_to_cam,
+        black_level=float(black) if black is not None else 0.0,
+        white_level=float(white) if white is not None else float((1 << bpp) - 1),
+        cfa_pattern=cfa,
+        camera_make=_find_tag(tf, T.MAKE) or "",
+        camera_model=_find_tag(tf, T.MODEL) or "",
+        source_path=source_path,
+    )
+
+
+def _cfa_pattern_string(ifd: T.IFD) -> str:
+    pat = ifd.get(T.CFA_PATTERN)
+    if pat is None:
+        return "RGGB"
+    if isinstance(pat, (bytes, bytearray)):
+        vals = list(pat)[:4]
+    elif isinstance(pat, tuple):
+        vals = list(pat)[:4]
+    else:
+        return "RGGB"
+    letters = {0: "R", 1: "G", 2: "B"}
+    try:
+        return "".join(letters[v] for v in vals)
+    except KeyError:
+        return "RGGB"
+
+
+def extract_preview_jpeg(path_or_bytes) -> Optional[bytes]:
+    """Largest embedded JPEG, via container tags when present (fast
+    path) with the whole-file marker scan as fallback
+    (reference: raw/processor.rs:92-125)."""
+    data = _read(path_or_bytes)
+    best = None
+    try:
+        tf = T.TiffFile(data)
+        for ifd in tf.all_ifds():
+            off = ifd.get_scalar(T.JPEG_INTERCHANGE)
+            ln = ifd.get_scalar(T.JPEG_INTERCHANGE_LEN)
+            if off and ln and off + ln <= len(data):
+                cand = data[off : off + ln]
+                if best is None or len(cand) > len(best):
+                    best = cand
+    except ValueError:
+        pass
+    if best is not None:
+        return best
+    from raweditor_tpu.raw.jpeg_scan import extract_largest_jpeg
+
+    return extract_largest_jpeg(data)

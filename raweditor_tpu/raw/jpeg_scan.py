@@ -1,0 +1,59 @@
+"""Embedded-JPEG scanning inside RAW files.
+
+RAW containers carry camera-rendered JPEG previews; the reference finds
+them by scanning the whole file for SOI/EOI marker pairs, validating
+each candidate decodes, and keeping the largest
+(reference: raw/processor.rs:92-125). Same semantics here. The Python
+path uses ``bytes.find`` (memchr under the hood — already ~GB/s); the
+native extension provides the SIMD scan for the batch import path.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import List, Optional, Tuple
+
+SOI = b"\xff\xd8"
+EOI = b"\xff\xd9"
+
+
+def find_jpeg_spans(data: bytes) -> List[Tuple[int, int]]:
+    """All (start, end_exclusive) candidate JPEG spans, as the reference
+    pairs them: each SOI with the first EOI at/after it
+    (reference: raw/processor.rs:107-120)."""
+    spans = []
+    pos = 0
+    while True:
+        start = data.find(SOI, pos)
+        if start < 0:
+            break
+        end = data.find(EOI, start)
+        if end < 0:
+            break
+        spans.append((start, end + 2))
+        pos = start + 1
+    return spans
+
+
+def _decodable(candidate: bytes) -> bool:
+    try:
+        from PIL import Image
+
+        with Image.open(io.BytesIO(candidate)) as im:
+            im.verify()
+        return True
+    except Exception:
+        return False
+
+
+def extract_largest_jpeg(data: bytes) -> Optional[bytes]:
+    """Largest decodable embedded JPEG, or None
+    (reference: raw/processor.rs:92-125)."""
+    best = None
+    for start, end in find_jpeg_spans(data):
+        if best is not None and end - start <= len(best):
+            continue
+        candidate = data[start:end]
+        if _decodable(candidate):
+            best = candidate
+    return best

@@ -1,0 +1,265 @@
+"""Synthetic RAW file writer (test fixtures + benchmarks).
+
+No real camera files ship with this repo, so the decoder test strategy
+is round-trip: write structurally-valid TIFF/DNG/NEF-style containers
+with known mosaics and metadata, then decode them back. The writer
+covers the container features the decoder supports: uncompressed and
+bit-packed CFA strips, SOF3 lossless-JPEG strips, CFA tags, DNG color
+metadata (AsShotNeutral / ColorMatrix1 / Black-WhiteLevel), and an
+embedded JPEG preview for the tier-cache pipeline.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from raweditor_tpu.raw import tiff as T
+from raweditor_tpu.raw.ljpeg import encode_lossless
+from raweditor_tpu.raw.packing import pack_bits
+
+_TYPE_BYTE, _TYPE_ASCII, _TYPE_SHORT, _TYPE_LONG = 1, 2, 3, 4
+_TYPE_RATIONAL, _TYPE_UNDEF, _TYPE_SRATIONAL = 5, 7, 10
+
+
+class _TiffWriter:
+    """Little-endian TIFF builder: IFDs of (tag, type, values) entries
+    plus opaque data blobs, resolved in one layout pass."""
+
+    def __init__(self):
+        self.blobs: List[bytes] = []
+        self._blob_offsets: Optional[List[int]] = None
+
+    def add_blob(self, data: bytes) -> int:
+        """Register a data blob; returns its index (resolved later)."""
+        self.blobs.append(data)
+        return len(self.blobs) - 1
+
+    @staticmethod
+    def _encode_values(typ: int, values) -> bytes:
+        if typ == _TYPE_ASCII:
+            return values.encode("ascii") + b"\0"
+        if typ in (_TYPE_BYTE, _TYPE_UNDEF):
+            return bytes(values)
+        if typ == _TYPE_SHORT:
+            return struct.pack(f"<{len(values)}H", *values)
+        if typ == _TYPE_LONG:
+            return struct.pack(f"<{len(values)}I", *values)
+        if typ == _TYPE_RATIONAL:
+            out = b""
+            for num, den in values:
+                out += struct.pack("<II", num, den)
+            return out
+        if typ == _TYPE_SRATIONAL:
+            out = b""
+            for num, den in values:
+                out += struct.pack("<ii", num, den)
+            return out
+        raise ValueError(f"type {typ}")
+
+    @staticmethod
+    def _count(typ: int, values) -> int:
+        if typ == _TYPE_ASCII:
+            return len(values) + 1
+        if typ in (_TYPE_RATIONAL, _TYPE_SRATIONAL):
+            return len(values)
+        return len(values)
+
+    def build(self, ifds: List[List[tuple]], chain=(0,)) -> bytes:
+        """ifds: list of entry lists. Entry = (tag, type, values) or
+        (tag, type, ("blob", idx)) for offsets into a registered blob,
+        or (tag, type, ("ifd", i)) pointing at another IFD (SubIFDs).
+        ``chain`` lists the IFD indices linked as the top-level chain.
+        """
+        header = 8
+        # Layout: header | IFD tables | overflow values | blobs.
+        ifd_sizes = [2 + 12 * len(entries) + 4 for entries in ifds]
+        ifd_offsets = []
+        pos = header
+        for s in ifd_sizes:
+            ifd_offsets.append(pos)
+            pos += s
+
+        # First pass: compute overflow sizes.
+        overflow_offsets = []
+        for entries in ifds:
+            per_entry = []
+            for tag, typ, values in entries:
+                if isinstance(values, tuple) and values and values[0] in (
+                    "blob", "ifd",
+                ):
+                    per_entry.append(0)
+                    continue
+                data = self._encode_values(typ, values)
+                per_entry.append(len(data) if len(data) > 4 else 0)
+            overflow_offsets.append(per_entry)
+
+        overflow_start = pos
+        for per_entry in overflow_offsets:
+            for i, size in enumerate(per_entry):
+                if size:
+                    per_entry[i] = pos
+                    pos += size + (pos & 1)  # keep even alignment
+
+        blob_offsets = []
+        for blob in self.blobs:
+            pos += pos & 1
+            blob_offsets.append(pos)
+            pos += len(blob)
+        self._blob_offsets = blob_offsets
+
+        # Emit.
+        out = bytearray(b"II*\x00")
+        out += struct.pack("<I", ifd_offsets[chain[0]])
+        for idx, entries in enumerate(ifds):
+            assert len(out) <= ifd_offsets[idx]
+            out += b"\0" * (ifd_offsets[idx] - len(out))
+            out += struct.pack("<H", len(entries))
+            for eidx, (tag, typ, values) in enumerate(entries):
+                if isinstance(values, tuple) and values and values[0] == "blob":
+                    # LONG offset into blob (+optional extra offset)
+                    blob_idx = values[1]
+                    extra = values[2] if len(values) > 2 else 0
+                    resolved = blob_offsets[blob_idx] + extra
+                    payload = struct.pack("<I", resolved)
+                    count = 1
+                elif isinstance(values, tuple) and values and values[0] == "ifd":
+                    resolved = ifd_offsets[values[1]]
+                    payload = struct.pack("<I", resolved)
+                    count = 1
+                else:
+                    payload = self._encode_values(typ, values)
+                    count = self._count(typ, values)
+                    if len(payload) > 4:
+                        off = overflow_offsets[idx][eidx]
+                        payload = struct.pack("<I", off)
+                    else:
+                        payload = payload.ljust(4, b"\0")
+                out += struct.pack("<HHI", tag, typ, count) + payload
+            # next-IFD pointer: chain top-level IFDs in order.
+            try:
+                ci = chain.index(idx)
+                nxt = ifd_offsets[chain[ci + 1]] if ci + 1 < len(chain) else 0
+            except ValueError:
+                nxt = 0
+            out += struct.pack("<I", nxt)
+
+        for per_entry, entries in zip(overflow_offsets, ifds):
+            for off, (tag, typ, values) in zip(per_entry, entries):
+                if off:
+                    out += b"\0" * (off - len(out))
+                    out += self._encode_values(typ, values)
+        for off, blob in zip(blob_offsets, self.blobs):
+            out += b"\0" * (off - len(out))
+            out += blob
+        return bytes(out)
+
+
+def make_preview_jpeg(width: int = 64, height: int = 42) -> bytes:
+    """A small camera-preview-style JPEG."""
+    from PIL import Image
+
+    yy, xx = np.mgrid[0:height, 0:width]
+    rgb = np.stack(
+        [
+            (255 * xx / width),
+            (255 * yy / height),
+            np.full_like(xx, 128),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, format="JPEG", quality=90)
+    return buf.getvalue()
+
+
+def write_synthetic_raw(
+    path,
+    mosaic: np.ndarray,
+    bpp: int = 12,
+    compression: str = "none",
+    wb_neutral: Tuple[float, float, float] = (0.5, 1.0, 0.7),
+    xyz_to_cam: Optional[np.ndarray] = None,
+    black_level: int = 0,
+    white_level: Optional[int] = None,
+    make: str = "SynthCam",
+    model: str = "S1",
+    preview_jpeg: Optional[bytes] = None,
+    predictor: int = 1,
+) -> bytes:
+    """Write a DNG/NEF-style CFA TIFF. Returns the bytes (also written
+    to ``path`` unless None)."""
+    mosaic = np.asarray(mosaic, dtype=np.uint16)
+    h, w = mosaic.shape
+    if white_level is None:
+        white_level = (1 << bpp) - 1
+    if xyz_to_cam is None:
+        xyz_to_cam = np.eye(3, dtype=np.float32)
+    if preview_jpeg is None:
+        preview_jpeg = make_preview_jpeg()
+
+    if compression == "none":
+        comp_tag = T.COMPRESSION_NONE
+        sensor = pack_bits(mosaic, bpp)
+    elif compression == "ljpeg":
+        comp_tag = T.COMPRESSION_LJPEG
+        sensor = encode_lossless(mosaic, bpp, predictor=predictor)
+    else:
+        raise ValueError(f"compression {compression!r}")
+
+    wtr = _TiffWriter()
+    preview_idx = wtr.add_blob(preview_jpeg)
+    sensor_idx = wtr.add_blob(sensor)
+
+    def rat(x, den=10000):
+        return (int(round(x * den)), den)
+
+    ifd0 = [
+        (T.NEW_SUBFILE_TYPE, _TYPE_LONG, [1]),
+        (T.MAKE, _TYPE_ASCII, make),
+        (T.MODEL, _TYPE_ASCII, model),
+        (T.SUB_IFDS, _TYPE_LONG, ("ifd", 1)),
+        (T.JPEG_INTERCHANGE, _TYPE_LONG, ("blob", preview_idx)),
+        (T.JPEG_INTERCHANGE_LEN, _TYPE_LONG, [len(preview_jpeg)]),
+        (T.DNG_VERSION, _TYPE_BYTE, [1, 4, 0, 0]),
+        (
+            T.COLOR_MATRIX_1,
+            _TYPE_SRATIONAL,
+            [rat(float(v)) for v in np.asarray(xyz_to_cam).ravel()],
+        ),
+        (
+            T.AS_SHOT_NEUTRAL,
+            _TYPE_RATIONAL,
+            [rat(float(v), 1000000) for v in wb_neutral],
+        ),
+    ]
+    ifd0.sort(key=lambda e: e[0])
+
+    sensor_ifd = [
+        (T.NEW_SUBFILE_TYPE, _TYPE_LONG, [0]),
+        (T.IMAGE_WIDTH, _TYPE_LONG, [w]),
+        (T.IMAGE_LENGTH, _TYPE_LONG, [h]),
+        (T.BITS_PER_SAMPLE, _TYPE_SHORT, [bpp]),
+        (T.COMPRESSION, _TYPE_SHORT, [comp_tag]),
+        (T.PHOTOMETRIC, _TYPE_SHORT, [T.PHOTOMETRIC_CFA]),
+        (T.STRIP_OFFSETS, _TYPE_LONG, ("blob", sensor_idx)),
+        (T.SAMPLES_PER_PIXEL, _TYPE_SHORT, [1]),
+        (T.ROWS_PER_STRIP, _TYPE_LONG, [h]),
+        (T.STRIP_BYTE_COUNTS, _TYPE_LONG, [len(sensor)]),
+        (T.CFA_REPEAT_DIM, _TYPE_SHORT, [2, 2]),
+        # 0=R 1=G 2=B: RGGB, the effective storage pattern of the
+        # develop stencil (see ops/demosaic.py).
+        (T.CFA_PATTERN, _TYPE_BYTE, [0, 1, 1, 2]),
+        (T.BLACK_LEVEL, _TYPE_SHORT, [black_level]),
+        (T.WHITE_LEVEL, _TYPE_SHORT, [white_level]),
+    ]
+    sensor_ifd.sort(key=lambda e: e[0])
+
+    data = wtr.build([ifd0, sensor_ifd], chain=(0,))
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(data)
+    return data

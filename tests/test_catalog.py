@@ -1,0 +1,168 @@
+import os
+import sqlite3
+
+import pytest
+
+from raweditor_tpu.catalog import Image, Library, RAW_EXTENSIONS
+from raweditor_tpu.params import EditParams
+
+
+@pytest.fixture
+def lib(tmp_path):
+    with Library(tmp_path / "cat.db") as library:
+        yield library
+
+
+def test_schema_matches_reference(lib):
+    cols = {
+        row[1]
+        for row in lib.conn.execute("PRAGMA table_info(images)").fetchall()
+    }
+    # reference: state/library.rs:56-64 + ALTERs :95-112
+    assert cols == {
+        "id", "path", "filename", "width", "height", "imported_at",
+        "cache_status", "cache_path_thumb", "cache_path_instant",
+        "cache_path_working", "file_status",
+    }
+    edit_cols = {
+        row[1]
+        for row in lib.conn.execute("PRAGMA table_info(edits)").fetchall()
+    }
+    assert edit_cols == {"id", "image_id", "settings_json"}
+    indexes = {
+        row[0]
+        for row in lib.conn.execute(
+            "SELECT name FROM sqlite_master WHERE type='index'"
+        ).fetchall()
+    }
+    assert {"idx_images_imported_at", "idx_edits_image_id",
+            "idx_images_cache_status"} <= indexes
+
+
+def test_reopen_is_idempotent(tmp_path):
+    path = tmp_path / "cat.db"
+    Library(path).close()
+    Library(path).close()  # migrations must not fail on existing columns
+
+
+def test_import_and_duplicate_skip(lib, tmp_path):
+    f = tmp_path / "a.nef"
+    f.write_bytes(b"x")
+    image_id = lib.import_image(str(f), "a.nef")
+    assert image_id == 1
+    with pytest.raises(sqlite3.IntegrityError):
+        lib.import_image(str(f), "a.nef")  # UNIQUE path
+
+
+def test_import_folder_filters_extensions(lib, tmp_path):
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.nef").write_bytes(b"x")
+    (tmp_path / "sub" / "b.CR2").write_bytes(b"x")  # case-insensitive
+    (tmp_path / "c.jpg").write_bytes(b"x")  # not RAW
+    (tmp_path / "d.txt").write_bytes(b"x")
+    stats = lib.import_folder(tmp_path)
+    assert stats == {"imported": 2, "skipped": 0}
+    stats = lib.import_folder(tmp_path)  # re-import: all dupes
+    assert stats == {"imported": 0, "skipped": 2}
+    assert lib.image_count() == 2
+
+
+def test_sixteen_reference_extensions():
+    # reference: main.rs:1852-1855
+    assert len(RAW_EXTENSIONS) == 16
+    assert "nef" in RAW_EXTENSIONS and "rwl" in RAW_EXTENSIONS
+
+
+def test_edit_store_round_trip(lib, tmp_path):
+    f = tmp_path / "a.nef"
+    f.write_bytes(b"x")
+    image_id = lib.import_image(str(f), "a.nef")
+
+    assert not lib.has_edits(image_id)
+    assert lib.load_edit_params(image_id) == EditParams()
+
+    p = EditParams(exposure=1.25, tint=-0.5)
+    lib.save_edit_params(image_id, p)
+    assert lib.has_edits(image_id)
+    assert lib.load_edit_params(image_id) == p
+
+    # Upsert keeps exactly one row (reference: state/library.rs:310-337).
+    lib.save_edit_params(image_id, p.replace(contrast=9.0))
+    n = lib.conn.execute(
+        "SELECT COUNT(*) FROM edits WHERE image_id = ?", (image_id,)
+    ).fetchone()[0]
+    assert n == 1
+
+    lib.delete_edits(image_id)
+    assert not lib.has_edits(image_id)
+
+
+def test_edit_json_is_serde_compatible(lib, tmp_path):
+    """A row written by the reference app must replay byte-for-byte."""
+    f = tmp_path / "a.nef"
+    f.write_bytes(b"x")
+    image_id = lib.import_image(str(f), "a.nef")
+    serde_json = (
+        '{"exposure":1.5,"contrast":20.0,"highlights":0.0,"shadows":0.0,'
+        '"whites":1.0,"blacks":0.0,"vibrance":0.0,"saturation":-10.0,'
+        '"temperature":0.0,"tint":0.0}'
+    )
+    lib.conn.execute(
+        "INSERT INTO edits (image_id, settings_json) VALUES (?, ?)",
+        (image_id, serde_json),
+    )
+    lib.conn.commit()
+    p = lib.load_edit_params(image_id)
+    assert p.exposure == 1.5 and p.saturation == -10.0
+
+
+def test_cache_state_machine(lib, tmp_path):
+    f = tmp_path / "a.nef"
+    f.write_bytes(b"x")
+    image_id = lib.import_image(str(f), "a.nef")
+    assert [i.id for i in lib.get_pending_cache()] == [image_id]
+
+    tiers = []
+    for tier in ("thumb", "instant", "working"):
+        t = tmp_path / f"{tier}.jpg"
+        t.write_bytes(b"j")
+        tiers.append(str(t))
+    lib.set_image_cache_paths(image_id, *tiers)
+    assert lib.get_pending_cache() == []
+    img = lib.get_image(image_id)
+    assert img.cache_path_working == tiers[2]
+
+    # Tier file vanishes → verify_cache resets to pending
+    # (reference: state/library.rs:240-270).
+    os.remove(tiers[0])
+    assert lib.verify_cache() == 1
+    assert [i.id for i in lib.get_pending_cache()] == [image_id]
+
+
+def test_failed_quarantine(lib, tmp_path):
+    f = tmp_path / "bad.nef"
+    f.write_bytes(b"x")
+    image_id = lib.import_image(str(f), "bad.nef")
+    lib.set_cache_status(image_id, "failed")
+    assert lib.get_pending_cache() == []  # not retried
+
+
+def test_verify_files_tombstones(lib, tmp_path):
+    f = tmp_path / "a.nef"
+    f.write_bytes(b"x")
+    image_id = lib.import_image(str(f), "a.nef")
+    assert lib.verify_files() == 0
+    os.remove(f)
+    assert lib.verify_files() == 1
+    assert lib.get_image(image_id).is_deleted()
+
+
+def test_delete_cascade(lib, tmp_path):
+    f = tmp_path / "a.nef"
+    f.write_bytes(b"x")
+    image_id = lib.import_image(str(f), "a.nef")
+    lib.save_edit_params(image_id, EditParams(exposure=1.0))
+    lib.conn.execute("DELETE FROM images WHERE id = ?", (image_id,))
+    lib.conn.commit()
+    n = lib.conn.execute("SELECT COUNT(*) FROM edits").fetchone()[0]
+    assert n == 0  # FK cascade

@@ -1,0 +1,174 @@
+"""Round-trip tests: synthetic RAW writer → decoder. Covers the
+container walk, bit unpacking, lossless-JPEG strips, and metadata
+extraction (no real camera files ship with the repo — SURVEY.md §4)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from raweditor_tpu.raw.decode import (
+    RawDecodeError,
+    UnsupportedRawError,
+    decode_raw,
+    extract_preview_jpeg,
+)
+from raweditor_tpu.raw.jpeg_scan import extract_largest_jpeg, find_jpeg_spans
+from raweditor_tpu.raw.ljpeg import decode_lossless, encode_lossless
+from raweditor_tpu.raw.packing import pack_bits, unpack_bits
+from raweditor_tpu.raw.synth import make_preview_jpeg, write_synthetic_raw
+from raweditor_tpu.raw.types import RawImage
+
+
+# --- packing ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize("bpp", [8, 10, 12, 14, 16])
+def test_pack_unpack_round_trip(bpp, rng):
+    m = rng.integers(0, 1 << bpp, size=(7, 11), dtype=np.uint16)
+    assert (unpack_bits(pack_bits(m, bpp), 11, 7, bpp) == m).all()
+
+
+def test_pack_rejects_overflow():
+    with pytest.raises(ValueError):
+        pack_bits(np.full((2, 2), 5000, np.uint16), 12)
+
+
+# --- lossless JPEG ---------------------------------------------------------
+
+
+@pytest.mark.parametrize("predictor", [1, 2, 3, 4, 5, 6, 7])
+def test_ljpeg_round_trip_predictors(predictor, rng):
+    img = rng.integers(0, 4096, size=(9, 13), dtype=np.uint16)
+    planes, prec = decode_lossless(
+        encode_lossless(img, 12, predictor=predictor)
+    )
+    assert prec == 12
+    assert (planes[0] == img).all()
+
+
+def test_ljpeg_two_component(rng):
+    comps = rng.integers(0, 16384, size=(2, 6, 5), dtype=np.uint16)
+    planes, prec = decode_lossless(encode_lossless(comps, 14))
+    assert prec == 14
+    assert (planes == comps).all()
+
+
+def test_ljpeg_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_lossless(b"\x00\x01\x02\x03")
+
+
+# --- jpeg scan -------------------------------------------------------------
+
+
+def test_find_spans_and_extract(rng):
+    jpeg = make_preview_jpeg(32, 24)
+    blob = b"\x00" * 100 + jpeg + b"\xab" * 50
+    spans = find_jpeg_spans(blob)
+    assert any(s == 100 for s, _ in spans)
+    out = extract_largest_jpeg(blob)
+    assert out is not None and out[:2] == b"\xff\xd8"
+
+
+def test_extract_picks_largest_valid():
+    small = make_preview_jpeg(16, 12)
+    large = make_preview_jpeg(64, 48)
+    blob = small + b"\x00" * 10 + large
+    out = extract_largest_jpeg(blob)
+    assert len(out) == len(large)
+
+
+def test_extract_none_when_no_jpeg():
+    assert extract_largest_jpeg(b"\x00" * 1000) is None
+
+
+# --- decoder round trips ---------------------------------------------------
+
+XYZ_TO_CAM = np.array(
+    [[0.6988, -0.1384, -0.0714], [-0.5631, 1.3410, 0.2447],
+     [-0.1485, 0.2204, 0.7318]],
+    dtype=np.float32,
+)
+
+
+@pytest.mark.parametrize("compression", ["none", "ljpeg"])
+@pytest.mark.parametrize("bpp", [12, 14, 16])
+def test_decode_round_trip(tmp_path, rng, compression, bpp):
+    mosaic = rng.integers(0, 1 << bpp, size=(20, 30), dtype=np.uint16)
+    path = tmp_path / "synth.dng"
+    write_synthetic_raw(path, mosaic, bpp=bpp, compression=compression,
+                        xyz_to_cam=XYZ_TO_CAM, black_level=3,
+                        white_level=(1 << bpp) - 5)
+    raw = decode_raw(path)
+    assert (raw.mosaic == mosaic).all()
+    assert raw.width == 30 and raw.height == 20
+    assert raw.black_level == 3
+    assert raw.white_level == (1 << bpp) - 5
+    assert raw.cfa_pattern == "RGGB"
+    assert raw.camera_make == "SynthCam"
+    assert np.allclose(raw.xyz_to_cam, XYZ_TO_CAM, atol=1e-4)
+    assert raw.source_path == str(path)
+
+
+def test_decode_wb_from_as_shot_neutral(tmp_path, rng):
+    mosaic = rng.integers(0, 4096, size=(8, 8), dtype=np.uint16)
+    write_synthetic_raw(tmp_path / "a.nef", mosaic,
+                        wb_neutral=(0.5, 1.0, 0.25))
+    raw = decode_raw(tmp_path / "a.nef")
+    # multipliers = 1/neutral, green-normalized: (2, 1, 4)
+    assert np.allclose(raw.wb_multipliers[:3], [2.0, 1.0, 4.0], atol=1e-3)
+    assert np.allclose(raw.wb_multipliers[3], 1.0, atol=1e-3)
+
+
+def test_decode_nonexistent_file():
+    with pytest.raises(FileNotFoundError):
+        decode_raw("/nonexistent/path.nef")
+
+
+def test_decode_not_a_tiff():
+    with pytest.raises(RawDecodeError):
+        decode_raw(b"not a tiff at all")
+
+
+def test_decode_no_cfa():
+    # A TIFF with no sensor plane: just the preview JPEG markers.
+    with pytest.raises(RawDecodeError):
+        decode_raw(b"II*\x00\x08\x00\x00\x00\x00\x00\x00\x00\x00\x00")
+
+
+def test_extract_preview_from_synth(tmp_path, rng):
+    mosaic = rng.integers(0, 4096, size=(8, 8), dtype=np.uint16)
+    preview = make_preview_jpeg(48, 32)
+    write_synthetic_raw(tmp_path / "a.nef", mosaic, preview_jpeg=preview)
+    got = extract_preview_jpeg(tmp_path / "a.nef")
+    assert got == preview
+
+
+def test_normalize_wb_fallbacks():
+    # 3 coeffs: G2 = G (reference: raw/loader.rs:85-92).
+    wb = RawImage.normalize_wb([2.0, 1.0, 1.5])
+    assert np.allclose(wb, [2.0, 1.0, 1.5, 1.0])
+    # Bad G2 falls back to G (reference: raw/loader.rs:105-109).
+    wb = RawImage.normalize_wb([2.0, 2.0, 1.0, float("nan")])
+    assert np.allclose(wb, [1.0, 1.0, 0.5, 1.0])
+    # Empty → neutral (reference: raw/loader.rs:93-97).
+    assert np.allclose(RawImage.normalize_wb([]), [1.0, 1.0, 1.0, 1.0])
+
+
+def test_develop_from_decoded_file(tmp_path, rng):
+    """End-to-end: synthetic file → decode → develop → parity with
+    developing the mosaic directly."""
+    from raweditor_tpu import EditParams
+    from raweditor_tpu.ops.develop import develop
+
+    mosaic = rng.integers(0, 4096, size=(16, 24), dtype=np.uint16)
+    write_synthetic_raw(tmp_path / "a.dng", mosaic, compression="ljpeg")
+    raw = decode_raw(tmp_path / "a.dng")
+    got = np.asarray(
+        develop(raw.mosaic, EditParams(), raw.wb_rgb(), np.eye(3, dtype=np.float32))
+    )
+    want = np.asarray(
+        develop(mosaic, EditParams(), raw.wb_rgb(), np.eye(3, dtype=np.float32))
+    )
+    assert (got == want).all()
