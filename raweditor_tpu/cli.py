@@ -1,0 +1,319 @@
+"""Headless command-line interface.
+
+The reference is a GUI app; its workflows map to subcommands here:
+
+  import   recursive folder import + tier-cache generation
+           (reference: main.rs:1840-1924 + raw/processor.rs)
+  list     catalog listing (reference library grid, main.rs:1295-1430)
+  info     decode metadata for one file (reference: raw/loader.rs:75-143)
+  develop  one-shot develop of a file or catalog id to JPEG/PNG
+           (reference develop tab + export, main.rs:1433-1799)
+  edit     save/reset slider values for a catalog image
+           (reference: main.rs:597-717)
+  export   batch export with stored edits, optionally mesh-sharded
+           (BASELINE.md config 4)
+  tiers    work the pending cache queue (reference: main.rs:404-495)
+  histogram  print the 256-bin histogram (reference: gpu/pipeline.rs:615-736)
+  synth    write a synthetic RAW (test/bench fixture)
+  bench    run the headline benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from raweditor_tpu.params import EditParams, RANGES
+
+
+def _add_slider_args(p: argparse.ArgumentParser) -> None:
+    for name in EditParams.field_names():
+        lo, hi = RANGES[name]
+        p.add_argument(
+            f"--{name}", type=float, default=None,
+            help=f"{name} ({lo:g}..{hi:g})",
+        )
+
+
+def _params_from_args(args, base: EditParams = None) -> EditParams:
+    params = base if base is not None else EditParams()
+    overrides = {
+        name: getattr(args, name)
+        for name in EditParams.field_names()
+        if getattr(args, name, None) is not None
+    }
+    return params.replace(**overrides)
+
+
+def _open_library(args):
+    from raweditor_tpu.catalog import Library
+
+    return Library(args.db)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="raweditor-tpu",
+        description="TPU-native headless RAW develop engine",
+    )
+    ap.add_argument("--db", default=None, help="catalog database path")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("import", help="import a folder of RAW files")
+    p.add_argument("folder")
+    p.add_argument("--cache-dir", default=None)
+    p.add_argument("--no-tiers", action="store_true",
+                   help="skip preview tier generation")
+
+    sub.add_parser("list", help="list catalog images")
+
+    p = sub.add_parser("info", help="print decoded RAW metadata")
+    p.add_argument("input")
+
+    p = sub.add_parser("develop", help="develop one image to JPEG/PNG")
+    p.add_argument("input", help="RAW file path or catalog image id")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--preview", action="store_true",
+                   help="render at 1280px preview size instead of full res")
+    p.add_argument("--zoom", type=float, default=1.0)
+    p.add_argument("--pan-x", type=float, default=0.0)
+    p.add_argument("--pan-y", type=float, default=0.0)
+    p.add_argument("--mode", choices=("parity", "accurate"),
+                   default="parity")
+    p.add_argument("--quality", type=int, default=95)
+    _add_slider_args(p)
+
+    p = sub.add_parser("edit", help="save slider values for a catalog image")
+    p.add_argument("image_id", type=int)
+    p.add_argument("--reset", action="store_true",
+                   help="delete stored edits")
+    _add_slider_args(p)
+
+    p = sub.add_parser("export", help="batch export with stored edits")
+    p.add_argument("-o", "--out-dir", required=True)
+    p.add_argument("--ids", type=int, nargs="*", default=None)
+    p.add_argument("--files", nargs="*", default=None,
+                   help="export files directly instead of the catalog")
+    p.add_argument("--ext", default="jpg", choices=("jpg", "png"))
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--decode-threads", type=int, default=4)
+    p.add_argument("--mesh-rows", type=int, default=0,
+                   help="shard each image's rows over this many chips "
+                        "(0 = no mesh, single device)")
+    p.add_argument("--mode", choices=("parity", "accurate"),
+                   default="parity")
+    p.add_argument("--quality", type=int, default=95)
+    _add_slider_args(p)
+
+    p = sub.add_parser("tiers", help="generate pending preview tiers")
+    p.add_argument("--cache-dir", default=None)
+
+    p = sub.add_parser("histogram", help="print 256-bin histogram JSON")
+    p.add_argument("input")
+    _add_slider_args(p)
+
+    p = sub.add_parser("synth", help="write a synthetic RAW fixture")
+    p.add_argument("output")
+    p.add_argument("--width", type=int, default=320)
+    p.add_argument("--height", type=int, default=240)
+    p.add_argument("--bpp", type=int, default=12)
+    p.add_argument("--compression", choices=("none", "ljpeg"),
+                   default="none")
+    p.add_argument("--seed", type=int, default=0)
+
+    sub.add_parser("bench", help="run the headline benchmark")
+    return ap
+
+
+def cmd_import(args) -> int:
+    from raweditor_tpu.pipeline.tiers import process_pending_cache
+
+    with _open_library(args) as lib:
+        stats = lib.import_folder(args.folder)
+        out = {"imported": stats["imported"], "duplicates": stats["skipped"]}
+        if not args.no_tiers:
+            out.update(process_pending_cache(lib, args.cache_dir))
+        print(json.dumps(out))
+    return 0
+
+
+def cmd_list(args) -> int:
+    with _open_library(args) as lib:
+        lib.verify_files()
+        for img in lib.get_all_images():
+            edited = "*" if lib.has_edits(img.id) else " "
+            status = "deleted" if img.is_deleted() else (
+                "cached" if img.cache_path_working else "pending")
+            print(f"{img.id:6d} {edited} {status:8s} {img.filename}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    from raweditor_tpu.raw.decode import decode_raw
+
+    raw = decode_raw(args.input)
+    print(json.dumps({
+        "width": raw.width,
+        "height": raw.height,
+        "camera": f"{raw.camera_make} {raw.camera_model}".strip(),
+        "cfa_pattern": raw.cfa_pattern,
+        "black_level": raw.black_level,
+        "white_level": raw.white_level,
+        "wb_multipliers": [round(float(x), 4) for x in raw.wb_multipliers],
+        "xyz_to_cam": [round(float(x), 4) for x in raw.xyz_to_cam.ravel()],
+    }))
+    return 0
+
+
+def _resolve_input(args):
+    """File path, or numeric catalog id + stored edits."""
+    if args.input.isdigit():
+        with _open_library(args) as lib:
+            img = lib.get_image(int(args.input))
+            if img is None:
+                raise SystemExit(f"no catalog image {args.input}")
+            return img.path, lib.load_edit_params(img.id)
+    return args.input, EditParams()
+
+
+def cmd_develop(args) -> int:
+    from raweditor_tpu.pipeline.engine import DevelopEngine
+
+    path, base = _resolve_input(args)
+    params = _params_from_args(args, base)
+    eng = DevelopEngine.open(path, mode=args.mode)
+    if args.preview:
+        from PIL import Image
+
+        img = eng.preview(params, zoom=args.zoom,
+                          pan=(args.pan_x, args.pan_y))
+        Image.fromarray(img).save(args.output, quality=args.quality)
+    else:
+        eng.export(args.output, params, quality=args.quality)
+    print(args.output)
+    return 0
+
+
+def cmd_edit(args) -> int:
+    with _open_library(args) as lib:
+        if lib.get_image(args.image_id) is None:
+            raise SystemExit(f"no catalog image {args.image_id}")
+        if args.reset:
+            lib.delete_edits(args.image_id)
+            print(json.dumps({"image_id": args.image_id, "reset": True}))
+            return 0
+        params = _params_from_args(args, lib.load_edit_params(args.image_id))
+        lib.save_edit_params(args.image_id, params)
+        print(params.to_json())
+    return 0
+
+
+def cmd_export(args) -> int:
+    from raweditor_tpu.pipeline.export import (
+        ExportJob,
+        jobs_from_catalog,
+        run_batch_export,
+    )
+
+    override = _params_from_args(args)
+    if args.files:
+        import os
+
+        jobs = [
+            ExportJob(
+                raw_path=f,
+                out_path=os.path.join(
+                    args.out_dir,
+                    os.path.splitext(os.path.basename(f))[0] + f".{args.ext}",
+                ),
+                params=override,
+            )
+            for f in args.files
+        ]
+    else:
+        with _open_library(args) as lib:
+            jobs = jobs_from_catalog(lib, args.out_dir, args.ids, args.ext)
+
+    mesh = None
+    if args.mesh_rows:
+        from raweditor_tpu.parallel import batch_row_mesh
+
+        mesh = batch_row_mesh(row=args.mesh_rows)
+    report = run_batch_export(
+        jobs, mesh=mesh, batch_size=args.batch_size,
+        decode_threads=args.decode_threads, quality=args.quality,
+        mode=args.mode,
+    )
+    print(json.dumps(report.as_dict()))
+    return 0 if not report.failed else 1
+
+
+def cmd_tiers(args) -> int:
+    from raweditor_tpu.pipeline.tiers import process_pending_cache
+
+    with _open_library(args) as lib:
+        lib.verify_cache()
+        print(json.dumps(process_pending_cache(lib, args.cache_dir)))
+    return 0
+
+
+def cmd_histogram(args) -> int:
+    from raweditor_tpu.pipeline.engine import DevelopEngine
+
+    eng = DevelopEngine.open(args.input)
+    hist = eng.histogram(_params_from_args(args))
+    print(json.dumps({"r": hist[0].tolist(), "g": hist[1].tolist(),
+                      "b": hist[2].tolist()}))
+    return 0
+
+
+def cmd_synth(args) -> int:
+    import numpy as np
+
+    from raweditor_tpu.raw.synth import write_synthetic_raw
+
+    rng = np.random.default_rng(args.seed)
+    mosaic = rng.integers(0, 1 << args.bpp,
+                          size=(args.height, args.width), dtype=np.uint16)
+    write_synthetic_raw(args.output, mosaic, bpp=args.bpp,
+                        compression=args.compression)
+    print(args.output)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
+    return 0
+
+
+_COMMANDS = {
+    "import": cmd_import,
+    "list": cmd_list,
+    "info": cmd_info,
+    "develop": cmd_develop,
+    "edit": cmd_edit,
+    "export": cmd_export,
+    "tiers": cmd_tiers,
+    "histogram": cmd_histogram,
+    "synth": cmd_synth,
+    "bench": cmd_bench,
+}
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return _COMMANDS[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

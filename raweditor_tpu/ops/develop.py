@@ -151,8 +151,13 @@ def finish_to_u8(r, g, b, valid=None):
     return enc(r), enc(g), enc(b)
 
 
-def _normalize(mosaic, white_level):
-    return mosaic.astype(jnp.float32) / _F(white_level)
+def _normalize(mosaic, white_level, black_level=0.0):
+    """Parity: raw/4096 (reference: gpu/shaders.rs:110). Accurate mode
+    passes the camera's real levels: (raw - black)/(white - black).
+    Both are traced scalars — switching cameras never recompiles."""
+    x = mosaic.astype(jnp.float32)
+    black = _f32(black_level)
+    return (x - black) / (_f32(white_level) - black)
 
 
 # ---------------------------------------------------------------------------
@@ -162,14 +167,15 @@ def _normalize(mosaic, white_level):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("white_level", "demosaic_method", "matrix_transpose"),
+    static_argnames=("demosaic_method", "matrix_transpose"),
 )
 def develop(
     mosaic,
     params: EditParams,
     wb,
     cam_matrix,
-    white_level: float = 4096.0,
+    white_level=4096.0,
+    black_level=0.0,
     demosaic_method: str = "nearest",
     matrix_transpose: bool = True,
 ):
@@ -179,7 +185,7 @@ def develop(
     (reference: gpu/pipeline.rs:526-606), without the 96 MB synchronous
     readback: the output stays on device until the caller fetches it.
     """
-    norm = _normalize(mosaic, white_level)
+    norm = _normalize(mosaic, white_level, black_level)
     r, g, b = _demosaic.demosaic(norm, demosaic_method)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix, matrix_transpose)
     r, g, b = finish_to_u8(r, g, b)
@@ -188,7 +194,7 @@ def develop(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_w", "out_h", "white_level", "matrix_transpose"),
+    static_argnames=("out_w", "out_h", "matrix_transpose"),
 )
 def develop_preview(
     mosaic,
@@ -200,7 +206,8 @@ def develop_preview(
     zoom=1.0,
     pan_x=0.0,
     pan_y=0.0,
-    white_level: float = 4096.0,
+    white_level=4096.0,
+    black_level=0.0,
     matrix_transpose: bool = True,
 ):
     """Preview develop at an arbitrary target size with zoom/pan.
@@ -217,7 +224,7 @@ def develop_preview(
     yi, yvalid = _sampling.sample_axis(out_h, h, _f32(zoom), _f32(pan_y))
     valid = yvalid[:, None] & xvalid[None, :]
 
-    norm = _normalize(mosaic, white_level)
+    norm = _normalize(mosaic, white_level, black_level)
     r, g, b = _demosaic.demosaic_nearest_sampled(norm, yi, xi)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix, matrix_transpose)
     r, g, b = finish_to_u8(r, g, b, valid=valid)
@@ -252,7 +259,7 @@ def histogram_256(rgb_u8):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_w", "out_h", "white_level", "matrix_transpose")
+    jax.jit, static_argnames=("out_w", "out_h", "matrix_transpose")
 )
 def develop_histogram(
     mosaic,
@@ -264,7 +271,8 @@ def develop_histogram(
     zoom=1.0,
     pan_x=0.0,
     pan_y=0.0,
-    white_level: float = 4096.0,
+    white_level=4096.0,
+    black_level=0.0,
     matrix_transpose: bool = True,
 ):
     """The reference's live-histogram path: develop a tiny nearest-sampled
@@ -273,6 +281,6 @@ def develop_histogram(
     no readback between render and binning."""
     img = develop_preview(
         mosaic, params, wb, cam_matrix, out_w, out_h,
-        zoom, pan_x, pan_y, white_level, matrix_transpose,
+        zoom, pan_x, pan_y, white_level, black_level, matrix_transpose,
     )
     return histogram_256(img)

@@ -37,8 +37,11 @@ def pack_params(params_list) -> EditParams:
     )
 
 
-def _develop_one(mosaic, params, wb, cm, white_level, matrix_transpose):
-    norm = mosaic.astype(_F) / _F(white_level)
+def _develop_one(mosaic, params, wb, cm, white_level, black_level,
+                 matrix_transpose):
+    x = mosaic.astype(_F)
+    black = jnp.asarray(black_level, _F)
+    norm = (x - black) / (jnp.asarray(white_level, _F) - black)
     r, g, b = _demosaic.demosaic_nearest(norm)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cm, matrix_transpose)
     r, g, b = finish_to_u8(r, g, b)
@@ -46,36 +49,39 @@ def _develop_one(mosaic, params, wb, cm, white_level, matrix_transpose):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("white_level", "matrix_transpose")
+    jax.jit, static_argnames=("matrix_transpose",)
 )
 def batch_develop(mosaics, params: EditParams, wb, cam_matrices,
-                  white_level: float = 4096.0, matrix_transpose: bool = True):
+                  white_levels=None, black_levels=None,
+                  matrix_transpose: bool = True):
     """vmapped batch develop: (N, H, W) u16 → (N, H, W, 3) u8.
 
-    Pure data parallelism: place the inputs with a
+    white_levels/black_levels are optional per-image (N,) arrays
+    (accurate mode mixes cameras in one batch); defaults are the parity
+    constants. Pure data parallelism: place the inputs with a
     ``NamedSharding(mesh, P('batch'))`` and XLA partitions the whole
     program with zero communication.
     """
+    n = mosaics.shape[0]
+    if white_levels is None:
+        white_levels = jnp.full((n,), 4096.0, _F)
+    if black_levels is None:
+        black_levels = jnp.zeros((n,), _F)
     return jax.vmap(
-        functools.partial(
-            _develop_one,
-            white_level=white_level,
-            matrix_transpose=matrix_transpose,
-        )
-    )(mosaics, params, wb, cam_matrices)
+        functools.partial(_develop_one, matrix_transpose=matrix_transpose)
+    )(mosaics, params, wb, cam_matrices, white_levels, black_levels)
 
 
-def _sharded_step(mosaics, params, wb, cms, *, axis_name, white_level,
+def _sharded_step(mosaics, params, wb, cms, whites, blacks, *, axis_name,
                   matrix_transpose, with_histogram):
     """Per-device body: local (n, h_blk, W) batch of row blocks."""
     imgs = jax.vmap(
         functools.partial(
             develop_block,
             axis_name=axis_name,
-            white_level=white_level,
             matrix_transpose=matrix_transpose,
         )
-    )(mosaics, params, wb, cms)
+    )(mosaics, params, wb, cms, whites, blacks)
     if not with_histogram:
         return imgs
     # Per-image 256-bin histograms of the local row block, reduced over
@@ -98,7 +104,7 @@ def _sharded_step(mosaics, params, wb, cms, *, axis_name, white_level,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mesh", "batch_axis", "row_axis", "white_level",
+        "mesh", "batch_axis", "row_axis",
         "matrix_transpose", "with_histogram",
     ),
 )
@@ -110,7 +116,8 @@ def batch_develop_sharded(
     mesh: Mesh,
     batch_axis: str = "batch",
     row_axis: str = "row",
-    white_level: float = 4096.0,
+    white_levels=None,
+    black_levels=None,
     matrix_transpose: bool = True,
     with_histogram: bool = False,
 ):
@@ -128,6 +135,10 @@ def batch_develop_sharded(
         raise ValueError(f"batch {n} not divisible by {n_b}")
     if h % (2 * n_r):
         raise ValueError(f"H={h} must be divisible by 2*{n_r}")
+    if white_levels is None:
+        white_levels = jnp.full((n,), 4096.0, _F)
+    if black_levels is None:
+        black_levels = jnp.zeros((n,), _F)
 
     out_specs = (
         (P(batch_axis, row_axis, None, None), P(batch_axis, None, None))
@@ -138,7 +149,6 @@ def batch_develop_sharded(
         functools.partial(
             _sharded_step,
             axis_name=row_axis,
-            white_level=white_level,
             matrix_transpose=matrix_transpose,
             with_histogram=with_histogram,
         ),
@@ -148,10 +158,12 @@ def batch_develop_sharded(
             P(batch_axis),
             P(batch_axis, None),
             P(batch_axis, None, None),
+            P(batch_axis),
+            P(batch_axis),
         ),
         out_specs=out_specs,
     )
-    return fn(mosaics, params, wb, cam_matrices)
+    return fn(mosaics, params, wb, cam_matrices, white_levels, black_levels)
 
 
 def batch_sharding(mesh: Mesh, batch_axis: str = "batch",

@@ -50,13 +50,16 @@ def exchange_row_halos(block, axis_name: str):
 
 
 def develop_block(block_u16, params: EditParams, wb, cam_matrix,
-                  axis_name: str, white_level: float = 4096.0,
-                  matrix_transpose: bool = True):
+                  white_level=4096.0, black_level=0.0, *,
+                  axis_name: str, matrix_transpose: bool = True):
     """Develop one shard's row block inside a shard_map/collective
     context. Returns (h_block, W, 3) u8."""
     h_block = block_u16.shape[0]
     row_offset = jax.lax.axis_index(axis_name) * h_block
-    norm = block_u16.astype(_F) / _F(white_level)
+    black = jnp.asarray(black_level, _F)
+    norm = (block_u16.astype(_F) - black) / (
+        jnp.asarray(white_level, _F) - black
+    )
     up, down = exchange_row_halos(norm, axis_name)
     padded = jnp.concatenate([up, norm, down], axis=0)
     r, g, b = demosaic_nearest_vpadded(padded, row_offset)
@@ -68,7 +71,7 @@ def develop_block(block_u16, params: EditParams, wb, cam_matrix,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "axis_name", "white_level", "matrix_transpose"),
+    static_argnames=("mesh", "axis_name", "matrix_transpose"),
 )
 def spatial_develop(mosaic, params: EditParams, wb, cam_matrix,
                     mesh: Mesh, axis_name: str = "row",

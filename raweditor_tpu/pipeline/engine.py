@@ -1,0 +1,148 @@
+"""Interactive develop session for one image.
+
+The TPU counterpart of the reference's ``RenderPipeline``
+(reference: gpu/pipeline.rs:112-363): hold the decoded mosaic
+device-resident (the analogue of the R16Uint texture upload,
+reference: gpu/pipeline.rs:171-207), and serve preview / histogram /
+full-res renders as fused jit launches. Where the reference creates a
+whole wgpu device per image and re-reads back 5 MB per slider tick,
+here a slider change is one kernel dispatch over the cached mosaic and
+nothing recompiles.
+
+``mode="parity"`` reproduces the shipped reference bit-for-bit
+(identity color matrix, /4096 normalization, WGSL matrix transpose).
+``mode="accurate"`` uses the real camera matrix, black/white levels,
+and straight matrix math.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from raweditor_tpu.color import cam_to_srgb_matrix
+from raweditor_tpu.ops.develop import (
+    develop,
+    develop_histogram,
+    develop_preview,
+)
+from raweditor_tpu.ops.sampling import histogram_shape, preview_shape
+from raweditor_tpu.params import EditParams
+from raweditor_tpu.raw.types import RawImage
+
+MAX_PREVIEW_WIDTH = 1280  # (reference: gpu/pipeline.rs:125)
+HISTOGRAM_WIDTH = 128  # (reference: gpu/pipeline.rs:131)
+
+
+class DevelopEngine:
+    """Device-resident develop session for a decoded RawImage."""
+
+    def __init__(self, raw: RawImage, mode: str = "parity",
+                 max_preview_width: int = MAX_PREVIEW_WIDTH,
+                 histogram_width: int = HISTOGRAM_WIDTH):
+        import jax
+
+        if mode not in ("parity", "accurate"):
+            raise ValueError(f"unknown mode {mode!r}")
+        self.raw = raw
+        self.mode = mode
+        self.width = raw.width
+        self.height = raw.height
+        self.preview_w, self.preview_h = preview_shape(
+            raw.width, raw.height, max_preview_width
+        )
+        self.histogram_w, self.histogram_h = histogram_shape(
+            raw.width, raw.height, histogram_width
+        )
+        # Host→HBM staging of the mosaic, once per image.
+        self.mosaic = jax.device_put(np.ascontiguousarray(raw.mosaic))
+        self.wb = raw.wb_rgb()
+        self.cam_matrix = cam_to_srgb_matrix(raw.xyz_to_cam, mode=mode)
+        self.matrix_transpose = mode == "parity"
+        if mode == "parity":
+            self.white_level = 4096.0  # (reference: gpu/shaders.rs:110)
+            self.black_level = 0.0
+        else:
+            self.white_level = float(raw.white_level)
+            self.black_level = float(raw.black_level)
+
+    # -- render paths ----------------------------------------------------
+    def preview_device(self, params: EditParams, zoom: float = 1.0,
+                       pan: Tuple[float, float] = (0.0, 0.0)):
+        """Preview render, left on device (reference: gpu/pipeline.rs:442-465
+        minus the synchronous readback)."""
+        return develop_preview(
+            self.mosaic, params, self.wb, self.cam_matrix,
+            out_w=self.preview_w, out_h=self.preview_h,
+            zoom=zoom, pan_x=pan[0], pan_y=pan[1],
+            white_level=self.white_level, black_level=self.black_level,
+            matrix_transpose=self.matrix_transpose,
+        )
+
+    def preview(self, params: EditParams, zoom: float = 1.0,
+                pan: Tuple[float, float] = (0.0, 0.0)) -> np.ndarray:
+        """(preview_h, preview_w, 3) u8 on host."""
+        return np.asarray(self.preview_device(params, zoom, pan))
+
+    def full_device(self, params: EditParams):
+        """Full-resolution develop, device-resident
+        (reference: gpu/pipeline.rs:526-606)."""
+        return develop(
+            self.mosaic, params, self.wb, self.cam_matrix,
+            white_level=self.white_level, black_level=self.black_level,
+            matrix_transpose=self.matrix_transpose,
+        )
+
+    def full(self, params: EditParams) -> np.ndarray:
+        return np.asarray(self.full_device(params))
+
+    def histogram(self, params: EditParams, zoom: float = 1.0,
+                  pan: Tuple[float, float] = (0.0, 0.0)) -> np.ndarray:
+        """(3, 256) int — the live-histogram path at 128 px
+        (reference: gpu/pipeline.rs:615-736)."""
+        return np.asarray(
+            develop_histogram(
+                self.mosaic, params, self.wb, self.cam_matrix,
+                out_w=self.histogram_w, out_h=self.histogram_h,
+                zoom=zoom, pan_x=pan[0], pan_y=pan[1],
+                white_level=self.white_level,
+                black_level=self.black_level,
+                matrix_transpose=self.matrix_transpose,
+            )
+        )
+
+    # -- export ----------------------------------------------------------
+    def export(self, path: os.PathLike, params: EditParams,
+               quality: int = 95) -> str:
+        """Full-res develop → JPEG/PNG by extension
+        (reference: main.rs:1744-1799)."""
+        from PIL import Image
+
+        out = self.full(params)
+        path = os.fspath(path)
+        ext = os.path.splitext(path)[1].lower()
+        img = Image.fromarray(out)
+        if ext == ".png":
+            img.save(path)
+        else:
+            img.save(path, format="JPEG", quality=quality)
+        return path
+
+    # -- convenience -----------------------------------------------------
+    @classmethod
+    def open(cls, path: os.PathLike, mode: str = "parity",
+             **kwargs) -> "DevelopEngine":
+        from raweditor_tpu.raw.decode import decode_raw
+
+        return cls(decode_raw(path), mode=mode, **kwargs)
+
+    def before_after(self, params: EditParams, zoom: float = 1.0,
+                     pan: Tuple[float, float] = (0.0, 0.0)):
+        """(before, after) previews — the reference's before/after toggle
+        renders defaults vs current params (reference: main.rs:1507-1515)."""
+        return (
+            self.preview(EditParams(), zoom, pan),
+            self.preview(params, zoom, pan),
+        )

@@ -1,0 +1,272 @@
+"""Batch export: RAW files → developed sRGB JPEG/PNG at scale.
+
+The production path BASELINE.md targets (1,000 NEFs sharded across a
+v5e slice). Architecture:
+
+    decode thread pool ──▶ shape buckets ──▶ device batches ──▶ encode
+      (host CPU,            (pad to fixed      (fused sharded    thread
+       bounded window)       batch shape:       develop over      pool
+                             one compile        the mesh)        (host)
+                             per mosaic size)
+
+- Host decode runs ahead of the device through a bounded in-flight
+  window (double buffering; the reference decodes one image per UI task,
+  reference: main.rs:2036-2071).
+- Mosaics are bucketed by shape and batches padded to a fixed size, so
+  the whole run compiles one program per distinct camera resolution.
+- Per-image failure quarantine at decode and encode: one corrupt file
+  must not kill the run (reference: main.rs:460-464 semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from raweditor_tpu.color import cam_to_srgb_matrix
+from raweditor_tpu.params import EditParams
+from raweditor_tpu.parallel.batch import (
+    batch_develop,
+    batch_develop_sharded,
+    batch_sharding,
+    pack_params,
+)
+
+
+@dataclasses.dataclass
+class ExportJob:
+    raw_path: str
+    out_path: str
+    params: EditParams = dataclasses.field(default_factory=EditParams)
+    image_id: Optional[int] = None
+
+
+@dataclasses.dataclass
+class ExportReport:
+    total: int = 0
+    succeeded: int = 0
+    failed: List[Tuple[str, str]] = dataclasses.field(default_factory=list)
+    seconds: float = 0.0
+    decode_seconds: float = 0.0
+    device_seconds: float = 0.0
+    encode_seconds: float = 0.0
+
+    @property
+    def develops_per_sec(self) -> float:
+        return self.succeeded / self.seconds if self.seconds > 0 else 0.0
+
+    def as_dict(self) -> dict:
+        return {
+            "total": self.total,
+            "succeeded": self.succeeded,
+            "failed": len(self.failed),
+            "seconds": round(self.seconds, 3),
+            "develops_per_sec": round(self.develops_per_sec, 2),
+            "decode_seconds": round(self.decode_seconds, 3),
+            "device_seconds": round(self.device_seconds, 3),
+            "encode_seconds": round(self.encode_seconds, 3),
+        }
+
+
+@dataclasses.dataclass
+class _Decoded:
+    job: ExportJob
+    mosaic: np.ndarray
+    wb: np.ndarray
+    cam_matrix: np.ndarray
+    white_level: float
+    black_level: float
+
+
+def _decode_job(job: ExportJob, mode: str) -> _Decoded:
+    from raweditor_tpu.raw.decode import decode_raw
+
+    raw = decode_raw(job.raw_path)
+    if mode == "parity":
+        white, black = 4096.0, 0.0
+    else:
+        white, black = float(raw.white_level), float(raw.black_level)
+    return _Decoded(
+        job=job,
+        mosaic=raw.mosaic,
+        wb=raw.wb_rgb(),
+        cam_matrix=cam_to_srgb_matrix(raw.xyz_to_cam, mode=mode),
+        white_level=white,
+        black_level=black,
+    )
+
+
+def _encode_one(out_path: str, rgb: np.ndarray, quality: int) -> None:
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    img = Image.fromarray(rgb)
+    if out_path.lower().endswith(".png"):
+        img.save(out_path)
+    else:
+        img.save(out_path, format="JPEG", quality=quality)
+
+
+class _Batcher:
+    """Shape-bucketed batching with pad-to-fixed-size semantics."""
+
+    def __init__(self, batch_size: int):
+        self.batch_size = batch_size
+        self.buckets: Dict[Tuple[int, int], List[_Decoded]] = {}
+
+    def add(self, item: _Decoded) -> Optional[List[_Decoded]]:
+        key = item.mosaic.shape
+        bucket = self.buckets.setdefault(key, [])
+        bucket.append(item)
+        if len(bucket) >= self.batch_size:
+            return self.buckets.pop(key)
+        return None
+
+    def drain(self):
+        while self.buckets:
+            _, bucket = self.buckets.popitem()
+            yield bucket
+
+
+def run_batch_export(
+    jobs: Sequence[ExportJob],
+    mesh=None,
+    batch_size: int = 8,
+    decode_threads: int = 4,
+    encode_threads: int = 4,
+    quality: int = 95,
+    mode: str = "parity",
+    matrix_transpose: Optional[bool] = None,
+) -> ExportReport:
+    """Develop and encode every job; returns a report with throughput
+    and the per-image quarantine list."""
+    import jax
+
+    from raweditor_tpu.utils import ensure_backend
+
+    ensure_backend()  # must precede thread-pool creation (see utils.device)
+
+    if matrix_transpose is None:
+        matrix_transpose = mode == "parity"
+    if mesh is not None:
+        n_b = mesh.shape["batch"]
+        if batch_size % n_b:
+            batch_size = ((batch_size // n_b) + 1) * n_b
+
+    report = ExportReport(total=len(jobs))
+    t_start = time.perf_counter()
+    encode_futures: List[Tuple[Future, ExportJob]] = []
+
+    def flush(batch: List[_Decoded], encode_pool: ThreadPoolExecutor):
+        n_real = len(batch)
+        # Pad to the fixed batch shape: one compiled program per
+        # (batch_size, H, W). Padding replays item 0 and is dropped
+        # before encode.
+        padded = batch + [batch[0]] * (batch_size - n_real)
+        mosaics = np.stack([d.mosaic for d in padded])
+        params = pack_params([d.job.params for d in padded])
+        wbs = np.stack([d.wb for d in padded])
+        cms = np.stack([d.cam_matrix for d in padded])
+        whites = np.array([d.white_level for d in padded], np.float32)
+        blacks = np.array([d.black_level for d in padded], np.float32)
+
+        t0 = time.perf_counter()
+        if mesh is None:
+            out = batch_develop(
+                mosaics, params, wbs, cms, whites, blacks,
+                matrix_transpose=matrix_transpose,
+            )
+        else:
+            staged = jax.device_put(mosaics, batch_sharding(mesh))
+            out = batch_develop_sharded(
+                staged, params, wbs, cms, mesh,
+                white_levels=whites, black_levels=blacks,
+                matrix_transpose=matrix_transpose,
+            )
+        host = np.asarray(out)[:n_real]
+        report.device_seconds += time.perf_counter() - t0
+
+        for d, rgb in zip(batch, host):
+            fut = encode_pool.submit(
+                _encode_one, d.job.out_path, rgb, quality
+            )
+            encode_futures.append((fut, d.job))
+
+    with ThreadPoolExecutor(decode_threads) as decode_pool, \
+            ThreadPoolExecutor(encode_threads) as encode_pool:
+        batcher = _Batcher(batch_size)
+        window = max(2 * batch_size, decode_threads * 2)
+        pending: List[Tuple[Future, ExportJob]] = []
+        job_iter = iter(jobs)
+
+        def submit_next() -> bool:
+            job = next(job_iter, None)
+            if job is None:
+                return False
+            pending.append(
+                (decode_pool.submit(_decode_job, job, mode), job)
+            )
+            return True
+
+        for _ in range(window):
+            if not submit_next():
+                break
+
+        t_decode = time.perf_counter()
+        while pending:
+            fut, job = pending.pop(0)
+            try:
+                decoded = fut.result()
+            except Exception as e:
+                report.failed.append((job.raw_path, f"decode: {e}"))
+            else:
+                full = batcher.add(decoded)
+                if full is not None:
+                    flush(full, encode_pool)
+            submit_next()
+        report.decode_seconds = time.perf_counter() - t_decode
+
+        for bucket in batcher.drain():
+            flush(bucket, encode_pool)
+
+        t0 = time.perf_counter()
+        for fut, job in encode_futures:
+            try:
+                fut.result()
+                report.succeeded += 1
+            except Exception as e:
+                report.failed.append((job.raw_path, f"encode: {e}"))
+        report.encode_seconds = time.perf_counter() - t0
+
+    report.seconds = time.perf_counter() - t_start
+    return report
+
+
+def jobs_from_catalog(lib, out_dir: os.PathLike,
+                      image_ids: Optional[Sequence[int]] = None,
+                      ext: str = "jpg") -> List[ExportJob]:
+    """Build export jobs from catalog rows + their stored edit params —
+    the non-destructive edit replay (reference: main.rs:510-517)."""
+    images = lib.get_all_images()
+    if image_ids is not None:
+        wanted = set(image_ids)
+        images = [i for i in images if i.id in wanted]
+    jobs = []
+    for img in images:
+        if img.is_deleted():
+            continue
+        stem = os.path.splitext(img.filename)[0]
+        jobs.append(
+            ExportJob(
+                raw_path=img.path,
+                out_path=os.path.join(os.fspath(out_dir), f"{stem}.{ext}"),
+                params=lib.load_edit_params(img.id),
+                image_id=img.id,
+            )
+        )
+    return jobs

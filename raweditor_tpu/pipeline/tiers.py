@@ -1,0 +1,90 @@
+"""Multi-tier preview cache generation.
+
+The reference extracts the largest embedded JPEG from each RAW once and
+Lanczos-resizes it into three width tiers — 256 px grid thumbs, 384 px
+instant previews, 1280 px working previews — stored as
+``<cache>/<tier>/<image_id>.jpg`` (reference: raw/processor.rs:13-88).
+Same tiers, same layout here. Failures quarantine the image
+('failed' cache status) instead of aborting the run
+(reference: main.rs:460-464).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from pathlib import Path
+from typing import Optional, Tuple
+
+from raweditor_tpu.catalog import Library
+
+# (reference: raw/processor.rs:13-15)
+TIER_THUMB = 256
+TIER_INSTANT = 384
+TIER_WORKING = 1280
+TIERS = (("thumb", TIER_THUMB), ("instant", TIER_INSTANT),
+         ("working", TIER_WORKING))
+
+
+def default_cache_dir() -> Path:
+    base = os.environ.get("XDG_CACHE_HOME")
+    base = Path(base) if base else Path.home() / ".cache"
+    return base / "raw-editor"
+
+
+def generate_tiers(raw_path: str, image_id: int,
+                   cache_dir: Optional[os.PathLike] = None
+                   ) -> Tuple[str, str, str]:
+    """Extract the embedded JPEG and write all three tiers.
+
+    Returns (thumb, instant, working) paths; raises on failure
+    (reference: raw/processor.rs:37-64).
+    """
+    from PIL import Image
+
+    from raweditor_tpu.raw.decode import extract_preview_jpeg
+
+    cache = Path(cache_dir) if cache_dir else default_cache_dir()
+    jpeg = extract_preview_jpeg(raw_path)
+    if jpeg is None:
+        raise ValueError(f"no embedded JPEG in {raw_path}")
+
+    with Image.open(io.BytesIO(jpeg)) as img:
+        img.load()
+        img = img.convert("RGB")
+        paths = []
+        for tier_name, width in TIERS:
+            tier_dir = cache / tier_name
+            tier_dir.mkdir(parents=True, exist_ok=True)
+            out_path = tier_dir / f"{image_id}.jpg"
+            # Width-constrained aspect-preserving resize (the reference
+            # bounds height at 10x width, which never binds for photos,
+            # reference: raw/processor.rs:74).
+            scale = width / img.width
+            resized = img.resize(
+                (width, max(1, round(img.height * scale))),
+                Image.LANCZOS,
+            )
+            resized.save(out_path, quality=90)
+            paths.append(str(out_path))
+    return tuple(paths)
+
+
+def process_pending_cache(lib: Library,
+                          cache_dir: Optional[os.PathLike] = None,
+                          limit: int = 1_000_000) -> dict:
+    """Work the pending queue: tiers for every 'pending' image, failures
+    quarantined (the resumable import→cache loop of
+    reference: main.rs:404-434,472-495, without the UI round trips)."""
+    done = failed = 0
+    for img in lib.get_pending_cache(limit):
+        try:
+            thumb, instant, working = generate_tiers(
+                img.path, img.id, cache_dir
+            )
+            lib.set_image_cache_paths(img.id, thumb, instant, working)
+            done += 1
+        except Exception:
+            lib.set_cache_status(img.id, "failed")
+            failed += 1
+    return {"cached": done, "failed": failed}

@@ -1,0 +1,124 @@
+"""CLI smoke tests (in-process main() for speed; JAX stays on the CPU
+test backend)."""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from raweditor_tpu.cli import main
+from raweditor_tpu.raw.synth import write_synthetic_raw
+
+
+@pytest.fixture
+def photos(tmp_path, rng):
+    d = tmp_path / "photos"
+    d.mkdir()
+    for i in range(2):
+        write_synthetic_raw(
+            d / f"s{i}.nef",
+            rng.integers(0, 4096, size=(24, 32), dtype=np.uint16),
+        )
+    return d
+
+
+def run(capsys, *argv):
+    code = main([str(a) for a in argv])
+    out = capsys.readouterr().out
+    return code, out
+
+
+def test_synth_info(tmp_path, capsys):
+    path = tmp_path / "x.dng"
+    code, _ = run(capsys, "synth", path, "--width", 48, "--height", 32)
+    assert code == 0 and path.exists()
+    code, out = run(capsys, "info", path)
+    meta = json.loads(out)
+    assert meta["width"] == 48 and meta["height"] == 32
+    assert meta["cfa_pattern"] == "RGGB"
+
+
+def test_import_list_edit_export(tmp_path, capsys, photos):
+    db = tmp_path / "cat.db"
+    code, out = run(capsys, "--db", db, "import", photos,
+                    "--cache-dir", tmp_path / "cache")
+    assert code == 0
+    stats = json.loads(out)
+    assert stats["imported"] == 2 and stats["cached"] == 2
+
+    code, out = run(capsys, "--db", db, "list")
+    assert code == 0
+    assert "s0.nef" in out and "cached" in out
+
+    code, out = run(capsys, "--db", db, "edit", "1", "--exposure", "1.5")
+    assert code == 0
+    assert json.loads(out)["exposure"] == 1.5
+
+    code, out = run(capsys, "--db", db, "export",
+                    "-o", tmp_path / "out", "--ext", "png",
+                    "--batch-size", "2")
+    assert code == 0
+    report = json.loads(out)
+    assert report["succeeded"] == 2
+    assert (tmp_path / "out" / "s0.png").exists()
+
+
+def test_develop_file_and_catalog_id(tmp_path, capsys, photos):
+    db = tmp_path / "cat.db"
+    run(capsys, "--db", db, "import", photos, "--no-tiers")
+    run(capsys, "--db", db, "edit", "1", "--exposure", "2.0")
+
+    out_a = tmp_path / "direct.png"
+    code, _ = run(capsys, "develop", photos / "s0.nef", "-o", out_a,
+                  "--exposure", "2.0")
+    assert code == 0
+
+    # Catalog id resolves the stored edits; same file, same params →
+    # identical pixels.
+    with open(db, "rb"):
+        pass
+    import sqlite3
+
+    with sqlite3.connect(db) as conn:
+        path_of_1 = conn.execute(
+            "SELECT path FROM images WHERE id = 1"
+        ).fetchone()[0]
+    out_b = tmp_path / "via_id.png"
+    code, _ = run(capsys, "--db", db, "develop", "1", "-o", out_b)
+    assert code == 0
+    if path_of_1.endswith("s0.nef"):
+        a = np.asarray(Image.open(out_a))
+        b = np.asarray(Image.open(out_b))
+        assert (a == b).all()
+
+
+def test_develop_preview_zoom(tmp_path, capsys, photos):
+    out = tmp_path / "prev.png"
+    code, _ = run(capsys, "develop", photos / "s0.nef", "-o", out,
+                  "--preview", "--zoom", "2.0")
+    assert code == 0
+    with Image.open(out) as im:
+        assert im.size == (32, 24)
+
+
+def test_histogram_command(tmp_path, capsys, photos):
+    code, out = run(capsys, "histogram", photos / "s0.nef")
+    assert code == 0
+    hist = json.loads(out)
+    assert len(hist["r"]) == 256
+
+
+def test_edit_reset(tmp_path, capsys, photos):
+    db = tmp_path / "cat.db"
+    run(capsys, "--db", db, "import", photos, "--no-tiers")
+    run(capsys, "--db", db, "edit", "1", "--contrast", "5")
+    code, out = run(capsys, "--db", db, "edit", "1", "--reset")
+    assert code == 0 and json.loads(out)["reset"]
+
+
+def test_export_failure_exit_code(tmp_path, capsys):
+    code, out = run(capsys, "export", "-o", tmp_path / "out",
+                    "--files", tmp_path / "nope.nef")
+    assert code == 1
+    assert json.loads(out)["failed"] == 1

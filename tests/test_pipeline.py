@@ -1,0 +1,196 @@
+"""Engine, tier-cache, and batch-export pipeline tests."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from raweditor_tpu.catalog import Library
+from raweditor_tpu.params import EditParams
+from raweditor_tpu.ops.develop import develop
+from raweditor_tpu.pipeline import (
+    DevelopEngine,
+    ExportJob,
+    generate_tiers,
+    process_pending_cache,
+    run_batch_export,
+)
+from raweditor_tpu.pipeline.export import jobs_from_catalog
+from raweditor_tpu.raw.synth import make_preview_jpeg, write_synthetic_raw
+
+import oracle
+
+
+@pytest.fixture
+def synth_file(tmp_path, rng):
+    mosaic = rng.integers(0, 4096, size=(40, 60), dtype=np.uint16)
+    path = tmp_path / "shot.nef"
+    write_synthetic_raw(path, mosaic, preview_jpeg=make_preview_jpeg(640, 420))
+    return path, mosaic
+
+
+# --- engine ----------------------------------------------------------------
+
+
+def test_engine_preview_full_histogram(synth_file):
+    path, mosaic = synth_file
+    eng = DevelopEngine.open(path)
+    assert (eng.preview_w, eng.preview_h) == (60, 40)  # smaller than cap
+    p = EditParams(exposure=0.5)
+    full = eng.full(p)
+    assert full.shape == (40, 60, 3) and full.dtype == np.uint8
+    want = np.asarray(develop(mosaic, p, eng.wb, eng.cam_matrix))
+    assert (full == want).all()
+    hist = eng.histogram(p)
+    assert hist.shape == (3, 256)
+    assert hist.sum(axis=1).tolist() == [eng.histogram_w * eng.histogram_h] * 3
+
+
+def test_engine_parity_uses_identity_matrix(synth_file):
+    path, _ = synth_file
+    eng = DevelopEngine.open(path, mode="parity")
+    assert np.allclose(eng.cam_matrix, np.eye(3))
+    assert eng.white_level == 4096.0
+
+
+def test_engine_accurate_mode(tmp_path, rng):
+    mosaic = rng.integers(10, 16000, size=(16, 24), dtype=np.uint16)
+    xyz_to_cam = np.array(
+        [[0.6988, -0.1384, -0.0714], [-0.5631, 1.3410, 0.2447],
+         [-0.1485, 0.2204, 0.7318]], dtype=np.float32)
+    path = tmp_path / "a.dng"
+    write_synthetic_raw(path, mosaic, bpp=14, xyz_to_cam=xyz_to_cam,
+                        black_level=8, white_level=16000)
+    eng = DevelopEngine.open(path, mode="accurate")
+    assert eng.white_level == 16000 and eng.black_level == 8
+    assert not np.allclose(eng.cam_matrix, np.eye(3))
+    assert not eng.matrix_transpose
+    out = eng.full(EditParams())
+    assert out.shape == (16, 24, 3)
+
+
+def test_engine_export_jpeg_png(synth_file, tmp_path):
+    path, _ = synth_file
+    eng = DevelopEngine.open(path)
+    for name in ("out.jpg", "out.png"):
+        out = eng.export(tmp_path / name, EditParams(exposure=1.0))
+        with Image.open(out) as im:
+            assert im.size == (60, 40)
+
+
+def test_engine_before_after(synth_file):
+    path, _ = synth_file
+    eng = DevelopEngine.open(path)
+    before, after = eng.before_after(EditParams(exposure=2.0))
+    assert (before != after).any()
+    base = eng.preview(EditParams())
+    assert (before == base).all()
+
+
+# --- tiers -----------------------------------------------------------------
+
+
+def test_generate_tiers(synth_file, tmp_path):
+    path, _ = synth_file
+    thumb, instant, working = generate_tiers(str(path), 7,
+                                             cache_dir=tmp_path / "cache")
+    for p, w in [(thumb, 256), (instant, 384), (working, 1280)]:
+        assert os.path.exists(p)
+        with Image.open(p) as im:
+            assert im.width == w
+    assert thumb.endswith(os.path.join("thumb", "7.jpg"))
+
+
+def test_process_pending_cache_with_quarantine(tmp_path, rng):
+    d = tmp_path / "photos"
+    d.mkdir()
+    mosaic = rng.integers(0, 4096, size=(16, 24), dtype=np.uint16)
+    write_synthetic_raw(d / "good.nef", mosaic)
+    (d / "bad.nef").write_bytes(b"not a raw file at all")
+
+    lib = Library(tmp_path / "cat.db")
+    lib.import_folder(d)
+    stats = process_pending_cache(lib, cache_dir=tmp_path / "cache")
+    assert stats == {"cached": 1, "failed": 1}
+    assert lib.get_pending_cache() == []
+    good = [i for i in lib.get_all_images() if i.filename == "good.nef"][0]
+    assert good.cache_path_working is not None
+
+
+# --- batch export ----------------------------------------------------------
+
+
+def test_batch_export_end_to_end(tmp_path, rng):
+    n = 5
+    jobs = []
+    mosaics = {}
+    for i in range(n):
+        mosaic = rng.integers(0, 4096, size=(24, 32), dtype=np.uint16)
+        path = tmp_path / f"s{i}.nef"
+        write_synthetic_raw(path, mosaic)
+        mosaics[i] = mosaic
+        jobs.append(
+            ExportJob(
+                raw_path=str(path),
+                out_path=str(tmp_path / "out" / f"s{i}.png"),
+                params=EditParams(exposure=0.1 * i),
+            )
+        )
+    jobs.append(
+        ExportJob(raw_path=str(tmp_path / "missing.nef"),
+                  out_path=str(tmp_path / "out" / "missing.png"))
+    )
+
+    report = run_batch_export(jobs, batch_size=2)
+    assert report.total == 6
+    assert report.succeeded == 5
+    assert len(report.failed) == 1 and "decode" in report.failed[0][1]
+
+    # PNG outputs must be bit-exact vs the single-image develop.
+    for i in range(n):
+        with Image.open(tmp_path / "out" / f"s{i}.png") as im:
+            got = np.asarray(im)
+        from raweditor_tpu.raw.decode import decode_raw
+
+        raw = decode_raw(str(tmp_path / f"s{i}.nef"))
+        want = np.asarray(
+            develop(mosaics[i], EditParams(exposure=0.1 * i), raw.wb_rgb(),
+                    np.eye(3, dtype=np.float32))
+        )
+        assert (got == want).all()
+
+
+def test_batch_export_sharded_mesh(tmp_path, rng):
+    from raweditor_tpu.parallel import batch_row_mesh
+
+    mesh = batch_row_mesh(row=2)
+    jobs = []
+    for i in range(5):
+        mosaic = rng.integers(0, 4096, size=(32, 16), dtype=np.uint16)
+        path = tmp_path / f"s{i}.nef"
+        write_synthetic_raw(path, mosaic)
+        jobs.append(ExportJob(raw_path=str(path),
+                              out_path=str(tmp_path / "out" / f"s{i}.jpg")))
+    report = run_batch_export(jobs, mesh=mesh, batch_size=4)
+    assert report.succeeded == 5 and not report.failed
+
+
+def test_jobs_from_catalog_replays_edits(tmp_path, rng):
+    d = tmp_path / "photos"
+    d.mkdir()
+    for i in range(2):
+        write_synthetic_raw(
+            d / f"s{i}.nef",
+            rng.integers(0, 4096, size=(8, 8), dtype=np.uint16),
+        )
+    lib = Library(tmp_path / "cat.db")
+    lib.import_folder(d)
+    images = lib.get_all_images()
+    lib.save_edit_params(images[0].id, EditParams(exposure=1.5))
+
+    jobs = jobs_from_catalog(lib, tmp_path / "out")
+    assert len(jobs) == 2
+    by_id = {j.image_id: j for j in jobs}
+    assert by_id[images[0].id].params.exposure == 1.5
+    assert by_id[images[1].id].params == EditParams()
