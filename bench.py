@@ -19,7 +19,7 @@ def main():
     import jax.numpy as jnp
 
     from raweditor_tpu import EditParams
-    from raweditor_tpu.ops.develop import develop, develop_preview
+    from raweditor_tpu.ops.develop import develop_preview, develop_rgba
     from raweditor_tpu.ops.sampling import preview_shape
 
     rng = np.random.default_rng(0)
@@ -31,9 +31,11 @@ def main():
     mosaic = jax.device_put(mosaic_host)
     jax.block_until_ready(mosaic)
 
-    # --- full-res develop throughput (device-resident output) ---------
+    # --- full-res develop throughput (packed-RGBA output, the export
+    # format — the same RGBA8 bytes/pixel the reference reads back,
+    # reference: gpu/pipeline.rs:551) ----------------------------------
     params = EditParams(exposure=0.5, contrast=10.0, saturation=20.0)
-    out = develop(mosaic, params, wb, cm)
+    out = develop_rgba(mosaic, params, wb, cm)
     jax.block_until_ready(out)  # compile
     checksum = jax.jit(lambda x: jnp.max(x))
     np.asarray(checksum(out))  # compile + sync
@@ -41,7 +43,7 @@ def main():
     t0 = time.perf_counter()
     for i in range(iters):
         p = params.replace(exposure=0.5 + 0.01 * i)
-        out = develop(mosaic, p, wb, cm)
+        out = develop_rgba(mosaic, p, wb, cm)
     # A 1-byte host fetch of a reduction over the last output forces a
     # real device sync (block_until_ready alone is optimistic on some
     # transports); TPU streams execute in order, so the last output

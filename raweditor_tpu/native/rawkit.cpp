@@ -1,0 +1,403 @@
+// rawkit: native host-side RAW decode kernels.
+//
+// The reference app gets its decode hot paths from the Rust `rawloader`
+// crate and byte-window scans (reference: raw/loader.rs:50-54,
+// raw/processor.rs:92-125). This extension is the C++ equivalent for
+// the TPU rebuild's host pipeline:
+//
+//   - scan_jpeg_spans:  SOI/EOI embedded-preview scan (memchr-driven)
+//   - unpack_bits:      MSB-first 8..16-bit packed CFA strips
+//   - decode_ljpeg:     lossless JPEG (ITU T.81 SOF3), LUT Huffman
+//
+// All entry points release the GIL around the heavy loops so the batch
+// exporter's decode thread pool scales across cores. The Python modules
+// in raweditor_tpu/raw/ are the behavioral reference; tests assert
+// byte-identical outputs between the two implementations.
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <cstdint>
+#include <cstring>
+#include <stdexcept>
+#include <string>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Embedded JPEG scan
+// ---------------------------------------------------------------------------
+
+struct Span {
+  int64_t start;
+  int64_t end;  // exclusive
+};
+
+// Matches raweditor_tpu.raw.jpeg_scan.find_jpeg_spans: every SOI paired
+// with the first EOI at/after it; next SOI search resumes at start+1.
+std::vector<Span> scan_spans(const uint8_t* d, int64_t n) {
+  std::vector<int64_t> sois, eois;
+  const uint8_t* p = d;
+  const uint8_t* endp = d + n;
+  while (p < endp - 1) {
+    const uint8_t* hit =
+        static_cast<const uint8_t*>(memchr(p, 0xFF, endp - p - 1));
+    if (!hit) break;
+    if (hit[1] == 0xD8) sois.push_back(hit - d);
+    else if (hit[1] == 0xD9) eois.push_back(hit - d);
+    p = hit + 1;
+  }
+  std::vector<Span> out;
+  size_t ei = 0;
+  for (int64_t soi : sois) {
+    while (ei < eois.size() && eois[ei] < soi) ei++;
+    // First EOI at/after this SOI (eois is sorted; earlier SOIs can
+    // share the same EOI, so don't consume it).
+    size_t j = ei;
+    if (j < eois.size()) out.push_back({soi, eois[j] + 2});
+  }
+  return out;
+}
+
+// ---------------------------------------------------------------------------
+// Packed-bit unpack
+// ---------------------------------------------------------------------------
+
+void unpack_rows(const uint8_t* src, int64_t src_len, uint16_t* dst,
+                 int64_t width, int64_t height, int bpp) {
+  if (bpp == 16) {
+    for (int64_t i = 0; i < width * height; i++)
+      dst[i] = (uint16_t(src[2 * i]) << 8) | src[2 * i + 1];  // big-endian
+    return;
+  }
+  if (bpp == 8) {
+    for (int64_t i = 0; i < width * height; i++) dst[i] = src[i];
+    return;
+  }
+  const int64_t row_bytes = (width * bpp + 7) / 8;
+  for (int64_t y = 0; y < height; y++) {
+    const uint8_t* row = src + y * row_bytes;
+    uint32_t acc = 0;
+    int nbits = 0;
+    int64_t byte_idx = 0;
+    for (int64_t x = 0; x < width; x++) {
+      while (nbits < bpp) {
+        acc = (acc << 8) | row[byte_idx++];
+        nbits += 8;
+      }
+      dst[y * width + x] = uint16_t((acc >> (nbits - bpp)) & ((1u << bpp) - 1));
+      nbits -= bpp;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Lossless JPEG (SOF3)
+// ---------------------------------------------------------------------------
+
+struct BitReader {
+  const uint8_t* d;
+  int64_t n;
+  int64_t pos = 0;
+  uint64_t acc = 0;
+  int nbits = 0;
+  bool hit_marker = false;
+
+  BitReader(const uint8_t* data, int64_t len) : d(data), n(len) {}
+
+  inline void fill() {
+    while (nbits <= 56) {
+      if (pos >= n) {
+        if (nbits == 0 && hit_marker) break;
+        acc = (acc << 8) | 0xFF;  // pad past end
+        nbits += 8;
+        continue;
+      }
+      uint8_t b = d[pos];
+      if (b == 0xFF) {
+        if (pos + 1 < n && d[pos + 1] == 0x00) {
+          pos += 2;  // stuffed 0xFF
+        } else {
+          hit_marker = true;  // marker terminates entropy data
+          acc = (acc << 8) | 0xFF;
+          nbits += 8;
+          continue;
+        }
+      } else {
+        pos += 1;
+      }
+      acc = (acc << 8) | b;
+      nbits += 8;
+    }
+  }
+
+  inline uint32_t peek16() {
+    if (nbits < 16) fill();
+    return uint32_t((acc >> (nbits - 16)) & 0xFFFF);
+  }
+
+  inline void drop(int k) { nbits -= k; }
+
+  inline int32_t read_bits(int k) {
+    if (k == 0) return 0;
+    if (nbits < k) fill();
+    int32_t v = int32_t((acc >> (nbits - k)) & ((1u << k) - 1));
+    nbits -= k;
+    return v;
+  }
+};
+
+struct HuffLUT {
+  // peek16 -> (symbol, code length); JPEG codes are <= 16 bits.
+  std::vector<uint8_t> sym;
+  std::vector<uint8_t> len;
+  bool valid = false;
+
+  void build(const uint8_t* bits, const uint8_t* values) {
+    sym.assign(1 << 16, 0);
+    len.assign(1 << 16, 0);
+    uint32_t code = 0;
+    int k = 0;
+    for (int length = 1; length <= 16; length++) {
+      for (int i = 0; i < bits[length - 1]; i++) {
+        uint32_t lo = code << (16 - length);
+        uint32_t hi = lo + (1u << (16 - length));
+        for (uint32_t c = lo; c < hi; c++) {
+          sym[c] = values[k];
+          len[c] = uint8_t(length);
+        }
+        code++;
+        k++;
+      }
+      code <<= 1;
+    }
+    valid = true;
+  }
+
+  inline int decode(BitReader& br) const {
+    uint32_t p = br.peek16();
+    int l = len[p];
+    if (l == 0) throw std::runtime_error("invalid Huffman code");
+    br.drop(l);
+    return sym[p];
+  }
+};
+
+inline int32_t extend(int32_t v, int s) {
+  if (s == 0) return 0;
+  if (v < (1 << (s - 1))) return v - (1 << s) + 1;
+  return v;
+}
+
+struct LJpegResult {
+  std::vector<uint16_t> planes;  // (nc, h, w)
+  int nc = 0, h = 0, w = 0, precision = 0;
+};
+
+uint16_t rd16(const uint8_t* p) { return (uint16_t(p[0]) << 8) | p[1]; }
+
+LJpegResult decode_ljpeg_impl(const uint8_t* d, int64_t n) {
+  if (n < 4 || d[0] != 0xFF || d[1] != 0xD8)
+    throw std::runtime_error("not a JPEG: missing SOI");
+  int64_t pos = 2;
+  HuffLUT tables[4];
+  int precision = 0, h = 0, w = 0, nc = 0;
+  int comp_table[4] = {0, 0, 0, 0};
+  int predictor = 1, pt = 0;
+  bool have_sof = false, have_sos = false;
+
+  while (pos + 4 <= n && !have_sos) {
+    uint16_t marker = rd16(d + pos);
+    if (marker == 0xFFD9) break;
+    if ((marker >> 8) != 0xFF) throw std::runtime_error("bad marker");
+    if (marker == 0xFFD8) { pos += 2; continue; }
+    uint16_t seg_len = rd16(d + pos + 2);
+    const uint8_t* seg = d + pos + 4;
+    int64_t seg_n = int64_t(seg_len) - 2;
+    if (pos + 2 + seg_len > n) throw std::runtime_error("truncated segment");
+    switch (marker) {
+      case 0xFFC4: {  // DHT
+        int64_t off = 0;
+        while (off < seg_n) {
+          int id = seg[off] & 0x0F;
+          const uint8_t* bits = seg + off + 1;
+          int nvals = 0;
+          for (int i = 0; i < 16; i++) nvals += bits[i];
+          tables[id & 3].build(bits, seg + off + 17);
+          off += 17 + nvals;
+        }
+        break;
+      }
+      case 0xFFC3: {  // SOF3
+        precision = seg[0];
+        h = rd16(seg + 1);
+        w = rd16(seg + 3);
+        nc = seg[5];
+        if (nc < 1 || nc > 4) throw std::runtime_error("bad component count");
+        have_sof = true;
+        break;
+      }
+      case 0xFFDA: {  // SOS
+        int ns = seg[0];
+        for (int i = 0; i < ns && i < 4; i++)
+          comp_table[i] = (seg[2 + 2 * i] >> 4) & 0x0F;
+        predictor = seg[1 + 2 * ns];
+        pt = seg[3 + 2 * ns] & 0x0F;
+        have_sos = true;
+        break;
+      }
+      default:
+        break;  // APPn/COM etc: skip
+    }
+    pos += 2 + seg_len;
+  }
+  if (!have_sof || !have_sos) throw std::runtime_error("missing SOF3/SOS");
+  if (pt != 0) throw std::runtime_error("point transform not supported");
+  if (predictor < 1 || predictor > 7)
+    throw std::runtime_error("unsupported predictor");
+
+  LJpegResult res;
+  res.nc = nc; res.h = h; res.w = w; res.precision = precision;
+  res.planes.assign(size_t(nc) * h * w, 0);
+
+  BitReader br(d + pos, n - pos);
+  const int default_pred = 1 << (precision - 1);
+
+  for (int ci = 0; ci < nc; ci++)
+    if (!tables[comp_table[ci] & 3].valid)
+      throw std::runtime_error("missing Huffman table");
+
+  for (int y = 0; y < h; y++) {
+    for (int x = 0; x < w; x++) {
+      for (int ci = 0; ci < nc; ci++) {
+        const HuffLUT& t = tables[comp_table[ci] & 3];
+        int s = t.decode(br);
+        int32_t diff;
+        if (s == 16) diff = 32768;
+        else diff = extend(br.read_bits(s), s);
+        uint16_t* plane = res.planes.data() + size_t(ci) * h * w;
+        int32_t pred;
+        if (y == 0 && x == 0) pred = default_pred;
+        else if (y == 0) pred = plane[x - 1];
+        else if (x == 0) pred = plane[(y - 1) * w];
+        else {
+          int32_t a = plane[y * w + x - 1];
+          int32_t b = plane[(y - 1) * w + x];
+          int32_t c = plane[(y - 1) * w + x - 1];
+          switch (predictor) {
+            case 1: pred = a; break;
+            case 2: pred = b; break;
+            case 3: pred = c; break;
+            case 4: pred = a + b - c; break;
+            case 5: pred = a + ((b - c) >> 1); break;
+            case 6: pred = b + ((a - c) >> 1); break;
+            default: pred = (a + b) >> 1; break;
+          }
+        }
+        plane[y * w + x] = uint16_t((pred + diff) & 0xFFFF);
+      }
+    }
+  }
+  return res;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// Python bindings
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+static PyObject* py_scan_jpeg_spans(PyObject*, PyObject* args) {
+  Py_buffer buf;
+  if (!PyArg_ParseTuple(args, "y*", &buf)) return nullptr;
+  std::vector<Span> spans;
+  Py_BEGIN_ALLOW_THREADS
+  spans = scan_spans(static_cast<const uint8_t*>(buf.buf), buf.len);
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&buf);
+  PyObject* list = PyList_New(spans.size());
+  if (!list) return nullptr;
+  for (size_t i = 0; i < spans.size(); i++) {
+    PyList_SET_ITEM(list, i,
+                    Py_BuildValue("(LL)", (long long)spans[i].start,
+                                  (long long)spans[i].end));
+  }
+  return list;
+}
+
+static PyObject* py_unpack_bits(PyObject*, PyObject* args) {
+  Py_buffer buf;
+  long long width, height;
+  int bpp;
+  if (!PyArg_ParseTuple(args, "y*LLi", &buf, &width, &height, &bpp))
+    return nullptr;
+  if (bpp < 1 || bpp > 16 || width <= 0 || height <= 0) {
+    PyBuffer_Release(&buf);
+    PyErr_SetString(PyExc_ValueError, "bad dimensions/bpp");
+    return nullptr;
+  }
+  int64_t row_bytes = (bpp == 16)   ? width * 2
+                      : (bpp == 8)  ? width
+                                    : (width * bpp + 7) / 8;
+  if (buf.len < row_bytes * height) {
+    PyBuffer_Release(&buf);
+    PyErr_SetString(PyExc_ValueError, "packed data too short");
+    return nullptr;
+  }
+  PyObject* out = PyBytes_FromStringAndSize(nullptr, width * height * 2);
+  if (!out) { PyBuffer_Release(&buf); return nullptr; }
+  uint16_t* dst = reinterpret_cast<uint16_t*>(PyBytes_AS_STRING(out));
+  Py_BEGIN_ALLOW_THREADS
+  unpack_rows(static_cast<const uint8_t*>(buf.buf), buf.len, dst, width,
+              height, bpp);
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&buf);
+  return out;
+}
+
+static PyObject* py_decode_ljpeg(PyObject*, PyObject* args) {
+  Py_buffer buf;
+  if (!PyArg_ParseTuple(args, "y*", &buf)) return nullptr;
+  LJpegResult res;
+  std::string err;
+  Py_BEGIN_ALLOW_THREADS
+  try {
+    res = decode_ljpeg_impl(static_cast<const uint8_t*>(buf.buf), buf.len);
+  } catch (const std::exception& e) {
+    err = e.what();
+  }
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&buf);
+  if (!err.empty()) {
+    PyErr_SetString(PyExc_ValueError, err.c_str());
+    return nullptr;
+  }
+  PyObject* data = PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(res.planes.data()),
+      res.planes.size() * 2);
+  if (!data) return nullptr;
+  return Py_BuildValue("(Niiii)", data, res.nc, res.h, res.w, res.precision);
+}
+
+static PyMethodDef RawkitMethods[] = {
+    {"scan_jpeg_spans", py_scan_jpeg_spans, METH_VARARGS,
+     "scan_jpeg_spans(data) -> [(start, end), ...]"},
+    {"unpack_bits", py_unpack_bits, METH_VARARGS,
+     "unpack_bits(data, width, height, bpp) -> native-endian u16 bytes"},
+    {"decode_ljpeg", py_decode_ljpeg, METH_VARARGS,
+     "decode_ljpeg(data) -> (u16_bytes, nc, h, w, precision)"},
+    {nullptr, nullptr, 0, nullptr}};
+
+static struct PyModuleDef rawkit_module = {
+    PyModuleDef_HEAD_INIT, "_rawkit",
+    "Native RAW decode kernels (JPEG scan, bit unpack, lossless JPEG)",
+    -1, RawkitMethods};
+
+PyMODINIT_FUNC PyInit__rawkit(void) {
+  return PyModule_Create(&rawkit_module);
+}
+
+}  // extern "C"

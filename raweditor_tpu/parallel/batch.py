@@ -18,7 +18,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from raweditor_tpu.ops import demosaic as _demosaic
-from raweditor_tpu.ops.develop import apply_edit_stack, finish_to_u8
+from raweditor_tpu.ops.develop import (
+    apply_edit_stack,
+    finish_to_rgba_u32,
+    finish_to_u8,
+)
 from raweditor_tpu.params import EditParams
 from raweditor_tpu.parallel.spatial import develop_block
 
@@ -38,12 +42,14 @@ def pack_params(params_list) -> EditParams:
 
 
 def _develop_one(mosaic, params, wb, cm, white_level, black_level,
-                 matrix_transpose):
+                 matrix_transpose, rgba=False):
     x = mosaic.astype(_F)
     black = jnp.asarray(black_level, _F)
     norm = (x - black) / (jnp.asarray(white_level, _F) - black)
     r, g, b = _demosaic.demosaic_nearest(norm)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cm, matrix_transpose)
+    if rgba:
+        return finish_to_rgba_u32(r, g, b)
     r, g, b = finish_to_u8(r, g, b)
     return jnp.stack([r, g, b], axis=-1)
 
@@ -72,31 +78,55 @@ def batch_develop(mosaics, params: EditParams, wb, cam_matrices,
     )(mosaics, params, wb, cam_matrices, white_levels, black_levels)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("matrix_transpose",)
+)
+def batch_develop_rgba(mosaics, params: EditParams, wb, cam_matrices,
+                       white_levels=None, black_levels=None,
+                       matrix_transpose: bool = True):
+    """batch_develop with packed-RGBA u32 output: (N, H, W) u16 →
+    (N, H, W) u32 — the fast path for export (see develop_rgba)."""
+    n = mosaics.shape[0]
+    if white_levels is None:
+        white_levels = jnp.full((n,), 4096.0, _F)
+    if black_levels is None:
+        black_levels = jnp.zeros((n,), _F)
+    return jax.vmap(
+        functools.partial(
+            _develop_one, matrix_transpose=matrix_transpose, rgba=True
+        )
+    )(mosaics, params, wb, cam_matrices, white_levels, black_levels)
+
+
 def _sharded_step(mosaics, params, wb, cms, whites, blacks, *, axis_name,
-                  matrix_transpose, with_histogram):
+                  matrix_transpose, with_histogram, rgba=False):
     """Per-device body: local (n, h_blk, W) batch of row blocks."""
     imgs = jax.vmap(
         functools.partial(
             develop_block,
             axis_name=axis_name,
             matrix_transpose=matrix_transpose,
+            rgba=rgba,
         )
     )(mosaics, params, wb, cms, whites, blacks)
     if not with_histogram:
         return imgs
     # Per-image 256-bin histograms of the local row block, reduced over
     # the row shards (XLA psum over ICI). Matches binning the full image.
-    x = imgs.astype(jnp.int32)
-
     def hist_one(img):
-        flat = img.reshape(-1, 3)
+        if rgba:
+            w = img.astype(jnp.uint32).reshape(-1)
+            chans = [w & 0xFF, (w >> 8) & 0xFF, (w >> 16) & 0xFF]
+        else:
+            flat = img.astype(jnp.int32).reshape(-1, 3)
+            chans = [flat[:, 0], flat[:, 1], flat[:, 2]]
 
         def one(c):
-            return jnp.zeros((256,), jnp.int32).at[c].add(1)
+            return jnp.zeros((256,), jnp.int32).at[c.astype(jnp.int32)].add(1)
 
-        return jnp.stack([one(flat[:, 0]), one(flat[:, 1]), one(flat[:, 2])])
+        return jnp.stack([one(c) for c in chans])
 
-    hists = jax.vmap(hist_one)(x)
+    hists = jax.vmap(hist_one)(imgs)
     hists = jax.lax.psum(hists, axis_name)
     return imgs, hists
 
@@ -105,7 +135,7 @@ def _sharded_step(mosaics, params, wb, cms, whites, blacks, *, axis_name,
     jax.jit,
     static_argnames=(
         "mesh", "batch_axis", "row_axis",
-        "matrix_transpose", "with_histogram",
+        "matrix_transpose", "with_histogram", "rgba",
     ),
 )
 def batch_develop_sharded(
@@ -120,6 +150,7 @@ def batch_develop_sharded(
     black_levels=None,
     matrix_transpose: bool = True,
     with_histogram: bool = False,
+    rgba: bool = False,
 ):
     """The full sharded export step: dp over images × sp over rows.
 
@@ -140,10 +171,13 @@ def batch_develop_sharded(
     if black_levels is None:
         black_levels = jnp.zeros((n,), _F)
 
-    out_specs = (
-        (P(batch_axis, row_axis, None, None), P(batch_axis, None, None))
-        if with_histogram
+    img_spec = (
+        P(batch_axis, row_axis, None)
+        if rgba
         else P(batch_axis, row_axis, None, None)
+    )
+    out_specs = (
+        (img_spec, P(batch_axis, None, None)) if with_histogram else img_spec
     )
     fn = jax.shard_map(
         functools.partial(
@@ -151,6 +185,7 @@ def batch_develop_sharded(
             axis_name=row_axis,
             matrix_transpose=matrix_transpose,
             with_histogram=with_histogram,
+            rgba=rgba,
         ),
         mesh=mesh,
         in_specs=(

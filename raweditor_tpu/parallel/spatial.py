@@ -51,9 +51,13 @@ def exchange_row_halos(block, axis_name: str):
 
 def develop_block(block_u16, params: EditParams, wb, cam_matrix,
                   white_level=4096.0, black_level=0.0, *,
-                  axis_name: str, matrix_transpose: bool = True):
+                  axis_name: str, matrix_transpose: bool = True,
+                  rgba: bool = False):
     """Develop one shard's row block inside a shard_map/collective
-    context. Returns (h_block, W, 3) u8."""
+    context. Returns (h_block, W, 3) u8, or (h_block, W) u32 packed
+    RGBA when ``rgba`` (see ops.develop.finish_to_rgba_u32)."""
+    from raweditor_tpu.ops.develop import finish_to_rgba_u32
+
     h_block = block_u16.shape[0]
     row_offset = jax.lax.axis_index(axis_name) * h_block
     black = jnp.asarray(black_level, _F)
@@ -65,6 +69,8 @@ def develop_block(block_u16, params: EditParams, wb, cam_matrix,
     r, g, b = demosaic_nearest_vpadded(padded, row_offset)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix,
                                matrix_transpose)
+    if rgba:
+        return finish_to_rgba_u32(r, g, b)
     r, g, b = finish_to_u8(r, g, b)
     return jnp.stack([r, g, b], axis=-1)
 

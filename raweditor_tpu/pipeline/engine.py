@@ -27,6 +27,8 @@ from raweditor_tpu.ops.develop import (
     develop,
     develop_histogram,
     develop_preview,
+    develop_rgba,
+    rgba_view,
 )
 from raweditor_tpu.ops.sampling import histogram_shape, preview_shape
 from raweditor_tpu.params import EditParams
@@ -114,20 +116,33 @@ class DevelopEngine:
         )
 
     # -- export ----------------------------------------------------------
+    def full_rgba_device(self, params: EditParams):
+        """Full-res develop to packed RGBA u32 (H, W) — the fast output
+        format; same bytes the reference reads back
+        (reference: gpu/pipeline.rs:551)."""
+        return develop_rgba(
+            self.mosaic, params, self.wb, self.cam_matrix,
+            white_level=self.white_level, black_level=self.black_level,
+            matrix_transpose=self.matrix_transpose,
+        )
+
     def export(self, path: os.PathLike, params: EditParams,
                quality: int = 95) -> str:
-        """Full-res develop → JPEG/PNG by extension
-        (reference: main.rs:1744-1799)."""
+        """Full-res develop → JPEG/PNG by extension; RGBA→RGB strip for
+        JPEG on the host like the reference (reference: main.rs:1744-1799,
+        alpha strip at main.rs:1778-1781)."""
         from PIL import Image
 
-        out = self.full(params)
+        words = np.asarray(self.full_rgba_device(params))
         path = os.fspath(path)
-        ext = os.path.splitext(path)[1].lower()
-        img = Image.fromarray(out)
-        if ext == ".png":
+        img = Image.frombuffer(
+            "RGBA", (self.width, self.height),
+            np.ascontiguousarray(words).tobytes(), "raw", "RGBA", 0, 1,
+        )
+        if os.path.splitext(path)[1].lower() == ".png":
             img.save(path)
         else:
-            img.save(path, format="JPEG", quality=quality)
+            img.convert("RGB").save(path, format="JPEG", quality=quality)
         return path
 
     # -- convenience -----------------------------------------------------

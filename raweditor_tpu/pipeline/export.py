@@ -31,7 +31,7 @@ import numpy as np
 from raweditor_tpu.color import cam_to_srgb_matrix
 from raweditor_tpu.params import EditParams
 from raweditor_tpu.parallel.batch import (
-    batch_develop,
+    batch_develop_rgba,
     batch_develop_sharded,
     batch_sharding,
     pack_params,
@@ -101,15 +101,22 @@ def _decode_job(job: ExportJob, mode: str) -> _Decoded:
     )
 
 
-def _encode_one(out_path: str, rgb: np.ndarray, quality: int) -> None:
+def _encode_one(out_path: str, rgba_words: np.ndarray, quality: int) -> None:
+    """Encode a (H, W) u32 packed-RGBA image. The RGBA→RGB strip for
+    JPEG happens here on the host, exactly like the reference
+    (reference: main.rs:1778-1781)."""
     from PIL import Image
 
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
-    img = Image.fromarray(rgb)
+    h, w = rgba_words.shape
+    img = Image.frombuffer(
+        "RGBA", (w, h), np.ascontiguousarray(rgba_words).tobytes(),
+        "raw", "RGBA", 0, 1,
+    )
     if out_path.lower().endswith(".png"):
         img.save(out_path)
     else:
-        img.save(out_path, format="JPEG", quality=quality)
+        img.convert("RGB").save(out_path, format="JPEG", quality=quality)
 
 
 class _Batcher:
@@ -177,7 +184,7 @@ def run_batch_export(
 
         t0 = time.perf_counter()
         if mesh is None:
-            out = batch_develop(
+            out = batch_develop_rgba(
                 mosaics, params, wbs, cms, whites, blacks,
                 matrix_transpose=matrix_transpose,
             )
@@ -186,7 +193,7 @@ def run_batch_export(
             out = batch_develop_sharded(
                 staged, params, wbs, cms, mesh,
                 white_levels=whites, black_levels=blacks,
-                matrix_transpose=matrix_transpose,
+                matrix_transpose=matrix_transpose, rgba=True,
             )
         host = np.asarray(out)[:n_real]
         report.device_seconds += time.perf_counter() - t0

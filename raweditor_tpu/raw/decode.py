@@ -39,12 +39,26 @@ def _read(path_or_bytes) -> bytes:
         return f.read()
 
 
+def _decode_lossless_any(strip: bytes):
+    """SOF3 decode via the native extension when built, else Python."""
+    from raweditor_tpu.native import get_rawkit
+
+    rk = get_rawkit()
+    if rk is not None:
+        try:
+            raw, nc, h, w, prec = rk.decode_ljpeg(strip)
+        except ValueError as e:
+            raise RawDecodeError(str(e)) from e
+        return np.frombuffer(raw, np.uint16).reshape(nc, h, w), prec
+    return decode_lossless(strip)
+
+
 def _mosaic_from_ljpeg(strips: List[bytes], width: int, height: int):
     """Reassemble SOF3 strips into the (H, W) mosaic. Two-component
     scans (CR2 style) interleave columns."""
     rows = []
     for strip in strips:
-        planes, _prec = decode_lossless(strip)
+        planes, _prec = _decode_lossless_any(strip)
         nc, h, w = planes.shape
         if nc == 1:
             part = planes[0]

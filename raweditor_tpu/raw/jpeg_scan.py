@@ -21,6 +21,11 @@ def find_jpeg_spans(data: bytes) -> List[Tuple[int, int]]:
     """All (start, end_exclusive) candidate JPEG spans, as the reference
     pairs them: each SOI with the first EOI at/after it
     (reference: raw/processor.rs:107-120)."""
+    from raweditor_tpu.native import get_rawkit
+
+    rk = get_rawkit()
+    if rk is not None:
+        return [tuple(s) for s in rk.scan_jpeg_spans(data)]
     spans = []
     pos = 0
     while True:

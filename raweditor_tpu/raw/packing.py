@@ -13,6 +13,12 @@ import numpy as np
 
 def unpack_bits(data: bytes, width: int, height: int, bpp: int) -> np.ndarray:
     """(H, W) uint16 from MSB-first packed rows."""
+    from raweditor_tpu.native import get_rawkit
+
+    rk = get_rawkit()
+    if rk is not None:
+        raw = rk.unpack_bits(data, width, height, bpp)
+        return np.frombuffer(raw, dtype=np.uint16).reshape(height, width)
     if bpp == 16:
         a = np.frombuffer(data, dtype=">u2", count=width * height)
         return a.astype(np.uint16).reshape(height, width)

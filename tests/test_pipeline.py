@@ -147,10 +147,12 @@ def test_batch_export_end_to_end(tmp_path, rng):
     assert report.succeeded == 5
     assert len(report.failed) == 1 and "decode" in report.failed[0][1]
 
-    # PNG outputs must be bit-exact vs the single-image develop.
+    # PNG outputs must be bit-exact vs the single-image develop (PNG
+    # keeps the alpha plane, like the reference's Rgba8 PNG export,
+    # reference: main.rs:1765-1771).
     for i in range(n):
         with Image.open(tmp_path / "out" / f"s{i}.png") as im:
-            got = np.asarray(im)
+            got = np.asarray(im.convert("RGB"))
         from raweditor_tpu.raw.decode import decode_raw
 
         raw = decode_raw(str(tmp_path / f"s{i}.nef"))
