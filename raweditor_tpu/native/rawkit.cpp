@@ -302,6 +302,108 @@ LJpegResult decode_ljpeg_impl(const uint8_t* d, int64_t n) {
   return res;
 }
 
+// ---------------------------------------------------------------------------
+// Nikon compressed NEF (TIFF compression 34713)
+// ---------------------------------------------------------------------------
+
+// Hard-coded code-length trees (see raw/nikon.py for provenance and the
+// behavioral reference).
+static const uint8_t kNikonTrees[6][32] = {
+    {0, 1, 5, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0,
+     5, 4, 3, 6, 2, 7, 1, 0, 8, 9, 11, 10, 12},
+    {0, 1, 5, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0,
+     0x39, 0x5A, 0x38, 0x27, 0x16, 5, 4, 3, 2, 1, 0, 11, 12, 12},
+    {0, 1, 4, 2, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+     5, 4, 6, 3, 7, 2, 8, 1, 9, 0, 10, 11, 12},
+    {0, 1, 4, 3, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0,
+     5, 6, 4, 7, 8, 3, 9, 2, 1, 0, 10, 11, 12, 13, 14},
+    {0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0,
+     8, 0x5C, 0x4B, 0x3A, 0x29, 7, 6, 5, 4, 3, 2, 1, 0, 13, 14},
+    {0, 1, 4, 2, 2, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0,
+     7, 6, 8, 5, 9, 4, 10, 3, 11, 12, 2, 0, 1, 13, 14},
+};
+
+struct NikonBits {
+  const uint8_t* d;
+  int64_t n;
+  int64_t pos = 0;
+  uint64_t acc = 0;
+  int nbits = 0;
+
+  NikonBits(const uint8_t* data, int64_t len) : d(data), n(len) {}
+
+  inline void fill() {
+    while (nbits <= 56) {
+      uint8_t b = (pos < n) ? d[pos] : 0;  // zero-pad past end
+      pos++;
+      acc = (acc << 8) | b;
+      nbits += 8;
+    }
+  }
+
+  inline uint32_t peek16() {
+    if (nbits < 16) fill();
+    return uint32_t((acc >> (nbits - 16)) & 0xFFFF);
+  }
+
+  inline void drop(int k) { nbits -= k; }
+
+  inline int32_t read_bits(int k) {
+    if (k == 0) return 0;
+    if (nbits < k) fill();
+    int32_t v = int32_t((acc >> (nbits - k)) & ((1u << k) - 1));
+    nbits -= k;
+    return v;
+  }
+};
+
+void decode_nikon_impl(const uint8_t* strip, int64_t strip_len,
+                       uint16_t* out, int width, int height, int tree_index,
+                       int split, const int32_t* vpred_in,
+                       const uint16_t* curve, int curve_len) {
+  HuffLUT tables[2];
+  tables[0].build(kNikonTrees[tree_index], kNikonTrees[tree_index] + 16);
+  if (split > 0 && tree_index + 1 < 6)
+    tables[1].build(kNikonTrees[tree_index + 1],
+                    kNikonTrees[tree_index + 1] + 16);
+
+  NikonBits br(strip, strip_len);
+  int32_t vpred[2][2] = {{vpred_in[0], vpred_in[1]},
+                         {vpred_in[2], vpred_in[3]}};
+  int32_t hpred[2] = {0, 0};
+  const HuffLUT* t = &tables[0];
+
+  for (int row = 0; row < height; row++) {
+    if (split > 0 && row == split) t = &tables[1];
+    for (int col = 0; col < width; col++) {
+      uint32_t p = br.peek16();
+      int l = t->len[p];
+      if (l == 0) throw std::runtime_error("invalid Nikon Huffman code");
+      br.drop(l);
+      int leaf = t->sym[p];
+      int len = leaf & 15;
+      int shl = leaf >> 4;
+      int32_t diff = 0;
+      if (len) {
+        int32_t raw = br.read_bits(len - shl);
+        diff = ((raw << 1) + 1) << shl >> 1;
+        if ((diff & (1 << (len - 1))) == 0)
+          diff -= (1 << len) - (shl ? 0 : 1);
+      }
+      int32_t v;
+      if (col < 2) {
+        vpred[row & 1][col] += diff;
+        v = hpred[col] = vpred[row & 1][col];
+      } else {
+        hpred[col & 1] += diff;
+        v = hpred[col & 1];
+      }
+      int32_t idx = v < 0 ? 0 : (v >= curve_len ? curve_len - 1 : v);
+      out[int64_t(row) * width + col] = curve[idx];
+    }
+  }
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -382,6 +484,49 @@ static PyObject* py_decode_ljpeg(PyObject*, PyObject* args) {
   return Py_BuildValue("(Niiii)", data, res.nc, res.h, res.w, res.precision);
 }
 
+static PyObject* py_decode_nikon(PyObject*, PyObject* args) {
+  Py_buffer strip, vpred, curve;
+  int width, height, bpp, tree_index, split;
+  if (!PyArg_ParseTuple(args, "y*iiiiiy*y*", &strip, &width, &height, &bpp,
+                        &tree_index, &split, &vpred, &curve))
+    return nullptr;
+  std::string err;
+  PyObject* out = nullptr;
+  if (width <= 0 || height <= 0 || tree_index < 0 || tree_index > 5 ||
+      vpred.len < 16 || curve.len < 2) {
+    err = "bad nikon decode arguments";
+  } else {
+    out = PyBytes_FromStringAndSize(nullptr, int64_t(width) * height * 2);
+    if (!out) {
+      PyBuffer_Release(&strip);
+      PyBuffer_Release(&vpred);
+      PyBuffer_Release(&curve);
+      return nullptr;
+    }
+    uint16_t* dst = reinterpret_cast<uint16_t*>(PyBytes_AS_STRING(out));
+    Py_BEGIN_ALLOW_THREADS
+    try {
+      decode_nikon_impl(static_cast<const uint8_t*>(strip.buf), strip.len,
+                        dst, width, height, tree_index, split,
+                        static_cast<const int32_t*>(vpred.buf),
+                        static_cast<const uint16_t*>(curve.buf),
+                        int(curve.len / 2));
+    } catch (const std::exception& e) {
+      err = e.what();
+    }
+    Py_END_ALLOW_THREADS
+  }
+  PyBuffer_Release(&strip);
+  PyBuffer_Release(&vpred);
+  PyBuffer_Release(&curve);
+  if (!err.empty()) {
+    Py_XDECREF(out);
+    PyErr_SetString(PyExc_ValueError, err.c_str());
+    return nullptr;
+  }
+  return out;
+}
+
 static PyMethodDef RawkitMethods[] = {
     {"scan_jpeg_spans", py_scan_jpeg_spans, METH_VARARGS,
      "scan_jpeg_spans(data) -> [(start, end), ...]"},
@@ -389,6 +534,9 @@ static PyMethodDef RawkitMethods[] = {
      "unpack_bits(data, width, height, bpp) -> native-endian u16 bytes"},
     {"decode_ljpeg", py_decode_ljpeg, METH_VARARGS,
      "decode_ljpeg(data) -> (u16_bytes, nc, h, w, precision)"},
+    {"decode_nikon", py_decode_nikon, METH_VARARGS,
+     "decode_nikon(strip, w, h, bpp, tree, split, vpred_i32x4, "
+     "curve_u16) -> u16 bytes"},
     {nullptr, nullptr, 0, nullptr}};
 
 static struct PyModuleDef rawkit_module = {

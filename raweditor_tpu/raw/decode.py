@@ -79,6 +79,55 @@ def _mosaic_from_ljpeg(strips: List[bytes], width: int, height: int):
     return mosaic
 
 
+def find_nikon_makernote(tf: T.TiffFile) -> Optional[T.TiffFile]:
+    """Locate and parse the Nikon MakerNote's embedded TIFF (tag
+    offsets are relative to its own header, 10 bytes in)."""
+    for ifd in tf.all_ifds():
+        mn = ifd.get(T.MAKER_NOTE)
+        if isinstance(mn, (bytes, bytearray)) and mn[:6] == b"Nikon\x00":
+            try:
+                return T.TiffFile(bytes(mn[10:]))
+            except ValueError:
+                return None
+    return None
+
+
+def _decode_nikon_strips(tf: T.TiffFile, strips: List[bytes], width: int,
+                         height: int, bpp: int) -> np.ndarray:
+    """Nikon compression 34713: linearization metadata from MakerNote
+    tag 0x0096 + the hard-coded Huffman trees (see raw/nikon.py)."""
+    from raweditor_tpu.raw import nikon
+
+    mn = find_nikon_makernote(tf)
+    if mn is None:
+        raise UnsupportedRawError("compressed NEF without Nikon MakerNote")
+    meta = None
+    for ifd in mn.all_ifds():
+        meta = ifd.get(0x0096)
+        if meta is not None:
+            break
+    if not isinstance(meta, (bytes, bytearray)):
+        raise UnsupportedRawError(
+            "compressed NEF without 0x0096 linearization table"
+        )
+    info = nikon.parse_linearization(
+        bytes(meta), bpp, big_endian=(tf.endian == ">")
+    )
+    strip = b"".join(strips)
+
+    from raweditor_tpu.native import get_rawkit
+
+    rk = get_rawkit()
+    if rk is not None and hasattr(rk, "decode_nikon"):
+        raw = rk.decode_nikon(
+            strip, width, height, bpp, info.tree_index, int(info.split),
+            info.vpred.astype(np.int32).tobytes(),
+            info.curve.astype(np.uint16).tobytes(),
+        )
+        return np.frombuffer(raw, np.uint16).reshape(height, width)
+    return nikon.decode_nikon(strip, width, height, bpp, info)
+
+
 def _find_tag(tf: T.TiffFile, tag: int):
     for ifd in tf.all_ifds():
         v = ifd.get(tag)
@@ -126,9 +175,7 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
     elif comp == T.COMPRESSION_LJPEG:
         mosaic = _mosaic_from_ljpeg(strips, width, height)
     elif comp == T.COMPRESSION_NIKON:
-        raise UnsupportedRawError(
-            "Nikon-compressed NEF (34713): native decoder not built yet"
-        )
+        mosaic = _decode_nikon_strips(tf, strips, width, height, bpp)
     else:
         raise UnsupportedRawError(f"compression {comp}")
 

@@ -120,12 +120,15 @@ class _TiffWriter:
             out += struct.pack("<H", len(entries))
             for eidx, (tag, typ, values) in enumerate(entries):
                 if isinstance(values, tuple) and values and values[0] == "blob":
-                    # LONG offset into blob (+optional extra offset)
+                    # Offset into blob: ("blob", idx[, extra_off[, count]]).
+                    # count defaults to 1 (LONG offset tags like
+                    # StripOffsets); UNDEFINED payloads pass their byte
+                    # length so readers slice correctly.
                     blob_idx = values[1]
                     extra = values[2] if len(values) > 2 else 0
                     resolved = blob_offsets[blob_idx] + extra
                     payload = struct.pack("<I", resolved)
-                    count = 1
+                    count = values[3] if len(values) > 3 else 1
                 elif isinstance(values, tuple) and values and values[0] == "ifd":
                     resolved = ifd_offsets[values[1]]
                     payload = struct.pack("<I", resolved)
@@ -201,12 +204,19 @@ def write_synthetic_raw(
     if preview_jpeg is None:
         preview_jpeg = make_preview_jpeg()
 
+    makernote = None
     if compression == "none":
         comp_tag = T.COMPRESSION_NONE
         sensor = pack_bits(mosaic, bpp)
     elif compression == "ljpeg":
         comp_tag = T.COMPRESSION_LJPEG
         sensor = encode_lossless(mosaic, bpp, predictor=predictor)
+    elif compression == "nikon":
+        from raweditor_tpu.raw.nikon import encode_nikon
+
+        comp_tag = T.COMPRESSION_NIKON
+        sensor, meta_0x96 = encode_nikon(mosaic, bpp)
+        makernote = _build_nikon_makernote(meta_0x96)
     else:
         raise ValueError(f"compression {compression!r}")
 
@@ -236,6 +246,12 @@ def write_synthetic_raw(
             [rat(float(v), 1000000) for v in wb_neutral],
         ),
     ]
+    ifds_extra = []
+    if makernote is not None:
+        # Exif IFD (index 2) holding the Nikon MakerNote with the
+        # 0x0096 linearization blob the compressed-NEF decoder needs.
+        ifd0.append((T.EXIF_IFD, _TYPE_LONG, ("ifd", 2)))
+        ifds_extra.append([(T.MAKER_NOTE, _TYPE_UNDEF, makernote)])
     ifd0.sort(key=lambda e: e[0])
 
     sensor_ifd = [
@@ -258,8 +274,21 @@ def write_synthetic_raw(
     ]
     sensor_ifd.sort(key=lambda e: e[0])
 
-    data = wtr.build([ifd0, sensor_ifd], chain=(0,))
+    data = wtr.build([ifd0, sensor_ifd] + ifds_extra, chain=(0,))
     if path is not None:
         with open(path, "wb") as f:
             f.write(data)
     return data
+
+
+def _build_nikon_makernote(meta_0x96: bytes) -> bytes:
+    """Nikon-format MakerNote: "Nikon\\0" + version, then an embedded
+    TIFF whose IFD carries tag 0x0096 (offsets relative to the embedded
+    header, as real NEFs do)."""
+    inner = _TiffWriter()
+    blob = inner.add_blob(meta_0x96)
+    tiff = inner.build(
+        [[(0x0096, _TYPE_UNDEF, ("blob", blob, 0, len(meta_0x96)))]],
+        chain=(0,),
+    )
+    return b"Nikon\x00\x02\x10\x00\x00" + tiff
