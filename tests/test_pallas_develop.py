@@ -1,0 +1,83 @@
+"""Pallas fused develop kernel: ≤1 LSB vs the bit-exact XLA path.
+Runs in interpreter mode on the CPU test backend; the compiled kernel
+is exercised on real TPU by bench.py and the verify drives."""
+
+import numpy as np
+import pytest
+
+from raweditor_tpu.params import EditParams
+from raweditor_tpu.ops.develop import develop_rgba, rgba_view
+from raweditor_tpu.ops.pallas_develop import (
+    _largest_even_divisor,
+    pallas_develop_rgba,
+)
+
+WB = np.array([2.07, 1.0, 1.32], dtype=np.float32)
+IDENTITY = np.eye(3, dtype=np.float32)
+
+FULL = EditParams(exposure=0.6, contrast=8.0, highlights=-0.4, shadows=0.3,
+                  whites=1.05, blacks=0.04, saturation=25.0, vibrance=0.5,
+                  temperature=0.2, tint=-0.1)
+
+
+def assert_1lsb(got_words, want_words, frac_exact=0.99):
+    g = rgba_view(np.asarray(got_words)).astype(int)
+    w = rgba_view(np.asarray(want_words)).astype(int)
+    diff = np.abs(g - w)
+    assert diff.max() <= 1
+    assert (diff == 0).mean() >= frac_exact
+
+
+@pytest.mark.parametrize("params", [EditParams(), FULL,
+                                    EditParams(exposure=-2.0)])
+def test_parity_vs_xla(params, rng):
+    mosaic = rng.integers(0, 4096, size=(32, 48), dtype=np.uint16)
+    got = pallas_develop_rgba(mosaic, params, WB, IDENTITY, interpret=True)
+    want = develop_rgba(mosaic, params, WB, IDENTITY)
+    assert_1lsb(got, want)
+
+
+def test_multi_block_halo(rng):
+    """Blocks exchange demosaic halos correctly: a 64-row image split
+    into 8-row blocks must match the single-fusion XLA output."""
+    mosaic = rng.integers(0, 4096, size=(64, 32), dtype=np.uint16)
+    got = pallas_develop_rgba(mosaic, FULL, WB, IDENTITY, block_h=8,
+                              interpret=True)
+    want = develop_rgba(mosaic, FULL, WB, IDENTITY)
+    assert_1lsb(got, want)
+
+
+def test_black_white_levels(rng):
+    mosaic = rng.integers(100, 16000, size=(16, 32), dtype=np.uint16)
+    got = pallas_develop_rgba(mosaic, EditParams(), WB, IDENTITY,
+                              white_level=16000.0, black_level=100.0,
+                              interpret=True)
+    want = develop_rgba(mosaic, EditParams(), WB, IDENTITY,
+                        white_level=16000.0, black_level=100.0)
+    assert_1lsb(got, want)
+
+
+def test_nontrivial_matrix(rng):
+    m = np.array([[1.6, -0.3, -0.3], [-0.2, 1.5, -0.3], [0.0, -0.4, 1.4]],
+                 dtype=np.float32)
+    mosaic = rng.integers(0, 4096, size=(16, 32), dtype=np.uint16)
+    for transpose in (True, False):
+        got = pallas_develop_rgba(mosaic, FULL, WB, m,
+                                  matrix_transpose=transpose, interpret=True)
+        want = develop_rgba(mosaic, FULL, WB, m, matrix_transpose=transpose)
+        assert_1lsb(got, want)
+
+
+def test_block_divisor_selection():
+    assert _largest_even_divisor(4016) == 16
+    assert _largest_even_divisor(4000) == 80
+    assert 4000 % _largest_even_divisor(4000) == 0
+    assert _largest_even_divisor(4016) % 8 == 0
+    assert _largest_even_divisor(10) == 0  # no multiple-of-8 divisor
+
+
+def test_indivisible_height_raises(rng):
+    mosaic = rng.integers(0, 4096, size=(10, 32), dtype=np.uint16)
+    with pytest.raises(ValueError):
+        pallas_develop_rgba(mosaic, EditParams(), WB, IDENTITY,
+                            interpret=True)
