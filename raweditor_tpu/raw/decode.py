@@ -79,6 +79,71 @@ def _mosaic_from_ljpeg(strips: List[bytes], width: int, height: int):
     return mosaic
 
 
+def _float_mosaic(data: bytes, width: int, height: int, bpp: int,
+                  endian: str) -> np.ndarray:
+    """Floating-point sensor data (DNG SampleFormat=3): normalize
+    0.0-1.0 floats to u16 exactly like the reference
+    (reference: raw/loader.rs:67-72: *65535, clamped)."""
+    if bpp == 32:
+        dt = endian + "f4"
+    elif bpp == 16:
+        dt = endian + "f2"
+    else:
+        raise UnsupportedRawError(f"float sample with {bpp} bits")
+    vals = np.frombuffer(data, dtype=dt, count=width * height).astype(
+        np.float32
+    )
+    out = np.clip(vals * 65535.0, 0.0, 65535.0).astype(np.uint16)
+    return out.reshape(height, width)
+
+
+def _mosaic_from_tiles(tf: T.TiffFile, ifd: T.IFD, width: int, height: int,
+                       bpp: int, comp: int) -> np.ndarray:
+    """Reassemble a tiled CFA plane (DNG lossless is typically tiled).
+
+    Tiles are laid out row-major, each padded to the full tile size;
+    edge tiles are cropped after decode (TIFF 6.0 / DNG spec)."""
+    tw = ifd.get_scalar(T.TILE_WIDTH)
+    th = ifd.get_scalar(T.TILE_LENGTH)
+    if not tw or not th:
+        raise RawDecodeError("tiled IFD missing tile dimensions")
+    tiles = tf.tile_data(ifd)
+    tiles_across = (width + tw - 1) // tw
+    tiles_down = (height + th - 1) // th
+    if len(tiles) < tiles_across * tiles_down:
+        raise RawDecodeError(
+            f"expected {tiles_across * tiles_down} tiles, got {len(tiles)}"
+        )
+    out = np.zeros((height, width), np.uint16)
+    for ty in range(tiles_down):
+        for tx in range(tiles_across):
+            data = tiles[ty * tiles_across + tx]
+            if comp == T.COMPRESSION_NONE:
+                tile = unpack_bits(data, tw, th, bpp)
+            elif comp == T.COMPRESSION_LJPEG:
+                planes, _prec = _decode_lossless_any(data)
+                nc, h0, w0 = planes.shape
+                if nc == 1:
+                    tile = planes[0]
+                elif nc == 2:
+                    tile = np.empty((h0, 2 * w0), np.uint16)
+                    tile[:, 0::2] = planes[0]
+                    tile[:, 1::2] = planes[1]
+                else:
+                    raise UnsupportedRawError(f"{nc}-component tile")
+                if tile.shape != (th, tw):
+                    raise RawDecodeError(
+                        f"tile decoded {tile.shape}, expected {(th, tw)}"
+                    )
+            else:
+                raise UnsupportedRawError(f"tiled compression {comp}")
+            y0, x0 = ty * th, tx * tw
+            ys = min(th, height - y0)
+            xs = min(tw, width - x0)
+            out[y0 : y0 + ys, x0 : x0 + xs] = tile[:ys, :xs]
+    return out
+
+
 def find_nikon_makernote(tf: T.TiffFile) -> Optional[T.TiffFile]:
     """Locate and parse the Nikon MakerNote's embedded TIFF (tag
     offsets are relative to its own header, 10 bytes in)."""
@@ -169,13 +234,21 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
     if not width or not height:
         raise RawDecodeError("sensor IFD missing dimensions")
 
-    strips = tf.strip_data(ifd)
-    if comp == T.COMPRESSION_NONE:
-        mosaic = unpack_bits(b"".join(strips), width, height, bpp)
+    sample_format = ifd.get_scalar(T.SAMPLE_FORMAT, 1)
+    if tf.is_tiled(ifd):
+        mosaic = _mosaic_from_tiles(tf, ifd, width, height, bpp, comp)
+    elif comp == T.COMPRESSION_NONE:
+        if sample_format == 3:
+            mosaic = _float_mosaic(b"".join(tf.strip_data(ifd)), width,
+                                   height, bpp, tf.endian)
+        else:
+            mosaic = unpack_bits(b"".join(tf.strip_data(ifd)), width,
+                                 height, bpp)
     elif comp == T.COMPRESSION_LJPEG:
-        mosaic = _mosaic_from_ljpeg(strips, width, height)
+        mosaic = _mosaic_from_ljpeg(tf.strip_data(ifd), width, height)
     elif comp == T.COMPRESSION_NIKON:
-        mosaic = _decode_nikon_strips(tf, strips, width, height, bpp)
+        mosaic = _decode_nikon_strips(tf, tf.strip_data(ifd), width,
+                                      height, bpp)
     else:
         raise UnsupportedRawError(f"compression {comp}")
 

@@ -93,6 +93,10 @@ class _TiffWriter:
                 ):
                     per_entry.append(0)
                     continue
+                if isinstance(values, tuple) and values and values[0] == "blob_multi":
+                    size = 4 * len(values[2])
+                    per_entry.append(size if size > 4 else 0)
+                    continue
                 data = self._encode_values(typ, values)
                 per_entry.append(len(data) if len(data) > 4 else 0)
             overflow_offsets.append(per_entry)
@@ -133,6 +137,18 @@ class _TiffWriter:
                     resolved = ifd_offsets[values[1]]
                     payload = struct.pack("<I", resolved)
                     count = 1
+                elif isinstance(values, tuple) and values and values[0] == "blob_multi":
+                    # ("blob_multi", idx, [rel_offsets]): LONG array of
+                    # absolute offsets into a blob (tile offsets).
+                    base = blob_offsets[values[1]]
+                    resolved_list = [base + r for r in values[2]]
+                    payload = struct.pack(
+                        f"<{len(resolved_list)}I", *resolved_list
+                    )
+                    count = len(resolved_list)
+                    if len(payload) > 4:
+                        off = overflow_offsets[idx][eidx]
+                        payload = struct.pack("<I", off)
                 else:
                     payload = self._encode_values(typ, values)
                     count = self._count(typ, values)
@@ -154,7 +170,14 @@ class _TiffWriter:
             for off, (tag, typ, values) in zip(per_entry, entries):
                 if off:
                     out += b"\0" * (off - len(out))
-                    out += self._encode_values(typ, values)
+                    if isinstance(values, tuple) and values and values[0] == "blob_multi":
+                        base = blob_offsets[values[1]]
+                        out += struct.pack(
+                            f"<{len(values[2])}I",
+                            *[base + r for r in values[2]],
+                        )
+                    else:
+                        out += self._encode_values(typ, values)
         for off, blob in zip(blob_offsets, self.blobs):
             out += b"\0" * (off - len(out))
             out += blob
@@ -192,9 +215,15 @@ def write_synthetic_raw(
     model: str = "S1",
     preview_jpeg: Optional[bytes] = None,
     predictor: int = 1,
+    tile_size: Optional[Tuple[int, int]] = None,
+    float_samples: bool = False,
 ) -> bytes:
     """Write a DNG/NEF-style CFA TIFF. Returns the bytes (also written
-    to ``path`` unless None)."""
+    to ``path`` unless None).
+
+    tile_size=(tw, th) writes a tiled plane instead of one strip (DNG
+    lossless layout). float_samples stores the mosaic as f32 in [0, 1]
+    (DNG SampleFormat=3; values mosaic/(2^bpp-1))."""
     mosaic = np.asarray(mosaic, dtype=np.uint16)
     h, w = mosaic.shape
     if white_level is None:
@@ -205,7 +234,35 @@ def write_synthetic_raw(
         preview_jpeg = make_preview_jpeg()
 
     makernote = None
-    if compression == "none":
+    tiles: Optional[list] = None
+    sample_format = 1
+    if float_samples:
+        if compression != "none" or tile_size is not None:
+            raise ValueError("float samples: uncompressed strips only")
+        comp_tag = T.COMPRESSION_NONE
+        sample_format = 3
+        vals = mosaic.astype(np.float32) / np.float32((1 << bpp) - 1)
+        sensor = vals.astype("<f4").tobytes()
+        bpp = 32
+    elif tile_size is not None:
+        tw, th = tile_size
+        comp_tag = (T.COMPRESSION_NONE if compression == "none"
+                    else T.COMPRESSION_LJPEG)
+        if compression not in ("none", "ljpeg"):
+            raise ValueError("tiled: compression must be none or ljpeg")
+        tiles = []
+        for y0 in range(0, h, th):
+            for x0 in range(0, w, tw):
+                tile = np.zeros((th, tw), np.uint16)
+                part = mosaic[y0 : y0 + th, x0 : x0 + tw]
+                tile[: part.shape[0], : part.shape[1]] = part
+                tiles.append(
+                    pack_bits(tile, bpp)
+                    if compression == "none"
+                    else encode_lossless(tile, bpp, predictor=predictor)
+                )
+        sensor = b""
+    elif compression == "none":
         comp_tag = T.COMPRESSION_NONE
         sensor = pack_bits(mosaic, bpp)
     elif compression == "ljpeg":
@@ -222,7 +279,11 @@ def write_synthetic_raw(
 
     wtr = _TiffWriter()
     preview_idx = wtr.add_blob(preview_jpeg)
-    sensor_idx = wtr.add_blob(sensor)
+    if tiles is not None:
+        tile_blob = b"".join(tiles)
+        sensor_idx = wtr.add_blob(tile_blob)
+    else:
+        sensor_idx = wtr.add_blob(sensor)
 
     def rat(x, den=10000):
         return (int(round(x * den)), den)
@@ -261,10 +322,7 @@ def write_synthetic_raw(
         (T.BITS_PER_SAMPLE, _TYPE_SHORT, [bpp]),
         (T.COMPRESSION, _TYPE_SHORT, [comp_tag]),
         (T.PHOTOMETRIC, _TYPE_SHORT, [T.PHOTOMETRIC_CFA]),
-        (T.STRIP_OFFSETS, _TYPE_LONG, ("blob", sensor_idx)),
         (T.SAMPLES_PER_PIXEL, _TYPE_SHORT, [1]),
-        (T.ROWS_PER_STRIP, _TYPE_LONG, [h]),
-        (T.STRIP_BYTE_COUNTS, _TYPE_LONG, [len(sensor)]),
         (T.CFA_REPEAT_DIM, _TYPE_SHORT, [2, 2]),
         # 0=R 1=G 2=B: RGGB, the effective storage pattern of the
         # develop stencil (see ops/demosaic.py).
@@ -272,6 +330,27 @@ def write_synthetic_raw(
         (T.BLACK_LEVEL, _TYPE_SHORT, [black_level]),
         (T.WHITE_LEVEL, _TYPE_SHORT, [white_level]),
     ]
+    if sample_format != 1:
+        sensor_ifd.append((T.SAMPLE_FORMAT, _TYPE_SHORT, [sample_format]))
+    if tiles is not None:
+        rel = []
+        pos = 0
+        for t in tiles:
+            rel.append(pos)
+            pos += len(t)
+        tw, th = tile_size
+        sensor_ifd += [
+            (T.TILE_WIDTH, _TYPE_LONG, [tw]),
+            (T.TILE_LENGTH, _TYPE_LONG, [th]),
+            (T.TILE_OFFSETS, _TYPE_LONG, ("blob_multi", sensor_idx, rel)),
+            (T.TILE_BYTE_COUNTS, _TYPE_LONG, [len(t) for t in tiles]),
+        ]
+    else:
+        sensor_ifd += [
+            (T.STRIP_OFFSETS, _TYPE_LONG, ("blob", sensor_idx)),
+            (T.ROWS_PER_STRIP, _TYPE_LONG, [h]),
+            (T.STRIP_BYTE_COUNTS, _TYPE_LONG, [len(sensor)]),
+        ]
     sensor_ifd.sort(key=lambda e: e[0])
 
     data = wtr.build([ifd0, sensor_ifd] + ifds_extra, chain=(0,))

@@ -34,6 +34,7 @@ TILE_WIDTH = 322
 TILE_LENGTH = 323
 TILE_OFFSETS = 324
 TILE_BYTE_COUNTS = 325
+SAMPLE_FORMAT = 339
 CFA_REPEAT_DIM = 33421
 CFA_PATTERN = 33422
 EXIF_IFD = 34665
@@ -212,7 +213,8 @@ class TiffFile:
         candidates = [
             i
             for i in self.all_ifds()
-            if i.get(STRIP_OFFSETS) is not None
+            if (i.get(STRIP_OFFSETS) is not None
+                or i.get(TILE_OFFSETS) is not None)
             and i.get_scalar(SAMPLES_PER_PIXEL, 1) == 1
         ]
         if not candidates:
@@ -231,3 +233,15 @@ class TiffFile:
         if not isinstance(offs, tuple):
             offs, lens = (offs,), (lens,)
         return [self.data[o : o + n] for o, n in zip(offs, lens)]
+
+    def tile_data(self, ifd: IFD) -> List[bytes]:
+        offs = ifd.get(TILE_OFFSETS)
+        lens = ifd.get(TILE_BYTE_COUNTS)
+        if offs is None or lens is None:
+            raise ValueError("IFD has no tile data")
+        if not isinstance(offs, tuple):
+            offs, lens = (offs,), (lens,)
+        return [self.data[o : o + n] for o, n in zip(offs, lens)]
+
+    def is_tiled(self, ifd: IFD) -> bool:
+        return ifd.get(TILE_OFFSETS) is not None

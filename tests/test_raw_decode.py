@@ -172,3 +172,31 @@ def test_develop_from_decoded_file(tmp_path, rng):
         develop(mosaic, EditParams(), raw.wb_rgb(), np.eye(3, dtype=np.float32))
     )
     assert (got == want).all()
+
+
+# --- tiles + float samples -------------------------------------------------
+
+
+@pytest.mark.parametrize("compression", ["none", "ljpeg"])
+def test_decode_tiled(tmp_path, rng, compression):
+    """DNG-style tiled CFA plane, including edge tiles that need
+    cropping."""
+    mosaic = rng.integers(0, 4096, size=(50, 70), dtype=np.uint16)
+    path = tmp_path / "tiled.dng"
+    write_synthetic_raw(path, mosaic, tile_size=(32, 16),
+                        compression=compression)
+    raw = decode_raw(path)
+    assert (raw.mosaic == mosaic).all()
+
+
+def test_decode_float_samples(tmp_path, rng):
+    """DNG SampleFormat=3: floats normalized to u16 like the reference
+    (reference: raw/loader.rs:67-72)."""
+    mosaic = rng.integers(0, 4096, size=(20, 24), dtype=np.uint16)
+    path = tmp_path / "float.dng"
+    write_synthetic_raw(path, mosaic, float_samples=True)
+    raw = decode_raw(path)
+    expect = np.clip(
+        mosaic.astype(np.float32) / 4095 * 65535, 0, 65535
+    ).astype(np.uint16)
+    assert (raw.mosaic == expect).all()

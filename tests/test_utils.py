@@ -1,0 +1,74 @@
+import json
+import time
+
+import pytest
+
+from raweditor_tpu.utils.config import Config
+from raweditor_tpu.utils.timing import LatencyStats, StageTimer
+
+
+def test_config_defaults_match_reference_constants():
+    cfg = Config().validate()
+    # reference: gpu/pipeline.rs:125,131; raw/processor.rs:13-15;
+    # main.rs:803.
+    assert cfg.max_preview_width == 1280
+    assert cfg.histogram_width == 128
+    assert (cfg.tier_thumb, cfg.tier_instant, cfg.tier_working) == (
+        256, 384, 1280)
+    assert (cfg.zoom_min, cfg.zoom_max) == (0.1, 10.0)
+
+
+def test_config_env_overlay(monkeypatch):
+    monkeypatch.setenv("RAWEDITOR_TPU_BATCH_SIZE", "32")
+    monkeypatch.setenv("RAWEDITOR_TPU_MODE", "accurate")
+    monkeypatch.setenv("RAWEDITOR_TPU_USE_PALLAS_KERNEL", "true")
+    cfg = Config.from_env()
+    assert cfg.batch_size == 32
+    assert cfg.mode == "accurate"
+    assert cfg.use_pallas_kernel is True
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        Config(mode="bogus").validate()
+    with pytest.raises(ValueError):
+        Config(jpeg_quality=0).validate()
+    with pytest.raises(ValueError):
+        Config(zoom_min=5.0, zoom_max=1.0).validate()
+
+
+def test_config_json_round_trip(tmp_path):
+    cfg = Config(batch_size=16, mode="accurate")
+    p = tmp_path / "cfg.json"
+    p.write_text(cfg.to_json())
+    restored = Config.from_json(p)
+    assert restored == cfg
+    p.write_text(json.dumps({"bogus_key": 1}))
+    with pytest.raises(ValueError):
+        Config.from_json(p)
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("decode"):
+        time.sleep(0.01)
+    with t.stage("decode"):
+        pass
+    t.add("device", 0.5)
+    rep = t.report()
+    assert rep["decode"]["count"] == 2
+    assert rep["decode"]["total_s"] >= 0.01
+    assert rep["device"]["total_s"] == 0.5
+
+
+def test_latency_stats():
+    s = LatencyStats()
+    for ms in (1, 2, 3, 4, 100):
+        s.record(ms / 1000)
+    summary = s.summary()
+    assert summary["count"] == 5
+    assert summary["p50_ms"] == pytest.approx(3.0, rel=0.01)
+    assert summary["max_ms"] == pytest.approx(100.0, rel=0.01)
+    with s.measure():
+        pass
+    assert s.summary()["count"] == 6
