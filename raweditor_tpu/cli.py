@@ -82,6 +82,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mode", choices=("parity", "accurate"),
                    default="parity")
     p.add_argument("--quality", type=int, default=95)
+    p.add_argument("--fast", action="store_true",
+                   help="use the fused Pallas kernel (±1 LSB)")
     _add_slider_args(p)
 
     p = sub.add_parser("edit", help="save slider values for a catalog image")
@@ -109,8 +111,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("tiers", help="generate pending preview tiers")
     p.add_argument("--cache-dir", default=None)
 
-    p = sub.add_parser("histogram", help="print 256-bin histogram JSON")
+    p = sub.add_parser("histogram", help="print 256-bin histogram")
     p.add_argument("input")
+    p.add_argument("--ascii", action="store_true",
+                   help="render as a terminal chart instead of JSON")
     _add_slider_args(p)
 
     p = sub.add_parser("synth", help="write a synthetic RAW fixture")
@@ -179,15 +183,19 @@ def _resolve_input(args):
 
 def cmd_develop(args) -> int:
     from raweditor_tpu.pipeline.engine import DevelopEngine
+    from raweditor_tpu.utils.config import Config
 
+    cfg = Config.from_env()
     path, base = _resolve_input(args)
     params = _params_from_args(args, base)
-    eng = DevelopEngine.open(path, mode=args.mode)
+    # Zoom clamp (reference: main.rs:803).
+    zoom = min(max(args.zoom, cfg.zoom_min), cfg.zoom_max)
+    eng = DevelopEngine.open(path, mode=args.mode,
+                             use_pallas=getattr(args, "fast", False))
     if args.preview:
         from PIL import Image
 
-        img = eng.preview(params, zoom=args.zoom,
-                          pan=(args.pan_x, args.pan_y))
+        img = eng.preview(params, zoom=zoom, pan=(args.pan_x, args.pan_y))
         Image.fromarray(img).save(args.output, quality=args.quality)
     else:
         eng.export(args.output, params, quality=args.quality)
@@ -263,9 +271,37 @@ def cmd_histogram(args) -> int:
 
     eng = DevelopEngine.open(args.input)
     hist = eng.histogram(_params_from_args(args))
-    print(json.dumps({"r": hist[0].tolist(), "g": hist[1].tolist(),
-                      "b": hist[2].tolist()}))
+    if args.ascii:
+        print(render_ascii_histogram(hist))
+    else:
+        print(json.dumps({"r": hist[0].tolist(), "g": hist[1].tolist(),
+                          "b": hist[2].tolist()}))
     return 0
+
+
+def render_ascii_histogram(hist, width: int = 64, height: int = 8) -> str:
+    """Terminal rendering of the (3, 256) histogram — the headless
+    analogue of the reference's canvas widget, max-normalized like it
+    (reference: ui/histogram.rs:26-75)."""
+    import numpy as np
+
+    hist = np.asarray(hist, dtype=np.float64)
+    # Collapse 256 bins into `width` columns.
+    bins = hist.reshape(3, width, 256 // width).sum(axis=2)
+    peak = bins.max() or 1.0
+    levels = np.round(bins / peak * height).astype(int)
+    lines = []
+    for ch, name in enumerate("RGB"):
+        rows = []
+        for level in range(height, 0, -1):
+            rows.append(
+                "".join("#" if levels[ch, c] >= level else " "
+                        for c in range(width))
+            )
+        lines.append(f"{name}:")
+        lines.extend(rows)
+        lines.append("0" + " " * (width - 4) + "255")
+    return "\n".join(lines)
 
 
 def cmd_synth(args) -> int:

@@ -43,11 +43,13 @@ class DevelopEngine:
 
     def __init__(self, raw: RawImage, mode: str = "parity",
                  max_preview_width: int = MAX_PREVIEW_WIDTH,
-                 histogram_width: int = HISTOGRAM_WIDTH):
+                 histogram_width: int = HISTOGRAM_WIDTH,
+                 use_pallas: bool = False):
         import jax
 
         if mode not in ("parity", "accurate"):
             raise ValueError(f"unknown mode {mode!r}")
+        self.use_pallas = use_pallas
         self.raw = raw
         self.mode = mode
         self.width = raw.width
@@ -119,7 +121,21 @@ class DevelopEngine:
     def full_rgba_device(self, params: EditParams):
         """Full-res develop to packed RGBA u32 (H, W) — the fast output
         format; same bytes the reference reads back
-        (reference: gpu/pipeline.rs:551)."""
+        (reference: gpu/pipeline.rs:551). With ``use_pallas``, runs the
+        hand-fused kernel (±1 LSB, see ops/pallas_develop.py) when the
+        mosaic shape supports it."""
+        if self.use_pallas:
+            from raweditor_tpu.ops.pallas_develop import pallas_develop_rgba
+
+            try:
+                return pallas_develop_rgba(
+                    self.mosaic, params, self.wb, self.cam_matrix,
+                    white_level=self.white_level,
+                    black_level=self.black_level,
+                    matrix_transpose=self.matrix_transpose,
+                )
+            except ValueError:
+                pass  # unsupported shape → XLA path
         return develop_rgba(
             self.mosaic, params, self.wb, self.cam_matrix,
             white_level=self.white_level, black_level=self.black_level,

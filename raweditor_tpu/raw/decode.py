@@ -201,6 +201,27 @@ def _find_tag(tf: T.TiffFile, tag: int):
     return None
 
 
+def _wb_from_nikon_makernote(tf: T.TiffFile):
+    """Nikon MakerNote tag 0x000C (WB R/B levels): RATIONALs in file
+    order R, B, G(, G2) → [R, G, B, G2] multipliers, green-normalized.
+    Newer bodies store WB only in the encrypted 0x0097 ColorBalance
+    block (not yet supported); then this returns None and the caller
+    falls back to neutral, like the reference does when rawloader has
+    no coefficients (reference: raw/loader.rs:93-97)."""
+    mn = find_nikon_makernote(tf)
+    if mn is None:
+        return None
+    for ifd in mn.all_ifds():
+        v = ifd.get(0x000C)
+        if isinstance(v, tuple) and len(v) >= 3:
+            r, b, g = float(v[0]), float(v[1]), float(v[2])
+            g2 = float(v[3]) if len(v) > 3 else g
+            if g <= 0:
+                return None
+            return RawImage.normalize_wb([r, g, b, g2])
+    return None
+
+
 def _wb_from_neutral(neutral) -> np.ndarray:
     """DNG AsShotNeutral (camera-space white) → multipliers, then
     green-normalized with the reference's fallback rules
@@ -254,11 +275,13 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
 
     # --- color metadata -------------------------------------------------
     neutral = _find_tag(tf, T.AS_SHOT_NEUTRAL)
-    wb = (
-        _wb_from_neutral(neutral)
-        if neutral is not None
-        else np.array([1.0, 1.0, 1.0, 1.0], dtype=np.float32)
-    )
+    if neutral is not None:
+        wb = _wb_from_neutral(neutral)
+    else:
+        wb = _wb_from_nikon_makernote(tf)
+    if wb is None:
+        # Neutral fallback (reference: raw/loader.rs:93-97).
+        wb = np.array([1.0, 1.0, 1.0, 1.0], dtype=np.float32)
 
     cm = _find_tag(tf, T.COLOR_MATRIX_1)
     if cm is not None and isinstance(cm, tuple) and len(cm) >= 9:

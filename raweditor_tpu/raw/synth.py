@@ -217,6 +217,7 @@ def write_synthetic_raw(
     predictor: int = 1,
     tile_size: Optional[Tuple[int, int]] = None,
     float_samples: bool = False,
+    wb_in_makernote: bool = False,
 ) -> bytes:
     """Write a DNG/NEF-style CFA TIFF. Returns the bytes (also written
     to ``path`` unless None).
@@ -273,9 +274,16 @@ def write_synthetic_raw(
 
         comp_tag = T.COMPRESSION_NIKON
         sensor, meta_0x96 = encode_nikon(mosaic, bpp)
-        makernote = _build_nikon_makernote(meta_0x96)
+        makernote = _build_nikon_makernote(
+            meta_0x96,
+            wb_rbgg=_neutral_to_rbgg(wb_neutral) if wb_in_makernote else None,
+        )
     else:
         raise ValueError(f"compression {compression!r}")
+    if wb_in_makernote and makernote is None:
+        makernote = _build_nikon_makernote(
+            None, wb_rbgg=_neutral_to_rbgg(wb_neutral)
+        )
 
     wtr = _TiffWriter()
     preview_idx = wtr.add_blob(preview_jpeg)
@@ -307,6 +315,9 @@ def write_synthetic_raw(
             [rat(float(v), 1000000) for v in wb_neutral],
         ),
     ]
+    if wb_in_makernote:
+        # Real NEFs carry WB in the MakerNote, not AsShotNeutral.
+        ifd0 = [e for e in ifd0 if e[0] != T.AS_SHOT_NEUTRAL]
     ifds_extra = []
     if makernote is not None:
         # Exif IFD (index 2) holding the Nikon MakerNote with the
@@ -360,14 +371,31 @@ def write_synthetic_raw(
     return data
 
 
-def _build_nikon_makernote(meta_0x96: bytes) -> bytes:
+def _neutral_to_rbgg(wb_neutral) -> Tuple[float, float, float, float]:
+    """AsShotNeutral (camera-space white) → the R,B,G,G2 multiplier
+    order of MakerNote 0x000C."""
+    r, g, b = (1.0 / v for v in wb_neutral[:3])
+    return (r, b, g, g)
+
+
+def _build_nikon_makernote(meta_0x96: Optional[bytes],
+                           wb_rbgg=None) -> bytes:
     """Nikon-format MakerNote: "Nikon\\0" + version, then an embedded
-    TIFF whose IFD carries tag 0x0096 (offsets relative to the embedded
-    header, as real NEFs do)."""
+    TIFF whose IFD carries tag 0x0096 (linearization) and optionally
+    0x000C (WB R/B levels), offsets relative to the embedded header as
+    in real NEFs."""
     inner = _TiffWriter()
-    blob = inner.add_blob(meta_0x96)
-    tiff = inner.build(
-        [[(0x0096, _TYPE_UNDEF, ("blob", blob, 0, len(meta_0x96)))]],
-        chain=(0,),
-    )
+    entries = []
+    if meta_0x96 is not None:
+        blob = inner.add_blob(meta_0x96)
+        entries.append(
+            (0x0096, _TYPE_UNDEF, ("blob", blob, 0, len(meta_0x96)))
+        )
+    if wb_rbgg is not None:
+        entries.append(
+            (0x000C, _TYPE_RATIONAL,
+             [(int(round(v * 1000000)), 1000000) for v in wb_rbgg])
+        )
+    entries.sort(key=lambda e: e[0])
+    tiff = inner.build([entries], chain=(0,))
     return b"Nikon\x00\x02\x10\x00\x00" + tiff

@@ -122,3 +122,16 @@ def test_export_failure_exit_code(tmp_path, capsys):
                     "--files", tmp_path / "nope.nef")
     assert code == 1
     assert json.loads(out)["failed"] == 1
+
+
+def test_histogram_ascii(tmp_path, capsys, photos):
+    code, out = run(capsys, "histogram", photos / "s0.nef", "--ascii")
+    assert code == 0
+    assert "R:" in out and "G:" in out and "B:" in out and "255" in out
+
+
+def test_develop_fast_kernel(tmp_path, capsys, photos):
+    out = tmp_path / "fast.png"
+    code, _ = run(capsys, "develop", photos / "s0.nef", "-o", out, "--fast",
+                  "--exposure", "0.5")
+    assert code == 0 and out.exists()

@@ -200,3 +200,16 @@ def test_decode_float_samples(tmp_path, rng):
         mosaic.astype(np.float32) / 4095 * 65535, 0, 65535
     ).astype(np.uint16)
     assert (raw.mosaic == expect).all()
+
+
+def test_wb_from_nikon_makernote(tmp_path, rng):
+    """Real-NEF-style WB: MakerNote 0x000C, no AsShotNeutral."""
+    mosaic = rng.integers(0, 4096, size=(8, 12), dtype=np.uint16)
+    for comp in ("nikon", "none"):
+        data = write_synthetic_raw(None, mosaic, compression=comp,
+                                   wb_neutral=(0.5, 1.0, 0.25),
+                                   wb_in_makernote=True)
+        raw = decode_raw(data)
+        assert (raw.mosaic == mosaic).all()
+        assert np.allclose(raw.wb_multipliers[:3], [2.0, 1.0, 4.0],
+                           atol=1e-3)
