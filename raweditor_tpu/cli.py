@@ -126,6 +126,15 @@ def build_parser() -> argparse.ArgumentParser:
                    default="none")
     p.add_argument("--seed", type=int, default=0)
 
+    p = sub.add_parser(
+        "session",
+        help="interactive develop session (line protocol on stdin)",
+    )
+    p.add_argument("input", help="RAW file path or catalog image id")
+    p.add_argument("--mode", choices=("parity", "accurate"),
+                   default="parity")
+    p.add_argument("--fast", action="store_true")
+
     sub.add_parser("bench", help="run the headline benchmark")
     return ap
 
@@ -332,6 +341,27 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_session(args) -> int:
+    from raweditor_tpu.pipeline.engine import DevelopEngine
+    from raweditor_tpu.pipeline.session import DevelopSession
+    from raweditor_tpu.utils.config import Config
+
+    library = image_id = None
+    if args.input.isdigit():
+        library = _open_library(args)
+        img = library.get_image(int(args.input))
+        if img is None:
+            raise SystemExit(f"no catalog image {args.input}")
+        path, image_id = img.path, img.id
+    else:
+        path = args.input
+    eng = DevelopEngine.open(path, mode=args.mode, use_pallas=args.fast)
+    DevelopSession(eng, library, image_id, Config.from_env()).repl()
+    if library is not None:
+        library.close()
+    return 0
+
+
 _COMMANDS = {
     "import": cmd_import,
     "list": cmd_list,
@@ -342,6 +372,7 @@ _COMMANDS = {
     "tiers": cmd_tiers,
     "histogram": cmd_histogram,
     "synth": cmd_synth,
+    "session": cmd_session,
     "bench": cmd_bench,
 }
 

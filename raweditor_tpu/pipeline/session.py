@@ -1,0 +1,147 @@
+"""Interactive develop session driver (headless).
+
+The reference's develop tab is a GUI loop: slider tick → persist params
+to SQLite → uniform update → re-render preview → histogram
+(reference: main.rs:597-717, 1492-1697). This is the same loop over a
+stdin/stdout line protocol, so an interactive frontend (or a latency
+harness) can drive the engine without linking a GUI:
+
+    set <slider> <value>     update one slider (persists when --db)
+    zoom <z> | pan <x> <y>   view transform (clamped like the UI)
+    render <path>            write current preview PNG
+    full <path>              full-resolution export
+    histogram                print (3,256) JSON histogram
+    before <path>            preview with default params (before view)
+    reset                    defaults (deletes stored edits when --db)
+    stats                    latency percentiles for this session
+    quit
+
+Every ``set`` re-renders the preview to measure slider→frame latency,
+the BASELINE p50/p95 metric.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from typing import Optional
+
+from raweditor_tpu.params import EditParams
+from raweditor_tpu.pipeline.engine import DevelopEngine
+from raweditor_tpu.utils.config import Config
+from raweditor_tpu.utils.timing import LatencyStats
+
+
+class DevelopSession:
+    def __init__(self, engine: DevelopEngine, library=None,
+                 image_id: Optional[int] = None,
+                 config: Optional[Config] = None):
+        self.engine = engine
+        self.library = library
+        self.image_id = image_id
+        self.config = config or Config()
+        self.params = EditParams()
+        if library is not None and image_id is not None:
+            # Replay stored edits (reference: main.rs:510-517).
+            self.params = library.load_edit_params(image_id)
+        self.zoom = 1.0
+        self.pan = (0.0, 0.0)
+        self.latency = LatencyStats()
+
+    # -- commands --------------------------------------------------------
+    def set_slider(self, name: str, value: float) -> dict:
+        if name not in EditParams.field_names():
+            raise ValueError(f"unknown slider {name!r}")
+        self.params = self.params.replace(**{name: float(value)})
+        # Persist on every tick, like the reference
+        # (reference: main.rs:1095-1106).
+        if self.library is not None and self.image_id is not None:
+            self.library.save_edit_params(self.image_id, self.params)
+        import jax
+
+        with self.latency.measure():
+            out = self.engine.preview_device(self.params, self.zoom,
+                                             self.pan)
+            jax.block_until_ready(out)
+        ms = self.latency.samples[-1] * 1000.0
+        return {"ok": True, "slider": name, "value": float(value),
+                "render_ms": round(ms, 3)}
+
+    def set_zoom(self, zoom: float) -> dict:
+        self.zoom = min(max(zoom, self.config.zoom_min),
+                        self.config.zoom_max)
+        return {"ok": True, "zoom": self.zoom}
+
+    def set_pan(self, x: float, y: float) -> dict:
+        self.pan = (x, y)
+        return {"ok": True, "pan": list(self.pan)}
+
+    def render(self, path: str, params: Optional[EditParams] = None) -> dict:
+        from PIL import Image
+
+        img = self.engine.preview(params or self.params, self.zoom,
+                                  self.pan)
+        Image.fromarray(img).save(path)
+        return {"ok": True, "path": path,
+                "size": [img.shape[1], img.shape[0]]}
+
+    def full(self, path: str) -> dict:
+        return {"ok": True,
+                "path": self.engine.export(path, self.params)}
+
+    def histogram(self) -> dict:
+        hist = self.engine.histogram(self.params, self.zoom, self.pan)
+        return {"ok": True, "r": hist[0].tolist(), "g": hist[1].tolist(),
+                "b": hist[2].tolist()}
+
+    def reset(self) -> dict:
+        self.params = EditParams()
+        if self.library is not None and self.image_id is not None:
+            # (reference: main.rs:697-717)
+            self.library.delete_edits(self.image_id)
+        return {"ok": True, "reset": True}
+
+    def stats(self) -> dict:
+        return {"ok": True, "latency": self.latency.summary()}
+
+    # -- line protocol ---------------------------------------------------
+    def handle(self, line: str) -> Optional[dict]:
+        parts = line.strip().split()
+        if not parts:
+            return None
+        cmd, args = parts[0], parts[1:]
+        if cmd == "quit":
+            return None
+        try:
+            if cmd == "set":
+                return self.set_slider(args[0], float(args[1]))
+            if cmd == "zoom":
+                return self.set_zoom(float(args[0]))
+            if cmd == "pan":
+                return self.set_pan(float(args[0]), float(args[1]))
+            if cmd == "render":
+                return self.render(args[0])
+            if cmd == "full":
+                return self.full(args[0])
+            if cmd == "histogram":
+                return self.histogram()
+            if cmd == "before":
+                return self.render(args[0], EditParams())
+            if cmd == "reset":
+                return self.reset()
+            if cmd == "stats":
+                return self.stats()
+            return {"ok": False, "error": f"unknown command {cmd!r}"}
+        except (IndexError, ValueError) as e:
+            return {"ok": False, "error": str(e)}
+
+    def repl(self, stdin=None, stdout=None) -> None:
+        stdin = stdin or sys.stdin
+        stdout = stdout or sys.stdout
+        for line in stdin:
+            if line.strip() == "quit":
+                break
+            result = self.handle(line)
+            if result is not None:
+                stdout.write(json.dumps(result) + "\n")
+                stdout.flush()

@@ -1,0 +1,90 @@
+"""Interactive develop-session driver tests."""
+
+import io
+import json
+
+import numpy as np
+import pytest
+
+from raweditor_tpu.catalog import Library
+from raweditor_tpu.params import EditParams
+from raweditor_tpu.pipeline.engine import DevelopEngine
+from raweditor_tpu.pipeline.session import DevelopSession
+from raweditor_tpu.raw.synth import write_synthetic_raw
+
+
+@pytest.fixture
+def session(tmp_path, rng):
+    path = tmp_path / "a.nef"
+    write_synthetic_raw(
+        path, rng.integers(0, 4096, size=(24, 32), dtype=np.uint16)
+    )
+    lib = Library(tmp_path / "cat.db")
+    image_id = lib.import_image(str(path), "a.nef")
+    eng = DevelopEngine.open(path)
+    yield DevelopSession(eng, lib, image_id), lib, image_id
+    lib.close()
+
+
+def test_set_persists_and_measures(session):
+    s, lib, image_id = session
+    out = s.set_slider("exposure", 1.5)
+    assert out["ok"] and out["render_ms"] > 0
+    # Persisted on every tick (reference: main.rs:1095-1106).
+    assert lib.load_edit_params(image_id).exposure == 1.5
+    assert s.stats()["latency"]["count"] == 1
+
+
+def test_unknown_slider(session):
+    s, _, _ = session
+    out = s.handle("set bogus 1.0")
+    assert not out["ok"]
+
+
+def test_zoom_clamped(session):
+    s, _, _ = session
+    assert s.set_zoom(50.0)["zoom"] == 10.0  # reference: main.rs:803
+    assert s.set_zoom(0.01)["zoom"] == 0.1
+
+
+def test_render_and_before(session, tmp_path):
+    s, _, _ = session
+    s.set_slider("exposure", 2.0)
+    after = s.render(str(tmp_path / "after.png"))
+    before = s.handle(f"before {tmp_path / 'before.png'}")
+    assert after["ok"] and before["ok"]
+    from PIL import Image
+
+    a = np.asarray(Image.open(tmp_path / "after.png"))
+    b = np.asarray(Image.open(tmp_path / "before.png"))
+    assert (a != b).any()
+
+
+def test_reset_deletes_edits(session):
+    s, lib, image_id = session
+    s.set_slider("contrast", 9.0)
+    assert lib.has_edits(image_id)
+    s.reset()
+    assert not lib.has_edits(image_id)
+    assert s.params == EditParams()
+
+
+def test_repl_protocol(session, tmp_path):
+    s, _, _ = session
+    stdin = io.StringIO(
+        "set exposure 1.0\n"
+        "zoom 2.0\n"
+        "pan 0.1 -0.1\n"
+        "histogram\n"
+        "stats\n"
+        "garbage command\n"
+        "quit\n"
+    )
+    stdout = io.StringIO()
+    s.repl(stdin, stdout)
+    lines = [json.loads(l) for l in stdout.getvalue().splitlines()]
+    assert len(lines) == 6
+    assert lines[0]["slider"] == "exposure"
+    assert lines[3]["ok"] and len(lines[3]["r"]) == 256
+    assert lines[4]["latency"]["count"] >= 1
+    assert not lines[5]["ok"]
