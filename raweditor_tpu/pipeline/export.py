@@ -83,15 +83,16 @@ class _Decoded:
     black_level: float
 
 
-def _decode_job(job: ExportJob, mode: str) -> _Decoded:
+def _decode_job(job: ExportJob, mode: str):
     from raweditor_tpu.raw.decode import decode_raw
 
+    t0 = time.perf_counter()
     raw = decode_raw(job.raw_path)
     if mode == "parity":
         white, black = 4096.0, 0.0
     else:
         white, black = float(raw.white_level), float(raw.black_level)
-    return _Decoded(
+    decoded = _Decoded(
         job=job,
         mosaic=raw.mosaic,
         wb=raw.wb_rgb(),
@@ -99,6 +100,7 @@ def _decode_job(job: ExportJob, mode: str) -> _Decoded:
         white_level=white,
         black_level=black,
     )
+    return decoded, time.perf_counter() - t0
 
 
 def _encode_one(out_path: str, rgba_words: np.ndarray, quality: int) -> None:
@@ -224,19 +226,20 @@ def run_batch_export(
             if not submit_next():
                 break
 
-        t_decode = time.perf_counter()
         while pending:
             fut, job = pending.pop(0)
             try:
-                decoded = fut.result()
+                decoded, decode_s = fut.result()
             except Exception as e:
                 report.failed.append((job.raw_path, f"decode: {e}"))
             else:
+                # Sum of worker time (can exceed wall clock with
+                # multiple decode threads — it's the host-CPU budget).
+                report.decode_seconds += decode_s
                 full = batcher.add(decoded)
                 if full is not None:
                     flush(full, encode_pool)
             submit_next()
-        report.decode_seconds = time.perf_counter() - t_decode
 
         for bucket in batcher.drain():
             flush(bucket, encode_pool)

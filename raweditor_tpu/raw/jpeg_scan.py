@@ -62,3 +62,26 @@ def extract_largest_jpeg(data: bytes) -> Optional[bytes]:
         if _decodable(candidate):
             best = candidate
     return best
+
+
+# Escalation windows of the reference's legacy thumbnail generator
+# (reference: raw/thumbnail.rs:26-52,89-103): scan progressively larger
+# prefixes before falling back to the whole file.
+SCAN_TIERS = (256 * 1024, 512 * 1024, 5 * 1024 * 1024)
+
+
+def extract_jpeg_escalating(data: bytes,
+                            min_size: int = 8 * 1024) -> Optional[bytes]:
+    """Thumbnail-grade fast path: most cameras put a preview JPEG in the
+    first few hundred KB, so scan 256 KB → 512 KB → 5 MB prefixes and
+    return the first adequate (≥ min_size, decodable) hit; only scan the
+    whole file when the prefixes yield nothing
+    (reference: raw/thumbnail.rs tier escalation)."""
+    for limit in SCAN_TIERS:
+        if limit >= len(data):
+            break
+        window = data[:limit]
+        for start, end in find_jpeg_spans(window):
+            if end - start >= min_size and _decodable(window[start:end]):
+                return window[start:end]
+    return extract_largest_jpeg(data)

@@ -213,3 +213,27 @@ def test_wb_from_nikon_makernote(tmp_path, rng):
         assert (raw.mosaic == mosaic).all()
         assert np.allclose(raw.wb_multipliers[:3], [2.0, 1.0, 4.0],
                            atol=1e-3)
+
+
+def test_escalating_scan_prefers_early_preview(rng):
+    from raweditor_tpu.raw.jpeg_scan import (
+        SCAN_TIERS,
+        extract_jpeg_escalating,
+    )
+
+    early = make_preview_jpeg(96, 64)  # well over min_size
+    late = make_preview_jpeg(256, 170)  # larger but deep in the file
+    blob = (b"\x00" * 1000 + early
+            + b"\x00" * (SCAN_TIERS[-1] + 100_000) + late)
+    # Escalating scan stops at the first adequate early hit...
+    assert extract_jpeg_escalating(blob, min_size=1000) == early
+    # ...whole-file scan finds the larger one.
+    assert extract_largest_jpeg(blob) == late
+
+
+def test_escalating_scan_falls_back_to_full(rng):
+    from raweditor_tpu.raw.jpeg_scan import extract_jpeg_escalating
+
+    late = make_preview_jpeg(64, 42)
+    blob = b"\x00" * (6 * 1024 * 1024) + late
+    assert extract_jpeg_escalating(blob) == late
