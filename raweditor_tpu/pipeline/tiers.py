@@ -33,12 +33,16 @@ def default_cache_dir() -> Path:
 
 
 def generate_tiers(raw_path: str, image_id: int,
-                   cache_dir: Optional[os.PathLike] = None
-                   ) -> Tuple[str, str, str]:
+                   cache_dir: Optional[os.PathLike] = None,
+                   fallback_develop: bool = True) -> Tuple[str, str, str]:
     """Extract the embedded JPEG and write all three tiers.
 
     Returns (thumb, instant, working) paths; raises on failure
-    (reference: raw/processor.rs:37-64).
+    (reference: raw/processor.rs:37-64). When the file has no usable
+    embedded JPEG the reference quarantines it; with
+    ``fallback_develop`` we instead develop the sensor data at default
+    params and tier that — an improvement over the reference, on by
+    default, disable for strict parity.
     """
     from PIL import Image
 
@@ -46,27 +50,44 @@ def generate_tiers(raw_path: str, image_id: int,
 
     cache = Path(cache_dir) if cache_dir else default_cache_dir()
     jpeg = extract_preview_jpeg(raw_path)
-    if jpeg is None:
+    if jpeg is not None:
+        with Image.open(io.BytesIO(jpeg)) as img:
+            img.load()
+            img = img.convert("RGB")
+            return _write_tiers(img, image_id, cache)
+    if not fallback_develop:
         raise ValueError(f"no embedded JPEG in {raw_path}")
+    img = Image.fromarray(_develop_default(raw_path))
+    return _write_tiers(img, image_id, cache)
 
-    with Image.open(io.BytesIO(jpeg)) as img:
-        img.load()
-        img = img.convert("RGB")
-        paths = []
-        for tier_name, width in TIERS:
-            tier_dir = cache / tier_name
-            tier_dir.mkdir(parents=True, exist_ok=True)
-            out_path = tier_dir / f"{image_id}.jpg"
-            # Width-constrained aspect-preserving resize (the reference
-            # bounds height at 10x width, which never binds for photos,
-            # reference: raw/processor.rs:74).
-            scale = width / img.width
-            resized = img.resize(
-                (width, max(1, round(img.height * scale))),
-                Image.LANCZOS,
-            )
-            resized.save(out_path, quality=90)
-            paths.append(str(out_path))
+
+def _develop_default(raw_path: str):
+    """Develop at default params for tiering (camera-JPEG substitute)."""
+    from raweditor_tpu.params import EditParams
+    from raweditor_tpu.pipeline.engine import DevelopEngine
+
+    eng = DevelopEngine.open(raw_path)
+    return eng.preview(EditParams())
+
+
+def _write_tiers(img, image_id: int, cache: Path) -> Tuple[str, str, str]:
+    from PIL import Image
+
+    paths = []
+    for tier_name, width in TIERS:
+        tier_dir = cache / tier_name
+        tier_dir.mkdir(parents=True, exist_ok=True)
+        out_path = tier_dir / f"{image_id}.jpg"
+        # Width-constrained aspect-preserving resize (the reference
+        # bounds height at 10x width, which never binds for photos,
+        # reference: raw/processor.rs:74).
+        scale = width / img.width
+        resized = img.resize(
+            (width, max(1, round(img.height * scale))),
+            Image.LANCZOS,
+        )
+        resized.save(out_path, quality=90)
+        paths.append(str(out_path))
     return tuple(paths)
 
 

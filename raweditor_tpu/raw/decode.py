@@ -5,10 +5,11 @@ The host-side replacement for the reference's rawloader call
 extension when built; this module is the complete Python fallback.
 
 Supported sensor encodings:
-- uncompressed / bit-packed CFA strips (8/10/12/14/16-bit)
-- lossless JPEG (SOF3) strips — DNG lossless, CR2-style
-Nikon's proprietary compressed NEF (TIFF compression 34713) raises
-``UnsupportedRawError`` until the native Huffman decoder lands.
+- uncompressed / bit-packed CFA strips (8/10/12/14/16-bit) and
+  DNG float samples (SampleFormat=3)
+- lossless JPEG (SOF3) strips and tiles — DNG lossless; CR2-style
+  two-component scans and vertical slice layout (tag 0xC640)
+- Nikon compressed NEF (34713) via the MakerNote linearization table
 """
 
 from __future__ import annotations
@@ -144,6 +145,30 @@ def _mosaic_from_tiles(tf: T.TiffFile, ifd: T.IFD, width: int, height: int,
     return out
 
 
+def _cr2_deslice(mosaic: np.ndarray, slices, width: int,
+                 height: int) -> np.ndarray:
+    """Canon CR2 vertical slicing (tag 0xC640 = [n, w_a, w_b]): the
+    lossless scan stores n slices of width w_a then one of width w_b as
+    consecutive pixel runs; rebuild the true (H, W) plane."""
+    if not isinstance(slices, tuple) or len(slices) != 3:
+        raise RawDecodeError(f"bad CR2 slice tag: {slices!r}")
+    n, wa, wb = (int(v) for v in slices)
+    if n * wa + wb != width:
+        raise RawDecodeError(
+            f"CR2 slices {n}x{wa}+{wb} != width {width}"
+        )
+    flat = mosaic.reshape(-1)
+    out = np.empty((height, width), np.uint16)
+    pos = 0
+    x0 = 0
+    for ws in [wa] * n + [wb]:
+        count = height * ws
+        out[:, x0 : x0 + ws] = flat[pos : pos + count].reshape(height, ws)
+        pos += count
+        x0 += ws
+    return out
+
+
 def find_nikon_makernote(tf: T.TiffFile) -> Optional[T.TiffFile]:
     """Locate and parse the Nikon MakerNote's embedded TIFF (tag
     offsets are relative to its own header, 10 bytes in)."""
@@ -267,6 +292,9 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
                                  height, bpp)
     elif comp == T.COMPRESSION_LJPEG:
         mosaic = _mosaic_from_ljpeg(tf.strip_data(ifd), width, height)
+        slices = ifd.get(T.CR2_SLICE)
+        if slices is not None:
+            mosaic = _cr2_deslice(mosaic, slices, width, height)
     elif comp == T.COMPRESSION_NIKON:
         mosaic = _decode_nikon_strips(tf, tf.strip_data(ifd), width,
                                       height, bpp)

@@ -218,6 +218,7 @@ def write_synthetic_raw(
     tile_size: Optional[Tuple[int, int]] = None,
     float_samples: bool = False,
     wb_in_makernote: bool = False,
+    cr2_slices: Optional[Tuple[int, int, int]] = None,
 ) -> bytes:
     """Write a DNG/NEF-style CFA TIFF. Returns the bytes (also written
     to ``path`` unless None).
@@ -268,7 +269,19 @@ def write_synthetic_raw(
         sensor = pack_bits(mosaic, bpp)
     elif compression == "ljpeg":
         comp_tag = T.COMPRESSION_LJPEG
-        sensor = encode_lossless(mosaic, bpp, predictor=predictor)
+        payload = mosaic
+        if cr2_slices is not None:
+            # Canon slice layout: consecutive vertical-slice pixel runs.
+            n_s, wa, wb = cr2_slices
+            if n_s * wa + wb != w:
+                raise ValueError("cr2_slices must sum to width")
+            runs = []
+            x0 = 0
+            for ws in [wa] * n_s + [wb]:
+                runs.append(mosaic[:, x0 : x0 + ws].reshape(-1))
+                x0 += ws
+            payload = np.concatenate(runs).reshape(h, w)
+        sensor = encode_lossless(payload, bpp, predictor=predictor)
     elif compression == "nikon":
         from raweditor_tpu.raw.nikon import encode_nikon
 
@@ -343,6 +356,8 @@ def write_synthetic_raw(
     ]
     if sample_format != 1:
         sensor_ifd.append((T.SAMPLE_FORMAT, _TYPE_SHORT, [sample_format]))
+    if cr2_slices is not None:
+        sensor_ifd.append((T.CR2_SLICE, _TYPE_SHORT, list(cr2_slices)))
     if tiles is not None:
         rel = []
         pos = 0

@@ -45,6 +45,7 @@ WHITE_LEVEL = 50717
 COLOR_MATRIX_1 = 50721
 COLOR_MATRIX_2 = 50722
 AS_SHOT_NEUTRAL = 50728
+CR2_SLICE = 50752  # 0xC640: Canon CR2 vertical slice layout
 
 PHOTOMETRIC_CFA = 32803
 COMPRESSION_NONE = 1

@@ -166,3 +166,28 @@ def test_delete_cascade(lib, tmp_path):
     lib.conn.commit()
     n = lib.conn.execute("SELECT COUNT(*) FROM edits").fetchone()[0]
     assert n == 0  # FK cascade
+
+
+def test_concurrent_libraries_one_file(tmp_path):
+    """SQLite file locking coordinates one-Library-per-thread access,
+    the same discipline the reference uses (its Connection is not Send,
+    reference: main.rs:125-126)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    db = tmp_path / "cat.db"
+    Library(db).close()  # init schema once
+
+    def worker(i):
+        with Library(db) as lib:
+            f = tmp_path / f"t{i}.nef"
+            f.write_bytes(b"x")
+            image_id = lib.import_image(str(f), f.name)
+            lib.save_edit_params(image_id, EditParams(exposure=float(i)))
+            return image_id
+
+    with ThreadPoolExecutor(4) as ex:
+        ids = list(ex.map(worker, range(8)))
+    with Library(db) as lib:
+        assert lib.image_count() == 8
+        for i, image_id in enumerate(ids):
+            assert lib.load_edit_params(image_id).exposure == float(i)

@@ -196,3 +196,22 @@ def test_jobs_from_catalog_replays_edits(tmp_path, rng):
     by_id = {j.image_id: j for j in jobs}
     assert by_id[images[0].id].params.exposure == 1.5
     assert by_id[images[1].id].params == EditParams()
+
+
+def test_tiers_fallback_develop_when_no_preview(tmp_path, rng):
+    """No embedded JPEG → tiers are developed from the sensor data
+    (improvement over the reference, which quarantines)."""
+    mosaic = rng.integers(0, 4096, size=(40, 60), dtype=np.uint16)
+    path = tmp_path / "nopreview.nef"
+    write_synthetic_raw(path, mosaic, preview_jpeg=b"")
+    thumb, instant, working = generate_tiers(
+        str(path), 3, cache_dir=tmp_path / "cache"
+    )
+    with Image.open(working) as im:
+        assert im.width == 1280
+    # Strict parity mode still raises.
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        generate_tiers(str(path), 4, cache_dir=tmp_path / "cache",
+                       fallback_develop=False)

@@ -237,3 +237,45 @@ def test_escalating_scan_falls_back_to_full(rng):
     late = make_preview_jpeg(64, 42)
     blob = b"\x00" * (6 * 1024 * 1024) + late
     assert extract_jpeg_escalating(blob) == late
+
+
+def test_cr2_slice_layout(tmp_path, rng):
+    """Canon-style vertical slices (tag 0xC640): consecutive pixel runs
+    reassembled into the true plane."""
+    m = rng.integers(0, 16384, size=(30, 44), dtype=np.uint16)
+    path = tmp_path / "shot.cr2"
+    write_synthetic_raw(path, m, bpp=14, compression="ljpeg",
+                        cr2_slices=(2, 16, 12))
+    raw = decode_raw(path)
+    assert (raw.mosaic == m).all()
+
+
+def test_cr2_slice_bad_sum(rng):
+    m = rng.integers(0, 4096, size=(8, 20), dtype=np.uint16)
+    with pytest.raises(ValueError):
+        write_synthetic_raw(None, m, compression="ljpeg",
+                            cr2_slices=(2, 8, 10))
+
+
+def test_concurrent_decode_threads(tmp_path, rng):
+    """Decode is thread-safe (the exporter's pool): many threads
+    hammering different and identical files must all agree."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    paths = []
+    mosaics = []
+    for i in range(6):
+        m = rng.integers(0, 4096, size=(20, 24), dtype=np.uint16)
+        p = tmp_path / f"f{i}.dng"
+        write_synthetic_raw(p, m,
+                            compression="ljpeg" if i % 2 else "none")
+        paths.append(p)
+        mosaics.append(m)
+
+    def job(k):
+        return decode_raw(paths[k % 6]).mosaic
+
+    with ThreadPoolExecutor(8) as ex:
+        results = list(ex.map(job, range(48)))
+    for k, got in enumerate(results):
+        assert (got == mosaics[k % 6]).all()
