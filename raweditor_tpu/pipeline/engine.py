@@ -161,6 +161,16 @@ class DevelopEngine:
             img.convert("RGB").save(path, format="JPEG", quality=quality)
         return path
 
+    def develop_tiers(self, params: EditParams,
+                      widths=(256, 384, 1280)):
+        """Preview tiers of the *developed* image, resized on device
+        (XLA lanczos3) — tiers that reflect the current edits, unlike
+        the reference's camera-JPEG tiers. Returns host u8 arrays."""
+        from raweditor_tpu.ops.resize import develop_tiers as _tiers
+
+        full = self.full_device(params)
+        return [np.asarray(t) for t in _tiers(full, widths)]
+
     # -- convenience -----------------------------------------------------
     @classmethod
     def open(cls, path: os.PathLike, mode: str = "parity",

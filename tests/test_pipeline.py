@@ -215,3 +215,16 @@ def test_tiers_fallback_develop_when_no_preview(tmp_path, rng):
     with _pytest.raises(ValueError):
         generate_tiers(str(path), 4, cache_dir=tmp_path / "cache",
                        fallback_develop=False)
+
+
+def test_engine_develop_tiers_on_device(synth_file):
+    """Device-side XLA lanczos3 tier resize of the developed image."""
+    path, _ = synth_file
+    eng = DevelopEngine.open(path)
+    tiers = eng.develop_tiers(EditParams(exposure=0.5), widths=(16, 24))
+    assert [t.shape for t in tiers] == [(11, 16, 3), (16, 24, 3)]
+    assert all(t.dtype == np.uint8 for t in tiers)
+    # Downsampled tiers preserve the overall brightness ordering vs a
+    # darker develop.
+    dark = eng.develop_tiers(EditParams(exposure=-2.0), widths=(16,))[0]
+    assert tiers[0].mean() > dark.mean()
