@@ -106,6 +106,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mode", choices=("parity", "accurate"),
                    default="parity")
     p.add_argument("--quality", type=int, default=95)
+    p.add_argument("--resume", action="store_true",
+                   help="skip jobs whose output file already exists")
     _add_slider_args(p)
 
     p = sub.add_parser("tiers", help="generate pending preview tiers")
@@ -260,7 +262,7 @@ def cmd_export(args) -> int:
     report = run_batch_export(
         jobs, mesh=mesh, batch_size=args.batch_size,
         decode_threads=args.decode_threads, quality=args.quality,
-        mode=args.mode,
+        mode=args.mode, skip_existing=args.resume,
     )
     print(json.dumps(report.as_dict()))
     return 0 if not report.failed else 1

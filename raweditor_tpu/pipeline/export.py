@@ -50,6 +50,7 @@ class ExportJob:
 class ExportReport:
     total: int = 0
     succeeded: int = 0
+    skipped: int = 0
     failed: List[Tuple[str, str]] = dataclasses.field(default_factory=list)
     seconds: float = 0.0
     decode_seconds: float = 0.0
@@ -64,6 +65,7 @@ class ExportReport:
         return {
             "total": self.total,
             "succeeded": self.succeeded,
+            "skipped": self.skipped,
             "failed": len(self.failed),
             "seconds": round(self.seconds, 3),
             "develops_per_sec": round(self.develops_per_sec, 2),
@@ -151,9 +153,15 @@ def run_batch_export(
     quality: int = 95,
     mode: str = "parity",
     matrix_transpose: Optional[bool] = None,
+    skip_existing: bool = False,
 ) -> ExportReport:
     """Develop and encode every job; returns a report with throughput
-    and the per-image quarantine list."""
+    and the per-image quarantine list.
+
+    ``skip_existing`` makes a rerun resume where it stopped: jobs whose
+    output file already exists are counted as skipped, the analogue of
+    the reference's resumable pending-queue cache loop
+    (reference: main.rs:404-434)."""
     import jax
 
     from raweditor_tpu.utils import ensure_backend
@@ -168,6 +176,14 @@ def run_batch_export(
             batch_size = ((batch_size // n_b) + 1) * n_b
 
     report = ExportReport(total=len(jobs))
+    if skip_existing:
+        remaining = []
+        for job in jobs:
+            if os.path.exists(job.out_path):
+                report.skipped += 1
+            else:
+                remaining.append(job)
+        jobs = remaining
     t_start = time.perf_counter()
     encode_futures: List[Tuple[Future, ExportJob]] = []
 

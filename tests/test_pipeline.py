@@ -228,3 +228,40 @@ def test_engine_develop_tiers_on_device(synth_file):
     # darker develop.
     dark = eng.develop_tiers(EditParams(exposure=-2.0), widths=(16,))[0]
     assert tiers[0].mean() > dark.mean()
+
+
+def test_batch_export_resume_skips_existing(tmp_path, rng):
+    jobs = []
+    for i in range(3):
+        path = tmp_path / f"s{i}.nef"
+        write_synthetic_raw(
+            path, rng.integers(0, 4096, size=(16, 24), dtype=np.uint16)
+        )
+        jobs.append(ExportJob(raw_path=str(path),
+                              out_path=str(tmp_path / "out" / f"s{i}.jpg")))
+    first = run_batch_export(jobs[:2], batch_size=2)
+    assert first.succeeded == 2
+    resumed = run_batch_export(jobs, batch_size=2, skip_existing=True)
+    assert resumed.skipped == 2 and resumed.succeeded == 1
+    assert (tmp_path / "out" / "s2.jpg").exists()
+
+
+def test_batch_export_encode_failure_quarantined(tmp_path, rng):
+    """An unwritable output path quarantines that image, not the run.
+    (Failure injected via a regular file used as a directory — chmod
+    tricks don't block root.)"""
+    good = tmp_path / "g.nef"
+    write_synthetic_raw(
+        good, rng.integers(0, 4096, size=(16, 24), dtype=np.uint16)
+    )
+    (tmp_path / "afile").write_bytes(b"x")
+    jobs = [
+        ExportJob(raw_path=str(good),
+                  out_path=str(tmp_path / "out" / "ok.jpg")),
+        ExportJob(raw_path=str(good),
+                  out_path=str(tmp_path / "afile" / "sub" / "nope.jpg")),
+    ]
+    report = run_batch_export(jobs, batch_size=2)
+    assert report.succeeded == 1
+    assert len(report.failed) == 1 and "encode" in report.failed[0][1]
+    assert (tmp_path / "out" / "ok.jpg").exists()
