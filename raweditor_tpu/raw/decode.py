@@ -298,6 +298,14 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
     elif comp == T.COMPRESSION_NIKON:
         mosaic = _decode_nikon_strips(tf, tf.strip_data(ifd), width,
                                       height, bpp)
+    elif comp == T.COMPRESSION_ARW2:
+        from raweditor_tpu.raw.arw2 import decode_arw2
+
+        try:
+            mosaic = decode_arw2(b"".join(tf.strip_data(ifd)), width,
+                                 height)
+        except ValueError as e:
+            raise RawDecodeError(str(e)) from e
     else:
         raise UnsupportedRawError(f"compression {comp}")
 

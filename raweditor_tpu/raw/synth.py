@@ -282,6 +282,11 @@ def write_synthetic_raw(
                 x0 += ws
             payload = np.concatenate(runs).reshape(h, w)
         sensor = encode_lossless(payload, bpp, predictor=predictor)
+    elif compression == "arw2":
+        from raweditor_tpu.raw.arw2 import encode_arw2
+
+        comp_tag = T.COMPRESSION_ARW2
+        sensor = encode_arw2(mosaic)
     elif compression == "nikon":
         from raweditor_tpu.raw.nikon import encode_nikon
 

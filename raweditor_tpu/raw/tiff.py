@@ -51,6 +51,7 @@ PHOTOMETRIC_CFA = 32803
 COMPRESSION_NONE = 1
 COMPRESSION_LJPEG = 7  # "new-style" JPEG; SOF3 lossless in RAWs
 COMPRESSION_NIKON = 34713
+COMPRESSION_ARW2 = 32767
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
                10: 8, 11: 4, 12: 8}
