@@ -133,15 +133,24 @@ def apply_edit_stack(r, g, b, params: EditParams, wb, cam_matrix,
     return r, g, b
 
 
-def finish_to_u8(r, g, b, valid=None):
-    """Steps 10–11 + output quantization: gamma, clamp, Rgba8Unorm round.
+def finish_to_u8(r, g, b, valid=None, transfer: str = "gamma22"):
+    """Steps 10–11 + output quantization: transfer, clamp, Rgba8Unorm
+    round. ``transfer`` is "gamma22" for reference parity (plain 1/2.2
+    pow, reference: gpu/shaders.rs:261) or "srgb" for the real
+    IEC 61966-2-1 encode (accurate-mode upgrade the reference lacks).
 
     ``valid`` optionally masks out-of-frame pixels to black, matching the
     shader's early return (reference: gpu/shaders.rs:173-178).
     """
     def enc(c):
         c = jnp.maximum(c, _F(0.0))
-        c = jnp.power(c, _F(1.0 / 2.2))
+        if transfer == "srgb":
+            c = jnp.minimum(c, _F(1.0))
+            lo = c * _F(12.92)
+            hi = _F(1.055) * jnp.power(c, _F(1.0 / 2.4)) - _F(0.055)
+            c = jnp.where(c <= _F(0.0031308), lo, hi)
+        else:
+            c = jnp.power(c, _F(1.0 / 2.2))
         c = jnp.minimum(c, _F(1.0))
         q = jnp.floor(c * _F(255.0) + _F(0.5))
         if valid is not None:
@@ -151,14 +160,14 @@ def finish_to_u8(r, g, b, valid=None):
     return enc(r), enc(g), enc(b)
 
 
-def finish_to_rgba_u32(r, g, b, valid=None):
+def finish_to_rgba_u32(r, g, b, valid=None, transfer: str = "gamma22"):
     """Like finish_to_u8 but packs each pixel into one u32 RGBA word
     (byte order R,G,B,0xFF on little-endian hosts) — exactly the
     Rgba8Unorm bytes the reference reads back from its render target
     (reference: gpu/pipeline.rs:454,551). Packing with bitwise ORs keeps
     the whole develop one XLA fusion (no channel-interleave transpose),
     ~2× the throughput of the (H, W, 3) u8 layout on TPU."""
-    r8, g8, b8 = finish_to_u8(r, g, b, valid=valid)
+    r8, g8, b8 = finish_to_u8(r, g, b, valid=valid, transfer=transfer)
     return (
         r8.astype(jnp.uint32)
         | (g8.astype(jnp.uint32) << 8)
@@ -189,7 +198,7 @@ def _normalize(mosaic, white_level, black_level=0.0):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("demosaic_method", "matrix_transpose"),
+    static_argnames=("demosaic_method", "matrix_transpose", "transfer"),
 )
 def develop(
     mosaic,
@@ -200,6 +209,7 @@ def develop(
     black_level=0.0,
     demosaic_method: str = "nearest",
     matrix_transpose: bool = True,
+    transfer: str = "gamma22",
 ):
     """Full-resolution develop: (H, W) u16 mosaic → (H, W, 3) u8 sRGB.
 
@@ -210,13 +220,13 @@ def develop(
     norm = _normalize(mosaic, white_level, black_level)
     r, g, b = _demosaic.demosaic(norm, demosaic_method)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix, matrix_transpose)
-    r, g, b = finish_to_u8(r, g, b)
+    r, g, b = finish_to_u8(r, g, b, transfer=transfer)
     return jnp.stack([r, g, b], axis=-1)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("demosaic_method", "matrix_transpose"),
+    static_argnames=("demosaic_method", "matrix_transpose", "transfer"),
 )
 def develop_rgba(
     mosaic,
@@ -227,6 +237,7 @@ def develop_rgba(
     black_level=0.0,
     demosaic_method: str = "nearest",
     matrix_transpose: bool = True,
+    transfer: str = "gamma22",
 ):
     """Full-resolution develop to packed RGBA: (H, W) u16 → (H, W) u32.
 
@@ -241,7 +252,7 @@ def develop_rgba(
     norm = _normalize(mosaic, white_level, black_level)
     r, g, b = _demosaic.demosaic(norm, demosaic_method)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix, matrix_transpose)
-    return finish_to_rgba_u32(r, g, b)
+    return finish_to_rgba_u32(r, g, b, transfer=transfer)
 
 
 @functools.partial(

@@ -44,12 +44,18 @@ class DevelopEngine:
     def __init__(self, raw: RawImage, mode: str = "parity",
                  max_preview_width: int = MAX_PREVIEW_WIDTH,
                  histogram_width: int = HISTOGRAM_WIDTH,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False,
+                 demosaic_method: str = "nearest",
+                 transfer: str = "gamma22"):
         import jax
 
         if mode not in ("parity", "accurate"):
             raise ValueError(f"unknown mode {mode!r}")
         self.use_pallas = use_pallas
+        # Quality upgrades beyond the reference (accurate-mode options):
+        # bilinear demosaic and true sRGB transfer. Parity defaults.
+        self.demosaic_method = demosaic_method
+        self.transfer = transfer
         self.raw = raw
         self.mode = mode
         self.width = raw.width
@@ -96,7 +102,9 @@ class DevelopEngine:
         return develop(
             self.mosaic, params, self.wb, self.cam_matrix,
             white_level=self.white_level, black_level=self.black_level,
+            demosaic_method=self.demosaic_method,
             matrix_transpose=self.matrix_transpose,
+            transfer=self.transfer,
         )
 
     def full(self, params: EditParams) -> np.ndarray:
@@ -124,7 +132,8 @@ class DevelopEngine:
         (reference: gpu/pipeline.rs:551). With ``use_pallas``, runs the
         hand-fused kernel (±1 LSB, see ops/pallas_develop.py) when the
         mosaic shape supports it."""
-        if self.use_pallas:
+        if (self.use_pallas and self.demosaic_method == "nearest"
+                and self.transfer == "gamma22"):
             from raweditor_tpu.ops.pallas_develop import pallas_develop_rgba
 
             try:
@@ -139,7 +148,9 @@ class DevelopEngine:
         return develop_rgba(
             self.mosaic, params, self.wb, self.cam_matrix,
             white_level=self.white_level, black_level=self.black_level,
+            demosaic_method=self.demosaic_method,
             matrix_transpose=self.matrix_transpose,
+            transfer=self.transfer,
         )
 
     def export(self, path: os.PathLike, params: EditParams,
