@@ -65,10 +65,17 @@ std::vector<Span> scan_spans(const uint8_t* d, int64_t n) {
 // ---------------------------------------------------------------------------
 
 void unpack_rows(const uint8_t* src, int64_t src_len, uint16_t* dst,
-                 int64_t width, int64_t height, int bpp) {
+                 int64_t width, int64_t height, int bpp,
+                 bool big_endian = true) {
   if (bpp == 16) {
-    for (int64_t i = 0; i < width * height; i++)
-      dst[i] = (uint16_t(src[2 * i]) << 8) | src[2 * i + 1];  // big-endian
+    // Whole-sample data follows the TIFF container byte order.
+    if (big_endian) {
+      for (int64_t i = 0; i < width * height; i++)
+        dst[i] = (uint16_t(src[2 * i]) << 8) | src[2 * i + 1];
+    } else {
+      for (int64_t i = 0; i < width * height; i++)
+        dst[i] = uint16_t(src[2 * i]) | (uint16_t(src[2 * i + 1]) << 8);
+    }
     return;
   }
   if (bpp == 8) {
@@ -430,12 +437,8 @@ static PyObject* py_scan_jpeg_spans(PyObject*, PyObject* args) {
   return list;
 }
 
-static PyObject* py_unpack_bits(PyObject*, PyObject* args) {
-  Py_buffer buf;
-  long long width, height;
-  int bpp;
-  if (!PyArg_ParseTuple(args, "y*LLi", &buf, &width, &height, &bpp))
-    return nullptr;
+static PyObject* unpack_impl(Py_buffer& buf, long long width,
+                             long long height, int bpp, bool big_endian) {
   if (bpp < 1 || bpp > 16 || width <= 0 || height <= 0) {
     PyBuffer_Release(&buf);
     PyErr_SetString(PyExc_ValueError, "bad dimensions/bpp");
@@ -454,10 +457,29 @@ static PyObject* py_unpack_bits(PyObject*, PyObject* args) {
   uint16_t* dst = reinterpret_cast<uint16_t*>(PyBytes_AS_STRING(out));
   Py_BEGIN_ALLOW_THREADS
   unpack_rows(static_cast<const uint8_t*>(buf.buf), buf.len, dst, width,
-              height, bpp);
+              height, bpp, big_endian);
   Py_END_ALLOW_THREADS
   PyBuffer_Release(&buf);
   return out;
+}
+
+static PyObject* py_unpack_bits2(PyObject*, PyObject* args) {
+  Py_buffer buf;
+  long long width, height;
+  int bpp, big_endian;
+  if (!PyArg_ParseTuple(args, "y*LLii", &buf, &width, &height, &bpp,
+                        &big_endian))
+    return nullptr;
+  return unpack_impl(buf, width, height, bpp, big_endian != 0);
+}
+
+static PyObject* py_unpack_bits(PyObject*, PyObject* args) {
+  Py_buffer buf;
+  long long width, height;
+  int bpp;
+  if (!PyArg_ParseTuple(args, "y*LLi", &buf, &width, &height, &bpp))
+    return nullptr;
+  return unpack_impl(buf, width, height, bpp, true);
 }
 
 static PyObject* py_decode_ljpeg(PyObject*, PyObject* args) {
@@ -531,7 +553,10 @@ static PyMethodDef RawkitMethods[] = {
     {"scan_jpeg_spans", py_scan_jpeg_spans, METH_VARARGS,
      "scan_jpeg_spans(data) -> [(start, end), ...]"},
     {"unpack_bits", py_unpack_bits, METH_VARARGS,
-     "unpack_bits(data, width, height, bpp) -> native-endian u16 bytes"},
+     "unpack_bits(data, width, height, bpp) -> native-endian u16 bytes "
+     "(16-bit samples read big-endian)"},
+    {"unpack_bits2", py_unpack_bits2, METH_VARARGS,
+     "unpack_bits2(data, width, height, bpp, big_endian) -> u16 bytes"},
     {"decode_ljpeg", py_decode_ljpeg, METH_VARARGS,
      "decode_ljpeg(data) -> (u16_bytes, nc, h, w, precision)"},
     {"decode_nikon", py_decode_nikon, METH_VARARGS,

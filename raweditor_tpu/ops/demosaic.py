@@ -39,11 +39,32 @@ def _shifted(padded, dy: int, dx: int, h: int, w: int):
     return padded[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
 
 
-def parity_masks(h: int, w: int):
-    """(H,1) row-parity and (1,W) col-parity boolean masks."""
-    ye = (jnp.arange(h, dtype=jnp.int32)[:, None] % 2) == 0
-    xe = (jnp.arange(w, dtype=jnp.int32)[None, :] % 2) == 0
+def parity_masks(h: int, w: int, phase=(0, 0)):
+    """(H,1) row-parity and (1,W) col-parity boolean masks.
+
+    ``phase`` = (row, col) offsets of the CFA: (0,0) labels the R site
+    at (0,0) (RGGB, the reference's effective pattern); other Bayer
+    phases (GRBG/GBRG/BGGR) are pure translations expressed by shifting
+    the parity labels — the data never moves."""
+    py, px = phase
+    ye = ((jnp.arange(h, dtype=jnp.int32)[:, None] + py) % 2) == 0
+    xe = ((jnp.arange(w, dtype=jnp.int32)[None, :] + px) % 2) == 0
     return ye, xe
+
+
+# Bayer pattern string → (row, col) parity phase: the R site's position
+# mod 2 in the 2×2 repeat.
+CFA_PHASES = {"RGGB": (0, 0), "GRBG": (0, 1), "GBRG": (1, 0),
+              "BGGR": (1, 1)}
+
+
+def phase_of(cfa_pattern: str):
+    """(row, col) phase for a 2×2 Bayer pattern string; raises for
+    non-Bayer CFAs (e.g. X-Trans)."""
+    try:
+        return CFA_PHASES[cfa_pattern.upper()]
+    except KeyError:
+        raise ValueError(f"unsupported CFA pattern {cfa_pattern!r}")
 
 
 def _combine(v, left, right, up, down, downleft, ye, xe):
@@ -54,18 +75,19 @@ def _combine(v, left, right, up, down, downleft, ye, xe):
     return r, g, b
 
 
-def demosaic_nearest(mosaic):
+def demosaic_nearest(mosaic, phase=(0, 0)):
     """Nearest-neighbor demosaic, bit-matching the reference shader.
 
     Args:
       mosaic: (H, W) float32 normalized mosaic.
+      phase: CFA parity phase (see parity_masks).
 
     Returns:
       (r, g, b) float32 (H, W) planes.
     """
     h, w = mosaic.shape
     p = jnp.pad(mosaic, ((1, 1), (1, 1)), mode="edge")
-    ye, xe = parity_masks(h, w)
+    ye, xe = parity_masks(h, w, phase)
     return _combine(
         mosaic,
         _shifted(p, 0, -1, h, w),
@@ -78,7 +100,7 @@ def demosaic_nearest(mosaic):
     )
 
 
-def demosaic_nearest_vpadded(padded, row_offset):
+def demosaic_nearest_vpadded(padded, row_offset, phase=(0, 0)):
     """Nearest demosaic of a row block carrying a 1-row vertical halo.
 
     For row-sharded (spatial/context-parallel) develop: ``padded`` is
@@ -92,9 +114,9 @@ def demosaic_nearest_vpadded(padded, row_offset):
     hp2, w = padded.shape
     h = hp2 - 2
     p = jnp.pad(padded, ((0, 0), (1, 1)), mode="edge")
-    rows = jnp.arange(h, dtype=jnp.int32) + row_offset
+    rows = jnp.arange(h, dtype=jnp.int32) + row_offset + phase[0]
     ye = (rows[:, None] % 2) == 0
-    xe = (jnp.arange(w, dtype=jnp.int32)[None, :] % 2) == 0
+    xe = ((jnp.arange(w, dtype=jnp.int32)[None, :] + phase[1]) % 2) == 0
     return _combine(
         p[1 : 1 + h, 1 : 1 + w],
         p[1 : 1 + h, 0:w],
@@ -107,7 +129,7 @@ def demosaic_nearest_vpadded(padded, row_offset):
     )
 
 
-def demosaic_nearest_sampled(mosaic, yi, xi):
+def demosaic_nearest_sampled(mosaic, yi, xi, phase=(0, 0)):
     """Nearest-neighbor demosaic evaluated only at sampled positions.
 
     This is the preview/histogram path: the reference renders the
@@ -147,8 +169,8 @@ def demosaic_nearest_sampled(mosaic, yi, xi):
     down = jnp.take(rows_dn, xc, axis=1)
     downleft = jnp.take(rows_dn, x_lt, axis=1)
 
-    ye = (yc[:, None] % 2) == 0
-    xe = (xc[None, :] % 2) == 0
+    ye = ((yc[:, None] + phase[0]) % 2) == 0
+    xe = ((xc[None, :] + phase[1]) % 2) == 0
     return _combine(v, left, right, up, down, downleft, ye, xe)
 
 
@@ -177,7 +199,7 @@ def _bilinear_taps():
     return cross, hmean, vmean, plus, diag
 
 
-def demosaic_bilinear(mosaic):
+def demosaic_bilinear(mosaic, phase=(0, 0)):
     """Bilinear demosaic on the RGGB layout (accurate mode).
 
     Interpolates each missing channel from its nearest same-channel
@@ -194,7 +216,7 @@ def demosaic_bilinear(mosaic):
     pm = _conv_taps(p, plus, h, w)
     dm = _conv_taps(p, diag, h, w)
 
-    ye, xe = parity_masks(h, w)
+    ye, xe = parity_masks(h, w, phase)
 
     # R: at R sites v; at G2 (even row, odd col) horizontal mean; at G1
     # (odd row, even col) vertical mean; at B sites diagonal mean.
@@ -207,9 +229,9 @@ def demosaic_bilinear(mosaic):
     return r, g, b
 
 
-def demosaic(mosaic, method: str = "nearest"):
+def demosaic(mosaic, method: str = "nearest", phase=(0, 0)):
     if method == "nearest":
-        return demosaic_nearest(mosaic)
+        return demosaic_nearest(mosaic, phase)
     if method == "bilinear":
-        return demosaic_bilinear(mosaic)
+        return demosaic_bilinear(mosaic, phase)
     raise ValueError(f"unknown demosaic method: {method!r}")

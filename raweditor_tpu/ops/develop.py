@@ -142,15 +142,12 @@ def finish_to_u8(r, g, b, valid=None, transfer: str = "gamma22"):
     ``valid`` optionally masks out-of-frame pixels to black, matching the
     shader's early return (reference: gpu/shaders.rs:173-178).
     """
+    from raweditor_tpu.color import gamma22_encode, srgb_encode
+
+    encode = srgb_encode if transfer == "srgb" else gamma22_encode
+
     def enc(c):
-        c = jnp.maximum(c, _F(0.0))
-        if transfer == "srgb":
-            c = jnp.minimum(c, _F(1.0))
-            lo = c * _F(12.92)
-            hi = _F(1.055) * jnp.power(c, _F(1.0 / 2.4)) - _F(0.055)
-            c = jnp.where(c <= _F(0.0031308), lo, hi)
-        else:
-            c = jnp.power(c, _F(1.0 / 2.2))
+        c = encode(c)  # single source of truth for both curves (color.py)
         c = jnp.minimum(c, _F(1.0))
         q = jnp.floor(c * _F(255.0) + _F(0.5))
         if valid is not None:
@@ -198,7 +195,8 @@ def _normalize(mosaic, white_level, black_level=0.0):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("demosaic_method", "matrix_transpose", "transfer"),
+    static_argnames=("demosaic_method", "matrix_transpose", "transfer",
+                     "cfa_phase"),
 )
 def develop(
     mosaic,
@@ -210,6 +208,7 @@ def develop(
     demosaic_method: str = "nearest",
     matrix_transpose: bool = True,
     transfer: str = "gamma22",
+    cfa_phase=(0, 0),
 ):
     """Full-resolution develop: (H, W) u16 mosaic → (H, W, 3) u8 sRGB.
 
@@ -218,7 +217,7 @@ def develop(
     readback: the output stays on device until the caller fetches it.
     """
     norm = _normalize(mosaic, white_level, black_level)
-    r, g, b = _demosaic.demosaic(norm, demosaic_method)
+    r, g, b = _demosaic.demosaic(norm, demosaic_method, cfa_phase)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix, matrix_transpose)
     r, g, b = finish_to_u8(r, g, b, transfer=transfer)
     return jnp.stack([r, g, b], axis=-1)
@@ -226,7 +225,8 @@ def develop(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("demosaic_method", "matrix_transpose", "transfer"),
+    static_argnames=("demosaic_method", "matrix_transpose", "transfer",
+                     "cfa_phase"),
 )
 def develop_rgba(
     mosaic,
@@ -238,6 +238,7 @@ def develop_rgba(
     demosaic_method: str = "nearest",
     matrix_transpose: bool = True,
     transfer: str = "gamma22",
+    cfa_phase=(0, 0),
 ):
     """Full-resolution develop to packed RGBA: (H, W) u16 → (H, W) u32.
 
@@ -250,14 +251,15 @@ def develop_rgba(
     like the reference (reference: main.rs:1778-1781).
     """
     norm = _normalize(mosaic, white_level, black_level)
-    r, g, b = _demosaic.demosaic(norm, demosaic_method)
+    r, g, b = _demosaic.demosaic(norm, demosaic_method, cfa_phase)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix, matrix_transpose)
     return finish_to_rgba_u32(r, g, b, transfer=transfer)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_w", "out_h", "matrix_transpose"),
+    static_argnames=("out_w", "out_h", "matrix_transpose", "transfer",
+                     "cfa_phase"),
 )
 def develop_preview(
     mosaic,
@@ -272,6 +274,8 @@ def develop_preview(
     white_level=4096.0,
     black_level=0.0,
     matrix_transpose: bool = True,
+    transfer: str = "gamma22",
+    cfa_phase=(0, 0),
 ):
     """Preview develop at an arbitrary target size with zoom/pan.
 
@@ -288,9 +292,9 @@ def develop_preview(
     valid = yvalid[:, None] & xvalid[None, :]
 
     norm = _normalize(mosaic, white_level, black_level)
-    r, g, b = _demosaic.demosaic_nearest_sampled(norm, yi, xi)
+    r, g, b = _demosaic.demosaic_nearest_sampled(norm, yi, xi, cfa_phase)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix, matrix_transpose)
-    r, g, b = finish_to_u8(r, g, b, valid=valid)
+    r, g, b = finish_to_u8(r, g, b, valid=valid, transfer=transfer)
     return jnp.stack([r, g, b], axis=-1)
 
 
@@ -322,7 +326,8 @@ def histogram_256(rgb_u8):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_w", "out_h", "matrix_transpose")
+    jax.jit, static_argnames=("out_w", "out_h", "matrix_transpose",
+                              "transfer", "cfa_phase")
 )
 def develop_histogram(
     mosaic,
@@ -337,6 +342,8 @@ def develop_histogram(
     white_level=4096.0,
     black_level=0.0,
     matrix_transpose: bool = True,
+    transfer: str = "gamma22",
+    cfa_phase=(0, 0),
 ):
     """The reference's live-histogram path: develop a tiny nearest-sampled
     render (128 px wide) and bin it (reference: gpu/pipeline.rs:615-736,
@@ -345,5 +352,6 @@ def develop_histogram(
     img = develop_preview(
         mosaic, params, wb, cam_matrix, out_w, out_h,
         zoom, pan_x, pan_y, white_level, black_level, matrix_transpose,
+        transfer, cfa_phase,
     )
     return histogram_256(img)

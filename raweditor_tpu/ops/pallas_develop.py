@@ -105,7 +105,8 @@ def _shift_x(arr, direction: int, edge_col):
     return jnp.where(col == w - 1, edge_col, rolled)
 
 
-def _kernel(scal_ref, pad_hbm, out_ref, scratch, sem, *, block_h: int):
+def _kernel(scal_ref, pad_hbm, out_ref, scratch, sem, *, block_h: int,
+            cfa_phase=(0, 0)):
     i = pl.program_id(0)
     copy = pltpu.make_async_copy(
         pad_hbm.at[pl.ds(i * block_h, block_h + 8)], scratch, sem
@@ -133,9 +134,9 @@ def _kernel(scal_ref, pad_hbm, out_ref, scratch, sem, *, block_h: int):
 
     # CFA parity in global coordinates (the y+1 offset is folded into
     # the site table, see ops/demosaic.py).
-    row0 = i * bh
+    row0 = i * bh + cfa_phase[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 0) + row0
-    cols = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 1) + cfa_phase[1]
     ye = (rows % 2) == 0
     xe = (cols % 2) == 0
 
@@ -191,7 +192,8 @@ def _kernel(scal_ref, pad_hbm, out_ref, scratch, sem, *, block_h: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("matrix_transpose", "block_h", "interpret")
+    jax.jit, static_argnames=("matrix_transpose", "block_h", "interpret",
+                              "cfa_phase")
 )
 def pallas_develop_rgba(
     mosaic,
@@ -203,6 +205,7 @@ def pallas_develop_rgba(
     matrix_transpose: bool = True,
     block_h: int | None = None,
     interpret: bool = False,
+    cfa_phase=(0, 0),
 ):
     """Fused-kernel full develop: (H, W) u16 → (H, W) u32 packed RGBA."""
     h, w = mosaic.shape
@@ -219,7 +222,7 @@ def pallas_develop_rgba(
     padded = jnp.pad(mosaic, ((1, 7), (0, 0)), mode="edge")
 
     return pl.pallas_call(
-        functools.partial(_kernel, block_h=bh),
+        functools.partial(_kernel, block_h=bh, cfa_phase=cfa_phase),
         grid=(h // bh,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

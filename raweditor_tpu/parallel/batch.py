@@ -42,11 +42,11 @@ def pack_params(params_list) -> EditParams:
 
 
 def _develop_one(mosaic, params, wb, cm, white_level, black_level,
-                 matrix_transpose, rgba=False):
+                 matrix_transpose, rgba=False, cfa_phase=(0, 0)):
     x = mosaic.astype(_F)
     black = jnp.asarray(black_level, _F)
     norm = (x - black) / (jnp.asarray(white_level, _F) - black)
-    r, g, b = _demosaic.demosaic_nearest(norm)
+    r, g, b = _demosaic.demosaic_nearest(norm, cfa_phase)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cm, matrix_transpose)
     if rgba:
         return finish_to_rgba_u32(r, g, b)
@@ -55,11 +55,11 @@ def _develop_one(mosaic, params, wb, cm, white_level, black_level,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("matrix_transpose",)
+    jax.jit, static_argnames=("matrix_transpose", "cfa_phase")
 )
 def batch_develop(mosaics, params: EditParams, wb, cam_matrices,
                   white_levels=None, black_levels=None,
-                  matrix_transpose: bool = True):
+                  matrix_transpose: bool = True, cfa_phase=(0, 0)):
     """vmapped batch develop: (N, H, W) u16 → (N, H, W, 3) u8.
 
     white_levels/black_levels are optional per-image (N,) arrays
@@ -74,16 +74,17 @@ def batch_develop(mosaics, params: EditParams, wb, cam_matrices,
     if black_levels is None:
         black_levels = jnp.zeros((n,), _F)
     return jax.vmap(
-        functools.partial(_develop_one, matrix_transpose=matrix_transpose)
+        functools.partial(_develop_one, matrix_transpose=matrix_transpose,
+                          cfa_phase=cfa_phase)
     )(mosaics, params, wb, cam_matrices, white_levels, black_levels)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("matrix_transpose",)
+    jax.jit, static_argnames=("matrix_transpose", "cfa_phase")
 )
 def batch_develop_rgba(mosaics, params: EditParams, wb, cam_matrices,
                        white_levels=None, black_levels=None,
-                       matrix_transpose: bool = True):
+                       matrix_transpose: bool = True, cfa_phase=(0, 0)):
     """batch_develop with packed-RGBA u32 output: (N, H, W) u16 →
     (N, H, W) u32 — the fast path for export (see develop_rgba)."""
     n = mosaics.shape[0]
@@ -93,13 +94,15 @@ def batch_develop_rgba(mosaics, params: EditParams, wb, cam_matrices,
         black_levels = jnp.zeros((n,), _F)
     return jax.vmap(
         functools.partial(
-            _develop_one, matrix_transpose=matrix_transpose, rgba=True
+            _develop_one, matrix_transpose=matrix_transpose, rgba=True,
+            cfa_phase=cfa_phase,
         )
     )(mosaics, params, wb, cam_matrices, white_levels, black_levels)
 
 
 def _sharded_step(mosaics, params, wb, cms, whites, blacks, *, axis_name,
-                  matrix_transpose, with_histogram, rgba=False):
+                  matrix_transpose, with_histogram, rgba=False,
+                  cfa_phase=(0, 0)):
     """Per-device body: local (n, h_blk, W) batch of row blocks."""
     imgs = jax.vmap(
         functools.partial(
@@ -107,6 +110,7 @@ def _sharded_step(mosaics, params, wb, cms, whites, blacks, *, axis_name,
             axis_name=axis_name,
             matrix_transpose=matrix_transpose,
             rgba=rgba,
+            cfa_phase=cfa_phase,
         )
     )(mosaics, params, wb, cms, whites, blacks)
     if not with_histogram:
@@ -135,7 +139,7 @@ def _sharded_step(mosaics, params, wb, cms, whites, blacks, *, axis_name,
     jax.jit,
     static_argnames=(
         "mesh", "batch_axis", "row_axis",
-        "matrix_transpose", "with_histogram", "rgba",
+        "matrix_transpose", "with_histogram", "rgba", "cfa_phase",
     ),
 )
 def batch_develop_sharded(
@@ -151,6 +155,7 @@ def batch_develop_sharded(
     matrix_transpose: bool = True,
     with_histogram: bool = False,
     rgba: bool = False,
+    cfa_phase=(0, 0),
 ):
     """The full sharded export step: dp over images × sp over rows.
 
@@ -186,6 +191,7 @@ def batch_develop_sharded(
             matrix_transpose=matrix_transpose,
             with_histogram=with_histogram,
             rgba=rgba,
+            cfa_phase=cfa_phase,
         ),
         mesh=mesh,
         in_specs=(

@@ -52,7 +52,7 @@ def exchange_row_halos(block, axis_name: str):
 def develop_block(block_u16, params: EditParams, wb, cam_matrix,
                   white_level=4096.0, black_level=0.0, *,
                   axis_name: str, matrix_transpose: bool = True,
-                  rgba: bool = False):
+                  rgba: bool = False, cfa_phase=(0, 0)):
     """Develop one shard's row block inside a shard_map/collective
     context. Returns (h_block, W, 3) u8, or (h_block, W) u32 packed
     RGBA when ``rgba`` (see ops.develop.finish_to_rgba_u32)."""
@@ -66,7 +66,7 @@ def develop_block(block_u16, params: EditParams, wb, cam_matrix,
     )
     up, down = exchange_row_halos(norm, axis_name)
     padded = jnp.concatenate([up, norm, down], axis=0)
-    r, g, b = demosaic_nearest_vpadded(padded, row_offset)
+    r, g, b = demosaic_nearest_vpadded(padded, row_offset, cfa_phase)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix,
                                matrix_transpose)
     if rgba:

@@ -72,11 +72,16 @@ class DevelopEngine:
         self.cam_matrix = cam_to_srgb_matrix(raw.xyz_to_cam, mode=mode)
         self.matrix_transpose = mode == "parity"
         if mode == "parity":
-            self.white_level = 4096.0  # (reference: gpu/shaders.rs:110)
+            # The reference hardcodes everything (gpu/shaders.rs:110-125).
+            self.white_level = 4096.0
             self.black_level = 0.0
+            self.cfa_phase = (0, 0)
         else:
+            from raweditor_tpu.ops.demosaic import phase_of
+
             self.white_level = float(raw.white_level)
             self.black_level = float(raw.black_level)
+            self.cfa_phase = phase_of(raw.cfa_pattern)
 
     # -- render paths ----------------------------------------------------
     def preview_device(self, params: EditParams, zoom: float = 1.0,
@@ -89,6 +94,7 @@ class DevelopEngine:
             zoom=zoom, pan_x=pan[0], pan_y=pan[1],
             white_level=self.white_level, black_level=self.black_level,
             matrix_transpose=self.matrix_transpose,
+            transfer=self.transfer, cfa_phase=self.cfa_phase,
         )
 
     def preview(self, params: EditParams, zoom: float = 1.0,
@@ -104,7 +110,7 @@ class DevelopEngine:
             white_level=self.white_level, black_level=self.black_level,
             demosaic_method=self.demosaic_method,
             matrix_transpose=self.matrix_transpose,
-            transfer=self.transfer,
+            transfer=self.transfer, cfa_phase=self.cfa_phase,
         )
 
     def full(self, params: EditParams) -> np.ndarray:
@@ -122,6 +128,7 @@ class DevelopEngine:
                 white_level=self.white_level,
                 black_level=self.black_level,
                 matrix_transpose=self.matrix_transpose,
+                transfer=self.transfer, cfa_phase=self.cfa_phase,
             )
         )
 
@@ -142,6 +149,7 @@ class DevelopEngine:
                     white_level=self.white_level,
                     black_level=self.black_level,
                     matrix_transpose=self.matrix_transpose,
+                    cfa_phase=self.cfa_phase,
                 )
             except ValueError:
                 pass  # unsupported shape → XLA path
@@ -150,7 +158,7 @@ class DevelopEngine:
             white_level=self.white_level, black_level=self.black_level,
             demosaic_method=self.demosaic_method,
             matrix_transpose=self.matrix_transpose,
-            transfer=self.transfer,
+            transfer=self.transfer, cfa_phase=self.cfa_phase,
         )
 
     def export(self, path: os.PathLike, params: EditParams,

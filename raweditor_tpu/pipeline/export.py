@@ -83,6 +83,7 @@ class _Decoded:
     cam_matrix: np.ndarray
     white_level: float
     black_level: float
+    cfa_phase: tuple = (0, 0)
 
 
 def _decode_job(job: ExportJob, mode: str):
@@ -91,9 +92,14 @@ def _decode_job(job: ExportJob, mode: str):
     t0 = time.perf_counter()
     raw = decode_raw(job.raw_path)
     if mode == "parity":
-        white, black = 4096.0, 0.0
+        # The reference hardcodes 4096 and the RGGB stencil
+        # (gpu/shaders.rs:110-125).
+        white, black, phase = 4096.0, 0.0, (0, 0)
     else:
+        from raweditor_tpu.ops.demosaic import phase_of
+
         white, black = float(raw.white_level), float(raw.black_level)
+        phase = phase_of(raw.cfa_pattern)
     decoded = _Decoded(
         job=job,
         mosaic=raw.mosaic,
@@ -101,6 +107,7 @@ def _decode_job(job: ExportJob, mode: str):
         cam_matrix=cam_to_srgb_matrix(raw.xyz_to_cam, mode=mode),
         white_level=white,
         black_level=black,
+        cfa_phase=phase,
     )
     return decoded, time.perf_counter() - t0
 
@@ -108,7 +115,9 @@ def _decode_job(job: ExportJob, mode: str):
 def _encode_one(out_path: str, rgba_words: np.ndarray, quality: int) -> None:
     """Encode a (H, W) u32 packed-RGBA image. The RGBA→RGB strip for
     JPEG happens here on the host, exactly like the reference
-    (reference: main.rs:1778-1781)."""
+    (reference: main.rs:1778-1781). Writes to a temp name and renames on
+    success so an interrupted run never leaves a partial file that
+    ``skip_existing`` would later trust."""
     from PIL import Image
 
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
@@ -117,10 +126,17 @@ def _encode_one(out_path: str, rgba_words: np.ndarray, quality: int) -> None:
         "RGBA", (w, h), np.ascontiguousarray(rgba_words).tobytes(),
         "raw", "RGBA", 0, 1,
     )
-    if out_path.lower().endswith(".png"):
-        img.save(out_path)
-    else:
-        img.convert("RGB").save(out_path, format="JPEG", quality=quality)
+    tmp_path = out_path + ".tmp"
+    try:
+        if out_path.lower().endswith(".png"):
+            img.save(tmp_path, format="PNG")
+        else:
+            img.convert("RGB").save(tmp_path, format="JPEG",
+                                    quality=quality)
+        os.replace(tmp_path, out_path)
+    finally:
+        if os.path.exists(tmp_path):
+            os.unlink(tmp_path)
 
 
 class _Batcher:
@@ -131,7 +147,7 @@ class _Batcher:
         self.buckets: Dict[Tuple[int, int], List[_Decoded]] = {}
 
     def add(self, item: _Decoded) -> Optional[List[_Decoded]]:
-        key = item.mosaic.shape
+        key = (item.mosaic.shape, item.cfa_phase)
         bucket = self.buckets.setdefault(key, [])
         bucket.append(item)
         if len(bucket) >= self.batch_size:
@@ -200,11 +216,12 @@ def run_batch_export(
         whites = np.array([d.white_level for d in padded], np.float32)
         blacks = np.array([d.black_level for d in padded], np.float32)
 
+        phase = batch[0].cfa_phase
         t0 = time.perf_counter()
         if mesh is None:
             out = batch_develop_rgba(
                 mosaics, params, wbs, cms, whites, blacks,
-                matrix_transpose=matrix_transpose,
+                matrix_transpose=matrix_transpose, cfa_phase=phase,
             )
         else:
             staged = jax.device_put(mosaics, batch_sharding(mesh))
@@ -212,15 +229,30 @@ def run_batch_export(
                 staged, params, wbs, cms, mesh,
                 white_levels=whites, black_levels=blacks,
                 matrix_transpose=matrix_transpose, rgba=True,
+                cfa_phase=phase,
             )
         host = np.asarray(out)[:n_real]
         report.device_seconds += time.perf_counter() - t0
 
         for d, rgb in zip(batch, host):
+            # Per-image copy: an encode job must not pin the whole
+            # (B, H, W) batch array while it waits in the queue.
             fut = encode_pool.submit(
-                _encode_one, d.job.out_path, rgb, quality
+                _encode_one, d.job.out_path, rgb.copy(), quality
             )
             encode_futures.append((fut, d.job))
+        # Backpressure: the device can outrun host JPEG encode by ~20×;
+        # without a bound the queue would pin unbounded RGBA buffers.
+        max_inflight = 4 * encode_threads
+        while len(encode_futures) > max_inflight:
+            fut, job = encode_futures.pop(0)
+            t_enc = time.perf_counter()
+            try:
+                fut.result()
+                report.succeeded += 1
+            except Exception as e:
+                report.failed.append((job.raw_path, f"encode: {e}"))
+            report.encode_seconds += time.perf_counter() - t_enc
 
     with ThreadPoolExecutor(decode_threads) as decode_pool, \
             ThreadPoolExecutor(encode_threads) as encode_pool:

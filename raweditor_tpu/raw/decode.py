@@ -120,7 +120,8 @@ def _mosaic_from_tiles(tf: T.TiffFile, ifd: T.IFD, width: int, height: int,
         for tx in range(tiles_across):
             data = tiles[ty * tiles_across + tx]
             if comp == T.COMPRESSION_NONE:
-                tile = unpack_bits(data, tw, th, bpp)
+                tile = unpack_bits(data, tw, th, bpp,
+                                   big_endian=(tf.endian == ">"))
             elif comp == T.COMPRESSION_LJPEG:
                 planes, _prec = _decode_lossless_any(data)
                 nc, h0, w0 = planes.shape
@@ -200,10 +201,14 @@ def _decode_nikon_strips(tf: T.TiffFile, strips: List[bytes], width: int,
         raise UnsupportedRawError(
             "compressed NEF without 0x0096 linearization table"
         )
-    info = nikon.parse_linearization(
-        bytes(meta), bpp, big_endian=(tf.endian == ">")
-    )
+    try:
+        info = nikon.parse_linearization(
+            bytes(meta), bpp, big_endian=(tf.endian == ">")
+        )
+    except Exception as e:
+        raise RawDecodeError(f"bad 0x0096 linearization table: {e}") from e
     strip = b"".join(strips)
+    curve_white = float(info.curve[info.max_value - 1])
 
     from raweditor_tpu.native import get_rawkit
 
@@ -214,8 +219,9 @@ def _decode_nikon_strips(tf: T.TiffFile, strips: List[bytes], width: int,
             info.vpred.astype(np.int32).tobytes(),
             info.curve.astype(np.uint16).tobytes(),
         )
-        return np.frombuffer(raw, np.uint16).reshape(height, width)
-    return nikon.decode_nikon(strip, width, height, bpp, info)
+        mosaic = np.frombuffer(raw, np.uint16).reshape(height, width)
+        return mosaic, curve_white
+    return nikon.decode_nikon(strip, width, height, bpp, info), curve_white
 
 
 def _find_tag(tf: T.TiffFile, tag: int):
@@ -280,6 +286,7 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
     if not width or not height:
         raise RawDecodeError("sensor IFD missing dimensions")
 
+    curve_white = None  # white point recovered from a Nikon curve
     sample_format = ifd.get_scalar(T.SAMPLE_FORMAT, 1)
     if tf.is_tiled(ifd):
         mosaic = _mosaic_from_tiles(tf, ifd, width, height, bpp, comp)
@@ -289,15 +296,17 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
                                    height, bpp, tf.endian)
         else:
             mosaic = unpack_bits(b"".join(tf.strip_data(ifd)), width,
-                                 height, bpp)
+                                 height, bpp,
+                                 big_endian=(tf.endian == ">"))
     elif comp == T.COMPRESSION_LJPEG:
         mosaic = _mosaic_from_ljpeg(tf.strip_data(ifd), width, height)
         slices = ifd.get(T.CR2_SLICE)
         if slices is not None:
             mosaic = _cr2_deslice(mosaic, slices, width, height)
     elif comp == T.COMPRESSION_NIKON:
-        mosaic = _decode_nikon_strips(tf, tf.strip_data(ifd), width,
-                                      height, bpp)
+        mosaic, curve_white = _decode_nikon_strips(
+            tf, tf.strip_data(ifd), width, height, bpp
+        )
     elif comp == T.COMPRESSION_ARW2:
         from raweditor_tpu.raw.arw2 import decode_arw2
 
@@ -335,6 +344,11 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
     white = _find_tag(tf, T.WHITE_LEVEL)
     if isinstance(white, tuple):
         white = white[0]
+    if white is None and curve_white is not None:
+        # Nikon linearization curves plateau at the true sensor white;
+        # the trimmed curve value is the white point when no explicit
+        # WhiteLevel tag exists (real NEFs have none).
+        white = curve_white
 
     cfa = _cfa_pattern_string(ifd)
 

@@ -11,16 +11,23 @@ from __future__ import annotations
 import numpy as np
 
 
-def unpack_bits(data: bytes, width: int, height: int, bpp: int) -> np.ndarray:
-    """(H, W) uint16 from MSB-first packed rows."""
+def unpack_bits(data: bytes, width: int, height: int, bpp: int,
+                big_endian: bool = True) -> np.ndarray:
+    """(H, W) uint16 from MSB-first packed rows.
+
+    ``big_endian`` applies only to whole-sample (16-bit) data, which
+    follows the TIFF container byte order; sub-byte packing is MSB-first
+    regardless of container order (TIFF 6.0 §"Image File Format").
+    """
     from raweditor_tpu.native import get_rawkit
 
     rk = get_rawkit()
-    if rk is not None:
-        raw = rk.unpack_bits(data, width, height, bpp)
+    if rk is not None and hasattr(rk, "unpack_bits2"):
+        raw = rk.unpack_bits2(data, width, height, bpp, int(big_endian))
         return np.frombuffer(raw, dtype=np.uint16).reshape(height, width)
     if bpp == 16:
-        a = np.frombuffer(data, dtype=">u2", count=width * height)
+        dt = ">u2" if big_endian else "<u2"
+        a = np.frombuffer(data, dtype=dt, count=width * height)
         return a.astype(np.uint16).reshape(height, width)
     if bpp == 8:
         a = np.frombuffer(data, dtype=np.uint8, count=width * height)
@@ -38,14 +45,15 @@ def unpack_bits(data: bytes, width: int, height: int, bpp: int) -> np.ndarray:
     return (bits * weights).sum(axis=2, dtype=np.uint32).astype(np.uint16)
 
 
-def pack_bits(mosaic: np.ndarray, bpp: int) -> bytes:
+def pack_bits(mosaic: np.ndarray, bpp: int,
+              big_endian: bool = True) -> bytes:
     """Inverse of unpack_bits (fixture writer)."""
     mosaic = np.asarray(mosaic, dtype=np.uint16)
     h, w = mosaic.shape
     if mosaic.max(initial=0) >= (1 << bpp):
         raise ValueError("sample exceeds bit depth")
     if bpp == 16:
-        return mosaic.astype(">u2").tobytes()
+        return mosaic.astype(">u2" if big_endian else "<u2").tobytes()
     if bpp == 8:
         return mosaic.astype(np.uint8).tobytes()
     vals = mosaic.reshape(h, w, 1)

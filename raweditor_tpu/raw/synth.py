@@ -259,14 +259,15 @@ def write_synthetic_raw(
                 part = mosaic[y0 : y0 + th, x0 : x0 + tw]
                 tile[: part.shape[0], : part.shape[1]] = part
                 tiles.append(
-                    pack_bits(tile, bpp)
+                    pack_bits(tile, bpp, big_endian=False)
                     if compression == "none"
                     else encode_lossless(tile, bpp, predictor=predictor)
                 )
         sensor = b""
     elif compression == "none":
         comp_tag = T.COMPRESSION_NONE
-        sensor = pack_bits(mosaic, bpp)
+        # 'II' container: 16-bit samples are little-endian per TIFF.
+        sensor = pack_bits(mosaic, bpp, big_endian=False)
     elif compression == "ljpeg":
         comp_tag = T.COMPRESSION_LJPEG
         payload = mosaic

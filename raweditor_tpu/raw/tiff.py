@@ -95,7 +95,11 @@ class IFD:
 
 
 class TiffFile:
-    """Parsed TIFF container over an in-memory byte buffer."""
+    """Parsed TIFF container over an in-memory byte buffer.
+
+    All malformed-input failures raise ValueError (the contract
+    decode_raw converts to RawDecodeError); truncated structures must
+    never leak struct.error."""
 
     def __init__(self, data: bytes):
         self.data = data
@@ -108,16 +112,19 @@ class TiffFile:
             self.endian = ">"
         else:
             raise ValueError("not a TIFF: bad byte-order mark")
-        magic = self._u16(2)
-        if magic != 42:
-            raise ValueError(f"not a TIFF: magic {magic}")
-        self.ifds: List[IFD] = []
-        next_off = self._u32(4)
-        seen = set()
-        while next_off and next_off not in seen and next_off < len(data):
-            seen.add(next_off)
-            ifd, next_off = self._parse_ifd(next_off, seen)
-            self.ifds.append(ifd)
+        try:
+            magic = self._u16(2)
+            if magic != 42:
+                raise ValueError(f"not a TIFF: magic {magic}")
+            self.ifds: List[IFD] = []
+            next_off = self._u32(4)
+            seen = set()
+            while next_off and next_off not in seen and next_off < len(data):
+                seen.add(next_off)
+                ifd, next_off = self._parse_ifd(next_off, seen)
+                self.ifds.append(ifd)
+        except struct.error as e:
+            raise ValueError(f"truncated TIFF structure: {e}") from e
 
     # -- primitive reads ------------------------------------------------
     def _u16(self, off: int) -> int:

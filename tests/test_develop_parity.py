@@ -194,3 +194,26 @@ def test_bilinear_demosaic_option(rng):
     b = np.asarray(develop(flat, EditParams(), WB_NEUTRAL, IDENTITY,
                            demosaic_method="bilinear"))
     assert (a == b).all()
+
+
+def test_cfa_phase_recovers_shifted_pattern(rng):
+    """A GBRG/GRBG/BGGR mosaic developed with its phase must equal the
+    RGGB development of the unshifted scene (interior pixels; edges
+    differ by clamp geometry)."""
+    from raweditor_tpu.ops.demosaic import CFA_PHASES
+
+    # A scene mosaiced at RGGB phase:
+    base = rng.integers(0, 4096, size=(20, 24), dtype=np.uint16)
+    want = np.asarray(develop(base, EditParams(), WB_DAYLIGHT, IDENTITY))
+    for pattern, (py, px) in CFA_PHASES.items():
+        if (py, px) == (0, 0):
+            continue
+        # The same sensor data shifted by the phase: crop so that the
+        # pattern at (0,0) becomes `pattern`.
+        shifted = base[py:, px:]
+        got = np.asarray(
+            develop(shifted, EditParams(), WB_DAYLIGHT, IDENTITY,
+                    cfa_phase=(py, px))
+        )
+        inner = (slice(2, -2), slice(2, -2))
+        assert (got[inner] == want[py:, px:][inner]).all(), pattern

@@ -81,3 +81,12 @@ def test_indivisible_height_raises(rng):
     with pytest.raises(ValueError):
         pallas_develop_rgba(mosaic, EditParams(), WB, IDENTITY,
                             interpret=True)
+
+
+def test_cfa_phase(rng):
+    mosaic = rng.integers(0, 4096, size=(16, 32), dtype=np.uint16)
+    for phase in [(0, 1), (1, 0), (1, 1)]:
+        got = pallas_develop_rgba(mosaic, FULL, WB, IDENTITY,
+                                  cfa_phase=phase, interpret=True)
+        want = develop_rgba(mosaic, FULL, WB, IDENTITY, cfa_phase=phase)
+        assert_1lsb(got, want)

@@ -279,3 +279,59 @@ def test_concurrent_decode_threads(tmp_path, rng):
         results = list(ex.map(job, range(48)))
     for k, got in enumerate(results):
         assert (got == mosaics[k % 6]).all()
+
+
+def test_16bit_respects_container_byte_order(rng):
+    """A little-endian ('II') container stores 16-bit samples LE; a
+    big-endian one BE. Both must decode to the same values (regression:
+    16-bit was always read BE)."""
+    m = rng.integers(0, 65536, size=(4, 6), dtype=np.uint16)
+    le = unpack_bits(m.astype("<u2").tobytes(), 6, 4, 16, big_endian=False)
+    be = unpack_bits(m.astype(">u2").tobytes(), 6, 4, 16, big_endian=True)
+    assert (le == m).all() and (be == m).all()
+    # End-to-end: synthetic 'II' file with 16-bit uncompressed samples.
+    data = write_synthetic_raw(None, m, bpp=16)
+    raw = decode_raw(data)
+    assert (raw.mosaic == m).all()
+
+
+def test_truncated_ifd_raises_decode_error():
+    """A next-IFD pointer just past the end must surface as
+    RawDecodeError, not struct.error (error-contract regression)."""
+    import struct as _struct
+
+    data = bytearray(b"II*\x00")
+    data += _struct.pack("<I", 20)  # first IFD at 20
+    data += b"\x00" * 12
+    data += _struct.pack("<H", 0)  # 0 entries
+    data += _struct.pack("<I", 21)  # next IFD: points 1 byte before EOF
+    data += b"\x00"
+    with pytest.raises(RawDecodeError):
+        decode_raw(bytes(data))
+
+
+def test_nikon_curve_white_point(tmp_path, rng):
+    """Compressed NEFs without a WhiteLevel tag get their white point
+    from the linearization curve's trimmed plateau."""
+    from raweditor_tpu.raw import tiff as T
+    from raweditor_tpu.raw import synth as S
+
+    m = rng.integers(0, 4096, size=(10, 14), dtype=np.uint16)
+    data = write_synthetic_raw(None, m, compression="nikon")
+    # Strip the WhiteLevel tag by patching it to a different id the
+    # decoder ignores (synthetic files always carry one).
+    tf = T.TiffFile(data)
+    blob = bytearray(data)
+    for ifd in tf.all_ifds():
+        tag = ifd.tags.get(T.WHITE_LEVEL)
+        if tag is not None:
+            # entry position: find within the IFD table
+            n = tf._u16(ifd.offset)
+            for k in range(n):
+                pos = ifd.offset + 2 + 12 * k
+                if tf._u16(pos) == T.WHITE_LEVEL:
+                    blob[pos : pos + 2] = (60000).to_bytes(2, "little")
+    raw = decode_raw(bytes(blob))
+    # Identity curve of a 12-bit lossless NEF: white = curve[max-1] = 4095.
+    assert raw.white_level == 4095.0
+    assert (raw.mosaic == m).all()
