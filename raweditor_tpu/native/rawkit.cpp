@@ -168,6 +168,11 @@ struct HuffLUT {
     int k = 0;
     for (int length = 1; length <= 16; length++) {
       for (int i = 0; i < bits[length - 1]; i++) {
+        // A canonical code of this length must fit in `length` bits;
+        // fuzzed/corrupt DHTs violate this and would otherwise index
+        // past the 2^16 LUT (heap corruption).
+        if (code >= (1u << length))
+          throw std::runtime_error("invalid Huffman table: code overflow");
         uint32_t lo = code << (16 - length);
         uint32_t hi = lo + (1u << (16 - length));
         for (uint32_t c = lo; c < hi; c++) {
@@ -227,10 +232,14 @@ LJpegResult decode_ljpeg_impl(const uint8_t* d, int64_t n) {
       case 0xFFC4: {  // DHT
         int64_t off = 0;
         while (off < seg_n) {
+          if (off + 17 > seg_n)
+            throw std::runtime_error("truncated DHT header");
           int id = seg[off] & 0x0F;
           const uint8_t* bits = seg + off + 1;
           int nvals = 0;
           for (int i = 0; i < 16; i++) nvals += bits[i];
+          if (off + 17 + nvals > seg_n)
+            throw std::runtime_error("truncated DHT values");
           tables[id & 3].build(bits, seg + off + 17);
           off += 17 + nvals;
         }

@@ -283,40 +283,53 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
     height = ifd.get_scalar(T.IMAGE_LENGTH)
     bpp = ifd.get_scalar(T.BITS_PER_SAMPLE, 16)
     comp = ifd.get_scalar(T.COMPRESSION, T.COMPRESSION_NONE)
-    if not width or not height:
+    if (not isinstance(width, int) or not isinstance(height, int)
+            or width <= 0 or height <= 0):
         raise RawDecodeError("sensor IFD missing dimensions")
+    # Plausibility: even heavily compressed sensor data needs >1 bit per
+    # 8 pixels; corrupt dimension tags otherwise send the decoders into
+    # multi-gigapixel allocations/loops.
+    if width * height > 16 * max(len(data), 1):
+        raise RawDecodeError(
+            f"implausible dimensions {width}x{height} for "
+            f"{len(data)}-byte file"
+        )
 
     curve_white = None  # white point recovered from a Nikon curve
     sample_format = ifd.get_scalar(T.SAMPLE_FORMAT, 1)
-    if tf.is_tiled(ifd):
-        mosaic = _mosaic_from_tiles(tf, ifd, width, height, bpp, comp)
-    elif comp == T.COMPRESSION_NONE:
-        if sample_format == 3:
-            mosaic = _float_mosaic(b"".join(tf.strip_data(ifd)), width,
-                                   height, bpp, tf.endian)
-        else:
-            mosaic = unpack_bits(b"".join(tf.strip_data(ifd)), width,
-                                 height, bpp,
-                                 big_endian=(tf.endian == ">"))
-    elif comp == T.COMPRESSION_LJPEG:
-        mosaic = _mosaic_from_ljpeg(tf.strip_data(ifd), width, height)
-        slices = ifd.get(T.CR2_SLICE)
-        if slices is not None:
-            mosaic = _cr2_deslice(mosaic, slices, width, height)
-    elif comp == T.COMPRESSION_NIKON:
-        mosaic, curve_white = _decode_nikon_strips(
-            tf, tf.strip_data(ifd), width, height, bpp
-        )
-    elif comp == T.COMPRESSION_ARW2:
-        from raweditor_tpu.raw.arw2 import decode_arw2
+    try:
+        if tf.is_tiled(ifd):
+            mosaic = _mosaic_from_tiles(tf, ifd, width, height, bpp, comp)
+        elif comp == T.COMPRESSION_NONE:
+            if sample_format == 3:
+                mosaic = _float_mosaic(b"".join(tf.strip_data(ifd)), width,
+                                       height, bpp, tf.endian)
+            else:
+                mosaic = unpack_bits(b"".join(tf.strip_data(ifd)), width,
+                                     height, bpp,
+                                     big_endian=(tf.endian == ">"))
+        elif comp == T.COMPRESSION_LJPEG:
+            mosaic = _mosaic_from_ljpeg(tf.strip_data(ifd), width, height)
+            slices = ifd.get(T.CR2_SLICE)
+            if slices is not None:
+                mosaic = _cr2_deslice(mosaic, slices, width, height)
+        elif comp == T.COMPRESSION_NIKON:
+            mosaic, curve_white = _decode_nikon_strips(
+                tf, tf.strip_data(ifd), width, height, bpp
+            )
+        elif comp == T.COMPRESSION_ARW2:
+            from raweditor_tpu.raw.arw2 import decode_arw2
 
-        try:
             mosaic = decode_arw2(b"".join(tf.strip_data(ifd)), width,
                                  height)
-        except ValueError as e:
-            raise RawDecodeError(str(e)) from e
-    else:
-        raise UnsupportedRawError(f"compression {comp}")
+        else:
+            raise UnsupportedRawError(f"compression {comp}")
+    except RawDecodeError:
+        raise
+    except (ValueError, IndexError) as e:
+        # Corrupt sensor payloads must surface as RawDecodeError — the
+        # batch quarantine path depends on this contract.
+        raise RawDecodeError(f"corrupt sensor data: {e}") from e
 
     # --- color metadata -------------------------------------------------
     neutral = _find_tag(tf, T.AS_SHOT_NEUTRAL)

@@ -264,6 +264,15 @@ class _HuffTable:
     """Max-length LUT huffman decoder built from DHT BITS/VALUES."""
 
     def __init__(self, bits: List[int], values: List[int]):
+        if sum(bits) != len(values):
+            raise ValueError("invalid Huffman table: truncated values")
+        code = 0
+        for length in range(1, 17):
+            n = bits[length - 1] if length - 1 < len(bits) else 0
+            code += n
+            if code > (1 << length):
+                raise ValueError("invalid Huffman table: code overflow")
+            code <<= 1
         self.codes = _canonical_codes([0] + bits, values)
         # code -> (symbol, length) lookup keyed by (length, code)
         self.by_len: Dict[Tuple[int, int], int] = {

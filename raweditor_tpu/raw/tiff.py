@@ -141,7 +141,7 @@ class TiffFile:
         for _ in range(n):
             try:
                 tag = self._parse_entry(pos)
-            except (struct.error, ValueError):
+            except (struct.error, ValueError, IndexError):
                 tag = None
             if tag is not None:
                 tags[tag.tag] = tag
@@ -193,11 +193,15 @@ class TiffFile:
             for i in range(count):
                 num, den = struct.unpack_from(fmt, self.data, off + 8 * i)
                 vals.append(num / den if den else 0.0)
+            if count == 0:
+                return ()
             return tuple(vals) if count > 1 else vals[0]
         fmt = _TYPE_FMT.get(typ)
         if fmt is None:
             return self.data[off : off + _TYPE_SIZES[typ] * count]
         vals = struct.unpack_from(self.endian + fmt * count, self.data, off)
+        if count == 0:
+            return ()
         return vals if count > 1 else vals[0]
 
     # -- RAW-specific helpers -------------------------------------------
@@ -234,23 +238,33 @@ class TiffFile:
             * (i.get_scalar(IMAGE_LENGTH, 0) or 0),
         )
 
-    def strip_data(self, ifd: IFD) -> List[bytes]:
-        offs = ifd.get(STRIP_OFFSETS)
-        lens = ifd.get(STRIP_BYTE_COUNTS)
+    @staticmethod
+    def _offset_list(offs, lens, what: str):
+        """Validate offset/byte-count tag values (fuzzed files can carry
+        arbitrary types here — e.g. RATIONAL tuples)."""
         if offs is None or lens is None:
-            raise ValueError("IFD has no strip data")
+            raise ValueError(f"IFD has no {what} data")
         if not isinstance(offs, tuple):
             offs, lens = (offs,), (lens,)
-        return [self.data[o : o + n] for o, n in zip(offs, lens)]
+        try:
+            pairs = [(int(o), int(n)) for o, n in zip(offs, lens)]
+        except (TypeError, ValueError) as e:
+            raise ValueError(f"malformed {what} offsets: {e}") from e
+        if any(o < 0 or n < 0 for o, n in pairs):
+            raise ValueError(f"negative {what} offsets")
+        return pairs
+
+    def strip_data(self, ifd: IFD) -> List[bytes]:
+        pairs = self._offset_list(
+            ifd.get(STRIP_OFFSETS), ifd.get(STRIP_BYTE_COUNTS), "strip"
+        )
+        return [self.data[o : o + n] for o, n in pairs]
 
     def tile_data(self, ifd: IFD) -> List[bytes]:
-        offs = ifd.get(TILE_OFFSETS)
-        lens = ifd.get(TILE_BYTE_COUNTS)
-        if offs is None or lens is None:
-            raise ValueError("IFD has no tile data")
-        if not isinstance(offs, tuple):
-            offs, lens = (offs,), (lens,)
-        return [self.data[o : o + n] for o, n in zip(offs, lens)]
+        pairs = self._offset_list(
+            ifd.get(TILE_OFFSETS), ifd.get(TILE_BYTE_COUNTS), "tile"
+        )
+        return [self.data[o : o + n] for o, n in pairs]
 
     def is_tiled(self, ifd: IFD) -> bool:
         return ifd.get(TILE_OFFSETS) is not None

@@ -335,3 +335,29 @@ def test_nikon_curve_white_point(tmp_path, rng):
     # Identity curve of a 12-bit lossless NEF: white = curve[max-1] = 4095.
     assert raw.white_level == 4095.0
     assert (raw.mosaic == m).all()
+
+
+def test_decoder_fuzz_error_contract(rng):
+    """Arbitrary garbage must raise RawDecodeError (or decode), never
+    an unrelated exception type — the quarantine path depends on it."""
+    for i in range(60):
+        n = int(rng.integers(0, 400))
+        blob = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        try:
+            decode_raw(blob)
+        except RawDecodeError:
+            pass
+
+    # Mutated valid files: flip bytes across a real container.
+    m = rng.integers(0, 4096, size=(10, 12), dtype=np.uint16)
+    for comp in ("none", "ljpeg", "nikon"):
+        base = bytearray(write_synthetic_raw(None, m, compression=comp))
+        for _ in range(40):
+            blob = bytearray(base)
+            for _ in range(int(rng.integers(1, 6))):
+                pos = int(rng.integers(0, len(blob)))
+                blob[pos] = int(rng.integers(0, 256))
+            try:
+                decode_raw(bytes(blob))
+            except RawDecodeError:
+                pass
