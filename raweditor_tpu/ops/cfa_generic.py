@@ -1,0 +1,111 @@
+"""Generic repeating-CFA nearest-neighbor demosaic (X-Trans et al).
+
+The Bayer stencil in ops/demosaic.py replicates the reference shader
+bit-for-bit. This module goes beyond the reference: any repeating CFA
+grid (notably Fuji X-Trans 6×6, reachable through DNG containers with
+CFARepeatPatternDim 6×6) demosaics by, for every cell of the repeat
+pattern and every missing channel, reading the nearest sensor site of
+that channel. The offsets are computed at trace time from the pattern;
+the kernel itself is a sum of masked shifted views — the same fused
+element-wise form as the Bayer path, just with more taps (X-Trans needs
+~10 distinct shifts).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+# Canonical X-Trans pattern (Fuji sensors), rows of 6.
+XTRANS_PATTERN = (
+    "GBGGRG"
+    "RGRBGB"
+    "GBGGRG"
+    "GRGGBG"
+    "BGBRGR"
+    "GRGGBG"
+)
+
+_CHAN = {"R": 0, "G": 1, "B": 2}
+
+
+@functools.lru_cache(maxsize=16)
+def nearest_offsets(pattern: str, ph: int, pw: int):
+    """For each pattern cell and channel, the offset (dy, dx) of the
+    nearest site of that channel (Euclidean, deterministic tie-break by
+    (|dy|+|dx|, dy, dx)). Returns {(py, px, chan): (dy, dx)}."""
+    if len(pattern) != ph * pw:
+        raise ValueError("pattern length != ph*pw")
+    grid = np.array([_CHAN[c] for c in pattern.upper()]).reshape(ph, pw)
+    # Candidate offsets ordered by distance.
+    radius = max(ph, pw)
+    cands = sorted(
+        ((dy, dx) for dy in range(-radius, radius + 1)
+         for dx in range(-radius, radius + 1)),
+        key=lambda o: (o[0] ** 2 + o[1] ** 2, abs(o[0]) + abs(o[1]),
+                       o[0], o[1]),
+    )
+    table: Dict[Tuple[int, int, int], Tuple[int, int]] = {}
+    for py in range(ph):
+        for px in range(pw):
+            for chan in range(3):
+                for dy, dx in cands:
+                    if grid[(py + dy) % ph, (px + dx) % pw] == chan:
+                        table[(py, px, chan)] = (dy, dx)
+                        break
+                else:
+                    raise ValueError(
+                        f"channel {chan} absent from pattern"
+                    )
+    return table
+
+
+def demosaic_nearest_generic(mosaic, pattern: str, ph: int, pw: int):
+    """Nearest-site demosaic for a (ph, pw)-repeating CFA.
+
+    mosaic: (H, W) float32; returns (r, g, b) planes. Edge handling is
+    clamp-to-edge, consistent with the Bayer path.
+    """
+    h, w = mosaic.shape
+    table = nearest_offsets(pattern, ph, pw)
+    max_off = max(max(abs(dy), abs(dx)) for dy, dx in table.values())
+    p = jnp.pad(mosaic, ((max_off, max_off), (max_off, max_off)),
+                mode="edge")
+
+    def shifted(dy, dx):
+        return p[max_off + dy : max_off + dy + h,
+                 max_off + dx : max_off + dx + w]
+
+    rows = jnp.arange(h, dtype=jnp.int32)[:, None] % ph
+    cols = jnp.arange(w, dtype=jnp.int32)[None, :] % pw
+
+    planes = []
+    for chan in range(3):
+        # Group pattern cells by their offset so each distinct shift is
+        # materialized once.
+        by_offset: Dict[Tuple[int, int], list] = {}
+        for py in range(ph):
+            for px in range(pw):
+                by_offset.setdefault(table[(py, px, chan)], []).append(
+                    (py, px)
+                )
+        acc = jnp.zeros((h, w), mosaic.dtype)
+        for (dy, dx), cells in by_offset.items():
+            mask = jnp.zeros((h, w), bool)
+            for py, px in cells:
+                mask = mask | ((rows == py) & (cols == px))
+            acc = jnp.where(mask, shifted(dy, dx), acc)
+        planes.append(acc)
+    return tuple(planes)
+
+
+def demosaic_xtrans(mosaic, pattern: str = XTRANS_PATTERN):
+    """Fuji X-Trans 6×6 nearest demosaic."""
+    return demosaic_nearest_generic(mosaic, pattern, 6, 6)
+
+
+def is_xtrans(cfa_pattern: str) -> bool:
+    return len(cfa_pattern) == 36

@@ -298,6 +298,80 @@ def develop_preview(
     return jnp.stack([r, g, b], axis=-1)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("pattern", "matrix_transpose", "transfer", "rgba"),
+)
+def develop_xtrans(
+    mosaic,
+    params: EditParams,
+    wb,
+    cam_matrix,
+    white_level=4096.0,
+    black_level=0.0,
+    pattern: str = None,
+    matrix_transpose: bool = False,
+    transfer: str = "gamma22",
+    rgba: bool = False,
+):
+    """Full develop of an X-Trans (or any repeating-CFA) mosaic — a
+    capability beyond the reference, which only handles Bayer. Same edit
+    stack; generic nearest-site demosaic (ops/cfa_generic.py)."""
+    from raweditor_tpu.ops.cfa_generic import (
+        XTRANS_PATTERN,
+        demosaic_nearest_generic,
+    )
+
+    pat = pattern or XTRANS_PATTERN
+    side = int(len(pat) ** 0.5)
+    norm = _normalize(mosaic, white_level, black_level)
+    r, g, b = demosaic_nearest_generic(norm, pat, side, side)
+    r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix,
+                               matrix_transpose)
+    if rgba:
+        return finish_to_rgba_u32(r, g, b, transfer=transfer)
+    r, g, b = finish_to_u8(r, g, b, transfer=transfer)
+    return jnp.stack([r, g, b], axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_w", "out_h", "pattern", "matrix_transpose",
+                     "transfer"),
+)
+def develop_xtrans_preview(
+    mosaic,
+    params: EditParams,
+    wb,
+    cam_matrix,
+    out_w: int,
+    out_h: int,
+    zoom=1.0,
+    pan_x=0.0,
+    pan_y=0.0,
+    white_level=4096.0,
+    black_level=0.0,
+    pattern: str = None,
+    matrix_transpose: bool = False,
+    transfer: str = "gamma22",
+):
+    """X-Trans preview: full generic-CFA develop then nearest-sample at
+    fragment centers. (The Bayer preview samples *before* demosaicing
+    for bit parity with the reference rasterizer; X-Trans has no parity
+    target, so sampling the developed image is the simpler equivalent.)"""
+    h, w = mosaic.shape
+    img = develop_xtrans(
+        mosaic, params, wb, cam_matrix, white_level, black_level,
+        pattern=pattern, matrix_transpose=matrix_transpose,
+        transfer=transfer,
+    )
+    xi, xvalid = _sampling.sample_axis(out_w, w, _f32(zoom), _f32(pan_x))
+    yi, yvalid = _sampling.sample_axis(out_h, h, _f32(zoom), _f32(pan_y))
+    out = jnp.take(jnp.take(img, yi, axis=0), xi, axis=1)
+    valid = (yvalid[:, None] & xvalid[None, :])[..., None]
+    return jnp.where(valid, out, jnp.uint8(0))
+
+
 def develop_u8(mosaic, params, wb, cam_matrix, **kwargs):
     """Convenience: full develop returned as a NumPy (H, W, 3) u8 array."""
     return np.asarray(develop(mosaic, params, wb, cam_matrix, **kwargs))

@@ -56,6 +56,7 @@ class DevelopEngine:
         # bilinear demosaic and true sRGB transfer. Parity defaults.
         self.demosaic_method = demosaic_method
         self.transfer = transfer
+        self.xtrans_pattern = None  # set for 6x6 CFAs in accurate mode
         self.raw = raw
         self.mode = mode
         self.width = raw.width
@@ -77,17 +78,35 @@ class DevelopEngine:
             self.black_level = 0.0
             self.cfa_phase = (0, 0)
         else:
+            from raweditor_tpu.ops.cfa_generic import is_xtrans
             from raweditor_tpu.ops.demosaic import phase_of
 
             self.white_level = float(raw.white_level)
             self.black_level = float(raw.black_level)
-            self.cfa_phase = phase_of(raw.cfa_pattern)
+            if is_xtrans(raw.cfa_pattern):
+                self.xtrans_pattern = raw.cfa_pattern
+                self.cfa_phase = (0, 0)
+            else:
+                self.cfa_phase = phase_of(raw.cfa_pattern)
 
     # -- render paths ----------------------------------------------------
     def preview_device(self, params: EditParams, zoom: float = 1.0,
                        pan: Tuple[float, float] = (0.0, 0.0)):
         """Preview render, left on device (reference: gpu/pipeline.rs:442-465
         minus the synchronous readback)."""
+        if self.xtrans_pattern is not None:
+            from raweditor_tpu.ops.develop import develop_xtrans_preview
+
+            return develop_xtrans_preview(
+                self.mosaic, params, self.wb, self.cam_matrix,
+                out_w=self.preview_w, out_h=self.preview_h,
+                zoom=zoom, pan_x=pan[0], pan_y=pan[1],
+                white_level=self.white_level,
+                black_level=self.black_level,
+                pattern=self.xtrans_pattern,
+                matrix_transpose=self.matrix_transpose,
+                transfer=self.transfer,
+            )
         return develop_preview(
             self.mosaic, params, self.wb, self.cam_matrix,
             out_w=self.preview_w, out_h=self.preview_h,
@@ -105,6 +124,16 @@ class DevelopEngine:
     def full_device(self, params: EditParams):
         """Full-resolution develop, device-resident
         (reference: gpu/pipeline.rs:526-606)."""
+        if self.xtrans_pattern is not None:
+            from raweditor_tpu.ops.develop import develop_xtrans
+
+            return develop_xtrans(
+                self.mosaic, params, self.wb, self.cam_matrix,
+                self.white_level, self.black_level,
+                pattern=self.xtrans_pattern,
+                matrix_transpose=self.matrix_transpose,
+                transfer=self.transfer,
+            )
         return develop(
             self.mosaic, params, self.wb, self.cam_matrix,
             white_level=self.white_level, black_level=self.black_level,
@@ -120,6 +149,23 @@ class DevelopEngine:
                   pan: Tuple[float, float] = (0.0, 0.0)) -> np.ndarray:
         """(3, 256) int — the live-histogram path at 128 px
         (reference: gpu/pipeline.rs:615-736)."""
+        if self.xtrans_pattern is not None:
+            from raweditor_tpu.ops.develop import (
+                develop_xtrans_preview,
+                histogram_256,
+            )
+
+            img = develop_xtrans_preview(
+                self.mosaic, params, self.wb, self.cam_matrix,
+                out_w=self.histogram_w, out_h=self.histogram_h,
+                zoom=zoom, pan_x=pan[0], pan_y=pan[1],
+                white_level=self.white_level,
+                black_level=self.black_level,
+                pattern=self.xtrans_pattern,
+                matrix_transpose=self.matrix_transpose,
+                transfer=self.transfer,
+            )
+            return np.asarray(histogram_256(img))
         return np.asarray(
             develop_histogram(
                 self.mosaic, params, self.wb, self.cam_matrix,
@@ -139,6 +185,16 @@ class DevelopEngine:
         (reference: gpu/pipeline.rs:551). With ``use_pallas``, runs the
         hand-fused kernel (±1 LSB, see ops/pallas_develop.py) when the
         mosaic shape supports it."""
+        if self.xtrans_pattern is not None:
+            from raweditor_tpu.ops.develop import develop_xtrans
+
+            return develop_xtrans(
+                self.mosaic, params, self.wb, self.cam_matrix,
+                self.white_level, self.black_level,
+                pattern=self.xtrans_pattern,
+                matrix_transpose=self.matrix_transpose,
+                transfer=self.transfer, rgba=True,
+            )
         if (self.use_pallas and self.demosaic_method == "nearest"
                 and self.transfer == "gamma22"):
             from raweditor_tpu.ops.pallas_develop import pallas_develop_rgba

@@ -379,20 +379,28 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
 
 
 def _cfa_pattern_string(ifd: T.IFD) -> str:
+    """Pattern string sized by CFARepeatPatternDim: 4 chars for Bayer,
+    36 for X-Trans."""
     pat = ifd.get(T.CFA_PATTERN)
     if pat is None:
         return "RGGB"
-    if isinstance(pat, (bytes, bytearray)):
-        vals = list(pat)[:4]
-    elif isinstance(pat, tuple):
-        vals = list(pat)[:4]
+    dim = ifd.get(T.CFA_REPEAT_DIM)
+    n = 4
+    if isinstance(dim, tuple) and len(dim) == 2:
+        try:
+            n = int(dim[0]) * int(dim[1])
+        except (TypeError, ValueError):
+            n = 4
+    if isinstance(pat, (bytes, bytearray, tuple)):
+        vals = list(pat)[:n]
     else:
         return "RGGB"
     letters = {0: "R", 1: "G", 2: "B"}
     try:
-        return "".join(letters[v] for v in vals)
-    except KeyError:
+        out = "".join(letters[v] for v in vals)
+    except (KeyError, TypeError):
         return "RGGB"
+    return out if len(out) in (4, 36) else "RGGB"
 
 
 def extract_preview_jpeg(path_or_bytes) -> Optional[bytes]:

@@ -219,6 +219,7 @@ def write_synthetic_raw(
     float_samples: bool = False,
     wb_in_makernote: bool = False,
     cr2_slices: Optional[Tuple[int, int, int]] = None,
+    cfa: str = "RGGB",
 ) -> bytes:
     """Write a DNG/NEF-style CFA TIFF. Returns the bytes (also written
     to ``path`` unless None).
@@ -353,10 +354,11 @@ def write_synthetic_raw(
         (T.COMPRESSION, _TYPE_SHORT, [comp_tag]),
         (T.PHOTOMETRIC, _TYPE_SHORT, [T.PHOTOMETRIC_CFA]),
         (T.SAMPLES_PER_PIXEL, _TYPE_SHORT, [1]),
-        (T.CFA_REPEAT_DIM, _TYPE_SHORT, [2, 2]),
-        # 0=R 1=G 2=B: RGGB, the effective storage pattern of the
-        # develop stencil (see ops/demosaic.py).
-        (T.CFA_PATTERN, _TYPE_BYTE, [0, 1, 1, 2]),
+        (T.CFA_REPEAT_DIM, _TYPE_SHORT,
+         [2, 2] if len(cfa) == 4 else [6, 6]),
+        # 0=R 1=G 2=B (see ops/demosaic.py for the Bayer site table).
+        (T.CFA_PATTERN, _TYPE_BYTE,
+         [{"R": 0, "G": 1, "B": 2}[c] for c in cfa.upper()]),
         (T.BLACK_LEVEL, _TYPE_SHORT, [black_level]),
         (T.WHITE_LEVEL, _TYPE_SHORT, [white_level]),
     ]
