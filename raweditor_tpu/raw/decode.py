@@ -270,6 +270,11 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
     data = _read(path_or_bytes)
     if not isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
         source_path = str(path_or_bytes)
+
+    from raweditor_tpu.raw import raf as _raf
+
+    if _raf.is_raf(data):
+        return _decode_raf(data, source_path)
     try:
         tf = T.TiffFile(data)
     except ValueError as e:
@@ -378,6 +383,51 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
     )
 
 
+def _decode_raf(data: bytes, source_path: str) -> RawImage:
+    """Fuji RAF wrapper: embedded-TIFF CFA sections reuse the normal
+    pipeline; bare sections decode as BE u16 mosaics of the recorded
+    dimensions. X-Trans sensors then develop via the generic CFA path
+    (the pattern defaults to X-Trans for Fuji models without explicit
+    layout records)."""
+    from raweditor_tpu.ops.cfa_generic import XTRANS_PATTERN
+    from raweditor_tpu.raw import raf as _raf
+
+    try:
+        rf = _raf.RafFile(data)
+    except ValueError as e:
+        raise RawDecodeError(str(e)) from e
+
+    cfa = rf.cfa_section()
+    if cfa[:2] in (b"II", b"MM"):
+        raw = decode_raw(cfa, source_path=source_path)
+    else:
+        dims = rf.dimensions()
+        if dims is None:
+            raise UnsupportedRawError("RAF without dimension record")
+        h, w = dims
+        if h <= 0 or w <= 0 or h * w * 2 > len(cfa):
+            raise RawDecodeError(
+                f"RAF CFA section too small for {w}x{h}"
+            )
+        mosaic = np.frombuffer(cfa, dtype=">u2", count=h * w).astype(
+            np.uint16
+        ).reshape(h, w)
+        raw = RawImage(
+            mosaic=mosaic,
+            wb_multipliers=np.ones(4, np.float32),
+            xyz_to_cam=np.eye(3, dtype=np.float32),
+            white_level=float(mosaic.max(initial=1)),
+            cfa_pattern=XTRANS_PATTERN,
+            source_path=source_path,
+        )
+    wb = rf.wb_multipliers()
+    if wb is not None:
+        raw.wb_multipliers = wb
+    raw.camera_make = "FUJIFILM"
+    raw.camera_model = rf.model
+    return raw
+
+
 def _cfa_pattern_string(ifd: T.IFD) -> str:
     """Pattern string sized by CFARepeatPatternDim: 4 chars for Bayer,
     36 for X-Trans."""
@@ -408,6 +458,15 @@ def extract_preview_jpeg(path_or_bytes) -> Optional[bytes]:
     path) with the whole-file marker scan as fallback
     (reference: raw/processor.rs:92-125)."""
     data = _read(path_or_bytes)
+    from raweditor_tpu.raw import raf as _raf
+
+    if _raf.is_raf(data):
+        try:
+            jpeg = _raf.RafFile(data).jpeg()
+            if jpeg and jpeg[:2] == b"\xff\xd8":
+                return jpeg
+        except ValueError:
+            pass
     best = None
     try:
         tf = T.TiffFile(data)
