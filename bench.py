@@ -15,6 +15,10 @@ import numpy as np
 
 
 def main():
+    from raweditor_tpu.utils import ensure_backend
+
+    ensure_backend()  # also enables the persistent compile cache
+
     import jax
     import jax.numpy as jnp
 

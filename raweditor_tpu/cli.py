@@ -381,6 +381,9 @@ _COMMANDS = {
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from raweditor_tpu.utils import ensure_backend
+
+    ensure_backend()  # backend init + persistent compile cache
     return _COMMANDS[args.cmd](args)
 
 

@@ -291,6 +291,8 @@ def develop_preview(
     yi, yvalid = _sampling.sample_axis(out_h, h, _f32(zoom), _f32(pan_y))
     valid = yvalid[:, None] & xvalid[None, :]
 
+    # (Measured: XLA fuses the normalization into the gather consumers;
+    # sampling the raw u16 first is no faster.)
     norm = _normalize(mosaic, white_level, black_level)
     r, g, b = _demosaic.demosaic_nearest_sampled(norm, yi, xi, cfa_phase)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix, matrix_transpose)

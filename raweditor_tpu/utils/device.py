@@ -16,14 +16,39 @@ _initialized = False
 
 
 def ensure_backend() -> None:
-    """Idempotently force JAX backend discovery + initialization."""
+    """Idempotently force JAX backend discovery + initialization, and
+    enable the persistent compilation cache (first compiles of big
+    develop shapes can take minutes on tunneled dev chips; cached
+    executables load in seconds). Opt out with
+    RAWEDITOR_TPU_NO_COMPILE_CACHE=1 or override the directory with
+    RAWEDITOR_TPU_COMPILE_CACHE."""
     global _initialized
     if _initialized:
         return
     with _lock:
         if _initialized:
             return
+        import os
+
         import jax
+
+        if not os.environ.get("RAWEDITOR_TPU_NO_COMPILE_CACHE"):
+            cache_dir = os.environ.get(
+                "RAWEDITOR_TPU_COMPILE_CACHE",
+                os.path.join(
+                    os.environ.get("XDG_CACHE_HOME")
+                    or os.path.join(os.path.expanduser("~"), ".cache"),
+                    "raweditor-tpu", "jax-cache",
+                ),
+            )
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 1.0
+                )
+            except Exception:
+                pass  # cache is an optimization, never a requirement
 
         jax.devices()  # triggers plugin discovery and backend init
         _initialized = True
