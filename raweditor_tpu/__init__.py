@@ -21,8 +21,10 @@ from raweditor_tpu.color import (
 from raweditor_tpu.ops.develop import (
     develop,
     develop_preview,
+    develop_rgba,
     develop_u8,
     histogram_256,
+    rgba_view,
 )
 from raweditor_tpu.raw.types import RawImage
 
@@ -34,7 +36,9 @@ __all__ = [
     "is_identity_matrix",
     "develop",
     "develop_preview",
+    "develop_rgba",
     "develop_u8",
     "histogram_256",
+    "rgba_view",
     "RawImage",
 ]

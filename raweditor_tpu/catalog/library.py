@@ -237,14 +237,25 @@ class Library:
         return deleted
 
     # -- edit store ------------------------------------------------------
-    def save_edit_params(self, image_id: int, params: EditParams) -> None:
-        """Upsert the single edit row per image
-        (reference: state/library.rs:310-337)."""
+    def save_edit_params(self, image_id: int, params: EditParams,
+                         append: bool = False) -> None:
+        """Persist edit params. Default: upsert the single edit row per
+        image (reference: state/library.rs:310-337 — its README claims
+        history persistence but the upsert keeps one row; undo/redo was
+        a 'future' note, reference: state/mod.rs:7).
+
+        ``append=True`` keeps history instead: every save adds a row
+        (the schema's autoincrement id orders them), enabling
+        ``undo``/``edit_history`` — schema-compatible with the
+        reference, which always reads the latest row."""
         payload = params.to_json()
-        row = self.conn.execute(
-            "SELECT id FROM edits WHERE image_id = ? ORDER BY id DESC LIMIT 1",
-            (image_id,),
-        ).fetchone()
+        row = None
+        if not append:
+            row = self.conn.execute(
+                "SELECT id FROM edits WHERE image_id = ? "
+                "ORDER BY id DESC LIMIT 1",
+                (image_id,),
+            ).fetchone()
         if row:
             self.conn.execute(
                 "UPDATE edits SET settings_json = ? WHERE id = ?",
@@ -256,6 +267,27 @@ class Library:
                 (image_id, payload),
             )
         self.conn.commit()
+
+    def edit_history(self, image_id: int):
+        """All stored edit states, oldest first (append-mode history)."""
+        rows = self.conn.execute(
+            "SELECT settings_json FROM edits WHERE image_id = ? "
+            "ORDER BY id ASC",
+            (image_id,),
+        ).fetchall()
+        return [EditParams.from_json(r[0]) for r in rows]
+
+    def undo_edit(self, image_id: int) -> EditParams:
+        """Drop the newest history row; returns the now-current params
+        (defaults when the history empties)."""
+        row = self.conn.execute(
+            "SELECT id FROM edits WHERE image_id = ? ORDER BY id DESC LIMIT 1",
+            (image_id,),
+        ).fetchone()
+        if row:
+            self.conn.execute("DELETE FROM edits WHERE id = ?", (row[0],))
+            self.conn.commit()
+        return self.load_edit_params(image_id)
 
     def load_edit_params(self, image_id: int) -> EditParams:
         """Replay stored params; defaults when never edited

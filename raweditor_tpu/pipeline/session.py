@@ -47,6 +47,9 @@ class DevelopSession:
         self.zoom = 1.0
         self.pan = (0.0, 0.0)
         self.latency = LatencyStats()
+        # After a checkpoint the latest edits row is frozen; the next
+        # slider tick starts a new working row instead of updating it.
+        self._frozen = False
 
     # -- commands --------------------------------------------------------
     def set_slider(self, name: str, value: float) -> dict:
@@ -54,9 +57,12 @@ class DevelopSession:
             raise ValueError(f"unknown slider {name!r}")
         self.params = self.params.replace(**{name: float(value)})
         # Persist on every tick, like the reference
-        # (reference: main.rs:1095-1106).
+        # (reference: main.rs:1095-1106). A frozen (checkpointed) row is
+        # never updated — the first tick after a checkpoint appends.
         if self.library is not None and self.image_id is not None:
-            self.library.save_edit_params(self.image_id, self.params)
+            self.library.save_edit_params(self.image_id, self.params,
+                                          append=self._frozen)
+            self._frozen = False
         import jax
 
         with self.latency.measure():
@@ -94,6 +100,29 @@ class DevelopSession:
         return {"ok": True, "r": hist[0].tolist(), "g": hist[1].tolist(),
                 "b": hist[2].tolist()}
 
+    def checkpoint(self) -> dict:
+        """Freeze the current params as a history entry (undo target).
+        Beyond the reference, whose 'history' was one upserted row."""
+        if self.library is None or self.image_id is None:
+            return {"ok": False, "error": "no catalog attached"}
+        self.library.save_edit_params(self.image_id, self.params)
+        self._frozen = True
+        n = len(self.library.edit_history(self.image_id))
+        return {"ok": True, "checkpoints": n}
+
+    def undo(self) -> dict:
+        if self.library is None or self.image_id is None:
+            return {"ok": False, "error": "no catalog attached"}
+        self.params = self.library.undo_edit(self.image_id)
+        return {"ok": True, "params": json.loads(self.params.to_json())}
+
+    def history(self) -> dict:
+        if self.library is None or self.image_id is None:
+            return {"ok": False, "error": "no catalog attached"}
+        entries = self.library.edit_history(self.image_id)
+        return {"ok": True,
+                "history": [json.loads(p.to_json()) for p in entries]}
+
     def reset(self) -> dict:
         self.params = EditParams()
         if self.library is not None and self.image_id is not None:
@@ -129,6 +158,12 @@ class DevelopSession:
                 return self.render(args[0], EditParams())
             if cmd == "reset":
                 return self.reset()
+            if cmd == "checkpoint":
+                return self.checkpoint()
+            if cmd == "undo":
+                return self.undo()
+            if cmd == "history":
+                return self.history()
             if cmd == "stats":
                 return self.stats()
             return {"ok": False, "error": f"unknown command {cmd!r}"}

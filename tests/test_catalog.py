@@ -191,3 +191,25 @@ def test_concurrent_libraries_one_file(tmp_path):
         assert lib.image_count() == 8
         for i, image_id in enumerate(ids):
             assert lib.load_edit_params(image_id).exposure == float(i)
+
+
+def test_edit_history_and_undo(lib, tmp_path):
+    """Append-mode history + undo (beyond the reference's single-row
+    upsert; schema-compatible — the reference reads the latest row)."""
+    f = tmp_path / "a.nef"
+    f.write_bytes(b"x")
+    image_id = lib.import_image(str(f), "a.nef")
+
+    lib.save_edit_params(image_id, EditParams(exposure=1.0), append=True)
+    lib.save_edit_params(image_id, EditParams(exposure=2.0), append=True)
+    lib.save_edit_params(image_id, EditParams(exposure=3.0), append=True)
+
+    hist = lib.edit_history(image_id)
+    assert [p.exposure for p in hist] == [1.0, 2.0, 3.0]
+    # Latest wins for normal loads (reference semantics).
+    assert lib.load_edit_params(image_id).exposure == 3.0
+
+    assert lib.undo_edit(image_id).exposure == 2.0
+    assert lib.undo_edit(image_id).exposure == 1.0
+    assert lib.undo_edit(image_id) == EditParams()
+    assert lib.undo_edit(image_id) == EditParams()  # empty: no-op

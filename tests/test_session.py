@@ -88,3 +88,16 @@ def test_repl_protocol(session, tmp_path):
     assert lines[3]["ok"] and len(lines[3]["r"]) == 256
     assert lines[4]["latency"]["count"] >= 1
     assert not lines[5]["ok"]
+
+
+def test_checkpoint_undo_history(session):
+    s, lib, image_id = session
+    s.set_slider("exposure", 1.0)
+    assert s.checkpoint()["checkpoints"] >= 1
+    s.set_slider("exposure", 2.0)
+    s.checkpoint()
+    out = s.history()
+    assert [e["exposure"] for e in out["history"]][-2:] == [1.0, 2.0]
+    undone = s.undo()
+    assert undone["params"]["exposure"] == 1.0
+    assert s.params.exposure == 1.0
