@@ -420,6 +420,56 @@ void decode_nikon_impl(const uint8_t* strip, int64_t strip_len,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Sony ARW2 (TIFF compression 32767)
+// ---------------------------------------------------------------------------
+
+// See raw/arw2.py (the behavioral reference) for the block layout.
+void decode_arw2_impl(const uint8_t* data, int64_t n, uint16_t* out,
+                      int width, int height) {
+  if (width % 32)
+    throw std::runtime_error("ARW2 width not a multiple of 32");
+  if (n < int64_t(width) * height)
+    throw std::runtime_error("ARW2 data too short");
+  const int blocks_per_row = width / 16;
+  for (int row = 0; row < height; row++) {
+    const uint8_t* rp = data + int64_t(row) * width;
+    for (int blk = 0; blk < blocks_per_row; blk++) {
+      const uint8_t* dp = rp + blk * 16;
+      uint32_t hdr = uint32_t(dp[0]) | (uint32_t(dp[1]) << 8) |
+                     (uint32_t(dp[2]) << 16) | (uint32_t(dp[3]) << 24);
+      int32_t vmax = hdr & 0x7FF;
+      int32_t vmin = (hdr >> 11) & 0x7FF;
+      int imax = (hdr >> 22) & 0x0F;
+      int imin = (hdr >> 26) & 0x0F;
+      int sh = 0;
+      while (sh < 4 && (0x80 << sh) <= vmax - vmin) sh++;
+      // Column interleave: block pairs cover 32 columns (even / odd).
+      int base = 32 * (blk / 2) + (blk % 2);
+      int bit = 30;
+      for (int i = 0; i < 16; i++) {
+        int32_t pix;
+        if (i == imax) {
+          pix = vmax;
+        } else if (i == imin && imin != imax) {
+          pix = vmin;
+        } else if (bit + 7 <= 128) {
+          int byte = bit >> 3;
+          uint32_t word = uint32_t(dp[byte]);
+          if (byte + 1 < 16) word |= uint32_t(dp[byte + 1]) << 8;
+          int32_t d = (word >> (bit & 7)) & 0x7F;
+          pix = (d << sh) + vmin;
+          if (pix > 0x7FF) pix = 0x7FF;
+          bit += 7;
+        } else {
+          pix = vmin;  // degenerate imax==imin: 15th slot, no bits left
+        }
+        out[int64_t(row) * width + base + 2 * i] = uint16_t(pix << 1);
+      }
+    }
+  }
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -558,6 +608,37 @@ static PyObject* py_decode_nikon(PyObject*, PyObject* args) {
   return out;
 }
 
+static PyObject* py_decode_arw2(PyObject*, PyObject* args) {
+  Py_buffer buf;
+  int width, height;
+  if (!PyArg_ParseTuple(args, "y*ii", &buf, &width, &height))
+    return nullptr;
+  std::string err;
+  PyObject* out = nullptr;
+  if (width <= 0 || height <= 0) {
+    err = "bad dimensions";
+  } else {
+    out = PyBytes_FromStringAndSize(nullptr, int64_t(width) * height * 2);
+    if (!out) { PyBuffer_Release(&buf); return nullptr; }
+    uint16_t* dst = reinterpret_cast<uint16_t*>(PyBytes_AS_STRING(out));
+    Py_BEGIN_ALLOW_THREADS
+    try {
+      decode_arw2_impl(static_cast<const uint8_t*>(buf.buf), buf.len, dst,
+                       width, height);
+    } catch (const std::exception& e) {
+      err = e.what();
+    }
+    Py_END_ALLOW_THREADS
+  }
+  PyBuffer_Release(&buf);
+  if (!err.empty()) {
+    Py_XDECREF(out);
+    PyErr_SetString(PyExc_ValueError, err.c_str());
+    return nullptr;
+  }
+  return out;
+}
+
 static PyMethodDef RawkitMethods[] = {
     {"scan_jpeg_spans", py_scan_jpeg_spans, METH_VARARGS,
      "scan_jpeg_spans(data) -> [(start, end), ...]"},
@@ -571,6 +652,8 @@ static PyMethodDef RawkitMethods[] = {
     {"decode_nikon", py_decode_nikon, METH_VARARGS,
      "decode_nikon(strip, w, h, bpp, tree, split, vpred_i32x4, "
      "curve_u16) -> u16 bytes"},
+    {"decode_arw2", py_decode_arw2, METH_VARARGS,
+     "decode_arw2(data, width, height) -> u16 bytes (12-bit space)"},
     {nullptr, nullptr, 0, nullptr}};
 
 static struct PyModuleDef rawkit_module = {

@@ -103,3 +103,20 @@ def test_decoder_uses_native_path(tmp_path, rng):
     write_synthetic_raw(tmp_path / "a.dng", mosaic, compression="ljpeg")
     raw = decode_raw(tmp_path / "a.dng")
     assert (raw.mosaic == mosaic).all()
+
+
+def test_arw2_native_matches_python(rng, monkeypatch):
+    from raweditor_tpu.raw.arw2 import decode_arw2, encode_arw2
+
+    m12 = (rng.integers(0, 0x7FF, size=(8, 64), dtype=np.uint16) << 1)
+    enc = encode_arw2(m12)
+    native = decode_arw2(enc, 64, 8)
+    import raweditor_tpu.native as nat
+
+    monkeypatch.setenv("RAWEDITOR_TPU_NO_NATIVE", "1")
+    monkeypatch.setattr(nat, "_tried", False)
+    monkeypatch.setattr(nat, "_cached", None)
+    python = decode_arw2(enc, 64, 8)
+    assert (native == python).all()
+    monkeypatch.setattr(nat, "_tried", False)
+    monkeypatch.setattr(nat, "_cached", None)

@@ -108,3 +108,113 @@ def test_container_python_fallback(tmp_path, rng, monkeypatch):
     assert (raw.mosaic == m).all()
     monkeypatch.setattr(nat, "_tried", False)
     monkeypatch.setattr(nat, "_cached", None)
+
+
+def test_lossy_stream_end_to_end():
+    """Exercise the lossy path end to end: sampled-curve interpolation,
+    the split-row tree switch, and shl-shortcut leaves. A hand-built
+    stream of all-zero residuals decodes to curve[vpred] everywhere."""
+    import struct
+
+    from raweditor_tpu.raw.nikon import (
+        NIKON_TREES,
+        _canonical,
+        decode_nikon,
+        parse_linearization,
+    )
+
+    bps = 12
+    csize = 17
+    max_value = 1 << bps
+    step = max_value // (csize - 1)
+    # Monotone sampled curve: curve[i] = 2*i at the sample points.
+    samples = (np.arange(csize, dtype=np.int64) * step * 2 // 2).astype(
+        "<u2"
+    )
+    vpred_init = 600
+    meta = bytearray()
+    meta += bytes([0x44, 0x20])
+    meta += struct.pack("<4H", *([vpred_init] * 4))
+    meta += struct.pack("<H", csize)
+    meta += samples.tobytes()
+    meta += b"\0" * (562 - len(meta))
+    split = 3
+    meta += struct.pack("<H", split)
+
+    info = parse_linearization(bytes(meta), bps)
+    assert info.tree_index == 0 and info.split == split
+
+    # Find the zero-length leaf (value 0 → diff 0, no extra bits) in
+    # both trees and emit h*w codes, switching trees at the split row.
+    def zero_code(tree_index):
+        table = _canonical(NIKON_TREES[tree_index])
+        for (length, code), leaf in table.items():
+            if leaf == 0:
+                return code, length
+        raise AssertionError("no zero leaf")
+
+    h, w = 6, 8
+    bits = []
+    for row in range(h):
+        code, length = zero_code(0 if row < split else 1)
+        for _ in range(w):
+            bits.extend(int(b) for b in format(code, f"0{length}b"))
+    stream = np.packbits(np.array(bits, np.uint8)).tobytes()
+
+    out = decode_nikon(stream, w, h, bps, info)
+    expected = info.curve[vpred_init]
+    assert (out == expected).all()
+    # The interpolated curve is monotone and hits the sample points.
+    assert info.curve[0] == samples[0]
+    assert (np.diff(info.curve.astype(np.int64)) >= 0).all()
+
+
+def test_lossy_stream_native_parity():
+    """Same hand-built lossy stream through the C++ decoder."""
+    rk = get_rawkit()
+    if rk is None:
+        pytest.skip("native ext not built")
+    import struct
+
+    from raweditor_tpu.raw.nikon import (
+        NIKON_TREES,
+        _canonical,
+        decode_nikon,
+        parse_linearization,
+    )
+
+    bps = 12
+    csize = 17
+    samples = (np.arange(csize, dtype=np.int64)
+               * ((1 << bps) // (csize - 1)) * 2 // 2).astype("<u2")
+    meta = bytearray()
+    meta += bytes([0x44, 0x20])
+    meta += struct.pack("<4H", 600, 600, 600, 600)
+    meta += struct.pack("<H", csize)
+    meta += samples.tobytes()
+    meta += b"\0" * (562 - len(meta))
+    meta += struct.pack("<H", 3)
+    info = parse_linearization(bytes(meta), bps)
+
+    def zero_code(tree_index):
+        table = _canonical(NIKON_TREES[tree_index])
+        for (length, code), leaf in table.items():
+            if leaf == 0:
+                return code, length
+        raise AssertionError
+
+    h, w = 6, 8
+    bits = []
+    for row in range(h):
+        code, length = zero_code(0 if row < info.split else 1)
+        for _ in range(w):
+            bits.extend(int(b) for b in format(code, f"0{length}b"))
+    stream = np.packbits(np.array(bits, np.uint8)).tobytes()
+
+    want = decode_nikon(stream, w, h, bps, info)
+    raw = rk.decode_nikon(stream, w, h, bps, info.tree_index,
+                          int(info.split),
+                          info.vpred.astype(np.int32).tobytes(),
+                          info.curve.tobytes())
+    got = np.frombuffer(raw, np.uint16).reshape(h, w)
+    assert (got == want).all()
