@@ -120,3 +120,13 @@ def test_arw2_native_matches_python(rng, monkeypatch):
     assert (native == python).all()
     monkeypatch.setattr(nat, "_tried", False)
     monkeypatch.setattr(nat, "_cached", None)
+
+
+def test_native_binary_current():
+    """The committed .so must export everything the current source
+    binds — catches a stale binary after rawkit.cpp edits."""
+    if rk is None:
+        pytest.skip("native ext not built")
+    for fn in ("scan_jpeg_spans", "unpack_bits", "unpack_bits2",
+               "decode_ljpeg", "decode_nikon", "decode_arw2"):
+        assert hasattr(rk, fn), f"stale _rawkit binary: missing {fn}"
