@@ -202,6 +202,40 @@ def run_batch_export(
         jobs = remaining
     t_start = time.perf_counter()
     encode_futures: List[Tuple[Future, ExportJob]] = []
+    # Device batches in flight: develop is dispatched asynchronously and
+    # fetched one batch behind, overlapping TPU compute with host decode
+    # and encode (the double-buffering BASELINE.md calls for).
+    inflight: List[tuple] = []
+
+    def submit_encodes(batch, host, encode_pool):
+        for d, rgb in zip(batch, host):
+            # Per-image copy: an encode job must not pin the whole
+            # (B, H, W) batch array while it waits in the queue.
+            fut = encode_pool.submit(
+                _encode_one, d.job.out_path, rgb.copy(), quality
+            )
+            encode_futures.append((fut, d.job))
+        # Backpressure: the device can outrun host JPEG encode by ~20×;
+        # without a bound the queue would pin unbounded RGBA buffers.
+        max_inflight = 4 * encode_threads
+        while len(encode_futures) > max_inflight:
+            fut, job = encode_futures.pop(0)
+            t_enc = time.perf_counter()
+            try:
+                fut.result()
+                report.succeeded += 1
+            except Exception as e:
+                report.failed.append((job.raw_path, f"encode: {e}"))
+            report.encode_seconds += time.perf_counter() - t_enc
+
+    def drain_inflight(encode_pool, depth: int):
+        while len(inflight) > depth:
+            out, batch, t0 = inflight.pop(0)
+            host = np.asarray(out)[: len(batch)]
+            # Wall time from dispatch to fetch; overlapped work makes
+            # this an upper bound on pure device time.
+            report.device_seconds += time.perf_counter() - t0
+            submit_encodes(batch, host, encode_pool)
 
     def flush(batch: List[_Decoded], encode_pool: ThreadPoolExecutor):
         n_real = len(batch)
@@ -231,28 +265,8 @@ def run_batch_export(
                 matrix_transpose=matrix_transpose, rgba=True,
                 cfa_phase=phase,
             )
-        host = np.asarray(out)[:n_real]
-        report.device_seconds += time.perf_counter() - t0
-
-        for d, rgb in zip(batch, host):
-            # Per-image copy: an encode job must not pin the whole
-            # (B, H, W) batch array while it waits in the queue.
-            fut = encode_pool.submit(
-                _encode_one, d.job.out_path, rgb.copy(), quality
-            )
-            encode_futures.append((fut, d.job))
-        # Backpressure: the device can outrun host JPEG encode by ~20×;
-        # without a bound the queue would pin unbounded RGBA buffers.
-        max_inflight = 4 * encode_threads
-        while len(encode_futures) > max_inflight:
-            fut, job = encode_futures.pop(0)
-            t_enc = time.perf_counter()
-            try:
-                fut.result()
-                report.succeeded += 1
-            except Exception as e:
-                report.failed.append((job.raw_path, f"encode: {e}"))
-            report.encode_seconds += time.perf_counter() - t_enc
+        inflight.append((out, batch, t0))
+        drain_inflight(encode_pool, depth=1)
 
     with ThreadPoolExecutor(decode_threads) as decode_pool, \
             ThreadPoolExecutor(encode_threads) as encode_pool:
@@ -291,6 +305,7 @@ def run_batch_export(
 
         for bucket in batcher.drain():
             flush(bucket, encode_pool)
+        drain_inflight(encode_pool, depth=0)
 
         t0 = time.perf_counter()
         for fut, job in encode_futures:
@@ -299,7 +314,7 @@ def run_batch_export(
                 report.succeeded += 1
             except Exception as e:
                 report.failed.append((job.raw_path, f"encode: {e}"))
-        report.encode_seconds = time.perf_counter() - t0
+        report.encode_seconds += time.perf_counter() - t0
 
     report.seconds = time.perf_counter() - t_start
     return report

@@ -97,15 +97,23 @@ def process_pending_cache(lib: Library,
     """Work the pending queue: tiers for every 'pending' image, failures
     quarantined (the resumable import→cache loop of
     reference: main.rs:404-434,472-495, without the UI round trips)."""
+    from raweditor_tpu.utils.logging import get_logger
+
+    log = get_logger("raweditor_tpu.tiers")
+    pending = lib.get_pending_cache(limit)
     done = failed = 0
-    for img in lib.get_pending_cache(limit):
+    for i, img in enumerate(pending):
         try:
             thumb, instant, working = generate_tiers(
                 img.path, img.id, cache_dir
             )
             lib.set_image_cache_paths(img.id, thumb, instant, working)
             done += 1
-        except Exception:
+        except Exception as e:
+            log.warning("tier generation failed for %s: %s",
+                        img.filename, e)
             lib.set_cache_status(img.id, "failed")
             failed += 1
+        if (i + 1) % 25 == 0:
+            log.info("tier cache: %d/%d", i + 1, len(pending))
     return {"cached": done, "failed": failed}
