@@ -380,10 +380,10 @@ _COMMANDS = {
 
 
 def main(argv=None) -> int:
+    # Backend init happens lazily where JAX is actually used
+    # (DevelopEngine/exporter/bench) — catalog-only commands must not
+    # touch the TPU runtime.
     args = build_parser().parse_args(argv)
-    from raweditor_tpu.utils import ensure_backend
-
-    ensure_backend()  # backend init + persistent compile cache
     return _COMMANDS[args.cmd](args)
 
 

@@ -102,6 +102,49 @@ def demosaic_nearest_generic(mosaic, pattern: str, ph: int, pw: int):
     return tuple(planes)
 
 
+def demosaic_nearest_generic_sampled(mosaic, yi, xi, pattern: str,
+                                     ph: int, pw: int):
+    """Generic-CFA demosaic evaluated only at sampled full-res positions
+    (the preview/histogram path): gather each needed tap at the sampled
+    coordinates, then select per pattern cell — touches ~taps/decimation²
+    of the data instead of developing the full frame."""
+    h, w = mosaic.shape
+    table = nearest_offsets(pattern, ph, pw)
+    yc = jnp.clip(yi, 0, h - 1)
+    xc = jnp.clip(xi, 0, w - 1)
+
+    offsets = sorted(set(table.values()))
+    gathered = {}
+    row_cache = {}
+    for dy, dx in offsets:
+        if dy not in row_cache:
+            row_cache[dy] = jnp.take(
+                mosaic, jnp.clip(yc + dy, 0, h - 1), axis=0
+            )
+        gathered[(dy, dx)] = jnp.take(
+            row_cache[dy], jnp.clip(xc + dx, 0, w - 1), axis=1
+        )
+
+    cy = (yc % ph)[:, None]
+    cx = (xc % pw)[None, :]
+    planes = []
+    for chan in range(3):
+        by_offset = {}
+        for py in range(ph):
+            for px in range(pw):
+                by_offset.setdefault(table[(py, px, chan)], []).append(
+                    (py, px)
+                )
+        acc = jnp.zeros((yc.shape[0], xc.shape[0]), mosaic.dtype)
+        for off, cells in by_offset.items():
+            mask = jnp.zeros((yc.shape[0], xc.shape[0]), bool)
+            for py, px in cells:
+                mask = mask | ((cy == py) & (cx == px))
+            acc = jnp.where(mask, gathered[off], acc)
+        planes.append(acc)
+    return tuple(planes)
+
+
 def demosaic_xtrans(mosaic, pattern: str = XTRANS_PATTERN):
     """Fuji X-Trans 6×6 nearest demosaic."""
     return demosaic_nearest_generic(mosaic, pattern, 6, 6)

@@ -357,21 +357,27 @@ def develop_xtrans_preview(
     matrix_transpose: bool = False,
     transfer: str = "gamma22",
 ):
-    """X-Trans preview: full generic-CFA develop then nearest-sample at
-    fragment centers. (The Bayer preview samples *before* demosaicing
-    for bit parity with the reference rasterizer; X-Trans has no parity
-    target, so sampling the developed image is the simpler equivalent.)"""
-    h, w = mosaic.shape
-    img = develop_xtrans(
-        mosaic, params, wb, cam_matrix, white_level, black_level,
-        pattern=pattern, matrix_transpose=matrix_transpose,
-        transfer=transfer,
+    """X-Trans preview: nearest-sample the mosaic at fragment centers,
+    then demosaic+develop only the sampled sites (same shape of work as
+    the Bayer preview path — ~taps/decimation² of a full develop)."""
+    from raweditor_tpu.ops.cfa_generic import (
+        XTRANS_PATTERN,
+        demosaic_nearest_generic_sampled,
     )
+
+    pat = pattern or XTRANS_PATTERN
+    side = int(len(pat) ** 0.5)
+    h, w = mosaic.shape
     xi, xvalid = _sampling.sample_axis(out_w, w, _f32(zoom), _f32(pan_x))
     yi, yvalid = _sampling.sample_axis(out_h, h, _f32(zoom), _f32(pan_y))
-    out = jnp.take(jnp.take(img, yi, axis=0), xi, axis=1)
-    valid = (yvalid[:, None] & xvalid[None, :])[..., None]
-    return jnp.where(valid, out, jnp.uint8(0))
+    valid = yvalid[:, None] & xvalid[None, :]
+    norm = _normalize(mosaic, white_level, black_level)
+    r, g, b = demosaic_nearest_generic_sampled(norm, yi, xi, pat, side,
+                                               side)
+    r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix,
+                               matrix_transpose)
+    r, g, b = finish_to_u8(r, g, b, valid=valid, transfer=transfer)
+    return jnp.stack([r, g, b], axis=-1)
 
 
 def develop_u8(mosaic, params, wb, cam_matrix, **kwargs):

@@ -100,6 +100,33 @@ def batch_develop_rgba(mosaics, params: EditParams, wb, cam_matrices,
     )(mosaics, params, wb, cam_matrices, white_levels, black_levels)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("pattern", "matrix_transpose", "transfer")
+)
+def batch_develop_xtrans_rgba(mosaics, params: EditParams, wb,
+                              cam_matrices, white_levels=None,
+                              black_levels=None, pattern: str = None,
+                              matrix_transpose: bool = False,
+                              transfer: str = "gamma22"):
+    """Batch develop for X-Trans (generic-CFA) mosaics → packed RGBA.
+    Data-parallel only (no row sharding; the 6×6 halo isn't worth the
+    complexity for the export path)."""
+    from raweditor_tpu.ops.develop import develop_xtrans
+
+    n = mosaics.shape[0]
+    if white_levels is None:
+        white_levels = jnp.full((n,), 4096.0, _F)
+    if black_levels is None:
+        black_levels = jnp.zeros((n,), _F)
+    return jax.vmap(
+        lambda m, p, w, c, wl, bl: develop_xtrans(
+            m, p, w, c, wl, bl, pattern=pattern,
+            matrix_transpose=matrix_transpose, transfer=transfer,
+            rgba=True,
+        )
+    )(mosaics, params, wb, cam_matrices, white_levels, black_levels)
+
+
 def _sharded_step(mosaics, params, wb, cms, whites, blacks, *, axis_name,
                   matrix_transpose, with_histogram, rgba=False,
                   cfa_phase=(0, 0)):

@@ -49,6 +49,9 @@ class DevelopEngine:
                  transfer: str = "gamma22"):
         import jax
 
+        from raweditor_tpu.utils import ensure_backend
+
+        ensure_backend()  # idempotent; also enables the compile cache
         if mode not in ("parity", "accurate"):
             raise ValueError(f"unknown mode {mode!r}")
         self.use_pallas = use_pallas

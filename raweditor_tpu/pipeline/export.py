@@ -96,10 +96,16 @@ def _decode_job(job: ExportJob, mode: str):
         # (gpu/shaders.rs:110-125).
         white, black, phase = 4096.0, 0.0, (0, 0)
     else:
+        from raweditor_tpu.ops.cfa_generic import is_xtrans
         from raweditor_tpu.ops.demosaic import phase_of
 
         white, black = float(raw.white_level), float(raw.black_level)
-        phase = phase_of(raw.cfa_pattern)
+        if is_xtrans(raw.cfa_pattern):
+            # X-Trans buckets carry the pattern string instead of a
+            # Bayer phase; flush routes them to the generic-CFA batch.
+            phase = raw.cfa_pattern
+        else:
+            phase = phase_of(raw.cfa_pattern)
     decoded = _Decoded(
         job=job,
         mosaic=raw.mosaic,
@@ -126,7 +132,10 @@ def _encode_one(out_path: str, rgba_words: np.ndarray, quality: int) -> None:
         "RGBA", (w, h), np.ascontiguousarray(rgba_words).tobytes(),
         "raw", "RGBA", 0, 1,
     )
-    tmp_path = out_path + ".tmp"
+    import threading
+
+    tmp_path = (f"{out_path}.{os.getpid()}."
+                f"{threading.get_ident()}.tmp")
     try:
         if out_path.lower().endswith(".png"):
             img.save(tmp_path, format="PNG")
@@ -252,7 +261,16 @@ def run_batch_export(
 
         phase = batch[0].cfa_phase
         t0 = time.perf_counter()
-        if mesh is None:
+        if isinstance(phase, str):  # X-Trans bucket (pattern string)
+            from raweditor_tpu.parallel.batch import (
+                batch_develop_xtrans_rgba,
+            )
+
+            out = batch_develop_xtrans_rgba(
+                mosaics, params, wbs, cms, whites, blacks,
+                pattern=phase, matrix_transpose=matrix_transpose,
+            )
+        elif mesh is None:
             out = batch_develop_rgba(
                 mosaics, params, wbs, cms, whites, blacks,
                 matrix_transpose=matrix_transpose, cfa_phase=phase,

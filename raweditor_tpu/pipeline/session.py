@@ -114,6 +114,9 @@ class DevelopSession:
         if self.library is None or self.image_id is None:
             return {"ok": False, "error": "no catalog attached"}
         self.params = self.library.undo_edit(self.image_id)
+        # The restored row is a checkpoint: the next tick must append a
+        # fresh working row, not overwrite it.
+        self._frozen = True
         return {"ok": True, "params": json.loads(self.params.to_json())}
 
     def history(self) -> dict:

@@ -336,7 +336,17 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
         # batch quarantine path depends on this contract.
         raise RawDecodeError(f"corrupt sensor data: {e}") from e
 
-    # --- color metadata -------------------------------------------------
+    # --- color metadata (same error contract as the sensor block) -------
+    try:
+        return _finish_raw_image(tf, mosaic, curve_white, bpp, ifd,
+                                 source_path)
+    except RawDecodeError:
+        raise
+    except (ValueError, TypeError, IndexError) as e:
+        raise RawDecodeError(f"corrupt color metadata: {e}") from e
+
+
+def _finish_raw_image(tf, mosaic, curve_white, bpp, ifd, source_path):
     neutral = _find_tag(tf, T.AS_SHOT_NEUTRAL)
     if neutral is not None:
         wb = _wb_from_neutral(neutral)
@@ -398,7 +408,7 @@ def _decode_raf(data: bytes, source_path: str) -> RawImage:
         raise RawDecodeError(str(e)) from e
 
     cfa = rf.cfa_section()
-    if cfa[:2] in (b"II", b"MM"):
+    if cfa[:4] in (b"II*\x00", b"MM\x00*"):
         raw = decode_raw(cfa, source_path=source_path)
     else:
         dims = rf.dimensions()

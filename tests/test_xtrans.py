@@ -96,3 +96,58 @@ def test_parity_mode_ignores_xtrans(tmp_path, rng):
     write_synthetic_raw(tmp_path / "x.dng", mosaic, cfa=XTRANS_PATTERN)
     eng = DevelopEngine.open(tmp_path / "x.dng", mode="parity")
     assert eng.xtrans_pattern is None
+
+
+def test_batch_export_xtrans_accurate(tmp_path, rng):
+    """Accurate-mode batch export must handle X-Trans files (regression:
+    phase_of raised and quarantined every 6x6-CFA job)."""
+    from raweditor_tpu.pipeline.export import ExportJob, run_batch_export
+
+    h, w = 12, 24
+    mosaic = _mosaic_xtrans(
+        rng.integers(0, 4096, size=(h, w)),
+        rng.integers(0, 4096, size=(h, w)),
+        rng.integers(0, 4096, size=(h, w)),
+    )
+    path = tmp_path / "x.dng"
+    write_synthetic_raw(path, mosaic, cfa=XTRANS_PATTERN)
+    bayer = tmp_path / "b.dng"
+    write_synthetic_raw(
+        bayer, rng.integers(0, 4096, size=(h, w), dtype=np.uint16)
+    )
+    jobs = [
+        ExportJob(raw_path=str(path),
+                  out_path=str(tmp_path / "out" / "x.jpg")),
+        ExportJob(raw_path=str(bayer),
+                  out_path=str(tmp_path / "out" / "b.jpg")),
+    ]
+    report = run_batch_export(jobs, batch_size=2, mode="accurate")
+    assert report.succeeded == 2 and not report.failed
+
+
+def test_xtrans_preview_matches_full_subsample(tmp_path, rng):
+    """Sampled X-Trans preview equals strided sampling of the full
+    develop at integer decimation."""
+    from raweditor_tpu.ops.develop import (
+        develop_xtrans,
+        develop_xtrans_preview,
+    )
+
+    h, w = 24, 36
+    mosaic = _mosaic_xtrans(
+        rng.integers(0, 4096, size=(h, w)),
+        rng.integers(0, 4096, size=(h, w)),
+        rng.integers(0, 4096, size=(h, w)),
+    )
+    wb = np.ones(3, np.float32)
+    eye = np.eye(3, dtype=np.float32)
+    from raweditor_tpu.params import EditParams as EP
+
+    full = np.asarray(develop_xtrans(mosaic, EP(), wb, eye))
+    prev = np.asarray(
+        develop_xtrans_preview(mosaic, EP(), wb, eye, out_w=12, out_h=8)
+    )
+    # Fragment-center sampling with 3x decimation: xi = 3*px+1.
+    xi = (np.arange(12) * 3 + 1).astype(int)
+    yi = (np.arange(8) * 3 + 1).astype(int)
+    assert (prev == full[yi][:, xi]).all()
