@@ -213,3 +213,52 @@ def test_edit_history_and_undo(lib, tmp_path):
     assert lib.undo_edit(image_id).exposure == 1.0
     assert lib.undo_edit(image_id) == EditParams()
     assert lib.undo_edit(image_id) == EditParams()  # empty: no-op
+
+
+def test_migrates_reference_created_db(tmp_path):
+    """A database created by the ORIGINAL reference schema (pre-Phase-28:
+    no cache-path/file_status columns) must open and migrate cleanly
+    (reference: state/library.rs:52-124)."""
+    import sqlite3 as sq
+
+    db = tmp_path / "old.db"
+    conn = sq.connect(db)
+    conn.execute(
+        """CREATE TABLE images (
+            id              INTEGER PRIMARY KEY AUTOINCREMENT,
+            path            TEXT NOT NULL UNIQUE,
+            filename        TEXT NOT NULL,
+            width           INTEGER,
+            height          INTEGER,
+            imported_at     INTEGER NOT NULL,
+            cache_status    TEXT DEFAULT 'pending'
+        )"""
+    )
+    conn.execute(
+        """CREATE TABLE edits (
+            id              INTEGER PRIMARY KEY AUTOINCREMENT,
+            image_id        INTEGER NOT NULL,
+            settings_json   TEXT NOT NULL,
+            FOREIGN KEY(image_id) REFERENCES images(id) ON DELETE CASCADE
+        )"""
+    )
+    conn.execute(
+        "INSERT INTO images (path, filename, imported_at) "
+        "VALUES ('/x/a.nef', 'a.nef', 123)"
+    )
+    conn.execute(
+        "INSERT INTO edits (image_id, settings_json) VALUES (1, "
+        "'{\"exposure\":1.5,\"contrast\":0.0,\"highlights\":0.0,"
+        "\"shadows\":0.0,\"whites\":1.0,\"blacks\":0.0,\"vibrance\":0.0,"
+        "\"saturation\":0.0,\"temperature\":0.0,\"tint\":0.0}')"
+    )
+    conn.commit()
+    conn.close()
+
+    with Library(db) as lib:
+        imgs = lib.get_all_images()
+        assert len(imgs) == 1
+        assert imgs[0].file_status == "exists"  # COALESCE default
+        assert imgs[0].cache_path_thumb is None
+        assert lib.load_edit_params(1).exposure == 1.5
+        assert [i.id for i in lib.get_pending_cache()] == [1]

@@ -217,3 +217,14 @@ def test_cfa_phase_recovers_shifted_pattern(rng):
         )
         inner = (slice(2, -2), slice(2, -2))
         assert (got[inner] == want[py:, px:][inner]).all(), pattern
+
+
+def test_large_oracle_parity(rng):
+    """One larger frame (96x96) through the full slider stack vs the
+    per-pixel oracle — guards against tiling/edge effects that tiny
+    fixtures could miss."""
+    params = PARAM_CASES["everything"]
+    mosaic = rng.integers(0, 4096, size=(96, 96), dtype=np.uint16)
+    want = oracle.develop_image(mosaic, params, WB_DAYLIGHT, IDENTITY)
+    got = develop(mosaic, params, WB_DAYLIGHT, IDENTITY)
+    assert_parity(got, want, lsb=1, frac_exact=0.999)

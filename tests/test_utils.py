@@ -72,3 +72,23 @@ def test_latency_stats():
     with s.measure():
         pass
     assert s.summary()["count"] == 6
+
+
+def test_device_trace_writes_profile(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from raweditor_tpu.utils.profiling import annotate, device_trace
+
+    @annotate("smoke-op")
+    def op():
+        return jax.jit(lambda x: x * 2)(jnp.ones((8, 8)))
+
+    with device_trace(str(tmp_path / "trace")):
+        op().block_until_ready()
+    import os
+
+    found = []
+    for root, _dirs, files in os.walk(tmp_path / "trace"):
+        found.extend(files)
+    assert found, "no profiler artifacts written"
