@@ -56,7 +56,9 @@ def _decode_lossless_any(strip: bytes):
 
 def _mosaic_from_ljpeg(strips: List[bytes], width: int, height: int):
     """Reassemble SOF3 strips into the (H, W) mosaic. Two-component
-    scans (CR2 style) interleave columns."""
+    scans interleave columns (CR2 style); four-component scans map one
+    component per Bayer quadrant at half width/height (common DNG/NEF
+    lossless layout)."""
     rows = []
     for strip in strips:
         planes, _prec = _decode_lossless_any(strip)
@@ -69,6 +71,12 @@ def _mosaic_from_ljpeg(strips: List[bytes], width: int, height: int):
             part = np.empty((h, 2 * w), dtype=np.uint16)
             part[:, 0::2] = planes[0]
             part[:, 1::2] = planes[1]
+        elif nc == 4:
+            part = np.empty((2 * h, 2 * w), dtype=np.uint16)
+            part[0::2, 0::2] = planes[0]
+            part[0::2, 1::2] = planes[1]
+            part[1::2, 0::2] = planes[2]
+            part[1::2, 1::2] = planes[3]
         else:
             raise UnsupportedRawError(f"{nc}-component lossless scan")
         rows.append(part)

@@ -269,6 +269,16 @@ def write_synthetic_raw(
         comp_tag = T.COMPRESSION_NONE
         # 'II' container: 16-bit samples are little-endian per TIFF.
         sensor = pack_bits(mosaic, bpp, big_endian=False)
+    elif compression == "ljpeg4":
+        # Four-component quadrant scan (DNG/NEF lossless layout).
+        comp_tag = T.COMPRESSION_LJPEG
+        if h % 2 or w % 2:
+            raise ValueError("ljpeg4 needs even dimensions")
+        comps = np.stack([
+            mosaic[0::2, 0::2], mosaic[0::2, 1::2],
+            mosaic[1::2, 0::2], mosaic[1::2, 1::2],
+        ])
+        sensor = encode_lossless(comps, bpp, predictor=predictor)
     elif compression == "ljpeg":
         comp_tag = T.COMPRESSION_LJPEG
         payload = mosaic

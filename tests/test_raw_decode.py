@@ -361,3 +361,12 @@ def test_decoder_fuzz_error_contract(rng):
                 decode_raw(bytes(blob))
             except RawDecodeError:
                 pass
+
+
+def test_decode_four_component_ljpeg(tmp_path, rng):
+    """Quadrant-mapped 4-component lossless scans (DNG/NEF layout)."""
+    m = rng.integers(0, 16384, size=(20, 28), dtype=np.uint16)
+    path = tmp_path / "quad.dng"
+    write_synthetic_raw(path, m, bpp=14, compression="ljpeg4")
+    raw = decode_raw(path)
+    assert (raw.mosaic == m).all()
