@@ -84,6 +84,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quality", type=int, default=95)
     p.add_argument("--fast", action="store_true",
                    help="use the fused Pallas kernel (±1 LSB)")
+    p.add_argument("--auto-orient", action="store_true",
+                   help="rotate output by the EXIF orientation tag")
     _add_slider_args(p)
 
     p = sub.add_parser("edit", help="save slider values for a catalog image")
@@ -124,7 +126,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--width", type=int, default=320)
     p.add_argument("--height", type=int, default=240)
     p.add_argument("--bpp", type=int, default=12)
-    p.add_argument("--compression", choices=("none", "ljpeg"),
+    p.add_argument("--compression",
+                   choices=("none", "ljpeg", "ljpeg4", "nikon", "arw2"),
                    default="none")
     p.add_argument("--seed", type=int, default=0)
 
@@ -173,6 +176,7 @@ def cmd_info(args) -> int:
         "height": raw.height,
         "camera": f"{raw.camera_make} {raw.camera_model}".strip(),
         "cfa_pattern": raw.cfa_pattern,
+        "orientation": raw.orientation,
         "black_level": raw.black_level,
         "white_level": raw.white_level,
         "wb_multipliers": [round(float(x), 4) for x in raw.wb_multipliers],
@@ -202,7 +206,8 @@ def cmd_develop(args) -> int:
     # Zoom clamp (reference: main.rs:803).
     zoom = min(max(args.zoom, cfg.zoom_min), cfg.zoom_max)
     eng = DevelopEngine.open(path, mode=args.mode,
-                             use_pallas=getattr(args, "fast", False))
+                             use_pallas=getattr(args, "fast", False),
+                             auto_orient=getattr(args, "auto_orient", False))
     if args.preview:
         from PIL import Image
 

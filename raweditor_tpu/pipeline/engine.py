@@ -46,7 +46,8 @@ class DevelopEngine:
                  histogram_width: int = HISTOGRAM_WIDTH,
                  use_pallas: bool = False,
                  demosaic_method: str = "nearest",
-                 transfer: str = "gamma22"):
+                 transfer: str = "gamma22",
+                 auto_orient: bool = False):
         import jax
 
         from raweditor_tpu.utils import ensure_backend
@@ -59,6 +60,9 @@ class DevelopEngine:
         # bilinear demosaic and true sRGB transfer. Parity defaults.
         self.demosaic_method = demosaic_method
         self.transfer = transfer
+        # Rotate host outputs by the EXIF orientation tag (beyond the
+        # reference, which renders mosaics as stored).
+        self.auto_orient = auto_orient
         self.xtrans_pattern = None  # set for 6x6 CFAs in accurate mode
         self.raw = raw
         self.mode = mode
@@ -148,6 +152,27 @@ class DevelopEngine:
     def full(self, params: EditParams) -> np.ndarray:
         return np.asarray(self.full_device(params))
 
+    @staticmethod
+    def apply_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
+        """Apply a TIFF orientation (1/3/6/8 rotations; mirrored values
+        2/4/5/7 flip) to an (H, W[, C]) host array. Beyond the
+        reference, which renders mosaics as stored."""
+        if orientation in (2,):
+            return img[:, ::-1]
+        if orientation in (3,):
+            return img[::-1, ::-1]
+        if orientation in (4,):
+            return img[::-1]
+        if orientation in (5,):
+            return np.rot90(img, k=-1)[:, ::-1]
+        if orientation in (6,):
+            return np.rot90(img, k=-1)
+        if orientation in (7,):
+            return np.rot90(img, k=1)[:, ::-1]
+        if orientation in (8,):
+            return np.rot90(img, k=1)
+        return img
+
     def histogram(self, params: EditParams, zoom: float = 1.0,
                   pan: Tuple[float, float] = (0.0, 0.0)) -> np.ndarray:
         """(3, 256) int — the live-histogram path at 128 px
@@ -228,9 +253,14 @@ class DevelopEngine:
         from PIL import Image
 
         words = np.asarray(self.full_rgba_device(params))
+        if self.auto_orient and self.raw.orientation != 1:
+            words = np.ascontiguousarray(
+                self.apply_orientation(words, self.raw.orientation)
+            )
+        out_h, out_w = words.shape
         path = os.fspath(path)
         img = Image.frombuffer(
-            "RGBA", (self.width, self.height),
+            "RGBA", (out_w, out_h),
             np.ascontiguousarray(words).tobytes(), "raw", "RGBA", 0, 1,
         )
         if os.path.splitext(path)[1].lower() == ".png":

@@ -387,6 +387,11 @@ def _finish_raw_image(tf, mosaic, curve_white, bpp, ifd, source_path):
         white = curve_white
 
     cfa = _cfa_pattern_string(ifd)
+    orientation = _find_tag(tf, T.ORIENTATION)
+    if not isinstance(orientation, int) or orientation not in (
+        1, 2, 3, 4, 5, 6, 7, 8,
+    ):
+        orientation = 1
 
     return RawImage(
         mosaic=mosaic,
@@ -395,6 +400,7 @@ def _finish_raw_image(tf, mosaic, curve_white, bpp, ifd, source_path):
         black_level=float(black) if black is not None else 0.0,
         white_level=float(white) if white is not None else float((1 << bpp) - 1),
         cfa_pattern=cfa,
+        orientation=orientation,
         camera_make=_find_tag(tf, T.MAKE) or "",
         camera_model=_find_tag(tf, T.MODEL) or "",
         source_path=source_path,

@@ -220,6 +220,7 @@ def write_synthetic_raw(
     wb_in_makernote: bool = False,
     cr2_slices: Optional[Tuple[int, int, int]] = None,
     cfa: str = "RGGB",
+    orientation: int = 1,
 ) -> bytes:
     """Write a DNG/NEF-style CFA TIFF. Returns the bytes (also written
     to ``path`` unless None).
@@ -328,6 +329,7 @@ def write_synthetic_raw(
 
     ifd0 = [
         (T.NEW_SUBFILE_TYPE, _TYPE_LONG, [1]),
+        (T.ORIENTATION, _TYPE_SHORT, [orientation]),
         (T.MAKE, _TYPE_ASCII, make),
         (T.MODEL, _TYPE_ASCII, model),
         (T.SUB_IFDS, _TYPE_LONG, ("ifd", 1)),

@@ -23,6 +23,7 @@ COMPRESSION = 259
 PHOTOMETRIC = 262
 MAKE = 271
 MODEL = 272
+ORIENTATION = 274
 STRIP_OFFSETS = 273
 SAMPLES_PER_PIXEL = 277
 ROWS_PER_STRIP = 278

@@ -24,6 +24,7 @@ class RawImage:
     black_level: float = 0.0
     white_level: float = 4096.0  # parity default (reference: gpu/shaders.rs:110)
     cfa_pattern: str = "RGGB"  # effective storage-space CFA phase
+    orientation: int = 1  # TIFF tag 274 (1=normal, 3=180, 6=90CW, 8=90CCW)
     camera_make: str = ""
     camera_model: str = ""
     source_path: str = ""

@@ -265,3 +265,26 @@ def test_batch_export_encode_failure_quarantined(tmp_path, rng):
     assert report.succeeded == 1
     assert len(report.failed) == 1 and "encode" in report.failed[0][1]
     assert (tmp_path / "out" / "ok.jpg").exists()
+
+
+def test_auto_orient_export(tmp_path, rng):
+    """EXIF orientation 6 (90° CW) rotates the exported image when
+    auto_orient is on; default preserves reference behavior (as-stored)."""
+    mosaic = rng.integers(0, 4096, size=(20, 30), dtype=np.uint16)
+    path = tmp_path / "rot.nef"
+    write_synthetic_raw(path, mosaic, orientation=6)
+
+    eng = DevelopEngine.open(path)
+    assert eng.raw.orientation == 6
+    out = eng.export(tmp_path / "as_stored.png", EditParams())
+    with Image.open(out) as im:
+        assert im.size == (30, 20)  # unrotated (parity default)
+
+    eng2 = DevelopEngine.open(path, auto_orient=True)
+    out2 = eng2.export(tmp_path / "rotated.png", EditParams())
+    with Image.open(out2) as im:
+        assert im.size == (20, 30)  # rotated to portrait
+    # Pixel correspondence: rotated[y, x] == stored[H-1-x, y] for rot90 CW.
+    a = np.asarray(Image.open(out).convert("RGB"))
+    b = np.asarray(Image.open(out2).convert("RGB"))
+    assert (b == np.rot90(a, k=-1)).all()
