@@ -1,0 +1,86 @@
+"""Automatic adjustment suggestions (beyond the reference).
+
+Uses the live-histogram machinery to propose slider values:
+
+- auto exposure: shift the highlight percentile to a target level
+  (histogram-driven, like every camera's AE);
+- gray-world auto white balance: equalize channel means in linear
+  space, expressed through the temperature/tint sliders' ±0.3 linear
+  gain model (reference: gpu/shaders.rs:200-205) so the suggestion
+  composes with the parity develop chain.
+
+These return EditParams suggestions; nothing is applied implicitly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from raweditor_tpu.params import EditParams
+
+
+def _percentile_from_hist(hist_1d: np.ndarray, pct: float) -> float:
+    """Value in [0,1] at the given percentile of a 256-bin histogram."""
+    total = hist_1d.sum()
+    if total == 0:
+        return 1.0
+    cum = np.cumsum(hist_1d)
+    idx = int(np.searchsorted(cum, pct / 100.0 * total))
+    return min(idx, 255) / 255.0
+
+
+def suggest_exposure(engine, params: EditParams = None,
+                     highlight_pct: float = 99.0,
+                     target: float = 0.92,
+                     max_stops: float = 4.0) -> float:
+    """Exposure delta (stops) that moves the highlight percentile of the
+    current render to ``target``. Works on the gamma-encoded histogram,
+    so the delta is computed back in linear space."""
+    params = params or EditParams()
+    hist = engine.histogram(params)
+    luma_hist = (0.2126 * hist[0] + 0.7152 * hist[1]
+                 + 0.0722 * hist[2])
+    p = _percentile_from_hist(luma_hist, highlight_pct)
+    p = max(p, 1.0 / 255.0)
+    # Undo the display transfer to linear, then stops to target.
+    lin = p ** 2.2 if engine.transfer == "gamma22" else _srgb_to_lin(p)
+    target_lin = target ** 2.2 if engine.transfer == "gamma22" \
+        else _srgb_to_lin(target)
+    stops = float(np.log2(target_lin / lin))
+    return float(np.clip(stops, -max_stops, max_stops))
+
+
+def _srgb_to_lin(v: float) -> float:
+    return v / 12.92 if v <= 0.04045 else ((v + 0.055) / 1.055) ** 2.4
+
+
+def suggest_white_balance(engine, params: EditParams = None):
+    """(temperature, tint) suggestion from gray-world channel means.
+
+    Solves the shader's gain model r*(1+0.3t), g*(1+0.3·tint),
+    b*(1-0.3t) for the values that equalize the channel means of the
+    current small render, clamped to the slider range."""
+    params = params or EditParams()
+    hist = engine.histogram(params)
+    bins = np.arange(256) / 255.0
+    lin = bins ** 2.2  # approximate linear-space mean from the render
+    means = [(hist[c] * lin).sum() / max(hist[c].sum(), 1)
+             for c in range(3)]
+    r_m, g_m, b_m = (max(m, 1e-6) for m in means)
+    # Want r*(1+0.3t) == b*(1-0.3t): t = (b-r)/(0.3(r+b)).
+    temp = (b_m - r_m) / (0.3 * (r_m + b_m))
+    # Then g*(1+0.3·tint) == mean of balanced r,b (≈ their common value).
+    rb = 0.5 * (r_m * (1 + 0.3 * temp) + b_m * (1 - 0.3 * temp))
+    tint = (rb / g_m - 1.0) / 0.3
+    return (float(np.clip(temp, -1.0, 1.0)),
+            float(np.clip(tint, -1.0, 1.0)))
+
+
+def suggest_auto(engine, params: EditParams = None) -> EditParams:
+    """Combined suggestion: WB first, then exposure measured with the
+    WB applied."""
+    params = params or EditParams()
+    temp, tint = suggest_white_balance(engine, params)
+    with_wb = params.replace(temperature=temp, tint=tint)
+    stops = suggest_exposure(engine, with_wb)
+    return with_wb.replace(exposure=float(params.exposure) + stops)

@@ -133,6 +133,17 @@ class DevelopSession:
             self.library.delete_edits(self.image_id)
         return {"ok": True, "reset": True}
 
+    def auto(self) -> dict:
+        """Apply the auto-adjust suggestion (exposure + WB)."""
+        from raweditor_tpu.pipeline.auto import suggest_auto
+
+        self.params = suggest_auto(self.engine, self.params)
+        if self.library is not None and self.image_id is not None:
+            self.library.save_edit_params(self.image_id, self.params,
+                                          append=self._frozen)
+            self._frozen = False
+        return {"ok": True, "params": json.loads(self.params.to_json())}
+
     def stats(self) -> dict:
         return {"ok": True, "latency": self.latency.summary()}
 
@@ -167,6 +178,8 @@ class DevelopSession:
                 return self.undo()
             if cmd == "history":
                 return self.history()
+            if cmd == "auto":
+                return self.auto()
             if cmd == "stats":
                 return self.stats()
             return {"ok": False, "error": f"unknown command {cmd!r}"}

@@ -221,6 +221,7 @@ def write_synthetic_raw(
     cr2_slices: Optional[Tuple[int, int, int]] = None,
     cfa: str = "RGGB",
     orientation: int = 1,
+    rows_per_strip: Optional[int] = None,
 ) -> bytes:
     """Write a DNG/NEF-style CFA TIFF. Returns the bytes (also written
     to ``path`` unless None).
@@ -239,6 +240,7 @@ def write_synthetic_raw(
 
     makernote = None
     tiles: Optional[list] = None
+    strip_lens: Optional[list] = None
     sample_format = 1
     if float_samples:
         if compression != "none" or tile_size is not None:
@@ -280,6 +282,18 @@ def write_synthetic_raw(
             mosaic[1::2, 0::2], mosaic[1::2, 1::2],
         ])
         sensor = encode_lossless(comps, bpp, predictor=predictor)
+    elif compression == "ljpeg" and rows_per_strip:
+        comp_tag = T.COMPRESSION_LJPEG
+        if h % rows_per_strip:
+            raise ValueError("rows_per_strip must divide height")
+        tiles = None
+        strips = [
+            encode_lossless(mosaic[y : y + rows_per_strip], bpp,
+                            predictor=predictor)
+            for y in range(0, h, rows_per_strip)
+        ]
+        sensor = b"".join(strips)
+        strip_lens = [len(x) for x in strips]
     elif compression == "ljpeg":
         comp_tag = T.COMPRESSION_LJPEG
         payload = mosaic
@@ -390,6 +404,18 @@ def write_synthetic_raw(
             (T.TILE_LENGTH, _TYPE_LONG, [th]),
             (T.TILE_OFFSETS, _TYPE_LONG, ("blob_multi", sensor_idx, rel)),
             (T.TILE_BYTE_COUNTS, _TYPE_LONG, [len(t) for t in tiles]),
+        ]
+    elif strip_lens is not None:
+        rel = []
+        pos = 0
+        for ln in strip_lens:
+            rel.append(pos)
+            pos += ln
+        sensor_ifd += [
+            (T.STRIP_OFFSETS, _TYPE_LONG,
+             ("blob_multi", sensor_idx, rel)),
+            (T.ROWS_PER_STRIP, _TYPE_LONG, [rows_per_strip]),
+            (T.STRIP_BYTE_COUNTS, _TYPE_LONG, strip_lens),
         ]
     else:
         sensor_ifd += [

@@ -1,0 +1,82 @@
+"""Auto-adjust suggestions (beyond the reference)."""
+
+import numpy as np
+import pytest
+
+from raweditor_tpu.params import EditParams
+from raweditor_tpu.pipeline.auto import (
+    suggest_auto,
+    suggest_exposure,
+    suggest_white_balance,
+)
+from raweditor_tpu.pipeline.engine import DevelopEngine
+from raweditor_tpu.raw.synth import write_synthetic_raw
+
+
+def _engine(tmp_path, mosaic, **kwargs):
+    path = tmp_path / "a.nef"
+    write_synthetic_raw(path, mosaic, **kwargs)
+    return DevelopEngine.open(path)
+
+
+def test_underexposed_suggests_positive_stops(tmp_path, rng):
+    dark = rng.integers(0, 300, size=(48, 64), dtype=np.uint16)
+    eng = _engine(tmp_path, dark)
+    stops = suggest_exposure(eng)
+    assert stops > 1.0
+
+
+def test_overexposed_suggests_negative_stops(tmp_path, rng):
+    bright = rng.integers(3600, 4096, size=(48, 64), dtype=np.uint16)
+    eng = _engine(tmp_path, bright)
+    assert suggest_exposure(eng) < 0.0
+
+
+def test_well_exposed_near_zero(tmp_path, rng):
+    # Values whose p99 develops near the 0.92 display target.
+    lin_target = 0.92 ** 2.2
+    good = rng.integers(int(lin_target * 4096 * 0.5),
+                        int(lin_target * 4096), size=(48, 64),
+                        dtype=np.uint16)
+    eng = _engine(tmp_path, good)
+    assert abs(suggest_exposure(eng)) < 0.5
+
+
+def test_gray_world_wb_detects_cast(tmp_path, rng):
+    # Blue-heavy mosaic: B sites hot, R sites weak → warm correction
+    # (positive temperature raises R, lowers B).
+    h, w = 48, 64
+    m = np.empty((h, w), np.uint16)
+    m[0::2, 0::2] = 400   # R sites
+    m[0::2, 1::2] = 1500  # G
+    m[1::2, 0::2] = 1500  # G
+    m[1::2, 1::2] = 3000  # B sites
+    eng = _engine(tmp_path, m)
+    temp, tint = suggest_white_balance(eng)
+    assert temp > 0.3
+    # Applying the suggestion should reduce the cast.
+    hist0 = eng.histogram(EditParams())
+    hist1 = eng.histogram(EditParams(temperature=temp, tint=tint))
+    def spread(h):
+        bins = np.arange(256)
+        means = [(h[c] * bins).sum() / max(h[c].sum(), 1) for c in range(3)]
+        return max(means) - min(means)
+    assert spread(hist1) < spread(hist0)
+
+
+def test_suggest_auto_combines(tmp_path, rng):
+    dark = rng.integers(0, 200, size=(32, 32), dtype=np.uint16)
+    eng = _engine(tmp_path, dark)
+    p = suggest_auto(eng)
+    assert p.exposure > 1.0
+    assert -1.0 <= float(p.temperature) <= 1.0
+
+
+def test_session_auto_command(tmp_path, rng):
+    from raweditor_tpu.pipeline.session import DevelopSession
+
+    dark = rng.integers(0, 200, size=(32, 32), dtype=np.uint16)
+    eng = _engine(tmp_path, dark)
+    s = DevelopSession(eng)
+    out = s.handle("auto")
+    assert out["ok"] and out["params"]["exposure"] > 1.0

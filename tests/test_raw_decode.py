@@ -370,3 +370,11 @@ def test_decode_four_component_ljpeg(tmp_path, rng):
     write_synthetic_raw(path, m, bpp=14, compression="ljpeg4")
     raw = decode_raw(path)
     assert (raw.mosaic == m).all()
+
+
+def test_decode_multi_strip_ljpeg(tmp_path, rng):
+    m = rng.integers(0, 4096, size=(24, 20), dtype=np.uint16)
+    path = tmp_path / "strips.dng"
+    write_synthetic_raw(path, m, compression="ljpeg", rows_per_strip=8)
+    raw = decode_raw(path)
+    assert (raw.mosaic == m).all()
