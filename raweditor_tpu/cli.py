@@ -24,6 +24,8 @@ import argparse
 import json
 import sys
 
+import numpy as np
+
 from raweditor_tpu.params import EditParams, RANGES
 
 
@@ -212,7 +214,11 @@ def cmd_develop(args) -> int:
         from PIL import Image
 
         img = eng.preview(params, zoom=zoom, pan=(args.pan_x, args.pan_y))
-        Image.fromarray(img).save(args.output, quality=args.quality)
+        if getattr(args, "auto_orient", False) and eng.raw.orientation != 1:
+            img = eng.apply_orientation(img, eng.raw.orientation)
+        Image.fromarray(np.ascontiguousarray(img)).save(
+            args.output, quality=args.quality
+        )
     else:
         eng.export(args.output, params, quality=args.quality)
     print(args.output)

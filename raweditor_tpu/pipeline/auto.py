@@ -55,15 +55,22 @@ def _srgb_to_lin(v: float) -> float:
 
 
 def suggest_white_balance(engine, params: EditParams = None):
-    """(temperature, tint) suggestion from gray-world channel means.
+    """*Residual* (temperature, tint) relative to the given params, from
+    gray-world channel means of the current render.
 
     Solves the shader's gain model r*(1+0.3t), g*(1+0.3·tint),
-    b*(1-0.3t) for the values that equalize the channel means of the
-    current small render, clamped to the slider range."""
+    b*(1-0.3t) for the values that equalize the channel means, clamped
+    to the slider range. Compose with existing params via
+    ``compose_wb`` (or use suggest_auto, which does)."""
     params = params or EditParams()
     hist = engine.histogram(params)
     bins = np.arange(256) / 255.0
-    lin = bins ** 2.2  # approximate linear-space mean from the render
+    # Undo the engine's display transfer so the means are linear-space.
+    if engine.transfer == "srgb":
+        lin = np.where(bins <= 0.04045, bins / 12.92,
+                       ((bins + 0.055) / 1.055) ** 2.4)
+    else:
+        lin = bins ** 2.2
     means = [(hist[c] * lin).sum() / max(hist[c].sum(), 1)
              for c in range(3)]
     r_m, g_m, b_m = (max(m, 1e-6) for m in means)
@@ -76,11 +83,26 @@ def suggest_white_balance(engine, params: EditParams = None):
             float(np.clip(tint, -1.0, 1.0)))
 
 
+def compose_wb(old: float, residual: float) -> float:
+    """Compose two temperature (or tint) corrections under the ±0.3
+    linear gain model. The red and blue channels compose with opposite
+    signs and don't share an exact solution; the average of the two is
+    the least-surprise compromise."""
+    from_r = ((1 + 0.3 * old) * (1 + 0.3 * residual) - 1.0) / 0.3
+    from_b = (1.0 - (1 - 0.3 * old) * (1 - 0.3 * residual)) / 0.3
+    return float(np.clip(0.5 * (from_r + from_b), -1.0, 1.0))
+
+
 def suggest_auto(engine, params: EditParams = None) -> EditParams:
-    """Combined suggestion: WB first, then exposure measured with the
-    WB applied."""
+    """Combined suggestion: residual WB composed onto the current
+    params, then an exposure delta measured with the WB applied.
+    Idempotent up to measurement noise: a balanced render yields ~zero
+    residuals, so re-running `auto` doesn't undo a previous run."""
     params = params or EditParams()
-    temp, tint = suggest_white_balance(engine, params)
-    with_wb = params.replace(temperature=temp, tint=tint)
+    d_temp, d_tint = suggest_white_balance(engine, params)
+    with_wb = params.replace(
+        temperature=compose_wb(float(params.temperature), d_temp),
+        tint=compose_wb(float(params.tint), d_tint),
+    )
     stops = suggest_exposure(engine, with_wb)
     return with_wb.replace(exposure=float(params.exposure) + stops)

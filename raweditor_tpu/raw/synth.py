@@ -242,6 +242,10 @@ def write_synthetic_raw(
     tiles: Optional[list] = None
     strip_lens: Optional[list] = None
     sample_format = 1
+    if rows_per_strip and compression != "ljpeg":
+        raise ValueError(
+            "rows_per_strip is only supported with compression='ljpeg'"
+        )
     if float_samples:
         if compression != "none" or tile_size is not None:
             raise ValueError("float samples: uncompressed strips only")

@@ -80,3 +80,20 @@ def test_session_auto_command(tmp_path, rng):
     s = DevelopSession(eng)
     out = s.handle("auto")
     assert out["ok"] and out["params"]["exposure"] > 1.0
+
+
+def test_auto_is_idempotent(tmp_path, rng):
+    """Running auto on already-corrected params must not undo the
+    correction (regression: residual WB replaced instead of composing)."""
+    h, w = 48, 64
+    m = np.empty((h, w), np.uint16)
+    m[0::2, 0::2] = 400
+    m[0::2, 1::2] = 1500
+    m[1::2, 0::2] = 1500
+    m[1::2, 1::2] = 3000
+    eng = _engine(tmp_path, m)
+    p1 = suggest_auto(eng)
+    p2 = suggest_auto(eng, p1)
+    # Second pass keeps the correction (small residual drift allowed).
+    assert abs(float(p2.temperature) - float(p1.temperature)) < 0.15
+    assert abs(float(p2.exposure) - float(p1.exposure)) < 0.5

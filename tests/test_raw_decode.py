@@ -348,10 +348,18 @@ def test_decoder_fuzz_error_contract(rng):
         except RawDecodeError:
             pass
 
-    # Mutated valid files: flip bytes across a real container.
+    # Mutated valid files: flip bytes across a real container — every
+    # decode layout gets a base (CLAUDE.md: extend when adding decoders).
     m = rng.integers(0, 4096, size=(10, 12), dtype=np.uint16)
-    for comp in ("none", "ljpeg", "nikon"):
-        base = bytearray(write_synthetic_raw(None, m, compression=comp))
+    bases = [
+        write_synthetic_raw(None, m, compression=c)
+        for c in ("none", "ljpeg", "nikon", "ljpeg4")
+    ]
+    bases.append(write_synthetic_raw(None, m, compression="ljpeg",
+                                     rows_per_strip=5))
+    bases.append(write_synthetic_raw(None, m, tile_size=(8, 4)))
+    for base in bases:
+        base = bytearray(base)
         for _ in range(40):
             blob = bytearray(base)
             for _ in range(int(rng.integers(1, 6))):
