@@ -380,6 +380,70 @@ def develop_xtrans_preview(
     return jnp.stack([r, g, b], axis=-1)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("matrix_transpose", "transfer", "rgba")
+)
+def develop_linear(
+    rgb_u16,
+    params: EditParams,
+    wb,
+    cam_matrix,
+    white_level=4096.0,
+    black_level=0.0,
+    matrix_transpose: bool = False,
+    transfer: str = "gamma22",
+    rgba: bool = False,
+):
+    """Develop an already-demosaiced (H, W, 3) u16 frame (DNG LinearRaw,
+    photometric 34892): the same edit stack, demosaic skipped. Channel
+    planes are split immediately so the chain keeps the TPU-friendly
+    (H, W) layout."""
+    r = _normalize(rgb_u16[..., 0], white_level, black_level)
+    g = _normalize(rgb_u16[..., 1], white_level, black_level)
+    b = _normalize(rgb_u16[..., 2], white_level, black_level)
+    r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix,
+                               matrix_transpose)
+    if rgba:
+        return finish_to_rgba_u32(r, g, b, transfer=transfer)
+    r, g, b = finish_to_u8(r, g, b, transfer=transfer)
+    return jnp.stack([r, g, b], axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_w", "out_h", "matrix_transpose", "transfer"),
+)
+def develop_linear_preview(
+    rgb_u16,
+    params: EditParams,
+    wb,
+    cam_matrix,
+    out_w: int,
+    out_h: int,
+    zoom=1.0,
+    pan_x=0.0,
+    pan_y=0.0,
+    white_level=4096.0,
+    black_level=0.0,
+    matrix_transpose: bool = False,
+    transfer: str = "gamma22",
+):
+    """LinearRaw preview: nearest-sample the RGB frame at fragment
+    centers, then run the edit stack on the sampled sites."""
+    h, w = rgb_u16.shape[:2]
+    xi, xvalid = _sampling.sample_axis(out_w, w, _f32(zoom), _f32(pan_x))
+    yi, yvalid = _sampling.sample_axis(out_h, h, _f32(zoom), _f32(pan_y))
+    valid = yvalid[:, None] & xvalid[None, :]
+    sub = jnp.take(jnp.take(rgb_u16, yi, axis=0), xi, axis=1)
+    r = _normalize(sub[..., 0], white_level, black_level)
+    g = _normalize(sub[..., 1], white_level, black_level)
+    b = _normalize(sub[..., 2], white_level, black_level)
+    r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix,
+                               matrix_transpose)
+    r, g, b = finish_to_u8(r, g, b, valid=valid, transfer=transfer)
+    return jnp.stack([r, g, b], axis=-1)
+
+
 def develop_u8(mosaic, params, wb, cam_matrix, **kwargs):
     """Convenience: full develop returned as a NumPy (H, W, 3) u8 array."""
     return np.asarray(develop(mosaic, params, wb, cam_matrix, **kwargs))

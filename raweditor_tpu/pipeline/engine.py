@@ -64,6 +64,7 @@ class DevelopEngine:
         # reference, which renders mosaics as stored).
         self.auto_orient = auto_orient
         self.xtrans_pattern = None  # set for 6x6 CFAs in accurate mode
+        self.linear = raw.is_linear  # LinearRaw: already demosaiced
         self.raw = raw
         self.mode = mode
         self.width = raw.width
@@ -79,28 +80,46 @@ class DevelopEngine:
         self.wb = raw.wb_rgb()
         self.cam_matrix = cam_to_srgb_matrix(raw.xyz_to_cam, mode=mode)
         self.matrix_transpose = mode == "parity"
+        if self.linear:
+            # LinearRaw has no CFA; levels still honor the mode below.
+            self.cfa_phase = (0, 0)
         if mode == "parity":
             # The reference hardcodes everything (gpu/shaders.rs:110-125).
             self.white_level = 4096.0
             self.black_level = 0.0
             self.cfa_phase = (0, 0)
         else:
-            from raweditor_tpu.ops.cfa_generic import is_xtrans
-            from raweditor_tpu.ops.demosaic import phase_of
-
             self.white_level = float(raw.white_level)
             self.black_level = float(raw.black_level)
-            if is_xtrans(raw.cfa_pattern):
-                self.xtrans_pattern = raw.cfa_pattern
+            if self.linear:
                 self.cfa_phase = (0, 0)
             else:
-                self.cfa_phase = phase_of(raw.cfa_pattern)
+                from raweditor_tpu.ops.cfa_generic import is_xtrans
+                from raweditor_tpu.ops.demosaic import phase_of
+
+                if is_xtrans(raw.cfa_pattern):
+                    self.xtrans_pattern = raw.cfa_pattern
+                    self.cfa_phase = (0, 0)
+                else:
+                    self.cfa_phase = phase_of(raw.cfa_pattern)
 
     # -- render paths ----------------------------------------------------
     def preview_device(self, params: EditParams, zoom: float = 1.0,
                        pan: Tuple[float, float] = (0.0, 0.0)):
         """Preview render, left on device (reference: gpu/pipeline.rs:442-465
         minus the synchronous readback)."""
+        if self.linear:
+            from raweditor_tpu.ops.develop import develop_linear_preview
+
+            return develop_linear_preview(
+                self.mosaic, params, self.wb, self.cam_matrix,
+                out_w=self.preview_w, out_h=self.preview_h,
+                zoom=zoom, pan_x=pan[0], pan_y=pan[1],
+                white_level=self.white_level,
+                black_level=self.black_level,
+                matrix_transpose=self.matrix_transpose,
+                transfer=self.transfer,
+            )
         if self.xtrans_pattern is not None:
             from raweditor_tpu.ops.develop import develop_xtrans_preview
 
@@ -131,6 +150,15 @@ class DevelopEngine:
     def full_device(self, params: EditParams):
         """Full-resolution develop, device-resident
         (reference: gpu/pipeline.rs:526-606)."""
+        if self.linear:
+            from raweditor_tpu.ops.develop import develop_linear
+
+            return develop_linear(
+                self.mosaic, params, self.wb, self.cam_matrix,
+                self.white_level, self.black_level,
+                matrix_transpose=self.matrix_transpose,
+                transfer=self.transfer,
+            )
         if self.xtrans_pattern is not None:
             from raweditor_tpu.ops.develop import develop_xtrans
 
@@ -177,6 +205,11 @@ class DevelopEngine:
                   pan: Tuple[float, float] = (0.0, 0.0)) -> np.ndarray:
         """(3, 256) int — the live-histogram path at 128 px
         (reference: gpu/pipeline.rs:615-736)."""
+        if self.linear:
+            from raweditor_tpu.ops.develop import histogram_256
+
+            img = self.preview_histogram_render(params, zoom, pan)
+            return np.asarray(histogram_256(img))
         if self.xtrans_pattern is not None:
             from raweditor_tpu.ops.develop import (
                 develop_xtrans_preview,
@@ -206,6 +239,19 @@ class DevelopEngine:
             )
         )
 
+    def preview_histogram_render(self, params, zoom, pan):
+        """128-px LinearRaw render for histogram binning."""
+        from raweditor_tpu.ops.develop import develop_linear_preview
+
+        return develop_linear_preview(
+            self.mosaic, params, self.wb, self.cam_matrix,
+            out_w=self.histogram_w, out_h=self.histogram_h,
+            zoom=zoom, pan_x=pan[0], pan_y=pan[1],
+            white_level=self.white_level, black_level=self.black_level,
+            matrix_transpose=self.matrix_transpose,
+            transfer=self.transfer,
+        )
+
     # -- export ----------------------------------------------------------
     def full_rgba_device(self, params: EditParams):
         """Full-res develop to packed RGBA u32 (H, W) — the fast output
@@ -213,6 +259,15 @@ class DevelopEngine:
         (reference: gpu/pipeline.rs:551). With ``use_pallas``, runs the
         hand-fused kernel (±1 LSB, see ops/pallas_develop.py) when the
         mosaic shape supports it."""
+        if self.linear:
+            from raweditor_tpu.ops.develop import develop_linear
+
+            return develop_linear(
+                self.mosaic, params, self.wb, self.cam_matrix,
+                self.white_level, self.black_level,
+                matrix_transpose=self.matrix_transpose,
+                transfer=self.transfer, rgba=True,
+            )
         if self.xtrans_pattern is not None:
             from raweditor_tpu.ops.develop import develop_xtrans
 

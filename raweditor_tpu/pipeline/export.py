@@ -93,14 +93,18 @@ def _decode_job(job: ExportJob, mode: str):
     raw = decode_raw(job.raw_path)
     if mode == "parity":
         # The reference hardcodes 4096 and the RGGB stencil
-        # (gpu/shaders.rs:110-125).
-        white, black, phase = 4096.0, 0.0, (0, 0)
+        # (gpu/shaders.rs:110-125). LinearRaw still has to skip the
+        # demosaic regardless of mode.
+        white, black = 4096.0, 0.0
+        phase = "__linear__" if raw.is_linear else (0, 0)
     else:
         from raweditor_tpu.ops.cfa_generic import is_xtrans
         from raweditor_tpu.ops.demosaic import phase_of
 
         white, black = float(raw.white_level), float(raw.black_level)
-        if is_xtrans(raw.cfa_pattern):
+        if raw.is_linear:
+            phase = "__linear__"
+        elif is_xtrans(raw.cfa_pattern):
             # X-Trans buckets carry the pattern string instead of a
             # Bayer phase; flush routes them to the generic-CFA batch.
             phase = raw.cfa_pattern
@@ -261,7 +265,16 @@ def run_batch_export(
 
         phase = batch[0].cfa_phase
         t0 = time.perf_counter()
-        if isinstance(phase, str):  # X-Trans bucket (pattern string)
+        if phase == "__linear__":
+            from raweditor_tpu.ops.develop import develop_linear
+
+            out = jax.vmap(
+                lambda m, p, w, c, wl, bl: develop_linear(
+                    m, p, w, c, wl, bl,
+                    matrix_transpose=matrix_transpose, rgba=True,
+                )
+            )(mosaics, params, wbs, cms, whites, blacks)
+        elif isinstance(phase, str):  # X-Trans bucket (pattern string)
             from raweditor_tpu.parallel.batch import (
                 batch_develop_xtrans_rgba,
             )

@@ -288,6 +288,9 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
     except ValueError as e:
         raise RawDecodeError(str(e)) from e
 
+    linear_ifd = tf.find_linear_ifd()
+    if linear_ifd is not None:
+        return _decode_linear(tf, linear_ifd, source_path)
     ifd = tf.find_cfa_ifd()
     if ifd is None:
         raise UnsupportedRawError("no CFA sensor IFD found")
@@ -405,6 +408,52 @@ def _finish_raw_image(tf, mosaic, curve_white, bpp, ifd, source_path):
         camera_model=_find_tag(tf, T.MODEL) or "",
         source_path=source_path,
     )
+
+
+def _decode_linear(tf: T.TiffFile, ifd: T.IFD,
+                   source_path: str) -> RawImage:
+    """DNG LinearRaw (photometric 34892, SPP=3): already-demosaiced RGB
+    sensor data — uncompressed interleaved u16 or 3-component lossless
+    JPEG strips."""
+    width = ifd.get_scalar(T.IMAGE_WIDTH)
+    height = ifd.get_scalar(T.IMAGE_LENGTH)
+    bpp = ifd.get_scalar(T.BITS_PER_SAMPLE, 16)
+    comp = ifd.get_scalar(T.COMPRESSION, T.COMPRESSION_NONE)
+    if (not isinstance(width, int) or not isinstance(height, int)
+            or width <= 0 or height <= 0):
+        raise RawDecodeError("linear IFD missing dimensions")
+    if width * height * 3 > 16 * max(len(tf.data), 1):
+        raise RawDecodeError("implausible linear dimensions")
+    try:
+        if comp == T.COMPRESSION_NONE:
+            dt = (">u2" if tf.endian == ">" else "<u2")
+            data = b"".join(tf.strip_data(ifd))
+            rgb = np.frombuffer(
+                data, dtype=dt, count=width * height * 3
+            ).astype(np.uint16).reshape(height, width, 3)
+        elif comp == T.COMPRESSION_LJPEG:
+            rows = []
+            for strip in tf.strip_data(ifd):
+                planes, _prec = _decode_lossless_any(strip)
+                nc, h0, w0 = planes.shape
+                if nc != 3:
+                    raise UnsupportedRawError(
+                        f"{nc}-component linear scan"
+                    )
+                rows.append(np.moveaxis(planes, 0, -1))
+            rgb = np.vstack(rows) if len(rows) > 1 else rows[0]
+            if rgb.shape != (height, width, 3):
+                raise RawDecodeError(
+                    f"linear decoded {rgb.shape}, expected "
+                    f"{(height, width, 3)}"
+                )
+        else:
+            raise UnsupportedRawError(f"linear compression {comp}")
+    except RawDecodeError:
+        raise
+    except (ValueError, IndexError) as e:
+        raise RawDecodeError(f"corrupt linear sensor data: {e}") from e
+    return _finish_raw_image(tf, rgb, None, bpp, ifd, source_path)
 
 
 def _decode_raf(data: bytes, source_path: str) -> RawImage:

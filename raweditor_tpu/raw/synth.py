@@ -443,6 +443,72 @@ def _neutral_to_rbgg(wb_neutral) -> Tuple[float, float, float, float]:
     return (r, b, g, g)
 
 
+def write_synthetic_linear_dng(
+    path,
+    rgb: "np.ndarray",
+    bpp: int = 16,
+    compression: str = "none",
+    wb_neutral: Tuple[float, float, float] = (0.5, 1.0, 0.7),
+    black_level: int = 0,
+    white_level: Optional[int] = None,
+) -> bytes:
+    """Write a LinearRaw DNG: (H, W, 3) u16 RGB, photometric 34892."""
+    rgb = np.asarray(rgb, dtype=np.uint16)
+    h, w, _ = rgb.shape
+    if white_level is None:
+        white_level = (1 << bpp) - 1
+    if compression == "none":
+        comp_tag = T.COMPRESSION_NONE
+        sensor = rgb.astype("<u2").tobytes()
+    elif compression == "ljpeg":
+        comp_tag = T.COMPRESSION_LJPEG
+        comps = np.stack([rgb[..., 0], rgb[..., 1], rgb[..., 2]])
+        sensor = encode_lossless(comps, bpp)
+    else:
+        raise ValueError(f"compression {compression!r}")
+
+    wtr = _TiffWriter()
+    preview = make_preview_jpeg()
+    preview_idx = wtr.add_blob(preview)
+    sensor_idx = wtr.add_blob(sensor)
+
+    def rat(x, den=1000000):
+        return (int(round(x * den)), den)
+
+    ifd0 = [
+        (T.NEW_SUBFILE_TYPE, _TYPE_LONG, [1]),
+        (T.MAKE, _TYPE_ASCII, "SynthCam"),
+        (T.MODEL, _TYPE_ASCII, "LinearS1"),
+        (T.SUB_IFDS, _TYPE_LONG, ("ifd", 1)),
+        (T.JPEG_INTERCHANGE, _TYPE_LONG, ("blob", preview_idx)),
+        (T.JPEG_INTERCHANGE_LEN, _TYPE_LONG, [len(preview)]),
+        (T.DNG_VERSION, _TYPE_BYTE, [1, 4, 0, 0]),
+        (T.AS_SHOT_NEUTRAL, _TYPE_RATIONAL,
+         [rat(float(v)) for v in wb_neutral]),
+    ]
+    ifd0.sort(key=lambda e: e[0])
+    sensor_ifd = [
+        (T.NEW_SUBFILE_TYPE, _TYPE_LONG, [0]),
+        (T.IMAGE_WIDTH, _TYPE_LONG, [w]),
+        (T.IMAGE_LENGTH, _TYPE_LONG, [h]),
+        (T.BITS_PER_SAMPLE, _TYPE_SHORT, [bpp, bpp, bpp]),
+        (T.COMPRESSION, _TYPE_SHORT, [comp_tag]),
+        (T.PHOTOMETRIC, _TYPE_SHORT, [T.PHOTOMETRIC_LINEAR_RAW]),
+        (T.STRIP_OFFSETS, _TYPE_LONG, ("blob", sensor_idx)),
+        (T.SAMPLES_PER_PIXEL, _TYPE_SHORT, [3]),
+        (T.ROWS_PER_STRIP, _TYPE_LONG, [h]),
+        (T.STRIP_BYTE_COUNTS, _TYPE_LONG, [len(sensor)]),
+        (T.BLACK_LEVEL, _TYPE_SHORT, [black_level]),
+        (T.WHITE_LEVEL, _TYPE_SHORT, [white_level]),
+    ]
+    sensor_ifd.sort(key=lambda e: e[0])
+    data = wtr.build([ifd0, sensor_ifd], chain=(0,))
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(data)
+    return data
+
+
 def _build_nikon_makernote(meta_0x96: Optional[bytes],
                            wb_rbgg=None) -> bytes:
     """Nikon-format MakerNote: "Nikon\\0" + version, then an embedded

@@ -49,6 +49,7 @@ AS_SHOT_NEUTRAL = 50728
 CR2_SLICE = 50752  # 0xC640: Canon CR2 vertical slice layout
 
 PHOTOMETRIC_CFA = 32803
+PHOTOMETRIC_LINEAR_RAW = 34892
 COMPRESSION_NONE = 1
 COMPRESSION_LJPEG = 7  # "new-style" JPEG; SOF3 lossless in RAWs
 COMPRESSION_NIKON = 34713
@@ -209,6 +210,23 @@ class TiffFile:
     def all_ifds(self):
         for top in self.ifds:
             yield from top.walk()
+
+    def find_linear_ifd(self) -> Optional[IFD]:
+        """A LinearRaw (34892) RGB sensor plane, if present (DNGs from
+        demosaiced/sRAW sources)."""
+        linear = [
+            i
+            for i in self.all_ifds()
+            if i.get_scalar(PHOTOMETRIC) == PHOTOMETRIC_LINEAR_RAW
+            and i.get_scalar(SAMPLES_PER_PIXEL, 1) == 3
+        ]
+        if not linear:
+            return None
+        return max(
+            linear,
+            key=lambda i: (i.get_scalar(IMAGE_WIDTH, 0) or 0)
+            * (i.get_scalar(IMAGE_LENGTH, 0) or 0),
+        )
 
     def find_cfa_ifd(self) -> Optional[IFD]:
         """The sensor-data IFD: CFA photometric if tagged, else the

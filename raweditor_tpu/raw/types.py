@@ -18,7 +18,8 @@ import numpy as np
 class RawImage:
     """A decoded RAW frame on the host."""
 
-    mosaic: np.ndarray  # (H, W) uint16 Bayer mosaic
+    mosaic: np.ndarray  # (H, W) u16 Bayer mosaic, or (H, W, 3) u16 when
+    # the source is LinearRaw (already demosaiced; see is_linear)
     wb_multipliers: np.ndarray  # (4,) f32 [R, G, B, G2], green-normalized
     xyz_to_cam: np.ndarray  # (3, 3) f32 row-major camera matrix
     black_level: float = 0.0
@@ -28,6 +29,12 @@ class RawImage:
     camera_make: str = ""
     camera_model: str = ""
     source_path: str = ""
+
+    @property
+    def is_linear(self) -> bool:
+        """True for LinearRaw sources: mosaic holds (H, W, 3) RGB and
+        the develop pipeline skips demosaicing."""
+        return self.mosaic.ndim == 3
 
     @property
     def width(self) -> int:
