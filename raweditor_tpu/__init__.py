@@ -20,9 +20,11 @@ from raweditor_tpu.color import (
 )
 from raweditor_tpu.ops.develop import (
     develop,
+    develop_linear,
     develop_preview,
     develop_rgba,
     develop_u8,
+    develop_xtrans,
     histogram_256,
     rgba_view,
 )
@@ -35,9 +37,11 @@ __all__ = [
     "cam_to_srgb_matrix",
     "is_identity_matrix",
     "develop",
+    "develop_linear",
     "develop_preview",
     "develop_rgba",
     "develop_u8",
+    "develop_xtrans",
     "histogram_256",
     "rgba_view",
     "RawImage",
