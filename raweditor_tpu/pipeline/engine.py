@@ -75,8 +75,24 @@ class DevelopEngine:
         self.histogram_w, self.histogram_h = histogram_shape(
             raw.width, raw.height, histogram_width
         )
-        # Host→HBM staging of the mosaic, once per image.
-        self.mosaic = jax.device_put(np.ascontiguousarray(raw.mosaic))
+        # Host→HBM staging of the mosaic, once per image. Per-CFA-site
+        # black levels (DNG 2x2 BlackLevel) are folded in here: subtract
+        # each site's deviation from the mean black so the develop chain
+        # keeps a single scalar black level (the residual error is the
+        # site spread over the dynamic range, ≪ 1 output LSB).
+        mosaic = raw.mosaic
+        if (mode == "accurate" and raw.black_per_site is not None
+                and not raw.is_linear
+                and np.ptp(raw.black_per_site) > 0):
+            site = raw.black_per_site.astype(np.float32)
+            delta = np.tile(
+                site - site.mean(),
+                (mosaic.shape[0] // 2 + 1, mosaic.shape[1] // 2 + 1),
+            )[: mosaic.shape[0], : mosaic.shape[1]]
+            mosaic = np.clip(
+                mosaic.astype(np.float32) - delta, 0, 65535
+            ).astype(np.uint16)
+        self.mosaic = jax.device_put(np.ascontiguousarray(mosaic))
         self.wb = raw.wb_rgb()
         self.cam_matrix = cam_to_srgb_matrix(raw.xyz_to_cam, mode=mode)
         self.matrix_transpose = mode == "parity"

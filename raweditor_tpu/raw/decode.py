@@ -378,8 +378,15 @@ def _finish_raw_image(tf, mosaic, curve_white, bpp, ifd, source_path):
         xyz_to_cam = np.eye(3, dtype=np.float32)
 
     black = _find_tag(tf, T.BLACK_LEVEL)
+    black_per_site = None
     if isinstance(black, tuple):
-        black = black[0]
+        if len(black) >= 4:
+            black_per_site = np.array(
+                [float(v) for v in black[:4]], np.float32
+            ).reshape(2, 2)
+            black = float(np.mean(black_per_site))
+        else:
+            black = black[0]
     white = _find_tag(tf, T.WHITE_LEVEL)
     if isinstance(white, tuple):
         white = white[0]
@@ -401,6 +408,7 @@ def _finish_raw_image(tf, mosaic, curve_white, bpp, ifd, source_path):
         wb_multipliers=wb,
         xyz_to_cam=xyz_to_cam,
         black_level=float(black) if black is not None else 0.0,
+        black_per_site=black_per_site,
         white_level=float(white) if white is not None else float((1 << bpp) - 1),
         cfa_pattern=cfa,
         orientation=orientation,

@@ -209,7 +209,7 @@ def write_synthetic_raw(
     compression: str = "none",
     wb_neutral: Tuple[float, float, float] = (0.5, 1.0, 0.7),
     xyz_to_cam: Optional[np.ndarray] = None,
-    black_level: int = 0,
+    black_level=0,
     white_level: Optional[int] = None,
     make: str = "SynthCam",
     model: str = "S1",
@@ -389,9 +389,15 @@ def write_synthetic_raw(
         # 0=R 1=G 2=B (see ops/demosaic.py for the Bayer site table).
         (T.CFA_PATTERN, _TYPE_BYTE,
          [{"R": 0, "G": 1, "B": 2}[c] for c in cfa.upper()]),
-        (T.BLACK_LEVEL, _TYPE_SHORT, [black_level]),
+        (T.BLACK_LEVEL, _TYPE_SHORT,
+         list(black_level) if isinstance(black_level, (tuple, list))
+         else [black_level]),
         (T.WHITE_LEVEL, _TYPE_SHORT, [white_level]),
     ]
+    if isinstance(black_level, (tuple, list)):
+        sensor_ifd.append(
+            (T.BLACK_LEVEL_REPEAT_DIM, _TYPE_SHORT, [2, 2])
+        )
     if sample_format != 1:
         sensor_ifd.append((T.SAMPLE_FORMAT, _TYPE_SHORT, [sample_format]))
     if cr2_slices is not None:

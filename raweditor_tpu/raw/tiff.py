@@ -41,6 +41,7 @@ CFA_PATTERN = 33422
 EXIF_IFD = 34665
 MAKER_NOTE = 37500
 DNG_VERSION = 50706
+BLACK_LEVEL_REPEAT_DIM = 50713
 BLACK_LEVEL = 50714
 WHITE_LEVEL = 50717
 COLOR_MATRIX_1 = 50721

@@ -23,6 +23,9 @@ class RawImage:
     wb_multipliers: np.ndarray  # (4,) f32 [R, G, B, G2], green-normalized
     xyz_to_cam: np.ndarray  # (3, 3) f32 row-major camera matrix
     black_level: float = 0.0
+    # Optional per-CFA-site black levels (2, 2) f32 (DNG BlackLevel with
+    # BlackLevelRepeatDim 2x2); black_level holds their mean.
+    black_per_site: "np.ndarray" = None
     white_level: float = 4096.0  # parity default (reference: gpu/shaders.rs:110)
     cfa_pattern: str = "RGGB"  # effective storage-space CFA phase
     orientation: int = 1  # TIFF tag 274 (1=normal, 3=180, 6=90CW, 8=90CCW)

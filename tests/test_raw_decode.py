@@ -386,3 +386,26 @@ def test_decode_multi_strip_ljpeg(tmp_path, rng):
     write_synthetic_raw(path, m, compression="ljpeg", rows_per_strip=8)
     raw = decode_raw(path)
     assert (raw.mosaic == m).all()
+
+
+def test_per_site_black_levels(tmp_path, rng):
+    """DNG 4-value BlackLevel (2x2 repeat): decoded per site, mean as
+    the scalar; accurate-mode engine folds the site deltas in."""
+    from raweditor_tpu.params import EditParams
+    from raweditor_tpu.pipeline.engine import DevelopEngine
+
+    m = rng.integers(300, 4096, size=(16, 24), dtype=np.uint16)
+    path = tmp_path / "b4.dng"
+    write_synthetic_raw(path, m, black_level=(64, 66, 66, 70),
+                        white_level=4000)
+    raw = decode_raw(path)
+    assert raw.black_per_site is not None
+    assert raw.black_per_site.shape == (2, 2)
+    assert raw.black_level == pytest.approx(66.5)
+
+    eng = DevelopEngine.open(path, mode="accurate")
+    # Site deltas folded at staging: R sites (0,0) lowered by 64-66.5.
+    staged = np.asarray(eng.mosaic)
+    assert staged[0, 0] == np.clip(int(m[0, 0]) + 2.5, 0, 65535).astype(int)
+    out = eng.full(EditParams())
+    assert out.shape == (16, 24, 3)
