@@ -135,3 +135,33 @@ def test_develop_fast_kernel(tmp_path, capsys, photos):
     code, _ = run(capsys, "develop", photos / "s0.nef", "-o", out, "--fast",
                   "--exposure", "0.5")
     assert code == 0 and out.exists()
+
+
+def test_session_path_with_db_attaches(tmp_path, photos, monkeypatch):
+    """`session <path> --db` auto-imports/attaches so checkpoint/undo
+    persist (observed live: they reported 'no catalog attached')."""
+    import io
+    import sys
+
+    from raweditor_tpu.cli import cmd_session
+
+    class A:
+        input = str(photos / "s0.nef")
+        db = str(tmp_path / "cat.db")
+        mode = "parity"
+        fast = False
+
+    stdin = io.StringIO("set exposure 1.0\ncheckpoint\nhistory\nquit\n")
+    monkeypatch.setattr(sys, "stdin", stdin)
+    out = io.StringIO()
+    monkeypatch.setattr(sys, "stdout", out)
+    assert cmd_session(A()) == 0
+    lines = [json.loads(l) for l in out.getvalue().splitlines()]
+    assert lines[1]["ok"] and lines[1]["checkpoints"] == 1
+    assert lines[2]["ok"] and len(lines[2]["history"]) == 1
+    # Re-running attaches to the same catalog row (no duplicate import).
+    import sqlite3
+
+    with sqlite3.connect(tmp_path / "cat.db") as conn:
+        n = conn.execute("SELECT COUNT(*) FROM images").fetchone()[0]
+    assert n == 1
