@@ -141,7 +141,7 @@ class Library:
                 ext = os.path.splitext(name)[1].lstrip(".").lower()
                 if ext not in RAW_EXTENSIONS:
                     continue
-                full = os.path.join(root, name)
+                full = os.path.abspath(os.path.join(root, name))
                 try:
                     self.import_image(full, name)
                     imported += 1

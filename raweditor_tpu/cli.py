@@ -368,27 +368,28 @@ def cmd_session(args) -> int:
         path, image_id = img.path, img.id
     else:
         path = args.input
-        if args.db is not None:
-            # A file path with --db: attach (importing on first sight)
-            # so checkpoint/undo/persistence work.
-            import os as _os
-            import sqlite3 as _sq
-
-            library = _open_library(args)
-            full = _os.path.abspath(path)
-            row = library.conn.execute(
-                "SELECT id FROM images WHERE path = ?", (full,)
-            ).fetchone()
-            if row:
-                image_id = row[0]
-            else:
-                try:
-                    image_id = library.import_image(
-                        full, _os.path.basename(full)
-                    )
-                except _sq.IntegrityError:
-                    image_id = None
     eng = DevelopEngine.open(path, mode=args.mode, use_pallas=args.fast)
+    if library is None and args.db is not None:
+        # A file path with --db: attach (importing on first successful
+        # open) so checkpoint/undo/persistence work. Catalog paths are
+        # stored normalized-absolute (matching import_folder).
+        import os as _os
+        import sqlite3 as _sq
+
+        library = _open_library(args)
+        full = _os.path.abspath(path)
+        row = library.conn.execute(
+            "SELECT id FROM images WHERE path = ?", (full,)
+        ).fetchone()
+        if row:
+            image_id = row[0]
+        else:
+            try:
+                image_id = library.import_image(
+                    full, _os.path.basename(full)
+                )
+            except _sq.IntegrityError:
+                image_id = None
     DevelopSession(eng, library, image_id, Config.from_env()).repl()
     if library is not None:
         library.close()

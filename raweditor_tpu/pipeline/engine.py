@@ -80,25 +80,11 @@ class DevelopEngine:
         # each site's deviation from the mean black so the develop chain
         # keeps a single scalar black level (the residual error is the
         # site spread over the dynamic range, ≪ 1 output LSB).
-        mosaic = raw.mosaic
-        if (mode == "accurate" and raw.black_per_site is not None
-                and not raw.is_linear
-                and np.ptp(raw.black_per_site) > 0):
-            site = raw.black_per_site.astype(np.float32)
-            delta = np.tile(
-                site - site.mean(),
-                (mosaic.shape[0] // 2 + 1, mosaic.shape[1] // 2 + 1),
-            )[: mosaic.shape[0], : mosaic.shape[1]]
-            mosaic = np.clip(
-                mosaic.astype(np.float32) - delta, 0, 65535
-            ).astype(np.uint16)
+        mosaic = raw.fold_site_blacks() if mode == "accurate" else raw.mosaic
         self.mosaic = jax.device_put(np.ascontiguousarray(mosaic))
         self.wb = raw.wb_rgb()
         self.cam_matrix = cam_to_srgb_matrix(raw.xyz_to_cam, mode=mode)
         self.matrix_transpose = mode == "parity"
-        if self.linear:
-            # LinearRaw has no CFA; levels still honor the mode below.
-            self.cfa_phase = (0, 0)
         if mode == "parity":
             # The reference hardcodes everything (gpu/shaders.rs:110-125).
             self.white_level = 4096.0

@@ -112,7 +112,7 @@ def _decode_job(job: ExportJob, mode: str):
             phase = phase_of(raw.cfa_pattern)
     decoded = _Decoded(
         job=job,
-        mosaic=raw.mosaic,
+        mosaic=raw.fold_site_blacks() if mode == "accurate" else raw.mosaic,
         wb=raw.wb_rgb(),
         cam_matrix=cam_to_srgb_matrix(raw.xyz_to_cam, mode=mode),
         white_level=white,

@@ -289,9 +289,16 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
         raise RawDecodeError(str(e)) from e
 
     linear_ifd = tf.find_linear_ifd()
-    if linear_ifd is not None:
-        return _decode_linear(tf, linear_ifd, source_path)
     ifd = tf.find_cfa_ifd()
+    if linear_ifd is not None:
+        try:
+            return _decode_linear(tf, linear_ifd, source_path)
+        except RawDecodeError:
+            # Hybrid DNGs can carry both an enhanced LinearRaw plane
+            # (possibly tiled/compressed beyond our support) and the
+            # original CFA plane — fall back rather than hard-fail.
+            if ifd is None:
+                raise
     if ifd is None:
         raise UnsupportedRawError("no CFA sensor IFD found")
 
@@ -380,13 +387,18 @@ def _finish_raw_image(tf, mosaic, curve_white, bpp, ifd, source_path):
     black = _find_tag(tf, T.BLACK_LEVEL)
     black_per_site = None
     if isinstance(black, tuple):
-        if len(black) >= 4:
+        repeat = _find_tag(tf, T.BLACK_LEVEL_REPEAT_DIM)
+        if (len(black) == 4 and isinstance(repeat, tuple)
+                and tuple(int(v) for v in repeat[:2]) == (2, 2)):
+            # Exactly a 2x2 per-CFA-site grid.
             black_per_site = np.array(
-                [float(v) for v in black[:4]], np.float32
+                [float(v) for v in black], np.float32
             ).reshape(2, 2)
             black = float(np.mean(black_per_site))
         else:
-            black = black[0]
+            # Other repeat shapes (per-row/column, per-sample): use the
+            # mean as the scalar, no per-site fold.
+            black = float(np.mean([float(v) for v in black]))
     white = _find_tag(tf, T.WHITE_LEVEL)
     if isinstance(white, tuple):
         white = white[0]
@@ -432,9 +444,18 @@ def _decode_linear(tf: T.TiffFile, ifd: T.IFD,
         raise RawDecodeError("linear IFD missing dimensions")
     if width * height * 3 > 16 * max(len(tf.data), 1):
         raise RawDecodeError("implausible linear dimensions")
+    if tf.is_tiled(ifd):
+        raise UnsupportedRawError("tiled LinearRaw not supported")
+    if not isinstance(bpp, int) or not 8 <= bpp <= 16:
+        raise UnsupportedRawError(f"LinearRaw with {bpp}-bit samples")
     try:
         if comp == T.COMPRESSION_NONE:
-            dt = (">u2" if tf.endian == ">" else "<u2")
+            # Sub-16-bit linear samples are stored in whole bytes:
+            # u8 for 8-bit, u16 containers for 9..16-bit.
+            if bpp == 8:
+                dt = np.uint8
+            else:
+                dt = (">u2" if tf.endian == ">" else "<u2")
             data = b"".join(tf.strip_data(ifd))
             rgb = np.frombuffer(
                 data, dtype=dt, count=width * height * 3
@@ -461,7 +482,12 @@ def _decode_linear(tf: T.TiffFile, ifd: T.IFD,
         raise
     except (ValueError, IndexError) as e:
         raise RawDecodeError(f"corrupt linear sensor data: {e}") from e
-    return _finish_raw_image(tf, rgb, None, bpp, ifd, source_path)
+    try:
+        return _finish_raw_image(tf, rgb, None, bpp, ifd, source_path)
+    except RawDecodeError:
+        raise
+    except (ValueError, TypeError, IndexError) as e:
+        raise RawDecodeError(f"corrupt color metadata: {e}") from e
 
 
 def _decode_raf(data: bytes, source_path: str) -> RawImage:

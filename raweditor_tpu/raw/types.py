@@ -33,6 +33,24 @@ class RawImage:
     camera_model: str = ""
     source_path: str = ""
 
+    def fold_site_blacks(self) -> "np.ndarray":
+        """Mosaic with per-CFA-site black deviations folded out (the
+        scalar ``black_level`` mean remains to subtract downstream).
+        Returns the mosaic unchanged when there's nothing to fold.
+        Residual error is the site spread over the dynamic range —
+        well under one output LSB."""
+        if (self.black_per_site is None or self.is_linear
+                or np.ptp(self.black_per_site) == 0):
+            return self.mosaic
+        site = self.black_per_site.astype(np.float32)
+        h, w = self.mosaic.shape
+        delta = np.tile(
+            site - site.mean(), (h // 2 + 1, w // 2 + 1)
+        )[:h, :w]
+        return np.clip(
+            self.mosaic.astype(np.float32) - delta, 0, 65535
+        ).astype(np.uint16)
+
     @property
     def is_linear(self) -> bool:
         """True for LinearRaw sources: mosaic holds (H, W, 3) RGB and

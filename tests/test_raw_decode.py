@@ -358,6 +358,12 @@ def test_decoder_fuzz_error_contract(rng):
     bases.append(write_synthetic_raw(None, m, compression="ljpeg",
                                      rows_per_strip=5))
     bases.append(write_synthetic_raw(None, m, tile_size=(8, 4)))
+    from raweditor_tpu.raw.synth import write_synthetic_linear_dng
+
+    rgb = rng.integers(0, 4096, size=(6, 8, 3), dtype=np.uint16)
+    bases.append(write_synthetic_linear_dng(None, rgb, bpp=12))
+    bases.append(write_synthetic_linear_dng(None, rgb, bpp=12,
+                                            compression="ljpeg"))
     for base in bases:
         base = bytearray(base)
         for _ in range(40):
