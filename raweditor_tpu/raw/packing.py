@@ -56,6 +56,15 @@ def pack_bits(mosaic: np.ndarray, bpp: int,
         return mosaic.astype(">u2" if big_endian else "<u2").tobytes()
     if bpp == 8:
         return mosaic.astype(np.uint8).tobytes()
+    if bpp == 12 and w % 2 == 0:
+        # Fast path for the dominant case: 2 pixels → 3 bytes.
+        v0 = mosaic[:, 0::2].astype(np.uint16)
+        v1 = mosaic[:, 1::2].astype(np.uint16)
+        out = np.empty((h, (w // 2) * 3), np.uint8)
+        out[:, 0::3] = (v0 >> 4).astype(np.uint8)
+        out[:, 1::3] = (((v0 & 0xF) << 4) | (v1 >> 8)).astype(np.uint8)
+        out[:, 2::3] = (v1 & 0xFF).astype(np.uint8)
+        return out.tobytes()
     vals = mosaic.reshape(h, w, 1)
     shifts = np.arange(bpp - 1, -1, -1, dtype=np.uint16)
     bits = ((vals >> shifts) & 1).astype(np.uint8).reshape(h, w * bpp)
