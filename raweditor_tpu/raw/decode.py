@@ -283,6 +283,15 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
 
     if _raf.is_raf(data):
         return _decode_raf(data, source_path)
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        # ISO-BMFF container (Canon CR3 'crx ', HEIF, ...). The embedded
+        # previews still feed the tier cache via the marker scan; the
+        # CRX sensor codec is a documented gap (docs/formats.md).
+        brand = data[8:12].decode("ascii", "replace").strip()
+        raise UnsupportedRawError(
+            f"ISO-BMFF container (brand {brand!r}): sensor decode not "
+            "supported (previews/tiers still work)"
+        )
     try:
         tf = T.TiffFile(data)
     except ValueError as e:

@@ -91,3 +91,26 @@ def test_batch_develop_sharded_dp_x_sp(rng, with_histogram):
         for i in range(n):
             want_h = np.asarray(histogram_256(imgs[i]))
             assert (hists[i] == want_h).all()
+
+
+def test_batch_develop_auto_partitioned(rng):
+    """jit auto-partitioning (NamedSharding inputs, no shard_map): the
+    dp-only fast path must match unsharded output bit-for-bit."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from raweditor_tpu.parallel.batch import batch_develop
+
+    mesh = make_mesh({"batch": 8})
+    n = 8
+    mosaics = rng.integers(0, 4096, size=(n, 16, 24), dtype=np.uint16)
+    plist = [EditParams(exposure=0.1 * i) for i in range(n)]
+    wbs = np.tile(WB, (n, 1))
+    cms = np.tile(IDENTITY, (n, 1, 1))
+
+    staged = jax.device_put(mosaics, NamedSharding(mesh, P("batch")))
+    out = batch_develop(staged, pack_params(plist), wbs, cms)
+    assert len(out.sharding.device_set) == 8  # stayed partitioned
+    got = np.asarray(out)
+    want = np.asarray(batch_develop(mosaics, pack_params(plist), wbs, cms))
+    assert (got == want).all()

@@ -415,3 +415,32 @@ def test_per_site_black_levels(tmp_path, rng):
     assert staged[0, 0] == np.clip(int(m[0, 0]) + 2.5, 0, 65535).astype(int)
     out = eng.full(EditParams())
     assert out.shape == (16, 24, 3)
+
+
+def test_cr3_container_recognized(tmp_path, rng):
+    """ISO-BMFF (CR3): sensor decode raises a precise UnsupportedRawError
+    while the embedded preview still feeds the tier cache (the reference
+    can't decode CR3 either — rawloader has no CRX support)."""
+    import struct as _struct
+
+    jpeg = make_preview_jpeg(32, 24)
+    ftyp = _struct.pack(">I", 16) + b"ftypcrx " + b"\x00\x00\x00\x01"
+    mdat = _struct.pack(">I", 8 + len(jpeg)) + b"mdat" + jpeg
+    blob = ftyp + mdat
+    path = tmp_path / "shot.cr3"
+    path.write_bytes(blob)
+
+    with pytest.raises(UnsupportedRawError, match="crx"):
+        decode_raw(path)
+    assert extract_preview_jpeg(path) == jpeg
+
+    # Import + tier pipeline works end to end; develop quarantines.
+    from raweditor_tpu.catalog import Library
+    from raweditor_tpu.pipeline.tiers import process_pending_cache
+
+    lib = Library(tmp_path / "cat.db")
+    lib.import_folder(tmp_path)
+    stats = process_pending_cache(lib, cache_dir=tmp_path / "cache",
+                                  )
+    assert stats["cached"] == 1
+    lib.close()
