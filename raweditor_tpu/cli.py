@@ -134,6 +134,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
 
     p = sub.add_parser(
+        "auto",
+        help="compute auto exposure/WB for an image and store the edits",
+    )
+    p.add_argument("input", help="RAW file path or catalog image id")
+    p.add_argument("--dry-run", action="store_true",
+                   help="print the suggestion without saving")
+
+    p = sub.add_parser(
         "session",
         help="interactive develop session (line protocol on stdin)",
     )
@@ -354,6 +362,29 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_auto(args) -> int:
+    from raweditor_tpu.pipeline.auto import suggest_auto
+    from raweditor_tpu.pipeline.engine import DevelopEngine
+
+    image_id = None
+    if args.input.isdigit():
+        with _open_library(args) as lib:
+            img = lib.get_image(int(args.input))
+            if img is None:
+                raise SystemExit(f"no catalog image {args.input}")
+            path, image_id = img.path, img.id
+            base = lib.load_edit_params(image_id)
+    else:
+        path, base = args.input, EditParams()
+    eng = DevelopEngine.open(path)
+    suggestion = suggest_auto(eng, base)
+    if image_id is not None and not args.dry_run:
+        with _open_library(args) as lib:
+            lib.save_edit_params(image_id, suggestion)
+    print(suggestion.to_json())
+    return 0
+
+
 def cmd_session(args) -> int:
     from raweditor_tpu.pipeline.engine import DevelopEngine
     from raweditor_tpu.pipeline.session import DevelopSession
@@ -406,6 +437,7 @@ _COMMANDS = {
     "tiers": cmd_tiers,
     "histogram": cmd_histogram,
     "synth": cmd_synth,
+    "auto": cmd_auto,
     "session": cmd_session,
     "bench": cmd_bench,
 }

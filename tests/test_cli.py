@@ -165,3 +165,28 @@ def test_session_path_with_db_attaches(tmp_path, photos, monkeypatch):
     with sqlite3.connect(tmp_path / "cat.db") as conn:
         n = conn.execute("SELECT COUNT(*) FROM images").fetchone()[0]
     assert n == 1
+
+
+def test_auto_command(tmp_path, capsys, rng):
+    """`auto <id>` stores histogram-driven suggestions in the catalog."""
+    d = tmp_path / "p"
+    d.mkdir()
+    dark = rng.integers(0, 200, size=(32, 32), dtype=np.uint16)
+    write_synthetic_raw(d / "dark.nef", dark)
+    db = tmp_path / "cat.db"
+    run(capsys, "--db", db, "import", d, "--no-tiers")
+
+    code, out = run(capsys, "--db", db, "auto", "1", "--dry-run")
+    assert code == 0
+    assert json.loads(out)["exposure"] > 1.0
+
+    # Dry run must not persist.
+    import sqlite3
+
+    with sqlite3.connect(db) as conn:
+        assert conn.execute("SELECT COUNT(*) FROM edits").fetchone()[0] == 0
+
+    code, out = run(capsys, "--db", db, "auto", "1")
+    assert code == 0
+    with sqlite3.connect(db) as conn:
+        assert conn.execute("SELECT COUNT(*) FROM edits").fetchone()[0] == 1
