@@ -228,3 +228,25 @@ def test_large_oracle_parity(rng):
     want = oracle.develop_image(mosaic, params, WB_DAYLIGHT, IDENTITY)
     got = develop(mosaic, params, WB_DAYLIGHT, IDENTITY)
     assert_parity(got, want, lsb=1, frac_exact=0.999)
+
+
+def test_randomized_param_sweep(rng):
+    """25 random points across the full 10-slider space vs the oracle —
+    property-style coverage beyond the named cases."""
+    mosaic = rng.integers(0, 4096, size=(16, 20), dtype=np.uint16)
+    for _ in range(25):
+        params = EditParams(
+            exposure=float(rng.uniform(-5, 5)),
+            contrast=float(rng.uniform(-10, 10)),
+            highlights=float(rng.uniform(-1, 1)),
+            shadows=float(rng.uniform(-1, 1)),
+            whites=float(rng.uniform(0.8, 1.2)),
+            blacks=float(rng.uniform(0, 0.2)),
+            vibrance=float(rng.uniform(-1, 1)),
+            saturation=float(rng.uniform(-100, 100)),
+            temperature=float(rng.uniform(-1, 1)),
+            tint=float(rng.uniform(-1, 1)),
+        )
+        want = oracle.develop_image(mosaic, params, WB_DAYLIGHT, IDENTITY)
+        got = develop(mosaic, params, WB_DAYLIGHT, IDENTITY)
+        assert_parity(got, want, lsb=1)
