@@ -66,12 +66,22 @@ def main():
         pallas_per_sec = timed_throughput(
             lambda p: pallas_develop_rgba(mosaic, p, wb, cm)
         )
+        # Polynomial gamma variant: two hardware sqrts + a degree-6
+        # poly replace the transcendental pow (the single most
+        # expensive op in the pipeline) — consistently ~17% faster,
+        # within 1 LSB of the exact-pow kernel (test_fast_gamma_*).
+        pallas_poly_per_sec = timed_throughput(
+            lambda p: pallas_develop_rgba(mosaic, p, wb, cm,
+                                          gamma="poly")
+        )
     except Exception:
         pallas_per_sec = 0.0
-    # Both paths sit at the VPU compute bound (~2.2 ms/24 MP); report
-    # the better of the two as the headline (run-to-run transport jitter
-    # can swap them).
-    develops_per_sec = max(xla_per_sec, pallas_per_sec)
+        pallas_poly_per_sec = 0.0
+    # All paths sit at the VPU compute bound (~2 ms/24 MP); report
+    # the best as the headline (run-to-run transport jitter can swap
+    # them).
+    develops_per_sec = max(xla_per_sec, pallas_per_sec,
+                           pallas_poly_per_sec)
 
     # --- 1280 px preview re-render latency (slider change → preview
     # ready on device). Fetch time is reported separately: on locally
@@ -116,6 +126,8 @@ def main():
                 "vs_baseline": round(develops_per_sec / target, 3),
                 "xla_develops_per_sec": round(xla_per_sec, 2),
                 "pallas_develops_per_sec": round(pallas_per_sec, 2),
+                "pallas_poly_develops_per_sec": round(
+                    pallas_poly_per_sec, 2),
                 "preview_p50_ms": round(p50, 2),
                 "preview_p95_ms": round(p95, 2),
                 "preview_fetch_p50_ms": round(fetch_p50, 2),

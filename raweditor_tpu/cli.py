@@ -86,6 +86,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quality", type=int, default=95)
     p.add_argument("--fast", action="store_true",
                    help="use the fused Pallas kernel (±1 LSB)")
+    p.add_argument("--fast-gamma", action="store_true",
+                   help="with --fast: polynomial gamma (~17%% faster, "
+                        "±1 LSB of exact pow)")
     p.add_argument("--auto-orient", action="store_true",
                    help="rotate output by the EXIF orientation tag")
     _add_slider_args(p)
@@ -217,6 +220,7 @@ def cmd_develop(args) -> int:
     zoom = min(max(args.zoom, cfg.zoom_min), cfg.zoom_max)
     eng = DevelopEngine.open(path, mode=args.mode,
                              use_pallas=getattr(args, "fast", False),
+                             fast_gamma=getattr(args, "fast_gamma", False),
                              auto_orient=getattr(args, "auto_orient", False))
     if args.preview:
         from PIL import Image

@@ -39,6 +39,17 @@ _F = np.float32
 _LUMA = (_F(0.2126), _F(0.7152), _F(0.0722))
 N_SCALARS = 24
 
+# Degree-6 minimax-ish fit of s^(20/11) on [0, 1] (so that with
+# s = (c)^(1/4), poly(s) ≈ c^(1/2.2)): two hardware sqrts + 6 FMAs
+# replace the transcendental pow. u8 quantization agrees with the exact
+# pow within 1 LSB (0.6% of values off by one) — verified exhaustively
+# over 2M samples; see test_fast_gamma_accuracy.
+_GAMMA_POLY = (
+    _F(2.2354132056e-01), _F(-7.9758619051e-01), _F(1.1776782855e+00),
+    _F(-1.0106607578e+00), _F(1.3829966404e+00), _F(2.4274709515e-02),
+    _F(-1.7121618430e-04),
+)
+
 
 def _largest_even_divisor(h: int, cap: int = 128) -> int:
     """Largest block height that divides h, is a multiple of 8 (VMEM
@@ -106,7 +117,7 @@ def _shift_x(arr, direction: int, edge_col):
 
 
 def _kernel(scal_ref, pad_hbm, out_ref, scratch, sem, *, block_h: int,
-            cfa_phase=(0, 0)):
+            cfa_phase=(0, 0), gamma: str = "pow"):
     i = pl.program_id(0)
     copy = pltpu.make_async_copy(
         pad_hbm.at[pl.ds(i * block_h, block_h + 8)], scratch, sem
@@ -181,7 +192,14 @@ def _kernel(scal_ref, pad_hbm, out_ref, scratch, sem, *, block_h: int,
     # Gamma 1/2.2, clamp, quantize, pack RGBA.
     def q(c):
         c = jnp.maximum(c, 0.0)
-        c = jnp.power(c, _F(1.0 / 2.2))
+        if gamma == "poly":
+            sq = jnp.sqrt(jnp.sqrt(jnp.minimum(c, 1.0)))
+            acc = _GAMMA_POLY[0]
+            for k in _GAMMA_POLY[1:]:
+                acc = acc * sq + k
+            c = acc
+        else:
+            c = jnp.power(c, _F(1.0 / 2.2))
         c = jnp.minimum(c, 1.0)
         # f32→u32 unsupported in Mosaic; go through int32 (values 0..255).
         return jnp.floor(c * 255.0 + 0.5).astype(jnp.int32).astype(jnp.uint32)
@@ -193,7 +211,7 @@ def _kernel(scal_ref, pad_hbm, out_ref, scratch, sem, *, block_h: int,
 
 @functools.partial(
     jax.jit, static_argnames=("matrix_transpose", "block_h", "interpret",
-                              "cfa_phase")
+                              "cfa_phase", "gamma")
 )
 def pallas_develop_rgba(
     mosaic,
@@ -206,6 +224,7 @@ def pallas_develop_rgba(
     block_h: int | None = None,
     interpret: bool = False,
     cfa_phase=(0, 0),
+    gamma: str = "pow",
 ):
     """Fused-kernel full develop: (H, W) u16 → (H, W) u32 packed RGBA."""
     h, w = mosaic.shape
@@ -222,7 +241,8 @@ def pallas_develop_rgba(
     padded = jnp.pad(mosaic, ((1, 7), (0, 0)), mode="edge")
 
     return pl.pallas_call(
-        functools.partial(_kernel, block_h=bh, cfa_phase=cfa_phase),
+        functools.partial(_kernel, block_h=bh, cfa_phase=cfa_phase,
+                          gamma=gamma),
         grid=(h // bh,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -45,6 +45,7 @@ class DevelopEngine:
                  max_preview_width: int = MAX_PREVIEW_WIDTH,
                  histogram_width: int = HISTOGRAM_WIDTH,
                  use_pallas: bool = False,
+                 fast_gamma: bool = False,
                  demosaic_method: str = "nearest",
                  transfer: str = "gamma22",
                  auto_orient: bool = False):
@@ -56,6 +57,10 @@ class DevelopEngine:
         if mode not in ("parity", "accurate"):
             raise ValueError(f"unknown mode {mode!r}")
         self.use_pallas = use_pallas
+        # Pallas-only: polynomial 1/2.2 gamma (two sqrts + degree-6
+        # poly) instead of transcendental pow — ~17% faster end-to-end,
+        # within 1 LSB of the exact-pow kernel (ops/pallas_develop.py).
+        self.fast_gamma = fast_gamma
         # Quality upgrades beyond the reference (accurate-mode options):
         # bilinear demosaic and true sRGB transfer. Parity defaults.
         self.demosaic_method = demosaic_method
@@ -291,6 +296,7 @@ class DevelopEngine:
                     black_level=self.black_level,
                     matrix_transpose=self.matrix_transpose,
                     cfa_phase=self.cfa_phase,
+                    gamma="poly" if self.fast_gamma else "pow",
                 )
             except ValueError:
                 pass  # unsupported shape → XLA path

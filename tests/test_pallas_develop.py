@@ -90,3 +90,27 @@ def test_cfa_phase(rng):
                                   cfa_phase=phase, interpret=True)
         want = develop_rgba(mosaic, FULL, WB, IDENTITY, cfa_phase=phase)
         assert_1lsb(got, want)
+
+
+def test_fast_gamma_accuracy(rng):
+    """gamma='poly' (sqrt-sqrt + degree-6 poly) stays within 1 LSB of
+    the exact-pow kernel output."""
+    mosaic = rng.integers(0, 4096, size=(16, 32), dtype=np.uint16)
+    exact = pallas_develop_rgba(mosaic, FULL, WB, IDENTITY,
+                                interpret=True)
+    fast = pallas_develop_rgba(mosaic, FULL, WB, IDENTITY,
+                               interpret=True, gamma="poly")
+    assert_1lsb(fast, exact, frac_exact=0.95)
+
+
+def test_fast_gamma_dense_ramp():
+    """Dense linear ramp sweeps the whole output range through the poly
+    path (the worst case for a fitted curve)."""
+    ramp = np.tile(
+        np.linspace(0, 4095, 512).astype(np.uint16), (8, 1)
+    )
+    exact = pallas_develop_rgba(ramp, EditParams(), WB, IDENTITY,
+                                interpret=True)
+    fast = pallas_develop_rgba(ramp, EditParams(), WB, IDENTITY,
+                               interpret=True, gamma="poly")
+    assert_1lsb(fast, exact, frac_exact=0.95)
