@@ -136,15 +136,29 @@ def apply_edit_stack(r, g, b, params: EditParams, wb, cam_matrix,
 def finish_to_u8(r, g, b, valid=None, transfer: str = "gamma22"):
     """Steps 10–11 + output quantization: transfer, clamp, Rgba8Unorm
     round. ``transfer`` is "gamma22" for reference parity (plain 1/2.2
-    pow, reference: gpu/shaders.rs:261) or "srgb" for the real
-    IEC 61966-2-1 encode (accurate-mode upgrade the reference lacks).
+    pow, reference: gpu/shaders.rs:261), "gamma22_poly" for the fast
+    polynomial approximation (±1 LSB of the pow after quantization,
+    ~17% faster — see color.gamma22_poly_encode), or "srgb" for the
+    real IEC 61966-2-1 encode (accurate-mode upgrade the reference
+    lacks).
 
     ``valid`` optionally masks out-of-frame pixels to black, matching the
     shader's early return (reference: gpu/shaders.rs:173-178).
     """
-    from raweditor_tpu.color import gamma22_encode, srgb_encode
+    from raweditor_tpu.color import (
+        gamma22_encode,
+        gamma22_poly_encode,
+        srgb_encode,
+    )
 
-    encode = srgb_encode if transfer == "srgb" else gamma22_encode
+    try:
+        encode = {
+            "gamma22": gamma22_encode,
+            "gamma22_poly": gamma22_poly_encode,
+            "srgb": srgb_encode,
+        }[transfer]
+    except KeyError:
+        raise ValueError(f"unknown transfer {transfer!r}") from None
 
     def enc(c):
         c = encode(c)  # single source of truth for both curves (color.py)

@@ -39,16 +39,9 @@ _F = np.float32
 _LUMA = (_F(0.2126), _F(0.7152), _F(0.0722))
 N_SCALARS = 24
 
-# Degree-6 minimax-ish fit of s^(20/11) on [0, 1] (so that with
-# s = (c)^(1/4), poly(s) ≈ c^(1/2.2)): two hardware sqrts + 6 FMAs
-# replace the transcendental pow. u8 quantization agrees with the exact
-# pow within 1 LSB (0.6% of values off by one) — verified exhaustively
-# over 2M samples; see test_fast_gamma_accuracy.
-_GAMMA_POLY = (
-    _F(2.2354132056e-01), _F(-7.9758619051e-01), _F(1.1776782855e+00),
-    _F(-1.0106607578e+00), _F(1.3829966404e+00), _F(2.4274709515e-02),
-    _F(-1.7121618430e-04),
-)
+# Fast-gamma polynomial (see color.GAMMA22_POLY — single source of
+# truth shared with the XLA "gamma22_poly" transfer).
+from raweditor_tpu.color import GAMMA22_POLY as _GAMMA_POLY
 
 
 def _largest_even_divisor(h: int, cap: int = 128) -> int:

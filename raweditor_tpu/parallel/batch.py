@@ -42,24 +42,26 @@ def pack_params(params_list) -> EditParams:
 
 
 def _develop_one(mosaic, params, wb, cm, white_level, black_level,
-                 matrix_transpose, rgba=False, cfa_phase=(0, 0)):
+                 matrix_transpose, rgba=False, cfa_phase=(0, 0),
+                 transfer="gamma22"):
     x = mosaic.astype(_F)
     black = jnp.asarray(black_level, _F)
     norm = (x - black) / (jnp.asarray(white_level, _F) - black)
     r, g, b = _demosaic.demosaic_nearest(norm, cfa_phase)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cm, matrix_transpose)
     if rgba:
-        return finish_to_rgba_u32(r, g, b)
-    r, g, b = finish_to_u8(r, g, b)
+        return finish_to_rgba_u32(r, g, b, transfer=transfer)
+    r, g, b = finish_to_u8(r, g, b, transfer=transfer)
     return jnp.stack([r, g, b], axis=-1)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("matrix_transpose", "cfa_phase")
+    jax.jit, static_argnames=("matrix_transpose", "cfa_phase", "transfer")
 )
 def batch_develop(mosaics, params: EditParams, wb, cam_matrices,
                   white_levels=None, black_levels=None,
-                  matrix_transpose: bool = True, cfa_phase=(0, 0)):
+                  matrix_transpose: bool = True, cfa_phase=(0, 0),
+                  transfer: str = "gamma22"):
     """vmapped batch develop: (N, H, W) u16 → (N, H, W, 3) u8.
 
     white_levels/black_levels are optional per-image (N,) arrays
@@ -75,16 +77,17 @@ def batch_develop(mosaics, params: EditParams, wb, cam_matrices,
         black_levels = jnp.zeros((n,), _F)
     return jax.vmap(
         functools.partial(_develop_one, matrix_transpose=matrix_transpose,
-                          cfa_phase=cfa_phase)
+                          cfa_phase=cfa_phase, transfer=transfer)
     )(mosaics, params, wb, cam_matrices, white_levels, black_levels)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("matrix_transpose", "cfa_phase")
+    jax.jit, static_argnames=("matrix_transpose", "cfa_phase", "transfer")
 )
 def batch_develop_rgba(mosaics, params: EditParams, wb, cam_matrices,
                        white_levels=None, black_levels=None,
-                       matrix_transpose: bool = True, cfa_phase=(0, 0)):
+                       matrix_transpose: bool = True, cfa_phase=(0, 0),
+                       transfer: str = "gamma22"):
     """batch_develop with packed-RGBA u32 output: (N, H, W) u16 →
     (N, H, W) u32 — the fast path for export (see develop_rgba)."""
     n = mosaics.shape[0]
@@ -95,7 +98,7 @@ def batch_develop_rgba(mosaics, params: EditParams, wb, cam_matrices,
     return jax.vmap(
         functools.partial(
             _develop_one, matrix_transpose=matrix_transpose, rgba=True,
-            cfa_phase=cfa_phase,
+            cfa_phase=cfa_phase, transfer=transfer,
         )
     )(mosaics, params, wb, cam_matrices, white_levels, black_levels)
 
@@ -129,7 +132,7 @@ def batch_develop_xtrans_rgba(mosaics, params: EditParams, wb,
 
 def _sharded_step(mosaics, params, wb, cms, whites, blacks, *, axis_name,
                   matrix_transpose, with_histogram, rgba=False,
-                  cfa_phase=(0, 0)):
+                  cfa_phase=(0, 0), transfer="gamma22"):
     """Per-device body: local (n, h_blk, W) batch of row blocks."""
     imgs = jax.vmap(
         functools.partial(
@@ -138,6 +141,7 @@ def _sharded_step(mosaics, params, wb, cms, whites, blacks, *, axis_name,
             matrix_transpose=matrix_transpose,
             rgba=rgba,
             cfa_phase=cfa_phase,
+            transfer=transfer,
         )
     )(mosaics, params, wb, cms, whites, blacks)
     if not with_histogram:
@@ -167,6 +171,7 @@ def _sharded_step(mosaics, params, wb, cms, whites, blacks, *, axis_name,
     static_argnames=(
         "mesh", "batch_axis", "row_axis",
         "matrix_transpose", "with_histogram", "rgba", "cfa_phase",
+        "transfer",
     ),
 )
 def batch_develop_sharded(
@@ -183,6 +188,7 @@ def batch_develop_sharded(
     with_histogram: bool = False,
     rgba: bool = False,
     cfa_phase=(0, 0),
+    transfer: str = "gamma22",
 ):
     """The full sharded export step: dp over images × sp over rows.
 
@@ -219,6 +225,7 @@ def batch_develop_sharded(
             with_histogram=with_histogram,
             rgba=rgba,
             cfa_phase=cfa_phase,
+            transfer=transfer,
         ),
         mesh=mesh,
         in_specs=(

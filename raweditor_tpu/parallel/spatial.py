@@ -52,7 +52,8 @@ def exchange_row_halos(block, axis_name: str):
 def develop_block(block_u16, params: EditParams, wb, cam_matrix,
                   white_level=4096.0, black_level=0.0, *,
                   axis_name: str, matrix_transpose: bool = True,
-                  rgba: bool = False, cfa_phase=(0, 0)):
+                  rgba: bool = False, cfa_phase=(0, 0),
+                  transfer: str = "gamma22"):
     """Develop one shard's row block inside a shard_map/collective
     context. Returns (h_block, W, 3) u8, or (h_block, W) u32 packed
     RGBA when ``rgba`` (see ops.develop.finish_to_rgba_u32)."""
@@ -70,8 +71,8 @@ def develop_block(block_u16, params: EditParams, wb, cam_matrix,
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix,
                                matrix_transpose)
     if rgba:
-        return finish_to_rgba_u32(r, g, b)
-    r, g, b = finish_to_u8(r, g, b)
+        return finish_to_rgba_u32(r, g, b, transfer=transfer)
+    r, g, b = finish_to_u8(r, g, b, transfer=transfer)
     return jnp.stack([r, g, b], axis=-1)
 
 

@@ -57,10 +57,14 @@ class DevelopEngine:
         if mode not in ("parity", "accurate"):
             raise ValueError(f"unknown mode {mode!r}")
         self.use_pallas = use_pallas
-        # Pallas-only: polynomial 1/2.2 gamma (two sqrts + degree-6
-        # poly) instead of transcendental pow — ~17% faster end-to-end,
-        # within 1 LSB of the exact-pow kernel (ops/pallas_develop.py).
+        # Polynomial 1/2.2 gamma (two sqrts + degree-6 poly) instead of
+        # the transcendental pow: ~17% faster develop, within 1 LSB of
+        # the exact pow after u8 quantization (color.gamma22_poly_encode).
+        # Rewriting the transfer here routes every path — preview, full,
+        # X-Trans, LinearRaw, histogram — through the fast curve.
         self.fast_gamma = fast_gamma
+        if fast_gamma and transfer == "gamma22":
+            transfer = "gamma22_poly"
         # Quality upgrades beyond the reference (accurate-mode options):
         # bilinear demosaic and true sRGB transfer. Parity defaults.
         self.demosaic_method = demosaic_method
@@ -286,7 +290,7 @@ class DevelopEngine:
                 transfer=self.transfer, rgba=True,
             )
         if (self.use_pallas and self.demosaic_method == "nearest"
-                and self.transfer == "gamma22"):
+                and self.transfer in ("gamma22", "gamma22_poly")):
             from raweditor_tpu.ops.pallas_develop import pallas_develop_rgba
 
             try:
@@ -296,7 +300,8 @@ class DevelopEngine:
                     black_level=self.black_level,
                     matrix_transpose=self.matrix_transpose,
                     cfa_phase=self.cfa_phase,
-                    gamma="poly" if self.fast_gamma else "pow",
+                    gamma=("poly" if self.transfer == "gamma22_poly"
+                           else "pow"),
                 )
             except ValueError:
                 pass  # unsupported shape → XLA path

@@ -183,6 +183,7 @@ def run_batch_export(
     mode: str = "parity",
     matrix_transpose: Optional[bool] = None,
     skip_existing: bool = False,
+    fast_gamma: bool = False,
 ) -> ExportReport:
     """Develop and encode every job; returns a report with throughput
     and the per-image quarantine list.
@@ -199,6 +200,9 @@ def run_batch_export(
 
     if matrix_transpose is None:
         matrix_transpose = mode == "parity"
+    # Polynomial 1/2.2 gamma: ~17% faster develop, within 1 LSB of the
+    # exact pow after u8 quantization (see color.gamma22_poly_encode).
+    transfer = "gamma22_poly" if fast_gamma else "gamma22"
     if mesh is not None:
         n_b = mesh.shape["batch"]
         if batch_size % n_b:
@@ -272,6 +276,7 @@ def run_batch_export(
                 lambda m, p, w, c, wl, bl: develop_linear(
                     m, p, w, c, wl, bl,
                     matrix_transpose=matrix_transpose, rgba=True,
+                    transfer=transfer,
                 )
             )(mosaics, params, wbs, cms, whites, blacks)
         elif isinstance(phase, str):  # X-Trans bucket (pattern string)
@@ -282,11 +287,13 @@ def run_batch_export(
             out = batch_develop_xtrans_rgba(
                 mosaics, params, wbs, cms, whites, blacks,
                 pattern=phase, matrix_transpose=matrix_transpose,
+                transfer=transfer,
             )
         elif mesh is None:
             out = batch_develop_rgba(
                 mosaics, params, wbs, cms, whites, blacks,
                 matrix_transpose=matrix_transpose, cfa_phase=phase,
+                transfer=transfer,
             )
         else:
             staged = jax.device_put(mosaics, batch_sharding(mesh))
@@ -294,7 +301,7 @@ def run_batch_export(
                 staged, params, wbs, cms, mesh,
                 white_levels=whites, black_levels=blacks,
                 matrix_transpose=matrix_transpose, rgba=True,
-                cfa_phase=phase,
+                cfa_phase=phase, transfer=transfer,
             )
         inflight.append((out, batch, t0))
         drain_inflight(encode_pool, depth=1)

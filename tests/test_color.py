@@ -73,3 +73,33 @@ def test_xyz_to_srgb_matches_iec_constants():
     # reference: color.rs:13-17
     assert XYZ_TO_SRGB[0, 0] == np.float32(3.2406)
     assert XYZ_TO_SRGB[2, 1] == np.float32(-0.2040)
+
+
+class TestGamma22Poly:
+    """gamma22_poly_encode: polynomial fast path vs the exact pow."""
+
+    def test_u8_within_1lsb_dense(self):
+        from raweditor_tpu.color import gamma22_encode, gamma22_poly_encode
+
+        x = np.linspace(0.0, 1.0, 2_000_003).astype(np.float32)
+        exact = np.floor(np.asarray(gamma22_encode(x)) * 255.0 + 0.5)
+        fast = np.floor(np.asarray(gamma22_poly_encode(x)) * 255.0 + 0.5)
+        diff = np.abs(exact - fast)
+        assert diff.max() <= 1
+        assert (diff == 0).mean() > 0.99
+
+    def test_out_of_range_clamped(self):
+        from raweditor_tpu.color import gamma22_poly_encode
+
+        y = np.asarray(gamma22_poly_encode(
+            np.array([-0.5, 0.0, 1.0, 2.5], np.float32)))
+        assert abs(y[0] - y[1]) < 1e-6  # negatives clamp to 0's value
+        assert abs(y[2] - y[3]) < 1e-6  # >1 clamps to 1's value
+        assert y[1] < 0.01 and 0.99 < y[2] < 1.01
+
+    def test_monotonic(self):
+        from raweditor_tpu.color import gamma22_poly_encode
+
+        x = np.linspace(0.0, 1.0, 100_001).astype(np.float32)
+        y = np.asarray(gamma22_poly_encode(x))
+        assert (np.diff(y) >= -1e-6).all()

@@ -250,3 +250,59 @@ def test_randomized_param_sweep(rng):
         want = oracle.develop_image(mosaic, params, WB_DAYLIGHT, IDENTITY)
         got = develop(mosaic, params, WB_DAYLIGHT, IDENTITY)
         assert_parity(got, want, lsb=1)
+
+
+class TestPolyTransfer:
+    """transfer="gamma22_poly" through the XLA paths: ≤1 LSB of the
+    exact-pow output everywhere it is offered."""
+
+    def _diff(self, a, b):
+        av = np.asarray(a).astype(np.int16)
+        bv = np.asarray(b).astype(np.int16)
+        return np.abs(av - bv)
+
+    def test_develop_u8(self, rng):
+        mosaic = rng.integers(0, 4096, size=(32, 48), dtype=np.uint16)
+        p = EditParams(exposure=0.5, contrast=12.0, saturation=20.0)
+        exact = develop(mosaic, p, WB_NEUTRAL, IDENTITY)
+        fast = develop(mosaic, p, WB_NEUTRAL, IDENTITY,
+                       transfer="gamma22_poly")
+        d = self._diff(exact, fast)
+        assert d.max() <= 1 and (d == 0).mean() > 0.98
+
+    def test_develop_preview(self, rng):
+        from raweditor_tpu.ops.develop import develop_preview
+
+        mosaic = rng.integers(0, 4096, size=(64, 96), dtype=np.uint16)
+        p = EditParams(exposure=0.3, shadows=0.4)
+        exact = develop_preview(mosaic, p, WB_NEUTRAL, IDENTITY,
+                                out_w=32, out_h=24)
+        fast = develop_preview(mosaic, p, WB_NEUTRAL, IDENTITY,
+                               out_w=32, out_h=24,
+                               transfer="gamma22_poly")
+        d = self._diff(exact, fast)
+        assert d.max() <= 1
+
+    def test_batch_develop_rgba(self, rng):
+        from raweditor_tpu.parallel import batch_develop, pack_params
+        from raweditor_tpu.parallel.batch import batch_develop_rgba
+        from raweditor_tpu.ops.develop import rgba_view
+
+        n = 3
+        mosaics = rng.integers(0, 4096, size=(n, 16, 24), dtype=np.uint16)
+        plist = [EditParams(exposure=0.2 * i) for i in range(n)]
+        wbs = np.tile(WB_NEUTRAL, (n, 1))
+        cms = np.tile(IDENTITY, (n, 1, 1))
+        exact = rgba_view(batch_develop_rgba(
+            mosaics, pack_params(plist), wbs, cms))
+        fast = rgba_view(batch_develop_rgba(
+            mosaics, pack_params(plist), wbs, cms,
+            transfer="gamma22_poly"))
+        d = self._diff(exact, fast)
+        assert d.max() <= 1
+
+    def test_unknown_transfer_rejected(self, rng):
+        mosaic = rng.integers(0, 4096, size=(8, 8), dtype=np.uint16)
+        with pytest.raises(ValueError, match="unknown transfer"):
+            develop(mosaic, EditParams(), WB_NEUTRAL, IDENTITY,
+                    transfer="bogus")
