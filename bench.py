@@ -58,6 +58,9 @@ def main():
     xla_per_sec = timed_throughput(
         lambda p: develop_rgba(mosaic, p, wb, cm)
     )
+    xla_poly_per_sec = timed_throughput(
+        lambda p: develop_rgba(mosaic, p, wb, cm, transfer="gamma22_poly")
+    )
     # Hand-fused Pallas kernel (±1 LSB, see ops/pallas_develop.py) is
     # the headline path; fall back to XLA if the shape is unsupported.
     try:
@@ -80,8 +83,8 @@ def main():
     # All paths sit at the VPU compute bound (~2 ms/24 MP); report
     # the best as the headline (run-to-run transport jitter can swap
     # them).
-    develops_per_sec = max(xla_per_sec, pallas_per_sec,
-                           pallas_poly_per_sec)
+    develops_per_sec = max(xla_per_sec, xla_poly_per_sec,
+                           pallas_per_sec, pallas_poly_per_sec)
 
     # --- 1280 px preview re-render latency (slider change → preview
     # ready on device). Fetch time is reported separately: on locally
@@ -125,6 +128,7 @@ def main():
                 "unit": "images/sec/chip",
                 "vs_baseline": round(develops_per_sec / target, 3),
                 "xla_develops_per_sec": round(xla_per_sec, 2),
+                "xla_poly_develops_per_sec": round(xla_poly_per_sec, 2),
                 "pallas_develops_per_sec": round(pallas_per_sec, 2),
                 "pallas_poly_develops_per_sec": round(
                     pallas_poly_per_sec, 2),

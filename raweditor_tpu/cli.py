@@ -154,6 +154,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mode", choices=("parity", "accurate"),
                    default="parity")
     p.add_argument("--fast", action="store_true")
+    p.add_argument("--fast-gamma", action="store_true",
+                   help="polynomial gamma (~17%% faster, ±1 LSB)")
 
     sub.add_parser("bench", help="run the headline benchmark")
     return ap
@@ -406,7 +408,8 @@ def cmd_session(args) -> int:
         path, image_id = img.path, img.id
     else:
         path = args.input
-    eng = DevelopEngine.open(path, mode=args.mode, use_pallas=args.fast)
+    eng = DevelopEngine.open(path, mode=args.mode, use_pallas=args.fast,
+                             fast_gamma=getattr(args, "fast_gamma", False))
     if library is None and args.db is not None:
         # A file path with --db: attach (importing on first successful
         # open) so checkpoint/undo/persistence work. Catalog paths are

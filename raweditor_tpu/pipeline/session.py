@@ -155,6 +155,15 @@ class DevelopSession:
         cmd, args = parts[0], parts[1:]
         if cmd == "quit":
             return None
+        # Arity check up front so a missing operand reads as usage help,
+        # not a bare IndexError message.
+        min_args = {"set": 2, "zoom": 1, "pan": 2, "render": 1, "full": 1,
+                    "before": 1}
+        usage = {"set": "set <slider> <value>", "zoom": "zoom <factor>",
+                 "pan": "pan <x> <y>", "render": "render <path>",
+                 "full": "full <path>", "before": "before <path>"}
+        if len(args) < min_args.get(cmd, 0):
+            return {"ok": False, "error": f"usage: {usage[cmd]}"}
         try:
             if cmd == "set":
                 return self.set_slider(args[0], float(args[1]))

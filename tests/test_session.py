@@ -101,3 +101,11 @@ def test_checkpoint_undo_history(session):
     undone = s.undo()
     assert undone["params"]["exposure"] == 1.0
     assert s.params.exposure == 1.0
+
+
+def test_missing_operand_reports_usage(session):
+    sess, _, _ = session
+    out = sess.handle("render")
+    assert out == {"ok": False, "error": "usage: render <path>"}
+    out = sess.handle("set exposure")
+    assert out == {"ok": False, "error": "usage: set <slider> <value>"}
