@@ -91,6 +91,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "±1 LSB of exact pow)")
     p.add_argument("--auto-orient", action="store_true",
                    help="rotate output by the EXIF orientation tag")
+    p.add_argument("--demosaic", default="nearest",
+                   choices=("nearest", "bilinear", "malvar"),
+                   help="demosaic kernel (malvar = gradient-corrected, "
+                        "best quality)")
     _add_slider_args(p)
 
     p = sub.add_parser("edit", help="save slider values for a catalog image")
@@ -225,6 +229,8 @@ def cmd_develop(args) -> int:
     eng = DevelopEngine.open(path, mode=args.mode,
                              use_pallas=getattr(args, "fast", False),
                              fast_gamma=getattr(args, "fast_gamma", False),
+                             demosaic_method=getattr(args, "demosaic",
+                                                     "nearest"),
                              auto_orient=getattr(args, "auto_orient", False))
     if args.preview:
         from PIL import Image

@@ -34,9 +34,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _shifted(padded, dy: int, dx: int, h: int, w: int):
-    """View of the 1-px edge-padded mosaic shifted by (dy, dx)."""
-    return padded[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+def _shifted(padded, dy: int, dx: int, h: int, w: int, pad: int = 1):
+    """View of the ``pad``-px edge-padded mosaic shifted by (dy, dx)."""
+    return padded[pad + dy : pad + dy + h, pad + dx : pad + dx + w]
 
 
 def parity_masks(h: int, w: int, phase=(0, 0)):
@@ -180,11 +180,11 @@ def demosaic_nearest_sampled(mosaic, yi, xi, phase=(0, 0)):
 # ---------------------------------------------------------------------------
 
 
-def _conv_taps(padded, taps, h, w):
+def _conv_taps(padded, taps, h, w, pad: int = 1):
     """Sum of weighted shifted views; taps = {(dy, dx): weight}."""
     acc = None
     for (dy, dx), wgt in taps.items():
-        t = _shifted(padded, dy, dx, h, w) * np.float32(wgt)
+        t = _shifted(padded, dy, dx, h, w, pad) * np.float32(wgt)
         acc = t if acc is None else acc + t
     return acc
 
@@ -229,9 +229,66 @@ def demosaic_bilinear(mosaic, phase=(0, 0)):
     return r, g, b
 
 
+@functools.lru_cache(maxsize=None)
+def _malvar_taps():
+    """Malvar–He–Cutler (ICASSP 2004) 5×5 gradient-corrected kernels,
+    /8-normalized. Four filters, each applied to the raw mosaic (the
+    Bayer neighborhoods put the right colors at fixed offsets):
+    G at R/B, R/B at a G whose same-color neighbors are horizontal,
+    the 90°-rotated case, and R-at-B / B-at-R (diagonal)."""
+    g_cross = {(0, 0): 0.5, (-1, 0): 0.25, (1, 0): 0.25, (0, -1): 0.25,
+               (0, 1): 0.25, (-2, 0): -0.125, (2, 0): -0.125,
+               (0, -2): -0.125, (0, 2): -0.125}
+    rb_row = {(0, 0): 0.625, (0, -1): 0.5, (0, 1): 0.5,
+              (0, -2): -0.125, (0, 2): -0.125,
+              (-1, -1): -0.125, (-1, 1): -0.125,
+              (1, -1): -0.125, (1, 1): -0.125,
+              (-2, 0): 0.0625, (2, 0): 0.0625}
+    rb_col = {(dx, dy): w for (dy, dx), w in rb_row.items()}
+    rb_diag = {(0, 0): 0.75, (-1, -1): 0.25, (-1, 1): 0.25,
+               (1, -1): 0.25, (1, 1): 0.25,
+               (-2, 0): -0.1875, (2, 0): -0.1875,
+               (0, -2): -0.1875, (0, 2): -0.1875}
+    return g_cross, rb_row, rb_col, rb_diag
+
+
+def demosaic_malvar(mosaic, phase=(0, 0)):
+    """Malvar–He–Cutler gradient-corrected linear demosaic (accurate
+    mode). Quality upgrade over bilinear: the 5×5 kernels add a
+    Laplacian correction from the co-sited channel, which sharpens
+    edges and suppresses zippering. Same shifted-view algebra as the
+    other kernels, so XLA fuses it into the develop chain; ~3× the
+    taps of bilinear but still VPU-cheap. Outputs are floored at 0
+    (the correction can overshoot on hard edges); exact on constant
+    and linear-gradient scenes (all kernels have zero first moments).
+    """
+    h, w = mosaic.shape
+    p = jnp.pad(mosaic, ((2, 2), (2, 2)), mode="edge")
+    g_cross, rb_row, rb_col, rb_diag = _malvar_taps()
+
+    v = mosaic
+    gc = _conv_taps(p, g_cross, h, w, pad=2)
+    kr = _conv_taps(p, rb_row, h, w, pad=2)
+    kc = _conv_taps(p, rb_col, h, w, pad=2)
+    kd = _conv_taps(p, rb_diag, h, w, pad=2)
+
+    ye, xe = parity_masks(h, w, phase)
+
+    # Same site layout as demosaic_bilinear, with the gradient-corrected
+    # filters in place of the plain means.
+    r = jnp.where(ye, jnp.where(xe, v, kr), jnp.where(xe, kc, kd))
+    g = jnp.where(ye == xe, gc, v)
+    b = jnp.where(ye, jnp.where(xe, kd, kc), jnp.where(xe, kr, v))
+    zero = jnp.zeros((), mosaic.dtype)
+    return (jnp.maximum(r, zero), jnp.maximum(g, zero),
+            jnp.maximum(b, zero))
+
+
 def demosaic(mosaic, method: str = "nearest", phase=(0, 0)):
     if method == "nearest":
         return demosaic_nearest(mosaic, phase)
     if method == "bilinear":
         return demosaic_bilinear(mosaic, phase)
+    if method == "malvar":
+        return demosaic_malvar(mosaic, phase)
     raise ValueError(f"unknown demosaic method: {method!r}")

@@ -306,3 +306,105 @@ class TestPolyTransfer:
         with pytest.raises(ValueError, match="unknown transfer"):
             develop(mosaic, EditParams(), WB_NEUTRAL, IDENTITY,
                     transfer="bogus")
+
+
+class TestMalvarDemosaic:
+    """Malvar–He–Cutler gradient-corrected demosaic (accurate mode)."""
+
+    def test_constant_scene_exact(self):
+        from raweditor_tpu.ops.demosaic import demosaic_malvar
+
+        mosaic = np.full((16, 24), 0.5, np.float32)
+        r, g, b = demosaic_malvar(mosaic)
+        for ch in (r, g, b):
+            np.testing.assert_allclose(np.asarray(ch), 0.5, atol=1e-6)
+
+    def test_linear_gradient_exact_interior(self):
+        """All five kernels have unit sum and zero first moments, so a
+        scene linear in x and y is reproduced exactly away from the
+        2-px edge-clamp border."""
+        from raweditor_tpu.ops.demosaic import demosaic_malvar
+
+        h, w = 20, 28
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        scene = 0.01 * xx + 0.02 * yy + 0.1
+        r, g, b = demosaic_malvar(scene)
+        for ch in (r, g, b):
+            np.testing.assert_allclose(
+                np.asarray(ch)[2:-2, 2:-2], scene[2:-2, 2:-2], atol=1e-5
+            )
+
+    def test_matches_direct_numpy_reference(self, rng):
+        """Interior pixels match an independent direct 5×5 correlation
+        built from the published Malvar kernel matrices."""
+        from raweditor_tpu.ops.demosaic import demosaic_malvar
+
+        K_G = np.array([
+            [0, 0, -1, 0, 0],
+            [0, 0, 2, 0, 0],
+            [-1, 2, 4, 2, -1],
+            [0, 0, 2, 0, 0],
+            [0, 0, -1, 0, 0],
+        ], np.float32) / 8
+        K_ROW = np.array([
+            [0, 0, 0.5, 0, 0],
+            [0, -1, 0, -1, 0],
+            [-1, 4, 5, 4, -1],
+            [0, -1, 0, -1, 0],
+            [0, 0, 0.5, 0, 0],
+        ], np.float32) / 8
+        K_COL = K_ROW.T
+        K_DIAG = np.array([
+            [0, 0, -1.5, 0, 0],
+            [0, 2, 0, 2, 0],
+            [-1.5, 0, 6, 0, -1.5],
+            [0, 2, 0, 2, 0],
+            [0, 0, -1.5, 0, 0],
+        ], np.float32) / 8
+
+        def corr(img, k, y, x):
+            return float((img[y - 2:y + 3, x - 2:x + 3] * k).sum())
+
+        h, w = 14, 18
+        mosaic = rng.random((h, w)).astype(np.float32)
+        r, g, b = (np.asarray(c) for c in demosaic_malvar(mosaic))
+        for y in range(2, h - 2):
+            for x in range(2, w - 2):
+                er, eg, eb = y % 2 == 0, None, None
+                if y % 2 == 0 and x % 2 == 0:  # R site
+                    want = (mosaic[y, x], corr(mosaic, K_G, y, x),
+                            corr(mosaic, K_DIAG, y, x))
+                elif y % 2 == 0:  # G in R row
+                    want = (corr(mosaic, K_ROW, y, x), mosaic[y, x],
+                            corr(mosaic, K_COL, y, x))
+                elif x % 2 == 0:  # G in B row
+                    want = (corr(mosaic, K_COL, y, x), mosaic[y, x],
+                            corr(mosaic, K_ROW, y, x))
+                else:  # B site
+                    want = (corr(mosaic, K_DIAG, y, x),
+                            corr(mosaic, K_G, y, x), mosaic[y, x])
+                got = (r[y, x], g[y, x], b[y, x])
+                for gv, wv in zip(got, want):
+                    assert abs(gv - max(wv, 0.0)) < 1e-5, (y, x, got, want)
+
+    def test_phase_translation(self, rng):
+        """A GRBG-phase mosaic is the RGGB one shifted by a column: the
+        overlapping interior must agree."""
+        from raweditor_tpu.ops.demosaic import demosaic_malvar
+
+        base = rng.random((16, 24)).astype(np.float32)
+        r0, g0, b0 = (np.asarray(c) for c in demosaic_malvar(base))
+        shifted = base[:, 1:]
+        r1, g1, b1 = (np.asarray(c)
+                      for c in demosaic_malvar(shifted, phase=(0, 1)))
+        for a, c in ((r0, r1), (g0, g1), (b0, b1)):
+            np.testing.assert_allclose(
+                a[2:-2, 3:-3], c[2:-2, 2:-2][:, :a[2:-2, 3:-3].shape[1]],
+                atol=1e-5,
+            )
+
+    def test_develop_accepts_malvar(self, rng):
+        mosaic = rng.integers(0, 4096, size=(16, 24), dtype=np.uint16)
+        out = develop(mosaic, EditParams(), WB_NEUTRAL, IDENTITY,
+                      demosaic_method="malvar")
+        assert np.asarray(out).shape == (16, 24, 3)
