@@ -43,11 +43,11 @@ def pack_params(params_list) -> EditParams:
 
 def _develop_one(mosaic, params, wb, cm, white_level, black_level,
                  matrix_transpose, rgba=False, cfa_phase=(0, 0),
-                 transfer="gamma22"):
+                 transfer="gamma22", demosaic_method="nearest"):
     x = mosaic.astype(_F)
     black = jnp.asarray(black_level, _F)
     norm = (x - black) / (jnp.asarray(white_level, _F) - black)
-    r, g, b = _demosaic.demosaic_nearest(norm, cfa_phase)
+    r, g, b = _demosaic.demosaic(norm, demosaic_method, cfa_phase)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cm, matrix_transpose)
     if rgba:
         return finish_to_rgba_u32(r, g, b, transfer=transfer)
@@ -56,12 +56,14 @@ def _develop_one(mosaic, params, wb, cm, white_level, black_level,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("matrix_transpose", "cfa_phase", "transfer")
+    jax.jit, static_argnames=("matrix_transpose", "cfa_phase", "transfer",
+                              "demosaic_method")
 )
 def batch_develop(mosaics, params: EditParams, wb, cam_matrices,
                   white_levels=None, black_levels=None,
                   matrix_transpose: bool = True, cfa_phase=(0, 0),
-                  transfer: str = "gamma22"):
+                  transfer: str = "gamma22",
+                  demosaic_method: str = "nearest"):
     """vmapped batch develop: (N, H, W) u16 → (N, H, W, 3) u8.
 
     white_levels/black_levels are optional per-image (N,) arrays
@@ -77,17 +79,20 @@ def batch_develop(mosaics, params: EditParams, wb, cam_matrices,
         black_levels = jnp.zeros((n,), _F)
     return jax.vmap(
         functools.partial(_develop_one, matrix_transpose=matrix_transpose,
-                          cfa_phase=cfa_phase, transfer=transfer)
+                          cfa_phase=cfa_phase, transfer=transfer,
+                          demosaic_method=demosaic_method)
     )(mosaics, params, wb, cam_matrices, white_levels, black_levels)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("matrix_transpose", "cfa_phase", "transfer")
+    jax.jit, static_argnames=("matrix_transpose", "cfa_phase", "transfer",
+                              "demosaic_method")
 )
 def batch_develop_rgba(mosaics, params: EditParams, wb, cam_matrices,
                        white_levels=None, black_levels=None,
                        matrix_transpose: bool = True, cfa_phase=(0, 0),
-                       transfer: str = "gamma22"):
+                       transfer: str = "gamma22",
+                       demosaic_method: str = "nearest"):
     """batch_develop with packed-RGBA u32 output: (N, H, W) u16 →
     (N, H, W) u32 — the fast path for export (see develop_rgba)."""
     n = mosaics.shape[0]
@@ -99,6 +104,7 @@ def batch_develop_rgba(mosaics, params: EditParams, wb, cam_matrices,
         functools.partial(
             _develop_one, matrix_transpose=matrix_transpose, rgba=True,
             cfa_phase=cfa_phase, transfer=transfer,
+            demosaic_method=demosaic_method,
         )
     )(mosaics, params, wb, cam_matrices, white_levels, black_levels)
 

@@ -184,6 +184,7 @@ def run_batch_export(
     matrix_transpose: Optional[bool] = None,
     skip_existing: bool = False,
     fast_gamma: bool = False,
+    demosaic_method: str = "nearest",
 ) -> ExportReport:
     """Develop and encode every job; returns a report with throughput
     and the per-image quarantine list.
@@ -203,6 +204,12 @@ def run_batch_export(
     # Polynomial 1/2.2 gamma: ~17% faster develop, within 1 LSB of the
     # exact pow after u8 quantization (see color.gamma22_poly_encode).
     transfer = "gamma22_poly" if fast_gamma else "gamma22"
+    if mesh is not None and demosaic_method != "nearest":
+        # Row-sharded develop only carries the 1-row halo the nearest
+        # stencil needs; the 5x5 kernels would read across shard edges.
+        raise ValueError(
+            "demosaic_method other than 'nearest' requires mesh=None"
+        )
     if mesh is not None:
         n_b = mesh.shape["batch"]
         if batch_size % n_b:
@@ -293,7 +300,7 @@ def run_batch_export(
             out = batch_develop_rgba(
                 mosaics, params, wbs, cms, whites, blacks,
                 matrix_transpose=matrix_transpose, cfa_phase=phase,
-                transfer=transfer,
+                transfer=transfer, demosaic_method=demosaic_method,
             )
         else:
             staged = jax.device_put(mosaics, batch_sharding(mesh))

@@ -114,3 +114,21 @@ def test_batch_develop_auto_partitioned(rng):
     got = np.asarray(out)
     want = np.asarray(batch_develop(mosaics, pack_params(plist), wbs, cms))
     assert (got == want).all()
+
+
+def test_batch_develop_demosaic_method_matches_single(rng):
+    """batch_develop(demosaic_method=...) matches the per-image develop
+    with the same kernel."""
+    n = 3
+    mosaics = rng.integers(0, 4096, size=(n, 16, 24), dtype=np.uint16)
+    plist = [EditParams(exposure=0.2 * i) for i in range(n)]
+    wbs = np.tile(WB, (n, 1))
+    cms = np.tile(IDENTITY, (n, 1, 1))
+    for method in ("bilinear", "malvar"):
+        got = np.asarray(batch_develop(
+            mosaics, pack_params(plist), wbs, cms,
+            demosaic_method=method))
+        for i in range(n):
+            want = np.asarray(develop(mosaics[i], plist[i], WB, IDENTITY,
+                                      demosaic_method=method))
+            assert (got[i] == want).all(), method
