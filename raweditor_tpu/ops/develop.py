@@ -316,7 +316,8 @@ def develop_preview(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pattern", "matrix_transpose", "transfer", "rgba"),
+    static_argnames=("pattern", "matrix_transpose", "transfer", "rgba",
+                     "demosaic_method"),
 )
 def develop_xtrans(
     mosaic,
@@ -329,19 +330,29 @@ def develop_xtrans(
     matrix_transpose: bool = False,
     transfer: str = "gamma22",
     rgba: bool = False,
+    demosaic_method: str = "nearest",
 ):
     """Full develop of an X-Trans (or any repeating-CFA) mosaic — a
     capability beyond the reference, which only handles Bayer. Same edit
-    stack; generic nearest-site demosaic (ops/cfa_generic.py)."""
+    stack; generic nearest-site demosaic, or normalized-convolution
+    interpolation with demosaic_method="smooth" (ops/cfa_generic.py)."""
     from raweditor_tpu.ops.cfa_generic import (
         XTRANS_PATTERN,
         demosaic_nearest_generic,
+        demosaic_smooth_generic,
     )
 
     pat = pattern or XTRANS_PATTERN
     side = int(len(pat) ** 0.5)
     norm = _normalize(mosaic, white_level, black_level)
-    r, g, b = demosaic_nearest_generic(norm, pat, side, side)
+    if demosaic_method == "smooth":
+        r, g, b = demosaic_smooth_generic(norm, pat, side, side)
+    elif demosaic_method == "nearest":
+        r, g, b = demosaic_nearest_generic(norm, pat, side, side)
+    else:
+        raise ValueError(
+            f"unknown generic-CFA demosaic method {demosaic_method!r}"
+        )
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix,
                                matrix_transpose)
     if rgba:

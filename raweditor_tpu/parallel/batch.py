@@ -110,13 +110,15 @@ def batch_develop_rgba(mosaics, params: EditParams, wb, cam_matrices,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pattern", "matrix_transpose", "transfer")
+    jax.jit, static_argnames=("pattern", "matrix_transpose", "transfer",
+                              "demosaic_method")
 )
 def batch_develop_xtrans_rgba(mosaics, params: EditParams, wb,
                               cam_matrices, white_levels=None,
                               black_levels=None, pattern: str = None,
                               matrix_transpose: bool = False,
-                              transfer: str = "gamma22"):
+                              transfer: str = "gamma22",
+                              demosaic_method: str = "nearest"):
     """Batch develop for X-Trans (generic-CFA) mosaics → packed RGBA.
     Data-parallel only (no row sharding; the 6×6 halo isn't worth the
     complexity for the export path)."""
@@ -131,7 +133,7 @@ def batch_develop_xtrans_rgba(mosaics, params: EditParams, wb,
         lambda m, p, w, c, wl, bl: develop_xtrans(
             m, p, w, c, wl, bl, pattern=pattern,
             matrix_transpose=matrix_transpose, transfer=transfer,
-            rgba=True,
+            rgba=True, demosaic_method=demosaic_method,
         )
     )(mosaics, params, wb, cam_matrices, white_levels, black_levels)
 

@@ -179,6 +179,9 @@ class DevelopEngine:
                 pattern=self.xtrans_pattern,
                 matrix_transpose=self.matrix_transpose,
                 transfer=self.transfer,
+                demosaic_method=("smooth"
+                                 if self.demosaic_method != "nearest"
+                                 else "nearest"),
             )
         return develop(
             self.mosaic, params, self.wb, self.cam_matrix,
@@ -287,7 +290,10 @@ class DevelopEngine:
                 self.white_level, self.black_level,
                 pattern=self.xtrans_pattern,
                 matrix_transpose=self.matrix_transpose,
-                transfer=self.transfer, rgba=True,
+                transfer=self.transfer,
+                demosaic_method=("smooth"
+                                 if self.demosaic_method != "nearest"
+                                 else "nearest"), rgba=True,
             )
         if (self.use_pallas and self.demosaic_method == "nearest"
                 and self.transfer in ("gamma22", "gamma22_poly")):

@@ -295,6 +295,8 @@ def run_batch_export(
                 mosaics, params, wbs, cms, whites, blacks,
                 pattern=phase, matrix_transpose=matrix_transpose,
                 transfer=transfer,
+                demosaic_method=("smooth" if demosaic_method != "nearest"
+                                 else "nearest"),
             )
         elif mesh is None:
             out = batch_develop_rgba(

@@ -151,3 +151,67 @@ def test_xtrans_preview_matches_full_subsample(tmp_path, rng):
     xi = (np.arange(12) * 3 + 1).astype(int)
     yi = (np.arange(8) * 3 + 1).astype(int)
     assert (prev == full[yi][:, xi]).all()
+
+
+class TestSmoothGeneric:
+    """Normalized-convolution generic demosaic."""
+
+    def test_bayer_reduces_to_bilinear(self, rng):
+        """On RGGB with the radius-1 tent the normalized convolution is
+        exactly the bilinear kernel — everywhere, edges included (both
+        use edge-clamped values with equal weights over the same taps).
+        """
+        from raweditor_tpu.ops.cfa_generic import demosaic_smooth_generic
+        from raweditor_tpu.ops.demosaic import demosaic_bilinear
+
+        mosaic = rng.random((16, 24)).astype(np.float32)
+        got = demosaic_smooth_generic(mosaic, "RGGB", 2, 2)
+        want = demosaic_bilinear(mosaic)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=1e-6)
+
+    def test_constant_scene_exact(self):
+        from raweditor_tpu.ops.cfa_generic import (
+            XTRANS_PATTERN,
+            demosaic_smooth_generic,
+        )
+
+        mosaic = np.full((18, 24), 0.4, np.float32)
+        for ch in demosaic_smooth_generic(mosaic, XTRANS_PATTERN, 6, 6):
+            np.testing.assert_allclose(np.asarray(ch), 0.4, atol=1e-6)
+
+    def test_sensor_sites_pass_through(self, rng):
+        from raweditor_tpu.ops.cfa_generic import (
+            XTRANS_PATTERN,
+            _CHAN,
+            demosaic_smooth_generic,
+        )
+
+        h, w = 12, 18
+        mosaic = rng.random((h, w)).astype(np.float32)
+        planes = demosaic_smooth_generic(mosaic, XTRANS_PATTERN, 6, 6)
+        grid = np.array([_CHAN[c] for c in XTRANS_PATTERN]).reshape(6, 6)
+        for y in range(h):
+            for x in range(w):
+                chan = grid[y % 6, x % 6]
+                assert np.asarray(planes[chan])[y, x] == mosaic[y, x]
+
+    def test_smoother_than_nearest(self, rng):
+        """On a smooth scene the normalized convolution has lower
+        reconstruction error than nearest-site copying."""
+        from raweditor_tpu.ops.cfa_generic import (
+            XTRANS_PATTERN,
+            demosaic_nearest_generic,
+            demosaic_smooth_generic,
+        )
+
+        h, w = 30, 36
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        scene = 0.5 + 0.3 * np.sin(xx / 5.0) * np.cos(yy / 7.0)
+        near = demosaic_nearest_generic(scene, XTRANS_PATTERN, 6, 6)
+        smooth = demosaic_smooth_generic(scene, XTRANS_PATTERN, 6, 6)
+        for n, s in zip(near, smooth):
+            err_n = np.abs(np.asarray(n)[2:-2, 2:-2] - scene[2:-2, 2:-2]).mean()
+            err_s = np.abs(np.asarray(s)[2:-2, 2:-2] - scene[2:-2, 2:-2]).mean()
+            assert err_s < err_n
