@@ -93,8 +93,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rotate output by the EXIF orientation tag")
     p.add_argument("--demosaic", default="nearest",
                    choices=("nearest", "bilinear", "malvar"),
-                   help="demosaic kernel (malvar = gradient-corrected, "
-                        "best quality)")
+                   help="demosaic kernel for full-res output (malvar = "
+                        "gradient-corrected, best quality); previews "
+                        "always use the parity sampler")
     _add_slider_args(p)
 
     p = sub.add_parser("edit", help="save slider values for a catalog image")
@@ -162,6 +163,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fast", action="store_true")
     p.add_argument("--fast-gamma", action="store_true",
                    help="polynomial gamma (~17%% faster, ±1 LSB)")
+    p.add_argument("--demosaic", default="nearest",
+                   choices=("nearest", "bilinear", "malvar"))
 
     sub.add_parser("bench", help="run the headline benchmark")
     return ap
@@ -418,7 +421,9 @@ def cmd_session(args) -> int:
     else:
         path = args.input
     eng = DevelopEngine.open(path, mode=args.mode, use_pallas=args.fast,
-                             fast_gamma=getattr(args, "fast_gamma", False))
+                             fast_gamma=getattr(args, "fast_gamma", False),
+                             demosaic_method=getattr(args, "demosaic",
+                                                     "nearest"))
     if library is None and args.db is not None:
         # A file path with --db: attach (importing on first successful
         # open) so checkpoint/undo/persistence work. Catalog paths are
