@@ -111,6 +111,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="export files directly instead of the catalog")
     p.add_argument("--ext", default="jpg", choices=("jpg", "png"))
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--fast", action="store_true",
+                   help="batched fused Pallas kernel (±1 LSB)")
     p.add_argument("--fast-gamma", action="store_true",
                    help="polynomial gamma (~17%% faster, ±1 LSB)")
     p.add_argument("--demosaic", default="nearest",
@@ -303,6 +305,7 @@ def cmd_export(args) -> int:
         mode=args.mode, skip_existing=args.resume,
         fast_gamma=getattr(args, "fast_gamma", False),
         demosaic_method=getattr(args, "demosaic", "nearest"),
+        use_pallas=getattr(args, "fast", False),
     )
     print(json.dumps(report.as_dict()))
     return 0 if not report.failed else 1

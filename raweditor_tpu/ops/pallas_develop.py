@@ -109,18 +109,13 @@ def _shift_x(arr, direction: int, edge_col):
     return jnp.where(col == w - 1, edge_col, rolled)
 
 
-def _kernel(scal_ref, pad_hbm, out_ref, scratch, sem, *, block_h: int,
-            cfa_phase=(0, 0), gamma: str = "pow"):
-    i = pl.program_id(0)
-    copy = pltpu.make_async_copy(
-        pad_hbm.at[pl.ds(i * block_h, block_h + 8)], scratch, sem
-    )
-    copy.start()
-    copy.wait()
-
-    s = scal_ref[12]
+def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma):
+    """Shared kernel body: develop one (block_h+8, W) scratch window.
+    ``sc`` maps a folded-scalar index to its value; ``i`` is the block's
+    row-grid index. Returns the (block_h, W) packed-RGBA u32 block."""
+    s = sc(12)
     # Mosaic can't cast u16→f32 directly; widen through int32.
-    v_all = scratch[:].astype(jnp.int32).astype(jnp.float32) * s  # (bh+2, W)
+    v_all = scratch[:].astype(jnp.int32).astype(jnp.float32) * s
     bh = block_h
     w = v_all.shape[1]
     n = bh + 8
@@ -151,24 +146,24 @@ def _kernel(scal_ref, pad_hbm, out_ref, scratch, sem, *, block_h: int,
     b = jnp.where(ye, up, jnp.where(xe, right, center))
 
     # Folded matrix + offset.
-    r2 = scal_ref[0] * r + scal_ref[1] * g + scal_ref[2] * b + scal_ref[9]
-    g2 = scal_ref[3] * r + scal_ref[4] * g + scal_ref[5] * b + scal_ref[10]
-    b2 = scal_ref[6] * r + scal_ref[7] * g + scal_ref[8] * b + scal_ref[11]
+    r2 = sc(0) * r + sc(1) * g + sc(2) * b + sc(9)
+    g2 = sc(3) * r + sc(4) * g + sc(5) * b + sc(10)
+    b2 = sc(6) * r + sc(7) * g + sc(8) * b + sc(11)
     r, g, b = r2, g2, b2
 
     # Highlights/shadows (shared luminance read,
     # reference: gpu/shaders.rs:222-230).
     lum = _LUMA[0] * r + _LUMA[1] * g + _LUMA[2] * b
-    tone = (1.0 + lum * scal_ref[15]) * (1.0 + (1.0 - lum) * scal_ref[16])
-    A = scal_ref[13]
-    B = scal_ref[14]
+    tone = (1.0 + lum * sc(15)) * (1.0 + (1.0 - lum) * sc(16))
+    A = sc(13)
+    B = sc(14)
     r = r * tone * A + B
     g = g * tone * A + B
     b = b * tone * A + B
 
     # Saturation.
     luma = _LUMA[0] * r + _LUMA[1] * g + _LUMA[2] * b
-    sf = scal_ref[17]
+    sf = sc(17)
     r = luma + (r - luma) * sf
     g = luma + (g - luma) * sf
     b = luma + (b - luma) * sf
@@ -176,7 +171,7 @@ def _kernel(scal_ref, pad_hbm, out_ref, scratch, sem, *, block_h: int,
     # Vibrance.
     mx = jnp.maximum(r, jnp.maximum(g, b))
     mn = jnp.minimum(r, jnp.minimum(g, b))
-    vf = 1.0 + scal_ref[18] * (1.0 - (mx - mn))
+    vf = 1.0 + sc(18) * (1.0 - (mx - mn))
     luma = _LUMA[0] * r + _LUMA[1] * g + _LUMA[2] * b
     r = luma + (r - luma) * vf
     g = luma + (g - luma) * vf
@@ -197,9 +192,92 @@ def _kernel(scal_ref, pad_hbm, out_ref, scratch, sem, *, block_h: int,
         # f32→u32 unsupported in Mosaic; go through int32 (values 0..255).
         return jnp.floor(c * 255.0 + 0.5).astype(jnp.int32).astype(jnp.uint32)
 
-    out_ref[:] = (
-        q(r) | (q(g) << 8) | (q(b) << 16) | jnp.uint32(0xFF000000)
+    return q(r) | (q(g) << 8) | (q(b) << 16) | jnp.uint32(0xFF000000)
+
+
+def _kernel(scal_ref, pad_hbm, out_ref, scratch, sem, *, block_h: int,
+            cfa_phase=(0, 0), gamma: str = "pow"):
+    i = pl.program_id(0)
+    copy = pltpu.make_async_copy(
+        pad_hbm.at[pl.ds(i * block_h, block_h + 8)], scratch, sem
     )
+    copy.start()
+    copy.wait()
+    out_ref[:] = _develop_block(lambda k: scal_ref[k], scratch, i,
+                                block_h, cfa_phase, gamma)
+
+
+def _kernel_batched(scal_ref, pad_hbm, out_ref, scratch, sem, *,
+                    block_h: int, cfa_phase=(0, 0), gamma: str = "pow"):
+    n = pl.program_id(0)
+    i = pl.program_id(1)
+    copy = pltpu.make_async_copy(
+        pad_hbm.at[n].at[pl.ds(i * block_h, block_h + 8)], scratch, sem
+    )
+    copy.start()
+    copy.wait()
+    out_ref[0] = _develop_block(lambda k: scal_ref[n, k], scratch, i,
+                                block_h, cfa_phase, gamma)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("matrix_transpose", "block_h", "interpret",
+                              "cfa_phase", "gamma")
+)
+def pallas_batch_develop_rgba(
+    mosaics,
+    params: EditParams,
+    wbs,
+    cam_matrices,
+    white_levels=None,
+    black_levels=None,
+    matrix_transpose: bool = True,
+    block_h: int | None = None,
+    interpret: bool = False,
+    cfa_phase=(0, 0),
+    gamma: str = "pow",
+):
+    """Batched fused-kernel develop: (N, H, W) u16 → (N, H, W) u32.
+
+    The batch dimension becomes the leading grid axis (one DMA + develop
+    per (image, row-block)); per-image folded scalars live as an (N, 24)
+    SMEM table. ``params``/``wbs``/``cam_matrices`` carry a leading (N,)
+    axis (see parallel.batch.pack_params). Same ±1 LSB contract as
+    :func:`pallas_develop_rgba`.
+    """
+    n, h, w = mosaics.shape
+    bh = block_h or _largest_even_divisor(h)
+    if not bh or h % bh or bh % 8:
+        raise ValueError(
+            f"H={h} needs a block height that is a multiple of 8 and "
+            f"divides H (got {bh}); use the XLA path for this shape"
+        )
+    if white_levels is None:
+        white_levels = jnp.full((n,), 4096.0, jnp.float32)
+    if black_levels is None:
+        black_levels = jnp.zeros((n,), jnp.float32)
+    scal = jax.vmap(
+        functools.partial(_fold_scalars, matrix_transpose=matrix_transpose)
+    )(params, wbs, cam_matrices, white_levels, black_levels)
+    padded = jnp.pad(mosaics, ((0, 0), (1, 7), (0, 0)), mode="edge")
+
+    return pl.pallas_call(
+        functools.partial(_kernel_batched, block_h=bh, cfa_phase=cfa_phase,
+                          gamma=gamma),
+        grid=(n, h // bh),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, bh, w), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((bh + 8, w), jnp.uint16),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(scal, padded)
 
 
 @functools.partial(

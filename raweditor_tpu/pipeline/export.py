@@ -185,6 +185,7 @@ def run_batch_export(
     skip_existing: bool = False,
     fast_gamma: bool = False,
     demosaic_method: str = "nearest",
+    use_pallas: bool = False,
 ) -> ExportReport:
     """Develop and encode every job; returns a report with throughput
     and the per-image quarantine list.
@@ -210,6 +211,10 @@ def run_batch_export(
         raise ValueError(
             "demosaic_method other than 'nearest' requires mesh=None"
         )
+    # The batched fused kernel (±1 LSB) is the fastest single-chip
+    # Bayer path; it needs nearest demosaic and no row sharding.
+    pallas_ok = (use_pallas and mesh is None
+                 and demosaic_method == "nearest")
     if mesh is not None:
         n_b = mesh.shape["batch"]
         if batch_size % n_b:
@@ -299,11 +304,27 @@ def run_batch_export(
                                  else "nearest"),
             )
         elif mesh is None:
-            out = batch_develop_rgba(
-                mosaics, params, wbs, cms, whites, blacks,
-                matrix_transpose=matrix_transpose, cfa_phase=phase,
-                transfer=transfer, demosaic_method=demosaic_method,
-            )
+            out = None
+            if pallas_ok:
+                from raweditor_tpu.ops.pallas_develop import (
+                    pallas_batch_develop_rgba,
+                )
+
+                try:
+                    out = pallas_batch_develop_rgba(
+                        mosaics, params, wbs, cms, whites, blacks,
+                        matrix_transpose=matrix_transpose,
+                        cfa_phase=phase,
+                        gamma="poly" if fast_gamma else "pow",
+                    )
+                except Exception:
+                    out = None  # unsupported shape/backend → XLA path
+            if out is None:
+                out = batch_develop_rgba(
+                    mosaics, params, wbs, cms, whites, blacks,
+                    matrix_transpose=matrix_transpose, cfa_phase=phase,
+                    transfer=transfer, demosaic_method=demosaic_method,
+                )
         else:
             staged = jax.device_put(mosaics, batch_sharding(mesh))
             out = batch_develop_sharded(

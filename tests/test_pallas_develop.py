@@ -114,3 +114,74 @@ def test_fast_gamma_dense_ramp():
     fast = pallas_develop_rgba(ramp, EditParams(), WB, IDENTITY,
                                interpret=True, gamma="poly")
     assert_1lsb(fast, exact, frac_exact=0.95)
+
+
+class TestBatchedKernel:
+    """pallas_batch_develop_rgba: batch grid axis + (N, 24) SMEM scalar
+    table must reproduce the single-image kernel exactly."""
+
+    def _batch(self, rng, n=3, h=16, w=32):
+        from raweditor_tpu.parallel.batch import pack_params
+
+        mosaics = rng.integers(0, 4096, size=(n, h, w), dtype=np.uint16)
+        plist = [EditParams(exposure=0.2 * i, contrast=5.0 * i,
+                            saturation=10.0, shadows=0.1 * i)
+                 for i in range(n)]
+        wbs = np.tile(WB, (n, 1))
+        cms = np.tile(IDENTITY, (n, 1, 1))
+        return mosaics, plist, pack_params(plist), wbs, cms
+
+    def test_matches_single_image_kernel(self, rng):
+        from raweditor_tpu.ops.pallas_develop import (
+            pallas_batch_develop_rgba,
+        )
+
+        mosaics, plist, pp, wbs, cms = self._batch(rng)
+        out = np.asarray(pallas_batch_develop_rgba(
+            mosaics, pp, wbs, cms, interpret=True))
+        for i in range(len(plist)):
+            want = np.asarray(pallas_develop_rgba(
+                mosaics[i], plist[i], wbs[i], cms[i], interpret=True))
+            assert (out[i] == want).all(), i
+
+    def test_poly_gamma_and_phase(self, rng):
+        from raweditor_tpu.ops.pallas_develop import (
+            pallas_batch_develop_rgba,
+        )
+
+        mosaics, plist, pp, wbs, cms = self._batch(rng)
+        out = np.asarray(pallas_batch_develop_rgba(
+            mosaics, pp, wbs, cms, interpret=True, gamma="poly",
+            cfa_phase=(0, 1)))
+        for i in range(len(plist)):
+            want = np.asarray(pallas_develop_rgba(
+                mosaics[i], plist[i], wbs[i], cms[i], interpret=True,
+                gamma="poly", cfa_phase=(0, 1)))
+            assert (out[i] == want).all(), i
+
+    def test_per_image_levels(self, rng):
+        from raweditor_tpu.ops.pallas_develop import (
+            pallas_batch_develop_rgba,
+        )
+
+        mosaics, plist, pp, wbs, cms = self._batch(rng)
+        whites = np.array([4095.0, 4000.0, 16383.0], np.float32)
+        blacks = np.array([0.0, 128.0, 512.0], np.float32)
+        out = np.asarray(pallas_batch_develop_rgba(
+            mosaics, pp, wbs, cms, whites, blacks, interpret=True))
+        for i in range(len(plist)):
+            want = np.asarray(pallas_develop_rgba(
+                mosaics[i], plist[i], wbs[i], cms[i],
+                white_level=whites[i], black_level=blacks[i],
+                interpret=True))
+            assert (out[i] == want).all(), i
+
+    def test_rejects_bad_height(self, rng):
+        from raweditor_tpu.ops.pallas_develop import (
+            pallas_batch_develop_rgba,
+        )
+
+        mosaics, plist, pp, wbs, cms = self._batch(rng, h=12)
+        with pytest.raises(ValueError, match="block height"):
+            pallas_batch_develop_rgba(mosaics, pp, wbs, cms,
+                                      interpret=True)

@@ -288,3 +288,32 @@ def test_auto_orient_export(tmp_path, rng):
     a = np.asarray(Image.open(out).convert("RGB"))
     b = np.asarray(Image.open(out2).convert("RGB"))
     assert (b == np.rot90(a, k=-1)).all()
+
+
+def test_export_use_pallas_falls_back_on_cpu(tmp_path, rng):
+    """use_pallas on a backend without Mosaic support must fall back to
+    the XLA path and still produce byte-identical outputs."""
+    from raweditor_tpu.params import EditParams
+    from raweditor_tpu.pipeline.export import ExportJob, run_batch_export
+    from raweditor_tpu.raw.synth import write_synthetic_raw
+
+    raws = []
+    for i in range(2):
+        path = tmp_path / f"p{i}.dng"
+        mosaic = rng.integers(0, 4096, size=(16, 24), dtype=np.uint16)
+        write_synthetic_raw(path, mosaic)
+        raws.append(path)
+
+    jobs_a = [ExportJob(raw_path=str(p), params=EditParams(exposure=0.3),
+                        out_path=str(tmp_path / f"a{i}.png"))
+              for i, p in enumerate(raws)]
+    jobs_b = [ExportJob(raw_path=str(p), params=EditParams(exposure=0.3),
+                        out_path=str(tmp_path / f"b{i}.png"))
+              for i, p in enumerate(raws)]
+    rep_a = run_batch_export(jobs_a, batch_size=2, use_pallas=True)
+    rep_b = run_batch_export(jobs_b, batch_size=2)
+    assert rep_a.succeeded == 2 and rep_b.succeeded == 2
+    for i in range(2):
+        a = (tmp_path / f"a{i}.png").read_bytes()
+        b = (tmp_path / f"b{i}.png").read_bytes()
+        assert a == b
