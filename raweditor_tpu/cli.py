@@ -96,6 +96,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="demosaic kernel for full-res output (malvar = "
                         "gradient-corrected, best quality); previews "
                         "always use the parity sampler")
+    p.add_argument("--transfer", default="gamma22",
+                   choices=("gamma22", "srgb"),
+                   help="output transfer curve (srgb = true IEC "
+                        "61966-2-1 encode, beyond the reference)")
     _add_slider_args(p)
 
     p = sub.add_parser("edit", help="save slider values for a catalog image")
@@ -117,6 +121,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="polynomial gamma (~17%% faster, ±1 LSB)")
     p.add_argument("--demosaic", default="nearest",
                    choices=("nearest", "bilinear", "malvar"))
+    p.add_argument("--transfer", default="gamma22",
+                   choices=("gamma22", "srgb"))
     p.add_argument("--decode-threads", type=int, default=4)
     p.add_argument("--mesh-rows", type=int, default=0,
                    help="shard each image's rows over this many chips "
@@ -238,6 +244,7 @@ def cmd_develop(args) -> int:
                              fast_gamma=getattr(args, "fast_gamma", False),
                              demosaic_method=getattr(args, "demosaic",
                                                      "nearest"),
+                             transfer=getattr(args, "transfer", "gamma22"),
                              auto_orient=getattr(args, "auto_orient", False))
     if args.preview:
         from PIL import Image
@@ -306,6 +313,8 @@ def cmd_export(args) -> int:
         fast_gamma=getattr(args, "fast_gamma", False),
         demosaic_method=getattr(args, "demosaic", "nearest"),
         use_pallas=getattr(args, "fast", False),
+        transfer=(args.transfer if getattr(args, "transfer", "gamma22")
+                  != "gamma22" else None),
     )
     print(json.dumps(report.as_dict()))
     return 0 if not report.failed else 1

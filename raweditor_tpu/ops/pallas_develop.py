@@ -177,7 +177,7 @@ def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma):
     g = luma + (g - luma) * vf
     b = luma + (b - luma) * vf
 
-    # Gamma 1/2.2, clamp, quantize, pack RGBA.
+    # Transfer curve, clamp, quantize, pack RGBA.
     def q(c):
         c = jnp.maximum(c, 0.0)
         if gamma == "poly":
@@ -186,6 +186,12 @@ def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma):
             for k in _GAMMA_POLY[1:]:
                 acc = acc * sq + k
             c = acc
+        elif gamma == "srgb":
+            # IEC 61966-2-1 piecewise encode (matches color.srgb_encode).
+            c = jnp.minimum(c, 1.0)
+            lo = c * _F(12.92)
+            hi = _F(1.055) * jnp.power(c, _F(1.0 / 2.4)) - _F(0.055)
+            c = jnp.where(c <= _F(0.0031308), lo, hi)
         else:
             c = jnp.power(c, _F(1.0 / 2.2))
         c = jnp.minimum(c, 1.0)

@@ -296,7 +296,7 @@ class DevelopEngine:
                                  else "nearest"), rgba=True,
             )
         if (self.use_pallas and self.demosaic_method == "nearest"
-                and self.transfer in ("gamma22", "gamma22_poly")):
+                and self.transfer in ("gamma22", "gamma22_poly", "srgb")):
             from raweditor_tpu.ops.pallas_develop import pallas_develop_rgba
 
             try:
@@ -306,8 +306,8 @@ class DevelopEngine:
                     black_level=self.black_level,
                     matrix_transpose=self.matrix_transpose,
                     cfa_phase=self.cfa_phase,
-                    gamma=("poly" if self.transfer == "gamma22_poly"
-                           else "pow"),
+                    gamma={"gamma22_poly": "poly", "srgb": "srgb"}.get(
+                        self.transfer, "pow"),
                 )
             except ValueError:
                 pass  # unsupported shape → XLA path

@@ -186,6 +186,7 @@ def run_batch_export(
     fast_gamma: bool = False,
     demosaic_method: str = "nearest",
     use_pallas: bool = False,
+    transfer: str = None,
 ) -> ExportReport:
     """Develop and encode every job; returns a report with throughput
     and the per-image quarantine list.
@@ -204,7 +205,8 @@ def run_batch_export(
         matrix_transpose = mode == "parity"
     # Polynomial 1/2.2 gamma: ~17% faster develop, within 1 LSB of the
     # exact pow after u8 quantization (see color.gamma22_poly_encode).
-    transfer = "gamma22_poly" if fast_gamma else "gamma22"
+    if transfer is None:
+        transfer = "gamma22_poly" if fast_gamma else "gamma22"
     if mesh is not None and demosaic_method != "nearest":
         # Row-sharded develop only carries the 1-row halo the nearest
         # stencil needs; the 5x5 kernels would read across shard edges.
@@ -215,6 +217,8 @@ def run_batch_export(
     # Bayer path; it needs nearest demosaic and no row sharding.
     pallas_ok = (use_pallas and mesh is None
                  and demosaic_method == "nearest")
+    pallas_gamma = {"gamma22_poly": "poly", "srgb": "srgb"}.get(
+        transfer, "pow")
     if mesh is not None:
         n_b = mesh.shape["batch"]
         if batch_size % n_b:
@@ -315,7 +319,7 @@ def run_batch_export(
                         mosaics, params, wbs, cms, whites, blacks,
                         matrix_transpose=matrix_transpose,
                         cfa_phase=phase,
-                        gamma="poly" if fast_gamma else "pow",
+                        gamma=pallas_gamma,
                     )
                 except Exception:
                     out = None  # unsupported shape/backend → XLA path

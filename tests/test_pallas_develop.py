@@ -185,3 +185,13 @@ class TestBatchedKernel:
         with pytest.raises(ValueError, match="block height"):
             pallas_batch_develop_rgba(mosaics, pp, wbs, cms,
                                       interpret=True)
+
+
+def test_srgb_transfer_matches_xla(rng):
+    """gamma='srgb' in the kernel matches the XLA srgb transfer within
+    the kernel's usual ±1 LSB constant-folding budget."""
+    mosaic = rng.integers(0, 4096, size=(16, 32), dtype=np.uint16)
+    want = develop_rgba(mosaic, FULL, WB, IDENTITY, transfer="srgb")
+    got = pallas_develop_rgba(mosaic, FULL, WB, IDENTITY,
+                              interpret=True, gamma="srgb")
+    assert_1lsb(got, want)
