@@ -109,10 +109,15 @@ def _shift_x(arr, direction: int, edge_col):
     return jnp.where(col == w - 1, edge_col, rolled)
 
 
-def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma):
+def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma,
+                   pattern=None):
     """Shared kernel body: develop one (block_h+8, W) scratch window.
     ``sc`` maps a folded-scalar index to its value; ``i`` is the block's
-    row-grid index. Returns the (block_h, W) packed-RGBA u32 block."""
+    row-grid index; ``pattern`` switches the demosaic from the Bayer
+    parity stencil to a generic repeating-CFA nearest-site table (all
+    X-Trans nearest offsets are within ±1, so the same five taps and
+    1-row halo serve both). Returns the (block_h, W) packed-RGBA u32
+    block."""
     s = sc(12)
     # Mosaic can't cast u16→f32 directly; widen through int32.
     v_all = scratch[:].astype(jnp.int32).astype(jnp.float32) * s
@@ -129,21 +134,56 @@ def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma):
     down = pltpu.roll(v_all, n - 2, axis=0)[0:bh, :]
     left = _shift_x(center, 1, center[:, 0:1])
     right = _shift_x(center, -1, center[:, w - 1 : w])
-    downleft = _shift_x(down, 1, down[:, 0:1])
 
-    # CFA parity in global coordinates (the y+1 offset is folded into
-    # the site table, see ops/demosaic.py).
-    row0 = i * bh + cfa_phase[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 0) + row0
-    cols = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 1) + cfa_phase[1]
-    ye = (rows % 2) == 0
-    xe = (cols % 2) == 0
+    if pattern is None:
+        downleft = _shift_x(down, 1, down[:, 0:1])
+        # CFA parity in global coordinates (the y+1 offset is folded
+        # into the site table, see ops/demosaic.py).
+        row0 = i * bh + cfa_phase[0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 0) + row0
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 1) + cfa_phase[1]
+        ye = (rows % 2) == 0
+        xe = (cols % 2) == 0
 
-    r = jnp.where(ye, jnp.where(xe, center, left),
-                  jnp.where(xe, down, downleft))
-    g = jnp.where(ye, jnp.where(xe, right, center),
-                  jnp.where(xe, center, left))
-    b = jnp.where(ye, up, jnp.where(xe, right, center))
+        r = jnp.where(ye, jnp.where(xe, center, left),
+                      jnp.where(xe, down, downleft))
+        g = jnp.where(ye, jnp.where(xe, right, center),
+                      jnp.where(xe, center, left))
+        b = jnp.where(ye, up, jnp.where(xe, right, center))
+    else:
+        from raweditor_tpu.ops.cfa_generic import nearest_offsets
+
+        side = int(len(pattern) ** 0.5)
+        table = nearest_offsets(pattern, side, side)
+        taps = {(0, 0): center, (0, -1): left, (0, 1): right,
+                (-1, 0): up, (1, 0): down}
+        rows = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 0) + i * bh
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 1)
+        ry = rows % side
+        cx = cols % side
+        planes = []
+        for chan in range(3):
+            by_offset = {}
+            for py in range(side):
+                for px in range(side):
+                    by_offset.setdefault(
+                        table[(py, px, chan)], []
+                    ).append((py, px))
+            acc = taps[(0, 0)]
+            for off, cells in by_offset.items():
+                if off == (0, 0):
+                    continue
+                if off not in taps:
+                    raise ValueError(
+                        f"pattern needs offset {off}; only ±1 supported"
+                    )
+                mask = None
+                for py, px in cells:
+                    m = (ry == py) & (cx == px)
+                    mask = m if mask is None else (mask | m)
+                acc = jnp.where(mask, taps[off], acc)
+            planes.append(acc)
+        r, g, b = planes
 
     # Folded matrix + offset.
     r2 = sc(0) * r + sc(1) * g + sc(2) * b + sc(9)
@@ -202,7 +242,7 @@ def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma):
 
 
 def _kernel(scal_ref, pad_hbm, out_ref, scratch, sem, *, block_h: int,
-            cfa_phase=(0, 0), gamma: str = "pow"):
+            cfa_phase=(0, 0), gamma: str = "pow", pattern=None):
     i = pl.program_id(0)
     copy = pltpu.make_async_copy(
         pad_hbm.at[pl.ds(i * block_h, block_h + 8)], scratch, sem
@@ -210,11 +250,12 @@ def _kernel(scal_ref, pad_hbm, out_ref, scratch, sem, *, block_h: int,
     copy.start()
     copy.wait()
     out_ref[:] = _develop_block(lambda k: scal_ref[k], scratch, i,
-                                block_h, cfa_phase, gamma)
+                                block_h, cfa_phase, gamma, pattern)
 
 
 def _kernel_batched(scal_ref, pad_hbm, out_ref, scratch, sem, *,
-                    block_h: int, cfa_phase=(0, 0), gamma: str = "pow"):
+                    block_h: int, cfa_phase=(0, 0), gamma: str = "pow",
+                    pattern=None):
     n = pl.program_id(0)
     i = pl.program_id(1)
     copy = pltpu.make_async_copy(
@@ -223,12 +264,12 @@ def _kernel_batched(scal_ref, pad_hbm, out_ref, scratch, sem, *,
     copy.start()
     copy.wait()
     out_ref[0] = _develop_block(lambda k: scal_ref[n, k], scratch, i,
-                                block_h, cfa_phase, gamma)
+                                block_h, cfa_phase, gamma, pattern)
 
 
 @functools.partial(
     jax.jit, static_argnames=("matrix_transpose", "block_h", "interpret",
-                              "cfa_phase", "gamma")
+                              "cfa_phase", "gamma", "pattern")
 )
 def pallas_batch_develop_rgba(
     mosaics,
@@ -242,6 +283,7 @@ def pallas_batch_develop_rgba(
     interpret: bool = False,
     cfa_phase=(0, 0),
     gamma: str = "pow",
+    pattern: str = None,
 ):
     """Batched fused-kernel develop: (N, H, W) u16 → (N, H, W) u32.
 
@@ -258,6 +300,15 @@ def pallas_batch_develop_rgba(
             f"H={h} needs a block height that is a multiple of 8 and "
             f"divides H (got {bh}); use the XLA path for this shape"
         )
+    wp = -(-w // 128) * 128
+    if wp != w:  # see pallas_develop_rgba: lane alignment via edge pad
+        out = pallas_batch_develop_rgba(
+            jnp.pad(mosaics, ((0, 0), (0, 0), (0, wp - w)), mode="edge"),
+            params, wbs, cam_matrices, white_levels, black_levels,
+            matrix_transpose, block_h, interpret, cfa_phase, gamma,
+            pattern,
+        )
+        return out[:, :, :w]
     if white_levels is None:
         white_levels = jnp.full((n,), 4096.0, jnp.float32)
     if black_levels is None:
@@ -269,7 +320,7 @@ def pallas_batch_develop_rgba(
 
     return pl.pallas_call(
         functools.partial(_kernel_batched, block_h=bh, cfa_phase=cfa_phase,
-                          gamma=gamma),
+                          gamma=gamma, pattern=pattern),
         grid=(n, h // bh),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -288,7 +339,7 @@ def pallas_batch_develop_rgba(
 
 @functools.partial(
     jax.jit, static_argnames=("matrix_transpose", "block_h", "interpret",
-                              "cfa_phase", "gamma")
+                              "cfa_phase", "gamma", "pattern")
 )
 def pallas_develop_rgba(
     mosaic,
@@ -302,8 +353,11 @@ def pallas_develop_rgba(
     interpret: bool = False,
     cfa_phase=(0, 0),
     gamma: str = "pow",
+    pattern: str = None,
 ):
-    """Fused-kernel full develop: (H, W) u16 → (H, W) u32 packed RGBA."""
+    """Fused-kernel full develop: (H, W) u16 → (H, W) u32 packed RGBA.
+    ``pattern`` switches to the generic repeating-CFA site table
+    (X-Trans et al; nearest offsets must be within ±1)."""
     h, w = mosaic.shape
     bh = block_h or _largest_even_divisor(h)
     if not bh or h % bh or bh % 8:
@@ -311,6 +365,18 @@ def pallas_develop_rgba(
             f"H={h} needs a block height that is a multiple of 8 and "
             f"divides H (got {bh}); use the XLA path for this shape"
         )
+    # Mosaic requires lane-dimension slices to be 128-aligned; widths
+    # that aren't are edge-padded up front (the clone column makes the
+    # lane rolls reproduce clamp-to-edge exactly) and sliced after.
+    wp = -(-w // 128) * 128
+    if wp != w:
+        out = pallas_develop_rgba(
+            jnp.pad(mosaic, ((0, 0), (0, wp - w)), mode="edge"),
+            params, wb, cam_matrix, white_level, black_level,
+            matrix_transpose, block_h, interpret, cfa_phase, gamma,
+            pattern,
+        )
+        return out[:, :w]
     scal = _fold_scalars(params, wb, cam_matrix, white_level, black_level,
                          matrix_transpose)
     # 1 halo row above; 7 extra rows below keep every DMA window and the
@@ -319,7 +385,7 @@ def pallas_develop_rgba(
 
     return pl.pallas_call(
         functools.partial(_kernel, block_h=bh, cfa_phase=cfa_phase,
-                          gamma=gamma),
+                          gamma=gamma, pattern=pattern),
         grid=(h // bh,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -285,6 +285,25 @@ class DevelopEngine:
         if self.xtrans_pattern is not None:
             from raweditor_tpu.ops.develop import develop_xtrans
 
+            if (self.use_pallas and self.demosaic_method == "nearest"
+                    and self.transfer in ("gamma22", "gamma22_poly",
+                                          "srgb")):
+                from raweditor_tpu.ops.pallas_develop import (
+                    pallas_develop_rgba,
+                )
+
+                try:
+                    return pallas_develop_rgba(
+                        self.mosaic, params, self.wb, self.cam_matrix,
+                        white_level=self.white_level,
+                        black_level=self.black_level,
+                        matrix_transpose=self.matrix_transpose,
+                        pattern=self.xtrans_pattern,
+                        gamma={"gamma22_poly": "poly",
+                               "srgb": "srgb"}.get(self.transfer, "pow"),
+                    )
+                except ValueError:
+                    pass  # unsupported shape → XLA path
             return develop_xtrans(
                 self.mosaic, params, self.wb, self.cam_matrix,
                 self.white_level, self.black_level,

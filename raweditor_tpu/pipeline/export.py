@@ -300,13 +300,29 @@ def run_batch_export(
                 batch_develop_xtrans_rgba,
             )
 
-            out = batch_develop_xtrans_rgba(
-                mosaics, params, wbs, cms, whites, blacks,
-                pattern=phase, matrix_transpose=matrix_transpose,
-                transfer=transfer,
-                demosaic_method=("smooth" if demosaic_method != "nearest"
-                                 else "nearest"),
-            )
+            out = None
+            if pallas_ok:
+                from raweditor_tpu.ops.pallas_develop import (
+                    pallas_batch_develop_rgba,
+                )
+
+                try:
+                    out = pallas_batch_develop_rgba(
+                        mosaics, params, wbs, cms, whites, blacks,
+                        matrix_transpose=matrix_transpose,
+                        pattern=phase, gamma=pallas_gamma,
+                    )
+                except Exception:
+                    out = None  # unsupported shape/backend → XLA path
+            if out is None:
+                out = batch_develop_xtrans_rgba(
+                    mosaics, params, wbs, cms, whites, blacks,
+                    pattern=phase, matrix_transpose=matrix_transpose,
+                    transfer=transfer,
+                    demosaic_method=("smooth"
+                                     if demosaic_method != "nearest"
+                                     else "nearest"),
+                )
         elif mesh is None:
             out = None
             if pallas_ok:

@@ -195,3 +195,52 @@ def test_srgb_transfer_matches_xla(rng):
     got = pallas_develop_rgba(mosaic, FULL, WB, IDENTITY,
                               interpret=True, gamma="srgb")
     assert_1lsb(got, want)
+
+
+def test_xtrans_pattern_matches_xla(rng):
+    """pattern=XTRANS in the kernel matches the XLA develop_xtrans
+    nearest path within the ±1 LSB folding budget."""
+    from raweditor_tpu.ops.cfa_generic import XTRANS_PATTERN
+    from raweditor_tpu.ops.develop import develop_xtrans
+
+    mosaic = rng.integers(0, 4096, size=(24, 36), dtype=np.uint16)
+    want = develop_xtrans(mosaic, FULL, WB, IDENTITY, rgba=True)
+    got = pallas_develop_rgba(mosaic, FULL, WB, IDENTITY,
+                              matrix_transpose=False,
+                              interpret=True, pattern=XTRANS_PATTERN)
+    assert_1lsb(got, want)
+
+
+def test_xtrans_pattern_batched(rng):
+    from raweditor_tpu.ops.cfa_generic import XTRANS_PATTERN
+    from raweditor_tpu.ops.pallas_develop import pallas_batch_develop_rgba
+    from raweditor_tpu.parallel.batch import pack_params
+
+    n = 2
+    mosaics = rng.integers(0, 4096, size=(n, 24, 36), dtype=np.uint16)
+    plist = [EditParams(exposure=0.2 * i) for i in range(n)]
+    wbs = np.tile(WB, (n, 1))
+    cms = np.tile(IDENTITY, (n, 1, 1))
+    out = np.asarray(pallas_batch_develop_rgba(
+        mosaics, pack_params(plist), wbs, cms, matrix_transpose=False,
+        interpret=True, pattern=XTRANS_PATTERN))
+    for i in range(n):
+        want = np.asarray(pallas_develop_rgba(
+            mosaics[i], plist[i], wbs[i], cms[i], matrix_transpose=False,
+            interpret=True, pattern=XTRANS_PATTERN))
+        assert (out[i] == want).all(), i
+
+
+def test_unaligned_width_edge_pad(rng):
+    """Widths that aren't 128-aligned are edge-padded and sliced; the
+    result must equal the same image embedded in an aligned canvas."""
+    mosaic = rng.integers(0, 4096, size=(16, 30), dtype=np.uint16)
+    got = np.asarray(pallas_develop_rgba(mosaic, FULL, WB, IDENTITY,
+                                         interpret=True))
+    aligned = np.pad(mosaic, ((0, 0), (0, 2)), mode="edge")
+    want = np.asarray(pallas_develop_rgba(aligned, FULL, WB, IDENTITY,
+                                          interpret=True))[:, :30]
+    assert (got == want).all()
+    # and within 1 LSB of the XLA reference
+    xla = develop_rgba(mosaic, FULL, WB, IDENTITY)
+    assert_1lsb(got, xla)
