@@ -160,6 +160,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("input", help="RAW file path or catalog image id")
     p.add_argument("--dry-run", action="store_true",
                    help="print the suggestion without saving")
+    p.add_argument("--levels", action="store_true",
+                   help="also suggest auto-levels (blacks/whites "
+                        "percentile stretch)")
 
     p = sub.add_parser(
         "session",
@@ -410,7 +413,8 @@ def cmd_auto(args) -> int:
     else:
         path, base = args.input, EditParams()
     eng = DevelopEngine.open(path)
-    suggestion = suggest_auto(eng, base)
+    suggestion = suggest_auto(eng, base,
+                              include_levels=getattr(args, "levels", False))
     if image_id is not None and not args.dry_run:
         with _open_library(args) as lib:
             lib.save_edit_params(image_id, suggestion)

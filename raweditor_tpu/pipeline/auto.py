@@ -93,11 +93,44 @@ def compose_wb(old: float, residual: float) -> float:
     return float(np.clip(0.5 * (from_r + from_b), -1.0, 1.0))
 
 
-def suggest_auto(engine, params: EditParams = None) -> EditParams:
+def suggest_levels(engine, params: EditParams = None,
+                   lo_pct: float = 0.5, hi_pct: float = 99.5,
+                   headroom: float = 0.02):
+    """Auto-levels: (blacks, whites) that stretch the current render's
+    luminance percentiles to (≈0, ≈1), with a little headroom so the
+    tails don't hard-clip. The levels step runs in the linear domain
+    ((c - blacks)/(whites - blacks), reference: gpu/shaders.rs:239), so
+    the measured display-space percentiles are linearized first, then
+    composed with the current blacks/whites (the render already has
+    them applied) — re-running on an already-stretched image is a
+    ~no-op."""
+    params = params or EditParams()
+    hist = engine.histogram(params)
+    luma_hist = (0.2126 * hist[0] + 0.7152 * hist[1] + 0.0722 * hist[2])
+    to_lin = (_srgb_to_lin if engine.transfer == "srgb"
+              else lambda v: v ** 2.2)
+    lo = to_lin(_percentile_from_hist(luma_hist, lo_pct))
+    hi = to_lin(_percentile_from_hist(luma_hist, hi_pct))
+    if hi - lo < 1e-3:  # flat/degenerate render: leave levels alone
+        return float(params.blacks), float(params.whites)
+    lo = max(lo - headroom, 0.0)
+    hi = min(hi + headroom, 1.0)
+    old_b = float(params.blacks)
+    old_w = float(params.whites)
+    span = old_w - old_b
+    new_b = old_b + lo * span
+    new_w = old_b + hi * span
+    return (float(np.clip(new_b, -1.0, 1.0)),
+            float(np.clip(new_w, 0.2, 2.0)))
+
+
+def suggest_auto(engine, params: EditParams = None,
+                 include_levels: bool = False) -> EditParams:
     """Combined suggestion: residual WB composed onto the current
-    params, then an exposure delta measured with the WB applied.
-    Idempotent up to measurement noise: a balanced render yields ~zero
-    residuals, so re-running `auto` doesn't undo a previous run."""
+    params, then an exposure delta measured with the WB applied, and
+    optionally auto-levels measured last. Idempotent up to measurement
+    noise: a balanced render yields ~zero residuals, so re-running
+    `auto` doesn't undo a previous run."""
     params = params or EditParams()
     d_temp, d_tint = suggest_white_balance(engine, params)
     with_wb = params.replace(
@@ -105,4 +138,8 @@ def suggest_auto(engine, params: EditParams = None) -> EditParams:
         tint=compose_wb(float(params.tint), d_tint),
     )
     stops = suggest_exposure(engine, with_wb)
-    return with_wb.replace(exposure=float(params.exposure) + stops)
+    out = with_wb.replace(exposure=float(params.exposure) + stops)
+    if include_levels:
+        blacks, whites = suggest_levels(engine, out)
+        out = out.replace(blacks=blacks, whites=whites)
+    return out

@@ -97,3 +97,53 @@ def test_auto_is_idempotent(tmp_path, rng):
     # Second pass keeps the correction (small residual drift allowed).
     assert abs(float(p2.temperature) - float(p1.temperature)) < 0.15
     assert abs(float(p2.exposure) - float(p1.exposure)) < 0.5
+
+
+class TestSuggestLevels:
+    def _engine(self, tmp_path, mosaic):
+        from raweditor_tpu.pipeline.engine import DevelopEngine
+        from raweditor_tpu.raw.synth import write_synthetic_raw
+
+        path = tmp_path / "lv.dng"
+        write_synthetic_raw(path, mosaic, wb_neutral=(1.0, 1.0, 1.0))
+        return DevelopEngine.open(str(path))
+
+    def test_washed_out_image_stretches(self, tmp_path, rng):
+        """A low-contrast mid-gray scene gets blacks raised and whites
+        lowered (stretch), and re-running on the stretched params is a
+        near no-op."""
+        from raweditor_tpu.pipeline.auto import suggest_levels
+        from raweditor_tpu.params import EditParams
+
+        # Linear values ~[0.25, 0.55] of full scale.
+        mosaic = rng.integers(1024, 2250, size=(48, 64),
+                              dtype=np.uint16)
+        eng = self._engine(tmp_path, mosaic)
+        blacks, whites = suggest_levels(eng, EditParams())
+        assert blacks > 0.1
+        assert whites < 0.8
+        stretched = EditParams(blacks=blacks, whites=whites)
+        b2, w2 = suggest_levels(eng, stretched)
+        assert abs(b2 - blacks) < 0.1 * (whites - blacks) + 0.05
+        assert abs(w2 - whites) < 0.1 * (whites - blacks) + 0.05
+
+    def test_degenerate_render_is_noop(self, tmp_path):
+        from raweditor_tpu.pipeline.auto import suggest_levels
+        from raweditor_tpu.params import EditParams
+
+        mosaic = np.zeros((48, 64), np.uint16)
+        eng = self._engine(tmp_path, mosaic)
+        p = EditParams(blacks=0.1, whites=0.9)
+        assert suggest_levels(eng, p) == (0.1, 0.9)
+
+    def test_suggest_auto_includes_levels(self, tmp_path, rng):
+        from raweditor_tpu.pipeline.auto import suggest_auto
+        from raweditor_tpu.params import EditParams
+
+        mosaic = rng.integers(1024, 2250, size=(48, 64),
+                              dtype=np.uint16)
+        eng = self._engine(tmp_path, mosaic)
+        no_lv = suggest_auto(eng, EditParams())
+        with_lv = suggest_auto(eng, EditParams(), include_levels=True)
+        assert float(no_lv.blacks) == 0.0 and float(no_lv.whites) == 1.0
+        assert float(with_lv.blacks) != 0.0 or float(with_lv.whites) != 1.0
