@@ -114,6 +114,18 @@ class Library:
             "CREATE INDEX IF NOT EXISTS idx_images_cache_status "
             "ON images(cache_status)"
         )
+        # Beyond the reference: ratings/flags live in a side table so
+        # the images/edits schema stays byte-compatible with the
+        # reference app's database.
+        c.execute(
+            """CREATE TABLE IF NOT EXISTS ratings (
+                image_id    INTEGER PRIMARY KEY,
+                rating      INTEGER NOT NULL DEFAULT 0,
+                flag        TEXT NOT NULL DEFAULT 'none',
+                FOREIGN KEY(image_id) REFERENCES images(id)
+                    ON DELETE CASCADE
+            )"""
+        )
         c.commit()
 
     # -- image CRUD ------------------------------------------------------
@@ -311,3 +323,47 @@ class Library:
         """Reset to unedited (reference: state/library.rs:364-370)."""
         self.conn.execute("DELETE FROM edits WHERE image_id = ?", (image_id,))
         self.conn.commit()
+
+    # -- ratings / flags (beyond the reference) ---------------------------
+    FLAGS = ("none", "pick", "reject")
+
+    def set_rating(self, image_id: int, rating: int = None,
+                   flag: str = None) -> None:
+        """Upsert a 0–5 star rating and/or a pick/reject flag."""
+        if rating is not None and not 0 <= int(rating) <= 5:
+            raise ValueError("rating must be 0..5")
+        if flag is not None and flag not in self.FLAGS:
+            raise ValueError(f"flag must be one of {self.FLAGS}")
+        if self.get_image(image_id) is None:
+            raise ValueError(f"no image {image_id}")
+        cur = self.get_rating(image_id)
+        new_rating = int(rating) if rating is not None else cur[0]
+        new_flag = flag if flag is not None else cur[1]
+        self.conn.execute(
+            "INSERT INTO ratings (image_id, rating, flag) VALUES (?,?,?) "
+            "ON CONFLICT(image_id) DO UPDATE SET rating=?, flag=?",
+            (image_id, new_rating, new_flag, new_rating, new_flag),
+        )
+        self.conn.commit()
+
+    def get_rating(self, image_id: int):
+        """(rating, flag); (0, 'none') when never rated."""
+        row = self.conn.execute(
+            "SELECT rating, flag FROM ratings WHERE image_id = ?",
+            (image_id,),
+        ).fetchone()
+        return (row[0], row[1]) if row else (0, "none")
+
+    def filter_images(self, min_rating: int = 0,
+                      flag: str = None) -> List[Image]:
+        """Catalog listing filtered by rating/flag (unrated images count
+        as rating 0, flag 'none')."""
+        rows = self.conn.execute(
+            f"SELECT {_IMAGE_COLS} FROM images "
+            "LEFT JOIN ratings ON ratings.image_id = images.id "
+            "WHERE COALESCE(ratings.rating, 0) >= ? "
+            "AND (? IS NULL OR COALESCE(ratings.flag, 'none') = ?) "
+            "ORDER BY imported_at DESC",
+            (min_rating, flag, flag),
+        ).fetchall()
+        return self._rows_to_images(rows)

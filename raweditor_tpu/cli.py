@@ -68,7 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-tiers", action="store_true",
                    help="skip preview tier generation")
 
-    sub.add_parser("list", help="list catalog images")
+    p = sub.add_parser("list", help="list catalog images")
+    p.add_argument("--min-rating", type=int, default=0)
+    p.add_argument("--flag", choices=("pick", "reject", "none"),
+                   default=None)
 
     p = sub.add_parser("info", help="print decoded RAW metadata")
     p.add_argument("input")
@@ -101,6 +104,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output transfer curve (srgb = true IEC "
                         "61966-2-1 encode, beyond the reference)")
     _add_slider_args(p)
+
+    p = sub.add_parser("rate", help="star rating / pick-reject flag")
+    p.add_argument("image_id", type=int)
+    p.add_argument("--stars", type=int, default=None, help="0..5")
+    p.add_argument("--flag", choices=("pick", "reject", "none"),
+                   default=None)
 
     p = sub.add_parser("edit", help="save slider values for a catalog image")
     p.add_argument("image_id", type=int)
@@ -196,11 +205,39 @@ def cmd_import(args) -> int:
 def cmd_list(args) -> int:
     with _open_library(args) as lib:
         lib.verify_files()
-        for img in lib.get_all_images():
+        min_rating = getattr(args, "min_rating", 0) or 0
+        flag = getattr(args, "flag", None)
+        if min_rating or flag:
+            images = lib.filter_images(min_rating=min_rating, flag=flag)
+        else:
+            images = lib.get_all_images()
+        for img in images:
             edited = "*" if lib.has_edits(img.id) else " "
             status = "deleted" if img.is_deleted() else (
                 "cached" if img.cache_path_working else "pending")
-            print(f"{img.id:6d} {edited} {status:8s} {img.filename}")
+            rating, rflag = lib.get_rating(img.id)
+            stars = ("★" * rating).ljust(5)
+            mark = {"pick": "P", "reject": "X"}.get(rflag, " ")
+            print(f"{img.id:6d} {edited} {status:8s} {stars} {mark} "
+                  f"{img.filename}")
+    return 0
+
+
+def cmd_rate(args) -> int:
+    with _open_library(args) as lib:
+        if args.stars is None and args.flag is None:
+            rating, flag = lib.get_rating(args.image_id)
+            print(json.dumps({"id": args.image_id, "rating": rating,
+                              "flag": flag}))
+            return 0
+        try:
+            lib.set_rating(args.image_id, rating=args.stars,
+                           flag=args.flag)
+        except ValueError as e:
+            raise SystemExit(f"rate: {e}")
+        rating, flag = lib.get_rating(args.image_id)
+        print(json.dumps({"id": args.image_id, "rating": rating,
+                          "flag": flag}))
     return 0
 
 
@@ -471,6 +508,7 @@ _COMMANDS = {
     "import": cmd_import,
     "list": cmd_list,
     "info": cmd_info,
+    "rate": cmd_rate,
     "develop": cmd_develop,
     "edit": cmd_edit,
     "export": cmd_export,

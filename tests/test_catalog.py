@@ -262,3 +262,56 @@ def test_migrates_reference_created_db(tmp_path):
         assert imgs[0].cache_path_thumb is None
         assert lib.load_edit_params(1).exposure == 1.5
         assert [i.id for i in lib.get_pending_cache()] == [1]
+
+
+class TestRatings:
+    def test_set_get_filter(self, tmp_path, rng):
+        import numpy as np
+
+        from raweditor_tpu.catalog import Library
+        from raweditor_tpu.raw.synth import write_synthetic_raw
+
+        for i in range(3):
+            write_synthetic_raw(
+                tmp_path / f"r{i}.nef",
+                rng.integers(0, 4096, size=(8, 12), dtype=np.uint16))
+        with Library(tmp_path / "cat.db") as lib:
+            lib.import_folder(tmp_path)
+            ids = [img.id for img in lib.get_all_images()]
+            assert lib.get_rating(ids[0]) == (0, "none")
+            lib.set_rating(ids[0], rating=5, flag="pick")
+            lib.set_rating(ids[1], rating=2)
+            lib.set_rating(ids[2], flag="reject")
+            assert lib.get_rating(ids[0]) == (5, "pick")
+            assert lib.get_rating(ids[1]) == (2, "none")
+            assert lib.get_rating(ids[2]) == (0, "reject")
+            # Partial update keeps the other field.
+            lib.set_rating(ids[0], rating=4)
+            assert lib.get_rating(ids[0]) == (4, "pick")
+            assert {i.id for i in lib.filter_images(min_rating=2)} == {
+                ids[0], ids[1]}
+            assert [i.id for i in lib.filter_images(flag="reject")] == [
+                ids[2]]
+            with pytest.raises(ValueError):
+                lib.set_rating(ids[0], rating=9)
+            with pytest.raises(ValueError):
+                lib.set_rating(ids[0], flag="bogus")
+            with pytest.raises(ValueError):
+                lib.set_rating(99999, rating=1)
+
+    def test_reference_tables_untouched(self, tmp_path):
+        """The ratings side table must not alter the reference-compatible
+        images/edits schema."""
+        import sqlite3
+
+        from raweditor_tpu.catalog import Library
+
+        with Library(tmp_path / "cat.db") as lib:
+            pass
+        conn = sqlite3.connect(tmp_path / "cat.db")
+        cols = [r[1] for r in conn.execute("PRAGMA table_info(images)")]
+        assert "rating" not in cols and "flag" not in cols
+        tables = {r[0] for r in conn.execute(
+            "SELECT name FROM sqlite_master WHERE type='table'")}
+        assert "ratings" in tables
+        conn.close()
