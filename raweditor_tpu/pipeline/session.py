@@ -23,6 +23,7 @@ the BASELINE p50/p95 metric.
 from __future__ import annotations
 
 import json
+import math
 import sys
 from typing import Optional
 
@@ -55,7 +56,12 @@ class DevelopSession:
     def set_slider(self, name: str, value: float) -> dict:
         if name not in EditParams.field_names():
             raise ValueError(f"unknown slider {name!r}")
-        self.params = self.params.replace(**{name: float(value)})
+        value = float(value)
+        if not math.isfinite(value):
+            # A NaN here would poison the develop chain and persist an
+            # unrepresentable value into the edit store.
+            raise ValueError(f"{name} must be finite, got {value}")
+        self.params = self.params.replace(**{name: value})
         # Persist on every tick, like the reference
         # (reference: main.rs:1095-1106). A frozen (checkpointed) row is
         # never updated — the first tick after a checkpoint appends.

@@ -109,3 +109,29 @@ def test_missing_operand_reports_usage(session):
     assert out == {"ok": False, "error": "usage: render <path>"}
     out = sess.handle("set exposure")
     assert out == {"ok": False, "error": "usage: set <slider> <value>"}
+
+
+def test_protocol_fuzz_never_crashes(session, rng):
+    """Random garbage lines must always produce a JSON-able dict (or
+    None), never an uncaught exception."""
+    sess, _, _ = session
+    words = ["set", "zoom", "pan", "render", "full", "histogram",
+             "auto", "undo", "checkpoint", "exposure", "bogus",
+             "1.5", "-999", "nan", "inf", "", "\x00", "𝕏", "--", "0x10"]
+    for _ in range(300):
+        n = int(rng.integers(0, 5))
+        line = " ".join(words[int(rng.integers(0, len(words)))]
+                        for _ in range(n))
+        out = sess.handle(line)
+        assert out is None or isinstance(out, dict)
+        if isinstance(out, dict):
+            json.dumps(out)
+
+
+def test_non_finite_slider_rejected(session):
+    sess, lib, image_id = session
+    for bad in ("nan", "inf", "-inf"):
+        out = sess.handle(f"set exposure {bad}")
+        assert out["ok"] is False and "finite" in out["error"]
+    # Nothing persisted, params unchanged.
+    assert float(sess.params.exposure) == 0.0
