@@ -39,12 +39,17 @@ def _add_slider_args(p: argparse.ArgumentParser) -> None:
 
 
 def _params_from_args(args, base: EditParams = None) -> EditParams:
+    import math
+
     params = base if base is not None else EditParams()
     overrides = {
         name: getattr(args, name)
         for name in EditParams.field_names()
         if getattr(args, name, None) is not None
     }
+    for name, value in overrides.items():
+        if not math.isfinite(value):
+            raise SystemExit(f"--{name} must be finite, got {value}")
     return params.replace(**overrides)
 
 
