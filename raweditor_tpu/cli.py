@@ -177,6 +177,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--levels", action="store_true",
                    help="also suggest auto-levels (blacks/whites "
                         "percentile stretch)")
+    p.add_argument("--contrast", action="store_true",
+                   help="also suggest a contrast delta (interquartile "
+                        "spread toward a midtone target)")
 
     p = sub.add_parser(
         "session",
@@ -455,8 +458,11 @@ def cmd_auto(args) -> int:
     else:
         path, base = args.input, EditParams()
     eng = DevelopEngine.open(path)
-    suggestion = suggest_auto(eng, base,
-                              include_levels=getattr(args, "levels", False))
+    suggestion = suggest_auto(
+        eng, base,
+        include_levels=getattr(args, "levels", False),
+        include_contrast=getattr(args, "contrast", False),
+    )
     if image_id is not None and not args.dry_run:
         with _open_library(args) as lib:
             lib.save_edit_params(image_id, suggestion)

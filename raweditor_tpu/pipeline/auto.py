@@ -124,8 +124,33 @@ def suggest_levels(engine, params: EditParams = None,
             float(np.clip(new_w, 0.2, 2.0)))
 
 
+def suggest_contrast(engine, params: EditParams = None,
+                     target_spread: float = 0.35,
+                     max_delta: float = 30.0) -> float:
+    """Contrast *delta* that widens (or narrows) the interquartile
+    luminance spread toward ``target_spread`` in linear space. The
+    contrast step scales values about 0.5 by (1 + c/100)
+    (reference: gpu/shaders.rs:233-234), so the multiplicative gap
+    between the current and target spread maps directly onto the
+    slider. Conservative clamp; composes with the current params, so
+    re-running on a corrected render suggests ~0."""
+    params = params or EditParams()
+    hist = engine.histogram(params)
+    luma_hist = (0.2126 * hist[0] + 0.7152 * hist[1] + 0.0722 * hist[2])
+    to_lin = (_srgb_to_lin if engine.transfer == "srgb"
+              else lambda v: v ** 2.2)
+    p25 = to_lin(_percentile_from_hist(luma_hist, 25.0))
+    p75 = to_lin(_percentile_from_hist(luma_hist, 75.0))
+    spread = p75 - p25
+    if spread < 1e-3:  # flat render: no meaningful suggestion
+        return 0.0
+    delta = 100.0 * (target_spread / spread - 1.0)
+    return float(np.clip(delta, -max_delta, max_delta))
+
+
 def suggest_auto(engine, params: EditParams = None,
-                 include_levels: bool = False) -> EditParams:
+                 include_levels: bool = False,
+                 include_contrast: bool = False) -> EditParams:
     """Combined suggestion: residual WB composed onto the current
     params, then an exposure delta measured with the WB applied, and
     optionally auto-levels measured last. Idempotent up to measurement
@@ -142,4 +167,10 @@ def suggest_auto(engine, params: EditParams = None,
     if include_levels:
         blacks, whites = suggest_levels(engine, out)
         out = out.replace(blacks=blacks, whites=whites)
+    if include_contrast:
+        # Measured against the params so far — with include_levels the
+        # stretch is accounted for, so the two don't double-correct.
+        delta = suggest_contrast(engine, out)
+        out = out.replace(contrast=float(np.clip(
+            float(out.contrast) + delta, -100.0, 100.0)))
     return out

@@ -147,3 +147,31 @@ class TestSuggestLevels:
         with_lv = suggest_auto(eng, EditParams(), include_levels=True)
         assert float(no_lv.blacks) == 0.0 and float(no_lv.whites) == 1.0
         assert float(with_lv.blacks) != 0.0 or float(with_lv.whites) != 1.0
+
+
+class TestSuggestContrast:
+    def test_low_contrast_scene_gets_positive_delta(self, tmp_path, rng):
+        from raweditor_tpu.pipeline.auto import suggest_contrast
+        from raweditor_tpu.pipeline.engine import DevelopEngine
+        from raweditor_tpu.params import EditParams
+        from raweditor_tpu.raw.synth import write_synthetic_raw
+
+        # Narrow mid-gray band → small interquartile spread.
+        mosaic = rng.integers(1700, 2100, size=(48, 64), dtype=np.uint16)
+        path = tmp_path / "c.dng"
+        write_synthetic_raw(path, mosaic, wb_neutral=(1.0, 1.0, 1.0))
+        eng = DevelopEngine.open(str(path))
+        delta = suggest_contrast(eng, EditParams())
+        assert delta > 5.0
+
+    def test_flat_render_suggests_zero(self, tmp_path):
+        from raweditor_tpu.pipeline.auto import suggest_contrast
+        from raweditor_tpu.pipeline.engine import DevelopEngine
+        from raweditor_tpu.params import EditParams
+        from raweditor_tpu.raw.synth import write_synthetic_raw
+
+        path = tmp_path / "f.dng"
+        write_synthetic_raw(path, np.zeros((48, 64), np.uint16),
+                            wb_neutral=(1.0, 1.0, 1.0))
+        eng = DevelopEngine.open(str(path))
+        assert suggest_contrast(eng, EditParams()) == 0.0
