@@ -171,6 +171,60 @@ def finish_to_u8(r, g, b, valid=None, transfer: str = "gamma22"):
     return enc(r), enc(g), enc(b)
 
 
+def finish_to_u16(r, g, b, transfer: str = "gamma22"):
+    """16-bit variant of finish_to_u8 (beyond the reference): same
+    transfer curves, quantized to the full u16 range for high-bit-depth
+    export (TIFF). Rounding mirrors the u8 path: floor(c*65535 + 0.5).
+    """
+    from raweditor_tpu.color import (
+        gamma22_encode,
+        gamma22_poly_encode,
+        srgb_encode,
+    )
+
+    try:
+        encode = {
+            "gamma22": gamma22_encode,
+            "gamma22_poly": gamma22_poly_encode,
+            "srgb": srgb_encode,
+        }[transfer]
+    except KeyError:
+        raise ValueError(f"unknown transfer {transfer!r}") from None
+
+    def enc(c):
+        c = jnp.minimum(encode(c), _F(1.0))
+        q = jnp.floor(c * _F(65535.0) + _F(0.5))
+        return q.astype(jnp.uint16)
+
+    return enc(r), enc(g), enc(b)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("demosaic_method", "matrix_transpose", "transfer",
+                     "cfa_phase"),
+)
+def develop_u16(
+    mosaic,
+    params: EditParams,
+    wb,
+    cam_matrix,
+    white_level=4096.0,
+    black_level=0.0,
+    demosaic_method: str = "nearest",
+    matrix_transpose: bool = True,
+    transfer: str = "gamma22",
+    cfa_phase=(0, 0),
+):
+    """Full develop to (H, W, 3) u16 — the 16-bit export path."""
+    norm = _normalize(mosaic, white_level, black_level)
+    r, g, b = _demosaic.demosaic(norm, demosaic_method, cfa_phase)
+    r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix,
+                               matrix_transpose)
+    r, g, b = finish_to_u16(r, g, b, transfer=transfer)
+    return jnp.stack([r, g, b], axis=-1)
+
+
 def finish_to_rgba_u32(r, g, b, valid=None, transfer: str = "gamma22"):
     """Like finish_to_u8 but packs each pixel into one u32 RGBA word
     (byte order R,G,B,0xFF on little-endian hosts) — exactly the

@@ -340,11 +340,16 @@ class DevelopEngine:
 
     def export(self, path: os.PathLike, params: EditParams,
                quality: int = 95) -> str:
-        """Full-res develop → JPEG/PNG by extension; RGBA→RGB strip for
-        JPEG on the host like the reference (reference: main.rs:1744-1799,
-        alpha strip at main.rs:1778-1781)."""
+        """Full-res develop → JPEG/PNG/TIFF by extension; RGBA→RGB strip
+        for JPEG on the host like the reference
+        (reference: main.rs:1744-1799, alpha strip at
+        main.rs:1778-1781). A .tif/.tiff extension writes 16-bit RGB
+        (beyond the reference; see raw/tiff_out.py)."""
         from PIL import Image
 
+        if os.path.splitext(os.fspath(path))[1].lower() in (
+                ".tif", ".tiff"):
+            return self.export_tiff16(path, params)
         words = np.asarray(self.full_rgba_device(params))
         if self.auto_orient and self.raw.orientation != 1:
             words = np.ascontiguousarray(
@@ -361,6 +366,30 @@ class DevelopEngine:
         else:
             img.convert("RGB").save(path, format="JPEG", quality=quality)
         return path
+
+    def export_tiff16(self, path: os.PathLike, params: EditParams) -> str:
+        """Full-res develop at 16 bits/channel → uncompressed RGB TIFF."""
+        from raweditor_tpu.ops.develop import develop_u16
+        from raweditor_tpu.raw.tiff_out import write_tiff16
+
+        if self.linear or self.xtrans_pattern is not None:
+            # 16-bit finish is Bayer-path only so far; quantizing the
+            # 8-bit render up would be dishonest about precision.
+            raise ValueError(
+                "16-bit export currently supports Bayer mosaics only"
+            )
+        rgb = np.asarray(develop_u16(
+            self.mosaic, params, self.wb, self.cam_matrix,
+            white_level=self.white_level, black_level=self.black_level,
+            demosaic_method=self.demosaic_method,
+            matrix_transpose=self.matrix_transpose,
+            transfer=self.transfer, cfa_phase=self.cfa_phase,
+        ))
+        if self.auto_orient and self.raw.orientation != 1:
+            rgb = np.ascontiguousarray(
+                self.apply_orientation(rgb, self.raw.orientation)
+            )
+        return write_tiff16(path, rgb)
 
     def develop_tiers(self, params: EditParams,
                       widths=(256, 384, 1280)):

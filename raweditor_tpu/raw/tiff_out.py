@@ -1,0 +1,47 @@
+"""Minimal 16-bit RGB TIFF writer for high-bit-depth export.
+
+The reference exports 8-bit JPEG/PNG only (reference: main.rs:1744-1799);
+16-bit output is a beyond-reference capability for print/archival
+workflows. Uncompressed, little-endian, striped, PlanarConfig=chunky —
+readable by every TIFF consumer (and by our own raw/tiff.py walker,
+which the tests use for the round trip).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from raweditor_tpu.raw import tiff as T
+from raweditor_tpu.raw.synth import _TYPE_LONG, _TYPE_SHORT, _TiffWriter
+
+PLANAR_CONFIG = 284  # chunky/planar tag (not needed by the readers
+                     # in raw/tiff.py, so it lives here)
+
+
+def write_tiff16(path, rgb: np.ndarray) -> str:
+    """Write an (H, W, 3) uint16 array as an uncompressed RGB TIFF."""
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint16)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) u16, got {rgb.shape}")
+    h, w, _ = rgb.shape
+    tw = _TiffWriter()
+    strip = tw.add_blob(rgb.astype("<u2").tobytes())
+    ifd = [
+        (T.IMAGE_WIDTH, _TYPE_LONG, [w]),
+        (T.IMAGE_LENGTH, _TYPE_LONG, [h]),
+        (T.BITS_PER_SAMPLE, _TYPE_SHORT, [16, 16, 16]),
+        (T.COMPRESSION, _TYPE_SHORT, [1]),
+        (T.PHOTOMETRIC, _TYPE_SHORT, [2]),  # RGB
+        (T.STRIP_OFFSETS, _TYPE_LONG, ("blob", strip)),
+        (T.SAMPLES_PER_PIXEL, _TYPE_SHORT, [3]),
+        (T.ROWS_PER_STRIP, _TYPE_LONG, [h]),
+        (T.STRIP_BYTE_COUNTS, _TYPE_LONG, [h * w * 6]),
+        (PLANAR_CONFIG, _TYPE_SHORT, [1]),
+    ]
+    data = tw.build([ifd])
+    import os
+
+    path = os.fspath(path)
+    with open(path, "wb") as f:
+        f.write(data)
+    return path

@@ -408,3 +408,56 @@ class TestMalvarDemosaic:
         out = develop(mosaic, EditParams(), WB_NEUTRAL, IDENTITY,
                       demosaic_method="malvar")
         assert np.asarray(out).shape == (16, 24, 3)
+
+
+class TestU16Export:
+    def test_develop_u16_tracks_u8(self, rng):
+        """The u16 finish must agree with the u8 path at 8-bit
+        precision (top byte) and add real fractional precision below."""
+        from raweditor_tpu.ops.develop import develop_u16
+
+        mosaic = rng.integers(0, 4096, size=(16, 24), dtype=np.uint16)
+        p = EditParams(exposure=0.4, contrast=10.0)
+        u8 = np.asarray(develop(mosaic, p, WB_NEUTRAL, IDENTITY))
+        u16 = np.asarray(develop_u16(mosaic, p, WB_NEUTRAL, IDENTITY))
+        assert u16.dtype == np.uint16
+        # Quantizing u16 down to 8 bits reproduces the u8 render ±1.
+        down = np.floor(u16.astype(np.float64) / 65535.0 * 255.0 + 0.5)
+        assert np.abs(down - u8.astype(np.float64)).max() <= 1
+        # And it isn't just u8 scaled up: low bits carry information.
+        assert (u16 % 257 != 0).any()
+
+    def test_tiff16_roundtrip_via_own_walker(self, tmp_path, rng):
+        from raweditor_tpu.raw import tiff as T
+        from raweditor_tpu.raw.tiff import TiffFile
+        from raweditor_tpu.raw.tiff_out import write_tiff16
+
+        rgb = rng.integers(0, 65536, size=(8, 12, 3), dtype=np.uint16)
+        path = tmp_path / "o.tif"
+        write_tiff16(path, rgb)
+        tf = TiffFile(path.read_bytes())
+        ifd = tf.ifds[0]
+        assert ifd.get_scalar(T.IMAGE_WIDTH) == 12
+        assert ifd.get_scalar(T.IMAGE_LENGTH) == 8
+        assert ifd.get(T.BITS_PER_SAMPLE) == (16, 16, 16)
+        assert ifd.get_scalar(T.PHOTOMETRIC) == 2
+        off = ifd.get_scalar(T.STRIP_OFFSETS)
+        cnt = ifd.get_scalar(T.STRIP_BYTE_COUNTS)
+        data = path.read_bytes()[off:off + cnt]
+        back = np.frombuffer(data, "<u2").reshape(8, 12, 3)
+        assert (back == rgb).all()
+
+    def test_engine_export_tiff(self, tmp_path, rng):
+        from raweditor_tpu.pipeline.engine import DevelopEngine
+        from raweditor_tpu.raw.synth import write_synthetic_raw
+
+        raw = tmp_path / "t.dng"
+        write_synthetic_raw(
+            raw, rng.integers(0, 4096, size=(16, 24), dtype=np.uint16))
+        eng = DevelopEngine.open(str(raw))
+        out = eng.export(tmp_path / "o.tiff", EditParams(exposure=0.3))
+        assert out.endswith(".tiff")
+        from raweditor_tpu.raw.tiff import TiffFile
+
+        tf = TiffFile((tmp_path / "o.tiff").read_bytes())
+        assert len(tf.ifds) == 1
