@@ -371,7 +371,7 @@ def develop_preview(
 @functools.partial(
     jax.jit,
     static_argnames=("pattern", "matrix_transpose", "transfer", "rgba",
-                     "demosaic_method"),
+                     "demosaic_method", "bits"),
 )
 def develop_xtrans(
     mosaic,
@@ -385,6 +385,7 @@ def develop_xtrans(
     transfer: str = "gamma22",
     rgba: bool = False,
     demosaic_method: str = "nearest",
+    bits: int = 8,
 ):
     """Full develop of an X-Trans (or any repeating-CFA) mosaic — a
     capability beyond the reference, which only handles Bayer. Same edit
@@ -460,7 +461,8 @@ def develop_xtrans_preview(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("matrix_transpose", "transfer", "rgba")
+    jax.jit, static_argnames=("matrix_transpose", "transfer", "rgba",
+                              "bits")
 )
 def develop_linear(
     rgb_u16,
@@ -472,11 +474,12 @@ def develop_linear(
     matrix_transpose: bool = False,
     transfer: str = "gamma22",
     rgba: bool = False,
+    bits: int = 8,
 ):
     """Develop an already-demosaiced (H, W, 3) u16 frame (DNG LinearRaw,
     photometric 34892): the same edit stack, demosaic skipped. Channel
     planes are split immediately so the chain keeps the TPU-friendly
-    (H, W) layout."""
+    (H, W) layout. ``bits=16`` quantizes to u16 (TIFF export)."""
     r = _normalize(rgb_u16[..., 0], white_level, black_level)
     g = _normalize(rgb_u16[..., 1], white_level, black_level)
     b = _normalize(rgb_u16[..., 2], white_level, black_level)
@@ -484,7 +487,10 @@ def develop_linear(
                                matrix_transpose)
     if rgba:
         return finish_to_rgba_u32(r, g, b, transfer=transfer)
-    r, g, b = finish_to_u8(r, g, b, transfer=transfer)
+    if bits == 16:
+        r, g, b = finish_to_u16(r, g, b, transfer=transfer)
+    else:
+        r, g, b = finish_to_u8(r, g, b, transfer=transfer)
     return jnp.stack([r, g, b], axis=-1)
 
 

@@ -372,19 +372,38 @@ class DevelopEngine:
         from raweditor_tpu.ops.develop import develop_u16
         from raweditor_tpu.raw.tiff_out import write_tiff16
 
-        if self.linear or self.xtrans_pattern is not None:
-            # 16-bit finish is Bayer-path only so far; quantizing the
-            # 8-bit render up would be dishonest about precision.
-            raise ValueError(
-                "16-bit export currently supports Bayer mosaics only"
-            )
-        rgb = np.asarray(develop_u16(
-            self.mosaic, params, self.wb, self.cam_matrix,
-            white_level=self.white_level, black_level=self.black_level,
-            demosaic_method=self.demosaic_method,
-            matrix_transpose=self.matrix_transpose,
-            transfer=self.transfer, cfa_phase=self.cfa_phase,
-        ))
+        if self.linear:
+            from raweditor_tpu.ops.develop import develop_linear
+
+            rgb = np.asarray(develop_linear(
+                self.mosaic, params, self.wb, self.cam_matrix,
+                self.white_level, self.black_level,
+                matrix_transpose=self.matrix_transpose,
+                transfer=self.transfer, bits=16,
+            ))
+        elif self.xtrans_pattern is not None:
+            from raweditor_tpu.ops.develop import develop_xtrans
+
+            rgb = np.asarray(develop_xtrans(
+                self.mosaic, params, self.wb, self.cam_matrix,
+                self.white_level, self.black_level,
+                pattern=self.xtrans_pattern,
+                matrix_transpose=self.matrix_transpose,
+                transfer=self.transfer,
+                demosaic_method=("smooth"
+                                 if self.demosaic_method != "nearest"
+                                 else "nearest"),
+                bits=16,
+            ))
+        else:
+            rgb = np.asarray(develop_u16(
+                self.mosaic, params, self.wb, self.cam_matrix,
+                white_level=self.white_level,
+                black_level=self.black_level,
+                demosaic_method=self.demosaic_method,
+                matrix_transpose=self.matrix_transpose,
+                transfer=self.transfer, cfa_phase=self.cfa_phase,
+            ))
         if self.auto_orient and self.raw.orientation != 1:
             rgb = np.ascontiguousarray(
                 self.apply_orientation(rgb, self.raw.orientation)

@@ -461,3 +461,29 @@ class TestU16Export:
 
         tf = TiffFile((tmp_path / "o.tiff").read_bytes())
         assert len(tf.ifds) == 1
+
+    def test_engine_export_tiff_xtrans_and_linear(self, tmp_path, rng):
+        from raweditor_tpu.ops.cfa_generic import XTRANS_PATTERN
+        from raweditor_tpu.params import EditParams as EP
+        from raweditor_tpu.pipeline.engine import DevelopEngine
+        from raweditor_tpu.raw.synth import (
+            write_synthetic_linear_dng,
+            write_synthetic_raw,
+        )
+        from raweditor_tpu.raw.tiff import TiffFile
+        from raweditor_tpu.raw import tiff as T
+
+        xt = tmp_path / "x.dng"
+        write_synthetic_raw(
+            xt, rng.integers(0, 4096, size=(12, 18), dtype=np.uint16),
+            cfa=XTRANS_PATTERN)
+        lin = tmp_path / "l.dng"
+        write_synthetic_linear_dng(
+            lin, rng.integers(0, 4096, size=(12, 18, 3),
+                              dtype=np.uint16))
+        for raw_path in (xt, lin):
+            eng = DevelopEngine.open(str(raw_path), mode="accurate")
+            out = tmp_path / (raw_path.stem + "16.tiff")
+            eng.export(out, EP(exposure=0.2))
+            tf = TiffFile(out.read_bytes())
+            assert tf.ifds[0].get(T.BITS_PER_SAMPLE) == (16, 16, 16)
