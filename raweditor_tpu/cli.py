@@ -127,7 +127,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ids", type=int, nargs="*", default=None)
     p.add_argument("--files", nargs="*", default=None,
                    help="export files directly instead of the catalog")
-    p.add_argument("--ext", default="jpg", choices=("jpg", "png"))
+    p.add_argument("--ext", default="jpg", choices=("jpg", "png", "tif"),
+                   help="tif = 16-bit TIFF (beyond the reference)")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--fast", action="store_true",
                    help="batched fused Pallas kernel (±1 LSB)")
@@ -363,6 +364,7 @@ def cmd_export(args) -> int:
         use_pallas=getattr(args, "fast", False),
         transfer=(args.transfer if getattr(args, "transfer", "gamma22")
                   != "gamma22" else None),
+        bits=16 if args.ext == "tif" else 8,
     )
     print(json.dumps(report.as_dict()))
     return 0 if not report.failed else 1

@@ -173,6 +173,23 @@ class _Batcher:
             yield bucket
 
 
+def _encode_one_tiff16(out_path: str, rgb_u16: np.ndarray) -> None:
+    """Encode an (H, W, 3) u16 frame as 16-bit TIFF, atomically."""
+    import threading
+
+    from raweditor_tpu.raw.tiff_out import write_tiff16
+
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    tmp_path = (f"{out_path}.{os.getpid()}."
+                f"{threading.get_ident()}.tmp")
+    try:
+        write_tiff16(tmp_path, rgb_u16)
+        os.replace(tmp_path, out_path)
+    finally:
+        if os.path.exists(tmp_path):
+            os.unlink(tmp_path)
+
+
 def run_batch_export(
     jobs: Sequence[ExportJob],
     mesh=None,
@@ -187,6 +204,7 @@ def run_batch_export(
     demosaic_method: str = "nearest",
     use_pallas: bool = False,
     transfer: str = None,
+    bits: int = 8,
 ) -> ExportReport:
     """Develop and encode every job; returns a report with throughput
     and the per-image quarantine list.
@@ -207,6 +225,10 @@ def run_batch_export(
     # exact pow after u8 quantization (see color.gamma22_poly_encode).
     if transfer is None:
         transfer = "gamma22_poly" if fast_gamma else "gamma22"
+    if bits not in (8, 16):
+        raise ValueError("bits must be 8 or 16")
+    if bits == 16 and mesh is not None:
+        raise ValueError("16-bit export requires mesh=None")
     if mesh is not None and demosaic_method != "nearest":
         # Row-sharded develop only carries the 1-row halo the nearest
         # stencil needs; the 5x5 kernels would read across shard edges.
@@ -244,9 +266,14 @@ def run_batch_export(
         for d, rgb in zip(batch, host):
             # Per-image copy: an encode job must not pin the whole
             # (B, H, W) batch array while it waits in the queue.
-            fut = encode_pool.submit(
-                _encode_one, d.job.out_path, rgb.copy(), quality
-            )
+            if bits == 16:
+                fut = encode_pool.submit(
+                    _encode_one_tiff16, d.job.out_path, rgb.copy()
+                )
+            else:
+                fut = encode_pool.submit(
+                    _encode_one, d.job.out_path, rgb.copy(), quality
+                )
             encode_futures.append((fut, d.job))
         # Backpressure: the device can outrun host JPEG encode by ~20×;
         # without a bound the queue would pin unbounded RGBA buffers.
@@ -285,7 +312,42 @@ def run_batch_export(
 
         phase = batch[0].cfa_phase
         t0 = time.perf_counter()
-        if phase == "__linear__":
+        if bits == 16:
+            from raweditor_tpu.ops.develop import (
+                develop_linear,
+                develop_u16,
+                develop_xtrans,
+            )
+
+            if phase == "__linear__":
+                out = jax.vmap(
+                    lambda m, p, w, c, wl, bl: develop_linear(
+                        m, p, w, c, wl, bl,
+                        matrix_transpose=matrix_transpose,
+                        transfer=transfer, bits=16,
+                    )
+                )(mosaics, params, wbs, cms, whites, blacks)
+            elif isinstance(phase, str):
+                out = jax.vmap(
+                    lambda m, p, w, c, wl, bl: develop_xtrans(
+                        m, p, w, c, wl, bl, pattern=phase,
+                        matrix_transpose=matrix_transpose,
+                        transfer=transfer, bits=16,
+                        demosaic_method=("smooth"
+                                         if demosaic_method != "nearest"
+                                         else "nearest"),
+                    )
+                )(mosaics, params, wbs, cms, whites, blacks)
+            else:
+                out = jax.vmap(
+                    lambda m, p, w, c, wl, bl: develop_u16(
+                        m, p, w, c, wl, bl,
+                        demosaic_method=demosaic_method,
+                        matrix_transpose=matrix_transpose,
+                        transfer=transfer, cfa_phase=phase,
+                    )
+                )(mosaics, params, wbs, cms, whites, blacks)
+        elif phase == "__linear__":
             from raweditor_tpu.ops.develop import develop_linear
 
             out = jax.vmap(

@@ -317,3 +317,43 @@ def test_export_use_pallas_falls_back_on_cpu(tmp_path, rng):
         a = (tmp_path / f"a{i}.png").read_bytes()
         b = (tmp_path / f"b{i}.png").read_bytes()
         assert a == b
+
+
+def test_export_16bit_tiff(tmp_path, rng):
+    """bits=16 batch export writes valid 16-bit TIFFs whose top byte
+    matches the 8-bit export."""
+    from raweditor_tpu.params import EditParams
+    from raweditor_tpu.pipeline.export import ExportJob, run_batch_export
+    from raweditor_tpu.raw import tiff as T
+    from raweditor_tpu.raw.synth import write_synthetic_raw
+    from raweditor_tpu.raw.tiff import TiffFile
+
+    raws = []
+    for i in range(2):
+        path = tmp_path / f"s{i}.dng"
+        write_synthetic_raw(
+            path, rng.integers(0, 4096, size=(16, 24), dtype=np.uint16))
+        raws.append(path)
+    jobs = [ExportJob(raw_path=str(p), params=EditParams(exposure=0.3),
+                      out_path=str(tmp_path / f"o{i}.tif"))
+            for i, p in enumerate(raws)]
+    rep = run_batch_export(jobs, batch_size=2, bits=16)
+    assert rep.succeeded == 2 and not rep.failed
+    for i in range(2):
+        data = (tmp_path / f"o{i}.tif").read_bytes()
+        tf = TiffFile(data)
+        ifd = tf.ifds[0]
+        assert ifd.get(T.BITS_PER_SAMPLE) == (16, 16, 16)
+        off = ifd.get_scalar(T.STRIP_OFFSETS)
+        cnt = ifd.get_scalar(T.STRIP_BYTE_COUNTS)
+        rgb = np.frombuffer(data[off:off + cnt], "<u2").reshape(16, 24, 3)
+        assert rgb.max() > 255  # true 16-bit values
+
+
+def test_export_16bit_rejects_mesh(tmp_path):
+    from raweditor_tpu.pipeline.export import run_batch_export
+    from raweditor_tpu.parallel import batch_row_mesh
+
+    mesh = batch_row_mesh(row=2)
+    with pytest.raises(ValueError, match="16-bit"):
+        run_batch_export([], mesh=mesh, bits=16)
