@@ -368,9 +368,14 @@ class DevelopEngine:
         return path
 
     def export_tiff16(self, path: os.PathLike, params: EditParams) -> str:
-        """Full-res develop at 16 bits/channel → uncompressed RGB TIFF."""
+        """Full-res develop at 16 bits/channel → uncompressed RGB TIFF.
+        The polynomial fast gamma is u8-accuracy (~6 LSBs of u16), so
+        16-bit output always uses the exact transfer."""
         from raweditor_tpu.ops.develop import develop_u16
         from raweditor_tpu.raw.tiff_out import write_tiff16
+
+        transfer = ("gamma22" if self.transfer == "gamma22_poly"
+                    else self.transfer)
 
         if self.linear:
             from raweditor_tpu.ops.develop import develop_linear
@@ -379,7 +384,7 @@ class DevelopEngine:
                 self.mosaic, params, self.wb, self.cam_matrix,
                 self.white_level, self.black_level,
                 matrix_transpose=self.matrix_transpose,
-                transfer=self.transfer, bits=16,
+                transfer=transfer, bits=16,
             ))
         elif self.xtrans_pattern is not None:
             from raweditor_tpu.ops.develop import develop_xtrans
@@ -389,7 +394,7 @@ class DevelopEngine:
                 self.white_level, self.black_level,
                 pattern=self.xtrans_pattern,
                 matrix_transpose=self.matrix_transpose,
-                transfer=self.transfer,
+                transfer=transfer,
                 demosaic_method=("smooth"
                                  if self.demosaic_method != "nearest"
                                  else "nearest"),
@@ -402,7 +407,7 @@ class DevelopEngine:
                 black_level=self.black_level,
                 demosaic_method=self.demosaic_method,
                 matrix_transpose=self.matrix_transpose,
-                transfer=self.transfer, cfa_phase=self.cfa_phase,
+                transfer=transfer, cfa_phase=self.cfa_phase,
             ))
         if self.auto_orient and self.raw.orientation != 1:
             rgb = np.ascontiguousarray(

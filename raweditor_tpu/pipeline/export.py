@@ -241,6 +241,9 @@ def run_batch_export(
                  and demosaic_method == "nearest")
     pallas_gamma = {"gamma22_poly": "poly", "srgb": "srgb"}.get(
         transfer, "pow")
+    # The polynomial gamma is fit to u8 accuracy (~1e-4 absolute ≈ 6
+    # LSBs of u16) — never let it into 16-bit archival output.
+    transfer16 = "gamma22" if transfer == "gamma22_poly" else transfer
     if mesh is not None:
         n_b = mesh.shape["batch"]
         if batch_size % n_b:
@@ -319,12 +322,13 @@ def run_batch_export(
                 develop_xtrans,
             )
 
+
             if phase == "__linear__":
                 out = jax.vmap(
                     lambda m, p, w, c, wl, bl: develop_linear(
                         m, p, w, c, wl, bl,
                         matrix_transpose=matrix_transpose,
-                        transfer=transfer, bits=16,
+                        transfer=transfer16, bits=16,
                     )
                 )(mosaics, params, wbs, cms, whites, blacks)
             elif isinstance(phase, str):
@@ -332,7 +336,7 @@ def run_batch_export(
                     lambda m, p, w, c, wl, bl: develop_xtrans(
                         m, p, w, c, wl, bl, pattern=phase,
                         matrix_transpose=matrix_transpose,
-                        transfer=transfer, bits=16,
+                        transfer=transfer16, bits=16,
                         demosaic_method=("smooth"
                                          if demosaic_method != "nearest"
                                          else "nearest"),
@@ -344,7 +348,7 @@ def run_batch_export(
                         m, p, w, c, wl, bl,
                         demosaic_method=demosaic_method,
                         matrix_transpose=matrix_transpose,
-                        transfer=transfer, cfa_phase=phase,
+                        transfer=transfer16, cfa_phase=phase,
                     )
                 )(mosaics, params, wbs, cms, whites, blacks)
         elif phase == "__linear__":

@@ -357,3 +357,26 @@ def test_export_16bit_rejects_mesh(tmp_path):
     mesh = batch_row_mesh(row=2)
     with pytest.raises(ValueError, match="16-bit"):
         run_batch_export([], mesh=mesh, bits=16)
+
+
+def test_export_16bit_ignores_poly_gamma(tmp_path, rng):
+    """fast_gamma must not leak the u8-accuracy polynomial into 16-bit
+    output: with and without fast_gamma the TIFF bytes are identical."""
+    from raweditor_tpu.params import EditParams
+    from raweditor_tpu.pipeline.export import ExportJob, run_batch_export
+    from raweditor_tpu.raw.synth import write_synthetic_raw
+
+    path = tmp_path / "s.dng"
+    write_synthetic_raw(
+        path, rng.integers(0, 4096, size=(16, 24), dtype=np.uint16))
+
+    def job(name):
+        return [ExportJob(raw_path=str(path),
+                          params=EditParams(exposure=0.3),
+                          out_path=str(tmp_path / name))]
+
+    run_batch_export(job("a.tif"), batch_size=1, bits=16)
+    run_batch_export(job("b.tif"), batch_size=1, bits=16,
+                     fast_gamma=True)
+    assert (tmp_path / "a.tif").read_bytes() == \
+        (tmp_path / "b.tif").read_bytes()
