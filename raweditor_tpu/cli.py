@@ -195,6 +195,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--demosaic", default="nearest",
                    choices=("nearest", "bilinear", "malvar"))
 
+    p = sub.add_parser(
+        "warmup",
+        help="precompile develop programs for a sensor shape (fills the "
+             "persistent compile cache so production cold-starts skip "
+             "the minutes-long first compile)",
+    )
+    p.add_argument("--width", type=int, required=True)
+    p.add_argument("--height", type=int, required=True)
+    p.add_argument("--batch-size", type=int, default=0,
+                   help="also compile the batched export program")
+    p.add_argument("--fast", action="store_true",
+                   help="also compile the Pallas kernels")
+
     sub.add_parser("bench", help="run the headline benchmark")
     return ap
 
@@ -431,6 +444,71 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def cmd_warmup(args) -> int:
+    import time
+
+    from raweditor_tpu.utils import ensure_backend
+
+    ensure_backend()
+    import jax
+
+    from raweditor_tpu.ops.develop import develop_preview, develop_rgba
+    from raweditor_tpu.ops.sampling import preview_shape
+
+    h, w = args.height, args.width
+    rng = np.random.default_rng(0)
+    mosaic = jax.device_put(
+        rng.integers(0, 4096, size=(h, w), dtype=np.uint16))
+    wb = np.array([2.0, 1.0, 1.4], np.float32)
+    cm = np.eye(3, dtype=np.float32)
+    params = EditParams(exposure=0.1)
+    compiled = []
+
+    def step(name, fn):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        compiled.append({"program": name,
+                         "seconds": round(time.perf_counter() - t0, 2)})
+
+    step("develop_rgba", lambda: develop_rgba(mosaic, params, wb, cm))
+    pw, ph = preview_shape(w, h)
+    step("develop_preview",
+         lambda: develop_preview(mosaic, params, wb, cm,
+                                 out_w=pw, out_h=ph))
+    if args.fast:
+        from raweditor_tpu.ops.pallas_develop import pallas_develop_rgba
+
+        step("pallas_develop_rgba",
+             lambda: pallas_develop_rgba(mosaic, params, wb, cm))
+        step("pallas_develop_rgba_poly",
+             lambda: pallas_develop_rgba(mosaic, params, wb, cm,
+                                         gamma="poly"))
+    if args.batch_size:
+        from raweditor_tpu.parallel.batch import (
+            batch_develop_rgba,
+            pack_params,
+        )
+
+        n = args.batch_size
+        mosaics = jax.device_put(
+            rng.integers(0, 4096, size=(n, h, w), dtype=np.uint16))
+        pp = pack_params([params] * n)
+        wbs = np.tile(wb, (n, 1))
+        cms = np.tile(cm, (n, 1, 1))
+        step(f"batch_develop_rgba[{n}]",
+             lambda: batch_develop_rgba(mosaics, pp, wbs, cms))
+        if args.fast:
+            from raweditor_tpu.ops.pallas_develop import (
+                pallas_batch_develop_rgba,
+            )
+
+            step(f"pallas_batch_develop_rgba[{n}]",
+                 lambda: pallas_batch_develop_rgba(
+                     mosaics, pp, wbs, cms, gamma="poly"))
+    print(json.dumps({"width": w, "height": h, "compiled": compiled}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import importlib.util
     import os
@@ -531,6 +609,7 @@ _COMMANDS = {
     "auto": cmd_auto,
     "session": cmd_session,
     "bench": cmd_bench,
+    "warmup": cmd_warmup,
 }
 
 

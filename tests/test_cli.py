@@ -190,3 +190,14 @@ def test_auto_command(tmp_path, capsys, rng):
     assert code == 0
     with sqlite3.connect(db) as conn:
         assert conn.execute("SELECT COUNT(*) FROM edits").fetchone()[0] == 1
+
+
+def test_warmup_command(capsys):
+    from raweditor_tpu.cli import main
+
+    rc = main(["warmup", "--width", "64", "--height", "48"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["width"] == 64
+    names = [c["program"] for c in out["compiled"]]
+    assert "develop_rgba" in names and "develop_preview" in names
