@@ -156,6 +156,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("input")
     p.add_argument("--ascii", action="store_true",
                    help="render as a terminal chart instead of JSON")
+    p.add_argument("--zoom", type=float, default=1.0)
+    p.add_argument("--pan-x", type=float, default=0.0)
+    p.add_argument("--pan-y", type=float, default=0.0)
     _add_slider_args(p)
 
     p = sub.add_parser("synth", help="write a synthetic RAW fixture")
@@ -396,7 +399,10 @@ def cmd_histogram(args) -> int:
     from raweditor_tpu.pipeline.engine import DevelopEngine
 
     eng = DevelopEngine.open(args.input)
-    hist = eng.histogram(_params_from_args(args))
+    hist = eng.histogram(_params_from_args(args),
+                         zoom=getattr(args, "zoom", 1.0),
+                         pan=(getattr(args, "pan_x", 0.0),
+                              getattr(args, "pan_y", 0.0)))
     if args.ascii:
         print(render_ascii_histogram(hist))
     else:

@@ -201,3 +201,19 @@ def test_warmup_command(capsys):
     assert out["width"] == 64
     names = [c["program"] for c in out["compiled"]]
     assert "develop_rgba" in names and "develop_preview" in names
+
+
+def test_histogram_zoom_pan_flags(tmp_path, rng, capsys):
+    from raweditor_tpu.cli import main
+    from raweditor_tpu.raw.synth import write_synthetic_raw
+
+    path = tmp_path / "h.dng"
+    # Left half dark, right half bright: panning changes the histogram.
+    mosaic = np.zeros((48, 64), np.uint16)
+    mosaic[:, 32:] = 4000
+    write_synthetic_raw(path, mosaic)
+    main(["histogram", str(path), "--zoom", "2"])
+    left = json.loads(capsys.readouterr().out.strip())
+    main(["histogram", str(path), "--zoom", "2", "--pan-x", "0.5"])
+    right = json.loads(capsys.readouterr().out.strip())
+    assert left != right
