@@ -140,7 +140,8 @@ def batch_develop_xtrans_rgba(mosaics, params: EditParams, wb,
 
 def _sharded_step(mosaics, params, wb, cms, whites, blacks, *, axis_name,
                   matrix_transpose, with_histogram, rgba=False,
-                  cfa_phase=(0, 0), transfer="gamma22"):
+                  cfa_phase=(0, 0), transfer="gamma22",
+                  demosaic_method="nearest"):
     """Per-device body: local (n, h_blk, W) batch of row blocks."""
     imgs = jax.vmap(
         functools.partial(
@@ -150,6 +151,7 @@ def _sharded_step(mosaics, params, wb, cms, whites, blacks, *, axis_name,
             rgba=rgba,
             cfa_phase=cfa_phase,
             transfer=transfer,
+            demosaic_method=demosaic_method,
         )
     )(mosaics, params, wb, cms, whites, blacks)
     if not with_histogram:
@@ -179,7 +181,7 @@ def _sharded_step(mosaics, params, wb, cms, whites, blacks, *, axis_name,
     static_argnames=(
         "mesh", "batch_axis", "row_axis",
         "matrix_transpose", "with_histogram", "rgba", "cfa_phase",
-        "transfer",
+        "transfer", "demosaic_method",
     ),
 )
 def batch_develop_sharded(
@@ -197,6 +199,7 @@ def batch_develop_sharded(
     rgba: bool = False,
     cfa_phase=(0, 0),
     transfer: str = "gamma22",
+    demosaic_method: str = "nearest",
 ):
     """The full sharded export step: dp over images × sp over rows.
 
@@ -234,6 +237,7 @@ def batch_develop_sharded(
             rgba=rgba,
             cfa_phase=cfa_phase,
             transfer=transfer,
+            demosaic_method=demosaic_method,
         ),
         mesh=mesh,
         in_specs=(

@@ -24,28 +24,32 @@ from raweditor_tpu.params import EditParams
 _F = jnp.float32
 
 
-def exchange_row_halos(block, axis_name: str):
+def exchange_row_halos(block, axis_name: str, rows: int = 1):
     """Fetch the neighboring shards' boundary rows over ICI.
 
-    Returns (up_halo, down_halo), each (1, W): the last row of the
-    previous shard and the first row of the next shard. At the global
-    top/bottom, the halo is the shard's own edge row — reproducing the
-    reference's clamp-to-edge load (reference: gpu/shaders.rs:161-169).
+    Returns (up_halo, down_halo), each (rows, W): the last ``rows`` of
+    the previous shard and the first ``rows`` of the next shard. At the
+    global top/bottom, the halo repeats the shard's own edge row —
+    reproducing the reference's clamp-to-edge load
+    (reference: gpu/shaders.rs:161-169) and, for the 5×5 kernels, the
+    single-chip edge padding (jnp.pad mode="edge").
     """
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
+    edge_top = jnp.broadcast_to(block[:1], (rows,) + block.shape[1:])
+    edge_bot = jnp.broadcast_to(block[-1:], (rows,) + block.shape[1:])
     if n == 1:
-        return block[:1], block[-1:]
-    # Shift down: shard j receives shard j-1's last row.
+        return edge_top, edge_bot
+    # Shift down: shard j receives shard j-1's last rows.
     up = jax.lax.ppermute(
-        block[-1:], axis_name, [(j, (j + 1) % n) for j in range(n)]
+        block[-rows:], axis_name, [(j, (j + 1) % n) for j in range(n)]
     )
-    # Shift up: shard j receives shard j+1's first row.
+    # Shift up: shard j receives shard j+1's first rows.
     down = jax.lax.ppermute(
-        block[:1], axis_name, [(j, (j - 1) % n) for j in range(n)]
+        block[:rows], axis_name, [(j, (j - 1) % n) for j in range(n)]
     )
-    up = jnp.where(idx == 0, block[:1], up)
-    down = jnp.where(idx == n - 1, block[-1:], down)
+    up = jnp.where(idx == 0, edge_top, up)
+    down = jnp.where(idx == n - 1, edge_bot, down)
     return up, down
 
 
@@ -53,10 +57,13 @@ def develop_block(block_u16, params: EditParams, wb, cam_matrix,
                   white_level=4096.0, black_level=0.0, *,
                   axis_name: str, matrix_transpose: bool = True,
                   rgba: bool = False, cfa_phase=(0, 0),
-                  transfer: str = "gamma22"):
+                  transfer: str = "gamma22",
+                  demosaic_method: str = "nearest"):
     """Develop one shard's row block inside a shard_map/collective
     context. Returns (h_block, W, 3) u8, or (h_block, W) u32 packed
-    RGBA when ``rgba`` (see ops.develop.finish_to_rgba_u32)."""
+    RGBA when ``rgba`` (see ops.develop.finish_to_rgba_u32). The 5×5
+    kernels (bilinear via shared taps, malvar) exchange a 2-row halo;
+    nearest keeps the bit-parity 1-row site table."""
     from raweditor_tpu.ops.develop import finish_to_rgba_u32
 
     h_block = block_u16.shape[0]
@@ -65,6 +72,25 @@ def develop_block(block_u16, params: EditParams, wb, cam_matrix,
     norm = (block_u16.astype(_F) - black) / (
         jnp.asarray(white_level, _F) - black
     )
+    if demosaic_method != "nearest":
+        from raweditor_tpu.ops.demosaic import demosaic
+
+        # h_block is even (H divisible by 2*n), so the 2-row padded
+        # block keeps the shard's CFA phase; interior outputs never
+        # touch the kernel's own edge clamp (their 5×5 windows stay
+        # inside the halo), and at the global edges the repeated halo
+        # rows equal the single-chip jnp.pad(mode="edge") — sharded
+        # output is bit-identical to single-chip.
+        up, down = exchange_row_halos(norm, axis_name, rows=2)
+        padded = jnp.concatenate([up, norm, down], axis=0)
+        r, g, b = demosaic(padded, demosaic_method, cfa_phase)
+        r, g, b = (x[2:-2] for x in (r, g, b))
+        r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix,
+                                   matrix_transpose)
+        if rgba:
+            return finish_to_rgba_u32(r, g, b, transfer=transfer)
+        r, g, b = finish_to_u8(r, g, b, transfer=transfer)
+        return jnp.stack([r, g, b], axis=-1)
     up, down = exchange_row_halos(norm, axis_name)
     padded = jnp.concatenate([up, norm, down], axis=0)
     r, g, b = demosaic_nearest_vpadded(padded, row_offset, cfa_phase)

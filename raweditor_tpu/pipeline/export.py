@@ -229,12 +229,6 @@ def run_batch_export(
         raise ValueError("bits must be 8 or 16")
     if bits == 16 and mesh is not None:
         raise ValueError("16-bit export requires mesh=None")
-    if mesh is not None and demosaic_method != "nearest":
-        # Row-sharded develop only carries the 1-row halo the nearest
-        # stencil needs; the 5x5 kernels would read across shard edges.
-        raise ValueError(
-            "demosaic_method other than 'nearest' requires mesh=None"
-        )
     # The batched fused kernel (±1 LSB) is the fastest single-chip
     # Bayer path; it needs nearest demosaic and no row sharding.
     pallas_ok = (use_pallas and mesh is None
@@ -418,6 +412,7 @@ def run_batch_export(
                 white_levels=whites, black_levels=blacks,
                 matrix_transpose=matrix_transpose, rgba=True,
                 cfa_phase=phase, transfer=transfer,
+                demosaic_method=demosaic_method,
             )
         inflight.append((out, batch, t0))
         drain_inflight(encode_pool, depth=1)

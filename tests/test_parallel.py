@@ -132,3 +132,24 @@ def test_batch_develop_demosaic_method_matches_single(rng):
             want = np.asarray(develop(mosaics[i], plist[i], WB, IDENTITY,
                                       demosaic_method=method))
             assert (got[i] == want).all(), method
+
+
+@pytest.mark.parametrize("method", ["bilinear", "malvar"])
+def test_sharded_5x5_demosaic_bit_identical(rng, method):
+    """Row-sharded 5×5 demosaic (2-row halo exchange) must match the
+    single-device develop bit-for-bit, including the global edges."""
+    mesh = batch_row_mesh(row=2)
+    n = 4
+    mosaics = rng.integers(0, 4096, size=(n, 32, 24), dtype=np.uint16)
+    plist = [EditParams(exposure=0.1 * i, contrast=4.0 * i)
+             for i in range(n)]
+    wbs = np.tile(WB, (n, 1))
+    cms = np.tile(IDENTITY, (n, 1, 1))
+    staged = jax.device_put(mosaics, batch_sharding(mesh))
+    out = np.asarray(batch_develop_sharded(
+        staged, pack_params(plist), wbs, cms, mesh,
+        demosaic_method=method))
+    for i in range(n):
+        want = np.asarray(develop(mosaics[i], plist[i], WB, IDENTITY,
+                                  demosaic_method=method))
+        assert (out[i] == want).all(), (method, i)
