@@ -380,3 +380,30 @@ def test_export_16bit_ignores_poly_gamma(tmp_path, rng):
                      fast_gamma=True)
     assert (tmp_path / "a.tif").read_bytes() == \
         (tmp_path / "b.tif").read_bytes()
+
+
+def test_unsupported_container_still_gets_tiers(tmp_path, rng):
+    """CR3-style ISO-BMFF files can't be sensor-decoded, but the tier
+    cache must still extract the embedded JPEG preview — matching the
+    reference's thumbnailer, which worked even where rawloader failed."""
+    import io
+
+    from PIL import Image
+
+    from raweditor_tpu.pipeline.tiers import generate_tiers
+    from raweditor_tpu.raw.decode import UnsupportedRawError, decode_raw
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        (rng.random((60, 80, 3)) * 255).astype(np.uint8)
+    ).save(buf, format="JPEG")
+    data = (b"\x00\x00\x00\x18ftypcrx \x00\x00\x00\x01crx isom"
+            + b"\x00" * 64 + buf.getvalue() + b"\x00" * 32)
+    path = tmp_path / "fake.cr3"
+    path.write_bytes(data)
+
+    with pytest.raises(UnsupportedRawError):
+        decode_raw(str(path))
+    tiers = generate_tiers(str(path), 1, cache_dir=tmp_path / "cache")
+    sizes = [Image.open(t).size for t in tiers]
+    assert sizes == [(256, 192), (384, 288), (1280, 960)]
