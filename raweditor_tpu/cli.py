@@ -147,6 +147,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quality", type=int, default=95)
     p.add_argument("--resume", action="store_true",
                    help="skip jobs whose output file already exists")
+    p.add_argument("--min-rating", type=int, default=0,
+                   help="catalog exports only: require at least this "
+                        "star rating")
+    p.add_argument("--flag", choices=("pick", "reject", "none"),
+                   default=None,
+                   help="catalog exports only: require this flag")
     _add_slider_args(p)
 
     p = sub.add_parser("tiers", help="generate pending preview tiers")
@@ -364,7 +370,15 @@ def cmd_export(args) -> int:
         ]
     else:
         with _open_library(args) as lib:
-            jobs = jobs_from_catalog(lib, args.out_dir, args.ids, args.ext)
+            ids = args.ids
+            min_rating = getattr(args, "min_rating", 0) or 0
+            flag = getattr(args, "flag", None)
+            if min_rating or flag:
+                picked = {i.id for i in lib.filter_images(
+                    min_rating=min_rating, flag=flag)}
+                ids = sorted(picked if ids is None
+                             else picked & set(ids))
+            jobs = jobs_from_catalog(lib, args.out_dir, ids, args.ext)
 
     mesh = None
     if args.mesh_rows:

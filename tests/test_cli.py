@@ -217,3 +217,27 @@ def test_histogram_zoom_pan_flags(tmp_path, rng, capsys):
     main(["histogram", str(path), "--zoom", "2", "--pan-x", "0.5"])
     right = json.loads(capsys.readouterr().out.strip())
     assert left != right
+
+
+def test_export_min_rating_filter(tmp_path, rng, capsys):
+    from raweditor_tpu.catalog import Library
+    from raweditor_tpu.cli import main
+    from raweditor_tpu.raw.synth import write_synthetic_raw
+
+    for i in range(3):
+        write_synthetic_raw(
+            tmp_path / f"e{i}.nef",
+            rng.integers(0, 4096, size=(16, 24), dtype=np.uint16))
+    db = str(tmp_path / "cat.db")
+    main(["--db", db, "import", str(tmp_path), "--no-tiers"])
+    capsys.readouterr()
+    with Library(db) as lib:
+        ids = [img.id for img in lib.get_all_images()]
+        lib.set_rating(ids[0], rating=5)
+    out_dir = tmp_path / "out"
+    rc = main(["--db", db, "export", "-o", str(out_dir),
+               "--ext", "png", "--min-rating", "3"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip())
+    assert report["succeeded"] == 1
+    assert len(list(out_dir.glob("*.png"))) == 1
