@@ -77,9 +77,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-rating", type=int, default=0)
     p.add_argument("--flag", choices=("pick", "reject", "none"),
                    default=None)
+    p.add_argument("--json", action="store_true",
+                   help="one JSON object per line (for scripting)")
 
     p = sub.add_parser("info", help="print decoded RAW metadata")
     p.add_argument("input")
+    p.add_argument("--save-preview", default=None, metavar="PATH",
+                   help="also extract the largest embedded JPEG preview")
 
     p = sub.add_parser("develop", help="develop one image to JPEG/PNG")
     p.add_argument("input", help="RAW file path or catalog image id")
@@ -247,6 +251,14 @@ def cmd_list(args) -> int:
             status = "deleted" if img.is_deleted() else (
                 "cached" if img.cache_path_working else "pending")
             rating, rflag = lib.get_rating(img.id)
+            if getattr(args, "json", False):
+                print(json.dumps({
+                    "id": img.id, "filename": img.filename,
+                    "path": img.path, "status": status,
+                    "edited": edited == "*", "rating": rating,
+                    "flag": rflag,
+                }))
+                continue
             stars = ("★" * rating).ljust(5)
             mark = {"pick": "P", "reject": "X"}.get(rflag, " ")
             print(f"{img.id:6d} {edited} {status:8s} {stars} {mark} "
@@ -273,9 +285,26 @@ def cmd_rate(args) -> int:
 
 
 def cmd_info(args) -> int:
-    from raweditor_tpu.raw.decode import decode_raw
+    from raweditor_tpu.raw.decode import UnsupportedRawError, decode_raw
 
-    raw = decode_raw(args.input)
+    preview_saved = None
+    if getattr(args, "save_preview", None):
+        from raweditor_tpu.raw.decode import extract_preview_jpeg
+
+        jpeg = extract_preview_jpeg(args.input)
+        if jpeg is None:
+            raise SystemExit("info: no embedded JPEG preview found")
+        with open(args.save_preview, "wb") as f:
+            f.write(jpeg)
+        preview_saved = args.save_preview
+    try:
+        raw = decode_raw(args.input)
+    except UnsupportedRawError as e:
+        # Unsupported container (e.g. CR3): previews still work — report
+        # what we have instead of a traceback.
+        print(json.dumps({"error": str(e),
+                          "preview_saved": preview_saved}))
+        return 0 if preview_saved else 1
     print(json.dumps({
         "width": raw.width,
         "height": raw.height,

@@ -241,3 +241,40 @@ def test_export_min_rating_filter(tmp_path, rng, capsys):
     report = json.loads(capsys.readouterr().out.strip())
     assert report["succeeded"] == 1
     assert len(list(out_dir.glob("*.png"))) == 1
+
+
+def test_list_json_output(tmp_path, rng, capsys):
+    from raweditor_tpu.cli import main
+    from raweditor_tpu.raw.synth import write_synthetic_raw
+
+    write_synthetic_raw(
+        tmp_path / "j.nef",
+        rng.integers(0, 4096, size=(16, 24), dtype=np.uint16))
+    db = str(tmp_path / "cat.db")
+    main(["--db", db, "import", str(tmp_path), "--no-tiers"])
+    capsys.readouterr()
+    main(["--db", db, "list", "--json"])
+    rows = [json.loads(line)
+            for line in capsys.readouterr().out.strip().splitlines()]
+    assert rows and rows[0]["filename"] == "j.nef"
+    assert rows[0]["rating"] == 0 and rows[0]["flag"] == "none"
+
+
+def test_info_save_preview(tmp_path, rng, capsys):
+    import io
+
+    from PIL import Image
+
+    from raweditor_tpu.cli import main
+    from raweditor_tpu.raw.synth import write_synthetic_raw
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 24), (90, 60, 30)).save(buf, format="JPEG")
+    path = tmp_path / "p.nef"
+    write_synthetic_raw(
+        path, rng.integers(0, 4096, size=(16, 24), dtype=np.uint16),
+        preview_jpeg=buf.getvalue())
+    out = tmp_path / "prev.jpg"
+    rc = main(["info", str(path), "--save-preview", str(out)])
+    assert rc == 0
+    assert Image.open(out).size == (32, 24)
