@@ -295,6 +295,17 @@ def pallas_batch_develop_rgba(
     """
     n, h, w = mosaics.shape
     bh = block_h or _largest_even_divisor(h)
+    if block_h is None and bh == 0:
+        hp = -(-h // 128) * 128  # see pallas_develop_rgba: no divisor
+        if hp != h:
+            out = pallas_batch_develop_rgba(
+                jnp.pad(mosaics, ((0, 0), (0, hp - h), (0, 0)),
+                        mode="edge"),
+                params, wbs, cam_matrices, white_levels, black_levels,
+                matrix_transpose, block_h, interpret, cfa_phase, gamma,
+                pattern,
+            )
+            return out[:, :h]
     if not bh or h % bh or bh % 8:
         raise ValueError(
             f"H={h} needs a block height that is a multiple of 8 and "
@@ -360,6 +371,22 @@ def pallas_develop_rgba(
     (X-Trans et al; nearest offsets must be within ±1)."""
     h, w = mosaic.shape
     bh = block_h or _largest_even_divisor(h)
+    # Heights with no multiple-of-8 divisor at all (e.g. 502 = 2·251)
+    # are edge-padded to the next multiple of 128 and sliced after —
+    # the clone rows reproduce clamp-to-edge. (Measured: padding heights
+    # that do have a small valid divisor is NOT faster — the ~2% extra
+    # rows cost more than the saved grid steps — so this only rescues
+    # otherwise-unsupported shapes.)
+    if block_h is None and bh == 0:
+        hp = -(-h // 128) * 128
+        if hp != h:
+            out = pallas_develop_rgba(
+                jnp.pad(mosaic, ((0, hp - h), (0, 0)), mode="edge"),
+                params, wb, cam_matrix, white_level, black_level,
+                matrix_transpose, block_h, interpret, cfa_phase, gamma,
+                pattern,
+            )
+            return out[:h]
     if not bh or h % bh or bh % 8:
         raise ValueError(
             f"H={h} needs a block height that is a multiple of 8 and "

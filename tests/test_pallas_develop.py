@@ -76,11 +76,18 @@ def test_block_divisor_selection():
     assert _largest_even_divisor(10) == 0  # no multiple-of-8 divisor
 
 
-def test_indivisible_height_raises(rng):
+def test_indivisible_height_now_padded(rng):
+    """Heights with no multiple-of-8 divisor used to raise; they are now
+    edge-padded to 128-row blocks and match XLA within the budget."""
     mosaic = rng.integers(0, 4096, size=(10, 32), dtype=np.uint16)
+    got = pallas_develop_rgba(mosaic, EditParams(), WB, IDENTITY,
+                              interpret=True)
+    want = develop_rgba(mosaic, EditParams(), WB, IDENTITY)
+    assert_1lsb(got, want)
+    # An explicit non-dividing block height is still an error.
     with pytest.raises(ValueError):
         pallas_develop_rgba(mosaic, EditParams(), WB, IDENTITY,
-                            interpret=True)
+                            interpret=True, block_h=8)
 
 
 def test_cfa_phase(rng):
@@ -176,15 +183,18 @@ class TestBatchedKernel:
                 interpret=True))
             assert (out[i] == want).all(), i
 
-    def test_rejects_bad_height(self, rng):
+    def test_odd_height_now_padded(self, rng):
         from raweditor_tpu.ops.pallas_develop import (
             pallas_batch_develop_rgba,
         )
 
         mosaics, plist, pp, wbs, cms = self._batch(rng, h=12)
-        with pytest.raises(ValueError, match="block height"):
-            pallas_batch_develop_rgba(mosaics, pp, wbs, cms,
-                                      interpret=True)
+        out = np.asarray(pallas_batch_develop_rgba(
+            mosaics, pp, wbs, cms, interpret=True))
+        for i in range(len(plist)):
+            want = np.asarray(pallas_develop_rgba(
+                mosaics[i], plist[i], wbs[i], cms[i], interpret=True))
+            assert (out[i] == want).all(), i
 
 
 def test_srgb_transfer_matches_xla(rng):
@@ -244,3 +254,14 @@ def test_unaligned_width_edge_pad(rng):
     # and within 1 LSB of the XLA reference
     xla = develop_rgba(mosaic, FULL, WB, IDENTITY)
     assert_1lsb(got, xla)
+
+
+def test_no_divisor_height_padded(rng):
+    """Heights with no multiple-of-8 divisor (502 = 2·251) used to be
+    unsupported; they are edge-padded to 128-row blocks and match XLA
+    within the folding budget. Heights with a valid divisor keep their
+    natural blocks (padding measured slower there)."""
+    odd = rng.integers(0, 4096, size=(502, 32), dtype=np.uint16)
+    got = pallas_develop_rgba(odd, FULL, WB, IDENTITY, interpret=True)
+    want = develop_rgba(odd, FULL, WB, IDENTITY)
+    assert_1lsb(got, want)
