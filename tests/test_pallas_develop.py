@@ -265,3 +265,27 @@ def test_no_divisor_height_padded(rng):
     got = pallas_develop_rgba(odd, FULL, WB, IDENTITY, interpret=True)
     want = develop_rgba(odd, FULL, WB, IDENTITY)
     assert_1lsb(got, want)
+
+
+def test_random_param_sweep_vs_xla(rng):
+    """10 random full-stack parameter points: the constant-folded kernel
+    must stay within 1 LSB of the XLA path at every one."""
+    mosaic = rng.integers(0, 4096, size=(24, 128), dtype=np.uint16)
+    for trial in range(10):
+        p = EditParams(
+            exposure=float(rng.uniform(-3, 3)),
+            contrast=float(rng.uniform(-80, 80)),
+            highlights=float(rng.uniform(-1, 1)),
+            shadows=float(rng.uniform(-1, 1)),
+            whites=float(rng.uniform(0.6, 1.4)),
+            blacks=float(rng.uniform(-0.2, 0.4)),
+            vibrance=float(rng.uniform(-1, 1)),
+            saturation=float(rng.uniform(-90, 90)),
+            temperature=float(rng.uniform(-1, 1)),
+            tint=float(rng.uniform(-1, 1)),
+        )
+        wb = rng.uniform(0.5, 2.5, 3).astype(np.float32)
+        want = develop_rgba(mosaic, p, wb, IDENTITY)
+        got = pallas_develop_rgba(mosaic, p, wb, IDENTITY,
+                                  interpret=True)
+        assert_1lsb(got, want, frac_exact=0.9), trial
