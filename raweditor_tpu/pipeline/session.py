@@ -139,11 +139,20 @@ class DevelopSession:
             self.library.delete_edits(self.image_id)
         return {"ok": True, "reset": True}
 
-    def auto(self) -> dict:
-        """Apply the auto-adjust suggestion (exposure + WB)."""
+    def auto(self, *options: str) -> dict:
+        """Apply the auto-adjust suggestion (exposure + WB; pass
+        'levels' and/or 'contrast' tokens for the extra corrections)."""
         from raweditor_tpu.pipeline.auto import suggest_auto
 
-        self.params = suggest_auto(self.engine, self.params)
+        bad = set(options) - {"levels", "contrast"}
+        if bad:
+            return {"ok": False,
+                    "error": f"usage: auto [levels] [contrast]"}
+        self.params = suggest_auto(
+            self.engine, self.params,
+            include_levels="levels" in options,
+            include_contrast="contrast" in options,
+        )
         if self.library is not None and self.image_id is not None:
             self.library.save_edit_params(self.image_id, self.params,
                                           append=self._frozen)
@@ -194,7 +203,7 @@ class DevelopSession:
             if cmd == "history":
                 return self.history()
             if cmd == "auto":
-                return self.auto()
+                return self.auto(*args)
             if cmd == "stats":
                 return self.stats()
             return {"ok": False, "error": f"unknown command {cmd!r}"}

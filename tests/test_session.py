@@ -135,3 +135,11 @@ def test_non_finite_slider_rejected(session):
         assert out["ok"] is False and "finite" in out["error"]
     # Nothing persisted, params unchanged.
     assert float(sess.params.exposure) == 0.0
+
+
+def test_auto_with_levels_and_contrast_tokens(session):
+    sess, _, _ = session
+    out = sess.handle("auto levels contrast")
+    assert out["ok"] is True
+    out = sess.handle("auto bogus")
+    assert out["ok"] is False and "usage" in out["error"]
