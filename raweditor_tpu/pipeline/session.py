@@ -9,6 +9,7 @@ harness) can drive the engine without linking a GUI:
     set <slider> <value>     update one slider (persists when --db)
     zoom <z> | pan <x> <y>   view transform (clamped like the UI)
     render <path>            write current preview PNG
+    auto [levels] [contrast] apply auto-adjust suggestions
     full <path>              full-resolution export
     histogram                print (3,256) JSON histogram
     before <path>            preview with default params (before view)
