@@ -662,6 +662,21 @@ _COMMANDS = {
 }
 
 
+def generate_cli_reference() -> str:
+    """docs/cli.md content, generated from the argparse tree (a test
+    asserts the committed file matches, so it can't go stale)."""
+    ap = build_parser()
+    out = ["# CLI reference", "",
+           "Generated from the argparse tree "
+           "(`python -m raweditor_tpu --help`).", ""]
+    sub = next(a for a in ap._actions
+               if hasattr(a, "choices") and a.choices)
+    for name, p in sub.choices.items():
+        out += [f"## `{name}`", "", "```", p.format_help().rstrip(),
+                "```", ""]
+    return "\n".join(out)
+
+
 def main(argv=None) -> int:
     # Backend init happens lazily where JAX is actually used
     # (DevelopEngine/exporter/bench) — catalog-only commands must not

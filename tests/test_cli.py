@@ -278,3 +278,18 @@ def test_info_save_preview(tmp_path, rng, capsys):
     rc = main(["info", str(path), "--save-preview", str(out)])
     assert rc == 0
     assert Image.open(out).size == (32, 24)
+
+
+def test_cli_reference_doc_current():
+    """docs/cli.md must match the current parser — regenerate with
+    raweditor_tpu.cli.generate_cli_reference() when flags change."""
+    import pathlib
+
+    from raweditor_tpu.cli import generate_cli_reference
+
+    doc = pathlib.Path(__file__).parent.parent / "docs" / "cli.md"
+    assert doc.read_text() == generate_cli_reference(), (
+        "docs/cli.md is stale; regenerate via "
+        "python -c 'from raweditor_tpu.cli import generate_cli_reference;"
+        " open(\"docs/cli.md\",\"w\").write(generate_cli_reference())'"
+    )
