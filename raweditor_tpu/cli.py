@@ -159,6 +159,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="catalog exports only: require this flag")
     _add_slider_args(p)
 
+    sub.add_parser(
+        "verify",
+        help="catalog integrity check: re-pend images with missing tier "
+             "files, tombstone missing RAW files",
+    )
+
     p = sub.add_parser("tiers", help="generate pending preview tiers")
     p.add_argument("--cache-dir", default=None)
 
@@ -429,6 +435,16 @@ def cmd_export(args) -> int:
     return 0 if not report.failed else 1
 
 
+def cmd_verify(args) -> int:
+    with _open_library(args) as lib:
+        print(json.dumps({
+            "repending": lib.verify_cache(),
+            "tombstoned": lib.verify_files(),
+            "images": lib.image_count(),
+        }))
+    return 0
+
+
 def cmd_tiers(args) -> int:
     from raweditor_tpu.pipeline.tiers import process_pending_cache
 
@@ -653,6 +669,7 @@ _COMMANDS = {
     "edit": cmd_edit,
     "export": cmd_export,
     "tiers": cmd_tiers,
+    "verify": cmd_verify,
     "histogram": cmd_histogram,
     "synth": cmd_synth,
     "auto": cmd_auto,

@@ -293,3 +293,19 @@ def test_cli_reference_doc_current():
         "python -c 'from raweditor_tpu.cli import generate_cli_reference;"
         " open(\"docs/cli.md\",\"w\").write(generate_cli_reference())'"
     )
+
+
+def test_verify_command(tmp_path, rng, capsys):
+    from raweditor_tpu.cli import main
+    from raweditor_tpu.raw.synth import write_synthetic_raw
+
+    path = tmp_path / "v.nef"
+    write_synthetic_raw(
+        path, rng.integers(0, 4096, size=(16, 24), dtype=np.uint16))
+    db = str(tmp_path / "cat.db")
+    main(["--db", db, "import", str(tmp_path), "--no-tiers"])
+    capsys.readouterr()
+    path.unlink()  # simulate the RAW disappearing
+    main(["--db", db, "verify"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["tombstoned"] == 1 and out["images"] == 1
