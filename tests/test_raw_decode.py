@@ -355,6 +355,9 @@ def test_decoder_fuzz_error_contract(rng):
         write_synthetic_raw(None, m, compression=c)
         for c in ("none", "ljpeg", "nikon", "ljpeg4")
     ]
+    # ARW2 blocks span 32 columns, so its base needs a wider mosaic.
+    m32 = rng.integers(0, 4096, size=(8, 32), dtype=np.uint16)
+    bases.append(write_synthetic_raw(None, m32, compression="arw2"))
     bases.append(write_synthetic_raw(None, m, compression="ljpeg",
                                      rows_per_strip=5))
     bases.append(write_synthetic_raw(None, m, tile_size=(8, 4)))
