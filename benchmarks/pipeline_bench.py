@@ -27,6 +27,8 @@ def main() -> None:
     ap.add_argument("--images", type=int, default=16)
     ap.add_argument("--width", type=int, default=1504)
     ap.add_argument("--height", type=int, default=1004)
+    ap.add_argument("--fast", action="store_true",
+                    help="batched Pallas kernel + polynomial gamma")
     ap.add_argument("--full-res", action="store_true",
                     help="use 6016x4016 (24 MP) mosaics")
     ap.add_argument("--compression", choices=("none", "ljpeg", "nikon"),
@@ -77,6 +79,7 @@ def main() -> None:
     report = run_batch_export(
         jobs, batch_size=args.batch_size,
         decode_threads=args.decode_threads,
+        use_pallas=args.fast, fast_gamma=args.fast,
     )
     out = report.as_dict()
     out.update({
