@@ -289,3 +289,18 @@ def test_random_param_sweep_vs_xla(rng):
         got = pallas_develop_rgba(mosaic, p, wb, IDENTITY,
                                   interpret=True)
         assert_1lsb(got, want, frac_exact=0.9), trial
+
+
+def test_accurate_mode_settings(rng):
+    """Kernel under accurate-mode settings: non-identity camera matrix,
+    straight multiply (no WGSL transpose), real black/white levels."""
+    mosaic = rng.integers(0, 16383, size=(16, 32), dtype=np.uint16)
+    cm = np.array([[1.8, -0.5, -0.3],
+                   [-0.2, 1.4, -0.2],
+                   [0.05, -0.45, 1.4]], np.float32)
+    want = develop_rgba(mosaic, FULL, WB, cm, white_level=16383.0,
+                        black_level=512.0, matrix_transpose=False)
+    got = pallas_develop_rgba(mosaic, FULL, WB, cm,
+                              white_level=16383.0, black_level=512.0,
+                              matrix_transpose=False, interpret=True)
+    assert_1lsb(got, want, frac_exact=0.9)
