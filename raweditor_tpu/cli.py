@@ -375,6 +375,14 @@ def cmd_edit(args) -> int:
             lib.delete_edits(args.image_id)
             print(json.dumps({"image_id": args.image_id, "reset": True}))
             return 0
+        overrides = {
+            name for name in EditParams.field_names()
+            if getattr(args, name, None) is not None
+        }
+        if not overrides:
+            # Query mode: print the stored params without writing.
+            print(lib.load_edit_params(args.image_id).to_json())
+            return 0
         params = _params_from_args(args, lib.load_edit_params(args.image_id))
         lib.save_edit_params(args.image_id, params)
         print(params.to_json())

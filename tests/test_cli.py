@@ -309,3 +309,25 @@ def test_verify_command(tmp_path, rng, capsys):
     main(["--db", db, "verify"])
     out = json.loads(capsys.readouterr().out.strip())
     assert out["tombstoned"] == 1 and out["images"] == 1
+
+
+def test_edit_query_mode(tmp_path, rng, capsys):
+    """'edit <id>' with no slider flags prints stored params without
+    writing a new edits row."""
+    from raweditor_tpu.catalog import Library
+    from raweditor_tpu.cli import main
+    from raweditor_tpu.raw.synth import write_synthetic_raw
+
+    write_synthetic_raw(
+        tmp_path / "q.nef",
+        rng.integers(0, 4096, size=(16, 24), dtype=np.uint16))
+    db = str(tmp_path / "cat.db")
+    main(["--db", db, "import", str(tmp_path), "--no-tiers"])
+    capsys.readouterr()
+    main(["--db", db, "edit", "1", "--exposure", "0.7"])
+    capsys.readouterr()
+    main(["--db", db, "edit", "1"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["exposure"] == 0.7
+    with Library(db) as lib:
+        assert len(lib.edit_history(1)) == 1  # query didn't write
