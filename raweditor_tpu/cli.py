@@ -15,6 +15,11 @@ The reference is a GUI app; its workflows map to subcommands here:
   tiers    work the pending cache queue (reference: main.rs:404-495)
   histogram  print the 256-bin histogram (reference: gpu/pipeline.rs:615-736)
   synth    write a synthetic RAW (test/bench fixture)
+  rate     star ratings / pick-reject flags (beyond the reference)
+  verify   catalog integrity check (startup self-healing, on demand)
+  auto     auto exposure/WB (+ levels/contrast) suggestions
+  session  interactive develop loop on stdin (the develop tab, headless)
+  warmup   precompile develop programs for a sensor shape
   bench    run the headline benchmark
 """
 
