@@ -487,3 +487,26 @@ class TestU16Export:
             eng.export(out, EP(exposure=0.2))
             tf = TiffFile(out.read_bytes())
             assert tf.ifds[0].get(T.BITS_PER_SAMPLE) == (16, 16, 16)
+
+
+def test_slider_and_zoom_changes_never_recompile(rng):
+    """Core design claim: EditParams, zoom/pan, and levels are traced —
+    a slider tick or view change reuses the compiled program."""
+    mosaic = rng.integers(0, 4096, size=(32, 48), dtype=np.uint16)
+    wb = np.ones(3, np.float32)
+
+    develop_preview._clear_cache()
+    for i in range(6):
+        p = EditParams(exposure=0.2 * i, contrast=5.0 * i,
+                       saturation=float(i), temperature=0.1 * i)
+        develop_preview(mosaic, p, wb, IDENTITY, out_w=16, out_h=12,
+                        zoom=1.0 + 0.5 * i, pan_x=0.05 * i,
+                        pan_y=-0.03 * i, white_level=4096.0 - i,
+                        black_level=float(i))
+    assert develop_preview._cache_size() == 1
+
+    from raweditor_tpu.ops.develop import develop_rgba as dr
+    dr._clear_cache()
+    for i in range(4):
+        dr(mosaic, EditParams(exposure=0.1 * i), wb, IDENTITY)
+    assert dr._cache_size() == 1
