@@ -304,3 +304,17 @@ def test_accurate_mode_settings(rng):
                               white_level=16383.0, black_level=512.0,
                               matrix_transpose=False, interpret=True)
     assert_1lsb(got, want, frac_exact=0.9)
+
+
+def test_kernel_never_recompiles_on_slider_change(rng):
+    """The folded-scalar vector is traced: slider/WB/level changes reuse
+    the compiled kernel."""
+    mosaic = rng.integers(0, 4096, size=(16, 128), dtype=np.uint16)
+    pallas_develop_rgba._clear_cache()
+    for i in range(5):
+        pallas_develop_rgba(
+            mosaic, EditParams(exposure=0.2 * i, contrast=3.0 * i),
+            WB * (1.0 + 0.01 * i), IDENTITY,
+            white_level=4096.0 - i, black_level=float(i),
+            interpret=True)
+    assert pallas_develop_rgba._cache_size() == 1
