@@ -24,6 +24,7 @@ from raweditor_tpu.ops.develop import (
     develop_preview,
     develop_rgba,
     develop_u8,
+    develop_u16,
     develop_xtrans,
     histogram_256,
     rgba_view,
@@ -41,6 +42,7 @@ __all__ = [
     "develop_preview",
     "develop_rgba",
     "develop_u8",
+    "develop_u16",
     "develop_xtrans",
     "histogram_256",
     "rgba_view",
