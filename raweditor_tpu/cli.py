@@ -174,7 +174,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cache-dir", default=None)
 
     p = sub.add_parser("histogram", help="print 256-bin histogram")
-    p.add_argument("input")
+    p.add_argument("input", help="RAW file path or catalog image id")
     p.add_argument("--ascii", action="store_true",
                    help="render as a terminal chart instead of JSON")
     p.add_argument("--zoom", type=float, default=1.0)
@@ -470,8 +470,9 @@ def cmd_tiers(args) -> int:
 def cmd_histogram(args) -> int:
     from raweditor_tpu.pipeline.engine import DevelopEngine
 
-    eng = DevelopEngine.open(args.input)
-    hist = eng.histogram(_params_from_args(args),
+    path, base = _resolve_input(args)
+    eng = DevelopEngine.open(path)
+    hist = eng.histogram(_params_from_args(args, base),
                          zoom=getattr(args, "zoom", 1.0),
                          pan=(getattr(args, "pan_x", 0.0),
                               getattr(args, "pan_y", 0.0)))

@@ -331,3 +331,19 @@ def test_edit_query_mode(tmp_path, rng, capsys):
     assert out["exposure"] == 0.7
     with Library(db) as lib:
         assert len(lib.edit_history(1)) == 1  # query didn't write
+
+
+def test_histogram_accepts_catalog_id(tmp_path, rng, capsys):
+    from raweditor_tpu.cli import main
+    from raweditor_tpu.raw.synth import write_synthetic_raw
+
+    write_synthetic_raw(
+        tmp_path / "h2.nef",
+        rng.integers(0, 4096, size=(16, 24), dtype=np.uint16))
+    db = str(tmp_path / "cat.db")
+    main(["--db", db, "import", str(tmp_path), "--no-tiers"])
+    capsys.readouterr()
+    rc = main(["--db", db, "histogram", "1"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert len(out["r"]) == 256
