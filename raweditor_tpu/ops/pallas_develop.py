@@ -335,7 +335,7 @@ def pallas_batch_develop_rgba(
         grid=(n, h // bh),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, bh, w), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
@@ -416,7 +416,7 @@ def pallas_develop_rgba(
         grid=(h // bh,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((bh, w), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
