@@ -23,8 +23,47 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+import subprocess
+
 import numpy as np
 import pytest
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _untracked_files():
+    try:
+        out = subprocess.run(
+            ["git", "status", "--porcelain", "--untracked-files=all"],
+            cwd=_REPO_ROOT, capture_output=True, text=True, timeout=30,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    if out.returncode != 0:
+        return None
+    return {
+        line[3:] for line in out.stdout.splitlines()
+        if line.startswith("??")
+    }
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _repo_stays_clean():
+    """The suite must not leave droppings in the working tree (a fuzz
+    test once committed render outputs named ``--``/``-999``/... to the
+    repo root — VERDICT r1 §weak-3). Snapshot untracked files before the
+    run and assert no new ones after."""
+    before = _untracked_files()
+    yield
+    if before is None:
+        return
+    after = _untracked_files()
+    if after is None:
+        return
+    leaked = sorted(after - before)
+    assert not leaked, (
+        "test suite leaked files into the working tree: %s" % leaked
+    )
 
 
 @pytest.fixture

@@ -14,7 +14,11 @@ from raweditor_tpu.raw.synth import write_synthetic_raw
 
 
 @pytest.fixture
-def session(tmp_path, rng):
+def session(tmp_path, rng, monkeypatch):
+    # Sandbox: protocol commands like ``render exposure`` resolve
+    # CWD-relative output paths, so keep the CWD inside tmp_path — the
+    # fuzz test must never drop files into the repo root.
+    monkeypatch.chdir(tmp_path)
     path = tmp_path / "a.nef"
     write_synthetic_raw(
         path, rng.integers(0, 4096, size=(24, 32), dtype=np.uint16)
