@@ -470,6 +470,52 @@ void decode_arw2_impl(const uint8_t* data, int64_t n, uint16_t* out,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Category-coded Huffman packing (synthetic encoder hot path)
+// ---------------------------------------------------------------------------
+
+// For each residual emit the category's Huffman code, then `cat` raw
+// magnitude bits, MSB-first (the universal lossless-JPEG/NEF scan
+// layout; raw mapping d>=0 ? d : d + 2^cat - 1 per ITU T.81 H.2).
+// Categories above max_raw_cat emit no raw bits (JPEG's category-16
+// case). Trailing bits are zero-padded to a byte boundary, matching
+// the NumPy reference packer (raw/bitpack.py). Fixture generation for
+// 24 MP benchmarks needs this native: the vectorized NumPy packer is
+// O(total_bits) fancy-indexing passes (~100 s/24 MP on one core).
+template <typename DiffT>
+std::vector<uint8_t> huffman_pack_impl(const DiffT* diffs, int64_t n,
+                                       const uint64_t* code_tab,
+                                       const int32_t* clen_tab, int ncat,
+                                       int max_raw_cat) {
+  std::vector<uint8_t> out;
+  out.reserve(size_t(n) * 3 + 16);
+  uint64_t acc = 0;
+  int nbits = 0;
+  auto put = [&](uint64_t v, int len) {
+    acc = (acc << len) | (v & ((1ull << len) - 1));
+    nbits += len;
+    while (nbits >= 8) {
+      nbits -= 8;
+      out.push_back(uint8_t(acc >> nbits));
+    }
+  };
+  for (int64_t i = 0; i < n; i++) {
+    int64_t d = int64_t(diffs[i]);
+    uint64_t mag = d >= 0 ? uint64_t(d) : uint64_t(-d);
+    int cat = mag ? 64 - __builtin_clzll(mag) : 0;
+    if (cat >= ncat || clen_tab[cat] <= 0)
+      throw std::runtime_error("residual category not in tree");
+    put(code_tab[cat], clen_tab[cat]);
+    if (cat && cat <= max_raw_cat) {
+      uint64_t raw = d >= 0 ? uint64_t(d)
+                            : uint64_t(d + (int64_t(1) << cat) - 1);
+      put(raw, cat);
+    }
+  }
+  if (nbits) out.push_back(uint8_t(acc << (8 - nbits)));
+  return out;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -639,6 +685,50 @@ static PyObject* py_decode_arw2(PyObject*, PyObject* args) {
   return out;
 }
 
+static PyObject* py_huffman_pack(PyObject*, PyObject* args) {
+  Py_buffer diffs, codes, clens;
+  int itemsize, max_raw_cat;
+  if (!PyArg_ParseTuple(args, "y*iy*y*i", &diffs, &itemsize, &codes, &clens,
+                        &max_raw_cat))
+    return nullptr;
+  std::string err;
+  std::vector<uint8_t> out;
+  int ncat = int(clens.len / 4);
+  if (int64_t(codes.len / 8) < ncat) {
+    err = "code/length tables disagree";
+  } else {
+    int64_t n = diffs.len / itemsize;
+    const uint64_t* ct = static_cast<const uint64_t*>(codes.buf);
+    const int32_t* lt = static_cast<const int32_t*>(clens.buf);
+    Py_BEGIN_ALLOW_THREADS
+    try {
+      if (itemsize == 2)
+        out = huffman_pack_impl(static_cast<const int16_t*>(diffs.buf), n,
+                                ct, lt, ncat, max_raw_cat);
+      else if (itemsize == 4)
+        out = huffman_pack_impl(static_cast<const int32_t*>(diffs.buf), n,
+                                ct, lt, ncat, max_raw_cat);
+      else if (itemsize == 8)
+        out = huffman_pack_impl(static_cast<const int64_t*>(diffs.buf), n,
+                                ct, lt, ncat, max_raw_cat);
+      else
+        throw std::runtime_error("itemsize must be 2, 4, or 8");
+    } catch (const std::exception& e) {
+      err = e.what();
+    }
+    Py_END_ALLOW_THREADS
+  }
+  PyBuffer_Release(&diffs);
+  PyBuffer_Release(&codes);
+  PyBuffer_Release(&clens);
+  if (!err.empty()) {
+    PyErr_SetString(PyExc_ValueError, err.c_str());
+    return nullptr;
+  }
+  return PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(out.data()), out.size());
+}
+
 static PyMethodDef RawkitMethods[] = {
     {"scan_jpeg_spans", py_scan_jpeg_spans, METH_VARARGS,
      "scan_jpeg_spans(data) -> [(start, end), ...]"},
@@ -654,6 +744,10 @@ static PyMethodDef RawkitMethods[] = {
      "curve_u16) -> u16 bytes"},
     {"decode_arw2", py_decode_arw2, METH_VARARGS,
      "decode_arw2(data, width, height) -> u16 bytes (12-bit space)"},
+    {"huffman_pack", py_huffman_pack, METH_VARARGS,
+     "huffman_pack(diffs, itemsize, code_tab_u64, clen_tab_i32, "
+     "max_raw_cat) -> packed bitstream bytes (diffs: signed ints of "
+     "the given itemsize)"},
     {nullptr, nullptr, 0, nullptr}};
 
 static struct PyModuleDef rawkit_module = {

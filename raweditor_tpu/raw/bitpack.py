@@ -46,6 +46,49 @@ def interleave_code_and_raw(codes, code_lens, raws, raw_lens) -> bytes:
     return concat_bitfields(values, lengths)
 
 
+def huffman_encode(diffs: np.ndarray, code_tab: np.ndarray,
+                   clen_tab: np.ndarray, max_raw_cat: int = 63) -> bytes:
+    """Category-code residuals: per sample emit the category's Huffman
+    code then ``cat`` raw magnitude bits (none for categories above
+    ``max_raw_cat`` — JPEG's 16 case). MSB-first, zero-padded tail.
+
+    Uses the C++ packer when available (the NumPy path is O(total
+    bits) and takes minutes at 24 MP); both produce identical bytes
+    (test_bitpack: native/NumPy equality).
+
+    code_tab/clen_tab are indexed by category; clen 0 marks a category
+    the tree cannot represent (raises ValueError).
+    """
+    diffs = np.asarray(diffs)
+    if diffs.dtype not in (np.int16, np.int32, np.int64):
+        diffs = diffs.astype(np.int64)
+    diffs = np.ascontiguousarray(diffs)
+    code_tab = np.ascontiguousarray(code_tab, np.uint64)
+    clen_tab64 = np.ascontiguousarray(clen_tab, np.int64)
+
+    from raweditor_tpu.native import get_rawkit
+
+    kit = get_rawkit()
+    if kit is not None and hasattr(kit, "huffman_pack"):
+        return kit.huffman_pack(
+            diffs, diffs.dtype.itemsize, code_tab,
+            np.ascontiguousarray(clen_tab64, np.int32),
+            int(max_raw_cat),
+        )
+
+    cats = category_of(diffs)
+    if cats.max(initial=0) >= len(clen_tab64) or (
+        clen_tab64[cats] <= 0
+    ).any():
+        raise ValueError("residual category not in tree")
+    raws = raw_bits_of(diffs, cats)
+    raw_lens = np.where(cats > max_raw_cat, 0, cats)
+    raws = np.where(cats > max_raw_cat, 0, raws)
+    return interleave_code_and_raw(
+        code_tab[cats], clen_tab64[cats], raws, raw_lens
+    )
+
+
 def category_of(diffs: np.ndarray) -> np.ndarray:
     """JPEG difference category: bit length of |diff| (exact for
     |diff| < 2^53 via frexp)."""

@@ -166,13 +166,16 @@ def _predictor1_diffs(plane: np.ndarray, precision: int) -> np.ndarray:
     """Vectorized predictor-1 residuals (left; first column from above;
     first sample from 2^(P-1)), wrapped to the int16 ring the scan
     encodes."""
-    p = plane.astype(np.int64)
+    p = plane.astype(np.int32)
     d = np.empty_like(p)
     d[:, 1:] = p[:, 1:] - p[:, :-1]
     d[0, 0] = p[0, 0] - (1 << (precision - 1))
     if p.shape[0] > 1:
         d[1:, 0] = p[1:, 0] - p[:-1, 0]
-    return ((d + 32768) & 0xFFFF) - 32768
+    # Wrap to the int16 ring the scan encodes; a plain narrowing cast
+    # is the mod-65536 signed wrap (and 4x less data than the int64
+    # mask-and-shift chain — this is 24 MP-hot fixture code).
+    return d.astype(np.int16)
 
 
 def encode_lossless(components: np.ndarray, precision: int,
@@ -220,18 +223,14 @@ def encode_lossless(components: np.ndarray, precision: int,
             [_predictor1_diffs(comps[ci], precision) for ci in range(nc)],
             axis=-1,
         ).reshape(-1)
-        cats = bitpack.category_of(diffs)
         code_tab = np.zeros(17, np.uint64)
         clen_tab = np.zeros(17, np.int64)
         for s, (code, length) in codes.items():
             code_tab[s], clen_tab[s] = code, length
-        raws = bitpack.raw_bits_of(diffs, cats)
-        raw_lens = np.where(cats == 16, 0, cats)
-        raws = np.where(cats == 16, 0, raws)
-        body = bitpack.interleave_code_and_raw(
-            code_tab[cats], clen_tab[cats], raws, raw_lens
-        )
-        # Byte-stuff and pad with 1-bits like the scalar writer.
+        # Category 16 carries no raw bits (T.81 H.2: the 32768 case).
+        body = bitpack.huffman_encode(diffs, code_tab, clen_tab,
+                                      max_raw_cat=15)
+        # Byte-stuff the entropy stream (0xFF -> 0xFF 0x00).
         body = body.replace(b"\xff", b"\xff\x00")
         out += body
     else:

@@ -255,7 +255,7 @@ def encode_nikon(mosaic: np.ndarray, bps: int,
     tree for the given bit depth. Little-endian metadata (pair with an
     'II' container).
     """
-    mosaic = np.asarray(mosaic, dtype=np.int64)
+    mosaic = np.asarray(mosaic, dtype=np.int32)
     h, w = mosaic.shape
     if mosaic.max(initial=0) >= (1 << bps):
         raise ValueError("sample exceeds bit depth")
@@ -273,18 +273,15 @@ def encode_nikon(mosaic: np.ndarray, bps: int,
     if h > 2:
         diffs[2:, :2] = mosaic[2:, :2] - mosaic[:-2, :2]
     flat = diffs.reshape(-1)
-    cats = bitpack.category_of(flat)
     max_cat = max(codes)
-    if cats.max(initial=0) > max_cat:
-        raise ValueError(f"residual category {cats.max()} not in tree")
     code_tab = np.zeros(max_cat + 1, np.uint64)
     clen_tab = np.zeros(max_cat + 1, np.int64)
     for s, (code, length) in codes.items():
         code_tab[s], clen_tab[s] = code, length
-    raws = bitpack.raw_bits_of(flat, cats)
-    stream = bitpack.interleave_code_and_raw(
-        code_tab[cats], clen_tab[cats], raws, cats
-    )
+    try:
+        stream = bitpack.huffman_encode(flat, code_tab, clen_tab)
+    except ValueError as exc:
+        raise ValueError(f"residual category not in tree: {exc}") from exc
 
     # Metadata: ver0=0x46 (lossless), ver1=0x30, vpred, identity curve.
     max_value = (1 << bps) & 0x7FFF

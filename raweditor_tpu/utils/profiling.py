@@ -23,6 +23,54 @@ def device_trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+def device_execution_times(log_dir: str, name_prefix: str):
+    """Parse a ``device_trace`` capture and return the device-side
+    execution durations (ms) of every XLA module whose event name starts
+    with ``name_prefix`` (e.g. ``"jit_develop_preview"``).
+
+    This is the profiler-derived ground truth for "time the chip spent
+    computing", independent of host dispatch and transport latency —
+    on a tunneled dev TPU the per-call RPC round trip is ~30 ms while
+    the device executes the preview program in <1 ms, and only a trace
+    can tell those apart (VERDICT r1: the preview p50 decomposition).
+
+    Returns a list of durations in milliseconds (one per launch), or
+    ``[]`` if the trace contains no matching device events.
+    """
+    import glob
+    import os
+
+    from jax.profiler import ProfileData
+
+    durations_ms = []
+    pattern = os.path.join(log_dir, "**", "*.xplane.pb")
+    for path in glob.glob(pattern, recursive=True):
+        durations_ms.extend(
+            profile_module_durations(ProfileData.from_file(path),
+                                     name_prefix)
+        )
+    return durations_ms
+
+
+def profile_module_durations(profile, name_prefix: str):
+    """Durations (ms) of device-plane events in an already-parsed
+    ``jax.profiler.ProfileData`` whose names start with ``name_prefix``.
+    """
+    durations_ms = []
+    for plane in profile.planes:
+        # Device planes are named "/device:TPU:0" / "/device:CPU:0";
+        # skip host-side planes so dispatch events don't mix in. (The
+        # CPU backend records no device plane at all — callers must
+        # tolerate an empty result there.)
+        if not plane.name.startswith("/device:"):
+            continue
+        for line in plane.lines:
+            for event in line.events:
+                if event.name.startswith(name_prefix):
+                    durations_ms.append(event.duration_ns / 1e6)
+    return durations_ms
+
+
 def annotate(name: str):
     """Decorator: wrap a function in a named profiler span."""
     import functools

@@ -128,5 +128,40 @@ def test_native_binary_current():
     if rk is None:
         pytest.skip("native ext not built")
     for fn in ("scan_jpeg_spans", "unpack_bits", "unpack_bits2",
-               "decode_ljpeg", "decode_nikon", "decode_arw2"):
+               "decode_ljpeg", "decode_nikon", "decode_arw2",
+               "huffman_pack"):
         assert hasattr(rk, fn), f"stale _rawkit binary: missing {fn}"
+
+
+@pytest.mark.parametrize("dtype", [np.int16, np.int32, np.int64])
+def test_huffman_encode_native_matches_numpy(dtype, rng, monkeypatch):
+    """The C++ packer and the NumPy bitfield packer must emit identical
+    bitstreams for the same residuals/tables (incl. the no-raw-bits
+    category-16 case)."""
+    from raweditor_tpu.raw import bitpack
+
+    diffs = rng.integers(-2000, 2000, size=5000).astype(dtype)
+    diffs[::97] = 0  # category-0 runs
+    code_tab = np.arange(1, 18, dtype=np.uint64)
+    clen_tab = np.arange(5, 22, dtype=np.int64)
+    native = bitpack.huffman_encode(diffs, code_tab, clen_tab,
+                                    max_raw_cat=15)
+    monkeypatch.setattr("raweditor_tpu.native.get_rawkit", lambda: None)
+    fallback = bitpack.huffman_encode(diffs, code_tab, clen_tab,
+                                      max_raw_cat=15)
+    assert native == fallback
+
+
+def test_huffman_encode_category_not_in_tree(monkeypatch):
+    """Both paths must reject residuals whose category the tree lacks
+    (clen 0 marks an unrepresentable category)."""
+    from raweditor_tpu.raw import bitpack
+
+    diffs = np.array([0, 5000], np.int64)  # category 13
+    code_tab = np.zeros(8, np.uint64)
+    clen_tab = np.full(8, 3, np.int64)
+    with pytest.raises(ValueError):
+        bitpack.huffman_encode(diffs, code_tab, clen_tab)
+    monkeypatch.setattr("raweditor_tpu.native.get_rawkit", lambda: None)
+    with pytest.raises(ValueError):
+        bitpack.huffman_encode(diffs, code_tab, clen_tab)
