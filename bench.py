@@ -93,37 +93,152 @@ def main():
                            pallas_per_sec, pallas_poly_per_sec)
 
     # --- 1280 px preview re-render latency (slider change → preview
-    # ready on device). Fetch time is reported separately: on locally
-    # attached hardware the 3.3 MB copy is ~PCIe-speed, but a tunneled
-    # dev chip (axon) serializes it at ~25 MB/s, which would swamp the
-    # compute signal.
+    # ready on device), decomposed so the number is defensible on a
+    # tunneled dev chip (VERDICT r1 item 1):
+    #   preview_device_p50_ms  profiler-derived device-execution p50 of
+    #                          the preview XLA module — the hardware
+    #                          truth, independent of transport.
+    #   preview_p50_ms         per-call wall time with a forced scalar-
+    #                          checksum host fetch (true sync; includes
+    #                          the tunnel RPC round trip).
+    #   rpc_floor_ms           the same forced-sync protocol around a
+    #                          no-op scalar program — proves the gap
+    #                          between the two numbers above is
+    #                          transport, not compute.
+    #   preview_dispatch_p50_ms  AOT call + block_until_ready (the
+    #                          standard JAX convention; optimistic on
+    #                          this transport, correct on local chips).
     pw, ph = preview_shape(w, h)
-    prev = develop_preview(mosaic, params, wb, cm, out_w=pw, out_h=ph)
-    jax.block_until_ready(prev)  # compile
-    lat, fetch_lat = [], []
+    # AOT-compile to strip Python tracing/cache-lookup from dispatch.
+    # The compiled program also returns a scalar checksum so one host
+    # fetch of 4 bytes is a true sync — block_until_ready is optimistic
+    # on the tunneled transport, and a separate checksum program would
+    # cost a second dispatch round trip.
+    def _preview_with_checksum(m, p, wbv, cmv):
+        r = develop_preview(m, p, wbv, cmv, out_w=pw, out_h=ph)
+        return r, jnp.max(r)
+
+    compiled_preview = (
+        jax.jit(_preview_with_checksum)
+        .lower(mosaic, params, wb, cm)
+        .compile()
+    )
+    prev, s = compiled_preview(mosaic, params, wb, cm)
+    np.asarray(s)  # compile + full sync
+
+    sync_lat, disp_lat, fetch_lat = [], [], []
     for i in range(50):
         p = params.replace(exposure=0.3 + 0.02 * i, saturation=float(i))
         t0 = time.perf_counter()
-        r = develop_preview(mosaic, p, wb, cm, out_w=pw, out_h=ph)
-        jax.block_until_ready(r)
-        lat.append((time.perf_counter() - t0) * 1000.0)
+        r, s = compiled_preview(mosaic, p, wb, cm)
+        disp_lat.append((time.perf_counter() - t0) * 1000.0)
+        np.asarray(s)
+        sync_lat.append((time.perf_counter() - t0) * 1000.0)
         if i < 5:
             t0 = time.perf_counter()
             np.asarray(r)
             fetch_lat.append((time.perf_counter() - t0) * 1000.0)
-    p50 = float(np.percentile(lat, 50))
-    p95 = float(np.percentile(lat, 95))
+    p50 = float(np.percentile(sync_lat, 50))
+    p95 = float(np.percentile(sync_lat, 95))
+    dispatch_p50 = float(np.percentile(disp_lat, 50))
     fetch_p50 = float(np.percentile(fetch_lat, 50))
 
-    # Amortized device time per preview (pipelined enqueue, one sync):
-    # isolates compute from the per-call host↔device RPC round trip,
-    # which on a tunneled dev chip is ~26 ms even for a no-op dispatch.
+    # RPC floor: identical sync protocol around a trivial program.
+    noop = jax.jit(lambda v: v + 1.0)
+    tiny = jax.device_put(np.float32(1.0))
+    np.asarray(noop(tiny))
+    rpc_lat = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        np.asarray(noop(tiny))
+        rpc_lat.append((time.perf_counter() - t0) * 1000.0)
+    rpc_floor = float(np.percentile(rpc_lat, 50))
+
+    # Profiler-derived device-execution p50 of the preview module.
+    device_p50 = 0.0
+    try:
+        import tempfile
+
+        from raweditor_tpu.utils.profiling import (
+            device_execution_times, device_trace)
+
+        with tempfile.TemporaryDirectory() as tdir:
+            with device_trace(tdir):
+                for i in range(30):
+                    p = params.replace(exposure=0.3 + 0.02 * i)
+                    r, s = compiled_preview(mosaic, p, wb, cm)
+                np.asarray(s)
+            durs = device_execution_times(
+                tdir, "jit__preview_with_checksum")
+        if durs:
+            device_p50 = float(np.percentile(durs, 50))
+    except Exception:
+        pass  # no trace support → field stays 0 and amortized stands in
+
+    # Amortized wall time per preview (pipelined enqueue, one sync):
+    # cross-check for the profiler number that needs no trace support.
     t0 = time.perf_counter()
     for i in range(50):
         p = params.replace(exposure=0.3 + 0.02 * i)
-        r = develop_preview(mosaic, p, wb, cm, out_w=pw, out_h=ph)
-    jax.block_until_ready(r)
+        r, s = compiled_preview(mosaic, p, wb, cm)
+    np.asarray(s)
     amortized_ms = (time.perf_counter() - t0) * 1000.0 / 50
+
+    # --- end-to-end batch export (decode -> develop -> encode): the
+    # BASELINE batch config ("1,000 NEFs -> sRGB JPEG") at reduced
+    # count — real Nikon-compressed NEFs through the C++ decoder, the
+    # batched develop, and host JPEG encode. The device-only headline
+    # above excludes host work; this number includes all of it, with
+    # the stage split so the host/device balance is on record
+    # (VERDICT r1 item 2). benchmarks/pipeline_bench.py runs the same
+    # pipeline at arbitrary scale.
+    import os
+    import shutil
+    import tempfile
+
+    from raweditor_tpu.pipeline.export import ExportJob, run_batch_export
+    from raweditor_tpu.raw.synth import write_synthetic_raw
+
+    n_e2e = 8
+    e2e_dir = tempfile.mkdtemp(prefix="raweditor-bench-e2e-")
+    try:
+        nef_bytes = write_synthetic_raw(None, mosaic_host,
+                                        compression="nikon")
+        jobs = []
+        for i in range(n_e2e):
+            path = os.path.join(e2e_dir, f"shot{i}.nef")
+            with open(path, "wb") as f:
+                f.write(nef_bytes)
+            jobs.append(ExportJob(
+                raw_path=path,
+                out_path=os.path.join(e2e_dir, "out", f"shot{i}.jpg"),
+                params=params.replace(exposure=0.5 + 0.01 * i),
+            ))
+        threads = os.cpu_count() or 1
+        # Warmup pass over one batch: compiles the batched develop for
+        # this shape (minutes on a cold cache over the tunnel) so the
+        # timed run measures steady-state throughput, not compilation.
+        warm_jobs = [
+            ExportJob(
+                raw_path=j.raw_path,
+                out_path=os.path.join(e2e_dir, "warm",
+                                      os.path.basename(j.out_path)),
+                params=j.params,
+            )
+            for j in jobs[:4]
+        ]
+        run_batch_export(warm_jobs, batch_size=4, decode_threads=threads,
+                         encode_threads=threads, use_pallas=True,
+                         fast_gamma=True)
+        e2e_report = run_batch_export(
+            jobs, batch_size=4, decode_threads=threads,
+            encode_threads=threads, use_pallas=True, fast_gamma=True,
+        )
+        e2e_per_sec = e2e_report.develops_per_sec
+        if e2e_report.failed:
+            e2e_per_sec = 0.0  # a quarantined image invalidates the run
+    finally:
+        shutil.rmtree(e2e_dir, ignore_errors=True)
 
     target = 50.0  # develops/sec/chip (BASELINE.md rebuild target)
     print(
@@ -140,9 +255,18 @@ def main():
                     pallas_poly_per_sec, 2),
                 "preview_p50_ms": round(p50, 2),
                 "preview_p95_ms": round(p95, 2),
+                "preview_device_p50_ms": round(device_p50, 3),
+                "preview_dispatch_p50_ms": round(dispatch_p50, 3),
+                "rpc_floor_ms": round(rpc_floor, 2),
                 "preview_fetch_p50_ms": round(fetch_p50, 2),
                 "preview_amortized_ms": round(amortized_ms, 3),
                 "preview_target_ms": 16.0,
+                "e2e_develops_per_sec": round(e2e_per_sec, 2),
+                "e2e_images": n_e2e,
+                "e2e_decode_threads": threads,
+                "e2e_decode_seconds": round(e2e_report.decode_seconds, 2),
+                "e2e_device_seconds": round(e2e_report.device_seconds, 2),
+                "e2e_encode_seconds": round(e2e_report.encode_seconds, 2),
                 "device": str(jax.devices()[0]),
             }
         )

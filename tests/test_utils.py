@@ -92,3 +92,52 @@ def test_device_trace_writes_profile(tmp_path):
     for root, _dirs, files in os.walk(tmp_path / "trace"):
         found.extend(files)
     assert found, "no profiler artifacts written"
+
+
+def test_profile_module_durations_parses_device_plane():
+    """Parse a synthetic xspace: only device-plane events matching the
+    prefix count (host planes and other modules are ignored)."""
+    pytest.importorskip("jax.profiler")
+    from jax.profiler import ProfileData
+
+    from raweditor_tpu.utils.profiling import profile_module_durations
+
+    text = """
+planes {
+  name: "/device:TPU:0"
+  lines {
+    events { metadata_id: 1 offset_ps: 0 duration_ps: 440000000 }
+    events { metadata_id: 1 offset_ps: 500000000 duration_ps: 460000000 }
+    events { metadata_id: 2 offset_ps: 0 duration_ps: 10000000 }
+  }
+  event_metadata { key: 1 value { id: 1 name: "jit_develop_preview(7)" } }
+  event_metadata { key: 2 value { id: 2 name: "copy.5" } }
+}
+planes {
+  name: "/host:CPU"
+  lines {
+    events { metadata_id: 1 offset_ps: 0 duration_ps: 990000000 }
+  }
+  event_metadata { key: 1 value { id: 1 name: "jit_develop_preview(7)" } }
+}
+"""
+    durs = profile_module_durations(
+        ProfileData.from_text_proto(text), "jit_develop_preview"
+    )
+    assert durs == [0.44, 0.46]
+
+
+def test_device_execution_times_empty_on_cpu(tmp_path):
+    """The CPU backend records no device plane; the helper must return
+    [] (bench.py falls back to the amortized number)."""
+    import jax
+    import jax.numpy as jnp
+
+    from raweditor_tpu.utils.profiling import (
+        device_execution_times, device_trace)
+
+    f = jax.jit(lambda x: x + 1)
+    f(jnp.ones((4,))).block_until_ready()
+    with device_trace(str(tmp_path / "t")):
+        f(jnp.ones((4,))).block_until_ready()
+    assert device_execution_times(str(tmp_path / "t"), "jit_") == []
