@@ -18,6 +18,7 @@
 #include <Python.h>
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <stdexcept>
 #include <string>
@@ -471,6 +472,284 @@ void decode_arw2_impl(const uint8_t* data, int64_t n, uint16_t* out,
 }
 
 // ---------------------------------------------------------------------------
+// Olympus ORF compressed sensor codec
+// ---------------------------------------------------------------------------
+// The published dcraw-lineage Olympus scheme (see raw/olympus.py — the
+// Python behavioral reference; tests assert array equality). MSB-first
+// stream after 7 padding bytes; unary "Huffman" (s zeros + 1, 12 zeros
+// = escape to a 16-nbits literal); per-parity adaptive carry state.
+
+struct MsbReader {
+  const uint8_t* d;
+  int64_t n;
+  int64_t bit = 0;
+
+  inline int get1() {
+    int64_t byte = bit >> 3;
+    int v = byte < n ? (d[byte] >> (7 - (bit & 7))) & 1 : 0;
+    bit++;
+    return v;
+  }
+  inline uint32_t get(int k) {
+    uint32_t out = 0;
+    for (int i = 0; i < k; i++) out = (out << 1) | get1();
+    return out;
+  }
+  inline int unary12() {
+    for (int z = 0; z < 12; z++)
+      if (get1()) return z;
+    return 12;
+  }
+};
+
+struct MsbWriter {
+  std::vector<uint8_t> out;
+  uint64_t acc = 0;
+  int n = 0;
+  inline void put(uint32_t v, int len) {
+    if (len <= 0) return;
+    acc = (acc << len) | (v & ((1ull << len) - 1));
+    n += len;
+    while (n >= 8) {
+      n -= 8;
+      out.push_back(uint8_t(acc >> n));
+    }
+  }
+  void flush() {
+    if (n) {
+      out.push_back(uint8_t(acc << (8 - n)));
+      n = 0;
+    }
+  }
+};
+
+inline int oly_nbits(int carry0, int carry2) {
+  int i = carry2 < 3 ? 2 : 0;
+  int nbits = 2 + i;
+  while ((carry0 & 0xFFFF) >> (nbits + i)) nbits++;
+  return nbits;
+}
+
+inline int oly_predict(const uint16_t* out, int64_t width, int64_t row,
+                       int64_t col) {
+  if (row < 2 && col < 2) return 0;
+  if (row < 2) return out[row * width + col - 2];
+  if (col < 2) return out[(row - 2) * width + col];
+  int w = out[row * width + col - 2];
+  int n = out[(row - 2) * width + col];
+  int nw = out[(row - 2) * width + col - 2];
+  if ((w < nw && nw < n) || (n < nw && nw < w)) {
+    if (std::abs(w - nw) > 32 || std::abs(n - nw) > 32)
+      return w + n - nw;
+    return (w + n) >> 1;
+  }
+  return std::abs(w - nw) > std::abs(n - nw) ? w : n;
+}
+
+void decode_olympus_impl(const uint8_t* data, int64_t len, uint16_t* out,
+                         int64_t width, int64_t height) {
+  if (len < 7) throw std::runtime_error("olympus strip too short");
+  MsbReader rdr{data + 7, len - 7};
+  for (int64_t row = 0; row < height; row++) {
+    int acarry[2][3] = {{0, 0, 0}, {0, 0, 0}};
+    for (int64_t col = 0; col < width; col++) {
+      int* carry = acarry[col & 1];
+      int nbits = oly_nbits(carry[0], carry[2]);
+      uint32_t sign3 = rdr.get(3);
+      int low = sign3 & 3;
+      int sign = (sign3 & 4) ? -1 : 0;
+      int high = rdr.unary12();
+      if (high == 12) high = rdr.get(16 - nbits) >> 1;
+      carry[0] = (high << nbits) | rdr.get(nbits);
+      int diff = (carry[0] ^ sign) + carry[1];
+      carry[1] = (diff * 3 + carry[1]) >> 5;
+      carry[2] = carry[0] > 16 ? 0 : carry[2] + 1;
+      int pred = oly_predict(out, width, row, col);
+      out[row * width + col] = uint16_t(pred + ((diff << 2) | low));
+    }
+  }
+}
+
+std::vector<uint8_t> encode_olympus_impl(const uint16_t* mosaic,
+                                         int64_t width, int64_t height) {
+  std::vector<uint16_t> out(size_t(width) * height, 0);
+  MsbWriter wtr;
+  for (int64_t row = 0; row < height; row++) {
+    int acarry[2][3] = {{0, 0, 0}, {0, 0, 0}};
+    for (int64_t col = 0; col < width; col++) {
+      int* carry = acarry[col & 1];
+      int nbits = oly_nbits(carry[0], carry[2]);
+      int pred = oly_predict(out.data(), width, row, col);
+      int delta = int(mosaic[row * width + col]) - pred;
+      int low = delta & 3;
+      int diff = delta >> 2;
+      int d = diff - carry[1];
+      int sign, carry0;
+      if (d >= 0) {
+        sign = 0;
+        carry0 = d;
+      } else {
+        sign = -1;
+        carry0 = ~d;
+      }
+      int high = carry0 >> nbits;
+      int raw = carry0 & ((1 << nbits) - 1);
+      wtr.put((sign ? 4 : 0) | low, 3);
+      if (high < 12) {
+        wtr.put(1, high + 1);
+      } else {
+        if (high >= (1 << (15 - nbits)))
+          throw std::runtime_error("olympus residual too large");
+        wtr.put(0, 12);
+        wtr.put(high << 1, 16 - nbits);
+      }
+      wtr.put(raw, nbits);
+      carry[0] = carry0;
+      carry[1] = (diff * 3 + carry[1]) >> 5;
+      carry[2] = carry0 > 16 ? 0 : carry[2] + 1;
+      out[row * width + col] = uint16_t(pred + ((diff << 2) | low));
+    }
+  }
+  wtr.flush();
+  std::vector<uint8_t> result(7, 0);
+  result.insert(result.end(), wtr.out.begin(), wtr.out.end());
+  return result;
+}
+
+// ---------------------------------------------------------------------------
+// Panasonic RW2 v4 sensor codec
+// ---------------------------------------------------------------------------
+// Published dcraw-lineage Panasonic scheme (see raw/panasonic.py, the
+// Python behavioral reference): 0x4000-byte blocks rotated by 0x2008,
+// group-reversed little-endian bit addressing, 14-pixel prediction
+// groups.
+
+struct PanaBits {
+  const uint8_t* d;
+  int64_t n;
+  int64_t off = 0;
+  int vbits = 0;
+  uint8_t buf[0x4001];
+
+  PanaBits(const uint8_t* data, int64_t len) : d(data), n(len) {
+    memset(buf, 0, sizeof buf);
+  }
+  inline uint32_t get(int nbits) {
+    if (nbits == 0) {
+      vbits = 0;
+      return 0;
+    }
+    if (!vbits) {
+      memset(buf, 0, 0x4000);
+      int64_t avail = n - off;
+      int64_t first = avail < 0x4000 - 0x2008 ? avail : 0x4000 - 0x2008;
+      if (first > 0) memcpy(buf + 0x2008, d + off, first);
+      int64_t second = avail - first;
+      if (second > 0x2008) second = 0x2008;
+      if (second > 0) memcpy(buf, d + off + first, second);
+      off += 0x4000;
+    }
+    vbits = (vbits - nbits) & 0x1FFFF;
+    int byte = (vbits >> 3) ^ 0x3FF0;
+    uint32_t word = buf[byte] | (uint32_t(buf[byte + 1]) << 8);
+    return (word >> (vbits & 7)) & ~(uint32_t(-1) << nbits);
+  }
+};
+
+void decode_rw2_impl(const uint8_t* data, int64_t len, uint16_t* out,
+                     int64_t width, int64_t height) {
+  PanaBits bits(data, len);
+  bits.get(0);
+  int sh = 0, pred[2] = {0, 0}, nonz[2] = {0, 0};
+  for (int64_t row = 0; row < height; row++) {
+    for (int64_t col = 0; col < width; col++) {
+      int i = col % 14;
+      if (i == 0) pred[0] = pred[1] = nonz[0] = nonz[1] = 0;
+      if (i % 3 == 2) sh = 4 >> (3 - bits.get(2));
+      if (nonz[i & 1]) {
+        int j = bits.get(8);
+        if (j) {
+          pred[i & 1] -= 0x80 << sh;
+          if (pred[i & 1] < 0 || sh == 4) pred[i & 1] &= ~(-1 << sh);
+          pred[i & 1] += j << sh;
+        }
+      } else {
+        nonz[i & 1] = bits.get(8);
+        if (nonz[i & 1] || i > 11)
+          pred[i & 1] = (nonz[i & 1] << 4) | bits.get(4);
+      }
+      int v = pred[col & 1];
+      if (v > 4098) throw std::runtime_error("RW2 sample out of range");
+      out[row * width + col] = uint16_t(v);
+    }
+  }
+}
+
+struct PanaBitWriter {
+  std::vector<std::vector<uint8_t>> blocks;
+  int vbits = 0;
+
+  inline void put(uint32_t value, int nbits) {
+    if (nbits == 0) return;
+    if (!vbits) blocks.emplace_back(0x4001, 0);
+    std::vector<uint8_t>& buf = blocks.back();
+    vbits = (vbits - nbits) & 0x1FFFF;
+    int byte = (vbits >> 3) ^ 0x3FF0;
+    uint32_t word = (value & ~(uint32_t(-1) << nbits)) << (vbits & 7);
+    buf[byte] |= word & 0xFF;
+    buf[byte + 1] |= word >> 8;
+    if (buf[0x4000])
+      throw std::runtime_error("RW2 field crossed a block boundary");
+  }
+  std::vector<uint8_t> flush() {
+    std::vector<uint8_t> out;
+    out.reserve(blocks.size() * 0x4000);
+    for (auto& buf : blocks) {
+      out.insert(out.end(), buf.begin() + 0x2008, buf.begin() + 0x4000);
+      out.insert(out.end(), buf.begin(), buf.begin() + 0x2008);
+    }
+    return out;
+  }
+};
+
+std::vector<uint8_t> encode_rw2_impl(const uint16_t* mosaic, int64_t width,
+                                     int64_t height) {
+  if (width % 14)
+    throw std::runtime_error("RW2 width must be a multiple of 14");
+  PanaBitWriter wtr;
+  int pred[2] = {0, 0};
+  for (int64_t row = 0; row < height; row++) {
+    for (int64_t col = 0; col < width; col++) {
+      int v = mosaic[row * width + col];
+      if (v < 16 || v > 4095)
+        throw std::runtime_error("RW2 samples must be in [16, 4095]");
+      int i = col % 14;
+      if (i == 0) pred[0] = pred[1] = 0;
+      if (i % 3 == 2) wtr.put(3, 2);  // sh = 4
+      if (i < 2) {
+        wtr.put(v >> 4, 8);
+        wtr.put(v & 15, 4);
+        pred[i & 1] = v;
+      } else {
+        int p = pred[i & 1];
+        if (v == p) {
+          wtr.put(0, 8);
+          continue;
+        }
+        int base = p & 15;
+        if ((v - base) % 16 || (v - base) >> 4 < 1 ||
+            (v - base) >> 4 > 255)
+          throw std::runtime_error(
+              "RW2 sample not representable (quantize first)");
+        wtr.put((v - base) >> 4, 8);
+        pred[i & 1] = v;
+      }
+    }
+  }
+  return wtr.flush();
+}
+
+// ---------------------------------------------------------------------------
 // Category-coded Huffman packing (synthetic encoder hot path)
 // ---------------------------------------------------------------------------
 
@@ -514,6 +793,73 @@ std::vector<uint8_t> huffman_pack_impl(const DiffT* diffs, int64_t n,
   }
   if (nbits) out.push_back(uint8_t(acc << (8 - nbits)));
   return out;
+}
+
+// Shared shape for the four sensor-codec bindings: decode takes
+// (payload, w, h) and returns u16 bytes; encode takes (u16 mosaic
+// bytes, w, h) and returns the compressed payload. Templates must
+// live outside the extern "C" block.
+template <void (*DecodeFn)(const uint8_t*, int64_t, uint16_t*, int64_t,
+                           int64_t)>
+PyObject* decode_binding(PyObject* args) {
+  Py_buffer buf;
+  int width, height;
+  if (!PyArg_ParseTuple(args, "y*ii", &buf, &width, &height))
+    return nullptr;
+  std::string err;
+  PyObject* out = nullptr;
+  if (width <= 0 || height <= 0) {
+    err = "bad dimensions";
+  } else {
+    out = PyBytes_FromStringAndSize(nullptr, int64_t(width) * height * 2);
+    if (!out) { PyBuffer_Release(&buf); return nullptr; }
+    uint16_t* dst = reinterpret_cast<uint16_t*>(PyBytes_AS_STRING(out));
+    Py_BEGIN_ALLOW_THREADS
+    try {
+      DecodeFn(static_cast<const uint8_t*>(buf.buf), buf.len, dst, width,
+               height);
+    } catch (const std::exception& e) {
+      err = e.what();
+    }
+    Py_END_ALLOW_THREADS
+  }
+  PyBuffer_Release(&buf);
+  if (!err.empty()) {
+    Py_XDECREF(out);
+    PyErr_SetString(PyExc_ValueError, err.c_str());
+    return nullptr;
+  }
+  return out;
+}
+
+template <std::vector<uint8_t> (*EncodeFn)(const uint16_t*, int64_t,
+                                           int64_t)>
+PyObject* encode_binding(PyObject* args) {
+  Py_buffer buf;
+  int width, height;
+  if (!PyArg_ParseTuple(args, "y*ii", &buf, &width, &height))
+    return nullptr;
+  std::string err;
+  std::vector<uint8_t> out;
+  if (width <= 0 || height <= 0 ||
+      buf.len < int64_t(width) * height * 2) {
+    err = "bad dimensions";
+  } else {
+    Py_BEGIN_ALLOW_THREADS
+    try {
+      out = EncodeFn(static_cast<const uint16_t*>(buf.buf), width, height);
+    } catch (const std::exception& e) {
+      err = e.what();
+    }
+    Py_END_ALLOW_THREADS
+  }
+  PyBuffer_Release(&buf);
+  if (!err.empty()) {
+    PyErr_SetString(PyExc_ValueError, err.c_str());
+    return nullptr;
+  }
+  return PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(out.data()), out.size());
 }
 
 }  // namespace
@@ -685,6 +1031,19 @@ static PyObject* py_decode_arw2(PyObject*, PyObject* args) {
   return out;
 }
 
+static PyObject* py_decode_olympus(PyObject*, PyObject* args) {
+  return decode_binding<decode_olympus_impl>(args);
+}
+static PyObject* py_encode_olympus(PyObject*, PyObject* args) {
+  return encode_binding<encode_olympus_impl>(args);
+}
+static PyObject* py_decode_rw2(PyObject*, PyObject* args) {
+  return decode_binding<decode_rw2_impl>(args);
+}
+static PyObject* py_encode_rw2(PyObject*, PyObject* args) {
+  return encode_binding<encode_rw2_impl>(args);
+}
+
 static PyObject* py_huffman_pack(PyObject*, PyObject* args) {
   Py_buffer diffs, codes, clens;
   int itemsize, max_raw_cat;
@@ -744,6 +1103,14 @@ static PyMethodDef RawkitMethods[] = {
      "curve_u16) -> u16 bytes"},
     {"decode_arw2", py_decode_arw2, METH_VARARGS,
      "decode_arw2(data, width, height) -> u16 bytes (12-bit space)"},
+    {"decode_olympus", py_decode_olympus, METH_VARARGS,
+     "decode_olympus(data, width, height) -> u16 bytes"},
+    {"encode_olympus", py_encode_olympus, METH_VARARGS,
+     "encode_olympus(u16_mosaic_bytes, width, height) -> strip bytes"},
+    {"decode_rw2", py_decode_rw2, METH_VARARGS,
+     "decode_rw2(data, width, height) -> u16 bytes"},
+    {"encode_rw2", py_encode_rw2, METH_VARARGS,
+     "encode_rw2(u16_mosaic_bytes, width, height) -> payload bytes"},
     {"huffman_pack", py_huffman_pack, METH_VARARGS,
      "huffman_pack(diffs, itemsize, code_tab_u64, clen_tab_i32, "
      "max_raw_cat) -> packed bitstream bytes (diffs: signed ints of "

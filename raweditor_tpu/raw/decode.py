@@ -232,6 +232,171 @@ def _decode_nikon_strips(tf: T.TiffFile, strips: List[bytes], width: int,
     return nikon.decode_nikon(strip, width, height, bpp, info), curve_white
 
 
+def _decode_orf_strips(tf: T.TiffFile, data: bytes, width: int,
+                       height: int, bpp: int) -> np.ndarray:
+    """Olympus ORF sensor payload. The container marks compression 1
+    regardless; the published decoders distinguish 16-bit unpacked from
+    the Olympus entropy coding by payload size (rawloader does the
+    same through its camera table — reference: raw/loader.rs:50-54)."""
+    if len(data) == width * height * 2:
+        return unpack_bits(data, width, height, 16,
+                           big_endian=(tf.endian == ">"))
+
+    from raweditor_tpu.native import get_rawkit
+
+    rk = get_rawkit()
+    if rk is not None and hasattr(rk, "decode_olympus"):
+        try:
+            raw = rk.decode_olympus(data, width, height)
+        except ValueError as e:
+            raise RawDecodeError(str(e)) from e
+        return np.frombuffer(raw, np.uint16).reshape(height, width)
+    from raweditor_tpu.raw.olympus import decode_olympus
+
+    return decode_olympus(data, width, height)
+
+
+def _wb_from_olympus_makernote(tf: T.TiffFile):
+    """Olympus MakerNote WB: ImageProcessing sub-IFD (0x2040) tag
+    0x0100 WB_RBLevels = [R*256, B*256] with green at 256 (published
+    exiftool/dcraw semantics). Offsets inside the MakerNote are
+    relative to its own start."""
+    for ifd in tf.all_ifds():
+        mn = ifd.get(T.MAKER_NOTE)
+        if isinstance(mn, (bytes, bytearray)) and bytes(mn[:8]) == (
+            b"OLYMPUS\x00"
+        ):
+            return _parse_olympus_wb(bytes(mn))
+    return None
+
+
+def _parse_olympus_wb(mn: bytes):
+    import struct as _struct
+
+    if len(mn) < 14 or mn[8:10] not in (b"II", b"MM"):
+        return None
+    e = "<" if mn[8:10] == b"II" else ">"
+
+    def u16(off):
+        return _struct.unpack_from(e + "H", mn, off)[0]
+
+    def u32(off):
+        return _struct.unpack_from(e + "I", mn, off)[0]
+
+    def walk_ifd(off, want_tag):
+        if off + 2 > len(mn):
+            return None
+        n = u16(off)
+        for k in range(n):
+            pos = off + 2 + 12 * k
+            if pos + 12 > len(mn):
+                return None
+            tag, typ, count = (u16(pos), u16(pos + 2), u32(pos + 4))
+            if tag == want_tag:
+                return pos, typ, count
+        return None
+
+    try:
+        hit = walk_ifd(12, 0x2040)  # ImageProcessing
+        if hit is None:
+            return None
+        pos, typ, _count = hit
+        sub_off = u32(pos + 8)
+        hit = walk_ifd(sub_off, 0x0100)  # WB_RBLevels
+        if hit is None:
+            return None
+        pos, typ, count = hit
+        if typ != 3 or count < 2:
+            return None
+        voff = pos + 8 if count * 2 <= 4 else u32(pos + 8)
+        r, b = u16(voff), u16(voff + 2)
+    except _struct.error:
+        return None
+    if r == 0 or b == 0:
+        return None
+    return RawImage.normalize_wb([r / 256.0, 1.0, b / 256.0, 1.0])
+
+
+def _decode_rw2_container(tf: T.TiffFile, source_path: str) -> RawImage:
+    """Panasonic RW2: sensor dims and color metadata come from the
+    PanasonicRaw tag vocabulary; the v4 payload starts at tag 0x0118
+    and runs to end of file."""
+    if not tf.ifds:
+        raise RawDecodeError("RW2 without IFD0")
+    ifd = tf.ifds[0]
+    width = ifd.get_scalar(T.PANA_SENSOR_WIDTH)
+    height = ifd.get_scalar(T.PANA_SENSOR_HEIGHT)
+    bpp = ifd.get_scalar(T.PANA_BPS, 12)
+    if (not isinstance(width, int) or not isinstance(height, int)
+            or width <= 0 or height <= 0):
+        raise RawDecodeError("RW2 missing sensor dimensions")
+    if bpp != 12:
+        raise UnsupportedRawError(f"RW2 with {bpp}-bit samples")
+    if width * height > 16 * max(len(tf.data), 1):
+        raise RawDecodeError(
+            f"implausible dimensions {width}x{height} for "
+            f"{len(tf.data)}-byte file"
+        )
+    off = ifd.get_scalar(T.PANA_RAW_OFFSET)
+    if isinstance(off, int) and 0 < off < len(tf.data):
+        payload = tf.data[off:]
+    else:
+        try:
+            payload = b"".join(tf.strip_data(ifd))
+        except ValueError as e:
+            raise RawDecodeError(f"RW2 without sensor payload: {e}") from e
+
+    try:
+        from raweditor_tpu.native import get_rawkit
+
+        rk = get_rawkit()
+        if rk is not None and hasattr(rk, "decode_rw2"):
+            raw = rk.decode_rw2(payload, width, height)
+            mosaic = np.frombuffer(raw, np.uint16).reshape(height, width)
+        else:
+            from raweditor_tpu.raw.panasonic import decode_rw2
+
+            mosaic = decode_rw2(payload, width, height)
+    except RawDecodeError:
+        raise
+    except (ValueError, IndexError) as e:
+        raise RawDecodeError(f"corrupt sensor data: {e}") from e
+
+    try:
+        wb = np.array([1.0, 1.0, 1.0, 1.0], np.float32)
+        wr = ifd.get_scalar(T.PANA_WB_RED)
+        wg = ifd.get_scalar(T.PANA_WB_GREEN)
+        wbl = ifd.get_scalar(T.PANA_WB_BLUE)
+        if all(isinstance(v, int) and v > 0 for v in (wr, wg, wbl)):
+            wb = RawImage.normalize_wb(
+                [float(wr), float(wg), float(wbl), float(wg)]
+            )
+        blacks = [
+            ifd.get_scalar(t, 0)
+            for t in (T.PANA_BLACK_R, T.PANA_BLACK_G, T.PANA_BLACK_B)
+        ]
+        black = float(np.mean([float(b) for b in blacks]))
+        cfa_code = ifd.get_scalar(T.PANA_CFA_PATTERN, 1)
+        cfa = {1: "RGGB", 2: "GRBG", 3: "GBRG", 4: "BGGR"}.get(
+            cfa_code if isinstance(cfa_code, int) else 1, "RGGB"
+        )
+        return RawImage(
+            mosaic=mosaic,
+            wb_multipliers=wb,
+            xyz_to_cam=np.eye(3, dtype=np.float32),
+            black_level=black,
+            white_level=4095.0,
+            cfa_pattern=cfa,
+            camera_make=_find_tag(tf, T.MAKE) or "Panasonic",
+            camera_model=_find_tag(tf, T.MODEL) or "",
+            source_path=source_path,
+        )
+    except RawDecodeError:
+        raise
+    except (ValueError, TypeError, IndexError) as e:
+        raise RawDecodeError(f"corrupt color metadata: {e}") from e
+
+
 def _find_tag(tf: T.TiffFile, tag: int):
     for ifd in tf.all_ifds():
         v = ifd.get(tag)
@@ -297,6 +462,9 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
     except ValueError as e:
         raise RawDecodeError(str(e)) from e
 
+    if tf.variant == "rw2":
+        return _decode_rw2_container(tf, source_path)
+
     linear_ifd = tf.find_linear_ifd()
     ifd = tf.find_cfa_ifd()
     if linear_ifd is not None:
@@ -332,6 +500,13 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
     try:
         if tf.is_tiled(ifd):
             mosaic = _mosaic_from_tiles(tf, ifd, width, height, bpp, comp)
+        elif tf.variant == "orf":
+            # ORF marks compression 1 even for entropy-coded payloads;
+            # pick the codec by payload size like the published
+            # decoders do (the container has no reliable tag).
+            mosaic = _decode_orf_strips(
+                tf, b"".join(tf.strip_data(ifd)), width, height, bpp
+            )
         elif comp == T.COMPRESSION_NONE:
             if sample_format == 3:
                 mosaic = _float_mosaic(b"".join(tf.strip_data(ifd)), width,
@@ -379,6 +554,8 @@ def _finish_raw_image(tf, mosaic, curve_white, bpp, ifd, source_path):
         wb = _wb_from_neutral(neutral)
     else:
         wb = _wb_from_nikon_makernote(tf)
+        if wb is None:
+            wb = _wb_from_olympus_makernote(tf)
     if wb is None:
         # Neutral fallback (reference: raw/loader.rs:93-97).
         wb = np.array([1.0, 1.0, 1.0, 1.0], dtype=np.float32)
@@ -593,6 +770,13 @@ def extract_preview_jpeg(path_or_bytes) -> Optional[bytes]:
                 cand = data[off : off + ln]
                 if best is None or len(cand) > len(best):
                     best = cand
+            # Panasonic embeds the full preview as tag bytes.
+            jfr = ifd.get(T.PANA_JPG_FROM_RAW)
+            if (tf.variant == "rw2"
+                    and isinstance(jfr, (bytes, bytearray))
+                    and jfr[:2] == b"\xff\xd8"
+                    and (best is None or len(jfr) > len(best))):
+                best = bytes(jfr)
     except ValueError:
         pass
     if best is not None:

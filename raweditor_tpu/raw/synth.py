@@ -68,11 +68,13 @@ class _TiffWriter:
             return len(values)
         return len(values)
 
-    def build(self, ifds: List[List[tuple]], chain=(0,)) -> bytes:
+    def build(self, ifds: List[List[tuple]], chain=(0,),
+              magic: int = 42) -> bytes:
         """ifds: list of entry lists. Entry = (tag, type, values) or
         (tag, type, ("blob", idx)) for offsets into a registered blob,
         or (tag, type, ("ifd", i)) pointing at another IFD (SubIFDs).
         ``chain`` lists the IFD indices linked as the top-level chain.
+        ``magic`` overrides the 42 (ORF/RW2 variants).
         """
         header = 8
         # Layout: header | IFD tables | overflow values | blobs.
@@ -116,7 +118,7 @@ class _TiffWriter:
         self._blob_offsets = blob_offsets
 
         # Emit.
-        out = bytearray(b"II*\x00")
+        out = bytearray(b"II" + struct.pack("<H", magic))
         out += struct.pack("<I", ifd_offsets[chain[0]])
         for idx, entries in enumerate(ifds):
             assert len(out) <= ifd_offsets[idx]
@@ -509,6 +511,158 @@ def write_synthetic_linear_dng(
     ]
     sensor_ifd.sort(key=lambda e: e[0])
     data = wtr.build([ifd0, sensor_ifd], chain=(0,))
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(data)
+    return data
+
+
+def _build_olympus_makernote(wb_rb: Tuple[float, float]) -> bytes:
+    """Olympus MakerNote: "OLYMPUS\\0II\\x03\\0" signature, then an IFD
+    (offsets relative to the MakerNote start) whose ImageProcessing
+    sub-IFD (0x2040) carries WB_RBLevels 0x0100 = [R*256, B*256]."""
+    sig = b"OLYMPUS\x00II\x03\x00"
+    ifd0_off = len(sig)
+    ifd0_size = 2 + 12 + 4
+    sub_off = ifd0_off + ifd0_size
+    r = max(1, min(0xFFFF, int(round(wb_rb[0] * 256))))
+    b = max(1, min(0xFFFF, int(round(wb_rb[1] * 256))))
+    ifd0 = struct.pack("<H", 1)
+    ifd0 += struct.pack("<HHII", 0x2040, 4, 1, sub_off)
+    ifd0 += struct.pack("<I", 0)
+    sub = struct.pack("<H", 1)
+    sub += struct.pack("<HHIHH", 0x0100, 3, 2, r, b)
+    sub += struct.pack("<I", 0)
+    return sig + ifd0 + sub
+
+
+def write_synthetic_orf(
+    path,
+    mosaic: np.ndarray,
+    compression: str = "olympus",
+    wb_rb: Tuple[float, float] = (2.0, 1.5),
+    black_level: int = 0,
+    model: str = "E-M10",
+    cfa: str = "RGGB",
+    preview_jpeg: Optional[bytes] = None,
+) -> bytes:
+    """Write an ORF-style container: TIFF structure with the 'RO'
+    magic, sensor plane in IFD0 with compression marked 1 regardless
+    (matching real ORFs), WB in the Olympus MakerNote.
+
+    compression: "olympus" (entropy-coded) or "none16" (unpacked
+    16-bit samples)."""
+    mosaic = np.asarray(mosaic, dtype=np.uint16)
+    h, w = mosaic.shape
+    if preview_jpeg is None:
+        preview_jpeg = make_preview_jpeg()
+    if compression == "olympus":
+        from raweditor_tpu.native import get_rawkit
+
+        rk = get_rawkit()
+        if rk is not None and hasattr(rk, "encode_olympus"):
+            sensor = rk.encode_olympus(np.ascontiguousarray(mosaic), w, h)
+        else:
+            from raweditor_tpu.raw.olympus import encode_olympus
+
+            sensor = encode_olympus(mosaic)
+        if len(sensor) == h * w * 2:
+            # The decoder dispatches unpacked-16 on an exact size match
+            # (real ORFs distinguish the same way); nudge with padding.
+            sensor += b"\0"
+    elif compression == "none16":
+        sensor = mosaic.astype("<u2").tobytes()
+    else:
+        raise ValueError(f"compression {compression!r}")
+
+    wtr = _TiffWriter()
+    preview_idx = wtr.add_blob(preview_jpeg)
+    sensor_idx = wtr.add_blob(sensor)
+    makernote = _build_olympus_makernote(wb_rb)
+    ifd0 = [
+        (T.IMAGE_WIDTH, _TYPE_LONG, [w]),
+        (T.IMAGE_LENGTH, _TYPE_LONG, [h]),
+        (T.BITS_PER_SAMPLE, _TYPE_SHORT, [12]),
+        (T.COMPRESSION, _TYPE_SHORT, [T.COMPRESSION_NONE]),
+        (T.PHOTOMETRIC, _TYPE_SHORT, [T.PHOTOMETRIC_CFA]),
+        (T.MAKE, _TYPE_ASCII, "OLYMPUS IMAGING CORP."),
+        (T.MODEL, _TYPE_ASCII, model),
+        (T.SAMPLES_PER_PIXEL, _TYPE_SHORT, [1]),
+        (T.CFA_REPEAT_DIM, _TYPE_SHORT, [2, 2]),
+        (T.CFA_PATTERN, _TYPE_BYTE,
+         [{"R": 0, "G": 1, "B": 2}[c] for c in cfa.upper()]),
+        (T.BLACK_LEVEL, _TYPE_SHORT, [black_level]),
+        (T.WHITE_LEVEL, _TYPE_SHORT, [4095]),
+        (T.STRIP_OFFSETS, _TYPE_LONG, ("blob", sensor_idx)),
+        (T.ROWS_PER_STRIP, _TYPE_LONG, [h]),
+        (T.STRIP_BYTE_COUNTS, _TYPE_LONG, [len(sensor)]),
+        (T.JPEG_INTERCHANGE, _TYPE_LONG, ("blob", preview_idx)),
+        (T.JPEG_INTERCHANGE_LEN, _TYPE_LONG, [len(preview_jpeg)]),
+        (T.EXIF_IFD, _TYPE_LONG, ("ifd", 1)),
+    ]
+    ifd0.sort(key=lambda e: e[0])
+    exif_ifd = [(T.MAKER_NOTE, _TYPE_UNDEF, makernote)]
+    data = wtr.build([ifd0, exif_ifd], chain=(0,), magic=T.MAGIC_ORF_RO)
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(data)
+    return data
+
+
+def write_synthetic_rw2(
+    path,
+    mosaic: np.ndarray,
+    wb_rgb: Tuple[int, int, int] = (520, 256, 390),
+    black_rgb: Tuple[int, int, int] = (0, 0, 0),
+    cfa: str = "RGGB",
+    model: str = "DMC-GX8",
+    preview_jpeg: Optional[bytes] = None,
+) -> bytes:
+    """Write an RW2-style container: TIFF structure with the 0x55
+    magic, PanasonicRaw tag vocabulary, v4 payload at tag 0x0118
+    running to end of file.
+
+    The mosaic must be exactly representable by the fixed-sh encoder —
+    quantize with :func:`raweditor_tpu.raw.panasonic.rw2_representable`
+    first."""
+    mosaic = np.asarray(mosaic, dtype=np.uint16)
+    h, w = mosaic.shape
+    if preview_jpeg is None:
+        preview_jpeg = make_preview_jpeg()
+    from raweditor_tpu.native import get_rawkit
+
+    rk = get_rawkit()
+    if rk is not None and hasattr(rk, "encode_rw2"):
+        sensor = rk.encode_rw2(np.ascontiguousarray(mosaic), w, h)
+    else:
+        from raweditor_tpu.raw.panasonic import encode_rw2
+
+        sensor = encode_rw2(mosaic)
+
+    cfa_code = {"RGGB": 1, "GRBG": 2, "GBRG": 3, "BGGR": 4}[cfa.upper()]
+    wtr = _TiffWriter()
+    # The sensor payload must be the LAST blob: tag 0x0118 has no byte
+    # count — the payload runs to end of file.
+    _ = wtr.add_blob(preview_jpeg)
+    sensor_idx = wtr.add_blob(sensor)
+    ifd0 = [
+        (T.PANA_SENSOR_WIDTH, _TYPE_SHORT, [w]),
+        (T.PANA_SENSOR_HEIGHT, _TYPE_SHORT, [h]),
+        (T.PANA_CFA_PATTERN, _TYPE_SHORT, [cfa_code]),
+        (T.PANA_BPS, _TYPE_SHORT, [12]),
+        (T.PANA_BLACK_R, _TYPE_SHORT, [black_rgb[0]]),
+        (T.PANA_BLACK_G, _TYPE_SHORT, [black_rgb[1]]),
+        (T.PANA_BLACK_B, _TYPE_SHORT, [black_rgb[2]]),
+        (T.PANA_WB_RED, _TYPE_SHORT, [wb_rgb[0]]),
+        (T.PANA_WB_GREEN, _TYPE_SHORT, [wb_rgb[1]]),
+        (T.PANA_WB_BLUE, _TYPE_SHORT, [wb_rgb[2]]),
+        (T.PANA_JPG_FROM_RAW, _TYPE_UNDEF, preview_jpeg),
+        (T.MAKE, _TYPE_ASCII, "Panasonic"),
+        (T.MODEL, _TYPE_ASCII, model),
+        (T.PANA_RAW_OFFSET, _TYPE_LONG, ("blob", sensor_idx)),
+    ]
+    ifd0.sort(key=lambda e: e[0])
+    data = wtr.build([ifd0], chain=(0,), magic=T.MAGIC_RW2)
     if path is not None:
         with open(path, "wb") as f:
             f.write(data)

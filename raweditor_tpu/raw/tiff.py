@@ -56,6 +56,30 @@ COMPRESSION_LJPEG = 7  # "new-style" JPEG; SOF3 lossless in RAWs
 COMPRESSION_NIKON = 34713
 COMPRESSION_ARW2 = 32767
 
+# Panasonic RW2 IFD0 tags (the RW2 container reuses the TIFF structure
+# with its own tag vocabulary; ids per the published dcraw/exiftool
+# PanasonicRaw maps).
+PANA_SENSOR_WIDTH = 0x0002
+PANA_SENSOR_HEIGHT = 0x0003
+PANA_CFA_PATTERN = 0x0009  # 1=RGGB 2=GRBG 3=GBRG 4=BGGR
+PANA_BPS = 0x000A
+PANA_BLACK_R = 0x001C
+PANA_BLACK_G = 0x001D
+PANA_BLACK_B = 0x001E
+PANA_WB_RED = 0x0024
+PANA_WB_GREEN = 0x0025
+PANA_WB_BLUE = 0x0026
+PANA_JPG_FROM_RAW = 0x002E
+PANA_RAW_OFFSET = 0x0118  # LONG: v4 payload offset, runs to EOF
+
+# TIFF magic variants: ORF keeps the II/MM order mark but replaces the
+# 42 with 'RO'/'SR'; RW2 uses 0x55 (and a raw-offset tag instead of
+# strips). The IFD layout is standard TIFF in all of them.
+MAGIC_TIFF = 42
+MAGIC_ORF_RO = 0x4F52
+MAGIC_ORF_SR = 0x5352
+MAGIC_RW2 = 0x55
+
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
                10: 8, 11: 4, 12: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
@@ -117,7 +141,13 @@ class TiffFile:
             raise ValueError("not a TIFF: bad byte-order mark")
         try:
             magic = self._u16(2)
-            if magic != 42:
+            if magic == MAGIC_TIFF:
+                self.variant = "tiff"
+            elif magic in (MAGIC_ORF_RO, MAGIC_ORF_SR):
+                self.variant = "orf"
+            elif magic == MAGIC_RW2:
+                self.variant = "rw2"
+            else:
                 raise ValueError(f"not a TIFF: magic {magic}")
             self.ifds: List[IFD] = []
             next_off = self._u32(4)

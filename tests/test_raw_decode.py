@@ -367,6 +367,15 @@ def test_decoder_fuzz_error_contract(rng):
     bases.append(write_synthetic_linear_dng(None, rgb, bpp=12))
     bases.append(write_synthetic_linear_dng(None, rgb, bpp=12,
                                             compression="ljpeg"))
+    from raweditor_tpu.raw.panasonic import rw2_representable
+    from raweditor_tpu.raw.synth import (write_synthetic_orf,
+                                         write_synthetic_rw2)
+
+    bases.append(write_synthetic_orf(None, m))
+    bases.append(write_synthetic_orf(None, m, compression="none16"))
+    m14 = rw2_representable(
+        rng.integers(0, 4096, size=(8, 28), dtype=np.uint16))
+    bases.append(write_synthetic_rw2(None, m14))
     for base in bases:
         base = bytearray(base)
         for _ in range(40):
