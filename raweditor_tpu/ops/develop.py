@@ -586,3 +586,62 @@ def develop_histogram(
         transfer, cfa_phase,
     )
     return histogram_256(img)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_w", "out_h", "pattern", "matrix_transpose",
+                     "transfer"),
+)
+def develop_xtrans_histogram(
+    mosaic,
+    params: EditParams,
+    wb,
+    cam_matrix,
+    out_w: int,
+    out_h: int,
+    zoom=1.0,
+    pan_x=0.0,
+    pan_y=0.0,
+    white_level=4096.0,
+    black_level=0.0,
+    pattern: str = None,
+    matrix_transpose: bool = False,
+    transfer: str = "gamma22",
+):
+    """X-Trans live histogram: the 128-px render and the 256-bin
+    scatter-add fuse into ONE XLA program, like the Bayer
+    ``develop_histogram`` — no intermediate image leaves the device."""
+    img = develop_xtrans_preview(
+        mosaic, params, wb, cam_matrix, out_w, out_h, zoom, pan_x,
+        pan_y, white_level, black_level, pattern, matrix_transpose,
+        transfer,
+    )
+    return histogram_256(img)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_w", "out_h", "matrix_transpose", "transfer"),
+)
+def develop_linear_histogram(
+    rgb_u16,
+    params: EditParams,
+    wb,
+    cam_matrix,
+    out_w: int,
+    out_h: int,
+    zoom=1.0,
+    pan_x=0.0,
+    pan_y=0.0,
+    white_level=4096.0,
+    black_level=0.0,
+    matrix_transpose: bool = False,
+    transfer: str = "gamma22",
+):
+    """LinearRaw live histogram, fused render+binning (one program)."""
+    img = develop_linear_preview(
+        rgb_u16, params, wb, cam_matrix, out_w, out_h, zoom, pan_x,
+        pan_y, white_level, black_level, matrix_transpose, transfer,
+    )
+    return histogram_256(img)

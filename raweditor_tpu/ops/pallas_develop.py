@@ -91,32 +91,94 @@ def _fold_scalars(params: EditParams, wb, cam_matrix, white_level,
             p.highlights, p.shadows,        # 15,16
             1.0 + p.saturation / 100.0,     # 17
             p.vibrance,                     # 18
+            -b,                             # 19 black*s (demosaic floor)
         ]),
-        jnp.zeros((N_SCALARS - 19,), jnp.float32),
+        jnp.zeros((N_SCALARS - 20,), jnp.float32),
     ])
     return vec
 
 
-def _shift_x(arr, direction: int, edge_col):
+def _shift_x(arr, direction: int, edge_col, dist: int = 1):
     """Clamp-to-edge neighbor along lanes. direction=+1 → value of the
-    left neighbor (x-1); -1 → right neighbor (x+1)."""
+    left neighbor (x-dist); -1 → right neighbor (x+dist). The edge
+    column replicates, matching a ``mode="edge"`` pad of width dist."""
     w = arr.shape[-1]
-    shift = direction if direction > 0 else w + direction  # roll is mod-w
+    shift = dist if direction > 0 else w - dist  # roll is mod-w
     rolled = pltpu.roll(arr, shift, axis=1)
     col = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1)
     if direction == 1:
-        return jnp.where(col == 0, edge_col, rolled)
-    return jnp.where(col == w - 1, edge_col, rolled)
+        return jnp.where(col < dist, edge_col, rolled)
+    return jnp.where(col >= w - dist, edge_col, rolled)
+
+
+def _demosaic_smooth_taps(v_all, center, up, down, left, right, sc, i,
+                          bh, w, cfa_phase, method: str):
+    """In-kernel bilinear / Malvar–He–Cutler demosaic. Mirrors
+    ops/demosaic.py exactly (the tap tables are imported from there —
+    single source of truth); clamp-to-edge comes from the padded
+    mosaic rows and the replicated edge columns in _shift_x."""
+    from raweditor_tpu.ops.demosaic import _bilinear_taps, _malvar_taps
+
+    n = bh + 8
+    taps = {(0, 0): center, (0, -1): left, (0, 1): right,
+            (-1, 0): up, (1, 0): down,
+            (-1, -1): _shift_x(up, 1, up[:, 0:1]),
+            (-1, 1): _shift_x(up, -1, up[:, w - 1 : w]),
+            (1, -1): _shift_x(down, 1, down[:, 0:1]),
+            (1, 1): _shift_x(down, -1, down[:, w - 1 : w])}
+    if method == "malvar":
+        taps[(-2, 0)] = v_all[0:bh, :]
+        taps[(2, 0)] = pltpu.roll(v_all, n - 4, axis=0)[0:bh, :]
+        taps[(0, -2)] = _shift_x(center, 1, center[:, 0:1], dist=2)
+        taps[(0, 2)] = _shift_x(center, -1, center[:, w - 1 : w], dist=2)
+
+    def conv(tdict):
+        acc = None
+        for off, wgt in tdict.items():
+            t = taps[off] * _F(wgt)
+            acc = t if acc is None else acc + t
+        return acc
+
+    row0 = i * bh + cfa_phase[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 0) + row0
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 1) + cfa_phase[1]
+    ye = (rows % 2) == 0
+    xe = (cols % 2) == 0
+    v = center
+
+    if method == "bilinear":
+        _cross, hmean, vmean, plus, diag = _bilinear_taps()
+        hm, vm, pm, dm = conv(hmean), conv(vmean), conv(plus), conv(diag)
+        r = jnp.where(ye, jnp.where(xe, v, hm), jnp.where(xe, vm, dm))
+        g = jnp.where(ye == xe, pm, v)
+        b = jnp.where(ye, jnp.where(xe, dm, vm), jnp.where(xe, hm, v))
+        return r, g, b
+
+    g_cross, rb_row, rb_col, rb_diag = _malvar_taps()
+    gc, kr, kc, kd = conv(g_cross), conv(rb_row), conv(rb_col), conv(rb_diag)
+    r = jnp.where(ye, jnp.where(xe, v, kr), jnp.where(xe, kc, kd))
+    g = jnp.where(ye == xe, gc, v)
+    b = jnp.where(ye, jnp.where(xe, kd, kc), jnp.where(xe, kr, v))
+    # The gradient correction can undershoot on hard edges; the XLA
+    # path clamps the normalized value at 0, which in this kernel's
+    # pre-black-fold units is the black level (sc(19) = black*s).
+    floor = sc(19)
+    return (jnp.maximum(r, floor), jnp.maximum(g, floor),
+            jnp.maximum(b, floor))
 
 
 def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma,
-                   pattern=None):
+                   pattern=None, demosaic: str = "nearest"):
     """Shared kernel body: develop one (block_h+8, W) scratch window.
     ``sc`` maps a folded-scalar index to its value; ``i`` is the block's
     row-grid index; ``pattern`` switches the demosaic from the Bayer
     parity stencil to a generic repeating-CFA nearest-site table (all
-    X-Trans nearest offsets are within ±1, so the same five taps and
-    1-row halo serve both). Returns the (block_h, W) packed-RGBA u32
+    X-Trans nearest offsets are within ±1, so the same five taps serve
+    both). ``demosaic`` picks the Bayer stencil: "nearest" (parity
+    path, reference: gpu/shaders.rs:104-158), "bilinear", or "malvar"
+    (the 5×5 gradient-corrected kernels — the scratch window's 2-row
+    halo covers them; see ops/demosaic.py for the tap tables, which
+    this mirrors exactly). Returns the (block_h, W) packed-RGBA u32
     block."""
     s = sc(12)
     # Mosaic can't cast u16→f32 directly; widen through int32.
@@ -125,17 +187,23 @@ def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma,
     w = v_all.shape[1]
     n = bh + 8
     # Unaligned row slices of VMEM are not allowed (8-row tiling), so
-    # the scratch is an 8-row-padded window and we realign with circular
-    # sublane rolls, taking the leading bh rows: after roll(n-1) row j
-    # holds original row j+1 (the block rows); after roll(n-2) it holds
-    # row j+2 (the down neighbors).
-    center = pltpu.roll(v_all, n - 1, axis=0)[0:bh, :]
-    up = v_all[0:bh, :]
-    down = pltpu.roll(v_all, n - 2, axis=0)[0:bh, :]
+    # the scratch is an 8-row-padded window (2 halo rows above, ≥2
+    # below) and we realign with circular sublane rolls, taking the
+    # leading bh rows: after roll(n-2) row j holds original row j+2
+    # (the block rows); roll(n-1) gives the up neighbors, roll(n-3)
+    # the down neighbors, and so on for the ±2 taps.
+    center = pltpu.roll(v_all, n - 2, axis=0)[0:bh, :]
+    up = pltpu.roll(v_all, n - 1, axis=0)[0:bh, :]
+    down = pltpu.roll(v_all, n - 3, axis=0)[0:bh, :]
     left = _shift_x(center, 1, center[:, 0:1])
     right = _shift_x(center, -1, center[:, w - 1 : w])
 
-    if pattern is None:
+    if pattern is None and demosaic in ("bilinear", "malvar"):
+        r, g, b = _demosaic_smooth_taps(
+            v_all, center, up, down, left, right, sc, i, bh, w,
+            cfa_phase, demosaic,
+        )
+    elif pattern is None:
         downleft = _shift_x(down, 1, down[:, 0:1])
         # CFA parity in global coordinates (the y+1 offset is folded
         # into the site table, see ops/demosaic.py).
@@ -242,7 +310,8 @@ def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma,
 
 
 def _kernel(scal_ref, pad_hbm, out_ref, scratch, sem, *, block_h: int,
-            cfa_phase=(0, 0), gamma: str = "pow", pattern=None):
+            cfa_phase=(0, 0), gamma: str = "pow", pattern=None,
+            demosaic: str = "nearest"):
     i = pl.program_id(0)
     copy = pltpu.make_async_copy(
         pad_hbm.at[pl.ds(i * block_h, block_h + 8)], scratch, sem
@@ -250,12 +319,13 @@ def _kernel(scal_ref, pad_hbm, out_ref, scratch, sem, *, block_h: int,
     copy.start()
     copy.wait()
     out_ref[:] = _develop_block(lambda k: scal_ref[k], scratch, i,
-                                block_h, cfa_phase, gamma, pattern)
+                                block_h, cfa_phase, gamma, pattern,
+                                demosaic)
 
 
 def _kernel_batched(scal_ref, pad_hbm, out_ref, scratch, sem, *,
                     block_h: int, cfa_phase=(0, 0), gamma: str = "pow",
-                    pattern=None):
+                    pattern=None, demosaic: str = "nearest"):
     n = pl.program_id(0)
     i = pl.program_id(1)
     copy = pltpu.make_async_copy(
@@ -264,12 +334,13 @@ def _kernel_batched(scal_ref, pad_hbm, out_ref, scratch, sem, *,
     copy.start()
     copy.wait()
     out_ref[0] = _develop_block(lambda k: scal_ref[n, k], scratch, i,
-                                block_h, cfa_phase, gamma, pattern)
+                                block_h, cfa_phase, gamma, pattern,
+                                demosaic)
 
 
 @functools.partial(
     jax.jit, static_argnames=("matrix_transpose", "block_h", "interpret",
-                              "cfa_phase", "gamma", "pattern")
+                              "cfa_phase", "gamma", "pattern", "demosaic")
 )
 def pallas_batch_develop_rgba(
     mosaics,
@@ -284,6 +355,7 @@ def pallas_batch_develop_rgba(
     cfa_phase=(0, 0),
     gamma: str = "pow",
     pattern: str = None,
+    demosaic: str = "nearest",
 ):
     """Batched fused-kernel develop: (N, H, W) u16 → (N, H, W) u32.
 
@@ -294,6 +366,10 @@ def pallas_batch_develop_rgba(
     :func:`pallas_develop_rgba`.
     """
     n, h, w = mosaics.shape
+    if pattern is not None and demosaic != "nearest":
+        raise ValueError(
+            "generic-CFA patterns support nearest demosaic only"
+        )
     bh = block_h or _largest_even_divisor(h)
     if block_h is None and bh == 0:
         hp = -(-h // 128) * 128  # see pallas_develop_rgba: no divisor
@@ -303,7 +379,7 @@ def pallas_batch_develop_rgba(
                         mode="edge"),
                 params, wbs, cam_matrices, white_levels, black_levels,
                 matrix_transpose, block_h, interpret, cfa_phase, gamma,
-                pattern,
+                pattern, demosaic,
             )
             return out[:, :h]
     if not bh or h % bh or bh % 8:
@@ -317,7 +393,7 @@ def pallas_batch_develop_rgba(
             jnp.pad(mosaics, ((0, 0), (0, 0), (0, wp - w)), mode="edge"),
             params, wbs, cam_matrices, white_levels, black_levels,
             matrix_transpose, block_h, interpret, cfa_phase, gamma,
-            pattern,
+            pattern, demosaic,
         )
         return out[:, :, :w]
     if white_levels is None:
@@ -327,11 +403,11 @@ def pallas_batch_develop_rgba(
     scal = jax.vmap(
         functools.partial(_fold_scalars, matrix_transpose=matrix_transpose)
     )(params, wbs, cam_matrices, white_levels, black_levels)
-    padded = jnp.pad(mosaics, ((0, 0), (1, 7), (0, 0)), mode="edge")
+    padded = jnp.pad(mosaics, ((0, 0), (2, 6), (0, 0)), mode="edge")
 
     return pl.pallas_call(
         functools.partial(_kernel_batched, block_h=bh, cfa_phase=cfa_phase,
-                          gamma=gamma, pattern=pattern),
+                          gamma=gamma, pattern=pattern, demosaic=demosaic),
         grid=(n, h // bh),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -350,7 +426,7 @@ def pallas_batch_develop_rgba(
 
 @functools.partial(
     jax.jit, static_argnames=("matrix_transpose", "block_h", "interpret",
-                              "cfa_phase", "gamma", "pattern")
+                              "cfa_phase", "gamma", "pattern", "demosaic")
 )
 def pallas_develop_rgba(
     mosaic,
@@ -365,11 +441,18 @@ def pallas_develop_rgba(
     cfa_phase=(0, 0),
     gamma: str = "pow",
     pattern: str = None,
+    demosaic: str = "nearest",
 ):
     """Fused-kernel full develop: (H, W) u16 → (H, W) u32 packed RGBA.
     ``pattern`` switches to the generic repeating-CFA site table
-    (X-Trans et al; nearest offsets must be within ±1)."""
+    (X-Trans et al; nearest offsets must be within ±1). ``demosaic``
+    picks the Bayer stencil ("nearest"/"bilinear"/"malvar") — the
+    accurate-mode lane runs fully in-kernel."""
     h, w = mosaic.shape
+    if pattern is not None and demosaic != "nearest":
+        raise ValueError(
+            "generic-CFA patterns support nearest demosaic only"
+        )
     bh = block_h or _largest_even_divisor(h)
     # Heights with no multiple-of-8 divisor at all (e.g. 502 = 2·251)
     # are edge-padded to the next multiple of 128 and sliced after —
@@ -384,7 +467,7 @@ def pallas_develop_rgba(
                 jnp.pad(mosaic, ((0, hp - h), (0, 0)), mode="edge"),
                 params, wb, cam_matrix, white_level, black_level,
                 matrix_transpose, block_h, interpret, cfa_phase, gamma,
-                pattern,
+                pattern, demosaic,
             )
             return out[:h]
     if not bh or h % bh or bh % 8:
@@ -401,18 +484,19 @@ def pallas_develop_rgba(
             jnp.pad(mosaic, ((0, 0), (0, wp - w)), mode="edge"),
             params, wb, cam_matrix, white_level, black_level,
             matrix_transpose, block_h, interpret, cfa_phase, gamma,
-            pattern,
+            pattern, demosaic,
         )
         return out[:, :w]
     scal = _fold_scalars(params, wb, cam_matrix, white_level, black_level,
                          matrix_transpose)
-    # 1 halo row above; 7 extra rows below keep every DMA window and the
-    # scratch shape 8-row aligned.
-    padded = jnp.pad(mosaic, ((1, 7), (0, 0)), mode="edge")
+    # 2 halo rows above (the 5×5 stencils need them; the parity stencil
+    # ignores the extra row); 6 extra rows below keep every DMA window
+    # and the scratch shape 8-row aligned.
+    padded = jnp.pad(mosaic, ((2, 6), (0, 0)), mode="edge")
 
     return pl.pallas_call(
         functools.partial(_kernel, block_h=bh, cfa_phase=cfa_phase,
-                          gamma=gamma, pattern=pattern),
+                          gamma=gamma, pattern=pattern, demosaic=demosaic),
         grid=(h // bh,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -7,7 +7,11 @@ data-parallel batch export across a slice, and context-parallel-style
 row sharding of one mosaic for lowest-latency single-image develop.
 """
 
-from raweditor_tpu.parallel.mesh import make_mesh, batch_row_mesh
+from raweditor_tpu.parallel.mesh import (
+    make_mesh,
+    batch_row_mesh,
+    host_batch_row_mesh,
+)
 from raweditor_tpu.parallel.batch import (
     pack_params,
     batch_develop,
@@ -18,6 +22,7 @@ from raweditor_tpu.parallel.spatial import spatial_develop
 __all__ = [
     "make_mesh",
     "batch_row_mesh",
+    "host_batch_row_mesh",
     "pack_params",
     "batch_develop",
     "batch_develop_sharded",

@@ -179,7 +179,7 @@ def _sharded_step(mosaics, params, wb, cms, whites, blacks, *, axis_name,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mesh", "batch_axis", "row_axis",
+        "mesh", "batch_axis", "row_axis", "host_axis",
         "matrix_transpose", "with_histogram", "rgba", "cfa_phase",
         "transfer", "demosaic_method",
     ),
@@ -192,6 +192,7 @@ def batch_develop_sharded(
     mesh: Mesh,
     batch_axis: str = "batch",
     row_axis: str = "row",
+    host_axis: str | None = None,
     white_levels=None,
     black_levels=None,
     matrix_transpose: bool = True,
@@ -207,9 +208,17 @@ def batch_develop_sharded(
     by 2*mesh[row_axis]. params/wb/cam_matrices carry a leading (N,)
     axis. Returns (N, H, W, 3) u8 images (and (N, 3, 256) histograms
     when ``with_histogram``), sharded like the inputs.
+
+    ``host_axis`` adds the multi-host (DCN) dimension: images shard
+    over host×batch jointly. The row-halo ppermute and the histogram
+    psum stay on ``row_axis`` only, so no collective in the step ever
+    crosses the DCN boundary — the scaling design SURVEY §2 calls for.
     """
     n_b = mesh.shape[batch_axis]
     n_r = mesh.shape[row_axis]
+    if host_axis is not None:
+        n_b *= mesh.shape[host_axis]
+    bspec = (host_axis, batch_axis) if host_axis is not None else batch_axis
     n, h, _ = mosaics.shape
     if n % n_b:
         raise ValueError(f"batch {n} not divisible by {n_b}")
@@ -221,12 +230,12 @@ def batch_develop_sharded(
         black_levels = jnp.zeros((n,), _F)
 
     img_spec = (
-        P(batch_axis, row_axis, None)
+        P(bspec, row_axis, None)
         if rgba
-        else P(batch_axis, row_axis, None, None)
+        else P(bspec, row_axis, None, None)
     )
     out_specs = (
-        (img_spec, P(batch_axis, None, None)) if with_histogram else img_spec
+        (img_spec, P(bspec, None, None)) if with_histogram else img_spec
     )
     fn = jax.shard_map(
         functools.partial(
@@ -241,12 +250,12 @@ def batch_develop_sharded(
         ),
         mesh=mesh,
         in_specs=(
-            P(batch_axis, row_axis, None),
-            P(batch_axis),
-            P(batch_axis, None),
-            P(batch_axis, None, None),
-            P(batch_axis),
-            P(batch_axis),
+            P(bspec, row_axis, None),
+            P(bspec),
+            P(bspec, None),
+            P(bspec, None, None),
+            P(bspec),
+            P(bspec),
         ),
         out_specs=out_specs,
     )
@@ -254,8 +263,10 @@ def batch_develop_sharded(
 
 
 def batch_sharding(mesh: Mesh, batch_axis: str = "batch",
-                   row_axis: str | None = "row"):
+                   row_axis: str | None = "row",
+                   host_axis: str | None = None):
     """NamedSharding for staged (N, H, W) mosaics."""
+    bspec = (host_axis, batch_axis) if host_axis is not None else batch_axis
     if row_axis is None:
-        return NamedSharding(mesh, P(batch_axis, None, None))
-    return NamedSharding(mesh, P(batch_axis, row_axis, None))
+        return NamedSharding(mesh, P(bspec, None, None))
+    return NamedSharding(mesh, P(bspec, row_axis, None))

@@ -42,3 +42,28 @@ def batch_row_mesh(n_devices: int | None = None, row: int = 1,
     if n % row:
         raise ValueError(f"{n} devices not divisible by row={row}")
     return make_mesh({"batch": n // row, "row": row}, devices)
+
+
+def host_batch_row_mesh(n_devices: int | None = None, host: int = 1,
+                        row: int = 1, devices=None) -> Mesh:
+    """The multi-host export mesh: ('host', 'batch', 'row').
+
+    The leading 'host' axis models the DCN dimension of a multi-host
+    slice: images shard over host×batch jointly, and the export step
+    keeps ALL collectives (halo ppermute, histogram psum) on the
+    trailing axes so they ride ICI — nothing in the hot path crosses
+    DCN (per-image develop is embarrassingly parallel; see SURVEY §2).
+    On a real multi-host slice, build this with ``jax.devices()`` after
+    ``jax.distributed.initialize()`` — the leading axis then aligns
+    with process boundaries because JAX orders devices by process."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % (host * row):
+        raise ValueError(
+            f"{n} devices not divisible by host={host} x row={row}"
+        )
+    return make_mesh(
+        {"host": host, "batch": n // (host * row), "row": row}, devices
+    )

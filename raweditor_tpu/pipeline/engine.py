@@ -220,17 +220,21 @@ class DevelopEngine:
         """(3, 256) int — the live-histogram path at 128 px
         (reference: gpu/pipeline.rs:615-736)."""
         if self.linear:
-            from raweditor_tpu.ops.develop import histogram_256
+            from raweditor_tpu.ops.develop import develop_linear_histogram
 
-            img = self.preview_histogram_render(params, zoom, pan)
-            return np.asarray(histogram_256(img))
+            return np.asarray(develop_linear_histogram(
+                self.mosaic, params, self.wb, self.cam_matrix,
+                out_w=self.histogram_w, out_h=self.histogram_h,
+                zoom=zoom, pan_x=pan[0], pan_y=pan[1],
+                white_level=self.white_level,
+                black_level=self.black_level,
+                matrix_transpose=self.matrix_transpose,
+                transfer=self.transfer,
+            ))
         if self.xtrans_pattern is not None:
-            from raweditor_tpu.ops.develop import (
-                develop_xtrans_preview,
-                histogram_256,
-            )
+            from raweditor_tpu.ops.develop import develop_xtrans_histogram
 
-            img = develop_xtrans_preview(
+            return np.asarray(develop_xtrans_histogram(
                 self.mosaic, params, self.wb, self.cam_matrix,
                 out_w=self.histogram_w, out_h=self.histogram_h,
                 zoom=zoom, pan_x=pan[0], pan_y=pan[1],
@@ -239,8 +243,7 @@ class DevelopEngine:
                 pattern=self.xtrans_pattern,
                 matrix_transpose=self.matrix_transpose,
                 transfer=self.transfer,
-            )
-            return np.asarray(histogram_256(img))
+            ))
         return np.asarray(
             develop_histogram(
                 self.mosaic, params, self.wb, self.cam_matrix,
@@ -314,7 +317,9 @@ class DevelopEngine:
                                  if self.demosaic_method != "nearest"
                                  else "nearest"), rgba=True,
             )
-        if (self.use_pallas and self.demosaic_method == "nearest"
+        if (self.use_pallas
+                and self.demosaic_method in ("nearest", "bilinear",
+                                             "malvar")
                 and self.transfer in ("gamma22", "gamma22_poly", "srgb")):
             from raweditor_tpu.ops.pallas_develop import pallas_develop_rgba
 
@@ -327,6 +332,7 @@ class DevelopEngine:
                     cfa_phase=self.cfa_phase,
                     gamma={"gamma22_poly": "poly", "srgb": "srgb"}.get(
                         self.transfer, "pow"),
+                    demosaic=self.demosaic_method,
                 )
             except ValueError:
                 pass  # unsupported shape → XLA path

@@ -230,9 +230,11 @@ def run_batch_export(
     if bits == 16 and mesh is not None:
         raise ValueError("16-bit export requires mesh=None")
     # The batched fused kernel (±1 LSB) is the fastest single-chip
-    # Bayer path; it needs nearest demosaic and no row sharding.
+    # Bayer path; covers nearest/bilinear/malvar demosaic, no row
+    # sharding. (X-Trans buckets additionally require nearest — the
+    # generic-CFA site table is a nearest scheme.)
     pallas_ok = (use_pallas and mesh is None
-                 and demosaic_method == "nearest")
+                 and demosaic_method in ("nearest", "bilinear", "malvar"))
     pallas_gamma = {"gamma22_poly": "poly", "srgb": "srgb"}.get(
         transfer, "pow")
     # The polynomial gamma is fit to u8 accuracy (~1e-4 absolute ≈ 6
@@ -361,7 +363,7 @@ def run_batch_export(
             )
 
             out = None
-            if pallas_ok:
+            if pallas_ok and demosaic_method == "nearest":
                 from raweditor_tpu.ops.pallas_develop import (
                     pallas_batch_develop_rgba,
                 )
@@ -396,6 +398,7 @@ def run_batch_export(
                         matrix_transpose=matrix_transpose,
                         cfa_phase=phase,
                         gamma=pallas_gamma,
+                        demosaic=demosaic_method,
                     )
                 except Exception:
                     out = None  # unsupported shape/backend → XLA path

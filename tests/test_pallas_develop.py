@@ -318,3 +318,81 @@ def test_kernel_never_recompiles_on_slider_change(rng):
             white_level=4096.0 - i, black_level=float(i),
             interpret=True)
     assert pallas_develop_rgba._cache_size() == 1
+
+
+REAL_MATRIX = np.array(
+    [[0.9, 0.2, -0.1], [-0.15, 1.1, 0.05], [0.02, -0.3, 1.28]],
+    dtype=np.float32,
+)
+
+
+class TestAccurateMode:
+    """In-kernel bilinear/Malvar + real matrix + sRGB: the accurate
+    lane no longer falls back to XLA (VERDICT r1 item 7)."""
+
+    @pytest.mark.parametrize("method", ["bilinear", "malvar"])
+    def test_demosaic_parity_vs_xla(self, method, rng):
+        mosaic = rng.integers(0, 4096, size=(32, 48), dtype=np.uint16)
+        got = pallas_develop_rgba(mosaic, FULL, WB, REAL_MATRIX,
+                                  demosaic=method, gamma="srgb",
+                                  interpret=True)
+        want = develop_rgba(mosaic, FULL, WB, REAL_MATRIX,
+                            demosaic_method=method, transfer="srgb")
+        assert_1lsb(got, want, frac_exact=0.97)
+
+    @pytest.mark.parametrize("method", ["bilinear", "malvar"])
+    def test_multi_block_halo(self, method, rng):
+        """The 2-row halo must make block boundaries invisible: a
+        32-row image in 8-row blocks == one 32-row block."""
+        mosaic = rng.integers(0, 4096, size=(32, 48), dtype=np.uint16)
+        a = pallas_develop_rgba(mosaic, FULL, WB, REAL_MATRIX,
+                                demosaic=method, block_h=8,
+                                interpret=True)
+        b = pallas_develop_rgba(mosaic, FULL, WB, REAL_MATRIX,
+                                demosaic=method, block_h=32,
+                                interpret=True)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_malvar_black_level_floor(self, rng):
+        """The Malvar undershoot clamp must sit at the black level
+        (the XLA path clamps the normalized value at 0)."""
+        mosaic = rng.integers(200, 4096, size=(16, 32), dtype=np.uint16)
+        mosaic[::2, ::2] = 200  # hard edges around the R sites
+        got = pallas_develop_rgba(
+            mosaic, EditParams(), WB, REAL_MATRIX, white_level=4000.0,
+            black_level=200.0, demosaic="malvar", gamma="srgb",
+            interpret=True)
+        want = develop_rgba(
+            mosaic, EditParams(), WB, REAL_MATRIX, white_level=4000.0,
+            black_level=200.0, demosaic_method="malvar", transfer="srgb")
+        assert_1lsb(got, want, frac_exact=0.95)
+
+    def test_batched_accurate_matches_single(self, rng):
+        from raweditor_tpu.ops.pallas_develop import (
+            pallas_batch_develop_rgba,
+        )
+        from raweditor_tpu.parallel.batch import pack_params
+
+        mosaics = rng.integers(0, 4096, size=(3, 16, 32),
+                               dtype=np.uint16)
+        plist = [EditParams(exposure=0.2 * i) for i in range(3)]
+        pp = pack_params(plist)
+        wbs = np.tile(WB, (3, 1))
+        cms = np.tile(REAL_MATRIX, (3, 1, 1))
+        batch = np.asarray(pallas_batch_develop_rgba(
+            mosaics, pp, wbs, cms, demosaic="malvar", gamma="srgb",
+            interpret=True))
+        for i in range(3):
+            single = np.asarray(pallas_develop_rgba(
+                mosaics[i], plist[i], wbs[i], cms[i], demosaic="malvar",
+                gamma="srgb", interpret=True))
+            assert np.array_equal(batch[i], single)
+
+    def test_pattern_plus_smooth_rejected(self, rng):
+        from raweditor_tpu.ops.cfa_generic import XTRANS_PATTERN
+
+        mosaic = rng.integers(0, 4096, size=(24, 24), dtype=np.uint16)
+        with pytest.raises(ValueError):
+            pallas_develop_rgba(mosaic, EditParams(), WB, IDENTITY,
+                                pattern=XTRANS_PATTERN,
+                                demosaic="malvar", interpret=True)

@@ -153,3 +153,39 @@ def test_sharded_5x5_demosaic_bit_identical(rng, method):
         want = np.asarray(develop(mosaics[i], plist[i], WB, IDENTITY,
                                   demosaic_method=method))
         assert (out[i] == want).all(), (method, i)
+
+
+def test_host_batch_row_mesh_dcn_layout(rng):
+    """The ('host','batch','row') multi-host layout: images shard over
+    host x batch, collectives stay on 'row', outputs bit-match the
+    single-device develop (VERDICT r1 item 8)."""
+    from raweditor_tpu.parallel import host_batch_row_mesh
+
+    mesh = host_batch_row_mesh(host=2, row=2)  # 2 host x 2 batch x 2 row
+    assert mesh.shape == {"host": 2, "batch": 2, "row": 2}
+    n = 8
+    mosaics = rng.integers(0, 4096, size=(n, 32, 24), dtype=np.uint16)
+    plist = [EditParams(exposure=0.1 * i) for i in range(n)]
+    wbs = np.tile(WB, (n, 1))
+    cms = np.tile(IDENTITY, (n, 1, 1))
+
+    staged = jax.device_put(
+        mosaics, batch_sharding(mesh, host_axis="host"))
+    imgs, hists = batch_develop_sharded(
+        staged, pack_params(plist), wbs, cms, mesh, host_axis="host",
+        with_histogram=True,
+    )
+    imgs = np.asarray(imgs)
+    for i in range(n):
+        want = np.asarray(develop(mosaics[i], plist[i], WB, IDENTITY))
+        assert (imgs[i] == want).all()
+    hists = np.asarray(hists)
+    for i in range(n):
+        assert (hists[i] == np.asarray(histogram_256(imgs[i]))).all()
+
+
+def test_host_mesh_rejects_bad_divisor():
+    from raweditor_tpu.parallel import host_batch_row_mesh
+
+    with pytest.raises(ValueError):
+        host_batch_row_mesh(host=3, row=2)  # 8 % 6 != 0
