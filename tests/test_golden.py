@@ -1,0 +1,208 @@
+"""Hand-authored golden bitstreams (VERDICT r1 item 6).
+
+The round-trip suites validate decode(encode(x)) == x, which a shared
+misreading of a format would pass. These fixtures break the circle:
+the byte strings below were derived BY HAND from the published format
+descriptions (ITU-T T.81 for lossless JPEG; the dcraw-lineage Nikon
+and Sony layouts) — none of them was produced by this repo's
+encoders — and the expected sample values were computed on paper from
+the spec's prediction/categorisation rules. Both the Python reference
+decoders and the C++ fast paths must reproduce them exactly.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from raweditor_tpu.native import get_rawkit
+from raweditor_tpu.raw import nikon
+from raweditor_tpu.raw.arw2 import decode_arw2
+from raweditor_tpu.raw.ljpeg import decode_lossless
+
+rk = get_rawkit()
+
+
+# --- ITU-T T.81 Annex H: lossless JPEG, predictors 1-7 --------------------
+#
+# One 8-bit component, 2 rows x 3 cols, samples:
+#     128 129 131
+#     127 126 124
+# DHT: BITS=[0,4,0,...], VALUES=[0,1,2,3] -> canonical 2-bit codes
+# (F.2.2.1): sym0=00 sym1=01 sym2=10 sym3=11.
+# Prediction (H.1.2.1): first sample 2^(P-1)=128; rest of first line
+# use Ra; first column of later lines uses Rb; interior samples use
+# the selected predictor Px. Differences category-coded per H.2.
+#
+# Worked example, predictor 1 (diff -> category/code + raw bits):
+#   (0,0) 128-128=0  -> cat0: 00
+#   (0,1) 129-128=+1 -> cat1: 01 + '1'
+#   (0,2) 131-129=+2 -> cat2: 10 + '10'
+#   (1,0) 127-128=-1 -> cat1: 01 + '0'   (raw = d + 2^cat - 1)
+#   (1,1) 126-127=-1 -> cat1: 01 + '0'
+#   (1,2) 124-126=-2 -> cat2: 10 + '01'
+#   bits 00 011 1010 010 010 1001 -> pad0 -> 0x1D 0x25 0x20
+# The other predictors change only the interior diffs; each stream
+# below was derived the same way from the T.81 predictor table.
+
+_LJPEG_GOLDENS = {
+    1: "1d2520",
+    2: "1d28c0",
+    3: "1d29d0",
+    4: "1d29d8",
+    5: "1d2500",
+    6: "1d29d0",
+    7: "1d29d8",
+}
+_LJPEG_WANT = np.array([[128, 129, 131], [127, 126, 124]], np.uint16)
+
+
+def _ljpeg_container(pred: int, entropy_hex: str) -> bytes:
+    """Wrap hand-derived entropy bytes in the minimal SOI/DHT/SOF3/SOS
+    framing (byte-for-byte the layout of T.81 Annex B)."""
+    out = bytearray(b"\xff\xd8")
+    dht = bytes([0x00]) + bytes([0, 4] + [0] * 14) + bytes([0, 1, 2, 3])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    sof = struct.pack(">BHHB", 8, 2, 3, 1) + bytes([0, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    sos = bytes([1, 0, 0x00, pred, 0, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += bytes.fromhex(entropy_hex)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("pred", sorted(_LJPEG_GOLDENS))
+def test_ljpeg_predictor_goldens_python(pred):
+    planes, prec = decode_lossless(_ljpeg_container(pred,
+                                                    _LJPEG_GOLDENS[pred]))
+    assert prec == 8
+    np.testing.assert_array_equal(planes[0], _LJPEG_WANT)
+
+
+@pytest.mark.skipif(rk is None, reason="native ext not built")
+@pytest.mark.parametrize("pred", sorted(_LJPEG_GOLDENS))
+def test_ljpeg_predictor_goldens_native(pred):
+    raw, nc, h, w, prec = rk.decode_ljpeg(
+        _ljpeg_container(pred, _LJPEG_GOLDENS[pred]))
+    assert (nc, h, w, prec) == (1, 2, 3, 8)
+    np.testing.assert_array_equal(
+        np.frombuffer(raw, np.uint16).reshape(2, 3), _LJPEG_WANT)
+
+
+# --- Nikon lossless NEF (compression 34713) --------------------------------
+#
+# Published layout: MakerNote 0x0096 carries ver bytes 0x46 0x30
+# (lossless), vpred[2][2], a curve size, and the curve; the entropy
+# stream category-codes residuals with the fixed trees. Tree 2
+# (12-bit lossless) canonical codes, derived from the published BITS
+# (0,1,4,2,3,1,2) / VALUES (5,4,6,3,7,2,8,1,9,0,10,11,12):
+#   cat5=00 cat4=010 cat6=011 cat3=100 cat7=101 cat2=1100 cat8=1101
+#   cat1=11100 cat9=11101 cat0=11110 cat10=111110 ...
+# Prediction: cols 0-1 chain vertically from vpred (rows alternate);
+# cols >= 2 predict from two columns left (hpred persists across row
+# ends). Residual decode: raw = getbits(cat); if the top bit is 0,
+# diff = raw - (2^cat - 1).
+#
+# 4x2 @ 12-bit, vpred all 600, identity curve. Pixels / residuals:
+#   (0,0) 608: +8   cat4 010 +1000      (0,1) 620: +20  cat5 00 +10100
+#   (0,2) 610: +2   cat2 1100 +10       (0,3) 605: -15  cat4 010 +0000
+#   (1,0) 580: -20  cat5 00 +01011      (1,1) 590: -10  cat4 010 +0101
+#   (1,2) 615: +35  cat6 011 +100011    (1,3) 620: +30  cat5 00 +11110
+#   -> 50 53 24 02 D2 B8 CF 00 (57 bits, zero-padded)
+_NEF12_STRIP = bytes.fromhex("50532402d2b8cf00")
+_NEF12_WANT = [[608, 620, 610, 605], [580, 590, 615, 620]]
+
+# Tree 5 (14-bit lossless), BITS (0,1,4,2,2,3,1,2) / VALUES
+# (7,6,8,5,9,4,10,3,11,12,2,0,1,13,14):
+#   cat7=00 cat6=010 cat8=011 cat5=100 cat9=101 cat4=1100 cat10=1101
+#   cat3=11100 cat11=11101 cat12=111100 cat2=111101 cat0=111110
+#   cat1=1111110 cat13=11111110 cat14=11111111
+# 4x2 @ 14-bit, vpred all 2000. Pixels / residuals:
+#   (0,0) 2100: +100 cat7 00 +1100100   (0,1) 2050: +50 cat6 010 +110010
+#   (0,2) 2200: +100 cat7 00 +1100100   (0,3) 2010: -40 cat6 010 +010111
+#   (1,0) 1800: -200 cat8 011 +00110111 (1,1) 1900: -100 cat7 00 +0011011
+#   (1,2) 1799: -1  cat1 1111110 +0     (1,3) 1901: +1  cat1 1111110 +1
+#   -> 32 2C 8C 89 76 6E 1B FC FD (72 bits exactly)
+_NEF14_STRIP = bytes.fromhex("322c8c89766e1bfcfd")
+_NEF14_WANT = [[2100, 2050, 2200, 2010], [1800, 1900, 1799, 1901]]
+
+
+def _nef_meta(bps: int, vpred: int) -> bytes:
+    top = 1 << bps
+    return (bytes([0x46, 0x30])
+            + struct.pack("<4H", vpred, vpred, vpred, vpred)
+            + struct.pack("<H", top)
+            + np.arange(top, dtype="<u2").tobytes())
+
+
+@pytest.mark.parametrize("bps,vpred,strip,want,tree", [
+    (12, 600, _NEF12_STRIP, _NEF12_WANT, 2),
+    (14, 2000, _NEF14_STRIP, _NEF14_WANT, 5),
+])
+def test_nef_lossless_goldens(bps, vpred, strip, want, tree):
+    info = nikon.parse_linearization(_nef_meta(bps, vpred), bps)
+    assert info.tree_index == tree and info.split == 0
+    out = nikon.decode_nikon(strip, 4, 2, bps, info)
+    assert out.tolist() == want
+    if rk is not None:
+        raw = rk.decode_nikon(strip, 4, 2, bps, info.tree_index, 0,
+                              info.vpred.astype(np.int32).tobytes(),
+                              info.curve.astype(np.uint16).tobytes())
+        assert np.frombuffer(raw, np.uint16).reshape(2, 4).tolist() == want
+
+
+# --- Sony ARW2 block row ----------------------------------------------------
+#
+# Published 16-byte block layout: 32-bit LE header = vmax(11) |
+# vmin<<11 | imax<<22 | imin<<26, then 14 seven-bit deltas LSB-first
+# from bit 30. sh = smallest s in 0..4 with (0x80<<s) > vmax-vmin;
+# pixel_i = vmax at imax, vmin at imin, else (delta<<sh)+vmin clamped
+# to 0x7FF; stored <<1 into 12-bit space. Two consecutive blocks
+# interleave even/odd columns of a 32-column span.
+
+
+def _arw2_block() -> bytes:
+    """Built inline from the header/delta arithmetic above (spec math
+    only — never touches the repo encoder)."""
+    hdr = 1000 | (200 << 11) | (0 << 22) | (1 << 26)
+    block = bytearray(16)
+    block[0:4] = hdr.to_bytes(4, "little")
+    bit = 30
+    for k in range(14):
+        d = 5 * (k + 2)
+        byte, off = bit >> 3, bit & 7
+        word = block[byte] | (block[byte + 1] << 8 if byte + 1 < 16 else 0)
+        word |= d << off
+        block[byte] = word & 0xFF
+        if byte + 1 < 16:
+            block[byte + 1] = (word >> 8) & 0xFF
+        bit += 7
+    return bytes(block)
+
+
+def _arw2_expected() -> np.ndarray:
+    # vmax-vmin = 800 -> sh = 3 (0x80<<3 = 1024 > 800).
+    expected = np.zeros(32, np.int64)
+    for parity in range(2):
+        for i in range(16):
+            if i == 0:
+                pix = 1000
+            elif i == 1:
+                pix = 200
+            else:
+                pix = min((5 * i << 3) + 200, 0x7FF)
+            expected[2 * i + parity] = pix << 1
+    return expected.astype(np.uint16)
+
+
+def test_arw2_block_golden_python():
+    out = decode_arw2(_arw2_block() * 2, 32, 1)
+    np.testing.assert_array_equal(out[0], _arw2_expected())
+
+
+@pytest.mark.skipif(rk is None, reason="native ext not built")
+def test_arw2_block_golden_native():
+    raw = np.frombuffer(rk.decode_arw2(_arw2_block() * 2, 32, 1),
+                        np.uint16)
+    np.testing.assert_array_equal(raw, _arw2_expected())
