@@ -406,12 +406,13 @@ def _find_tag(tf: T.TiffFile, tag: int):
 
 
 def _wb_from_nikon_makernote(tf: T.TiffFile):
-    """Nikon MakerNote tag 0x000C (WB R/B levels): RATIONALs in file
-    order R, B, G(, G2) → [R, G, B, G2] multipliers, green-normalized.
-    Newer bodies store WB only in the encrypted 0x0097 ColorBalance
-    block (not yet supported); then this returns None and the caller
-    falls back to neutral, like the reference does when rawloader has
-    no coefficients (reference: raw/loader.rs:93-97)."""
+    """Nikon MakerNote WB: tag 0x000C (WB R/B levels) when present,
+    else the encrypted 0x0097 ColorBalance block keyed by serial
+    (0x001D) + shutter count (0x00A7) — decrypted only when the xlat
+    substitution tables have been provided (see raw/nikon_crypt.py).
+    Otherwise None and the caller falls back to neutral, like the
+    reference does when rawloader has no coefficients
+    (reference: raw/loader.rs:93-97)."""
     mn = find_nikon_makernote(tf)
     if mn is None:
         return None
@@ -423,7 +424,35 @@ def _wb_from_nikon_makernote(tf: T.TiffFile):
             if g <= 0:
                 return None
             return RawImage.normalize_wb([r, g, b, g2])
-    return None
+    return _wb_from_nikon_0x97(mn)
+
+
+def _wb_from_nikon_0x97(mn: T.TiffFile):
+    from raweditor_tpu.raw import nikon_crypt
+
+    block = serial_text = count = None
+    for ifd in mn.all_ifds():
+        if block is None:
+            b = ifd.get(0x0097)
+            if isinstance(b, (bytes, bytearray)):
+                block = bytes(b)
+        if serial_text is None:
+            s = ifd.get(0x001D)
+            if isinstance(s, str):
+                serial_text = s
+            elif isinstance(s, (bytes, bytearray)):
+                serial_text = bytes(s).split(b"\0")[0].decode(
+                    "ascii", "replace")
+        if count is None:
+            c = ifd.get_scalar(0x00A7)
+            if isinstance(c, int):
+                count = c
+    if block is None or serial_text is None or count is None:
+        return None
+    return nikon_crypt.wb_from_color_balance(
+        block, nikon_crypt.serial_key(serial_text), count,
+        big_endian=(mn.endian == ">"),
+    )
 
 
 def _wb_from_neutral(neutral) -> np.ndarray:

@@ -224,6 +224,7 @@ def write_synthetic_raw(
     cfa: str = "RGGB",
     orientation: int = 1,
     rows_per_strip: Optional[int] = None,
+    nikon_encrypted_wb: Optional[dict] = None,
 ) -> bytes:
     """Write a DNG/NEF-style CFA TIFF. Returns the bytes (also written
     to ``path`` unless None).
@@ -328,12 +329,16 @@ def write_synthetic_raw(
         makernote = _build_nikon_makernote(
             meta_0x96,
             wb_rbgg=_neutral_to_rbgg(wb_neutral) if wb_in_makernote else None,
+            encrypted_wb=nikon_encrypted_wb,
         )
     else:
         raise ValueError(f"compression {compression!r}")
-    if wb_in_makernote and makernote is None:
+    if (wb_in_makernote or nikon_encrypted_wb) and makernote is None:
         makernote = _build_nikon_makernote(
-            None, wb_rbgg=_neutral_to_rbgg(wb_neutral)
+            None,
+            wb_rbgg=(_neutral_to_rbgg(wb_neutral) if wb_in_makernote
+                     else None),
+            encrypted_wb=nikon_encrypted_wb,
         )
 
     wtr = _TiffWriter()
@@ -367,7 +372,7 @@ def write_synthetic_raw(
             [rat(float(v), 1000000) for v in wb_neutral],
         ),
     ]
-    if wb_in_makernote:
+    if wb_in_makernote or nikon_encrypted_wb:
         # Real NEFs carry WB in the MakerNote, not AsShotNeutral.
         ifd0 = [e for e in ifd0 if e[0] != T.AS_SHOT_NEUTRAL]
     ifds_extra = []
@@ -670,11 +675,17 @@ def write_synthetic_rw2(
 
 
 def _build_nikon_makernote(meta_0x96: Optional[bytes],
-                           wb_rbgg=None) -> bytes:
+                           wb_rbgg=None,
+                           encrypted_wb: Optional[dict] = None) -> bytes:
     """Nikon-format MakerNote: "Nikon\\0" + version, then an embedded
     TIFF whose IFD carries tag 0x0096 (linearization) and optionally
     0x000C (WB R/B levels), offsets relative to the embedded header as
-    in real NEFs."""
+    in real NEFs.
+
+    ``encrypted_wb`` emits the modern-body layout instead of 0x000C:
+    an encrypted 0x0097 ColorBalance block plus the 0x001D serial and
+    0x00A7 shutter count that key it (see raw/nikon_crypt.py);
+    keys: ver, wb_rgbg, serial (str), count (int), xlat0, xlat1."""
     inner = _TiffWriter()
     entries = []
     if meta_0x96 is not None:
@@ -687,6 +698,21 @@ def _build_nikon_makernote(meta_0x96: Optional[bytes],
             (0x000C, _TYPE_RATIONAL,
              [(int(round(v * 1000000)), 1000000) for v in wb_rbgg])
         )
+    if encrypted_wb is not None:
+        from raweditor_tpu.raw import nikon_crypt
+
+        block = nikon_crypt.encrypt_color_balance(
+            encrypted_wb["ver"], encrypted_wb["wb_rgbg"],
+            nikon_crypt.serial_key(encrypted_wb["serial"]),
+            encrypted_wb["count"],
+            encrypted_wb["xlat0"], encrypted_wb["xlat1"],
+            big_endian=False,
+        )
+        bidx = inner.add_blob(block)
+        entries.append((0x001D, _TYPE_ASCII, encrypted_wb["serial"]))
+        entries.append((0x0097, _TYPE_UNDEF,
+                        ("blob", bidx, 0, len(block))))
+        entries.append((0x00A7, _TYPE_LONG, [encrypted_wb["count"]]))
     entries.sort(key=lambda e: e[0])
     tiff = inner.build([entries], chain=(0,))
     return b"Nikon\x00\x02\x10\x00\x00" + tiff
