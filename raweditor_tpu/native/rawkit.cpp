@@ -750,6 +750,76 @@ std::vector<uint8_t> encode_rw2_impl(const uint16_t* mosaic, int64_t width,
 }
 
 // ---------------------------------------------------------------------------
+// Pentax PEF compressed sensor codec
+// ---------------------------------------------------------------------------
+// Published dcraw-lineage Pentax scheme (see raw/pentax.py, the Python
+// behavioral reference): MakerNote 0x0220 supplies (12-bit-aligned
+// prefix, length) per category; MSB-first stream of category codes +
+// T.81 raw bits; Nikon-style vpred/hpred prediction.
+
+void decode_pentax_impl(const uint8_t* data, int64_t len, uint16_t* out,
+                        int64_t width, int64_t height, int bps,
+                        const uint8_t* spec, int64_t spec_len,
+                        bool be_spec) {
+  auto rd16 = [&](int64_t off) -> int {
+    return be_spec ? (spec[off] << 8) | spec[off + 1]
+                   : spec[off] | (spec[off + 1] << 8);
+  };
+  if (spec_len < 2) throw std::runtime_error("pentax spec too short");
+  int dep = (rd16(0) + 12) & 15;
+  if (spec_len < 14 + dep * 3)
+    throw std::runtime_error("pentax spec truncated");
+  // 12-bit window LUT: value = len << 8 | category.
+  std::vector<uint16_t> lut(4096, 0xFFFF);
+  for (int c = 0; c < dep; c++) {
+    int prefix = rd16(14 + 2 * c) & 4095;
+    int ln = spec[14 + 2 * dep + c];
+    if (ln < 1 || ln > 12)
+      throw std::runtime_error("pentax code length out of range");
+    for (int k = 0; k < (4096 >> ln); k++)
+      lut[(prefix + k) & 4095] = uint16_t(ln << 8 | c);
+  }
+  MsbReader rdr{data, len};
+  auto peek12 = [&]() -> int {
+    int v = 0;
+    int64_t p = rdr.bit;
+    for (int k = 0; k < 12; k++) {
+      int64_t byte = (p + k) >> 3;
+      int bit = byte < len ? (data[byte] >> (7 - ((p + k) & 7))) & 1 : 0;
+      v = (v << 1) | bit;
+    }
+    return v;
+  };
+  int vpred[2][2] = {{0, 0}, {0, 0}};
+  int hpred[2] = {0, 0};
+  int top = 1 << bps;
+  for (int64_t row = 0; row < height; row++) {
+    for (int64_t col = 0; col < width; col++) {
+      uint16_t hit = lut[peek12()];
+      if (hit == 0xFFFF)
+        throw std::runtime_error("pentax stream: no code matches");
+      int cat = hit & 0xFF;
+      rdr.bit += hit >> 8;
+      int diff = 0;
+      if (cat) {
+        int raw = rdr.get(cat);
+        diff = raw >= (1 << (cat - 1)) ? raw : raw - (1 << cat) + 1;
+      }
+      int v;
+      if (col < 2) {
+        vpred[row & 1][col] += diff;
+        v = hpred[col] = vpred[row & 1][col];
+      } else {
+        v = hpred[col & 1] += diff;
+      }
+      if (v < 0 || v >= top)
+        throw std::runtime_error("pentax sample out of range");
+      out[row * width + col] = uint16_t(v);
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Category-coded Huffman packing (synthetic encoder hot path)
 // ---------------------------------------------------------------------------
 
@@ -1044,6 +1114,45 @@ static PyObject* py_encode_rw2(PyObject*, PyObject* args) {
   return encode_binding<encode_rw2_impl>(args);
 }
 
+static PyObject* py_decode_pentax(PyObject*, PyObject* args) {
+  Py_buffer buf, spec;
+  int width, height, bps, be_spec;
+  if (!PyArg_ParseTuple(args, "y*iiiy*i", &buf, &width, &height, &bps,
+                        &spec, &be_spec))
+    return nullptr;
+  std::string err;
+  PyObject* out = nullptr;
+  if (width <= 0 || height <= 0 || bps < 8 || bps > 16) {
+    err = "bad dimensions/bps";
+  } else {
+    out = PyBytes_FromStringAndSize(nullptr, int64_t(width) * height * 2);
+    if (!out) {
+      PyBuffer_Release(&buf);
+      PyBuffer_Release(&spec);
+      return nullptr;
+    }
+    uint16_t* dst = reinterpret_cast<uint16_t*>(PyBytes_AS_STRING(out));
+    Py_BEGIN_ALLOW_THREADS
+    try {
+      decode_pentax_impl(static_cast<const uint8_t*>(buf.buf), buf.len,
+                         dst, width, height, bps,
+                         static_cast<const uint8_t*>(spec.buf), spec.len,
+                         be_spec != 0);
+    } catch (const std::exception& e) {
+      err = e.what();
+    }
+    Py_END_ALLOW_THREADS
+  }
+  PyBuffer_Release(&buf);
+  PyBuffer_Release(&spec);
+  if (!err.empty()) {
+    Py_XDECREF(out);
+    PyErr_SetString(PyExc_ValueError, err.c_str());
+    return nullptr;
+  }
+  return out;
+}
+
 static PyObject* py_huffman_pack(PyObject*, PyObject* args) {
   Py_buffer diffs, codes, clens;
   int itemsize, max_raw_cat;
@@ -1111,6 +1220,9 @@ static PyMethodDef RawkitMethods[] = {
      "decode_rw2(data, width, height) -> u16 bytes"},
     {"encode_rw2", py_encode_rw2, METH_VARARGS,
      "encode_rw2(u16_mosaic_bytes, width, height) -> payload bytes"},
+    {"decode_pentax", py_decode_pentax, METH_VARARGS,
+     "decode_pentax(data, width, height, bps, spec, be_spec) "
+     "-> u16 bytes"},
     {"huffman_pack", py_huffman_pack, METH_VARARGS,
      "huffman_pack(diffs, itemsize, code_tab_u64, clen_tab_i32, "
      "max_raw_cat) -> packed bitstream bytes (diffs: signed ints of "

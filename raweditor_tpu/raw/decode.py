@@ -256,6 +256,72 @@ def _decode_orf_strips(tf: T.TiffFile, data: bytes, width: int,
     return decode_olympus(data, width, height)
 
 
+def find_pentax_makernote(tf: T.TiffFile) -> Optional[T.TiffFile]:
+    """Pentax MakerNote ("AOC\\0" header): our synth layout embeds a
+    full TIFF after the 4-byte signature (offsets relative to it, the
+    Nikon-style convention). Real AOC notes omit the TIFF header and
+    use EXIF-absolute offsets — handled when a corpus exists
+    (docs/formats.md)."""
+    for ifd in tf.all_ifds():
+        mn = ifd.get(T.MAKER_NOTE)
+        if isinstance(mn, (bytes, bytearray)) and bytes(mn[:4]) == (
+            b"AOC\x00"
+        ):
+            try:
+                return T.TiffFile(bytes(mn[4:]))
+            except ValueError:
+                return None
+    return None
+
+
+def _decode_pentax_strips(tf: T.TiffFile, data: bytes, width: int,
+                          height: int, bpp: int) -> np.ndarray:
+    """Pentax compression 65535: Huffman spec from MakerNote 0x0220
+    (see raw/pentax.py)."""
+    mn = find_pentax_makernote(tf)
+    spec = None
+    if mn is not None:
+        for ifd in mn.all_ifds():
+            spec = ifd.get(0x0220)
+            if spec is not None:
+                break
+    if not isinstance(spec, (bytes, bytearray)):
+        raise UnsupportedRawError(
+            "compressed PEF without 0x0220 huffman table"
+        )
+    from raweditor_tpu.native import get_rawkit
+
+    rk = get_rawkit()
+    if rk is not None and hasattr(rk, "decode_pentax"):
+        try:
+            raw = rk.decode_pentax(data, width, height, bpp, bytes(spec),
+                                   1 if tf.endian == ">" else 0)
+        except ValueError as e:
+            raise RawDecodeError(str(e)) from e
+        return np.frombuffer(raw, np.uint16).reshape(height, width)
+    from raweditor_tpu.raw.pentax import decode_pentax
+
+    return decode_pentax(data, width, height, bpp, bytes(spec),
+                         big_endian_spec=(tf.endian == ">"))
+
+
+def _wb_from_pentax_makernote(tf: T.TiffFile):
+    """Pentax MakerNote 0x0201 (WhitePoint): four u16 levels in file
+    order R, G, G2, B (the published cam_mul[c ^ (c >> 1)] swizzle),
+    green-normalized."""
+    mn = find_pentax_makernote(tf)
+    if mn is None:
+        return None
+    for ifd in mn.all_ifds():
+        v = ifd.get(0x0201)
+        if isinstance(v, tuple) and len(v) >= 4:
+            r, g, g2, b = (float(x) for x in v[:4])
+            if g <= 0 or r <= 0 or b <= 0:
+                return None
+            return RawImage.normalize_wb([r, g, b, g2 if g2 > 0 else g])
+    return None
+
+
 def _wb_from_olympus_makernote(tf: T.TiffFile):
     """Olympus MakerNote WB: ImageProcessing sub-IFD (0x2040) tag
     0x0100 WB_RBLevels = [R*256, B*256] with green at 256 (published
@@ -558,6 +624,10 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
 
             mosaic = decode_arw2(b"".join(tf.strip_data(ifd)), width,
                                  height)
+        elif comp == T.COMPRESSION_PENTAX:
+            mosaic = _decode_pentax_strips(
+                tf, b"".join(tf.strip_data(ifd)), width, height, bpp
+            )
         else:
             raise UnsupportedRawError(f"compression {comp}")
     except RawDecodeError:
@@ -585,6 +655,8 @@ def _finish_raw_image(tf, mosaic, curve_white, bpp, ifd, source_path):
         wb = _wb_from_nikon_makernote(tf)
         if wb is None:
             wb = _wb_from_olympus_makernote(tf)
+        if wb is None:
+            wb = _wb_from_pentax_makernote(tf)
     if wb is None:
         # Neutral fallback (reference: raw/loader.rs:93-97).
         wb = np.array([1.0, 1.0, 1.0, 1.0], dtype=np.float32)

@@ -321,6 +321,16 @@ def write_synthetic_raw(
 
         comp_tag = T.COMPRESSION_ARW2
         sensor = encode_arw2(mosaic)
+    elif compression == "pentax":
+        from raweditor_tpu.raw.pentax import encode_pentax
+
+        comp_tag = T.COMPRESSION_PENTAX
+        sensor, huff_spec = encode_pentax(mosaic, bpp)
+        makernote = _build_pentax_makernote(
+            huff_spec,
+            wb_rggb=(_neutral_to_rggb(wb_neutral)
+                     if wb_in_makernote else None),
+        )
     elif compression == "nikon":
         from raweditor_tpu.raw.nikon import encode_nikon
 
@@ -454,6 +464,29 @@ def _neutral_to_rbgg(wb_neutral) -> Tuple[float, float, float, float]:
     order of MakerNote 0x000C."""
     r, g, b = (1.0 / v for v in wb_neutral[:3])
     return (r, b, g, g)
+
+
+def _neutral_to_rggb(wb_neutral) -> Tuple[int, int, int, int]:
+    """AsShotNeutral → Pentax 0x0201 u16 levels in R, G, G2, B order
+    (scaled so green = 8192, a typical level base)."""
+    r, g, b = (1.0 / v for v in wb_neutral[:3])
+    scale = 8192.0 / g
+    return (int(round(r * scale)), 8192, 8192, int(round(b * scale)))
+
+
+def _build_pentax_makernote(huff_spec: bytes, wb_rggb=None) -> bytes:
+    """Pentax-style MakerNote: "AOC\\0" signature + an embedded TIFF
+    whose IFD carries 0x0220 (huffman spec) and optionally 0x0201
+    (WhitePoint R,G,G2,B levels). Offsets relative to the embedded
+    header (the Nikon-style convention; see find_pentax_makernote for
+    the real-file caveat)."""
+    inner = _TiffWriter()
+    blob = inner.add_blob(huff_spec)
+    entries = [(0x0220, _TYPE_UNDEF, ("blob", blob, 0, len(huff_spec)))]
+    if wb_rggb is not None:
+        entries.append((0x0201, _TYPE_SHORT, [int(v) for v in wb_rggb]))
+    entries.sort(key=lambda e: e[0])
+    return b"AOC\x00" + inner.build([entries], chain=(0,))
 
 
 def write_synthetic_linear_dng(
