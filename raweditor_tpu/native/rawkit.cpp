@@ -949,13 +949,23 @@ std::vector<uint8_t> huffman_pack_impl(const DiffT* diffs, int64_t n,
   out.reserve(size_t(n) * 3 + 16);
   uint64_t acc = 0;
   int nbits = 0;
-  auto put = [&](uint64_t v, int len) {
-    acc = (acc << len) | (v & ((1ull << len) - 1));
+  auto put_small = [&](uint64_t v, int len) {
+    acc = (acc << len) | (v & (len >= 64 ? ~0ull : (1ull << len) - 1));
     nbits += len;
     while (nbits >= 8) {
       nbits -= 8;
       out.push_back(uint8_t(acc >> nbits));
     }
+  };
+  auto put = [&](uint64_t v, int len) {
+    // The acc holds <8 residual bits, so fields up to 56 bits fit in
+    // one shift; split wider ones (the NumPy fallback supports raw
+    // fields up to 63 bits — keep the native path byte-identical).
+    while (len > 56) {
+      put_small(v >> (len - 32), 32);
+      len -= 32;
+    }
+    put_small(v, len);
   };
   for (int64_t i = 0; i < n; i++) {
     int64_t d = int64_t(diffs[i]);

@@ -256,19 +256,6 @@ class DevelopEngine:
             )
         )
 
-    def preview_histogram_render(self, params, zoom, pan):
-        """128-px LinearRaw render for histogram binning."""
-        from raweditor_tpu.ops.develop import develop_linear_preview
-
-        return develop_linear_preview(
-            self.mosaic, params, self.wb, self.cam_matrix,
-            out_w=self.histogram_w, out_h=self.histogram_h,
-            zoom=zoom, pan_x=pan[0], pan_y=pan[1],
-            white_level=self.white_level, black_level=self.black_level,
-            matrix_transpose=self.matrix_transpose,
-            transfer=self.transfer,
-        )
-
     # -- export ----------------------------------------------------------
     def full_rgba_device(self, params: EditParams):
         """Full-res develop to packed RGBA u32 (H, W) — the fast output

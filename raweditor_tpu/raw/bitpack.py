@@ -10,6 +10,65 @@ from __future__ import annotations
 import numpy as np
 
 
+class MsbReader:
+    """MSB-first bit reader (no byte stuffing); past-the-end reads as
+    zeros, like the published decoders at EOF. Shared by the scalar
+    Olympus/Pentax reference decoders."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def get(self, n: int) -> int:
+        if n == 0:
+            return 0
+        out = 0
+        data = self.data
+        nbytes = len(data)
+        for _ in range(n):
+            byte = self.pos >> 3
+            bit = (data[byte] >> (7 - (self.pos & 7))) & 1 \
+                if byte < nbytes else 0
+            self.pos += 1
+            out = (out << 1) | bit
+        return out
+
+    def peek(self, n: int) -> int:
+        out = 0
+        data = self.data
+        nbytes = len(data)
+        for k in range(n):
+            byte = (self.pos + k) >> 3
+            bit = (data[byte] >> (7 - ((self.pos + k) & 7))) & 1 \
+                if byte < nbytes else 0
+            out = (out << 1) | bit
+        return out
+
+
+class MsbWriter:
+    """MSB-first bit writer, zero-padded tail (inverse of MsbReader)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int):
+        if length <= 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            self.out.append((self.acc >> self.n) & 0xFF)
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.out.append((self.acc << (8 - self.n)) & 0xFF)
+            self.n = 0
+        return bytes(self.out)
+
+
 def concat_bitfields(values: np.ndarray, lengths: np.ndarray) -> bytes:
     """MSB-first concatenation of variable-width fields.
 

@@ -34,26 +34,12 @@ from __future__ import annotations
 import numpy as np
 
 
-class _BitReader:
-    """MSB-first bit reader (no byte stuffing)."""
+from raweditor_tpu.raw.bitpack import MsbReader as _MsbReader
+from raweditor_tpu.raw.bitpack import MsbWriter as _BitWriter
 
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0  # bit position
 
-    def get(self, n: int) -> int:
-        if n == 0:
-            return 0
-        out = 0
-        for _ in range(n):
-            byte = self.pos >> 3
-            if byte >= len(self.data):
-                bit = 0  # past-the-end reads as zeros, like dcraw's EOF
-            else:
-                bit = (self.data[byte] >> (7 - (self.pos & 7))) & 1
-            self.pos += 1
-            out = (out << 1) | bit
-        return out
+class _BitReader(_MsbReader):
+    """Shared MSB reader plus the Olympus unary code."""
 
     def unary_symbol(self) -> int:
         """Count leading zeros: s zeros + a one = symbol s (s < 12);
@@ -64,28 +50,6 @@ class _BitReader:
                 return zeros
             zeros += 1
         return 12
-
-
-class _BitWriter:
-    def __init__(self):
-        self.out = bytearray()
-        self.acc = 0
-        self.n = 0
-
-    def put(self, value: int, length: int):
-        if length <= 0:
-            return
-        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
-        self.n += length
-        while self.n >= 8:
-            self.n -= 8
-            self.out.append((self.acc >> self.n) & 0xFF)
-
-    def flush(self) -> bytes:
-        if self.n:
-            self.out.append((self.acc << (8 - self.n)) & 0xFF)
-            self.n = 0
-        return bytes(self.out)
 
 
 def _nbits_for(carry0: int, carry2: int):

@@ -68,29 +68,7 @@ def _decode_lut(table: List[Tuple[int, int]]) -> Dict[int, Tuple[int, int]]:
     return lut
 
 
-class _MsbReader:
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-
-    def peek12(self) -> int:
-        out = 0
-        for k in range(12):
-            byte = (self.pos + k) >> 3
-            bit = (self.data[byte] >> (7 - ((self.pos + k) & 7)) & 1
-                   if byte < len(self.data) else 0)
-            out = (out << 1) | bit
-        return out
-
-    def get(self, n: int) -> int:
-        out = 0
-        for _ in range(n):
-            byte = self.pos >> 3
-            bit = (self.data[byte] >> (7 - (self.pos & 7)) & 1
-                   if byte < len(self.data) else 0)
-            self.pos += 1
-            out = (out << 1) | bit
-        return out
+from raweditor_tpu.raw.bitpack import MsbReader as _MsbReader
 
 
 def decode_pentax(data: bytes, width: int, height: int, bps: int,
@@ -105,7 +83,7 @@ def decode_pentax(data: bytes, width: int, height: int, bps: int,
     top = 1 << bps
     for row in range(height):
         for col in range(width):
-            hit = lut.get(rdr.peek12())
+            hit = lut.get(rdr.peek(12))
             if hit is None:
                 raise ValueError("pentax stream: no code matches")
             cat, ln = hit
@@ -151,28 +129,6 @@ def make_huff_spec(dep: int = 13, big_endian: bool = False) -> bytes:
                            (codes[c] << (12 - lengths[c])) & 4095)
     out += bytes(lengths)
     return bytes(out)
-
-
-class _MsbWriter:
-    def __init__(self):
-        self.out = bytearray()
-        self.acc = 0
-        self.n = 0
-
-    def put(self, v: int, ln: int):
-        if ln <= 0:
-            return
-        self.acc = (self.acc << ln) | (v & ((1 << ln) - 1))
-        self.n += ln
-        while self.n >= 8:
-            self.n -= 8
-            self.out.append((self.acc >> self.n) & 0xFF)
-
-    def flush(self) -> bytes:
-        if self.n:
-            self.out.append((self.acc << (8 - self.n)) & 0xFF)
-            self.n = 0
-        return bytes(self.out)
 
 
 def encode_pentax(mosaic: np.ndarray, bps: int = 12,

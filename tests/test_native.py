@@ -152,6 +152,21 @@ def test_huffman_encode_native_matches_numpy(dtype, rng, monkeypatch):
     assert native == fallback
 
 
+def test_huffman_encode_wide_fields_match_numpy(rng, monkeypatch):
+    """Raw fields near the 63-bit ceiling: the native packer must
+    split long fields instead of overflowing its 64-bit accumulator
+    (code-review r2 finding)."""
+    from raweditor_tpu.raw import bitpack
+
+    diffs = rng.integers(-(2 ** 59), 2 ** 59, size=200).astype(np.int64)
+    code_tab = np.arange(1, 62, dtype=np.uint64)
+    clen_tab = np.clip(np.arange(3, 64), 3, 16).astype(np.int64)
+    native = bitpack.huffman_encode(diffs, code_tab, clen_tab)
+    monkeypatch.setattr("raweditor_tpu.native.get_rawkit", lambda: None)
+    fallback = bitpack.huffman_encode(diffs, code_tab, clen_tab)
+    assert native == fallback
+
+
 def test_huffman_encode_category_not_in_tree(monkeypatch):
     """Both paths must reject residuals whose category the tree lacks
     (clen 0 marks an unrepresentable category)."""

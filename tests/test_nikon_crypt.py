@@ -36,8 +36,10 @@ def test_keystream_sensitive_to_keys(xlat):
     a = nikon_crypt.keystream(64, 1001, 5, *xlat)
     assert nikon_crypt.keystream(64, 1002, 5, *xlat) != a
     assert nikon_crypt.keystream(64, 1001, 6, *xlat) != a
-    # Only the XOR-fold of the count bytes matters (published rule).
-    fold_equal = 5 ^ (1 << 8) ^ (1 << 8)  # same fold as plain 5
+    # Only the XOR-fold of the count bytes matters (published rule):
+    # 0x030305 has different bytes than 5 but folds to 5 ^ 3 ^ 3 = 5.
+    fold_equal = 5 | (3 << 8) | (3 << 16)
+    assert fold_equal != 5
     assert nikon_crypt.keystream(64, 1001, fold_equal, *xlat) == a
 
 
