@@ -126,6 +126,25 @@ class Library:
                     ON DELETE CASCADE
             )"""
         )
+        # Collections (also beyond the reference): named image sets in
+        # side tables, same schema-compatibility rationale as ratings.
+        c.execute(
+            """CREATE TABLE IF NOT EXISTS collections (
+                id    INTEGER PRIMARY KEY AUTOINCREMENT,
+                name  TEXT NOT NULL UNIQUE
+            )"""
+        )
+        c.execute(
+            """CREATE TABLE IF NOT EXISTS collection_images (
+                collection_id INTEGER NOT NULL,
+                image_id      INTEGER NOT NULL,
+                PRIMARY KEY (collection_id, image_id),
+                FOREIGN KEY(collection_id) REFERENCES collections(id)
+                    ON DELETE CASCADE,
+                FOREIGN KEY(image_id) REFERENCES images(id)
+                    ON DELETE CASCADE
+            )"""
+        )
         c.commit()
 
     # -- image CRUD ------------------------------------------------------
@@ -355,15 +374,95 @@ class Library:
         return (row[0], row[1]) if row else (0, "none")
 
     def filter_images(self, min_rating: int = 0,
-                      flag: str = None) -> List[Image]:
-        """Catalog listing filtered by rating/flag (unrated images count
-        as rating 0, flag 'none')."""
-        rows = self.conn.execute(
+                      flag: str = None,
+                      collection: str = None,
+                      search: str = None) -> List[Image]:
+        """Catalog listing filtered by rating/flag/collection/text
+        (unrated images count as rating 0, flag 'none'; ``search``
+        substring-matches filename or path, case-insensitive)."""
+        sql = (
             f"SELECT {_IMAGE_COLS} FROM images "
             "LEFT JOIN ratings ON ratings.image_id = images.id "
             "WHERE COALESCE(ratings.rating, 0) >= ? "
             "AND (? IS NULL OR COALESCE(ratings.flag, 'none') = ?) "
-            "ORDER BY imported_at DESC",
-            (min_rating, flag, flag),
-        ).fetchall()
+        )
+        args: list = [min_rating, flag, flag]
+        if collection is not None:
+            sql += (
+                "AND images.id IN (SELECT image_id FROM collection_images "
+                "JOIN collections ON collections.id = collection_id "
+                "WHERE collections.name = ?) "
+            )
+            args.append(collection)
+        if search is not None:
+            sql += "AND (images.filename LIKE ? OR images.path LIKE ?) "
+            pat = f"%{search}%"
+            args += [pat, pat]
+        sql += "ORDER BY imported_at DESC"
+        rows = self.conn.execute(sql, args).fetchall()
         return self._rows_to_images(rows)
+
+    # -- collections (beyond the reference) -------------------------------
+    def create_collection(self, name: str) -> int:
+        """Create (or return) the named collection; returns its id."""
+        if not name or not name.strip():
+            raise ValueError("collection name must be non-empty")
+        self.conn.execute(
+            "INSERT OR IGNORE INTO collections(name) VALUES (?)", (name,)
+        )
+        self.conn.commit()
+        return self.conn.execute(
+            "SELECT id FROM collections WHERE name = ?", (name,)
+        ).fetchone()[0]
+
+    def delete_collection(self, name: str) -> bool:
+        cur = self.conn.execute(
+            "DELETE FROM collections WHERE name = ?", (name,)
+        )
+        self.conn.execute(
+            "DELETE FROM collection_images WHERE collection_id NOT IN "
+            "(SELECT id FROM collections)"
+        )
+        self.conn.commit()
+        return cur.rowcount > 0
+
+    def add_to_collection(self, name: str, image_ids) -> int:
+        """Add images to a collection (created if missing); returns the
+        number newly added (duplicates are ignored)."""
+        cid = self.create_collection(name)
+        added = 0
+        for image_id in image_ids:
+            if self.get_image(int(image_id)) is None:
+                raise ValueError(f"no image with id {image_id}")
+            cur = self.conn.execute(
+                "INSERT OR IGNORE INTO collection_images"
+                "(collection_id, image_id) VALUES (?, ?)",
+                (cid, int(image_id)),
+            )
+            added += cur.rowcount
+        self.conn.commit()
+        return added
+
+    def remove_from_collection(self, name: str, image_ids) -> int:
+        removed = 0
+        for image_id in image_ids:
+            cur = self.conn.execute(
+                "DELETE FROM collection_images WHERE image_id = ? AND "
+                "collection_id = (SELECT id FROM collections "
+                "WHERE name = ?)",
+                (int(image_id), name),
+            )
+            removed += cur.rowcount
+        self.conn.commit()
+        return removed
+
+    def list_collections(self) -> List[tuple]:
+        """[(name, image_count)] sorted by name."""
+        return [
+            (r[0], r[1])
+            for r in self.conn.execute(
+                "SELECT c.name, COUNT(ci.image_id) FROM collections c "
+                "LEFT JOIN collection_images ci ON ci.collection_id = c.id "
+                "GROUP BY c.id ORDER BY c.name"
+            )
+        ]

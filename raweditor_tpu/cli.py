@@ -17,7 +17,7 @@ The reference is a GUI app; its workflows map to subcommands here:
   synth    write a synthetic RAW (test/bench fixture)
   rate     star ratings / pick-reject flags (beyond the reference)
   verify   catalog integrity check (startup self-healing, on demand)
-  auto     auto exposure/WB (+ levels/contrast) suggestions
+  auto     auto exposure/WB (+ levels/contrast/tone) suggestions\n  collect  named collections: add/remove/delete/list
   session  interactive develop loop on stdin (the develop tab, headless)
   warmup   precompile develop programs for a sensor shape
   bench    run the headline benchmark
@@ -82,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-rating", type=int, default=0)
     p.add_argument("--flag", choices=("pick", "reject", "none"),
                    default=None)
+    p.add_argument("--collection", default=None,
+                   help="only images in this collection")
+    p.add_argument("--search", default=None, metavar="TEXT",
+                   help="substring match on filename/path")
     p.add_argument("--json", action="store_true",
                    help="one JSON object per line (for scripting)")
 
@@ -125,6 +129,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--flag", choices=("pick", "reject", "none"),
                    default=None)
 
+    p = sub.add_parser("collect",
+                       help="named collections (beyond the reference)")
+    p.add_argument("action",
+                   choices=("add", "remove", "delete", "list"))
+    p.add_argument("name", nargs="?", default=None,
+                   help="collection name (not needed for list)")
+    p.add_argument("ids", nargs="*", type=int,
+                   help="image ids (for add/remove)")
+
     p = sub.add_parser("edit", help="save slider values for a catalog image")
     p.add_argument("image_id", type=int)
     p.add_argument("--reset", action="store_true",
@@ -162,6 +175,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--flag", choices=("pick", "reject", "none"),
                    default=None,
                    help="catalog exports only: require this flag")
+    p.add_argument("--collection", default=None,
+                   help="catalog exports only: only this collection")
     _add_slider_args(p)
 
     sub.add_parser(
@@ -205,6 +220,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--contrast", action="store_true",
                    help="also suggest a contrast delta (interquartile "
                         "spread toward a midtone target)")
+    p.add_argument("--tone", action="store_true",
+                   help="also suggest scene-aware shadows/highlights "
+                        "(deep-shadow lift / clipped-highlight recovery)")
 
     p = sub.add_parser(
         "session",
@@ -253,8 +271,12 @@ def cmd_list(args) -> int:
         lib.verify_files()
         min_rating = getattr(args, "min_rating", 0) or 0
         flag = getattr(args, "flag", None)
-        if min_rating or flag:
-            images = lib.filter_images(min_rating=min_rating, flag=flag)
+        collection = getattr(args, "collection", None)
+        search = getattr(args, "search", None)
+        if min_rating or flag or collection or search:
+            images = lib.filter_images(min_rating=min_rating, flag=flag,
+                                       collection=collection,
+                                       search=search)
         else:
             images = lib.get_all_images()
         for img in images:
@@ -292,6 +314,29 @@ def cmd_rate(args) -> int:
         rating, flag = lib.get_rating(args.image_id)
         print(json.dumps({"id": args.image_id, "rating": rating,
                           "flag": flag}))
+    return 0
+
+
+def cmd_collect(args) -> int:
+    with _open_library(args) as lib:
+        if args.action == "list":
+            for name, count in lib.list_collections():
+                print(json.dumps({"name": name, "images": count}))
+            return 0
+        if not args.name:
+            raise SystemExit("collect: a collection name is required")
+        try:
+            if args.action == "add":
+                n = lib.add_to_collection(args.name, args.ids)
+                print(json.dumps({"name": args.name, "added": n}))
+            elif args.action == "remove":
+                n = lib.remove_from_collection(args.name, args.ids)
+                print(json.dumps({"name": args.name, "removed": n}))
+            elif args.action == "delete":
+                ok = lib.delete_collection(args.name)
+                print(json.dumps({"name": args.name, "deleted": ok}))
+        except ValueError as e:
+            raise SystemExit(f"collect: {e}")
     return 0
 
 
@@ -421,9 +466,11 @@ def cmd_export(args) -> int:
             ids = args.ids
             min_rating = getattr(args, "min_rating", 0) or 0
             flag = getattr(args, "flag", None)
-            if min_rating or flag:
+            collection = getattr(args, "collection", None)
+            if min_rating or flag or collection:
                 picked = {i.id for i in lib.filter_images(
-                    min_rating=min_rating, flag=flag)}
+                    min_rating=min_rating, flag=flag,
+                    collection=collection)}
                 ids = sorted(picked if ids is None
                              else picked & set(ids))
             jobs = jobs_from_catalog(lib, args.out_dir, ids, args.ext)
@@ -621,6 +668,7 @@ def cmd_auto(args) -> int:
         eng, base,
         include_levels=getattr(args, "levels", False),
         include_contrast=getattr(args, "contrast", False),
+        include_tone=getattr(args, "tone", False),
     )
     if image_id is not None and not args.dry_run:
         with _open_library(args) as lib:
@@ -679,6 +727,7 @@ _COMMANDS = {
     "list": cmd_list,
     "info": cmd_info,
     "rate": cmd_rate,
+    "collect": cmd_collect,
     "develop": cmd_develop,
     "edit": cmd_edit,
     "export": cmd_export,

@@ -148,9 +148,46 @@ def suggest_contrast(engine, params: EditParams = None,
     return float(np.clip(delta, -max_delta, max_delta))
 
 
+def suggest_shadows_highlights(engine, params: EditParams = None,
+                               shadow_thresh: float = 0.10,
+                               highlight_thresh: float = 0.97,
+                               shadow_target: float = 0.10,
+                               highlight_target: float = 0.01,
+                               max_adj: float = 0.8):
+    """Scene-aware (shadows, highlights) *deltas* from the current
+    render's luminance histogram:
+
+    - a large deep-shadow population (display luminance below
+      ``shadow_thresh``) suggests lifting shadows — the shader's
+      shadows term scales dark pixels by (1 + (1-lum)*s)
+      (reference: gpu/shaders.rs:222-230);
+    - a clipped-highlight population above ``highlight_thresh``
+      suggests negative highlights (the (1 + lum*h) term).
+
+    Proportional response against the target fractions, conservatively
+    clamped; measured on the current render, so after applying the
+    suggestion the residual shrinks toward zero (no runaway stacking).
+    """
+    params = params or EditParams()
+    hist = engine.histogram(params)
+    luma_hist = (0.2126 * hist[0] + 0.7152 * hist[1] + 0.0722 * hist[2])
+    total = max(luma_hist.sum(), 1.0)
+    lo_bin = int(round(shadow_thresh * 255))
+    hi_bin = int(round(highlight_thresh * 255))
+    shadow_frac = float(luma_hist[: lo_bin + 1].sum() / total)
+    highlight_frac = float(luma_hist[hi_bin:].sum() / total)
+    # Gain 2.0: a fully-black frame (frac 1.0) saturates the clamp; a
+    # mild excess produces a gentle lift.
+    shadows = 2.0 * max(0.0, shadow_frac - shadow_target)
+    highlights = -2.0 * max(0.0, highlight_frac - highlight_target)
+    return (float(np.clip(shadows, 0.0, max_adj)),
+            float(np.clip(highlights, -max_adj, 0.0)))
+
+
 def suggest_auto(engine, params: EditParams = None,
                  include_levels: bool = False,
-                 include_contrast: bool = False) -> EditParams:
+                 include_contrast: bool = False,
+                 include_tone: bool = False) -> EditParams:
     """Combined suggestion: residual WB composed onto the current
     params, then an exposure delta measured with the WB applied, and
     optionally auto-levels measured last. Idempotent up to measurement
@@ -173,4 +210,11 @@ def suggest_auto(engine, params: EditParams = None,
         delta = suggest_contrast(engine, out)
         out = out.replace(contrast=float(np.clip(
             float(out.contrast) + delta, -100.0, 100.0)))
+    if include_tone:
+        d_sh, d_hl = suggest_shadows_highlights(engine, out)
+        out = out.replace(
+            shadows=float(np.clip(float(out.shadows) + d_sh, -1.0, 1.0)),
+            highlights=float(np.clip(float(out.highlights) + d_hl,
+                                     -1.0, 1.0)),
+        )
     return out

@@ -9,7 +9,7 @@ harness) can drive the engine without linking a GUI:
     set <slider> <value>     update one slider (persists when --db)
     zoom <z> | pan <x> <y>   view transform (clamped like the UI)
     render <path>            write current preview PNG
-    auto [levels] [contrast] apply auto-adjust suggestions
+    auto [levels] [contrast] [tone] apply auto-adjust suggestions
     full <path>              full-resolution export
     histogram                print (3,256) JSON histogram
     before <path>            preview with default params (before view)
@@ -142,17 +142,18 @@ class DevelopSession:
 
     def auto(self, *options: str) -> dict:
         """Apply the auto-adjust suggestion (exposure + WB; pass
-        'levels' and/or 'contrast' tokens for the extra corrections)."""
+        'levels'/'contrast'/'tone' tokens for the extra corrections)."""
         from raweditor_tpu.pipeline.auto import suggest_auto
 
-        bad = set(options) - {"levels", "contrast"}
+        bad = set(options) - {"levels", "contrast", "tone"}
         if bad:
             return {"ok": False,
-                    "error": f"usage: auto [levels] [contrast]"}
+                    "error": f"usage: auto [levels] [contrast] [tone]"}
         self.params = suggest_auto(
             self.engine, self.params,
             include_levels="levels" in options,
             include_contrast="contrast" in options,
+            include_tone="tone" in options,
         )
         if self.library is not None and self.image_id is not None:
             self.library.save_edit_params(self.image_id, self.params,

@@ -175,3 +175,70 @@ class TestSuggestContrast:
                             wb_neutral=(1.0, 1.0, 1.0))
         eng = DevelopEngine.open(str(path))
         assert suggest_contrast(eng, EditParams()) == 0.0
+
+
+class TestShadowsHighlights:
+    def test_dark_scene_lifts_shadows(self, tmp_path, rng):
+        from raweditor_tpu.pipeline.auto import suggest_shadows_highlights
+
+        # Mostly deep shadows with a few bright pixels so auto-exposure
+        # logic isn't what fixes it.
+        m = rng.integers(0, 120, size=(48, 64)).astype(np.uint16)
+        m[:4, :4] = 4000
+        eng = _engine(tmp_path, m)
+        sh, hl = suggest_shadows_highlights(eng)
+        assert sh > 0.2
+        assert hl == 0.0
+
+    def test_blown_scene_pulls_highlights(self, tmp_path, rng):
+        from raweditor_tpu.pipeline.auto import suggest_shadows_highlights
+
+        m = rng.integers(3900, 4096, size=(48, 64)).astype(np.uint16)
+        eng = _engine(tmp_path, m)
+        sh, hl = suggest_shadows_highlights(eng)
+        assert hl < -0.2
+
+    def test_balanced_scene_near_zero(self, tmp_path, rng):
+        from raweditor_tpu.pipeline.auto import suggest_shadows_highlights
+
+        # Neutral WB: the default synth WB doubles red, which clips a
+        # midtone scene's red channel — a real highlight problem, not
+        # the no-op case this test wants.
+        m = rng.integers(1200, 2800, size=(48, 64)).astype(np.uint16)
+        eng = _engine(tmp_path, m, wb_neutral=(1.0, 1.0, 1.0))
+        sh, hl = suggest_shadows_highlights(eng)
+        assert sh <= 0.1 and hl >= -0.1
+
+    def test_residual_shrinks_after_applying(self, tmp_path, rng):
+        """Applying the suggestion reduces the next suggestion — no
+        runaway stacking across repeated `auto tone` runs."""
+        from raweditor_tpu.pipeline.auto import suggest_shadows_highlights
+
+        m = rng.integers(0, 120, size=(48, 64)).astype(np.uint16)
+        m[:4, :4] = 4000
+        eng = _engine(tmp_path, m)
+        sh1, _ = suggest_shadows_highlights(eng)
+        applied = EditParams(shadows=sh1)
+        sh2, _ = suggest_shadows_highlights(eng, applied)
+        assert sh2 <= sh1 + 1e-6
+
+    def test_suggest_auto_includes_tone(self, tmp_path, rng):
+        # A big bright region (>1% of pixels) anchors auto-exposure on
+        # the highlights, so the deep shadows survive the exposure step
+        # and the tone pass has real work left.
+        m = rng.integers(0, 120, size=(48, 64)).astype(np.uint16)
+        m[:8, :] = 3800
+        eng = _engine(tmp_path, m)
+        out = suggest_auto(eng, include_tone=True)
+        assert float(out.shadows) > 0.0
+
+    def test_session_auto_tone_token(self, tmp_path, rng):
+        from raweditor_tpu.pipeline.session import DevelopSession
+
+        m = rng.integers(0, 120, size=(24, 32)).astype(np.uint16)
+        eng = _engine(tmp_path, m)
+        sess = DevelopSession(eng, None, None)
+        out = sess.handle("auto tone")
+        assert out["ok"]
+        out = sess.handle("auto bogus")
+        assert not out["ok"] and "tone" in out["error"]

@@ -315,3 +315,59 @@ class TestRatings:
             "SELECT name FROM sqlite_master WHERE type='table'")}
         assert "ratings" in tables
         conn.close()
+
+
+class TestCollectionsAndSearch:
+    def test_collection_crud(self, tmp_path):
+        from raweditor_tpu.catalog import Library
+
+        lib = Library(tmp_path / "c.db")
+        ids = [lib.import_image(f"/x/img{i}.nef", f"img{i}.nef")
+               for i in range(4)]
+        assert lib.add_to_collection("trip", ids[:3]) == 3
+        assert lib.add_to_collection("trip", ids[:3]) == 0  # dupes
+        assert lib.list_collections() == [("trip", 3)]
+        got = {i.id for i in lib.filter_images(collection="trip")}
+        assert got == set(ids[:3])
+        assert lib.remove_from_collection("trip", [ids[0]]) == 1
+        assert lib.list_collections() == [("trip", 2)]
+        assert lib.delete_collection("trip") is True
+        assert lib.delete_collection("trip") is False
+        assert lib.list_collections() == []
+        lib.close()
+
+    def test_collection_rejects_unknown_image(self, tmp_path):
+        from raweditor_tpu.catalog import Library
+
+        lib = Library(tmp_path / "c.db")
+        with pytest.raises(ValueError):
+            lib.add_to_collection("x", [999])
+        with pytest.raises(ValueError):
+            lib.create_collection("   ")
+        lib.close()
+
+    def test_text_search(self, tmp_path):
+        from raweditor_tpu.catalog import Library
+
+        lib = Library(tmp_path / "c.db")
+        a = lib.import_image("/shoots/alps/IMG_001.nef", "IMG_001.nef")
+        b = lib.import_image("/shoots/beach/IMG_002.nef", "IMG_002.nef")
+        assert {i.id for i in lib.filter_images(search="alps")} == {a}
+        assert {i.id for i in lib.filter_images(search="img_00")} == {a, b}
+        assert lib.filter_images(search="nothere") == []
+        # Composes with collections.
+        lib.add_to_collection("keep", [b])
+        got = lib.filter_images(search="img", collection="keep")
+        assert {i.id for i in got} == {b}
+        lib.close()
+
+    def test_collections_survive_reopen(self, tmp_path):
+        from raweditor_tpu.catalog import Library
+
+        lib = Library(tmp_path / "c.db")
+        i = lib.import_image("/x/a.nef", "a.nef")
+        lib.add_to_collection("sel", [i])
+        lib.close()
+        lib = Library(tmp_path / "c.db")
+        assert lib.list_collections() == [("sel", 1)]
+        lib.close()
