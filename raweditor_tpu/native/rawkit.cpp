@@ -929,6 +929,94 @@ void decode_pentax_impl(const uint8_t* data, int64_t len, uint16_t* out,
 }
 
 // ---------------------------------------------------------------------------
+// Kodak DCR/KDC compression 65000
+// ---------------------------------------------------------------------------
+// Published dcraw-lineage scheme (see raw/kodak.py, the Python
+// behavioral reference): 256-sample segments, nibble-packed bit
+// lengths (>12 escapes to an uncompressed six-u16s-per-eight-values
+// layout), LSB-first bit buffer refilled from big-endian u16 words.
+
+void decode_kodak65000_impl(const uint8_t* d, int64_t n, uint16_t* out,
+                            int64_t width, int64_t height) {
+  int64_t pos = 0;
+  auto byte = [&]() -> int {
+    if (pos >= n) throw std::runtime_error("kodak65000: stream truncated");
+    return d[pos++];
+  };
+  std::vector<uint8_t> blen(260);
+  std::vector<int32_t> vals(260);
+  for (int64_t row = 0; row < height; row++) {
+    for (int64_t col = 0; col < width; col += 256) {
+      int len = int(width - col < 256 ? width - col : 256);
+      int bsize = (len + 3) & ~3;
+      int64_t save = pos;
+      bool absolute = false;
+      for (int i = 0; i < bsize; i += 2) {
+        int c = byte();
+        blen[i] = c & 15;
+        blen[i + 1] = c >> 4;
+        if (blen[i] > 12 || blen[i + 1] > 12) {
+          absolute = true;
+          break;
+        }
+      }
+      if (absolute) {
+        pos = save;
+        for (int i = 0; i < bsize; i += 8) {
+          uint16_t raw[6];
+          for (int j = 0; j < 6; j++) {
+            int lo = byte();
+            int hi = byte();
+            raw[j] = uint16_t(lo | (hi << 8));
+          }
+          vals[i] = (raw[0] >> 12 << 8) | (raw[2] >> 12 << 4) |
+                    (raw[4] >> 12);
+          vals[i + 1] = (raw[1] >> 12 << 8) | (raw[3] >> 12 << 4) |
+                        (raw[5] >> 12);
+          for (int j = 0; j < 6 && i + 2 + j < bsize; j++)
+            vals[i + 2 + j] = raw[j] & 0xFFF;
+        }
+      } else {
+        uint64_t bitbuf = 0;
+        int bits = 0;
+        if ((bsize & 7) == 4) {
+          bitbuf = (uint64_t(byte()) << 8);
+          bitbuf += byte();
+          bits = 16;
+        }
+        for (int i = 0; i < bsize; i++) {
+          int ln = blen[i];
+          if (bits < ln) {
+            for (int j = 0; j < 32; j += 8)
+              bitbuf += uint64_t(byte()) << (bits + (j ^ 8));
+            bits += 32;
+          }
+          int32_t diff = int32_t(bitbuf & ((1u << ln) - 1));
+          bitbuf >>= ln;
+          bits -= ln;
+          if (ln && !(diff & (1 << (ln - 1))))
+            diff -= (1 << ln) - 1;
+          vals[i] = diff;
+        }
+      }
+      int32_t pred[2] = {0, 0};
+      for (int i = 0; i < len; i++) {
+        int32_t pix;
+        if (absolute) {
+          pix = vals[i];
+        } else {
+          pred[i & 1] += vals[i];
+          pix = pred[i & 1];
+        }
+        if (pix >> 12)
+          throw std::runtime_error("kodak65000 sample out of range");
+        out[row * width + col + i] = uint16_t(pix);
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Category-coded Huffman packing (synthetic encoder hot path)
 // ---------------------------------------------------------------------------
 
@@ -1229,6 +1317,9 @@ static PyObject* py_encode_olympus(PyObject*, PyObject* args) {
 static PyObject* py_decode_rw2(PyObject*, PyObject* args) {
   return decode_binding<decode_rw2_impl>(args);
 }
+static PyObject* py_decode_kodak65000(PyObject*, PyObject* args) {
+  return decode_binding<decode_kodak65000_impl>(args);
+}
 static PyObject* py_encode_rw2(PyObject*, PyObject* args) {
   return encode_binding<encode_rw2_impl>(args);
 }
@@ -1339,6 +1430,8 @@ static PyMethodDef RawkitMethods[] = {
      "decode_rw2(data, width, height) -> u16 bytes"},
     {"encode_rw2", py_encode_rw2, METH_VARARGS,
      "encode_rw2(u16_mosaic_bytes, width, height) -> payload bytes"},
+    {"decode_kodak65000", py_decode_kodak65000, METH_VARARGS,
+     "decode_kodak65000(data, width, height) -> u16 bytes"},
     {"decode_pentax", py_decode_pentax, METH_VARARGS,
      "decode_pentax(data, width, height, bps, spec, be_spec) "
      "-> u16 bytes"},

@@ -628,6 +628,22 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
             mosaic = _decode_pentax_strips(
                 tf, b"".join(tf.strip_data(ifd)), width, height, bpp
             )
+        elif comp == T.COMPRESSION_KODAK65000:
+            from raweditor_tpu.native import get_rawkit
+
+            rk = get_rawkit()
+            data_k = b"".join(tf.strip_data(ifd))
+            if rk is not None and hasattr(rk, "decode_kodak65000"):
+                try:
+                    raw = rk.decode_kodak65000(data_k, width, height)
+                except ValueError as e:
+                    raise RawDecodeError(str(e)) from e
+                mosaic = np.frombuffer(raw, np.uint16).reshape(height,
+                                                               width)
+            else:
+                from raweditor_tpu.raw.kodak import decode_kodak65000
+
+                mosaic = decode_kodak65000(data_k, width, height)
         else:
             raise UnsupportedRawError(f"compression {comp}")
     except RawDecodeError:

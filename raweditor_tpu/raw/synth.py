@@ -321,6 +321,11 @@ def write_synthetic_raw(
 
         comp_tag = T.COMPRESSION_ARW2
         sensor = encode_arw2(mosaic)
+    elif compression == "kodak65000":
+        from raweditor_tpu.raw.kodak import encode_kodak65000
+
+        comp_tag = T.COMPRESSION_KODAK65000
+        sensor = encode_kodak65000(mosaic)
     elif compression == "pentax":
         from raweditor_tpu.raw.pentax import encode_pentax
 

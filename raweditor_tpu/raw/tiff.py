@@ -56,6 +56,7 @@ COMPRESSION_LJPEG = 7  # "new-style" JPEG; SOF3 lossless in RAWs
 COMPRESSION_NIKON = 34713
 COMPRESSION_ARW2 = 32767
 COMPRESSION_PENTAX = 65535
+COMPRESSION_KODAK65000 = 65000
 
 # Panasonic RW2 IFD0 tags (the RW2 container reuses the TIFF structure
 # with its own tag vocabulary; ids per the published dcraw/exiftool

@@ -374,6 +374,7 @@ def test_decoder_fuzz_error_contract(rng):
     bases.append(write_synthetic_orf(None, m))
     bases.append(write_synthetic_orf(None, m, compression="none16"))
     bases.append(write_synthetic_raw(None, m, compression="pentax"))
+    bases.append(write_synthetic_raw(None, m, compression="kodak65000"))
     m14 = rw2_representable(
         rng.integers(0, 4096, size=(8, 28), dtype=np.uint16))
     bases.append(write_synthetic_rw2(None, m14))
