@@ -30,10 +30,12 @@ from typing import List, Optional
 from raweditor_tpu.catalog.data import Image
 from raweditor_tpu.params import EditParams
 
-# The reference's import filter (reference: main.rs:1852-1855).
+# The reference's import filter (reference: main.rs:1852-1855), plus
+# "crw": absent from the reference's own list, but its rawloader decode
+# backend supports it (reference: raw/loader.rs:50-54) and so do we.
 RAW_EXTENSIONS = (
     "nef", "dng", "cr2", "cr3", "arw", "raf", "orf", "rw2",
-    "pef", "srw", "erf", "kdc", "dcr", "mos", "raw", "rwl",
+    "pef", "srw", "erf", "kdc", "dcr", "mos", "raw", "rwl", "crw",
 )
 
 _IMAGE_COLS = (

@@ -15,6 +15,7 @@ Supported sensor encodings:
 from __future__ import annotations
 
 import os
+import struct
 from typing import List, Optional, Union
 
 import numpy as np
@@ -543,6 +544,14 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
 
     if _raf.is_raf(data):
         return _decode_raf(data, source_path)
+    from raweditor_tpu.raw import ciff as _ciff
+
+    if _ciff.is_ciff(data):
+        # Canon CRW: CIFF heap + the original Canon codec.
+        try:
+            return _ciff.decode_crw(data, source_path)
+        except (ValueError, IndexError, struct.error) as e:
+            raise RawDecodeError(f"corrupt CRW: {e}") from e
     if len(data) >= 12 and data[4:8] == b"ftyp":
         # ISO-BMFF container (Canon CR3 'crx ', HEIF, ...). The embedded
         # previews still feed the tier cache via the marker scan; the
@@ -876,6 +885,15 @@ def extract_preview_jpeg(path_or_bytes) -> Optional[bytes]:
             if jpeg and jpeg[:2] == b"\xff\xd8":
                 return jpeg
         except ValueError:
+            pass
+    from raweditor_tpu.raw import ciff as _ciff
+
+    if _ciff.is_ciff(data):
+        try:
+            jpeg = _ciff.CiffFile(data).preview_jpeg()
+            if jpeg:
+                return jpeg
+        except (ValueError, struct.error):
             pass
     best = None
     try:

@@ -378,6 +378,11 @@ def test_decoder_fuzz_error_contract(rng):
     m14 = rw2_representable(
         rng.integers(0, 4096, size=(8, 28), dtype=np.uint16))
     bases.append(write_synthetic_rw2(None, m14))
+    from raweditor_tpu.raw.ciff import write_crw
+
+    m16 = rng.integers(0, 4096, size=(8, 16), dtype=np.uint16)
+    bases.append(write_crw(None, m16))
+    bases.append(write_crw(None, m16 >> 2, lowbits=False))
     for base in bases:
         base = bytearray(base)
         for _ in range(40):
