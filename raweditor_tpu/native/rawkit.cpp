@@ -1017,6 +1017,228 @@ void decode_kodak65000_impl(const uint8_t* d, int64_t n, uint16_t* out,
 }
 
 // ---------------------------------------------------------------------------
+// Canon CRW (original Canon codec)
+// ---------------------------------------------------------------------------
+// Published dcraw-lineage scheme (see raw/ciff.py, the Python
+// behavioral reference): 64-entry JPEG-style difference blocks under
+// two canonical Huffman trees per decoder table (the first entry of a
+// block uses the "first" tree and carries an inter-block DC carry),
+// even/odd 512-base predictors reset per row, 8-row bands, MSB-first
+// bit stream with 0x00 stuffing after 0xff. Tables mirror
+// raw/ciff.py:FIRST_TREES/SECOND_TREES (structural provenance and the
+// second-tree-1 repair note live there); parity is pinned by a test
+// that exercises every leaf of every table.
+
+const uint8_t kCrwFirst[3][16 + 13] = {
+    {0, 1, 4, 2, 3, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+     0x04, 0x03, 0x05, 0x06, 0x02, 0x07, 0x01, 0x08, 0x09, 0x00,
+     0x0a, 0x0b, 0xff},
+    {0, 2, 2, 3, 1, 1, 1, 1, 2, 0, 0, 0, 0, 0, 0, 0,
+     0x03, 0x02, 0x04, 0x01, 0x05, 0x00, 0x06, 0x07, 0x09, 0x08,
+     0x0a, 0x0b, 0xff},
+    {0, 0, 6, 3, 1, 1, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+     0x06, 0x05, 0x07, 0x04, 0x08, 0x03, 0x09, 0x02, 0x00, 0x0a,
+     0x01, 0x0b, 0xff},
+};
+
+const uint8_t kCrwSecond[3][16 + 162] = {
+    {0, 2, 2, 2, 1, 4, 2, 1, 2, 5, 1, 1, 0, 0, 0, 139,
+     0x03, 0x04, 0x02, 0x05, 0x01, 0x06, 0x07, 0x08,
+     0x12, 0x13, 0x11, 0x14, 0x09, 0x15, 0x22, 0x00, 0x21, 0x16,
+     0x0a, 0xf0,
+     0x23, 0x17, 0x24, 0x31, 0x32, 0x18, 0x19, 0x33, 0x25, 0x41,
+     0x34, 0x42, 0x35, 0x51, 0x36, 0x37, 0x38, 0x29, 0x79, 0x26,
+     0x1a, 0x39, 0x56, 0x57, 0x28, 0x27, 0x52, 0x55, 0x58, 0x43,
+     0x76, 0x59, 0x77, 0x54, 0x61, 0xf9, 0x71, 0x78, 0x75, 0x96,
+     0x97, 0x49, 0xb7, 0x53, 0xd7, 0x74, 0xb6, 0x98, 0x47, 0x48,
+     0x95, 0x69, 0x99, 0x91, 0xfa, 0xb8, 0x68, 0xb5, 0xb9, 0xd6,
+     0xf7, 0xd8, 0x67, 0x46, 0x45, 0x94, 0x89, 0xf8, 0x81, 0xd5,
+     0xf6, 0xb4, 0x88, 0xb1, 0x2a, 0x44, 0x72, 0xd9, 0x87, 0x66,
+     0xd4, 0xf5, 0x3a, 0xa7, 0x73, 0xa9, 0xa8, 0x86, 0x62, 0xc7,
+     0x65, 0xc8, 0xc9, 0xa1, 0xf4, 0xd1, 0xe9, 0x5a, 0x92, 0x85,
+     0xa6, 0xe7, 0x93, 0xe8, 0xc1, 0xc6, 0x7a, 0x64, 0xe1, 0x4a,
+     0x6a, 0xe6, 0xb3, 0xf1, 0xd3, 0xa5, 0x8a, 0xb2, 0x9a, 0xba,
+     0x84, 0xa4, 0x63, 0xe5, 0xc5, 0xf3, 0xd2, 0xc4, 0x82, 0xaa,
+     0xda, 0xe4, 0xf2, 0xca, 0x83, 0xa3, 0xa2, 0xc3, 0xea, 0xc2,
+     0xe2, 0xe3},
+    {0, 2, 2, 1, 4, 1, 4, 1, 3, 3, 1, 0, 0, 0, 0, 140,
+     0x02, 0x03, 0x01, 0x04, 0x05, 0x12, 0x11, 0x06, 0x13, 0x07,
+     0x08, 0x14, 0x22, 0x09, 0x21, 0x00, 0x23, 0x15, 0x31, 0x32,
+     0x0a, 0x16, 0xf0, 0x24, 0x33, 0x41, 0x42, 0x19, 0x17, 0x25,
+     0x18, 0x51, 0x34, 0x43, 0x52, 0x29, 0x35, 0x61, 0x39, 0x71,
+     0x62, 0x36, 0x53, 0x26, 0x38, 0x1a, 0x37, 0x81, 0x27, 0x91,
+     0x79, 0x55, 0x45, 0x28, 0x72, 0x59, 0xa1, 0xb1, 0x44, 0x69,
+     0x54, 0x58, 0xd1, 0xfa, 0x57, 0xe1, 0xf1, 0xb9, 0x49, 0x47,
+     0x63, 0x6a, 0xf9, 0x56, 0x46, 0xa8, 0x2a, 0x4a, 0x78, 0x99,
+     0x3a, 0x75, 0x74, 0x86, 0x65, 0xc1, 0x76, 0xb6, 0x96, 0xd6,
+     0x89, 0x85, 0xc9, 0xf5, 0x95, 0xb4, 0xc7, 0x73, 0x8a, 0x66,
+     0xd8, 0x87, 0xf2, 0xe8, 0xd7, 0x98, 0xb7, 0xe7, 0x48, 0xa6,
+     0x67, 0x68, 0xd9, 0x64, 0xba, 0x97, 0xa5, 0xc5, 0x5a, 0xe9,
+     0xda, 0xa4, 0xea, 0xf3, 0xca, 0x88, 0xb5, 0x7a, 0xf7, 0x77,
+     0xf4, 0x94, 0xe6, 0xf6, 0xc6, 0xaa, 0xa9, 0x82, 0x92, 0x9a,
+     0xf8, 0xc4, 0xc3, 0xd5, 0xd4, 0xe4, 0xa7, 0xe5, 0xa2, 0xb2,
+     0xe3, 0xb8, 0xb3, 0xe2, 0xc2, 0xa3, 0xc8, 0x93, 0x84, 0xd3,
+     0xd2, 0x83},
+    {0, 0, 6, 2, 1, 3, 3, 2, 5, 1, 2, 2, 8, 10, 0, 117,
+     0x04, 0x05, 0x03, 0x06, 0x02, 0x07, 0x01, 0x08, 0x09, 0x12,
+     0x13, 0x14, 0x11, 0x15, 0x0a, 0x16, 0x17, 0xf0, 0x00, 0x22,
+     0x21, 0x18, 0x23, 0x19, 0x24, 0x32, 0x31, 0x25, 0x33, 0x38,
+     0x37, 0x34, 0x35, 0x36, 0x39, 0x79, 0x57, 0x58, 0x59, 0x28,
+     0x56, 0x78, 0x27, 0x41, 0x29, 0x77, 0x26, 0x42, 0x76, 0x99,
+     0x1a, 0x55, 0x98, 0x97, 0xf9, 0x48, 0x54, 0x96, 0x89, 0x47,
+     0xb7, 0x49, 0xfa, 0x75, 0x68, 0xb6, 0x67, 0x69, 0xb9, 0xb8,
+     0xd8, 0x52, 0xd7, 0x88, 0xb5, 0x74, 0x51, 0x46, 0xd9, 0xf8,
+     0x3a, 0xd6, 0x87, 0x45, 0x7a, 0x95, 0xd5, 0xf6, 0x86, 0xb4,
+     0xa9, 0x94, 0x53, 0x2a, 0xa8, 0x43, 0xf5, 0xf7, 0xd4, 0x66,
+     0xa7, 0x5a, 0x44, 0x8a, 0xc9, 0xe8, 0xc8, 0xe7, 0x9a, 0x6a,
+     0x73, 0x4a, 0x61, 0xc7, 0xf4, 0xc6, 0x65, 0xe9, 0x72, 0xe6,
+     0x71, 0x91, 0x93, 0xa6, 0xda, 0x92, 0x85, 0x62, 0xf3, 0xc5,
+     0xb2, 0xa4, 0x84, 0xba, 0x64, 0xa5, 0xb3, 0xd2, 0x81, 0xe5,
+     0xd3, 0xaa, 0xc4, 0xca, 0xf2, 0xb1, 0xe4, 0xd1, 0x83, 0x63,
+     0xea, 0xc3, 0xe2, 0x82, 0xf1, 0xa3, 0xc2, 0xa1, 0xc1, 0xe3,
+     0xa2, 0xe1},
+};
+
+struct CrwHuff {
+  int maxlen = 0;
+  std::vector<uint16_t> lut;  // (code length << 8) | value; 0xFFFF invalid
+
+  void build(const uint8_t* spec) {
+    const uint8_t* counts = spec;
+    const uint8_t* values = spec + 16;
+    maxlen = 16;
+    while (maxlen && !counts[maxlen - 1]) maxlen--;
+    lut.assign(size_t(1) << maxlen, 0xFFFF);
+    unsigned code = 0;
+    int k = 0;
+    for (int len = 1; len <= maxlen; len++) {
+      for (int i = 0; i < counts[len - 1]; i++, k++) {
+        unsigned base = code << (maxlen - len);
+        unsigned span = 1u << (maxlen - len);
+        for (unsigned j = 0; j < span; j++)
+          lut[base + j] = uint16_t((len << 8) | values[k]);
+        code++;
+      }
+      code <<= 1;
+    }
+  }
+};
+
+struct CrwBits {
+  const uint8_t* d;
+  int64_t n;
+  int64_t pos = 0;
+  uint64_t buf = 0;
+  int nbits = 0;
+
+  void fill() {
+    while (nbits <= 48 && pos < n) {
+      uint8_t c = d[pos++];
+      if (c == 0xFF) {
+        // 0xff + 0x00 is a stuffed literal; 0xff + non-zero marks the
+        // end of data in the published reader.
+        if (pos >= n || d[pos] != 0x00) {
+          pos = n;
+          break;
+        }
+        pos++;
+      }
+      buf = (buf << 8) | c;
+      nbits += 8;
+    }
+  }
+
+  int peek(int k) {  // zero-extended
+    if (nbits < k) fill();
+    if (nbits >= k) return int((buf >> (nbits - k)) & ((1u << k) - 1));
+    return int((buf << (k - nbits)) & ((1u << k) - 1));
+  }
+
+  void drop(int k) {
+    if (k > nbits)
+      throw std::runtime_error("canon crw: bit stream truncated");
+    nbits -= k;
+  }
+
+  int get(int k) {
+    if (nbits < k) fill();
+    if (k > nbits)
+      throw std::runtime_error("canon crw: bit stream truncated");
+    nbits -= k;
+    return int((buf >> nbits) & ((1u << k) - 1));
+  }
+
+  // Approximate stream consumption (buffered-but-unconsumed data bytes
+  // subtracted; stuffed zeros in the buffer and partial bits are not —
+  // the file-level mode check allows 64 bytes of slack).
+  int64_t consumed() const { return pos - nbits / 8; }
+};
+
+// Decodes the 10-bit high-order plane; *consumed_out gets the byte
+// consumption count used by the file-level mode check.
+void decode_canon_crw_impl(const uint8_t* d, int64_t n, uint16_t* out,
+                           int64_t width, int64_t height, int table,
+                           int64_t* consumed_out) {
+  if (table < 0) table = 0;
+  if (table > 2) table = 2;
+  CrwHuff first, second;
+  first.build(kCrwFirst[table]);
+  second.build(kCrwSecond[table]);
+  {
+    int64_t row = 0;
+    while (row < height) {
+      int64_t band = height - row < 8 ? height - row : 8;
+      if ((band * width) & 63)
+        throw std::runtime_error("canon crw: band not 64-sample aligned");
+      row += band;
+    }
+  }
+  CrwBits bits{d, n};
+  int32_t diffbuf[64];
+  int32_t base[2] = {0, 0};
+  int32_t carry = 0;
+  int64_t pnum = 0;
+  int64_t row = 0;
+  while (row < height) {
+    int64_t band = height - row < 8 ? height - row : 8;
+    int64_t npix = band * width;
+    int64_t pos0 = row * width;
+    for (int64_t block = 0; block < (npix >> 6); block++) {
+      std::memset(diffbuf, 0, sizeof diffbuf);
+      for (int i = 0; i < 64; i++) {
+        const CrwHuff& h = i ? second : first;
+        uint16_t hit = h.lut[bits.peek(h.maxlen)];
+        if (hit == 0xFFFF)
+          throw std::runtime_error("canon crw: invalid huffman code");
+        bits.drop(hit >> 8);
+        int leaf = hit & 0xFF;
+        if (leaf == 0 && i) break;
+        if (leaf == 0xFF) continue;
+        i += leaf >> 4;
+        int len = leaf & 15;
+        if (!len) continue;
+        int diff = bits.get(len);
+        if (!(diff & (1 << (len - 1)))) diff -= (1 << len) - 1;
+        if (i < 64) diffbuf[i] = diff;
+      }
+      diffbuf[0] += carry;
+      carry = diffbuf[0];
+      int64_t boff = pos0 + (int64_t(block) << 6);
+      for (int i = 0; i < 64; i++) {
+        if (pnum++ % width == 0) base[0] = base[1] = 512;
+        base[i & 1] += diffbuf[i];
+        int32_t v = base[i & 1];
+        if (v >> 10)
+          throw std::runtime_error("canon crw: sample out of 10-bit range");
+        out[boff + i] = uint16_t(v);
+      }
+    }
+    row += band;
+  }
+  if (consumed_out) *consumed_out = bits.consumed();
+}
+
+// ---------------------------------------------------------------------------
 // Category-coded Huffman packing (synthetic encoder hot path)
 // ---------------------------------------------------------------------------
 
@@ -1320,6 +1542,38 @@ static PyObject* py_decode_rw2(PyObject*, PyObject* args) {
 static PyObject* py_decode_kodak65000(PyObject*, PyObject* args) {
   return decode_binding<decode_kodak65000_impl>(args);
 }
+static PyObject* py_decode_canon_crw(PyObject*, PyObject* args) {
+  Py_buffer buf;
+  int width, height, table;
+  if (!PyArg_ParseTuple(args, "y*iii", &buf, &width, &height, &table))
+    return nullptr;
+  std::string err;
+  PyObject* out = nullptr;
+  int64_t consumed = 0;
+  if (width <= 0 || height <= 0) {
+    err = "bad dimensions";
+  } else {
+    out = PyBytes_FromStringAndSize(nullptr, int64_t(width) * height * 2);
+    if (!out) { PyBuffer_Release(&buf); return nullptr; }
+    uint16_t* dst = reinterpret_cast<uint16_t*>(PyBytes_AS_STRING(out));
+    Py_BEGIN_ALLOW_THREADS
+    try {
+      decode_canon_crw_impl(static_cast<const uint8_t*>(buf.buf), buf.len,
+                            dst, width, height, table, &consumed);
+    } catch (const std::exception& e) {
+      err = e.what();
+    }
+    Py_END_ALLOW_THREADS
+  }
+  PyBuffer_Release(&buf);
+  if (!err.empty()) {
+    Py_XDECREF(out);
+    PyErr_SetString(PyExc_ValueError, err.c_str());
+    return nullptr;
+  }
+  PyObject* tup = Py_BuildValue("(NL)", out, (long long)consumed);
+  return tup;
+}
 static PyObject* py_encode_rw2(PyObject*, PyObject* args) {
   return encode_binding<encode_rw2_impl>(args);
 }
@@ -1432,6 +1686,9 @@ static PyMethodDef RawkitMethods[] = {
      "encode_rw2(u16_mosaic_bytes, width, height) -> payload bytes"},
     {"decode_kodak65000", py_decode_kodak65000, METH_VARARGS,
      "decode_kodak65000(data, width, height) -> u16 bytes"},
+    {"decode_canon_crw", py_decode_canon_crw, METH_VARARGS,
+     "decode_canon_crw(data, width, height, table) -> (u16 bytes, "
+     "consumed)"},
     {"decode_pentax", py_decode_pentax, METH_VARARGS,
      "decode_pentax(data, width, height, bps, spec, be_spec) "
      "-> u16 bytes"},

@@ -577,14 +577,23 @@ def decode_crw(data: bytes, source_path: str = "") -> RawImage:
     plane = width * height // 4
 
     bounded = raw_rec is not None
+    from raweditor_tpu.native import get_rawkit
+
+    rk = get_rawkit()
+    use_native = rk is not None and hasattr(rk, "decode_canon_crw")
 
     def attempt(lowbits: bool) -> np.ndarray:
         off = STREAM_OFFSET + (plane if lowbits else 0)
         if off >= end:
             raise ValueError("canon crw: sensor payload truncated")
         payload = data[off:end]
-        high, consumed = _decode_canon_stream(payload, width, height,
-                                              table)
+        if use_native:
+            raw, consumed = rk.decode_canon_crw(
+                payload, width, height, min(max(int(table), 0), 2))
+            high = np.frombuffer(raw, np.uint16).reshape(height, width)
+        else:
+            high, consumed = _decode_canon_stream(payload, width, height,
+                                                  table)
         if bounded and consumed < len(payload) - 64:
             # A mode guess that only decodes a prefix of the bounded
             # sensor payload is the other mode's plane being

@@ -68,9 +68,12 @@ def test_import_folder_filters_extensions(lib, tmp_path):
 
 
 def test_sixteen_reference_extensions():
-    # reference: main.rs:1852-1855
-    assert len(RAW_EXTENSIONS) == 16
+    # reference: main.rs:1852-1855 — the 16 reference extensions, plus
+    # "crw" (decoded by the reference's rawloader backend but missing
+    # from its own import filter; raw/loader.rs:50-54).
+    assert len(RAW_EXTENSIONS) == 17
     assert "nef" in RAW_EXTENSIONS and "rwl" in RAW_EXTENSIONS
+    assert "crw" in RAW_EXTENSIONS
 
 
 def test_edit_store_round_trip(lib, tmp_path):

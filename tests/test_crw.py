@@ -127,6 +127,111 @@ def test_crw_native_matches_python(rng):
     for table in (0, 1, 2):
         m = rng.integers(0, 1024, size=(24, 48)).astype(np.uint16)
         s = ciff.encode_canon_stream(m, table)
-        c = np.frombuffer(rk.decode_canon_crw(s, 48, 24, table),
-                          np.uint16).reshape(24, 48)
+        raw, consumed = rk.decode_canon_crw(s, 48, 24, table)
+        c = np.frombuffer(raw, np.uint16).reshape(24, 48)
         assert np.array_equal(c, m)
+        assert abs(consumed - len(s)) <= 16
+
+
+def _all_leaves_mosaic():
+    """Rows engineered so the encoder emits every second-tree leaf
+    (each run 0..15 x size 1..10 combo, ZRL, EOB) and every first-tree
+    length 0..11. Width 128: two 64-blocks per row, so the second
+    block's first diff can stack with the DC carry to reach the
+    length-11 first-tree leaf."""
+    rows = []
+    w = 128
+
+    def spike(mag, sign):
+        return 512 + (mag if sign else -mag)
+
+    # every (run, size): run zeros at i=1.., then a category-s diff
+    for run in range(16):
+        for size in range(1, 11):
+            row = np.full(w, 512, np.uint16)
+            d = 1 << (size - 1)
+            i = 1 + run
+            v = spike(d, size < 10)
+            row[i] = v
+            row[i + 2 :: 2] = v  # keep that parity chain constant
+            rows.append(row)
+    # long zero runs for ZRL (+ run 16..31 via ZRL + run code)
+    for run in (16, 20, 35, 47):
+        row = np.full(w, 512, np.uint16)
+        if 1 + run < 64:
+            row[1 + run] = 700
+            row[1 + run + 2 :: 2] = 700
+        rows.append(row)
+    # first-tree lengths 1..9 via the row's opening diff
+    for size in range(1, 10):
+        row = np.full(w, 512, np.uint16)
+        d = 1 << (size - 1)
+        row[0] = spike(d, size < 10)
+        row[2::2] = row[0]
+        rows.append(row)
+    # length 10 (opening diff -512) and length 11 (carry-stacked)
+    row = np.full(w, 512, np.uint16)
+    row[0:64:2] = 0       # block 1: opening diff -512, base[0] ends 0
+    row[64::2] = 1023     # block 2: diff +1023 minus carry -512 = 1535
+    rows.append(row)
+    m = np.stack(rows)
+    # pad rows to a multiple of 8 for full bands
+    pad = (-len(rows)) % 8
+    if pad:
+        m = np.vstack([m, np.full((pad, w), 512, np.uint16)])
+    return m
+
+
+def test_all_leaves_round_trip_and_native(rng):
+    m = _all_leaves_mosaic()
+    h, w = m.shape
+    for table in (0, 1, 2):
+        s = ciff.encode_canon_stream(m, table)
+        assert np.array_equal(ciff.decode_canon_stream(s, w, h, table), m)
+        if rk is not None and hasattr(rk, "decode_canon_crw"):
+            raw, _ = rk.decode_canon_crw(s, w, h, table)
+            assert np.array_equal(
+                np.frombuffer(raw, np.uint16).reshape(h, w), m)
+
+
+def test_all_leaves_mosaic_covers_every_code():
+    """Replicate the encoder's leaf-selection rule over the crafted
+    mosaic and assert full table coverage (independent tally, not the
+    encoder's own)."""
+    m = _all_leaves_mosaic()
+    h, w = m.shape
+    first_seen = set()
+    second_seen = set()
+    carry = 0
+    pnum = 0
+    base = [0, 0]
+    vals = m.astype(np.int64).reshape(-1)
+    for boff in range(0, h * w, 64):
+        diffs = []
+        for i in range(64):
+            if pnum % w == 0:
+                base[0] = base[1] = 512
+            pnum += 1
+            v = int(vals[boff + i])
+            diffs.append(v - base[i & 1])
+            base[i & 1] = v
+        t0 = diffs[0] - carry
+        carry = diffs[0]
+        first_seen.add(abs(t0).bit_length())
+        run = 0
+        for d in diffs[1:]:
+            if d == 0:
+                run += 1
+                continue
+            while run >= 16:
+                second_seen.add(0xF0)
+                run -= 16
+            second_seen.add((run << 4) | abs(d).bit_length())
+            run = 0
+        if run:
+            second_seen.add(0x00)
+    assert first_seen == set(range(12))
+    expected = {0x00, 0xF0} | {
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    }
+    assert second_seen == expected
