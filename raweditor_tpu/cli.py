@@ -356,10 +356,16 @@ def cmd_info(args) -> int:
     try:
         raw = decode_raw(args.input)
     except UnsupportedRawError as e:
-        # Unsupported container (e.g. CR3): previews still work — report
-        # what we have instead of a traceback.
-        print(json.dumps({"error": str(e),
-                          "preview_saved": preview_saved}))
+        # Unsupported container (e.g. CR3): metadata and previews still
+        # work — report what we have instead of a traceback.
+        out = {"error": str(e), "preview_saved": preview_saved}
+        from raweditor_tpu.raw import bmff
+        from raweditor_tpu.raw.decode import _read
+
+        data = _read(args.input)
+        if bmff.is_bmff(data):
+            out.update(bmff.describe(data))
+        print(json.dumps(out))
         return 0 if preview_saved else 1
     print(json.dumps({
         "width": raw.width,

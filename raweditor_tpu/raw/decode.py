@@ -553,13 +553,26 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
         except (ValueError, IndexError, struct.error) as e:
             raise RawDecodeError(f"corrupt CRW: {e}") from e
     if len(data) >= 12 and data[4:8] == b"ftyp":
-        # ISO-BMFF container (Canon CR3 'crx ', HEIF, ...). The embedded
-        # previews still feed the tier cache via the marker scan; the
-        # CRX sensor codec is a documented gap (docs/formats.md).
+        # ISO-BMFF container (Canon CR3 'crx ', HEIF, ...). The box
+        # tree, Canon CMT metadata and THMB/PRVW previews are parsed
+        # (raw/bmff.py) and feed info/previews/tiers; the CRX sensor
+        # codec is a documented gap (docs/formats.md).
+        from raweditor_tpu.raw import bmff as _bmff
+
         brand = data[8:12].decode("ascii", "replace").strip()
+        detail = ""
+        try:
+            d = _bmff.describe(data)
+            parts = [str(d[k]) for k in ("make", "model") if k in d]
+            if d.get("codec"):
+                parts.append(f"codec {d['codec']}")
+            if parts:
+                detail = " [" + ", ".join(parts) + "]"
+        except Exception:  # noqa: BLE001 - best-effort description only
+            pass
         raise UnsupportedRawError(
-            f"ISO-BMFF container (brand {brand!r}): sensor decode not "
-            "supported (previews/tiers still work)"
+            f"ISO-BMFF container (brand {brand!r}){detail}: sensor "
+            "decode not supported (metadata/previews/tiers still work)"
         )
     try:
         tf = T.TiffFile(data)
@@ -891,6 +904,15 @@ def extract_preview_jpeg(path_or_bytes) -> Optional[bytes]:
     if _ciff.is_ciff(data):
         try:
             jpeg = _ciff.CiffFile(data).preview_jpeg()
+            if jpeg:
+                return jpeg
+        except (ValueError, struct.error):
+            pass
+    from raweditor_tpu.raw import bmff as _bmff
+
+    if _bmff.is_bmff(data):
+        try:
+            jpeg = _bmff.BmffFile(data).preview_jpeg()
             if jpeg:
                 return jpeg
         except (ValueError, struct.error):

@@ -383,6 +383,9 @@ def test_decoder_fuzz_error_contract(rng):
     m16 = rng.integers(0, 4096, size=(8, 16), dtype=np.uint16)
     bases.append(write_crw(None, m16))
     bases.append(write_crw(None, m16 >> 2, lowbits=False))
+    from raweditor_tpu.raw.bmff import write_synthetic_cr3
+
+    bases.append(write_synthetic_cr3(None))
     for base in bases:
         base = bytearray(base)
         for _ in range(40):
