@@ -1239,6 +1239,98 @@ void decode_canon_crw_impl(const uint8_t* d, int64_t n, uint16_t* out,
 }
 
 // ---------------------------------------------------------------------------
+// Samsung SRW v1 (compression 32770)
+// ---------------------------------------------------------------------------
+// Published dcraw-lineage scheme (see raw/samsung.py, the Python
+// behavioral reference): per-row bit streams addressed by a u32
+// offset table, Phase-One style bit getter (64-bit buffer, 32-bit LE
+// word refills, MSB-first), 16-pixel blocks with a direction bit and
+// four 2-bit length opcodes, even pixels then odd, final same-CFA
+// (r,c+1)<->(r+1,c) swap.
+
+struct SrwBits {
+  const uint8_t* d;
+  int64_t n;
+  int64_t pos;
+  uint64_t buf = 0;
+  int nbits = 0;
+
+  int get(int k) {
+    if (k == 0) return 0;
+    while (nbits < k) {
+      if (pos + 4 > n)
+        throw std::runtime_error("srw1: bit stream truncated");
+      uint32_t w;
+      std::memcpy(&w, d + pos, 4);  // little-endian host
+      pos += 4;
+      buf = (buf << 32) | w;
+      nbits += 32;
+    }
+    nbits -= k;
+    return int((buf >> nbits) & ((1ull << k) - 1));
+  }
+};
+
+void decode_srw1_impl(const uint8_t* d, int64_t n, const uint32_t* offs,
+                      uint16_t* out, int64_t width, int64_t height) {
+  if (width % 16 || width <= 0)
+    throw std::runtime_error("srw1: width must be a multiple of 16");
+  std::vector<int32_t> img(size_t(width) * height);
+  for (int64_t row = 0; row < height; row++) {
+    int64_t off = offs[row];
+    if (off > n) throw std::runtime_error("srw1: row offset out of range");
+    SrwBits bits{d, n, off};
+    int len[4];
+    for (int g = 0; g < 4; g++) len[g] = row < 2 ? 7 : 4;
+    for (int64_t col = 0; col < width; col += 16) {
+      int dir = bits.get(1);
+      int op[4];
+      for (int g = 0; g < 4; g++) op[g] = bits.get(2);
+      for (int g = 0; g < 4; g++) {
+        switch (op[g]) {
+          case 3: len[g] = bits.get(4); break;
+          case 2: len[g]--; break;
+          case 1: len[g]++; break;
+        }
+        if (len[g] < 0 || len[g] > 15)
+          throw std::runtime_error("srw1: group length out of range");
+      }
+      for (int k = 0; k < 16; k++) {
+        int c = k < 8 ? 2 * k : 2 * (k - 8) + 1;  // evens then odds
+        int g = ((c & 1) << 1) | (c >> 3);
+        int nb = len[g];
+        int32_t diff = bits.get(nb);
+        if (nb && (diff & (1 << (nb - 1)))) diff -= 1 << nb;
+        int32_t pred;
+        if (dir) {
+          int64_t pr = (c % 2 == 0) ? row - 1 : row - 2;
+          if (pr < 0)
+            throw std::runtime_error(
+                "srw1: vertical prediction before row 2");
+          pred = img[pr * width + col + c];
+        } else {
+          pred = col ? img[row * width + col + c - 2] : 128;
+        }
+        int32_t v = pred + diff;
+        if (v < 0 || v > 4095)
+          throw std::runtime_error("srw1: sample out of 12-bit range");
+        img[row * width + col + c] = v;
+      }
+    }
+  }
+  for (int64_t row = 0; row < height; row++)
+    for (int64_t col = 0; col < width; col++)
+      out[row * width + col] = uint16_t(img[row * width + col]);
+  // same-CFA re-alignment swap
+  for (int64_t row = 0; row + 1 < height; row += 2)
+    for (int64_t col = 0; col + 1 < width; col += 2) {
+      uint16_t t = out[row * width + col + 1];
+      out[row * width + col + 1] = out[(row + 1) * width + col];
+      out[(row + 1) * width + col] = t;
+    }
+}
+
+// ---------------------------------------------------------------------------
 // Category-coded Huffman packing (synthetic encoder hot path)
 // ---------------------------------------------------------------------------
 
@@ -1542,6 +1634,46 @@ static PyObject* py_decode_rw2(PyObject*, PyObject* args) {
 static PyObject* py_decode_kodak65000(PyObject*, PyObject* args) {
   return decode_binding<decode_kodak65000_impl>(args);
 }
+static PyObject* py_decode_srw1(PyObject*, PyObject* args) {
+  Py_buffer buf, table;
+  int width, height;
+  if (!PyArg_ParseTuple(args, "y*y*ii", &buf, &table, &width, &height))
+    return nullptr;
+  std::string err;
+  PyObject* out = nullptr;
+  if (width <= 0 || height <= 0) {
+    err = "bad dimensions";
+  } else if (table.len < int64_t(height) * 4) {
+    err = "srw1: row offset table truncated";
+  } else {
+    out = PyBytes_FromStringAndSize(nullptr, int64_t(width) * height * 2);
+    if (!out) {
+      PyBuffer_Release(&buf);
+      PyBuffer_Release(&table);
+      return nullptr;
+    }
+    uint16_t* dst = reinterpret_cast<uint16_t*>(PyBytes_AS_STRING(out));
+    Py_BEGIN_ALLOW_THREADS
+    try {
+      std::vector<uint32_t> offs(height);
+      std::memcpy(offs.data(), table.buf, size_t(height) * 4);
+      decode_srw1_impl(static_cast<const uint8_t*>(buf.buf), buf.len,
+                       offs.data(), dst, width, height);
+    } catch (const std::exception& e) {
+      err = e.what();
+    }
+    Py_END_ALLOW_THREADS
+  }
+  PyBuffer_Release(&buf);
+  PyBuffer_Release(&table);
+  if (!err.empty()) {
+    Py_XDECREF(out);
+    PyErr_SetString(PyExc_ValueError, err.c_str());
+    return nullptr;
+  }
+  return out;
+}
+
 static PyObject* py_decode_canon_crw(PyObject*, PyObject* args) {
   Py_buffer buf;
   int width, height, table;
@@ -1689,6 +1821,8 @@ static PyMethodDef RawkitMethods[] = {
     {"decode_canon_crw", py_decode_canon_crw, METH_VARARGS,
      "decode_canon_crw(data, width, height, table) -> (u16 bytes, "
      "consumed)"},
+    {"decode_srw1", py_decode_srw1, METH_VARARGS,
+     "decode_srw1(data, offset_table, width, height) -> u16 bytes"},
     {"decode_pentax", py_decode_pentax, METH_VARARGS,
      "decode_pentax(data, width, height, bps, spec, be_spec) "
      "-> u16 bytes"},

@@ -384,6 +384,41 @@ def _parse_olympus_wb(mn: bytes):
     return RawImage.normalize_wb([r / 256.0, 1.0, b / 256.0, 1.0])
 
 
+def _decode_srw1_container(tf: T.TiffFile, ifd: T.IFD, data: bytes,
+                           width: int, height: int) -> np.ndarray:
+    """Samsung SRW v1 (compression 32770): tag 0xA010 names the file
+    offset of a per-row u32 offset table; the row offsets are relative
+    to the sensor strip start (the published layout — see
+    raw/samsung.py for the codec)."""
+    table_off = None
+    for i in tf.all_ifds():
+        v = i.get_scalar(T.SRW_ROW_OFFSETS)
+        if isinstance(v, int):
+            table_off = v
+            break
+    if table_off is None:
+        raise UnsupportedRawError("SRW v1 without a row offset table")
+    if table_off + 4 * height > len(data):
+        raise RawDecodeError("SRW row offset table truncated")
+    offsets = np.frombuffer(data, "<u4", count=height,
+                            offset=table_off).tolist()
+    sensor = b"".join(tf.strip_data(ifd))
+    from raweditor_tpu.native import get_rawkit
+
+    rk = get_rawkit()
+    if rk is not None and hasattr(rk, "decode_srw1"):
+        try:
+            raw = rk.decode_srw1(
+                sensor, np.asarray(offsets, "<u4").tobytes(), width,
+                height)
+        except ValueError as e:
+            raise RawDecodeError(str(e)) from e
+        return np.frombuffer(raw, np.uint16).reshape(height, width)
+    from raweditor_tpu.raw.samsung import decode_srw1
+
+    return decode_srw1(sensor, offsets, width, height)
+
+
 def _decode_rw2_container(tf: T.TiffFile, source_path: str) -> RawImage:
     """Panasonic RW2: sensor dims and color metadata come from the
     PanasonicRaw tag vocabulary; the v4 payload starts at tag 0x0118
@@ -650,6 +685,8 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
             mosaic = _decode_pentax_strips(
                 tf, b"".join(tf.strip_data(ifd)), width, height, bpp
             )
+        elif comp == T.COMPRESSION_SRW1:
+            mosaic = _decode_srw1_container(tf, ifd, data, width, height)
         elif comp == T.COMPRESSION_KODAK65000:
             from raweditor_tpu.native import get_rawkit
 
@@ -695,6 +732,14 @@ def _finish_raw_image(tf, mosaic, curve_white, bpp, ifd, source_path):
             wb = _wb_from_olympus_makernote(tf)
         if wb is None:
             wb = _wb_from_pentax_makernote(tf)
+        if wb is None:
+            # Samsung SRW levels (R, G, G2, B; rawloader srw parity).
+            levels = _find_tag(tf, T.SRW_WB_RGGB)
+            if (isinstance(levels, tuple) and len(levels) >= 4
+                    and all(isinstance(v, int) and v > 0
+                            for v in levels[:4])):
+                r, g, g2, b = (float(v) for v in levels[:4])
+                wb = RawImage.normalize_wb([r, g, b, g2])
     if wb is None:
         # Neutral fallback (reference: raw/loader.rs:93-97).
         wb = np.array([1.0, 1.0, 1.0, 1.0], dtype=np.float32)
@@ -724,6 +769,14 @@ def _finish_raw_image(tf, mosaic, curve_white, bpp, ifd, source_path):
             # Other repeat shapes (per-row/column, per-sample): use the
             # mean as the scalar, no per-site fold.
             black = float(np.mean([float(v) for v in black]))
+    if black is None:
+        srw_black = _find_tag(tf, T.SRW_BLACK_RGGB)
+        if (isinstance(srw_black, tuple) and len(srw_black) == 4
+                and all(isinstance(v, int) for v in srw_black)):
+            black_per_site = np.array(
+                [float(v) for v in srw_black], np.float32
+            ).reshape(2, 2)
+            black = float(np.mean(black_per_site))
     white = _find_tag(tf, T.WHITE_LEVEL)
     if isinstance(white, tuple):
         white = white[0]

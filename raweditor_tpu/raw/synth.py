@@ -225,6 +225,8 @@ def write_synthetic_raw(
     orientation: int = 1,
     rows_per_strip: Optional[int] = None,
     nikon_encrypted_wb: Optional[dict] = None,
+    srw_wb: bool = False,
+    srw_black: Optional[Tuple[int, int, int, int]] = None,
 ) -> bytes:
     """Write a DNG/NEF-style CFA TIFF. Returns the bytes (also written
     to ``path`` unless None).
@@ -244,6 +246,7 @@ def write_synthetic_raw(
     makernote = None
     tiles: Optional[list] = None
     strip_lens: Optional[list] = None
+    srw_offsets: Optional[list] = None
     sample_format = 1
     if rows_per_strip and compression != "ljpeg":
         raise ValueError(
@@ -326,6 +329,11 @@ def write_synthetic_raw(
 
         comp_tag = T.COMPRESSION_KODAK65000
         sensor = encode_kodak65000(mosaic)
+    elif compression == "srw1":
+        from raweditor_tpu.raw.samsung import encode_srw1
+
+        comp_tag = T.COMPRESSION_SRW1
+        sensor, srw_offsets = encode_srw1(mosaic)
     elif compression == "pentax":
         from raweditor_tpu.raw.pentax import encode_pentax
 
@@ -363,6 +371,11 @@ def write_synthetic_raw(
         sensor_idx = wtr.add_blob(tile_blob)
     else:
         sensor_idx = wtr.add_blob(sensor)
+    srw_table_idx = None
+    if srw_offsets is not None:
+        srw_table_idx = wtr.add_blob(
+            b"".join(int(o).to_bytes(4, "little") for o in srw_offsets)
+        )
 
     def rat(x, den=10000):
         return (int(round(x * den)), den)
@@ -390,6 +403,17 @@ def write_synthetic_raw(
     if wb_in_makernote or nikon_encrypted_wb:
         # Real NEFs carry WB in the MakerNote, not AsShotNeutral.
         ifd0 = [e for e in ifd0 if e[0] != T.AS_SHOT_NEUTRAL]
+    if srw_wb:
+        # Real SRWs carry WB as 0xA021 levels (R, G, G2, B).
+        ifd0 = [e for e in ifd0 if e[0] != T.AS_SHOT_NEUTRAL]
+        r, g, b = (1.0 / v for v in wb_neutral[:3])
+        scale = 1024.0 / g
+        ifd0.append((T.SRW_WB_RGGB, _TYPE_LONG,
+                     [int(round(r * scale)), 1024, 1024,
+                      int(round(b * scale))]))
+    if srw_black is not None:
+        ifd0.append((T.SRW_BLACK_RGGB, _TYPE_LONG,
+                     [int(v) for v in srw_black]))
     ifds_extra = []
     if makernote is not None:
         # Exif IFD (index 2) holding the Nikon MakerNote with the
@@ -411,14 +435,21 @@ def write_synthetic_raw(
         # 0=R 1=G 2=B (see ops/demosaic.py for the Bayer site table).
         (T.CFA_PATTERN, _TYPE_BYTE,
          [{"R": 0, "G": 1, "B": 2}[c] for c in cfa.upper()]),
-        (T.BLACK_LEVEL, _TYPE_SHORT,
-         list(black_level) if isinstance(black_level, (tuple, list))
-         else [black_level]),
         (T.WHITE_LEVEL, _TYPE_SHORT, [white_level]),
     ]
+    if srw_black is None:
+        # Real SRWs carry black as 0xA028, not a DNG BlackLevel tag.
+        sensor_ifd.append(
+            (T.BLACK_LEVEL, _TYPE_SHORT,
+             list(black_level) if isinstance(black_level, (tuple, list))
+             else [black_level]))
     if isinstance(black_level, (tuple, list)):
         sensor_ifd.append(
             (T.BLACK_LEVEL_REPEAT_DIM, _TYPE_SHORT, [2, 2])
+        )
+    if srw_table_idx is not None:
+        sensor_ifd.append(
+            (T.SRW_ROW_OFFSETS, _TYPE_LONG, ("blob", srw_table_idx))
         )
     if sample_format != 1:
         sensor_ifd.append((T.SAMPLE_FORMAT, _TYPE_SHORT, [sample_format]))

@@ -57,6 +57,13 @@ COMPRESSION_NIKON = 34713
 COMPRESSION_ARW2 = 32767
 COMPRESSION_PENTAX = 65535
 COMPRESSION_KODAK65000 = 65000
+COMPRESSION_SRW1 = 32770
+
+# Samsung SRW tags (ExifTool-published ids; reference decodes them via
+# rawloader's srw module, reference: raw/loader.rs:50-54).
+SRW_ROW_OFFSETS = 0xA010  # LONG: file offset of the per-row u32 table
+SRW_WB_RGGB = 0xA021      # 4x LONG: WB levels R,G,G2,B
+SRW_BLACK_RGGB = 0xA028   # 4x LONG: per-site black levels
 
 # Panasonic RW2 IFD0 tags (the RW2 container reuses the TIFF structure
 # with its own tag vocabulary; ids per the published dcraw/exiftool

@@ -386,6 +386,8 @@ def test_decoder_fuzz_error_contract(rng):
     from raweditor_tpu.raw.bmff import write_synthetic_cr3
 
     bases.append(write_synthetic_cr3(None))
+    bases.append(write_synthetic_raw(None, m16, compression="srw1",
+                                     srw_wb=True))
     for base in bases:
         base = bytearray(base)
         for _ in range(40):
