@@ -146,6 +146,38 @@ def gamma22_poly_encode(x):
     return acc
 
 
+# Fast sRGB: the pow branch 1.055*c^(1/2.4) - 0.055 as a degree-6
+# polynomial in s = sqrt(sqrt(c)) over s ∈ [cut^(1/4), 1] (c^(1/2.4) =
+# s^(5/3), smooth away from 0); the linear segment below the cut stays
+# exact. Chebyshev fit, max abs error 4.1e-6 (0.001 u8 LSB) on the pow
+# branch; after u8 quantization 99.98% of values are identical to
+# srgb_encode and the rest differ by 1 LSB (pinned in
+# tests/test_color.py). Like GAMMA22_POLY this is fit to u8 accuracy
+# ONLY — 16-bit outputs must use the exact transfer.
+SRGB_POLY = (
+    np.float32(6.3174404204e-02), np.float32(-2.9830396175e-01),
+    np.float32(6.2492650747e-01), np.float32(-8.2647812366e-01),
+    np.float32(1.3542464972e+00), np.float32(1.4221395552e-01),
+    np.float32(-5.9776868671e-02),
+)
+
+
+def srgb_poly_encode(x):
+    """Fast approximate IEC 61966-2-1 encode: exact linear segment +
+    ``poly(sqrt(sqrt(x)))`` for the pow branch. Within 1 LSB of
+    :func:`srgb_encode` after u8 quantization."""
+    import jax.numpy as jnp
+
+    xp = jnp if _is_jax(x) else np
+    x = xp.clip(x, 0.0, 1.0)
+    s = xp.sqrt(xp.sqrt(x))
+    acc = SRGB_POLY[0]
+    for k in SRGB_POLY[1:]:
+        acc = acc * s + k
+    return xp.where(x <= np.float32(0.0031308), x * np.float32(12.92),
+                    acc)
+
+
 def srgb_encode(x):
     """IEC 61966-2-1 forward transfer (linear → sRGB)."""
     import jax.numpy as jnp

@@ -149,6 +149,7 @@ def finish_to_u8(r, g, b, valid=None, transfer: str = "gamma22"):
         gamma22_encode,
         gamma22_poly_encode,
         srgb_encode,
+        srgb_poly_encode,
     )
 
     try:
@@ -156,6 +157,7 @@ def finish_to_u8(r, g, b, valid=None, transfer: str = "gamma22"):
             "gamma22": gamma22_encode,
             "gamma22_poly": gamma22_poly_encode,
             "srgb": srgb_encode,
+            "srgb_poly": srgb_poly_encode,
         }[transfer]
     except KeyError:
         raise ValueError(f"unknown transfer {transfer!r}") from None
@@ -180,6 +182,7 @@ def finish_to_u16(r, g, b, transfer: str = "gamma22"):
         gamma22_encode,
         gamma22_poly_encode,
         srgb_encode,
+        srgb_poly_encode,
     )
 
     try:
@@ -187,6 +190,7 @@ def finish_to_u16(r, g, b, transfer: str = "gamma22"):
             "gamma22": gamma22_encode,
             "gamma22_poly": gamma22_poly_encode,
             "srgb": srgb_encode,
+            "srgb_poly": srgb_poly_encode,
         }[transfer]
     except KeyError:
         raise ValueError(f"unknown transfer {transfer!r}") from None

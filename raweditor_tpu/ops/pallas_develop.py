@@ -39,9 +39,10 @@ _F = np.float32
 _LUMA = (_F(0.2126), _F(0.7152), _F(0.0722))
 N_SCALARS = 24
 
-# Fast-gamma polynomial (see color.GAMMA22_POLY — single source of
-# truth shared with the XLA "gamma22_poly" transfer).
+# Fast-gamma polynomials (see color.GAMMA22_POLY / color.SRGB_POLY —
+# single source of truth shared with the XLA fast transfers).
 from raweditor_tpu.color import GAMMA22_POLY as _GAMMA_POLY
+from raweditor_tpu.color import SRGB_POLY as _SRGB_POLY
 
 
 def _largest_even_divisor(h: int, cap: int = 128) -> int:
@@ -300,6 +301,15 @@ def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma,
             lo = c * _F(12.92)
             hi = _F(1.055) * jnp.power(c, _F(1.0 / 2.4)) - _F(0.055)
             c = jnp.where(c <= _F(0.0031308), lo, hi)
+        elif gamma == "srgb_poly":
+            # Fast sRGB (matches color.srgb_poly_encode): exact linear
+            # segment, polynomial pow branch.
+            c = jnp.minimum(c, 1.0)
+            sq = jnp.sqrt(jnp.sqrt(c))
+            acc = _SRGB_POLY[0]
+            for k in _SRGB_POLY[1:]:
+                acc = acc * sq + k
+            c = jnp.where(c <= _F(0.0031308), c * _F(12.92), acc)
         else:
             c = jnp.power(c, _F(1.0 / 2.2))
         c = jnp.minimum(c, 1.0)

@@ -65,6 +65,10 @@ class DevelopEngine:
         self.fast_gamma = fast_gamma
         if fast_gamma and transfer == "gamma22":
             transfer = "gamma22_poly"
+        elif fast_gamma and transfer == "srgb":
+            # Accurate-mode analogue: exact linear segment + polynomial
+            # pow branch (color.srgb_poly_encode), u8 paths only.
+            transfer = "srgb_poly"
         # Quality upgrades beyond the reference (accurate-mode options):
         # bilinear demosaic and true sRGB transfer. Parity defaults.
         self.demosaic_method = demosaic_method
@@ -277,7 +281,7 @@ class DevelopEngine:
 
             if (self.use_pallas and self.demosaic_method == "nearest"
                     and self.transfer in ("gamma22", "gamma22_poly",
-                                          "srgb")):
+                                          "srgb", "srgb_poly")):
                 from raweditor_tpu.ops.pallas_develop import (
                     pallas_develop_rgba,
                 )
@@ -289,8 +293,9 @@ class DevelopEngine:
                         black_level=self.black_level,
                         matrix_transpose=self.matrix_transpose,
                         pattern=self.xtrans_pattern,
-                        gamma={"gamma22_poly": "poly",
-                               "srgb": "srgb"}.get(self.transfer, "pow"),
+                        gamma={"gamma22_poly": "poly", "srgb": "srgb",
+                               "srgb_poly": "srgb_poly"}.get(
+                            self.transfer, "pow"),
                     )
                 except ValueError:
                     pass  # unsupported shape → XLA path
@@ -307,7 +312,8 @@ class DevelopEngine:
         if (self.use_pallas
                 and self.demosaic_method in ("nearest", "bilinear",
                                              "malvar")
-                and self.transfer in ("gamma22", "gamma22_poly", "srgb")):
+                and self.transfer in ("gamma22", "gamma22_poly", "srgb",
+                                      "srgb_poly")):
             from raweditor_tpu.ops.pallas_develop import pallas_develop_rgba
 
             try:
@@ -317,7 +323,8 @@ class DevelopEngine:
                     black_level=self.black_level,
                     matrix_transpose=self.matrix_transpose,
                     cfa_phase=self.cfa_phase,
-                    gamma={"gamma22_poly": "poly", "srgb": "srgb"}.get(
+                    gamma={"gamma22_poly": "poly", "srgb": "srgb",
+                           "srgb_poly": "srgb_poly"}.get(
                         self.transfer, "pow"),
                     demosaic=self.demosaic_method,
                 )
@@ -367,8 +374,9 @@ class DevelopEngine:
         from raweditor_tpu.ops.develop import develop_u16
         from raweditor_tpu.raw.tiff_out import write_tiff16
 
-        transfer = ("gamma22" if self.transfer == "gamma22_poly"
-                    else self.transfer)
+        transfer = {"gamma22_poly": "gamma22",
+                    "srgb_poly": "srgb"}.get(self.transfer,
+                                             self.transfer)
 
         if self.linear:
             from raweditor_tpu.ops.develop import develop_linear

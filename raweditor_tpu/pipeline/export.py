@@ -225,6 +225,10 @@ def run_batch_export(
     # exact pow after u8 quantization (see color.gamma22_poly_encode).
     if transfer is None:
         transfer = "gamma22_poly" if fast_gamma else "gamma22"
+    elif fast_gamma and transfer == "srgb":
+        # Accurate-mode fast gamma: exact linear segment + polynomial
+        # pow branch (color.srgb_poly_encode); u8 only (see transfer16).
+        transfer = "srgb_poly"
     if bits not in (8, 16):
         raise ValueError("bits must be 8 or 16")
     if bits == 16 and mesh is not None:
@@ -235,11 +239,12 @@ def run_batch_export(
     # generic-CFA site table is a nearest scheme.)
     pallas_ok = (use_pallas and mesh is None
                  and demosaic_method in ("nearest", "bilinear", "malvar"))
-    pallas_gamma = {"gamma22_poly": "poly", "srgb": "srgb"}.get(
-        transfer, "pow")
-    # The polynomial gamma is fit to u8 accuracy (~1e-4 absolute ≈ 6
-    # LSBs of u16) — never let it into 16-bit archival output.
-    transfer16 = "gamma22" if transfer == "gamma22_poly" else transfer
+    pallas_gamma = {"gamma22_poly": "poly", "srgb": "srgb",
+                    "srgb_poly": "srgb_poly"}.get(transfer, "pow")
+    # The polynomial gammas are fit to u8 accuracy (~1e-4 absolute ≈ 6
+    # LSBs of u16) — never let them into 16-bit archival output.
+    transfer16 = {"gamma22_poly": "gamma22",
+                  "srgb_poly": "srgb"}.get(transfer, transfer)
     if mesh is not None:
         n_b = mesh.shape["batch"]
         if batch_size % n_b:

@@ -103,3 +103,49 @@ class TestGamma22Poly:
         x = np.linspace(0.0, 1.0, 100_001).astype(np.float32)
         y = np.asarray(gamma22_poly_encode(x))
         assert (np.diff(y) >= -1e-6).all()
+
+
+class TestSrgbPoly:
+    """srgb_poly_encode: fast IEC 61966-2-1 (exact linear segment +
+    polynomial pow branch) vs the exact transfer."""
+
+    def test_u8_within_1lsb_dense(self):
+        from raweditor_tpu.color import srgb_encode, srgb_poly_encode
+
+        x = np.linspace(0.0, 1.0, 2_000_003).astype(np.float32)
+        exact = np.floor(np.asarray(srgb_encode(x)) * 255.0 + 0.5)
+        fast = np.floor(np.asarray(srgb_poly_encode(x)) * 255.0 + 0.5)
+        diff = np.abs(exact - fast)
+        assert diff.max() <= 1
+        assert (diff == 0).mean() > 0.999
+
+    def test_linear_segment_exact(self):
+        from raweditor_tpu.color import srgb_encode, srgb_poly_encode
+
+        x = np.linspace(0.0, 0.0031308, 10_001).astype(np.float32)
+        assert np.array_equal(np.asarray(srgb_poly_encode(x)),
+                              np.asarray(srgb_encode(x)))
+
+    def test_pow_branch_abs_error(self):
+        from raweditor_tpu.color import srgb_encode, srgb_poly_encode
+
+        x = np.linspace(0.0031309, 1.0, 500_001).astype(np.float32)
+        err = np.abs(np.asarray(srgb_poly_encode(x))
+                     - np.asarray(srgb_encode(x)))
+        assert err.max() < 5e-6
+
+    def test_out_of_range_clamped(self):
+        from raweditor_tpu.color import srgb_poly_encode
+
+        y = np.asarray(srgb_poly_encode(
+            np.array([-0.5, 0.0, 1.0, 2.5], np.float32)))
+        assert abs(y[0] - y[1]) < 1e-6
+        assert abs(y[2] - y[3]) < 1e-6
+        assert y[1] < 0.01 and 0.99 < y[2] < 1.01
+
+    def test_monotonic(self):
+        from raweditor_tpu.color import srgb_poly_encode
+
+        x = np.linspace(0.0, 1.0, 100_001).astype(np.float32)
+        y = np.asarray(srgb_poly_encode(x))
+        assert (np.diff(y) >= -1e-6).all()

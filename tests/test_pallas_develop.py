@@ -123,6 +123,20 @@ def test_fast_gamma_dense_ramp():
     assert_1lsb(fast, exact, frac_exact=0.95)
 
 
+def test_fast_srgb_gamma(rng):
+    """gamma='srgb_poly' (exact linear segment + degree-6 poly pow
+    branch) stays within 1 LSB of the exact gamma='srgb' kernel, on
+    random data and on a dense ramp."""
+    mosaic = rng.integers(0, 4096, size=(16, 32), dtype=np.uint16)
+    ramp = np.tile(np.linspace(0, 4095, 512).astype(np.uint16), (8, 1))
+    for img in (mosaic, ramp):
+        exact = pallas_develop_rgba(img, EditParams(), WB, IDENTITY,
+                                    interpret=True, gamma="srgb")
+        fast = pallas_develop_rgba(img, EditParams(), WB, IDENTITY,
+                                   interpret=True, gamma="srgb_poly")
+        assert_1lsb(fast, exact, frac_exact=0.95)
+
+
 class TestBatchedKernel:
     """pallas_batch_develop_rgba: batch grid axis + (N, 24) SMEM scalar
     table must reproduce the single-image kernel exactly."""

@@ -380,6 +380,16 @@ def test_export_16bit_ignores_poly_gamma(tmp_path, rng):
                      fast_gamma=True)
     assert (tmp_path / "a.tif").read_bytes() == \
         (tmp_path / "b.tif").read_bytes()
+    # Same contract for the accurate-mode sRGB transfer: fast_gamma maps
+    # it to srgb_poly for u8 but 16-bit output must stay exact sRGB.
+    run_batch_export(job("c.tif"), batch_size=1, bits=16,
+                     transfer="srgb")
+    run_batch_export(job("d.tif"), batch_size=1, bits=16,
+                     transfer="srgb", fast_gamma=True)
+    assert (tmp_path / "c.tif").read_bytes() == \
+        (tmp_path / "d.tif").read_bytes()
+    assert (tmp_path / "c.tif").read_bytes() != \
+        (tmp_path / "a.tif").read_bytes()
 
 
 def test_unsupported_container_still_gets_tiers(tmp_path, rng):
