@@ -1248,6 +1248,64 @@ void decode_canon_crw_impl(const uint8_t* d, int64_t n, uint16_t* out,
 // four 2-bit length opcodes, even pixels then odd, final same-CFA
 // (r,c+1)<->(r+1,c) swap.
 
+// --- Canon CR3 CRX lossless plane (raw/crx.py _decode_plane) ---------------
+//
+// MED/LOCO-I prediction + zigzag + adaptive Golomb-Rice with the CRX
+// k-adaptation rule and the 41-zero escape to a 21-bit literal. The
+// scalar Python in raw/crx.py is the behavioral reference; tests
+// assert array equality between the two.
+
+inline int crx_adapt_k(int k, uint32_t code) {
+  k += ((code >> k) > 2) + ((code >> k) > 5) -
+       (int)(((uint64_t)code << 1) < (1ull << k));
+  if (k < 0) return 0;
+  return k > 15 ? 15 : k;
+}
+
+void decode_crx_plane_impl(const uint8_t* data, int64_t len, uint16_t* out,
+                           int64_t width, int64_t height, int n_bits,
+                           int k_init) {
+  if (width <= 0 || height <= 0) throw std::runtime_error("crx: empty plane");
+  if (n_bits < 8 || n_bits > 16) throw std::runtime_error("crx: bad depth");
+  MsbReader rdr{data, len};
+  const int64_t total_bits = len * 8;
+  int k = k_init;
+  const int32_t mask = (1 << n_bits) - 1;
+  const int32_t half = 1 << (n_bits - 1);
+  for (int64_t row = 0; row < height; row++) {
+    uint16_t* line = out + row * width;
+    const uint16_t* above = row ? line - width : nullptr;
+    for (int64_t col = 0; col < width; col++) {
+      int32_t pred;
+      if (row == 0) {
+        pred = col ? line[col - 1] : half;
+      } else if (col == 0) {
+        pred = above[0];
+      } else {
+        int32_t w = line[col - 1], n = above[col], nw = above[col - 1];
+        int32_t mx = w >= n ? w : n, mn = w >= n ? n : w;
+        if (nw >= mx) pred = mn;
+        else if (nw <= mn) pred = mx;
+        else pred = w + n - nw;
+      }
+      int q = 0;
+      while (q < 41) {
+        if (rdr.bit >= total_bits)
+          throw std::runtime_error("crx: bitstream exhausted in unary run");
+        if (rdr.get1()) break;
+        q++;
+      }
+      uint32_t u = (q >= 41) ? rdr.get(21) : ((uint32_t(q) << k) | rdr.get(k));
+      k = crx_adapt_k(k, u);
+      int32_t err = int32_t(u >> 1) ^ -int32_t(u & 1);
+      int32_t val = pred + err;
+      if (val != (val & mask))
+        throw std::runtime_error("crx: sample out of range");
+      line[col] = uint16_t(val);
+    }
+  }
+}
+
 struct SrwBits {
   const uint8_t* d;
   int64_t n;
@@ -1710,6 +1768,38 @@ static PyObject* py_encode_rw2(PyObject*, PyObject* args) {
   return encode_binding<encode_rw2_impl>(args);
 }
 
+static PyObject* py_decode_crx_plane(PyObject*, PyObject* args) {
+  Py_buffer buf;
+  int width, height, n_bits, k_init;
+  if (!PyArg_ParseTuple(args, "y*iiii", &buf, &width, &height, &n_bits,
+                        &k_init))
+    return nullptr;
+  std::string err;
+  PyObject* out = nullptr;
+  if (width <= 0 || height <= 0 || k_init < 0 || k_init > 15) {
+    err = "bad dimensions";
+  } else {
+    out = PyBytes_FromStringAndSize(nullptr, int64_t(width) * height * 2);
+    if (!out) { PyBuffer_Release(&buf); return nullptr; }
+    uint16_t* dst = reinterpret_cast<uint16_t*>(PyBytes_AS_STRING(out));
+    Py_BEGIN_ALLOW_THREADS
+    try {
+      decode_crx_plane_impl(static_cast<const uint8_t*>(buf.buf), buf.len,
+                            dst, width, height, n_bits, k_init);
+    } catch (const std::exception& e) {
+      err = e.what();
+    }
+    Py_END_ALLOW_THREADS
+  }
+  PyBuffer_Release(&buf);
+  if (!err.empty()) {
+    Py_XDECREF(out);
+    PyErr_SetString(PyExc_ValueError, err.c_str());
+    return nullptr;
+  }
+  return out;
+}
+
 static PyObject* py_decode_pentax(PyObject*, PyObject* args) {
   Py_buffer buf, spec;
   int width, height, bps, be_spec;
@@ -1826,6 +1916,8 @@ static PyMethodDef RawkitMethods[] = {
     {"decode_pentax", py_decode_pentax, METH_VARARGS,
      "decode_pentax(data, width, height, bps, spec, be_spec) "
      "-> u16 bytes"},
+    {"decode_crx_plane", py_decode_crx_plane, METH_VARARGS,
+     "decode_crx_plane(data, width, height, n_bits, k_init) -> u16 bytes"},
     {"huffman_pack", py_huffman_pack, METH_VARARGS,
      "huffman_pack(diffs, itemsize, code_tab_u64, clen_tab_i32, "
      "max_raw_cat) -> packed bitstream bytes (diffs: signed ints of "

@@ -58,6 +58,10 @@ class BmffFile:
             raise ValueError("not an ISO-BMFF file")
         self.data = data
         self.boxes: Dict[bytes, List[Tuple[int, int]]] = {}
+        # Body spans of each moov/trak, so sample-table boxes (stsd,
+        # stsz, co64) can be matched within ONE track rather than
+        # globally across all of them.
+        self.trak_spans: List[Tuple[int, int]] = []
         self._walk(0, len(data), 0)
 
     def _add(self, fourcc: bytes, start: int, end: int) -> None:
@@ -97,6 +101,8 @@ class BmffFile:
                 else:
                     self._add(fourcc, inner, box_end)
             elif fourcc in _CONTAINERS:
+                if fourcc == b"trak":
+                    self.trak_spans.append((body, box_end))
                 self._walk(body, box_end, depth + 1)
             else:
                 self._add(fourcc, body, box_end)
@@ -156,6 +162,33 @@ class BmffFile:
                     out.setdefault("height", h)
         return out
 
+    def raw_track(self) -> Optional[Tuple[bytes, int, int]]:
+        """Locate the CRX sensor sample: scan each trak's sample table
+        for a ``CRAW`` stsd entry, return (CMP1 payload, sample offset,
+        sample size) into ``data`` — offset/size from the track's own
+        stsz + co64/stco. None when no CRAW track exists."""
+        for span_start, span_end in self.trak_spans:
+            sub = BmffFile.__new__(BmffFile)
+            sub.data = self.data
+            sub.boxes = {}
+            sub.trak_spans = []
+            sub._walk(span_start, span_end, 1)
+            cmp1 = None
+            for off, n in sub.boxes.get(b"stsd", []):
+                cmp1 = _craw_cmp1(self.data, off, off + n)
+                if cmp1 is not None:
+                    break
+            if cmp1 is None:
+                continue
+            size = _first_sample_size(sub, self.data)
+            offset = _first_chunk_offset(sub, self.data)
+            if size is None or offset is None:
+                raise ValueError("CRAW track without stsz/co64 tables")
+            if offset + size > len(self.data):
+                raise ValueError("CRAW sample extends past EOF")
+            return cmp1, offset, size
+        return None
+
     def preview_jpeg(self) -> Optional[bytes]:
         """Largest decodable-looking JPEG across the PRVW/THMB preview
         boxes (marker scan inside the payload — robust to the small
@@ -169,6 +202,60 @@ class BmffFile:
                 if jpeg and (best is None or len(jpeg) > len(best)):
                     best = jpeg
         return best
+
+
+# 8-byte sample-entry preamble + 6 reserved + u16 dref index + the
+# 70-byte fixed video-sample-entry fields = child boxes start at +86.
+_VIDEO_ENTRY_FIXED = 86
+
+
+def _craw_cmp1(data: bytes, start: int, end: int) -> Optional[bytes]:
+    """CMP1 payload of the first CRAW entry in an stsd box body."""
+    if end - start < 8:
+        return None
+    (count,) = struct.unpack_from(">I", data, start + 4)
+    pos = start + 8
+    for _ in range(min(count, 16)):
+        if pos + 8 > end:
+            return None
+        (esize,) = struct.unpack_from(">I", data, pos)
+        if esize < 16 or pos + esize > end:
+            return None
+        if data[pos + 4:pos + 8] == b"CRAW":
+            child = pos + _VIDEO_ENTRY_FIXED
+            entry_end = pos + esize
+            while child + 8 <= entry_end:
+                (csize,) = struct.unpack_from(">I", data, child)
+                if csize < 8 or child + csize > entry_end:
+                    break
+                if data[child + 4:child + 8] == b"CMP1":
+                    return data[child + 8:child + csize]
+                child += csize
+            return None
+        pos += esize
+    return None
+
+
+def _first_sample_size(sub: "BmffFile", data: bytes) -> Optional[int]:
+    for off, n in sub.boxes.get(b"stsz", []):
+        if n < 12:
+            continue
+        fixed, count = struct.unpack_from(">II", data, off + 4)
+        if fixed:
+            return fixed
+        if count >= 1 and n >= 16:
+            return struct.unpack_from(">I", data, off + 12)[0]
+    return None
+
+
+def _first_chunk_offset(sub: "BmffFile", data: bytes) -> Optional[int]:
+    for off, n in sub.boxes.get(b"co64", []):
+        if n >= 16 and struct.unpack_from(">I", data, off + 4)[0] >= 1:
+            return struct.unpack_from(">Q", data, off + 8)[0]
+    for off, n in sub.boxes.get(b"stco", []):
+        if n >= 12 and struct.unpack_from(">I", data, off + 4)[0] >= 1:
+            return struct.unpack_from(">I", data, off + 8)[0]
+    return None
 
 
 def describe(data: bytes) -> Dict[str, object]:
@@ -245,17 +332,46 @@ def _mini_tiff(entries) -> bytes:
     return hdr + table + tail
 
 
+def _craw_trak(cmp1_payload: bytes, width: int, height: int,
+               sample_size: int, sample_offset: int) -> bytes:
+    """Minimal CRAW video track: stsd holding a video sample entry of
+    format 'CRAW' with a CMP1 child, stsz with the one sample's size,
+    co64 with its absolute mdat offset."""
+    entry_body = (b"\0" * 6 + struct.pack(">H", 1)  # dref index
+                  + b"\0" * 16
+                  + struct.pack(">HH", width, height)
+                  + struct.pack(">IIIH", 0x480000, 0x480000, 0, 1)
+                  + b"\0" * 32
+                  + struct.pack(">Hh", 24, -1))
+    entry_body += _box(b"CMP1", cmp1_payload)
+    entry = _box(b"CRAW", entry_body)
+    stsd = _box(b"stsd", struct.pack(">II", 0, 1) + entry)
+    stsz = _box(b"stsz", struct.pack(">III", 0, sample_size, 1))
+    co64 = _box(b"co64", struct.pack(">IIQ", 0, 1, sample_offset))
+    stbl = _box(b"stbl", stsd + stsz + co64)
+    return _box(b"trak", _box(b"mdia", _box(b"minf", stbl)))
+
+
 def write_synthetic_cr3(path, *, make: str = "Canon",
                         model: str = "EOS Synth R",
                         width: int = 6000, height: int = 4000,
                         preview_jpeg: bytes = b"",
                         thumb_jpeg: bytes = b"",
                         codec: str = "CanonCR3_001/01.09.00/01.00.00",
-                        mdat: bytes = b"\0" * 64) -> bytes:
-    """Structurally-faithful CR3 skeleton: ftyp(crx) + moov holding
-    the Canon metadata uuid (CNCV, CMT1, CMT2, THMB) + a PRVW uuid +
-    mdat. The sensor payload is an opaque stub — CRX decode is the
-    documented gap this container work narrows."""
+                        mdat: bytes = b"\0" * 64,
+                        mosaic=None, n_bits: int = 14,
+                        tile_cols: int = 1, tile_rows: int = 1) -> bytes:
+    """Structurally-faithful CR3: ftyp(crx) + moov holding the Canon
+    metadata uuid (CNCV, CMT1, CMT2, THMB) and — when ``mosaic`` is
+    given — a CRAW track (stsd/CMP1 + stsz + co64) whose CRX-encoded
+    sensor sample lands in mdat; plus a PRVW uuid and mdat."""
+    if mosaic is not None:
+        from raweditor_tpu.raw.crx import encode_crx, make_cmp1
+
+        height, width = mosaic.shape
+        cmp1 = make_cmp1(width, height, n_bits=n_bits,
+                         tile_cols=tile_cols, tile_rows=tile_rows)
+        mdat = encode_crx(mosaic, cmp1)
     cmt1 = _mini_tiff([(0x010F, 2, make), (0x0110, 2, model),
                        (0x0112, 3, 1)])
     cmt2 = _mini_tiff([(0xA002, 4, width), (0xA003, 4, height)])
@@ -265,15 +381,26 @@ def write_synthetic_cr3(path, *, make: str = "Canon",
     if thumb_jpeg:
         head = struct.pack(">IHHI2H", 0, 160, 120, len(thumb_jpeg), 0, 0)
         meta_children += _box(b"THMB", head + thumb_jpeg)
-    moov = _box(b"moov", _box(b"uuid", _CANON_META_UUID + meta_children))
-    out = _box(b"ftyp", b"crx " + struct.pack(">I", 1) + b"crx isom")
-    out += moov
-    if preview_jpeg:
-        head = struct.pack(">IHHHHI", 0, 0, 1620, 1080, 0,
-                           len(preview_jpeg))
-        prvw = _box(b"PRVW", head + preview_jpeg)
-        out += _box(b"uuid", _CANON_PRVW_UUID + prvw)
-    out += _box(b"mdat", mdat)
+
+    def assemble(sample_offset: int) -> bytes:
+        moov_children = _box(b"uuid", _CANON_META_UUID + meta_children)
+        if mosaic is not None:
+            moov_children += _craw_trak(cmp1.pack(), width, height,
+                                        len(mdat), sample_offset)
+        moov = _box(b"moov", moov_children)
+        out = _box(b"ftyp", b"crx " + struct.pack(">I", 1) + b"crx isom")
+        out += moov
+        if preview_jpeg:
+            head = struct.pack(">IHHHHI", 0, 0, 1620, 1080, 0,
+                               len(preview_jpeg))
+            prvw = _box(b"PRVW", head + preview_jpeg)
+            out += _box(b"uuid", _CANON_PRVW_UUID + prvw)
+        return out
+
+    # The co64 offset is absolute; sizes don't change between passes,
+    # so assemble once to measure, then again with the real offset.
+    head_len = len(assemble(0)) + 8  # + the mdat box header
+    out = assemble(head_len) + _box(b"mdat", mdat)
     if path is not None:
         with open(path, "wb") as f:
             f.write(out)

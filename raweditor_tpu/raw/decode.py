@@ -588,11 +588,20 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
         except (ValueError, IndexError, struct.error) as e:
             raise RawDecodeError(f"corrupt CRW: {e}") from e
     if len(data) >= 12 and data[4:8] == b"ftyp":
-        # ISO-BMFF container (Canon CR3 'crx ', HEIF, ...). The box
-        # tree, Canon CMT metadata and THMB/PRVW previews are parsed
-        # (raw/bmff.py) and feed info/previews/tiers; the CRX sensor
-        # codec is a documented gap (docs/formats.md).
+        # ISO-BMFF container (Canon CR3 'crx ', HEIF, ...). Files with
+        # a CRAW track decode through the lossless CRX codec
+        # (raw/crx.py — beyond the reference, whose rawloader backend
+        # has no CR3 support). Containers without one still get the
+        # box-tree metadata and THMB/PRVW previews (raw/bmff.py).
         from raweditor_tpu.raw import bmff as _bmff
+        from raweditor_tpu.raw import crx as _crx
+
+        try:
+            img = _crx.decode_cr3(data, source_path)
+        except (ValueError, IndexError, struct.error) as e:
+            raise RawDecodeError(f"corrupt CR3: {e}") from e
+        if img is not None:
+            return img
 
         brand = data[8:12].decode("ascii", "replace").strip()
         detail = ""

@@ -386,6 +386,7 @@ def test_decoder_fuzz_error_contract(rng):
     from raweditor_tpu.raw.bmff import write_synthetic_cr3
 
     bases.append(write_synthetic_cr3(None))
+    bases.append(write_synthetic_cr3(None, mosaic=m16, tile_cols=2))
     bases.append(write_synthetic_raw(None, m16, compression="srw1",
                                      srw_wb=True))
     for base in bases:
