@@ -260,6 +260,16 @@ def main():
         e2e_per_sec = e2e_report.develops_per_sec
         if e2e_report.failed:
             e2e_per_sec = 0.0  # a quarantined image invalidates the run
+        # The tunneled dev chip's device→host link runs at single-digit
+        # MB/s; fetching developed pixels dominates the wall clock by
+        # orders of magnitude and is a property of this link, not the
+        # pipeline (a local-attached TPU host moves GB/s). Report the
+        # transport rate and the transport-excluded pipeline rate so
+        # both truths are on record (docs/performance.md has the
+        # decomposition).
+        e2e_nonfetch = e2e_report.seconds - e2e_report.fetch_seconds
+        e2e_excl_fetch = (e2e_report.succeeded / e2e_nonfetch
+                          if e2e_nonfetch > 0 else 0.0)
     finally:
         shutil.rmtree(e2e_dir, ignore_errors=True)
 
@@ -294,6 +304,10 @@ def main():
                 "e2e_decode_threads": threads,
                 "e2e_decode_seconds": round(e2e_report.decode_seconds, 2),
                 "e2e_device_seconds": round(e2e_report.device_seconds, 2),
+                "e2e_fetch_seconds": round(e2e_report.fetch_seconds, 2),
+                "e2e_fetch_mb": round(e2e_report.fetch_bytes / 1e6, 1),
+                "e2e_link_mbps": round(e2e_report.fetch_mbps, 1),
+                "e2e_excl_fetch_develops_per_sec": round(e2e_excl_fetch, 2),
                 "e2e_encode_seconds": round(e2e_report.encode_seconds, 2),
                 "device": str(jax.devices()[0]),
             }

@@ -56,10 +56,21 @@ class ExportReport:
     decode_seconds: float = 0.0
     device_seconds: float = 0.0
     encode_seconds: float = 0.0
+    # Device→host transfer of developed batches, separated from
+    # device_seconds: on a tunneled dev chip the link (single-digit
+    # MB/s) dominates everything, and conflating it with compute
+    # would make the device look 3 orders of magnitude too slow.
+    fetch_seconds: float = 0.0
+    fetch_bytes: int = 0
 
     @property
     def develops_per_sec(self) -> float:
         return self.succeeded / self.seconds if self.seconds > 0 else 0.0
+
+    @property
+    def fetch_mbps(self) -> float:
+        return (self.fetch_bytes / 1e6 / self.fetch_seconds
+                if self.fetch_seconds > 0 else 0.0)
 
     def as_dict(self) -> dict:
         return {
@@ -71,6 +82,9 @@ class ExportReport:
             "develops_per_sec": round(self.develops_per_sec, 2),
             "decode_seconds": round(self.decode_seconds, 3),
             "device_seconds": round(self.device_seconds, 3),
+            "fetch_seconds": round(self.fetch_seconds, 3),
+            "fetch_mb": round(self.fetch_bytes / 1e6, 1),
+            "fetch_mbps": round(self.fetch_mbps, 1),
             "encode_seconds": round(self.encode_seconds, 3),
         }
 
@@ -295,10 +309,18 @@ def run_batch_export(
     def drain_inflight(encode_pool, depth: int):
         while len(inflight) > depth:
             out, batch, t0 = inflight.pop(0)
-            host = np.asarray(out)[: len(batch)]
-            # Wall time from dispatch to fetch; overlapped work makes
-            # this an upper bound on pure device time.
+            # Wall time from dispatch to ready; overlapped work makes
+            # this an upper bound on pure device time. The transfer is
+            # timed separately — on a tunneled dev chip it dominates
+            # by orders of magnitude and is a property of the link,
+            # not the pipeline (docs/performance.md).
+            jax.block_until_ready(out)
             report.device_seconds += time.perf_counter() - t0
+            t1 = time.perf_counter()
+            full = np.asarray(out)  # the padded batch is what crosses
+            report.fetch_seconds += time.perf_counter() - t1
+            report.fetch_bytes += full.nbytes
+            host = full[: len(batch)]
             submit_encodes(batch, host, encode_pool)
 
     def flush(batch: List[_Decoded], encode_pool: ThreadPoolExecutor):
