@@ -17,6 +17,7 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -1248,6 +1249,377 @@ void decode_canon_crw_impl(const uint8_t* d, int64_t n, uint16_t* out,
 // four 2-bit length opcodes, even pixels then odd, final same-CFA
 // (r,c+1)<->(r+1,c) swap.
 
+// ---------------------------------------------------------------------------
+// Baseline JFIF encoder from YCbCr 4:2:0 planes (ITU-T T.81)
+// ---------------------------------------------------------------------------
+//
+// The batch exporter's JPEG back end: the TPU emits JFIF-range YCbCr
+// with chroma already box-filtered 2x2 (ops/jpeg.py), this encodes it
+// as a baseline sequential JFIF — 8x8 fDCT, Annex K quantization
+// scaled by the libjpeg quality formula, and OPTIMAL per-image Huffman
+// tables built with the spec's Annex K.2/K.3 procedures (code lengths
+// limited to 16, the all-ones code reserved via the pseudo-symbol).
+// Using computed tables sidesteps the "typical" Annex K Huffman
+// constants entirely and produces strictly smaller files.
+
+const uint8_t kJpegZigzag[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+const uint8_t kQuantLuma[64] = {
+    16, 11, 10, 16, 24,  40,  51,  61,  12, 12, 14, 19, 26,  58,  60,  55,
+    14, 13, 16, 24, 40,  57,  69,  56,  14, 17, 22, 29, 51,  87,  80,  62,
+    18, 22, 37, 56, 68,  109, 103, 77,  24, 35, 55, 64, 81,  104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99};
+
+const uint8_t kQuantChroma[64] = {
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99};
+
+struct JpegBitWriter {
+  std::vector<uint8_t>& out;
+  uint32_t acc = 0;
+  int nbits = 0;
+  explicit JpegBitWriter(std::vector<uint8_t>& o) : out(o) {}
+  inline void put(uint32_t v, int len) {
+    acc = (acc << len) | (v & ((1u << len) - 1));
+    nbits += len;
+    while (nbits >= 8) {
+      nbits -= 8;
+      uint8_t b = uint8_t(acc >> nbits);
+      out.push_back(b);
+      if (b == 0xFF) out.push_back(0x00);  // byte stuffing (B.1.1.5)
+    }
+  }
+  void pad() {  // pad to byte boundary with 1-bits (F.1.2.3)
+    if (nbits) put((1u << (8 - nbits)) - 1, 8 - nbits);
+  }
+};
+
+// Annex K.2 code-length derivation + K.3 16-bit limiting. freq has 257
+// slots; slot 256 is the pseudo-symbol that reserves the all-ones code.
+// Emits BITS[1..16] and the symbol list in canonical order, and fills
+// ehufco/ehufsi (code/size per symbol) for the encoder.
+struct HuffTable {
+  uint8_t bits[17] = {0};
+  std::vector<uint8_t> vals;
+  uint16_t code[256] = {0};
+  uint8_t size[256] = {0};
+
+  void build(uint32_t freq_in[257]) {
+    int32_t freq[257];
+    int32_t codesize[257] = {0};
+    int32_t others[257];
+    for (int i = 0; i < 257; i++) {
+      freq[i] = int32_t(freq_in[i]);
+      others[i] = -1;
+    }
+    freq[256] = 1;
+    for (;;) {
+      int v1 = -1, v2 = -1;
+      int32_t f1 = INT32_MAX, f2 = INT32_MAX;
+      for (int i = 0; i <= 256; i++) {
+        if (freq[i] == 0) continue;
+        if (freq[i] <= f1) {
+          f2 = f1; v2 = v1;
+          f1 = freq[i]; v1 = i;
+        } else if (freq[i] <= f2) {
+          f2 = freq[i]; v2 = i;
+        }
+      }
+      if (v2 < 0) break;  // one tree left
+      freq[v1] += freq[v2];
+      freq[v2] = 0;
+      codesize[v1]++;
+      while (others[v1] >= 0) { v1 = others[v1]; codesize[v1]++; }
+      others[v1] = v2;
+      codesize[v2]++;
+      while (others[v2] >= 0) { v2 = others[v2]; codesize[v2]++; }
+    }
+    int32_t counts[64] = {0};
+    for (int i = 0; i <= 256; i++)
+      if (codesize[i]) counts[codesize[i] < 63 ? codesize[i] : 63]++;
+    // K.3 Adjust_BITS: fold lengths > 16 upward.
+    for (int i = 62; i > 16; i--) {
+      while (counts[i] > 0) {
+        int j = i - 2;
+        while (counts[j] == 0) j--;
+        counts[i] -= 2;
+        counts[i - 1] += 1;
+        counts[j + 1] += 2;
+        counts[j] -= 1;
+      }
+    }
+    {  // remove the pseudo-symbol's slot from the longest used length
+      int i = 16;
+      while (counts[i] == 0) i--;
+      counts[i] -= 1;
+    }
+    for (int i = 1; i <= 16; i++) bits[i] = uint8_t(counts[i]);
+    // Symbols sorted by (code length, value), pseudo-symbol dropped.
+    vals.clear();
+    for (int len = 1; len <= 62; len++)
+      for (int i = 0; i < 256; i++)
+        if (codesize[i] == len) vals.push_back(uint8_t(i));
+    // Canonical code assignment over the ADJUSTED lengths.
+    uint16_t c = 0;
+    size_t vi = 0;
+    for (int len = 1; len <= 16; len++) {
+      for (int k = 0; k < bits[len]; k++) {
+        uint8_t sym = vals[vi++];
+        code[sym] = c++;
+        size[sym] = uint8_t(len);
+      }
+      c <<= 1;
+    }
+    vals.resize(vi);  // lengths beyond 16 were folded into <=16 slots
+  }
+};
+
+inline int jpeg_category(int v) {  // size class of a DC diff / AC coeff
+  int a = v < 0 ? -v : v;
+  int s = 0;
+  while (a) { s++; a >>= 1; }
+  return s;
+}
+
+// Forward 8x8 DCT-II (separable, precomputed basis), output quantized
+// by the caller-provided reciprocal tables in zigzag order.
+struct JpegDct {
+  float basis[8][8];  // basis[u][x] = c(u)/2 * cos((2x+1)u*pi/16)
+  JpegDct() {
+    for (int u = 0; u < 8; u++) {
+      double cu = u == 0 ? std::sqrt(0.5) : 1.0;
+      for (int x = 0; x < 8; x++)
+        basis[u][x] = float(0.5 * cu * std::cos((2 * x + 1) * u * M_PI / 16.0));
+    }
+  }
+  inline void forward(const float in[64], float out[64]) const {
+    float tmp[64];
+    for (int y = 0; y < 8; y++)       // rows
+      for (int u = 0; u < 8; u++) {
+        float s = 0.f;
+        for (int x = 0; x < 8; x++) s += in[y * 8 + x] * basis[u][x];
+        tmp[u * 8 + y] = s;           // transpose as we go
+      }
+    for (int u = 0; u < 8; u++)       // columns (now rows of tmp)
+      for (int v = 0; v < 8; v++) {
+        float s = 0.f;
+        for (int y = 0; y < 8; y++) s += tmp[u * 8 + y] * basis[v][y];
+        out[v * 8 + u] = s;
+      }
+  }
+};
+
+// Extract one 8x8 block (edge-replicated) from a plane, level-shifted.
+inline void jpeg_block(const uint8_t* plane, int64_t pw, int64_t ph,
+                       int64_t bx, int64_t by, float out[64]) {
+  for (int y = 0; y < 8; y++) {
+    int64_t sy = by + y;
+    if (sy >= ph) sy = ph - 1;
+    const uint8_t* row = plane + sy * pw;
+    for (int x = 0; x < 8; x++) {
+      int64_t sx = bx + x;
+      if (sx >= pw) sx = pw - 1;
+      out[y * 8 + x] = float(row[sx]) - 128.0f;
+    }
+  }
+}
+
+struct JpegSymbolSink {  // pass 1: histogram; pass 2: emit
+  uint32_t* dc_freq = nullptr;
+  uint32_t* ac_freq = nullptr;
+  const HuffTable* dc = nullptr;
+  const HuffTable* ac = nullptr;
+  JpegBitWriter* bw = nullptr;
+
+  inline void dc_symbol(int diff) {
+    int s = jpeg_category(diff);
+    if (dc_freq) {
+      dc_freq[s]++;
+    } else {
+      bw->put(dc->code[s], dc->size[s]);
+      if (s) bw->put(uint32_t(diff < 0 ? diff - 1 : diff), s);
+    }
+  }
+  inline void ac_symbol(int run_size, int coeff) {
+    int s = run_size & 0xF;
+    if (ac_freq) {
+      ac_freq[run_size]++;
+    } else {
+      bw->put(ac->code[run_size], ac->size[run_size]);
+      if (s) bw->put(uint32_t(coeff < 0 ? coeff - 1 : coeff), s);
+    }
+  }
+};
+
+// Quantize + symbolize one block; prev_dc is per-component state.
+inline void jpeg_code_block(const float dct[64], const float recip[64],
+                            int& prev_dc, JpegSymbolSink& sink) {
+  int q[64];
+  for (int i = 0; i < 64; i++) {
+    float v = dct[kJpegZigzag[i]] * recip[i];
+    q[i] = int(v < 0 ? v - 0.5f : v + 0.5f);
+  }
+  int diff = q[0] - prev_dc;
+  prev_dc = q[0];
+  sink.dc_symbol(diff);
+  int run = 0;
+  for (int i = 1; i < 64; i++) {
+    if (q[i] == 0) {
+      run++;
+      continue;
+    }
+    while (run > 15) {
+      sink.ac_symbol(0xF0, 0);  // ZRL
+      run -= 16;
+    }
+    sink.ac_symbol((run << 4) | jpeg_category(q[i]), q[i]);
+    run = 0;
+  }
+  if (run) sink.ac_symbol(0x00, 0);  // EOB
+}
+
+inline void jpeg_marker(std::vector<uint8_t>& o, uint8_t m, size_t len) {
+  o.push_back(0xFF);
+  o.push_back(m);
+  o.push_back(uint8_t((len + 2) >> 8));
+  o.push_back(uint8_t((len + 2) & 0xFF));
+}
+
+std::vector<uint8_t> encode_jpeg_420_impl(const uint8_t* yp,
+                                          const uint8_t* cbp,
+                                          const uint8_t* crp,
+                                          int64_t width, int64_t height,
+                                          int quality) {
+  if (width <= 0 || height <= 0 || width > 65535 || height > 65535)
+    throw std::runtime_error("bad dimensions");
+  if (quality < 1) quality = 1;
+  if (quality > 100) quality = 100;
+  const int64_t cw = (width + 1) / 2, ch = (height + 1) / 2;
+  // libjpeg quality scaling over the Annex K tables.
+  int scale = quality < 50 ? 5000 / quality : 200 - 2 * quality;
+  uint8_t qtab[2][64];
+  for (int t = 0; t < 2; t++) {
+    const uint8_t* base = t ? kQuantChroma : kQuantLuma;
+    for (int i = 0; i < 64; i++) {
+      int v = (base[i] * scale + 50) / 100;
+      if (v < 1) v = 1;
+      if (v > 255) v = 255;
+      qtab[t][i] = uint8_t(v);
+    }
+  }
+  // Quant tables are stored/indexed in zigzag order per the spec; the
+  // natural-order Annex K constants above are zigzag-reordered here.
+  uint8_t qzig[2][64];
+  float recip_zig[2][64];
+  for (int t = 0; t < 2; t++)
+    for (int i = 0; i < 64; i++) {
+      qzig[t][i] = qtab[t][kJpegZigzag[i]];
+      recip_zig[t][i] = 1.0f / float(qzig[t][i]);
+    }
+
+  const int64_t mcux = (width + 15) / 16, mcuy = (height + 15) / 16;
+  JpegDct dct;
+
+  // Two passes over the MCU stream: histogram, then emit. The DCT is
+  // recomputed in pass 2 — cheaper in practice than materializing
+  // ~70 MB of coefficients for a 24 MP frame, and the block walk is
+  // identical by construction.
+  HuffTable huff[4];  // 0: DC luma, 1: AC luma, 2: DC chroma, 3: AC chroma
+  std::vector<uint8_t> scan;
+  scan.reserve(size_t(width) * height / 4);
+  JpegBitWriter bw(scan);
+
+  for (int pass = 0; pass < 2; pass++) {
+    uint32_t dcf[2][257] = {{0}}, acf[2][257] = {{0}};
+    JpegSymbolSink luma, chroma;
+    if (pass == 0) {
+      luma.dc_freq = dcf[0];
+      luma.ac_freq = acf[0];
+      chroma.dc_freq = dcf[1];
+      chroma.ac_freq = acf[1];
+    } else {
+      luma.dc = &huff[0];
+      luma.ac = &huff[1];
+      luma.bw = &bw;
+      chroma.dc = &huff[2];
+      chroma.ac = &huff[3];
+      chroma.bw = &bw;
+    }
+    int prev_dc[3] = {0, 0, 0};
+    float px[64], fd[64];
+    for (int64_t my = 0; my < mcuy; my++)
+      for (int64_t mx = 0; mx < mcux; mx++) {
+        for (int sub = 0; sub < 4; sub++) {  // Y blocks, h2v2 order
+          jpeg_block(yp, width, height, mx * 16 + (sub & 1) * 8,
+                     my * 16 + (sub >> 1) * 8, px);
+          dct.forward(px, fd);
+          jpeg_code_block(fd, recip_zig[0], prev_dc[0], luma);
+        }
+        jpeg_block(cbp, cw, ch, mx * 8, my * 8, px);
+        dct.forward(px, fd);
+        jpeg_code_block(fd, recip_zig[1], prev_dc[1], chroma);
+        jpeg_block(crp, cw, ch, mx * 8, my * 8, px);
+        dct.forward(px, fd);
+        jpeg_code_block(fd, recip_zig[1], prev_dc[2], chroma);
+      }
+    if (pass == 0)
+      for (int t = 0; t < 4; t++)
+        huff[t].build(t & 1 ? acf[t >> 1] : dcf[t >> 1]);
+  }
+  bw.pad();
+
+  std::vector<uint8_t> out;
+  out.reserve(scan.size() + 1024);
+  auto push16 = [&](uint16_t v) {
+    out.push_back(uint8_t(v >> 8));
+    out.push_back(uint8_t(v & 0xFF));
+  };
+  out.push_back(0xFF);
+  out.push_back(0xD8);  // SOI
+  {                     // APP0 JFIF
+    jpeg_marker(out, 0xE0, 14);
+    const uint8_t app0[14] = {'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1,
+                              0,   0};
+    out.insert(out.end(), app0, app0 + 14);
+  }
+  for (int t = 0; t < 2; t++) {  // DQT (zigzag order per B.2.4.1)
+    jpeg_marker(out, 0xDB, 65);
+    out.push_back(uint8_t(t));
+    out.insert(out.end(), qzig[t], qzig[t] + 64);
+  }
+  {  // SOF0: baseline, 3 components, Y h2v2 + Cb/Cr h1v1
+    jpeg_marker(out, 0xC0, 15);
+    out.push_back(8);
+    push16(uint16_t(height));
+    push16(uint16_t(width));
+    out.push_back(3);
+    const uint8_t comp[9] = {1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1};
+    out.insert(out.end(), comp, comp + 9);
+  }
+  for (int t = 0; t < 4; t++) {  // DHT: 00, 10, 01, 11
+    const HuffTable& h = huff[t];
+    jpeg_marker(out, 0xC4, 17 + h.vals.size());
+    out.push_back(uint8_t(((t & 1) << 4) | (t >> 1)));
+    out.insert(out.end(), h.bits + 1, h.bits + 17);
+    out.insert(out.end(), h.vals.begin(), h.vals.end());
+  }
+  {  // SOS
+    jpeg_marker(out, 0xDA, 10);
+    const uint8_t sos[10] = {3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0};
+    out.insert(out.end(), sos, sos + 10);
+  }
+  out.insert(out.end(), scan.begin(), scan.end());
+  out.push_back(0xFF);
+  out.push_back(0xD9);  // EOI
+  return out;
+}
+
 // --- Canon CR3 CRX lossless plane (raw/crx.py _decode_plane) ---------------
 //
 // MED/LOCO-I prediction + zigzag + adaptive Golomb-Rice with the CRX
@@ -1768,6 +2140,43 @@ static PyObject* py_encode_rw2(PyObject*, PyObject* args) {
   return encode_binding<encode_rw2_impl>(args);
 }
 
+static PyObject* py_encode_jpeg_420(PyObject*, PyObject* args) {
+  Py_buffer y, cb, cr;
+  int width, height, quality;
+  if (!PyArg_ParseTuple(args, "y*y*y*iii", &y, &cb, &cr, &width, &height,
+                        &quality))
+    return nullptr;
+  std::string err;
+  std::vector<uint8_t> out;
+  int64_t cw = (int64_t(width) + 1) / 2, ch = (int64_t(height) + 1) / 2;
+  if (width <= 0 || height <= 0) {
+    err = "bad dimensions";
+  } else if (y.len < int64_t(width) * height || cb.len < cw * ch ||
+             cr.len < cw * ch) {
+    err = "plane buffer too small";
+  } else {
+    Py_BEGIN_ALLOW_THREADS
+    try {
+      out = encode_jpeg_420_impl(static_cast<const uint8_t*>(y.buf),
+                                 static_cast<const uint8_t*>(cb.buf),
+                                 static_cast<const uint8_t*>(cr.buf), width,
+                                 height, quality);
+    } catch (const std::exception& e) {
+      err = e.what();
+    }
+    Py_END_ALLOW_THREADS
+  }
+  PyBuffer_Release(&y);
+  PyBuffer_Release(&cb);
+  PyBuffer_Release(&cr);
+  if (!err.empty()) {
+    PyErr_SetString(PyExc_ValueError, err.c_str());
+    return nullptr;
+  }
+  return PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(out.data()), out.size());
+}
+
 static PyObject* py_decode_crx_plane(PyObject*, PyObject* args) {
   Py_buffer buf;
   int width, height, n_bits, k_init;
@@ -1918,6 +2327,8 @@ static PyMethodDef RawkitMethods[] = {
      "-> u16 bytes"},
     {"decode_crx_plane", py_decode_crx_plane, METH_VARARGS,
      "decode_crx_plane(data, width, height, n_bits, k_init) -> u16 bytes"},
+    {"encode_jpeg_420", py_encode_jpeg_420, METH_VARARGS,
+     "encode_jpeg_420(y, cb, cr, width, height, quality) -> JFIF bytes"},
     {"huffman_pack", py_huffman_pack, METH_VARARGS,
      "huffman_pack(diffs, itemsize, code_tab_u64, clen_tab_i32, "
      "max_raw_cat) -> packed bitstream bytes (diffs: signed ints of "

@@ -166,6 +166,22 @@ def _encode_one(out_path: str, rgba_words: np.ndarray, quality: int) -> None:
             os.unlink(tmp_path)
 
 
+_YCBCR420_JIT = None
+
+
+def _ycbcr420_jit():
+    """Process-wide jitted RGBA→YCbCr 4:2:0 (one trace cache — a fresh
+    jax.jit per batch would retrace every flush)."""
+    global _YCBCR420_JIT
+    if _YCBCR420_JIT is None:
+        import jax
+
+        from raweditor_tpu.ops.jpeg import rgba_words_to_ycbcr420
+
+        _YCBCR420_JIT = jax.jit(rgba_words_to_ycbcr420)
+    return _YCBCR420_JIT
+
+
 class _Batcher:
     """Shape-bucketed batching with pad-to-fixed-size semantics."""
 
@@ -185,6 +201,33 @@ class _Batcher:
         while self.buckets:
             _, bucket = self.buckets.popitem()
             yield bucket
+
+
+def _encode_one_jpeg420(out_path: str, y: np.ndarray, cb: np.ndarray,
+                        cr: np.ndarray, quality: int) -> None:
+    """Encode device-produced YCbCr 4:2:0 planes (ops/jpeg.py) through
+    the native baseline JFIF encoder — no host colorspace pass, 1.5
+    bytes/pixel fetched instead of 4. Atomic like the PIL path."""
+    import threading
+
+    from raweditor_tpu.native import get_rawkit
+
+    rk = get_rawkit()
+    h, w = y.shape
+    data = rk.encode_jpeg_420(
+        np.ascontiguousarray(y).tobytes(),
+        np.ascontiguousarray(cb).tobytes(),
+        np.ascontiguousarray(cr).tobytes(), w, h, quality)
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    tmp_path = (f"{out_path}.{os.getpid()}."
+                f"{threading.get_ident()}.tmp")
+    try:
+        with open(tmp_path, "wb") as f:
+            f.write(data)
+        os.replace(tmp_path, out_path)
+    finally:
+        if os.path.exists(tmp_path):
+            os.unlink(tmp_path)
 
 
 def _encode_one_tiff16(out_path: str, rgb_u16: np.ndarray) -> None:
@@ -264,6 +307,22 @@ def run_batch_export(
         if batch_size % n_b:
             batch_size = ((batch_size // n_b) + 1) * n_b
 
+    # Device-side YCbCr 4:2:0 (ops/jpeg.py) + native JFIF encode: the
+    # develop program additionally converts and box-subsamples chroma
+    # on the TPU, so 1.5 bytes/pixel cross to the host instead of 4
+    # and the encoder skips its colorspace pass. Taken whenever every
+    # output is a JPEG and the native encoder is present; PNG/TIFF
+    # runs and odd-sized frames keep the packed-RGBA path.
+    from raweditor_tpu.native import get_rawkit as _get_rawkit
+
+    _rk = _get_rawkit()
+    jpeg_planes_ok = (
+        bits == 8 and mesh is None
+        and _rk is not None and hasattr(_rk, "encode_jpeg_420")
+        and all(j.out_path.lower().endswith((".jpg", ".jpeg"))
+                for j in jobs)
+    )
+
     report = ExportReport(total=len(jobs))
     if skip_existing:
         remaining = []
@@ -281,16 +340,22 @@ def run_batch_export(
     inflight: List[tuple] = []
 
     def submit_encodes(batch, host, encode_pool):
-        for d, rgb in zip(batch, host):
+        for i, d in enumerate(batch):
             # Per-image copy: an encode job must not pin the whole
             # (B, H, W) batch array while it waits in the queue.
-            if bits == 16:
+            if isinstance(host, tuple):  # YCbCr 4:2:0 planes
+                y, cb, cr = (p[i] for p in host)
                 fut = encode_pool.submit(
-                    _encode_one_tiff16, d.job.out_path, rgb.copy()
+                    _encode_one_jpeg420, d.job.out_path, y.copy(),
+                    cb.copy(), cr.copy(), quality
+                )
+            elif bits == 16:
+                fut = encode_pool.submit(
+                    _encode_one_tiff16, d.job.out_path, host[i].copy()
                 )
             else:
                 fut = encode_pool.submit(
-                    _encode_one, d.job.out_path, rgb.copy(), quality
+                    _encode_one, d.job.out_path, host[i].copy(), quality
                 )
             encode_futures.append((fut, d.job))
         # Backpressure: the device can outrun host JPEG encode by ~20×;
@@ -317,10 +382,15 @@ def run_batch_export(
             jax.block_until_ready(out)
             report.device_seconds += time.perf_counter() - t0
             t1 = time.perf_counter()
-            full = np.asarray(out)  # the padded batch is what crosses
+            if isinstance(out, tuple):  # YCbCr 4:2:0 planes
+                fulls = tuple(np.asarray(p) for p in out)
+                report.fetch_bytes += sum(p.nbytes for p in fulls)
+                host = tuple(p[: len(batch)] for p in fulls)
+            else:
+                full = np.asarray(out)  # the padded batch is what crosses
+                report.fetch_bytes += full.nbytes
+                host = full[: len(batch)]
             report.fetch_seconds += time.perf_counter() - t1
-            report.fetch_bytes += full.nbytes
-            host = full[: len(batch)]
             submit_encodes(batch, host, encode_pool)
 
     def flush(batch: List[_Decoded], encode_pool: ThreadPoolExecutor):
@@ -444,6 +514,13 @@ def run_batch_export(
                 cfa_phase=phase, transfer=transfer,
                 demosaic_method=demosaic_method,
             )
+        h_, w_ = mosaics.shape[1], mosaics.shape[2]
+        if (jpeg_planes_ok and not isinstance(out, tuple)
+                and h_ % 2 == 0 and w_ % 2 == 0
+                and getattr(out, "ndim", 0) == 3):
+            # Convert + subsample on device: one extra HBM-bound pass,
+            # 2.67× less data over the wire (ops/jpeg.py).
+            out = _ycbcr420_jit()(out)
         inflight.append((out, batch, t0))
         drain_inflight(encode_pool, depth=1)
 

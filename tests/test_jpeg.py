@@ -1,0 +1,139 @@
+"""Device YCbCr 4:2:0 op (ops/jpeg.py) + native baseline JFIF encoder.
+
+The transport-optimized JPEG back end: the TPU converts and
+subsamples, the C++ encoder (rawkit.encode_jpeg_420) writes baseline
+JFIF with optimal per-image Huffman tables. Validated against a
+per-pixel NumPy port of the JFIF math and by PIL decode.
+"""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from raweditor_tpu.native import get_rawkit
+
+rk = get_rawkit()
+HAS_JPEG = rk is not None and hasattr(rk, "encode_jpeg_420")
+
+
+def _pack_words(rgb):
+    return (rgb[..., 0].astype(np.uint32)
+            | (rgb[..., 1].astype(np.uint32) << 8)
+            | (rgb[..., 2].astype(np.uint32) << 16)
+            | (np.uint32(255) << 24))
+
+
+def _ref_planes(rgb):
+    """NumPy reference of ops/jpeg.py: JFIF BT.601 + 2x2 box chroma."""
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    h, w = r.shape
+
+    def box(p):
+        return p.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+    q = lambda p: np.clip(np.round(p), 0, 255).astype(np.uint8)
+    return q(y), q(box(cb)), q(box(cr))
+
+
+def test_ycbcr420_matches_numpy_reference(rng):
+    from raweditor_tpu.ops.jpeg import rgba_words_to_ycbcr420
+
+    rgb = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    y, cb, cr = (np.asarray(p)
+                 for p in rgba_words_to_ycbcr420(_pack_words(rgb)))
+    ry, rcb, rcr = _ref_planes(rgb)
+    # f32 vs f64 rounding can differ by 1 at .5 boundaries.
+    assert y.shape == (16, 24) and cb.shape == (8, 12)
+    assert np.abs(y.astype(int) - ry.astype(int)).max() <= 1
+    assert np.abs(cb.astype(int) - rcb.astype(int)).max() <= 1
+    assert np.abs(cr.astype(int) - rcr.astype(int)).max() <= 1
+
+
+def test_ycbcr420_batched_and_odd_rejected(rng):
+    from raweditor_tpu.ops.jpeg import rgba_words_to_ycbcr420
+
+    rgb = rng.integers(0, 256, size=(3, 8, 10, 3), dtype=np.uint8)
+    y, cb, cr = rgba_words_to_ycbcr420(_pack_words(rgb))
+    assert y.shape == (3, 8, 10) and cb.shape == (3, 4, 5)
+    with pytest.raises(ValueError, match="even"):
+        rgba_words_to_ycbcr420(np.zeros((7, 10), np.uint32))
+
+
+def test_ycbcr420_primaries():
+    """Pure primaries hit the JFIF landmark values."""
+    from raweditor_tpu.ops.jpeg import rgba_words_to_ycbcr420
+
+    rgb = np.zeros((2, 8, 3), np.uint8)
+    rgb[:, 0:2] = [255, 255, 255]
+    rgb[:, 2:4] = [255, 0, 0]
+    rgb[:, 4:6] = [0, 255, 0]
+    rgb[:, 6:8] = [0, 0, 255]
+    y, cb, cr = (np.asarray(p)
+                 for p in rgba_words_to_ycbcr420(_pack_words(rgb)))
+    assert list(y[0, :8:2]) == [255, 76, 150, 29]
+    assert list(cb[0]) == [128, 85, 44, 255]
+    assert list(cr[0]) == [128, 255, 21, 107]
+
+
+@pytest.mark.skipif(not HAS_JPEG, reason="native JPEG encoder not built")
+class TestNativeEncoder:
+    def _roundtrip(self, rgb, quality=90):
+        y, cb, cr = _ref_planes(rgb)
+        h, w = rgb.shape[:2]
+        data = rk.encode_jpeg_420(y.tobytes(), cb.tobytes(), cr.tobytes(),
+                                  w, h, quality)
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        with Image.open(io.BytesIO(data)) as im:
+            assert im.size == (w, h)
+            return np.asarray(im.convert("RGB"), np.float64), data
+
+    def test_smooth_scene_high_psnr(self):
+        h, w = 96, 128
+        yy, xx = np.mgrid[0:h, 0:w]
+        rgb = np.stack([xx / w * 255, yy / h * 255,
+                        (xx + yy) / (w + h) * 255], -1).astype(np.uint8)
+        dec, data = self._roundtrip(rgb, quality=90)
+        psnr = 10 * np.log10(255.0 ** 2 /
+                             np.mean((dec - rgb.astype(np.float64)) ** 2))
+        assert psnr > 40.0, psnr
+        # Optimal Huffman tables: must not be larger than PIL at the
+        # same quality + subsampling.
+        buf = io.BytesIO()
+        Image.fromarray(rgb).save(buf, format="JPEG", quality=90,
+                                  subsampling=2)
+        assert len(data) <= len(buf.getvalue())
+
+    def test_noise_and_extremes_decode(self, rng):
+        for fill in (0, 255):
+            rgb = np.full((16, 16, 3), fill, np.uint8)
+            dec, _ = self._roundtrip(rgb, quality=95)
+            assert np.abs(dec - fill).max() <= 3
+        rgb = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+        self._roundtrip(rgb, quality=50)  # worst case for the entropy coder
+
+    def test_non_mcu_aligned_dims(self, rng):
+        # 20x28: even (the op's requirement) but not multiples of 16.
+        rgb = rng.integers(0, 256, size=(20, 28, 3), dtype=np.uint8)
+        dec, _ = self._roundtrip(rgb)
+        assert dec.shape == (20, 28, 3)
+
+    def test_quality_ladder_monotone_size(self):
+        h, w = 64, 96
+        yy, xx = np.mgrid[0:h, 0:w]
+        rgb = np.stack([xx / w * 255, yy / h * 255,
+                        np.sin(xx / 5.0) * 100 + 120], -1).astype(np.uint8)
+        sizes = [len(self._roundtrip(rgb, quality=q)[1])
+                 for q in (30, 60, 90)]
+        assert sizes[0] < sizes[1] < sizes[2]
+
+    def test_bad_args_raise(self):
+        with pytest.raises(ValueError):
+            rk.encode_jpeg_420(b"", b"", b"", 8, 8, 90)
+        with pytest.raises(ValueError):
+            rk.encode_jpeg_420(b"\0" * 64, b"\0" * 16, b"\0" * 16,
+                               -1, 8, 90)

@@ -163,6 +163,69 @@ def test_batch_export_end_to_end(tmp_path, rng):
         assert (got == want).all()
 
 
+def test_jpeg_planes_path_matches_pil_path(tmp_path, rng):
+    """All-JPEG exports take the device YCbCr 4:2:0 + native encoder
+    path (1.5 B/px fetched instead of 4); pixels must stay close to
+    the PIL RGBA path (both are 8-bit JPEG pipelines — bitstreams
+    differ, images must not)."""
+    import pytest
+
+    from raweditor_tpu.native import get_rawkit
+
+    rk = get_rawkit()
+    if rk is None or not hasattr(rk, "encode_jpeg_420"):
+        pytest.skip("native JPEG encoder not built")
+    # Smooth scene, even dims (the planes-path requirement).
+    h, w = 32, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    mosaic = ((xx + yy) / (w + h) * 4095).astype(np.uint16)
+    path = tmp_path / "s.nef"
+    write_synthetic_raw(path, mosaic)
+
+    def job(name):
+        return [ExportJob(raw_path=str(path), out_path=str(tmp_path / name),
+                          params=EditParams(exposure=0.2))]
+
+    rep = run_batch_export(job("planes.jpg"), batch_size=1, quality=92)
+    assert rep.succeeded == 1
+    # Planes path fetches 1.5 B/px (Y + Cb/4 + Cr/4).
+    assert rep.fetch_bytes == h * w + 2 * (h // 2) * (w // 2)
+    # Force the PIL path by exporting PNG alongside (mixed run).
+    rep2 = run_batch_export(
+        job("pil.jpg") + [ExportJob(raw_path=str(path),
+                                    out_path=str(tmp_path / "x.png"))],
+        batch_size=1, quality=92)
+    assert rep2.succeeded == 2
+    a = np.asarray(Image.open(tmp_path / "planes.jpg").convert("RGB"),
+                   np.float64)
+    b = np.asarray(Image.open(tmp_path / "pil.jpg").convert("RGB"),
+                   np.float64)
+    rmse = float(np.sqrt(np.mean((a - b) ** 2)))
+    assert rmse < 3.0, rmse
+    assert float(np.abs(a - b).max()) <= 24.0  # isolated chroma edges
+
+
+def test_jpeg_planes_odd_dims_fall_back(tmp_path, rng):
+    """Odd-sized frames can't 2x2-subsample on device; the RGBA path
+    must kick in transparently."""
+    import pytest
+
+    from raweditor_tpu.native import get_rawkit
+
+    rk = get_rawkit()
+    if rk is None or not hasattr(rk, "encode_jpeg_420"):
+        pytest.skip("native JPEG encoder not built")
+    mosaic = rng.integers(0, 4096, size=(23, 31), dtype=np.uint16)
+    path = tmp_path / "odd.nef"
+    write_synthetic_raw(path, mosaic)
+    rep = run_batch_export(
+        [ExportJob(raw_path=str(path),
+                   out_path=str(tmp_path / "odd.jpg"))], batch_size=1)
+    assert rep.succeeded == 1
+    with Image.open(tmp_path / "odd.jpg") as im:
+        assert im.size == (31, 23)
+
+
 def test_batch_export_sharded_mesh(tmp_path, rng):
     from raweditor_tpu.parallel import batch_row_mesh
 
