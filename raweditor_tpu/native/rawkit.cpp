@@ -1387,33 +1387,54 @@ inline int jpeg_category(int v) {  // size class of a DC diff / AC coeff
   return s;
 }
 
-// Forward 8x8 DCT-II (separable, precomputed basis), output quantized
-// by the caller-provided reciprocal tables in zigzag order.
+// Forward 8x8 scaled DCT-II (Arai–Agui–Nakajima factorization: 5
+// multiplies + 29 adds per 1-D pass). The output is the true DCT
+// times aan[u]*aan[v]*8; that constant is folded into the caller's
+// quantization reciprocals (jpeg_aan_scale), so quantized
+// coefficients are exact — same contract as a plain matrix DCT.
 struct JpegDct {
-  float basis[8][8];  // basis[u][x] = c(u)/2 * cos((2x+1)u*pi/16)
-  JpegDct() {
-    for (int u = 0; u < 8; u++) {
-      double cu = u == 0 ? std::sqrt(0.5) : 1.0;
-      for (int x = 0; x < 8; x++)
-        basis[u][x] = float(0.5 * cu * std::cos((2 * x + 1) * u * M_PI / 16.0));
-    }
+  static inline void pass1d(float* d, int stride) {
+    float d0 = d[0], d1 = d[stride], d2 = d[2 * stride], d3 = d[3 * stride];
+    float d4 = d[4 * stride], d5 = d[5 * stride], d6 = d[6 * stride],
+          d7 = d[7 * stride];
+    float t0 = d0 + d7, t7 = d0 - d7;
+    float t1 = d1 + d6, t6 = d1 - d6;
+    float t2 = d2 + d5, t5 = d2 - d5;
+    float t3 = d3 + d4, t4 = d3 - d4;
+    float t10 = t0 + t3, t13 = t0 - t3;
+    float t11 = t1 + t2, t12 = t1 - t2;
+    d[0] = t10 + t11;
+    d[4 * stride] = t10 - t11;
+    float z1 = (t12 + t13) * 0.707106781f;
+    d[2 * stride] = t13 + z1;
+    d[6 * stride] = t13 - z1;
+    t10 = t4 + t5;
+    t11 = t5 + t6;
+    t12 = t6 + t7;
+    float z5 = (t10 - t12) * 0.382683433f;
+    float z2 = 0.541196100f * t10 + z5;
+    float z4 = 1.306562965f * t12 + z5;
+    float z3 = t11 * 0.707106781f;
+    float z11 = t7 + z3, z13 = t7 - z3;
+    d[5 * stride] = z13 + z2;
+    d[3 * stride] = z13 - z2;
+    d[stride] = z11 + z4;
+    d[7 * stride] = z11 - z4;
   }
   inline void forward(const float in[64], float out[64]) const {
-    float tmp[64];
-    for (int y = 0; y < 8; y++)       // rows
-      for (int u = 0; u < 8; u++) {
-        float s = 0.f;
-        for (int x = 0; x < 8; x++) s += in[y * 8 + x] * basis[u][x];
-        tmp[u * 8 + y] = s;           // transpose as we go
-      }
-    for (int u = 0; u < 8; u++)       // columns (now rows of tmp)
-      for (int v = 0; v < 8; v++) {
-        float s = 0.f;
-        for (int y = 0; y < 8; y++) s += tmp[u * 8 + y] * basis[v][y];
-        out[v * 8 + u] = s;
-      }
+    std::memcpy(out, in, 64 * sizeof(float));
+    for (int y = 0; y < 8; y++) pass1d(out + y * 8, 1);  // rows
+    for (int x = 0; x < 8; x++) pass1d(out + x, 8);      // columns
   }
 };
+
+// aan[u]*aan[v]*8 — the scaled-DCT magnitude the quantizer divides out.
+inline double jpeg_aan_scale(int natural_index) {
+  static const double aan[8] = {1.0,         1.387039845, 1.306562965,
+                                1.175875602, 1.0,         0.785694958,
+                                0.541196100, 0.275899379};
+  return aan[natural_index >> 3] * aan[natural_index & 7] * 8.0;
+}
 
 // Extract one 8x8 block (edge-replicated) from a plane, level-shifted.
 inline void jpeg_block(const uint8_t* plane, int64_t pw, int64_t ph,
@@ -1515,12 +1536,15 @@ std::vector<uint8_t> encode_jpeg_420_impl(const uint8_t* yp,
   }
   // Quant tables are stored/indexed in zigzag order per the spec; the
   // natural-order Annex K constants above are zigzag-reordered here.
+  // The quantizer reciprocals additionally divide out the AAN scaled-
+  // DCT magnitude of each coefficient's natural position.
   uint8_t qzig[2][64];
   float recip_zig[2][64];
   for (int t = 0; t < 2; t++)
     for (int i = 0; i < 64; i++) {
       qzig[t][i] = qtab[t][kJpegZigzag[i]];
-      recip_zig[t][i] = 1.0f / float(qzig[t][i]);
+      recip_zig[t][i] =
+          float(1.0 / (double(qzig[t][i]) * jpeg_aan_scale(kJpegZigzag[i])));
     }
 
   const int64_t mcux = (width + 15) / 16, mcuy = (height + 15) / 16;
