@@ -1658,13 +1658,70 @@ inline int crx_adapt_k(int k, uint32_t code) {
   return k > 15 ? 15 : k;
 }
 
+// Bulk-refill MSB-first reader for the CRX stream (no byte stuffing):
+// 64-bit accumulator, CLZ-driven unary scans. Reads past EOF yield
+// zero bits for get() (matching MsbReader/the Python reference), but
+// a unary zero-run crossing EOF raises — same contract as
+// raw/crx.py _RiceReader.zeros.
+struct CrxBits {
+  const uint8_t* d;
+  int64_t nbytes;
+  int64_t bytepos = 0;
+  uint64_t acc = 0;
+  int navail = 0;
+
+  inline int64_t bitpos() const { return bytepos * 8 - navail; }
+  inline void refill() {
+    while (navail <= 56) {
+      acc = (acc << 8) | (bytepos < nbytes ? d[bytepos] : 0);
+      bytepos++;
+      navail += 8;
+    }
+  }
+  inline uint32_t get(int k) {  // k <= 24
+    if (k == 0) return 0;
+    if (navail < k) refill();
+    navail -= k;
+    return uint32_t((acc >> navail) & ((1ull << k) - 1));
+  }
+  // Count zeros until a 1 (limit 41: returns 41 without consuming a
+  // 1). Throws when the scan would consume a zero bit past EOF.
+  inline int zeros41() {
+    const int64_t total_bits = nbytes * 8;
+    int count = 0;
+    for (;;) {
+      if (navail == 0) refill();
+      uint64_t window =
+          navail >= 64 ? acc : (acc & ((1ull << navail) - 1));
+      if (window == 0) {
+        int64_t can = 41 - count;
+        if (navail < can) can = navail;
+        int64_t real = total_bits - bitpos();
+        if (real < can) can = real;
+        if (can <= 0)
+          throw std::runtime_error("crx: bitstream exhausted in unary run");
+        navail -= int(can);
+        count += int(can);
+        if (count >= 41) return 41;
+        continue;
+      }
+      int lead = navail - 1 - (63 - __builtin_clzll(window));
+      if (count + lead >= 41) {  // limit hit inside the zero run
+        navail -= 41 - count;
+        return 41;
+      }
+      navail -= lead + 1;  // zeros + the terminating 1 (always real)
+      return count + lead;
+    }
+  }
+};
+
 void decode_crx_plane_impl(const uint8_t* data, int64_t len, uint16_t* out,
                            int64_t width, int64_t height, int n_bits,
                            int k_init) {
   if (width <= 0 || height <= 0) throw std::runtime_error("crx: empty plane");
   if (n_bits < 8 || n_bits > 16) throw std::runtime_error("crx: bad depth");
-  MsbReader rdr{data, len};
-  const int64_t total_bits = len * 8;
+  CrxBits rdr{data, len};
   int k = k_init;
   const int32_t mask = (1 << n_bits) - 1;
   const int32_t half = 1 << (n_bits - 1);
@@ -1684,13 +1741,7 @@ void decode_crx_plane_impl(const uint8_t* data, int64_t len, uint16_t* out,
         else if (nw <= mn) pred = mx;
         else pred = w + n - nw;
       }
-      int q = 0;
-      while (q < 41) {
-        if (rdr.bit >= total_bits)
-          throw std::runtime_error("crx: bitstream exhausted in unary run");
-        if (rdr.get1()) break;
-        q++;
-      }
+      int q = rdr.zeros41();
       uint32_t u = (q >= 41) ? rdr.get(21) : ((uint32_t(q) << k) | rdr.get(k));
       k = crx_adapt_k(k, u);
       int32_t err = int32_t(u >> 1) ^ -int32_t(u & 1);
