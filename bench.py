@@ -111,9 +111,19 @@ def main():
                                           gamma="srgb"),
             iters=32,
         )
+        # Polynomial sRGB lane (±1 LSB of the exact transfer after u8
+        # quantization, color.srgb_poly_encode) — the fast quality path.
+        pallas_accurate_poly_per_sec = timed_throughput(
+            lambda p: pallas_develop_rgba(mosaic, p, wb, real_cm,
+                                          demosaic="malvar",
+                                          gamma="srgb_poly"),
+            iters=32,
+        )
     except Exception:
         pallas_accurate_per_sec = 0.0
-    accurate_per_sec = max(xla_accurate_per_sec, pallas_accurate_per_sec)
+        pallas_accurate_poly_per_sec = 0.0
+    accurate_per_sec = max(xla_accurate_per_sec, pallas_accurate_per_sec,
+                           pallas_accurate_poly_per_sec)
 
     # --- 1280 px preview re-render latency (slider change → preview
     # ready on device), decomposed so the number is defensible on a
@@ -291,6 +301,8 @@ def main():
                     xla_accurate_per_sec, 2),
                 "pallas_accurate_develops_per_sec": round(
                     pallas_accurate_per_sec, 2),
+                "pallas_accurate_poly_develops_per_sec": round(
+                    pallas_accurate_poly_per_sec, 2),
                 "preview_p50_ms": round(p50, 2),
                 "preview_p95_ms": round(p95, 2),
                 "preview_device_p50_ms": round(device_p50, 3),

@@ -206,3 +206,103 @@ def test_arw2_block_golden_native():
     raw = np.frombuffer(rk.decode_arw2(_arw2_block() * 2, 32, 1),
                         np.uint16)
     np.testing.assert_array_equal(raw, _arw2_expected())
+
+
+# --- Pentax PEF: MakerNote-spec Huffman + vpred/hpred chain ---------------
+#
+# Spec (little-endian): u16 8 -> dep = (8+12)&15 = 4 categories; 12
+# skipped bytes; 12-bit-aligned prefixes for codes 0 (len1, cat0),
+# 10 (len2, cat1), 110 (len3, cat2), 111 (len3, cat3); length bytes.
+#
+# 2x4 @ 8bps. Diffs derived on paper from the prediction rules (cols
+# 0-1 chain vertically from zero vpred, later cols predict two left):
+#   (0,0) +5 -> cat3 '111'+raw 101     (0,1) +3 -> cat2 '110'+raw 11
+#   (0,2) +1 -> cat1 '10'+raw 1        (0,3) -1 -> cat1 '10'+raw 0
+#   (1,0) +4 -> '111'+100              (1,1) +6 -> '111'+110
+#   (1,2) +1 -> '10'+1                 (1,3) +1 -> '10'+1
+# Bit-serial: 111101 11011 101 100 111100 111110 101 101 -> F7 76 79 F5 A0
+
+_PEF_SPEC = (b"\x08\x00" + b"\x00" * 12
+             + b"\x00\x00" + b"\x00\x08" + b"\x00\x0c" + b"\x00\x0e"
+             + bytes([1, 2, 3, 3]))
+_PEF_STREAM = bytes.fromhex("f77679f5a0")
+_PEF_EXPECTED = np.array([[5, 3, 6, 2], [4, 6, 5, 7]], np.uint16)
+
+
+def test_pef_golden_python():
+    from raweditor_tpu.raw.pentax import decode_pentax
+
+    out = decode_pentax(_PEF_STREAM, 4, 2, 8, _PEF_SPEC)
+    np.testing.assert_array_equal(out, _PEF_EXPECTED)
+
+
+@pytest.mark.skipif(rk is None, reason="native ext not built")
+def test_pef_golden_native():
+    raw = np.frombuffer(
+        rk.decode_pentax(_PEF_STREAM, 4, 2, 8, _PEF_SPEC, 0), np.uint16
+    ).reshape(2, 4)
+    np.testing.assert_array_equal(raw, _PEF_EXPECTED)
+
+
+# --- Olympus ORF: unary + adaptive-carry scheme ---------------------------
+#
+# 2x2 mosaic, per-row/per-parity carry state all zero at each sample
+# (fresh row + fresh parity), so nbits = 4 throughout. Derived on
+# paper from the published scheme (3 sign/low bits, unary high,
+# nbits raw; value = pred + (diff<<2 | low), pred = 0 for row<2,col<2):
+#   (0,0) 300: low 0, diff 75  -> 000 00001 1011
+#   (0,1) 101: low 1, diff 25  -> 001 01    1001
+#   (1,0) 284: low 0, diff 71  -> 000 00001 0111
+#   (1,1)  97: low 1, diff 24  -> 001 01    1000
+# Serial -> 01 B2 C8 0B 96 00, after the 7 padding bytes.
+
+_ORF_STREAM = b"\x00" * 7 + bytes.fromhex("01b2c80b9600")
+_ORF_EXPECTED = np.array([[300, 101], [284, 97]], np.uint16)
+
+
+def test_orf_golden_python():
+    from raweditor_tpu.raw.olympus import decode_olympus
+
+    out = decode_olympus(_ORF_STREAM, 2, 2)
+    np.testing.assert_array_equal(out, _ORF_EXPECTED)
+
+
+@pytest.mark.skipif(rk is None, reason="native ext not built")
+def test_orf_golden_native():
+    raw = np.frombuffer(
+        rk.decode_olympus(_ORF_STREAM, 2, 2), np.uint16).reshape(2, 2)
+    np.testing.assert_array_equal(raw, _ORF_EXPECTED)
+
+
+# --- Canon CRX: MED + adaptive Golomb-Rice plane --------------------------
+#
+# A second decoder-only CRX fixture (tests/test_crx.py has the 2x2
+# one) exercising the k escape growth path: 1x4 plane, 8-bit, k=0.
+#   (0,0) pred 128 (half), value 200: err +72, u 144.
+#         k=0: unary 144 zeros would exceed the 41 escape -> 41 zeros
+#         + 21-bit literal 144. k adapts 0->2 (grow twice).
+#   (0,1) pred 200, value 199: err -1, u 1. k=2: q=0 -> '1' + '01'.
+#         k shrinks 2->1 (2*1 < 2^2).
+#   (0,2) pred 199, value 201: err +2, u 4. k=1: q=2 -> '001' + '0'.
+#         k stays 1 (4>>1 = 2, not > 2; 8 not < 2).
+#   (0,3) pred 201, value 201: err 0, u 0. k=1: q=0 -> '1' + '0'.
+# Serial: 41x'0', 0000000000000 10010000, 101, 0010, 10 + pad
+#   -> 00 00 00 00 00 00 02 42 94.
+
+_CRX_GOLDEN = bytes.fromhex("000000000000024294")  # 71 bits
+_CRX_EXPECTED = [[200, 199, 201, 201]]
+
+
+def test_crx_escape_golden_python():
+    from raweditor_tpu.raw.crx import _decode_plane
+
+    out = _decode_plane(_CRX_GOLDEN, 4, 1, 8, 0)
+    assert out.tolist() == _CRX_EXPECTED
+
+
+@pytest.mark.skipif(rk is None or not hasattr(rk, "decode_crx_plane"),
+                    reason="native CRX not built")
+def test_crx_escape_golden_native():
+    raw = np.frombuffer(
+        rk.decode_crx_plane(_CRX_GOLDEN, 4, 1, 8, 0), np.uint16)
+    assert raw.tolist() == _CRX_EXPECTED[0]
