@@ -277,7 +277,8 @@ def main():
         # transport rate and the transport-excluded pipeline rate so
         # both truths are on record (docs/performance.md has the
         # decomposition).
-        e2e_nonfetch = e2e_report.seconds - e2e_report.fetch_seconds
+        e2e_nonfetch = (e2e_report.seconds - e2e_report.fetch_seconds
+                        - e2e_report.upload_seconds)
         e2e_excl_fetch = (e2e_report.succeeded / e2e_nonfetch
                           if e2e_nonfetch > 0 else 0.0)
     finally:
@@ -318,6 +319,8 @@ def main():
                 "e2e_device_seconds": round(e2e_report.device_seconds, 2),
                 "e2e_fetch_seconds": round(e2e_report.fetch_seconds, 2),
                 "e2e_fetch_mb": round(e2e_report.fetch_bytes / 1e6, 1),
+                "e2e_upload_seconds": round(e2e_report.upload_seconds, 2),
+                "e2e_upload_mb": round(e2e_report.upload_bytes / 1e6, 1),
                 "e2e_link_mbps": round(e2e_report.fetch_mbps, 1),
                 "e2e_excl_fetch_develops_per_sec": round(e2e_excl_fetch, 2),
                 "e2e_encode_seconds": round(e2e_report.encode_seconds, 2),
