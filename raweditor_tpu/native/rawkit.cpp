@@ -1753,6 +1753,22 @@ void decode_crx_plane_impl(const uint8_t* data, int64_t len, uint16_t* out,
   }
 }
 
+// Wavelet-subband variant (raw/crx.py _decode_band): no spatial
+// prediction, signed i32 coefficients.
+void decode_crx_band_impl(const uint8_t* data, int64_t len, int32_t* out,
+                          int64_t width, int64_t height, int k_init) {
+  if (width <= 0 || height <= 0) throw std::runtime_error("crx: empty band");
+  CrxBits rdr{data, len};
+  int k = k_init;
+  const int64_t n = width * height;
+  for (int64_t i = 0; i < n; i++) {
+    int q = rdr.zeros41();
+    uint32_t u = (q >= 41) ? rdr.get(21) : ((uint32_t(q) << k) | rdr.get(k));
+    k = crx_adapt_k(k, u);
+    out[i] = int32_t(u >> 1) ^ -int32_t(u & 1);
+  }
+}
+
 struct SrwBits {
   const uint8_t* d;
   int64_t n;
@@ -2215,6 +2231,37 @@ static PyObject* py_encode_rw2(PyObject*, PyObject* args) {
   return encode_binding<encode_rw2_impl>(args);
 }
 
+static PyObject* py_decode_crx_band(PyObject*, PyObject* args) {
+  Py_buffer buf;
+  int width, height, k_init;
+  if (!PyArg_ParseTuple(args, "y*iii", &buf, &width, &height, &k_init))
+    return nullptr;
+  std::string err;
+  PyObject* out = nullptr;
+  if (width <= 0 || height <= 0 || k_init < 0 || k_init > 15) {
+    err = "bad dimensions";
+  } else {
+    out = PyBytes_FromStringAndSize(nullptr, int64_t(width) * height * 4);
+    if (!out) { PyBuffer_Release(&buf); return nullptr; }
+    int32_t* dst = reinterpret_cast<int32_t*>(PyBytes_AS_STRING(out));
+    Py_BEGIN_ALLOW_THREADS
+    try {
+      decode_crx_band_impl(static_cast<const uint8_t*>(buf.buf), buf.len,
+                           dst, width, height, k_init);
+    } catch (const std::exception& e) {
+      err = e.what();
+    }
+    Py_END_ALLOW_THREADS
+  }
+  PyBuffer_Release(&buf);
+  if (!err.empty()) {
+    Py_XDECREF(out);
+    PyErr_SetString(PyExc_ValueError, err.c_str());
+    return nullptr;
+  }
+  return out;
+}
+
 static PyObject* py_encode_jpeg_420(PyObject*, PyObject* args) {
   Py_buffer y, cb, cr;
   int width, height, quality;
@@ -2402,6 +2449,8 @@ static PyMethodDef RawkitMethods[] = {
      "-> u16 bytes"},
     {"decode_crx_plane", py_decode_crx_plane, METH_VARARGS,
      "decode_crx_plane(data, width, height, n_bits, k_init) -> u16 bytes"},
+    {"decode_crx_band", py_decode_crx_band, METH_VARARGS,
+     "decode_crx_band(data, width, height, k_init) -> i32 bytes"},
     {"encode_jpeg_420", py_encode_jpeg_420, METH_VARARGS,
      "encode_jpeg_420(y, cb, cr, width, height, quality) -> JFIF bytes"},
     {"huffman_pack", py_huffman_pack, METH_VARARGS,

@@ -360,7 +360,8 @@ def write_synthetic_cr3(path, *, make: str = "Canon",
                         codec: str = "CanonCR3_001/01.09.00/01.00.00",
                         mdat: bytes = b"\0" * 64,
                         mosaic=None, n_bits: int = 14,
-                        tile_cols: int = 1, tile_rows: int = 1) -> bytes:
+                        tile_cols: int = 1, tile_rows: int = 1,
+                        levels: int = 0, q_detail: int = 1) -> bytes:
     """Structurally-faithful CR3: ftyp(crx) + moov holding the Canon
     metadata uuid (CNCV, CMT1, CMT2, THMB) and — when ``mosaic`` is
     given — a CRAW track (stsd/CMP1 + stsz + co64) whose CRX-encoded
@@ -370,8 +371,9 @@ def write_synthetic_cr3(path, *, make: str = "Canon",
 
         height, width = mosaic.shape
         cmp1 = make_cmp1(width, height, n_bits=n_bits,
-                         tile_cols=tile_cols, tile_rows=tile_rows)
-        mdat = encode_crx(mosaic, cmp1)
+                         tile_cols=tile_cols, tile_rows=tile_rows,
+                         levels=levels)
+        mdat = encode_crx(mosaic, cmp1, q_detail=q_detail)
     cmt1 = _mini_tiff([(0x010F, 2, make), (0x0110, 2, model),
                        (0x0112, 3, 1)])
     cmt2 = _mini_tiff([(0xA002, 4, width), (0xA003, 4, height)])

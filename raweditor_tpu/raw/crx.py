@@ -103,7 +103,10 @@ class Cmp1:
 
 
 def make_cmp1(width: int, height: int, *, n_bits: int = 14,
-              tile_cols: int = 1, tile_rows: int = 1) -> Cmp1:
+              tile_cols: int = 1, tile_rows: int = 1,
+              levels: int = 0) -> Cmp1:
+    if not 0 <= levels <= 3:
+        raise ValueError("imageLevels must be 0..3")
     c = Cmp1.__new__(Cmp1)
     c.version = 0x0100
     c.f_width, c.f_height = width, height
@@ -115,7 +118,7 @@ def make_cmp1(width: int, height: int, *, n_bits: int = 14,
     c.n_planes = 4
     c.cfa_layout = 0  # RGGB
     c.enc_type = 0
-    c.image_levels = 0
+    c.image_levels = levels
     return c
 
 
@@ -231,6 +234,140 @@ def _encode_plane(plane: np.ndarray, n_bits: int,
     return wtr.flush()
 
 
+def _decode_band(data: bytes, width: int, height: int,
+                 k_init: int) -> np.ndarray:
+    """Decode one wavelet-subband payload to (height, width) i32:
+    plain adaptive Golomb-Rice over zigzag-mapped signed coefficients
+    (no spatial prediction — subbands are zero-mean/zero-heavy)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("crx: empty band")
+    from raweditor_tpu.native import get_rawkit
+
+    rk = get_rawkit()
+    if rk is not None and hasattr(rk, "decode_crx_band"):
+        raw = rk.decode_crx_band(data, width, height, k_init)
+        return np.frombuffer(raw, np.int32).reshape(height, width).copy()
+    rdr = _RiceReader(data)
+    out = np.empty((height, width), np.int32)
+    k = k_init
+    for row in range(height):
+        for col in range(width):
+            q = rdr.zeros(ESC_ZEROS)
+            if q >= ESC_ZEROS:
+                u = rdr.get(ESC_BITS)
+            else:
+                u = (q << k) | rdr.get(k)
+            k = _adapt_k(k, u)
+            out[row, col] = (u >> 1) ^ -(u & 1)
+    return out
+
+
+def _encode_band(band: np.ndarray, k_init: int) -> bytes:
+    """Exact inverse of :func:`_decode_band`."""
+    band = np.asarray(band, np.int64)
+    wtr = MsbWriter()
+    k = k_init
+    for v in band.reshape(-1):
+        v = int(v)
+        u = (v << 1) ^ (v >> 63)
+        q = u >> k
+        if q >= ESC_ZEROS:
+            if u >= (1 << ESC_BITS):
+                raise ValueError("coefficient exceeds the escape field")
+            wtr.put(0, ESC_ZEROS)
+            wtr.put(u, ESC_BITS)
+        else:
+            wtr.put(1, q + 1)
+            wtr.put(u, k)
+        k = _adapt_k(k, u)
+    return wtr.flush()
+
+
+# --- LeGall 5/3 integer lifting (the C-RAW wavelet) --------------------------
+#
+# Reversible JPEG2000-style lifting with symmetric extension:
+#   d[i] = x[2i+1] - floor((x[2i] + x[2i+2]) / 2)
+#   s[i] = x[2i]   + floor((d[i-1] + d[i] + 2) / 4)
+# Vectorized along an axis; exact integer round-trip (tested).
+
+
+def _neighbors(even: np.ndarray, d: np.ndarray):
+    """The lifting neighbor vectors, symmetric-extended:
+    right[i] = x[2i+2] for i < len(d); dm1[i] = d[i-1], dcur[i] = d[i]
+    for i < len(even), with d[-1] := d[0] and d[no] := d[no-1]."""
+    ne, no = even.shape[-1], d.shape[-1]
+    if ne == no:  # even length: x[n] mirrors to x[n-2] = even[-1]
+        right = np.concatenate([even[..., 1:], even[..., -1:]], axis=-1)
+    else:  # odd length: every odd sample has a real right neighbor
+        right = even[..., 1:]
+    dm1 = np.concatenate([d[..., :1], d], axis=-1)[..., :ne]
+    dcur = (d if no == ne
+            else np.concatenate([d, d[..., -1:]], axis=-1))
+    return right, dm1, dcur
+
+
+def _lift53_axis(a: np.ndarray, axis: int):
+    a = np.swapaxes(np.asarray(a, np.int64), axis, -1)
+    if a.shape[-1] == 1:
+        return (np.swapaxes(a, axis, -1),
+                np.swapaxes(a[..., :0], axis, -1))
+    even = a[..., 0::2]
+    odd = a[..., 1::2]
+    no = odd.shape[-1]
+    right = _neighbors(even, odd)[0]  # only needs the geometry
+    d = odd - ((even[..., :no] + right) >> 1)
+    _, dm1, dcur = _neighbors(even, d)
+    s = even + ((dm1 + dcur + 2) >> 2)
+    return np.swapaxes(s, axis, -1), np.swapaxes(d, axis, -1)
+
+
+def _unlift53_axis(s: np.ndarray, d: np.ndarray, axis: int) -> np.ndarray:
+    s = np.swapaxes(np.asarray(s, np.int64), axis, -1)
+    d = np.swapaxes(np.asarray(d, np.int64), axis, -1)
+    ne, no = s.shape[-1], d.shape[-1]
+    if no == 0:
+        return np.swapaxes(s, axis, -1)
+    _, dm1, dcur = _neighbors(s, d)
+    even = s - ((dm1 + dcur + 2) >> 2)
+    right = _neighbors(even, d)[0]
+    odd = d + ((even[..., :no] + right) >> 1)
+    out = np.empty(s.shape[:-1] + (ne + no,), np.int64)
+    out[..., 0::2] = even
+    out[..., 1::2] = odd
+    return np.swapaxes(out, axis, -1)
+
+
+def dwt53_forward(a: np.ndarray):
+    """One 2-D level: returns (LL, HL, LH, HH) int64 arrays."""
+    lo, hi = _lift53_axis(a, axis=1)       # along width
+    ll, lh = _lift53_axis(lo, axis=0)      # along height
+    hl, hh = _lift53_axis(hi, axis=0)
+    return ll, hl, lh, hh
+
+
+def dwt53_inverse(ll, hl, lh, hh) -> np.ndarray:
+    lo = _unlift53_axis(ll, lh, axis=0)
+    hi = _unlift53_axis(hl, hh, axis=0)
+    return _unlift53_axis(lo, hi, axis=1)
+
+
+def _band_shapes(h: int, w: int, levels: int):
+    """Stream-ordered band shapes: LL_L, then per level L..1 the
+    HL/LH/HH detail shapes."""
+    dims = []
+    ch, cw = h, w
+    detail = []
+    for _ in range(levels):
+        sh, dh = (ch + 1) // 2, ch // 2
+        sw, dw = (cw + 1) // 2, cw // 2
+        detail.append([(sh, dw), (dh, sw), (dh, dw)])  # HL, LH, HH
+        ch, cw = sh, sw
+    dims.append((ch, cw))  # LL of the coarsest level
+    for lvl in reversed(detail):
+        dims.extend(lvl)
+    return dims
+
+
 # --- marker-header chain ------------------------------------------------------
 
 
@@ -264,11 +401,14 @@ class _HdrReader:
 
 def decode_crx(payload: bytes, cmp1: Cmp1) -> np.ndarray:
     """Decode a CRX sensor sample to the full (f_height, f_width) u16
-    Bayer mosaic."""
-    if cmp1.enc_type != 0 or cmp1.image_levels != 0:
+    Bayer mosaic. encType 0 with imageLevels 0 is the lossless
+    predictive path; imageLevels 1..3 is the C-RAW wavelet path
+    (LeGall 5/3 subbands, per-band quantizers from the band headers)."""
+    if cmp1.enc_type != 0 or cmp1.image_levels > 3:
         raise ValueError(
-            f"crx: only lossless (encType 0, levels 0) is supported, "
-            f"got encType {cmp1.enc_type}, levels {cmp1.image_levels}")
+            f"crx: only lossless/C-RAW (encType 0, levels <= 3) is "
+            f"supported, got encType {cmp1.enc_type}, levels "
+            f"{cmp1.image_levels}")
     if cmp1.n_planes != 4 or cmp1.cfa_layout != 0:
         raise ValueError(
             f"crx: unsupported plane layout ({cmp1.n_planes} planes, "
@@ -283,6 +423,9 @@ def decode_crx(payload: bytes, cmp1: Cmp1) -> np.ndarray:
     if cmp1.f_width * cmp1.f_height > 8 * max(len(payload), 1):
         raise ValueError("crx: dimensions exceed the payload bound")
 
+    levels = cmp1.image_levels
+    n_bands = 1 if levels == 0 else 3 * levels + 1
+
     # Pass 1: the header chain (all tile headers precede all payloads,
     # and within a tile the plane/band headers precede the plane data).
     hdr = _HdrReader(payload)
@@ -292,12 +435,16 @@ def decode_crx(payload: bytes, cmp1: Cmp1) -> np.ndarray:
         planes = []
         for _p in range(cmp1.n_planes):
             plane_size, _paux = hdr.next(MKR_PLANE)
-            band_size, baux = hdr.next(MKR_BAND)
-            if band_size > plane_size:
-                raise ValueError("crx: band larger than its plane")
-            k_init = (baux >> 24) & 0xF
-            planes.append((band_size, k_init))
-        if sum(p[0] for p in planes) > tile_size:
+            bands = []
+            for _b in range(n_bands):
+                band_size, baux = hdr.next(MKR_BAND)
+                k_init = (baux >> 24) & 0xF
+                qstep = (baux >> 8) & 0xFFFF
+                bands.append((band_size, k_init, max(qstep, 1)))
+            if sum(b[0] for b in bands) > plane_size:
+                raise ValueError("crx: bands larger than their plane")
+            planes.append(bands)
+        if sum(b[0] for bands in planes for b in bands) > tile_size:
             raise ValueError("crx: planes overflow their tile")
         tiles.append((tile_size, planes))
 
@@ -307,6 +454,7 @@ def decode_crx(payload: bytes, cmp1: Cmp1) -> np.ndarray:
 
     rk = get_rawkit()
     native = rk is not None and hasattr(rk, "decode_crx_plane")
+    mask = (1 << cmp1.n_bits) - 1
     for t, (tile_size, planes) in enumerate(tiles):
         ty, tx = divmod(t, tiles_x)
         y0 = ty * cmp1.tile_height
@@ -315,23 +463,47 @@ def decode_crx(payload: bytes, cmp1: Cmp1) -> np.ndarray:
         tw = min(cmp1.tile_width, cmp1.f_width - x0)
         if th <= 0 or tw <= 0 or th % 2 or tw % 2:
             raise ValueError("crx: bad tile geometry")
-        for p, (band_size, k_init) in enumerate(planes):
-            if pos + band_size > len(payload):
-                raise ValueError("crx: plane payload truncated")
-            if (th // 2) * (tw // 2) > 8 * band_size + 64:
-                raise ValueError("crx: plane smaller than 1 bit/sample")
-            blob = payload[pos:pos + band_size]
-            if native:
-                raw = rk.decode_crx_plane(blob, tw // 2, th // 2,
+        ph, pw = th // 2, tw // 2
+        shapes = _band_shapes(ph, pw, levels) if levels else [(ph, pw)]
+        for p, bands in enumerate(planes):
+            if levels == 0:
+                band_size, k_init, _q = bands[0]
+                if pos + band_size > len(payload):
+                    raise ValueError("crx: plane payload truncated")
+                if ph * pw > 8 * band_size + 64:
+                    raise ValueError(
+                        "crx: plane smaller than 1 bit/sample")
+                blob = payload[pos:pos + band_size]
+                if native:
+                    raw = rk.decode_crx_plane(blob, pw, ph,
+                                              cmp1.n_bits, k_init)
+                    plane = np.frombuffer(raw, np.uint16).reshape(ph, pw)
+                else:
+                    plane = _decode_plane(blob, pw, ph,
                                           cmp1.n_bits, k_init)
-                plane = np.frombuffer(raw, np.uint16).reshape(
-                    th // 2, tw // 2)
+                pos += band_size
             else:
-                plane = _decode_plane(blob, tw // 2, th // 2,
-                                      cmp1.n_bits, k_init)
+                coeffs = []
+                for (band_size, k_init, qstep), (bh, bw) in zip(
+                        bands, shapes):
+                    if pos + band_size > len(payload):
+                        raise ValueError("crx: band payload truncated")
+                    if bh * bw > 8 * band_size + 64:
+                        raise ValueError(
+                            "crx: band smaller than 1 bit/sample")
+                    band = _decode_band(payload[pos:pos + band_size],
+                                        bw, bh, k_init)
+                    coeffs.append(band.astype(np.int64) * qstep)
+                    pos += band_size
+                ll = coeffs[0]
+                idx = 1
+                for _lvl in range(levels):
+                    hl, lh, hh = coeffs[idx:idx + 3]
+                    idx += 3
+                    ll = dwt53_inverse(ll, hl, lh, hh)
+                plane = np.clip(ll, 0, mask).astype(np.uint16)
             dy, dx = divmod(p, 2)  # cfaLayout 0: row-major 2x2
             mosaic[y0 + dy:y0 + th:2, x0 + dx:x0 + tw:2] = plane
-            pos += band_size
     return mosaic
 
 
@@ -367,12 +539,18 @@ def decode_cr3(data: bytes, source_path: str = ""):
     )
 
 
-def encode_crx(mosaic: np.ndarray, cmp1: Cmp1,
-               k_init: int = 3) -> bytes:
-    """Exact inverse of :func:`decode_crx` (lossless round-trip)."""
+def encode_crx(mosaic: np.ndarray, cmp1: Cmp1, k_init: int = 3,
+               q_detail: int = 1) -> bytes:
+    """Inverse of :func:`decode_crx`. Lossless for imageLevels 0, and
+    for imageLevels > 0 with ``q_detail=1`` (the 5/3 lifting is
+    reversible); larger ``q_detail`` quantizes the detail subbands —
+    the C-RAW rate/quality trade. The LL band is never quantized."""
     mosaic = np.asarray(mosaic, np.uint16)
     if mosaic.shape != (cmp1.f_height, cmp1.f_width):
         raise ValueError("mosaic does not match CMP1 dimensions")
+    if not 1 <= q_detail <= 0xFFFF:
+        raise ValueError("q_detail out of range")
+    levels = cmp1.image_levels
     tiles_x = -(-cmp1.f_width // cmp1.tile_width)
     tiles_y = -(-cmp1.f_height // cmp1.tile_height)
     headers: List[bytes] = []
@@ -388,11 +566,39 @@ def encode_crx(mosaic: np.ndarray, cmp1: Cmp1,
         for p in range(cmp1.n_planes):
             dy, dx = divmod(p, 2)
             plane = mosaic[y0 + dy:y0 + th:2, x0 + dx:x0 + tw:2]
-            blob = _encode_plane(plane, cmp1.n_bits, k_init)
-            tile_hdrs.append(_marker(MKR_PLANE, len(blob), p << 28))
-            tile_hdrs.append(_marker(MKR_BAND, len(blob),
-                                     (k_init & 0xF) << 24))
-            tile_parts.append(blob)
+            if levels == 0:
+                blob = _encode_plane(plane, cmp1.n_bits, k_init)
+                tile_hdrs.append(_marker(MKR_PLANE, len(blob), p << 28))
+                tile_hdrs.append(_marker(MKR_BAND, len(blob),
+                                         (k_init & 0xF) << 24))
+                tile_parts.append(blob)
+            else:
+                ll = plane.astype(np.int64)
+                details = []
+                for _ in range(levels):
+                    ll, hl, lh, hh = dwt53_forward(ll)
+                    details.append((hl, lh, hh))
+                bands = [(ll, 1)]
+                for hl, lh, hh in reversed(details):
+                    bands += [(hl, q_detail), (lh, q_detail),
+                              (hh, q_detail)]
+                blobs = []
+                band_hdrs = []
+                for band, q in bands:
+                    if q > 1:
+                        # Mid-tread quantizer, round-half-away.
+                        band = np.sign(band) * (
+                            (np.abs(band) + q // 2) // q)
+                    blob = _encode_band(band, k_init)
+                    band_hdrs.append(_marker(
+                        MKR_BAND, len(blob),
+                        ((k_init & 0xF) << 24) | ((q & 0xFFFF) << 8)))
+                    blobs.append(blob)
+                plane_payload = b"".join(blobs)
+                tile_hdrs.append(_marker(MKR_PLANE, len(plane_payload),
+                                         p << 28))
+                tile_hdrs.extend(band_hdrs)
+                tile_parts.append(plane_payload)
         tile_payload = b"".join(tile_parts)
         headers.append(_marker(MKR_TILE, len(tile_payload), t << 24))
         headers.extend(tile_hdrs)

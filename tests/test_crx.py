@@ -126,16 +126,71 @@ def test_cmp1_rejects_nonsense():
             crx.Cmp1(bytes(blob))
 
 
-def test_lossy_modes_rejected(rng):
+def test_unsupported_modes_rejected(rng):
     c = crx.make_cmp1(16, 8)
     payload = crx.encode_crx(np.zeros((8, 16), np.uint16), c)
     c.enc_type = 3
     with pytest.raises(ValueError, match="lossless"):
         crx.decode_crx(payload, c)
     c.enc_type = 0
-    c.image_levels = 3
-    with pytest.raises(ValueError, match="lossless"):
+    c.image_levels = 4
+    with pytest.raises(ValueError, match="levels"):
         crx.decode_crx(payload, c)
+
+
+# --- C-RAW (wavelet) path ----------------------------------------------------
+
+
+def test_dwt53_round_trip_exact(rng):
+    for shape in [(8, 8), (7, 9), (1, 5), (5, 1), (16, 12), (2, 2)]:
+        a = rng.integers(-20000, 20000, size=shape).astype(np.int64)
+        back = crx.dwt53_inverse(*crx.dwt53_forward(a))
+        assert np.array_equal(back, a), shape
+
+
+@pytest.mark.parametrize("levels", [1, 2, 3])
+def test_craw_q1_is_lossless(rng, levels):
+    """5/3 lifting is reversible: levels > 0 with q_detail=1 must
+    round-trip bit-exactly — pins the lifting, the band codec, and the
+    multi-band marker chain all at once."""
+    m = _scene(rng, 24, 32, 14)
+    c = crx.make_cmp1(32, 24, levels=levels)
+    assert np.array_equal(
+        crx.decode_crx(crx.encode_crx(m, c, q_detail=1), c), m)
+
+
+def test_craw_lossy_close_and_idempotent(rng):
+    m = _scene(rng, 32, 48, 14)
+    c = crx.make_cmp1(48, 32, levels=2)
+    payload = crx.encode_crx(m, c, q_detail=16)
+    out = crx.decode_crx(payload, c)
+    err = np.abs(out.astype(int) - m.astype(int))
+    assert err.max() < 64  # q/2-scale error through 2 levels
+    # Re-encoding the decode must be a fixed point (like the ARW2
+    # lossy contract).
+    out2 = crx.decode_crx(crx.encode_crx(out, c, q_detail=16), c)
+    assert np.array_equal(out2, out)
+    # And it actually compresses vs the lossless path.
+    assert len(payload) < len(crx.encode_crx(m, crx.make_cmp1(48, 32)))
+
+
+def test_craw_cr3_container_round_trip(tmp_path, rng):
+    m = _scene(rng, 32, 48, 14)
+    path = tmp_path / "craw.cr3"
+    write_synthetic_cr3(path, mosaic=m, levels=2, q_detail=8,
+                        model="EOS R10 CRAW")
+    img = decode_raw(path)
+    assert img.camera_model == "EOS R10 CRAW"
+    assert np.abs(img.mosaic.astype(int) - m.astype(int)).max() < 32
+
+
+def test_craw_band_native_parity(rng):
+    if rk is None or not hasattr(rk, "decode_crx_band"):
+        pytest.skip("native CRX band decoder not built")
+    band = rng.integers(-5000, 5000, size=(16, 24)).astype(np.int32)
+    blob = crx._encode_band(band, 2)
+    raw = np.frombuffer(rk.decode_crx_band(blob, 24, 16, 2), np.int32)
+    assert np.array_equal(raw.reshape(16, 24), band)
 
 
 def test_marker_chain_errors():

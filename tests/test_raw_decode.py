@@ -387,6 +387,8 @@ def test_decoder_fuzz_error_contract(rng):
 
     bases.append(write_synthetic_cr3(None))
     bases.append(write_synthetic_cr3(None, mosaic=m16, tile_cols=2))
+    bases.append(write_synthetic_cr3(None, mosaic=m16, levels=2,
+                                     q_detail=8))
     bases.append(write_synthetic_raw(None, m16, compression="srw1",
                                      srw_wb=True))
     for base in bases:
