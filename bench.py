@@ -111,8 +111,13 @@ def main():
                                           gamma="srgb"),
             iters=32,
         )
-        # Polynomial sRGB lane (±1 LSB of the exact transfer after u8
-        # quantization, color.srgb_poly_encode) — the fast quality path.
+    except Exception:
+        pallas_accurate_per_sec = 0.0
+    # Polynomial sRGB lane (±1 LSB of the exact transfer after u8
+    # quantization, color.srgb_poly_encode) — the fast quality path.
+    # Separate try: a failure here must not discard the exact-sRGB
+    # measurement above.
+    try:
         pallas_accurate_poly_per_sec = timed_throughput(
             lambda p: pallas_develop_rgba(mosaic, p, wb, real_cm,
                                           demosaic="malvar",
@@ -120,7 +125,6 @@ def main():
             iters=32,
         )
     except Exception:
-        pallas_accurate_per_sec = 0.0
         pallas_accurate_poly_per_sec = 0.0
     accurate_per_sec = max(xla_accurate_per_sec, pallas_accurate_per_sec,
                            pallas_accurate_poly_per_sec)

@@ -178,6 +178,33 @@ def srgb_poly_encode(x):
                     acc)
 
 
+# Transfer-name routing shared by the engine, the batch exporter, and
+# the Pallas kernel front end — one source of truth so a new transfer
+# cannot be wired into one path and silently misroute in another.
+# Maps a transfer name to the Pallas kernel's gamma lane ("pow" = the
+# exact-1/2.2 default lane).
+PALLAS_GAMMA_BY_TRANSFER = {
+    "gamma22": "pow",
+    "gamma22_poly": "poly",
+    "srgb": "srgb",
+    "srgb_poly": "srgb_poly",
+}
+# The polynomial transfers are fit to u8 accuracy (~1e-4 absolute ≈ 6
+# LSBs of u16) — 16-bit outputs must demote them to the exact curve.
+TRANSFER16_BY_TRANSFER = {
+    "gamma22_poly": "gamma22",
+    "srgb_poly": "srgb",
+}
+
+
+def pallas_gamma_for(transfer: str) -> str:
+    return PALLAS_GAMMA_BY_TRANSFER.get(transfer, "pow")
+
+
+def transfer16_for(transfer: str) -> str:
+    return TRANSFER16_BY_TRANSFER.get(transfer, transfer)
+
+
 def srgb_encode(x):
     """IEC 61966-2-1 forward transfer (linear → sRGB)."""
     import jax.numpy as jnp

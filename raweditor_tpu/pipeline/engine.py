@@ -22,7 +22,10 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from raweditor_tpu.color import cam_to_srgb_matrix
+from raweditor_tpu.color import (PALLAS_GAMMA_BY_TRANSFER,
+                                 cam_to_srgb_matrix,
+                                 pallas_gamma_for,
+                                 transfer16_for)
 from raweditor_tpu.ops.develop import (
     develop,
     develop_histogram,
@@ -280,8 +283,7 @@ class DevelopEngine:
             from raweditor_tpu.ops.develop import develop_xtrans
 
             if (self.use_pallas and self.demosaic_method == "nearest"
-                    and self.transfer in ("gamma22", "gamma22_poly",
-                                          "srgb", "srgb_poly")):
+                    and self.transfer in PALLAS_GAMMA_BY_TRANSFER):
                 from raweditor_tpu.ops.pallas_develop import (
                     pallas_develop_rgba,
                 )
@@ -293,9 +295,7 @@ class DevelopEngine:
                         black_level=self.black_level,
                         matrix_transpose=self.matrix_transpose,
                         pattern=self.xtrans_pattern,
-                        gamma={"gamma22_poly": "poly", "srgb": "srgb",
-                               "srgb_poly": "srgb_poly"}.get(
-                            self.transfer, "pow"),
+                        gamma=pallas_gamma_for(self.transfer),
                     )
                 except ValueError:
                     pass  # unsupported shape → XLA path
@@ -312,8 +312,7 @@ class DevelopEngine:
         if (self.use_pallas
                 and self.demosaic_method in ("nearest", "bilinear",
                                              "malvar")
-                and self.transfer in ("gamma22", "gamma22_poly", "srgb",
-                                      "srgb_poly")):
+                and self.transfer in PALLAS_GAMMA_BY_TRANSFER):
             from raweditor_tpu.ops.pallas_develop import pallas_develop_rgba
 
             try:
@@ -323,9 +322,7 @@ class DevelopEngine:
                     black_level=self.black_level,
                     matrix_transpose=self.matrix_transpose,
                     cfa_phase=self.cfa_phase,
-                    gamma={"gamma22_poly": "poly", "srgb": "srgb",
-                           "srgb_poly": "srgb_poly"}.get(
-                        self.transfer, "pow"),
+                    gamma=pallas_gamma_for(self.transfer),
                     demosaic=self.demosaic_method,
                 )
             except ValueError:
@@ -374,9 +371,7 @@ class DevelopEngine:
         from raweditor_tpu.ops.develop import develop_u16
         from raweditor_tpu.raw.tiff_out import write_tiff16
 
-        transfer = {"gamma22_poly": "gamma22",
-                    "srgb_poly": "srgb"}.get(self.transfer,
-                                             self.transfer)
+        transfer = transfer16_for(self.transfer)
 
         if self.linear:
             from raweditor_tpu.ops.develop import develop_linear

@@ -153,34 +153,43 @@ def _decode_job(job: ExportJob, mode: str, stage: bool = False):
     return decoded, time.perf_counter() - t0
 
 
+def _atomic_write(out_path: str, write_fn) -> None:
+    """Write via a temp name + rename so an interrupted run never
+    leaves a partial file that ``skip_existing`` would later trust.
+    ``write_fn(tmp_path)`` produces the file."""
+    import threading
+
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    tmp_path = (f"{out_path}.{os.getpid()}."
+                f"{threading.get_ident()}.tmp")
+    try:
+        write_fn(tmp_path)
+        os.replace(tmp_path, out_path)
+    finally:
+        if os.path.exists(tmp_path):
+            os.unlink(tmp_path)
+
+
 def _encode_one(out_path: str, rgba_words: np.ndarray, quality: int) -> None:
     """Encode a (H, W) u32 packed-RGBA image. The RGBA→RGB strip for
     JPEG happens here on the host, exactly like the reference
-    (reference: main.rs:1778-1781). Writes to a temp name and renames on
-    success so an interrupted run never leaves a partial file that
-    ``skip_existing`` would later trust."""
+    (reference: main.rs:1778-1781)."""
     from PIL import Image
 
-    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     h, w = rgba_words.shape
     img = Image.frombuffer(
         "RGBA", (w, h), np.ascontiguousarray(rgba_words).tobytes(),
         "raw", "RGBA", 0, 1,
     )
-    import threading
 
-    tmp_path = (f"{out_path}.{os.getpid()}."
-                f"{threading.get_ident()}.tmp")
-    try:
+    def write(tmp_path):
         if out_path.lower().endswith(".png"):
             img.save(tmp_path, format="PNG")
         else:
             img.convert("RGB").save(tmp_path, format="JPEG",
                                     quality=quality)
-        os.replace(tmp_path, out_path)
-    finally:
-        if os.path.exists(tmp_path):
-            os.unlink(tmp_path)
+
+    _atomic_write(out_path, write)
 
 
 _YCBCR420_JIT = None
@@ -225,43 +234,28 @@ def _encode_one_jpeg420(out_path: str, y: np.ndarray, cb: np.ndarray,
     """Encode device-produced YCbCr 4:2:0 planes (ops/jpeg.py) through
     the native baseline JFIF encoder — no host colorspace pass, 1.5
     bytes/pixel fetched instead of 4. Atomic like the PIL path."""
-    import threading
-
     from raweditor_tpu.native import get_rawkit
 
     rk = get_rawkit()
     h, w = y.shape
+    # The binding takes any contiguous buffer — pass the arrays
+    # directly (they arrive as contiguous per-image copies).
     data = rk.encode_jpeg_420(
-        np.ascontiguousarray(y).tobytes(),
-        np.ascontiguousarray(cb).tobytes(),
-        np.ascontiguousarray(cr).tobytes(), w, h, quality)
-    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
-    tmp_path = (f"{out_path}.{os.getpid()}."
-                f"{threading.get_ident()}.tmp")
-    try:
+        np.ascontiguousarray(y), np.ascontiguousarray(cb),
+        np.ascontiguousarray(cr), w, h, quality)
+
+    def write(tmp_path):
         with open(tmp_path, "wb") as f:
             f.write(data)
-        os.replace(tmp_path, out_path)
-    finally:
-        if os.path.exists(tmp_path):
-            os.unlink(tmp_path)
+
+    _atomic_write(out_path, write)
 
 
 def _encode_one_tiff16(out_path: str, rgb_u16: np.ndarray) -> None:
     """Encode an (H, W, 3) u16 frame as 16-bit TIFF, atomically."""
-    import threading
-
     from raweditor_tpu.raw.tiff_out import write_tiff16
 
-    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
-    tmp_path = (f"{out_path}.{os.getpid()}."
-                f"{threading.get_ident()}.tmp")
-    try:
-        write_tiff16(tmp_path, rgb_u16)
-        os.replace(tmp_path, out_path)
-    finally:
-        if os.path.exists(tmp_path):
-            os.unlink(tmp_path)
+    _atomic_write(out_path, lambda tmp: write_tiff16(tmp, rgb_u16))
 
 
 def run_batch_export(
@@ -313,32 +307,16 @@ def run_batch_export(
     # generic-CFA site table is a nearest scheme.)
     pallas_ok = (use_pallas and mesh is None
                  and demosaic_method in ("nearest", "bilinear", "malvar"))
-    pallas_gamma = {"gamma22_poly": "poly", "srgb": "srgb",
-                    "srgb_poly": "srgb_poly"}.get(transfer, "pow")
-    # The polynomial gammas are fit to u8 accuracy (~1e-4 absolute ≈ 6
-    # LSBs of u16) — never let them into 16-bit archival output.
-    transfer16 = {"gamma22_poly": "gamma22",
-                  "srgb_poly": "srgb"}.get(transfer, transfer)
+    from raweditor_tpu.color import pallas_gamma_for, transfer16_for
+
+    pallas_gamma = pallas_gamma_for(transfer)
+    # The polynomial gammas are u8-accuracy only — never let them into
+    # 16-bit archival output (color.TRANSFER16_BY_TRANSFER).
+    transfer16 = transfer16_for(transfer)
     if mesh is not None:
         n_b = mesh.shape["batch"]
         if batch_size % n_b:
             batch_size = ((batch_size // n_b) + 1) * n_b
-
-    # Device-side YCbCr 4:2:0 (ops/jpeg.py) + native JFIF encode: the
-    # develop program additionally converts and box-subsamples chroma
-    # on the TPU, so 1.5 bytes/pixel cross to the host instead of 4
-    # and the encoder skips its colorspace pass. Taken whenever every
-    # output is a JPEG and the native encoder is present; PNG/TIFF
-    # runs and odd-sized frames keep the packed-RGBA path.
-    from raweditor_tpu.native import get_rawkit as _get_rawkit
-
-    _rk = _get_rawkit()
-    jpeg_planes_ok = (
-        bits == 8 and mesh is None
-        and _rk is not None and hasattr(_rk, "encode_jpeg_420")
-        and all(j.out_path.lower().endswith((".jpg", ".jpeg"))
-                for j in jobs)
-    )
 
     report = ExportReport(total=len(jobs))
     if skip_existing:
@@ -349,6 +327,23 @@ def run_batch_export(
             else:
                 remaining.append(job)
         jobs = remaining
+
+    # Device-side YCbCr 4:2:0 (ops/jpeg.py) + native JFIF encode: the
+    # develop program additionally converts and box-subsamples chroma
+    # on the TPU, so 1.5 bytes/pixel cross to the host instead of 4
+    # and the encoder skips its colorspace pass. Taken whenever every
+    # output still to be written is a JPEG (decided after the
+    # skip_existing prune) and the native encoder is present; PNG/TIFF
+    # runs and odd-sized frames keep the packed-RGBA path.
+    from raweditor_tpu.native import get_rawkit as _get_rawkit
+
+    _rk = _get_rawkit()
+    jpeg_planes_ok = (
+        bits == 8 and mesh is None
+        and _rk is not None and hasattr(_rk, "encode_jpeg_420")
+        and all(j.out_path.lower().endswith((".jpg", ".jpeg"))
+                for j in jobs)
+    )
     t_start = time.perf_counter()
     encode_futures: List[Tuple[Future, ExportJob]] = []
     # Device batches in flight: develop is dispatched asynchronously and
@@ -396,7 +391,14 @@ def run_batch_export(
             # timed separately — on a tunneled dev chip it dominates
             # by orders of magnitude and is a property of the link,
             # not the pipeline (docs/performance.md).
-            jax.block_until_ready(out)
+            # True sync: block_until_ready is optimistic on the
+            # tunneled dev transport (CLAUDE.md) — fetch ONE element
+            # of the first output buffer instead. TPU programs retire
+            # in order, so that element landing implies the batch's
+            # compute is done; the 4-byte fetch keeps compute out of
+            # the fetch_seconds leg below.
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            np.asarray(leaf[(0,) * leaf.ndim])
             report.device_seconds += time.perf_counter() - t0
             t1 = time.perf_counter()
             if isinstance(out, tuple):  # YCbCr 4:2:0 planes

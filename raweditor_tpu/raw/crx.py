@@ -239,8 +239,12 @@ def _decode_band(data: bytes, width: int, height: int,
     """Decode one wavelet-subband payload to (height, width) i32:
     plain adaptive Golomb-Rice over zigzag-mapped signed coefficients
     (no spatial prediction — subbands are zero-mean/zero-heavy)."""
-    if width <= 0 or height <= 0:
-        raise ValueError("crx: empty band")
+    if width < 0 or height < 0:
+        raise ValueError("crx: negative band dimensions")
+    if width * height == 0:
+        # Degenerate detail band of a 1-wide/1-tall subplane level —
+        # legitimately empty (the lifting emits no d coefficients).
+        return np.empty((height, width), np.int32)
     from raweditor_tpu.native import get_rawkit
 
     rk = get_rawkit()
