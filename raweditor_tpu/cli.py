@@ -203,8 +203,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=240)
     p.add_argument("--bpp", type=int, default=12)
     p.add_argument("--compression",
-                   choices=("none", "ljpeg", "ljpeg4", "nikon", "arw2"),
-                   default="none")
+                   choices=("none", "ljpeg", "ljpeg4", "nikon", "arw2",
+                            "pentax", "kodak65000", "srw1", "orf",
+                            "rw2", "crw", "raf", "cr3", "cr3-craw"),
+                   default="none",
+                   help="TIFF-container codecs, or a whole-container "
+                        "format (orf/rw2/crw/raf/cr3[-craw])")
     p.add_argument("--seed", type=int, default=0)
 
     p = sub.add_parser(
@@ -568,10 +572,40 @@ def cmd_synth(args) -> int:
     from raweditor_tpu.raw.synth import write_synthetic_raw
 
     rng = np.random.default_rng(args.seed)
+    comp = args.compression
     mosaic = rng.integers(0, 1 << args.bpp,
                           size=(args.height, args.width), dtype=np.uint16)
-    write_synthetic_raw(args.output, mosaic, bpp=args.bpp,
-                        compression=args.compression)
+    if comp == "orf":
+        from raweditor_tpu.raw.synth import write_synthetic_orf
+
+        write_synthetic_orf(args.output, mosaic)
+    elif comp == "rw2":
+        from raweditor_tpu.raw.panasonic import rw2_representable
+        from raweditor_tpu.raw.synth import write_synthetic_rw2
+
+        w14 = (args.width // 14) * 14  # RW2 rows are 14-pixel groups
+        if w14 == 0:
+            raise SystemExit("rw2 needs --width >= 14")
+        write_synthetic_rw2(args.output,
+                            rw2_representable(mosaic[:, :w14]))
+    elif comp == "crw":
+        from raweditor_tpu.raw.ciff import write_crw
+
+        write_crw(args.output, np.minimum(mosaic, 4095))
+    elif comp == "raf":
+        from raweditor_tpu.raw.raf import write_raf
+
+        with open(args.output, "wb") as f:
+            f.write(write_raf(mosaic))
+    elif comp in ("cr3", "cr3-craw"):
+        from raweditor_tpu.raw.bmff import write_synthetic_cr3
+
+        kw = {"levels": 2, "q_detail": 8} if comp == "cr3-craw" else {}
+        write_synthetic_cr3(args.output, mosaic=mosaic,
+                            n_bits=args.bpp, **kw)
+    else:
+        write_synthetic_raw(args.output, mosaic, bpp=args.bpp,
+                            compression=comp)
     print(args.output)
     return 0
 
