@@ -347,6 +347,12 @@ class DevelopEngine:
         if os.path.splitext(os.fspath(path))[1].lower() in (
                 ".tif", ".tiff"):
             return self.export_tiff16(path, params)
+        ext = os.path.splitext(os.fspath(path))[1].lower()
+        if ext in (".jpg", ".jpeg") and (
+                not self.auto_orient or self.raw.orientation == 1):
+            jpeg = self._export_jpeg_planes(path, params, quality)
+            if jpeg is not None:
+                return jpeg
         words = np.asarray(self.full_rgba_device(params))
         if self.auto_orient and self.raw.orientation != 1:
             words = np.ascontiguousarray(
@@ -362,6 +368,36 @@ class DevelopEngine:
             img.save(path)
         else:
             img.convert("RGB").save(path, format="JPEG", quality=quality)
+        return path
+
+    def _export_jpeg_planes(self, path: os.PathLike, params: EditParams,
+                            quality: int):
+        """JPEG export via device YCbCr 4:2:0 + the native JFIF
+        encoder (the batch exporter's transport-optimized path,
+        ops/jpeg.py): 1.5 bytes/pixel fetched instead of 4 and no host
+        colorspace pass. Returns None when unavailable (native ext
+        missing, odd dimensions) — the caller falls back to PIL."""
+        from raweditor_tpu.native import get_rawkit
+
+        rk = get_rawkit()
+        if (rk is None or not hasattr(rk, "encode_jpeg_420")
+                or self.height % 2 or self.width % 2):
+            return None
+        import jax
+
+        from raweditor_tpu.ops.jpeg import rgba_words_to_ycbcr420
+
+        if not hasattr(self, "_ycbcr_jit"):
+            self._ycbcr_jit = jax.jit(rgba_words_to_ycbcr420)
+        y, cb, cr = self._ycbcr_jit(self.full_rgba_device(params))
+        data = rk.encode_jpeg_420(
+            np.ascontiguousarray(np.asarray(y)),
+            np.ascontiguousarray(np.asarray(cb)),
+            np.ascontiguousarray(np.asarray(cr)),
+            self.width, self.height, quality)
+        path = os.fspath(path)
+        with open(path, "wb") as f:
+            f.write(data)
         return path
 
     def export_tiff16(self, path: os.PathLike, params: EditParams) -> str:

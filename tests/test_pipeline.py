@@ -79,6 +79,34 @@ def test_engine_export_jpeg_png(synth_file, tmp_path):
             assert im.size == (60, 40)
 
 
+def test_engine_jpeg_native_path_close_to_pil(synth_file, tmp_path):
+    """Single-image JPEG export rides the device-YCbCr + native
+    encoder path when available; pixels must stay close to the PIL
+    RGBA route (PNG of the same develop is the lossless reference)."""
+    import pytest
+
+    from raweditor_tpu.native import get_rawkit
+
+    if get_rawkit() is None or not hasattr(get_rawkit(),
+                                           "encode_jpeg_420"):
+        pytest.skip("native JPEG encoder not built")
+    # Smooth scene: 4:2:0 chroma subsampling (which BOTH JPEG routes
+    # apply) is only comparable to the lossless PNG there — the noise
+    # fixture's per-pixel checkerboard has no stable chroma to keep.
+    h, w = 40, 60
+    yy, xx = np.mgrid[0:h, 0:w]
+    mosaic = ((xx + yy) / (w + h) * 4095).astype(np.uint16)
+    path = tmp_path / "smooth.dng"
+    write_synthetic_raw(path, mosaic)
+    eng = DevelopEngine.open(path)
+    p = EditParams(exposure=0.4)
+    jpg = eng.export(tmp_path / "n.jpg", p, quality=92)
+    png = eng.export(tmp_path / "n.png", p)
+    a = np.asarray(Image.open(jpg).convert("RGB"), np.float64)
+    b = np.asarray(Image.open(png).convert("RGB"), np.float64)
+    assert float(np.sqrt(np.mean((a - b) ** 2))) < 6.0
+
+
 def test_engine_before_after(synth_file):
     path, _ = synth_file
     eng = DevelopEngine.open(path)
