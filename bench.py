@@ -229,12 +229,19 @@ def main():
     # the stage split so the host/device balance is on record
     # (VERDICT r1 item 2). benchmarks/pipeline_bench.py runs the same
     # pipeline at arbitrary scale.
+    import gc
     import os
     import shutil
     import tempfile
 
     from raweditor_tpu.pipeline.export import ExportJob, run_batch_export
     from raweditor_tpu.raw.synth import write_synthetic_raw
+
+    # Free the throughput/preview device buffers before the e2e run:
+    # the shared dev chip's HBM headroom is limited, and the export
+    # pipeline stages its own batches there.
+    del mosaic, prev, r, s, tiny
+    gc.collect()
 
     n_e2e = 8
     e2e_dir = tempfile.mkdtemp(prefix="raweditor-bench-e2e-")

@@ -143,14 +143,46 @@ def _decode_job(job: ExportJob, mode: str, stage: bool = False):
         black_level=black,
         cfa_phase=phase,
     )
-    if stage:
+    if stage and _stage_budget_acquire(decoded.mosaic.nbytes):
         import jax
 
         # Async enqueue — does not block the worker; the transfer
-        # streams while later files decode.
+        # streams while later files decode. Bounded by the staging
+        # budget so a deep decode window can't exhaust HBM; over
+        # budget, the mosaic stays host-side and uploads at flush.
         decoded.staged = jax.device_put(
             np.ascontiguousarray(decoded.mosaic))
     return decoded, time.perf_counter() - t0
+
+
+# Pre-staged mosaics waiting in the decode window are live HBM; cap
+# them so deep windows on big images can't exhaust device memory
+# (notably the shared tunneled dev chip). Over budget, images upload
+# at flush time instead — correctness is unaffected.
+_STAGE_BUDGET = int(os.environ.get(
+    "RAWEDITOR_TPU_STAGE_BUDGET_MB", "256")) * 1_000_000
+_stage_lock = None
+_stage_used = 0
+
+
+def _stage_budget_acquire(nbytes: int) -> bool:
+    global _stage_lock, _stage_used
+    if _stage_lock is None:
+        import threading
+
+        _stage_lock = threading.Lock()
+    with _stage_lock:
+        if _stage_used + nbytes > _STAGE_BUDGET:
+            return False
+        _stage_used += nbytes
+        return True
+
+
+def _stage_budget_release(nbytes: int) -> None:
+    global _stage_used
+    if _stage_lock is not None:
+        with _stage_lock:
+            _stage_used = max(0, _stage_used - nbytes)
 
 
 def _atomic_write(out_path: str, write_fn) -> None:
@@ -429,7 +461,15 @@ def run_batch_export(
             jax.block_until_ready(mosaics)
             report.upload_seconds += time.perf_counter() - t_up
             report.upload_bytes += sum(d.mosaic.nbytes for d in batch)
+            for d in batch:  # drop the per-image buffers + budget
+                if d.staged is not None:
+                    d.staged = None
+                    _stage_budget_release(d.mosaic.nbytes)
         else:
+            for d in batch:  # mixed/unstaged batch: host path
+                if d.staged is not None:
+                    d.staged = None
+                    _stage_budget_release(d.mosaic.nbytes)
             mosaics = np.stack([d.mosaic for d in padded])
         params = pack_params([d.job.params for d in padded])
         wbs = np.stack([d.wb for d in padded])
