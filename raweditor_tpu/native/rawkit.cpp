@@ -633,6 +633,96 @@ struct MsbWriter {
   }
 };
 
+// Bulk-refill MSB-first reader (64-bit accumulator, CLZ unary scans)
+// for streams without byte stuffing. Past-EOF bits read as zeros for
+// get()/peek() — same contract as MsbReader and the Python reference
+// readers; zeros41_strict additionally raises when a unary run would
+// consume zero bits past EOF (the CRX contract).
+struct FastMsb {
+  const uint8_t* d;
+  int64_t nbytes;
+  int64_t bytepos = 0;
+  uint64_t acc = 0;
+  int navail = 0;
+
+  inline int64_t bitpos() const { return bytepos * 8 - navail; }
+  inline void refill() {
+    while (navail <= 56) {
+      acc = (acc << 8) | (bytepos < nbytes ? d[bytepos] : 0);
+      bytepos++;
+      navail += 8;
+    }
+  }
+  inline uint32_t get(int k) {  // k <= 24
+    if (k == 0) return 0;
+    if (navail < k) refill();
+    navail -= k;
+    return uint32_t((acc >> navail) & ((1ull << k) - 1));
+  }
+  inline int peek12() {
+    if (navail < 12) refill();
+    return int((acc >> (navail - 12)) & 0xFFF);
+  }
+  inline void skip(int k) {  // only valid right after a peek covering k
+    navail -= k;
+  }
+  inline uint64_t window() const {
+    return navail >= 64 ? acc : (acc & ((1ull << navail) - 1));
+  }
+  // Count zeros until a 1, capped at `limit` (cap reached: exactly
+  // `limit` zeros consumed, no 1). Past-EOF reads as zeros.
+  inline int zeros_limit(int limit) {
+    int count = 0;
+    for (;;) {
+      if (navail == 0) refill();
+      uint64_t w = window();
+      if (w == 0) {
+        int can = limit - count;
+        if (navail < can) can = navail;
+        navail -= can;
+        count += can;
+        if (count >= limit) return limit;
+        continue;
+      }
+      int lead = navail - 1 - (63 - __builtin_clzll(w));
+      if (count + lead >= limit) {
+        navail -= limit - count;
+        return limit;
+      }
+      navail -= lead + 1;
+      return count + lead;
+    }
+  }
+  // CRX variant: cap 41, raising when the zero run crosses EOF.
+  inline int zeros41_strict() {
+    const int64_t total_bits = nbytes * 8;
+    int count = 0;
+    for (;;) {
+      if (navail == 0) refill();
+      uint64_t w = window();
+      if (w == 0) {
+        int64_t can = 41 - count;
+        if (navail < can) can = navail;
+        int64_t real = total_bits - bitpos();
+        if (real < can) can = real;
+        if (can <= 0)
+          throw std::runtime_error("crx: bitstream exhausted in unary run");
+        navail -= int(can);
+        count += int(can);
+        if (count >= 41) return 41;
+        continue;
+      }
+      int lead = navail - 1 - (63 - __builtin_clzll(w));
+      if (count + lead >= 41) {
+        navail -= 41 - count;
+        return 41;
+      }
+      navail -= lead + 1;
+      return count + lead;
+    }
+  }
+};
+
 inline int oly_nbits(int carry0, int carry2) {
   int i = carry2 < 3 ? 2 : 0;
   int nbits = 2 + i;
@@ -659,7 +749,7 @@ inline int oly_predict(const uint16_t* out, int64_t width, int64_t row,
 void decode_olympus_impl(const uint8_t* data, int64_t len, uint16_t* out,
                          int64_t width, int64_t height) {
   if (len < 7) throw std::runtime_error("olympus strip too short");
-  MsbReader rdr{data + 7, len - 7};
+  FastMsb rdr{data + 7, len - 7};
   for (int64_t row = 0; row < height; row++) {
     int acarry[2][3] = {{0, 0, 0}, {0, 0, 0}};
     for (int64_t col = 0; col < width; col++) {
@@ -668,7 +758,7 @@ void decode_olympus_impl(const uint8_t* data, int64_t len, uint16_t* out,
       uint32_t sign3 = rdr.get(3);
       int low = sign3 & 3;
       int sign = (sign3 & 4) ? -1 : 0;
-      int high = rdr.unary12();
+      int high = rdr.zeros_limit(12);
       if (high == 12) high = rdr.get(16 - nbits) >> 1;
       carry[0] = (high << nbits) | rdr.get(nbits);
       int diff = (carry[0] ^ sign) + carry[1];
@@ -889,27 +979,17 @@ void decode_pentax_impl(const uint8_t* data, int64_t len, uint16_t* out,
     for (int k = 0; k < (4096 >> ln); k++)
       lut[(prefix + k) & 4095] = uint16_t(ln << 8 | c);
   }
-  MsbReader rdr{data, len};
-  auto peek12 = [&]() -> int {
-    int v = 0;
-    int64_t p = rdr.bit;
-    for (int k = 0; k < 12; k++) {
-      int64_t byte = (p + k) >> 3;
-      int bit = byte < len ? (data[byte] >> (7 - ((p + k) & 7))) & 1 : 0;
-      v = (v << 1) | bit;
-    }
-    return v;
-  };
+  FastMsb rdr{data, len};
   int vpred[2][2] = {{0, 0}, {0, 0}};
   int hpred[2] = {0, 0};
   int top = 1 << bps;
   for (int64_t row = 0; row < height; row++) {
     for (int64_t col = 0; col < width; col++) {
-      uint16_t hit = lut[peek12()];
+      uint16_t hit = lut[rdr.peek12()];
       if (hit == 0xFFFF)
         throw std::runtime_error("pentax stream: no code matches");
       int cat = hit & 0xFF;
-      rdr.bit += hit >> 8;
+      rdr.skip(hit >> 8);
       int diff = 0;
       if (cat) {
         int raw = rdr.get(cat);
@@ -1658,70 +1738,12 @@ inline int crx_adapt_k(int k, uint32_t code) {
   return k > 15 ? 15 : k;
 }
 
-// Bulk-refill MSB-first reader for the CRX stream (no byte stuffing):
-// 64-bit accumulator, CLZ-driven unary scans. Reads past EOF yield
-// zero bits for get() (matching MsbReader/the Python reference), but
-// a unary zero-run crossing EOF raises — same contract as
-// raw/crx.py _RiceReader.zeros.
-struct CrxBits {
-  const uint8_t* d;
-  int64_t nbytes;
-  int64_t bytepos = 0;
-  uint64_t acc = 0;
-  int navail = 0;
-
-  inline int64_t bitpos() const { return bytepos * 8 - navail; }
-  inline void refill() {
-    while (navail <= 56) {
-      acc = (acc << 8) | (bytepos < nbytes ? d[bytepos] : 0);
-      bytepos++;
-      navail += 8;
-    }
-  }
-  inline uint32_t get(int k) {  // k <= 24
-    if (k == 0) return 0;
-    if (navail < k) refill();
-    navail -= k;
-    return uint32_t((acc >> navail) & ((1ull << k) - 1));
-  }
-  // Count zeros until a 1 (limit 41: returns 41 without consuming a
-  // 1). Throws when the scan would consume a zero bit past EOF.
-  inline int zeros41() {
-    const int64_t total_bits = nbytes * 8;
-    int count = 0;
-    for (;;) {
-      if (navail == 0) refill();
-      uint64_t window =
-          navail >= 64 ? acc : (acc & ((1ull << navail) - 1));
-      if (window == 0) {
-        int64_t can = 41 - count;
-        if (navail < can) can = navail;
-        int64_t real = total_bits - bitpos();
-        if (real < can) can = real;
-        if (can <= 0)
-          throw std::runtime_error("crx: bitstream exhausted in unary run");
-        navail -= int(can);
-        count += int(can);
-        if (count >= 41) return 41;
-        continue;
-      }
-      int lead = navail - 1 - (63 - __builtin_clzll(window));
-      if (count + lead >= 41) {  // limit hit inside the zero run
-        navail -= 41 - count;
-        return 41;
-      }
-      navail -= lead + 1;  // zeros + the terminating 1 (always real)
-      return count + lead;
-    }
-  }
-};
-
 void decode_crx_plane_impl(const uint8_t* data, int64_t len, uint16_t* out,
                            int64_t width, int64_t height, int n_bits,
                            int k_init) {
   if (width <= 0 || height <= 0) throw std::runtime_error("crx: empty plane");
   if (n_bits < 8 || n_bits > 16) throw std::runtime_error("crx: bad depth");
-  CrxBits rdr{data, len};
+  FastMsb rdr{data, len};
   int k = k_init;
   const int32_t mask = (1 << n_bits) - 1;
   const int32_t half = 1 << (n_bits - 1);
@@ -1741,7 +1763,7 @@ void decode_crx_plane_impl(const uint8_t* data, int64_t len, uint16_t* out,
         else if (nw <= mn) pred = mx;
         else pred = w + n - nw;
       }
-      int q = rdr.zeros41();
+      int q = rdr.zeros41_strict();
       uint32_t u = (q >= 41) ? rdr.get(21) : ((uint32_t(q) << k) | rdr.get(k));
       k = crx_adapt_k(k, u);
       int32_t err = int32_t(u >> 1) ^ -int32_t(u & 1);
@@ -1758,11 +1780,11 @@ void decode_crx_plane_impl(const uint8_t* data, int64_t len, uint16_t* out,
 void decode_crx_band_impl(const uint8_t* data, int64_t len, int32_t* out,
                           int64_t width, int64_t height, int k_init) {
   if (width <= 0 || height <= 0) throw std::runtime_error("crx: empty band");
-  CrxBits rdr{data, len};
+  FastMsb rdr{data, len};
   int k = k_init;
   const int64_t n = width * height;
   for (int64_t i = 0; i < n; i++) {
-    int q = rdr.zeros41();
+    int q = rdr.zeros41_strict();
     uint32_t u = (q >= 41) ? rdr.get(21) : ((uint32_t(q) << k) | rdr.get(k));
     k = crx_adapt_k(k, u);
     out[i] = int32_t(u >> 1) ^ -int32_t(u & 1);
