@@ -508,3 +508,25 @@ def test_unsupported_container_still_gets_tiers(tmp_path, rng):
     tiers = generate_tiers(str(path), 1, cache_dir=tmp_path / "cache")
     sizes = [Image.open(t).size for t in tiers]
     assert sizes == [(256, 192), (384, 288), (1280, 960)]
+
+
+def test_cr3_sensor_tiers_without_preview(tmp_path, rng):
+    """A CR3 with a CRAW track but NO embedded previews tiers through
+    the develop fallback off the decoded CRX sensor data — beyond the
+    reference, which quarantines preview-less files."""
+    from PIL import Image
+
+    from raweditor_tpu.pipeline.tiers import generate_tiers
+    from raweditor_tpu.raw.bmff import write_synthetic_cr3
+
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    mosaic = ((xx + yy) / (w + h) * 16383).astype(np.uint16)
+    path = tmp_path / "sensor_only.cr3"
+    write_synthetic_cr3(path, mosaic=mosaic)
+
+    tiers = generate_tiers(str(path), 1, cache_dir=tmp_path / "cache")
+    for t in tiers:
+        with Image.open(t) as im:
+            arr = np.asarray(im.convert("RGB"))
+        assert arr.std() > 1  # a real developed gradient, not black
