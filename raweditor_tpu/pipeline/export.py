@@ -369,6 +369,9 @@ def run_batch_export(
     # runs and odd-sized frames keep the packed-RGBA path.
     from raweditor_tpu.native import get_rawkit as _get_rawkit
 
+    # (PIL's plain save uses 4:2:0 chroma at every quality — verified
+    # against its SOF sampling factors — so the planes path matches
+    # its subsampling behavior across the quality range.)
     _rk = _get_rawkit()
     jpeg_planes_ok = (
         bits == 8 and mesh is None
