@@ -381,9 +381,11 @@ def run_batch_export(
     )
     t_start = time.perf_counter()
     encode_futures: List[Tuple[Future, ExportJob]] = []
-    # Device batches in flight: develop is dispatched asynchronously and
-    # fetched one batch behind, overlapping TPU compute with host decode
-    # and encode (the double-buffering BASELINE.md calls for).
+    # Device batches in flight: develop is dispatched asynchronously;
+    # a dedicated fetch thread pulls results one batch behind, so TPU
+    # compute, host decode/encode, the H2D uploads, and the D2H fetch
+    # all overlap (the double-buffering BASELINE.md calls for, plus
+    # full-duplex use of the link).
     inflight: List[tuple] = []
 
     def submit_encodes(batch, host, encode_pool):
@@ -418,33 +420,39 @@ def run_batch_export(
                 report.failed.append((job.raw_path, f"encode: {e}"))
             report.encode_seconds += time.perf_counter() - t_enc
 
+    def _fetch_batch(out, batch, t0):
+        """Runs on the fetch thread: sync compute, then pull the batch
+        to host. Off the main thread so the D2H transfer of batch N
+        overlaps batch N+1's decode AND its H2D upload (the two legs
+        run full duplex on the link)."""
+        # True sync first: block_until_ready is optimistic on the
+        # tunneled dev transport (CLAUDE.md) — fetch ONE element of
+        # the first output buffer instead. TPU programs retire in
+        # order, so that element landing implies the batch's compute
+        # is done; the 4-byte fetch keeps compute time (measured from
+        # dispatch; an upper bound, overlapped work included) out of
+        # the fetch leg the link rate is derived from.
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf[(0,) * leaf.ndim])
+        dev_s = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        if isinstance(out, tuple):  # YCbCr 4:2:0 planes
+            fulls = tuple(np.asarray(p) for p in out)
+            nbytes = sum(p.nbytes for p in fulls)
+            host = tuple(p[: len(batch)] for p in fulls)
+        else:
+            full = np.asarray(out)  # the padded batch is what crosses
+            nbytes = full.nbytes
+            host = full[: len(batch)]
+        return host, dev_s, time.perf_counter() - t1, nbytes
+
     def drain_inflight(encode_pool, depth: int):
         while len(inflight) > depth:
-            out, batch, t0 = inflight.pop(0)
-            # Wall time from dispatch to ready; overlapped work makes
-            # this an upper bound on pure device time. The transfer is
-            # timed separately — on a tunneled dev chip it dominates
-            # by orders of magnitude and is a property of the link,
-            # not the pipeline (docs/performance.md).
-            # True sync: block_until_ready is optimistic on the
-            # tunneled dev transport (CLAUDE.md) — fetch ONE element
-            # of the first output buffer instead. TPU programs retire
-            # in order, so that element landing implies the batch's
-            # compute is done; the 4-byte fetch keeps compute out of
-            # the fetch_seconds leg below.
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            np.asarray(leaf[(0,) * leaf.ndim])
-            report.device_seconds += time.perf_counter() - t0
-            t1 = time.perf_counter()
-            if isinstance(out, tuple):  # YCbCr 4:2:0 planes
-                fulls = tuple(np.asarray(p) for p in out)
-                report.fetch_bytes += sum(p.nbytes for p in fulls)
-                host = tuple(p[: len(batch)] for p in fulls)
-            else:
-                full = np.asarray(out)  # the padded batch is what crosses
-                report.fetch_bytes += full.nbytes
-                host = full[: len(batch)]
-            report.fetch_seconds += time.perf_counter() - t1
+            fut, batch = inflight.pop(0)
+            host, dev_s, fetch_s, nbytes = fut.result()
+            report.device_seconds += dev_s
+            report.fetch_seconds += fetch_s
+            report.fetch_bytes += nbytes
             submit_encodes(batch, host, encode_pool)
 
     def flush(batch: List[_Decoded], encode_pool: ThreadPoolExecutor):
@@ -595,11 +603,13 @@ def run_batch_export(
             # Convert + subsample on device: one extra HBM-bound pass,
             # 2.67× less data over the wire (ops/jpeg.py).
             out = _ycbcr420_jit()(out)
-        inflight.append((out, batch, t0))
+        inflight.append(
+            (fetch_pool.submit(_fetch_batch, out, batch, t0), batch))
         drain_inflight(encode_pool, depth=1)
 
     with ThreadPoolExecutor(decode_threads) as decode_pool, \
-            ThreadPoolExecutor(encode_threads) as encode_pool:
+            ThreadPoolExecutor(encode_threads) as encode_pool, \
+            ThreadPoolExecutor(1) as fetch_pool:
         batcher = _Batcher(batch_size)
         window = max(2 * batch_size, decode_threads * 2)
         pending: List[Tuple[Future, ExportJob]] = []
