@@ -9,9 +9,19 @@ chip and <16 ms p50 1280 px preview re-render.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _stage(msg):
+    """Progress to stderr (stdout carries only the JSON line): lets a
+    timed-out run show where the wall clock went."""
+    print(f"[bench +{time.perf_counter() - _T0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 
 def main():
@@ -61,6 +71,7 @@ def main():
             best = max(best, iters / (time.perf_counter() - t0))
         return best
 
+    _stage("throughput lanes")
     xla_per_sec = timed_throughput(
         lambda p: develop_rgba(mosaic, p, wb, cm)
     )
@@ -95,6 +106,7 @@ def main():
     # --- quality lane: accurate mode (Malvar 5×5 demosaic + a real
     # color matrix + true sRGB transfer) — the path a real developer
     # would ship, not just the parity path (VERDICT r1 item 7).
+    _stage("accurate lanes")
     real_cm = np.array(
         [[0.9, 0.2, -0.1], [-0.15, 1.1, 0.05], [0.02, -0.3, 1.28]],
         dtype=np.float32,
@@ -145,6 +157,7 @@ def main():
     #   preview_dispatch_p50_ms  AOT call + block_until_ready (the
     #                          standard JAX convention; optimistic on
     #                          this transport, correct on local chips).
+    _stage("preview latency")
     pw, ph = preview_shape(w, h)
     # AOT-compile to strip Python tracing/cache-lookup from dispatch.
     # The compiled program also returns a scalar checksum so one host
@@ -243,7 +256,8 @@ def main():
     del mosaic, prev, r, s, tiny
     gc.collect()
 
-    n_e2e = 8
+    _stage("e2e export")
+    n_e2e = 4
     e2e_dir = tempfile.mkdtemp(prefix="raweditor-bench-e2e-")
     try:
         nef_bytes = write_synthetic_raw(None, mosaic_host,
@@ -295,6 +309,7 @@ def main():
     finally:
         shutil.rmtree(e2e_dir, ignore_errors=True)
 
+    _stage("done; printing")
     target = 50.0  # develops/sec/chip (BASELINE.md rebuild target)
     print(
         json.dumps(

@@ -113,9 +113,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--auto-orient", action="store_true",
                    help="rotate output by the EXIF orientation tag")
     p.add_argument("--demosaic", default="nearest",
-                   choices=("nearest", "bilinear", "malvar"),
+                   choices=("nearest", "bilinear", "malvar", "grad"),
                    help="demosaic kernel for full-res output (malvar = "
-                        "gradient-corrected, best quality); previews "
+                        "gradient-corrected Bayer; grad = gradient-"
+                        "weighted X-Trans/generic CFA); previews "
                         "always use the parity sampler")
     p.add_argument("--transfer", default="gamma22",
                    choices=("gamma22", "srgb"),
@@ -157,7 +158,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fast-gamma", action="store_true",
                    help="polynomial gamma (~17%% faster, ±1 LSB)")
     p.add_argument("--demosaic", default="nearest",
-                   choices=("nearest", "bilinear", "malvar"))
+                   choices=("nearest", "bilinear", "malvar", "grad"))
     p.add_argument("--transfer", default="gamma22",
                    choices=("gamma22", "srgb"))
     p.add_argument("--decode-threads", type=int, default=4)
@@ -239,7 +240,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fast-gamma", action="store_true",
                    help="polynomial gamma (~17%% faster, ±1 LSB)")
     p.add_argument("--demosaic", default="nearest",
-                   choices=("nearest", "bilinear", "malvar"))
+                   choices=("nearest", "bilinear", "malvar", "grad"))
 
     p = sub.add_parser(
         "warmup",

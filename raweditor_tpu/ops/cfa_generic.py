@@ -154,6 +154,13 @@ def is_xtrans(cfa_pattern: str) -> bool:
     return len(cfa_pattern) == 36
 
 
+def generic_cfa_method(method: str) -> str:
+    """Map a Bayer demosaic choice onto the generic-CFA tier: nearest
+    and the generic methods pass through; Bayer quality requests
+    (bilinear/malvar) upgrade to the isotropic 'smooth' interpolator."""
+    return method if method in ("nearest", "smooth", "grad") else "smooth"
+
+
 # ---------------------------------------------------------------------------
 # Normalized-convolution ("smooth") generic demosaic — quality upgrade
 # over nearest for non-Bayer CFAs (X-Trans accurate mode). Each missing
@@ -186,6 +193,121 @@ def _smooth_radius(pattern: str, ph: int, pw: int, chan: int) -> int:
         if ok:
             return radius
     raise ValueError(f"channel {chan} absent from pattern")
+
+
+@functools.lru_cache(maxsize=32)
+def _dir_radius(pattern: str, ph: int, pw: int, chan: int,
+                axis: int) -> int:
+    """Smallest 1-D tent radius along ``axis`` (0 = vertical) whose
+    window always contains a site of ``chan``, or 0 if no radius up to
+    the pattern period works (channel too sparse along that axis)."""
+    grid = np.array([_CHAN[c] for c in pattern.upper()]).reshape(ph, pw)
+    period = ph if axis == 0 else pw
+    for radius in range(1, period + 1):
+        ok = all(
+            any(grid[(py + (d if axis == 0 else 0)) % ph,
+                     (px + (d if axis == 1 else 0)) % pw] == chan
+                for d in range(-radius, radius + 1))
+            for py in range(ph) for px in range(pw)
+        )
+        if ok:
+            return radius
+    return 0
+
+
+def _nc_1d(mosaic, mask_fn, h, w, radius: int, axis: int):
+    """1-D normalized tent convolution of (value·mask)/(mask) along
+    ``axis``; mask extends periodically past the frame, values
+    edge-clamp."""
+    import jax
+
+    t = np.minimum(np.arange(2 * radius + 1) + 1,
+                   np.arange(2 * radius, -1, -1) + 1).astype(np.float32)
+    k = t[None, :] if axis == 1 else t[:, None]
+    pad = ((0, 0), (radius, radius)) if axis == 1 else \
+        ((radius, radius), (0, 0))
+
+    def conv_valid(x):
+        return jax.lax.conv_general_dilated(
+            x[None, None], jnp.asarray(k)[None, None],
+            window_strides=(1, 1), padding="VALID",
+        )[0, 0]
+
+    mask_p = mask_fn(pad)
+    pad_v = jnp.pad(mosaic, pad, mode="edge") * mask_p
+    return conv_valid(pad_v) / conv_valid(mask_p)
+
+
+def demosaic_grad_generic(mosaic, pattern: str, ph: int, pw: int):
+    """Gradient-weighted demosaic for a (ph, pw)-repeating CFA — the
+    quality tier above "smooth" (beyond the reference, which only does
+    nearest Bayer):
+
+    1. The dense channel (G) interpolates directionally: separate 1-D
+       normalized convolutions along rows and columns, blended by
+       inverse directional gradients of the raw mosaic — edges keep
+       their sharp axis instead of being averaged across.
+    2. R/B interpolate in color-difference space (R−G, B−G) with the
+       2-D tent normalized convolution, then add G back — the classic
+       chroma-smoothness prior that kills zippering.
+
+    A constant mosaic reconstructs to three equal constant planes
+    (pinned by test), and on smooth scenes the result strictly beats
+    "smooth" in PSNR (also pinned).
+    """
+    h, w = mosaic.shape
+    grid_np = np.array(
+        [_CHAN[c] for c in pattern.upper()]).reshape(ph, pw)
+    grid = jnp.asarray(grid_np)
+
+    def chan_mask(chan, pad):
+        ys = (jnp.arange(-pad[0][0], h + pad[0][1], dtype=jnp.int32)) % ph
+        xs = (jnp.arange(-pad[1][0], w + pad[1][1], dtype=jnp.int32)) % pw
+        return (grid[ys[:, None], xs[None, :]] == chan).astype(
+            mosaic.dtype)
+
+    # --- G: directional interpolation, gradient-blended -------------
+    g_chan = _CHAN["G"]
+    rh = _dir_radius(pattern, ph, pw, g_chan, axis=1)
+    rv = _dir_radius(pattern, ph, pw, g_chan, axis=0)
+    if rh == 0 or rv == 0:
+        # Channel too sparse for 1-D windows (exotic pattern): fall
+        # back to the isotropic interpolator wholesale.
+        return demosaic_smooth_generic(mosaic, pattern, ph, pw)
+    gh = _nc_1d(mosaic, lambda pad: chan_mask(g_chan, pad), h, w, rh, 1)
+    gv = _nc_1d(mosaic, lambda pad: chan_mask(g_chan, pad), h, w, rv, 0)
+    pe = jnp.pad(mosaic, 1, mode="edge")
+    dh = jnp.abs(pe[1:-1, 2:] - pe[1:-1, :-2])
+    dv = jnp.abs(pe[2:, 1:-1] - pe[:-2, 1:-1])
+    eps = jnp.asarray(1e-4, mosaic.dtype)
+    wh = 1.0 / (dh + eps)
+    wv = 1.0 / (dv + eps)
+    g = (wh * gh + wv * gv) / (wh + wv)
+    at_g = chan_mask(g_chan, ((0, 0), (0, 0))) > 0
+    g = jnp.where(at_g, mosaic, g)
+
+    # --- R/B: color-difference interpolation -------------------------
+    import jax
+
+    planes = [None, g, None]
+    for name in ("R", "B"):
+        chan = _CHAN[name]
+        r2 = _smooth_radius(pattern, ph, pw, chan)
+        k = _tent_kernel(r2)
+        pad = ((r2, r2), (r2, r2))
+        mask_p = chan_mask(chan, pad)
+        diff = jnp.pad(mosaic - g, r2, mode="edge") * mask_p
+
+        def conv_valid(x):
+            return jax.lax.conv_general_dilated(
+                x[None, None], jnp.asarray(k)[None, None],
+                window_strides=(1, 1), padding="VALID",
+            )[0, 0]
+
+        interp = g + conv_valid(diff) / conv_valid(mask_p)
+        at_site = mask_p[r2: r2 + h, r2: r2 + w] > 0
+        planes[chan] = jnp.where(at_site, mosaic, interp)
+    return tuple(planes)
 
 
 def demosaic_smooth_generic(mosaic, pattern: str, ph: int, pw: int):

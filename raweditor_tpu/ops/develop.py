@@ -397,6 +397,7 @@ def develop_xtrans(
     interpolation with demosaic_method="smooth" (ops/cfa_generic.py)."""
     from raweditor_tpu.ops.cfa_generic import (
         XTRANS_PATTERN,
+        demosaic_grad_generic,
         demosaic_nearest_generic,
         demosaic_smooth_generic,
     )
@@ -406,6 +407,8 @@ def develop_xtrans(
     norm = _normalize(mosaic, white_level, black_level)
     if demosaic_method == "smooth":
         r, g, b = demosaic_smooth_generic(norm, pat, side, side)
+    elif demosaic_method == "grad":
+        r, g, b = demosaic_grad_generic(norm, pat, side, side)
     elif demosaic_method == "nearest":
         r, g, b = demosaic_nearest_generic(norm, pat, side, side)
     else:

@@ -33,6 +33,8 @@ from raweditor_tpu.ops.develop import (
     develop_rgba,
     rgba_view,
 )
+from raweditor_tpu.ops.cfa_generic import \
+    generic_cfa_method as _generic_cfa_method
 from raweditor_tpu.ops.sampling import histogram_shape, preview_shape
 from raweditor_tpu.params import EditParams
 from raweditor_tpu.raw.types import RawImage
@@ -186,9 +188,7 @@ class DevelopEngine:
                 pattern=self.xtrans_pattern,
                 matrix_transpose=self.matrix_transpose,
                 transfer=self.transfer,
-                demosaic_method=("smooth"
-                                 if self.demosaic_method != "nearest"
-                                 else "nearest"),
+                demosaic_method=_generic_cfa_method(self.demosaic_method),
             )
         return develop(
             self.mosaic, params, self.wb, self.cam_matrix,
@@ -305,9 +305,7 @@ class DevelopEngine:
                 pattern=self.xtrans_pattern,
                 matrix_transpose=self.matrix_transpose,
                 transfer=self.transfer,
-                demosaic_method=("smooth"
-                                 if self.demosaic_method != "nearest"
-                                 else "nearest"), rgba=True,
+                demosaic_method=_generic_cfa_method(self.demosaic_method), rgba=True,
             )
         if (self.use_pallas
                 and self.demosaic_method in ("nearest", "bilinear",
@@ -427,9 +425,7 @@ class DevelopEngine:
                 pattern=self.xtrans_pattern,
                 matrix_transpose=self.matrix_transpose,
                 transfer=transfer,
-                demosaic_method=("smooth"
-                                 if self.demosaic_method != "nearest"
-                                 else "nearest"),
+                demosaic_method=_generic_cfa_method(self.demosaic_method),
                 bits=16,
             ))
         else:

@@ -29,6 +29,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from raweditor_tpu.color import cam_to_srgb_matrix
+from raweditor_tpu.ops.cfa_generic import \
+    generic_cfa_method as _generic_cfa_method
 from raweditor_tpu.params import EditParams
 from raweditor_tpu.parallel.batch import (
     batch_develop_rgba,
@@ -512,9 +514,7 @@ def run_batch_export(
                         m, p, w, c, wl, bl, pattern=phase,
                         matrix_transpose=matrix_transpose,
                         transfer=transfer16, bits=16,
-                        demosaic_method=("smooth"
-                                         if demosaic_method != "nearest"
-                                         else "nearest"),
+                        demosaic_method=_generic_cfa_method(demosaic_method),
                     )
                 )(mosaics, params, wbs, cms, whites, blacks)
             else:
@@ -560,9 +560,7 @@ def run_batch_export(
                     mosaics, params, wbs, cms, whites, blacks,
                     pattern=phase, matrix_transpose=matrix_transpose,
                     transfer=transfer,
-                    demosaic_method=("smooth"
-                                     if demosaic_method != "nearest"
-                                     else "nearest"),
+                    demosaic_method=_generic_cfa_method(demosaic_method),
                 )
         elif mesh is None:
             out = None
