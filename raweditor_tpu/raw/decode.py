@@ -647,6 +647,10 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
     if (not isinstance(width, int) or not isinstance(height, int)
             or width <= 0 or height <= 0):
         raise RawDecodeError("sensor IFD missing dimensions")
+    if not isinstance(bpp, int) or not 1 <= bpp <= 32:
+        # A corrupt BitsPerSample otherwise reaches 1 << bpp (found by
+        # the soak fuzz: OverflowError instead of the quarantine).
+        raise RawDecodeError(f"implausible BitsPerSample {bpp!r}")
     # Plausibility: even heavily compressed sensor data needs >1 bit per
     # 8 pixels; corrupt dimension tags otherwise send the decoders into
     # multi-gigapixel allocations/loops.
@@ -765,19 +769,26 @@ def _finish_raw_image(tf, mosaic, curve_white, bpp, ifd, source_path):
 
     black = _find_tag(tf, T.BLACK_LEVEL)
     black_per_site = None
+    if isinstance(black, tuple) and not all(
+            isinstance(v, (int, float)) for v in black):
+        black = None  # mutated tag type (e.g. ASCII) — quarantine-safe
     if isinstance(black, tuple):
         repeat = _find_tag(tf, T.BLACK_LEVEL_REPEAT_DIM)
         if (len(black) == 4 and isinstance(repeat, tuple)
+                and len(repeat) >= 2
+                and all(isinstance(v, (int, float)) for v in repeat[:2])
                 and tuple(int(v) for v in repeat[:2]) == (2, 2)):
             # Exactly a 2x2 per-CFA-site grid.
             black_per_site = np.array(
                 [float(v) for v in black], np.float32
             ).reshape(2, 2)
             black = float(np.mean(black_per_site))
-        else:
+        elif black:
             # Other repeat shapes (per-row/column, per-sample): use the
             # mean as the scalar, no per-site fold.
             black = float(np.mean([float(v) for v in black]))
+        else:
+            black = None  # corrupt zero-count tag (soak fuzz: NaN mean)
     if black is None:
         srw_black = _find_tag(tf, T.SRW_BLACK_RGGB)
         if (isinstance(srw_black, tuple) and len(srw_black) == 4
@@ -788,7 +799,9 @@ def _finish_raw_image(tf, mosaic, curve_white, bpp, ifd, source_path):
             black = float(np.mean(black_per_site))
     white = _find_tag(tf, T.WHITE_LEVEL)
     if isinstance(white, tuple):
-        white = white[0]
+        white = white[0] if white else None
+    if white is not None and not isinstance(white, (int, float)):
+        white = None  # mutated tag type
     if white is None and curve_white is not None:
         # Nikon linearization curves plateau at the true sensor white;
         # the trimmed curve value is the white point when no explicit

@@ -337,6 +337,40 @@ def test_nikon_curve_white_point(tmp_path, rng):
     assert (raw.mosaic == m).all()
 
 
+def test_corrupt_metadata_values_quarantine(rng):
+    """Regression for soak-fuzz findings: mutated BitsPerSample /
+    BlackLevel / WhiteLevel tag values must quarantine (or decode with
+    sane fallbacks), never raise OverflowError / produce NaN levels."""
+    import raweditor_tpu.raw.tiff as T
+
+    m = rng.integers(0, 4096, size=(10, 12), dtype=np.uint16)
+    base = write_synthetic_raw(None, m)
+
+    def mutate_tag_value(tag, new_bytes):
+        blob = bytearray(base)
+        tf = T.TiffFile(bytes(blob))
+        for ifd in tf.all_ifds():
+            n = tf._u16(ifd.offset)
+            for k in range(n):
+                pos = ifd.offset + 2 + 12 * k
+                if tf._u16(pos) == tag:
+                    blob[pos + 8: pos + 8 + len(new_bytes)] = new_bytes
+        return bytes(blob)
+
+    # Huge BitsPerSample -> used to hit OverflowError at 1 << bpp.
+    blob = mutate_tag_value(T.BITS_PER_SAMPLE, (60000).to_bytes(2, "little"))
+    with pytest.raises(RawDecodeError):
+        decode_raw(blob)
+    # WhiteLevel mutated to zero-count stays decodable or quarantines;
+    # either way the white level must be finite.
+    try:
+        raw = decode_raw(base)
+        assert np.isfinite(raw.white_level)
+        assert np.isfinite(raw.black_level)
+    except RawDecodeError:
+        pass
+
+
 def test_decoder_fuzz_error_contract(rng):
     """Arbitrary garbage must raise RawDecodeError (or decode), never
     an unrelated exception type — the quarantine path depends on it."""
