@@ -374,9 +374,14 @@ def run_batch_export(
     # (PIL's plain save uses 4:2:0 chroma at every quality — verified
     # against its SOF sampling factors — so the planes path matches
     # its subsampling behavior across the quality range.)
+    # Meshes qualify when they are pure data-parallel (row axis 1):
+    # each image lives whole on one chip, so the per-image 2×2 chroma
+    # reshape needs no cross-shard traffic. Row-sharded images keep
+    # the RGBA path.
     _rk = _get_rawkit()
+    _dp_only = mesh is None or dict(mesh.shape).get("row", 1) == 1
     jpeg_planes_ok = (
-        bits == 8 and mesh is None
+        bits == 8 and _dp_only
         and _rk is not None and hasattr(_rk, "encode_jpeg_420")
         and all(j.out_path.lower().endswith((".jpg", ".jpeg"))
                 for j in jobs)

@@ -269,6 +269,34 @@ def test_batch_export_sharded_mesh(tmp_path, rng):
     assert report.succeeded == 5 and not report.failed
 
 
+def test_mesh_dp_only_takes_planes_path(tmp_path, rng):
+    """A pure data-parallel mesh (row=1) qualifies for the YCbCr 4:2:0
+    planes fetch — each image lives whole on one chip. Row-sharded
+    meshes (test above) keep the RGBA path."""
+    import pytest
+
+    from raweditor_tpu.native import get_rawkit
+    from raweditor_tpu.parallel import batch_row_mesh
+
+    if get_rawkit() is None or not hasattr(get_rawkit(),
+                                           "encode_jpeg_420"):
+        pytest.skip("native JPEG encoder not built")
+    mesh = batch_row_mesh(row=1)
+    h, w = 16, 24
+    jobs = []
+    for i in range(8):
+        path = tmp_path / f"d{i}.nef"
+        write_synthetic_raw(
+            path, rng.integers(0, 4096, size=(h, w), dtype=np.uint16))
+        jobs.append(ExportJob(raw_path=str(path),
+                              out_path=str(tmp_path / f"d{i}.jpg")))
+    report = run_batch_export(jobs, mesh=mesh, batch_size=8)
+    assert report.succeeded == 8 and not report.failed
+    assert report.fetch_bytes == 8 * (h * w + 2 * (h // 2) * (w // 2))
+    with Image.open(tmp_path / "d0.jpg") as im:
+        assert im.size == (w, h)
+
+
 def test_jobs_from_catalog_replays_edits(tmp_path, rng):
     d = tmp_path / "photos"
     d.mkdir()
