@@ -64,12 +64,35 @@ def main() -> None:
     session.full(str(out))
     print("exported:", out, out.stat().st_size, "bytes")
 
-    # 4. Batch export with the stored edits.
+    # 4. Batch export with the stored edits. All-JPEG runs fetch
+    # device-subsampled YCbCr planes (1.5 bytes/pixel) and encode
+    # through the native JFIF encoder when the extension is built.
     report = run_batch_export(
         jobs_from_catalog(lib, work / "out"), batch_size=2
     )
     print("batch export:", json.dumps(report.as_dict()))
     lib.close()
+
+    # 5. Round-2 capabilities: Canon CR3 (CRX codec — beyond the
+    # reference app, whose backend can't decode CR3 sensor data),
+    # accurate color mode, the gradient-weighted demosaic, and
+    # 16-bit TIFF output.
+    from raweditor_tpu.raw.bmff import write_synthetic_cr3
+
+    h, w = 120, 160
+    yy, xx = np.mgrid[0:h, 0:w]
+    scene = ((xx + yy) / (w + h) * 16383).astype(np.uint16)
+    cr3 = work / "shot.cr3"
+    write_synthetic_cr3(cr3, mosaic=scene, model="EOS Quickstart",
+                        levels=2, q_detail=8)  # C-RAW wavelet variant
+    eng2 = DevelopEngine.open(cr3, mode="accurate",
+                              demosaic_method="grad", transfer="srgb")
+    print("cr3 decode:", eng2.raw.camera_model,
+          f"{eng2.width}x{eng2.height}",
+          f"white={eng2.white_level:.0f}")
+    tif = work / "archival.tiff"
+    eng2.export(tif, EditParams(exposure=0.3))
+    print("16-bit tiff:", tif.stat().st_size, "bytes")
 
 
 if __name__ == "__main__":

@@ -291,4 +291,11 @@ def demosaic(mosaic, method: str = "nearest", phase=(0, 0)):
         return demosaic_bilinear(mosaic, phase)
     if method == "malvar":
         return demosaic_malvar(mosaic, phase)
+    if method == "grad":
+        # The gradient-weighted generic-CFA interpolator works on any
+        # repeating pattern, Bayer included (ops/cfa_generic.py).
+        from raweditor_tpu.ops.cfa_generic import demosaic_grad_generic
+
+        pattern = {v: k for k, v in CFA_PHASES.items()}[tuple(phase)]
+        return demosaic_grad_generic(mosaic, pattern, 2, 2)
     raise ValueError(f"unknown demosaic method: {method!r}")
