@@ -1,0 +1,42 @@
+"""Host↔device transport staging helpers.
+
+The batch exporter stages decoded mosaics to HBM from its decode
+workers (pipeline/export.py). For 12-bit sensors — the dominant depth
+— the staging buffer is bit-packed on the host to 1.5 bytes/pixel and
+unpacked on device by a fused elementwise pass, cutting the H2D leg
+25% (material on bandwidth-starved links; free on PCIe since the pack
+runs in the GIL-released decode worker).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def pack12_rows(mosaic):
+    """Host-side: (H, W) u16 with samples < 4096 and even W → a
+    (H, W//2*3) u8 buffer, two samples per three bytes. Cuts the
+    host→device staging of 12-bit mosaics (the dominant sensor depth)
+    by 25%; :func:`unpack12_rows` inverts it on device."""
+    m = np.asarray(mosaic)
+    h, w = m.shape
+    e = m[:, 0::2].astype(np.uint32)
+    o = m[:, 1::2].astype(np.uint32)
+    out = np.empty((h, w // 2, 3), np.uint8)
+    out[..., 0] = e >> 4
+    out[..., 1] = ((e & 0xF) << 4) | (o >> 8)
+    out[..., 2] = o & 0xFF
+    return out.reshape(h, -1)
+
+
+def unpack12_rows(packed):
+    """Device-side inverse of :func:`pack12_rows` for (..., H, W//2*3)
+    u8 → (..., H, W) u16 — a fused elementwise pass."""
+    import jax.numpy as jnp
+
+    t = packed.reshape(packed.shape[:-1]
+                       + (packed.shape[-1] // 3, 3)).astype(jnp.uint16)
+    e = (t[..., 0] << 4) | (t[..., 1] >> 4)
+    o = ((t[..., 1] & 0xF) << 8) | t[..., 2]
+    return jnp.stack([e, o], axis=-1).reshape(
+        packed.shape[:-1] + (-1,))

@@ -394,8 +394,13 @@ class DevelopEngine:
             np.ascontiguousarray(np.asarray(cr)),
             self.width, self.height, quality)
         path = os.fspath(path)
-        with open(path, "wb") as f:
-            f.write(data)
+        from raweditor_tpu.pipeline.export import _atomic_write
+
+        def write(tmp):
+            with open(tmp, "wb") as f:
+                f.write(data)
+
+        _atomic_write(path, write)
         return path
 
     def export_tiff16(self, path: os.PathLike, params: EditParams) -> str:

@@ -108,8 +108,11 @@ class _Decoded:
     cfa_phase: tuple = (0, 0)
     # Async host→device staging started from the decode worker, so the
     # upload (48 MB per 24 MP mosaic) overlaps the next file's decode
-    # instead of serializing at flush time.
+    # instead of serializing at flush time. 12-bit mosaics stage
+    # bit-packed at 1.5 B/px (ops/staging.py) and unpack on device.
     staged: object = None
+    staged_packed: bool = False
+    staged_nbytes: int = 0
 
 
 def _decode_job(job: ExportJob, mode: str, stage: bool = False):
@@ -145,15 +148,32 @@ def _decode_job(job: ExportJob, mode: str, stage: bool = False):
         black_level=black,
         cfa_phase=phase,
     )
-    if stage and _stage_budget_acquire(decoded.mosaic.nbytes):
-        import jax
+    if stage:
+        m = decoded.mosaic
+        host_buf = None
+        if (m.ndim == 2 and m.dtype == np.uint16 and m.shape[1] % 2 == 0
+                and m.max(initial=0) < 4096):
+            # 12-bit sensors (the dominant depth): stage bit-packed at
+            # 1.5 B/px; the device unpacks in a fused pass at flush.
+            from raweditor_tpu.ops.staging import pack12_rows
 
-        # Async enqueue — does not block the worker; the transfer
-        # streams while later files decode. Bounded by the staging
-        # budget so a deep decode window can't exhaust HBM; over
-        # budget, the mosaic stays host-side and uploads at flush.
-        decoded.staged = jax.device_put(
-            np.ascontiguousarray(decoded.mosaic))
+            host_buf = pack12_rows(m)
+            decoded.staged_packed = True
+        decoded.staged_nbytes = (host_buf.nbytes if host_buf is not None
+                                 else m.nbytes)
+        if _stage_budget_acquire(decoded.staged_nbytes):
+            import jax
+
+            # Async enqueue — does not block the worker; the transfer
+            # streams while later files decode. Bounded by the staging
+            # budget so a deep decode window can't exhaust HBM; over
+            # budget, the mosaic stays host-side and uploads at flush.
+            decoded.staged = jax.device_put(
+                np.ascontiguousarray(
+                    host_buf if host_buf is not None else m))
+        else:
+            decoded.staged_packed = False
+            decoded.staged_nbytes = 0
     return decoded, time.perf_counter() - t0
 
 
@@ -224,6 +244,21 @@ def _encode_one(out_path: str, rgba_words: np.ndarray, quality: int) -> None:
                                     quality=quality)
 
     _atomic_write(out_path, write)
+
+
+_UNPACK12_JIT = None
+
+
+def _unpack12_jit():
+    """Process-wide jitted 12-bit staging unpack (ops/staging.py)."""
+    global _UNPACK12_JIT
+    if _UNPACK12_JIT is None:
+        import jax
+
+        from raweditor_tpu.ops.staging import unpack12_rows
+
+        _UNPACK12_JIT = jax.jit(unpack12_rows)
+    return _UNPACK12_JIT
 
 
 _YCBCR420_JIT = None
@@ -468,7 +503,12 @@ def run_batch_export(
         # (batch_size, H, W). Padding replays item 0 and is dropped
         # before encode.
         padded = batch + [batch[0]] * (batch_size - n_real)
-        if mesh is None and all(d.staged is not None for d in padded):
+        staged_ok = (
+            mesh is None
+            and all(d.staged is not None for d in padded)
+            and len({d.staged_packed for d in padded}) == 1
+        )
+        if staged_ok:
             # Workers pre-staged each mosaic to HBM; the residual wait
             # here (timed as upload) is whatever the link hasn't
             # streamed yet — fully overlapped uploads cost ~0.
@@ -478,17 +518,16 @@ def run_batch_export(
             mosaics = jnp.stack([d.staged for d in padded])
             jax.block_until_ready(mosaics)
             report.upload_seconds += time.perf_counter() - t_up
-            report.upload_bytes += sum(d.mosaic.nbytes for d in batch)
-            for d in batch:  # drop the per-image buffers + budget
-                if d.staged is not None:
-                    d.staged = None
-                    _stage_budget_release(d.mosaic.nbytes)
+            report.upload_bytes += sum(d.staged_nbytes for d in batch)
+            if padded[0].staged_packed:
+                # Bit-packed staging: fused device unpack to u16.
+                mosaics = _unpack12_jit()(mosaics)
         else:
-            for d in batch:  # mixed/unstaged batch: host path
-                if d.staged is not None:
-                    d.staged = None
-                    _stage_budget_release(d.mosaic.nbytes)
             mosaics = np.stack([d.mosaic for d in padded])
+        for d in batch:  # drop the per-image buffers + budget
+            if d.staged is not None:
+                d.staged = None
+                _stage_budget_release(d.staged_nbytes)
         params = pack_params([d.job.params for d in padded])
         wbs = np.stack([d.wb for d in padded])
         cms = np.stack([d.cam_matrix for d in padded])
