@@ -296,14 +296,19 @@ def main():
         if e2e_report.failed:
             e2e_per_sec = 0.0  # a quarantined image invalidates the run
         # The tunneled dev chip's device→host link runs at single-digit
-        # MB/s; fetching developed pixels dominates the wall clock by
-        # orders of magnitude and is a property of this link, not the
-        # pipeline (a local-attached TPU host moves GB/s). Report the
-        # transport rate and the transport-excluded pipeline rate so
-        # both truths are on record (docs/performance.md has the
-        # decomposition).
-        e2e_nonfetch = (e2e_report.seconds - e2e_report.fetch_seconds
-                        - e2e_report.upload_seconds)
+        # MB/s; transport dominates the wall clock and is a property of
+        # this link, not the pipeline (a local-attached TPU host moves
+        # GB/s). Report the transport rate and a transport-excluded
+        # rate. NOTE: with the full-duplex pipeline the two legs
+        # overlap each other and other stages, so subtracting both is
+        # an OPTIMISTIC upper bound; the denominator is floored at 5%
+        # of the wall so a fully transport-bound run reports a large
+        # bound rather than 0/negative nonsense.
+        e2e_nonfetch = max(
+            e2e_report.seconds - e2e_report.fetch_seconds
+            - e2e_report.upload_seconds,
+            0.05 * e2e_report.seconds,
+        )
         e2e_excl_fetch = (e2e_report.succeeded / e2e_nonfetch
                           if e2e_nonfetch > 0 else 0.0)
     finally:

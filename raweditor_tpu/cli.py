@@ -587,12 +587,17 @@ def cmd_synth(args) -> int:
         w14 = (args.width // 14) * 14  # RW2 rows are 14-pixel groups
         if w14 == 0:
             raise SystemExit("rw2 needs --width >= 14")
+        if w14 != args.width:
+            print(f"rw2: width cropped to {w14} (14-pixel groups)",
+                  file=sys.stderr)
         write_synthetic_rw2(args.output,
                             rw2_representable(mosaic[:, :w14]))
     elif comp == "crw":
         from raweditor_tpu.raw.ciff import write_crw
 
-        write_crw(args.output, np.minimum(mosaic, 4095))
+        if args.bpp > 12:
+            raise SystemExit("crw is a 12-bit format; use --bpp <= 12")
+        write_crw(args.output, mosaic)
     elif comp == "raf":
         from raweditor_tpu.raw.raf import write_raf
 

@@ -150,30 +150,37 @@ def _decode_job(job: ExportJob, mode: str, stage: bool = False):
     )
     if stage:
         m = decoded.mosaic
-        host_buf = None
-        if (m.ndim == 2 and m.dtype == np.uint16 and m.shape[1] % 2 == 0
-                and m.max(initial=0) < 4096):
-            # 12-bit sensors (the dominant depth): stage bit-packed at
-            # 1.5 B/px; the device unpacks in a fused pass at flush.
-            from raweditor_tpu.ops.staging import pack12_rows
+        packable = (m.ndim == 2 and m.dtype == np.uint16
+                    and m.shape[1] % 2 == 0
+                    and m.max(initial=0) < 4096)
+        nbytes = m.nbytes * 3 // 4 if packable else m.nbytes
+        # Budget check BEFORE the pack so a pegged budget costs no
+        # host work; any staging failure (e.g. device OOM) releases
+        # the budget and degrades to flush-time upload — never a
+        # quarantined image.
+        if _stage_budget_acquire(nbytes):
+            try:
+                import jax
 
-            host_buf = pack12_rows(m)
-            decoded.staged_packed = True
-        decoded.staged_nbytes = (host_buf.nbytes if host_buf is not None
-                                 else m.nbytes)
-        if _stage_budget_acquire(decoded.staged_nbytes):
-            import jax
+                if packable:
+                    # 12-bit sensors (the dominant depth): stage
+                    # bit-packed at 1.5 B/px; the device unpacks in a
+                    # fused pass at flush.
+                    from raweditor_tpu.ops.staging import pack12_rows
 
-            # Async enqueue — does not block the worker; the transfer
-            # streams while later files decode. Bounded by the staging
-            # budget so a deep decode window can't exhaust HBM; over
-            # budget, the mosaic stays host-side and uploads at flush.
-            decoded.staged = jax.device_put(
-                np.ascontiguousarray(
-                    host_buf if host_buf is not None else m))
-        else:
-            decoded.staged_packed = False
-            decoded.staged_nbytes = 0
+                    host_buf = pack12_rows(m)
+                else:
+                    host_buf = np.ascontiguousarray(m)
+                # Async enqueue — does not block the worker; the
+                # transfer streams while later files decode.
+                decoded.staged = jax.device_put(host_buf)
+                decoded.staged_packed = packable
+                decoded.staged_nbytes = nbytes
+            except Exception:
+                _stage_budget_release(nbytes)
+                decoded.staged = None
+                decoded.staged_packed = False
+                decoded.staged_nbytes = 0
     return decoded, time.perf_counter() - t0
 
 
@@ -181,19 +188,46 @@ def _decode_job(job: ExportJob, mode: str, stage: bool = False):
 # them so deep windows on big images can't exhaust device memory
 # (notably the shared tunneled dev chip). Over budget, images upload
 # at flush time instead — correctness is unaffected.
+# Default sized to fit one default batch of packed 24 MP mosaics
+# (8 x 36 MB) with headroom; partial batches use whatever fit.
 _STAGE_BUDGET = int(os.environ.get(
-    "RAWEDITOR_TPU_STAGE_BUDGET_MB", "256")) * 1_000_000
+    "RAWEDITOR_TPU_STAGE_BUDGET_MB", "512")) * 1_000_000
 _stage_lock = None
 _stage_used = 0
 
 
-def _stage_budget_acquire(nbytes: int) -> bool:
-    global _stage_lock, _stage_used
+_stage_runs = 0  # active run_batch_export calls (leak self-healing)
+
+
+def _ensure_stage_lock():
+    global _stage_lock
     if _stage_lock is None:
         import threading
 
         _stage_lock = threading.Lock()
-    with _stage_lock:
+    return _stage_lock
+
+
+def _stage_run_begin() -> None:
+    """Mark a run active; if no other run holds staging, clear any
+    budget leaked by an aborted previous run (its buffers are long
+    garbage-collected — only the counter survived)."""
+    global _stage_runs, _stage_used
+    with _ensure_stage_lock():
+        if _stage_runs == 0:
+            _stage_used = 0
+        _stage_runs += 1
+
+
+def _stage_run_end() -> None:
+    global _stage_runs
+    with _ensure_stage_lock():
+        _stage_runs = max(0, _stage_runs - 1)
+
+
+def _stage_budget_acquire(nbytes: int) -> bool:
+    global _stage_used
+    with _ensure_stage_lock():
         if _stage_used + nbytes > _STAGE_BUDGET:
             return False
         _stage_used += nbytes
@@ -202,9 +236,8 @@ def _stage_budget_acquire(nbytes: int) -> bool:
 
 def _stage_budget_release(nbytes: int) -> None:
     global _stage_used
-    if _stage_lock is not None:
-        with _stage_lock:
-            _stage_used = max(0, _stage_used - nbytes)
+    with _ensure_stage_lock():
+        _stage_used = max(0, _stage_used - nbytes)
 
 
 def _atomic_write(out_path: str, write_fn) -> None:
@@ -422,6 +455,7 @@ def run_batch_export(
                 for j in jobs)
     )
     t_start = time.perf_counter()
+    _stage_run_begin()
     encode_futures: List[Tuple[Future, ExportJob]] = []
     # Device batches in flight: develop is dispatched asynchronously;
     # a dedicated fetch thread pulls results one batch behind, so TPU
@@ -503,31 +537,37 @@ def run_batch_export(
         # (batch_size, H, W). Padding replays item 0 and is dropped
         # before encode.
         padded = batch + [batch[0]] * (batch_size - n_real)
-        staged_ok = (
-            mesh is None
-            and all(d.staged is not None for d in padded)
-            and len({d.staged_packed for d in padded}) == 1
-        )
-        if staged_ok:
-            # Workers pre-staged each mosaic to HBM; the residual wait
-            # here (timed as upload) is whatever the link hasn't
-            # streamed yet — fully overlapped uploads cost ~0.
+        if mesh is None and any(d.staged is not None for d in batch):
+            # Use every pre-staged buffer (partial batches included —
+            # an over-budget straggler must not discard the bytes the
+            # link already streamed); items without one upload here.
+            # The residual wait (timed as upload) is whatever the link
+            # hasn't streamed yet — fully overlapped staging costs ~0.
             import jax.numpy as jnp
 
             t_up = time.perf_counter()
-            mosaics = jnp.stack([d.staged for d in padded])
+            parts = []
+            late_bytes = 0
+            built = {}  # padding replays batch[0]: upload/unpack once
+            for d in padded:
+                if id(d) not in built:
+                    if d.staged is None:
+                        late = np.ascontiguousarray(d.mosaic)
+                        late_bytes += late.nbytes
+                        built[id(d)] = jax.device_put(late)
+                    elif d.staged_packed:
+                        # Bit-packed staging: fused device unpack.
+                        built[id(d)] = _unpack12_jit()(d.staged)
+                    else:
+                        built[id(d)] = d.staged
+                parts.append(built[id(d)])
+            mosaics = jnp.stack(parts)
             jax.block_until_ready(mosaics)
             report.upload_seconds += time.perf_counter() - t_up
-            report.upload_bytes += sum(d.staged_nbytes for d in batch)
-            if padded[0].staged_packed:
-                # Bit-packed staging: fused device unpack to u16.
-                mosaics = _unpack12_jit()(mosaics)
+            report.upload_bytes += late_bytes + sum(
+                d.staged_nbytes for d in batch if d.staged is not None)
         else:
             mosaics = np.stack([d.mosaic for d in padded])
-        for d in batch:  # drop the per-image buffers + budget
-            if d.staged is not None:
-                d.staged = None
-                _stage_budget_release(d.staged_nbytes)
         params = pack_params([d.job.params for d in padded])
         wbs = np.stack([d.wb for d in padded])
         cms = np.stack([d.cam_matrix for d in padded])
@@ -645,6 +685,13 @@ def run_batch_export(
             # Convert + subsample on device: one extra HBM-bound pass,
             # 2.67× less data over the wire (ops/jpeg.py).
             out = _ycbcr420_jit()(out)
+        # Release staging budget only now: until dispatch, the staged
+        # buffers were the live copies (releasing at stack time let the
+        # decode window transiently double the budgeted HBM).
+        for d in batch:
+            if d.staged is not None:
+                d.staged = None
+                _stage_budget_release(d.staged_nbytes)
         inflight.append(
             (fetch_pool.submit(_fetch_batch, out, batch, t0), batch))
         drain_inflight(encode_pool, depth=1)
@@ -700,6 +747,7 @@ def run_batch_export(
         report.encode_seconds += time.perf_counter() - t0
 
     report.seconds = time.perf_counter() - t_start
+    _stage_run_end()
     return report
 
 

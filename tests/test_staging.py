@@ -55,6 +55,30 @@ def test_export_stages_12bit_packed(tmp_path, rng):
             (tmp_path / f"b{i}.png").read_bytes()
 
 
+def test_partial_staging_under_budget(tmp_path, rng, monkeypatch):
+    """A budget smaller than the batch must still use the staged
+    buffers that fit (no all-or-nothing discard) and produce outputs
+    identical to the unconstrained run."""
+    import raweditor_tpu.pipeline.export as ex
+
+    h, w = 16, 24
+    per_packed = h * w * 2 * 3 // 4
+    mosaics = [rng.integers(0, 4096, size=(h, w), dtype=np.uint16)
+               for _ in range(4)]
+    rep_full = _export(tmp_path, mosaics, "full")
+    assert rep_full.upload_bytes == 4 * per_packed
+
+    monkeypatch.setattr(ex, "_STAGE_BUDGET", 2 * per_packed + 8)
+    rep_small = _export(tmp_path, mosaics, "small")
+    assert rep_small.succeeded == 4
+    # 2 staged packed + 2 uploaded raw at flush.
+    assert rep_small.upload_bytes == 2 * per_packed + 2 * h * w * 2
+    for i in range(4):
+        assert (tmp_path / f"full{i}.png").read_bytes() == \
+            (tmp_path / f"small{i}.png").read_bytes()
+    assert ex._stage_used == 0  # budget fully returned
+
+
 def test_export_16bit_values_stage_unpacked(tmp_path, rng):
     """Samples above 4095 can't pack to 12 bits — staging falls back
     to the raw u16 buffer transparently."""
