@@ -40,3 +40,35 @@ def unpack12_rows(packed):
     o = ((t[..., 1] & 0xF) << 8) | t[..., 2]
     return jnp.stack([e, o], axis=-1).reshape(
         packed.shape[:-1] + (-1,))
+
+
+def pack14_rows(mosaic):
+    """Host-side: (H, W) u16 with samples < 16384 and W % 4 == 0 →
+    (H, W//4*7) u8, four samples per seven bytes (12.5% saved). Byte
+    math only — the device inverse needs no 64-bit ops."""
+    m = np.asarray(mosaic)
+    h, w = m.shape
+    s = m.reshape(h, w // 4, 4).astype(np.uint32)
+    out = np.empty((h, w // 4, 7), np.uint8)
+    out[..., 0] = s[..., 0] >> 6
+    out[..., 1] = ((s[..., 0] & 0x3F) << 2) | (s[..., 1] >> 12)
+    out[..., 2] = (s[..., 1] >> 4) & 0xFF
+    out[..., 3] = ((s[..., 1] & 0xF) << 4) | (s[..., 2] >> 10)
+    out[..., 4] = (s[..., 2] >> 2) & 0xFF
+    out[..., 5] = ((s[..., 2] & 0x3) << 6) | (s[..., 3] >> 8)
+    out[..., 6] = s[..., 3] & 0xFF
+    return out.reshape(h, -1)
+
+
+def unpack14_rows(packed):
+    """Device-side inverse of :func:`pack14_rows`."""
+    import jax.numpy as jnp
+
+    t = packed.reshape(packed.shape[:-1]
+                       + (packed.shape[-1] // 7, 7)).astype(jnp.uint16)
+    s0 = (t[..., 0] << 6) | (t[..., 1] >> 2)
+    s1 = ((t[..., 1] & 0x3) << 12) | (t[..., 2] << 4) | (t[..., 3] >> 4)
+    s2 = ((t[..., 3] & 0xF) << 10) | (t[..., 4] << 2) | (t[..., 5] >> 6)
+    s3 = ((t[..., 5] & 0x3F) << 8) | t[..., 6]
+    return jnp.stack([s0, s1, s2, s3], axis=-1).reshape(
+        packed.shape[:-1] + (-1,))

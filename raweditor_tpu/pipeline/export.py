@@ -111,7 +111,7 @@ class _Decoded:
     # instead of serializing at flush time. 12-bit mosaics stage
     # bit-packed at 1.5 B/px (ops/staging.py) and unpack on device.
     staged: object = None
-    staged_packed: bool = False
+    staged_fmt: str = "raw"  # "raw" | "u12" | "u14"
     staged_nbytes: int = 0
 
 
@@ -150,10 +150,15 @@ def _decode_job(job: ExportJob, mode: str, stage: bool = False):
     )
     if stage:
         m = decoded.mosaic
-        packable = (m.ndim == 2 and m.dtype == np.uint16
-                    and m.shape[1] % 2 == 0
-                    and m.max(initial=0) < 4096)
-        nbytes = m.nbytes * 3 // 4 if packable else m.nbytes
+        fmt = "raw"
+        if m.ndim == 2 and m.dtype == np.uint16:
+            peak = m.max(initial=0)
+            if peak < 4096 and m.shape[1] % 2 == 0:
+                fmt = "u12"  # 1.5 B/px (the dominant sensor depth)
+            elif peak < 16384 and m.shape[1] % 4 == 0:
+                fmt = "u14"  # 1.75 B/px
+        nbytes = {"u12": m.nbytes * 3 // 4,
+                  "u14": m.nbytes * 7 // 8}.get(fmt, m.nbytes)
         # Budget check BEFORE the pack so a pegged budget costs no
         # host work; any staging failure (e.g. device OOM) releases
         # the budget and degrades to flush-time upload — never a
@@ -162,24 +167,21 @@ def _decode_job(job: ExportJob, mode: str, stage: bool = False):
             try:
                 import jax
 
-                if packable:
-                    # 12-bit sensors (the dominant depth): stage
-                    # bit-packed at 1.5 B/px; the device unpacks in a
-                    # fused pass at flush.
-                    from raweditor_tpu.ops.staging import pack12_rows
+                from raweditor_tpu.ops.staging import (pack12_rows,
+                                                       pack14_rows)
 
-                    host_buf = pack12_rows(m)
-                else:
-                    host_buf = np.ascontiguousarray(m)
+                host_buf = {"u12": pack12_rows,
+                            "u14": pack14_rows}.get(
+                    fmt, np.ascontiguousarray)(m)
                 # Async enqueue — does not block the worker; the
                 # transfer streams while later files decode.
                 decoded.staged = jax.device_put(host_buf)
-                decoded.staged_packed = packable
+                decoded.staged_fmt = fmt
                 decoded.staged_nbytes = nbytes
             except Exception:
                 _stage_budget_release(nbytes)
                 decoded.staged = None
-                decoded.staged_packed = False
+                decoded.staged_fmt = "raw"
                 decoded.staged_nbytes = 0
     return decoded, time.perf_counter() - t0
 
@@ -279,19 +281,20 @@ def _encode_one(out_path: str, rgba_words: np.ndarray, quality: int) -> None:
     _atomic_write(out_path, write)
 
 
-_UNPACK12_JIT = None
+_UNPACK_JITS = {}
 
 
-def _unpack12_jit():
-    """Process-wide jitted 12-bit staging unpack (ops/staging.py)."""
-    global _UNPACK12_JIT
-    if _UNPACK12_JIT is None:
+def _unpack_jit(fmt: str):
+    """Process-wide jitted staging unpacks (ops/staging.py)."""
+    if fmt not in _UNPACK_JITS:
         import jax
 
-        from raweditor_tpu.ops.staging import unpack12_rows
+        from raweditor_tpu.ops.staging import (unpack12_rows,
+                                               unpack14_rows)
 
-        _UNPACK12_JIT = jax.jit(unpack12_rows)
-    return _UNPACK12_JIT
+        _UNPACK_JITS[fmt] = jax.jit(
+            unpack12_rows if fmt == "u12" else unpack14_rows)
+    return _UNPACK_JITS[fmt]
 
 
 _YCBCR420_JIT = None
@@ -555,9 +558,10 @@ def run_batch_export(
                         late = np.ascontiguousarray(d.mosaic)
                         late_bytes += late.nbytes
                         built[id(d)] = jax.device_put(late)
-                    elif d.staged_packed:
+                    elif d.staged_fmt != "raw":
                         # Bit-packed staging: fused device unpack.
-                        built[id(d)] = _unpack12_jit()(d.staged)
+                        built[id(d)] = _unpack_jit(d.staged_fmt)(
+                            d.staged)
                     else:
                         built[id(d)] = d.staged
                 parts.append(built[id(d)])

@@ -26,6 +26,27 @@ def test_pack12_extremes():
             np.asarray(unpack12_rows(pack12_rows(m))), m)
 
 
+def test_pack14_round_trip(rng):
+    from raweditor_tpu.ops.staging import pack14_rows, unpack14_rows
+
+    m = rng.integers(0, 16384, size=(10, 16), dtype=np.uint16)
+    p = pack14_rows(m)
+    assert p.dtype == np.uint8 and p.nbytes == m.nbytes * 7 // 8
+    assert np.array_equal(np.asarray(unpack14_rows(p)), m)
+    for fill in (0, 16383):
+        c = np.full((4, 8), fill, np.uint16)
+        assert np.array_equal(
+            np.asarray(unpack14_rows(pack14_rows(c))), c)
+
+
+def test_export_stages_14bit_packed(tmp_path, rng):
+    h, w = 16, 24
+    m = rng.integers(4096, 16384, size=(h, w), dtype=np.uint16)
+    rep = _export(tmp_path, [m], "b14")
+    assert rep.succeeded == 1
+    assert rep.upload_bytes == h * w * 2 * 7 // 8  # 1.75 B/px
+
+
 def _export(tmp_path, mosaics, tag):
     jobs = []
     for i, m in enumerate(mosaics):
