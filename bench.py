@@ -9,6 +9,7 @@ chip and <16 ms p50 1280 px preview re-render.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -24,7 +25,9 @@ def _stage(msg):
           file=sys.stderr, flush=True)
 
 
-def main():
+def _measure(results):
+    """Run all measurements, updating `results` at section boundaries
+    so a stalled tunnel still leaves partial numbers to print."""
     from raweditor_tpu.utils import ensure_backend
 
     ensure_backend()  # also enables the persistent compile cache
@@ -38,6 +41,8 @@ def main():
 
     rng = np.random.default_rng(0)
     h, w = 4016, 6016  # Nikon D3300 24 MP (reference: main.rs:1752-1754)
+    if os.environ.get("RAWEDITOR_TPU_BENCH_SMALL"):
+        h, w = 512, 768  # structural smoke runs (CI/CPU) only
     mosaic_host = rng.integers(0, 4096, size=(h, w), dtype=np.uint16)
     wb = np.array([2.07, 1.0, 1.32], dtype=np.float32)
     cm = np.eye(3, dtype=np.float32)
@@ -72,11 +77,23 @@ def main():
         return best
 
     _stage("throughput lanes")
+    t_lane = time.perf_counter()
     xla_per_sec = timed_throughput(
         lambda p: develop_rgba(mosaic, p, wb, cm)
     )
+    # Congested-tunnel fallback: if one lane ate minutes (compile or
+    # transport stalls), shrink the remaining lanes so the bench still
+    # finishes inside the driver's window with every section present.
+    fast_bench = (time.perf_counter() - t_lane) > 90.0
+    if fast_bench:
+        _stage("slow lane detected - reducing iterations")
+    it_p, it_a, n_pass = (16, 8, 1) if fast_bench else (64, 32, 2)
+    results.update(value=round(xla_per_sec, 2),
+                   vs_baseline=round(xla_per_sec / 50.0, 3),
+                   xla_develops_per_sec=round(xla_per_sec, 2))
     xla_poly_per_sec = timed_throughput(
-        lambda p: develop_rgba(mosaic, p, wb, cm, transfer="gamma22_poly")
+        lambda p: develop_rgba(mosaic, p, wb, cm, transfer="gamma22_poly"),
+        iters=it_p, passes=n_pass,
     )
     # Hand-fused Pallas kernel (±1 LSB, see ops/pallas_develop.py) is
     # the headline path; fall back to XLA if the shape is unsupported.
@@ -84,7 +101,8 @@ def main():
         from raweditor_tpu.ops.pallas_develop import pallas_develop_rgba
 
         pallas_per_sec = timed_throughput(
-            lambda p: pallas_develop_rgba(mosaic, p, wb, cm)
+            lambda p: pallas_develop_rgba(mosaic, p, wb, cm),
+            iters=it_p, passes=n_pass,
         )
         # Polynomial gamma variant: two hardware sqrts + a degree-6
         # poly replace the transcendental pow (the single most
@@ -92,7 +110,8 @@ def main():
         # within 1 LSB of the exact-pow kernel (test_fast_gamma_*).
         pallas_poly_per_sec = timed_throughput(
             lambda p: pallas_develop_rgba(mosaic, p, wb, cm,
-                                          gamma="poly")
+                                          gamma="poly"),
+            iters=it_p, passes=n_pass,
         )
     except Exception:
         pallas_per_sec = 0.0
@@ -102,6 +121,14 @@ def main():
     # them).
     develops_per_sec = max(xla_per_sec, xla_poly_per_sec,
                            pallas_per_sec, pallas_poly_per_sec)
+    results.update(
+        value=round(develops_per_sec, 2),
+        vs_baseline=round(develops_per_sec / 50.0, 3),
+        xla_develops_per_sec=round(xla_per_sec, 2),
+        xla_poly_develops_per_sec=round(xla_poly_per_sec, 2),
+        pallas_develops_per_sec=round(pallas_per_sec, 2),
+        pallas_poly_develops_per_sec=round(pallas_poly_per_sec, 2),
+    )
 
     # --- quality lane: accurate mode (Malvar 5×5 demosaic + a real
     # color matrix + true sRGB transfer) — the path a real developer
@@ -114,14 +141,14 @@ def main():
     xla_accurate_per_sec = timed_throughput(
         lambda p: develop_rgba(mosaic, p, wb, real_cm,
                                demosaic_method="malvar", transfer="srgb"),
-        iters=32,
+        iters=it_a, passes=n_pass,
     )
     try:
         pallas_accurate_per_sec = timed_throughput(
             lambda p: pallas_develop_rgba(mosaic, p, wb, real_cm,
                                           demosaic="malvar",
                                           gamma="srgb"),
-            iters=32,
+            iters=it_a, passes=n_pass,
         )
     except Exception:
         pallas_accurate_per_sec = 0.0
@@ -134,12 +161,20 @@ def main():
             lambda p: pallas_develop_rgba(mosaic, p, wb, real_cm,
                                           demosaic="malvar",
                                           gamma="srgb_poly"),
-            iters=32,
+            iters=it_a, passes=n_pass,
         )
     except Exception:
         pallas_accurate_poly_per_sec = 0.0
     accurate_per_sec = max(xla_accurate_per_sec, pallas_accurate_per_sec,
                            pallas_accurate_poly_per_sec)
+    results.update(
+        accurate_develops_per_sec=round(accurate_per_sec, 2),
+        xla_accurate_develops_per_sec=round(xla_accurate_per_sec, 2),
+        pallas_accurate_develops_per_sec=round(
+            pallas_accurate_per_sec, 2),
+        pallas_accurate_poly_develops_per_sec=round(
+            pallas_accurate_poly_per_sec, 2),
+    )
 
     # --- 1280 px preview re-render latency (slider change → preview
     # ready on device), decomposed so the number is defensible on a
@@ -233,6 +268,16 @@ def main():
         r, s = compiled_preview(mosaic, p, wb, cm)
     np.asarray(s)
     amortized_ms = (time.perf_counter() - t0) * 1000.0 / 50
+    results.update(
+        preview_p50_ms=round(p50, 2),
+        preview_p95_ms=round(p95, 2),
+        preview_device_p50_ms=round(device_p50, 3),
+        preview_dispatch_p50_ms=round(dispatch_p50, 3),
+        rpc_floor_ms=round(rpc_floor, 2),
+        preview_fetch_p50_ms=round(fetch_p50, 2),
+        preview_amortized_ms=round(amortized_ms, 3),
+        preview_target_ms=16.0,
+    )
 
     # --- end-to-end batch export (decode -> develop -> encode): the
     # BASELINE batch config ("1,000 NEFs -> sRGB JPEG") at reduced
@@ -243,7 +288,6 @@ def main():
     # (VERDICT r1 item 2). benchmarks/pipeline_bench.py runs the same
     # pipeline at arbitrary scale.
     import gc
-    import os
     import shutil
     import tempfile
 
@@ -314,51 +358,59 @@ def main():
     finally:
         shutil.rmtree(e2e_dir, ignore_errors=True)
 
-    _stage("done; printing")
-    target = 50.0  # develops/sec/chip (BASELINE.md rebuild target)
-    print(
-        json.dumps(
-            {
-                "metric": "develops_per_sec_24mp",
-                "value": round(develops_per_sec, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(develops_per_sec / target, 3),
-                "xla_develops_per_sec": round(xla_per_sec, 2),
-                "xla_poly_develops_per_sec": round(xla_poly_per_sec, 2),
-                "pallas_develops_per_sec": round(pallas_per_sec, 2),
-                "pallas_poly_develops_per_sec": round(
-                    pallas_poly_per_sec, 2),
-                "accurate_develops_per_sec": round(accurate_per_sec, 2),
-                "xla_accurate_develops_per_sec": round(
-                    xla_accurate_per_sec, 2),
-                "pallas_accurate_develops_per_sec": round(
-                    pallas_accurate_per_sec, 2),
-                "pallas_accurate_poly_develops_per_sec": round(
-                    pallas_accurate_poly_per_sec, 2),
-                "preview_p50_ms": round(p50, 2),
-                "preview_p95_ms": round(p95, 2),
-                "preview_device_p50_ms": round(device_p50, 3),
-                "preview_dispatch_p50_ms": round(dispatch_p50, 3),
-                "rpc_floor_ms": round(rpc_floor, 2),
-                "preview_fetch_p50_ms": round(fetch_p50, 2),
-                "preview_amortized_ms": round(amortized_ms, 3),
-                "preview_target_ms": 16.0,
-                "e2e_develops_per_sec": round(e2e_per_sec, 2),
-                "e2e_images": n_e2e,
-                "e2e_decode_threads": threads,
-                "e2e_decode_seconds": round(e2e_report.decode_seconds, 2),
-                "e2e_device_seconds": round(e2e_report.device_seconds, 2),
-                "e2e_fetch_seconds": round(e2e_report.fetch_seconds, 2),
-                "e2e_fetch_mb": round(e2e_report.fetch_bytes / 1e6, 1),
-                "e2e_upload_seconds": round(e2e_report.upload_seconds, 2),
-                "e2e_upload_mb": round(e2e_report.upload_bytes / 1e6, 1),
-                "e2e_link_mbps": round(e2e_report.fetch_mbps, 1),
-                "e2e_excl_fetch_develops_per_sec": round(e2e_excl_fetch, 2),
-                "e2e_encode_seconds": round(e2e_report.encode_seconds, 2),
-                "device": str(jax.devices()[0]),
-            }
-        )
+    _stage("done")
+    results.update(
+        e2e_develops_per_sec=round(e2e_per_sec, 2),
+        e2e_images=n_e2e,
+        e2e_decode_threads=threads,
+        e2e_decode_seconds=round(e2e_report.decode_seconds, 2),
+        e2e_device_seconds=round(e2e_report.device_seconds, 2),
+        e2e_fetch_seconds=round(e2e_report.fetch_seconds, 2),
+        e2e_fetch_mb=round(e2e_report.fetch_bytes / 1e6, 1),
+        e2e_upload_seconds=round(e2e_report.upload_seconds, 2),
+        e2e_upload_mb=round(e2e_report.upload_bytes / 1e6, 1),
+        e2e_link_mbps=round(e2e_report.fetch_mbps, 1),
+        e2e_excl_fetch_develops_per_sec=round(e2e_excl_fetch, 2),
+        e2e_encode_seconds=round(e2e_report.encode_seconds, 2),
+        device=str(jax.devices()[0]),
     )
+
+
+def main():
+    """Budgeted runner: the measurements run on a daemon thread and
+    whatever landed by the deadline is printed as THE one JSON line —
+    a wedged tunnel (observed: a single lane stalling 18+ minutes)
+    must never leave the driver with no bench record at all."""
+    import threading
+
+    results = {
+        "metric": "develops_per_sec_24mp",
+        "value": 0.0,
+        "unit": "images/sec/chip",
+        "vs_baseline": 0.0,
+    }
+    done = threading.Event()
+
+    def work():
+        try:
+            _measure(results)
+        except BaseException as e:  # noqa: BLE001 - recorded, not raised
+            results["error"] = f"{type(e).__name__}: {e}"[:300]
+            _stage(f"measurement failed: {e}")
+        finally:
+            done.set()
+
+    worker = threading.Thread(target=work, daemon=True)
+    worker.start()
+    budget = float(os.environ.get("RAWEDITOR_TPU_BENCH_BUDGET_S", "480"))
+    done.wait(budget)
+    if not done.is_set():
+        results["error"] = (f"wall budget {budget:.0f}s exceeded "
+                            "(tunnel stall) - partial results")
+        _stage("budget exceeded; printing partials")
+    print(json.dumps(dict(results)), flush=True)
+    if not done.is_set():
+        os._exit(0)  # abandon the wedged worker; the line is out
 
 
 if __name__ == "__main__":
