@@ -7,6 +7,7 @@ stdin/stdout line protocol, so an interactive frontend (or a latency
 harness) can drive the engine without linking a GUI:
 
     set <slider> <value>     update one slider (persists when --db)
+    open <id|path>           switch to another image (replays its edits)
     zoom <z> | pan <x> <y>   view transform (clamped like the UI)
     render <path>            write current preview PNG
     auto [levels] [contrast] [tone] apply auto-adjust suggestions
@@ -161,6 +162,47 @@ class DevelopSession:
             self._frozen = False
         return {"ok": True, "params": json.loads(self.params.to_json())}
 
+    def open(self, target: str) -> dict:
+        """Switch the session to another image — the reference's
+        develop-tab image selection (reference: main.rs:497-527):
+        decode, replay its stored edits, reset the view transform.
+        ``target`` is a catalog image id (with --db) or a file path."""
+        import os
+
+        path = target
+        image_id = None
+        if self.library is not None and target.isdigit():
+            image_id = int(target)
+            row = next((i for i in self.library.get_all_images()
+                        if i.id == image_id), None)
+            if row is None:
+                return {"ok": False,
+                        "error": f"no catalog image {image_id}"}
+            path = row.path
+        if not os.path.exists(path):
+            return {"ok": False, "error": f"no such file: {path}"}
+        eng = self.engine
+        try:
+            self.engine = DevelopEngine.open(
+                path, mode=eng.mode, use_pallas=eng.use_pallas,
+                fast_gamma=eng.fast_gamma,
+                demosaic_method=eng.demosaic_method,
+                transfer=eng.transfer,  # already fast-gamma-resolved
+                auto_orient=eng.auto_orient,
+            )
+        except Exception as e:  # quarantine, stay on the current image
+            return {"ok": False, "error": f"decode: {e}"}
+        self.image_id = image_id
+        self.params = (self.library.load_edit_params(image_id)
+                       if self.library is not None and image_id is not None
+                       else EditParams())
+        self.zoom = 1.0
+        self.pan = (0.0, 0.0)
+        self._frozen = False
+        return {"ok": True, "path": path, "image_id": image_id,
+                "size": [self.engine.width, self.engine.height],
+                "params": json.loads(self.params.to_json())}
+
     def stats(self) -> dict:
         return {"ok": True, "latency": self.latency.summary()}
 
@@ -175,10 +217,11 @@ class DevelopSession:
         # Arity check up front so a missing operand reads as usage help,
         # not a bare IndexError message.
         min_args = {"set": 2, "zoom": 1, "pan": 2, "render": 1, "full": 1,
-                    "before": 1}
+                    "before": 1, "open": 1}
         usage = {"set": "set <slider> <value>", "zoom": "zoom <factor>",
                  "pan": "pan <x> <y>", "render": "render <path>",
-                 "full": "full <path>", "before": "before <path>"}
+                 "full": "full <path>", "before": "before <path>",
+                 "open": "open <image-id|path>"}
         if len(args) < min_args.get(cmd, 0):
             return {"ok": False, "error": f"usage: {usage[cmd]}"}
         try:
@@ -206,6 +249,8 @@ class DevelopSession:
                 return self.history()
             if cmd == "auto":
                 return self.auto(*args)
+            if cmd == "open":
+                return self.open(args[0])
             if cmd == "stats":
                 return self.stats()
             return {"ok": False, "error": f"unknown command {cmd!r}"}

@@ -132,6 +132,38 @@ def test_protocol_fuzz_never_crashes(session, rng):
             json.dumps(out)
 
 
+def test_open_switches_image(session, tmp_path, rng):
+    """The reference develop tab switches images; the session's `open`
+    swaps engines, replays the new image's stored edits, and resets
+    the view (reference: main.rs:497-527)."""
+    s, lib, image_id = session
+    other = tmp_path / "b.nef"
+    write_synthetic_raw(
+        other, rng.integers(0, 4096, size=(16, 20), dtype=np.uint16))
+    other_id = lib.import_image(str(other), "b.nef")
+    lib.save_edit_params(other_id, EditParams(exposure=0.7))
+
+    s.set_zoom(2.0)
+    out = s.handle(f"open {other_id}")
+    assert out["ok"] and out["size"] == [20, 16]
+    assert s.image_id == other_id
+    assert s.params.exposure == 0.7  # stored edits replayed
+    assert s.zoom == 1.0 and s.pan == (0.0, 0.0)
+    # Slider ticks persist against the NEW image now.
+    s.set_slider("contrast", 10.0)
+    assert lib.load_edit_params(other_id).contrast == 10.0
+
+    # Bad targets keep the session on the current image.
+    bad = s.handle("open 9999")
+    assert not bad["ok"] and s.image_id == other_id
+    bad = s.handle(f"open {tmp_path / 'missing.nef'}")
+    assert not bad["ok"]
+    # Open by plain path (no catalog id): edits start from defaults.
+    out = s.handle(f"open {tmp_path / 'a.nef'}")
+    assert out["ok"] and out["image_id"] is None
+    assert s.params == EditParams()
+
+
 def test_non_finite_slider_rejected(session):
     sess, lib, image_id = session
     for bad in ("nan", "inf", "-inf"):
