@@ -174,6 +174,22 @@ def test_craw_lossy_close_and_idempotent(rng):
     assert len(payload) < len(crx.encode_crx(m, crx.make_cmp1(48, 32)))
 
 
+def test_craw_rate_quality_ladder(rng):
+    """Bigger quantizers must compress harder and reconstruct worse —
+    the C-RAW rate/quality trade is monotone."""
+    m = _scene(rng, 32, 48, 14)
+    c = crx.make_cmp1(48, 32, levels=2)
+    sizes, errs = [], []
+    for q in (1, 8, 64):
+        payload = crx.encode_crx(m, c, q_detail=q)
+        out = crx.decode_crx(payload, c)
+        sizes.append(len(payload))
+        errs.append(float(np.mean(
+            (out.astype(np.float64) - m.astype(np.float64)) ** 2)))
+    assert sizes[0] > sizes[1] > sizes[2]
+    assert errs[0] == 0.0 and errs[0] < errs[1] < errs[2]
+
+
 def test_craw_cr3_container_round_trip(tmp_path, rng):
     m = _scene(rng, 32, 48, 14)
     path = tmp_path / "craw.cr3"

@@ -423,6 +423,10 @@ def test_decoder_fuzz_error_contract(rng):
     bases.append(write_synthetic_cr3(None, mosaic=m16, tile_cols=2))
     bases.append(write_synthetic_cr3(None, mosaic=m16, levels=2,
                                      q_detail=8))
+    from raweditor_tpu.ops.cfa_generic import XTRANS_PATTERN
+
+    m12sq = rng.integers(0, 4096, size=(12, 12), dtype=np.uint16)
+    bases.append(write_synthetic_raw(None, m12sq, cfa=XTRANS_PATTERN))
     bases.append(write_synthetic_raw(None, m16, compression="srw1",
                                      srw_wb=True))
     for base in bases:

@@ -100,6 +100,31 @@ def test_partial_staging_under_budget(tmp_path, rng, monkeypatch):
     assert ex._stage_used == 0  # budget fully returned
 
 
+def test_concurrent_exports_share_budget_cleanly(tmp_path, rng):
+    """Two run_batch_export calls on separate threads share the
+    process-wide staging budget; both must succeed and the budget must
+    return to zero (the self-heal must not clobber an active peer)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import raweditor_tpu.pipeline.export as ex
+
+    h, w = 16, 24
+    # Pre-generate on the main thread (numpy Generators aren't
+    # thread-safe); the workers only run the exports.
+    sets = {tag: [rng.integers(0, 4096, size=(h, w), dtype=np.uint16)
+                  for _ in range(3)]
+            for tag in ("ca", "cb")}
+
+    def one(tag):
+        return _export(tmp_path, sets[tag], tag)
+
+    with ThreadPoolExecutor(2) as pool:
+        ra, rb = pool.map(one, ["ca", "cb"])
+    assert ra.succeeded == 3 and rb.succeeded == 3
+    assert ex._stage_used == 0
+    assert ex._stage_runs == 0
+
+
 def test_export_16bit_values_stage_unpacked(tmp_path, rng):
     """Samples above 4095 can't pack to 12 bits — staging falls back
     to the raw u16 buffer transparently."""
