@@ -402,7 +402,7 @@ def main():
 
     worker = threading.Thread(target=work, daemon=True)
     worker.start()
-    budget = float(os.environ.get("RAWEDITOR_TPU_BENCH_BUDGET_S", "480"))
+    budget = float(os.environ.get("RAWEDITOR_TPU_BENCH_BUDGET_S", "420"))
     done.wait(budget)
     if not done.is_set():
         results["error"] = (f"wall budget {budget:.0f}s exceeded "
