@@ -198,6 +198,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pan-y", type=float, default=0.0)
     _add_slider_args(p)
 
+    p = sub.add_parser(
+        "serve",
+        help="TCP develop service speaking the session line protocol")
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address (trusted networks only: no auth)")
+    p.add_argument("--port", type=int, default=0,
+                   help="0 = pick a free port (printed on startup)")
+    p.add_argument("--mode", choices=("parity", "accurate"),
+                   default="parity")
+    p.add_argument("--fast", action="store_true",
+                   help="fused Pallas kernel for opened images")
+    p.add_argument("--fast-gamma", action="store_true")
+    p.add_argument("--demosaic", default="nearest",
+                   choices=("nearest", "bilinear", "malvar", "grad"))
+    p.add_argument("--transfer", default="gamma22",
+                   choices=("gamma22", "srgb"))
+
     p = sub.add_parser("synth", help="write a synthetic RAW fixture")
     p.add_argument("output")
     p.add_argument("--width", type=int, default=320)
@@ -723,6 +740,19 @@ def cmd_auto(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from raweditor_tpu.pipeline.serve import serve
+
+    serve(args.host, args.port, args.db, {
+        "mode": args.mode,
+        "use_pallas": args.fast,
+        "fast_gamma": getattr(args, "fast_gamma", False),
+        "demosaic_method": getattr(args, "demosaic", "nearest"),
+        "transfer": getattr(args, "transfer", "gamma22"),
+    })
+    return 0
+
+
 def cmd_session(args) -> int:
     from raweditor_tpu.pipeline.engine import DevelopEngine
     from raweditor_tpu.pipeline.session import DevelopSession
@@ -780,6 +810,7 @@ _COMMANDS = {
     "tiers": cmd_tiers,
     "verify": cmd_verify,
     "histogram": cmd_histogram,
+    "serve": cmd_serve,
     "synth": cmd_synth,
     "auto": cmd_auto,
     "session": cmd_session,

@@ -1,0 +1,129 @@
+"""TCP develop service: the session line protocol over a socket.
+
+The reference is a single-user desktop app; this is the deployment
+shape the rebuild targets instead — a headless develop service. Each
+connection gets its own :class:`DevelopSession` (own image, edit
+state, view transform, latency stats) speaking exactly the stdin
+protocol (pipeline/session.py), so anything that can drive the REPL
+can drive the service. A connection starts image-less: the first
+command is normally ``open <catalog-id|path>``.
+
+Concurrency: one thread per connection (ThreadingTCPServer). JAX
+dispatch is thread-safe; engines are per-connection, so sessions
+never share mutable state. Catalog access opens one Library per
+connection (the one-Library-per-thread discipline,
+tests/test_catalog.py).
+
+This is a trusted-network protocol (no auth, plain text) — bind to
+loopback or a private interface, like the SQLite catalog itself.
+"""
+
+from __future__ import annotations
+
+import json
+import socketserver
+import threading
+from typing import Optional
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self) -> None:  # one connection
+        srv = self.server
+        library = None
+        if srv.db_path is not None:
+            from raweditor_tpu.catalog import Library
+
+            library = Library(srv.db_path)
+        session = None
+        try:
+            self._send({"ok": True, "service": "raweditor-tpu",
+                        "protocol": "session/1",
+                        "commands": "open set zoom pan render full "
+                                    "histogram before auto checkpoint "
+                                    "undo history reset stats quit"})
+            for raw_line in self.rfile:
+                line = raw_line.decode("utf-8", "replace").strip()
+                if not line:
+                    continue
+                if line.split()[0] == "quit":
+                    break
+                if session is None:
+                    session = self._make_session(srv, library)
+                if (session.engine is None
+                        and line.split()[0] != "open"):
+                    self._send({"ok": False,
+                                "error": "no image open — "
+                                         "open <id|path> first"})
+                    continue
+                try:
+                    result = session.handle(line)
+                except Exception as e:  # noqa: BLE001 - keep serving
+                    result = {"ok": False,
+                              "error": f"{type(e).__name__}: {e}"}
+                if result is not None:
+                    self._send(result)
+        finally:
+            if library is not None:
+                library.close()
+
+    def _make_session(self, srv, library):
+        from raweditor_tpu.pipeline.session import DevelopSession
+
+        # Image-less start: a session shell whose engine arrives with
+        # the first `open`.
+        s = DevelopSession.__new__(DevelopSession)
+        s.engine = None
+        s.library = library
+        s.image_id = None
+        from raweditor_tpu.params import EditParams
+        from raweditor_tpu.utils.config import Config
+        from raweditor_tpu.utils.timing import LatencyStats
+
+        s.params = EditParams()
+        s.config = Config()
+        s.zoom = 1.0
+        s.pan = (0.0, 0.0)
+        s.latency = LatencyStats()
+        s._frozen = False
+        # `open` copies engine config from the previous engine; seed a
+        # lightweight namespace with the server defaults instead.
+        s._engine_defaults = srv.engine_kwargs
+        return s
+
+    def _send(self, obj: dict) -> None:
+        self.wfile.write((json.dumps(obj) + "\n").encode())
+        self.wfile.flush()
+
+
+class DevelopServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 db_path: Optional[str] = None,
+                 engine_kwargs: Optional[dict] = None):
+        self.db_path = db_path
+        self.engine_kwargs = engine_kwargs or {}
+        super().__init__((host, port), _Handler)
+
+    @property
+    def address(self):
+        return self.server_address[:2]
+
+    def serve_background(self) -> threading.Thread:
+        t = threading.Thread(target=self.serve_forever, daemon=True)
+        t.start()
+        return t
+
+
+def serve(host: str, port: int, db_path: Optional[str],
+          engine_kwargs: Optional[dict] = None) -> None:
+    """Blocking entry point for the CLI."""
+    import sys
+
+    with DevelopServer(host, port, db_path, engine_kwargs) as srv:
+        print(json.dumps({"listening": list(srv.address)}), flush=True)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            print("bye", file=sys.stderr)

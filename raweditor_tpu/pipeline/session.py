@@ -182,14 +182,20 @@ class DevelopSession:
         if not os.path.exists(path):
             return {"ok": False, "error": f"no such file: {path}"}
         eng = self.engine
-        try:
-            self.engine = DevelopEngine.open(
-                path, mode=eng.mode, use_pallas=eng.use_pallas,
+        if eng is not None:
+            kwargs = dict(
+                mode=eng.mode, use_pallas=eng.use_pallas,
                 fast_gamma=eng.fast_gamma,
                 demosaic_method=eng.demosaic_method,
                 transfer=eng.transfer,  # already fast-gamma-resolved
                 auto_orient=eng.auto_orient,
             )
+        else:
+            # Image-less session shell (the TCP service): engine
+            # settings come from the server defaults.
+            kwargs = dict(getattr(self, "_engine_defaults", {}) or {})
+        try:
+            self.engine = DevelopEngine.open(path, **kwargs)
         except Exception as e:  # quarantine, stay on the current image
             return {"ok": False, "error": f"decode: {e}"}
         self.image_id = image_id
