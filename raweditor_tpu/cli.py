@@ -77,6 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cache-dir", default=None)
     p.add_argument("--no-tiers", action="store_true",
                    help="skip preview tier generation")
+    p.add_argument("--watch", action="store_true",
+                   help="keep polling the folder for new files "
+                        "(tethered ingest; Ctrl-C to stop)")
+    p.add_argument("--interval", type=float, default=2.0,
+                   help="poll interval in seconds with --watch")
 
     p = sub.add_parser("list", help="list catalog images")
     p.add_argument("--min-rating", type=int, default=0)
@@ -277,9 +282,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def cmd_import(args) -> int:
-    from raweditor_tpu.pipeline.tiers import process_pending_cache
+    from raweditor_tpu.pipeline.tiers import (process_pending_cache,
+                                              watch_folder)
 
     with _open_library(args) as lib:
+        if getattr(args, "watch", False):
+            totals = watch_folder(
+                lib, args.folder, cache_dir=args.cache_dir,
+                interval=args.interval,
+                on_cycle=lambda s: print(json.dumps(s), flush=True),
+            )
+            print(json.dumps(totals))
+            return 0
         stats = lib.import_folder(args.folder)
         out = {"imported": stats["imported"], "duplicates": stats["skipped"]}
         if not args.no_tiers:

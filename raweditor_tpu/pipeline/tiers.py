@@ -32,6 +32,38 @@ def default_cache_dir() -> Path:
     return base / "raw-editor"
 
 
+def watch_folder(lib, folder, cache_dir=None, interval: float = 2.0,
+                 iterations: Optional[int] = None,
+                 on_cycle=None) -> dict:
+    """Continuous ingest: poll ``folder`` for new RAW files, import
+    them, and work the pending tier queue — the tethered-shoot loop
+    the reference's one-shot import dialog can't do. Duplicate paths
+    are skipped by the catalog's UNIQUE constraint, so polling is
+    idempotent. ``iterations=None`` runs until KeyboardInterrupt;
+    ``on_cycle(stats)`` (when given) observes each cycle.
+
+    Returns cumulative {'cycles', 'imported', 'cached', 'failed'}."""
+    import time as _time
+
+    totals = {"cycles": 0, "imported": 0, "cached": 0, "failed": 0}
+    try:
+        while iterations is None or totals["cycles"] < iterations:
+            stats = lib.import_folder(folder)
+            cache = process_pending_cache(lib, cache_dir=cache_dir)
+            totals["cycles"] += 1
+            totals["imported"] += stats["imported"]
+            totals["cached"] += cache.get("cached", 0)
+            totals["failed"] += cache.get("failed", 0)
+            if on_cycle is not None:
+                on_cycle({**stats, **cache, "cycle": totals["cycles"]})
+            if iterations is not None and totals["cycles"] >= iterations:
+                break
+            _time.sleep(interval)
+    except KeyboardInterrupt:
+        pass
+    return totals
+
+
 def generate_tiers(raw_path: str, image_id: int,
                    cache_dir: Optional[os.PathLike] = None,
                    fallback_develop: bool = True) -> Tuple[str, str, str]:

@@ -297,6 +297,38 @@ def test_mesh_dp_only_takes_planes_path(tmp_path, rng):
         assert im.size == (w, h)
 
 
+def test_watch_folder_ingests_new_files(tmp_path, rng):
+    """Tethered ingest: new files appearing between polls are imported
+    and tiered; re-polls are idempotent (beyond the reference's
+    one-shot import dialog)."""
+    from raweditor_tpu.pipeline.tiers import watch_folder
+
+    photos = tmp_path / "ingest"
+    photos.mkdir()
+    write_synthetic_raw(
+        photos / "first.nef",
+        rng.integers(0, 4096, size=(16, 24), dtype=np.uint16))
+    lib = Library(tmp_path / "cat.db")
+
+    cycles = []
+
+    def on_cycle(stats):
+        cycles.append(stats)
+        if stats["cycle"] == 1:  # a new shot lands mid-watch
+            write_synthetic_raw(
+                photos / "second.nef",
+                rng.integers(0, 4096, size=(16, 24), dtype=np.uint16))
+
+    totals = watch_folder(lib, photos, cache_dir=tmp_path / "cache",
+                          interval=0.01, iterations=3,
+                          on_cycle=on_cycle)
+    assert totals == {"cycles": 3, "imported": 2, "cached": 2,
+                      "failed": 0}
+    assert cycles[2]["imported"] == 0  # idempotent final poll
+    assert len(lib.get_all_images()) == 2
+    lib.close()
+
+
 def test_jobs_from_catalog_replays_edits(tmp_path, rng):
     d = tmp_path / "photos"
     d.mkdir()
