@@ -301,6 +301,13 @@ def _measure(results):
     gc.collect()
 
     _stage("e2e export")
+    # The shared dev chip has been observed with ~1 GB of free HBM:
+    # cap the staging budget and use 2-image batches so the e2e
+    # working set (staged uploads + stacked batch + develop output +
+    # YCbCr planes) stays well under it.
+    import raweditor_tpu.pipeline.export as _ex
+
+    _ex._STAGE_BUDGET = min(_ex._STAGE_BUDGET, 128_000_000)
     n_e2e = 4
     e2e_dir = tempfile.mkdtemp(prefix="raweditor-bench-e2e-")
     try:
@@ -327,13 +334,13 @@ def _measure(results):
                                       os.path.basename(j.out_path)),
                 params=j.params,
             )
-            for j in jobs[:4]
+            for j in jobs[:2]
         ]
-        run_batch_export(warm_jobs, batch_size=4, decode_threads=threads,
+        run_batch_export(warm_jobs, batch_size=2, decode_threads=threads,
                          encode_threads=threads, use_pallas=True,
                          fast_gamma=True)
         e2e_report = run_batch_export(
-            jobs, batch_size=4, decode_threads=threads,
+            jobs, batch_size=2, decode_threads=threads,
             encode_threads=threads, use_pallas=True, fast_gamma=True,
         )
         e2e_per_sec = e2e_report.develops_per_sec
@@ -355,6 +362,12 @@ def _measure(results):
         )
         e2e_excl_fetch = (e2e_report.succeeded / e2e_nonfetch
                           if e2e_nonfetch > 0 else 0.0)
+    except Exception as e:  # noqa: BLE001 - e2e is best-effort
+        results["e2e_error"] = f"{type(e).__name__}: {e}"[:300]
+        _stage(f"e2e failed: {e}")
+        results["device"] = str(jax.devices()[0])
+        shutil.rmtree(e2e_dir, ignore_errors=True)
+        return
     finally:
         shutil.rmtree(e2e_dir, ignore_errors=True)
 
