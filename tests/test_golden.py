@@ -274,6 +274,54 @@ def test_orf_golden_native():
     np.testing.assert_array_equal(raw, _ORF_EXPECTED)
 
 
+# --- Panasonic RW2 v4: group-reversed blocked bit addressing --------------
+#
+# One 14-pixel group (128 bits), derived BY HAND from the published
+# scheme. Field sequence (value, width) in write order:
+#   leaders: (18,8)(3,4) -> 291   (36,8)(5,4) -> 581
+#   i=2:  sh bits (3,2) -> sh=4;  j=16  -> (291&15) + 16<<4  = 259
+#   i=3:  j=0   -> 581
+#   i=4:  j=2   -> 3+32   = 35
+#   i=5:  sh(3,2); j=1 -> 5+16   = 21
+#   i=6,7: j=0
+#   i=8:  sh(3,2); j=255 -> 3+4080 = 4083
+#   i=9,10: j=0
+#   i=11: sh(3,2); j=2 -> 5+32   = 37
+#   i=12,13: j=0
+# Walking vbits=(vbits-n)&0x1FFFF, byte=(vbits>>3)^0x3FF0, LE word
+# insert at bit (vbits&7) gives buffer bytes
+#   {2:02, 3:03, 5:FC, 6:0F, 8:10, 9:B0, 12:C4, 13:45, 14:32, 15:12};
+# the file stores buf[0x2008:] first, so buffer index b < 0x2008 lands
+# at file offset 0x1FF8+b.
+
+_RW2_BUFBYTES = {2: 0x02, 3: 0x03, 5: 0xFC, 6: 0x0F, 8: 0x10,
+                 9: 0xB0, 12: 0xC4, 13: 0x45, 14: 0x32, 15: 0x12}
+_RW2_EXPECTED = np.array(
+    [[291, 581, 259, 581, 35, 21, 35, 21, 4083, 21, 4083, 37,
+      4083, 37]], np.uint16)
+
+
+def _rw2_golden_payload() -> bytes:
+    block = bytearray(0x4000)
+    for b, v in _RW2_BUFBYTES.items():
+        block[0x1FF8 + b] = v
+    return bytes(block)
+
+
+def test_rw2_group_golden_python():
+    from raweditor_tpu.raw.panasonic import decode_rw2
+
+    out = decode_rw2(_rw2_golden_payload(), 14, 1)
+    np.testing.assert_array_equal(out, _RW2_EXPECTED)
+
+
+@pytest.mark.skipif(rk is None, reason="native ext not built")
+def test_rw2_group_golden_native():
+    raw = np.frombuffer(
+        rk.decode_rw2(_rw2_golden_payload(), 14, 1), np.uint16)
+    np.testing.assert_array_equal(raw.reshape(1, 14), _RW2_EXPECTED)
+
+
 # --- Canon CRX: MED + adaptive Golomb-Rice plane --------------------------
 #
 # A second decoder-only CRX fixture (tests/test_crx.py has the 2x2
