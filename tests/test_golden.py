@@ -322,6 +322,39 @@ def test_rw2_group_golden_native():
     np.testing.assert_array_equal(raw.reshape(1, 14), _RW2_EXPECTED)
 
 
+# --- Samsung SRW v1: one 16-pixel block, derived by hand -------------------
+#
+# Row 0 (group lengths start at 7), first block (horizontal mode:
+# every pixel predicts from the 128 row-start base). Stream, MSB-first
+# into 32-bit LE words:
+#   '0' direction, '00'x4 opcodes (keep len 7), then sixteen 7-bit
+#   two's-complement residuals, evens first then odds:
+#   evens +5 -3 0 +63 -64 +1 -1 +10; odds -5 +20 0 -20 +33 -33 +7 -7.
+# Packing the 121 bits by hand gives words 0x0005FA01 0xFC003FC5
+# 0x7B280362 0x1BE1FC80 (7 pad zeros).  Height 1 -> the CFA swap is
+# a no-op.
+
+_SRW1_GOLDEN = bytes.fromhex("01fa0500c53f00fc6203287b80fce11b")
+_SRW1_EXPECTED = np.array(
+    [[133, 123, 125, 148, 128, 128, 191, 108, 64, 161, 129, 95,
+      127, 135, 138, 121]], np.uint16)
+
+
+def test_srw1_block_golden_python():
+    from raweditor_tpu.raw.samsung import decode_srw1
+
+    out = decode_srw1(_SRW1_GOLDEN, [0], 16, 1)
+    np.testing.assert_array_equal(out, _SRW1_EXPECTED)
+
+
+@pytest.mark.skipif(rk is None, reason="native ext not built")
+def test_srw1_block_golden_native():
+    offs = (0).to_bytes(4, "little")
+    raw = np.frombuffer(
+        rk.decode_srw1(_SRW1_GOLDEN, offs, 16, 1), np.uint16)
+    np.testing.assert_array_equal(raw.reshape(1, 16), _SRW1_EXPECTED)
+
+
 # --- Canon CRX: MED + adaptive Golomb-Rice plane --------------------------
 #
 # A second decoder-only CRX fixture (tests/test_crx.py has the 2x2
