@@ -366,8 +366,7 @@ def _measure(results):
         results["e2e_error"] = f"{type(e).__name__}: {e}"[:300]
         _stage(f"e2e failed: {e}")
         results["device"] = str(jax.devices()[0])
-        shutil.rmtree(e2e_dir, ignore_errors=True)
-        return
+        return  # the finally below still removes e2e_dir
     finally:
         shutil.rmtree(e2e_dir, ignore_errors=True)
 

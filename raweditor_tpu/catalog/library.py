@@ -208,6 +208,14 @@ class Library:
         ).fetchall()
         return self._rows_to_images(rows)
 
+    def get_failed_cache(self):
+        """(id, path) of quarantined images — the tethered watcher
+        retries these when the file changes on disk (beyond the
+        reference, which never retries, main.rs:460-464)."""
+        return self.conn.execute(
+            "SELECT id, path FROM images WHERE cache_status = 'failed'"
+        ).fetchall()
+
     def set_cache_status(self, image_id: int, status: str) -> None:
         """State machine pending → cached / failed; failed images are
         quarantined, not retried (reference: main.rs:460-464)."""

@@ -289,7 +289,7 @@ def cmd_import(args) -> int:
         if getattr(args, "watch", False):
             totals = watch_folder(
                 lib, args.folder, cache_dir=args.cache_dir,
-                interval=args.interval,
+                interval=args.interval, tiers=not args.no_tiers,
                 on_cycle=lambda s: print(json.dumps(s), flush=True),
             )
             print(json.dumps(totals))

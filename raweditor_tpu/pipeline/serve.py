@@ -70,25 +70,9 @@ class _Handler(socketserver.StreamRequestHandler):
         from raweditor_tpu.pipeline.session import DevelopSession
 
         # Image-less start: a session shell whose engine arrives with
-        # the first `open`.
-        s = DevelopSession.__new__(DevelopSession)
-        s.engine = None
-        s.library = library
-        s.image_id = None
-        from raweditor_tpu.params import EditParams
-        from raweditor_tpu.utils.config import Config
-        from raweditor_tpu.utils.timing import LatencyStats
-
-        s.params = EditParams()
-        s.config = Config()
-        s.zoom = 1.0
-        s.pan = (0.0, 0.0)
-        s.latency = LatencyStats()
-        s._frozen = False
-        # `open` copies engine config from the previous engine; seed a
-        # lightweight namespace with the server defaults instead.
-        s._engine_defaults = srv.engine_kwargs
-        return s
+        # the first `open`, configured from the server defaults.
+        return DevelopSession(None, library,
+                              engine_defaults=srv.engine_kwargs)
 
     def _send(self, obj: dict) -> None:
         self.wfile.write((json.dumps(obj) + "\n").encode())

@@ -36,13 +36,18 @@ from raweditor_tpu.utils.timing import LatencyStats
 
 
 class DevelopSession:
-    def __init__(self, engine: DevelopEngine, library=None,
+    def __init__(self, engine: Optional[DevelopEngine], library=None,
                  image_id: Optional[int] = None,
-                 config: Optional[Config] = None):
+                 config: Optional[Config] = None,
+                 engine_defaults: Optional[dict] = None):
+        # ``engine=None`` is the image-less shell the TCP service
+        # starts connections with; the first `open` builds the engine
+        # from ``engine_defaults``.
         self.engine = engine
         self.library = library
         self.image_id = image_id
         self.config = config or Config()
+        self._engine_defaults = engine_defaults or {}
         self.params = EditParams()
         if library is not None and image_id is not None:
             # Replay stored edits (reference: main.rs:510-517).
@@ -173,8 +178,7 @@ class DevelopSession:
         image_id = None
         if self.library is not None and target.isdigit():
             image_id = int(target)
-            row = next((i for i in self.library.get_all_images()
-                        if i.id == image_id), None)
+            row = self.library.get_image(image_id)
             if row is None:
                 return {"ok": False,
                         "error": f"no catalog image {image_id}"}
@@ -204,7 +208,10 @@ class DevelopSession:
                        else EditParams())
         self.zoom = 1.0
         self.pan = (0.0, 0.0)
-        self._frozen = False
+        # The image's newest stored row may be a frozen checkpoint (we
+        # can't tell from here): treat it as frozen so the first tick
+        # APPENDS instead of overwriting checkpoint history.
+        self._frozen = image_id is not None
         return {"ok": True, "path": path, "image_id": image_id,
                 "size": [self.engine.width, self.engine.height],
                 "params": json.loads(self.params.to_json())}

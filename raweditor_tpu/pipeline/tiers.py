@@ -34,28 +34,71 @@ def default_cache_dir() -> Path:
 
 def watch_folder(lib, folder, cache_dir=None, interval: float = 2.0,
                  iterations: Optional[int] = None,
-                 on_cycle=None) -> dict:
+                 on_cycle=None, tiers: bool = True) -> dict:
     """Continuous ingest: poll ``folder`` for new RAW files, import
     them, and work the pending tier queue — the tethered-shoot loop
-    the reference's one-shot import dialog can't do. Duplicate paths
-    are skipped by the catalog's UNIQUE constraint, so polling is
-    idempotent. ``iterations=None`` runs until KeyboardInterrupt;
-    ``on_cycle(stats)`` (when given) observes each cycle.
+    the reference's one-shot import dialog can't do.
+
+    A file is imported only once its (size, mtime) is unchanged across
+    two consecutive polls, so a shot still streaming from the camera
+    is never decoded half-written; if decoding a file still fails, its
+    'failed' status is retried whenever the file changes on disk.
+    Duplicate paths are skipped by the catalog's UNIQUE constraint.
+    ``iterations=None`` runs until KeyboardInterrupt; ``on_cycle(stats)``
+    (when given) observes each cycle; ``tiers=False`` imports only.
 
     Returns cumulative {'cycles', 'imported', 'cached', 'failed'}."""
+    import sqlite3
     import time as _time
 
+    from raweditor_tpu.catalog import RAW_EXTENSIONS
+
     totals = {"cycles": 0, "imported": 0, "cached": 0, "failed": 0}
+    seen: dict = {}  # path -> (size, mtime) from the previous poll
+
+    def _scan() -> dict:
+        sigs = {}
+        for root, _dirs, files in os.walk(folder, followlinks=True):
+            for name in sorted(files):
+                ext = os.path.splitext(name)[1].lstrip(".").lower()
+                if ext not in RAW_EXTENSIONS:
+                    continue
+                full = os.path.abspath(os.path.join(root, name))
+                try:
+                    st = os.stat(full)
+                except OSError:
+                    continue
+                sigs[full] = (st.st_size, st.st_mtime)
+        return sigs
+
     try:
         while iterations is None or totals["cycles"] < iterations:
-            stats = lib.import_folder(folder)
-            cache = process_pending_cache(lib, cache_dir=cache_dir)
+            sigs = _scan()
+            imported = 0
+            for full, sig in sigs.items():
+                if seen.get(full) != sig:
+                    continue  # new or still being written: wait a poll
+                try:
+                    lib.import_image(full, os.path.basename(full))
+                    imported += 1
+                except sqlite3.IntegrityError:
+                    pass  # already imported
+            # Changed-on-disk failures get another chance (a truncated
+            # shot that finished writing after a failed decode).
+            for img_id, path in lib.get_failed_cache():
+                if (path in sigs
+                        and seen.get(path) not in (None, sigs[path])):
+                    lib.set_cache_status(img_id, "pending")
+            seen = sigs
+            cache = (process_pending_cache(lib, cache_dir=cache_dir)
+                     if tiers else {})
             totals["cycles"] += 1
-            totals["imported"] += stats["imported"]
+            totals["imported"] += imported
             totals["cached"] += cache.get("cached", 0)
             totals["failed"] += cache.get("failed", 0)
             if on_cycle is not None:
-                on_cycle({**stats, **cache, "cycle": totals["cycles"]})
+                on_cycle({"imported": imported, **cache,
+                          "cycle": totals["cycles"]})
             if iterations is not None and totals["cycles"] >= iterations:
                 break
             _time.sleep(interval)

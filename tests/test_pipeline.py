@@ -298,9 +298,9 @@ def test_mesh_dp_only_takes_planes_path(tmp_path, rng):
 
 
 def test_watch_folder_ingests_new_files(tmp_path, rng):
-    """Tethered ingest: new files appearing between polls are imported
-    and tiered; re-polls are idempotent (beyond the reference's
-    one-shot import dialog)."""
+    """Tethered ingest: a file imports only once its size/mtime is
+    stable across two polls (a shot still streaming from the camera
+    must not be decoded half-written); re-polls are idempotent."""
     from raweditor_tpu.pipeline.tiers import watch_folder
 
     photos = tmp_path / "ingest"
@@ -320,12 +320,46 @@ def test_watch_folder_ingests_new_files(tmp_path, rng):
                 rng.integers(0, 4096, size=(16, 24), dtype=np.uint16))
 
     totals = watch_folder(lib, photos, cache_dir=tmp_path / "cache",
-                          interval=0.01, iterations=3,
+                          interval=0.01, iterations=4,
                           on_cycle=on_cycle)
-    assert totals == {"cycles": 3, "imported": 2, "cached": 2,
+    assert totals == {"cycles": 4, "imported": 2, "cached": 2,
                       "failed": 0}
-    assert cycles[2]["imported"] == 0  # idempotent final poll
+    assert cycles[0]["imported"] == 0  # first sighting: not yet stable
+    assert cycles[1]["imported"] == 1  # first.nef stable now
+    assert cycles[2]["imported"] == 1  # second.nef stable
+    assert cycles[3]["imported"] == 0  # idempotent final poll
     assert len(lib.get_all_images()) == 2
+    lib.close()
+
+
+def test_watch_folder_retries_failed_after_rewrite(tmp_path, rng):
+    """A truncated shot that failed tier generation is retried once
+    the file changes on disk (the reference never retries a 'failed'
+    image)."""
+    import os
+
+    from raweditor_tpu.pipeline.tiers import watch_folder
+
+    photos = tmp_path / "ingest"
+    photos.mkdir()
+    good = rng.integers(0, 4096, size=(16, 24), dtype=np.uint16)
+    full = write_synthetic_raw(None, good)
+    # A truncated copy: imports fine (import is metadata-free) but
+    # fails tier generation.
+    (photos / "shot.nef").write_bytes(full[: len(full) // 3])
+    lib = Library(tmp_path / "cat.db")
+
+    def on_cycle(stats):
+        if stats["cycle"] == 3:  # the camera finishes writing
+            (photos / "shot.nef").write_bytes(full)
+            os.utime(photos / "shot.nef", (1, 1))  # force mtime change
+
+    totals = watch_folder(lib, photos, cache_dir=tmp_path / "cache",
+                          interval=0.01, iterations=6,
+                          on_cycle=on_cycle)
+    assert totals["imported"] == 1
+    assert totals["failed"] == 1  # the truncated attempt
+    assert totals["cached"] == 1  # the retry succeeded
     lib.close()
 
 

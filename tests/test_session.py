@@ -164,6 +164,24 @@ def test_open_switches_image(session, tmp_path, rng):
     assert s.params == EditParams()
 
 
+def test_open_preserves_checkpoint_history(session, tmp_path, rng):
+    """Re-opening an image must not let the next slider tick overwrite
+    its newest (possibly checkpointed) edits row — regression for the
+    frozen-flag reset found in review."""
+    s, lib, image_id = session
+    s.set_slider("exposure", 1.0)
+    s.checkpoint()
+    other = tmp_path / "c.nef"
+    write_synthetic_raw(
+        other, rng.integers(0, 4096, size=(16, 20), dtype=np.uint16))
+    other_id = lib.import_image(str(other), "c.nef")
+    s.handle(f"open {other_id}")
+    s.handle(f"open {image_id}")  # back to the checkpointed image
+    s.set_slider("exposure", 3.0)
+    history = lib.edit_history(image_id)
+    assert [p.exposure for p in history] == [1.0, 3.0]  # both rows live
+
+
 def test_non_finite_slider_rejected(session):
     sess, lib, image_id = session
     for bad in ("nan", "inf", "-inf"):
