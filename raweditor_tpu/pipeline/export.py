@@ -528,13 +528,21 @@ def run_batch_export(
     def drain_inflight(encode_pool, depth: int):
         while len(inflight) > depth:
             fut, batch = inflight.pop(0)
-            host, dev_s, fetch_s, nbytes = fut.result()
+            try:
+                host, dev_s, fetch_s, nbytes = fut.result()
+            except Exception as e:  # device/transport failure: the
+                # batch quarantines like any other per-image failure —
+                # one OOM'd batch must not kill a 1,000-image run.
+                for d in batch:
+                    report.failed.append(
+                        (d.job.raw_path, f"device: {e}"))
+                continue
             report.device_seconds += dev_s
             report.fetch_seconds += fetch_s
             report.fetch_bytes += nbytes
             submit_encodes(batch, host, encode_pool)
 
-    def flush(batch: List[_Decoded], encode_pool: ThreadPoolExecutor):
+    def _flush_dispatch(batch: List[_Decoded]):
         n_real = len(batch)
         # Pad to the fixed batch shape: one compiled program per
         # (batch_size, H, W). Padding replays item 0 and is dropped
@@ -689,13 +697,26 @@ def run_batch_export(
             # Convert + subsample on device: one extra HBM-bound pass,
             # 2.67× less data over the wire (ops/jpeg.py).
             out = _ycbcr420_jit()(out)
-        # Release staging budget only now: until dispatch, the staged
-        # buffers were the live copies (releasing at stack time let the
-        # decode window transiently double the budgeted HBM).
-        for d in batch:
-            if d.staged is not None:
-                d.staged = None
-                _stage_budget_release(d.staged_nbytes)
+        return out, t0
+
+    def flush(batch: List[_Decoded], encode_pool: ThreadPoolExecutor):
+        try:
+            out, t0 = _flush_dispatch(batch)
+        except Exception as e:  # device/compile failure: quarantine
+            # the batch like any per-image failure instead of killing
+            # a long run.
+            for d in batch:
+                report.failed.append((d.job.raw_path, f"develop: {e}"))
+            return
+        finally:
+            # Release staging budget only now: until dispatch, the
+            # staged buffers were the live copies (releasing at stack
+            # time let the decode window transiently double the
+            # budgeted HBM).
+            for d in batch:
+                if d.staged is not None:
+                    d.staged = None
+                    _stage_budget_release(d.staged_nbytes)
         inflight.append(
             (fetch_pool.submit(_fetch_batch, out, batch, t0), batch))
         drain_inflight(encode_pool, depth=1)

@@ -254,6 +254,37 @@ def test_jpeg_planes_odd_dims_fall_back(tmp_path, rng):
         assert im.size == (31, 23)
 
 
+def test_device_failure_quarantines_batch(tmp_path, rng, monkeypatch):
+    """A device-side failure (OOM, transport) on one batch quarantines
+    that batch's images and the run continues — it must not kill a
+    long export."""
+    import raweditor_tpu.pipeline.export as ex
+
+    jobs = []
+    for i in range(4):
+        path = tmp_path / f"q{i}.nef"
+        write_synthetic_raw(
+            path, rng.integers(0, 4096, size=(16, 24), dtype=np.uint16))
+        jobs.append(ExportJob(raw_path=str(path),
+                              out_path=str(tmp_path / f"q{i}.png")))
+
+    real = ex.batch_develop_rgba
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:  # first batch dies on "the device"
+            raise RuntimeError("RESOURCE_EXHAUSTED: injected")
+        return real(*a, **k)
+
+    monkeypatch.setattr(ex, "batch_develop_rgba", flaky)
+    rep = ex.run_batch_export(jobs, batch_size=2)
+    assert rep.succeeded == 2
+    assert len(rep.failed) == 2
+    assert all("develop:" in msg for _, msg in rep.failed)
+    assert ex._stage_used == 0  # budget returned despite the failure
+
+
 def test_batch_export_sharded_mesh(tmp_path, rng):
     from raweditor_tpu.parallel import batch_row_mesh
 
