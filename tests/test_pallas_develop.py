@@ -165,6 +165,20 @@ class TestBatchedKernel:
                 mosaics[i], plist[i], wbs[i], cms[i], interpret=True))
             assert (out[i] == want).all(), i
 
+    def test_srgb_poly_lane(self, rng):
+        from raweditor_tpu.ops.pallas_develop import (
+            pallas_batch_develop_rgba,
+        )
+
+        mosaics, plist, pp, wbs, cms = self._batch(rng)
+        out = np.asarray(pallas_batch_develop_rgba(
+            mosaics, pp, wbs, cms, interpret=True, gamma="srgb_poly"))
+        for i in range(len(plist)):
+            want = np.asarray(pallas_develop_rgba(
+                mosaics[i], plist[i], wbs[i], cms[i], interpret=True,
+                gamma="srgb_poly"))
+            assert (out[i] == want).all(), i
+
     def test_poly_gamma_and_phase(self, rng):
         from raweditor_tpu.ops.pallas_develop import (
             pallas_batch_develop_rgba,
