@@ -79,6 +79,28 @@ def test_serve_concurrent_clients_isolated(server):
     b.close()
 
 
+def test_serve_survives_garbage_bytes(server, rng):
+    """Binary garbage, huge lines, and abrupt disconnects must never
+    take the server down — later clients still get service."""
+    srv, image_id, _ = server
+    for _ in range(5):
+        sock = socket.create_connection(srv.address, timeout=30)
+        sock.makefile("r").readline()  # greeting
+        blob = bytes(rng.integers(0, 256, size=int(rng.integers(1, 4096)),
+                                  dtype=np.uint8))
+        try:
+            sock.sendall(blob + b"\n")
+            sock.sendall(b"\xff" * 70000 + b"\n")  # oversized line
+        except OSError:
+            pass
+        sock.close()  # abrupt, no quit
+    # A fresh, well-behaved client still works.
+    c = _Client(srv.address)
+    assert c.ask(f"open {image_id}")["ok"]
+    assert c.ask("histogram")["ok"]
+    c.close()
+
+
 def test_serve_bad_lines_keep_connection(server):
     srv, image_id, _ = server
     c = _Client(srv.address)
