@@ -119,10 +119,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rotate output by the EXIF orientation tag")
     p.add_argument("--demosaic", default="nearest",
                    choices=("nearest", "bilinear", "malvar", "grad"),
-                   help="demosaic kernel for full-res output (malvar = "
-                        "gradient-corrected Bayer; grad = gradient-"
-                        "weighted X-Trans/generic CFA); previews "
-                        "always use the parity sampler")
+                   help="demosaic kernel for full-res output (grad = "
+                        "gradient-weighted + chroma refinement, best "
+                        "quality on Bayer AND X-Trans; malvar = "
+                        "gradient-corrected Bayer); previews always "
+                        "use the parity sampler")
     p.add_argument("--transfer", default="gamma22",
                    choices=("gamma22", "srgb"),
                    help="output transfer curve (srgb = true IEC "
