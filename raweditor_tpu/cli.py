@@ -17,8 +17,10 @@ The reference is a GUI app; its workflows map to subcommands here:
   synth    write a synthetic RAW (test/bench fixture)
   rate     star ratings / pick-reject flags (beyond the reference)
   verify   catalog integrity check (startup self-healing, on demand)
-  auto     auto exposure/WB (+ levels/contrast/tone) suggestions\n  collect  named collections: add/remove/delete/list
+  auto     auto exposure/WB (+ levels/contrast/tone) suggestions
+  collect  named collections: add/remove/delete/list
   session  interactive develop loop on stdin (the develop tab, headless)
+  serve    TCP develop service speaking the session protocol
   warmup   precompile develop programs for a sensor shape
   bench    run the headline benchmark
 """
