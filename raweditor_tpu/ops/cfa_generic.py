@@ -199,20 +199,14 @@ def _smooth_radius(pattern: str, ph: int, pw: int, chan: int) -> int:
 
 def _periodic_mask(grid_np: np.ndarray, chan: int, h: int, w: int,
                    pad, dtype):
-    """The channel-site mask over (h+pad) x (w+pad), built by tiling
-    the (ph, pw) pattern — broadcast+reshape on TPU. The gather form
-    (grid[ys % ph, xs % pw]) serializes at 24 MP and measured ~100x
-    slower end to end."""
-    ph, pw = grid_np.shape
-    base = (grid_np == chan)
-    # Row/col 0 of the output corresponds to frame index -pad_top.
-    rolled = np.roll(np.roll(base, -((-pad[0][0]) % ph), 0),
-                     -((-pad[1][0]) % pw), 1)
+    """The channel-site mask over (h+pad) x (w+pad). Built through
+    the iota-select tiler (_tile_periodic) — the gather form
+    (grid[ys % ph, xs % pw]) serializes at 24 MP, and jnp.tile
+    relayouts; both measured far slower."""
+    base = (grid_np == chan).astype(np.float32)
     hh = h + pad[0][0] + pad[0][1]
     ww = w + pad[1][0] + pad[1][1]
-    reps = (-(-hh // ph), -(-ww // pw))
-    tiled = jnp.tile(jnp.asarray(rolled.astype(dtype)), reps)
-    return tiled[:hh, :ww]
+    return _tile_periodic(base, hh, ww, -pad[0][0], -pad[1][0], dtype)
 
 
 def _tent_weights(radius: int) -> np.ndarray:
@@ -223,12 +217,27 @@ def _tent_weights(radius: int) -> np.ndarray:
 
 def _tile_periodic(core: np.ndarray, h: int, w: int, off_y: int,
                    off_x: int, dtype):
-    """Tile a (ph, pw) core so output[0, 0] reads core[off_y % ph,
-    off_x % pw] — broadcast+reshape, no gather."""
+    """Materialize a (ph, pw)-periodic array so output[0, 0] reads
+    core[off_y % ph, off_x % pw], via iota-compare selects grouped by
+    distinct value — pure elementwise. (jnp.tile's interleaved
+    reshape relayouts: measured 10.8 ms vs 2.1 ms per 24 MP use.)"""
+    import jax
+
     ph, pw = core.shape
     rolled = np.roll(np.roll(core, -(off_y % ph), 0), -(off_x % pw), 1)
-    reps = (-(-h // ph), -(-w // pw))
-    return jnp.tile(jnp.asarray(rolled.astype(dtype)), reps)[:h, :w]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) % ph
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) % pw
+    values = np.unique(rolled)
+    acc = jnp.full((h, w), np.asarray(values[0], dtype=dtype))
+    for v in values[1:]:
+        mask = None
+        for py in range(ph):
+            for px in range(pw):
+                if rolled[py, px] == v:
+                    term = (rows == py) & (cols == px)
+                    mask = term if mask is None else mask | term
+        acc = jnp.where(mask, np.asarray(v, dtype=dtype), acc)
+    return acc
 
 
 def _periodic_den_1d(grid_np, chan, radius, axis):
