@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Decoder soak-fuzz with crash localization.
+
+    PYTHONPATH=/root/repo:$PYTHONPATH python tools/soak_hunt.py <seed> <seconds>
+
+Deterministic per seed: regenerates the same bases and mutation
+sequence, and writes the in-flight (round, base-index) to
+/tmp/soak_pos_<seed>.txt before every decode, so a crash (e.g. the
+one SIGSEGV observed in round 2's time-seeded soak, unreproduced in
+60k+ fixed-seed rounds) pinpoints the exact blob: re-run the seed,
+skip to the recorded position, and dump the bytes.
+
+Round-2 soak record: ~1M mutated files across 4 sessions, one
+unreproduced SIGSEGV (seed unknown — it was time-seeded; this script
+exists so the next one is reproducible), zero contract violations
+otherwise.
+"""
+
+import sys, numpy as np, time
+from raweditor_tpu.raw.decode import RawDecodeError, decode_raw
+from raweditor_tpu.raw.synth import (write_synthetic_raw,
+                                     write_synthetic_orf,
+                                     write_synthetic_rw2)
+from raweditor_tpu.raw.panasonic import rw2_representable
+from raweditor_tpu.raw.ciff import write_crw
+from raweditor_tpu.raw.bmff import write_synthetic_cr3
+from raweditor_tpu.raw.raf import write_raf
+
+SEED = int(sys.argv[1])
+SECONDS = float(sys.argv[2])
+rng = np.random.default_rng(SEED)
+m = rng.integers(0, 4096, size=(12, 16), dtype=np.uint16)
+m32 = rng.integers(0, 4096, size=(8, 32), dtype=np.uint16)
+m14 = rw2_representable(rng.integers(0, 4096, size=(8, 28), dtype=np.uint16))
+bases = ([write_synthetic_raw(None, m, compression=c)
+          for c in ("none", "ljpeg", "nikon", "ljpeg4", "pentax",
+                    "kodak65000")]
+         + [write_synthetic_raw(None, m32, compression="arw2"),
+            write_synthetic_raw(None, m, compression="srw1", srw_wb=True),
+            write_synthetic_orf(None, m), write_synthetic_rw2(None, m14),
+            write_crw(None, m), write_synthetic_cr3(None, mosaic=m),
+            write_synthetic_cr3(None, mosaic=m, levels=2, q_detail=8),
+            bytes(write_raf(m))])
+pos_file = open(f"/tmp/soak_pos_{SEED}.txt", "w")
+t_end = time.time() + SECONDS
+rounds = 0
+while time.time() < t_end:
+    rounds += 1
+    for bi, base in enumerate(bases):
+        blob = bytearray(base)
+        for _ in range(int(rng.integers(1, 20))):
+            op = rng.integers(0, 4)
+            pos = int(rng.integers(0, len(blob)))
+            if op == 0: blob[pos] = int(rng.integers(0, 256))
+            elif op == 1: blob[pos] ^= 1 << int(rng.integers(0, 8))
+            elif op == 2 and len(blob) > 16:
+                del blob[pos:pos + int(rng.integers(1, 16))]
+            else:
+                blob[pos:pos] = bytes(rng.integers(0, 256,
+                                                   size=int(rng.integers(1, 8)),
+                                                   dtype=np.uint8))
+        pos_file.seek(0); pos_file.write(f"{rounds} {bi}      "); pos_file.flush()
+        try:
+            decode_raw(bytes(blob))
+        except RawDecodeError:
+            pass
+print(f"seed {SEED}: {rounds} rounds clean")
