@@ -171,8 +171,19 @@ struct BitReader {
     }
   }
 
+  inline void ensure(int k) {
+    if (nbits < k) fill();
+    if (nbits < k) {
+      // Marker + EOF (fill() broke out empty): keep the JPEG all-ones
+      // padding semantics instead of shifting by a negative count
+      // (undefined behavior; found by audit, not by a crash).
+      acc = (acc << (k - nbits)) | ((1ull << (k - nbits)) - 1);
+      nbits = k;
+    }
+  }
+
   inline uint32_t peek16() {
-    if (nbits < 16) fill();
+    ensure(16);
     return uint32_t((acc >> (nbits - 16)) & 0xFFFF);
   }
 
@@ -180,7 +191,7 @@ struct BitReader {
 
   inline int32_t read_bits(int k) {
     if (k == 0) return 0;
-    if (nbits < k) fill();
+    ensure(k);
     int32_t v = int32_t((acc >> (nbits - k)) & ((1u << k) - 1));
     nbits -= k;
     return v;
