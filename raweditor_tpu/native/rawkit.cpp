@@ -293,17 +293,32 @@ LJpegResult decode_ljpeg_impl(const uint8_t* d, int64_t n) {
         break;
       }
       case 0xFFC3: {  // SOF3
+        if (seg_n < 6) throw std::runtime_error("truncated SOF3");
         precision = seg[0];
         h = rd16(seg + 1);
         w = rd16(seg + 3);
         nc = seg[5];
         if (nc < 1 || nc > 4) throw std::runtime_error("bad component count");
+        // h/w of 0 left planes empty and the predictor loop read
+        // through the vector's NULL data() (a soak-fuzz SIGSEGV);
+        // precision 0 shifted by -1.
+        if (h < 1 || w < 1) throw std::runtime_error("bad SOF3 dimensions");
+        if (precision < 2 || precision > 16)
+          throw std::runtime_error("bad SOF3 precision");
         have_sof = true;
         break;
       }
       case 0xFFDA: {  // SOS
+        // ns is attacker-controlled: unvalidated it indexed up to
+        // ~513 bytes past the buffer (a soak-fuzz SIGSEGV when the
+        // allocation ended near a page boundary).
+        if (seg_n < 1) throw std::runtime_error("truncated SOS");
         int ns = seg[0];
-        for (int i = 0; i < ns && i < 4; i++)
+        if (ns < 1 || ns > 4)
+          throw std::runtime_error("bad scan component count");
+        if (seg_n < 1 + 2 * ns + 3)
+          throw std::runtime_error("truncated SOS");
+        for (int i = 0; i < ns; i++)
           comp_table[i] = (seg[2 + 2 * i] >> 4) & 0x0F;
         predictor = seg[1 + 2 * ns];
         pt = seg[3 + 2 * ns] & 0x0F;

@@ -387,3 +387,53 @@ def test_crx_escape_golden_native():
     raw = np.frombuffer(
         rk.decode_crx_plane(_CRX_GOLDEN, 4, 1, 8, 0), np.uint16)
     assert raw.tolist() == _CRX_EXPECTED[0]
+
+
+# --- soak-fuzz SIGSEGV regression -------------------------------------------
+#
+# tools/soak_hunt.py seed 25, round 233, base ljpeg4: a mutated SOF3
+# with width 0 left the native decoder's planes vector empty, and the
+# predictor-1 loop read through its NULL data() — a segfault when the
+# mutation also kept h > 0. The exact strip bytes are preserved here;
+# both implementations must quarantine (never crash).
+
+_SIGSEGV_STRIP = __import__("base64").b64decode(
+    "/9j/xAAkAAADAQEBAQEBAQEBAQEBAQEAAQIDBAUGBwgJCgsMDQ4PEP/DABQMAAYAAAQA"
+    "EQABEQACEQADEQD/2gAOBAAAAQACAAMAAQAA/wCQT0f+oT/yf/8AzZ//ACgP+h7/AJh/"
+    "+m7/AOsa/wCgf/6YL/0Vv/iVP5p/8Yv/AI//APuz+x/0M/8Arwvgv/kB/wD67j/Cr/1N"
+    "/wBu/wDDg/8Akkf+TT/1rP8Avc/+oo/61P8AOz/o/wD/AJUz/wCcK/8AkkP7q/8Af0/1"
+    "N/8ArXf+MT/5fL9f/wDlbf8A6iT/AOp4/wCdz/qF/wDI5/hH/wCrL/6CP/OL/wCYT/5C"
+    "3/qC/wDotf8A1If/ALjn/rB/5nP/ADuv+Fv/AKlfN/7Yf+kv/wCPl/1X/wDnL/8Ae7/u"
+    "i/6sP/pmf9Kf/o8//F//AOcj/wAh3/xPf+mP/wAkH/mz/wDAW/8AY5/7nf8A3yf9AP8A"
+    "t2/7cv8AyX8//Kj/APAa/wBcv/iP/wDNv/JP+Zf/ALOD/UL/AOut/wCJX/z7v+u3/wA2"
+    "r/1Vv/Ca/wAu/wDxLf6w/wC1b/3S/wDer/Pn/wBg7/5UP/Zb/wAOj/5OT/Uf9w/yS/8A"
+    "o9f/AHPv8nP+Hn/ar/6z/wD+5W/9Zz/6Nr/5R7+dP86vvP8A0hP/AD2/+pH/AOWK++/+"
+    "fa/hz/6kr/kp/wB2f/k3/wDPr/zaf+YXH/5XD5D/AOgn/wBU/wD6ub/7cj/6G3/0L/8A"
+    "Yv8A+Gb/AOH/AP8AnHPN/wDXG/8AbS/9J3/6u7/2+v8AzT//AFBv/mB/6f8A/Ip/jT/m"
+    "j/4Mf/sAP+uH/V//AMsP/Qr/AM1//wChO/8AaM/8UT/cb/oe/wDnsf/Z")
+
+
+def test_sof3_zero_width_strip_quarantines():
+    from raweditor_tpu.raw.ljpeg import decode_lossless
+
+    with pytest.raises(Exception):
+        decode_lossless(_SIGSEGV_STRIP)
+    if rk is not None:
+        with pytest.raises(ValueError):
+            rk.decode_ljpeg(_SIGSEGV_STRIP)
+
+
+@pytest.mark.skipif(rk is None, reason="native ext not built")
+@pytest.mark.parametrize("h,w,prec", [(0, 3, 8), (2, 0, 8), (2, 3, 0),
+                                      (2, 3, 17)])
+def test_sof3_degenerate_headers_quarantine(h, w, prec):
+    out = bytearray(b"\xff\xd8")
+    dht = bytes([0x00]) + bytes([0, 4] + [0] * 14) + bytes([0, 1, 2, 3])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    sof = struct.pack(">BHHB", prec, h, w, 1) + bytes([0, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    sos = bytes([1, 0, 0x00, 1, 0, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += b"\x00" * 8 + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        rk.decode_ljpeg(bytes(out))
