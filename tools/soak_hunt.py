@@ -10,10 +10,24 @@ one SIGSEGV observed in round 2's time-seeded soak, unreproduced in
 60k+ fixed-seed rounds) pinpoints the exact blob: re-run the seed,
 skip to the recorded position, and dump the bytes.
 
-Round-2 soak record: ~1M mutated files across 4 sessions, one
-unreproduced SIGSEGV (seed unknown — it was time-seeded; this script
-exists so the next one is reproducible), zero contract violations
-otherwise.
+Round-2 soak record: ~1M mutated files. The one observed SIGSEGV was
+reproduced with this script (seed 25, round 233: SOF3 width 0 -> NULL
+planes read in the native LJPEG decoder), fixed, and regression-pinned
+in tests/test_golden.py. Post-fix: ~200k decodes ran clean under an
+AddressSanitizer build of the extension.
+
+ASan recipe (gdb is not installed in this image):
+
+    g++ -O1 -g -fsanitize=address -fno-omit-frame-pointer -std=c++17 \
+        -fPIC -I$PYINC -shared raweditor_tpu/native/rawkit.cpp \
+        -o /tmp/asan/_rawkit.cpython-312-x86_64-linux-gnu.so
+    LD_PRELOAD="$(g++ -print-file-name=libasan.so) \
+                $(g++ -print-file-name=libstdc++.so.6)" \
+        ASAN_OPTIONS=detect_leaks=0 python <driver injecting the .so \
+        into sys.modules as raweditor_tpu.native._rawkit>
+
+(Both preloads are required: libasan alone aborts on the first C++
+throw with "real___cxa_throw != 0".)
 """
 
 import sys, numpy as np, time
