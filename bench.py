@@ -406,12 +406,35 @@ def main():
     must never leave the driver with no bench record at all."""
     import threading
 
-    results = {
+    class _LockedResults(dict):
+        """The worker mutates this from a daemon thread while the
+        budgeted main thread may be snapshotting it on expiry; a bare
+        dict copy concurrent with an inserting update() can raise
+        (dict resize) and lose the one JSON line this runner exists
+        to guarantee."""
+
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.lock = threading.Lock()
+
+        def update(self, *a, **kw):
+            with self.lock:
+                super().update(*a, **kw)
+
+        def __setitem__(self, k, v):
+            with self.lock:
+                super().__setitem__(k, v)
+
+        def snapshot(self):
+            with self.lock:
+                return dict(self)
+
+    results = _LockedResults({
         "metric": "develops_per_sec_24mp",
         "value": 0.0,
         "unit": "images/sec/chip",
         "vs_baseline": 0.0,
-    }
+    })
     done = threading.Event()
 
     def work():
@@ -431,7 +454,7 @@ def main():
         results["error"] = (f"wall budget {budget:.0f}s exceeded "
                             "(tunnel stall) - partial results")
         _stage("budget exceeded; printing partials")
-    print(json.dumps(dict(results)), flush=True)
+    print(json.dumps(results.snapshot()), flush=True)
     if not done.is_set():
         os._exit(0)  # abandon the wedged worker; the line is out
 

@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native headless RAW develop engine",
     )
     ap.add_argument("--db", default=None, help="catalog database path")
+    ap.add_argument(
+        "--xlat", default=None, metavar="FILE",
+        help="Nikon xlat substitution tables (512-byte file: xlat0 "
+             "then xlat1) used to decrypt 0x0097 white balance; "
+             "equivalent to RAWEDITOR_NIKON_XLAT=FILE")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("import", help="import a folder of RAW files")
@@ -415,6 +420,11 @@ def cmd_info(args) -> int:
         "black_level": raw.black_level,
         "white_level": raw.white_level,
         "wb_multipliers": [round(float(x), 4) for x in raw.wb_multipliers],
+        # True when the WB above is a neutral placeholder because the
+        # file's real WB could not be parsed (e.g. encrypted Nikon
+        # 0x0097 without xlat tables, CR3 ColorData) — callers can
+        # tell "camera says neutral" from "unknown".
+        "wb_is_default": bool(raw.wb_is_default),
         "xyz_to_cam": [round(float(x), 4) for x in raw.xyz_to_cam.ravel()],
     }))
     return 0
@@ -856,6 +866,13 @@ def main(argv=None) -> int:
     # (DevelopEngine/exporter/bench) — catalog-only commands must not
     # touch the TPU runtime.
     args = build_parser().parse_args(argv)
+    if getattr(args, "xlat", None):
+        from raweditor_tpu.raw import nikon_crypt
+
+        try:
+            nikon_crypt.inject_xlat_file(args.xlat)
+        except (OSError, ValueError) as e:
+            raise SystemExit(f"--xlat: {e}")
     return _COMMANDS[args.cmd](args)
 
 

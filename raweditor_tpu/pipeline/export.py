@@ -459,320 +459,327 @@ def run_batch_export(
     )
     t_start = time.perf_counter()
     _stage_run_begin()
-    encode_futures: List[Tuple[Future, ExportJob]] = []
-    # Device batches in flight: develop is dispatched asynchronously;
-    # a dedicated fetch thread pulls results one batch behind, so TPU
-    # compute, host decode/encode, the H2D uploads, and the D2H fetch
-    # all overlap (the double-buffering BASELINE.md calls for, plus
-    # full-duplex use of the link).
-    inflight: List[tuple] = []
+    try:
+        encode_futures: List[Tuple[Future, ExportJob]] = []
+        # Device batches in flight: develop is dispatched asynchronously;
+        # a dedicated fetch thread pulls results one batch behind, so TPU
+        # compute, host decode/encode, the H2D uploads, and the D2H fetch
+        # all overlap (the double-buffering BASELINE.md calls for, plus
+        # full-duplex use of the link).
+        inflight: List[tuple] = []
 
-    def submit_encodes(batch, host, encode_pool):
-        for i, d in enumerate(batch):
-            # Per-image copy: an encode job must not pin the whole
-            # (B, H, W) batch array while it waits in the queue.
-            if isinstance(host, tuple):  # YCbCr 4:2:0 planes
-                y, cb, cr = (p[i] for p in host)
-                fut = encode_pool.submit(
-                    _encode_one_jpeg420, d.job.out_path, y.copy(),
-                    cb.copy(), cr.copy(), quality
-                )
-            elif bits == 16:
-                fut = encode_pool.submit(
-                    _encode_one_tiff16, d.job.out_path, host[i].copy()
-                )
+        def submit_encodes(batch, host, encode_pool):
+            for i, d in enumerate(batch):
+                # Per-image copy: an encode job must not pin the whole
+                # (B, H, W) batch array while it waits in the queue.
+                if isinstance(host, tuple):  # YCbCr 4:2:0 planes
+                    y, cb, cr = (p[i] for p in host)
+                    fut = encode_pool.submit(
+                        _encode_one_jpeg420, d.job.out_path, y.copy(),
+                        cb.copy(), cr.copy(), quality
+                    )
+                elif bits == 16:
+                    fut = encode_pool.submit(
+                        _encode_one_tiff16, d.job.out_path, host[i].copy()
+                    )
+                else:
+                    fut = encode_pool.submit(
+                        _encode_one, d.job.out_path, host[i].copy(), quality
+                    )
+                encode_futures.append((fut, d.job))
+            # Backpressure: the device can outrun host JPEG encode by ~20×;
+            # without a bound the queue would pin unbounded RGBA buffers.
+            max_inflight = 4 * encode_threads
+            while len(encode_futures) > max_inflight:
+                fut, job = encode_futures.pop(0)
+                t_enc = time.perf_counter()
+                try:
+                    fut.result()
+                    report.succeeded += 1
+                except Exception as e:
+                    report.failed.append((job.raw_path, f"encode: {e}"))
+                report.encode_seconds += time.perf_counter() - t_enc
+
+        def _fetch_batch(out, batch, t0):
+            """Runs on the fetch thread: sync compute, then pull the batch
+            to host. Off the main thread so the D2H transfer of batch N
+            overlaps batch N+1's decode AND its H2D upload (the two legs
+            run full duplex on the link)."""
+            # True sync first: block_until_ready is optimistic on the
+            # tunneled dev transport (CLAUDE.md) — fetch ONE element of
+            # the first output buffer instead. TPU programs retire in
+            # order, so that element landing implies the batch's compute
+            # is done; the 4-byte fetch keeps compute time (measured from
+            # dispatch; an upper bound, overlapped work included) out of
+            # the fetch leg the link rate is derived from.
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            np.asarray(leaf[(0,) * leaf.ndim])
+            dev_s = time.perf_counter() - t0
+            t1 = time.perf_counter()
+            if isinstance(out, tuple):  # YCbCr 4:2:0 planes
+                fulls = tuple(np.asarray(p) for p in out)
+                nbytes = sum(p.nbytes for p in fulls)
+                host = tuple(p[: len(batch)] for p in fulls)
             else:
-                fut = encode_pool.submit(
-                    _encode_one, d.job.out_path, host[i].copy(), quality
+                full = np.asarray(out)  # the padded batch is what crosses
+                nbytes = full.nbytes
+                host = full[: len(batch)]
+            return host, dev_s, time.perf_counter() - t1, nbytes
+
+        def drain_inflight(encode_pool, depth: int):
+            while len(inflight) > depth:
+                fut, batch = inflight.pop(0)
+                try:
+                    host, dev_s, fetch_s, nbytes = fut.result()
+                except Exception as e:  # device/transport failure: the
+                    # batch quarantines like any other per-image failure —
+                    # one OOM'd batch must not kill a 1,000-image run.
+                    for d in batch:
+                        report.failed.append(
+                            (d.job.raw_path, f"device: {e}"))
+                    continue
+                report.device_seconds += dev_s
+                report.fetch_seconds += fetch_s
+                report.fetch_bytes += nbytes
+                submit_encodes(batch, host, encode_pool)
+
+        def _flush_dispatch(batch: List[_Decoded]):
+            n_real = len(batch)
+            # Pad to the fixed batch shape: one compiled program per
+            # (batch_size, H, W). Padding replays item 0 and is dropped
+            # before encode.
+            padded = batch + [batch[0]] * (batch_size - n_real)
+            if mesh is None and any(d.staged is not None for d in batch):
+                # Use every pre-staged buffer (partial batches included —
+                # an over-budget straggler must not discard the bytes the
+                # link already streamed); items without one upload here.
+                # The residual wait (timed as upload) is whatever the link
+                # hasn't streamed yet — fully overlapped staging costs ~0.
+                import jax.numpy as jnp
+
+                t_up = time.perf_counter()
+                parts = []
+                late_bytes = 0
+                built = {}  # padding replays batch[0]: upload/unpack once
+                for d in padded:
+                    if id(d) not in built:
+                        if d.staged is None:
+                            late = np.ascontiguousarray(d.mosaic)
+                            late_bytes += late.nbytes
+                            built[id(d)] = jax.device_put(late)
+                        elif d.staged_fmt != "raw":
+                            # Bit-packed staging: fused device unpack.
+                            built[id(d)] = _unpack_jit(d.staged_fmt)(
+                                d.staged)
+                        else:
+                            built[id(d)] = d.staged
+                    parts.append(built[id(d)])
+                mosaics = jnp.stack(parts)
+                jax.block_until_ready(mosaics)
+                report.upload_seconds += time.perf_counter() - t_up
+                report.upload_bytes += late_bytes + sum(
+                    d.staged_nbytes for d in batch if d.staged is not None)
+            else:
+                mosaics = np.stack([d.mosaic for d in padded])
+            params = pack_params([d.job.params for d in padded])
+            wbs = np.stack([d.wb for d in padded])
+            cms = np.stack([d.cam_matrix for d in padded])
+            whites = np.array([d.white_level for d in padded], np.float32)
+            blacks = np.array([d.black_level for d in padded], np.float32)
+
+            phase = batch[0].cfa_phase
+            t0 = time.perf_counter()
+            if bits == 16:
+                from raweditor_tpu.ops.develop import (
+                    develop_linear,
+                    develop_u16,
+                    develop_xtrans,
                 )
-            encode_futures.append((fut, d.job))
-        # Backpressure: the device can outrun host JPEG encode by ~20×;
-        # without a bound the queue would pin unbounded RGBA buffers.
-        max_inflight = 4 * encode_threads
-        while len(encode_futures) > max_inflight:
-            fut, job = encode_futures.pop(0)
-            t_enc = time.perf_counter()
-            try:
-                fut.result()
-                report.succeeded += 1
-            except Exception as e:
-                report.failed.append((job.raw_path, f"encode: {e}"))
-            report.encode_seconds += time.perf_counter() - t_enc
-
-    def _fetch_batch(out, batch, t0):
-        """Runs on the fetch thread: sync compute, then pull the batch
-        to host. Off the main thread so the D2H transfer of batch N
-        overlaps batch N+1's decode AND its H2D upload (the two legs
-        run full duplex on the link)."""
-        # True sync first: block_until_ready is optimistic on the
-        # tunneled dev transport (CLAUDE.md) — fetch ONE element of
-        # the first output buffer instead. TPU programs retire in
-        # order, so that element landing implies the batch's compute
-        # is done; the 4-byte fetch keeps compute time (measured from
-        # dispatch; an upper bound, overlapped work included) out of
-        # the fetch leg the link rate is derived from.
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(leaf[(0,) * leaf.ndim])
-        dev_s = time.perf_counter() - t0
-        t1 = time.perf_counter()
-        if isinstance(out, tuple):  # YCbCr 4:2:0 planes
-            fulls = tuple(np.asarray(p) for p in out)
-            nbytes = sum(p.nbytes for p in fulls)
-            host = tuple(p[: len(batch)] for p in fulls)
-        else:
-            full = np.asarray(out)  # the padded batch is what crosses
-            nbytes = full.nbytes
-            host = full[: len(batch)]
-        return host, dev_s, time.perf_counter() - t1, nbytes
-
-    def drain_inflight(encode_pool, depth: int):
-        while len(inflight) > depth:
-            fut, batch = inflight.pop(0)
-            try:
-                host, dev_s, fetch_s, nbytes = fut.result()
-            except Exception as e:  # device/transport failure: the
-                # batch quarantines like any other per-image failure —
-                # one OOM'd batch must not kill a 1,000-image run.
-                for d in batch:
-                    report.failed.append(
-                        (d.job.raw_path, f"device: {e}"))
-                continue
-            report.device_seconds += dev_s
-            report.fetch_seconds += fetch_s
-            report.fetch_bytes += nbytes
-            submit_encodes(batch, host, encode_pool)
-
-    def _flush_dispatch(batch: List[_Decoded]):
-        n_real = len(batch)
-        # Pad to the fixed batch shape: one compiled program per
-        # (batch_size, H, W). Padding replays item 0 and is dropped
-        # before encode.
-        padded = batch + [batch[0]] * (batch_size - n_real)
-        if mesh is None and any(d.staged is not None for d in batch):
-            # Use every pre-staged buffer (partial batches included —
-            # an over-budget straggler must not discard the bytes the
-            # link already streamed); items without one upload here.
-            # The residual wait (timed as upload) is whatever the link
-            # hasn't streamed yet — fully overlapped staging costs ~0.
-            import jax.numpy as jnp
-
-            t_up = time.perf_counter()
-            parts = []
-            late_bytes = 0
-            built = {}  # padding replays batch[0]: upload/unpack once
-            for d in padded:
-                if id(d) not in built:
-                    if d.staged is None:
-                        late = np.ascontiguousarray(d.mosaic)
-                        late_bytes += late.nbytes
-                        built[id(d)] = jax.device_put(late)
-                    elif d.staged_fmt != "raw":
-                        # Bit-packed staging: fused device unpack.
-                        built[id(d)] = _unpack_jit(d.staged_fmt)(
-                            d.staged)
-                    else:
-                        built[id(d)] = d.staged
-                parts.append(built[id(d)])
-            mosaics = jnp.stack(parts)
-            jax.block_until_ready(mosaics)
-            report.upload_seconds += time.perf_counter() - t_up
-            report.upload_bytes += late_bytes + sum(
-                d.staged_nbytes for d in batch if d.staged is not None)
-        else:
-            mosaics = np.stack([d.mosaic for d in padded])
-        params = pack_params([d.job.params for d in padded])
-        wbs = np.stack([d.wb for d in padded])
-        cms = np.stack([d.cam_matrix for d in padded])
-        whites = np.array([d.white_level for d in padded], np.float32)
-        blacks = np.array([d.black_level for d in padded], np.float32)
-
-        phase = batch[0].cfa_phase
-        t0 = time.perf_counter()
-        if bits == 16:
-            from raweditor_tpu.ops.develop import (
-                develop_linear,
-                develop_u16,
-                develop_xtrans,
-            )
 
 
-            if phase == "__linear__":
+                if phase == "__linear__":
+                    out = jax.vmap(
+                        lambda m, p, w, c, wl, bl: develop_linear(
+                            m, p, w, c, wl, bl,
+                            matrix_transpose=matrix_transpose,
+                            transfer=transfer16, bits=16,
+                        )
+                    )(mosaics, params, wbs, cms, whites, blacks)
+                elif isinstance(phase, str):
+                    out = jax.vmap(
+                        lambda m, p, w, c, wl, bl: develop_xtrans(
+                            m, p, w, c, wl, bl, pattern=phase,
+                            matrix_transpose=matrix_transpose,
+                            transfer=transfer16, bits=16,
+                            demosaic_method=_generic_cfa_method(demosaic_method),
+                        )
+                    )(mosaics, params, wbs, cms, whites, blacks)
+                else:
+                    out = jax.vmap(
+                        lambda m, p, w, c, wl, bl: develop_u16(
+                            m, p, w, c, wl, bl,
+                            demosaic_method=demosaic_method,
+                            matrix_transpose=matrix_transpose,
+                            transfer=transfer16, cfa_phase=phase,
+                        )
+                    )(mosaics, params, wbs, cms, whites, blacks)
+            elif phase == "__linear__":
+                from raweditor_tpu.ops.develop import develop_linear
+
                 out = jax.vmap(
                     lambda m, p, w, c, wl, bl: develop_linear(
                         m, p, w, c, wl, bl,
-                        matrix_transpose=matrix_transpose,
-                        transfer=transfer16, bits=16,
+                        matrix_transpose=matrix_transpose, rgba=True,
+                        transfer=transfer,
                     )
                 )(mosaics, params, wbs, cms, whites, blacks)
-            elif isinstance(phase, str):
-                out = jax.vmap(
-                    lambda m, p, w, c, wl, bl: develop_xtrans(
-                        m, p, w, c, wl, bl, pattern=phase,
-                        matrix_transpose=matrix_transpose,
-                        transfer=transfer16, bits=16,
+            elif isinstance(phase, str):  # X-Trans bucket (pattern string)
+                from raweditor_tpu.parallel.batch import (
+                    batch_develop_xtrans_rgba,
+                )
+
+                out = None
+                if pallas_ok and demosaic_method == "nearest":
+                    from raweditor_tpu.ops.pallas_develop import (
+                        pallas_batch_develop_rgba,
+                    )
+
+                    try:
+                        out = pallas_batch_develop_rgba(
+                            mosaics, params, wbs, cms, whites, blacks,
+                            matrix_transpose=matrix_transpose,
+                            pattern=phase, gamma=pallas_gamma,
+                        )
+                    except Exception:
+                        out = None  # unsupported shape/backend → XLA path
+                if out is None:
+                    out = batch_develop_xtrans_rgba(
+                        mosaics, params, wbs, cms, whites, blacks,
+                        pattern=phase, matrix_transpose=matrix_transpose,
+                        transfer=transfer,
                         demosaic_method=_generic_cfa_method(demosaic_method),
                     )
-                )(mosaics, params, wbs, cms, whites, blacks)
-            else:
-                out = jax.vmap(
-                    lambda m, p, w, c, wl, bl: develop_u16(
-                        m, p, w, c, wl, bl,
-                        demosaic_method=demosaic_method,
-                        matrix_transpose=matrix_transpose,
-                        transfer=transfer16, cfa_phase=phase,
+            elif mesh is None:
+                out = None
+                if pallas_ok:
+                    from raweditor_tpu.ops.pallas_develop import (
+                        pallas_batch_develop_rgba,
                     )
-                )(mosaics, params, wbs, cms, whites, blacks)
-        elif phase == "__linear__":
-            from raweditor_tpu.ops.develop import develop_linear
 
-            out = jax.vmap(
-                lambda m, p, w, c, wl, bl: develop_linear(
-                    m, p, w, c, wl, bl,
+                    try:
+                        out = pallas_batch_develop_rgba(
+                            mosaics, params, wbs, cms, whites, blacks,
+                            matrix_transpose=matrix_transpose,
+                            cfa_phase=phase,
+                            gamma=pallas_gamma,
+                            demosaic=demosaic_method,
+                        )
+                    except Exception:
+                        out = None  # unsupported shape/backend → XLA path
+                if out is None:
+                    out = batch_develop_rgba(
+                        mosaics, params, wbs, cms, whites, blacks,
+                        matrix_transpose=matrix_transpose, cfa_phase=phase,
+                        transfer=transfer, demosaic_method=demosaic_method,
+                    )
+            else:
+                staged = jax.device_put(mosaics, batch_sharding(mesh))
+                out = batch_develop_sharded(
+                    staged, params, wbs, cms, mesh,
+                    white_levels=whites, black_levels=blacks,
                     matrix_transpose=matrix_transpose, rgba=True,
-                    transfer=transfer,
+                    cfa_phase=phase, transfer=transfer,
+                    demosaic_method=demosaic_method,
                 )
-            )(mosaics, params, wbs, cms, whites, blacks)
-        elif isinstance(phase, str):  # X-Trans bucket (pattern string)
-            from raweditor_tpu.parallel.batch import (
-                batch_develop_xtrans_rgba,
-            )
+            h_, w_ = mosaics.shape[1], mosaics.shape[2]
+            if (jpeg_planes_ok and not isinstance(out, tuple)
+                    and h_ % 2 == 0 and w_ % 2 == 0
+                    and getattr(out, "ndim", 0) == 3):
+                # Convert + subsample on device: one extra HBM-bound pass,
+                # 2.67× less data over the wire (ops/jpeg.py).
+                out = _ycbcr420_jit()(out)
+            return out, t0
 
-            out = None
-            if pallas_ok and demosaic_method == "nearest":
-                from raweditor_tpu.ops.pallas_develop import (
-                    pallas_batch_develop_rgba,
-                )
-
-                try:
-                    out = pallas_batch_develop_rgba(
-                        mosaics, params, wbs, cms, whites, blacks,
-                        matrix_transpose=matrix_transpose,
-                        pattern=phase, gamma=pallas_gamma,
-                    )
-                except Exception:
-                    out = None  # unsupported shape/backend → XLA path
-            if out is None:
-                out = batch_develop_xtrans_rgba(
-                    mosaics, params, wbs, cms, whites, blacks,
-                    pattern=phase, matrix_transpose=matrix_transpose,
-                    transfer=transfer,
-                    demosaic_method=_generic_cfa_method(demosaic_method),
-                )
-        elif mesh is None:
-            out = None
-            if pallas_ok:
-                from raweditor_tpu.ops.pallas_develop import (
-                    pallas_batch_develop_rgba,
-                )
-
-                try:
-                    out = pallas_batch_develop_rgba(
-                        mosaics, params, wbs, cms, whites, blacks,
-                        matrix_transpose=matrix_transpose,
-                        cfa_phase=phase,
-                        gamma=pallas_gamma,
-                        demosaic=demosaic_method,
-                    )
-                except Exception:
-                    out = None  # unsupported shape/backend → XLA path
-            if out is None:
-                out = batch_develop_rgba(
-                    mosaics, params, wbs, cms, whites, blacks,
-                    matrix_transpose=matrix_transpose, cfa_phase=phase,
-                    transfer=transfer, demosaic_method=demosaic_method,
-                )
-        else:
-            staged = jax.device_put(mosaics, batch_sharding(mesh))
-            out = batch_develop_sharded(
-                staged, params, wbs, cms, mesh,
-                white_levels=whites, black_levels=blacks,
-                matrix_transpose=matrix_transpose, rgba=True,
-                cfa_phase=phase, transfer=transfer,
-                demosaic_method=demosaic_method,
-            )
-        h_, w_ = mosaics.shape[1], mosaics.shape[2]
-        if (jpeg_planes_ok and not isinstance(out, tuple)
-                and h_ % 2 == 0 and w_ % 2 == 0
-                and getattr(out, "ndim", 0) == 3):
-            # Convert + subsample on device: one extra HBM-bound pass,
-            # 2.67× less data over the wire (ops/jpeg.py).
-            out = _ycbcr420_jit()(out)
-        return out, t0
-
-    def flush(batch: List[_Decoded], encode_pool: ThreadPoolExecutor):
-        try:
-            out, t0 = _flush_dispatch(batch)
-        except Exception as e:  # device/compile failure: quarantine
-            # the batch like any per-image failure instead of killing
-            # a long run.
-            for d in batch:
-                report.failed.append((d.job.raw_path, f"develop: {e}"))
-            return
-        finally:
-            # Release staging budget only now: until dispatch, the
-            # staged buffers were the live copies (releasing at stack
-            # time let the decode window transiently double the
-            # budgeted HBM).
-            for d in batch:
-                if d.staged is not None:
-                    d.staged = None
-                    _stage_budget_release(d.staged_nbytes)
-        inflight.append(
-            (fetch_pool.submit(_fetch_batch, out, batch, t0), batch))
-        drain_inflight(encode_pool, depth=1)
-
-    with ThreadPoolExecutor(decode_threads) as decode_pool, \
-            ThreadPoolExecutor(encode_threads) as encode_pool, \
-            ThreadPoolExecutor(1) as fetch_pool:
-        batcher = _Batcher(batch_size)
-        window = max(2 * batch_size, decode_threads * 2)
-        pending: List[Tuple[Future, ExportJob]] = []
-        job_iter = iter(jobs)
-
-        def submit_next() -> bool:
-            job = next(job_iter, None)
-            if job is None:
-                return False
-            pending.append(
-                (decode_pool.submit(_decode_job, job, mode,
-                                    mesh is None), job)
-            )
-            return True
-
-        for _ in range(window):
-            if not submit_next():
-                break
-
-        while pending:
-            fut, job = pending.pop(0)
+        def flush(batch: List[_Decoded], encode_pool: ThreadPoolExecutor):
             try:
-                decoded, decode_s = fut.result()
-            except Exception as e:
-                report.failed.append((job.raw_path, f"decode: {e}"))
-            else:
-                # Sum of worker time (can exceed wall clock with
-                # multiple decode threads — it's the host-CPU budget).
-                report.decode_seconds += decode_s
-                full = batcher.add(decoded)
-                if full is not None:
-                    flush(full, encode_pool)
-            submit_next()
+                out, t0 = _flush_dispatch(batch)
+            except Exception as e:  # device/compile failure: quarantine
+                # the batch like any per-image failure instead of killing
+                # a long run.
+                for d in batch:
+                    report.failed.append((d.job.raw_path, f"develop: {e}"))
+                return
+            finally:
+                # Release staging budget only now: until dispatch, the
+                # staged buffers were the live copies (releasing at stack
+                # time let the decode window transiently double the
+                # budgeted HBM).
+                for d in batch:
+                    if d.staged is not None:
+                        _stage_budget_release(d.staged_nbytes)
+                        d.staged = None
+                        d.staged_nbytes = 0
+            inflight.append(
+                (fetch_pool.submit(_fetch_batch, out, batch, t0), batch))
+            drain_inflight(encode_pool, depth=1)
 
-        for bucket in batcher.drain():
-            flush(bucket, encode_pool)
-        drain_inflight(encode_pool, depth=0)
+        with ThreadPoolExecutor(decode_threads) as decode_pool, \
+                ThreadPoolExecutor(encode_threads) as encode_pool, \
+                ThreadPoolExecutor(1) as fetch_pool:
+            batcher = _Batcher(batch_size)
+            window = max(2 * batch_size, decode_threads * 2)
+            pending: List[Tuple[Future, ExportJob]] = []
+            job_iter = iter(jobs)
 
-        t0 = time.perf_counter()
-        for fut, job in encode_futures:
-            try:
-                fut.result()
-                report.succeeded += 1
-            except Exception as e:
-                report.failed.append((job.raw_path, f"encode: {e}"))
-        report.encode_seconds += time.perf_counter() - t0
+            def submit_next() -> bool:
+                job = next(job_iter, None)
+                if job is None:
+                    return False
+                pending.append(
+                    (decode_pool.submit(_decode_job, job, mode,
+                                        mesh is None), job)
+                )
+                return True
 
+            for _ in range(window):
+                if not submit_next():
+                    break
+
+            while pending:
+                fut, job = pending.pop(0)
+                try:
+                    decoded, decode_s = fut.result()
+                except Exception as e:
+                    report.failed.append((job.raw_path, f"decode: {e}"))
+                else:
+                    # Sum of worker time (can exceed wall clock with
+                    # multiple decode threads — it's the host-CPU budget).
+                    report.decode_seconds += decode_s
+                    full = batcher.add(decoded)
+                    if full is not None:
+                        flush(full, encode_pool)
+                submit_next()
+
+            for bucket in batcher.drain():
+                flush(bucket, encode_pool)
+            drain_inflight(encode_pool, depth=0)
+
+            t0 = time.perf_counter()
+            for fut, job in encode_futures:
+                try:
+                    fut.result()
+                    report.succeeded += 1
+                except Exception as e:
+                    report.failed.append((job.raw_path, f"encode: {e}"))
+            report.encode_seconds += time.perf_counter() - t0
+
+    finally:
+        # Always balance the run counter: an exception or
+        # KeyboardInterrupt escaping this function must not leave
+        # _stage_runs stuck >0 (that would disable the leaked-budget
+        # self-healing in _stage_run_begin for the process lifetime).
+        _stage_run_end()
     report.seconds = time.perf_counter() - t_start
-    _stage_run_end()
     return report
 
 

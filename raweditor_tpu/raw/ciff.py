@@ -614,6 +614,7 @@ def decode_crw(data: bytes, source_path: str = "") -> RawImage:
         mosaic=mosaic,
         wb_multipliers=(wb if wb is not None
                         else np.ones(4, np.float32)),
+        wb_is_default=wb is None,
         xyz_to_cam=np.eye(3, dtype=np.float32),
         black_level=0.0,
         white_level=4095.0 if lowbits else 1023.0,

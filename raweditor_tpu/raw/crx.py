@@ -532,6 +532,7 @@ def decode_cr3(data: bytes, source_path: str = ""):
     return RawImage(
         mosaic=mosaic,
         wb_multipliers=np.ones(4, np.float32),
+        wb_is_default=True,  # CMT3 ColorData unparsed (docs/formats.md)
         xyz_to_cam=np.eye(3, dtype=np.float32),
         black_level=0.0,
         white_level=float((1 << cmp1.n_bits) - 1),

@@ -557,6 +557,42 @@ def _wb_from_nikon_0x97(mn: T.TiffFile):
     )
 
 
+def _warn_neutral_wb(tf: T.TiffFile, source_path: str) -> None:
+    """One loud WARNING when WB falls back to neutral. Distinguishes
+    the actionable case — an encrypted Nikon 0x0097 ColorBalance
+    present but no xlat tables injected (reference:
+    raw/loader.rs:78-110 gets these via rawloader's built-in tables)
+    — from plain missing metadata, and names the fix."""
+    from raweditor_tpu.utils.logging import get_logger
+
+    log = get_logger("raweditor_tpu.raw")
+    name = source_path or "<bytes>"
+    mn = find_nikon_makernote(tf)
+    has_97 = False
+    if mn is not None:
+        for ifd in mn.all_ifds():
+            if isinstance(ifd.get(0x0097), (bytes, bytearray)):
+                has_97 = True
+                break
+    if has_97:
+        from raweditor_tpu.raw import nikon_crypt
+
+        if nikon_crypt.load_xlat_tables() is None:
+            log.warning(
+                "%s: white balance is encrypted (Nikon MakerNote "
+                "0x0097) and no xlat tables are available - using "
+                "neutral WB. Provide the 512-byte table file via "
+                "--xlat FILE / RAWEDITOR_NIKON_XLAT=FILE to get the "
+                "camera's WB (see docs/formats.md).", name)
+        else:
+            log.warning(
+                "%s: Nikon 0x0097 ColorBalance present but WB "
+                "extraction failed - using neutral WB.", name)
+    else:
+        log.info("%s: no parsable white-balance metadata - using "
+                 "neutral WB.", name)
+
+
 def _wb_from_neutral(neutral) -> np.ndarray:
     """DNG AsShotNeutral (camera-space white) → multipliers, then
     green-normalized with the reference's fallback rules
@@ -753,9 +789,14 @@ def _finish_raw_image(tf, mosaic, curve_white, bpp, ifd, source_path):
                             for v in levels[:4])):
                 r, g, g2, b = (float(v) for v in levels[:4])
                 wb = RawImage.normalize_wb([r, g, b, g2])
+    wb_default = wb is None
     if wb is None:
-        # Neutral fallback (reference: raw/loader.rs:93-97).
+        # Neutral fallback (reference: raw/loader.rs:93-97). For
+        # modern NEFs this is the encrypted-0x0097-without-xlat path:
+        # warn loudly so users know WB is a placeholder and how to
+        # inject the tables (raw/nikon_crypt.py, `--xlat`).
         wb = np.array([1.0, 1.0, 1.0, 1.0], dtype=np.float32)
+        _warn_neutral_wb(tf, source_path)
 
     cm = _find_tag(tf, T.COLOR_MATRIX_1)
     if cm is not None and isinstance(cm, tuple) and len(cm) >= 9:
@@ -818,6 +859,7 @@ def _finish_raw_image(tf, mosaic, curve_white, bpp, ifd, source_path):
     return RawImage(
         mosaic=mosaic,
         wb_multipliers=wb,
+        wb_is_default=wb_default,
         xyz_to_cam=xyz_to_cam,
         black_level=float(black) if black is not None else 0.0,
         black_per_site=black_per_site,
@@ -922,6 +964,7 @@ def _decode_raf(data: bytes, source_path: str) -> RawImage:
         raw = RawImage(
             mosaic=mosaic,
             wb_multipliers=np.ones(4, np.float32),
+            wb_is_default=True,
             xyz_to_cam=np.eye(3, dtype=np.float32),
             white_level=float(mosaic.max(initial=1)),
             cfa_pattern=XTRANS_PATTERN,
@@ -930,6 +973,7 @@ def _decode_raf(data: bytes, source_path: str) -> RawImage:
     wb = rf.wb_multipliers()
     if wb is not None:
         raw.wb_multipliers = wb
+        raw.wb_is_default = False
     raw.camera_make = "FUJIFILM"
     raw.camera_model = rf.model
     return raw

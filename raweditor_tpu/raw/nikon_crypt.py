@@ -55,6 +55,36 @@ def set_xlat_tables(xlat0: Optional[bytes], xlat1: Optional[bytes] = None):
     _injected = (bytes(xlat0), bytes(xlat1))
 
 
+def inject_xlat_file(path: str) -> str:
+    """Load and inject the 512-byte xlat file (xlat0 ‖ xlat1), the
+    `--xlat FILE` CLI workflow. Validates the format loudly — a wrong
+    file must not silently corrupt WB — and returns the tables'
+    SHA-256 hex digest so users can cross-check the exact bytes in
+    use (it is also logged at INFO)."""
+    import hashlib
+
+    with open(path, "rb") as f:
+        data = f.read()
+    if len(data) != 512:
+        raise ValueError(
+            f"xlat file must be exactly 512 bytes "
+            f"(xlat0 then xlat1, 256 each); got {len(data)}")
+    x0, x1 = data[:256], data[256:]
+    # Firmware substitution tables are high-entropy permutation-like
+    # byte maps; a near-constant block is certainly the wrong file.
+    if len(set(x0)) < 16 or len(set(x1)) < 16:
+        raise ValueError(
+            "xlat tables look degenerate (fewer than 16 distinct "
+            "byte values) - not firmware substitution tables")
+    set_xlat_tables(x0, x1)
+    digest = hashlib.sha256(data).hexdigest()
+    from raweditor_tpu.utils.logging import get_logger
+
+    get_logger("raweditor_tpu.raw").info(
+        "injected Nikon xlat tables from %s (sha256 %s)", path, digest)
+    return digest
+
+
 def load_xlat_tables() -> Optional[Tuple[bytes, bytes]]:
     """The injected tables, else the 512-byte file named by
     $RAWEDITOR_NIKON_XLAT, else None."""

@@ -29,6 +29,12 @@ class RawImage:
     white_level: float = 4096.0  # parity default (reference: gpu/shaders.rs:110)
     cfa_pattern: str = "RGGB"  # effective storage-space CFA phase
     orientation: int = 1  # TIFF tag 274 (1=normal, 3=180, 6=90CW, 8=90CCW)
+    # True when wb_multipliers is a neutral (all-ones) placeholder
+    # because the file's real WB could not be parsed (e.g. CR3 CMT3
+    # ColorData, encrypted Nikon 0x0097 without xlat tables). Lets
+    # callers distinguish "camera says neutral" from "unknown" —
+    # see decode.py/cli.py `info` and docs/formats.md.
+    wb_is_default: bool = False
     camera_make: str = ""
     camera_model: str = ""
     source_path: str = ""

@@ -114,6 +114,83 @@ def test_decode_nef_encrypted_wb_neutral_without_tables(tmp_path, rng):
     np.testing.assert_array_equal(raw.wb_multipliers, [1, 1, 1, 1])
 
 
+def test_decode_neutral_fallback_sets_wb_is_default(tmp_path, rng):
+    """The API surface distinguishes placeholder WB from parsed WB:
+    the no-tables fallback sets wb_is_default, a real parse clears
+    it (ADVICE r2: callers could not tell neutral-default apart)."""
+    t0 = rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
+    t1 = rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
+    m = rng.integers(0, 4096, size=(16, 20), dtype=np.uint16)
+    path = tmp_path / "enc3.nef"
+    write_synthetic_raw(
+        path, m, compression="nikon",
+        nikon_encrypted_wb=dict(ver=204, wb_rgbg=(2.1, 1.0, 1.35, 1.0),
+                                serial="6012345", count=4242,
+                                xlat0=t0, xlat1=t1),
+    )
+    nikon_crypt.set_xlat_tables(None)
+    assert decode_raw(path).wb_is_default is True
+    nikon_crypt.set_xlat_tables(t0, t1)
+    try:
+        assert decode_raw(path).wb_is_default is False
+    finally:
+        nikon_crypt.set_xlat_tables(None)
+
+
+def test_inject_xlat_file_cli_workflow(tmp_path, rng):
+    """--xlat FILE: 512-byte validation, degenerate-table rejection,
+    sha256 receipt, and end-to-end effect through the CLI entry."""
+    import hashlib
+    import json
+    import subprocess
+    import sys
+
+    t0 = rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
+    t1 = rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
+    good = tmp_path / "xlat.bin"
+    good.write_bytes(t0 + t1)
+    try:
+        digest = nikon_crypt.inject_xlat_file(str(good))
+        assert digest == hashlib.sha256(t0 + t1).hexdigest()
+        assert nikon_crypt.load_xlat_tables() == (t0, t1)
+    finally:
+        nikon_crypt.set_xlat_tables(None)
+
+    short = tmp_path / "short.bin"
+    short.write_bytes(t0)
+    with pytest.raises(ValueError, match="512"):
+        nikon_crypt.inject_xlat_file(str(short))
+    flat = tmp_path / "flat.bin"
+    flat.write_bytes(b"\x42" * 512)
+    with pytest.raises(ValueError, match="degenerate"):
+        nikon_crypt.inject_xlat_file(str(flat))
+
+    # End to end through the CLI: info --xlat reports the real WB.
+    m = rng.integers(0, 4096, size=(16, 20), dtype=np.uint16)
+    nef = tmp_path / "cli.nef"
+    write_synthetic_raw(
+        nef, m, compression="nikon",
+        nikon_encrypted_wb=dict(ver=204, wb_rgbg=(2.1, 1.0, 1.35, 1.0),
+                                serial="6012345", count=4242,
+                                xlat0=t0, xlat1=t1),
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "raweditor_tpu", "--xlat", str(good),
+         "info", str(nef)],
+        capture_output=True, text=True, check=True)
+    meta = json.loads(out.stdout)
+    assert meta["wb_is_default"] is False
+    np.testing.assert_allclose(
+        meta["wb_multipliers"], [2.1, 1.0, 1.35, 1.0], atol=1 / 64)
+    # Without tables: neutral + flagged.
+    out = subprocess.run(
+        [sys.executable, "-m", "raweditor_tpu", "info", str(nef)],
+        capture_output=True, text=True, check=True)
+    meta = json.loads(out.stdout)
+    assert meta["wb_is_default"] is True
+    assert meta["wb_multipliers"] == [1.0, 1.0, 1.0, 1.0]
+
+
 def test_xlat_tables_from_env_file(tmp_path, rng, monkeypatch):
     nikon_crypt.set_xlat_tables(None)
     t0 = rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
