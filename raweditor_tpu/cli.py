@@ -235,8 +235,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bpp", type=int, default=12)
     p.add_argument("--compression",
                    choices=("none", "ljpeg", "ljpeg4", "nikon", "arw2",
-                            "pentax", "kodak65000", "srw1", "orf",
-                            "rw2", "crw", "raf", "cr3", "cr3-craw"),
+                            "pentax", "kodak65000", "srw1", "srw3",
+                            "radc", "orf", "rw2", "crw", "raf", "cr3",
+                            "cr3-craw"),
                    default="none",
                    help="TIFF-container codecs, or a whole-container "
                         "format (orf/rw2/crw/raf/cr3[-craw])")
@@ -636,6 +637,25 @@ def cmd_synth(args) -> int:
                   file=sys.stderr)
         write_synthetic_rw2(args.output,
                             rw2_representable(mosaic[:, :w14]))
+    elif comp == "srw3":
+        w16 = (args.width // 16) * 16  # v3 rows are 16-pixel blocks
+        if w16 == 0:
+            raise SystemExit("srw3 needs --width >= 16")
+        if w16 != args.width:
+            print(f"srw3: width cropped to {w16} (16-pixel blocks)",
+                  file=sys.stderr)
+        write_synthetic_raw(args.output, mosaic[:, :w16], bpp=args.bpp,
+                            compression="srw3", srw_wb=True)
+    elif comp == "radc":
+        from raweditor_tpu.raw.kodak_radc import radc_representable
+
+        w4 = (args.width // 4) * 4
+        h4 = (args.height // 4) * 4
+        if w4 == 0 or h4 == 0:
+            raise SystemExit("radc needs --width/--height >= 4")
+        write_synthetic_raw(args.output,
+                            radc_representable(mosaic[:h4, :w4]),
+                            bpp=args.bpp, compression="radc")
     elif comp == "crw":
         from raweditor_tpu.raw.ciff import write_crw
 

@@ -2197,11 +2197,372 @@ static PyObject* py_decode_olympus(PyObject*, PyObject* args) {
 static PyObject* py_encode_olympus(PyObject*, PyObject* args) {
   return encode_binding<encode_olympus_impl>(args);
 }
+// Kodak RADC (DC40/DC50 class). Mirrors raw/kodak_radc.py exactly —
+// see that module's docstring for the reconstructed scheme, the
+// table provenance caveats, and the quarantine contract.
+namespace radc {
+
+// (length, value) pairs per table; tables are complete prefix codes
+// (same literals as kodak_radc.py's _TABLE_SPEC).
+struct Pair { int8_t len; int8_t val; };
+static const Pair kSpec0[] = {{1,1},{2,3},{3,4},{4,2},{5,7},{6,5},{7,6},{7,8}};
+static const Pair kSpec1[] = {{1,0},{2,1},{3,3},{4,4},{5,2},{6,7},{7,6},{8,5},{8,8}};
+static const Pair kSpec2[] = {{2,1},{2,3},{3,0},{3,2},{3,4},{4,6},{5,5},{6,7},{6,8}};
+static const Pair kSpec3[] = {{2,0},{2,1},{2,3},{3,2},{4,4},{5,6},{6,7},{7,5},{7,8}};
+static const Pair kSpec4[] = {{2,1},{2,4},{3,0},{3,2},{3,3},{4,7},{5,5},{6,6},{6,8}};
+static const Pair kSpec5[] = {{2,4},{2,5},{3,3},{3,6},{4,0},{4,2},{4,7},{5,1},{5,8}};
+static const Pair kSpec6[] = {{2,5},{2,6},{3,4},{3,7},{4,0},{4,3},{4,8},{5,1},{5,2}};
+static const Pair kSpec7[] = {{2,6},{2,7},{3,5},{3,8},{4,0},{4,4},{4,3},{5,1},{5,2}};
+static const Pair kSpec8[] = {{1,8},{3,7},{3,6},{4,5},{4,4},{5,3},{5,2},{5,0},{5,1}};
+static const Pair kSpec9[] = {{1,0},{2,1},{3,2},{4,3},{5,4},{6,5},{7,6},{8,7},{8,8}};
+static const Pair kSpec10[] = {{2,0},{2,1},{2,2},{3,3},{4,4},{5,5},{6,6},{7,7},{7,8}};
+static const Pair kSpec11[] = {{1,0},{2,1},{2,-1}};
+static const Pair kSpec12[] = {{1,0},{3,1},{3,-1},{3,2},{3,-2}};
+static const Pair kSpec13[] = {{1,0},{3,1},{3,-1},{4,2},{4,-2},{4,3},{4,-3}};
+static const Pair kSpec14[] = {{1,0},{3,1},{3,-1},{4,2},{4,-2},{5,3},{5,-3},{5,4},{5,-4}};
+static const Pair kSpec15[] = {{2,0},{3,1},{3,-1},{4,2},{4,-2},{4,3},{4,-3},{4,4},{4,-4},{4,5},{4,-5}};
+static const Pair kSpec16[] = {{2,0},{3,1},{3,-1},{4,2},{4,-2},{4,3},{4,-3},{4,4},{4,-4},{5,5},{5,-5},{5,6},{5,-6}};
+static const Pair kSpec17[] = {{2,0},{3,1},{3,-1},{4,2},{4,-2},{4,3},{4,-3},{5,4},{5,-4},{5,5},{5,-5},{5,6},{5,-6},{5,7},{5,-7}};
+
+struct Tables {
+  // packed like dcraw: (len << 8) | (value as uint8)
+  uint16_t lut[19][256];
+  Tables() {
+    const Pair* specs[18] = {kSpec0, kSpec1, kSpec2, kSpec3, kSpec4,
+                             kSpec5, kSpec6, kSpec7, kSpec8, kSpec9,
+                             kSpec10, kSpec11, kSpec12, kSpec13,
+                             kSpec14, kSpec15, kSpec16, kSpec17};
+    const int counts[18] = {8, 9, 9, 9, 9, 9, 9, 9, 9, 9, 9,
+                            3, 5, 7, 9, 11, 13, 15};
+    for (int t = 0; t < 18; t++) {
+      int s = 0;
+      for (int e = 0; e < counts[t]; e++)
+        for (int k = 0; k < 256 >> specs[t][e].len; k++)
+          lut[t][s++] = uint16_t(specs[t][e].len) << 8 |
+                        uint8_t(specs[t][e].val);
+    }
+    const int sh = 3;  // direct samples quantized to 8s (+4)
+    for (int c = 0; c < 256; c++)
+      lut[18][c] = uint16_t(8 - sh) << 8 |
+                   uint8_t((c >> sh << sh) | (1 << (sh - 1)));
+  }
+};
+static const Tables kTables;
+
+struct Curve {
+  uint16_t fwd[65536];
+  Curve() {
+    static const int pt[12] = {0, 0, 1280, 1344, 2320, 3616,
+                               3328, 8000, 4095, 16383, 65535, 16383};
+    for (int i = 2; i < 12; i += 2)
+      for (int c = pt[i - 2]; c <= pt[i]; c++)
+        fwd[c] = uint16_t(double(c - pt[i - 2]) / (pt[i] - pt[i - 2]) *
+                              (pt[i + 1] - pt[i - 1]) +
+                          pt[i - 1] + 0.5);
+  }
+};
+static const Curve kCurve;
+
+struct Bits {
+  const uint8_t* d;
+  int64_t n;
+  int64_t pos = 0;
+  uint64_t acc = 0;
+  int have = 0;
+  int64_t consumed = 0;
+
+  void fill(int k) {
+    while (have < k) {
+      acc = (acc << 8) | (pos < n ? d[pos] : 0);  // peek may zero-fill
+      pos++;
+      have += 8;
+    }
+  }
+  int peek8() { fill(8); return int((acc >> (have - 8)) & 0xFF); }
+  void drop(int k) {
+    consumed += k;
+    if (consumed > n * 8)
+      throw std::runtime_error("radc: bit stream truncated");
+    have -= k;
+    acc &= (1ull << have) - 1;
+  }
+  int get(int k) {
+    fill(k);
+    consumed += k;
+    if (consumed > n * 8)
+      throw std::runtime_error("radc: bit stream truncated");
+    have -= k;
+    int v = int((acc >> have) & ((1ull << k) - 1));
+    acc &= (1ull << have) - 1;
+    return v;
+  }
+  int token(int table) {
+    uint16_t e = kTables.lut[table][peek8()];
+    drop(e >> 8);
+    return int(int8_t(e & 0xFF));
+  }
+};
+
+static inline int cdiv(int64_t a, int64_t b) {
+  return int(a / b);  // C division already truncates toward zero
+}
+
+static inline int predictor(const std::vector<int>& b, int c, int y,
+                            int x, int stride) {
+  if (c) return cdiv(b[(y - 1) * stride + x] + b[y * stride + x + 1], 2);
+  return cdiv(b[(y - 1) * stride + x + 1] + 2 * b[(y - 1) * stride + x] +
+                  b[y * stride + x + 1],
+              3);
+}
+
+}  // namespace radc
+
+void decode_radc_impl(const uint8_t* d, int64_t n, uint16_t* out16,
+                      int64_t width, int64_t height) {
+  using namespace radc;
+  if (width <= 0 || height <= 0 || width % 4 || height % 4)
+    throw std::runtime_error(
+        "radc: dimensions must be positive multiples of 4");
+  const int64_t w2 = width / 2;
+  const int stride = int(w2) + 2;
+  Bits bits{d, n};
+  std::vector<int32_t> raw(size_t(width) * height, 0);
+  std::vector<int> bufs[3];
+  for (auto& b : bufs) b.assign(size_t(3) * stride, 2048);
+  int last[3] = {16, 16, 16};
+  for (int64_t row = 0; row < height; row += 4) {
+    int mul[3];
+    for (int& m : mul) {
+      m = bits.get(6);
+      if (m == 0)
+        throw std::runtime_error("radc: zero channel multiplier");
+    }
+    for (int c = 0; c < 3; c++) {
+      std::vector<int>& buf = bufs[c];
+      {  // rescale by the multiplier ratio
+        int64_t val = ((0x1000000 / last[c] + 0x7ff) >> 12) * mul[c];
+        int s = val > 65564 ? 10 : 12;
+        int64_t x = ~(int64_t(-1) << (s - 1));
+        val <<= 12 - s;
+        for (int& b : buf) {
+          int64_t v = (int64_t(b) * val + x) >> s;
+          // bound the state so fixed-width arithmetic matches the
+          // Python reference's unbounded ints (quarantine contract)
+          if (v < -(1 << 20) || v > (1 << 20))
+            throw std::runtime_error(
+                "radc: prediction state out of range");
+          b = int(v);
+        }
+        last[c] = mul[c];
+      }
+      for (int r = 0; r <= (c == 0 ? 1 : 0); r++) {
+        buf[1 * stride + w2] = buf[2 * stride + w2] = mul[c] << 7;
+        int tree = 1;
+        int64_t col = w2;
+        while (col > 0) {
+          tree = bits.token(tree);
+          if (tree) {
+            col -= 2;
+            if (tree == 8) {
+              for (int y = 1; y < 3; y++)
+                for (int64_t x = col + 1; x >= col; x--)
+                  buf[y * stride + x] =
+                      (bits.token(18) & 0xFF) * mul[c];
+            } else {
+              for (int y = 1; y < 3; y++)
+                for (int64_t x = col + 1; x >= col; x--)
+                  buf[y * stride + x] =
+                      bits.token(tree + 10) * 16 +
+                      predictor(buf, c, y, int(x), stride);
+            }
+          } else {
+            int nreps;
+            do {
+              nreps = col > 2 ? bits.token(9) + 1 : 1;
+              for (int rep = 0; rep < 8 && rep < nreps && col > 0;
+                   rep++) {
+                col -= 2;
+                for (int y = 1; y < 3; y++)
+                  for (int64_t x = col + 1; x >= col; x--)
+                    buf[y * stride + x] =
+                        predictor(buf, c, y, int(x), stride);
+                if (rep & 1) {
+                  int step = bits.token(10) << 4;
+                  for (int y = 1; y < 3; y++)
+                    for (int64_t x = col + 1; x >= col; x--)
+                      buf[y * stride + x] += step;
+                }
+              }
+            } while (nreps == 9);
+          }
+        }
+        for (int y = 0; y < 2; y++)
+          for (int64_t x = 0; x < w2; x++) {
+            int val = cdiv(int64_t(buf[(y + 1) * stride + x]) << 4,
+                           mul[c]);
+            if (val < 0) val = 0;
+            int64_t ry, rx;
+            if (c) { ry = row + y * 2 + c - 1; rx = x * 2 + 2 - c; }
+            else { ry = row + r * 2 + y; rx = x * 2 + y; }
+            raw[ry * width + rx] = val;
+          }
+        // channel 0's buffer shifts one column per sub-row
+        if (c) {
+          std::copy(buf.begin() + 2 * stride, buf.begin() + 3 * stride,
+                    buf.begin());
+        } else {
+          std::copy_backward(buf.begin() + 2 * stride,
+                             buf.begin() + 2 * stride + stride - 1,
+                             buf.begin() + stride);
+        }
+      }
+    }
+    // chroma checkerboard reconstruction from luma neighbours
+    for (int64_t y = row; y < row + 4; y++)
+      for (int64_t x = 0; x < width; x++)
+        if ((x + y) & 1) {
+          int64_t l = x ? x - 1 : x + 1;
+          int64_t rr = x + 1 < width ? x + 1 : x - 1;
+          int val = (raw[y * width + x] - 2048) * 2 +
+                    cdiv(raw[y * width + l] + raw[y * width + rr], 2);
+          raw[y * width + x] = val < 0 ? 0 : val;
+        }
+  }
+  for (int64_t i = 0; i < width * height; i++) {
+    int32_t v = raw[i];
+    if (v < 0) v = 0;
+    if (v > 65535) v = 65535;
+    out16[i] = kCurve.fwd[v];
+  }
+}
+
+// Samsung SRW v3 (compression 32772, NX1 class). Mirrors
+// raw/samsung3.py exactly — see that module's docstring for the
+// reconstructed scheme and its provenance caveats.
+static const int kSrw3MotionOffset[7] = {-4, -2, -2, 0, 0, 2, 4};
+static const int kSrw3MotionAverage[7] = {0, 0, 1, 0, 1, 0, 0};
+
+static inline int64_t srw3_clamp_parity(int64_t col, int64_t width) {
+  while (col < 0) col += 2;
+  while (col >= width) col -= 2;
+  return col;
+}
+
+void decode_srw3_impl(const uint8_t* d, int64_t n, uint16_t* out16,
+                      int64_t width, int64_t height) {
+  if (width % 16 || width <= 0)
+    throw std::runtime_error("srw3: width must be a multiple of 16");
+  if (n < 16) throw std::runtime_error("srw3: payload shorter than header");
+  const int opt = d[9];
+  const int depth = d[10] | (d[11] << 8);
+  const int init = d[12] | (d[13] << 8);
+  if (opt > 7) throw std::runtime_error("srw3: unknown optimization flags");
+  if (depth != 12 && depth != 14)
+    throw std::runtime_error("srw3: bit depth must be 12 or 14");
+  const int white = (1 << depth) - 1;
+  if (init > white)
+    throw std::runtime_error("srw3: initial value exceeds the bit depth");
+  std::vector<int32_t> img(size_t(width) * height);
+  int64_t pos = 16;
+  for (int64_t row = 0; row < height; row++) {
+    pos = (pos + 15) & ~int64_t(15);
+    if (pos >= n) throw std::runtime_error("srw3: row streams truncated");
+    SrwBits bits{d, n, pos};
+    int scale = 0;
+    const int seed = row < 2 ? 7 : 4;
+    int mode[3][2] = {{seed, seed}, {seed, seed}, {seed, seed}};
+    int diff_bits[4];
+    bool have_bits = false;
+    for (int64_t col = 0; col < width; col += 16) {
+      if (!(opt & 4) && col % 64 == 0) {
+        int code = bits.get(2);
+        if (code == 1) scale -= 2;
+        else if (code == 2) scale += 2;
+        else if (code == 3) scale = bits.get(12);
+        if (scale < 0 || scale > 4095)
+          throw std::runtime_error("srw3: quantization scale out of range");
+      }
+      int motion;
+      if (opt & 2) motion = bits.get(1) ? 3 : 7;
+      else if (bits.get(1) == 0) motion = bits.get(3);
+      else motion = 7;
+      int32_t base[16];
+      if (motion == 7) {
+        for (int t = 0; t < 16; t++)
+          base[t] = col == 0 ? init
+                             : img[row * width + col - 2 + (t & 1)];
+      } else {
+        if (row < 2)
+          throw std::runtime_error("srw3: motion prediction before row 2");
+        const int slide = kSrw3MotionOffset[motion];
+        const int avg = kSrw3MotionAverage[motion];
+        for (int t = 0; t < 16; t++) {
+          int64_t ref_row;
+          int64_t rc;
+          if ((t & 1) == (row & 1)) {
+            ref_row = row - 1;
+            rc = col + t + slide + (1 - 2 * int(row & 1));
+          } else {
+            ref_row = row - 2;
+            rc = col + t + slide;
+          }
+          rc = srw3_clamp_parity(rc, width);
+          int32_t v = img[ref_row * width + rc];
+          if (avg)
+            v = (v + img[ref_row * width +
+                         srw3_clamp_parity(rc + 2, width)] + 1) >> 1;
+          base[t] = v;
+        }
+      }
+      if ((opt & 1) || bits.get(1) == 0) {
+        for (int j = 0; j < 4; j++) {
+          int flag = bits.get(2);
+          int ctx = (row & 1) ? (j >> 1) : ((j >> 1) + 2) % 3;
+          int nb;
+          if (flag == 0) nb = mode[ctx][0];
+          else if (flag == 1) nb = mode[ctx][0] + 1;
+          else if (flag == 2) nb = mode[ctx][0] - 1;
+          else nb = bits.get(4);
+          if (nb < 0 || nb > depth + 1)
+            throw std::runtime_error("srw3: residual length out of range");
+          mode[ctx][0] = mode[ctx][1];
+          mode[ctx][1] = nb;
+          diff_bits[j] = nb;
+        }
+        have_bits = true;
+      } else if (!have_bits) {
+        throw std::runtime_error(
+            "srw3: length reuse before any lengths were coded");
+      }
+      for (int i = 0; i < 16; i++) {
+        const int nb = diff_bits[i >> 2];
+        int32_t diff = bits.get(nb);
+        if (nb && (diff & (1 << (nb - 1)))) diff -= 1 << nb;
+        diff = diff * (2 * scale + 1) + scale;
+        const int t = ((i & 7) << 1) | ((i >> 3) ^ int(row & 1));
+        const int32_t v = base[t] + diff;
+        if (v < 0 || v > white)
+          throw std::runtime_error("srw3: sample out of range");
+        img[row * width + col + t] = v;
+      }
+    }
+    pos = bits.pos;
+  }
+  for (int64_t i = 0; i < width * height; i++)
+    out16[i] = uint16_t(img[i]);
+}
+
 static PyObject* py_decode_rw2(PyObject*, PyObject* args) {
   return decode_binding<decode_rw2_impl>(args);
 }
 static PyObject* py_decode_kodak65000(PyObject*, PyObject* args) {
   return decode_binding<decode_kodak65000_impl>(args);
+}
+static PyObject* py_decode_srw3(PyObject*, PyObject* args) {
+  return decode_binding<decode_srw3_impl>(args);
+}
+static PyObject* py_decode_radc(PyObject*, PyObject* args) {
+  return decode_binding<decode_radc_impl>(args);
 }
 static PyObject* py_decode_srw1(PyObject*, PyObject* args) {
   Py_buffer buf, table;
@@ -2492,6 +2853,10 @@ static PyMethodDef RawkitMethods[] = {
      "consumed)"},
     {"decode_srw1", py_decode_srw1, METH_VARARGS,
      "decode_srw1(data, offset_table, width, height) -> u16 bytes"},
+    {"decode_srw3", py_decode_srw3, METH_VARARGS,
+     "decode_srw3(payload, width, height) -> u16 bytes"},
+    {"decode_radc", py_decode_radc, METH_VARARGS,
+     "decode_radc(payload, width, height) -> u16 bytes"},
     {"decode_pentax", py_decode_pentax, METH_VARARGS,
      "decode_pentax(data, width, height, bps, spec, be_spec) "
      "-> u16 bytes"},

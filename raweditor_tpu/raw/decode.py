@@ -736,6 +736,47 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
             )
         elif comp == T.COMPRESSION_SRW1:
             mosaic = _decode_srw1_container(tf, ifd, data, width, height)
+        elif comp == T.COMPRESSION_SRW3:
+            from raweditor_tpu.native import get_rawkit
+
+            payload = b"".join(tf.strip_data(ifd))
+            from raweditor_tpu.raw.samsung3 import parse_header
+
+            _opt, depth3, _init = parse_header(payload)
+            if bpp in (12, 14) and depth3 != bpp:
+                raise RawDecodeError(
+                    "SRW v3 header depth disagrees with BitsPerSample")
+            rk = get_rawkit()
+            if rk is not None and hasattr(rk, "decode_srw3"):
+                try:
+                    raw = rk.decode_srw3(payload, width, height)
+                except ValueError as e:
+                    raise RawDecodeError(str(e)) from e
+                mosaic = np.frombuffer(raw, np.uint16).reshape(height,
+                                                               width)
+            else:
+                from raweditor_tpu.raw.samsung3 import decode_srw3
+
+                mosaic = decode_srw3(payload, width, height)
+        elif comp == T.COMPRESSION_RADC:
+            from raweditor_tpu.native import get_rawkit
+
+            payload = b"".join(tf.strip_data(ifd))
+            rk = get_rawkit()
+            if rk is not None and hasattr(rk, "decode_radc"):
+                try:
+                    raw = rk.decode_radc(payload, width, height)
+                except ValueError as e:
+                    raise RawDecodeError(str(e)) from e
+                mosaic = np.frombuffer(raw, np.uint16).reshape(height,
+                                                               width)
+            else:
+                from raweditor_tpu.raw.kodak_radc import decode_radc
+
+                mosaic = decode_radc(payload, width, height)
+            # RADC output is tone-curve mapped; its white point is the
+            # curve top regardless of the sensor depth tag.
+            curve_white = 0x3FFF
         elif comp == T.COMPRESSION_KODAK65000:
             from raweditor_tpu.native import get_rawkit
 

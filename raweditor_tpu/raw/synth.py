@@ -227,6 +227,7 @@ def write_synthetic_raw(
     nikon_encrypted_wb: Optional[dict] = None,
     srw_wb: bool = False,
     srw_black: Optional[Tuple[int, int, int, int]] = None,
+    srw3_optflags: int = 0,
 ) -> bytes:
     """Write a DNG/NEF-style CFA TIFF. Returns the bytes (also written
     to ``path`` unless None).
@@ -334,6 +335,17 @@ def write_synthetic_raw(
 
         comp_tag = T.COMPRESSION_SRW1
         sensor, srw_offsets = encode_srw1(mosaic)
+    elif compression == "srw3":
+        from raweditor_tpu.raw.samsung3 import encode_srw3
+
+        comp_tag = T.COMPRESSION_SRW3
+        sensor = encode_srw3(mosaic, optflags=srw3_optflags, depth=bpp)
+    elif compression == "radc":
+        from raweditor_tpu.raw.kodak_radc import encode_radc
+
+        comp_tag = T.COMPRESSION_RADC
+        sensor = encode_radc(mosaic)  # pass radc_representable mosaics
+        white_level = 0x3FFF  # RADC output is tone-curve mapped
     elif compression == "pentax":
         from raweditor_tpu.raw.pentax import encode_pentax
 

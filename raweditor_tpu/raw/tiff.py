@@ -58,6 +58,8 @@ COMPRESSION_ARW2 = 32767
 COMPRESSION_PENTAX = 65535
 COMPRESSION_KODAK65000 = 65000
 COMPRESSION_SRW1 = 32770
+COMPRESSION_SRW3 = 32772  # Samsung NX1/NX500 class (samsung v3)
+COMPRESSION_RADC = 65200  # Kodak DC40/DC50-class RADC
 
 # Samsung SRW tags (ExifTool-published ids; reference decodes them via
 # rawloader's srw module, reference: raw/loader.rs:50-54).

@@ -429,6 +429,12 @@ def test_decoder_fuzz_error_contract(rng):
     bases.append(write_synthetic_raw(None, m12sq, cfa=XTRANS_PATTERN))
     bases.append(write_synthetic_raw(None, m16, compression="srw1",
                                      srw_wb=True))
+    bases.append(write_synthetic_raw(None, m16, compression="srw3",
+                                     srw_wb=True))
+    from raweditor_tpu.raw.kodak_radc import radc_representable
+
+    bases.append(write_synthetic_raw(
+        None, radc_representable(m16), bpp=14, compression="radc"))
     for base in bases:
         base = bytearray(base)
         for _ in range(40):
