@@ -363,6 +363,8 @@ LJpegResult decode_ljpeg_impl(const uint8_t* d, int64_t n) {
       for (int x = 0; x < w; x++) {
         for (int ci = 0; ci < nc; ci++) {
           int s = tb[ci]->decode(br);
+          if (s > 16)  // T.81: ssss is 0..16; larger = corrupt DHT
+            throw std::runtime_error("invalid ssss category in scan");
           int32_t diff = (s == 16) ? 32768 : extend(br.read_bits(s), s);
           run[ci] = (run[ci] + diff) & 0xFFFF;
           pl[ci][size_t(y) * w + x] = uint16_t(run[ci]);
@@ -377,6 +379,8 @@ LJpegResult decode_ljpeg_impl(const uint8_t* d, int64_t n) {
       for (int ci = 0; ci < nc; ci++) {
         const HuffLUT& t = tables[comp_table[ci] & 3];
         int s = t.decode(br);
+        if (s > 16)  // T.81: ssss is 0..16; larger = corrupt DHT
+          throw std::runtime_error("invalid ssss category in scan");
         int32_t diff;
         if (s == 16) diff = 32768;
         else diff = extend(br.read_bits(s), s);

@@ -122,19 +122,22 @@ class DevelopEngine:
                     self.cfa_phase = (0, 0)
                 else:
                     self.cfa_phase = phase_of(raw.cfa_pattern)
+        # AOT preview/histogram executables (compile_preview).
+        self._aot_preview = None
+        self._aot_histogram = None
 
     # -- render paths ----------------------------------------------------
-    def preview_device(self, params: EditParams, zoom: float = 1.0,
-                       pan: Tuple[float, float] = (0.0, 0.0)):
-        """Preview render, left on device (reference: gpu/pipeline.rs:442-465
-        minus the synchronous readback)."""
+    def _preview_program(self, mosaic, params: EditParams, zoom,
+                         pan_x, pan_y):
+        """The preview develop, parameterized on the mosaic so it can
+        be AOT-compiled (compile_preview) or jit-cached identically."""
         if self.linear:
             from raweditor_tpu.ops.develop import develop_linear_preview
 
             return develop_linear_preview(
-                self.mosaic, params, self.wb, self.cam_matrix,
+                mosaic, params, self.wb, self.cam_matrix,
                 out_w=self.preview_w, out_h=self.preview_h,
-                zoom=zoom, pan_x=pan[0], pan_y=pan[1],
+                zoom=zoom, pan_x=pan_x, pan_y=pan_y,
                 white_level=self.white_level,
                 black_level=self.black_level,
                 matrix_transpose=self.matrix_transpose,
@@ -144,9 +147,9 @@ class DevelopEngine:
             from raweditor_tpu.ops.develop import develop_xtrans_preview
 
             return develop_xtrans_preview(
-                self.mosaic, params, self.wb, self.cam_matrix,
+                mosaic, params, self.wb, self.cam_matrix,
                 out_w=self.preview_w, out_h=self.preview_h,
-                zoom=zoom, pan_x=pan[0], pan_y=pan[1],
+                zoom=zoom, pan_x=pan_x, pan_y=pan_y,
                 white_level=self.white_level,
                 black_level=self.black_level,
                 pattern=self.xtrans_pattern,
@@ -154,13 +157,104 @@ class DevelopEngine:
                 transfer=self.transfer,
             )
         return develop_preview(
-            self.mosaic, params, self.wb, self.cam_matrix,
+            mosaic, params, self.wb, self.cam_matrix,
             out_w=self.preview_w, out_h=self.preview_h,
-            zoom=zoom, pan_x=pan[0], pan_y=pan[1],
+            zoom=zoom, pan_x=pan_x, pan_y=pan_y,
             white_level=self.white_level, black_level=self.black_level,
             matrix_transpose=self.matrix_transpose,
             transfer=self.transfer, cfa_phase=self.cfa_phase,
         )
+
+    def _histogram_program(self, mosaic, params: EditParams, zoom,
+                           pan_x, pan_y):
+        if self.linear:
+            from raweditor_tpu.ops.develop import develop_linear_histogram
+
+            return develop_linear_histogram(
+                mosaic, params, self.wb, self.cam_matrix,
+                out_w=self.histogram_w, out_h=self.histogram_h,
+                zoom=zoom, pan_x=pan_x, pan_y=pan_y,
+                white_level=self.white_level,
+                black_level=self.black_level,
+                matrix_transpose=self.matrix_transpose,
+                transfer=self.transfer,
+            )
+        if self.xtrans_pattern is not None:
+            from raweditor_tpu.ops.develop import develop_xtrans_histogram
+
+            return develop_xtrans_histogram(
+                mosaic, params, self.wb, self.cam_matrix,
+                out_w=self.histogram_w, out_h=self.histogram_h,
+                zoom=zoom, pan_x=pan_x, pan_y=pan_y,
+                white_level=self.white_level,
+                black_level=self.black_level,
+                pattern=self.xtrans_pattern,
+                matrix_transpose=self.matrix_transpose,
+                transfer=self.transfer,
+            )
+        return develop_histogram(
+            mosaic, params, self.wb, self.cam_matrix,
+            out_w=self.histogram_w, out_h=self.histogram_h,
+            zoom=zoom, pan_x=pan_x, pan_y=pan_y,
+            white_level=self.white_level,
+            black_level=self.black_level,
+            matrix_transpose=self.matrix_transpose,
+            transfer=self.transfer, cfa_phase=self.cfa_phase,
+        )
+
+    def preview_device(self, params: EditParams, zoom: float = 1.0,
+                       pan: Tuple[float, float] = (0.0, 0.0)):
+        """Preview render, left on device (reference: gpu/pipeline.rs:442-465
+        minus the synchronous readback). Dispatches through the AOT
+        executable when compile_preview() has run."""
+        if self._aot_preview is not None:
+            r, _ = self._aot_preview(self.mosaic, params, float(zoom),
+                                     float(pan[0]), float(pan[1]))
+            return r
+        return self._preview_program(self.mosaic, params, zoom,
+                                     pan[0], pan[1])
+
+    def compile_preview(self):
+        """AOT-compile the interactive preview + histogram programs at
+        this image's shapes (``jit(...).lower().compile()``), so the
+        slider hot path skips Python retracing and jit cache lookup —
+        the discipline bench.py always used, now on the path sessions
+        actually run. The preview executable additionally returns a
+        scalar checksum so :meth:`preview_tick` can force a true sync
+        with a single-byte host fetch (``block_until_ready`` has been
+        observed optimistic on tunneled transports). Idempotent;
+        returns self."""
+        if self._aot_preview is not None:
+            return self
+        import jax
+        import jax.numpy as jnp
+
+        def _preview(mosaic, params, zoom, pan_x, pan_y):
+            r = self._preview_program(mosaic, params, zoom, pan_x, pan_y)
+            return r, jnp.max(r)
+
+        def _hist(mosaic, params, zoom, pan_x, pan_y):
+            return self._histogram_program(mosaic, params, zoom,
+                                           pan_x, pan_y)
+
+        p0 = EditParams()
+        args = (self.mosaic, p0, 1.0, 0.0, 0.0)
+        self._aot_preview = jax.jit(_preview).lower(*args).compile()
+        self._aot_histogram = jax.jit(_hist).lower(*args).compile()
+        return self
+
+    def preview_tick(self, params: EditParams, zoom: float = 1.0,
+                     pan: Tuple[float, float] = (0.0, 0.0)):
+        """The slider hot path: device preview + TRUE sync. Compiles
+        the AOT executables on first use (same one-off cost the jit
+        cache would pay). Returns the device-resident preview after
+        its checksum byte has arrived on the host — the render is
+        provably finished, not just enqueued."""
+        self.compile_preview()
+        r, s = self._aot_preview(self.mosaic, params, float(zoom),
+                                 float(pan[0]), float(pan[1]))
+        np.asarray(s)  # single-byte fetch = transport-proof sync
+        return r
 
     def preview(self, params: EditParams, zoom: float = 1.0,
                 pan: Tuple[float, float] = (0.0, 0.0)) -> np.ndarray:
@@ -225,43 +319,14 @@ class DevelopEngine:
     def histogram(self, params: EditParams, zoom: float = 1.0,
                   pan: Tuple[float, float] = (0.0, 0.0)) -> np.ndarray:
         """(3, 256) int — the live-histogram path at 128 px
-        (reference: gpu/pipeline.rs:615-736)."""
-        if self.linear:
-            from raweditor_tpu.ops.develop import develop_linear_histogram
-
-            return np.asarray(develop_linear_histogram(
-                self.mosaic, params, self.wb, self.cam_matrix,
-                out_w=self.histogram_w, out_h=self.histogram_h,
-                zoom=zoom, pan_x=pan[0], pan_y=pan[1],
-                white_level=self.white_level,
-                black_level=self.black_level,
-                matrix_transpose=self.matrix_transpose,
-                transfer=self.transfer,
-            ))
-        if self.xtrans_pattern is not None:
-            from raweditor_tpu.ops.develop import develop_xtrans_histogram
-
-            return np.asarray(develop_xtrans_histogram(
-                self.mosaic, params, self.wb, self.cam_matrix,
-                out_w=self.histogram_w, out_h=self.histogram_h,
-                zoom=zoom, pan_x=pan[0], pan_y=pan[1],
-                white_level=self.white_level,
-                black_level=self.black_level,
-                pattern=self.xtrans_pattern,
-                matrix_transpose=self.matrix_transpose,
-                transfer=self.transfer,
-            ))
-        return np.asarray(
-            develop_histogram(
-                self.mosaic, params, self.wb, self.cam_matrix,
-                out_w=self.histogram_w, out_h=self.histogram_h,
-                zoom=zoom, pan_x=pan[0], pan_y=pan[1],
-                white_level=self.white_level,
-                black_level=self.black_level,
-                matrix_transpose=self.matrix_transpose,
-                transfer=self.transfer, cfa_phase=self.cfa_phase,
-            )
-        )
+        (reference: gpu/pipeline.rs:615-736). Dispatches through the
+        AOT executable when compile_preview() has run."""
+        if self._aot_histogram is not None:
+            return np.asarray(self._aot_histogram(
+                self.mosaic, params, float(zoom),
+                float(pan[0]), float(pan[1])))
+        return np.asarray(self._histogram_program(
+            self.mosaic, params, zoom, pan[0], pan[1]))
 
     # -- export ----------------------------------------------------------
     def full_rgba_device(self, params: EditParams):

@@ -76,12 +76,12 @@ class DevelopSession:
             self.library.save_edit_params(self.image_id, self.params,
                                           append=self._frozen)
             self._frozen = False
-        import jax
-
         with self.latency.measure():
-            out = self.engine.preview_device(self.params, self.zoom,
-                                             self.pan)
-            jax.block_until_ready(out)
+            # preview_tick = AOT dispatch + checksum-byte sync: the
+            # render is provably finished when the timer stops (the
+            # measured slider→frame latency, not enqueue latency).
+            # First tick compiles the AOT executables (one-off).
+            self.engine.preview_tick(self.params, self.zoom, self.pan)
         ms = self.latency.samples[-1] * 1000.0
         return {"ok": True, "slider": name, "value": float(value),
                 "render_ms": round(ms, 3)}

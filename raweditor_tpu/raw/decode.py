@@ -461,7 +461,7 @@ def _decode_rw2_container(tf: T.TiffFile, source_path: str) -> RawImage:
             mosaic = decode_rw2(payload, width, height)
     except RawDecodeError:
         raise
-    except (ValueError, IndexError) as e:
+    except (ValueError, IndexError, struct.error) as e:
         raise RawDecodeError(f"corrupt sensor data: {e}") from e
 
     try:
@@ -797,7 +797,7 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
             raise UnsupportedRawError(f"compression {comp}")
     except RawDecodeError:
         raise
-    except (ValueError, IndexError) as e:
+    except (ValueError, IndexError, struct.error) as e:
         # Corrupt sensor payloads must surface as RawDecodeError — the
         # batch quarantine path depends on this contract.
         raise RawDecodeError(f"corrupt sensor data: {e}") from e
@@ -963,7 +963,7 @@ def _decode_linear(tf: T.TiffFile, ifd: T.IFD,
             raise UnsupportedRawError(f"linear compression {comp}")
     except RawDecodeError:
         raise
-    except (ValueError, IndexError) as e:
+    except (ValueError, IndexError, struct.error) as e:
         raise RawDecodeError(f"corrupt linear sensor data: {e}") from e
     try:
         return _finish_raw_image(tf, rgb, None, bpp, ifd, source_path)

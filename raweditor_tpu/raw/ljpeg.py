@@ -101,6 +101,13 @@ class _BitReader:
         self.idx = 0
 
     def read_bit(self) -> int:
+        # Past the entropy data, keep the JPEG all-ones padding
+        # convention (T.81 pads the final byte with 1s; the native
+        # reader does the same) so both implementations agree on
+        # truncated streams.
+        if self.idx >= len(self.bits):
+            self.idx += 1
+            return 1
         b = int(self.bits[self.idx])
         self.idx += 1
         return b
@@ -113,6 +120,8 @@ class _BitReader:
         self.idx += n
         for b in bits:
             v = (v << 1) | int(b)
+        for _ in range(n - len(bits)):  # all-ones past the end
+            v = (v << 1) | 1
         return v
 
 
@@ -272,12 +281,23 @@ class _HuffTable:
             if code > (1 << length):
                 raise ValueError("invalid Huffman table: code overflow")
             code <<= 1
-        self.codes = _canonical_codes([0] + bits, values)
-        # code -> (symbol, length) lookup keyed by (length, code)
-        self.by_len: Dict[Tuple[int, int], int] = {
-            (length, code): sym for sym, (code, length) in self.codes.items()
-        }
-        self.max_len = max((l for _, (_, l) in self.codes.items()), default=0)
+        # (length, code) -> symbol, built canonically straight from
+        # BITS/VALUES. Do NOT key by symbol first: a (fuzzed) DHT may
+        # assign the same symbol to several codes, and collapsing them
+        # would drop codes the native LUT decoder accepts (found by
+        # the round-3 differential soak).
+        self.by_len: Dict[Tuple[int, int], int] = {}
+        self.max_len = 0
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            n = bits[length - 1] if length - 1 < len(bits) else 0
+            for _ in range(n):
+                self.by_len[(length, code)] = values[k]
+                k += 1
+                code += 1
+                self.max_len = length
+            code <<= 1
 
     def decode(self, rdr: _BitReader) -> int:
         code = 0
@@ -344,11 +364,18 @@ def decode_lossless(data: bytes):
 
     rdr = _BitReader(data, pos)
     planes = np.zeros((nc, h, w), dtype=np.int32)
-    huffs = [tables[t] for t in (comp_tables or [0] * nc)]
+    huffs = []
+    for t in (comp_tables or [0] * nc):
+        t &= 3  # Td is 0..3; mask like the native path (differential)
+        if t not in tables:
+            raise ValueError("missing Huffman table")
+        huffs.append(tables[t])
     for y in range(h):
         for x in range(w):
             for ci in range(nc):
                 s = huffs[ci].decode(rdr)
+                if s > 16:  # T.81: ssss is 0..16; larger = corrupt DHT
+                    raise ValueError("invalid ssss category in scan")
                 if s == 16:
                     diff = 32768
                 else:

@@ -82,6 +82,8 @@ def _predict(out: np.ndarray, row: int, col: int) -> int:
 
 def decode_olympus(data: bytes, width: int, height: int) -> np.ndarray:
     """Decode an Olympus compressed sensor payload to (H, W) u16."""
+    if len(data) < 7:  # same guard as the native path (differential)
+        raise ValueError("olympus strip too short")
     rdr = _BitReader(data[7:])  # 7 padding bytes precede the stream
     out = np.zeros((height, width), np.uint16)
     for row in range(height):

@@ -47,6 +47,31 @@ def test_engine_preview_full_histogram(synth_file):
     assert hist.sum(axis=1).tolist() == [eng.histogram_w * eng.histogram_h] * 3
 
 
+def test_engine_aot_preview_matches_jit_path(synth_file):
+    """compile_preview()'s AOT executables must be bit-identical to
+    the jit-cached path across sliders and zoom/pan, and the true-sync
+    preview_tick returns the same frame (VERDICT r2 item 3: the
+    interactive path carries the AOT discipline, not just bench.py)."""
+    path, _ = synth_file
+    eng = DevelopEngine.open(path)
+    p = EditParams(exposure=0.4, contrast=2.0, vibrance=0.3)
+    base_prev = eng.preview(p, zoom=1.5, pan=(0.1, -0.05))
+    base_hist = eng.histogram(p, zoom=1.5, pan=(0.1, -0.05))
+    assert eng._aot_preview is None  # nothing compiled yet
+    eng.compile_preview()
+    assert eng._aot_preview is not None
+    aot_prev = eng.preview(p, zoom=1.5, pan=(0.1, -0.05))
+    aot_hist = eng.histogram(p, zoom=1.5, pan=(0.1, -0.05))
+    np.testing.assert_array_equal(aot_prev, base_prev)
+    np.testing.assert_array_equal(aot_hist, base_hist)
+    tick = np.asarray(eng.preview_tick(p, zoom=1.5, pan=(0.1, -0.05)))
+    np.testing.assert_array_equal(tick, base_prev)
+    # int zoom / default params exercise the arg coercion
+    np.testing.assert_array_equal(
+        np.asarray(eng.preview_tick(EditParams(), zoom=1)),
+        eng.preview(EditParams()))
+
+
 def test_engine_parity_uses_identity_matrix(synth_file):
     path, _ = synth_file
     eng = DevelopEngine.open(path, mode="parity")
@@ -300,10 +325,81 @@ def test_batch_export_sharded_mesh(tmp_path, rng):
     assert report.succeeded == 5 and not report.failed
 
 
+def test_mesh_row_sharded_planes_matches_single_chip(tmp_path, rng):
+    """Row-sharded meshes take the YCbCr 4:2:0 planes path too (r3):
+    GSPMD inserts the chroma boundary exchange, and the JPEGs must be
+    byte-identical to the mesh=None planes path."""
+    import pytest
+
+    from raweditor_tpu.native import get_rawkit
+    from raweditor_tpu.parallel import batch_row_mesh
+
+    if get_rawkit() is None or not hasattr(get_rawkit(),
+                                           "encode_jpeg_420"):
+        pytest.skip("native JPEG encoder not built")
+    mesh = batch_row_mesh(row=2)
+    h, w = 32, 16
+    mesh_jobs, solo_jobs = [], []
+    for i in range(3):
+        path = tmp_path / f"r{i}.nef"
+        write_synthetic_raw(
+            path, rng.integers(0, 4096, size=(h, w), dtype=np.uint16))
+        params = EditParams(exposure=0.2 * i)
+        mesh_jobs.append(ExportJob(str(path),
+                                   str(tmp_path / "m" / f"r{i}.jpg"),
+                                   params))
+        solo_jobs.append(ExportJob(str(path),
+                                   str(tmp_path / "s" / f"r{i}.jpg"),
+                                   params))
+    rep = run_batch_export(mesh_jobs, mesh=mesh, batch_size=2)
+    assert rep.succeeded == 3 and not rep.failed
+    # planes fetch: 1.5 B/px, not 4 B/px RGBA (batches pad to the
+    # mesh-divisible size, so 3 jobs fetch 4 images' worth)
+    assert rep.fetch_bytes == 4 * (h * w + 2 * (h // 2) * (w // 2))
+    solo = run_batch_export(solo_jobs, batch_size=2)
+    assert solo.succeeded == 3
+    for i in range(3):
+        assert (tmp_path / "m" / f"r{i}.jpg").read_bytes() == \
+            (tmp_path / "s" / f"r{i}.jpg").read_bytes()
+
+
+def test_mesh_dp_tiff16_matches_single_chip(tmp_path, rng):
+    """16-bit TIFF export on a data-parallel mesh (allowed since r3)
+    produces byte-identical archives to mesh=None; row-sharded meshes
+    still reject with a clear error."""
+    import pytest
+
+    from raweditor_tpu.parallel import batch_row_mesh
+
+    mesh = batch_row_mesh(row=1)
+    h, w = 16, 24
+    mesh_jobs, solo_jobs = [], []
+    for i in range(3):
+        path = tmp_path / f"t{i}.nef"
+        write_synthetic_raw(
+            path, rng.integers(0, 4096, size=(h, w), dtype=np.uint16))
+        params = EditParams(contrast=1.0 * i)
+        mesh_jobs.append(ExportJob(str(path),
+                                   str(tmp_path / "m" / f"t{i}.tif"),
+                                   params))
+        solo_jobs.append(ExportJob(str(path),
+                                   str(tmp_path / "s" / f"t{i}.tif"),
+                                   params))
+    rep = run_batch_export(mesh_jobs, mesh=mesh, batch_size=2, bits=16)
+    assert rep.succeeded == 3 and not rep.failed, rep.as_dict()
+    solo = run_batch_export(solo_jobs, batch_size=2, bits=16)
+    assert solo.succeeded == 3
+    for i in range(3):
+        assert (tmp_path / "m" / f"t{i}.tif").read_bytes() == \
+            (tmp_path / "s" / f"t{i}.tif").read_bytes()
+    with pytest.raises(ValueError, match="row axis"):
+        run_batch_export(mesh_jobs, mesh=batch_row_mesh(row=2), bits=16)
+
+
 def test_mesh_dp_only_takes_planes_path(tmp_path, rng):
     """A pure data-parallel mesh (row=1) qualifies for the YCbCr 4:2:0
     planes fetch — each image lives whole on one chip. Row-sharded
-    meshes (test above) keep the RGBA path."""
+    meshes (test above) qualify too since r3."""
     import pytest
 
     from raweditor_tpu.native import get_rawkit

@@ -435,6 +435,15 @@ def test_decoder_fuzz_error_contract(rng):
 
     bases.append(write_synthetic_raw(
         None, radc_representable(m16), bpp=14, compression="radc"))
+    # Regression (r3 differential soak, seed 3): an SOF3 whose segment
+    # length leaves fewer bytes than its fixed header must quarantine,
+    # not escape as struct.error.
+    trunc = bytearray(write_synthetic_raw(None, m, compression="ljpeg"))
+    sof = bytes(trunc).find(b"\xff\xc3")
+    assert sof > 0
+    trunc[sof + 2:sof + 4] = (4).to_bytes(2, "big")
+    with pytest.raises(RawDecodeError):
+        decode_raw(bytes(trunc))
     for base in bases:
         base = bytearray(base)
         for _ in range(40):
