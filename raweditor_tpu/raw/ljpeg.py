@@ -332,7 +332,9 @@ def decode_lossless(data: bytes):
         if marker == DHT:
             off = 0
             while off < len(seg):
-                table_id = seg[off] & 0x0F
+                # Low two bits, matching the native path (Th is 0..3;
+                # fuzzed ids above 3 alias down — differential parity)
+                table_id = seg[off] & 0x03
                 bits = list(seg[off + 1 : off + 17])
                 nvals = sum(bits)
                 values = list(seg[off + 17 : off + 17 + nvals])
@@ -341,6 +343,13 @@ def decode_lossless(data: bytes):
             pos += 2 + seg_len
         elif marker == SOF3:
             precision, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            # Same guards as the native path (differential parity):
+            # a fuzzed precision of 0/1/17+ corrupts the predictor
+            # seed and the sample range.
+            if h < 1 or w < 1:
+                raise ValueError("bad SOF3 dimensions")
+            if not 2 <= precision <= 16:
+                raise ValueError("bad SOF3 precision")
             comp_ids = [seg[5 + 3 * i] for i in range(nc)]
             pos += 2 + seg_len
         elif marker == SOS:

@@ -457,6 +457,104 @@ def test_decoder_fuzz_error_contract(rng):
                 pass
 
 
+def _ljpeg_scan(bits16, values, w, h, entropy, precision=12):
+    """Hand-build a 1-component SOF3 scan (differential-fix fixtures)."""
+    dht = bytes([0]) + bytes(bits16) + bytes(values)
+    out = b"\xff\xd8"
+    out += b"\xff\xc4" + (2 + len(dht)).to_bytes(2, "big") + dht
+    sof = bytes([precision]) + h.to_bytes(2, "big") + \
+        w.to_bytes(2, "big") + bytes([1, 1, 0x11, 0])
+    out += b"\xff\xc3" + (2 + len(sof)).to_bytes(2, "big") + sof
+    sos = bytes([1, 1, 0x00, 1, 0, 0])
+    out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+    return out + entropy
+
+
+def _decode_both(scan):
+    """(python_result_or_None, native_result_or_None) — None = reject."""
+    from raweditor_tpu.native import get_rawkit
+
+    try:
+        py = decode_lossless(scan)[0]
+    except ValueError:
+        py = None
+    rk = get_rawkit()
+    if rk is None:
+        return py, py
+    try:
+        raw, nc, h, w, _prec = rk.decode_ljpeg(scan)
+        nat = np.frombuffer(raw, np.uint16).reshape(nc, h, w)
+    except ValueError:
+        nat = None
+    return py, nat
+
+
+def test_ljpeg_duplicate_symbol_dht_decodes_identically():
+    """r3 differential-soak fix: a DHT assigning the same symbol to
+    two codes must not drop either code (Python's table was keyed by
+    symbol first)."""
+    bits = [2] + [0] * 15  # two 1-bit codes...
+    scan = _ljpeg_scan(bits, [5, 5], 2, 1,  # ...both carrying ssss=5
+                       bytes([0b0_01010_1_0, 0b1111_0000]))
+    py, nat = _decode_both(scan)
+    assert py is not None and nat is not None
+    np.testing.assert_array_equal(py, nat)
+
+
+def test_ljpeg_dht_id_aliases_low_two_bits():
+    """r3 differential-soak fix: fuzzed DHT/SOS table ids above 3
+    alias down to the low two bits in BOTH implementations (Python
+    kept the raw 4-bit id, so a DHT id 13 + SOS ref 13 masked to 1
+    missed the table it defined)."""
+    bits = [2] + [0] * 15
+    dht = bytes([13]) + bytes(bits) + bytes([0, 4])  # table id 13 -> 1
+    scan = b"\xff\xd8"
+    scan += b"\xff\xc4" + (2 + len(dht)).to_bytes(2, "big") + dht
+    sof = bytes([12]) + (1).to_bytes(2, "big") + (2).to_bytes(2, "big") \
+        + bytes([1, 1, 0x11, 0])
+    scan += b"\xff\xc3" + (2 + len(sof)).to_bytes(2, "big") + sof
+    sos = bytes([1, 1, 13 << 4, 1, 0, 0])  # SOS also names id 13
+    scan += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+    scan += bytes([0b1_0110_1_01, 0b010_00000])
+    py, nat = _decode_both(scan)
+    assert py is not None and nat is not None
+    np.testing.assert_array_equal(py, nat)
+
+
+def test_ljpeg_invalid_ssss_quarantines_everywhere():
+    """r3 differential-soak fix: ssss > 16 (invalid per T.81) must be
+    rejected by BOTH implementations — native previously shifted by
+    an out-of-range count (UB), Python read an arbitrary bit width."""
+    bits = [2] + [0] * 15
+    scan = _ljpeg_scan(bits, [0, 20], 2, 1, bytes([0b10000000]))
+    py, nat = _decode_both(scan)
+    assert py is None and nat is None
+
+
+def test_ljpeg_bad_precision_quarantines_everywhere():
+    """r3 differential-soak fix: SOF3 precision outside 2..16 (and
+    zero dimensions) reject in BOTH implementations — Python
+    previously decoded with a corrupt predictor seed."""
+    bits = [2] + [0] * 15
+    for precision in (0, 1, 17, 255):
+        scan = _ljpeg_scan(bits, [0, 4], 2, 1, bytes([0b10000100]),
+                           precision=precision)
+        py, nat = _decode_both(scan)
+        assert py is None and nat is None, precision
+
+
+def test_ljpeg_eof_all_ones_padding_matches():
+    """r3 differential-soak fix: reads past the entropy data follow
+    the T.81 all-ones padding convention in both implementations
+    (Python previously raised IndexError->quarantine where native
+    decoded)."""
+    bits = [2] + [0] * 15
+    scan = _ljpeg_scan(bits, [0, 4], 4, 2, b"")  # empty entropy data
+    py, nat = _decode_both(scan)
+    assert py is not None and nat is not None
+    np.testing.assert_array_equal(py, nat)
+
+
 def test_decode_four_component_ljpeg(tmp_path, rng):
     """Quadrant-mapped 4-component lossless scans (DNG/NEF layout)."""
     m = rng.integers(0, 16384, size=(20, 28), dtype=np.uint16)
