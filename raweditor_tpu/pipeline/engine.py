@@ -427,11 +427,24 @@ class DevelopEngine:
             "RGBA", (out_w, out_h),
             np.ascontiguousarray(words).tobytes(), "raw", "RGBA", 0, 1,
         )
+        exif = self._exif_bytes()
         if os.path.splitext(path)[1].lower() == ".png":
-            img.save(path)
+            img.save(path, exif=exif)
         else:
-            img.convert("RGB").save(path, format="JPEG", quality=quality)
+            img.convert("RGB").save(path, format="JPEG", quality=quality,
+                                    exif=exif)
         return path
+
+    def _exif_bytes(self) -> bytes:
+        """Export metadata: camera make/model + the orientation tag
+        (1 when auto_orient already rotated the pixels, the stored
+        orientation otherwise so viewers rotate — the reference writes
+        no metadata at all, reference: main.rs:1765-1791)."""
+        from raweditor_tpu.raw.exif import build_exif
+
+        orientation = 1 if self.auto_orient else self.raw.orientation
+        return build_exif(self.raw.camera_make, self.raw.camera_model,
+                          orientation)
 
     def _export_jpeg_planes(self, path: os.PathLike, params: EditParams,
                             quality: int):
@@ -458,6 +471,9 @@ class DevelopEngine:
             np.ascontiguousarray(np.asarray(cb)),
             np.ascontiguousarray(np.asarray(cr)),
             self.width, self.height, quality)
+        from raweditor_tpu.raw.exif import splice_exif
+
+        data = splice_exif(data, self._exif_bytes())
         path = os.fspath(path)
         from raweditor_tpu.pipeline.export import _atomic_write
 
@@ -511,7 +527,13 @@ class DevelopEngine:
             rgb = np.ascontiguousarray(
                 self.apply_orientation(rgb, self.raw.orientation)
             )
-        return write_tiff16(path, rgb)
+        from raweditor_tpu.raw.exif import SOFTWARE
+
+        return write_tiff16(
+            path, rgb, make=self.raw.camera_make,
+            model=self.raw.camera_model,
+            orientation=1 if self.auto_orient else self.raw.orientation,
+            software=SOFTWARE)
 
     def develop_tiers(self, params: EditParams,
                       widths=(256, 384, 1280)):

@@ -132,6 +132,11 @@ class _Decoded:
     staged: object = None
     staged_fmt: str = "raw"  # "raw" | "u12" | "u14"
     staged_nbytes: int = 0
+    # Export metadata (raw/exif.py): camera provenance + the stored
+    # orientation tag so viewers rotate the output.
+    make: str = ""
+    model: str = ""
+    orientation: int = 1
 
 
 def _decode_job(job: ExportJob, mode: str, stage: bool = False):
@@ -173,6 +178,9 @@ def _decode_job(job: ExportJob, mode: str, stage: bool = False):
         white_level=white,
         black_level=black,
         cfa_phase=phase,
+        make=raw.camera_make,
+        model=raw.camera_model,
+        orientation=raw.orientation,
     )
     decode_s = time.perf_counter() - t0
     t0 = time.perf_counter()
@@ -287,10 +295,12 @@ def _atomic_write(out_path: str, write_fn) -> None:
             os.unlink(tmp_path)
 
 
-def _encode_one(out_path: str, rgba_words: np.ndarray, quality: int) -> None:
+def _encode_one(out_path: str, rgba_words: np.ndarray, quality: int,
+                exif: bytes = b"") -> None:
     """Encode a (H, W) u32 packed-RGBA image. The RGBA→RGB strip for
     JPEG happens here on the host, exactly like the reference
-    (reference: main.rs:1778-1781)."""
+    (reference: main.rs:1778-1781). ``exif`` carries the camera
+    provenance + orientation metadata (raw/exif.py)."""
     from PIL import Image
 
     h, w = rgba_words.shape
@@ -301,10 +311,10 @@ def _encode_one(out_path: str, rgba_words: np.ndarray, quality: int) -> None:
 
     def write(tmp_path):
         if out_path.lower().endswith(".png"):
-            img.save(tmp_path, format="PNG")
+            img.save(tmp_path, format="PNG", exif=exif)
         else:
             img.convert("RGB").save(tmp_path, format="JPEG",
-                                    quality=quality)
+                                    quality=quality, exif=exif)
 
     _atomic_write(out_path, write)
 
@@ -363,7 +373,8 @@ class _Batcher:
 
 
 def _encode_one_jpeg420(out_path: str, y: np.ndarray, cb: np.ndarray,
-                        cr: np.ndarray, quality: int) -> None:
+                        cr: np.ndarray, quality: int,
+                        exif: bytes = b"") -> None:
     """Encode device-produced YCbCr 4:2:0 planes (ops/jpeg.py) through
     the native baseline JFIF encoder — no host colorspace pass, 1.5
     bytes/pixel fetched instead of 4. Atomic like the PIL path."""
@@ -376,6 +387,10 @@ def _encode_one_jpeg420(out_path: str, y: np.ndarray, cb: np.ndarray,
     data = rk.encode_jpeg_420(
         np.ascontiguousarray(y), np.ascontiguousarray(cb),
         np.ascontiguousarray(cr), w, h, quality)
+    if exif:
+        from raweditor_tpu.raw.exif import splice_exif
+
+        data = splice_exif(data, exif)
 
     def write(tmp_path):
         with open(tmp_path, "wb") as f:
@@ -384,11 +399,16 @@ def _encode_one_jpeg420(out_path: str, y: np.ndarray, cb: np.ndarray,
     _atomic_write(out_path, write)
 
 
-def _encode_one_tiff16(out_path: str, rgb_u16: np.ndarray) -> None:
+def _encode_one_tiff16(out_path: str, rgb_u16: np.ndarray,
+                       make: str = "", model: str = "",
+                       orientation: int = 1) -> None:
     """Encode an (H, W, 3) u16 frame as 16-bit TIFF, atomically."""
+    from raweditor_tpu.raw.exif import SOFTWARE
     from raweditor_tpu.raw.tiff_out import write_tiff16
 
-    _atomic_write(out_path, lambda tmp: write_tiff16(tmp, rgb_u16))
+    _atomic_write(out_path, lambda tmp: write_tiff16(
+        tmp, rgb_u16, make=make, model=model, orientation=orientation,
+        software=SOFTWARE))
 
 
 def run_batch_export(
@@ -507,19 +527,24 @@ def run_batch_export(
             for i, d in enumerate(batch):
                 # Per-image copy: an encode job must not pin the whole
                 # (B, H, W) batch array while it waits in the queue.
+                from raweditor_tpu.raw.exif import build_exif
+
+                exif = build_exif(d.make, d.model, d.orientation)
                 if isinstance(host, tuple):  # YCbCr 4:2:0 planes
                     y, cb, cr = (p[i] for p in host)
                     fut = encode_pool.submit(
                         _encode_one_jpeg420, d.job.out_path, y.copy(),
-                        cb.copy(), cr.copy(), quality
+                        cb.copy(), cr.copy(), quality, exif
                     )
                 elif bits == 16:
                     fut = encode_pool.submit(
-                        _encode_one_tiff16, d.job.out_path, host[i].copy()
+                        _encode_one_tiff16, d.job.out_path,
+                        host[i].copy(), d.make, d.model, d.orientation
                     )
                 else:
                     fut = encode_pool.submit(
-                        _encode_one, d.job.out_path, host[i].copy(), quality
+                        _encode_one, d.job.out_path, host[i].copy(),
+                        quality, exif
                     )
                 encode_futures.append((fut, d.job))
             # Backpressure: the device can outrun host JPEG encode by ~20×;

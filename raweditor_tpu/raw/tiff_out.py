@@ -18,8 +18,15 @@ PLANAR_CONFIG = 284  # chunky/planar tag (not needed by the readers
                      # in raw/tiff.py, so it lives here)
 
 
-def write_tiff16(path, rgb: np.ndarray) -> str:
-    """Write an (H, W, 3) uint16 array as an uncompressed RGB TIFF."""
+def write_tiff16(path, rgb: np.ndarray, make: str = "",
+                 model: str = "", orientation: int = 1,
+                 software: str = "") -> str:
+    """Write an (H, W, 3) uint16 array as an uncompressed RGB TIFF.
+
+    Optional camera metadata lands as standard baseline tags (Make/
+    Model/Orientation/Software) so archival exports keep provenance."""
+    from raweditor_tpu.raw.synth import _TYPE_ASCII
+
     rgb = np.ascontiguousarray(rgb, dtype=np.uint16)
     if rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError(f"expected (H, W, 3) u16, got {rgb.shape}")
@@ -38,6 +45,15 @@ def write_tiff16(path, rgb: np.ndarray) -> str:
         (T.STRIP_BYTE_COUNTS, _TYPE_LONG, [h * w * 6]),
         (PLANAR_CONFIG, _TYPE_SHORT, [1]),
     ]
+    if make:
+        ifd.append((T.MAKE, _TYPE_ASCII, make))
+    if model:
+        ifd.append((T.MODEL, _TYPE_ASCII, model))
+    if orientation in range(1, 9) and orientation != 1:
+        ifd.append((T.ORIENTATION, _TYPE_SHORT, [orientation]))
+    if software:
+        ifd.append((0x0131, _TYPE_ASCII, software))
+    ifd.sort(key=lambda e: e[0])
     data = tw.build([ifd])
     import os
 
