@@ -487,7 +487,10 @@ def main():
 
     worker = threading.Thread(target=work, daemon=True)
     worker.start()
-    budget = float(os.environ.get("RAWEDITOR_TPU_BENCH_BUDGET_S", "420"))
+    # 420 s sufficed on a quiet tunnel (r2: 270 s wall); congested
+    # sessions have measured 550 s for the throughput lanes alone, so
+    # default high enough that every lane lands on a bad day too.
+    budget = float(os.environ.get("RAWEDITOR_TPU_BENCH_BUDGET_S", "900"))
     done.wait(budget)
     if not done.is_set():
         results["error"] = (f"wall budget {budget:.0f}s exceeded "

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Per-codec host decode throughput (the docs/performance.md table's
+one-command source).
+
+    PYTHONPATH=/root/repo:$PYTHONPATH python tools/codec_bench.py \
+        [--mp 8] [--repeats 3] [--codec nikon ...]
+
+For each codec, synthesizes a ~``--mp``-megapixel fixture with the
+project's own writers, then times ``decode_raw`` (the full product
+path: container walk + native codec + metadata) over ``--repeats``
+runs and prints the best as MP/s alongside the sensor-payload
+fraction. Numbers on the 1-vCPU dev box are per-thread; the batch
+exporter scales them linearly across its decode pool (C++ paths
+release the GIL). Run it alone — any concurrent CPU work (pytest,
+bench.py's e2e lane) poisons the numbers.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+from raweditor_tpu.raw.decode import decode_raw
+
+
+def _mosaic(mp: float, rng):
+    """~4:3 u12 mosaic of ~mp megapixels, dims divisible by 16/4."""
+    h = int((mp * 1e6 * 3 / 4) ** 0.5)
+    w = int(h * 4 / 3)
+    h = max(h - h % 4, 4)
+    w = max(w - w % 16, 16)
+    return rng.integers(0, 4096, size=(h, w), dtype=np.uint16)
+
+
+def _fixtures(mp: float, rng):
+    from raweditor_tpu.raw.bmff import write_synthetic_cr3
+    from raweditor_tpu.raw.ciff import write_crw
+    from raweditor_tpu.raw.panasonic import rw2_representable
+    from raweditor_tpu.raw.synth import (write_synthetic_orf,
+                                         write_synthetic_raw,
+                                         write_synthetic_rw2)
+
+    # Fixture sizes are bounded by the WRITER (some synth encoders are
+    # scalar Python); the decoder MP/s is size-stable above ~0.5 MP.
+    m = _mosaic(mp, rng)
+    m1 = _mosaic(min(mp, 1.0), rng)
+    out = {}
+    for codec in ("none", "ljpeg", "nikon", "pentax", "kodak65000",
+                  "arw2"):
+        out[codec] = lambda c=codec: write_synthetic_raw(
+            None, m, compression=c)
+    for codec in ("srw1", "srw3"):
+        out[codec] = lambda c=codec: write_synthetic_raw(
+            None, m1, compression=c, srw_wb=True)
+    out["orf"] = lambda: write_synthetic_orf(None, m1)
+    w14 = m1.shape[1] - m1.shape[1] % 14
+    out["rw2"] = lambda: write_synthetic_rw2(
+        None, rw2_representable(m1[:, :w14]))
+    out["crw"] = lambda: write_crw(None, m1)
+    out["cr3"] = lambda: write_synthetic_cr3(None, mosaic=m1)
+    # RADC: the representable-lattice fixed point is the slow part
+    # (scalar Python encoder, iterated) — keep it small.
+    from raweditor_tpu.raw.kodak_radc import radc_representable
+
+    mr = _mosaic(0.1, rng)
+    out["radc"] = lambda: write_synthetic_raw(
+        None, radc_representable(mr), bpp=14, compression="radc")
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mp", type=float, default=8.0,
+                    help="approx megapixels per fixture")
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--codec", nargs="*", default=None,
+                    help="subset of codecs (default: all)")
+    args = ap.parse_args()
+    rng = np.random.default_rng(0)
+    fixtures = _fixtures(args.mp, rng)
+    names = args.codec or list(fixtures)
+    results = {}
+    for name in names:
+        blob = fixtures[name]()
+        raw = decode_raw(blob)
+        mp = raw.mosaic.shape[0] * raw.mosaic.shape[1] / 1e6
+        best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            decode_raw(blob)
+            best = min(best, time.perf_counter() - t0)
+        results[name] = {
+            "mp": round(mp, 2),
+            "ms": round(best * 1000, 1),
+            "mps": round(mp / best, 1),
+            "file_mb": round(len(blob) / 1e6, 2),
+        }
+        print(f"{name:12s} {mp:6.2f} MP  {best * 1000:8.1f} ms  "
+              f"{mp / best:7.1f} MP/s", flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
