@@ -139,14 +139,20 @@ class _Decoded:
     orientation: int = 1
 
 
-def _decode_job(job: ExportJob, mode: str, stage: bool = False):
+def _decode_job(job: ExportJob, mode: str, upload_pool=None):
     """Returns (decoded, decode_seconds, stage_seconds).
 
     decode_seconds covers the codec + metadata work only; the staging
-    pack and the async device_put enqueue are timed separately so the
-    report's decode split reflects the real per-codec MP/s (VERDICT
-    r2: the two were conflated, making decode look 8x slower than the
-    codec benchmarks)."""
+    pack is timed separately so the report's decode split reflects
+    the real per-codec MP/s (VERDICT r2: the two were conflated,
+    making decode look 8x slower than the codec benchmarks).
+
+    The ``device_put`` itself runs on ``upload_pool`` (one dedicated
+    thread), NOT here: on slow transports the "async" enqueue has
+    been measured blocking for seconds per image, and a blocked
+    decode worker collapses the decode pool's throughput. The flush
+    path resolves the resulting future (its wait is accounted as
+    upload_seconds, where transport time belongs)."""
     from raweditor_tpu.raw.decode import decode_raw
 
     t0 = time.perf_counter()
@@ -184,7 +190,7 @@ def _decode_job(job: ExportJob, mode: str, stage: bool = False):
     )
     decode_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    if stage:
+    if upload_pool is not None:
         m = decoded.mosaic
         fmt = "raw"
         if m.ndim == 2 and m.dtype == np.uint16:
@@ -196,9 +202,9 @@ def _decode_job(job: ExportJob, mode: str, stage: bool = False):
         nbytes = {"u12": m.nbytes * 3 // 4,
                   "u14": m.nbytes * 7 // 8}.get(fmt, m.nbytes)
         # Budget check BEFORE the pack so a pegged budget costs no
-        # host work; any staging failure (e.g. device OOM) releases
-        # the budget and degrades to flush-time upload — never a
-        # quarantined image.
+        # host work; any staging failure (e.g. device OOM) resolves
+        # at flush time — budget released there, image degrades to a
+        # flush-time raw upload, never a quarantine.
         if _stage_budget_acquire(nbytes):
             try:
                 import jax
@@ -209,9 +215,11 @@ def _decode_job(job: ExportJob, mode: str, stage: bool = False):
                 host_buf = {"u12": pack12_rows,
                             "u14": pack14_rows}.get(
                     fmt, np.ascontiguousarray)(m)
-                # Async enqueue — does not block the worker; the
-                # transfer streams while later files decode.
-                decoded.staged = jax.device_put(host_buf)
+                # Hand the enqueue to the upload thread; transfers
+                # serialize on the link anyway, and the worker moves
+                # straight to the next file.
+                decoded.staged = upload_pool.submit(
+                    jax.device_put, host_buf)
                 decoded.staged_fmt = fmt
                 decoded.staged_nbytes = nbytes
             except Exception:
@@ -609,6 +617,21 @@ def run_batch_export(
             # (batch_size, H, W). Padding replays item 0 and is dropped
             # before encode.
             padded = batch + [batch[0]] * (batch_size - n_real)
+            # Resolve the upload-thread futures first: a transfer the
+            # link finished costs nothing here; one still in flight is
+            # waited for (that wait IS upload time); a failed enqueue
+            # (device OOM) degrades to a flush-time raw upload.
+            t_res = time.perf_counter()
+            for d in batch:
+                if isinstance(d.staged, Future):
+                    fut, d.staged = d.staged, None
+                    try:
+                        d.staged = fut.result()
+                    except Exception:
+                        _stage_budget_release(d.staged_nbytes)
+                        d.staged_fmt = "raw"
+                        d.staged_nbytes = 0
+            report.upload_seconds += time.perf_counter() - t_res
             if mesh is None and any(d.staged is not None for d in batch):
                 # Use every pre-staged buffer (partial batches included —
                 # an over-budget straggler must not discard the bytes the
@@ -792,7 +815,8 @@ def run_batch_export(
 
         with ThreadPoolExecutor(decode_threads) as decode_pool, \
                 ThreadPoolExecutor(encode_threads) as encode_pool, \
-                ThreadPoolExecutor(1) as fetch_pool:
+                ThreadPoolExecutor(1) as fetch_pool, \
+                ThreadPoolExecutor(1) as upload_pool:
             batcher = _Batcher(batch_size)
             window = max(2 * batch_size, decode_threads * 2)
             pending: List[Tuple[Future, ExportJob]] = []
@@ -803,8 +827,9 @@ def run_batch_export(
                 if job is None:
                     return False
                 pending.append(
-                    (decode_pool.submit(_decode_job, job, mode,
-                                        mesh is None), job)
+                    (decode_pool.submit(
+                        _decode_job, job, mode,
+                        upload_pool if mesh is None else None), job)
                 )
                 return True
 

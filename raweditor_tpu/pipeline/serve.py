@@ -38,9 +38,10 @@ class _Handler(socketserver.StreamRequestHandler):
         try:
             self._send({"ok": True, "service": "raweditor-tpu",
                         "protocol": "session/1",
-                        "commands": "open set zoom pan render full "
-                                    "histogram before auto checkpoint "
-                                    "undo history reset stats quit"})
+                        "commands": "open set zoom pan render frame "
+                                    "full histogram before auto "
+                                    "checkpoint undo history reset "
+                                    "stats quit"})
             for raw_line in self.rfile:
                 line = raw_line.decode("utf-8", "replace").strip()
                 if not line:

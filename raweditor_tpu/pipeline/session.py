@@ -10,6 +10,8 @@ harness) can drive the engine without linking a GUI:
     open <id|path>           switch to another image (replays its edits)
     zoom <z> | pan <x> <y>   view transform (clamped like the UI)
     render <path>            write current preview PNG
+    frame [quality]          current preview as inline base64 JPEG
+                             (remote clients of the TCP service)
     auto [levels] [contrast] [tone] apply auto-adjust suggestions
     full <path>              full-resolution export
     histogram                print (3,256) JSON histogram
@@ -103,6 +105,29 @@ class DevelopSession:
         Image.fromarray(img).save(path)
         return {"ok": True, "path": path,
                 "size": [img.shape[1], img.shape[0]]}
+
+    def frame(self, quality: int = 80,
+              params: Optional[EditParams] = None) -> dict:
+        """Current preview as an inline base64 JPEG — the transport
+        for remote GUI clients of the TCP service (``render`` writes
+        to the SERVER's filesystem, which a remote client can't see).
+        ~100 KB at quality 80 vs 2.7 MB of raw preview RGB."""
+        import base64
+        import io
+
+        from PIL import Image
+
+        if not 1 <= int(quality) <= 100:
+            raise ValueError("quality must be 1..100")
+        img = self.engine.preview(params or self.params, self.zoom,
+                                  self.pan)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG",
+                                  quality=int(quality))
+        data = buf.getvalue()
+        return {"ok": True, "size": [img.shape[1], img.shape[0]],
+                "quality": int(quality), "bytes": len(data),
+                "jpeg_base64": base64.b64encode(data).decode("ascii")}
 
     def full(self, path: str) -> dict:
         return {"ok": True,
@@ -246,6 +271,8 @@ class DevelopSession:
                 return self.set_pan(float(args[0]), float(args[1]))
             if cmd == "render":
                 return self.render(args[0])
+            if cmd == "frame":
+                return self.frame(int(args[0]) if args else 80)
             if cmd == "full":
                 return self.full(args[0])
             if cmd == "histogram":

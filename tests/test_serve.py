@@ -57,6 +57,17 @@ def test_serve_session_over_tcp(server, tmp_path):
     assert (tmp_path / "served.png").exists()
     out = c.ask("histogram")
     assert out["ok"] and len(out["r"]) == 256
+    # Inline-JPEG frame: the remote-client preview transport.
+    out = c.ask("frame 70")
+    assert out["ok"] and out["size"] == [32, 24]
+    import base64
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(
+            base64.b64decode(out["jpeg_base64"]))) as im:
+        assert im.size == (32, 24)
     # Per-tick persistence reaches the catalog.
     lib = Library(tmp_path / "cat.db")
     assert lib.load_edit_params(image_id).exposure == 1.0

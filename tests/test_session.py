@@ -64,6 +64,34 @@ def test_render_and_before(session, tmp_path):
     assert (a != b).any()
 
 
+def test_frame_inline_jpeg(session):
+    """`frame [quality]` returns the preview as base64 JPEG — the
+    remote-client transport (render writes to the server's disk)."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    s, _, _ = session
+    s.set_slider("exposure", 1.0)
+    out = s.handle("frame")
+    assert out["ok"] and out["quality"] == 80
+    jpeg = base64.b64decode(out["jpeg_base64"])
+    assert out["bytes"] == len(jpeg)
+    with Image.open(io.BytesIO(jpeg)) as im:
+        assert [im.width, im.height] == out["size"]
+    # Byte-identical to PIL encoding the same preview at the same
+    # quality — the frame is exactly the current render, not a cache.
+    ref = s.engine.preview(s.params, s.zoom, s.pan)
+    buf = io.BytesIO()
+    Image.fromarray(ref).save(buf, format="JPEG", quality=80)
+    assert jpeg == buf.getvalue()
+    # lower quality → smaller payload
+    small = s.handle("frame 30")
+    assert small["ok"] and small["bytes"] < out["bytes"]
+    assert not s.handle("frame 0")["ok"]
+
+
 def test_reset_deletes_edits(session):
     s, lib, image_id = session
     s.set_slider("contrast", 9.0)
