@@ -17,11 +17,16 @@ bench.py's e2e lane) poisons the numbers.
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
-from raweditor_tpu.raw.decode import decode_raw
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # runnable without PYTHONPATH
+
+from raweditor_tpu.raw.decode import decode_raw  # noqa: E402
 
 
 def _mosaic(mp: float, rng):
