@@ -34,6 +34,13 @@ def main() -> None:
     ap.add_argument("--compression", choices=("none", "ljpeg", "nikon"),
                     default="none")
     ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--devices", type=int, default=0,
+                    help="shard the batch across an N-device "
+                         "('batch','row') mesh — the BASELINE 8-chip "
+                         "config; with fewer live devices a virtual "
+                         "CPU mesh of that size is built")
+    ap.add_argument("--row", type=int, default=1,
+                    help="row-shard factor of the mesh (with --devices)")
     ap.add_argument("--decode-threads", type=int, default=4)
     ap.add_argument("--keep", action="store_true")
     ap.add_argument("--platform", default=None,
@@ -50,6 +57,18 @@ def main() -> None:
     from raweditor_tpu.utils import ensure_backend
 
     ensure_backend()
+
+    mesh = None
+    if args.devices:
+        if len(jax.devices()) < args.devices:
+            import jax.extend.backend
+
+            jax.extend.backend.clear_backends()
+            jax.config.update("jax_num_cpu_devices", args.devices)
+            jax.config.update("jax_platforms", "cpu")
+        from raweditor_tpu.parallel import batch_row_mesh
+
+        mesh = batch_row_mesh(n_devices=args.devices, row=args.row)
 
     from raweditor_tpu.params import EditParams
     from raweditor_tpu.pipeline.export import ExportJob, run_batch_export
@@ -77,7 +96,7 @@ def main() -> None:
     gen_s = time.perf_counter() - t0
 
     report = run_batch_export(
-        jobs, batch_size=args.batch_size,
+        jobs, mesh=mesh, batch_size=args.batch_size,
         decode_threads=args.decode_threads,
         use_pallas=args.fast, fast_gamma=args.fast,
     )
@@ -85,6 +104,8 @@ def main() -> None:
     out.update({
         "mosaic": f"{w}x{h}",
         "compression": args.compression,
+        "mesh": (f"{args.devices}dev(batch={args.devices // args.row}"
+                 f",row={args.row})" if mesh is not None else "none"),
         "fixture_gen_seconds": round(gen_s, 2),
         "megapixels_per_sec": round(
             report.succeeded * w * h / 1e6 / report.seconds, 1
