@@ -109,6 +109,68 @@ def test_srw3_golden_block():
         assert np.array_equal(nat, got[0])
 
 
+def test_srw3_golden_motion_mode():
+    """Hand-assembled 3-row stream pinning the motion-vector path:
+    rows 0-1 in mode 7 (init/previous-pair prediction), row 2 in
+    mode 2 — sliding-window offset -2 with averaging — whose green
+    class references row-1 (parity-adjusted +1 on even rows) and
+    whose other class references row-2, both clamped at the left
+    edge. Also pins the explicit 4-bit length escape and the 9-bit
+    sign extension."""
+    wr = _Bits()
+
+    def lengths(nb):
+        wr.put(0, 1)            # length flags present
+        for _ in range(4):
+            wr.put(3, 2)        # explicit escape...
+            wr.put(nb, 4)       # ...nb bits per residual
+
+    def pad_row():
+        wr.bits += [0] * (-len(wr.bits) % 128)  # 16-byte alignment
+
+    # Row 0: all pixels 1200 = init 1000 + 200
+    wr.put(0, 2)                # QP keep (scale 0)
+    wr.put(1, 1)                # motion 7
+    lengths(12)
+    for _ in range(16):
+        wr.put(200, 12)
+    pad_row()
+    # Row 1: all pixels 1400 = init 1000 + 400
+    wr.put(0, 2)
+    wr.put(1, 1)
+    lengths(12)
+    for _ in range(16):
+        wr.put(400, 12)
+    pad_row()
+    # Row 2: motion mode 2 (slide -2, average). Class A (even cols on
+    # this even row) refs row1 at col-1 (clamped) averaged with +2 →
+    # 1400; class B (odd cols) refs row0 at col-2 (clamped) → 1200.
+    wr.put(0, 2)
+    wr.put(0, 1)                # motion escape...
+    wr.put(2, 3)                # ...mode 2
+    lengths(9)
+    for _ in range(8):          # first 8 residuals land on even cols
+        wr.put(-40 & 0x1FF, 9)
+    for _ in range(8):          # then the odd cols
+        wr.put(30, 9)
+    pad_row()
+
+    header = bytes(9) + bytes([0]) + (12).to_bytes(2, "little") + \
+        (1000).to_bytes(2, "little") + bytes(2)
+    payload = header + wr.tobytes()
+    got = samsung3.decode_srw3(payload, 16, 3)
+    want = np.empty((3, 16), np.uint16)
+    want[0] = 1200
+    want[1] = 1400
+    want[2, 0::2] = 1400 - 40
+    want[2, 1::2] = 1200 + 30
+    assert np.array_equal(got, want)
+    if rk is not None and hasattr(rk, "decode_srw3"):
+        nat = np.frombuffer(rk.decode_srw3(payload, 16, 3),
+                            np.uint16).reshape(3, 16)
+        assert np.array_equal(nat, want)
+
+
 def test_srw3_container_round_trip(tmp_path, rng):
     m = rng.integers(0, 4096, size=(12, 32)).astype(np.uint16)
     path = tmp_path / "a.srw"
