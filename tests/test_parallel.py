@@ -189,3 +189,46 @@ def test_host_mesh_rejects_bad_divisor():
 
     with pytest.raises(ValueError):
         host_batch_row_mesh(host=3, row=2)  # 8 % 6 != 0
+
+
+def test_sharded_develop_collective_pattern_is_designed_one():
+    """Compiler guard: the row-sharded develop must lower to exactly
+    the designed communication — 1-row halo exchange as
+    collective-permutes and the histogram psum as an all-reduce,
+    with NO all-gather of the mosaic/RGBA (a GSPMD or refactor
+    regression to full re-gather would be a silent ~10x slowdown at
+    24 MP, not a wrong answer)."""
+    import functools
+    import re
+
+    mesh = batch_row_mesh(row=2)
+    n = 4
+    mosaics = np.zeros((n, 32, 48), np.uint16)
+    staged = jax.device_put(mosaics, batch_sharding(mesh))
+    params = pack_params([EditParams() for _ in range(n)])
+    wbs = np.tile(WB, (n, 1))
+    cms = np.tile(IDENTITY, (n, 1, 1))
+    fn = functools.partial(batch_develop_sharded, mesh=mesh, rgba=True,
+                           with_histogram=True)
+    hlo = jax.jit(lambda m, p, w, c: fn(m, p, w, c)).lower(
+        staged, params, wbs, cms).compile().as_text()
+
+    def count(op):
+        return len(re.findall(op + r"\(", hlo)) + \
+            len(re.findall(op + r"-start", hlo))
+
+    assert count("collective-permute") >= 2  # up + down halos
+    assert count("all-reduce") >= 1          # histogram psum
+    assert count("all-gather") == 0
+    assert count("all-to-all") == 0
+
+    # The row-sharded YCbCr 4:2:0 pass (r3 planes transport) needs no
+    # collectives at all when per-shard heights are chroma-aligned.
+    from raweditor_tpu.ops.jpeg import rgba_words_to_ycbcr420
+
+    out = fn(staged, params, wbs, cms)[0]
+    hlo2 = jax.jit(rgba_words_to_ycbcr420).lower(
+        out).compile().as_text()
+    for op in ("all-gather", "collective-permute", "all-reduce",
+               "all-to-all"):
+        assert op not in hlo2, op
