@@ -202,13 +202,23 @@ class DevelopEngine:
             transfer=self.transfer, cfa_phase=self.cfa_phase,
         )
 
+    @staticmethod
+    def _float_params(params: EditParams) -> EditParams:
+        """AOT executables are compiled for weak-f32 param leaves; an
+        integer-valued EditParams (legal for the jit path) must not
+        turn into an aval-mismatch TypeError at dispatch."""
+        return EditParams(**{n: float(getattr(params, n))
+                             for n in EditParams.field_names()})
+
     def preview_device(self, params: EditParams, zoom: float = 1.0,
                        pan: Tuple[float, float] = (0.0, 0.0)):
         """Preview render, left on device (reference: gpu/pipeline.rs:442-465
         minus the synchronous readback). Dispatches through the AOT
         executable when compile_preview() has run."""
         if self._aot_preview is not None:
-            r, _ = self._aot_preview(self.mosaic, params, float(zoom),
+            r, _ = self._aot_preview(self.mosaic,
+                                     self._float_params(params),
+                                     float(zoom),
                                      float(pan[0]), float(pan[1]))
             return r
         return self._preview_program(self.mosaic, params, zoom,
@@ -251,7 +261,8 @@ class DevelopEngine:
         its checksum byte has arrived on the host — the render is
         provably finished, not just enqueued."""
         self.compile_preview()
-        r, s = self._aot_preview(self.mosaic, params, float(zoom),
+        r, s = self._aot_preview(self.mosaic, self._float_params(params),
+                                 float(zoom),
                                  float(pan[0]), float(pan[1]))
         np.asarray(s)  # single-byte fetch = transport-proof sync
         return r
@@ -323,7 +334,7 @@ class DevelopEngine:
         AOT executable when compile_preview() has run."""
         if self._aot_histogram is not None:
             return np.asarray(self._aot_histogram(
-                self.mosaic, params, float(zoom),
+                self.mosaic, self._float_params(params), float(zoom),
                 float(pan[0]), float(pan[1])))
         return np.asarray(self._histogram_program(
             self.mosaic, params, zoom, pan[0], pan[1]))

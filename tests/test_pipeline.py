@@ -70,6 +70,12 @@ def test_engine_aot_preview_matches_jit_path(synth_file):
     np.testing.assert_array_equal(
         np.asarray(eng.preview_tick(EditParams(), zoom=1)),
         eng.preview(EditParams()))
+    # integer-valued params are legal for the jit path and must not
+    # aval-mismatch the AOT executables
+    np.testing.assert_array_equal(
+        eng.preview(EditParams(exposure=1)),
+        eng.preview(EditParams(exposure=1.0)))
+    eng.histogram(EditParams(exposure=1))
 
 
 def test_engine_parity_uses_identity_matrix(synth_file):
