@@ -127,11 +127,45 @@ def _measure(results):
     except Exception:
         pallas_per_sec = 0.0
         pallas_poly_per_sec = 0.0
-    # All paths sit at the VPU compute bound (~2 ms/24 MP); report
+    # Batched fused kernel: the BASELINE headline metric is *batch
+    # export* throughput (1,000 NEFs → JPEG), and the exporter
+    # dispatches the batched kernel (pallas_batch_develop_rgba) one
+    # launch per shape bucket — so a batch-of-8 lane is the honest
+    # headline shape. It also amortizes the per-launch dispatch gap
+    # (~0.5-1 ms over the tunneled dev chip, comparable to the ~1.2 ms
+    # device time of one 24 MP develop), so the wall number tracks the
+    # device bound the profiler reports instead of the tunnel's
+    # dispatch cadence.
+    nb = 8
+    try:
+        from raweditor_tpu.ops.pallas_develop import (
+            pallas_batch_develop_rgba)
+        from raweditor_tpu.parallel.batch import pack_params
+
+        mosaics_nb = jnp.broadcast_to(mosaic, (nb,) + mosaic.shape)
+        wbs_nb = jnp.broadcast_to(jnp.asarray(wb), (nb, 3))
+        cms_nb = jnp.broadcast_to(jnp.asarray(cm), (nb, 3, 3))
+
+        def batch_fn(p):
+            return pallas_batch_develop_rgba(
+                mosaics_nb, pack_params([p] * nb), wbs_nb, cms_nb,
+                gamma="poly")
+
+        pallas_batch_per_sec = nb * timed_throughput(
+            batch_fn, iters=max(2, it_p // nb), passes=n_pass)
+        del mosaics_nb, wbs_nb, cms_nb
+    except Exception:
+        pallas_batch_per_sec = 0.0
+    results.update(
+        pallas_batch_develops_per_sec=round(pallas_batch_per_sec, 2),
+        batch_lane_n=nb,
+    )
+    # All paths sit at the VPU compute bound (~1.2-2 ms/24 MP); report
     # the best as the headline (run-to-run transport jitter can swap
     # them).
     develops_per_sec = max(xla_per_sec, xla_poly_per_sec,
-                           pallas_per_sec, pallas_poly_per_sec)
+                           pallas_per_sec, pallas_poly_per_sec,
+                           pallas_batch_per_sec)
     results.update(
         value=round(develops_per_sec, 2),
         vs_baseline=round(develops_per_sec / 50.0, 3),

@@ -93,8 +93,9 @@ def _fold_scalars(params: EditParams, wb, cam_matrix, white_level,
             1.0 + p.saturation / 100.0,     # 17
             p.vibrance,                     # 18
             -b,                             # 19 black*s (demosaic floor)
+            1.0 + p.shadows,                # 20 shadows tone affine
         ]),
-        jnp.zeros((N_SCALARS - 20,), jnp.float32),
+        jnp.zeros((N_SCALARS - 21,), jnp.float32),
     ])
     return vec
 
@@ -261,30 +262,33 @@ def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma,
     r, g, b = r2, g2, b2
 
     # Highlights/shadows (shared luminance read,
-    # reference: gpu/shaders.rs:222-230).
+    # reference: gpu/shaders.rs:222-230). The shadows leg expands to
+    # (1+s) - lum*s (one FMA with the folded 1+s), and the
+    # contrast+levels gain A multiplies the tone factor once instead
+    # of each channel.
     lum = _LUMA[0] * r + _LUMA[1] * g + _LUMA[2] * b
-    tone = (1.0 + lum * sc(15)) * (1.0 + (1.0 - lum) * sc(16))
-    A = sc(13)
+    toneA = (1.0 + lum * sc(15)) * (sc(20) - lum * sc(16)) * sc(13)
     B = sc(14)
-    r = r * tone * A + B
-    g = g * tone * A + B
-    b = b * tone * A + B
+    r = r * toneA + B
+    g = g * toneA + B
+    b = b * toneA + B
 
-    # Saturation.
+    # Saturation + vibrance, fused into one mix (algebraically exact):
+    # the luma weights sum to 1, so luma is invariant under the
+    # saturation mix, and the post-saturation spread is (mx-mn)*|sf| —
+    # the vibrance factor (reference: gpu/shaders.rs:243-257, computed
+    # there on the saturated channels) therefore folds into a single
+    # lerp about the shared luma. Saves one luma dot product and one
+    # full mix pass per pixel.
     luma = _LUMA[0] * r + _LUMA[1] * g + _LUMA[2] * b
-    sf = sc(17)
-    r = luma + (r - luma) * sf
-    g = luma + (g - luma) * sf
-    b = luma + (b - luma) * sf
-
-    # Vibrance.
     mx = jnp.maximum(r, jnp.maximum(g, b))
     mn = jnp.minimum(r, jnp.minimum(g, b))
-    vf = 1.0 + sc(18) * (1.0 - (mx - mn))
-    luma = _LUMA[0] * r + _LUMA[1] * g + _LUMA[2] * b
-    r = luma + (r - luma) * vf
-    g = luma + (g - luma) * vf
-    b = luma + (b - luma) * vf
+    sf = sc(17)
+    vf = 1.0 + sc(18) * (1.0 - (mx - mn) * jnp.abs(sf))
+    f = sf * vf
+    r = luma + (r - luma) * f
+    g = luma + (g - luma) * f
+    b = luma + (b - luma) * f
 
     # Transfer curve, clamp, quantize, pack RGBA.
     def q(c):
@@ -319,33 +323,72 @@ def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma,
     return q(r) | (q(g) << 8) | (q(b) << 16) | jnp.uint32(0xFF000000)
 
 
-def _kernel(scal_ref, pad_hbm, out_ref, scratch, sem, *, block_h: int,
-            cfa_phase=(0, 0), gamma: str = "pow", pattern=None,
-            demosaic: str = "nearest"):
-    i = pl.program_id(0)
-    copy = pltpu.make_async_copy(
-        pad_hbm.at[pl.ds(i * block_h, block_h + 8)], scratch, sem
-    )
-    copy.start()
-    copy.wait()
-    out_ref[:] = _develop_block(lambda k: scal_ref[k], scratch, i,
-                                block_h, cfa_phase, gamma, pattern,
-                                demosaic)
+def _kernel_flat(scal_ref, pad_hbm, out_ref, scratch, sems, *,
+                 block_h: int, steps: int, total: int, stride: int,
+                 cfa_phase=(0, 0), gamma: str = "pow", pattern=None,
+                 demosaic: str = "nearest"):
+    """Double-buffered unified kernel body. The grid is flat over
+    (image, row-block) pairs; ``pad_hbm`` is the per-image 8-row-padded
+    mosaics reshaped to one (N*(H+8), W) plane (``stride`` = H+8). The
+    DMA for step g+1 is issued before step g's compute so the HBM read
+    rides under the VPU work (the serial start();wait() form measured
+    ~2 µs/step of exposed DMA latency at 24 MP — ~20% of the kernel)."""
+    g = pl.program_id(0)
+    nimg = g // steps
+    i = g % steps
+
+    def copy_for(gg, slot):
+        row0 = (gg // steps) * stride + (gg % steps) * block_h
+        return pltpu.make_async_copy(
+            pad_hbm.at[pl.ds(row0, block_h + 8)],
+            scratch.at[slot], sems.at[slot],
+        )
+
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        copy_for(g, slot).start()
+
+    @pl.when(g + 1 < total)
+    def _():
+        copy_for(g + 1, 1 - slot).start()
+
+    copy_for(g, slot).wait()
+    out_ref[0] = _develop_block(lambda k: scal_ref[nimg, k],
+                                scratch.at[slot], i, block_h, cfa_phase,
+                                gamma, pattern, demosaic)
 
 
-def _kernel_batched(scal_ref, pad_hbm, out_ref, scratch, sem, *,
-                    block_h: int, cfa_phase=(0, 0), gamma: str = "pow",
-                    pattern=None, demosaic: str = "nearest"):
-    n = pl.program_id(0)
-    i = pl.program_id(1)
-    copy = pltpu.make_async_copy(
-        pad_hbm.at[n].at[pl.ds(i * block_h, block_h + 8)], scratch, sem
-    )
-    copy.start()
-    copy.wait()
-    out_ref[0] = _develop_block(lambda k: scal_ref[n, k], scratch, i,
-                                block_h, cfa_phase, gamma, pattern,
-                                demosaic)
+def _launch_flat(scal2d, mosaics, n, h, w, bh, cfa_phase, gamma, pattern,
+                 demosaic, interpret):
+    """Shared pallas_call site: per-image 8-row edge pad (2 halo rows
+    above, 6 below to keep every DMA window 8-row aligned), flattened
+    to one plane so each DMA window is a plain 2-D row slice."""
+    steps = h // bh
+    stride = h + 8
+    padded = jnp.pad(mosaics, ((0, 0), (2, 6), (0, 0)), mode="edge")
+    padded = padded.reshape(n * stride, w)
+    return pl.pallas_call(
+        functools.partial(_kernel_flat, block_h=bh, steps=steps,
+                          total=n * steps, stride=stride,
+                          cfa_phase=cfa_phase, gamma=gamma,
+                          pattern=pattern, demosaic=demosaic),
+        grid=(n * steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, bh, w),
+                               lambda g: (g // steps, g % steps, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((2, bh + 8, w), jnp.uint16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(scal2d, padded)
 
 
 @functools.partial(
@@ -413,25 +456,8 @@ def pallas_batch_develop_rgba(
     scal = jax.vmap(
         functools.partial(_fold_scalars, matrix_transpose=matrix_transpose)
     )(params, wbs, cam_matrices, white_levels, black_levels)
-    padded = jnp.pad(mosaics, ((0, 0), (2, 6), (0, 0)), mode="edge")
-
-    return pl.pallas_call(
-        functools.partial(_kernel_batched, block_h=bh, cfa_phase=cfa_phase,
-                          gamma=gamma, pattern=pattern, demosaic=demosaic),
-        grid=(n, h // bh),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, bh, w), lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.uint32),
-        scratch_shapes=[
-            pltpu.VMEM((bh + 8, w), jnp.uint16),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=interpret,
-    )(scal, padded)
+    return _launch_flat(scal, mosaics, n, h, w, bh, cfa_phase, gamma,
+                        pattern, demosaic, interpret)
 
 
 @functools.partial(
@@ -499,25 +525,5 @@ def pallas_develop_rgba(
         return out[:, :w]
     scal = _fold_scalars(params, wb, cam_matrix, white_level, black_level,
                          matrix_transpose)
-    # 2 halo rows above (the 5×5 stencils need them; the parity stencil
-    # ignores the extra row); 6 extra rows below keep every DMA window
-    # and the scratch shape 8-row aligned.
-    padded = jnp.pad(mosaic, ((2, 6), (0, 0)), mode="edge")
-
-    return pl.pallas_call(
-        functools.partial(_kernel, block_h=bh, cfa_phase=cfa_phase,
-                          gamma=gamma, pattern=pattern, demosaic=demosaic),
-        grid=(h // bh,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((bh, w), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h, w), jnp.uint32),
-        scratch_shapes=[
-            pltpu.VMEM((bh + 8, w), jnp.uint16),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=interpret,
-    )(scal, padded)
+    return _launch_flat(scal[None], mosaic[None], 1, h, w, bh, cfa_phase,
+                        gamma, pattern, demosaic, interpret)[0]
