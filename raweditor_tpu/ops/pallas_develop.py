@@ -14,10 +14,13 @@ the packed u32 RGBA output once. Differences from the XLA path
   ops per pixel. Folding reassociates float math, so outputs may differ
   from the reference shader by ±1 LSB of 8-bit sRGB (within the
   BASELINE parity budget; the bit-exact path remains the default).
-- Row blocks are DMA'd HBM→VMEM with a 1-row halo (the mosaic is
-  edge-padded by one row in the prologue); x-neighbors come from lane
-  rolls with edge-column fixups, replicating clamp-to-edge
-  (reference: gpu/shaders.rs:161-169).
+- Row blocks are DMA'd HBM→VMEM straight from the unpadded mosaic:
+  each block fetches a (block_h+16)-row window whose
+  8-row-tile-aligned start is clamped into the image, a dynamic sublane roll realigns it, and the first /
+  last image rows get clamp-to-edge fixup selects — no prologue pad
+  pass (a full extra HBM read+write at 24 MP, ~10% of the kernel).
+  X-neighbors come from lane rolls with edge-column fixups,
+  replicating clamp-to-edge (reference: gpu/shaders.rs:161-169).
 
 Use ``pallas_develop_rgba`` as a drop-in for ``develop_rgba`` where
 ±1 LSB is acceptable (batch export fast mode).
@@ -40,16 +43,27 @@ _LUMA = (_F(0.2126), _F(0.7152), _F(0.0722))
 N_SCALARS = 24
 
 # Fast-gamma polynomials (see color.GAMMA22_POLY / color.SRGB_POLY —
-# single source of truth shared with the XLA fast transfers).
+# single source of truth shared with the XLA fast transfers). The
+# kernel uses them pre-scaled by 255 with the +0.5 rounding bias folded
+# into the constant term: the quantizer's `*255 + 0.5` then costs
+# nothing (the clamp happens at 255.5 in the scaled domain instead).
 from raweditor_tpu.color import GAMMA22_POLY as _GAMMA_POLY
 from raweditor_tpu.color import SRGB_POLY as _SRGB_POLY
+
+_GAMMA_POLY255 = tuple(float(c) * 255.0 for c in _GAMMA_POLY[:-1]) + (
+    float(_GAMMA_POLY[-1]) * 255.0 + 0.5,)
+_SRGB_POLY255 = tuple(float(c) * 255.0 for c in _SRGB_POLY[:-1]) + (
+    float(_SRGB_POLY[-1]) * 255.0 + 0.5,)
 
 
 def _largest_even_divisor(h: int, cap: int = 128) -> int:
     """Largest block height that divides h, is a multiple of 8 (VMEM
-    row-tiling), and is ≤ cap. 0 when none exists (caller falls back)."""
+    row-tiling), is ≤ cap, and leaves room for the (block_h+16)-row
+    halo window inside the image (h ≥ d+16 — the pad-free kernel
+    clamps its tile-aligned DMA windows into the unpadded mosaic). 0
+    when none exists (caller falls back to the height-pad rescue)."""
     best = 0
-    for d in range(8, cap + 1, 8):
+    for d in range(8, min(cap, h - 16) + 1, 8):
         if h % d == 0:
             best = d
     return best
@@ -113,15 +127,15 @@ def _shift_x(arr, direction: int, edge_col, dist: int = 1):
     return jnp.where(col >= w - dist, edge_col, rolled)
 
 
-def _demosaic_smooth_taps(v_all, center, up, down, left, right, sc, i,
-                          bh, w, cfa_phase, method: str):
+def _demosaic_smooth_taps(tap_row, grows, img_h, center, up, down, left,
+                          right, sc, i, bh, w, cfa_phase, method: str):
     """In-kernel bilinear / Malvar–He–Cutler demosaic. Mirrors
     ops/demosaic.py exactly (the tap tables are imported from there —
-    single source of truth); clamp-to-edge comes from the padded
-    mosaic rows and the replicated edge columns in _shift_x."""
+    single source of truth); clamp-to-edge comes from the global-row
+    fixup selects on the y-taps (``up``/``down`` arrive fixed; the ±2
+    taps are fixed here) and the replicated edge columns in _shift_x."""
     from raweditor_tpu.ops.demosaic import _bilinear_taps, _malvar_taps
 
-    n = bh + 8
     taps = {(0, 0): center, (0, -1): left, (0, 1): right,
             (-1, 0): up, (1, 0): down,
             (-1, -1): _shift_x(up, 1, up[:, 0:1]),
@@ -129,8 +143,10 @@ def _demosaic_smooth_taps(v_all, center, up, down, left, right, sc, i,
             (1, -1): _shift_x(down, 1, down[:, 0:1]),
             (1, 1): _shift_x(down, -1, down[:, w - 1 : w])}
     if method == "malvar":
-        taps[(-2, 0)] = v_all[0:bh, :]
-        taps[(2, 0)] = pltpu.roll(v_all, n - 4, axis=0)[0:bh, :]
+        # Clamp-to-edge for the ±2 rows: row 1's up-2 is row 0 (= its
+        # up), row 0's up-2 is itself (= its fixed up); mirrored below.
+        taps[(-2, 0)] = jnp.where(grows <= 1, up, tap_row(-2))
+        taps[(2, 0)] = jnp.where(grows >= img_h - 2, down, tap_row(2))
         taps[(0, -2)] = _shift_x(center, 1, center[:, 0:1], dist=2)
         taps[(0, 2)] = _shift_x(center, -1, center[:, w - 1 : w], dist=2)
 
@@ -170,47 +186,58 @@ def _demosaic_smooth_taps(v_all, center, up, down, left, right, sc, i,
 
 
 def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma,
-                   pattern=None, demosaic: str = "nearest"):
-    """Shared kernel body: develop one (block_h+8, W) scratch window.
+                   pattern=None, demosaic: str = "nearest", *,
+                   off, img_h: int):
+    """Shared kernel body: develop one (block_h+16, W) scratch window.
     ``sc`` maps a folded-scalar index to its value; ``i`` is the block's
-    row-grid index; ``pattern`` switches the demosaic from the Bayer
-    parity stencil to a generic repeating-CFA nearest-site table (all
-    X-Trans nearest offsets are within ±1, so the same five taps serve
-    both). ``demosaic`` picks the Bayer stencil: "nearest" (parity
-    path, reference: gpu/shaders.rs:104-158), "bilinear", or "malvar"
-    (the 5×5 gradient-corrected kernels — the scratch window's 2-row
-    halo covers them; see ops/demosaic.py for the tap tables, which
-    this mirrors exactly). Returns the (block_h, W) packed-RGBA u32
-    block."""
+    row-grid index; ``off`` is the (dynamic) sublane offset of the
+    block's first row inside the scratch window (8 for interior blocks,
+    0 when the window clamped at the image top, up to 16 at the
+    bottom);
+    ``img_h`` is the full image height (for the clamp-to-edge fixups).
+    ``pattern`` switches the demosaic from the Bayer parity stencil to
+    a generic repeating-CFA nearest-site table (all X-Trans nearest
+    offsets are within ±1, so the same five taps serve both).
+    ``demosaic`` picks the Bayer stencil: "nearest" (parity path,
+    reference: gpu/shaders.rs:104-158), "bilinear", or "malvar" (the
+    5×5 gradient-corrected kernels — the scratch window's halo covers
+    them; see ops/demosaic.py for the tap tables, which this mirrors
+    exactly). Returns the (block_h, W) packed-RGBA u32 block."""
     s = sc(12)
     # Mosaic can't cast u16→f32 directly; widen through int32.
     v_all = scratch[:].astype(jnp.int32).astype(jnp.float32) * s
     bh = block_h
     w = v_all.shape[1]
-    n = bh + 8
-    # Unaligned row slices of VMEM are not allowed (8-row tiling), so
-    # the scratch is an 8-row-padded window (2 halo rows above, ≥2
-    # below) and we realign with circular sublane rolls, taking the
-    # leading bh rows: after roll(n-2) row j holds original row j+2
-    # (the block rows); roll(n-1) gives the up neighbors, roll(n-3)
-    # the down neighbors, and so on for the ±2 taps.
-    center = pltpu.roll(v_all, n - 2, axis=0)[0:bh, :]
-    up = pltpu.roll(v_all, n - 1, axis=0)[0:bh, :]
-    down = pltpu.roll(v_all, n - 3, axis=0)[0:bh, :]
+    n = bh + 16
+
+    def tap_row(d):
+        # Center-relative row tap: rows [off+d, off+d+bh) of the window
+        # = image rows [i*bh+d, ...), via one dynamic sublane roll
+        # (unaligned VMEM row slices are not allowed — 8-row tiling —
+        # so realignment is circular rolls taking the leading bh rows).
+        return pltpu.roll(
+            v_all, jax.lax.rem(n - off - d, n), axis=0)[0:bh, :]
+
+    # Rows that a clamped window can't supply (above row 0 / below row
+    # img_h-1) wrap around the scratch; the global-row selects repair
+    # them to clamp-to-edge semantics.
+    grows = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 0) + i * bh
+    center = tap_row(0)
+    up = jnp.where(grows == 0, center, tap_row(-1))
+    down = jnp.where(grows == img_h - 1, center, tap_row(1))
     left = _shift_x(center, 1, center[:, 0:1])
     right = _shift_x(center, -1, center[:, w - 1 : w])
 
     if pattern is None and demosaic in ("bilinear", "malvar"):
         r, g, b = _demosaic_smooth_taps(
-            v_all, center, up, down, left, right, sc, i, bh, w,
-            cfa_phase, demosaic,
+            tap_row, grows, img_h, center, up, down, left, right, sc,
+            i, bh, w, cfa_phase, demosaic,
         )
     elif pattern is None:
         downleft = _shift_x(down, 1, down[:, 0:1])
         # CFA parity in global coordinates (the y+1 offset is folded
         # into the site table, see ops/demosaic.py).
-        row0 = i * bh + cfa_phase[0]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 0) + row0
+        rows = grows + cfa_phase[0]
         cols = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 1) + cfa_phase[1]
         ye = (rows % 2) == 0
         xe = (cols % 2) == 0
@@ -227,7 +254,7 @@ def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma,
         table = nearest_offsets(pattern, side, side)
         taps = {(0, 0): center, (0, -1): left, (0, 1): right,
                 (-1, 0): up, (1, 0): down}
-        rows = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 0) + i * bh
+        rows = grows
         cols = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 1)
         ry = rows % side
         cx = cols % side
@@ -290,58 +317,79 @@ def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma,
     g = luma + (g - luma) * f
     b = luma + (b - luma) * f
 
-    # Transfer curve, clamp, quantize, pack RGBA.
+    # Transfer curve, clamp, quantize, pack RGBA. The poly branches run
+    # in the ×255 domain (the rounding bias is folded into the constant
+    # coefficient), so quantization is just a clamp at 255.5 + floor —
+    # `min(c,1)*255 + 0.5` ≡ `min(c*255 + 0.5, 255.5)` (monotone).
     def q(c):
         c = jnp.maximum(c, 0.0)
         if gamma == "poly":
             sq = jnp.sqrt(jnp.sqrt(jnp.minimum(c, 1.0)))
-            acc = _GAMMA_POLY[0]
-            for k in _GAMMA_POLY[1:]:
-                acc = acc * sq + k
-            c = acc
+            acc = _F(_GAMMA_POLY255[0])
+            for k in _GAMMA_POLY255[1:]:
+                acc = acc * sq + _F(k)
+            v = acc
         elif gamma == "srgb":
             # IEC 61966-2-1 piecewise encode (matches color.srgb_encode).
             c = jnp.minimum(c, 1.0)
             lo = c * _F(12.92)
             hi = _F(1.055) * jnp.power(c, _F(1.0 / 2.4)) - _F(0.055)
-            c = jnp.where(c <= _F(0.0031308), lo, hi)
+            v = jnp.where(c <= _F(0.0031308), lo, hi) * 255.0 + 0.5
         elif gamma == "srgb_poly":
             # Fast sRGB (matches color.srgb_poly_encode): exact linear
             # segment, polynomial pow branch.
             c = jnp.minimum(c, 1.0)
             sq = jnp.sqrt(jnp.sqrt(c))
-            acc = _SRGB_POLY[0]
-            for k in _SRGB_POLY[1:]:
-                acc = acc * sq + k
-            c = jnp.where(c <= _F(0.0031308), c * _F(12.92), acc)
+            acc = _F(_SRGB_POLY255[0])
+            for k in _SRGB_POLY255[1:]:
+                acc = acc * sq + _F(k)
+            v = jnp.where(c <= _F(0.0031308),
+                          c * _F(12.92 * 255.0) + 0.5, acc)
         else:
-            c = jnp.power(c, _F(1.0 / 2.2))
-        c = jnp.minimum(c, 1.0)
+            v = jnp.power(c, _F(1.0 / 2.2)) * 255.0 + 0.5
+        v = jnp.minimum(v, 255.5)
         # f32→u32 unsupported in Mosaic; go through int32 (values 0..255).
-        return jnp.floor(c * 255.0 + 0.5).astype(jnp.int32).astype(jnp.uint32)
+        return jnp.floor(v).astype(jnp.int32).astype(jnp.uint32)
 
     return q(r) | (q(g) << 8) | (q(b) << 16) | jnp.uint32(0xFF000000)
 
 
-def _kernel_flat(scal_ref, pad_hbm, out_ref, scratch, sems, *,
-                 block_h: int, steps: int, total: int, stride: int,
+def _kernel_flat(scal_ref, mos_hbm, out_ref, scratch, sems, *,
+                 block_h: int, steps: int, total: int, img_h: int,
                  cfa_phase=(0, 0), gamma: str = "pow", pattern=None,
                  demosaic: str = "nearest"):
     """Double-buffered unified kernel body. The grid is flat over
-    (image, row-block) pairs; ``pad_hbm`` is the per-image 8-row-padded
-    mosaics reshaped to one (N*(H+8), W) plane (``stride`` = H+8). The
-    DMA for step g+1 is issued before step g's compute so the HBM read
-    rides under the VPU work (the serial start();wait() form measured
-    ~2 µs/step of exposed DMA latency at 24 MP — ~20% of the kernel)."""
+    (image, row-block) pairs; ``mos_hbm`` is the UNPADDED mosaics
+    reshaped to one (N*H, W) plane. Each block DMAs a
+    (block_h+16)-row window whose tile-aligned start is clamped inside
+    its image (no pad pass — a
+    full extra HBM read+write per develop otherwise); _develop_block
+    realigns via the dynamic ``off`` and repairs the image-edge rows.
+    The DMA for step g+1 is issued before step g's compute so the HBM
+    read rides under the VPU work (the serial start();wait() form
+    measured ~2 µs/step of exposed DMA latency at 24 MP — ~20% of the
+    kernel)."""
     g = pl.program_id(0)
     nimg = g // steps
     i = g % steps
+    nwin = block_h + 16
+
+    def window(gg):
+        # The window starts one 8-row tile above the block (u16 HBM is
+        # (8,128)-tiled, so DMA row starts must be provably 8-aligned —
+        # hence the tile-granular start and the pl.multiple_of hint)
+        # and is clamped into the image (img_h ≥ block_h+16 is
+        # guaranteed by the launcher). Returns (flat row start, block
+        # offset in window).
+        ii = gg % steps
+        s0 = jnp.clip(ii * block_h - 8, 0, img_h - nwin)
+        s0 = pl.multiple_of(s0, 8)
+        return (gg // steps) * img_h + s0, ii * block_h - s0
 
     def copy_for(gg, slot):
-        row0 = (gg // steps) * stride + (gg % steps) * block_h
+        row0, _ = window(gg)
         return pltpu.make_async_copy(
-            pad_hbm.at[pl.ds(row0, block_h + 8)],
-            scratch.at[slot], sems.at[slot],
+            mos_hbm.at[pl.ds(row0, nwin)], scratch.at[slot], sems.at[slot],
         )
 
     slot = jax.lax.rem(g, 2)
@@ -355,40 +403,51 @@ def _kernel_flat(scal_ref, pad_hbm, out_ref, scratch, sems, *,
         copy_for(g + 1, 1 - slot).start()
 
     copy_for(g, slot).wait()
+    _, off = window(g)
     out_ref[0] = _develop_block(lambda k: scal_ref[nimg, k],
                                 scratch.at[slot], i, block_h, cfa_phase,
-                                gamma, pattern, demosaic)
+                                gamma, pattern, demosaic, off=off,
+                                img_h=img_h)
 
 
 def _launch_flat(scal2d, mosaics, n, h, w, bh, cfa_phase, gamma, pattern,
                  demosaic, interpret):
-    """Shared pallas_call site: per-image 8-row edge pad (2 halo rows
-    above, 6 below to keep every DMA window 8-row aligned), flattened
-    to one plane so each DMA window is a plain 2-D row slice."""
+    """Shared pallas_call site: flat (image, row-block) grid over the
+    unpadded (N*H, W) mosaic plane; each DMA window is a plain 2-D row
+    slice clamped into its image (edge handling is in-kernel)."""
     steps = h // bh
-    stride = h + 8
-    padded = jnp.pad(mosaics, ((0, 0), (2, 6), (0, 0)), mode="edge")
-    padded = padded.reshape(n * stride, w)
+    flat = mosaics.reshape(n * h, w)
     return pl.pallas_call(
         functools.partial(_kernel_flat, block_h=bh, steps=steps,
-                          total=n * steps, stride=stride,
+                          total=n * steps, img_h=h,
                           cfa_phase=cfa_phase, gamma=gamma,
                           pattern=pattern, demosaic=demosaic),
         grid=(n * steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            # Pinned to HBM (not ANY): Mosaic promotes small ANY inputs
+            # into VMEM, where the clamped windows' unaligned row
+            # starts are illegal (8-row tiling); HBM DMA sources allow
+            # arbitrary row offsets.
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=pl.BlockSpec((1, bh, w),
                                lambda g: (g // steps, g % steps, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.uint32),
         scratch_shapes=[
-            pltpu.VMEM((2, bh + 8, w), jnp.uint16),
+            pltpu.VMEM((2, bh + 16, w), jnp.uint16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        # The default 16 MB scoped-VMEM cap is exactly what the old
+        # padded kernel fit under at 24 MP; the +8 scratch rows push
+        # the stack 216 KB over it. v5e/v5p have 128 MiB physical
+        # VMEM — raise the cap well clear of the stack's needs (the
+        # compiler still allocates only what the kernel uses).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
-    )(scal2d, padded)
+    )(scal2d, flat)
 
 
 @functools.partial(
@@ -435,10 +494,11 @@ def pallas_batch_develop_rgba(
                 pattern, demosaic,
             )
             return out[:, :h]
-    if not bh or h % bh or bh % 8:
+    if not bh or h % bh or bh % 8 or h < bh + 16:
         raise ValueError(
-            f"H={h} needs a block height that is a multiple of 8 and "
-            f"divides H (got {bh}); use the XLA path for this shape"
+            f"H={h} needs a block height that is a multiple of 8, "
+            f"divides H, and leaves room for the halo window "
+            f"(H >= block_h+16; got {bh}); use the XLA path for this shape"
         )
     wp = -(-w // 128) * 128
     if wp != w:  # see pallas_develop_rgba: lane alignment via edge pad
@@ -506,10 +566,11 @@ def pallas_develop_rgba(
                 pattern, demosaic,
             )
             return out[:h]
-    if not bh or h % bh or bh % 8:
+    if not bh or h % bh or bh % 8 or h < bh + 16:
         raise ValueError(
-            f"H={h} needs a block height that is a multiple of 8 and "
-            f"divides H (got {bh}); use the XLA path for this shape"
+            f"H={h} needs a block height that is a multiple of 8, "
+            f"divides H, and leaves room for the halo window "
+            f"(H >= block_h+16; got {bh}); use the XLA path for this shape"
         )
     # Mosaic requires lane-dimension slices to be 128-aligned; widths
     # that aren't are edge-padded up front (the clone column makes the

@@ -371,8 +371,10 @@ class TestAccurateMode:
     @pytest.mark.parametrize("method", ["bilinear", "malvar"])
     def test_multi_block_halo(self, method, rng):
         """The 2-row halo must make block boundaries invisible: a
-        32-row image in 8-row blocks == one 32-row block."""
-        mosaic = rng.integers(0, 4096, size=(32, 48), dtype=np.uint16)
+        64-row image in 8-row blocks == 32-row blocks. (The image must
+        be at least block_h+8 rows tall — the pad-free kernel clamps
+        its halo windows inside the image.)"""
+        mosaic = rng.integers(0, 4096, size=(64, 48), dtype=np.uint16)
         a = pallas_develop_rgba(mosaic, FULL, WB, REAL_MATRIX,
                                 demosaic=method, block_h=8,
                                 interpret=True)
