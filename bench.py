@@ -153,6 +153,34 @@ def _measure(results):
 
         pallas_batch_per_sec = nb * timed_throughput(
             batch_fn, iters=max(2, it_p // nb), passes=n_pass)
+        # Profiler-derived device throughput for the same lane: the
+        # wall lanes above are hostage to tunnel congestion (rpc floor
+        # ~30 ms, bursty stalls), so — exactly like the preview
+        # decomposition — also publish the chip-side ground truth: the
+        # median device execution time of the batched kernel module.
+        try:
+            import tempfile
+
+            from raweditor_tpu.utils.profiling import (
+                device_execution_times, device_trace)
+
+            with tempfile.TemporaryDirectory() as tdir:
+                with device_trace(tdir):
+                    for i in range(6):
+                        out = batch_fn(
+                            params.replace(exposure=0.4 + 0.01 * i))
+                    np.asarray(checksum(out))
+                durs = device_execution_times(
+                    tdir, "jit_pallas_batch_develop_rgba")
+            if durs:
+                med_ms = float(np.percentile(durs, 50))
+                results.update(
+                    batch_device_ms_per_image=round(med_ms / nb, 4),
+                    develops_per_sec_device=round(nb * 1000.0 / med_ms,
+                                                  2),
+                )
+        except Exception:
+            pass  # no trace support → wall lanes stand alone
         del mosaics_nb, wbs_nb, cms_nb
     except Exception:
         pallas_batch_per_sec = 0.0

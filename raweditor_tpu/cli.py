@@ -181,6 +181,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mode", choices=("parity", "accurate"),
                    default="parity")
     p.add_argument("--quality", type=int, default=95)
+    p.add_argument("--long-edge", type=int, default=0,
+                   help="resize so the longer side is this many pixels "
+                        "(device-side Lanczos3; never upscales; 0 = "
+                        "full size)")
     p.add_argument("--resume", action="store_true",
                    help="skip jobs whose output file already exists")
     p.add_argument("--min-rating", type=int, default=0,
@@ -546,6 +550,7 @@ def cmd_export(args) -> int:
         transfer=(args.transfer if getattr(args, "transfer", "gamma22")
                   != "gamma22" else None),
         bits=16 if args.ext == "tif" else 8,
+        long_edge=getattr(args, "long_edge", 0) or None,
     )
     print(json.dumps(report.as_dict()))
     return 0 if not report.failed else 1

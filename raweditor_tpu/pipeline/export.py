@@ -434,6 +434,7 @@ def run_batch_export(
     use_pallas: bool = False,
     transfer: str = None,
     bits: int = 8,
+    long_edge: Optional[int] = None,
 ) -> ExportReport:
     """Develop and encode every job; returns a report with throughput
     and the per-image quarantine list.
@@ -782,6 +783,24 @@ def run_batch_export(
                     demosaic_method=demosaic_method,
                 )
             h_, w_ = mosaics.shape[1], mosaics.shape[2]
+            if long_edge:
+                # Device-side long-edge resize (Lanczos3): only the
+                # resized pixels cross the link, so a 2048 px export of
+                # a 24 MP image fetches ~7% of the bytes. Never
+                # upscales (ops/resize.long_edge_shape).
+                from raweditor_tpu.ops.resize import (
+                    long_edge_shape,
+                    resize_rgb16,
+                    resize_rgba_words,
+                )
+
+                oh, ow = long_edge_shape(h_, w_, long_edge)
+                if (oh, ow) != (h_, w_):
+                    if bits == 16:
+                        out = resize_rgb16(out, ow, oh)
+                    else:
+                        out = resize_rgba_words(out, ow, oh)
+                    h_, w_ = oh, ow
             if (jpeg_planes_ok and not isinstance(out, tuple)
                     and h_ % 2 == 0 and w_ % 2 == 0
                     and getattr(out, "ndim", 0) == 3):

@@ -32,6 +32,18 @@ def ensure_backend() -> None:
 
         import jax
 
+        # Backend override for CLI/scripts: JAX_PLATFORMS as an env var
+        # is consumed before some site hooks re-pin the platform (the
+        # axon sitecustomize does), so offer a knob that is applied
+        # here, after import, where it always wins. CI smoke and CPU
+        # verification drives use RAWEDITOR_TPU_PLATFORM=cpu.
+        platform = os.environ.get("RAWEDITOR_TPU_PLATFORM")
+        if platform:
+            try:
+                jax.config.update("jax_platforms", platform)
+            except Exception:
+                pass  # unknown platform string → default discovery
+
         if not os.environ.get("RAWEDITOR_TPU_NO_COMPILE_CACHE"):
             cache_dir = os.environ.get(
                 "RAWEDITOR_TPU_COMPILE_CACHE",

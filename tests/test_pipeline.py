@@ -804,3 +804,76 @@ def test_cr3_sensor_tiers_without_preview(tmp_path, rng):
         with Image.open(t) as im:
             arr = np.asarray(im.convert("RGB"))
         assert arr.std() > 1  # a real developed gradient, not black
+
+
+def test_long_edge_shape_math():
+    from raweditor_tpu.ops.resize import long_edge_shape
+
+    assert long_edge_shape(400, 600, 300) == (200, 300)  # landscape
+    assert long_edge_shape(600, 400, 300) == (300, 200)  # portrait
+    assert long_edge_shape(100, 150, 300) == (100, 150)  # never upscale
+    assert long_edge_shape(100, 150, 150) == (100, 150)  # exact fit
+    assert long_edge_shape(100, 150, 0) == (100, 150)    # disabled
+    assert long_edge_shape(2, 1000, 10) == (1, 10)       # short side >= 1
+
+
+def test_resize_rgba_words_constant_and_shape():
+    """Lanczos3 of a constant field is constant (weights normalize to
+    1), and the packing survives the round trip."""
+    from raweditor_tpu.ops.resize import resize_rgba_words
+
+    words = np.full((2, 16, 24), 0xFF20B060, dtype=np.uint32)
+    out = np.asarray(resize_rgba_words(words, 12, 8))
+    assert out.shape == (2, 8, 12)
+    assert (out == 0xFF20B060).all()
+
+
+def test_export_long_edge(tmp_path, rng):
+    """--long-edge resizes on device: JPEG (even dims ride the native
+    YCbCr planes path), odd target dims fall back to the RGBA path,
+    16-bit TIFF resizes too, and a target >= the image is a no-op."""
+    mosaic = rng.integers(0, 4096, size=(24, 32), dtype=np.uint16)
+    path = tmp_path / "s.nef"
+    write_synthetic_raw(path, mosaic)
+
+    def job(name):
+        return [ExportJob(raw_path=str(path),
+                          out_path=str(tmp_path / name))]
+
+    # Even target: 32x24 -> 16x12.
+    rep = run_batch_export(job("even.jpg"), batch_size=1, long_edge=16)
+    assert rep.succeeded == 1
+    with Image.open(tmp_path / "even.jpg") as im:
+        assert im.size == (16, 12)
+
+    # Odd target: 32x24 -> 15x11 (JPEG planes path declines odd dims;
+    # the RGBA fallback must produce the file transparently).
+    rep = run_batch_export(job("odd.jpg"), batch_size=1, long_edge=15)
+    assert rep.succeeded == 1
+    with Image.open(tmp_path / "odd.jpg") as im:
+        assert im.size == (15, 11)
+
+    # No upscale: target beyond the image keeps full size.
+    rep = run_batch_export(job("full.jpg"), batch_size=1, long_edge=999)
+    assert rep.succeeded == 1
+    with Image.open(tmp_path / "full.jpg") as im:
+        assert im.size == (32, 24)
+
+    # PNG keeps RGBA; 16-bit TIFF resizes through the u16 lane.
+    rep = run_batch_export(job("small.png"), batch_size=1, long_edge=16)
+    assert rep.succeeded == 1
+    with Image.open(tmp_path / "small.png") as im:
+        assert im.size == (16, 12) and im.mode == "RGBA"
+    rep = run_batch_export(job("small.tif"), batch_size=1, long_edge=16,
+                           bits=16)
+    assert rep.succeeded == 1
+    with Image.open(tmp_path / "small.tif") as im:
+        assert im.size == (16, 12)
+
+    # Content sanity: the resized export is the full-size export's
+    # scene, not noise — mean brightness within a couple of LSB.
+    with Image.open(tmp_path / "full.jpg") as im:
+        full_mean = np.asarray(im.convert("RGB"), dtype=np.float64).mean()
+    with Image.open(tmp_path / "even.jpg") as im:
+        small_mean = np.asarray(im.convert("RGB"), dtype=np.float64).mean()
+    assert abs(full_mean - small_mean) < 4.0
