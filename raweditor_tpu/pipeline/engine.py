@@ -410,24 +410,35 @@ class DevelopEngine:
         )
 
     def export(self, path: os.PathLike, params: EditParams,
-               quality: int = 95) -> str:
+               quality: int = 95, long_edge: int = None) -> str:
         """Full-res develop → JPEG/PNG/TIFF by extension; RGBA→RGB strip
         for JPEG on the host like the reference
         (reference: main.rs:1744-1799, alpha strip at
         main.rs:1778-1781). A .tif/.tiff extension writes 16-bit RGB
-        (beyond the reference; see raw/tiff_out.py)."""
+        (beyond the reference; see raw/tiff_out.py). ``long_edge``
+        Lanczos3-resizes on device before the fetch (never upscales,
+        see ops/resize.long_edge_shape)."""
         from PIL import Image
 
         if os.path.splitext(os.fspath(path))[1].lower() in (
                 ".tif", ".tiff"):
-            return self.export_tiff16(path, params)
+            return self.export_tiff16(path, params, long_edge=long_edge)
         ext = os.path.splitext(os.fspath(path))[1].lower()
         if ext in (".jpg", ".jpeg") and (
                 not self.auto_orient or self.raw.orientation == 1):
-            jpeg = self._export_jpeg_planes(path, params, quality)
+            jpeg = self._export_jpeg_planes(path, params, quality,
+                                            long_edge=long_edge)
             if jpeg is not None:
                 return jpeg
-        words = np.asarray(self.full_rgba_device(params))
+        words_dev = self.full_rgba_device(params)
+        if long_edge:
+            from raweditor_tpu.ops.resize import (long_edge_shape,
+                                                  resize_rgba_words)
+
+            oh, ow = long_edge_shape(self.height, self.width, long_edge)
+            if (oh, ow) != (self.height, self.width):
+                words_dev = resize_rgba_words(words_dev, ow, oh)
+        words = np.asarray(words_dev)
         if self.auto_orient and self.raw.orientation != 1:
             words = np.ascontiguousarray(
                 self.apply_orientation(words, self.raw.orientation)
@@ -458,17 +469,24 @@ class DevelopEngine:
                           orientation)
 
     def _export_jpeg_planes(self, path: os.PathLike, params: EditParams,
-                            quality: int):
+                            quality: int, long_edge: int = None):
         """JPEG export via device YCbCr 4:2:0 + the native JFIF
         encoder (the batch exporter's transport-optimized path,
         ops/jpeg.py): 1.5 bytes/pixel fetched instead of 4 and no host
         colorspace pass. Returns None when unavailable (native ext
-        missing, odd dimensions) — the caller falls back to PIL."""
+        missing, odd output dimensions) — the caller falls back to
+        PIL."""
         from raweditor_tpu.native import get_rawkit
 
         rk = get_rawkit()
+        out_h, out_w = self.height, self.width
+        if long_edge:
+            from raweditor_tpu.ops.resize import long_edge_shape
+
+            out_h, out_w = long_edge_shape(self.height, self.width,
+                                           long_edge)
         if (rk is None or not hasattr(rk, "encode_jpeg_420")
-                or self.height % 2 or self.width % 2):
+                or out_h % 2 or out_w % 2):
             return None
         import jax
 
@@ -476,12 +494,17 @@ class DevelopEngine:
 
         if not hasattr(self, "_ycbcr_jit"):
             self._ycbcr_jit = jax.jit(rgba_words_to_ycbcr420)
-        y, cb, cr = self._ycbcr_jit(self.full_rgba_device(params))
+        words_dev = self.full_rgba_device(params)
+        if (out_h, out_w) != (self.height, self.width):
+            from raweditor_tpu.ops.resize import resize_rgba_words
+
+            words_dev = resize_rgba_words(words_dev, out_w, out_h)
+        y, cb, cr = self._ycbcr_jit(words_dev)
         data = rk.encode_jpeg_420(
             np.ascontiguousarray(np.asarray(y)),
             np.ascontiguousarray(np.asarray(cb)),
             np.ascontiguousarray(np.asarray(cr)),
-            self.width, self.height, quality)
+            out_w, out_h, quality)
         from raweditor_tpu.raw.exif import splice_exif
 
         data = splice_exif(data, self._exif_bytes())
@@ -495,7 +518,8 @@ class DevelopEngine:
         _atomic_write(path, write)
         return path
 
-    def export_tiff16(self, path: os.PathLike, params: EditParams) -> str:
+    def export_tiff16(self, path: os.PathLike, params: EditParams,
+                      long_edge: int = None) -> str:
         """Full-res develop at 16 bits/channel → uncompressed RGB TIFF.
         The polynomial fast gamma is u8-accuracy (~6 LSBs of u16), so
         16-bit output always uses the exact transfer."""
@@ -534,6 +558,14 @@ class DevelopEngine:
                 matrix_transpose=self.matrix_transpose,
                 transfer=transfer, cfa_phase=self.cfa_phase,
             ))
+        if long_edge:
+            from raweditor_tpu.ops.resize import (long_edge_shape,
+                                                  resize_rgb16)
+
+            oh, ow = long_edge_shape(rgb.shape[0], rgb.shape[1],
+                                     long_edge)
+            if (oh, ow) != rgb.shape[:2]:
+                rgb = np.asarray(resize_rgb16(rgb, ow, oh))
         if self.auto_orient and self.raw.orientation != 1:
             rgb = np.ascontiguousarray(
                 self.apply_orientation(rgb, self.raw.orientation)

@@ -13,7 +13,8 @@ harness) can drive the engine without linking a GUI:
     frame [quality]          current preview as inline base64 JPEG
                              (remote clients of the TCP service)
     auto [levels] [contrast] [tone] apply auto-adjust suggestions
-    full <path>              full-resolution export
+    full <path> [long-edge]  full-resolution export (optional device
+                             Lanczos3 resize to this long edge)
     histogram                print (3,256) JSON histogram
     before <path>            preview with default params (before view)
     reset                    defaults (deletes stored edits when --db)
@@ -129,9 +130,11 @@ class DevelopSession:
                 "quality": int(quality), "bytes": len(data),
                 "jpeg_base64": base64.b64encode(data).decode("ascii")}
 
-    def full(self, path: str) -> dict:
+    def full(self, path: str, long_edge: int = 0) -> dict:
         return {"ok": True,
-                "path": self.engine.export(path, self.params)}
+                "path": self.engine.export(
+                    path, self.params,
+                    long_edge=int(long_edge) or None)}
 
     def histogram(self) -> dict:
         hist = self.engine.histogram(self.params, self.zoom, self.pan)
@@ -258,7 +261,8 @@ class DevelopSession:
                     "before": 1, "open": 1}
         usage = {"set": "set <slider> <value>", "zoom": "zoom <factor>",
                  "pan": "pan <x> <y>", "render": "render <path>",
-                 "full": "full <path>", "before": "before <path>",
+                 "full": "full <path> [long-edge]",
+                 "before": "before <path>",
                  "open": "open <image-id|path>"}
         if len(args) < min_args.get(cmd, 0):
             return {"ok": False, "error": f"usage: {usage[cmd]}"}
@@ -274,7 +278,8 @@ class DevelopSession:
             if cmd == "frame":
                 return self.frame(int(args[0]) if args else 80)
             if cmd == "full":
-                return self.full(args[0])
+                return self.full(args[0],
+                                 int(args[1]) if len(args) > 1 else 0)
             if cmd == "histogram":
                 return self.histogram()
             if cmd == "before":

@@ -877,3 +877,33 @@ def test_export_long_edge(tmp_path, rng):
     with Image.open(tmp_path / "even.jpg") as im:
         small_mean = np.asarray(im.convert("RGB"), dtype=np.float64).mean()
     assert abs(full_mean - small_mean) < 4.0
+
+
+def test_engine_export_long_edge(synth_file, tmp_path):
+    """Engine-level long_edge: JPEG planes path, PIL fallback (odd
+    dims), and 16-bit TIFF all resize; session 'full <path> <N>'
+    drives it."""
+    path, _ = synth_file
+    eng = DevelopEngine.open(path)
+    p = EditParams(exposure=0.2)
+
+    out = eng.export(tmp_path / "le.jpg", p, long_edge=30)
+    with Image.open(out) as im:
+        assert im.size == (30, 20)
+    out = eng.export(tmp_path / "le_odd.jpg", p, long_edge=21)
+    with Image.open(out) as im:
+        assert im.size == (21, 14)
+    out = eng.export(tmp_path / "le.png", p, long_edge=30)
+    with Image.open(out) as im:
+        assert im.size == (30, 20) and im.mode == "RGBA"
+    out = eng.export(tmp_path / "le.tif", p, long_edge=30)
+    with Image.open(out) as im:
+        assert im.size == (30, 20)
+
+    from raweditor_tpu.pipeline.session import DevelopSession
+
+    sess = DevelopSession(eng)
+    res = sess.handle(f"full {tmp_path / 'sess.jpg'} 30")
+    assert res["ok"]
+    with Image.open(tmp_path / "sess.jpg") as im:
+        assert im.size == (30, 20)
