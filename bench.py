@@ -238,6 +238,33 @@ def _measure(results):
         )
     except Exception:
         pallas_accurate_poly_per_sec = 0.0
+    # Device-side truth for the accurate lane too (the wall lanes ride
+    # the tunnel): profiler-derived median of the single-image accurate
+    # kernel module.
+    try:
+        import tempfile
+
+        from raweditor_tpu.utils.profiling import (
+            device_execution_times, device_trace)
+
+        with tempfile.TemporaryDirectory() as tdir:
+            with device_trace(tdir):
+                for i in range(6):
+                    out = pallas_develop_rgba(
+                        mosaic, params.replace(exposure=0.4 + 0.01 * i),
+                        wb, real_cm, demosaic="malvar",
+                        gamma="srgb_poly")
+                np.asarray(checksum(out))
+            durs = device_execution_times(tdir, "jit_pallas_develop_rgba")
+        if durs:
+            med_ms = float(np.percentile(durs, 50))
+            results.update(
+                accurate_device_ms_per_image=round(med_ms, 4),
+                accurate_develops_per_sec_device=round(1000.0 / med_ms,
+                                                       2),
+            )
+    except Exception:
+        pass  # no trace support → wall lanes stand alone
     accurate_per_sec = max(xla_accurate_per_sec, pallas_accurate_per_sec,
                            pallas_accurate_poly_per_sec)
     results.update(
