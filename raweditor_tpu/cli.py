@@ -106,6 +106,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-preview", default=None, metavar="PATH",
                    help="also extract the largest embedded JPEG preview")
 
+    p = sub.add_parser(
+        "convert",
+        help="convert RAW files to archival DNG (bit-exact sensor data)")
+    p.add_argument("inputs", nargs="+", help="RAW file path(s)")
+    p.add_argument("-o", "--output", default=None,
+                   help="output path (single input only; default: "
+                        "input name with .dng)")
+    p.add_argument("--out-dir", default=None,
+                   help="directory for the .dng outputs (multi-input)")
+    p.add_argument("--compression", choices=("ljpeg", "none"),
+                   default="ljpeg",
+                   help="ljpeg = lossless JPEG (DNG standard, default); "
+                        "none = uncompressed 16-bit")
+    p.add_argument("--no-preview", action="store_true",
+                   help="skip carrying over the embedded JPEG preview")
+    p.add_argument("--force", action="store_true",
+                   help="overwrite existing outputs")
+
     p = sub.add_parser("develop", help="develop one image to JPEG/PNG")
     p.add_argument("input", help="RAW file path or catalog image id")
     p.add_argument("-o", "--output", required=True)
@@ -433,6 +451,57 @@ def cmd_info(args) -> int:
         "xyz_to_cam": [round(float(x), 4) for x in raw.xyz_to_cam.ravel()],
     }))
     return 0
+
+
+def cmd_convert(args) -> int:
+    """RAW → DNG conversion with the exporter's per-file quarantine
+    semantics: one corrupt input reports and continues, it never kills
+    the batch (reference analogue: main.rs:2020-2024)."""
+    import os
+    import time as _time
+
+    from raweditor_tpu.raw.decode import (RawDecodeError, decode_raw,
+                                          extract_preview_jpeg)
+    from raweditor_tpu.raw.dng_out import write_dng
+    from raweditor_tpu.version import __version__
+
+    if args.output and len(args.inputs) > 1:
+        raise SystemExit("convert: -o/--output needs exactly one input "
+                         "(use --out-dir for batches)")
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+    failed = 0
+    for src in args.inputs:
+        if args.output:
+            dst = args.output
+        else:
+            base = os.path.splitext(os.path.basename(src))[0] + ".dng"
+            dst = os.path.join(args.out_dir or os.path.dirname(src)
+                               or ".", base)
+        if os.path.exists(dst) and not args.force:
+            print(json.dumps({"input": src, "error":
+                              f"{dst} exists (use --force)"}))
+            failed += 1
+            continue
+        try:
+            img = decode_raw(src)
+            preview = (None if args.no_preview
+                       else extract_preview_jpeg(src))
+            mtime = _time.localtime(os.path.getmtime(src))
+            data = write_dng(
+                dst, img, compression=args.compression,
+                preview_jpeg=preview,
+                software=f"raweditor_tpu {__version__}",
+                datetime_str=_time.strftime("%Y:%m:%d %H:%M:%S", mtime),
+            )
+        except (OSError, RawDecodeError, ValueError) as e:
+            print(json.dumps({"input": src, "error": str(e)}))
+            failed += 1
+            continue
+        print(json.dumps({"input": src, "output": dst,
+                          "bytes": len(data),
+                          "compression": args.compression}))
+    return 1 if failed else 0
 
 
 def _resolve_input(args):
@@ -854,6 +923,7 @@ _COMMANDS = {
     "import": cmd_import,
     "list": cmd_list,
     "info": cmd_info,
+    "convert": cmd_convert,
     "rate": cmd_rate,
     "collect": cmd_collect,
     "develop": cmd_develop,
