@@ -135,6 +135,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mode", choices=("parity", "accurate"),
                    default="parity")
     p.add_argument("--quality", type=int, default=95)
+    p.add_argument("--optimize-jpeg", action="store_true",
+                   help="per-image optimal Huffman tables (~3-5%% "
+                        "smaller files, ~1.9x encode time)")
     p.add_argument("--fast", action="store_true",
                    help="use the fused Pallas kernel (±1 LSB)")
     p.add_argument("--fast-gamma", action="store_true",
@@ -199,6 +202,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mode", choices=("parity", "accurate"),
                    default="parity")
     p.add_argument("--quality", type=int, default=95)
+    p.add_argument("--optimize-jpeg", action="store_true",
+                   help="per-image optimal Huffman tables (~3-5%% "
+                        "smaller files, ~1.9x encode time)")
     p.add_argument("--long-edge", type=int, default=0,
                    help="resize so the longer side is this many pixels "
                         "(device-side Lanczos3; never upscales; 0 = "
@@ -541,7 +547,8 @@ def cmd_develop(args) -> int:
             args.output, quality=args.quality
         )
     else:
-        eng.export(args.output, params, quality=args.quality)
+        eng.export(args.output, params, quality=args.quality,
+                   jpeg_optimize=getattr(args, "optimize_jpeg", False))
     print(args.output)
     return 0
 
@@ -620,6 +627,7 @@ def cmd_export(args) -> int:
                   != "gamma22" else None),
         bits=16 if args.ext == "tif" else 8,
         long_edge=getattr(args, "long_edge", 0) or None,
+        jpeg_optimize=getattr(args, "optimize_jpeg", False),
     )
     print(json.dumps(report.as_dict()))
     return 0 if not report.failed else 1

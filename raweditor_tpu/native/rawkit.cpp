@@ -1521,7 +1521,74 @@ struct HuffTable {
     }
     vals.resize(vi);  // lengths beyond 16 were folded into <=16 slots
   }
+
+  // Build from a fixed (BITS, HUFFVAL) spec — same canonical code
+  // assignment as the derived path.
+  void build_spec(const uint8_t* bits_in, const uint8_t* vals_in,
+                  size_t nvals) {
+    for (int i = 1; i <= 16; i++) bits[i] = bits_in[i];
+    vals.assign(vals_in, vals_in + nvals);
+    uint16_t c = 0;
+    size_t vi = 0;
+    for (int len = 1; len <= 16; len++) {
+      for (int k = 0; k < bits[len]; k++) {
+        uint8_t sym = vals[vi++];
+        code[sym] = c++;
+        size[sym] = uint8_t(len);
+      }
+      c <<= 1;
+    }
+  }
 };
+
+// ITU-T T.81 Annex K.3.3 "typical" Huffman tables (the tables every
+// baseline encoder ships; libjpeg's defaults). Used by the fast
+// single-pass mode — per-image optimal tables cost a second full
+// DCT+categorize pass for ~3-5% smaller files.
+static const uint8_t kDcLumaBits[17] = {0, 0, 1, 5, 1, 1, 1, 1, 1,
+                                        1, 0, 0, 0, 0, 0, 0, 0};
+static const uint8_t kDcLumaVals[12] = {0, 1, 2, 3, 4,  5,
+                                        6, 7, 8, 9, 10, 11};
+static const uint8_t kDcChromaBits[17] = {0, 0, 3, 1, 1, 1, 1, 1, 1,
+                                          1, 1, 1, 0, 0, 0, 0, 0};
+static const uint8_t kDcChromaVals[12] = {0, 1, 2, 3, 4,  5,
+                                          6, 7, 8, 9, 10, 11};
+static const uint8_t kAcLumaBits[17] = {0, 0, 2, 1, 3, 3, 2, 4,    3,
+                                        5, 5, 4, 4, 0, 0, 1, 0x7d};
+static const uint8_t kAcLumaVals[162] = {
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa};
+static const uint8_t kAcChromaBits[17] = {0, 0, 2, 1, 2, 4, 4, 3,    4,
+                                          7, 5, 4, 4, 0, 1, 2, 0x77};
+static const uint8_t kAcChromaVals[162] = {
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+    0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+    0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+    0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+    0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa};
 
 inline int jpeg_category(int v) {  // size class of a DC diff / AC coeff
   int a = v < 0 ? -v : v;
@@ -1659,7 +1726,8 @@ std::vector<uint8_t> encode_jpeg_420_impl(const uint8_t* yp,
                                           const uint8_t* cbp,
                                           const uint8_t* crp,
                                           int64_t width, int64_t height,
-                                          int quality) {
+                                          int quality,
+                                          bool optimize = true) {
   if (width <= 0 || height <= 0 || width > 65535 || height > 65535)
     throw std::runtime_error("bad dimensions");
   if (quality < 1) quality = 1;
@@ -1693,16 +1761,26 @@ std::vector<uint8_t> encode_jpeg_420_impl(const uint8_t* yp,
   const int64_t mcux = (width + 15) / 16, mcuy = (height + 15) / 16;
   JpegDct dct;
 
-  // Two passes over the MCU stream: histogram, then emit. The DCT is
-  // recomputed in pass 2 — cheaper in practice than materializing
-  // ~70 MB of coefficients for a 24 MP frame, and the block walk is
-  // identical by construction.
+  // optimize=true: two passes over the MCU stream — histogram, then
+  // emit (the DCT is recomputed in pass 2: cheaper in practice than
+  // materializing ~70 MB of coefficients for a 24 MP frame, and the
+  // block walk is identical by construction). optimize=false: one
+  // pass with the Annex K typical tables — ~1.9x faster for ~3-5%
+  // larger files (the libjpeg optimize_coding trade, inverted).
   HuffTable huff[4];  // 0: DC luma, 1: AC luma, 2: DC chroma, 3: AC chroma
+  if (!optimize) {
+    huff[0].build_spec(kDcLumaBits, kDcLumaVals, sizeof kDcLumaVals);
+    huff[1].build_spec(kAcLumaBits, kAcLumaVals, sizeof kAcLumaVals);
+    huff[2].build_spec(kDcChromaBits, kDcChromaVals,
+                       sizeof kDcChromaVals);
+    huff[3].build_spec(kAcChromaBits, kAcChromaVals,
+                       sizeof kAcChromaVals);
+  }
   std::vector<uint8_t> scan;
   scan.reserve(size_t(width) * height / 4);
   JpegBitWriter bw(scan);
 
-  for (int pass = 0; pass < 2; pass++) {
+  for (int pass = optimize ? 0 : 1; pass < 2; pass++) {
     uint32_t dcf[2][257] = {{0}}, acf[2][257] = {{0}};
     JpegSymbolSink luma, chroma;
     if (pass == 0) {
@@ -2711,8 +2789,9 @@ static PyObject* py_decode_crx_band(PyObject*, PyObject* args) {
 static PyObject* py_encode_jpeg_420(PyObject*, PyObject* args) {
   Py_buffer y, cb, cr;
   int width, height, quality;
-  if (!PyArg_ParseTuple(args, "y*y*y*iii", &y, &cb, &cr, &width, &height,
-                        &quality))
+  int optimize = 1;
+  if (!PyArg_ParseTuple(args, "y*y*y*iii|p", &y, &cb, &cr, &width,
+                        &height, &quality, &optimize))
     return nullptr;
   std::string err;
   std::vector<uint8_t> out;
@@ -2728,7 +2807,7 @@ static PyObject* py_encode_jpeg_420(PyObject*, PyObject* args) {
       out = encode_jpeg_420_impl(static_cast<const uint8_t*>(y.buf),
                                  static_cast<const uint8_t*>(cb.buf),
                                  static_cast<const uint8_t*>(cr.buf), width,
-                                 height, quality);
+                                 height, quality, optimize != 0);
     } catch (const std::exception& e) {
       err = e.what();
     }
@@ -2902,7 +2981,9 @@ static PyMethodDef RawkitMethods[] = {
     {"decode_crx_band", py_decode_crx_band, METH_VARARGS,
      "decode_crx_band(data, width, height, k_init) -> i32 bytes"},
     {"encode_jpeg_420", py_encode_jpeg_420, METH_VARARGS,
-     "encode_jpeg_420(y, cb, cr, width, height, quality) -> JFIF bytes"},
+     "encode_jpeg_420(y, cb, cr, width, height, quality, optimize=True)"
+     " -> JFIF bytes (optimize=False: Annex K fixed Huffman tables,"
+     " ~1.9x faster, ~3-5% larger)"},
     {"huffman_pack", py_huffman_pack, METH_VARARGS,
      "huffman_pack(diffs, itemsize, code_tab_u64, clen_tab_i32, "
      "max_raw_cat) -> packed bitstream bytes (diffs: signed ints of "

@@ -410,7 +410,8 @@ class DevelopEngine:
         )
 
     def export(self, path: os.PathLike, params: EditParams,
-               quality: int = 95, long_edge: int = None) -> str:
+               quality: int = 95, long_edge: int = None,
+               jpeg_optimize: bool = False) -> str:
         """Full-res develop → JPEG/PNG/TIFF by extension; RGBA→RGB strip
         for JPEG on the host like the reference
         (reference: main.rs:1744-1799, alpha strip at
@@ -427,7 +428,8 @@ class DevelopEngine:
         if ext in (".jpg", ".jpeg") and (
                 not self.auto_orient or self.raw.orientation == 1):
             jpeg = self._export_jpeg_planes(path, params, quality,
-                                            long_edge=long_edge)
+                                            long_edge=long_edge,
+                                            optimize=jpeg_optimize)
             if jpeg is not None:
                 return jpeg
         words_dev = self.full_rgba_device(params)
@@ -469,7 +471,8 @@ class DevelopEngine:
                           orientation)
 
     def _export_jpeg_planes(self, path: os.PathLike, params: EditParams,
-                            quality: int, long_edge: int = None):
+                            quality: int, long_edge: int = None,
+                            optimize: bool = False):
         """JPEG export via device YCbCr 4:2:0 + the native JFIF
         encoder (the batch exporter's transport-optimized path,
         ops/jpeg.py): 1.5 bytes/pixel fetched instead of 4 and no host
@@ -504,7 +507,7 @@ class DevelopEngine:
             np.ascontiguousarray(np.asarray(y)),
             np.ascontiguousarray(np.asarray(cb)),
             np.ascontiguousarray(np.asarray(cr)),
-            out_w, out_h, quality)
+            out_w, out_h, quality, optimize)
         from raweditor_tpu.raw.exif import splice_exif
 
         data = splice_exif(data, self._exif_bytes())

@@ -382,7 +382,8 @@ class _Batcher:
 
 def _encode_one_jpeg420(out_path: str, y: np.ndarray, cb: np.ndarray,
                         cr: np.ndarray, quality: int,
-                        exif: bytes = b"") -> None:
+                        exif: bytes = b"",
+                        optimize: bool = False) -> None:
     """Encode device-produced YCbCr 4:2:0 planes (ops/jpeg.py) through
     the native baseline JFIF encoder — no host colorspace pass, 1.5
     bytes/pixel fetched instead of 4. Atomic like the PIL path."""
@@ -394,7 +395,7 @@ def _encode_one_jpeg420(out_path: str, y: np.ndarray, cb: np.ndarray,
     # directly (they arrive as contiguous per-image copies).
     data = rk.encode_jpeg_420(
         np.ascontiguousarray(y), np.ascontiguousarray(cb),
-        np.ascontiguousarray(cr), w, h, quality)
+        np.ascontiguousarray(cr), w, h, quality, optimize)
     if exif:
         from raweditor_tpu.raw.exif import splice_exif
 
@@ -435,6 +436,7 @@ def run_batch_export(
     transfer: str = None,
     bits: int = 8,
     long_edge: Optional[int] = None,
+    jpeg_optimize: bool = False,
 ) -> ExportReport:
     """Develop and encode every job; returns a report with throughput
     and the per-image quarantine list.
@@ -543,7 +545,8 @@ def run_batch_export(
                     y, cb, cr = (p[i] for p in host)
                     fut = encode_pool.submit(
                         _encode_one_jpeg420, d.job.out_path, y.copy(),
-                        cb.copy(), cr.copy(), quality, exif
+                        cb.copy(), cr.copy(), quality, exif,
+                        jpeg_optimize
                     )
                 elif bits == 16:
                     fut = encode_pool.submit(

@@ -131,6 +131,45 @@ class TestNativeEncoder:
                  for q in (30, 60, 90)]
         assert sizes[0] < sizes[1] < sizes[2]
 
+    def test_fixed_tables_mode(self, rng):
+        """optimize=False (single-pass Annex K typical tables) must
+        decode to EXACTLY the same pixels as the optimal-table mode —
+        the entropy coding changes, the coefficients don't — and cost
+        only a few percent in size on natural content."""
+        h, w = 96, 128
+        yy, xx = np.mgrid[0:h, 0:w]
+        rgb = np.stack([xx / w * 255, yy / h * 255,
+                        (xx + yy) / (w + h) * 255], -1).astype(np.uint8)
+        y, cb, cr = _ref_planes(rgb)
+        opt = rk.encode_jpeg_420(y.tobytes(), cb.tobytes(), cr.tobytes(),
+                                 w, h, 90, True)
+        fast = rk.encode_jpeg_420(y.tobytes(), cb.tobytes(), cr.tobytes(),
+                                  w, h, 90, False)
+        a = np.asarray(Image.open(io.BytesIO(opt)).convert("RGB"))
+        b = np.asarray(Image.open(io.BytesIO(fast)).convert("RGB"))
+        assert np.array_equal(a, b)
+        # Optimal is never larger. (No tight upper bound here: on a
+        # tiny test frame the fixed 418-byte Annex K DHT segments
+        # dominate; on 24 MP content the delta is the ~3-5% scan-level
+        # coding loss.)
+        assert len(opt) <= len(fast)
+        # Noise + extremes decode fine through the fixed tables too
+        # (covers the largest DC/AC categories the tables can code).
+        for fill in (0, 255):
+            flat = np.full((16, 16, 3), fill, np.uint8)
+            fy, fcb, fcr = _ref_planes(flat)
+            data = rk.encode_jpeg_420(fy.tobytes(), fcb.tobytes(),
+                                      fcr.tobytes(), 16, 16, 95, False)
+            dec = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"),
+                             np.float64)
+            assert np.abs(dec - fill).max() <= 3
+        noise = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+        ny, ncb, ncr = _ref_planes(noise)
+        data = rk.encode_jpeg_420(ny.tobytes(), ncb.tobytes(),
+                                  ncr.tobytes(), 64, 48, 50, False)
+        with Image.open(io.BytesIO(data)) as im:
+            assert im.size == (64, 48)
+
     def test_bad_args_raise(self):
         with pytest.raises(ValueError):
             rk.encode_jpeg_420(b"", b"", b"", 8, 8, 90)
