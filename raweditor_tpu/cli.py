@@ -138,6 +138,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--optimize-jpeg", action="store_true",
                    help="per-image optimal Huffman tables (~3-5%% "
                         "smaller files, ~1.9x encode time)")
+    p.add_argument("--chroma", choices=("420", "444"), default="420",
+                   help="JPEG chroma subsampling (444 = full-res "
+                        "chroma for color-critical output)")
     p.add_argument("--fast", action="store_true",
                    help="use the fused Pallas kernel (±1 LSB)")
     p.add_argument("--fast-gamma", action="store_true",
@@ -205,6 +208,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--optimize-jpeg", action="store_true",
                    help="per-image optimal Huffman tables (~3-5%% "
                         "smaller files, ~1.9x encode time)")
+    p.add_argument("--chroma", choices=("420", "444"), default="420",
+                   help="JPEG chroma subsampling (444 = full-res "
+                        "chroma for color-critical output)")
     p.add_argument("--long-edge", type=int, default=0,
                    help="resize so the longer side is this many pixels "
                         "(device-side Lanczos3; never upscales; 0 = "
@@ -548,7 +554,8 @@ def cmd_develop(args) -> int:
         )
     else:
         eng.export(args.output, params, quality=args.quality,
-                   jpeg_optimize=getattr(args, "optimize_jpeg", False))
+                   jpeg_optimize=getattr(args, "optimize_jpeg", False),
+                   chroma=getattr(args, "chroma", "420"))
     print(args.output)
     return 0
 
@@ -628,6 +635,7 @@ def cmd_export(args) -> int:
         bits=16 if args.ext == "tif" else 8,
         long_edge=getattr(args, "long_edge", 0) or None,
         jpeg_optimize=getattr(args, "optimize_jpeg", False),
+        chroma=getattr(args, "chroma", "420"),
     )
     print(json.dumps(report.as_dict()))
     return 0 if not report.failed else 1

@@ -1722,17 +1722,23 @@ inline void jpeg_marker(std::vector<uint8_t>& o, uint8_t m, size_t len) {
   o.push_back(uint8_t((len + 2) & 0xFF));
 }
 
+// chroma420=false: 4:4:4 (no chroma subsampling; cb/cr are full-res
+// planes, MCU = one 8x8 block per component) — the high-chroma-
+// fidelity export mode. Everything else (tables, DCT, entropy layer,
+// optimize flag) is shared with the 4:2:0 path.
 std::vector<uint8_t> encode_jpeg_420_impl(const uint8_t* yp,
                                           const uint8_t* cbp,
                                           const uint8_t* crp,
                                           int64_t width, int64_t height,
                                           int quality,
-                                          bool optimize = true) {
+                                          bool optimize = true,
+                                          bool chroma420 = true) {
   if (width <= 0 || height <= 0 || width > 65535 || height > 65535)
     throw std::runtime_error("bad dimensions");
   if (quality < 1) quality = 1;
   if (quality > 100) quality = 100;
-  const int64_t cw = (width + 1) / 2, ch = (height + 1) / 2;
+  const int64_t cw = chroma420 ? (width + 1) / 2 : width;
+  const int64_t ch = chroma420 ? (height + 1) / 2 : height;
   // libjpeg quality scaling over the Annex K tables.
   int scale = quality < 50 ? 5000 / quality : 200 - 2 * quality;
   uint8_t qtab[2][64];
@@ -1758,7 +1764,8 @@ std::vector<uint8_t> encode_jpeg_420_impl(const uint8_t* yp,
           float(1.0 / (double(qzig[t][i]) * jpeg_aan_scale(kJpegZigzag[i])));
     }
 
-  const int64_t mcux = (width + 15) / 16, mcuy = (height + 15) / 16;
+  const int64_t mcux = chroma420 ? (width + 15) / 16 : (width + 7) / 8;
+  const int64_t mcuy = chroma420 ? (height + 15) / 16 : (height + 7) / 8;
   JpegDct dct;
 
   // optimize=true: two passes over the MCU stream — histogram, then
@@ -1800,9 +1807,11 @@ std::vector<uint8_t> encode_jpeg_420_impl(const uint8_t* yp,
     float px[64], fd[64];
     for (int64_t my = 0; my < mcuy; my++)
       for (int64_t mx = 0; mx < mcux; mx++) {
-        for (int sub = 0; sub < 4; sub++) {  // Y blocks, h2v2 order
-          jpeg_block(yp, width, height, mx * 16 + (sub & 1) * 8,
-                     my * 16 + (sub >> 1) * 8, px);
+        const int ny = chroma420 ? 4 : 1;
+        for (int sub = 0; sub < ny; sub++) {  // Y blocks, h2v2 order
+          jpeg_block(yp, width, height,
+                     chroma420 ? mx * 16 + (sub & 1) * 8 : mx * 8,
+                     chroma420 ? my * 16 + (sub >> 1) * 8 : my * 8, px);
           dct.forward(px, fd);
           jpeg_code_block(fd, recip_zig[0], prev_dc[0], luma);
         }
@@ -1844,7 +1853,9 @@ std::vector<uint8_t> encode_jpeg_420_impl(const uint8_t* yp,
     push16(uint16_t(height));
     push16(uint16_t(width));
     out.push_back(3);
-    const uint8_t comp[9] = {1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1};
+    const uint8_t comp420[9] = {1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1};
+    const uint8_t comp444[9] = {1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1};
+    const uint8_t* comp = chroma420 ? comp420 : comp444;
     out.insert(out.end(), comp, comp + 9);
   }
   for (int t = 0; t < 4; t++) {  // DHT: 00, 10, 01, 11
@@ -2824,6 +2835,45 @@ static PyObject* py_encode_jpeg_420(PyObject*, PyObject* args) {
       reinterpret_cast<const char*>(out.data()), out.size());
 }
 
+static PyObject* py_encode_jpeg_444(PyObject*, PyObject* args) {
+  Py_buffer y, cb, cr;
+  int width, height, quality;
+  int optimize = 1;
+  if (!PyArg_ParseTuple(args, "y*y*y*iii|p", &y, &cb, &cr, &width,
+                        &height, &quality, &optimize))
+    return nullptr;
+  std::string err;
+  std::vector<uint8_t> out;
+  if (width <= 0 || height <= 0) {
+    err = "bad dimensions";
+  } else if (y.len < int64_t(width) * height ||
+             cb.len < int64_t(width) * height ||
+             cr.len < int64_t(width) * height) {
+    err = "plane buffer too small";
+  } else {
+    Py_BEGIN_ALLOW_THREADS
+    try {
+      out = encode_jpeg_420_impl(static_cast<const uint8_t*>(y.buf),
+                                 static_cast<const uint8_t*>(cb.buf),
+                                 static_cast<const uint8_t*>(cr.buf), width,
+                                 height, quality, optimize != 0,
+                                 /*chroma420=*/false);
+    } catch (const std::exception& e) {
+      err = e.what();
+    }
+    Py_END_ALLOW_THREADS
+  }
+  PyBuffer_Release(&y);
+  PyBuffer_Release(&cb);
+  PyBuffer_Release(&cr);
+  if (!err.empty()) {
+    PyErr_SetString(PyExc_ValueError, err.c_str());
+    return nullptr;
+  }
+  return PyBytes_FromStringAndSize(
+      reinterpret_cast<const char*>(out.data()), out.size());
+}
+
 static PyObject* py_decode_crx_plane(PyObject*, PyObject* args) {
   Py_buffer buf;
   int width, height, n_bits, k_init;
@@ -2984,6 +3034,10 @@ static PyMethodDef RawkitMethods[] = {
      "encode_jpeg_420(y, cb, cr, width, height, quality, optimize=True)"
      " -> JFIF bytes (optimize=False: Annex K fixed Huffman tables,"
      " ~1.9x faster, ~3-5% larger)"},
+    {"encode_jpeg_444", py_encode_jpeg_444, METH_VARARGS,
+     "encode_jpeg_444(y, cb, cr, width, height, quality, optimize=True)"
+     " -> JFIF bytes; cb/cr are FULL-resolution planes (no chroma"
+     " subsampling)"},
     {"huffman_pack", py_huffman_pack, METH_VARARGS,
      "huffman_pack(diffs, itemsize, code_tab_u64, clen_tab_i32, "
      "max_raw_cat) -> packed bitstream bytes (diffs: signed ints of "

@@ -49,3 +49,28 @@ def rgba_words_to_ycbcr420(words):
         return jnp.clip(jnp.round(p), 0.0, 255.0).astype(jnp.uint8)
 
     return q(y), q(box2(cb)), q(box2(cr))
+
+
+def rgba_words_to_ycbcr444(words):
+    """Packed-RGBA u32 (..., H, W) → full-resolution (Y, Cb, Cr) u8
+    planes (no chroma subsampling — the `--chroma 444` export mode;
+    3 bytes/pixel across the link instead of 1.5, still under RGBA's
+    4). Same JFIF BT.601 transform as the 4:2:0 path, minus the box
+    filter; any dimensions (the 4:2:0 even-dims restriction doesn't
+    apply)."""
+    import jax.numpy as jnp
+
+    r = (words & 0xFF).astype(jnp.float32)
+    g = ((words >> 8) & 0xFF).astype(jnp.float32)
+    b = ((words >> 16) & 0xFF).astype(jnp.float32)
+    y = (np.float32(0.299) * r + np.float32(0.587) * g
+         + np.float32(0.114) * b)
+    cb = (np.float32(128.0) - np.float32(0.168735892) * r
+          - np.float32(0.331264108) * g + np.float32(0.5) * b)
+    cr = (np.float32(128.0) + np.float32(0.5) * r
+          - np.float32(0.418687589) * g - np.float32(0.081312411) * b)
+
+    def q(p):
+        return jnp.clip(jnp.round(p), 0.0, 255.0).astype(jnp.uint8)
+
+    return q(y), q(cb), q(cr)

@@ -411,7 +411,8 @@ class DevelopEngine:
 
     def export(self, path: os.PathLike, params: EditParams,
                quality: int = 95, long_edge: int = None,
-               jpeg_optimize: bool = False) -> str:
+               jpeg_optimize: bool = False,
+               chroma: str = "420") -> str:
         """Full-res develop → JPEG/PNG/TIFF by extension; RGBA→RGB strip
         for JPEG on the host like the reference
         (reference: main.rs:1744-1799, alpha strip at
@@ -429,7 +430,8 @@ class DevelopEngine:
                 not self.auto_orient or self.raw.orientation == 1):
             jpeg = self._export_jpeg_planes(path, params, quality,
                                             long_edge=long_edge,
-                                            optimize=jpeg_optimize)
+                                            optimize=jpeg_optimize,
+                                            chroma=chroma)
             if jpeg is not None:
                 return jpeg
         words_dev = self.full_rgba_device(params)
@@ -455,8 +457,9 @@ class DevelopEngine:
         if os.path.splitext(path)[1].lower() == ".png":
             img.save(path, exif=exif)
         else:
+            kw = {"subsampling": 0} if chroma == "444" else {}
             img.convert("RGB").save(path, format="JPEG", quality=quality,
-                                    exif=exif)
+                                    exif=exif, **kw)
         return path
 
     def _exif_bytes(self) -> bytes:
@@ -472,13 +475,15 @@ class DevelopEngine:
 
     def _export_jpeg_planes(self, path: os.PathLike, params: EditParams,
                             quality: int, long_edge: int = None,
-                            optimize: bool = False):
-        """JPEG export via device YCbCr 4:2:0 + the native JFIF
+                            optimize: bool = False,
+                            chroma: str = "420"):
+        """JPEG export via device YCbCr planes + the native JFIF
         encoder (the batch exporter's transport-optimized path,
-        ops/jpeg.py): 1.5 bytes/pixel fetched instead of 4 and no host
+        ops/jpeg.py): 1.5 bytes/pixel fetched instead of 4 (chroma
+        '420'; '444' keeps full-res chroma at 3 B/px) and no host
         colorspace pass. Returns None when unavailable (native ext
-        missing, odd output dimensions) — the caller falls back to
-        PIL."""
+        missing, odd output dimensions in 4:2:0 mode) — the caller
+        falls back to PIL."""
         from raweditor_tpu.native import get_rawkit
 
         rk = get_rawkit()
@@ -488,22 +493,28 @@ class DevelopEngine:
 
             out_h, out_w = long_edge_shape(self.height, self.width,
                                            long_edge)
-        if (rk is None or not hasattr(rk, "encode_jpeg_420")
-                or out_h % 2 or out_w % 2):
+        full_chroma = chroma == "444"
+        encode_name = "encode_jpeg_444" if full_chroma else "encode_jpeg_420"
+        if (rk is None or not hasattr(rk, encode_name)
+                or (not full_chroma and (out_h % 2 or out_w % 2))):
             return None
         import jax
 
-        from raweditor_tpu.ops.jpeg import rgba_words_to_ycbcr420
+        from raweditor_tpu.ops.jpeg import (rgba_words_to_ycbcr420,
+                                            rgba_words_to_ycbcr444)
 
-        if not hasattr(self, "_ycbcr_jit"):
-            self._ycbcr_jit = jax.jit(rgba_words_to_ycbcr420)
+        jit_attr = "_ycbcr444_jit" if full_chroma else "_ycbcr_jit"
+        if not hasattr(self, jit_attr):
+            setattr(self, jit_attr, jax.jit(
+                rgba_words_to_ycbcr444 if full_chroma
+                else rgba_words_to_ycbcr420))
         words_dev = self.full_rgba_device(params)
         if (out_h, out_w) != (self.height, self.width):
             from raweditor_tpu.ops.resize import resize_rgba_words
 
             words_dev = resize_rgba_words(words_dev, out_w, out_h)
-        y, cb, cr = self._ycbcr_jit(words_dev)
-        data = rk.encode_jpeg_420(
+        y, cb, cr = getattr(self, jit_attr)(words_dev)
+        data = getattr(rk, encode_name)(
             np.ascontiguousarray(np.asarray(y)),
             np.ascontiguousarray(np.asarray(cb)),
             np.ascontiguousarray(np.asarray(cr)),

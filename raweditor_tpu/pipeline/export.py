@@ -359,6 +359,20 @@ def _ycbcr420_jit():
     return _YCBCR420_JIT
 
 
+_YCBCR444_JIT = None
+
+
+def _ycbcr444_jit():
+    global _YCBCR444_JIT
+    if _YCBCR444_JIT is None:
+        import jax
+
+        from raweditor_tpu.ops.jpeg import rgba_words_to_ycbcr444
+
+        _YCBCR444_JIT = jax.jit(rgba_words_to_ycbcr444)
+    return _YCBCR444_JIT
+
+
 class _Batcher:
     """Shape-bucketed batching with pad-to-fixed-size semantics."""
 
@@ -383,17 +397,20 @@ class _Batcher:
 def _encode_one_jpeg420(out_path: str, y: np.ndarray, cb: np.ndarray,
                         cr: np.ndarray, quality: int,
                         exif: bytes = b"",
-                        optimize: bool = False) -> None:
-    """Encode device-produced YCbCr 4:2:0 planes (ops/jpeg.py) through
-    the native baseline JFIF encoder — no host colorspace pass, 1.5
-    bytes/pixel fetched instead of 4. Atomic like the PIL path."""
+                        optimize: bool = False,
+                        chroma: str = "420") -> None:
+    """Encode device-produced YCbCr planes (ops/jpeg.py) through the
+    native baseline JFIF encoder — no host colorspace pass; 1.5
+    bytes/pixel fetched instead of 4 for '420' (3 B/px for '444').
+    Atomic like the PIL path."""
     from raweditor_tpu.native import get_rawkit
 
     rk = get_rawkit()
     h, w = y.shape
+    encode = rk.encode_jpeg_444 if chroma == "444" else rk.encode_jpeg_420
     # The binding takes any contiguous buffer — pass the arrays
     # directly (they arrive as contiguous per-image copies).
-    data = rk.encode_jpeg_420(
+    data = encode(
         np.ascontiguousarray(y), np.ascontiguousarray(cb),
         np.ascontiguousarray(cr), w, h, quality, optimize)
     if exif:
@@ -437,6 +454,7 @@ def run_batch_export(
     bits: int = 8,
     long_edge: Optional[int] = None,
     jpeg_optimize: bool = False,
+    chroma: str = "420",
 ) -> ExportReport:
     """Develop and encode every job; returns a report with throughput
     and the per-image quarantine list.
@@ -516,10 +534,13 @@ def run_batch_export(
     # reshape needs — values are identical to the single-chip path
     # (asserted by tests), so the 1.5 B/px fetch applies to the full
     # BASELINE 8-chip config.
+    if chroma not in ("420", "444"):
+        raise ValueError(f"chroma must be '420' or '444', got {chroma!r}")
     _rk = _get_rawkit()
+    _encode_attr = "encode_jpeg_444" if chroma == "444" else "encode_jpeg_420"
     jpeg_planes_ok = (
         bits == 8
-        and _rk is not None and hasattr(_rk, "encode_jpeg_420")
+        and _rk is not None and hasattr(_rk, _encode_attr)
         and all(j.out_path.lower().endswith((".jpg", ".jpeg"))
                 for j in jobs)
     )
@@ -546,7 +567,7 @@ def run_batch_export(
                     fut = encode_pool.submit(
                         _encode_one_jpeg420, d.job.out_path, y.copy(),
                         cb.copy(), cr.copy(), quality, exif,
-                        jpeg_optimize
+                        jpeg_optimize, chroma
                     )
                 elif bits == 16:
                     fut = encode_pool.submit(
@@ -805,11 +826,14 @@ def run_batch_export(
                         out = resize_rgba_words(out, ow, oh)
                     h_, w_ = oh, ow
             if (jpeg_planes_ok and not isinstance(out, tuple)
-                    and h_ % 2 == 0 and w_ % 2 == 0
+                    and (chroma == "444"
+                         or (h_ % 2 == 0 and w_ % 2 == 0))
                     and getattr(out, "ndim", 0) == 3):
-                # Convert + subsample on device: one extra HBM-bound pass,
-                # 2.67× less data over the wire (ops/jpeg.py).
-                out = _ycbcr420_jit()(out)
+                # Convert (+ subsample for 4:2:0) on device: one extra
+                # HBM-bound pass, 2.67× less data over the wire for
+                # '420', 1.33× for '444' (ops/jpeg.py).
+                out = (_ycbcr444_jit() if chroma == "444"
+                       else _ycbcr420_jit())(out)
             return out, t0
 
         def flush(batch: List[_Decoded], encode_pool: ThreadPoolExecutor):

@@ -176,3 +176,55 @@ class TestNativeEncoder:
         with pytest.raises(ValueError):
             rk.encode_jpeg_420(b"\0" * 64, b"\0" * 16, b"\0" * 16,
                                -1, 8, 90)
+
+    def test_444_full_chroma(self, rng):
+        """4:4:4 mode: full-res chroma planes, 1x1 sampling factors in
+        the SOF, and a massive PSNR win over 4:2:0 on alternating-
+        column chroma edges (the content subsampling destroys)."""
+        h, w = 64, 96
+        rgb = np.zeros((h, w, 3), np.uint8)
+        rgb[:, ::2] = [255, 0, 0]
+        rgb[:, 1::2] = [0, 0, 255]
+
+        r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+        cr = 128 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+        q = (lambda p: np.clip(np.round(p), 0, 255).astype(np.uint8))
+        data = rk.encode_jpeg_444(q(y).tobytes(), q(cb).tobytes(),
+                                  q(cr).tobytes(), w, h, 95)
+        with Image.open(io.BytesIO(data)) as im:
+            assert im.size == (w, h)
+            assert im.layer[0][1:3] == (1, 1)  # Y sampling 1x1 = 4:4:4
+            dec = np.asarray(im.convert("RGB"), np.float64)
+        psnr = 10 * np.log10(255.0 ** 2 /
+                             np.mean((dec - rgb.astype(np.float64)) ** 2))
+        assert psnr > 40.0, psnr
+        # Odd dimensions are legal in 4:4:4 (no 2x2 subsample).
+        odd = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+        ro, go, bo = (odd[..., i].astype(np.float64) for i in range(3))
+        yo = q(0.299 * ro + 0.587 * go + 0.114 * bo)
+        data = rk.encode_jpeg_444(yo.tobytes(), yo.tobytes(),
+                                  yo.tobytes(), 23, 17, 90)
+        with Image.open(io.BytesIO(data)) as im:
+            assert im.size == (23, 17)
+        # optimize flag works in 444 too, same pixels.
+        a = rk.encode_jpeg_444(q(y).tobytes(), q(cb).tobytes(),
+                               q(cr).tobytes(), w, h, 95, True)
+        b_ = rk.encode_jpeg_444(q(y).tobytes(), q(cb).tobytes(),
+                                q(cr).tobytes(), w, h, 95, False)
+        ia = np.asarray(Image.open(io.BytesIO(a)).convert("RGB"))
+        ib = np.asarray(Image.open(io.BytesIO(b_)).convert("RGB"))
+        assert np.array_equal(ia, ib)
+
+    def test_ycbcr444_op_matches_reference(self, rng):
+        from raweditor_tpu.ops.jpeg import rgba_words_to_ycbcr444
+
+        rgb = rng.integers(0, 256, size=(12, 20, 3), dtype=np.uint8)
+        y, cb, cr = (np.asarray(p)
+                     for p in rgba_words_to_ycbcr444(_pack_words(rgb)))
+        r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+        ref_y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b),
+                        0, 255)
+        assert np.abs(y.astype(np.float64) - ref_y).max() <= 1
+        assert y.shape == cb.shape == cr.shape == (12, 20)

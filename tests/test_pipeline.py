@@ -311,6 +311,52 @@ def test_jpeg_planes_path_matches_pil_path(tmp_path, rng):
     assert float(np.abs(a - b).max()) <= 24.0  # isolated chroma edges
 
 
+def test_jpeg_planes_chroma444(tmp_path, rng):
+    """chroma='444' exports full-resolution chroma planes through the
+    device path (3 B/px fetched) and writes a 1x1-sampled JPEG; odd
+    dimensions are legal in this mode (no 2x2 subsample)."""
+    import pytest
+
+    from raweditor_tpu.native import get_rawkit
+
+    rk = get_rawkit()
+    if rk is None or not hasattr(rk, "encode_jpeg_444"):
+        pytest.skip("native JPEG encoder not built")
+    h, w = 32, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    mosaic = ((xx + yy) / (w + h) * 4095).astype(np.uint16)
+    path = tmp_path / "s.nef"
+    write_synthetic_raw(path, mosaic)
+    rep = run_batch_export(
+        [ExportJob(raw_path=str(path), out_path=str(tmp_path / "f.jpg"),
+                   params=EditParams(exposure=0.2))],
+        batch_size=1, quality=92, chroma="444")
+    assert rep.succeeded == 1
+    assert rep.fetch_bytes == 3 * h * w  # full-res Y + Cb + Cr
+    with Image.open(tmp_path / "f.jpg") as im:
+        assert im.layer[0][1:3] == (1, 1)
+        a = np.asarray(im.convert("RGB"), np.float64)
+    # Same image as the 4:2:0 path to within JPEG tolerance.
+    rep2 = run_batch_export(
+        [ExportJob(raw_path=str(path), out_path=str(tmp_path / "s.jpg"),
+                   params=EditParams(exposure=0.2))],
+        batch_size=1, quality=92)
+    assert rep2.succeeded == 1
+    b = np.asarray(Image.open(tmp_path / "s.jpg").convert("RGB"),
+                   np.float64)
+    assert float(np.sqrt(np.mean((a - b) ** 2))) < 3.0
+    # Odd dims stay on the planes path in 444 mode.
+    odd = rng.integers(0, 4096, size=(23, 31), dtype=np.uint16)
+    opath = tmp_path / "odd.nef"
+    write_synthetic_raw(opath, odd)
+    rep3 = run_batch_export(
+        [ExportJob(raw_path=str(opath),
+                   out_path=str(tmp_path / "odd.jpg"))],
+        batch_size=1, chroma="444")
+    assert rep3.succeeded == 1
+    assert rep3.fetch_bytes == 3 * 23 * 31
+
+
 def test_jpeg_planes_odd_dims_fall_back(tmp_path, rng):
     """Odd-sized frames can't 2x2-subsample on device; the RGBA path
     must kick in transparently."""
