@@ -129,33 +129,26 @@ def _shift_x(arr, direction: int, edge_col, dist: int = 1):
 
 def _demosaic_smooth_taps(tap_row, grows, img_h, center, up, down, left,
                           right, sc, i, bh, w, cfa_phase, method: str):
-    """In-kernel bilinear / Malvar–He–Cutler demosaic. Mirrors
-    ops/demosaic.py exactly (the tap tables are imported from there —
-    single source of truth); clamp-to-edge comes from the global-row
-    fixup selects on the y-taps (``up``/``down`` arrive fixed; the ±2
-    taps are fixed here) and the replicated edge columns in _shift_x."""
+    """In-kernel bilinear / Malvar–He–Cutler demosaic. The arithmetic
+    is ops/demosaic.py's tap tables hand-factored over the sums the
+    four kernels share (hsum/vsum/±2 pairs/diag4) — ~45% fewer VPU ops
+    than evaluating each kernel's taps independently; the tap-table
+    equivalence is asserted below at trace time so the tables remain
+    the single source of truth. Reassociation shifts results by ≤1 ULP
+    pre-quantization — inside the ±1 LSB accurate-mode contract
+    (tests/test_pallas_develop.py::TestAccurateMode). Clamp-to-edge
+    comes from the global-row fixup selects on the y-taps
+    (``up``/``down`` arrive fixed; the ±2 taps are fixed here) and the
+    replicated edge columns in _shift_x."""
     from raweditor_tpu.ops.demosaic import _bilinear_taps, _malvar_taps
 
-    taps = {(0, 0): center, (0, -1): left, (0, 1): right,
-            (-1, 0): up, (1, 0): down,
-            (-1, -1): _shift_x(up, 1, up[:, 0:1]),
-            (-1, 1): _shift_x(up, -1, up[:, w - 1 : w]),
-            (1, -1): _shift_x(down, 1, down[:, 0:1]),
-            (1, 1): _shift_x(down, -1, down[:, w - 1 : w])}
-    if method == "malvar":
-        # Clamp-to-edge for the ±2 rows: row 1's up-2 is row 0 (= its
-        # up), row 0's up-2 is itself (= its fixed up); mirrored below.
-        taps[(-2, 0)] = jnp.where(grows <= 1, up, tap_row(-2))
-        taps[(2, 0)] = jnp.where(grows >= img_h - 2, down, tap_row(2))
-        taps[(0, -2)] = _shift_x(center, 1, center[:, 0:1], dist=2)
-        taps[(0, 2)] = _shift_x(center, -1, center[:, w - 1 : w], dist=2)
-
-    def conv(tdict):
-        acc = None
-        for off, wgt in tdict.items():
-            t = taps[off] * _F(wgt)
-            acc = t if acc is None else acc + t
-        return acc
+    ul = _shift_x(up, 1, up[:, 0:1])
+    ur = _shift_x(up, -1, up[:, w - 1 : w])
+    dl = _shift_x(down, 1, down[:, 0:1])
+    dr = _shift_x(down, -1, down[:, w - 1 : w])
+    hsum = left + right
+    vsum = up + down
+    diag4 = (ul + ur) + (dl + dr)
 
     row0 = i * bh + cfa_phase[0]
     rows = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 0) + row0
@@ -166,14 +159,48 @@ def _demosaic_smooth_taps(tap_row, grows, img_h, center, up, down, left,
 
     if method == "bilinear":
         _cross, hmean, vmean, plus, diag = _bilinear_taps()
-        hm, vm, pm, dm = conv(hmean), conv(vmean), conv(plus), conv(diag)
+        assert (hmean == {(0, -1): 0.5, (0, 1): 0.5}
+                and vmean == {(-1, 0): 0.5, (1, 0): 0.5}
+                and set(plus.values()) == {0.25}
+                and set(diag.values()) == {0.25})
+        hm = hsum * _F(0.5)
+        vm = vsum * _F(0.5)
+        pm = (hsum + vsum) * _F(0.25)
+        dm = diag4 * _F(0.25)
         r = jnp.where(ye, jnp.where(xe, v, hm), jnp.where(xe, vm, dm))
         g = jnp.where(ye == xe, pm, v)
         b = jnp.where(ye, jnp.where(xe, dm, vm), jnp.where(xe, hm, v))
         return r, g, b
 
+    # Clamp-to-edge for the ±2 rows: row 1's up-2 is row 0 (= its
+    # up), row 0's up-2 is itself (= its fixed up); mirrored below.
+    up2 = jnp.where(grows <= 1, up, tap_row(-2))
+    down2 = jnp.where(grows >= img_h - 2, down, tap_row(2))
+    left2 = _shift_x(center, 1, center[:, 0:1], dist=2)
+    right2 = _shift_x(center, -1, center[:, w - 1 : w], dist=2)
+    h2 = left2 + right2   # (0,∓2) pair
+    v2 = up2 + down2      # (∓2,0) pair
+
     g_cross, rb_row, rb_col, rb_diag = _malvar_taps()
-    gc, kr, kc, kd = conv(g_cross), conv(rb_row), conv(rb_col), conv(rb_diag)
+    assert g_cross == {(0, 0): 0.5, (-1, 0): 0.25, (1, 0): 0.25,
+                       (0, -1): 0.25, (0, 1): 0.25, (-2, 0): -0.125,
+                       (2, 0): -0.125, (0, -2): -0.125, (0, 2): -0.125}
+    assert rb_row == {(0, 0): 0.625, (0, -1): 0.5, (0, 1): 0.5,
+                      (0, -2): -0.125, (0, 2): -0.125,
+                      (-1, -1): -0.125, (-1, 1): -0.125,
+                      (1, -1): -0.125, (1, 1): -0.125,
+                      (-2, 0): 0.0625, (2, 0): 0.0625}
+    assert rb_col == {(dx, dy): wgt for (dy, dx), wgt in rb_row.items()}
+    assert rb_diag == {(0, 0): 0.75, (-1, -1): 0.25, (-1, 1): 0.25,
+                       (1, -1): 0.25, (1, 1): 0.25, (-2, 0): -0.1875,
+                       (2, 0): -0.1875, (0, -2): -0.1875, (0, 2): -0.1875}
+    s2 = h2 + v2
+    gc = v * _F(0.5) + (hsum + vsum) * _F(0.25) - s2 * _F(0.125)
+    kr = (v * _F(0.625) + hsum * _F(0.5) - (h2 + diag4) * _F(0.125)
+          + v2 * _F(0.0625))
+    kc = (v * _F(0.625) + vsum * _F(0.5) - (v2 + diag4) * _F(0.125)
+          + h2 * _F(0.0625))
+    kd = v * _F(0.75) + diag4 * _F(0.25) - s2 * _F(0.1875)
     r = jnp.where(ye, jnp.where(xe, v, kr), jnp.where(xe, kc, kd))
     g = jnp.where(ye == xe, gc, v)
     b = jnp.where(ye, jnp.where(xe, kd, kc), jnp.where(xe, kr, v))
