@@ -214,7 +214,7 @@ def _demosaic_smooth_taps(tap_row, grows, img_h, center, up, down, left,
 
 def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma,
                    pattern=None, demosaic: str = "nearest", *,
-                   off, img_h: int):
+                   off, img_h: int, output: str = "rgba"):
     """Shared kernel body: develop one (block_h+16, W) scratch window.
     ``sc`` maps a folded-scalar index to its value; ``i`` is the block's
     row-grid index; ``off`` is the (dynamic) sublane offset of the
@@ -376,15 +376,53 @@ def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma,
             v = jnp.power(c, _F(1.0 / 2.2)) * 255.0 + 0.5
         v = jnp.minimum(v, 255.5)
         # f32→u32 unsupported in Mosaic; go through int32 (values 0..255).
-        return jnp.floor(v).astype(jnp.int32).astype(jnp.uint32)
+        return jnp.floor(v).astype(jnp.int32)
 
-    return q(r) | (q(g) << 8) | (q(b) << 16) | jnp.uint32(0xFF000000)
+    if output == "rgba":
+        return (q(r).astype(jnp.uint32) | (q(g).astype(jnp.uint32) << 8)
+                | (q(b).astype(jnp.uint32) << 16) | jnp.uint32(0xFF000000))
+
+    # output == "ycbcr420": JPEG planes straight out of the kernel — the
+    # exporter's separate conversion pass (ops/jpeg.py) re-reads the
+    # 4 B/px RGBA words from HBM; emitting Y (u8) + an NV12-style
+    # interleaved CbCr plane here writes 1.5 B/px and skips that pass
+    # entirely (~6 B/px less HBM traffic per develop). Color math is
+    # rgba_words_to_ycbcr420's, applied to the same quantized u8 values;
+    # FMA-contraction differences between fusion contexts and the chroma
+    # 4-sum reassociation shift results by ≤1 step on each plane —
+    # inside the Pallas path's ±1 LSB contract (pinned by test).
+    rf = q(r).astype(jnp.float32)
+    gf = q(g).astype(jnp.float32)
+    bf = q(b).astype(jnp.float32)
+    yf = _F(0.299) * rf + _F(0.587) * gf + _F(0.114) * bf
+    cbf = (_F(128.0) - _F(0.168735892) * rf - _F(0.331264108) * gf
+           + _F(0.5) * bf)
+    crf = (_F(128.0) + _F(0.5) * rf - _F(0.418687589) * gf
+           - _F(0.081312411) * bf)
+    yq = jnp.clip(jnp.round(yf), 0.0, 255.0).astype(jnp.uint8)
+    # 2×2 box via one sublane roll (row pairs never cross a block: bh is
+    # even and blocks start on even image rows) + one lane roll (w is
+    # even — the launcher guards both), then interleave Cb/Cr along
+    # lanes: out[i, 2j] = Cb(i, j), out[i, 2j+1] = Cr(i, j) — the lane
+    # roll does the w/2 compaction a strided slice can't express in
+    # Mosaic. Even output rows are then taken by a minor-preserving
+    # reshape.
+    vcb = cbf + pltpu.roll(cbf, bh - 1, axis=0)   # row k + row k+1
+    vcr = crf + pltpu.roll(crf, bh - 1, axis=0)
+    scb = vcb + pltpu.roll(vcb, w - 1, axis=1)    # + col pair → 4-sum
+    scr = vcr + pltpu.roll(vcr, w - 1, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 1)
+    inter = jnp.where(col % 2 == 0, scb,
+                      pltpu.roll(scr, 1, axis=1)) * _F(0.25)
+    inter = inter.reshape(bh // 2, 2, w)[:, 0, :]  # even rows only
+    cq = jnp.clip(jnp.round(inter), 0.0, 255.0).astype(jnp.uint8)
+    return yq, cq
 
 
-def _kernel_flat(scal_ref, mos_hbm, out_ref, scratch, sems, *,
-                 block_h: int, steps: int, total: int, img_h: int,
-                 cfa_phase=(0, 0), gamma: str = "pow", pattern=None,
-                 demosaic: str = "nearest"):
+def _kernel_flat(scal_ref, mos_hbm, *refs, block_h: int, steps: int,
+                 total: int, img_h: int, cfa_phase=(0, 0),
+                 gamma: str = "pow", pattern=None,
+                 demosaic: str = "nearest", output: str = "rgba"):
     """Double-buffered unified kernel body. The grid is flat over
     (image, row-block) pairs; ``mos_hbm`` is the UNPADDED mosaics
     reshaped to one (N*H, W) plane. Each block DMAs a
@@ -396,6 +434,10 @@ def _kernel_flat(scal_ref, mos_hbm, out_ref, scratch, sems, *,
     read rides under the VPU work (the serial start();wait() form
     measured ~2 µs/step of exposed DMA latency at 24 MP — ~20% of the
     kernel)."""
+    if output == "rgba":
+        out_ref, scratch, sems = refs
+    else:  # "ycbcr420": Y plane + interleaved CbCr plane
+        out_y, out_c, scratch, sems = refs
     g = pl.program_id(0)
     nimg = g // steps
     i = g % steps
@@ -431,24 +473,46 @@ def _kernel_flat(scal_ref, mos_hbm, out_ref, scratch, sems, *,
 
     copy_for(g, slot).wait()
     _, off = window(g)
-    out_ref[0] = _develop_block(lambda k: scal_ref[nimg, k],
-                                scratch.at[slot], i, block_h, cfa_phase,
-                                gamma, pattern, demosaic, off=off,
-                                img_h=img_h)
+    res = _develop_block(lambda k: scal_ref[nimg, k],
+                         scratch.at[slot], i, block_h, cfa_phase,
+                         gamma, pattern, demosaic, off=off,
+                         img_h=img_h, output=output)
+    if output == "rgba":
+        out_ref[0] = res
+    else:
+        out_y[0] = res[0]
+        out_c[0] = res[1]
 
 
 def _launch_flat(scal2d, mosaics, n, h, w, bh, cfa_phase, gamma, pattern,
-                 demosaic, interpret):
+                 demosaic, interpret, output: str = "rgba"):
     """Shared pallas_call site: flat (image, row-block) grid over the
     unpadded (N*H, W) mosaic plane; each DMA window is a plain 2-D row
     slice clamped into its image (edge handling is in-kernel)."""
     steps = h // bh
     flat = mosaics.reshape(n * h, w)
+    if output == "rgba":
+        out_specs = pl.BlockSpec((1, bh, w),
+                                 lambda g: (g // steps, g % steps, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n, h, w), jnp.uint32)
+    else:  # Y (N,H,W) u8 + interleaved CbCr (N,H/2,W) u8 (NV12 layout)
+        out_specs = [
+            pl.BlockSpec((1, bh, w),
+                         lambda g: (g // steps, g % steps, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bh // 2, w),
+                         lambda g: (g // steps, g % steps, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = (jax.ShapeDtypeStruct((n, h, w), jnp.uint8),
+                     jax.ShapeDtypeStruct((n, h // 2, w), jnp.uint8))
     return pl.pallas_call(
         functools.partial(_kernel_flat, block_h=bh, steps=steps,
                           total=n * steps, img_h=h,
                           cfa_phase=cfa_phase, gamma=gamma,
-                          pattern=pattern, demosaic=demosaic),
+                          pattern=pattern, demosaic=demosaic,
+                          output=output),
         grid=(n * steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -458,10 +522,8 @@ def _launch_flat(scal2d, mosaics, n, h, w, bh, cfa_phase, gamma, pattern,
             # arbitrary row offsets.
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        out_specs=pl.BlockSpec((1, bh, w),
-                               lambda g: (g // steps, g % steps, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.uint32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, bh + 16, w), jnp.uint16),
             pltpu.SemaphoreType.DMA((2,)),
@@ -479,7 +541,8 @@ def _launch_flat(scal2d, mosaics, n, h, w, bh, cfa_phase, gamma, pattern,
 
 @functools.partial(
     jax.jit, static_argnames=("matrix_transpose", "block_h", "interpret",
-                              "cfa_phase", "gamma", "pattern", "demosaic")
+                              "cfa_phase", "gamma", "pattern", "demosaic",
+                              "output")
 )
 def pallas_batch_develop_rgba(
     mosaics,
@@ -495,6 +558,7 @@ def pallas_batch_develop_rgba(
     gamma: str = "pow",
     pattern: str = None,
     demosaic: str = "nearest",
+    output: str = "rgba",
 ):
     """Batched fused-kernel develop: (N, H, W) u16 → (N, H, W) u32.
 
@@ -503,8 +567,16 @@ def pallas_batch_develop_rgba(
     SMEM table. ``params``/``wbs``/``cam_matrices`` carry a leading (N,)
     axis (see parallel.batch.pack_params). Same ±1 LSB contract as
     :func:`pallas_develop_rgba`.
+
+    ``output='ycbcr420'`` (even H and W only) emits JPEG planes straight
+    from the kernel — (N, H, W) u8 Y + (N, H/2, W) u8 NV12-interleaved
+    CbCr (cb = plane[..., 0::2], cr = plane[..., 1::2]) — writing
+    1.5 B/px instead of 4 and skipping the exporter's separate
+    conversion pass (see _develop_block).
     """
     n, h, w = mosaics.shape
+    if output == "ycbcr420" and (h % 2 or w % 2):
+        raise ValueError("ycbcr420 output requires even H and W")
     if pattern is not None and demosaic != "nearest":
         raise ValueError(
             "generic-CFA patterns support nearest demosaic only"
@@ -518,8 +590,10 @@ def pallas_batch_develop_rgba(
                         mode="edge"),
                 params, wbs, cam_matrices, white_levels, black_levels,
                 matrix_transpose, block_h, interpret, cfa_phase, gamma,
-                pattern, demosaic,
+                pattern, demosaic, output,
             )
+            if output == "ycbcr420":
+                return out[0][:, :h], out[1][:, : h // 2]
             return out[:, :h]
     if not bh or h % bh or bh % 8 or h < bh + 16:
         raise ValueError(
@@ -533,8 +607,11 @@ def pallas_batch_develop_rgba(
             jnp.pad(mosaics, ((0, 0), (0, 0), (0, wp - w)), mode="edge"),
             params, wbs, cam_matrices, white_levels, black_levels,
             matrix_transpose, block_h, interpret, cfa_phase, gamma,
-            pattern, demosaic,
+            pattern, demosaic, output,
         )
+        if output == "ycbcr420":
+            # Chroma sites < w/2 only use real columns (w is even).
+            return out[0][:, :, :w], out[1][:, :, :w]
         return out[:, :, :w]
     if white_levels is None:
         white_levels = jnp.full((n,), 4096.0, jnp.float32)
@@ -544,7 +621,7 @@ def pallas_batch_develop_rgba(
         functools.partial(_fold_scalars, matrix_transpose=matrix_transpose)
     )(params, wbs, cam_matrices, white_levels, black_levels)
     return _launch_flat(scal, mosaics, n, h, w, bh, cfa_phase, gamma,
-                        pattern, demosaic, interpret)
+                        pattern, demosaic, interpret, output)
 
 
 @functools.partial(

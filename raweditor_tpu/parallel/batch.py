@@ -84,44 +84,71 @@ def batch_develop(mosaics, params: EditParams, wb, cam_matrices,
     )(mosaics, params, wb, cam_matrices, white_levels, black_levels)
 
 
+def _maybe_ycbcr(words, output: str):
+    """Fold the JPEG-transport colorspace pass into the develop jit:
+    with ``output`` = 'ycbcr420'/'ycbcr444' the packed-RGBA words never
+    round-trip through HBM between programs — XLA fuses the conversion
+    (and the 4:2:0 box filter's reshape-sum) into the develop output,
+    saving a full-image read+write per batch vs the exporter's old
+    separate `jax.jit(rgba_words_to_ycbcr420)` pass."""
+    if output == "rgba_words":
+        return words
+    from raweditor_tpu.ops.jpeg import (
+        rgba_words_to_ycbcr420,
+        rgba_words_to_ycbcr444,
+    )
+
+    if output == "ycbcr420":
+        return rgba_words_to_ycbcr420(words)
+    if output == "ycbcr444":
+        return rgba_words_to_ycbcr444(words)
+    raise ValueError(f"unknown output {output!r}")
+
+
 @functools.partial(
     jax.jit, static_argnames=("matrix_transpose", "cfa_phase", "transfer",
-                              "demosaic_method")
+                              "demosaic_method", "output")
 )
 def batch_develop_rgba(mosaics, params: EditParams, wb, cam_matrices,
                        white_levels=None, black_levels=None,
                        matrix_transpose: bool = True, cfa_phase=(0, 0),
                        transfer: str = "gamma22",
-                       demosaic_method: str = "nearest"):
+                       demosaic_method: str = "nearest",
+                       output: str = "rgba_words"):
     """batch_develop with packed-RGBA u32 output: (N, H, W) u16 →
-    (N, H, W) u32 — the fast path for export (see develop_rgba)."""
+    (N, H, W) u32 — the fast path for export (see develop_rgba).
+    ``output`` = 'ycbcr420'/'ycbcr444' additionally converts to JPEG
+    planes inside the same program (see _maybe_ycbcr)."""
     n = mosaics.shape[0]
     if white_levels is None:
         white_levels = jnp.full((n,), 4096.0, _F)
     if black_levels is None:
         black_levels = jnp.zeros((n,), _F)
-    return jax.vmap(
+    return _maybe_ycbcr(jax.vmap(
         functools.partial(
             _develop_one, matrix_transpose=matrix_transpose, rgba=True,
             cfa_phase=cfa_phase, transfer=transfer,
             demosaic_method=demosaic_method,
         )
-    )(mosaics, params, wb, cam_matrices, white_levels, black_levels)
+    )(mosaics, params, wb, cam_matrices, white_levels, black_levels),
+        output)
 
 
 @functools.partial(
     jax.jit, static_argnames=("pattern", "matrix_transpose", "transfer",
-                              "demosaic_method")
+                              "demosaic_method", "output")
 )
 def batch_develop_xtrans_rgba(mosaics, params: EditParams, wb,
                               cam_matrices, white_levels=None,
                               black_levels=None, pattern: str = None,
                               matrix_transpose: bool = False,
                               transfer: str = "gamma22",
-                              demosaic_method: str = "nearest"):
+                              demosaic_method: str = "nearest",
+                              output: str = "rgba_words"):
     """Batch develop for X-Trans (generic-CFA) mosaics → packed RGBA.
     Data-parallel only (no row sharding; the 6×6 halo isn't worth the
-    complexity for the export path)."""
+    complexity for the export path). ``output`` as in
+    batch_develop_rgba."""
     from raweditor_tpu.ops.develop import develop_xtrans
 
     n = mosaics.shape[0]
@@ -129,19 +156,20 @@ def batch_develop_xtrans_rgba(mosaics, params: EditParams, wb,
         white_levels = jnp.full((n,), 4096.0, _F)
     if black_levels is None:
         black_levels = jnp.zeros((n,), _F)
-    return jax.vmap(
+    return _maybe_ycbcr(jax.vmap(
         lambda m, p, w, c, wl, bl: develop_xtrans(
             m, p, w, c, wl, bl, pattern=pattern,
             matrix_transpose=matrix_transpose, transfer=transfer,
             rgba=True, demosaic_method=demosaic_method,
         )
-    )(mosaics, params, wb, cam_matrices, white_levels, black_levels)
+    )(mosaics, params, wb, cam_matrices, white_levels, black_levels),
+        output)
 
 
 def _sharded_step(mosaics, params, wb, cms, whites, blacks, *, axis_name,
                   matrix_transpose, with_histogram, rgba=False,
                   cfa_phase=(0, 0), transfer="gamma22",
-                  demosaic_method="nearest"):
+                  demosaic_method="nearest", output="rgba_words"):
     """Per-device body: local (n, h_blk, W) batch of row blocks."""
     imgs = jax.vmap(
         functools.partial(
@@ -154,6 +182,13 @@ def _sharded_step(mosaics, params, wb, cms, whites, blacks, *, axis_name,
             demosaic_method=demosaic_method,
         )
     )(mosaics, params, wb, cms, whites, blacks)
+    if output != "rgba_words":
+        # JPEG-plane conversion per local row block: shard heights are
+        # even (launcher guard: H % 2*n_rows == 0), so no 2×2 chroma
+        # box ever crosses a shard boundary — the conversion is
+        # collective-free and bit-identical to the single-chip pass.
+        assert rgba and not with_histogram  # launcher-enforced
+        imgs = _maybe_ycbcr(imgs, output)
     if not with_histogram:
         return imgs
     # Per-image 256-bin histograms of the local row block, reduced over
@@ -181,7 +216,7 @@ def _sharded_step(mosaics, params, wb, cms, whites, blacks, *, axis_name,
     static_argnames=(
         "mesh", "batch_axis", "row_axis", "host_axis",
         "matrix_transpose", "with_histogram", "rgba", "cfa_phase",
-        "transfer", "demosaic_method",
+        "transfer", "demosaic_method", "output",
     ),
 )
 def batch_develop_sharded(
@@ -201,6 +236,7 @@ def batch_develop_sharded(
     cfa_phase=(0, 0),
     transfer: str = "gamma22",
     demosaic_method: str = "nearest",
+    output: str = "rgba_words",
 ):
     """The full sharded export step: dp over images × sp over rows.
 
@@ -208,6 +244,11 @@ def batch_develop_sharded(
     by 2*mesh[row_axis]. params/wb/cam_matrices carry a leading (N,)
     axis. Returns (N, H, W, 3) u8 images (and (N, 3, 256) histograms
     when ``with_histogram``), sharded like the inputs.
+
+    ``output`` = 'ycbcr420'/'ycbcr444' (requires ``rgba=True`` and no
+    histogram) converts to JPEG planes inside each row shard — shard
+    heights are even, so the 4:2:0 chroma box never crosses a shard and
+    the conversion stays collective-free (tests guard the compiled HLO).
 
     ``host_axis`` adds the multi-host (DCN) dimension: images shard
     over host×batch jointly. The row-halo ppermute and the histogram
@@ -234,6 +275,12 @@ def batch_develop_sharded(
         if rgba
         else P(bspec, row_axis, None, None)
     )
+    if output != "rgba_words":
+        if not rgba or with_histogram:
+            raise ValueError(
+                "ycbcr outputs require rgba=True and with_histogram=False")
+        # (y, cb, cr) planes, each row-sharded like the RGBA words.
+        img_spec = (img_spec,) * 3
     out_specs = (
         (img_spec, P(bspec, None, None)) if with_histogram else img_spec
     )
@@ -247,6 +294,7 @@ def batch_develop_sharded(
             cfa_phase=cfa_phase,
             transfer=transfer,
             demosaic_method=demosaic_method,
+            output=output,
         ),
         mesh=mesh,
         in_specs=(

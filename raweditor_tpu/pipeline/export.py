@@ -528,12 +528,19 @@ def run_batch_export(
     # (PIL's plain save uses 4:2:0 chroma at every quality — verified
     # against its SOF sampling factors — so the planes path matches
     # its subsampling behavior across the quality range.)
-    # Row-sharded meshes qualify too (since r3): the YCbCr conversion
-    # + 2×2 chroma box subsample runs as a jit over the row-sharded
-    # RGBA, and GSPMD inserts the one-row boundary exchange the chroma
-    # reshape needs — values are identical to the single-chip path
-    # (asserted by tests), so the 1.5 B/px fetch applies to the full
-    # BASELINE 8-chip config.
+    # Row-sharded meshes qualify too (since r3): shard heights are even
+    # (H % 2*n_rows == 0), so the conversion + 2×2 chroma box runs
+    # inside each row shard with no boundary exchange — values are
+    # identical to the single-chip path (asserted by tests), so the
+    # 1.5 B/px fetch applies to the full BASELINE 8-chip config.
+    #
+    # The conversion composes INTO the develop program wherever
+    # possible (parallel/batch.py `output=` / the Pallas kernel's
+    # in-kernel planes) instead of running as a separate jit — the
+    # separate pass re-read + re-wrote the full RGBA batch through HBM
+    # (~5.5 B/px of traffic that XLA fusion or the kernel now elides).
+    # The standalone _ycbcr420_jit pass remains only for outputs that
+    # were resized on device after develop.
     if chroma not in ("420", "444"):
         raise ValueError(f"chroma must be '420' or '444', got {chroma!r}")
     _rk = _get_rawkit()
@@ -562,7 +569,18 @@ def run_batch_export(
                 from raweditor_tpu.raw.exif import build_exif
 
                 exif = build_exif(d.make, d.model, d.orientation)
-                if isinstance(host, tuple):  # YCbCr 4:2:0 planes
+                if isinstance(host, tuple) and len(host) == 2:
+                    # Fused-kernel planes: Y + NV12-interleaved CbCr
+                    # (ops/pallas_develop.py output='ycbcr420'). The
+                    # strided de-interleave copies are 2×(H/2·W/2)
+                    # bytes on the host — noise next to the encode.
+                    y, cbcr = host[0][i], host[1][i]
+                    fut = encode_pool.submit(
+                        _encode_one_jpeg420, d.job.out_path, y.copy(),
+                        cbcr[:, 0::2].copy(), cbcr[:, 1::2].copy(),
+                        quality, exif, jpeg_optimize, chroma
+                    )
+                elif isinstance(host, tuple):  # YCbCr plane triple
                     y, cb, cr = (p[i] for p in host)
                     fut = encode_pool.submit(
                         _encode_one_jpeg420, d.job.out_path, y.copy(),
@@ -696,6 +714,23 @@ def run_batch_export(
             blacks = np.array([d.black_level for d in padded], np.float32)
 
             phase = batch[0].cfa_phase
+            # JPEG-plane output folded into the develop program (see the
+            # jpeg_planes_ok comment): decide per shape bucket — a
+            # device-side long-edge resize needs RGBA words, so those
+            # buckets keep the post-develop conversion pass.
+            h_m, w_m = mosaics.shape[1], mosaics.shape[2]
+            resize_changes = False
+            if long_edge:
+                from raweditor_tpu.ops.resize import long_edge_shape
+
+                resize_changes = (
+                    long_edge_shape(h_m, w_m, long_edge) != (h_m, w_m))
+            xla_output = "rgba_words"
+            if jpeg_planes_ok and bits != 16 and not resize_changes:
+                if chroma == "444":
+                    xla_output = "ycbcr444"
+                elif h_m % 2 == 0 and w_m % 2 == 0:
+                    xla_output = "ycbcr420"
             t0 = time.perf_counter()
             if bits == 16:
                 from raweditor_tpu.ops.develop import (
@@ -764,6 +799,9 @@ def run_batch_export(
                             mosaics, params, wbs, cms, whites, blacks,
                             matrix_transpose=matrix_transpose,
                             pattern=phase, gamma=pallas_gamma,
+                            output=("ycbcr420"
+                                    if xla_output == "ycbcr420"
+                                    else "rgba"),
                         )
                     except Exception:
                         out = None  # unsupported shape/backend → XLA path
@@ -773,6 +811,7 @@ def run_batch_export(
                         pattern=phase, matrix_transpose=matrix_transpose,
                         transfer=transfer,
                         demosaic_method=_generic_cfa_method(demosaic_method),
+                        output=xla_output,
                     )
             elif mesh is None:
                 out = None
@@ -788,6 +827,9 @@ def run_batch_export(
                             cfa_phase=phase,
                             gamma=pallas_gamma,
                             demosaic=demosaic_method,
+                            output=("ycbcr420"
+                                    if xla_output == "ycbcr420"
+                                    else "rgba"),
                         )
                     except Exception:
                         out = None  # unsupported shape/backend → XLA path
@@ -796,6 +838,7 @@ def run_batch_export(
                         mosaics, params, wbs, cms, whites, blacks,
                         matrix_transpose=matrix_transpose, cfa_phase=phase,
                         transfer=transfer, demosaic_method=demosaic_method,
+                        output=xla_output,
                     )
             else:
                 staged = jax.device_put(mosaics, batch_sharding(mesh))
@@ -805,6 +848,7 @@ def run_batch_export(
                     matrix_transpose=matrix_transpose, rgba=True,
                     cfa_phase=phase, transfer=transfer,
                     demosaic_method=demosaic_method,
+                    output=xla_output,
                 )
             h_, w_ = mosaics.shape[1], mosaics.shape[2]
             if long_edge:

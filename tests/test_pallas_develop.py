@@ -426,3 +426,82 @@ class TestAccurateMode:
             pallas_develop_rgba(mosaic, EditParams(), WB, IDENTITY,
                                 pattern=XTRANS_PATTERN,
                                 demosaic="malvar", interpret=True)
+
+
+class TestYCbCr420Output:
+    """In-kernel JPEG planes (output='ycbcr420'): Y + NV12-interleaved
+    CbCr must stay within one step of composing the RGBA kernel with
+    ops/jpeg.rgba_words_to_ycbcr420 (FMA-contraction and chroma 4-sum
+    reassociation are the only allowed differences)."""
+
+    def _check(self, mosaics, plist, wbs, cms, max_frac_diff=0.05, **kw):
+        import jax
+
+        from raweditor_tpu.ops.jpeg import rgba_words_to_ycbcr420
+        from raweditor_tpu.ops.pallas_develop import (
+            pallas_batch_develop_rgba,
+        )
+        from raweditor_tpu.parallel.batch import pack_params
+
+        pp = pack_params(plist)
+        rgba = pallas_batch_develop_rgba(
+            mosaics, pp, wbs, cms, interpret=True, **kw)
+        want = jax.jit(rgba_words_to_ycbcr420)(rgba)
+        y, cbcr = pallas_batch_develop_rgba(
+            mosaics, pp, wbs, cms, interpret=True, output="ycbcr420",
+            **kw)
+        n, h, w = mosaics.shape
+        assert y.shape == (n, h, w) and y.dtype == np.uint8
+        assert cbcr.shape == (n, h // 2, w) and cbcr.dtype == np.uint8
+        got = (y, cbcr[:, :, 0::2], cbcr[:, :, 1::2])
+        for g, t, name in zip(got, want, ("y", "cb", "cr")):
+            diff = np.abs(np.asarray(g).astype(int)
+                          - np.asarray(t).astype(int))
+            assert diff.max() <= 1, name
+            assert (diff != 0).mean() <= max_frac_diff, name
+
+    def test_matches_conversion(self, rng):
+        mosaics = rng.integers(0, 4096, size=(2, 64, 256),
+                               dtype=np.uint16)
+        plist = [FULL, EditParams()]
+        wbs = np.tile(WB, (2, 1))
+        cms = np.tile(IDENTITY, (2, 1, 1))
+        self._check(mosaics, plist, wbs, cms)
+
+    def test_accurate_mode(self, rng):
+        mosaics = rng.integers(0, 4096, size=(1, 64, 128),
+                               dtype=np.uint16)
+        self._check(mosaics, [FULL], WB[None], REAL_MATRIX[None],
+                    demosaic="malvar", gamma="srgb")
+
+    def test_unaligned_width_edge_pad(self, rng):
+        mosaics = rng.integers(0, 4096, size=(1, 64, 200),
+                               dtype=np.uint16)
+        self._check(mosaics, [EditParams()], WB[None], IDENTITY[None])
+
+    def test_no_divisor_height_padded(self, rng):
+        # 66 has no multiple-of-8 divisor → the pad-to-128 rescue path.
+        mosaics = rng.integers(0, 4096, size=(1, 66, 128),
+                               dtype=np.uint16)
+        self._check(mosaics, [EditParams()], WB[None], IDENTITY[None])
+
+    def test_xtrans_pattern(self, rng):
+        from raweditor_tpu.ops.cfa_generic import XTRANS_PATTERN
+
+        mosaics = rng.integers(0, 4096, size=(1, 48, 384),
+                               dtype=np.uint16)
+        self._check(mosaics, [EditParams()], WB[None], IDENTITY[None],
+                    pattern=XTRANS_PATTERN)
+
+    def test_odd_dims_rejected(self, rng):
+        from raweditor_tpu.ops.pallas_develop import (
+            pallas_batch_develop_rgba,
+        )
+        from raweditor_tpu.parallel.batch import pack_params
+
+        mosaics = rng.integers(0, 4096, size=(1, 63, 128),
+                               dtype=np.uint16)
+        with pytest.raises(ValueError, match="even"):
+            pallas_batch_develop_rgba(
+                mosaics, pack_params([EditParams()]), WB[None],
+                IDENTITY[None], interpret=True, output="ycbcr420")

@@ -232,3 +232,53 @@ def test_sharded_develop_collective_pattern_is_designed_one():
     for op in ("all-gather", "collective-permute", "all-reduce",
                "all-to-all"):
         assert op not in hlo2, op
+
+
+@pytest.mark.parametrize("output", ["ycbcr420", "ycbcr444"])
+def test_sharded_ycbcr_output_matches_single_chip(rng, output):
+    """JPEG planes composed INTO the sharded develop program (r3 late:
+    no separate conversion pass) must equal the single-chip composed
+    program exactly, and stay collective-free beyond the designed halo
+    pattern."""
+    import functools
+    import re
+
+    from raweditor_tpu.parallel.batch import batch_develop_rgba
+
+    mesh = batch_row_mesh(row=2)
+    n = 4
+    mosaics = rng.integers(0, 4096, size=(n, 32, 48), dtype=np.uint16)
+    params = pack_params([EditParams(exposure=0.1 * i) for i in range(n)])
+    wbs = np.tile(WB, (n, 1))
+    cms = np.tile(IDENTITY, (n, 1, 1))
+
+    staged = jax.device_put(mosaics, batch_sharding(mesh))
+    sharded = batch_develop_sharded(staged, params, wbs, cms, mesh,
+                                    rgba=True, output=output)
+    single = batch_develop_rgba(mosaics, params, wbs, cms, output=output)
+    assert len(sharded) == 3
+    for s, t, name in zip(sharded, single, ("y", "cb", "cr")):
+        assert s.dtype == np.uint8
+        assert np.array_equal(np.asarray(s), np.asarray(t)), name
+
+    # Collective guard: the composed program still has exactly the
+    # halo collective-permutes — the in-shard conversion adds none.
+    fn = functools.partial(batch_develop_sharded, mesh=mesh, rgba=True,
+                           output=output)
+    hlo = jax.jit(lambda m, p, w, c: fn(m, p, w, c)).lower(
+        staged, params, wbs, cms).compile().as_text()
+    assert len(re.findall(r"all-gather\(", hlo)) == 0
+    assert len(re.findall(r"all-to-all\(", hlo)) == 0
+
+
+def test_sharded_ycbcr_rejects_histogram(rng):
+    mesh = batch_row_mesh(row=2)
+    n = 4
+    mosaics = np.zeros((n, 32, 48), np.uint16)
+    staged = jax.device_put(mosaics, batch_sharding(mesh))
+    params = pack_params([EditParams() for _ in range(n)])
+    wbs = np.tile(WB, (n, 1))
+    cms = np.tile(IDENTITY, (n, 1, 1))
+    with pytest.raises(ValueError, match="ycbcr"):
+        batch_develop_sharded(staged, params, wbs, cms, mesh, rgba=True,
+                              with_histogram=True, output="ycbcr420")
