@@ -181,6 +181,42 @@ def _measure(results):
                 )
         except Exception:
             pass  # no trace support → wall lanes stand alone
+        # Fused JPEG-planes lane (late r3): the all-JPEG exporter runs
+        # this exact program — output='ycbcr420' emits the u8 Y plane +
+        # NV12-interleaved CbCr in-kernel (1.5 B/px written, no
+        # separate conversion pass), so its chip-side time is the
+        # export path's true per-image device cost.
+        try:
+            import tempfile
+
+            from raweditor_tpu.utils.profiling import (
+                device_execution_times, device_trace)
+
+            def batch_fn_420(p):
+                return pallas_batch_develop_rgba(
+                    mosaics_nb, pack_params([p] * nb), wbs_nb, cms_nb,
+                    gamma="poly", output="ycbcr420")
+
+            out = batch_fn_420(params)
+            np.asarray(checksum(out[0]))  # compile + sync
+            with tempfile.TemporaryDirectory() as tdir:
+                with device_trace(tdir):
+                    for i in range(6):
+                        out = batch_fn_420(
+                            params.replace(exposure=0.4 + 0.01 * i))
+                    np.asarray(checksum(out[0]))
+                durs = device_execution_times(
+                    tdir, "jit_pallas_batch_develop_rgba")
+            if durs:
+                med_ms = float(np.percentile(durs, 50))
+                results.update(
+                    export_planes_device_ms_per_image=round(
+                        med_ms / nb, 4),
+                    export_planes_develops_per_sec_device=round(
+                        nb * 1000.0 / med_ms, 2),
+                )
+        except Exception:
+            pass  # planes lane is additive — RGBA lanes stand alone
         del mosaics_nb, wbs_nb, cms_nb
     except Exception:
         pallas_batch_per_sec = 0.0
