@@ -554,7 +554,8 @@ def cmd_develop(args) -> int:
         )
     else:
         eng.export(args.output, params, quality=args.quality,
-                   jpeg_optimize=getattr(args, "optimize_jpeg", False),
+                   jpeg_optimize=(getattr(args, "optimize_jpeg", False)
+                                  or cfg.jpeg_optimize),
                    chroma=getattr(args, "chroma", "420"))
     print(args.output)
     return 0
@@ -588,7 +589,9 @@ def cmd_export(args) -> int:
         jobs_from_catalog,
         run_batch_export,
     )
+    from raweditor_tpu.utils.config import Config
 
+    cfg = Config.from_env()
     override = _params_from_args(args)
     if args.files:
         import os
@@ -634,7 +637,8 @@ def cmd_export(args) -> int:
                   != "gamma22" else None),
         bits=16 if args.ext == "tif" else 8,
         long_edge=getattr(args, "long_edge", 0) or None,
-        jpeg_optimize=getattr(args, "optimize_jpeg", False),
+        jpeg_optimize=(getattr(args, "optimize_jpeg", False)
+                       or cfg.jpeg_optimize),
         chroma=getattr(args, "chroma", "420"),
     )
     print(json.dumps(report.as_dict()))

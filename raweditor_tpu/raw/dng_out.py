@@ -181,7 +181,13 @@ def write_dng(path, img: RawImage, *, compression: str = "ljpeg",
 
     data = wtr.build([ifd0, sensor_ifd], chain=(0,))
     if path is not None:
+        from raweditor_tpu.pipeline.export import _atomic_write
+
         path = os.fspath(path)
-        with open(path, "wb") as f:
-            f.write(data)
+
+        def write(tmp_path):
+            with open(tmp_path, "wb") as f:
+                f.write(data)
+
+        _atomic_write(path, write)
     return data

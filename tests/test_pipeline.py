@@ -378,6 +378,31 @@ def test_jpeg_planes_odd_dims_fall_back(tmp_path, rng):
         assert im.size == (31, 23)
 
 
+def test_pil_fallback_honors_chroma_and_optimize(tmp_path, rng,
+                                                 monkeypatch):
+    """Without the native encoder, the PIL fallback must still honor
+    chroma='444' (subsampling=0) and jpeg_optimize — not silently write
+    4:2:0 against the user's flag (code-review r3 finding)."""
+    mosaic = rng.integers(0, 4096, size=(16, 24), dtype=np.uint16)
+    path = tmp_path / "f.nef"
+    write_synthetic_raw(path, mosaic)
+    monkeypatch.setattr("raweditor_tpu.native.get_rawkit", lambda: None)
+    rep = run_batch_export(
+        [ExportJob(raw_path=str(path),
+                   out_path=str(tmp_path / "f.jpg"))],
+        batch_size=1, quality=92, chroma="444", jpeg_optimize=True)
+    assert rep.succeeded == 1
+    with Image.open(tmp_path / "f.jpg") as im:
+        assert im.layer[0][1:3] == (1, 1)  # 1x1 sampling = 4:4:4
+    rep2 = run_batch_export(
+        [ExportJob(raw_path=str(path),
+                   out_path=str(tmp_path / "s.jpg"))],
+        batch_size=1, quality=92)
+    assert rep2.succeeded == 1
+    with Image.open(tmp_path / "s.jpg") as im:
+        assert im.layer[0][1:3] == (2, 2)  # default stays 4:2:0
+
+
 def test_device_failure_quarantines_batch(tmp_path, rng, monkeypatch):
     """A device-side failure (OOM, transport) on one batch quarantines
     that batch's images and the run continues — it must not kill a

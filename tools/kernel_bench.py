@@ -20,7 +20,6 @@ import argparse
 import json
 import sys
 import tempfile
-import time
 
 import numpy as np
 
@@ -57,7 +56,6 @@ def main() -> int:
 
     from raweditor_tpu.ops.pallas_develop import pallas_batch_develop_rgba
     from raweditor_tpu.parallel.batch import pack_params
-    import jax.numpy as jnp_
 
     nb = 8
     mosaics_nb = jnp.asarray(jnp.broadcast_to(mosaic, (nb,) + mosaic.shape))
@@ -80,7 +78,10 @@ def main() -> int:
     }
     chosen = [v.strip() for v in args.variants.split(",") if v.strip()]
 
-    checksum = jax.jit(lambda x: jnp.max(x))
+    def _ckmax(x):
+        return jnp.max(x)
+
+    checksum = jax.jit(_ckmax)
     out = {}
     for name in chosen:
         fn = variants[name]
@@ -93,10 +94,24 @@ def main() -> int:
                 np.asarray(checksum(r))
             # Every launch inside the trace window; match any jit'd
             # module on the device plane (the pallas call is inlined
-            # into the surrounding jit program).
+            # into the surrounding jit program). The final-sync
+            # checksum launch also matches "jit_" — its module is
+            # named after _ckmax, so drop its launches by name, not by
+            # a duration threshold (over a 24 MP output the max
+            # reduction is NOT cheap, and a threshold filter would let
+            # it pollute device_min_ms).
             durs = device_execution_times(tdir, "jit_")
-        durs = [d for d in durs if d > 0.05]  # drop the checksum launch
-        durs.sort()
+            ck = device_execution_times(tdir, "jit__ckmax")
+        from collections import Counter
+
+        ck_left = Counter(ck)
+        kept = []
+        for d in durs:
+            if ck_left.get(d, 0) > 0:
+                ck_left[d] -= 1
+                continue
+            kept.append(d)
+        durs = sorted(kept)
         rec = {
             "n": len(durs),
             "device_p50_ms": round(durs[len(durs) // 2], 4) if durs else 0,
