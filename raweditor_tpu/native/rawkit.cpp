@@ -1424,22 +1424,45 @@ const uint8_t kQuantChroma[64] = {
     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99};
 
 struct JpegBitWriter {
+  // 64-bit accumulator: individual puts are <=16 bits, so buffering up
+  // to 31 bits and draining 4 aligned bytes at a time is safe. The
+  // common no-0xFF word appends in one memcpy; stuffing (B.1.1.5)
+  // falls back to the per-byte path. Byte stream is identical to the
+  // old per-byte writer by construction.
   std::vector<uint8_t>& out;
-  uint32_t acc = 0;
+  uint64_t acc = 0;
   int nbits = 0;
   explicit JpegBitWriter(std::vector<uint8_t>& o) : out(o) {}
+  inline void emit_byte(uint8_t b) {
+    out.push_back(b);
+    if (b == 0xFF) out.push_back(0x00);  // byte stuffing (B.1.1.5)
+  }
   inline void put(uint32_t v, int len) {
-    acc = (acc << len) | (v & ((1u << len) - 1));
+    acc = (acc << len) | uint64_t(v & ((1u << len) - 1));
     nbits += len;
-    while (nbits >= 8) {
-      nbits -= 8;
-      uint8_t b = uint8_t(acc >> nbits);
-      out.push_back(b);
-      if (b == 0xFF) out.push_back(0x00);  // byte stuffing (B.1.1.5)
+    if (nbits >= 32) {
+      nbits -= 32;
+      uint32_t w = uint32_t(acc >> nbits);
+      uint32_t nx = ~w;  // any 0xFF byte? (zero-byte scan of ~w)
+      if (((nx - 0x01010101u) & ~nx & 0x80808080u) == 0) {
+        uint32_t be = __builtin_bswap32(w);
+        size_t s = out.size();
+        out.resize(s + 4);
+        std::memcpy(out.data() + s, &be, 4);
+      } else {
+        emit_byte(uint8_t(w >> 24));
+        emit_byte(uint8_t(w >> 16));
+        emit_byte(uint8_t(w >> 8));
+        emit_byte(uint8_t(w));
+      }
     }
   }
   void pad() {  // pad to byte boundary with 1-bits (F.1.2.3)
-    if (nbits) put((1u << (8 - nbits)) - 1, 8 - nbits);
+    if (nbits & 7) put((1u << (8 - (nbits & 7))) - 1, 8 - (nbits & 7));
+    while (nbits >= 8) {
+      nbits -= 8;
+      emit_byte(uint8_t(acc >> nbits));
+    }
   }
 };
 
@@ -1591,10 +1614,8 @@ static const uint8_t kAcChromaVals[162] = {
     0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa};
 
 inline int jpeg_category(int v) {  // size class of a DC diff / AC coeff
-  int a = v < 0 ? -v : v;
-  int s = 0;
-  while (a) { s++; a >>= 1; }
-  return s;
+  unsigned a = v < 0 ? unsigned(-v) : unsigned(v);
+  return a ? 32 - __builtin_clz(a) : 0;
 }
 
 // Forward 8x8 scaled DCT-II (Arai–Agui–Nakajima factorization: 5
@@ -1661,6 +1682,162 @@ inline void jpeg_block(const uint8_t* plane, int64_t pw, int64_t ph,
   }
 }
 
+// fDCT + quantize one block into NATURAL-order integer coefficients.
+// recip_nat is the per-natural-position reciprocal (quant step × AAN
+// scale divided out); rounding is half-away-from-zero, matching the
+// entropy layer's former inline quantizer bit for bit.
+static void jpeg_fdct_quant_scalar(const float in[64],
+                                   const float recip_nat[64],
+                                   int32_t qnat[64]) {
+  float out[64];
+  std::memcpy(out, in, sizeof out);
+  for (int y = 0; y < 8; y++) JpegDct::pass1d(out + y * 8, 1);  // rows
+  for (int x = 0; x < 8; x++) JpegDct::pass1d(out + x, 8);      // cols
+  for (int i = 0; i < 64; i++) {
+    float v = out[i] * recip_nat[i];
+    qnat[i] = int32_t(v < 0 ? v - 0.5f : v + 0.5f);
+  }
+}
+
+// ---- AVX2 fast path (runtime-dispatched; bit-identical results) -----------
+//
+// The same AAN butterflies run 8 lanes wide: transpose, vector pass
+// over the 8 rows in parallel, transpose, vector pass over the 8
+// columns. Every float op matches the scalar path's op (same order,
+// no FMA contraction on intrinsics), so outputs — and therefore the
+// encoded bytes — are identical; tests assert this by comparing
+// whole-file output against the scalar path.
+#if defined(__x86_64__) && defined(__GNUC__)
+#define RAWKIT_JPEG_AVX2 1
+#include <immintrin.h>
+
+static bool rawkit_has_avx2() {
+  // RAWKIT_JPEG_NO_AVX2=1 forces the scalar path — used by tests to
+  // assert the two paths produce identical bytes on AVX2 hosts. The
+  // env check is per call (os.environ toggles work in-process); the
+  // CPUID probe is cached.
+  static const bool hw = __builtin_cpu_supports("avx2");
+  return hw && std::getenv("RAWKIT_JPEG_NO_AVX2") == nullptr;
+}
+
+__attribute__((target("avx2"))) static inline void
+jpeg_transpose8_avx2(__m256 r[8]) {
+  __m256 t0 = _mm256_unpacklo_ps(r[0], r[1]);
+  __m256 t1 = _mm256_unpackhi_ps(r[0], r[1]);
+  __m256 t2 = _mm256_unpacklo_ps(r[2], r[3]);
+  __m256 t3 = _mm256_unpackhi_ps(r[2], r[3]);
+  __m256 t4 = _mm256_unpacklo_ps(r[4], r[5]);
+  __m256 t5 = _mm256_unpackhi_ps(r[4], r[5]);
+  __m256 t6 = _mm256_unpacklo_ps(r[6], r[7]);
+  __m256 t7 = _mm256_unpackhi_ps(r[6], r[7]);
+  __m256 s0 = _mm256_shuffle_ps(t0, t2, 0x44);
+  __m256 s1 = _mm256_shuffle_ps(t0, t2, 0xEE);
+  __m256 s2 = _mm256_shuffle_ps(t1, t3, 0x44);
+  __m256 s3 = _mm256_shuffle_ps(t1, t3, 0xEE);
+  __m256 s4 = _mm256_shuffle_ps(t4, t6, 0x44);
+  __m256 s5 = _mm256_shuffle_ps(t4, t6, 0xEE);
+  __m256 s6 = _mm256_shuffle_ps(t5, t7, 0x44);
+  __m256 s7 = _mm256_shuffle_ps(t5, t7, 0xEE);
+  r[0] = _mm256_permute2f128_ps(s0, s4, 0x20);
+  r[1] = _mm256_permute2f128_ps(s1, s5, 0x20);
+  r[2] = _mm256_permute2f128_ps(s2, s6, 0x20);
+  r[3] = _mm256_permute2f128_ps(s3, s7, 0x20);
+  r[4] = _mm256_permute2f128_ps(s0, s4, 0x31);
+  r[5] = _mm256_permute2f128_ps(s1, s5, 0x31);
+  r[6] = _mm256_permute2f128_ps(s2, s6, 0x31);
+  r[7] = _mm256_permute2f128_ps(s3, s7, 0x31);
+}
+
+// JpegDct::pass1d, 8 independent lanes at a time. r[k] holds pass
+// element k across the 8 lanes; output index mapping matches the
+// scalar d[0],d[4s],d[2s],d[6s],d[5s],d[3s],d[s],d[7s] stores.
+__attribute__((target("avx2"))) static inline void
+jpeg_vpass_avx2(__m256 r[8]) {
+  __m256 t0 = _mm256_add_ps(r[0], r[7]), t7 = _mm256_sub_ps(r[0], r[7]);
+  __m256 t1 = _mm256_add_ps(r[1], r[6]), t6 = _mm256_sub_ps(r[1], r[6]);
+  __m256 t2 = _mm256_add_ps(r[2], r[5]), t5 = _mm256_sub_ps(r[2], r[5]);
+  __m256 t3 = _mm256_add_ps(r[3], r[4]), t4 = _mm256_sub_ps(r[3], r[4]);
+  __m256 t10 = _mm256_add_ps(t0, t3), t13 = _mm256_sub_ps(t0, t3);
+  __m256 t11 = _mm256_add_ps(t1, t2), t12 = _mm256_sub_ps(t1, t2);
+  r[0] = _mm256_add_ps(t10, t11);
+  r[4] = _mm256_sub_ps(t10, t11);
+  __m256 z1 = _mm256_mul_ps(_mm256_add_ps(t12, t13),
+                            _mm256_set1_ps(0.707106781f));
+  r[2] = _mm256_add_ps(t13, z1);
+  r[6] = _mm256_sub_ps(t13, z1);
+  t10 = _mm256_add_ps(t4, t5);
+  t11 = _mm256_add_ps(t5, t6);
+  t12 = _mm256_add_ps(t6, t7);
+  __m256 z5 = _mm256_mul_ps(_mm256_sub_ps(t10, t12),
+                            _mm256_set1_ps(0.382683433f));
+  __m256 z2 = _mm256_add_ps(
+      _mm256_mul_ps(_mm256_set1_ps(0.541196100f), t10), z5);
+  __m256 z4 = _mm256_add_ps(
+      _mm256_mul_ps(_mm256_set1_ps(1.306562965f), t12), z5);
+  __m256 z3 = _mm256_mul_ps(t11, _mm256_set1_ps(0.707106781f));
+  __m256 z11 = _mm256_add_ps(t7, z3), z13 = _mm256_sub_ps(t7, z3);
+  r[5] = _mm256_add_ps(z13, z2);
+  r[3] = _mm256_sub_ps(z13, z2);
+  r[1] = _mm256_add_ps(z11, z4);
+  r[7] = _mm256_sub_ps(z11, z4);
+}
+
+__attribute__((target("avx2"))) static void
+jpeg_extract_avx2(const uint8_t* plane, int64_t pw, int64_t bx,
+                  int64_t by, float out[64]) {
+  const __m256 c128 = _mm256_set1_ps(128.0f);
+  for (int y = 0; y < 8; y++) {
+    const uint8_t* p = plane + (by + y) * pw + bx;
+    __m128i b;
+    std::memcpy(&b, p, 8);  // loadl_epi64 without alignment UB
+    __m256 f = _mm256_cvtepi32_ps(_mm256_cvtepu8_epi32(b));
+    _mm256_storeu_ps(out + y * 8, _mm256_sub_ps(f, c128));
+  }
+}
+
+__attribute__((target("avx2"))) static void
+jpeg_fdct_quant_avx2(const float in[64], const float recip_nat[64],
+                     int32_t qnat[64]) {
+  __m256 r[8];
+  for (int i = 0; i < 8; i++) r[i] = _mm256_loadu_ps(in + 8 * i);
+  jpeg_transpose8_avx2(r);
+  jpeg_vpass_avx2(r);  // row pass (lanes = rows)
+  jpeg_transpose8_avx2(r);
+  jpeg_vpass_avx2(r);  // column pass (lanes = columns)
+  const __m256 half = _mm256_set1_ps(0.5f);
+  const __m256 sign = _mm256_set1_ps(-0.0f);
+  for (int i = 0; i < 8; i++) {
+    __m256 v = _mm256_mul_ps(r[i], _mm256_loadu_ps(recip_nat + 8 * i));
+    // round half away from zero: trunc(v + copysign(0.5, v))
+    __m256 adj = _mm256_or_ps(half, _mm256_and_ps(v, sign));
+    _mm256_storeu_si256(
+        reinterpret_cast<__m256i*>(qnat + 8 * i),
+        _mm256_cvttps_epi32(_mm256_add_ps(v, adj)));
+  }
+}
+
+__attribute__((target("avx2"))) static uint64_t
+jpeg_zigzag_mask_avx2(const int32_t qnat[64], int32_t qzz[64]) {
+  static const int32_t zi[64] = {
+      0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+  uint64_t mask = 0;
+  const __m256i zero = _mm256_setzero_si256();
+  for (int i = 0; i < 8; i++) {
+    __m256i idx = _mm256_loadu_si256(
+        reinterpret_cast<const __m256i*>(zi + 8 * i));
+    __m256i v = _mm256_i32gather_epi32(qnat, idx, 4);
+    _mm256_storeu_si256(reinterpret_cast<__m256i*>(qzz + 8 * i), v);
+    uint32_t z = uint32_t(_mm256_movemask_ps(
+        _mm256_castsi256_ps(_mm256_cmpeq_epi32(v, zero))));
+    mask |= uint64_t(~z & 0xFFu) << (8 * i);
+  }
+  return mask;
+}
+#endif  // RAWKIT_JPEG_AVX2
+
 struct JpegSymbolSink {  // pass 1: histogram; pass 2: emit
   uint32_t* dc_freq = nullptr;
   uint32_t* ac_freq = nullptr;
@@ -1668,13 +1845,16 @@ struct JpegSymbolSink {  // pass 1: histogram; pass 2: emit
   const HuffTable* ac = nullptr;
   JpegBitWriter* bw = nullptr;
 
+  // Code + appended magnitude bits fuse into one put (<=16+11 bits):
+  // one accumulator round trip per symbol instead of two.
   inline void dc_symbol(int diff) {
     int s = jpeg_category(diff);
     if (dc_freq) {
       dc_freq[s]++;
     } else {
-      bw->put(dc->code[s], dc->size[s]);
-      if (s) bw->put(uint32_t(diff < 0 ? diff - 1 : diff), s);
+      uint32_t extra = uint32_t(diff < 0 ? diff - 1 : diff)
+                       & ((1u << s) - 1);
+      bw->put((uint32_t(dc->code[s]) << s) | extra, dc->size[s] + s);
     }
   }
   inline void ac_symbol(int run_size, int coeff) {
@@ -1682,37 +1862,51 @@ struct JpegSymbolSink {  // pass 1: histogram; pass 2: emit
     if (ac_freq) {
       ac_freq[run_size]++;
     } else {
-      bw->put(ac->code[run_size], ac->size[run_size]);
-      if (s) bw->put(uint32_t(coeff < 0 ? coeff - 1 : coeff), s);
+      uint32_t extra = uint32_t(coeff < 0 ? coeff - 1 : coeff)
+                       & ((1u << s) - 1);
+      bw->put((uint32_t(ac->code[run_size]) << s) | extra,
+              ac->size[run_size] + s);
     }
   }
 };
 
-// Quantize + symbolize one block; prev_dc is per-component state.
-inline void jpeg_code_block(const float dct[64], const float recip[64],
-                            int& prev_dc, JpegSymbolSink& sink) {
-  int q[64];
+// Zigzag-reorder a quantized block and return its nonzero bitmask
+// (bit i = zigzag position i). The mask lets the symbolizer jump
+// straight between nonzero coefficients with ctz instead of testing
+// all 63 AC positions.
+static uint64_t jpeg_zigzag_mask_scalar(const int32_t qnat[64],
+                                        int32_t qzz[64]) {
+  uint64_t mask = 0;
   for (int i = 0; i < 64; i++) {
-    float v = dct[kJpegZigzag[i]] * recip[i];
-    q[i] = int(v < 0 ? v - 0.5f : v + 0.5f);
+    int32_t v = qnat[kJpegZigzag[i]];
+    qzz[i] = v;
+    mask |= uint64_t(v != 0) << i;
   }
-  int diff = q[0] - prev_dc;
-  prev_dc = q[0];
-  sink.dc_symbol(diff);
-  int run = 0;
-  for (int i = 1; i < 64; i++) {
-    if (q[i] == 0) {
-      run++;
-      continue;
-    }
+  return mask;
+}
+
+// Symbolize one quantized block (zigzag-order coefficients + nonzero
+// mask); prev_dc is per-component state.
+inline void jpeg_code_block(const int32_t qzz[64], uint64_t nz,
+                            int& prev_dc, JpegSymbolSink& sink) {
+  int dc = int(qzz[0]);
+  sink.dc_symbol(dc - prev_dc);
+  prev_dc = dc;
+  nz &= ~uint64_t(1);  // AC positions only
+  int last = 0;
+  while (nz) {
+    int i = __builtin_ctzll(nz);
+    nz &= nz - 1;
+    int run = i - last - 1;
     while (run > 15) {
       sink.ac_symbol(0xF0, 0);  // ZRL
       run -= 16;
     }
-    sink.ac_symbol((run << 4) | jpeg_category(q[i]), q[i]);
-    run = 0;
+    int q = int(qzz[i]);
+    sink.ac_symbol((run << 4) | jpeg_category(q), q);
+    last = i;
   }
-  if (run) sink.ac_symbol(0x00, 0);  // EOB
+  if (last != 63) sink.ac_symbol(0x00, 0);  // EOB
 }
 
 inline void jpeg_marker(std::vector<uint8_t>& o, uint8_t m, size_t len) {
@@ -1751,22 +1945,51 @@ std::vector<uint8_t> encode_jpeg_420_impl(const uint8_t* yp,
       qtab[t][i] = uint8_t(v);
     }
   }
-  // Quant tables are stored/indexed in zigzag order per the spec; the
-  // natural-order Annex K constants above are zigzag-reordered here.
-  // The quantizer reciprocals additionally divide out the AAN scaled-
-  // DCT magnitude of each coefficient's natural position.
+  // Quant tables are stored in zigzag order per the spec (DQT below);
+  // the quantizer itself runs in natural order (the fDCT's output
+  // layout) with reciprocals that additionally divide out the AAN
+  // scaled-DCT magnitude of each natural position — the zigzag
+  // reorder happens during symbolization.
   uint8_t qzig[2][64];
-  float recip_zig[2][64];
+  float recip_nat[2][64];
   for (int t = 0; t < 2; t++)
     for (int i = 0; i < 64; i++) {
       qzig[t][i] = qtab[t][kJpegZigzag[i]];
-      recip_zig[t][i] =
-          float(1.0 / (double(qzig[t][i]) * jpeg_aan_scale(kJpegZigzag[i])));
+      recip_nat[t][i] =
+          float(1.0 / (double(qtab[t][i]) * jpeg_aan_scale(i)));
     }
 
   const int64_t mcux = chroma420 ? (width + 15) / 16 : (width + 7) / 8;
   const int64_t mcuy = chroma420 ? (height + 15) / 16 : (height + 7) / 8;
-  JpegDct dct;
+#if defined(RAWKIT_JPEG_AVX2)
+  const bool use_avx2 = rawkit_has_avx2();
+#else
+  const bool use_avx2 = false;
+#endif
+  // Extract + fDCT + quantize + zigzag one block into qzz (returning
+  // the nonzero mask); AVX2 when the CPU has it (interior blocks also
+  // vectorize the u8 extract), scalar otherwise — identical outputs
+  // either way.
+  float px_buf[64];
+  int32_t qnat_buf[64];
+  auto prepare = [&](const uint8_t* plane, int64_t pw, int64_t ph,
+                     int64_t bx, int64_t by, const float* recip,
+                     int32_t qzz[64]) -> uint64_t {
+#if defined(RAWKIT_JPEG_AVX2)
+    if (use_avx2) {
+      if (bx + 8 <= pw && by + 8 <= ph)
+        jpeg_extract_avx2(plane, pw, bx, by, px_buf);
+      else
+        jpeg_block(plane, pw, ph, bx, by, px_buf);
+      jpeg_fdct_quant_avx2(px_buf, recip, qnat_buf);
+      return jpeg_zigzag_mask_avx2(qnat_buf, qzz);
+    }
+#endif
+    (void)use_avx2;
+    jpeg_block(plane, pw, ph, bx, by, px_buf);
+    jpeg_fdct_quant_scalar(px_buf, recip, qnat_buf);
+    return jpeg_zigzag_mask_scalar(qnat_buf, qzz);
+  };
 
   // optimize=true: two passes over the MCU stream — histogram, then
   // emit (the DCT is recomputed in pass 2: cheaper in practice than
@@ -1804,23 +2027,22 @@ std::vector<uint8_t> encode_jpeg_420_impl(const uint8_t* yp,
       chroma.bw = &bw;
     }
     int prev_dc[3] = {0, 0, 0};
-    float px[64], fd[64];
+    int32_t qzz[64];
+    uint64_t nz;
     for (int64_t my = 0; my < mcuy; my++)
       for (int64_t mx = 0; mx < mcux; mx++) {
         const int ny = chroma420 ? 4 : 1;
         for (int sub = 0; sub < ny; sub++) {  // Y blocks, h2v2 order
-          jpeg_block(yp, width, height,
-                     chroma420 ? mx * 16 + (sub & 1) * 8 : mx * 8,
-                     chroma420 ? my * 16 + (sub >> 1) * 8 : my * 8, px);
-          dct.forward(px, fd);
-          jpeg_code_block(fd, recip_zig[0], prev_dc[0], luma);
+          nz = prepare(yp, width, height,
+                       chroma420 ? mx * 16 + (sub & 1) * 8 : mx * 8,
+                       chroma420 ? my * 16 + (sub >> 1) * 8 : my * 8,
+                       recip_nat[0], qzz);
+          jpeg_code_block(qzz, nz, prev_dc[0], luma);
         }
-        jpeg_block(cbp, cw, ch, mx * 8, my * 8, px);
-        dct.forward(px, fd);
-        jpeg_code_block(fd, recip_zig[1], prev_dc[1], chroma);
-        jpeg_block(crp, cw, ch, mx * 8, my * 8, px);
-        dct.forward(px, fd);
-        jpeg_code_block(fd, recip_zig[1], prev_dc[2], chroma);
+        nz = prepare(cbp, cw, ch, mx * 8, my * 8, recip_nat[1], qzz);
+        jpeg_code_block(qzz, nz, prev_dc[1], chroma);
+        nz = prepare(crp, cw, ch, mx * 8, my * 8, recip_nat[1], qzz);
+        jpeg_code_block(qzz, nz, prev_dc[2], chroma);
       }
     if (pass == 0)
       for (int t = 0; t < 4; t++)

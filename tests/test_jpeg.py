@@ -170,6 +170,38 @@ class TestNativeEncoder:
         with Image.open(io.BytesIO(data)) as im:
             assert im.size == (64, 48)
 
+    def test_avx2_and_scalar_paths_identical(self, rng, monkeypatch):
+        """The runtime-dispatched AVX2 extract/fDCT/quantize path must
+        produce byte-identical files to the scalar path (same float op
+        order by construction; this pins it). On hosts without AVX2
+        both runs take the scalar path and the assert is trivially
+        true."""
+        # Non-multiple-of-16 dims: edge-replicated blocks on both axes
+        # (even, for the reference 2x2 chroma box).
+        h, w = 52, 82
+        yy, xx = np.mgrid[0:h, 0:w]
+        rgb = np.stack([xx / w * 255, yy / h * 255,
+                        np.sin(xx / 3.0) * 110 + 120], -1).astype(np.uint8)
+        noise = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for img in (rgb, noise):
+            y, cb, cr = _ref_planes(img)
+            for q, opt in ((35, False), (92, False), (95, True)):
+                a = rk.encode_jpeg_420(y.tobytes(), cb.tobytes(),
+                                       cr.tobytes(), w, h, q, opt)
+                monkeypatch.setenv("RAWKIT_JPEG_NO_AVX2", "1")
+                b = rk.encode_jpeg_420(y.tobytes(), cb.tobytes(),
+                                       cr.tobytes(), w, h, q, opt)
+                monkeypatch.delenv("RAWKIT_JPEG_NO_AVX2")
+                assert a == b, (q, opt)
+            yf = np.ascontiguousarray(img[:51, :81, 0])  # odd dims
+            a = rk.encode_jpeg_444(yf.tobytes(), yf.tobytes(),
+                                   yf.tobytes(), 81, 51, 92, False)
+            monkeypatch.setenv("RAWKIT_JPEG_NO_AVX2", "1")
+            b = rk.encode_jpeg_444(yf.tobytes(), yf.tobytes(),
+                                   yf.tobytes(), 81, 51, 92, False)
+            monkeypatch.delenv("RAWKIT_JPEG_NO_AVX2")
+            assert a == b
+
     def test_bad_args_raise(self):
         with pytest.raises(ValueError):
             rk.encode_jpeg_420(b"", b"", b"", 8, 8, 90)

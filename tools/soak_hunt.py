@@ -19,6 +19,12 @@ class). This is the cross-implementation oracle for every native
 decode entry point: LJPEG, Nikon, ARW2, ORF, RW2, PEF, Kodak 65000,
 RADC, CRW, SRW v1/v3, CRX (both codepaths of tiled and banded CR3).
 
+``--encode`` fuzzes the JPEG encoder instead: random dims × content
+class × quality × optimize × both chroma modes, every case encoded
+through BOTH the AVX2 and forced-scalar (RAWKIT_JPEG_NO_AVX2) paths
+with byte equality required. Run it under the ASan build below for
+memory-safety coverage of the encoder.
+
 Soak record:
 - round 2: ~1M mutated files through the native-preferred path. One
   SIGSEGV (seed 25, round 233: SOF3 width 0 -> NULL planes read in
@@ -63,7 +69,63 @@ from raweditor_tpu.raw.synth import (write_synthetic_orf,
 SEED = int(sys.argv[1])
 SECONDS = float(sys.argv[2])
 DIFFERENTIAL = "--differential" in sys.argv[3:]
+ENCODE = "--encode" in sys.argv[3:]
 rng = np.random.default_rng(SEED)
+
+
+def encode_fuzz() -> None:
+    """JPEG-encoder fuzz: random dims × content class × quality ×
+    optimize × both chroma modes, each case encoded through BOTH the
+    AVX2 and the forced-scalar path (RAWKIT_JPEG_NO_AVX2) with byte
+    equality required. Run under the ASan build (docstring recipe) to
+    cover memory safety; deterministic per seed."""
+    import os
+
+    rk = native_mod.get_rawkit()
+    if rk is None:
+        raise SystemExit("--encode needs the native extension")
+    t_end = time.time() + SECONDS
+    n = 0
+    while time.time() < t_end:
+        w = int(rng.integers(1, 97))
+        h = int(rng.integers(1, 97))
+        q = int(rng.integers(1, 101))
+        opt = bool(rng.integers(0, 2))
+        kind = int(rng.integers(0, 3))
+        if kind == 0:
+            y = rng.integers(0, 256, (h, w), np.uint8)
+        elif kind == 1:
+            y = np.full((h, w), rng.integers(0, 256), np.uint8)
+        else:
+            yy, xx = np.mgrid[0:h, 0:w]
+            y = ((xx * 255 // max(w - 1, 1)) ^ (yy * 3)).astype(np.uint8)
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+        cb = rng.integers(0, 256, (ch, cw), np.uint8)
+        cr = rng.integers(0, 256, (ch, cw), np.uint8)
+        with open(f"/tmp/soak_pos_{SEED}.txt", "w") as f:
+            f.write(f"encode {n} {w}x{h} q={q} opt={opt} kind={kind}")
+        a420 = rk.encode_jpeg_420(y.tobytes(), cb.tobytes(), cr.tobytes(),
+                                  w, h, q, opt)
+        a444 = rk.encode_jpeg_444(y.tobytes(), y.tobytes(), y.tobytes(),
+                                  w, h, q, opt)
+        os.environ["RAWKIT_JPEG_NO_AVX2"] = "1"
+        try:
+            b420 = rk.encode_jpeg_420(y.tobytes(), cb.tobytes(),
+                                      cr.tobytes(), w, h, q, opt)
+            b444 = rk.encode_jpeg_444(y.tobytes(), y.tobytes(),
+                                      y.tobytes(), w, h, q, opt)
+        finally:
+            del os.environ["RAWKIT_JPEG_NO_AVX2"]
+        if a420 != b420 or a444 != b444:
+            raise SystemExit(f"AVX2/scalar MISMATCH seed={SEED} "
+                             f"{w}x{h} q={q} opt={opt} kind={kind}")
+        n += 4
+    print(f"seed {SEED}: {n} encodes (AVX2+scalar differential) clean")
+
+
+if ENCODE:
+    encode_fuzz()
+    sys.exit(0)
 m = rng.integers(0, 4096, size=(12, 16), dtype=np.uint16)
 m32 = rng.integers(0, 4096, size=(8, 32), dtype=np.uint16)
 m14 = rw2_representable(rng.integers(0, 4096, size=(8, 28),
