@@ -13,6 +13,10 @@ fraction. Numbers on the 1-vCPU dev box are per-thread; the batch
 exporter scales them linearly across its decode pool (C++ paths
 release the GIL). Run it alone — any concurrent CPU work (pytest,
 bench.py's e2e lane) poisons the numbers.
+
+``--codec jpeg_encode`` adds the JPEG *encoder* lanes (420/444 ×
+single-pass/optimize at q90, natural-content planes) — the source of
+docs/performance.md's encoder MP/s claims.
 """
 
 import argparse
@@ -74,18 +78,69 @@ def _fixtures(mp: float, rng):
     return out
 
 
+def _bench_jpeg_encode(mp: float, repeats: int, results: dict) -> None:
+    """Encoder lanes: natural-content YCbCr planes at q90."""
+    from raweditor_tpu.native import get_rawkit
+
+    rk = get_rawkit()
+    if rk is None:
+        print("jpeg_encode: native extension not available")
+        return
+    rng = np.random.default_rng(1)
+    h = int((mp * 1e6 * 3 / 4) ** 0.5)
+    h -= h % 2
+    w = int(h * 4 / 3)
+    w -= w % 2
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (128 + 100 * np.sin(xx / 97.0) * np.cos(yy / 61.0))
+    y = np.clip(base + rng.normal(0, 6, (h, w)), 0, 255).astype(np.uint8)
+    cb = np.clip(base[::2, ::2] * 0.5 + 64, 0, 255).astype(np.uint8)
+    cr = np.clip(255 - base[::2, ::2] * 0.5, 0, 255).astype(np.uint8)
+    yb = y.tobytes()
+    cbb, crb = np.ascontiguousarray(cb).tobytes(), \
+        np.ascontiguousarray(cr).tobytes()
+    lanes = {
+        "jpeg420_q90": lambda: rk.encode_jpeg_420(yb, cbb, crb, w, h,
+                                                  90, False),
+        "jpeg420_q90_opt": lambda: rk.encode_jpeg_420(yb, cbb, crb, w, h,
+                                                      90, True),
+        "jpeg444_q90": lambda: rk.encode_jpeg_444(yb, yb, yb, w, h,
+                                                  90, False),
+    }
+    mpx = h * w / 1e6
+    for name, fn in lanes.items():
+        data = fn()  # warm
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        results[name] = {
+            "mp": round(mpx, 2),
+            "ms": round(best * 1000, 1),
+            "mps": round(mpx / best, 1),
+            "file_mb": round(len(data) / 1e6, 2),
+        }
+        print(f"{name:16s} {mpx:6.2f} MP  {best * 1000:8.1f} ms  "
+              f"{mpx / best:7.1f} MP/s", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mp", type=float, default=8.0,
                     help="approx megapixels per fixture")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--codec", nargs="*", default=None,
-                    help="subset of codecs (default: all)")
+                    help="subset of codecs (default: all decoders; "
+                         "'jpeg_encode' adds the encoder lanes)")
     args = ap.parse_args()
     rng = np.random.default_rng(0)
     fixtures = _fixtures(args.mp, rng)
     names = args.codec or list(fixtures)
     results = {}
+    if "jpeg_encode" in names:
+        names = [n for n in names if n != "jpeg_encode"]
+        _bench_jpeg_encode(args.mp, args.repeats, results)
     for name in names:
         blob = fixtures[name]()
         raw = decode_raw(blob)
