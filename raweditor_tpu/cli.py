@@ -141,6 +141,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chroma", choices=("420", "444"), default="420",
                    help="JPEG chroma subsampling (444 = full-res "
                         "chroma for color-critical output)")
+    p.add_argument("--jpeg-restart", type=int, default=0,
+                   metavar="ROWS",
+                   help="emit DRI/RSTn restart markers every ROWS MCU "
+                        "rows and encode the independent segments on "
+                        "all host cores (resilient streams + parallel "
+                        "single-image encode; 0 = off)")
     p.add_argument("--fast", action="store_true",
                    help="use the fused Pallas kernel (±1 LSB)")
     p.add_argument("--fast-gamma", action="store_true",
@@ -211,6 +217,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chroma", choices=("420", "444"), default="420",
                    help="JPEG chroma subsampling (444 = full-res "
                         "chroma for color-critical output)")
+    p.add_argument("--jpeg-restart", type=int, default=0,
+                   metavar="ROWS",
+                   help="emit DRI/RSTn restart markers every ROWS MCU "
+                        "rows (resilient streams; 0 = off)")
     p.add_argument("--long-edge", type=int, default=0,
                    help="resize so the longer side is this many pixels "
                         "(device-side Lanczos3; never upscales; 0 = "
@@ -556,7 +566,8 @@ def cmd_develop(args) -> int:
         eng.export(args.output, params, quality=args.quality,
                    jpeg_optimize=(getattr(args, "optimize_jpeg", False)
                                   or cfg.jpeg_optimize),
-                   chroma=getattr(args, "chroma", "420"))
+                   chroma=getattr(args, "chroma", "420"),
+                   jpeg_restart_rows=getattr(args, "jpeg_restart", 0))
     print(args.output)
     return 0
 
@@ -640,6 +651,7 @@ def cmd_export(args) -> int:
         jpeg_optimize=(getattr(args, "optimize_jpeg", False)
                        or cfg.jpeg_optimize),
         chroma=getattr(args, "chroma", "420"),
+        jpeg_restart_rows=getattr(args, "jpeg_restart", 0),
     )
     print(json.dumps(report.as_dict()))
     return 0 if not report.failed else 1

@@ -17,12 +17,17 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <functional>
+#include <mutex>
 #include <stdexcept>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -1926,7 +1931,9 @@ std::vector<uint8_t> encode_jpeg_420_impl(const uint8_t* yp,
                                           int64_t width, int64_t height,
                                           int quality,
                                           bool optimize = true,
-                                          bool chroma420 = true) {
+                                          bool chroma420 = true,
+                                          int64_t restart_rows = 0,
+                                          int threads = 1) {
   if (width <= 0 || height <= 0 || width > 65535 || height > 65535)
     throw std::runtime_error("bad dimensions");
   if (quality < 1) quality = 1;
@@ -1966,70 +1973,62 @@ std::vector<uint8_t> encode_jpeg_420_impl(const uint8_t* yp,
 #else
   const bool use_avx2 = false;
 #endif
-  // Extract + fDCT + quantize + zigzag one block into qzz (returning
-  // the nonzero mask); AVX2 when the CPU has it (interior blocks also
-  // vectorize the u8 extract), scalar otherwise — identical outputs
-  // either way.
-  float px_buf[64];
-  int32_t qnat_buf[64];
-  auto prepare = [&](const uint8_t* plane, int64_t pw, int64_t ph,
-                     int64_t bx, int64_t by, const float* recip,
-                     int32_t qzz[64]) -> uint64_t {
-#if defined(RAWKIT_JPEG_AVX2)
-    if (use_avx2) {
-      if (bx + 8 <= pw && by + 8 <= ph)
-        jpeg_extract_avx2(plane, pw, bx, by, px_buf);
-      else
-        jpeg_block(plane, pw, ph, bx, by, px_buf);
-      jpeg_fdct_quant_avx2(px_buf, recip, qnat_buf);
-      return jpeg_zigzag_mask_avx2(qnat_buf, qzz);
-    }
-#endif
-    (void)use_avx2;
-    jpeg_block(plane, pw, ph, bx, by, px_buf);
-    jpeg_fdct_quant_scalar(px_buf, recip, qnat_buf);
-    return jpeg_zigzag_mask_scalar(qnat_buf, qzz);
+
+  // Restart segmentation (T.81 E.2.4): the scan splits into segments
+  // of `restart_rows` MCU rows; DC prediction resets and the bit
+  // stream byte-aligns at every boundary, an RSTn marker (cycling
+  // 0-7) separates segments, and a DRI marker declares the interval.
+  // Segments are fully independent, so they encode on `threads`
+  // worker threads and the bytes are concatenated — identical output
+  // for any thread count by construction. restart_rows=0 (default):
+  // one segment, no DRI/RSTn, byte-identical to the pre-restart
+  // encoder.
+  if (restart_rows < 0) restart_rows = 0;
+  const int64_t seg_rows = restart_rows > 0 ? restart_rows : mcuy;
+  const int64_t nseg = (mcuy + seg_rows - 1) / seg_rows;
+  const int64_t interval = seg_rows * mcux;  // MCUs between restarts
+  if (nseg > 1 && interval > 65535)
+    throw std::runtime_error(
+        "restart interval exceeds 65535 MCUs (use fewer restart rows)");
+
+  // Per-segment state for both passes.
+  struct SegFreq {
+    uint32_t dcf[2][257];
+    uint32_t acf[2][257];
   };
+  std::vector<SegFreq> freqs;
+  std::vector<std::vector<uint8_t>> seg_scans;
+  seg_scans.resize(size_t(nseg));
 
-  // optimize=true: two passes over the MCU stream — histogram, then
-  // emit (the DCT is recomputed in pass 2: cheaper in practice than
-  // materializing ~70 MB of coefficients for a 24 MP frame, and the
-  // block walk is identical by construction). optimize=false: one
-  // pass with the Annex K typical tables — ~1.9x faster for ~3-5%
-  // larger files (the libjpeg optimize_coding trade, inverted).
-  HuffTable huff[4];  // 0: DC luma, 1: AC luma, 2: DC chroma, 3: AC chroma
-  if (!optimize) {
-    huff[0].build_spec(kDcLumaBits, kDcLumaVals, sizeof kDcLumaVals);
-    huff[1].build_spec(kAcLumaBits, kAcLumaVals, sizeof kAcLumaVals);
-    huff[2].build_spec(kDcChromaBits, kDcChromaVals,
-                       sizeof kDcChromaVals);
-    huff[3].build_spec(kAcChromaBits, kAcChromaVals,
-                       sizeof kAcChromaVals);
-  }
-  std::vector<uint8_t> scan;
-  scan.reserve(size_t(width) * height / 4);
-  JpegBitWriter bw(scan);
-
-  for (int pass = optimize ? 0 : 1; pass < 2; pass++) {
-    uint32_t dcf[2][257] = {{0}}, acf[2][257] = {{0}};
-    JpegSymbolSink luma, chroma;
-    if (pass == 0) {
-      luma.dc_freq = dcf[0];
-      luma.ac_freq = acf[0];
-      chroma.dc_freq = dcf[1];
-      chroma.ac_freq = acf[1];
-    } else {
-      luma.dc = &huff[0];
-      luma.ac = &huff[1];
-      luma.bw = &bw;
-      chroma.dc = &huff[2];
-      chroma.ac = &huff[3];
-      chroma.bw = &bw;
-    }
+  // Encode (or histogram) one segment's MCU rows with private block
+  // buffers and freshly-reset DC predictors.
+  auto run_segment = [&](int64_t seg, JpegSymbolSink luma,
+                         JpegSymbolSink chroma) {
+    float px_buf[64];
+    int32_t qnat_buf[64];
+    auto prepare = [&](const uint8_t* plane, int64_t pw, int64_t ph,
+                       int64_t bx, int64_t by, const float* recip,
+                       int32_t qzz[64]) -> uint64_t {
+#if defined(RAWKIT_JPEG_AVX2)
+      if (use_avx2) {
+        if (bx + 8 <= pw && by + 8 <= ph)
+          jpeg_extract_avx2(plane, pw, bx, by, px_buf);
+        else
+          jpeg_block(plane, pw, ph, bx, by, px_buf);
+        jpeg_fdct_quant_avx2(px_buf, recip, qnat_buf);
+        return jpeg_zigzag_mask_avx2(qnat_buf, qzz);
+      }
+#endif
+      (void)use_avx2;
+      jpeg_block(plane, pw, ph, bx, by, px_buf);
+      jpeg_fdct_quant_scalar(px_buf, recip, qnat_buf);
+      return jpeg_zigzag_mask_scalar(qnat_buf, qzz);
+    };
     int prev_dc[3] = {0, 0, 0};
     int32_t qzz[64];
     uint64_t nz;
-    for (int64_t my = 0; my < mcuy; my++)
+    const int64_t my1 = std::min(mcuy, (seg + 1) * seg_rows);
+    for (int64_t my = seg * seg_rows; my < my1; my++)
       for (int64_t mx = 0; mx < mcux; mx++) {
         const int ny = chroma420 ? 4 : 1;
         for (int sub = 0; sub < ny; sub++) {  // Y blocks, h2v2 order
@@ -2044,11 +2043,107 @@ std::vector<uint8_t> encode_jpeg_420_impl(const uint8_t* yp,
         nz = prepare(crp, cw, ch, mx * 8, my * 8, recip_nat[1], qzz);
         jpeg_code_block(qzz, nz, prev_dc[2], chroma);
       }
-    if (pass == 0)
-      for (int t = 0; t < 4; t++)
-        huff[t].build(t & 1 ? acf[t >> 1] : dcf[t >> 1]);
+  };
+
+  // Run `body(seg)` over all segments, work-stealing across threads.
+  auto for_segments = [&](const std::function<void(int64_t)>& body) {
+    int nthreads = threads;
+    if (nthreads <= 0) {
+      unsigned hc = std::thread::hardware_concurrency();
+      nthreads = hc ? int(hc) : 1;
+    }
+    if (int64_t(nthreads) > nseg) nthreads = int(nseg);
+    if (nthreads <= 1) {
+      for (int64_t s = 0; s < nseg; s++) body(s);
+      return;
+    }
+    std::atomic<int64_t> next{0};
+    std::exception_ptr eptr = nullptr;
+    std::mutex emu;
+    std::vector<std::thread> pool;
+    pool.reserve(size_t(nthreads));
+    for (int t = 0; t < nthreads; t++)
+      pool.emplace_back([&]() {
+        try {
+          for (;;) {
+            int64_t s = next.fetch_add(1);
+            if (s >= nseg) break;
+            body(s);
+          }
+        } catch (...) {
+          std::lock_guard<std::mutex> g(emu);
+          if (!eptr) eptr = std::current_exception();
+        }
+      });
+    for (auto& th : pool) th.join();
+    if (eptr) std::rethrow_exception(eptr);
+  };
+
+  // optimize=true: two passes over the MCU stream — histogram, then
+  // emit (the DCT is recomputed in pass 2: cheaper in practice than
+  // materializing ~70 MB of coefficients for a 24 MP frame, and the
+  // block walk is identical by construction). optimize=false: one
+  // pass with the Annex K typical tables — ~1.9x faster for ~3-5%
+  // larger files (the libjpeg optimize_coding trade, inverted).
+  HuffTable huff[4];  // 0: DC luma, 1: AC luma, 2: DC chroma, 3: AC chroma
+  if (optimize) {
+    freqs.assign(size_t(nseg), SegFreq());
+    for (auto& f : freqs) std::memset(&f, 0, sizeof f);
+    for_segments([&](int64_t seg) {
+      JpegSymbolSink luma, chroma;
+      luma.dc_freq = freqs[seg].dcf[0];
+      luma.ac_freq = freqs[seg].acf[0];
+      chroma.dc_freq = freqs[seg].dcf[1];
+      chroma.ac_freq = freqs[seg].acf[1];
+      run_segment(seg, luma, chroma);
+    });
+    uint32_t dcf[2][257] = {{0}}, acf[2][257] = {{0}};
+    for (const auto& f : freqs)
+      for (int t = 0; t < 2; t++)
+        for (int i = 0; i < 257; i++) {
+          dcf[t][i] += f.dcf[t][i];
+          acf[t][i] += f.acf[t][i];
+        }
+    for (int t = 0; t < 4; t++)
+      huff[t].build(t & 1 ? acf[t >> 1] : dcf[t >> 1]);
+  } else {
+    huff[0].build_spec(kDcLumaBits, kDcLumaVals, sizeof kDcLumaVals);
+    huff[1].build_spec(kAcLumaBits, kAcLumaVals, sizeof kAcLumaVals);
+    huff[2].build_spec(kDcChromaBits, kDcChromaVals,
+                       sizeof kDcChromaVals);
+    huff[3].build_spec(kAcChromaBits, kAcChromaVals,
+                       sizeof kAcChromaVals);
   }
-  bw.pad();
+
+  for_segments([&](int64_t seg) {
+    seg_scans[seg].reserve(size_t(width) * height / 4 / nseg + 64);
+    JpegBitWriter bw(seg_scans[seg]);
+    JpegSymbolSink luma, chroma;
+    luma.dc = &huff[0];
+    luma.ac = &huff[1];
+    luma.bw = &bw;
+    chroma.dc = &huff[2];
+    chroma.ac = &huff[3];
+    chroma.bw = &bw;
+    run_segment(seg, luma, chroma);
+    bw.pad();  // restart boundaries are byte-aligned (F.1.2.3)
+  });
+
+  std::vector<uint8_t> scan;
+  {
+    size_t total = size_t(2) * (nseg - 1);
+    for (const auto& s : seg_scans) total += s.size();
+    scan.reserve(total);
+    for (int64_t s = 0; s < nseg; s++) {
+      scan.insert(scan.end(), seg_scans[s].begin(), seg_scans[s].end());
+      if (s + 1 < nseg) {  // RSTn between segments, cycling 0-7
+        scan.push_back(0xFF);
+        scan.push_back(uint8_t(0xD0 + (s & 7)));
+      }
+      seg_scans[s].clear();
+      seg_scans[s].shrink_to_fit();
+    }
+  }
 
   std::vector<uint8_t> out;
   out.reserve(scan.size() + 1024);
@@ -2086,6 +2181,10 @@ std::vector<uint8_t> encode_jpeg_420_impl(const uint8_t* yp,
     out.push_back(uint8_t(((t & 1) << 4) | (t >> 1)));
     out.insert(out.end(), h.bits + 1, h.bits + 17);
     out.insert(out.end(), h.vals.begin(), h.vals.end());
+  }
+  if (nseg > 1) {  // DRI: restart interval in MCUs (B.2.4.4)
+    jpeg_marker(out, 0xDD, 2);
+    push16(uint16_t(interval));
   }
   {  // SOS
     jpeg_marker(out, 0xDA, 10);
@@ -3023,8 +3122,11 @@ static PyObject* py_encode_jpeg_420(PyObject*, PyObject* args) {
   Py_buffer y, cb, cr;
   int width, height, quality;
   int optimize = 1;
-  if (!PyArg_ParseTuple(args, "y*y*y*iii|p", &y, &cb, &cr, &width,
-                        &height, &quality, &optimize))
+  int restart_rows = 0;
+  int threads = 1;
+  if (!PyArg_ParseTuple(args, "y*y*y*iii|pii", &y, &cb, &cr, &width,
+                        &height, &quality, &optimize, &restart_rows,
+                        &threads))
     return nullptr;
   std::string err;
   std::vector<uint8_t> out;
@@ -3040,7 +3142,9 @@ static PyObject* py_encode_jpeg_420(PyObject*, PyObject* args) {
       out = encode_jpeg_420_impl(static_cast<const uint8_t*>(y.buf),
                                  static_cast<const uint8_t*>(cb.buf),
                                  static_cast<const uint8_t*>(cr.buf), width,
-                                 height, quality, optimize != 0);
+                                 height, quality, optimize != 0,
+                                 /*chroma420=*/true, restart_rows,
+                                 threads);
     } catch (const std::exception& e) {
       err = e.what();
     }
@@ -3061,8 +3165,11 @@ static PyObject* py_encode_jpeg_444(PyObject*, PyObject* args) {
   Py_buffer y, cb, cr;
   int width, height, quality;
   int optimize = 1;
-  if (!PyArg_ParseTuple(args, "y*y*y*iii|p", &y, &cb, &cr, &width,
-                        &height, &quality, &optimize))
+  int restart_rows = 0;
+  int threads = 1;
+  if (!PyArg_ParseTuple(args, "y*y*y*iii|pii", &y, &cb, &cr, &width,
+                        &height, &quality, &optimize, &restart_rows,
+                        &threads))
     return nullptr;
   std::string err;
   std::vector<uint8_t> out;
@@ -3079,7 +3186,8 @@ static PyObject* py_encode_jpeg_444(PyObject*, PyObject* args) {
                                  static_cast<const uint8_t*>(cb.buf),
                                  static_cast<const uint8_t*>(cr.buf), width,
                                  height, quality, optimize != 0,
-                                 /*chroma420=*/false);
+                                 /*chroma420=*/false, restart_rows,
+                                 threads);
     } catch (const std::exception& e) {
       err = e.what();
     }
@@ -3253,13 +3361,16 @@ static PyMethodDef RawkitMethods[] = {
     {"decode_crx_band", py_decode_crx_band, METH_VARARGS,
      "decode_crx_band(data, width, height, k_init) -> i32 bytes"},
     {"encode_jpeg_420", py_encode_jpeg_420, METH_VARARGS,
-     "encode_jpeg_420(y, cb, cr, width, height, quality, optimize=True)"
-     " -> JFIF bytes (optimize=False: Annex K fixed Huffman tables,"
-     " ~1.9x faster, ~3-5% larger)"},
+     "encode_jpeg_420(y, cb, cr, width, height, quality, optimize=True,"
+     " restart_rows=0, threads=1) -> JFIF bytes (optimize=False: Annex"
+     " K fixed Huffman tables, ~1.9x faster, ~3-5% larger)."
+     " restart_rows>0 emits DRI/RSTn every that many MCU rows and"
+     " encodes segments on `threads` workers (0=auto); output bytes"
+     " are thread-count-invariant"},
     {"encode_jpeg_444", py_encode_jpeg_444, METH_VARARGS,
-     "encode_jpeg_444(y, cb, cr, width, height, quality, optimize=True)"
-     " -> JFIF bytes; cb/cr are FULL-resolution planes (no chroma"
-     " subsampling)"},
+     "encode_jpeg_444(y, cb, cr, width, height, quality, optimize=True,"
+     " restart_rows=0, threads=1) -> JFIF bytes; cb/cr are"
+     " FULL-resolution planes (no chroma subsampling)"},
     {"huffman_pack", py_huffman_pack, METH_VARARGS,
      "huffman_pack(diffs, itemsize, code_tab_u64, clen_tab_i32, "
      "max_raw_cat) -> packed bitstream bytes (diffs: signed ints of "

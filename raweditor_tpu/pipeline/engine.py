@@ -412,14 +412,19 @@ class DevelopEngine:
     def export(self, path: os.PathLike, params: EditParams,
                quality: int = 95, long_edge: int = None,
                jpeg_optimize: bool = False,
-               chroma: str = "420") -> str:
+               chroma: str = "420",
+               jpeg_restart_rows: int = 0) -> str:
         """Full-res develop → JPEG/PNG/TIFF by extension; RGBA→RGB strip
         for JPEG on the host like the reference
         (reference: main.rs:1744-1799, alpha strip at
         main.rs:1778-1781). A .tif/.tiff extension writes 16-bit RGB
         (beyond the reference; see raw/tiff_out.py). ``long_edge``
         Lanczos3-resizes on device before the fetch (never upscales,
-        see ops/resize.long_edge_shape)."""
+        see ops/resize.long_edge_shape). ``jpeg_restart_rows`` > 0
+        emits DRI/RSTn restart markers every that many MCU rows and
+        encodes the independent segments across all host cores
+        (byte-identical for any core count) — resilient streams +
+        parallel single-image encode."""
         from PIL import Image
 
         if os.path.splitext(os.fspath(path))[1].lower() in (
@@ -431,7 +436,8 @@ class DevelopEngine:
             jpeg = self._export_jpeg_planes(path, params, quality,
                                             long_edge=long_edge,
                                             optimize=jpeg_optimize,
-                                            chroma=chroma)
+                                            chroma=chroma,
+                                            restart_rows=jpeg_restart_rows)
             if jpeg is not None:
                 return jpeg
         words_dev = self.full_rgba_device(params)
@@ -476,7 +482,8 @@ class DevelopEngine:
     def _export_jpeg_planes(self, path: os.PathLike, params: EditParams,
                             quality: int, long_edge: int = None,
                             optimize: bool = False,
-                            chroma: str = "420"):
+                            chroma: str = "420",
+                            restart_rows: int = 0):
         """JPEG export via device YCbCr planes + the native JFIF
         encoder (the batch exporter's transport-optimized path,
         ops/jpeg.py): 1.5 bytes/pixel fetched instead of 4 (chroma
@@ -518,7 +525,8 @@ class DevelopEngine:
             np.ascontiguousarray(np.asarray(y)),
             np.ascontiguousarray(np.asarray(cb)),
             np.ascontiguousarray(np.asarray(cr)),
-            out_w, out_h, quality, optimize)
+            out_w, out_h, quality, optimize,
+            max(0, int(restart_rows)), 0)  # threads=0: all host cores
         from raweditor_tpu.raw.exif import splice_exif
 
         data = splice_exif(data, self._exif_bytes())

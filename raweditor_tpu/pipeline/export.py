@@ -404,11 +404,14 @@ def _encode_one_jpeg420(out_path: str, y: np.ndarray, cb: np.ndarray,
                         cr: np.ndarray, quality: int,
                         exif: bytes = b"",
                         optimize: bool = False,
-                        chroma: str = "420") -> None:
+                        chroma: str = "420",
+                        restart_rows: int = 0) -> None:
     """Encode device-produced YCbCr planes (ops/jpeg.py) through the
     native baseline JFIF encoder — no host colorspace pass; 1.5
     bytes/pixel fetched instead of 4 for '420' (3 B/px for '444').
-    Atomic like the PIL path."""
+    Atomic like the PIL path. ``restart_rows`` > 0 writes DRI/RSTn
+    resilient streams; single-threaded here because the encode POOL
+    already saturates the host cores across images."""
     from raweditor_tpu.native import get_rawkit
 
     rk = get_rawkit()
@@ -418,7 +421,8 @@ def _encode_one_jpeg420(out_path: str, y: np.ndarray, cb: np.ndarray,
     # directly (they arrive as contiguous per-image copies).
     data = encode(
         np.ascontiguousarray(y), np.ascontiguousarray(cb),
-        np.ascontiguousarray(cr), w, h, quality, optimize)
+        np.ascontiguousarray(cr), w, h, quality, optimize,
+        max(0, int(restart_rows)), 1)
     if exif:
         from raweditor_tpu.raw.exif import splice_exif
 
@@ -461,6 +465,7 @@ def run_batch_export(
     long_edge: Optional[int] = None,
     jpeg_optimize: bool = False,
     chroma: str = "420",
+    jpeg_restart_rows: int = 0,
 ) -> ExportReport:
     """Develop and encode every job; returns a report with throughput
     and the per-image quarantine list.
@@ -584,14 +589,15 @@ def run_batch_export(
                     fut = encode_pool.submit(
                         _encode_one_jpeg420, d.job.out_path, y.copy(),
                         cbcr[:, 0::2].copy(), cbcr[:, 1::2].copy(),
-                        quality, exif, jpeg_optimize, chroma
+                        quality, exif, jpeg_optimize, chroma,
+                        jpeg_restart_rows
                     )
                 elif isinstance(host, tuple):  # YCbCr plane triple
                     y, cb, cr = (p[i] for p in host)
                     fut = encode_pool.submit(
                         _encode_one_jpeg420, d.job.out_path, y.copy(),
                         cb.copy(), cr.copy(), quality, exif,
-                        jpeg_optimize, chroma
+                        jpeg_optimize, chroma, jpeg_restart_rows
                     )
                 elif bits == 16:
                     fut = encode_pool.submit(

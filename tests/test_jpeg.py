@@ -202,6 +202,39 @@ class TestNativeEncoder:
             monkeypatch.delenv("RAWKIT_JPEG_NO_AVX2")
             assert a == b
 
+    def test_restart_markers(self, rng):
+        """restart_rows > 0: DRI declared, RSTn separate byte-aligned
+        independent segments, any thread count produces identical
+        bytes, and the decoded pixels equal the no-restart stream's
+        (same coefficients, different entropy segmentation)."""
+        h, w = 96, 128  # 6 MCU rows in 4:2:0
+        yy, xx = np.mgrid[0:h, 0:w]
+        rgb = np.stack([xx / w * 255, yy / h * 255,
+                        np.sin(xx / 4.0) * 100 + 128], -1).astype(np.uint8)
+        y, cb, cr = _ref_planes(rgb)
+        args = (y.tobytes(), cb.tobytes(), cr.tobytes(), w, h, 90)
+        for opt in (False, True):
+            plain = rk.encode_jpeg_420(*args, opt)
+            rst = rk.encode_jpeg_420(*args, opt, 2, 1)  # 3 segments
+            assert b"\xff\xdd" not in plain  # no DRI without restarts
+            assert b"\xff\xdd\x00\x04" in rst  # DRI, length 4
+            assert rst.count(b"\xff\xd0") >= 1  # RST0 present
+            for t in (2, 4, 0):
+                assert rk.encode_jpeg_420(*args, opt, 2, t) == rst, t
+            a = np.asarray(Image.open(io.BytesIO(plain)).convert("RGB"))
+            b = np.asarray(Image.open(io.BytesIO(rst)).convert("RGB"))
+            assert np.array_equal(a, b)
+        # restart_rows covering the whole image = one segment = the
+        # plain stream, byte for byte (no DRI emitted).
+        assert rk.encode_jpeg_420(*args, False, 99, 4) == \
+            rk.encode_jpeg_420(*args, False)
+        # 4:4:4 restart streams decode too.
+        yf = np.ascontiguousarray(rgb[:, :, 0])
+        r4 = rk.encode_jpeg_444(yf.tobytes(), yf.tobytes(), yf.tobytes(),
+                                w, h, 90, False, 3, 2)
+        with Image.open(io.BytesIO(r4)) as im:
+            assert im.size == (w, h)
+
     def test_bad_args_raise(self):
         with pytest.raises(ValueError):
             rk.encode_jpeg_420(b"", b"", b"", 8, 8, 90)

@@ -102,18 +102,28 @@ def encode_fuzz() -> None:
         cw, ch = (w + 1) // 2, (h + 1) // 2
         cb = rng.integers(0, 256, (ch, cw), np.uint8)
         cr = rng.integers(0, 256, (ch, cw), np.uint8)
+        rr = int(rng.integers(0, 5))       # restart rows (0 = off)
+        threads = int(rng.integers(1, 5))  # segment encode threads
         with open(f"/tmp/soak_pos_{SEED}.txt", "w") as f:
-            f.write(f"encode {n} {w}x{h} q={q} opt={opt} kind={kind}")
+            f.write(f"encode {n} {w}x{h} q={q} opt={opt} kind={kind} "
+                    f"rr={rr} threads={threads}")
         a420 = rk.encode_jpeg_420(y.tobytes(), cb.tobytes(), cr.tobytes(),
-                                  w, h, q, opt)
+                                  w, h, q, opt, rr, threads)
         a444 = rk.encode_jpeg_444(y.tobytes(), y.tobytes(), y.tobytes(),
-                                  w, h, q, opt)
+                                  w, h, q, opt, rr, threads)
+        # Thread-count invariance of the segmented stream.
+        if threads != 1:
+            if rk.encode_jpeg_420(y.tobytes(), cb.tobytes(), cr.tobytes(),
+                                  w, h, q, opt, rr, 1) != a420:
+                raise SystemExit(f"THREAD VARIANCE seed={SEED} case {n}")
         os.environ["RAWKIT_JPEG_NO_AVX2"] = "1"
         try:
             b420 = rk.encode_jpeg_420(y.tobytes(), cb.tobytes(),
-                                      cr.tobytes(), w, h, q, opt)
+                                      cr.tobytes(), w, h, q, opt, rr,
+                                      threads)
             b444 = rk.encode_jpeg_444(y.tobytes(), y.tobytes(),
-                                      y.tobytes(), w, h, q, opt)
+                                      y.tobytes(), w, h, q, opt, rr,
+                                      threads)
         finally:
             del os.environ["RAWKIT_JPEG_NO_AVX2"]
         if a420 != b420 or a444 != b444:
