@@ -2087,8 +2087,7 @@ std::vector<uint8_t> encode_jpeg_420_impl(const uint8_t* yp,
   // larger files (the libjpeg optimize_coding trade, inverted).
   HuffTable huff[4];  // 0: DC luma, 1: AC luma, 2: DC chroma, 3: AC chroma
   if (optimize) {
-    freqs.assign(size_t(nseg), SegFreq());
-    for (auto& f : freqs) std::memset(&f, 0, sizeof f);
+    freqs.assign(size_t(nseg), SegFreq());  // value-init zeroes counts
     for_segments([&](int64_t seg) {
       JpegSymbolSink luma, chroma;
       luma.dc_freq = freqs[seg].dcf[0];

@@ -463,9 +463,16 @@ class DevelopEngine:
         if os.path.splitext(path)[1].lower() == ".png":
             img.save(path, exif=exif)
         else:
+            # The flags survive this PIL fallback (auto-orient, odd
+            # dims, missing extension): 4:4:4, optimize, and restart
+            # markers (PIL's restart_marker_rows is the same MCU-row
+            # unit as the native encoder's restart_rows).
             kw = {"subsampling": 0} if chroma == "444" else {}
+            if jpeg_restart_rows > 0:
+                kw["restart_marker_rows"] = int(jpeg_restart_rows)
             img.convert("RGB").save(path, format="JPEG", quality=quality,
-                                    exif=exif, **kw)
+                                    exif=exif, optimize=jpeg_optimize,
+                                    **kw)
         return path
 
     def _exif_bytes(self) -> bytes:

@@ -305,14 +305,15 @@ def _atomic_write(out_path: str, write_fn) -> None:
 
 def _encode_one(out_path: str, rgba_words: np.ndarray, quality: int,
                 exif: bytes = b"", optimize: bool = False,
-                chroma: str = "420") -> None:
+                chroma: str = "420", restart_rows: int = 0) -> None:
     """Encode a (H, W) u32 packed-RGBA image. The RGBA→RGB strip for
     JPEG happens here on the host, exactly like the reference
     (reference: main.rs:1778-1781). ``exif`` carries the camera
     provenance + orientation metadata (raw/exif.py). When this PIL
     path stands in for the native planes encoder (stale/absent
-    extension), it still honors chroma='444' (subsampling=0) and
-    ``optimize`` so the user's flags survive the fallback."""
+    extension), it still honors chroma='444' (subsampling=0),
+    ``optimize``, and ``restart_rows`` (PIL's restart_marker_rows is
+    the same MCU-row unit) so the user's flags survive the fallback."""
     from PIL import Image
 
     h, w = rgba_words.shape
@@ -326,6 +327,8 @@ def _encode_one(out_path: str, rgba_words: np.ndarray, quality: int,
             img.save(tmp_path, format="PNG", exif=exif)
         else:
             kw = {"subsampling": 0} if chroma == "444" else {}
+            if restart_rows > 0:
+                kw["restart_marker_rows"] = int(restart_rows)
             img.convert("RGB").save(tmp_path, format="JPEG",
                                     quality=quality, exif=exif,
                                     optimize=optimize, **kw)
@@ -607,7 +610,8 @@ def run_batch_export(
                 else:
                     fut = encode_pool.submit(
                         _encode_one, d.job.out_path, host[i].copy(),
-                        quality, exif, jpeg_optimize, chroma
+                        quality, exif, jpeg_optimize, chroma,
+                        jpeg_restart_rows
                     )
                 encode_futures.append((fut, d.job))
             # Backpressure: the device can outrun host JPEG encode by ~20×;

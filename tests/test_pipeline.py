@@ -390,10 +390,13 @@ def test_pil_fallback_honors_chroma_and_optimize(tmp_path, rng,
     rep = run_batch_export(
         [ExportJob(raw_path=str(path),
                    out_path=str(tmp_path / "f.jpg"))],
-        batch_size=1, quality=92, chroma="444", jpeg_optimize=True)
+        batch_size=1, quality=92, chroma="444", jpeg_optimize=True,
+        jpeg_restart_rows=1)
     assert rep.succeeded == 1
     with Image.open(tmp_path / "f.jpg") as im:
         assert im.layer[0][1:3] == (1, 1)  # 1x1 sampling = 4:4:4
+    with open(tmp_path / "f.jpg", "rb") as f:
+        assert b"\xff\xdd" in f.read()  # restart markers survive too
     rep2 = run_batch_export(
         [ExportJob(raw_path=str(path),
                    out_path=str(tmp_path / "s.jpg"))],

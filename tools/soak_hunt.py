@@ -111,10 +111,14 @@ def encode_fuzz() -> None:
                                   w, h, q, opt, rr, threads)
         a444 = rk.encode_jpeg_444(y.tobytes(), y.tobytes(), y.tobytes(),
                                   w, h, q, opt, rr, threads)
-        # Thread-count invariance of the segmented stream.
+        # Thread-count invariance of the segmented streams (both MCU
+        # geometries: 4:2:0 h2v2 and 4:4:4 h1v1).
         if threads != 1:
-            if rk.encode_jpeg_420(y.tobytes(), cb.tobytes(), cr.tobytes(),
-                                  w, h, q, opt, rr, 1) != a420:
+            if (rk.encode_jpeg_420(y.tobytes(), cb.tobytes(), cr.tobytes(),
+                                   w, h, q, opt, rr, 1) != a420
+                    or rk.encode_jpeg_444(y.tobytes(), y.tobytes(),
+                                          y.tobytes(), w, h, q, opt,
+                                          rr, 1) != a444):
                 raise SystemExit(f"THREAD VARIANCE seed={SEED} case {n}")
         os.environ["RAWKIT_JPEG_NO_AVX2"] = "1"
         try:
