@@ -106,6 +106,43 @@ void unpack_rows(const uint8_t* src, int64_t src_len, uint16_t* dst,
   }
 }
 
+// Staging packs (ops/staging.py fast paths): bit-pack u16 mosaics for
+// the H2D link — 12-bit: 2 samples -> 3 bytes; 14-bit: 4 -> 7. Byte
+// semantics identical to the numpy reference (uint8 truncation), and
+// the GIL is released so decode workers keep streaming.
+void pack12_impl(const uint16_t* src, int64_t h, int64_t w, uint8_t* dst) {
+  const int64_t pairs = w / 2;
+  for (int64_t y = 0; y < h; y++) {
+    const uint16_t* s = src + y * w;
+    uint8_t* d = dst + y * pairs * 3;
+    for (int64_t i = 0; i < pairs; i++) {
+      uint32_t e = s[2 * i], o = s[2 * i + 1];
+      d[3 * i] = uint8_t(e >> 4);
+      d[3 * i + 1] = uint8_t(((e & 0xF) << 4) | (o >> 8));
+      d[3 * i + 2] = uint8_t(o);
+    }
+  }
+}
+
+void pack14_impl(const uint16_t* src, int64_t h, int64_t w, uint8_t* dst) {
+  const int64_t quads = w / 4;
+  for (int64_t y = 0; y < h; y++) {
+    const uint16_t* s = src + y * w;
+    uint8_t* d = dst + y * quads * 7;
+    for (int64_t i = 0; i < quads; i++) {
+      uint32_t a = s[4 * i], b = s[4 * i + 1], c = s[4 * i + 2],
+               e = s[4 * i + 3];
+      d[7 * i] = uint8_t(a >> 6);
+      d[7 * i + 1] = uint8_t(((a & 0x3F) << 2) | (b >> 12));
+      d[7 * i + 2] = uint8_t(b >> 4);
+      d[7 * i + 3] = uint8_t(((b & 0xF) << 4) | (c >> 10));
+      d[7 * i + 4] = uint8_t(c >> 2);
+      d[7 * i + 5] = uint8_t(((c & 0x3) << 6) | (e >> 8));
+      d[7 * i + 6] = uint8_t(e);
+    }
+  }
+}
+
 // ---------------------------------------------------------------------------
 // Lossless JPEG (SOF3)
 // ---------------------------------------------------------------------------
@@ -2539,6 +2576,40 @@ static PyObject* py_unpack_bits(PyObject*, PyObject* args) {
   return unpack_impl(buf, width, height, bpp, true);
 }
 
+static PyObject* py_pack_rows(PyObject* args, int bits) {
+  Py_buffer buf;
+  long long width, height;
+  if (!PyArg_ParseTuple(args, "y*LL", &buf, &height, &width))
+    return nullptr;
+  const int group = bits == 12 ? 2 : 4;
+  const int gbytes = bits == 12 ? 3 : 7;
+  if (width <= 0 || height <= 0 || width % group ||
+      buf.len < int64_t(width) * height * 2) {
+    PyBuffer_Release(&buf);
+    PyErr_SetString(PyExc_ValueError, "bad pack dimensions");
+    return nullptr;
+  }
+  PyObject* out = PyBytes_FromStringAndSize(
+      nullptr, int64_t(width) / group * gbytes * height);
+  if (!out) { PyBuffer_Release(&buf); return nullptr; }
+  uint8_t* dst = reinterpret_cast<uint8_t*>(PyBytes_AS_STRING(out));
+  const uint16_t* src = static_cast<const uint16_t*>(buf.buf);
+  Py_BEGIN_ALLOW_THREADS
+  if (bits == 12) pack12_impl(src, height, width, dst);
+  else pack14_impl(src, height, width, dst);
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&buf);
+  return out;
+}
+
+static PyObject* py_pack12_rows(PyObject*, PyObject* args) {
+  return py_pack_rows(args, 12);
+}
+
+static PyObject* py_pack14_rows(PyObject*, PyObject* args) {
+  return py_pack_rows(args, 14);
+}
+
 static PyObject* py_decode_ljpeg(PyObject*, PyObject* args) {
   Py_buffer buf;
   if (!PyArg_ParseTuple(args, "y*", &buf)) return nullptr;
@@ -3370,6 +3441,12 @@ static PyMethodDef RawkitMethods[] = {
      "encode_jpeg_444(y, cb, cr, width, height, quality, optimize=True,"
      " restart_rows=0, threads=1) -> JFIF bytes; cb/cr are"
      " FULL-resolution planes (no chroma subsampling)"},
+    {"pack12_rows", py_pack12_rows, METH_VARARGS,
+     "pack12_rows(u16_bytes, height, width) -> packed u8 bytes "
+     "(2 samples -> 3 bytes; ops/staging.py H2D fast path)"},
+    {"pack14_rows", py_pack14_rows, METH_VARARGS,
+     "pack14_rows(u16_bytes, height, width) -> packed u8 bytes "
+     "(4 samples -> 7 bytes)"},
     {"huffman_pack", py_huffman_pack, METH_VARARGS,
      "huffman_pack(diffs, itemsize, code_tab_u64, clen_tab_i32, "
      "max_raw_cat) -> packed bitstream bytes (diffs: signed ints of "

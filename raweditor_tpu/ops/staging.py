@@ -13,12 +13,30 @@ from __future__ import annotations
 import numpy as np
 
 
+def _native_pack(m: np.ndarray, attr: str):
+    """C++ pack (GIL-released; ~15x the numpy path on 24 MP — decode
+    workers keep streaming instead of serializing on a 200 ms
+    GIL-held numpy pass). None if the extension is unavailable."""
+    from raweditor_tpu.native import get_rawkit
+
+    rk = get_rawkit()
+    if rk is None or not hasattr(rk, attr):
+        return None
+    h, w = m.shape
+    m = np.ascontiguousarray(m, dtype=np.uint16)
+    packed = getattr(rk, attr)(m, h, w)
+    return np.frombuffer(packed, np.uint8).reshape(h, -1)
+
+
 def pack12_rows(mosaic):
     """Host-side: (H, W) u16 with samples < 4096 and even W → a
     (H, W//2*3) u8 buffer, two samples per three bytes. Cuts the
     host→device staging of 12-bit mosaics (the dominant sensor depth)
     by 25%; :func:`unpack12_rows` inverts it on device."""
     m = np.asarray(mosaic)
+    native = _native_pack(m, "pack12_rows")
+    if native is not None:
+        return native
     h, w = m.shape
     e = m[:, 0::2].astype(np.uint32)
     o = m[:, 1::2].astype(np.uint32)
@@ -47,6 +65,9 @@ def pack14_rows(mosaic):
     (H, W//4*7) u8, four samples per seven bytes (12.5% saved). Byte
     math only — the device inverse needs no 64-bit ops."""
     m = np.asarray(mosaic)
+    native = _native_pack(m, "pack14_rows")
+    if native is not None:
+        return native
     h, w = m.shape
     s = m.reshape(h, w // 4, 4).astype(np.uint32)
     out = np.empty((h, w // 4, 7), np.uint8)

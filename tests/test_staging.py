@@ -39,6 +39,36 @@ def test_pack14_round_trip(rng):
             np.asarray(unpack14_rows(pack14_rows(c))), c)
 
 
+def test_native_pack_matches_numpy(rng, monkeypatch):
+    """The C++ pack fast paths must be byte-identical to the numpy
+    reference — including OUT-OF-CONTRACT sample values (both sides
+    truncate the same way), non-contiguous inputs, and odd heights."""
+    import pytest
+
+    from raweditor_tpu.native import get_rawkit
+    from raweditor_tpu.ops.staging import pack14_rows
+
+    if get_rawkit() is None or not hasattr(get_rawkit(), "pack12_rows"):
+        pytest.skip("native extension not built")
+    cases = [
+        rng.integers(0, 4096, size=(11, 24), dtype=np.uint16),
+        rng.integers(0, 65536, size=(7, 16), dtype=np.uint16),  # wild
+        np.asfortranarray(
+            rng.integers(0, 4096, size=(6, 8), dtype=np.uint16)),
+        rng.integers(0, 4096, size=(32, 64), dtype=np.uint16)[::2, :],
+    ]
+    for m in cases:
+        a12 = pack12_rows(m)
+        a14 = pack14_rows(m)
+        monkeypatch.setattr("raweditor_tpu.native.get_rawkit",
+                            lambda: None)
+        b12 = pack12_rows(m)
+        b14 = pack14_rows(m)
+        monkeypatch.undo()
+        assert np.array_equal(a12, b12)
+        assert np.array_equal(a14, b14)
+
+
 def test_export_stages_14bit_packed(tmp_path, rng):
     h, w = 16, 24
     m = rng.integers(4096, 16384, size=(h, w), dtype=np.uint16)
