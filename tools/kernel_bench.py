@@ -111,7 +111,12 @@ def main() -> int:
                 ck_left[d] -= 1
                 continue
             kept.append(d)
-        durs = sorted(kept)
+        # Some variants dispatch small auxiliary modules per call
+        # (e.g. the batch variant's params-table staging). The main
+        # program launches exactly `iters` times — keep the iters
+        # largest durations so p50/min measure the kernel, not the
+        # helpers.
+        durs = sorted(sorted(kept, reverse=True)[:args.iters])
         rec = {
             "n": len(durs),
             "device_p50_ms": round(durs[len(durs) // 2], 4) if durs else 0,
