@@ -238,7 +238,12 @@ def _decode_job(job: ExportJob, mode: str, upload_pool=None):
 # (8 x 36 MB) with headroom; partial batches use whatever fit.
 _STAGE_BUDGET = int(os.environ.get(
     "RAWEDITOR_TPU_STAGE_BUDGET_MB", "512")) * 1_000_000
-_stage_lock = None
+# Module-level construction: a lazily-built lock would itself need a
+# lock (two first-ever concurrent runs could each build one and guard
+# the budget counters with different objects — code-review r3).
+import threading as _threading  # noqa: E402
+
+_stage_lock = _threading.Lock()
 _stage_used = 0
 
 
@@ -246,11 +251,6 @@ _stage_runs = 0  # active run_batch_export calls (leak self-healing)
 
 
 def _ensure_stage_lock():
-    global _stage_lock
-    if _stage_lock is None:
-        import threading
-
-        _stage_lock = threading.Lock()
     return _stage_lock
 
 
@@ -322,8 +322,17 @@ def _encode_one(out_path: str, rgba_words: np.ndarray, quality: int,
         "raw", "RGBA", 0, 1,
     )
 
+    ext = os.path.splitext(out_path)[1].lower()
+    if ext not in (".png", ".jpg", ".jpeg"):
+        # 8-bit exports are JPEG/PNG only; writing JPEG bytes under a
+        # .tif name (etc.) would report success and poison
+        # skip_existing reruns (code-review r3). 16-bit TIFF rides
+        # _encode_one_tiff16 via bits=16.
+        raise ValueError(f"unsupported 8-bit export extension {ext!r} "
+                         "(use .jpg/.jpeg/.png, or bits=16 for .tif)")
+
     def write(tmp_path):
-        if out_path.lower().endswith(".png"):
+        if ext == ".png":
             img.save(tmp_path, format="PNG", exif=exif)
         else:
             kw = {"subsampling": 0} if chroma == "444" else {}
@@ -495,6 +504,22 @@ def run_batch_export(
         transfer = "srgb_poly"
     if bits not in (8, 16):
         raise ValueError("bits must be 8 or 16")
+    from raweditor_tpu.color import PALLAS_GAMMA_BY_TRANSFER
+
+    if transfer not in PALLAS_GAMMA_BY_TRANSFER:
+        # Validated up front so the Pallas path can't silently render
+        # an unknown transfer with pow gamma while the XLA path would
+        # quarantine every batch (code-review r3).
+        raise ValueError(
+            f"unknown transfer {transfer!r}; expected one of "
+            f"{sorted(PALLAS_GAMMA_BY_TRANSFER)}")
+    if mesh is not None and not {"batch", "row"} <= set(mesh.shape):
+        # The staging/dispatch shardings name both axes; a mesh missing
+        # one would fail deep inside the first flush and quarantine the
+        # whole run batch by batch (code-review r3).
+        raise ValueError(
+            "run_batch_export meshes need 'batch' and 'row' axes "
+            "(parallel.batch_row_mesh builds one)")
     if bits == 16 and mesh is not None and \
             dict(mesh.shape).get("row", 1) != 1:
         # The 16-bit lane is the vmapped develop (no row-sharded
@@ -643,14 +668,18 @@ def run_batch_export(
             np.asarray(leaf[(0,) * leaf.ndim])
             dev_s = time.perf_counter() - t0
             t1 = time.perf_counter()
-            if isinstance(out, tuple):  # YCbCr 4:2:0 planes
-                fulls = tuple(np.asarray(p) for p in out)
-                nbytes = sum(p.nbytes for p in fulls)
-                host = tuple(p[: len(batch)] for p in fulls)
+            # Slice the padding off ON DEVICE before fetching: a
+            # drain-time bucket of 1 with batch_size=8 would otherwise
+            # pull 7 replayed frames across the link (material on the
+            # bandwidth-starved dev transport; code-review r3). The
+            # device slice is a cheap copy next to the transfer.
+            n = len(batch)
+            if isinstance(out, tuple):  # YCbCr planes
+                host = tuple(np.asarray(p[:n]) for p in out)
+                nbytes = sum(p.nbytes for p in host)
             else:
-                full = np.asarray(out)  # the padded batch is what crosses
-                nbytes = full.nbytes
-                host = full[: len(batch)]
+                host = np.asarray(out[:n])
+                nbytes = host.nbytes
             return host, dev_s, time.perf_counter() - t1, nbytes
 
         def drain_inflight(encode_pool, depth: int):
@@ -792,6 +821,13 @@ def run_batch_export(
             elif phase == "__linear__":
                 from raweditor_tpu.ops.develop import develop_linear
 
+                if mesh is not None:
+                    # Data-parallel like the 16-bit lane: stage with
+                    # the batch sharding and let XLA partition the
+                    # vmapped program (these buckets previously ran
+                    # single-device under a mesh — code-review r3).
+                    mosaics = jax.device_put(mosaics,
+                                             batch_sharding(mesh))
                 out = jax.vmap(
                     lambda m, p, w, c, wl, bl: develop_linear(
                         m, p, w, c, wl, bl,
@@ -803,6 +839,10 @@ def run_batch_export(
                 from raweditor_tpu.parallel.batch import (
                     batch_develop_xtrans_rgba,
                 )
+
+                if mesh is not None:
+                    mosaics = jax.device_put(mosaics,
+                                             batch_sharding(mesh))
 
                 out = None
                 if pallas_ok and demosaic_method == "nearest":
@@ -995,14 +1035,22 @@ def jobs_from_catalog(lib, out_dir: os.PathLike,
         wanted = set(image_ids)
         images = [i for i in images if i.id in wanted]
     jobs = []
+    taken = set()
     for img in images:
         if img.is_deleted():
             continue
         stem = os.path.splitext(img.filename)[0]
+        # Distinct source files can share a stem (IMG_0001.NEF in two
+        # folders); disambiguate with the catalog id so one export
+        # never silently overwrites another (code-review r3).
+        name = f"{stem}.{ext}"
+        if name.lower() in taken:
+            name = f"{stem}_{img.id}.{ext}"
+        taken.add(name.lower())
         jobs.append(
             ExportJob(
                 raw_path=img.path,
-                out_path=os.path.join(os.fspath(out_dir), f"{stem}.{ext}"),
+                out_path=os.path.join(os.fspath(out_dir), name),
                 params=lib.load_edit_params(img.id),
                 image_id=img.id,
             )

@@ -480,14 +480,69 @@ def test_mesh_row_sharded_planes_matches_single_chip(tmp_path, rng):
                                    params))
     rep = run_batch_export(mesh_jobs, mesh=mesh, batch_size=2)
     assert rep.succeeded == 3 and not rep.failed
-    # planes fetch: 1.5 B/px, not 4 B/px RGBA (batches pad to the
-    # mesh-divisible size, so 3 jobs fetch 4 images' worth)
-    assert rep.fetch_bytes == 4 * (h * w + 2 * (h // 2) * (w // 2))
+    # planes fetch: 1.5 B/px, not 4 B/px RGBA — and only the REAL
+    # images cross the link (padding is sliced off on device, r3)
+    assert rep.fetch_bytes == 3 * (h * w + 2 * (h // 2) * (w // 2))
     solo = run_batch_export(solo_jobs, batch_size=2)
     assert solo.succeeded == 3
     for i in range(3):
         assert (tmp_path / "m" / f"r{i}.jpg").read_bytes() == \
             (tmp_path / "s" / f"r{i}.jpg").read_bytes()
+
+
+def test_mesh_xtrans_and_linear_match_single_chip(tmp_path, rng):
+    """8-bit X-Trans and LinearRaw buckets shard over the mesh like
+    every other bucket (they previously ran single-device under a
+    mesh — code-review r3) and must stay byte-identical to mesh=None
+    (PNG: lossless)."""
+    from raweditor_tpu.ops.cfa_generic import XTRANS_PATTERN
+    from raweditor_tpu.parallel import batch_row_mesh
+    from raweditor_tpu.raw.synth import write_synthetic_linear_dng
+
+    mesh = batch_row_mesh(row=2)
+    h, w = 24, 24
+    xt = tmp_path / "x.dng"
+    write_synthetic_raw(
+        xt, rng.integers(0, 4096, size=(h, w), dtype=np.uint16),
+        cfa=XTRANS_PATTERN)
+    lin = tmp_path / "l.dng"
+    write_synthetic_linear_dng(
+        lin, rng.integers(0, 4096, size=(h, w, 3), dtype=np.uint16),
+        bpp=12, wb_neutral=(1.0, 1.0, 1.0))
+    for src, name in ((xt, "x"), (lin, "l")):
+        p = EditParams(exposure=0.2, contrast=4.0)
+        rep = run_batch_export(
+            [ExportJob(str(src), str(tmp_path / "m" / f"{name}.png"), p)],
+            mesh=mesh, batch_size=2)
+        assert rep.succeeded == 1 and not rep.failed, rep.as_dict()
+        solo = run_batch_export(
+            [ExportJob(str(src), str(tmp_path / "s" / f"{name}.png"), p)],
+            batch_size=2)
+        assert solo.succeeded == 1
+        assert (tmp_path / "m" / f"{name}.png").read_bytes() == \
+            (tmp_path / "s" / f"{name}.png").read_bytes()
+
+
+def test_export_rejects_bad_transfer_and_mesh(tmp_path, rng):
+    """Unknown transfers and meshes without the expected axes fail
+    up front with clear errors instead of quarantining every batch
+    (code-review r3)."""
+    import pytest
+    from jax.sharding import Mesh
+
+    import jax
+
+    path = tmp_path / "v.nef"
+    write_synthetic_raw(
+        path, rng.integers(0, 4096, size=(16, 24), dtype=np.uint16))
+    jobs = [ExportJob(str(path), str(tmp_path / "v.jpg"))]
+    with pytest.raises(ValueError, match="unknown transfer"):
+        run_batch_export(jobs, transfer="bogus")
+    with pytest.raises(ValueError, match="unknown transfer"):
+        run_batch_export(jobs, transfer="bogus", use_pallas=True)
+    batch_only = Mesh(np.array(jax.devices()[:2]).reshape(2), ("batch",))
+    with pytest.raises(ValueError, match="'batch' and 'row'"):
+        run_batch_export(jobs, mesh=batch_only)
 
 
 def test_mesh_dp_tiff16_matches_single_chip(tmp_path, rng):
