@@ -31,7 +31,6 @@ from raweditor_tpu.ops.develop import (
     develop_histogram,
     develop_preview,
     develop_rgba,
-    rgba_view,
 )
 from raweditor_tpu.ops.cfa_generic import \
     generic_cfa_method as _generic_cfa_method
@@ -61,6 +60,16 @@ class DevelopEngine:
         ensure_backend()  # idempotent; also enables the compile cache
         if mode not in ("parity", "accurate"):
             raise ValueError(f"unknown mode {mode!r}")
+        # The as-constructed settings (pre-resolution), so a sibling
+        # engine for another image can be built without hand-listing
+        # fields (DevelopSession.open; a hand-maintained subset silently
+        # dropped max_preview_width — code-review r3).
+        self.ctor_kwargs = dict(
+            mode=mode, max_preview_width=max_preview_width,
+            histogram_width=histogram_width, use_pallas=use_pallas,
+            fast_gamma=fast_gamma, demosaic_method=demosaic_method,
+            transfer=transfer, auto_orient=auto_orient,
+        )
         self.use_pallas = use_pallas
         # Polynomial 1/2.2 gamma (two sqrts + degree-6 poly) instead of
         # the transcendental pow: ~17% faster develop, within 1 LSB of
@@ -427,10 +436,10 @@ class DevelopEngine:
         parallel single-image encode."""
         from PIL import Image
 
-        if os.path.splitext(os.fspath(path))[1].lower() in (
-                ".tif", ".tiff"):
+        path = os.fspath(path)
+        ext = os.path.splitext(path)[1].lower()
+        if ext in (".tif", ".tiff"):
             return self.export_tiff16(path, params, long_edge=long_edge)
-        ext = os.path.splitext(os.fspath(path))[1].lower()
         if ext in (".jpg", ".jpeg") and (
                 not self.auto_orient or self.raw.orientation == 1):
             jpeg = self._export_jpeg_planes(path, params, quality,
@@ -448,31 +457,37 @@ class DevelopEngine:
             oh, ow = long_edge_shape(self.height, self.width, long_edge)
             if (oh, ow) != (self.height, self.width):
                 words_dev = resize_rgba_words(words_dev, ow, oh)
-        words = np.asarray(words_dev)
+        words = np.ascontiguousarray(np.asarray(words_dev))
         if self.auto_orient and self.raw.orientation != 1:
             words = np.ascontiguousarray(
                 self.apply_orientation(words, self.raw.orientation)
             )
         out_h, out_w = words.shape
-        path = os.fspath(path)
         img = Image.frombuffer(
-            "RGBA", (out_w, out_h),
-            np.ascontiguousarray(words).tobytes(), "raw", "RGBA", 0, 1,
+            "RGBA", (out_w, out_h), words.tobytes(), "raw", "RGBA", 0, 1,
         )
         exif = self._exif_bytes()
-        if os.path.splitext(path)[1].lower() == ".png":
-            img.save(path, exif=exif)
-        else:
-            # The flags survive this PIL fallback (auto-orient, odd
-            # dims, missing extension): 4:4:4, optimize, and restart
-            # markers (PIL's restart_marker_rows is the same MCU-row
-            # unit as the native encoder's restart_rows).
-            kw = {"subsampling": 0} if chroma == "444" else {}
-            if jpeg_restart_rows > 0:
-                kw["restart_marker_rows"] = int(jpeg_restart_rows)
-            img.convert("RGB").save(path, format="JPEG", quality=quality,
-                                    exif=exif, optimize=jpeg_optimize,
-                                    **kw)
+        from raweditor_tpu.pipeline.export import _atomic_write
+
+        def write(tmp):
+            if ext == ".png":
+                img.save(tmp, format="PNG", exif=exif)
+            else:
+                # The flags survive this PIL fallback (auto-orient, odd
+                # dims, missing extension): 4:4:4, optimize, and restart
+                # markers (PIL's restart_marker_rows is the same MCU-row
+                # unit as the native encoder's restart_rows).
+                kw = {"subsampling": 0} if chroma == "444" else {}
+                if jpeg_restart_rows > 0:
+                    kw["restart_marker_rows"] = int(jpeg_restart_rows)
+                img.convert("RGB").save(tmp, format="JPEG",
+                                        quality=quality, exif=exif,
+                                        optimize=jpeg_optimize, **kw)
+
+        # Atomic like every other exporter: an interrupted run must not
+        # leave a truncated file a skip_existing rerun would trust
+        # (code-review r3).
+        _atomic_write(path, write)
         return path
 
     def _exif_bytes(self) -> bytes:
@@ -512,22 +527,18 @@ class DevelopEngine:
         if (rk is None or not hasattr(rk, encode_name)
                 or (not full_chroma and (out_h % 2 or out_w % 2))):
             return None
-        import jax
-
-        from raweditor_tpu.ops.jpeg import (rgba_words_to_ycbcr420,
-                                            rgba_words_to_ycbcr444)
-
-        jit_attr = "_ycbcr444_jit" if full_chroma else "_ycbcr_jit"
-        if not hasattr(self, jit_attr):
-            setattr(self, jit_attr, jax.jit(
-                rgba_words_to_ycbcr444 if full_chroma
-                else rgba_words_to_ycbcr420))
         words_dev = self.full_rgba_device(params)
         if (out_h, out_w) != (self.height, self.width):
             from raweditor_tpu.ops.resize import resize_rgba_words
 
             words_dev = resize_rgba_words(words_dev, out_w, out_h)
-        y, cb, cr = getattr(self, jit_attr)(words_dev)
+        # Process-wide jitted converters (export.py): per-engine jit
+        # objects re-traced the same program for every opened image.
+        from raweditor_tpu.pipeline.export import (_ycbcr420_jit,
+                                                   _ycbcr444_jit)
+
+        conv = _ycbcr444_jit() if full_chroma else _ycbcr420_jit()
+        y, cb, cr = conv(words_dev)
         data = getattr(rk, encode_name)(
             np.ascontiguousarray(np.asarray(y)),
             np.ascontiguousarray(np.asarray(cb)),
@@ -599,13 +610,16 @@ class DevelopEngine:
             rgb = np.ascontiguousarray(
                 self.apply_orientation(rgb, self.raw.orientation)
             )
+        from raweditor_tpu.pipeline.export import _atomic_write
         from raweditor_tpu.raw.exif import SOFTWARE
 
-        return write_tiff16(
-            path, rgb, make=self.raw.camera_make,
+        path = os.fspath(path)
+        _atomic_write(path, lambda tmp: write_tiff16(
+            tmp, rgb, make=self.raw.camera_make,
             model=self.raw.camera_model,
             orientation=1 if self.auto_orient else self.raw.orientation,
-            software=SOFTWARE)
+            software=SOFTWARE))
+        return path
 
     def develop_tiers(self, params: EditParams,
                       widths=(256, 384, 1280)):

@@ -50,8 +50,12 @@ class _Handler(socketserver.StreamRequestHandler):
                     break
                 if session is None:
                     session = self._make_session(srv, library)
+                # stats (latency summary) and reset work without an
+                # engine — only engine-touching commands need an image
+                # (the greeting advertises all of them).
                 if (session.engine is None
-                        and line.split()[0] != "open"):
+                        and line.split()[0] not in ("open", "stats",
+                                                    "reset")):
                     self._send({"ok": False,
                                 "error": "no image open — "
                                          "open <id|path> first"})

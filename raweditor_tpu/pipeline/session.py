@@ -90,11 +90,22 @@ class DevelopSession:
                 "render_ms": round(ms, 3)}
 
     def set_zoom(self, zoom: float) -> dict:
+        import math
+
+        # NaN passes min/max clamps unchanged (comparisons are False)
+        # and would poison every later render AND emit RFC-invalid
+        # JSON — reject like set_slider does (code-review r3).
+        if not math.isfinite(zoom):
+            raise ValueError("zoom must be finite")
         self.zoom = min(max(zoom, self.config.zoom_min),
                         self.config.zoom_max)
         return {"ok": True, "zoom": self.zoom}
 
     def set_pan(self, x: float, y: float) -> dict:
+        import math
+
+        if not (math.isfinite(x) and math.isfinite(y)):
+            raise ValueError("pan must be finite")
         self.pan = (x, y)
         return {"ok": True, "pan": list(self.pan)}
 
@@ -215,13 +226,11 @@ class DevelopSession:
             return {"ok": False, "error": f"no such file: {path}"}
         eng = self.engine
         if eng is not None:
-            kwargs = dict(
-                mode=eng.mode, use_pallas=eng.use_pallas,
-                fast_gamma=eng.fast_gamma,
-                demosaic_method=eng.demosaic_method,
-                transfer=eng.transfer,  # already fast-gamma-resolved
-                auto_orient=eng.auto_orient,
-            )
+            # The engine's as-constructed settings — including preview
+            # and histogram sizes — carry over to the next image
+            # (engine.ctor_kwargs stores the pre-resolution transfer,
+            # so fast_gamma re-resolves identically).
+            kwargs = dict(eng.ctor_kwargs)
         else:
             # Image-less session shell (the TCP service): engine
             # settings come from the server defaults.
@@ -299,14 +308,20 @@ class DevelopSession:
             if cmd == "stats":
                 return self.stats()
             return {"ok": False, "error": f"unknown command {cmd!r}"}
-        except (IndexError, ValueError) as e:
+        except (IndexError, ValueError, OSError) as e:
+            # OSError covers filesystem failures from render/full/frame
+            # targets (bad directory, permissions) — a typo'd path must
+            # error the command, not kill the session (code-review r3).
             return {"ok": False, "error": str(e)}
 
     def repl(self, stdin=None, stdout=None) -> None:
         stdin = stdin or sys.stdin
         stdout = stdout or sys.stdout
         for line in stdin:
-            if line.strip() == "quit":
+            # First-token match like the TCP service (serve.py): a
+            # "quit" with trailing tokens must exit, not be swallowed
+            # with no response (a synchronous client would deadlock).
+            if line.split() and line.split()[0] == "quit":
                 break
             result = self.handle(line)
             if result is not None:

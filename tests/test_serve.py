@@ -75,6 +75,20 @@ def test_serve_session_over_tcp(server, tmp_path):
     c.close()
 
 
+def test_serve_stats_and_reset_before_open(server):
+    """stats/reset don't touch the engine — they must work before an
+    image is open, as the greeting advertises (code-review r3)."""
+    srv, image_id, path = server
+    c = _Client(srv.address)
+    out = c.ask("stats")
+    assert out["ok"] and out["latency"]["count"] == 0
+    assert c.ask("reset")["ok"]
+    out = c.ask("set exposure 1.0")  # engine commands still gated
+    assert not out["ok"] and "no image open" in out["error"]
+    assert c.ask(f"open {image_id}")["ok"]
+    c.close()
+
+
 def test_serve_concurrent_clients_isolated(server):
     srv, image_id, path = server
     a = _Client(srv.address)

@@ -51,6 +51,38 @@ def test_zoom_clamped(session):
     assert s.set_zoom(0.01)["zoom"] == 0.1
 
 
+def test_non_finite_view_rejected(session):
+    """NaN passes min/max clamps unchanged and would poison every
+    later render and emit RFC-invalid JSON (code-review r3)."""
+    s, _, _ = session
+    for line in ("zoom nan", "zoom inf", "pan nan 0", "pan 0 -inf"):
+        out = s.handle(line)
+        assert not out["ok"], line
+    assert s.zoom == 1.0 and s.pan == (0.0, 0.0)
+    out = s.handle("render p.png")  # view transform still healthy
+    assert out["ok"]
+
+
+def test_bad_output_path_errors_without_killing_repl(session):
+    """A typo'd render directory must error the command, not escape
+    handle() and crash the REPL (code-review r3)."""
+    import io
+    import json as _json
+
+    s, _, _ = session
+    out = s.handle("render /no/such/dir/deep/p.png")
+    assert out is not None and not out["ok"]
+    # Through the REPL loop too: the session survives to answer the
+    # next command, and 'quit now' exits instead of being swallowed.
+    stdin = io.StringIO("render /no/such/dir/deep/p.png\n"
+                        "zoom 2\nquit now\nzoom 4\n")
+    stdout = io.StringIO()
+    s.repl(stdin, stdout)
+    lines = [_json.loads(x) for x in stdout.getvalue().splitlines()]
+    assert len(lines) == 2  # error + zoom ack; nothing after quit
+    assert not lines[0]["ok"] and lines[1]["zoom"] == 2.0
+
+
 def test_render_and_before(session, tmp_path):
     s, _, _ = session
     s.set_slider("exposure", 2.0)
