@@ -153,33 +153,47 @@ class Library:
     def image_count(self) -> int:
         return self.conn.execute("SELECT COUNT(*) FROM images").fetchone()[0]
 
-    def import_image(self, path: str, filename: str) -> int:
+    def import_image(self, path: str, filename: str,
+                     commit: bool = True) -> int:
         """Insert one file; returns the new id
-        (reference: state/library.rs:148-162)."""
+        (reference: state/library.rs:148-162). ``commit=False`` lets
+        bulk callers batch many inserts into one transaction."""
         cur = self.conn.execute(
             "INSERT INTO images (path, filename, imported_at) "
             "VALUES (?, ?, ?)",
             (path, filename, int(time.time())),
         )
-        self.conn.commit()
+        if commit:
+            self.conn.commit()
         return cur.lastrowid
 
     def import_folder(self, folder: os.PathLike) -> dict:
         """Recursive import of a folder, filtered by RAW_EXTENSIONS,
         duplicates skipped via the UNIQUE path constraint
-        (reference: main.rs:1840-1924)."""
+        (reference: main.rs:1840-1924). One transaction for the whole
+        walk (a 10k-file import is one fsync, not 10k), and directory
+        symlink cycles are broken by a realpath visited set."""
         imported = skipped = 0
-        for root, _dirs, files in os.walk(folder, followlinks=True):
-            for name in sorted(files):
-                ext = os.path.splitext(name)[1].lstrip(".").lower()
-                if ext not in RAW_EXTENSIONS:
+        seen_dirs = set()
+        try:
+            for root, dirs, files in os.walk(folder, followlinks=True):
+                real = os.path.realpath(root)
+                if real in seen_dirs:
+                    dirs[:] = []  # symlink cycle: don't descend again
                     continue
-                full = os.path.abspath(os.path.join(root, name))
-                try:
-                    self.import_image(full, name)
-                    imported += 1
-                except sqlite3.IntegrityError:
-                    skipped += 1  # already imported
+                seen_dirs.add(real)
+                for name in sorted(files):
+                    ext = os.path.splitext(name)[1].lstrip(".").lower()
+                    if ext not in RAW_EXTENSIONS:
+                        continue
+                    full = os.path.abspath(os.path.join(root, name))
+                    try:
+                        self.import_image(full, name, commit=False)
+                        imported += 1
+                    except sqlite3.IntegrityError:
+                        skipped += 1  # already imported
+        finally:
+            self.conn.commit()
         return {"imported": imported, "skipped": skipped}
 
     def _rows_to_images(self, rows) -> List[Image]:
@@ -404,9 +418,19 @@ class Library:
                 "WHERE collections.name = ?) "
             )
             args.append(collection)
+        if flag is not None and flag not in self.FLAGS:
+            # Same validation as set_rating — a typo'd flag must error,
+            # not silently match nothing (code-review r3).
+            raise ValueError(f"flag must be one of {self.FLAGS}")
         if search is not None:
-            sql += "AND (images.filename LIKE ? OR images.path LIKE ?) "
-            pat = f"%{search}%"
+            # Escape LIKE metacharacters so the documented substring
+            # semantics hold for filenames containing % or _
+            # (code-review r3).
+            esc = (search.replace("\\", "\\\\")
+                   .replace("%", "\\%").replace("_", "\\_"))
+            sql += ("AND (images.filename LIKE ? ESCAPE '\\' "
+                    "OR images.path LIKE ? ESCAPE '\\') ")
+            pat = f"%{esc}%"
             args += [pat, pat]
         sql += "ORDER BY imported_at DESC"
         rows = self.conn.execute(sql, args).fetchall()
@@ -426,12 +450,10 @@ class Library:
         ).fetchone()[0]
 
     def delete_collection(self, name: str) -> bool:
+        # Membership rows cascade via the FK (PRAGMA foreign_keys=ON
+        # at init) — no manual orphan sweep needed.
         cur = self.conn.execute(
             "DELETE FROM collections WHERE name = ?", (name,)
-        )
-        self.conn.execute(
-            "DELETE FROM collection_images WHERE collection_id NOT IN "
-            "(SELECT id FROM collections)"
         )
         self.conn.commit()
         return cur.rowcount > 0
@@ -439,15 +461,20 @@ class Library:
     def add_to_collection(self, name: str, image_ids) -> int:
         """Add images to a collection (created if missing); returns the
         number newly added (duplicates are ignored)."""
+        # Validate every id BEFORE mutating: a mid-loop raise used to
+        # leave a half-applied, uncommitted insert that the next
+        # unrelated commit silently persisted (code-review r3).
+        ids = [int(i) for i in image_ids]
+        for image_id in ids:
+            if self.get_image(image_id) is None:
+                raise ValueError(f"no image with id {image_id}")
         cid = self.create_collection(name)
         added = 0
-        for image_id in image_ids:
-            if self.get_image(int(image_id)) is None:
-                raise ValueError(f"no image with id {image_id}")
+        for image_id in ids:
             cur = self.conn.execute(
                 "INSERT OR IGNORE INTO collection_images"
                 "(collection_id, image_id) VALUES (?, ?)",
-                (cid, int(image_id)),
+                (cid, image_id),
             )
             added += cur.rowcount
         self.conn.commit()

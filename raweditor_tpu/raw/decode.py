@@ -107,6 +107,25 @@ def _float_mosaic(data: bytes, width: int, height: int, bpp: int,
     return out.reshape(height, width)
 
 
+def _native_mosaic(attr: str, py_fn, native_args: tuple,
+                   py_args: tuple, width: int, height: int) -> np.ndarray:
+    """Native-preferred codec dispatch: call ``rawkit.<attr>`` when the
+    extension provides it (its ValueError becomes the RawDecodeError
+    quarantine), else the Python behavioral reference. Both produce an
+    (H, W) u16 mosaic. One helper so the error contract can't drift
+    between the ~8 codec call sites (code-review r3)."""
+    from raweditor_tpu.native import get_rawkit
+
+    rk = get_rawkit()
+    if rk is not None and hasattr(rk, attr):
+        try:
+            raw = getattr(rk, attr)(*native_args)
+        except ValueError as e:
+            raise RawDecodeError(str(e)) from e
+        return np.frombuffer(raw, np.uint16).reshape(height, width)
+    return py_fn(*py_args)
+
+
 def _mosaic_from_tiles(tf: T.TiffFile, ifd: T.IFD, width: int, height: int,
                        bpp: int, comp: int) -> np.ndarray:
     """Reassemble a tiled CFA plane (DNG lossless is typically tiled).
@@ -219,18 +238,13 @@ def _decode_nikon_strips(tf: T.TiffFile, strips: List[bytes], width: int,
     strip = b"".join(strips)
     curve_white = float(info.curve[info.max_value - 1])
 
-    from raweditor_tpu.native import get_rawkit
-
-    rk = get_rawkit()
-    if rk is not None and hasattr(rk, "decode_nikon"):
-        raw = rk.decode_nikon(
-            strip, width, height, bpp, info.tree_index, int(info.split),
-            info.vpred.astype(np.int32).tobytes(),
-            info.curve.astype(np.uint16).tobytes(),
-        )
-        mosaic = np.frombuffer(raw, np.uint16).reshape(height, width)
-        return mosaic, curve_white
-    return nikon.decode_nikon(strip, width, height, bpp, info), curve_white
+    mosaic = _native_mosaic(
+        "decode_nikon", nikon.decode_nikon,
+        (strip, width, height, bpp, info.tree_index, int(info.split),
+         info.vpred.astype(np.int32).tobytes(),
+         info.curve.astype(np.uint16).tobytes()),
+        (strip, width, height, bpp, info), width, height)
+    return mosaic, curve_white
 
 
 def _decode_orf_strips(tf: T.TiffFile, data: bytes, width: int,
@@ -243,18 +257,11 @@ def _decode_orf_strips(tf: T.TiffFile, data: bytes, width: int,
         return unpack_bits(data, width, height, 16,
                            big_endian=(tf.endian == ">"))
 
-    from raweditor_tpu.native import get_rawkit
-
-    rk = get_rawkit()
-    if rk is not None and hasattr(rk, "decode_olympus"):
-        try:
-            raw = rk.decode_olympus(data, width, height)
-        except ValueError as e:
-            raise RawDecodeError(str(e)) from e
-        return np.frombuffer(raw, np.uint16).reshape(height, width)
     from raweditor_tpu.raw.olympus import decode_olympus
 
-    return decode_olympus(data, width, height)
+    return _native_mosaic("decode_olympus", decode_olympus,
+                          (data, width, height), (data, width, height),
+                          width, height)
 
 
 def find_pentax_makernote(tf: T.TiffFile) -> Optional[T.TiffFile]:
@@ -290,20 +297,14 @@ def _decode_pentax_strips(tf: T.TiffFile, data: bytes, width: int,
         raise UnsupportedRawError(
             "compressed PEF without 0x0220 huffman table"
         )
-    from raweditor_tpu.native import get_rawkit
-
-    rk = get_rawkit()
-    if rk is not None and hasattr(rk, "decode_pentax"):
-        try:
-            raw = rk.decode_pentax(data, width, height, bpp, bytes(spec),
-                                   1 if tf.endian == ">" else 0)
-        except ValueError as e:
-            raise RawDecodeError(str(e)) from e
-        return np.frombuffer(raw, np.uint16).reshape(height, width)
     from raweditor_tpu.raw.pentax import decode_pentax
 
-    return decode_pentax(data, width, height, bpp, bytes(spec),
-                         big_endian_spec=(tf.endian == ">"))
+    return _native_mosaic(
+        "decode_pentax",
+        lambda *a: decode_pentax(*a, big_endian_spec=(tf.endian == ">")),
+        (data, width, height, bpp, bytes(spec),
+         1 if tf.endian == ">" else 0),
+        (data, width, height, bpp, bytes(spec)), width, height)
 
 
 def _wb_from_pentax_makernote(tf: T.TiffFile):
@@ -403,20 +404,12 @@ def _decode_srw1_container(tf: T.TiffFile, ifd: T.IFD, data: bytes,
     offsets = np.frombuffer(data, "<u4", count=height,
                             offset=table_off).tolist()
     sensor = b"".join(tf.strip_data(ifd))
-    from raweditor_tpu.native import get_rawkit
-
-    rk = get_rawkit()
-    if rk is not None and hasattr(rk, "decode_srw1"):
-        try:
-            raw = rk.decode_srw1(
-                sensor, np.asarray(offsets, "<u4").tobytes(), width,
-                height)
-        except ValueError as e:
-            raise RawDecodeError(str(e)) from e
-        return np.frombuffer(raw, np.uint16).reshape(height, width)
     from raweditor_tpu.raw.samsung import decode_srw1
 
-    return decode_srw1(sensor, offsets, width, height)
+    return _native_mosaic(
+        "decode_srw1", decode_srw1,
+        (sensor, np.asarray(offsets, "<u4").tobytes(), width, height),
+        (sensor, offsets, width, height), width, height)
 
 
 def _decode_rw2_container(tf: T.TiffFile, source_path: str) -> RawImage:
@@ -449,16 +442,11 @@ def _decode_rw2_container(tf: T.TiffFile, source_path: str) -> RawImage:
             raise RawDecodeError(f"RW2 without sensor payload: {e}") from e
 
     try:
-        from raweditor_tpu.native import get_rawkit
+        from raweditor_tpu.raw.panasonic import decode_rw2
 
-        rk = get_rawkit()
-        if rk is not None and hasattr(rk, "decode_rw2"):
-            raw = rk.decode_rw2(payload, width, height)
-            mosaic = np.frombuffer(raw, np.uint16).reshape(height, width)
-        else:
-            from raweditor_tpu.raw.panasonic import decode_rw2
-
-            mosaic = decode_rw2(payload, width, height)
+        mosaic = _native_mosaic("decode_rw2", decode_rw2,
+                                (payload, width, height),
+                                (payload, width, height), width, height)
     except RawDecodeError:
         raise
     except (ValueError, IndexError, struct.error) as e:
@@ -466,6 +454,7 @@ def _decode_rw2_container(tf: T.TiffFile, source_path: str) -> RawImage:
 
     try:
         wb = np.array([1.0, 1.0, 1.0, 1.0], np.float32)
+        wb_default = True
         wr = ifd.get_scalar(T.PANA_WB_RED)
         wg = ifd.get_scalar(T.PANA_WB_GREEN)
         wbl = ifd.get_scalar(T.PANA_WB_BLUE)
@@ -473,6 +462,7 @@ def _decode_rw2_container(tf: T.TiffFile, source_path: str) -> RawImage:
             wb = RawImage.normalize_wb(
                 [float(wr), float(wg), float(wbl), float(wg)]
             )
+            wb_default = False
         blacks = [
             ifd.get_scalar(t, 0)
             for t in (T.PANA_BLACK_R, T.PANA_BLACK_G, T.PANA_BLACK_B)
@@ -482,6 +472,8 @@ def _decode_rw2_container(tf: T.TiffFile, source_path: str) -> RawImage:
         cfa = {1: "RGGB", 2: "GRBG", 3: "GBRG", 4: "BGGR"}.get(
             cfa_code if isinstance(cfa_code, int) else 1, "RGGB"
         )
+        if wb_default:
+            _warn_neutral_wb(tf, source_path)
         return RawImage(
             mosaic=mosaic,
             wb_multipliers=wb,
@@ -492,6 +484,7 @@ def _decode_rw2_container(tf: T.TiffFile, source_path: str) -> RawImage:
             camera_make=_find_tag(tf, T.MAKE) or "Panasonic",
             camera_model=_find_tag(tf, T.MODEL) or "",
             source_path=source_path,
+            wb_is_default=wb_default,
         )
     except RawDecodeError:
         raise
@@ -593,13 +586,17 @@ def _warn_neutral_wb(tf: T.TiffFile, source_path: str) -> None:
                  "neutral WB.", name)
 
 
-def _wb_from_neutral(neutral) -> np.ndarray:
+def _wb_from_neutral(neutral):
     """DNG AsShotNeutral (camera-space white) → multipliers, then
     green-normalized with the reference's fallback rules
-    (reference: raw/loader.rs:78-110)."""
+    (reference: raw/loader.rs:78-110). Returns None for a degenerate
+    tag (short count, non-positive component) so the caller's
+    MakerNote fallbacks / neutral-WB warning / ``wb_is_default`` flag
+    all still run (code-review r3: returning neutral here silently
+    masked every fallback)."""
     vals = [float(v) for v in (neutral if isinstance(neutral, tuple) else (neutral,))]
     if len(vals) < 3 or any(v <= 0 for v in vals[:3]):
-        return np.array([1.0, 1.0, 1.0, 1.0], dtype=np.float32)
+        return None
     coeffs = [1.0 / v for v in vals[:3]]
     return RawImage.normalize_wb(coeffs)
 
@@ -698,6 +695,18 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
 
     curve_white = None  # white point recovered from a Nikon curve
     sample_format = ifd.get_scalar(T.SAMPLE_FORMAT, 1)
+    if sample_format not in (1, 3):
+        raise UnsupportedRawError(
+            f"SampleFormat {sample_format!r} not supported")
+    # unpack_bits is an integer <=16-bit unpack; float tiles and wide
+    # integer samples would decode to plausible-shaped garbage through
+    # it instead of quarantining (code-review r3).
+    if sample_format == 3 and tf.is_tiled(ifd):
+        raise UnsupportedRawError("tiled float sensor data not supported")
+    if (sample_format == 1 and bpp > 16
+            and (tf.is_tiled(ifd) or comp == T.COMPRESSION_NONE)):
+        raise UnsupportedRawError(
+            f"integer BitsPerSample {bpp} > 16 not supported")
     try:
         if tf.is_tiled(ifd):
             mosaic = _mosaic_from_tiles(tf, ifd, width, height, bpp, comp)
@@ -737,62 +746,38 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
         elif comp == T.COMPRESSION_SRW1:
             mosaic = _decode_srw1_container(tf, ifd, data, width, height)
         elif comp == T.COMPRESSION_SRW3:
-            from raweditor_tpu.native import get_rawkit
-
             payload = b"".join(tf.strip_data(ifd))
-            from raweditor_tpu.raw.samsung3 import parse_header
+            from raweditor_tpu.raw.samsung3 import (decode_srw3,
+                                                    parse_header)
 
             _opt, depth3, _init = parse_header(payload)
             if bpp in (12, 14) and depth3 != bpp:
                 raise RawDecodeError(
                     "SRW v3 header depth disagrees with BitsPerSample")
-            rk = get_rawkit()
-            if rk is not None and hasattr(rk, "decode_srw3"):
-                try:
-                    raw = rk.decode_srw3(payload, width, height)
-                except ValueError as e:
-                    raise RawDecodeError(str(e)) from e
-                mosaic = np.frombuffer(raw, np.uint16).reshape(height,
-                                                               width)
-            else:
-                from raweditor_tpu.raw.samsung3 import decode_srw3
-
-                mosaic = decode_srw3(payload, width, height)
+            mosaic = _native_mosaic("decode_srw3", decode_srw3,
+                                    (payload, width, height),
+                                    (payload, width, height),
+                                    width, height)
         elif comp == T.COMPRESSION_RADC:
-            from raweditor_tpu.native import get_rawkit
+            from raweditor_tpu.raw.kodak_radc import decode_radc
 
             payload = b"".join(tf.strip_data(ifd))
-            rk = get_rawkit()
-            if rk is not None and hasattr(rk, "decode_radc"):
-                try:
-                    raw = rk.decode_radc(payload, width, height)
-                except ValueError as e:
-                    raise RawDecodeError(str(e)) from e
-                mosaic = np.frombuffer(raw, np.uint16).reshape(height,
-                                                               width)
-            else:
-                from raweditor_tpu.raw.kodak_radc import decode_radc
-
-                mosaic = decode_radc(payload, width, height)
+            mosaic = _native_mosaic("decode_radc", decode_radc,
+                                    (payload, width, height),
+                                    (payload, width, height),
+                                    width, height)
             # RADC output is tone-curve mapped; its white point is the
             # curve top regardless of the sensor depth tag.
             curve_white = 0x3FFF
         elif comp == T.COMPRESSION_KODAK65000:
-            from raweditor_tpu.native import get_rawkit
+            from raweditor_tpu.raw.kodak import decode_kodak65000
 
-            rk = get_rawkit()
             data_k = b"".join(tf.strip_data(ifd))
-            if rk is not None and hasattr(rk, "decode_kodak65000"):
-                try:
-                    raw = rk.decode_kodak65000(data_k, width, height)
-                except ValueError as e:
-                    raise RawDecodeError(str(e)) from e
-                mosaic = np.frombuffer(raw, np.uint16).reshape(height,
-                                                               width)
-            else:
-                from raweditor_tpu.raw.kodak import decode_kodak65000
-
-                mosaic = decode_kodak65000(data_k, width, height)
+            mosaic = _native_mosaic("decode_kodak65000",
+                                    decode_kodak65000,
+                                    (data_k, width, height),
+                                    (data_k, width, height),
+                                    width, height)
         else:
             raise UnsupportedRawError(f"compression {comp}")
     except RawDecodeError:
@@ -814,9 +799,8 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
 
 def _finish_raw_image(tf, mosaic, curve_white, bpp, ifd, source_path):
     neutral = _find_tag(tf, T.AS_SHOT_NEUTRAL)
-    if neutral is not None:
-        wb = _wb_from_neutral(neutral)
-    else:
+    wb = _wb_from_neutral(neutral) if neutral is not None else None
+    if wb is None:
         wb = _wb_from_nikon_makernote(tf)
         if wb is None:
             wb = _wb_from_olympus_makernote(tf)

@@ -364,6 +364,55 @@ class TestCollectionsAndSearch:
         assert {i.id for i in got} == {b}
         lib.close()
 
+    def test_search_escapes_like_metacharacters(self, tmp_path):
+        """% and _ in a search string are literals, not wildcards
+        (code-review r3)."""
+        from raweditor_tpu.catalog import Library
+
+        lib = Library(tmp_path / "c.db")
+        a = lib.import_image("/x/IMG_001.nef", "IMG_001.nef")
+        lib.import_image("/x/IMGX001.nef", "IMGX001.nef")
+        pct = lib.import_image("/x/100%.nef", "100%.nef")
+        assert {i.id for i in lib.filter_images(search="IMG_0")} == {a}
+        assert {i.id for i in lib.filter_images(search="0%")} == {pct}
+        assert lib.filter_images(search="%nothere%") == []
+        with pytest.raises(ValueError):
+            lib.filter_images(flag="picked")  # typo must error
+        lib.close()
+
+    def test_collection_add_is_atomic(self, tmp_path):
+        """A bad id anywhere in the list leaves the catalog untouched
+        (no half-applied membership, no empty collection created —
+        code-review r3)."""
+        from raweditor_tpu.catalog import Library
+
+        lib = Library(tmp_path / "c.db")
+        i = lib.import_image("/x/a.nef", "a.nef")
+        with pytest.raises(ValueError):
+            lib.add_to_collection("sel", [i, 999])
+        assert lib.list_collections() == []
+        lib.close()
+
+    def test_import_folder_survives_symlink_cycle(self, tmp_path):
+        """A directory symlink loop must not re-import files forever
+        (code-review r3)."""
+        from raweditor_tpu.catalog import Library
+
+        root = tmp_path / "tree"
+        (root / "sub").mkdir(parents=True)
+        (root / "a.nef").write_bytes(b"x")
+        (root / "sub" / "b.nef").write_bytes(b"x")
+        try:
+            (root / "sub" / "loop").symlink_to(root,
+                                               target_is_directory=True)
+        except OSError:
+            pytest.skip("symlinks unavailable")
+        lib = Library(tmp_path / "c.db")
+        stats = lib.import_folder(root)
+        assert stats == {"imported": 2, "skipped": 0}
+        assert lib.image_count() == 2
+        lib.close()
+
     def test_collections_survive_reopen(self, tmp_path):
         from raweditor_tpu.catalog import Library
 

@@ -121,6 +121,55 @@ def test_decode_wb_from_as_shot_neutral(tmp_path, rng):
     assert np.allclose(raw.wb_multipliers[3], 1.0, atol=1e-3)
 
 
+def test_degenerate_as_shot_neutral_falls_through(tmp_path, rng):
+    """A present-but-degenerate AsShotNeutral (zero component) must NOT
+    short-circuit the WB fallback chain: the MakerNote fallbacks run
+    and, with none present, wb_is_default=True (code-review r3)."""
+    mosaic = rng.integers(0, 4096, size=(8, 8), dtype=np.uint16)
+    write_synthetic_raw(tmp_path / "a.nef", mosaic,
+                        wb_neutral=(0.0, 1.0, 0.25))
+    raw = decode_raw(tmp_path / "a.nef")
+    assert raw.wb_is_default
+    assert np.allclose(raw.wb_multipliers, 1.0)
+
+
+def test_rw2_missing_wb_flags_default(tmp_path, rng):
+    """RW2 without WB tags reports wb_is_default=True like the main
+    CFA path (code-review r3)."""
+    from raweditor_tpu.raw.panasonic import rw2_representable
+    from raweditor_tpu.raw.synth import write_synthetic_rw2
+
+    m = rw2_representable(
+        rng.integers(0, 4096, size=(8, 14), dtype=np.uint16))
+    blob = bytearray(write_synthetic_rw2(None, m))
+    raw = decode_raw(bytes(blob))
+    assert not raw.wb_is_default  # synth writes WB tags
+    # Degenerate WB levels (zeros) → neutral fallback, flagged.
+    blob2 = write_synthetic_rw2(None, m, wb_rgb=(0, 0, 0))
+    raw2 = decode_raw(bytes(blob2))
+    assert raw2.wb_is_default
+    assert np.allclose(raw2.wb_multipliers, 1.0)
+
+
+def test_tiled_float_and_wide_int_quarantine(tmp_path, rng):
+    """Tiled SampleFormat=3 and uncompressed integer bpp>16 must
+    quarantine instead of decoding garbage through the integer unpack
+    (code-review r3)."""
+    from raweditor_tpu.raw.synth import write_synthetic_raw as _w
+
+    # Build a normal 16-bit uncompressed file, then rewrite its
+    # BitsPerSample entry (SHORT, count 1, value 16 → 24) wherever the
+    # sensor IFD put it.
+    mosaic = rng.integers(0, 4096, size=(8, 8), dtype=np.uint16)
+    base = _w(None, mosaic, compression="none", bpp=16)
+    entry16 = bytes.fromhex("020103000100000010000000")
+    entry24 = bytes.fromhex("020103000100000018000000")
+    assert entry16 in base
+    wide = base.replace(entry16, entry24)
+    with pytest.raises(RawDecodeError):
+        decode_raw(wide)
+
+
 def test_decode_nonexistent_file():
     with pytest.raises(FileNotFoundError):
         decode_raw("/nonexistent/path.nef")
