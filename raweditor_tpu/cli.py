@@ -60,6 +60,26 @@ def _params_from_args(args, base: EditParams = None) -> EditParams:
     return params.replace(**overrides)
 
 
+def _clamp_zoom(zoom: float, cfg) -> float:
+    """The reference's zoom clamp (main.rs:803) plus the finiteness
+    guard sliders get — NaN passes min/max clamps unchanged and would
+    poison the sampling coordinates (code-review r3)."""
+    import math
+
+    if not math.isfinite(zoom):
+        raise SystemExit(f"--zoom must be finite, got {zoom}")
+    return min(max(zoom, cfg.zoom_min), cfg.zoom_max)
+
+
+def _finite_pan(args) -> tuple:
+    import math
+
+    pan = (getattr(args, "pan_x", 0.0), getattr(args, "pan_y", 0.0))
+    if not all(math.isfinite(v) for v in pan):
+        raise SystemExit(f"--pan-x/--pan-y must be finite, got {pan}")
+    return pan
+
+
 def _open_library(args):
     from raweditor_tpu.catalog import Library
 
@@ -456,7 +476,7 @@ def cmd_info(args) -> int:
             out.update(bmff.describe(data))
         print(json.dumps(out))
         return 0 if preview_saved else 1
-    print(json.dumps({
+    out = {
         "width": raw.width,
         "height": raw.height,
         "camera": f"{raw.camera_make} {raw.camera_model}".strip(),
@@ -471,7 +491,11 @@ def cmd_info(args) -> int:
         # tell "camera says neutral" from "unknown".
         "wb_is_default": bool(raw.wb_is_default),
         "xyz_to_cam": [round(float(x), 4) for x in raw.xyz_to_cam.ravel()],
-    }))
+    }
+    if preview_saved is not None:
+        # Same output contract as the UnsupportedRawError path.
+        out["preview_saved"] = preview_saved
+    print(json.dumps(out))
     return 0
 
 
@@ -544,8 +568,7 @@ def cmd_develop(args) -> int:
     cfg = Config.from_env()
     path, base = _resolve_input(args)
     params = _params_from_args(args, base)
-    # Zoom clamp (reference: main.rs:803).
-    zoom = min(max(args.zoom, cfg.zoom_min), cfg.zoom_max)
+    zoom = _clamp_zoom(args.zoom, cfg)
     eng = DevelopEngine.open(path, mode=args.mode,
                              use_pallas=getattr(args, "fast", False),
                              fast_gamma=getattr(args, "fast_gamma", False),
@@ -556,7 +579,7 @@ def cmd_develop(args) -> int:
     if args.preview:
         from PIL import Image
 
-        img = eng.preview(params, zoom=zoom, pan=(args.pan_x, args.pan_y))
+        img = eng.preview(params, zoom=zoom, pan=_finite_pan(args))
         if getattr(args, "auto_orient", False) and eng.raw.orientation != 1:
             img = eng.apply_orientation(img, eng.raw.orientation)
         Image.fromarray(np.ascontiguousarray(img)).save(
@@ -631,6 +654,15 @@ def cmd_export(args) -> int:
                 ids = sorted(picked if ids is None
                              else picked & set(ids))
             jobs = jobs_from_catalog(lib, args.out_dir, ids, args.ext)
+        # CLI slider overrides apply ON TOP of each image's stored
+        # edits (the export parser advertises every slider; they were
+        # silently dropped for catalog exports — code-review r3).
+        if any(getattr(args, n, None) is not None
+               for n in EditParams.field_names()):
+            import dataclasses as _dc
+
+            jobs = [_dc.replace(j, params=_params_from_args(
+                args, j.params)) for j in jobs]
 
     mesh = None
     if args.mesh_rows:
@@ -678,13 +710,14 @@ def cmd_tiers(args) -> int:
 
 def cmd_histogram(args) -> int:
     from raweditor_tpu.pipeline.engine import DevelopEngine
+    from raweditor_tpu.utils.config import Config
 
     path, base = _resolve_input(args)
     eng = DevelopEngine.open(path)
     hist = eng.histogram(_params_from_args(args, base),
-                         zoom=getattr(args, "zoom", 1.0),
-                         pan=(getattr(args, "pan_x", 0.0),
-                              getattr(args, "pan_y", 0.0)))
+                         zoom=_clamp_zoom(getattr(args, "zoom", 1.0),
+                                          Config.from_env()),
+                         pan=_finite_pan(args))
     if args.ascii:
         print(render_ascii_histogram(hist))
     else:
@@ -871,24 +904,34 @@ def cmd_auto(args) -> int:
 
     image_id = None
     if args.input.isdigit():
+        # One library open for the whole command: loading params,
+        # computing on device, and saving the suggestion — a re-open
+        # after the expensive compute could fail and drop the result
+        # (code-review r3).
         with _open_library(args) as lib:
             img = lib.get_image(int(args.input))
             if img is None:
                 raise SystemExit(f"no catalog image {args.input}")
             path, image_id = img.path, img.id
             base = lib.load_edit_params(image_id)
+            eng = DevelopEngine.open(path)
+            suggestion = suggest_auto(
+                eng, base,
+                include_levels=getattr(args, "levels", False),
+                include_contrast=getattr(args, "contrast", False),
+                include_tone=getattr(args, "tone", False),
+            )
+            if not args.dry_run:
+                lib.save_edit_params(image_id, suggestion)
     else:
         path, base = args.input, EditParams()
-    eng = DevelopEngine.open(path)
-    suggestion = suggest_auto(
-        eng, base,
-        include_levels=getattr(args, "levels", False),
-        include_contrast=getattr(args, "contrast", False),
-        include_tone=getattr(args, "tone", False),
-    )
-    if image_id is not None and not args.dry_run:
-        with _open_library(args) as lib:
-            lib.save_edit_params(image_id, suggestion)
+        eng = DevelopEngine.open(path)
+        suggestion = suggest_auto(
+            eng, base,
+            include_levels=getattr(args, "levels", False),
+            include_contrast=getattr(args, "contrast", False),
+            include_tone=getattr(args, "tone", False),
+        )
     print(suggestion.to_json())
     return 0
 
@@ -912,42 +955,48 @@ def cmd_session(args) -> int:
     from raweditor_tpu.utils.config import Config
 
     library = image_id = None
-    if args.input.isdigit():
-        library = _open_library(args)
-        img = library.get_image(int(args.input))
-        if img is None:
-            raise SystemExit(f"no catalog image {args.input}")
-        path, image_id = img.path, img.id
-    else:
-        path = args.input
-    eng = DevelopEngine.open(path, mode=args.mode, use_pallas=args.fast,
-                             fast_gamma=getattr(args, "fast_gamma", False),
-                             demosaic_method=getattr(args, "demosaic",
-                                                     "nearest"))
-    if library is None and args.db is not None:
-        # A file path with --db: attach (importing on first successful
-        # open) so checkpoint/undo/persistence work. Catalog paths are
-        # stored normalized-absolute (matching import_folder).
-        import os as _os
-        import sqlite3 as _sq
-
-        library = _open_library(args)
-        full = _os.path.abspath(path)
-        row = library.conn.execute(
-            "SELECT id FROM images WHERE path = ?", (full,)
-        ).fetchone()
-        if row:
-            image_id = row[0]
+    try:
+        if args.input.isdigit():
+            library = _open_library(args)
+            img = library.get_image(int(args.input))
+            if img is None:
+                raise SystemExit(f"no catalog image {args.input}")
+            path, image_id = img.path, img.id
         else:
-            try:
-                image_id = library.import_image(
-                    full, _os.path.basename(full)
-                )
-            except _sq.IntegrityError:
-                image_id = None
-    DevelopSession(eng, library, image_id, Config.from_env()).repl()
-    if library is not None:
-        library.close()
+            path = args.input
+        eng = DevelopEngine.open(
+            path, mode=args.mode, use_pallas=args.fast,
+            fast_gamma=getattr(args, "fast_gamma", False),
+            demosaic_method=getattr(args, "demosaic", "nearest"))
+        if library is None and args.db is not None:
+            # A file path with --db: attach (importing on first
+            # successful open) so checkpoint/undo/persistence work.
+            # Catalog paths are stored normalized-absolute (matching
+            # import_folder).
+            import os as _os
+            import sqlite3 as _sq
+
+            library = _open_library(args)
+            full = _os.path.abspath(path)
+            row = library.conn.execute(
+                "SELECT id FROM images WHERE path = ?", (full,)
+            ).fetchone()
+            if row:
+                image_id = row[0]
+            else:
+                try:
+                    image_id = library.import_image(
+                        full, _os.path.basename(full)
+                    )
+                except _sq.IntegrityError:
+                    image_id = None
+        DevelopSession(eng, library, image_id, Config.from_env()).repl()
+    finally:
+        # Close on every exit path — a decode error or an exception
+        # escaping repl() must not leak the sqlite connection
+        # (code-review r3).
+        if library is not None:
+            library.close()
     return 0
 
 
@@ -1000,7 +1049,18 @@ def main(argv=None) -> int:
             nikon_crypt.inject_xlat_file(args.xlat)
         except (OSError, ValueError) as e:
             raise SystemExit(f"--xlat: {e}")
-    return _COMMANDS[args.cmd](args)
+    try:
+        return _COMMANDS[args.cmd](args)
+    except BrokenPipeError:
+        # `raweditor-tpu list | head`: the consumer closed the pipe.
+        # Exit quietly like standard unix tools (128 + SIGPIPE),
+        # pointing stdout at devnull so interpreter teardown doesn't
+        # traceback on the final flush.
+        import os as _os
+
+        devnull = _os.open(_os.devnull, _os.O_WRONLY)
+        _os.dup2(devnull, sys.stdout.fileno())
+        return 141
 
 
 if __name__ == "__main__":

@@ -22,14 +22,12 @@ from __future__ import annotations
 import numpy as np
 
 
-def rgba_words_to_ycbcr420(words):
-    """Packed-RGBA u32 (..., H, W) → (Y u8 (..., H, W),
-    Cb u8 (..., H/2, W/2), Cr u8 (..., H/2, W/2))."""
+def _rgb_to_ycbcr(words):
+    """Packed-RGBA u32 → float (y, cb, cr), the JFIF full-range BT.601
+    forward transform. One copy of the 9 coefficients so the 4:2:0 and
+    4:4:4 paths can never drift apart."""
     import jax.numpy as jnp
 
-    h, w = words.shape[-2], words.shape[-1]
-    if h % 2 or w % 2:
-        raise ValueError("ycbcr420 requires even dimensions")
     r = (words & 0xFF).astype(jnp.float32)
     g = ((words >> 8) & 0xFF).astype(jnp.float32)
     b = ((words >> 16) & 0xFF).astype(jnp.float32)
@@ -39,16 +37,29 @@ def rgba_words_to_ycbcr420(words):
           - np.float32(0.331264108) * g + np.float32(0.5) * b)
     cr = (np.float32(128.0) + np.float32(0.5) * r
           - np.float32(0.418687589) * g - np.float32(0.081312411) * b)
+    return y, cb, cr
+
+
+def _quantize_u8(p):
+    import jax.numpy as jnp
+
+    return jnp.clip(jnp.round(p), 0.0, 255.0).astype(jnp.uint8)
+
+
+def rgba_words_to_ycbcr420(words):
+    """Packed-RGBA u32 (..., H, W) → (Y u8 (..., H, W),
+    Cb u8 (..., H/2, W/2), Cr u8 (..., H/2, W/2))."""
+    h, w = words.shape[-2], words.shape[-1]
+    if h % 2 or w % 2:
+        raise ValueError("ycbcr420 requires even dimensions")
+    y, cb, cr = _rgb_to_ycbcr(words)
 
     def box2(p):
         s = p.shape
         p = p.reshape(s[:-2] + (s[-2] // 2, 2, s[-1] // 2, 2))
         return (p.sum(axis=(-3, -1)) * np.float32(0.25))
 
-    def q(p):
-        return jnp.clip(jnp.round(p), 0.0, 255.0).astype(jnp.uint8)
-
-    return q(y), q(box2(cb)), q(box2(cr))
+    return _quantize_u8(y), _quantize_u8(box2(cb)), _quantize_u8(box2(cr))
 
 
 def rgba_words_to_ycbcr444(words):
@@ -58,19 +69,5 @@ def rgba_words_to_ycbcr444(words):
     4). Same JFIF BT.601 transform as the 4:2:0 path, minus the box
     filter; any dimensions (the 4:2:0 even-dims restriction doesn't
     apply)."""
-    import jax.numpy as jnp
-
-    r = (words & 0xFF).astype(jnp.float32)
-    g = ((words >> 8) & 0xFF).astype(jnp.float32)
-    b = ((words >> 16) & 0xFF).astype(jnp.float32)
-    y = (np.float32(0.299) * r + np.float32(0.587) * g
-         + np.float32(0.114) * b)
-    cb = (np.float32(128.0) - np.float32(0.168735892) * r
-          - np.float32(0.331264108) * g + np.float32(0.5) * b)
-    cr = (np.float32(128.0) + np.float32(0.5) * r
-          - np.float32(0.418687589) * g - np.float32(0.081312411) * b)
-
-    def q(p):
-        return jnp.clip(jnp.round(p), 0.0, 255.0).astype(jnp.uint8)
-
-    return q(y), q(cb), q(cr)
+    y, cb, cr = _rgb_to_ycbcr(words)
+    return _quantize_u8(y), _quantize_u8(cb), _quantize_u8(cr)

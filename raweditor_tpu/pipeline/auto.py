@@ -19,6 +19,15 @@ import numpy as np
 from raweditor_tpu.params import EditParams
 
 
+def _is_srgb(engine) -> bool:
+    """Which inverse linearizes this engine's renders. The fast-gamma
+    variants ('gamma22_poly' / 'srgb_poly') encode the SAME curve to
+    u8 accuracy as their exact parents, so they linearize with the
+    parent's inverse — exact string comparisons mis-linearized
+    fast-gamma sessions (code-review r3)."""
+    return str(engine.transfer).startswith("srgb")
+
+
 def _percentile_from_hist(hist_1d: np.ndarray, pct: float) -> float:
     """Value in [0,1] at the given percentile of a 256-bin histogram."""
     total = hist_1d.sum()
@@ -43,9 +52,9 @@ def suggest_exposure(engine, params: EditParams = None,
     p = _percentile_from_hist(luma_hist, highlight_pct)
     p = max(p, 1.0 / 255.0)
     # Undo the display transfer to linear, then stops to target.
-    lin = p ** 2.2 if engine.transfer == "gamma22" else _srgb_to_lin(p)
-    target_lin = target ** 2.2 if engine.transfer == "gamma22" \
-        else _srgb_to_lin(target)
+    srgb = _is_srgb(engine)
+    lin = _srgb_to_lin(p) if srgb else p ** 2.2
+    target_lin = _srgb_to_lin(target) if srgb else target ** 2.2
     stops = float(np.log2(target_lin / lin))
     return float(np.clip(stops, -max_stops, max_stops))
 
@@ -66,7 +75,7 @@ def suggest_white_balance(engine, params: EditParams = None):
     hist = engine.histogram(params)
     bins = np.arange(256) / 255.0
     # Undo the engine's display transfer so the means are linear-space.
-    if engine.transfer == "srgb":
+    if _is_srgb(engine):
         lin = np.where(bins <= 0.04045, bins / 12.92,
                        ((bins + 0.055) / 1.055) ** 2.4)
     else:
@@ -107,7 +116,7 @@ def suggest_levels(engine, params: EditParams = None,
     params = params or EditParams()
     hist = engine.histogram(params)
     luma_hist = (0.2126 * hist[0] + 0.7152 * hist[1] + 0.0722 * hist[2])
-    to_lin = (_srgb_to_lin if engine.transfer == "srgb"
+    to_lin = (_srgb_to_lin if _is_srgb(engine)
               else lambda v: v ** 2.2)
     lo = to_lin(_percentile_from_hist(luma_hist, lo_pct))
     hi = to_lin(_percentile_from_hist(luma_hist, hi_pct))
@@ -137,7 +146,7 @@ def suggest_contrast(engine, params: EditParams = None,
     params = params or EditParams()
     hist = engine.histogram(params)
     luma_hist = (0.2126 * hist[0] + 0.7152 * hist[1] + 0.0722 * hist[2])
-    to_lin = (_srgb_to_lin if engine.transfer == "srgb"
+    to_lin = (_srgb_to_lin if _is_srgb(engine)
               else lambda v: v ** 2.2)
     p25 = to_lin(_percentile_from_hist(luma_hist, 25.0))
     p75 = to_lin(_percentile_from_hist(luma_hist, 75.0))

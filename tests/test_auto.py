@@ -42,6 +42,28 @@ def test_well_exposed_near_zero(tmp_path, rng):
     assert abs(suggest_exposure(eng)) < 0.5
 
 
+def test_fast_gamma_engine_linearizes_like_exact(tmp_path, rng):
+    """A fast-gamma engine renders the same curve to u8 accuracy as
+    its exact parent, so the suggestions must match closely — exact
+    string comparisons previously linearized 'gamma22_poly' renders
+    with the sRGB inverse (~0.6-stop exposure error; code-review r3)."""
+    dark = rng.integers(0, 300, size=(48, 64), dtype=np.uint16)
+    path = tmp_path / "a.nef"
+    write_synthetic_raw(path, dark)
+    for transfer in ("gamma22", "srgb"):
+        exact = DevelopEngine.open(path, mode="accurate",
+                                   transfer=transfer)
+        fast = DevelopEngine.open(path, mode="accurate",
+                                  transfer=transfer, fast_gamma=True)
+        assert fast.transfer.endswith("_poly")
+        a = suggest_exposure(exact)
+        b = suggest_exposure(fast)
+        assert abs(a - b) < 0.1, (transfer, a, b)
+        wa = suggest_white_balance(exact)
+        wb = suggest_white_balance(fast)
+        assert np.allclose(wa, wb, atol=0.05), (transfer, wa, wb)
+
+
 def test_gray_world_wb_detects_cast(tmp_path, rng):
     # Blue-heavy mosaic: B sites hot, R sites weak → warm correction
     # (positive temperature raises R, lowers B).

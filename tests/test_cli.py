@@ -64,6 +64,23 @@ def test_import_list_edit_export(tmp_path, capsys, photos):
     assert (tmp_path / "out" / "s0.png").exists()
 
 
+def test_export_catalog_applies_slider_overrides(tmp_path, capsys,
+                                                 photos):
+    """CLI sliders on catalog exports compose over each image's stored
+    edits instead of being silently dropped (code-review r3). PNG is
+    lossless, so an effective override changes the bytes."""
+    db = tmp_path / "cat.db"
+    run(capsys, "--db", db, "import", photos, "--no-tiers")
+    code, _ = run(capsys, "--db", db, "export", "-o", tmp_path / "a",
+                  "--ext", "png", "--ids", "1")
+    assert code == 0
+    code, _ = run(capsys, "--db", db, "export", "-o", tmp_path / "b",
+                  "--ext", "png", "--ids", "1", "--exposure", "2.0")
+    assert code == 0
+    assert (tmp_path / "a" / "s0.png").read_bytes() != \
+        (tmp_path / "b" / "s0.png").read_bytes()
+
+
 def test_develop_file_and_catalog_id(tmp_path, capsys, photos):
     db = tmp_path / "cat.db"
     run(capsys, "--db", db, "import", photos, "--no-tiers")
