@@ -24,7 +24,7 @@ from raweditor_tpu.ops.develop import (
     finish_to_u8,
 )
 from raweditor_tpu.params import EditParams
-from raweditor_tpu.parallel.spatial import develop_block
+from raweditor_tpu.parallel.spatial import HALO_DEMOSAICS, develop_block
 
 _F = jnp.float32
 
@@ -41,12 +41,23 @@ def pack_params(params_list) -> EditParams:
     )
 
 
+def _default_levels(n: int, white_levels, black_levels):
+    """Per-image levels with the parity defaults (one definition —
+    the same 4-line fill was copy-pasted across every batch entry
+    point; code-review r3)."""
+    if white_levels is None:
+        white_levels = jnp.full((n,), 4096.0, _F)
+    if black_levels is None:
+        black_levels = jnp.zeros((n,), _F)
+    return white_levels, black_levels
+
+
 def _develop_one(mosaic, params, wb, cm, white_level, black_level,
                  matrix_transpose, rgba=False, cfa_phase=(0, 0),
                  transfer="gamma22", demosaic_method="nearest"):
-    x = mosaic.astype(_F)
-    black = jnp.asarray(black_level, _F)
-    norm = (x - black) / (jnp.asarray(white_level, _F) - black)
+    from raweditor_tpu.ops.develop import _normalize
+
+    norm = _normalize(mosaic, white_level, black_level)
     r, g, b = _demosaic.demosaic(norm, demosaic_method, cfa_phase)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cm, matrix_transpose)
     if rgba:
@@ -73,10 +84,8 @@ def batch_develop(mosaics, params: EditParams, wb, cam_matrices,
     program with zero communication.
     """
     n = mosaics.shape[0]
-    if white_levels is None:
-        white_levels = jnp.full((n,), 4096.0, _F)
-    if black_levels is None:
-        black_levels = jnp.zeros((n,), _F)
+    white_levels, black_levels = _default_levels(
+        n, white_levels, black_levels)
     return jax.vmap(
         functools.partial(_develop_one, matrix_transpose=matrix_transpose,
                           cfa_phase=cfa_phase, transfer=transfer,
@@ -120,10 +129,8 @@ def batch_develop_rgba(mosaics, params: EditParams, wb, cam_matrices,
     ``output`` = 'ycbcr420'/'ycbcr444' additionally converts to JPEG
     planes inside the same program (see _maybe_ycbcr)."""
     n = mosaics.shape[0]
-    if white_levels is None:
-        white_levels = jnp.full((n,), 4096.0, _F)
-    if black_levels is None:
-        black_levels = jnp.zeros((n,), _F)
+    white_levels, black_levels = _default_levels(
+        n, white_levels, black_levels)
     return _maybe_ycbcr(jax.vmap(
         functools.partial(
             _develop_one, matrix_transpose=matrix_transpose, rgba=True,
@@ -152,10 +159,8 @@ def batch_develop_xtrans_rgba(mosaics, params: EditParams, wb,
     from raweditor_tpu.ops.develop import develop_xtrans
 
     n = mosaics.shape[0]
-    if white_levels is None:
-        white_levels = jnp.full((n,), 4096.0, _F)
-    if black_levels is None:
-        black_levels = jnp.zeros((n,), _F)
+    white_levels, black_levels = _default_levels(
+        n, white_levels, black_levels)
     return _maybe_ycbcr(jax.vmap(
         lambda m, p, w, c, wl, bl: develop_xtrans(
             m, p, w, c, wl, bl, pattern=pattern,
@@ -265,10 +270,15 @@ def batch_develop_sharded(
         raise ValueError(f"batch {n} not divisible by {n_b}")
     if h % (2 * n_r):
         raise ValueError(f"H={h} must be divisible by 2*{n_r}")
-    if white_levels is None:
-        white_levels = jnp.full((n,), 4096.0, _F)
-    if black_levels is None:
-        black_levels = jnp.zeros((n,), _F)
+    if n_r > 1 and demosaic_method not in HALO_DEMOSAICS:
+        # 'grad' reaches ~5 rows; the fixed 2-row halo would corrupt
+        # every shard seam (code-review r3, verified empirically) —
+        # callers route it data-parallel instead (export.py does).
+        raise ValueError(
+            f"row-sharded develop supports {HALO_DEMOSAICS}; run "
+            f"{demosaic_method!r} on a data-parallel mesh (row=1)")
+    white_levels, black_levels = _default_levels(
+        n, white_levels, black_levels)
 
     img_spec = (
         P(bspec, row_axis, None)

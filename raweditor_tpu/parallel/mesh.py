@@ -31,13 +31,30 @@ def make_mesh(axis_sizes: dict, devices=None) -> Mesh:
     return Mesh(dev_array, tuple(names))
 
 
+def _take_devices(devices, n_devices):
+    """Resolve the device list, rejecting silent truncation and
+    non-positive axis sizes (code-review r3: asking for 32 devices on
+    an 8-chip host returned a valid 8-device mesh — a 4× throughput
+    shortfall the caller attributed elsewhere)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        if n_devices <= 0:
+            raise ValueError(f"n_devices must be positive, got {n_devices}")
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested {n_devices} devices but only "
+                f"{len(devices)} are available")
+        devices = devices[:n_devices]
+    return devices
+
+
 def batch_row_mesh(n_devices: int | None = None, row: int = 1,
                    devices=None) -> Mesh:
     """The standard export mesh: ('batch', 'row'). ``row > 1`` carves
     chips out of the batch dimension for intra-image row sharding."""
-    devices = list(devices if devices is not None else jax.devices())
-    if n_devices is not None:
-        devices = devices[:n_devices]
+    devices = _take_devices(devices, n_devices)
+    if row <= 0:
+        raise ValueError(f"row must be positive, got {row}")
     n = len(devices)
     if n % row:
         raise ValueError(f"{n} devices not divisible by row={row}")
@@ -56,9 +73,9 @@ def host_batch_row_mesh(n_devices: int | None = None, host: int = 1,
     On a real multi-host slice, build this with ``jax.devices()`` after
     ``jax.distributed.initialize()`` — the leading axis then aligns
     with process boundaries because JAX orders devices by process."""
-    devices = list(devices if devices is not None else jax.devices())
-    if n_devices is not None:
-        devices = devices[:n_devices]
+    devices = _take_devices(devices, n_devices)
+    if host <= 0 or row <= 0:
+        raise ValueError(f"host/row must be positive, got {host}/{row}")
     n = len(devices)
     if n % (host * row):
         raise ValueError(

@@ -896,6 +896,20 @@ def run_batch_export(
                         transfer=transfer, demosaic_method=demosaic_method,
                         output=xla_output,
                     )
+            elif demosaic_method == "grad":
+                # grad's receptive field exceeds the shard_map path's
+                # fixed 2-row halo (parallel/spatial.HALO_DEMOSAICS) —
+                # shard it via GSPMD like the X-Trans buckets: stage
+                # with the batch sharding and let XLA insert whatever
+                # boundary exchanges the stencil needs (value-exact
+                # by construction).
+                staged = jax.device_put(mosaics, batch_sharding(mesh))
+                out = batch_develop_rgba(
+                    staged, params, wbs, cms, whites, blacks,
+                    matrix_transpose=matrix_transpose, cfa_phase=phase,
+                    transfer=transfer, demosaic_method=demosaic_method,
+                    output=xla_output,
+                )
             else:
                 staged = jax.device_put(mosaics, batch_sharding(mesh))
                 out = batch_develop_sharded(

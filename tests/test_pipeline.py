@@ -523,6 +523,55 @@ def test_mesh_xtrans_and_linear_match_single_chip(tmp_path, rng):
             (tmp_path / "s" / f"{name}.png").read_bytes()
 
 
+def test_mesh_grad_demosaic_matches_single_chip(tmp_path, rng):
+    """grad's receptive field exceeds the row-shard halo; it must
+    route through the GSPMD dp path and stay byte-identical to
+    mesh=None (it previously went through the 2-row-halo shard_map
+    and corrupted every shard seam — code-review r3)."""
+    from raweditor_tpu.parallel import batch_row_mesh
+
+    mesh = batch_row_mesh(row=2)
+    h, w = 32, 24
+    path = tmp_path / "g.nef"
+    write_synthetic_raw(
+        path, rng.integers(0, 4096, size=(h, w), dtype=np.uint16))
+    p = EditParams(exposure=0.3)
+    rep = run_batch_export(
+        [ExportJob(str(path), str(tmp_path / "m" / "g.png"), p)],
+        mesh=mesh, batch_size=2, demosaic_method="grad")
+    assert rep.succeeded == 1 and not rep.failed, rep.as_dict()
+    solo = run_batch_export(
+        [ExportJob(str(path), str(tmp_path / "s" / "g.png"), p)],
+        batch_size=2, demosaic_method="grad")
+    assert solo.succeeded == 1
+    assert (tmp_path / "m" / "g.png").read_bytes() == \
+        (tmp_path / "s" / "g.png").read_bytes()
+    # The shard_map path itself refuses grad outright.
+    import pytest
+
+    from raweditor_tpu.parallel.batch import batch_develop_sharded
+
+    with pytest.raises(ValueError, match="row-sharded develop"):
+        batch_develop_sharded(
+            rng.integers(0, 4096, (4, 16, 16), np.uint16),
+            None, None, None, mesh, demosaic_method="grad")
+
+
+def test_mesh_builders_validate(rng):
+    """No silent truncation when more devices are requested than
+    exist; non-positive axis sizes error cleanly (code-review r3)."""
+    import pytest
+
+    from raweditor_tpu.parallel import batch_row_mesh
+
+    with pytest.raises(ValueError, match="available"):
+        batch_row_mesh(n_devices=64)
+    with pytest.raises(ValueError, match="row must be positive"):
+        batch_row_mesh(row=0)
+    with pytest.raises(ValueError, match="row must be positive"):
+        batch_row_mesh(row=-2)
+
+
 def test_export_rejects_bad_transfer_and_mesh(tmp_path, rng):
     """Unknown transfers and meshes without the expected axes fail
     up front with clear errors instead of quarantining every batch
