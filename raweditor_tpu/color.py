@@ -205,6 +205,21 @@ def transfer16_for(transfer: str) -> str:
     return TRANSFER16_BY_TRANSFER.get(transfer, transfer)
 
 
+def encoder_for(transfer: str):
+    """The encode callable for a transfer name — the one dispatch the
+    u8/u16 finishing paths share (two identical dicts previously lived
+    in ops/develop.py; code-review r3)."""
+    try:
+        return {
+            "gamma22": gamma22_encode,
+            "gamma22_poly": gamma22_poly_encode,
+            "srgb": srgb_encode,
+            "srgb_poly": srgb_poly_encode,
+        }[transfer]
+    except KeyError:
+        raise ValueError(f"unknown transfer {transfer!r}") from None
+
+
 def srgb_encode(x):
     """IEC 61966-2-1 forward transfer (linear → sRGB)."""
     import jax.numpy as jnp

@@ -171,19 +171,14 @@ def generic_cfa_method(method: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=8)
-def _tent_kernel(radius: int) -> np.ndarray:
-    t = np.minimum(np.arange(2 * radius + 1) + 1,
-                   np.arange(2 * radius, -1, -1) + 1).astype(np.float32)
-    return np.outer(t, t)
-
-
 @functools.lru_cache(maxsize=32)
 def _smooth_radius(pattern: str, ph: int, pw: int, chan: int) -> int:
     """Smallest tent radius whose periodic window always contains at
     least one site of ``chan`` (so the denominator never vanishes)."""
     grid = np.array([_CHAN[c] for c in pattern.upper()]).reshape(ph, pw)
-    for radius in (1, 2, 3, max(ph, pw)):
+    # Every radius up to the period: skipping 4..period-1 handed
+    # period->=5 patterns an oversized, blurrier tent (code-review r3).
+    for radius in range(1, max(ph, pw) + 1):
         ok = all(
             any(grid[(py + dy) % ph, (px + dx) % pw] == chan
                 for dy in range(-radius, radius + 1)

@@ -191,12 +191,11 @@ def _conv_taps(padded, taps, h, w, pad: int = 1):
 
 @functools.lru_cache(maxsize=None)
 def _bilinear_taps():
-    cross = {(0, 0): 1.0}
     hmean = {(0, -1): 0.5, (0, 1): 0.5}
     vmean = {(-1, 0): 0.5, (1, 0): 0.5}
     plus = {(0, -1): 0.25, (0, 1): 0.25, (-1, 0): 0.25, (1, 0): 0.25}
     diag = {(-1, -1): 0.25, (-1, 1): 0.25, (1, -1): 0.25, (1, 1): 0.25}
-    return cross, hmean, vmean, plus, diag
+    return hmean, vmean, plus, diag
 
 
 def demosaic_bilinear(mosaic, phase=(0, 0)):
@@ -208,7 +207,7 @@ def demosaic_bilinear(mosaic, phase=(0, 0)):
     """
     h, w = mosaic.shape
     p = jnp.pad(mosaic, ((1, 1), (1, 1)), mode="edge")
-    cross, hmean, vmean, plus, diag = _bilinear_taps()
+    hmean, vmean, plus, diag = _bilinear_taps()
 
     v = mosaic
     hm = _conv_taps(p, hmean, h, w)

@@ -145,22 +145,9 @@ def finish_to_u8(r, g, b, valid=None, transfer: str = "gamma22"):
     ``valid`` optionally masks out-of-frame pixels to black, matching the
     shader's early return (reference: gpu/shaders.rs:173-178).
     """
-    from raweditor_tpu.color import (
-        gamma22_encode,
-        gamma22_poly_encode,
-        srgb_encode,
-        srgb_poly_encode,
-    )
+    from raweditor_tpu.color import encoder_for
 
-    try:
-        encode = {
-            "gamma22": gamma22_encode,
-            "gamma22_poly": gamma22_poly_encode,
-            "srgb": srgb_encode,
-            "srgb_poly": srgb_poly_encode,
-        }[transfer]
-    except KeyError:
-        raise ValueError(f"unknown transfer {transfer!r}") from None
+    encode = encoder_for(transfer)
 
     def enc(c):
         c = encode(c)  # single source of truth for both curves (color.py)
@@ -177,23 +164,15 @@ def finish_to_u16(r, g, b, transfer: str = "gamma22"):
     """16-bit variant of finish_to_u8 (beyond the reference): same
     transfer curves, quantized to the full u16 range for high-bit-depth
     export (TIFF). Rounding mirrors the u8 path: floor(c*65535 + 0.5).
-    """
-    from raweditor_tpu.color import (
-        gamma22_encode,
-        gamma22_poly_encode,
-        srgb_encode,
-        srgb_poly_encode,
-    )
 
-    try:
-        encode = {
-            "gamma22": gamma22_encode,
-            "gamma22_poly": gamma22_poly_encode,
-            "srgb": srgb_encode,
-            "srgb_poly": srgb_poly_encode,
-        }[transfer]
-    except KeyError:
-        raise ValueError(f"unknown transfer {transfer!r}") from None
+    The polynomial transfers are fit to u8 accuracy (~6 LSBs of u16)
+    and are demoted to their exact parents here — the CLAUDE.md rule
+    '16-bit outputs must always use the exact transfer' holds at this
+    public API too, not just in the pipeline layers (code-review r3).
+    """
+    from raweditor_tpu.color import encoder_for, transfer16_for
+
+    encode = encoder_for(transfer16_for(transfer))
 
     def enc(c):
         c = jnp.minimum(encode(c), _F(1.0))
@@ -249,6 +228,19 @@ def rgba_view(words) -> "np.ndarray":
     """Host view of a (…, W) u32 RGBA image as (…, W, 4) u8 bytes."""
     arr = np.asarray(words)
     return arr.view(np.uint8).reshape(arr.shape + (4,))
+
+
+def _square_period(pat: str) -> int:
+    """Side length of a square repeating-CFA pattern string. The
+    generic-CFA entry points support square periods only — a
+    non-square length silently reshaped into the wrong grid before
+    (int(sqrt) truncation; code-review r3)."""
+    side = int(len(pat) ** 0.5)
+    if side * side != len(pat):
+        raise ValueError(
+            f"repeating-CFA pattern length {len(pat)} is not square; "
+            "only NxN patterns are supported")
+    return side
 
 
 def _normalize(mosaic, white_level, black_level=0.0):
@@ -403,7 +395,9 @@ def develop_xtrans(
     )
 
     pat = pattern or XTRANS_PATTERN
-    side = int(len(pat) ** 0.5)
+    side = _square_period(pat)
+    if rgba and bits == 16:
+        raise ValueError("rgba and bits=16 are mutually exclusive")
     norm = _normalize(mosaic, white_level, black_level)
     if demosaic_method == "smooth":
         r, g, b = demosaic_smooth_generic(norm, pat, side, side)
@@ -419,7 +413,12 @@ def develop_xtrans(
                                matrix_transpose)
     if rgba:
         return finish_to_rgba_u32(r, g, b, transfer=transfer)
-    r, g, b = finish_to_u8(r, g, b, transfer=transfer)
+    if bits == 16:
+        # Was silently ignored: bits=16 returned u8 that write_tiff16
+        # widened into a near-black 16-bit image (code-review r3).
+        r, g, b = finish_to_u16(r, g, b, transfer=transfer)
+    else:
+        r, g, b = finish_to_u8(r, g, b, transfer=transfer)
     return jnp.stack([r, g, b], axis=-1)
 
 
@@ -453,7 +452,7 @@ def develop_xtrans_preview(
     )
 
     pat = pattern or XTRANS_PATTERN
-    side = int(len(pat) ** 0.5)
+    side = _square_period(pat)
     h, w = mosaic.shape
     xi, xvalid = _sampling.sample_axis(out_w, w, _f32(zoom), _f32(pan_x))
     yi, yvalid = _sampling.sample_axis(out_h, h, _f32(zoom), _f32(pan_y))
@@ -487,6 +486,8 @@ def develop_linear(
     photometric 34892): the same edit stack, demosaic skipped. Channel
     planes are split immediately so the chain keeps the TPU-friendly
     (H, W) layout. ``bits=16`` quantizes to u16 (TIFF export)."""
+    if rgba and bits == 16:
+        raise ValueError("rgba and bits=16 are mutually exclusive")
     r = _normalize(rgb_u16[..., 0], white_level, black_level)
     g = _normalize(rgb_u16[..., 1], white_level, black_level)
     b = _normalize(rgb_u16[..., 2], white_level, black_level)

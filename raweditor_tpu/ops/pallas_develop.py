@@ -158,7 +158,7 @@ def _demosaic_smooth_taps(tap_row, grows, img_h, center, up, down, left,
     v = center
 
     if method == "bilinear":
-        _cross, hmean, vmean, plus, diag = _bilinear_taps()
+        hmean, vmean, plus, diag = _bilinear_taps()
         assert (hmean == {(0, -1): 0.5, (0, 1): 0.5}
                 and vmean == {(-1, 0): 0.5, (1, 0): 0.5}
                 and set(plus.values()) == {0.25}

@@ -427,6 +427,23 @@ class TestU16Export:
         # And it isn't just u8 scaled up: low bits carry information.
         assert (u16 % 257 != 0).any()
 
+    def test_u16_demotes_polynomial_transfers(self, rng):
+        """The u8-accuracy polynomial transfers must quantize to u16
+        through their EXACT parents (the CLAUDE.md 16-bit rule) even
+        at the public develop_u16/finish_to_u16 surface, not just in
+        the pipeline layers (code-review r3)."""
+        from raweditor_tpu.ops.develop import develop_u16
+
+        mosaic = rng.integers(0, 4096, size=(16, 24), dtype=np.uint16)
+        p = EditParams(exposure=0.3)
+        for poly, exact in (("gamma22_poly", "gamma22"),
+                            ("srgb_poly", "srgb")):
+            a = np.asarray(develop_u16(mosaic, p, WB_NEUTRAL, IDENTITY,
+                                       transfer=poly))
+            b = np.asarray(develop_u16(mosaic, p, WB_NEUTRAL, IDENTITY,
+                                       transfer=exact))
+            assert np.array_equal(a, b), poly
+
     def test_tiff16_roundtrip_via_own_walker(self, tmp_path, rng):
         from raweditor_tpu.raw import tiff as T
         from raweditor_tpu.raw.tiff import TiffFile

@@ -125,6 +125,51 @@ def test_batch_export_xtrans_accurate(tmp_path, rng):
     assert report.succeeded == 2 and not report.failed
 
 
+def test_xtrans_16bit_tiff_uses_full_range(tmp_path, rng):
+    """develop_xtrans(bits=16) must actually quantize to u16 — it used
+    to silently return u8 that write_tiff16 widened into a near-black
+    16-bit image (code-review r3)."""
+    from raweditor_tpu.ops.develop import develop_xtrans
+
+    h, w = 12, 24
+    mosaic = _mosaic_xtrans(
+        np.full((h, w), 3000), np.full((h, w), 3000),
+        np.full((h, w), 3000)).astype(np.uint16)
+    out = np.asarray(develop_xtrans(
+        mosaic, EditParams(), np.ones(3, np.float32),
+        np.eye(3, dtype=np.float32), bits=16))
+    assert out.dtype == np.uint16
+    assert out.max() > 255  # real 16-bit quantization
+    # Engine path: a .tif export of an X-Trans file reads back bright.
+    path = tmp_path / "x.dng"
+    write_synthetic_raw(path, mosaic, cfa=XTRANS_PATTERN)
+    eng = DevelopEngine.open(path, mode="accurate")
+    eng.export_tiff16(tmp_path / "x.tif", EditParams())
+    # PIL downconverts 16-bit RGB to u8 — read the samples with the
+    # repo's own TIFF walker instead.
+    from raweditor_tpu.raw.tiff import TiffFile
+
+    tf = TiffFile((tmp_path / "x.tif").read_bytes())
+    strips = b"".join(tf.strip_data(tf.ifds[0]))
+    samples = np.frombuffer(strips, "<u2")
+    assert samples.max() > 10000  # real 16-bit range, not widened u8
+    # rgba + bits=16 is contradictory and must error.
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        develop_xtrans(mosaic, EditParams(), np.ones(3, np.float32),
+                       np.eye(3, dtype=np.float32), rgba=True, bits=16)
+
+
+def test_non_square_pattern_rejected(rng):
+    """int(sqrt) truncation used to silently mis-grid non-square
+    patterns (code-review r3)."""
+    from raweditor_tpu.ops.develop import develop_xtrans
+
+    mosaic = rng.integers(0, 4096, size=(8, 16), dtype=np.uint16)
+    with pytest.raises(ValueError, match="not square"):
+        develop_xtrans(mosaic, EditParams(), np.ones(3, np.float32),
+                       np.eye(3, dtype=np.float32), pattern="RGGBRGGB")
+
+
 def test_xtrans_preview_matches_full_subsample(tmp_path, rng):
     """Sampled X-Trans preview equals strided sampling of the full
     develop at integer decimation."""
