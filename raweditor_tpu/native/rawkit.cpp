@@ -147,95 +147,62 @@ void pack14_impl(const uint16_t* src, int64_t h, int64_t w, uint8_t* dst) {
 // Lossless JPEG (SOF3)
 // ---------------------------------------------------------------------------
 
-struct BitReader {
+inline uint64_t bswap64u(uint64_t v) {
+#if defined(__GNUC__) || defined(__clang__)
+  return __builtin_bswap64(v);
+#else
+  uint64_t s = 0;
+  for (int i = 0; i < 8; i++) s = (s << 8) | ((v >> (8 * i)) & 0xFF);
+  return s;
+#endif
+}
+
+// Branchless flat-window bit reader over an UNSTUFFED byte stream: one
+// unaligned 8-byte load + bswap yields the next >=57 bits top-justified;
+// consuming is a single `bitpos += k`. Replaces the refill-accumulator
+// readers (BitReader/NikonBits) on the per-sample hot paths — the
+// refill's `nbits` bookkeeping and its two branches per sample were
+// most of the decode overhead. Reads past the end saturate into a
+// 16-byte tail image whose padding byte reproduces the stream's EOF
+// convention exactly (0xFF = the T.81 all-ones marker/EOF padding the
+// LJPEG reader used; 0x00 = NikonBits' zero padding), so outputs stay
+// bit-identical to the accumulator readers (pinned by the Python↔C++
+// differential soak and the golden tests).
+struct FlatBits {
   const uint8_t* d;
   int64_t n;
-  int64_t pos = 0;
-  uint64_t acc = 0;
-  int nbits = 0;
-  bool hit_marker = false;
+  int64_t bitpos = 0;
+  int64_t tail_base;  // byte index tail[0] mirrors
+  uint8_t tail[16];
 
-  BitReader(const uint8_t* data, int64_t len) : d(data), n(len) {}
-
-  inline void fill() {
-    while (nbits <= 56) {
-      if (pos + 8 <= n && !hit_marker) {
-        // Fast path: a 64-bit window with no 0xFF byte needs no
-        // stuffing checks — append it whole (SWAR zero-byte test on
-        // chunk ^ 0xFF..FF).
-        uint64_t chunk;
-        memcpy(&chunk, d + pos, 8);
-        uint64_t x = ~chunk;
-        if (((x - 0x0101010101010101ull) & ~x &
-             0x8080808080808080ull) == 0) {
-#if defined(__GNUC__) || defined(__clang__)
-          chunk = __builtin_bswap64(chunk);
-#else
-          uint64_t s = 0;
-          for (int i = 0; i < 8; i++)
-            s = (s << 8) | ((chunk >> (8 * i)) & 0xFF);
-          chunk = s;
-#endif
-          int take = (64 - nbits) >> 3;
-          if (take >= 8) {
-            acc = chunk;
-            nbits = 64;
-            pos += 8;
-          } else {
-            acc = (acc << (8 * take)) | (chunk >> (64 - 8 * take));
-            nbits += 8 * take;
-            pos += take;
-          }
-          continue;
-        }
-      }
-      if (pos >= n) {
-        if (nbits == 0 && hit_marker) break;
-        acc = (acc << 8) | 0xFF;  // pad past end
-        nbits += 8;
-        continue;
-      }
-      uint8_t b = d[pos];
-      if (b == 0xFF) {
-        if (pos + 1 < n && d[pos + 1] == 0x00) {
-          pos += 2;  // stuffed 0xFF
-        } else {
-          hit_marker = true;  // marker terminates entropy data
-          acc = (acc << 8) | 0xFF;
-          nbits += 8;
-          continue;
-        }
-      } else {
-        pos += 1;
-      }
-      acc = (acc << 8) | b;
-      nbits += 8;
+  FlatBits(const uint8_t* data, int64_t len, uint8_t pad) : d(data), n(len) {
+    tail_base = n >= 8 ? n - 8 : 0;
+    for (int i = 0; i < 16; i++) {
+      int64_t idx = tail_base + i;
+      tail[i] = idx < n ? d[idx] : pad;
     }
   }
 
-  inline void ensure(int k) {
-    if (nbits < k) fill();
-    if (nbits < k) {
-      // Marker + EOF (fill() broke out empty): keep the JPEG all-ones
-      // padding semantics instead of shifting by a negative count
-      // (undefined behavior; found by audit, not by a crash).
-      acc = (acc << (k - nbits)) | ((1ull << (k - nbits)) - 1);
-      nbits = k;
+  // Next >=57 bits, top-justified. Valid for any bitpos >= 0, including
+  // far past the end (the window is then entirely padding).
+  inline uint64_t window() const {
+    int64_t byte = bitpos >> 3;
+    uint64_t v;
+    if (byte + 8 <= n) {
+      memcpy(&v, d + byte, 8);
+    } else {
+      int64_t off = byte - tail_base;
+      if (off > 8) off = 8;  // fully-padded region
+      if (off < 0) off = 0;  // n < 8 streams
+      memcpy(&v, tail + off, 8);
     }
+    return bswap64u(v) << (bitpos & 7);
   }
-
-  inline uint32_t peek16() {
-    ensure(16);
-    return uint32_t((acc >> (nbits - 16)) & 0xFFFF);
-  }
-
-  inline void drop(int k) { nbits -= k; }
 
   inline int32_t read_bits(int k) {
     if (k == 0) return 0;
-    ensure(k);
-    int32_t v = int32_t((acc >> (nbits - k)) & ((1u << k) - 1));
-    nbits -= k;
+    int32_t v = int32_t(window() >> (64 - k));
+    bitpos += k;
     return v;
   }
 };
@@ -277,45 +244,32 @@ struct HuffLUT {
     valid = true;
   }
 
-  inline int decode(BitReader& br) const {
-    uint16_t e = lut[br.peek16() >> shift];
+  // decode_diff over a FlatBits window: the ssss code and its raw
+  // magnitude bits (<=32 bits total) both come out of one 8-byte load.
+  // Bit-identical to decode_diff on the accumulator reader, including
+  // the all-ones EOF/marker padding (FlatBits pad = 0xFF).
+  inline int32_t decode_diff(FlatBits& fb) const {
+    uint64_t v = fb.window();
+    uint16_t e = lut[uint32_t(v >> 48) >> shift];
     if (e == 0) throw std::runtime_error("invalid Huffman code");
-    br.drop(e >> 8);
-    return e & 0xFF;
-  }
-
-  // One full LJPEG difference — the ssss category code AND its raw
-  // magnitude bits — out of a single refill check: both fit in a
-  // 32-bit window (code <= 16 bits, raw <= 16 bits). Bit-identical to
-  // decode() + read_bits() including the all-ones marker/EOF padding
-  // (ensure() pads with ones either way; the differential soak pins
-  // this). ~1.3x on the sample loop: the second ensure() and its
-  // branch were most of the per-sample overhead.
-  inline int32_t decode_diff(BitReader& br) const {
-    br.ensure(32);
-    uint16_t e =
-        lut[uint32_t((br.acc >> (br.nbits - 16)) & 0xFFFF) >> shift];
-    if (e == 0) throw std::runtime_error("invalid Huffman code");
+    int len = e >> 8;
     int s = e & 0xFF;
-    br.nbits -= e >> 8;
-    if (s == 0) return 0;
+    if (s == 0) {
+      fb.bitpos += len;
+      return 0;
+    }
     if (s >= 16) {
       if (s > 16)  // T.81: ssss is 0..16; larger = corrupt DHT
         throw std::runtime_error("invalid ssss category in scan");
+      fb.bitpos += len;
       return 32768;  // SSSS=16: no raw bits, fixed +32768
     }
-    int32_t v = int32_t((br.acc >> (br.nbits - s)) & ((1u << s) - 1));
-    br.nbits -= s;
-    if (v < (1 << (s - 1))) return v - (1 << s) + 1;
-    return v;
+    int32_t raw = int32_t((v << len) >> (64 - s));
+    fb.bitpos += len + s;
+    if (raw < (1 << (s - 1))) return raw - (1 << s) + 1;
+    return raw;
   }
 };
-
-inline int32_t extend(int32_t v, int s) {
-  if (s == 0) return 0;
-  if (v < (1 << (s - 1))) return v - (1 << s) + 1;
-  return v;
-}
 
 struct LJpegResult {
   std::vector<uint16_t> planes;  // (nc, h, w)
@@ -407,7 +361,34 @@ LJpegResult decode_ljpeg_impl(const uint8_t* d, int64_t n) {
   res.nc = nc; res.h = h; res.w = w; res.precision = precision;
   res.planes.assign(size_t(nc) * h * w, 0);
 
-  BitReader br(d + pos, n - pos);
+  // Unstuff the entropy stream once (0xFF 0x00 -> 0xFF; 0xFF + anything
+  // else is a marker or trailing-0xFF EOF, both of which terminate the
+  // stream and hand over to the all-ones padding — the same semantics
+  // the accumulator reader applied byte by byte). 0xFF bytes are ~1/256
+  // of the stream, so this is a handful of memcpy spans.
+  std::vector<uint8_t> ebuf;
+  {
+    const uint8_t* p = d + pos;
+    int64_t m = n - pos;
+    ebuf.reserve(size_t(m > 0 ? m : 0) + 8);
+    int64_t i = 0;
+    while (i < m) {
+      const uint8_t* ff = static_cast<const uint8_t*>(
+          memchr(p + i, 0xFF, size_t(m - i)));
+      if (!ff) {
+        ebuf.insert(ebuf.end(), p + i, p + m);
+        break;
+      }
+      int64_t j = ff - p;
+      ebuf.insert(ebuf.end(), p + i, p + j + 1);  // include the 0xFF
+      if (j + 1 < m && p[j + 1] == 0x00) {
+        i = j + 2;  // stuffed data byte
+      } else {
+        break;  // marker / trailing 0xFF: entropy data ends here
+      }
+    }
+  }
+  FlatBits br(ebuf.data(), int64_t(ebuf.size()), 0xFF);
   const int default_pred = 1 << (precision - 1);
 
   for (int ci = 0; ci < nc; ci++)
@@ -521,14 +502,7 @@ struct NikonBits {
       // Nikon stream has no byte stuffing). 2.3x over the byte loop.
       uint64_t chunk;
       memcpy(&chunk, d + pos, 8);
-#if defined(__GNUC__) || defined(__clang__)
-      chunk = __builtin_bswap64(chunk);
-#else
-      chunk = ((chunk & 0xFFULL) << 56) | ((chunk & 0xFF00ULL) << 40) |
-              ((chunk & 0xFF0000ULL) << 24) | ((chunk & 0xFF000000ULL) << 8) |
-              ((chunk >> 8) & 0xFF000000ULL) | ((chunk >> 24) & 0xFF0000ULL) |
-              ((chunk >> 40) & 0xFF00ULL) | (chunk >> 56);
-#endif
+      chunk = bswap64u(chunk);
       int take = (64 - nbits) >> 3;  // bytes that fit in the acc
       if (take >= 8) {
         acc = chunk;
@@ -577,6 +551,10 @@ void decode_nikon_impl(const uint8_t* strip, int64_t strip_len,
     tables[1].build(kNikonTrees[tree_index + 1],
                     kNikonTrees[tree_index + 1] + 16);
 
+  // The Nikon stream has no byte stuffing and zero-pads past the end.
+  // (A FlatBits load-per-sample variant measured ~8% SLOWER here than
+  // this accumulator — short codes mean the refill amortizes over ~2
+  // samples, beating one window load per sample on the narrow core.)
   NikonBits br(strip, strip_len);
   int32_t vpred[2][2] = {{vpred_in[0], vpred_in[1]},
                          {vpred_in[2], vpred_in[3]}};
