@@ -752,6 +752,13 @@ struct FastMsb {
   inline uint64_t window() const {
     return navail >= 64 ? acc : (acc & ((1ull << navail) - 1));
   }
+  // One refill, then >=57 valid bits top-justified (EOF pads zeros,
+  // same as get()). Consume with `navail -= used` — callers must keep
+  // used <= 57.
+  inline uint64_t win57() {
+    if (navail <= 56) refill();
+    return acc << (64 - navail);
+  }
   // Count zeros until a 1, capped at `limit` (cap reached: exactly
   // `limit` zeros consumed, no 1). Past-EOF reads as zeros.
   inline int zeros_limit(int limit) {
@@ -807,10 +814,15 @@ struct FastMsb {
 };
 
 inline int oly_nbits(int carry0, int carry2) {
+  // Smallest nbits >= 2+i with (carry0 & 0xFFFF) >> (nbits+i) == 0,
+  // i.e. max(2+i, bitlength(carry0 & 0xFFFF) - i) — CLZ instead of the
+  // published per-bit while loop.
   int i = carry2 < 3 ? 2 : 0;
-  int nbits = 2 + i;
-  while ((carry0 & 0xFFFF) >> (nbits + i)) nbits++;
-  return nbits;
+  int c = carry0 & 0xFFFF;
+  int bl = c ? 32 - __builtin_clz(unsigned(c)) : 0;
+  int nbits = bl - i;
+  int lo = 2 + i;
+  return nbits > lo ? nbits : lo;
 }
 
 inline int oly_predict(const uint16_t* out, int64_t width, int64_t row,
@@ -821,12 +833,15 @@ inline int oly_predict(const uint16_t* out, int64_t width, int64_t row,
   int w = out[row * width + col - 2];
   int n = out[(row - 2) * width + col];
   int nw = out[(row - 2) * width + col - 2];
-  if ((w < nw && nw < n) || (n < nw && nw < w)) {
-    if (std::abs(w - nw) > 32 || std::abs(n - nw) > 32)
-      return w + n - nw;
-    return (w + n) >> 1;
-  }
-  return std::abs(w - nw) > std::abs(n - nw) ? w : n;
+  // nw strictly between w and n -> gradient/average, else nearer-of-two.
+  // Ternary chains (cmov) instead of nested data-dependent branches:
+  // the selector flips pseudo-randomly on sensor noise and mispredicted
+  // ~per-pixel.
+  int dw = std::abs(w - nw), dn = std::abs(n - nw);
+  bool between = ((w < nw) & (nw < n)) | ((n < nw) & (nw < w));
+  int grad = (dw > 32 || dn > 32) ? w + n - nw : (w + n) >> 1;
+  int sel = dw > dn ? w : n;
+  return between ? grad : sel;
 }
 
 void decode_olympus_impl(const uint8_t* data, int64_t len, uint16_t* out,
@@ -838,12 +853,35 @@ void decode_olympus_impl(const uint8_t* data, int64_t len, uint16_t* out,
     for (int64_t col = 0; col < width; col++) {
       int* carry = acarry[col & 1];
       int nbits = oly_nbits(carry[0], carry[2]);
-      uint32_t sign3 = rdr.get(3);
+      // A whole sample is <=32 bits (3 sign/low + unary <=13 + escape
+      // literal (16-nbits) + nbits raw, with the escape and raw widths
+      // summing to 16) — decode it out of ONE refill-checked window
+      // instead of 3-4 refilled get()s. Bit-identical to the get()/
+      // zeros_limit sequence incl. zero-padded EOF (the differential
+      // soak and the Python-reference equality tests pin this).
+      uint64_t w = rdr.win57();
+      uint32_t sign3 = uint32_t(w >> 61);
+      int used = 3;
+      w <<= 3;
       int low = sign3 & 3;
       int sign = (sign3 & 4) ? -1 : 0;
-      int high = rdr.zeros_limit(12);
-      if (high == 12) high = rdr.get(16 - nbits) >> 1;
-      carry[0] = (high << nbits) | rdr.get(nbits);
+      int lead = w ? __builtin_clzll(w) : 64;
+      int high;
+      if (lead >= 12) {  // 12-zero escape: 16-nbits literal follows
+        used += 12;
+        w <<= 12;
+        int k = 16 - nbits;
+        high = k > 0 ? int(w >> (64 - k)) >> 1 : 0;
+        used += k;
+        w <<= k;
+      } else {
+        high = lead;
+        used += lead + 1;
+        w <<= lead + 1;
+      }
+      carry[0] = (high << nbits) |
+                 (nbits > 0 ? int(w >> (64 - nbits)) : 0);
+      rdr.navail -= used + nbits;
       int diff = (carry[0] ^ sign) + carry[1];
       carry[1] = (diff * 3 + carry[1]) >> 5;
       carry[2] = carry[0] > 16 ? 0 : carry[2] + 1;
@@ -1297,6 +1335,28 @@ struct CrwBits {
 
   void fill() {
     while (nbits <= 48 && pos < n) {
+      if (pos + 8 <= n) {
+        // Bulk refill: a 64-bit window with no 0xFF byte needs no
+        // stuffing checks — append it whole (SWAR 0xFF-byte test).
+        uint64_t chunk;
+        memcpy(&chunk, d + pos, 8);
+        uint64_t x = ~chunk;  // 0xFF bytes become 0x00
+        if (((x - 0x0101010101010101ull) & ~x &
+             0x8080808080808080ull) == 0) {
+          chunk = bswap64u(chunk);
+          int take = (64 - nbits) >> 3;
+          if (take >= 8) {
+            buf = chunk;
+            nbits = 64;
+            pos += 8;
+          } else {
+            buf = (buf << (8 * take)) | (chunk >> (64 - 8 * take));
+            nbits += 8 * take;
+            pos += take;
+          }
+          continue;
+        }
+      }
       uint8_t c = d[pos++];
       if (c == 0xFF) {
         // 0xff + 0x00 is a stuffed literal; 0xff + non-zero marks the
@@ -1361,7 +1421,7 @@ void decode_canon_crw_impl(const uint8_t* d, int64_t n, uint16_t* out,
   int32_t diffbuf[64];
   int32_t base[2] = {0, 0};
   int32_t carry = 0;
-  int64_t pnum = 0;
+  int64_t row_countdown = 0;  // samples until the next row start
   int64_t row = 0;
   while (row < height) {
     int64_t band = height - row < 8 ? height - row : 8;
@@ -1371,17 +1431,43 @@ void decode_canon_crw_impl(const uint8_t* d, int64_t n, uint16_t* out,
       std::memset(diffbuf, 0, sizeof diffbuf);
       for (int i = 0; i < 64; i++) {
         const CrwHuff& h = i ? second : first;
-        uint16_t hit = h.lut[bits.peek(h.maxlen)];
-        if (hit == 0xFFFF)
-          throw std::runtime_error("canon crw: invalid huffman code");
-        bits.drop(hit >> 8);
-        int leaf = hit & 0xFF;
+        // Fused fast path: code (<=16 bits) + diff bits (<=15) both
+        // come out of one refill check when >=32 bits are buffered.
+        // The slow path (peek zero-extends, drop/get throw on
+        // truncation) is bit-identical and only runs near EOF.
+        int leaf, len = 0, diff = 0;
+        if (bits.nbits < 32) bits.fill();
+        if (bits.nbits >= 32) {
+          uint16_t hit =
+              h.lut[(bits.buf >> (bits.nbits - h.maxlen)) &
+                    ((1u << h.maxlen) - 1)];
+          if (hit == 0xFFFF)
+            throw std::runtime_error("canon crw: invalid huffman code");
+          bits.nbits -= hit >> 8;
+          leaf = hit & 0xFF;
+          if (leaf != 0xFF) {
+            len = leaf & 15;
+            if (len) {
+              diff = int((bits.buf >> (bits.nbits - len)) &
+                         ((1u << len) - 1));
+              bits.nbits -= len;
+            }
+          }
+        } else {
+          uint16_t hit = h.lut[bits.peek(h.maxlen)];
+          if (hit == 0xFFFF)
+            throw std::runtime_error("canon crw: invalid huffman code");
+          bits.drop(hit >> 8);
+          leaf = hit & 0xFF;
+          if (leaf != 0xFF) {
+            len = leaf & 15;
+            if (len) diff = bits.get(len);
+          }
+        }
         if (leaf == 0 && i) break;
         if (leaf == 0xFF) continue;
         i += leaf >> 4;
-        int len = leaf & 15;
         if (!len) continue;
-        int diff = bits.get(len);
         if (!(diff & (1 << (len - 1)))) diff -= (1 << len) - 1;
         if (i < 64) diffbuf[i] = diff;
       }
@@ -1389,7 +1475,14 @@ void decode_canon_crw_impl(const uint8_t* d, int64_t n, uint16_t* out,
       carry = diffbuf[0];
       int64_t boff = pos0 + (int64_t(block) << 6);
       for (int i = 0; i < 64; i++) {
-        if (pnum++ % width == 0) base[0] = base[1] = 512;
+        // Row start resets the even/odd predictors (countdown instead
+        // of the published pnum % width — that was a 64-bit integer
+        // division per pixel).
+        if (row_countdown == 0) {
+          base[0] = base[1] = 512;
+          row_countdown = width;
+        }
+        row_countdown--;
         base[i & 1] += diffbuf[i];
         int32_t v = base[i & 1];
         if (v >> 10)
