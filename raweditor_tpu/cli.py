@@ -228,6 +228,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh-rows", type=int, default=0,
                    help="shard each image's rows over this many chips "
                         "(0 = no mesh, single device)")
+    p.add_argument("--num-hosts", type=int, default=1,
+                   help="multi-host export: total process count (run "
+                        "one process per host with distinct --host-id)")
+    p.add_argument("--host-id", type=int, default=0,
+                   help="this process's id in [0, num-hosts)")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0's JAX coordination "
+                        "service (required when --num-hosts > 1)")
     p.add_argument("--mode", choices=("parity", "accurate"),
                    default="parity")
     p.add_argument("--quality", type=int, default=95)
@@ -625,6 +633,18 @@ def cmd_export(args) -> int:
     )
     from raweditor_tpu.utils.config import Config
 
+    num_hosts = getattr(args, "num_hosts", 1) or 1
+    if num_hosts > 1:
+        # Must run before anything touches the JAX backend (backend
+        # init is lazy in this CLI precisely so this works). Each host
+        # then exports its share over its OWN chips — see
+        # parallel/distributed.py for why no global mesh is needed.
+        if not args.coordinator:
+            raise SystemExit("--num-hosts > 1 requires --coordinator")
+        from raweditor_tpu.parallel.distributed import init_distributed
+
+        init_distributed(args.coordinator, num_hosts, args.host_id)
+
     cfg = Config.from_env()
     override = _params_from_args(args)
     if args.files:
@@ -665,7 +685,15 @@ def cmd_export(args) -> int:
                 args, j.params)) for j in jobs]
 
     mesh = None
-    if args.mesh_rows:
+    if num_hosts > 1:
+        from raweditor_tpu.parallel.distributed import (
+            local_export_mesh,
+            partition_jobs,
+        )
+
+        jobs = partition_jobs(jobs, args.host_id, num_hosts)
+        mesh = local_export_mesh(row=args.mesh_rows or 1)
+    elif args.mesh_rows:
         from raweditor_tpu.parallel import batch_row_mesh
 
         mesh = batch_row_mesh(row=args.mesh_rows)
@@ -685,7 +713,11 @@ def cmd_export(args) -> int:
         chroma=getattr(args, "chroma", "420"),
         jpeg_restart_rows=getattr(args, "jpeg_restart", 0),
     )
-    print(json.dumps(report.as_dict()))
+    rep = report.as_dict()
+    if num_hosts > 1:
+        rep["host_id"] = args.host_id
+        rep["num_hosts"] = num_hosts
+    print(json.dumps(rep))
     return 0 if not report.failed else 1
 
 

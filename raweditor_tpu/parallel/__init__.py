@@ -18,11 +18,19 @@ from raweditor_tpu.parallel.batch import (
     batch_develop_sharded,
 )
 from raweditor_tpu.parallel.spatial import spatial_develop
+from raweditor_tpu.parallel.distributed import (
+    init_distributed,
+    local_export_mesh,
+    partition_jobs,
+)
 
 __all__ = [
     "make_mesh",
     "batch_row_mesh",
     "host_batch_row_mesh",
+    "init_distributed",
+    "local_export_mesh",
+    "partition_jobs",
     "pack_params",
     "batch_develop",
     "batch_develop_sharded",

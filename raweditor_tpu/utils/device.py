@@ -15,6 +15,28 @@ _lock = threading.Lock()
 _initialized = False
 
 
+def apply_platform_override() -> None:
+    """Apply the RAWEDITOR_TPU_PLATFORM backend pin, if set.
+
+    JAX_PLATFORMS as an env var is consumed before some site hooks
+    re-pin the platform (the axon sitecustomize does), so this knob is
+    applied via jax.config after import, where it always wins. Safe to
+    call repeatedly; must run BEFORE anything initializes the backend
+    (``ensure_backend`` calls it, but paths that touch the backend
+    earlier — e.g. ``jax.distributed.initialize`` bootstrap — must call
+    it themselves first)."""
+    import os
+
+    import jax
+
+    platform = os.environ.get("RAWEDITOR_TPU_PLATFORM")
+    if platform:
+        try:
+            jax.config.update("jax_platforms", platform)
+        except Exception:
+            pass  # unknown platform string → default discovery
+
+
 def ensure_backend() -> None:
     """Idempotently force JAX backend discovery + initialization, and
     enable the persistent compilation cache (first compiles of big
@@ -32,17 +54,9 @@ def ensure_backend() -> None:
 
         import jax
 
-        # Backend override for CLI/scripts: JAX_PLATFORMS as an env var
-        # is consumed before some site hooks re-pin the platform (the
-        # axon sitecustomize does), so offer a knob that is applied
-        # here, after import, where it always wins. CI smoke and CPU
-        # verification drives use RAWEDITOR_TPU_PLATFORM=cpu.
-        platform = os.environ.get("RAWEDITOR_TPU_PLATFORM")
-        if platform:
-            try:
-                jax.config.update("jax_platforms", platform)
-            except Exception:
-                pass  # unknown platform string → default discovery
+        # CI smoke and CPU verification drives use
+        # RAWEDITOR_TPU_PLATFORM=cpu.
+        apply_platform_override()
 
         if not os.environ.get("RAWEDITOR_TPU_NO_COMPILE_CACHE"):
             cache_dir = os.environ.get(
