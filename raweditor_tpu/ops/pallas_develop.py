@@ -212,9 +212,123 @@ def _demosaic_smooth_taps(tap_row, grows, img_h, center, up, down, left,
             jnp.maximum(b, floor))
 
 
+def _demosaic_grad_window(v, off, i, bh, img_h, w, cfa_phase, true_h,
+                          true_w):
+    """In-kernel gradient-weighted Bayer demosaic — the quality tier
+    above Malvar (mirrors ops/cfa_generic.demosaic_grad_generic
+    specialized to the 2×2 Bayer grid; reference has no such mode):
+
+    1. G interpolates directionally (horizontal/vertical neighbor
+       means blended by inverse raw gradients).
+    2. R/B interpolate in color-difference space (value − G) from
+       their neighbor class (row pair / column pair / diagonal quad)
+       and add G back.
+    3. Two chroma-refinement iterations: 3×3 tent smoothing of the
+       color differences, channels rebuilt from their sensor sites.
+
+    Every stage is a composed ±1-pixel stencil, so the receptive field
+    is 4 rows/cols — inside the scratch window's 8-row halo. Stages
+    are computed over the full (block_h+16)-row window ``v`` (a ~12%
+    row overhead at block_h=128); window rows outside the consumed
+    [off−4, off+bh+4) band hold wrapped values that nothing reads.
+    Clamp-to-edge at the *image* boundary is repaired per shift by
+    global-row/edge-column selects — out-of-window rows are consumed
+    only when they are out-of-image, where the fixups supply them
+    (the tile-aligned window start guarantees a full 4-row halo
+    otherwise). Offset-invariance: every stage is a convex combination
+    or a difference, so the folded black offset (see _fold_scalars)
+    rides through exactly like the linear stencils; the inverse-
+    gradient weights see raw *differences*, where the offset cancels.
+    Numerically this reproduces the XLA path's normalized-convolution
+    arithmetic: (2a+2b)/4 ≡ (a+b)·0.5 exactly in f32, and the diagonal
+    / tent summation orders below copy _tent_valid's column-then-row
+    grouping — residual reassociation stays inside the kernel's ±1 LSB
+    contract (pinned by tests).
+
+    ``true_h``/``true_w`` are the pre-pad image dims: the launchers'
+    edge-pad rescues (width → lane multiple, height → when no valid
+    block divisor exists) clone edge pixels, which is exact for the
+    single-shot linear stencils but breaks grad — the clone columns/
+    rows violate CFA parity, so intermediates computed there carry
+    wrong site classes into the composed stages. Grad therefore clamps
+    its shifts at the TRUE edges and re-replicates each stage output
+    across the padded lanes (``clampw``), which reproduces the XLA
+    path's per-stage edge pads exactly."""
+    n = v.shape[0]
+    gw = jax.lax.broadcasted_iota(jnp.int32, (n, w), 0) + (i * bh - off)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, w), 1)
+    ye = ((gw + cfa_phase[0]) % 2) == 0
+    xe = ((cols + cfa_phase[1]) % 2) == 0
+    at_g = ye != xe
+
+    def up(a):  # value one row up, clamp-to-edge at image row 0
+        return jnp.where(gw == 0, a, pltpu.roll(a, 1, axis=0))
+
+    def dn(a):  # one row down, clamp at the last TRUE image row
+        return jnp.where(gw == true_h - 1, a,
+                         pltpu.roll(a, n - 1, axis=0))
+
+    def lf(a):
+        return _shift_x(a, 1, a[:, 0:1])
+
+    def rt(a):
+        return _shift_x(a, -1, a[:, w - 1 : w])
+
+    if true_w == w:
+        def clampw(a):
+            return a
+    else:
+        def clampw(a):  # replicate the true edge column over the pad
+            return jnp.where(cols >= true_w,
+                             a[:, true_w - 1 : true_w], a)
+
+    # --- G: directional interpolation, inverse-gradient blend --------
+    u, d, l, r = up(v), dn(v), lf(v), rt(v)
+    eps = _F(1e-4)
+    wh = 1.0 / (jnp.abs(r - l) + eps)
+    wv = 1.0 / (jnp.abs(d - u) + eps)
+    g = clampw(jnp.where(
+        at_g, v,
+        (wh * ((l + r) * _F(0.5)) + wv * ((u + d) * _F(0.5)))
+        / (wh + wv)))
+
+    # --- R/B: color-difference interpolation -------------------------
+    # diff is exactly 0 at G sites (g passes the raw value through), so
+    # each class formula only ever sums taps of its own channel.
+    diff = v - g
+    dl, dr, du, dd = lf(diff), rt(diff), up(diff), dn(diff)
+    hpair = (dl + dr) * _F(0.5)
+    vpair = (du + dd) * _F(0.5)
+    # Column-then-row grouping matches _tent_valid's summation order.
+    diag = ((lf(du) + lf(dd)) + (rt(du) + rt(dd))) * _F(0.25)
+    rpl = clampw(jnp.where(ye, jnp.where(xe, v, g + hpair),
+                           jnp.where(xe, g + vpair, g + diag)))
+    bpl = clampw(jnp.where(ye, jnp.where(xe, g + diag, g + vpair),
+                           jnp.where(xe, g + hpair, v)))
+    gpl = g
+
+    # --- chroma refinement (2 iterations) -----------------------------
+    def tent3(x):  # normalized 3×3 tent, separable, XLA's order
+        xv = (up(x) + x * 2.0) + dn(x)
+        return ((lf(xv) + xv * 2.0) + rt(xv)) * _F(1.0 / 16.0)
+
+    for _ in range(2):
+        cb = clampw(tent3(rpl - gpl))
+        cr = clampw(tent3(bpl - gpl))
+        gpl = clampw(jnp.where(at_g, v, jnp.where(ye, v - cb, v - cr)))
+        rpl = clampw(jnp.where(ye & xe, v, gpl + cb))
+        bpl = clampw(jnp.where(jnp.logical_and(~ye, ~xe), v, gpl + cr))
+
+    def take(x):  # realign and keep the block's rows (see tap_row)
+        return pltpu.roll(x, jax.lax.rem(n - off, n), axis=0)[0:bh]
+
+    return take(rpl), take(gpl), take(bpl)
+
+
 def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma,
                    pattern=None, demosaic: str = "nearest", *,
-                   off, img_h: int, output: str = "rgba"):
+                   off, img_h: int, output: str = "rgba",
+                   true_h: int = None, true_w: int = None):
     """Shared kernel body: develop one (block_h+16, W) scratch window.
     ``sc`` maps a folded-scalar index to its value; ``i`` is the block's
     row-grid index; ``off`` is the (dynamic) sublane offset of the
@@ -244,6 +358,15 @@ def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma,
         # so realignment is circular rolls taking the leading bh rows).
         return pltpu.roll(
             v_all, jax.lax.rem(n - off - d, n), axis=0)[0:bh, :]
+
+    if pattern is None and demosaic == "grad":
+        # Multi-stage stencil: works on the whole window, not the
+        # center-relative taps below.
+        r, g, b = _demosaic_grad_window(
+            v_all, off, i, bh, img_h, w, cfa_phase,
+            img_h if true_h is None else true_h,
+            w if true_w is None else true_w)
+        return _finish_block(sc, r, g, b, bh, w, gamma, output)
 
     # Rows that a clamped window can't supply (above row 0 / below row
     # img_h-1) wrap around the scratch; the global-row selects repair
@@ -309,6 +432,12 @@ def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma,
             planes.append(acc)
         r, g, b = planes
 
+    return _finish_block(sc, r, g, b, bh, w, gamma, output)
+
+
+def _finish_block(sc, r, g, b, bh, w, gamma, output):
+    """Edit stack + transfer + pack on (bh, W) camera-RGB planes (the
+    post-demosaic tail of _develop_block)."""
     # Folded matrix + offset.
     r2 = sc(0) * r + sc(1) * g + sc(2) * b + sc(9)
     g2 = sc(3) * r + sc(4) * g + sc(5) * b + sc(10)
@@ -422,7 +551,8 @@ def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma,
 def _kernel_flat(scal_ref, mos_hbm, *refs, block_h: int, steps: int,
                  total: int, img_h: int, cfa_phase=(0, 0),
                  gamma: str = "pow", pattern=None,
-                 demosaic: str = "nearest", output: str = "rgba"):
+                 demosaic: str = "nearest", output: str = "rgba",
+                 true_hw=None):
     """Double-buffered unified kernel body. The grid is flat over
     (image, row-block) pairs; ``mos_hbm`` is the UNPADDED mosaics
     reshaped to one (N*H, W) plane. Each block DMAs a
@@ -473,10 +603,12 @@ def _kernel_flat(scal_ref, mos_hbm, *refs, block_h: int, steps: int,
 
     copy_for(g, slot).wait()
     _, off = window(g)
+    th, tw = true_hw if true_hw is not None else (None, None)
     res = _develop_block(lambda k: scal_ref[nimg, k],
                          scratch.at[slot], i, block_h, cfa_phase,
                          gamma, pattern, demosaic, off=off,
-                         img_h=img_h, output=output)
+                         img_h=img_h, output=output,
+                         true_h=th, true_w=tw)
     if output == "rgba":
         out_ref[0] = res
     else:
@@ -485,7 +617,8 @@ def _kernel_flat(scal_ref, mos_hbm, *refs, block_h: int, steps: int,
 
 
 def _launch_flat(scal2d, mosaics, n, h, w, bh, cfa_phase, gamma, pattern,
-                 demosaic, interpret, output: str = "rgba"):
+                 demosaic, interpret, output: str = "rgba",
+                 true_hw=None):
     """Shared pallas_call site: flat (image, row-block) grid over the
     unpadded (N*H, W) mosaic plane; each DMA window is a plain 2-D row
     slice clamped into its image (edge handling is in-kernel)."""
@@ -512,7 +645,7 @@ def _launch_flat(scal2d, mosaics, n, h, w, bh, cfa_phase, gamma, pattern,
                           total=n * steps, img_h=h,
                           cfa_phase=cfa_phase, gamma=gamma,
                           pattern=pattern, demosaic=demosaic,
-                          output=output),
+                          output=output, true_hw=true_hw),
         grid=(n * steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -542,7 +675,7 @@ def _launch_flat(scal2d, mosaics, n, h, w, bh, cfa_phase, gamma, pattern,
 @functools.partial(
     jax.jit, static_argnames=("matrix_transpose", "block_h", "interpret",
                               "cfa_phase", "gamma", "pattern", "demosaic",
-                              "output")
+                              "output", "_true_hw")
 )
 def pallas_batch_develop_rgba(
     mosaics,
@@ -559,6 +692,7 @@ def pallas_batch_develop_rgba(
     pattern: str = None,
     demosaic: str = "nearest",
     output: str = "rgba",
+    _true_hw=None,
 ):
     """Batched fused-kernel develop: (N, H, W) u16 → (N, H, W) u32.
 
@@ -575,12 +709,15 @@ def pallas_batch_develop_rgba(
     conversion pass (see _develop_block).
     """
     n, h, w = mosaics.shape
+    th, tw = _true_hw if _true_hw is not None else (h, w)
     if output == "ycbcr420" and (h % 2 or w % 2):
         raise ValueError("ycbcr420 output requires even H and W")
     if pattern is not None and demosaic != "nearest":
         raise ValueError(
             "generic-CFA patterns support nearest demosaic only"
         )
+    if demosaic not in ("nearest", "bilinear", "malvar", "grad"):
+        raise ValueError(f"unsupported demosaic {demosaic!r}")
     bh = block_h or _largest_even_divisor(h)
     if block_h is None and bh == 0:
         hp = -(-h // 128) * 128  # see pallas_develop_rgba: no divisor
@@ -590,7 +727,7 @@ def pallas_batch_develop_rgba(
                         mode="edge"),
                 params, wbs, cam_matrices, white_levels, black_levels,
                 matrix_transpose, block_h, interpret, cfa_phase, gamma,
-                pattern, demosaic, output,
+                pattern, demosaic, output, _true_hw=(th, tw),
             )
             if output == "ycbcr420":
                 return out[0][:, :h], out[1][:, : h // 2]
@@ -607,7 +744,7 @@ def pallas_batch_develop_rgba(
             jnp.pad(mosaics, ((0, 0), (0, 0), (0, wp - w)), mode="edge"),
             params, wbs, cam_matrices, white_levels, black_levels,
             matrix_transpose, block_h, interpret, cfa_phase, gamma,
-            pattern, demosaic, output,
+            pattern, demosaic, output, _true_hw=(th, tw),
         )
         if output == "ycbcr420":
             # Chroma sites < w/2 only use real columns (w is even).
@@ -621,12 +758,14 @@ def pallas_batch_develop_rgba(
         functools.partial(_fold_scalars, matrix_transpose=matrix_transpose)
     )(params, wbs, cam_matrices, white_levels, black_levels)
     return _launch_flat(scal, mosaics, n, h, w, bh, cfa_phase, gamma,
-                        pattern, demosaic, interpret, output)
+                        pattern, demosaic, interpret, output,
+                        true_hw=(th, tw))
 
 
 @functools.partial(
     jax.jit, static_argnames=("matrix_transpose", "block_h", "interpret",
-                              "cfa_phase", "gamma", "pattern", "demosaic")
+                              "cfa_phase", "gamma", "pattern", "demosaic",
+                              "_true_hw")
 )
 def pallas_develop_rgba(
     mosaic,
@@ -642,6 +781,7 @@ def pallas_develop_rgba(
     gamma: str = "pow",
     pattern: str = None,
     demosaic: str = "nearest",
+    _true_hw=None,
 ):
     """Fused-kernel full develop: (H, W) u16 → (H, W) u32 packed RGBA.
     ``pattern`` switches to the generic repeating-CFA site table
@@ -649,10 +789,13 @@ def pallas_develop_rgba(
     picks the Bayer stencil ("nearest"/"bilinear"/"malvar") — the
     accurate-mode lane runs fully in-kernel."""
     h, w = mosaic.shape
+    th, tw = _true_hw if _true_hw is not None else (h, w)
     if pattern is not None and demosaic != "nearest":
         raise ValueError(
             "generic-CFA patterns support nearest demosaic only"
         )
+    if demosaic not in ("nearest", "bilinear", "malvar", "grad"):
+        raise ValueError(f"unsupported demosaic {demosaic!r}")
     bh = block_h or _largest_even_divisor(h)
     # Heights with no multiple-of-8 divisor at all (e.g. 502 = 2·251)
     # are edge-padded to the next multiple of 128 and sliced after —
@@ -667,7 +810,7 @@ def pallas_develop_rgba(
                 jnp.pad(mosaic, ((0, hp - h), (0, 0)), mode="edge"),
                 params, wb, cam_matrix, white_level, black_level,
                 matrix_transpose, block_h, interpret, cfa_phase, gamma,
-                pattern, demosaic,
+                pattern, demosaic, _true_hw=(th, tw),
             )
             return out[:h]
     if not bh or h % bh or bh % 8 or h < bh + 16:
@@ -685,10 +828,11 @@ def pallas_develop_rgba(
             jnp.pad(mosaic, ((0, 0), (0, wp - w)), mode="edge"),
             params, wb, cam_matrix, white_level, black_level,
             matrix_transpose, block_h, interpret, cfa_phase, gamma,
-            pattern, demosaic,
+            pattern, demosaic, _true_hw=(th, tw),
         )
         return out[:, :w]
     scal = _fold_scalars(params, wb, cam_matrix, white_level, black_level,
                          matrix_transpose)
     return _launch_flat(scal[None], mosaic[None], 1, h, w, bh, cfa_phase,
-                        gamma, pattern, demosaic, interpret)[0]
+                        gamma, pattern, demosaic, interpret,
+                        true_hw=(th, tw))[0]

@@ -394,7 +394,7 @@ class DevelopEngine:
             )
         if (self.use_pallas
                 and self.demosaic_method in ("nearest", "bilinear",
-                                             "malvar")
+                                             "malvar", "grad")
                 and self.transfer in PALLAS_GAMMA_BY_TRANSFER):
             from raweditor_tpu.ops.pallas_develop import pallas_develop_rgba
 

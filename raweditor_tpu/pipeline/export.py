@@ -529,11 +529,12 @@ def run_batch_export(
             "16-bit export supports mesh=None or data-parallel meshes "
             "(row axis of size 1)")
     # The batched fused kernel (±1 LSB) is the fastest single-chip
-    # Bayer path; covers nearest/bilinear/malvar demosaic, no row
+    # Bayer path; covers nearest/bilinear/malvar/grad demosaic, no row
     # sharding. (X-Trans buckets additionally require nearest — the
     # generic-CFA site table is a nearest scheme.)
     pallas_ok = (use_pallas and mesh is None
-                 and demosaic_method in ("nearest", "bilinear", "malvar"))
+                 and demosaic_method in ("nearest", "bilinear", "malvar",
+                                         "grad"))
     from raweditor_tpu.color import pallas_gamma_for, transfer16_for
 
     pallas_gamma = pallas_gamma_for(transfer)

@@ -358,7 +358,7 @@ class TestAccurateMode:
     """In-kernel bilinear/Malvar + real matrix + sRGB: the accurate
     lane no longer falls back to XLA (VERDICT r1 item 7)."""
 
-    @pytest.mark.parametrize("method", ["bilinear", "malvar"])
+    @pytest.mark.parametrize("method", ["bilinear", "malvar", "grad"])
     def test_demosaic_parity_vs_xla(self, method, rng):
         mosaic = rng.integers(0, 4096, size=(32, 48), dtype=np.uint16)
         got = pallas_develop_rgba(mosaic, FULL, WB, REAL_MATRIX,
@@ -368,7 +368,7 @@ class TestAccurateMode:
                             demosaic_method=method, transfer="srgb")
         assert_1lsb(got, want, frac_exact=0.97)
 
-    @pytest.mark.parametrize("method", ["bilinear", "malvar"])
+    @pytest.mark.parametrize("method", ["bilinear", "malvar", "grad"])
     def test_multi_block_halo(self, method, rng):
         """The 2-row halo must make block boundaries invisible: a
         64-row image in 8-row blocks == 32-row blocks. (The image must
@@ -427,6 +427,101 @@ class TestAccurateMode:
                                 pattern=XTRANS_PATTERN,
                                 demosaic="malvar", interpret=True)
 
+    def test_unknown_demosaic_rejected(self, rng):
+        mosaic = rng.integers(0, 4096, size=(24, 24), dtype=np.uint16)
+        with pytest.raises(ValueError):
+            pallas_develop_rgba(mosaic, EditParams(), WB, IDENTITY,
+                                demosaic="smooth", interpret=True)
+
+
+class TestGradKernel:
+    """In-kernel gradient-weighted demosaic (the quality tier above
+    Malvar): the full directional-G + chroma-difference + 2-iteration
+    refinement pipeline runs fused, within ±1 LSB of the XLA path
+    (ops/cfa_generic.demosaic_grad_generic on the Bayer grid)."""
+
+    @pytest.mark.parametrize("phase", [(0, 0), (0, 1), (1, 0), (1, 1)])
+    def test_vs_xla_all_phases(self, phase, rng):
+        mosaic = rng.integers(0, 4096, size=(32, 128), dtype=np.uint16)
+        got = pallas_develop_rgba(mosaic, FULL, WB, REAL_MATRIX,
+                                  demosaic="grad", gamma="srgb",
+                                  cfa_phase=phase, interpret=True)
+        want = develop_rgba(mosaic, FULL, WB, REAL_MATRIX,
+                            demosaic_method="grad", transfer="srgb",
+                            cfa_phase=phase)
+        assert_1lsb(got, want, frac_exact=0.97)
+
+    def test_real_levels(self, rng):
+        """Offset-invariance of the folded black level through the
+        nonlinear gradient blend: real black/white levels must match
+        the XLA path, which normalizes before demosaicing."""
+        mosaic = rng.integers(0, 16383, size=(32, 48), dtype=np.uint16)
+        got = pallas_develop_rgba(
+            mosaic, FULL, WB, REAL_MATRIX, white_level=15871.0,
+            black_level=1008.0, demosaic="grad", gamma="srgb",
+            matrix_transpose=False, interpret=True)
+        want = develop_rgba(
+            mosaic, FULL, WB, REAL_MATRIX, white_level=15871.0,
+            black_level=1008.0, demosaic_method="grad", transfer="srgb",
+            matrix_transpose=False)
+        assert_1lsb(got, want, frac_exact=0.95)
+
+    def test_unaligned_width_true_edge_clamp(self, rng):
+        """The width-pad rescue's clone columns violate CFA parity —
+        grad must clamp at the TRUE image edge (the clone-column trick
+        that is exact for the linear stencils mis-classes grad's
+        composed stages; regression: last two columns were off by up
+        to 28/255)."""
+        mosaic = rng.integers(0, 4096, size=(32, 48), dtype=np.uint16)
+        got = pallas_develop_rgba(mosaic, FULL, WB, REAL_MATRIX,
+                                  demosaic="grad", gamma="srgb",
+                                  interpret=True)
+        want = develop_rgba(mosaic, FULL, WB, REAL_MATRIX,
+                            demosaic_method="grad", transfer="srgb")
+        assert_1lsb(got, want, frac_exact=0.97)
+
+    def test_no_divisor_height_true_edge_clamp(self, rng):
+        """Same for the height-pad rescue: clone rows must not leak
+        into grad's row-parity classes."""
+        odd = rng.integers(0, 4096, size=(250, 32), dtype=np.uint16)
+        got = pallas_develop_rgba(odd, FULL, WB, REAL_MATRIX,
+                                  demosaic="grad", gamma="srgb",
+                                  interpret=True)
+        want = develop_rgba(odd, FULL, WB, REAL_MATRIX,
+                            demosaic_method="grad", transfer="srgb")
+        assert_1lsb(got, want, frac_exact=0.97)
+
+    def test_batched_matches_single(self, rng):
+        from raweditor_tpu.ops.pallas_develop import (
+            pallas_batch_develop_rgba,
+        )
+        from raweditor_tpu.parallel.batch import pack_params
+
+        mosaics = rng.integers(0, 4096, size=(3, 32, 48),
+                               dtype=np.uint16)
+        plist = [EditParams(exposure=0.2 * i) for i in range(3)]
+        pp = pack_params(plist)
+        wbs = np.tile(WB, (3, 1))
+        cms = np.tile(REAL_MATRIX, (3, 1, 1))
+        batch = np.asarray(pallas_batch_develop_rgba(
+            mosaics, pp, wbs, cms, demosaic="grad", gamma="srgb",
+            interpret=True))
+        for i in range(3):
+            single = np.asarray(pallas_develop_rgba(
+                mosaics[i], plist[i], wbs[i], cms[i], demosaic="grad",
+                gamma="srgb", interpret=True))
+            assert np.array_equal(batch[i], single)
+
+    def test_constant_mosaic_is_uniform(self, rng):
+        """A constant mosaic must develop to one uniform color — the
+        clamp-to-edge smoke invariant, which also pins the refinement
+        rebuild (any class mix-up shows up as CFA-period texture)."""
+        mosaic = np.full((32, 128), 2000, dtype=np.uint16)
+        out = rgba_view(np.asarray(pallas_develop_rgba(
+            mosaic, EditParams(), WB, REAL_MATRIX, demosaic="grad",
+            gamma="srgb", interpret=True)))
+        assert (out == out[0, 0]).all()
+
 
 class TestYCbCr420Output:
     """In-kernel JPEG planes (output='ycbcr420'): Y + NV12-interleaved
@@ -473,6 +568,12 @@ class TestYCbCr420Output:
                                dtype=np.uint16)
         self._check(mosaics, [FULL], WB[None], REAL_MATRIX[None],
                     demosaic="malvar", gamma="srgb")
+
+    def test_grad_mode(self, rng):
+        mosaics = rng.integers(0, 4096, size=(1, 64, 128),
+                               dtype=np.uint16)
+        self._check(mosaics, [FULL], WB[None], REAL_MATRIX[None],
+                    demosaic="grad", gamma="srgb")
 
     def test_unaligned_width_edge_pad(self, rng):
         mosaics = rng.integers(0, 4096, size=(1, 64, 200),

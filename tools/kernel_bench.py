@@ -73,8 +73,15 @@ def main() -> int:
             mosaic, p, wb, cm, gamma="srgb_poly"),
         "pallas_malvar_poly": lambda p: pallas_develop_rgba(
             mosaic, p, wb, cm, gamma="poly", demosaic="malvar"),
+        "pallas_grad_poly": lambda p: pallas_develop_rgba(
+            mosaic, p, wb, cm, gamma="poly", demosaic="grad"),
+        "pallas_grad_srgbpoly": lambda p: pallas_develop_rgba(
+            mosaic, p, wb, cm, gamma="srgb_poly", demosaic="grad"),
         "xla_poly": lambda p: develop_rgba(
             mosaic, p, wb, cm, transfer="gamma22_poly"),
+        "xla_grad_srgb": lambda p: develop_rgba(
+            mosaic, p, wb, cm, transfer="srgb",
+            demosaic_method="grad"),
     }
     chosen = [v.strip() for v in args.variants.split(",") if v.strip()]
 
