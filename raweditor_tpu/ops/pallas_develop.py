@@ -255,8 +255,18 @@ def _demosaic_grad_window(v, off, i, bh, img_h, w, cfa_phase, true_h,
     across the padded lanes (``clampw``), which reproduces the XLA
     path's per-stage edge pads exactly."""
     n = v.shape[0]
-    gw = jax.lax.broadcasted_iota(jnp.int32, (n, w), 0) + (i * bh - off)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (n, w), 1)
+    band = bh + 8
+    # Realign once so the consumed band [off−4, off+bh+4) sits at rows
+    # [0, band): stage compute shrinks from the full bh+16-row window
+    # to bh+8 (the saving matters most at small block heights). Rows
+    # that wrap (at the clamped top/bottom windows) carry out-of-image
+    # global rows, where every shift's clamp fixup cuts the dependency
+    # chain — they are never consumed. The final row-4..row-(bh+4)
+    # output slice is then static.
+    v = pltpu.roll(v, jax.lax.rem(n + 4 - off, n), axis=0)[0:band]
+    gw = jax.lax.broadcasted_iota(jnp.int32, (band, w), 0) + (i * bh - 4)
+    n = band
+    cols = jax.lax.broadcasted_iota(jnp.int32, (band, w), 1)
     ye = ((gw + cfa_phase[0]) % 2) == 0
     xe = ((cols + cfa_phase[1]) % 2) == 0
     at_g = ye != xe
@@ -319,10 +329,8 @@ def _demosaic_grad_window(v, off, i, bh, img_h, w, cfa_phase, true_h,
         rpl = clampw(jnp.where(ye & xe, v, gpl + cb))
         bpl = clampw(jnp.where(jnp.logical_and(~ye, ~xe), v, gpl + cr))
 
-    def take(x):  # realign and keep the block's rows (see tap_row)
-        return pltpu.roll(x, jax.lax.rem(n - off, n), axis=0)[0:bh]
-
-    return take(rpl), take(gpl), take(bpl)
+    # The block's rows sit at [4, bh+4) after the up-front realign.
+    return rpl[4 : 4 + bh], gpl[4 : 4 + bh], bpl[4 : 4 + bh]
 
 
 def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma,
@@ -719,6 +727,17 @@ def pallas_batch_develop_rgba(
     if demosaic not in ("nearest", "bilinear", "malvar", "grad"):
         raise ValueError(f"unsupported demosaic {demosaic!r}")
     bh = block_h or _largest_even_divisor(h)
+    if block_h is None and demosaic == "grad" and bh and h % 128:
+        # Grad computes its stages over the whole (bh+8)-row band, so
+        # tiny block heights (all that heights like 4016 = 16·251
+        # admit) cost ~(bh+8)/bh in stage compute. If edge-padding the
+        # height to 128-row blocks is cheaper overall — extra rows
+        # times the padded block's overhead vs the natural block's —
+        # take the pad rescue instead (cross-multiplied comparison).
+        hp = -(-h // 128) * 128
+        bhp = _largest_even_divisor(hp)
+        if bhp and hp * (bhp + 8) * bh < h * (bh + 8) * bhp:
+            bh = 0
     if block_h is None and bh == 0:
         hp = -(-h // 128) * 128  # see pallas_develop_rgba: no divisor
         if hp != h:
@@ -797,6 +816,17 @@ def pallas_develop_rgba(
     if demosaic not in ("nearest", "bilinear", "malvar", "grad"):
         raise ValueError(f"unsupported demosaic {demosaic!r}")
     bh = block_h or _largest_even_divisor(h)
+    if block_h is None and demosaic == "grad" and bh and h % 128:
+        # Grad computes its stages over the whole (bh+8)-row band, so
+        # tiny block heights (all that heights like 4016 = 16·251
+        # admit) cost ~(bh+8)/bh in stage compute. If edge-padding the
+        # height to 128-row blocks is cheaper overall — extra rows
+        # times the padded block's overhead vs the natural block's —
+        # take the pad rescue instead (cross-multiplied comparison).
+        hp = -(-h // 128) * 128
+        bhp = _largest_even_divisor(hp)
+        if bhp and hp * (bhp + 8) * bh < h * (bh + 8) * bhp:
+            bh = 0
     # Heights with no multiple-of-8 divisor at all (e.g. 502 = 2·251)
     # are edge-padded to the next multiple of 128 and sliced after —
     # the clone rows reproduce clamp-to-edge. (Measured: padding heights
