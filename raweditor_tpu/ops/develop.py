@@ -225,8 +225,11 @@ def finish_to_rgba_u32(r, g, b, valid=None, transfer: str = "gamma22"):
 
 
 def rgba_view(words) -> "np.ndarray":
-    """Host view of a (…, W) u32 RGBA image as (…, W, 4) u8 bytes."""
-    arr = np.asarray(words)
+    """Host view of a (…, W) u32 RGBA image as (…, W, 4) u8 bytes.
+    Copies only if the input isn't C-contiguous (np.asarray of a
+    sliced device array can expose a strided view, which u32→u8
+    reinterpretation rejects)."""
+    arr = np.ascontiguousarray(words)
     return arr.view(np.uint8).reshape(arr.shape + (4,))
 
 
