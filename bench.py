@@ -274,33 +274,38 @@ def _measure(results):
         )
     except Exception:
         pallas_accurate_poly_per_sec = 0.0
-    # Device-side truth for the accurate lane too (the wall lanes ride
-    # the tunnel): profiler-derived median of the single-image accurate
-    # kernel module.
-    try:
-        import tempfile
+    # Device-side truth for the quality lanes too (the wall lanes ride
+    # the tunnel): profiler-derived median of the single-image kernel
+    # module per demosaic.
+    def _kernel_device_lane(demosaic, key_prefix):
+        try:
+            import tempfile
 
-        from raweditor_tpu.utils.profiling import (
-            device_execution_times, device_trace)
+            from raweditor_tpu.utils.profiling import (
+                device_execution_times, device_trace)
 
-        with tempfile.TemporaryDirectory() as tdir:
-            with device_trace(tdir):
-                for i in range(6):
-                    out = pallas_develop_rgba(
-                        mosaic, params.replace(exposure=0.4 + 0.01 * i),
-                        wb, real_cm, demosaic="malvar",
-                        gamma="srgb_poly")
-                np.asarray(checksum(out))
-            durs = device_execution_times(tdir, "jit_pallas_develop_rgba")
-        if durs:
-            med_ms = float(np.percentile(durs, 50))
-            results.update(
-                accurate_device_ms_per_image=round(med_ms, 4),
-                accurate_develops_per_sec_device=round(1000.0 / med_ms,
-                                                       2),
-            )
-    except Exception:
-        pass  # no trace support → wall lanes stand alone
+            with tempfile.TemporaryDirectory() as tdir:
+                with device_trace(tdir):
+                    for i in range(6):
+                        out = pallas_develop_rgba(
+                            mosaic,
+                            params.replace(exposure=0.4 + 0.01 * i),
+                            wb, real_cm, demosaic=demosaic,
+                            gamma="srgb_poly")
+                    np.asarray(checksum(out))
+                durs = device_execution_times(
+                    tdir, "jit_pallas_develop_rgba")
+            if durs:
+                med_ms = float(np.percentile(durs, 50))
+                results.update({
+                    f"{key_prefix}_device_ms_per_image": round(med_ms, 4),
+                    f"{key_prefix}_develops_per_sec_device": round(
+                        1000.0 / med_ms, 2),
+                })
+        except Exception:
+            pass  # no trace support → wall lanes stand alone
+
+    _kernel_device_lane("malvar", "accurate")
     accurate_per_sec = max(xla_accurate_per_sec, pallas_accurate_per_sec,
                            pallas_accurate_poly_per_sec)
     results.update(
@@ -327,28 +332,7 @@ def _measure(results):
         grad_wall_per_sec = 0.0  # kernel unsupported on this backend
     results.update(
         pallas_grad_develops_per_sec=round(grad_wall_per_sec, 2))
-    try:
-        import tempfile
-
-        from raweditor_tpu.utils.profiling import (
-            device_execution_times, device_trace)
-
-        with tempfile.TemporaryDirectory() as tdir:
-            with device_trace(tdir):
-                for i in range(6):
-                    out = pallas_develop_rgba(
-                        mosaic, params.replace(exposure=0.4 + 0.01 * i),
-                        wb, real_cm, demosaic="grad", gamma="srgb_poly")
-                np.asarray(checksum(out))
-            durs = device_execution_times(tdir, "jit_pallas_develop_rgba")
-        if durs:
-            med_ms = float(np.percentile(durs, 50))
-            results.update(
-                grad_device_ms_per_image=round(med_ms, 4),
-                grad_develops_per_sec_device=round(1000.0 / med_ms, 2),
-            )
-    except Exception:
-        pass  # quality lane is additive — the accurate lanes stand alone
+    _kernel_device_lane("grad", "grad")
 
     # --- 1280 px preview re-render latency (slider change → preview
     # ready on device), decomposed so the number is defensible on a

@@ -633,7 +633,13 @@ def cmd_export(args) -> int:
     )
     from raweditor_tpu.utils.config import Config
 
-    num_hosts = getattr(args, "num_hosts", 1) or 1
+    num_hosts = getattr(args, "num_hosts", 1)
+    host_id = getattr(args, "host_id", 0)
+    if num_hosts < 1:
+        raise SystemExit(f"--num-hosts must be >= 1 (got {num_hosts})")
+    if not 0 <= host_id < num_hosts:
+        raise SystemExit(
+            f"--host-id {host_id} out of range for --num-hosts {num_hosts}")
     if num_hosts > 1:
         # Must run before anything touches the JAX backend (backend
         # init is lazy in this CLI precisely so this works). Each host
@@ -643,7 +649,7 @@ def cmd_export(args) -> int:
             raise SystemExit("--num-hosts > 1 requires --coordinator")
         from raweditor_tpu.parallel.distributed import init_distributed
 
-        init_distributed(args.coordinator, num_hosts, args.host_id)
+        init_distributed(args.coordinator, num_hosts, host_id)
 
     cfg = Config.from_env()
     override = _params_from_args(args)

@@ -69,6 +69,24 @@ def _largest_even_divisor(h: int, cap: int = 128) -> int:
     return best
 
 
+def _grad_block_height(h: int, bh: int) -> int:
+    """Block height adjustment for demosaic='grad'. Grad computes its
+    stages over the whole (bh+8)-row band, so tiny block heights (all
+    that heights like 4016 = 16·251 admit) cost ~(bh+8)/bh in stage
+    compute. Returns 0 — forcing the callers' 128-row height-pad
+    rescue — when edge-padding is cheaper overall: extra rows times
+    the padded block's overhead vs the natural block's
+    (cross-multiplied comparison; XLA fuses the pad into the same
+    program, measured 3.00 vs 3.12 ms total at 24 MP)."""
+    if not bh or h % 128 == 0:
+        return bh
+    hp = -(-h // 128) * 128
+    bhp = _largest_even_divisor(hp)
+    if bhp and hp * (bhp + 8) * bh < h * (bh + 8) * bhp:
+        return 0
+    return bh
+
+
 def _fold_scalars(params: EditParams, wb, cam_matrix, white_level,
                   black_level, matrix_transpose: bool):
     """Pack the whole edit stack into (24,) f32 of folded constants."""
@@ -212,7 +230,7 @@ def _demosaic_smooth_taps(tap_row, grows, img_h, center, up, down, left,
             jnp.maximum(b, floor))
 
 
-def _demosaic_grad_window(v, off, i, bh, img_h, w, cfa_phase, true_h,
+def _demosaic_grad_window(v, off, i, bh, w, cfa_phase, true_h,
                           true_w):
     """In-kernel gradient-weighted Bayer demosaic — the quality tier
     above Malvar (mirrors ops/cfa_generic.demosaic_grad_generic
@@ -371,7 +389,7 @@ def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma,
         # Multi-stage stencil: works on the whole window, not the
         # center-relative taps below.
         r, g, b = _demosaic_grad_window(
-            v_all, off, i, bh, img_h, w, cfa_phase,
+            v_all, off, i, bh, w, cfa_phase,
             img_h if true_h is None else true_h,
             w if true_w is None else true_w)
         return _finish_block(sc, r, g, b, bh, w, gamma, output)
@@ -727,17 +745,8 @@ def pallas_batch_develop_rgba(
     if demosaic not in ("nearest", "bilinear", "malvar", "grad"):
         raise ValueError(f"unsupported demosaic {demosaic!r}")
     bh = block_h or _largest_even_divisor(h)
-    if block_h is None and demosaic == "grad" and bh and h % 128:
-        # Grad computes its stages over the whole (bh+8)-row band, so
-        # tiny block heights (all that heights like 4016 = 16·251
-        # admit) cost ~(bh+8)/bh in stage compute. If edge-padding the
-        # height to 128-row blocks is cheaper overall — extra rows
-        # times the padded block's overhead vs the natural block's —
-        # take the pad rescue instead (cross-multiplied comparison).
-        hp = -(-h // 128) * 128
-        bhp = _largest_even_divisor(hp)
-        if bhp and hp * (bhp + 8) * bh < h * (bh + 8) * bhp:
-            bh = 0
+    if block_h is None and demosaic == "grad":
+        bh = _grad_block_height(h, bh)
     if block_h is None and bh == 0:
         hp = -(-h // 128) * 128  # see pallas_develop_rgba: no divisor
         if hp != h:
@@ -816,17 +825,8 @@ def pallas_develop_rgba(
     if demosaic not in ("nearest", "bilinear", "malvar", "grad"):
         raise ValueError(f"unsupported demosaic {demosaic!r}")
     bh = block_h or _largest_even_divisor(h)
-    if block_h is None and demosaic == "grad" and bh and h % 128:
-        # Grad computes its stages over the whole (bh+8)-row band, so
-        # tiny block heights (all that heights like 4016 = 16·251
-        # admit) cost ~(bh+8)/bh in stage compute. If edge-padding the
-        # height to 128-row blocks is cheaper overall — extra rows
-        # times the padded block's overhead vs the natural block's —
-        # take the pad rescue instead (cross-multiplied comparison).
-        hp = -(-h // 128) * 128
-        bhp = _largest_even_divisor(hp)
-        if bhp and hp * (bhp + 8) * bh < h * (bh + 8) * bhp:
-            bh = 0
+    if block_h is None and demosaic == "grad":
+        bh = _grad_block_height(h, bh)
     # Heights with no multiple-of-8 divisor at all (e.g. 502 = 2·251)
     # are edge-padded to the next multiple of 128 and sliced after —
     # the clone rows reproduce clamp-to-edge. (Measured: padding heights

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-_initialized = False
+_initialized = None  # (coordinator, num_processes, process_id) once set
 
 
 def init_distributed(coordinator: str, num_processes: int,
@@ -40,7 +40,10 @@ def init_distributed(coordinator: str, num_processes: int,
 
     ``coordinator`` is ``host:port`` of process 0. Must run before any
     other JAX use in the process (JAX rejects late initialization).
-    Returns (process_index, process_count) as JAX reports them.
+    Re-calling with the SAME topology is a no-op; a different topology
+    raises (a silent no-op would partition work against a stale
+    world). Returns (process_index, process_count) as JAX reports
+    them.
     """
     global _initialized
     import jax
@@ -56,7 +59,12 @@ def init_distributed(coordinator: str, num_processes: int,
         raise ValueError(
             f"process_id {process_id} out of range for "
             f"{num_processes} processes")
-    if not _initialized:
+    topology = (coordinator, num_processes, process_id)
+    if _initialized is not None and _initialized != topology:
+        raise RuntimeError(
+            f"jax.distributed already initialized with {_initialized}; "
+            f"cannot re-initialize with {topology}")
+    if _initialized is None:
         # jax.process_index() below initializes the backend, so the
         # RAWEDITOR_TPU_PLATFORM pin must land first — otherwise a
         # CPU-pinned multi-host run silently initializes on the real
@@ -69,7 +77,7 @@ def init_distributed(coordinator: str, num_processes: int,
                 process_id=process_id,
                 local_device_ids=local_device_ids,
             )
-        _initialized = True
+        _initialized = topology
     ensure_backend()
     return jax.process_index(), jax.process_count()
 

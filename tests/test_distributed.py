@@ -88,17 +88,28 @@ def test_two_process_export_matches_single(photo_files, tmp_path):
     single = json.loads(r.stdout.splitlines()[-1])
     assert single["succeeded"] == N_IMAGES
 
-    port = _free_port()
-    procs = [
-        subprocess.Popen(
-            _export_cmd(photo_files, out_multi, [
-                "--num-hosts", "2", "--host-id", str(hid),
-                "--coordinator", f"127.0.0.1:{port}"]),
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-            text=True)
-        for hid in (0, 1)
-    ]
-    outs = [p.communicate(timeout=300) for p in procs]
+    for attempt in (1, 2):  # _free_port has an inherent reuse race
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                _export_cmd(photo_files, out_multi, [
+                    "--num-hosts", "2", "--host-id", str(hid),
+                    "--coordinator", f"127.0.0.1:{port}"]),
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True)
+            for hid in (0, 1)
+        ]
+        try:
+            outs = [p.communicate(timeout=300) for p in procs]
+        finally:
+            # A hung peer must not outlive the test (it would pin the
+            # coordinator port and the pytest tmpdir for the session).
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
+        if all(p.returncode == 0 for p in procs) or attempt == 2:
+            break
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, err[-2000:]
 
