@@ -351,6 +351,86 @@ def _demosaic_grad_window(v, off, i, bh, w, cfa_phase, true_h,
     return rpl[4 : 4 + bh], gpl[4 : 4 + bh], bpl[4 : 4 + bh]
 
 
+def _demosaic_smooth_generic(grows, w, pattern, center, up, down, left,
+                             right):
+    """In-kernel normalized-convolution demosaic for a repeating CFA
+    whose per-channel smooth radius is 1 (X-Trans qualifies for all
+    three channels) — the generic-CFA accurate tier
+    (ops/cfa_generic.demosaic_smooth_generic), fused:
+    conv3×3_tent(value·mask) / den with channel-site masks assembled
+    from reindexed row/column parity indicators (the iota-compare
+    select pattern — docs/performance.md XLA pathology #2) and the
+    6×6-periodic denominators materialized from the same trace-time
+    numpy cores the XLA path tiles (_periodic_den_2d). Values
+    clamp-to-edge (the taps arrive fixed); masks continue periodically
+    past the frame by construction — (gw+dy) % side needs no clamping
+    — which is exactly the XLA path's padded-value × periodic-mask
+    semantics. Summation follows _tent_valid's column-then-row order
+    (t=1 and t=2 multiplies are f32-exact), so the result usually
+    matches the XLA lane bit-for-bit; residual ULPs stay inside the
+    kernel's ±1 LSB contract."""
+    from raweditor_tpu.ops.cfa_generic import _CHAN, _periodic_den_2d
+
+    side = int(len(pattern) ** 0.5)
+    grid = np.array([_CHAN[c] for c in pattern.upper()]).reshape(side,
+                                                                 side)
+    bh = grows.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 1)
+    rows_p = grows % side
+    cols_p = cols % side
+    rind = [rows_p == p for p in range(side)]
+    cind = [cols_p == j for j in range(side)]
+    ul = _shift_x(up, 1, up[:, 0:1])
+    ur = _shift_x(up, -1, up[:, w - 1 : w])
+    dl = _shift_x(down, 1, down[:, 0:1])
+    dr = _shift_x(down, -1, down[:, w - 1 : w])
+    taps = {(-1, -1): ul, (-1, 0): up, (-1, 1): ur,
+            (0, -1): left, (0, 0): center, (0, 1): right,
+            (1, -1): dl, (1, 0): down, (1, 1): dr}
+
+    def tile_consts(core, off_y, off_x):
+        # core[(y+off_y) % side, (x+off_x) % side] via the indicators:
+        # cell (a, b) lands where rows_p == (a-off_y) % side etc.
+        values = np.unique(core)
+        acc = jnp.full((bh, w), _F(values[0]))
+        for val in values[1:]:
+            m = None
+            for a in range(side):
+                for b in range(side):
+                    if core[a, b] == val:
+                        t = (rind[(a - off_y) % side]
+                             & cind[(b - off_x) % side])
+                        m = t if m is None else (m | t)
+            acc = jnp.where(m, _F(val), acc)
+        return acc
+
+    planes = []
+    for chan in range(3):
+        def mask(dy, dx):
+            m = None
+            for p in range(side):
+                cm = None
+                for b in range(side):
+                    if grid[p, b] == chan:
+                        t = cind[(b - dx) % side]
+                        cm = t if cm is None else (cm | t)
+                if cm is None:
+                    continue
+                term = rind[(p - dy) % side] & cm
+                m = term if m is None else (m | term)
+            return m
+
+        def mv(dy, dx):
+            return jnp.where(mask(dy, dx), taps[(dy, dx)], _F(0.0))
+
+        colsum = {dx: (mv(-1, dx) + mv(0, dx) * 2.0) + mv(1, dx)
+                  for dx in (-1, 0, 1)}
+        num = (colsum[-1] + colsum[0] * 2.0) + colsum[1]
+        den = tile_consts(_periodic_den_2d(grid, chan, 1), -1, -1)
+        planes.append(jnp.where(mask(0, 0), center, num / den))
+    return tuple(planes)
+
+
 def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma,
                    pattern=None, demosaic: str = "nearest", *,
                    off, img_h: int, output: str = "rgba",
@@ -409,6 +489,9 @@ def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma,
             tap_row, grows, img_h, center, up, down, left, right, sc,
             i, bh, w, cfa_phase, demosaic,
         )
+    elif pattern is not None and demosaic == "smooth":
+        r, g, b = _demosaic_smooth_generic(
+            grows, w, pattern, center, up, down, left, right)
     elif pattern is None:
         downleft = _shift_x(down, 1, down[:, 0:1])
         # CFA parity in global coordinates (the y+1 offset is folded
@@ -738,12 +821,26 @@ def pallas_batch_develop_rgba(
     th, tw = _true_hw if _true_hw is not None else (h, w)
     if output == "ycbcr420" and (h % 2 or w % 2):
         raise ValueError("ycbcr420 output requires even H and W")
-    if pattern is not None and demosaic != "nearest":
+    if pattern is not None and demosaic not in ("nearest", "smooth"):
         raise ValueError(
-            "generic-CFA patterns support nearest demosaic only"
+            "generic-CFA patterns support nearest/smooth demosaic only"
         )
-    if demosaic not in ("nearest", "bilinear", "malvar", "grad"):
+    if pattern is not None and demosaic == "smooth":
+        from raweditor_tpu.ops.cfa_generic import _smooth_radius
+
+        side = int(len(pattern) ** 0.5)
+        if any(_smooth_radius(pattern, side, side, c) != 1
+               for c in range(3)):
+            raise ValueError(
+                "in-kernel smooth needs per-channel radius 1 "
+                "(X-Trans qualifies); use the XLA path"
+            )
+    if demosaic not in ("nearest", "bilinear", "malvar", "grad",
+                        "smooth"):
         raise ValueError(f"unsupported demosaic {demosaic!r}")
+    if pattern is None and demosaic == "smooth":
+        raise ValueError("'smooth' is the generic-CFA tier; Bayer uses "
+                         "bilinear/malvar/grad")
     bh = block_h or _largest_even_divisor(h)
     if block_h is None and demosaic == "grad":
         bh = _grad_block_height(h, bh)
@@ -818,12 +915,26 @@ def pallas_develop_rgba(
     accurate-mode lane runs fully in-kernel."""
     h, w = mosaic.shape
     th, tw = _true_hw if _true_hw is not None else (h, w)
-    if pattern is not None and demosaic != "nearest":
+    if pattern is not None and demosaic not in ("nearest", "smooth"):
         raise ValueError(
-            "generic-CFA patterns support nearest demosaic only"
+            "generic-CFA patterns support nearest/smooth demosaic only"
         )
-    if demosaic not in ("nearest", "bilinear", "malvar", "grad"):
+    if pattern is not None and demosaic == "smooth":
+        from raweditor_tpu.ops.cfa_generic import _smooth_radius
+
+        side = int(len(pattern) ** 0.5)
+        if any(_smooth_radius(pattern, side, side, c) != 1
+               for c in range(3)):
+            raise ValueError(
+                "in-kernel smooth needs per-channel radius 1 "
+                "(X-Trans qualifies); use the XLA path"
+            )
+    if demosaic not in ("nearest", "bilinear", "malvar", "grad",
+                        "smooth"):
         raise ValueError(f"unsupported demosaic {demosaic!r}")
+    if pattern is None and demosaic == "smooth":
+        raise ValueError("'smooth' is the generic-CFA tier; Bayer uses "
+                         "bilinear/malvar/grad")
     bh = block_h or _largest_even_divisor(h)
     if block_h is None and demosaic == "grad":
         bh = _grad_block_height(h, bh)

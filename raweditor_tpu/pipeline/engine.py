@@ -367,23 +367,13 @@ class DevelopEngine:
         if self.xtrans_pattern is not None:
             from raweditor_tpu.ops.develop import develop_xtrans
 
-            if (self.use_pallas and self.demosaic_method == "nearest"
-                    and self.transfer in PALLAS_GAMMA_BY_TRANSFER):
-                from raweditor_tpu.ops.pallas_develop import (
-                    pallas_develop_rgba,
-                )
-
-                try:
-                    return pallas_develop_rgba(
-                        self.mosaic, params, self.wb, self.cam_matrix,
-                        white_level=self.white_level,
-                        black_level=self.black_level,
-                        matrix_transpose=self.matrix_transpose,
-                        pattern=self.xtrans_pattern,
-                        gamma=pallas_gamma_for(self.transfer),
-                    )
-                except ValueError:
-                    pass  # unsupported shape → XLA path
+            # Generic-CFA (X-Trans) stays on the XLA path even with
+            # use_pallas: the kernel's 6×6 select-mask assembly costs
+            # more device time than XLA's fused iota-select tiles
+            # (measured @24 MP: nearest 3.63 ms kernel vs 2.51 XLA,
+            # smooth 6.05 vs 4.76 — docs/performance.md "measured and
+            # rejected"). The kernel pattern paths remain available
+            # (pallas_develop_rgba(pattern=...)) and ±1 LSB-tested.
             return develop_xtrans(
                 self.mosaic, params, self.wb, self.cam_matrix,
                 self.white_level, self.black_level,

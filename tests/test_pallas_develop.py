@@ -249,6 +249,39 @@ def test_xtrans_pattern_matches_xla(rng):
     assert_1lsb(got, want)
 
 
+def test_xtrans_smooth_pattern_matches_xla(rng):
+    """demosaic='smooth' with pattern=XTRANS (the normalized-convolution
+    tier, fully in-kernel) matches the XLA develop_xtrans smooth path
+    within ±1 LSB. Non-default: the XLA lane measured faster on-chip
+    (performance.md 'measured and rejected'), but the kernel path stays
+    available and correct."""
+    from raweditor_tpu.ops.cfa_generic import XTRANS_PATTERN
+    from raweditor_tpu.ops.develop import develop_xtrans
+
+    for shape in ((40, 48), (48, 132)):
+        mosaic = rng.integers(0, 4096, size=shape, dtype=np.uint16)
+        want = develop_xtrans(mosaic, FULL, WB, REAL_MATRIX, rgba=True,
+                              demosaic_method="smooth", transfer="srgb",
+                              white_level=4000.0, black_level=128.0)
+        got = pallas_develop_rgba(mosaic, FULL, WB, REAL_MATRIX,
+                                  matrix_transpose=False, gamma="srgb",
+                                  white_level=4000.0, black_level=128.0,
+                                  interpret=True, pattern=XTRANS_PATTERN,
+                                  demosaic="smooth")
+        assert_1lsb(got, want, frac_exact=0.97)
+
+
+def test_smooth_requires_radius1_pattern(rng):
+    """Patterns whose smooth radius exceeds 1 (a sparse-R toy grid)
+    must be rejected — the in-kernel tier is radius-1 only."""
+    sparse = "RGGG" "GGGG" "GGGB" "GGGG"  # R/B radius 2 on this 4x4
+    mosaic = rng.integers(0, 4096, size=(24, 32), dtype=np.uint16)
+    with pytest.raises(ValueError):
+        pallas_develop_rgba(mosaic, EditParams(), WB, IDENTITY,
+                            pattern=sparse, demosaic="smooth",
+                            interpret=True)
+
+
 def test_xtrans_pattern_batched(rng):
     from raweditor_tpu.ops.cfa_generic import XTRANS_PATTERN
     from raweditor_tpu.ops.pallas_develop import pallas_batch_develop_rgba
