@@ -69,7 +69,7 @@ def _largest_even_divisor(h: int, cap: int = 128) -> int:
     return best
 
 
-def _grad_block_height(h: int, bh: int) -> int:
+def _grad_block_height(h: int, bh: int, cap: int = 128) -> int:
     """Block height adjustment for demosaic='grad'. Grad computes its
     stages over the whole (bh+8)-row band, so tiny block heights (all
     that heights like 4016 = 16·251 admit) cost ~(bh+8)/bh in stage
@@ -81,7 +81,7 @@ def _grad_block_height(h: int, bh: int) -> int:
     if not bh or h % 128 == 0:
         return bh
     hp = -(-h // 128) * 128
-    bhp = _largest_even_divisor(hp)
+    bhp = _largest_even_divisor(hp, cap)
     if bhp and hp * (bhp + 8) * bh < h * (bh + 8) * bhp:
         return 0
     return bh
@@ -431,6 +431,156 @@ def _demosaic_smooth_generic(grows, w, pattern, center, up, down, left,
     return tuple(planes)
 
 
+def _demosaic_grad_generic_window(v, off, i, bh, w, pattern, true_h,
+                                  true_w):
+    """In-kernel gradient-weighted demosaic for a repeating CFA whose
+    directional-G and smooth radii are all 1 (X-Trans qualifies) —
+    ops/cfa_generic.demosaic_grad_generic, fused. Same band machinery
+    and offset-invariance argument as the Bayer `_demosaic_grad_window`
+    (every stage is a convex combination or a difference; composed ±1
+    stencils, 4-row receptive field inside the realigned bh+8 band).
+    The CFA structure enters through per-tap site masks built from
+    reindexed row/column parity indicators: masks continue PERIODICALLY
+    past the frame by construction ((gw+dy) % side needs no clamp)
+    while tap values clamp at the TRUE image edges — exactly the XLA
+    path's padded-value × periodic-mask semantics, including the pad
+    rescues (a clamped tap into the clone pad reads the re-replicated
+    stage value = the true edge value, and its mask keys off the
+    unclamped parity). Normalized-convolution denominators are the
+    same trace-time numpy cores the XLA path tiles. Summation follows
+    _tent_valid's column-then-row order; residual ULPs stay inside the
+    ±1 LSB contract (pinned by tests)."""
+    from raweditor_tpu.ops.cfa_generic import (_CHAN, _periodic_den_1d,
+                                               _periodic_den_2d)
+
+    side = int(len(pattern) ** 0.5)
+    grid = np.array([_CHAN[c] for c in pattern.upper()]).reshape(side,
+                                                                 side)
+    n = v.shape[0]
+    band = bh + 8
+    v = pltpu.roll(v, jax.lax.rem(n + 4 - off, n), axis=0)[0:band]
+    gw = jax.lax.broadcasted_iota(jnp.int32, (band, w), 0) + (i * bh - 4)
+    n = band
+    cols = jax.lax.broadcasted_iota(jnp.int32, (band, w), 1)
+    rind = [gw % side == p for p in range(side)]
+    cind = [cols % side == j for j in range(side)]
+
+    def mask(chan, dy, dx):
+        # Site mask at tap offset (dy, dx): periodic in global coords
+        # (reindexed indicators — no clamping by design).
+        m = None
+        for p in range(side):
+            cm = None
+            for b in range(side):
+                if grid[p, b] == chan:
+                    t = cind[(b - dx) % side]
+                    cm = t if cm is None else (cm | t)
+            if cm is None:
+                continue
+            term = rind[(p - dy) % side] & cm
+            m = term if m is None else (m | term)
+        return m
+
+    def tile_consts(core, off_y, off_x):
+        values = np.unique(core)
+        acc = jnp.full((band, w), _F(values[0]))
+        for val in values[1:]:
+            m = None
+            for a in range(side):
+                for b in range(side):
+                    if core[a, b] == val:
+                        t = (rind[(a - off_y) % side]
+                             & cind[(b - off_x) % side])
+                        m = t if m is None else (m | t)
+            acc = jnp.where(m, _F(val), acc)
+        return acc
+
+    def up(a):
+        return jnp.where(gw == 0, a, pltpu.roll(a, 1, axis=0))
+
+    def dn(a):
+        return jnp.where(gw == true_h - 1, a,
+                         pltpu.roll(a, n - 1, axis=0))
+
+    def lf(a):
+        return _shift_x(a, 1, a[:, 0:1])
+
+    def rt(a):
+        return _shift_x(a, -1, a[:, w - 1 : w])
+
+    if true_w == w:
+        def clampw(a):
+            return a
+    else:
+        def clampw(a):
+            return jnp.where(cols >= true_w,
+                             a[:, true_w - 1 : true_w], a)
+
+    g_chan = _CHAN["G"]
+    at_g = mask(g_chan, 0, 0)
+    at_r = mask(0, 0, 0)
+    at_b = mask(2, 0, 0)
+
+    # --- G: directional normalized 1-D convs, inverse-gradient blend --
+    u, d, l, r = up(v), dn(v), lf(v), rt(v)
+    gh_num = ((jnp.where(mask(g_chan, 0, -1), l, _F(0.0))
+               + jnp.where(at_g, v, _F(0.0)) * 2.0)
+              + jnp.where(mask(g_chan, 0, 1), r, _F(0.0)))
+    gv_num = ((jnp.where(mask(g_chan, -1, 0), u, _F(0.0))
+               + jnp.where(at_g, v, _F(0.0)) * 2.0)
+              + jnp.where(mask(g_chan, 1, 0), d, _F(0.0)))
+    den_h = tile_consts(_periodic_den_1d(grid, g_chan, 1, 1), 0, -1)
+    den_v = tile_consts(_periodic_den_1d(grid, g_chan, 1, 0), -1, 0)
+    gh = gh_num / den_h
+    gv = gv_num / den_v
+    eps = _F(1e-4)
+    wh = 1.0 / (jnp.abs(r - l) + eps)
+    wv = 1.0 / (jnp.abs(d - u) + eps)
+    g = clampw(jnp.where(at_g, v, (wh * gh + wv * gv) / (wh + wv)))
+
+    # --- R/B: color-difference interpolation (radius-1 tent) ----------
+    # Built per column offset with masks created and released inside
+    # the loop — the earlier all-9-taps-upfront form held ~18 mask +
+    # 9 shift arrays live at once and spilled VMEM registers at
+    # production widths.
+    diff = v - g
+    du, dd = up(diff), dn(diff)
+    num = {0: None, 2: None}
+    for dx in (-1, 0, 1):
+        if dx == -1:
+            dtaps = (lf(du), lf(diff), lf(dd))
+        elif dx == 1:
+            dtaps = (rt(du), rt(diff), rt(dd))
+        else:
+            dtaps = (du, diff, dd)
+        for chan in (0, 2):
+            colsum = ((jnp.where(mask(chan, -1, dx), dtaps[0], _F(0.0))
+                       + jnp.where(mask(chan, 0, dx), dtaps[1],
+                                   _F(0.0)) * 2.0)
+                      + jnp.where(mask(chan, 1, dx), dtaps[2], _F(0.0)))
+            term = colsum * 2.0 if dx == 0 else colsum
+            num[chan] = term if num[chan] is None else num[chan] + term
+    den_r = tile_consts(_periodic_den_2d(grid, 0, 1), -1, -1)
+    den_b = tile_consts(_periodic_den_2d(grid, 2, 1), -1, -1)
+    rpl = clampw(jnp.where(at_r, v, g + num[0] / den_r))
+    bpl = clampw(jnp.where(at_b, v, g + num[2] / den_b))
+    gpl = g
+
+    # --- chroma refinement (2 iterations) -----------------------------
+    def tent3(x):
+        xv = (up(x) + x * 2.0) + dn(x)
+        return ((lf(xv) + xv * 2.0) + rt(xv)) * _F(1.0 / 16.0)
+
+    for _ in range(2):
+        cb = clampw(tent3(rpl - gpl))
+        cr = clampw(tent3(bpl - gpl))
+        gpl = clampw(jnp.where(at_g, v, jnp.where(at_r, v - cb, v - cr)))
+        rpl = clampw(jnp.where(at_r, v, gpl + cb))
+        bpl = clampw(jnp.where(at_b, v, gpl + cr))
+
+    return rpl[4 : 4 + bh], gpl[4 : 4 + bh], bpl[4 : 4 + bh]
+
+
 def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma,
                    pattern=None, demosaic: str = "nearest", *,
                    off, img_h: int, output: str = "rgba",
@@ -465,13 +615,17 @@ def _develop_block(sc, scratch, i, block_h, cfa_phase, gamma,
         return pltpu.roll(
             v_all, jax.lax.rem(n - off - d, n), axis=0)[0:bh, :]
 
-    if pattern is None and demosaic == "grad":
+    if demosaic == "grad":
         # Multi-stage stencil: works on the whole window, not the
         # center-relative taps below.
-        r, g, b = _demosaic_grad_window(
-            v_all, off, i, bh, w, cfa_phase,
-            img_h if true_h is None else true_h,
-            w if true_w is None else true_w)
+        th = img_h if true_h is None else true_h
+        tw = w if true_w is None else true_w
+        if pattern is None:
+            r, g, b = _demosaic_grad_window(v_all, off, i, bh, w,
+                                            cfa_phase, th, tw)
+        else:
+            r, g, b = _demosaic_grad_generic_window(v_all, off, i, bh,
+                                                    w, pattern, th, tw)
         return _finish_block(sc, r, g, b, bh, w, gamma, output)
 
     # Rows that a clamped window can't supply (above row 0 / below row
@@ -821,18 +975,27 @@ def pallas_batch_develop_rgba(
     th, tw = _true_hw if _true_hw is not None else (h, w)
     if output == "ycbcr420" and (h % 2 or w % 2):
         raise ValueError("ycbcr420 output requires even H and W")
-    if pattern is not None and demosaic not in ("nearest", "smooth"):
+    if pattern is not None and demosaic not in ("nearest", "smooth",
+                                                "grad"):
         raise ValueError(
-            "generic-CFA patterns support nearest/smooth demosaic only"
+            "generic-CFA patterns support nearest/smooth/grad demosaic"
         )
-    if pattern is not None and demosaic == "smooth":
-        from raweditor_tpu.ops.cfa_generic import _smooth_radius
+    if pattern is not None and demosaic in ("smooth", "grad"):
+        from raweditor_tpu.ops.cfa_generic import (_CHAN, _dir_radius,
+                                                   _smooth_radius)
 
         side = int(len(pattern) ** 0.5)
         if any(_smooth_radius(pattern, side, side, c) != 1
                for c in range(3)):
             raise ValueError(
-                "in-kernel smooth needs per-channel radius 1 "
+                "in-kernel smooth/grad needs per-channel smooth "
+                "radius 1 (X-Trans qualifies); use the XLA path"
+            )
+        if demosaic == "grad" and (
+                _dir_radius(pattern, side, side, _CHAN["G"], 0) != 1
+                or _dir_radius(pattern, side, side, _CHAN["G"], 1) != 1):
+            raise ValueError(
+                "in-kernel grad needs directional-G radius 1 "
                 "(X-Trans qualifies); use the XLA path"
             )
     if demosaic not in ("nearest", "bilinear", "malvar", "grad",
@@ -841,9 +1004,14 @@ def pallas_batch_develop_rgba(
     if pattern is None and demosaic == "smooth":
         raise ValueError("'smooth' is the generic-CFA tier; Bayer uses "
                          "bilinear/malvar/grad")
-    bh = block_h or _largest_even_divisor(h)
+    # The generic-CFA grad kernel's live set (stage arrays + parity
+    # indicators + per-tap masks) spills VMEM registers at production
+    # widths — bh=128 needs ~163 MB against the 128 MB budget, while
+    # bh=64 fits and measured fastest (8.0 ms vs 9.6 at bh=32 @24 MP).
+    bh_cap = 64 if (pattern is not None and demosaic == "grad") else 128
+    bh = block_h or _largest_even_divisor(h, bh_cap)
     if block_h is None and demosaic == "grad":
-        bh = _grad_block_height(h, bh)
+        bh = _grad_block_height(h, bh, bh_cap)
     if block_h is None and bh == 0:
         hp = -(-h // 128) * 128  # see pallas_develop_rgba: no divisor
         if hp != h:
@@ -915,18 +1083,27 @@ def pallas_develop_rgba(
     accurate-mode lane runs fully in-kernel."""
     h, w = mosaic.shape
     th, tw = _true_hw if _true_hw is not None else (h, w)
-    if pattern is not None and demosaic not in ("nearest", "smooth"):
+    if pattern is not None and demosaic not in ("nearest", "smooth",
+                                                "grad"):
         raise ValueError(
-            "generic-CFA patterns support nearest/smooth demosaic only"
+            "generic-CFA patterns support nearest/smooth/grad demosaic"
         )
-    if pattern is not None and demosaic == "smooth":
-        from raweditor_tpu.ops.cfa_generic import _smooth_radius
+    if pattern is not None and demosaic in ("smooth", "grad"):
+        from raweditor_tpu.ops.cfa_generic import (_CHAN, _dir_radius,
+                                                   _smooth_radius)
 
         side = int(len(pattern) ** 0.5)
         if any(_smooth_radius(pattern, side, side, c) != 1
                for c in range(3)):
             raise ValueError(
-                "in-kernel smooth needs per-channel radius 1 "
+                "in-kernel smooth/grad needs per-channel smooth "
+                "radius 1 (X-Trans qualifies); use the XLA path"
+            )
+        if demosaic == "grad" and (
+                _dir_radius(pattern, side, side, _CHAN["G"], 0) != 1
+                or _dir_radius(pattern, side, side, _CHAN["G"], 1) != 1):
+            raise ValueError(
+                "in-kernel grad needs directional-G radius 1 "
                 "(X-Trans qualifies); use the XLA path"
             )
     if demosaic not in ("nearest", "bilinear", "malvar", "grad",
@@ -935,9 +1112,14 @@ def pallas_develop_rgba(
     if pattern is None and demosaic == "smooth":
         raise ValueError("'smooth' is the generic-CFA tier; Bayer uses "
                          "bilinear/malvar/grad")
-    bh = block_h or _largest_even_divisor(h)
+    # The generic-CFA grad kernel's live set (stage arrays + parity
+    # indicators + per-tap masks) spills VMEM registers at production
+    # widths — bh=128 needs ~163 MB against the 128 MB budget, while
+    # bh=64 fits and measured fastest (8.0 ms vs 9.6 at bh=32 @24 MP).
+    bh_cap = 64 if (pattern is not None and demosaic == "grad") else 128
+    bh = block_h or _largest_even_divisor(h, bh_cap)
     if block_h is None and demosaic == "grad":
-        bh = _grad_block_height(h, bh)
+        bh = _grad_block_height(h, bh, bh_cap)
     # Heights with no multiple-of-8 divisor at all (e.g. 502 = 2·251)
     # are edge-padded to the next multiple of 128 and sliced after —
     # the clone rows reproduce clamp-to-edge. (Measured: padding heights

@@ -367,13 +367,35 @@ class DevelopEngine:
         if self.xtrans_pattern is not None:
             from raweditor_tpu.ops.develop import develop_xtrans
 
-            # Generic-CFA (X-Trans) stays on the XLA path even with
-            # use_pallas: the kernel's 6×6 select-mask assembly costs
-            # more device time than XLA's fused iota-select tiles
-            # (measured @24 MP: nearest 3.63 ms kernel vs 2.51 XLA,
-            # smooth 6.05 vs 4.76 — docs/performance.md "measured and
-            # rejected"). The kernel pattern paths remain available
-            # (pallas_develop_rgba(pattern=...)) and ±1 LSB-tested.
+            # Generic-CFA (X-Trans) nearest/smooth stay on the XLA path
+            # even with use_pallas: the kernel's 6×6 select-mask
+            # assembly costs more device time than XLA's fused
+            # iota-select tiles (measured @24 MP: nearest 3.63 ms
+            # kernel vs 2.51 XLA, smooth 6.05 vs 4.76 —
+            # docs/performance.md "measured and rejected"). GRAD is the
+            # exception: its 10+ composed stages make XLA materialize
+            # intermediates, and the fused kernel wins despite the
+            # masks (8.0 ms vs 11.6 = 1.45×, kernel block_h capped at
+            # 64 for VMEM).
+            if (self.use_pallas and self.demosaic_method == "grad"
+                    and self.transfer in PALLAS_GAMMA_BY_TRANSFER):
+                from raweditor_tpu.ops.pallas_develop import (
+                    pallas_develop_rgba,
+                )
+
+                try:
+                    return pallas_develop_rgba(
+                        self.mosaic, params, self.wb, self.cam_matrix,
+                        white_level=self.white_level,
+                        black_level=self.black_level,
+                        matrix_transpose=self.matrix_transpose,
+                        pattern=self.xtrans_pattern, demosaic="grad",
+                        gamma=pallas_gamma_for(self.transfer),
+                    )
+                except Exception:
+                    # Unsupported shape/pattern OR a VMEM-overflow
+                    # compile failure on very wide sensors → XLA path.
+                    pass
             return develop_xtrans(
                 self.mosaic, params, self.wb, self.cam_matrix,
                 self.white_level, self.black_level,

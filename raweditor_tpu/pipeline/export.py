@@ -845,20 +845,43 @@ def run_batch_export(
                     mosaics = jax.device_put(mosaics,
                                              batch_sharding(mesh))
 
-                # Generic-CFA (X-Trans) buckets stay on the XLA path
-                # even with use_pallas: the kernel's 6×6 select-mask
-                # assembly costs more device time than XLA's fused
-                # iota-select tiles (measured @24 MP: nearest 3.63 ms
-                # kernel vs 2.51 XLA, smooth 6.05 vs 4.76 —
-                # docs/performance.md "measured and rejected"); the
-                # XLA batch path emits the same 1.5 B/px YCbCr planes.
-                out = batch_develop_xtrans_rgba(
-                    mosaics, params, wbs, cms, whites, blacks,
-                    pattern=phase, matrix_transpose=matrix_transpose,
-                    transfer=transfer,
-                    demosaic_method=_generic_cfa_method(demosaic_method),
-                    output=xla_output,
-                )
+                # Generic-CFA (X-Trans) nearest/smooth buckets stay on
+                # the XLA path even with use_pallas: the kernel's 6×6
+                # select-mask assembly costs more device time than
+                # XLA's fused iota-select tiles (measured @24 MP:
+                # nearest 3.63 ms kernel vs 2.51 XLA, smooth 6.05 vs
+                # 4.76 — docs/performance.md "measured and rejected");
+                # the XLA batch path emits the same 1.5 B/px YCbCr
+                # planes. GRAD is the exception — XLA materializes its
+                # 10+ composed stages and the fused kernel wins (8.0 ms
+                # vs 11.6 = 1.45×).
+                out = None
+                if pallas_ok and demosaic_method == "grad":
+                    from raweditor_tpu.ops.pallas_develop import (
+                        pallas_batch_develop_rgba,
+                    )
+
+                    try:
+                        out = pallas_batch_develop_rgba(
+                            mosaics, params, wbs, cms, whites, blacks,
+                            matrix_transpose=matrix_transpose,
+                            pattern=phase, demosaic="grad",
+                            gamma=pallas_gamma,
+                            output=("ycbcr420"
+                                    if xla_output == "ycbcr420"
+                                    else "rgba"),
+                        )
+                    except Exception:
+                        out = None  # shape/VMEM unsupported → XLA path
+                if out is None:
+                    out = batch_develop_xtrans_rgba(
+                        mosaics, params, wbs, cms, whites, blacks,
+                        pattern=phase, matrix_transpose=matrix_transpose,
+                        transfer=transfer,
+                        demosaic_method=_generic_cfa_method(
+                            demosaic_method),
+                        output=xla_output,
+                    )
             elif mesh is None:
                 out = None
                 if pallas_ok:

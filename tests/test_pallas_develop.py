@@ -556,6 +556,61 @@ class TestGradKernel:
         assert (out == out[0, 0]).all()
 
 
+class TestXTransGradKernel:
+    """In-kernel gradient-weighted demosaic on the 6×6 X-Trans grid
+    (pattern + demosaic='grad'): the same band machinery as the Bayer
+    grad kernel with per-tap periodic site masks; ±1 LSB vs the XLA
+    demosaic_grad_generic path. This IS the default X-Trans grad lane
+    under use_pallas (measured 8.0 ms vs 11.6 XLA @24 MP)."""
+
+    def _xla(self, mosaic, **kw):
+        from raweditor_tpu.ops.cfa_generic import XTRANS_PATTERN
+        from raweditor_tpu.ops.develop import develop_xtrans
+
+        return develop_xtrans(mosaic, FULL, WB, REAL_MATRIX,
+                              pattern=XTRANS_PATTERN,
+                              demosaic_method="grad", transfer="srgb",
+                              rgba=True, **kw)
+
+    def _kernel(self, mosaic, block_h=None, **kw):
+        from raweditor_tpu.ops.cfa_generic import XTRANS_PATTERN
+
+        return pallas_develop_rgba(mosaic, FULL, WB, REAL_MATRIX,
+                                   pattern=XTRANS_PATTERN,
+                                   demosaic="grad", gamma="srgb",
+                                   matrix_transpose=False,
+                                   block_h=block_h, interpret=True,
+                                   **kw)
+
+    def test_vs_xla(self, rng):
+        mosaic = rng.integers(0, 4096, size=(40, 48), dtype=np.uint16)
+        want = self._xla(mosaic, white_level=4000.0, black_level=128.0)
+        got = self._kernel(mosaic, block_h=8, white_level=4000.0,
+                           black_level=128.0)
+        assert_1lsb(got, want, frac_exact=0.97)
+
+    def test_multi_block_halo(self, rng):
+        mosaic = rng.integers(0, 4096, size=(72, 48), dtype=np.uint16)
+        a = self._kernel(mosaic, block_h=8)
+        b = self._kernel(mosaic, block_h=24)
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_pad_rescues_true_edge_clamp(self, rng):
+        """Width pad (48→128 lanes) and no-divisor height pad (250):
+        grad's masks must key off the unclamped periodic parity while
+        values clamp at the TRUE edges."""
+        for shape in ((250, 48), (64, 130)):
+            mosaic = rng.integers(0, 4096, size=shape, dtype=np.uint16)
+            want = self._xla(mosaic)
+            got = self._kernel(mosaic)
+            assert_1lsb(got, want, frac_exact=0.97)
+
+    def test_constant_mosaic_is_uniform(self):
+        mosaic = np.full((40, 128), 2000, dtype=np.uint16)
+        out = rgba_view(np.asarray(self._kernel(mosaic, block_h=8)))
+        assert (out == out[0, 0]).all()
+
+
 class TestYCbCr420Output:
     """In-kernel JPEG planes (output='ycbcr420'): Y + NV12-interleaved
     CbCr must stay within one step of composing the RGBA kernel with
