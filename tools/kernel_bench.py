@@ -39,7 +39,9 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from raweditor_tpu.ops.cfa_generic import XTRANS_PATTERN as _XTRANS
     from raweditor_tpu.ops.develop import develop_rgba
+    from raweditor_tpu.ops.develop import develop_xtrans as _dx
     from raweditor_tpu.ops.pallas_develop import pallas_develop_rgba
     from raweditor_tpu.params import EditParams
     from raweditor_tpu.utils.profiling import (device_execution_times,
@@ -82,6 +84,27 @@ def main() -> int:
         "xla_grad_srgb": lambda p: develop_rgba(
             mosaic, p, wb, cm, transfer="srgb",
             demosaic_method="grad"),
+        # Generic-CFA (X-Trans) lanes — the measurements behind the
+        # routing decisions in docs/performance.md "measured and
+        # rejected" (kernel wins grad only).
+        "pallas_xtrans_grad_srgbpoly": lambda p: pallas_develop_rgba(
+            mosaic, p, wb, cm, pattern=_XTRANS, demosaic="grad",
+            gamma="srgb_poly", matrix_transpose=False),
+        "pallas_xtrans_smooth_srgbpoly": lambda p: pallas_develop_rgba(
+            mosaic, p, wb, cm, pattern=_XTRANS, demosaic="smooth",
+            gamma="srgb_poly", matrix_transpose=False),
+        "pallas_xtrans_nearest_srgbpoly": lambda p: pallas_develop_rgba(
+            mosaic, p, wb, cm, pattern=_XTRANS, demosaic="nearest",
+            gamma="srgb_poly", matrix_transpose=False),
+        "xla_xtrans_grad_srgb": lambda p: _dx(
+            mosaic, p, wb, cm, pattern=_XTRANS, demosaic_method="grad",
+            transfer="srgb", rgba=True),
+        "xla_xtrans_smooth_srgb": lambda p: _dx(
+            mosaic, p, wb, cm, pattern=_XTRANS,
+            demosaic_method="smooth", transfer="srgb", rgba=True),
+        "xla_xtrans_nearest_srgb": lambda p: _dx(
+            mosaic, p, wb, cm, pattern=_XTRANS,
+            demosaic_method="nearest", transfer="srgb", rgba=True),
     }
     chosen = [v.strip() for v in args.variants.split(",") if v.strip()]
 
