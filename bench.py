@@ -542,11 +542,7 @@ def _measure(results):
                 and not os.environ.get("RAWEDITOR_TPU_BENCH_SMALL")):
             _stage(f"e2e congested (link {e2e_report.fetch_mbps:.1f} "
                    "MB/s) - retrying once")
-            for j in jobs:
-                try:
-                    os.remove(j.out_path)
-                except OSError:
-                    pass
+            # (Outputs are overwritten atomically; no cleanup needed.)
             retry = run_batch_export(
                 jobs, batch_size=2, decode_threads=threads,
                 encode_threads=threads, use_pallas=True, fast_gamma=True,

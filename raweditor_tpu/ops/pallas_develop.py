@@ -230,6 +230,134 @@ def _demosaic_smooth_taps(tap_row, grows, img_h, center, up, down, left,
             jnp.maximum(b, floor))
 
 
+def _band_realign(v, off, i, bh, w):
+    """Roll + slice the (bh+16)-row scratch window so the consumed band
+    [off−4, off+bh+4) sits at rows [0, bh+8): the multi-stage grad
+    kernels then compute over bh+8 rows instead of bh+16 (the saving
+    matters most at small block heights) and the final output slice is
+    the static rows [4, bh+4). Rows that wrap (at the clamped
+    top/bottom windows) carry out-of-image global rows, where every
+    shift's clamp fixup cuts the dependency chain — they are never
+    consumed. Returns (band array, global-row iota, column iota)."""
+    n = v.shape[0]
+    band = bh + 8
+    v = pltpu.roll(v, jax.lax.rem(n + 4 - off, n), axis=0)[0:band]
+    gw = jax.lax.broadcasted_iota(jnp.int32, (band, w), 0) + (i * bh - 4)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (band, w), 1)
+    return v, gw, cols
+
+
+def _clamp_shift_fns(gw, w, true_h):
+    """±1 clamp-to-edge shift closures over a band whose global rows
+    are ``gw``: values clamp at image row 0 / the last TRUE image row
+    (pre-pad — clone rows from the height-pad rescue must not leak
+    into composed stages) and at the replicated edge columns."""
+    n = gw.shape[0]
+
+    def up(a):  # value one row up, clamp-to-edge at image row 0
+        return jnp.where(gw == 0, a, pltpu.roll(a, 1, axis=0))
+
+    def dn(a):  # one row down, clamp at the last TRUE image row
+        return jnp.where(gw == true_h - 1, a,
+                         pltpu.roll(a, n - 1, axis=0))
+
+    def lf(a):
+        return _shift_x(a, 1, a[:, 0:1])
+
+    def rt(a):
+        return _shift_x(a, -1, a[:, w - 1 : w])
+
+    return up, dn, lf, rt
+
+
+def _clampw_fn(cols, true_w, w):
+    """Stage-output re-replication across the width-pad lanes (the
+    clone columns violate CFA parity, so multi-stage kernels must
+    re-assert the true edge value after every stage). Identity when
+    nothing is padded."""
+    if true_w == w:
+        return lambda a: a
+    return lambda a: jnp.where(cols >= true_w,
+                               a[:, true_w - 1 : true_w], a)
+
+
+def _parity_indicators(rows, cols, side):
+    """Row/column parity indicator lists — the building blocks of the
+    periodic site masks and constant tiles (the iota-compare select
+    pattern, docs/performance.md XLA pathology #2)."""
+    return ([rows % side == p for p in range(side)],
+            [cols % side == j for j in range(side)])
+
+
+def _site_mask_fn(grid, rind, cind):
+    """``mask(chan, dy, dx)``: channel-site mask at tap offset
+    (dy, dx), periodic in GLOBAL coordinates by construction — the
+    indicators are reindexed, never clamped, which is exactly the XLA
+    path's periodic-mask-over-edge-padded-values semantics."""
+    side = len(rind)
+
+    def mask(chan, dy, dx):
+        m = None
+        for p in range(side):
+            cm = None
+            for b in range(side):
+                if grid[p, b] == chan:
+                    t = cind[(b - dx) % side]
+                    cm = t if cm is None else (cm | t)
+            if cm is None:
+                continue
+            term = rind[(p - dy) % side] & cm
+            m = term if m is None else (m | term)
+        return m
+
+    return mask
+
+
+def _tile_consts_fn(rind, cind):
+    """``tile(core, off_y, off_x)``: materialize the (side, side)
+    numpy constant array periodically — output(y, x) =
+    core[(y+off_y) % side, (x+off_x) % side] — via indicator selects
+    grouped by distinct value (normalized-convolution denominators)."""
+    side = len(rind)
+    shape = rind[0].shape
+
+    def tile(core, off_y, off_x):
+        values = np.unique(core)
+        acc = jnp.full(shape, _F(values[0]))
+        for val in values[1:]:
+            m = None
+            for a in range(side):
+                for b in range(side):
+                    if core[a, b] == val:
+                        t = (rind[(a - off_y) % side]
+                             & cind[(b - off_x) % side])
+                        m = t if m is None else (m | t)
+            acc = jnp.where(m, _F(val), acc)
+        return acc
+
+    return tile
+
+
+def _chroma_refine(v, rpl, gpl, bpl, at_g, at_r, at_b, up, dn, lf, rt,
+                   clampw):
+    """Two chroma-refinement iterations (the Markesteijn-style cleanup
+    shared by the Bayer and generic grad kernels): normalized 3×3 tent
+    smoothing of the color differences in _tent_valid's column-then-row
+    summation order, channels rebuilt from their sensor sites."""
+
+    def tent3(x):
+        xv = (up(x) + x * 2.0) + dn(x)
+        return ((lf(xv) + xv * 2.0) + rt(xv)) * _F(1.0 / 16.0)
+
+    for _ in range(2):
+        cb = clampw(tent3(rpl - gpl))
+        cr = clampw(tent3(bpl - gpl))
+        gpl = clampw(jnp.where(at_g, v, jnp.where(at_r, v - cb, v - cr)))
+        rpl = clampw(jnp.where(at_r, v, gpl + cb))
+        bpl = clampw(jnp.where(at_b, v, gpl + cr))
+    return rpl, gpl, bpl
+
+
 def _demosaic_grad_window(v, off, i, bh, w, cfa_phase, true_h,
                           true_w):
     """In-kernel gradient-weighted Bayer demosaic — the quality tier
@@ -272,43 +400,12 @@ def _demosaic_grad_window(v, off, i, bh, w, cfa_phase, true_h,
     its shifts at the TRUE edges and re-replicates each stage output
     across the padded lanes (``clampw``), which reproduces the XLA
     path's per-stage edge pads exactly."""
-    n = v.shape[0]
-    band = bh + 8
-    # Realign once so the consumed band [off−4, off+bh+4) sits at rows
-    # [0, band): stage compute shrinks from the full bh+16-row window
-    # to bh+8 (the saving matters most at small block heights). Rows
-    # that wrap (at the clamped top/bottom windows) carry out-of-image
-    # global rows, where every shift's clamp fixup cuts the dependency
-    # chain — they are never consumed. The final row-4..row-(bh+4)
-    # output slice is then static.
-    v = pltpu.roll(v, jax.lax.rem(n + 4 - off, n), axis=0)[0:band]
-    gw = jax.lax.broadcasted_iota(jnp.int32, (band, w), 0) + (i * bh - 4)
-    n = band
-    cols = jax.lax.broadcasted_iota(jnp.int32, (band, w), 1)
+    v, gw, cols = _band_realign(v, off, i, bh, w)
     ye = ((gw + cfa_phase[0]) % 2) == 0
     xe = ((cols + cfa_phase[1]) % 2) == 0
     at_g = ye != xe
-
-    def up(a):  # value one row up, clamp-to-edge at image row 0
-        return jnp.where(gw == 0, a, pltpu.roll(a, 1, axis=0))
-
-    def dn(a):  # one row down, clamp at the last TRUE image row
-        return jnp.where(gw == true_h - 1, a,
-                         pltpu.roll(a, n - 1, axis=0))
-
-    def lf(a):
-        return _shift_x(a, 1, a[:, 0:1])
-
-    def rt(a):
-        return _shift_x(a, -1, a[:, w - 1 : w])
-
-    if true_w == w:
-        def clampw(a):
-            return a
-    else:
-        def clampw(a):  # replicate the true edge column over the pad
-            return jnp.where(cols >= true_w,
-                             a[:, true_w - 1 : true_w], a)
+    up, dn, lf, rt = _clamp_shift_fns(gw, w, true_h)
+    clampw = _clampw_fn(cols, true_w, w)
 
     # --- G: directional interpolation, inverse-gradient blend --------
     u, d, l, r = up(v), dn(v), lf(v), rt(v)
@@ -333,19 +430,12 @@ def _demosaic_grad_window(v, off, i, bh, w, cfa_phase, true_h,
                            jnp.where(xe, g + vpair, g + diag)))
     bpl = clampw(jnp.where(ye, jnp.where(xe, g + diag, g + vpair),
                            jnp.where(xe, g + hpair, v)))
-    gpl = g
-
-    # --- chroma refinement (2 iterations) -----------------------------
-    def tent3(x):  # normalized 3×3 tent, separable, XLA's order
-        xv = (up(x) + x * 2.0) + dn(x)
-        return ((lf(xv) + xv * 2.0) + rt(xv)) * _F(1.0 / 16.0)
-
-    for _ in range(2):
-        cb = clampw(tent3(rpl - gpl))
-        cr = clampw(tent3(bpl - gpl))
-        gpl = clampw(jnp.where(at_g, v, jnp.where(ye, v - cb, v - cr)))
-        rpl = clampw(jnp.where(ye & xe, v, gpl + cb))
-        bpl = clampw(jnp.where(jnp.logical_and(~ye, ~xe), v, gpl + cr))
+    # At non-G sites the ye selector is equivalent to an R-site test
+    # (non-G & even row → even col), so the shared refinement's at_r
+    # form composes identically.
+    rpl, gpl, bpl = _chroma_refine(
+        v, rpl, g, bpl, at_g, ye & xe,
+        jnp.logical_and(~ye, ~xe), up, dn, lf, rt, clampw)
 
     # The block's rows sit at [4, bh+4) after the up-front realign.
     return rpl[4 : 4 + bh], gpl[4 : 4 + bh], bpl[4 : 4 + bh]
@@ -376,10 +466,9 @@ def _demosaic_smooth_generic(grows, w, pattern, center, up, down, left,
                                                                  side)
     bh = grows.shape[0]
     cols = jax.lax.broadcasted_iota(jnp.int32, (bh, w), 1)
-    rows_p = grows % side
-    cols_p = cols % side
-    rind = [rows_p == p for p in range(side)]
-    cind = [cols_p == j for j in range(side)]
+    rind, cind = _parity_indicators(grows, cols, side)
+    mask_at = _site_mask_fn(grid, rind, cind)
+    tile_consts = _tile_consts_fn(rind, cind)
     ul = _shift_x(up, 1, up[:, 0:1])
     ur = _shift_x(up, -1, up[:, w - 1 : w])
     dl = _shift_x(down, 1, down[:, 0:1])
@@ -388,46 +477,17 @@ def _demosaic_smooth_generic(grows, w, pattern, center, up, down, left,
             (0, -1): left, (0, 0): center, (0, 1): right,
             (1, -1): dl, (1, 0): down, (1, 1): dr}
 
-    def tile_consts(core, off_y, off_x):
-        # core[(y+off_y) % side, (x+off_x) % side] via the indicators:
-        # cell (a, b) lands where rows_p == (a-off_y) % side etc.
-        values = np.unique(core)
-        acc = jnp.full((bh, w), _F(values[0]))
-        for val in values[1:]:
-            m = None
-            for a in range(side):
-                for b in range(side):
-                    if core[a, b] == val:
-                        t = (rind[(a - off_y) % side]
-                             & cind[(b - off_x) % side])
-                        m = t if m is None else (m | t)
-            acc = jnp.where(m, _F(val), acc)
-        return acc
-
     planes = []
     for chan in range(3):
-        def mask(dy, dx):
-            m = None
-            for p in range(side):
-                cm = None
-                for b in range(side):
-                    if grid[p, b] == chan:
-                        t = cind[(b - dx) % side]
-                        cm = t if cm is None else (cm | t)
-                if cm is None:
-                    continue
-                term = rind[(p - dy) % side] & cm
-                m = term if m is None else (m | term)
-            return m
-
         def mv(dy, dx):
-            return jnp.where(mask(dy, dx), taps[(dy, dx)], _F(0.0))
+            return jnp.where(mask_at(chan, dy, dx), taps[(dy, dx)],
+                             _F(0.0))
 
         colsum = {dx: (mv(-1, dx) + mv(0, dx) * 2.0) + mv(1, dx)
                   for dx in (-1, 0, 1)}
         num = (colsum[-1] + colsum[0] * 2.0) + colsum[1]
         den = tile_consts(_periodic_den_2d(grid, chan, 1), -1, -1)
-        planes.append(jnp.where(mask(0, 0), center, num / den))
+        planes.append(jnp.where(mask_at(chan, 0, 0), center, num / den))
     return tuple(planes)
 
 
@@ -456,65 +516,12 @@ def _demosaic_grad_generic_window(v, off, i, bh, w, pattern, true_h,
     side = int(len(pattern) ** 0.5)
     grid = np.array([_CHAN[c] for c in pattern.upper()]).reshape(side,
                                                                  side)
-    n = v.shape[0]
-    band = bh + 8
-    v = pltpu.roll(v, jax.lax.rem(n + 4 - off, n), axis=0)[0:band]
-    gw = jax.lax.broadcasted_iota(jnp.int32, (band, w), 0) + (i * bh - 4)
-    n = band
-    cols = jax.lax.broadcasted_iota(jnp.int32, (band, w), 1)
-    rind = [gw % side == p for p in range(side)]
-    cind = [cols % side == j for j in range(side)]
-
-    def mask(chan, dy, dx):
-        # Site mask at tap offset (dy, dx): periodic in global coords
-        # (reindexed indicators — no clamping by design).
-        m = None
-        for p in range(side):
-            cm = None
-            for b in range(side):
-                if grid[p, b] == chan:
-                    t = cind[(b - dx) % side]
-                    cm = t if cm is None else (cm | t)
-            if cm is None:
-                continue
-            term = rind[(p - dy) % side] & cm
-            m = term if m is None else (m | term)
-        return m
-
-    def tile_consts(core, off_y, off_x):
-        values = np.unique(core)
-        acc = jnp.full((band, w), _F(values[0]))
-        for val in values[1:]:
-            m = None
-            for a in range(side):
-                for b in range(side):
-                    if core[a, b] == val:
-                        t = (rind[(a - off_y) % side]
-                             & cind[(b - off_x) % side])
-                        m = t if m is None else (m | t)
-            acc = jnp.where(m, _F(val), acc)
-        return acc
-
-    def up(a):
-        return jnp.where(gw == 0, a, pltpu.roll(a, 1, axis=0))
-
-    def dn(a):
-        return jnp.where(gw == true_h - 1, a,
-                         pltpu.roll(a, n - 1, axis=0))
-
-    def lf(a):
-        return _shift_x(a, 1, a[:, 0:1])
-
-    def rt(a):
-        return _shift_x(a, -1, a[:, w - 1 : w])
-
-    if true_w == w:
-        def clampw(a):
-            return a
-    else:
-        def clampw(a):
-            return jnp.where(cols >= true_w,
-                             a[:, true_w - 1 : true_w], a)
+    v, gw, cols = _band_realign(v, off, i, bh, w)
+    rind, cind = _parity_indicators(gw, cols, side)
+    mask = _site_mask_fn(grid, rind, cind)
+    tile_consts = _tile_consts_fn(rind, cind)
+    up, dn, lf, rt = _clamp_shift_fns(gw, w, true_h)
+    clampw = _clampw_fn(cols, true_w, w)
 
     g_chan = _CHAN["G"]
     at_g = mask(g_chan, 0, 0)
@@ -564,19 +571,8 @@ def _demosaic_grad_generic_window(v, off, i, bh, w, pattern, true_h,
     den_b = tile_consts(_periodic_den_2d(grid, 2, 1), -1, -1)
     rpl = clampw(jnp.where(at_r, v, g + num[0] / den_r))
     bpl = clampw(jnp.where(at_b, v, g + num[2] / den_b))
-    gpl = g
-
-    # --- chroma refinement (2 iterations) -----------------------------
-    def tent3(x):
-        xv = (up(x) + x * 2.0) + dn(x)
-        return ((lf(xv) + xv * 2.0) + rt(xv)) * _F(1.0 / 16.0)
-
-    for _ in range(2):
-        cb = clampw(tent3(rpl - gpl))
-        cr = clampw(tent3(bpl - gpl))
-        gpl = clampw(jnp.where(at_g, v, jnp.where(at_r, v - cb, v - cr)))
-        rpl = clampw(jnp.where(at_r, v, gpl + cb))
-        bpl = clampw(jnp.where(at_b, v, gpl + cr))
+    rpl, gpl, bpl = _chroma_refine(v, rpl, g, bpl, at_g, at_r, at_b,
+                                   up, dn, lf, rt, clampw)
 
     return rpl[4 : 4 + bh], gpl[4 : 4 + bh], bpl[4 : 4 + bh]
 

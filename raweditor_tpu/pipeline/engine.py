@@ -37,6 +37,9 @@ from raweditor_tpu.ops.cfa_generic import \
 from raweditor_tpu.ops.sampling import histogram_shape, preview_shape
 from raweditor_tpu.params import EditParams
 from raweditor_tpu.raw.types import RawImage
+from raweditor_tpu.utils.logging import get_logger
+
+logger = get_logger("raweditor_tpu.engine")
 
 MAX_PREVIEW_WIDTH = 1280  # (reference: gpu/pipeline.rs:125)
 HISTOGRAM_WIDTH = 128  # (reference: gpu/pipeline.rs:131)
@@ -378,7 +381,8 @@ class DevelopEngine:
             # masks (8.0 ms vs 11.6 = 1.45×, kernel block_h capped at
             # 64 for VMEM).
             if (self.use_pallas and self.demosaic_method == "grad"
-                    and self.transfer in PALLAS_GAMMA_BY_TRANSFER):
+                    and self.transfer in PALLAS_GAMMA_BY_TRANSFER
+                    and not getattr(self, "_pallas_grad_failed", False)):
                 from raweditor_tpu.ops.pallas_develop import (
                     pallas_develop_rgba,
                 )
@@ -392,10 +396,17 @@ class DevelopEngine:
                         pattern=self.xtrans_pattern, demosaic="grad",
                         gamma=pallas_gamma_for(self.transfer),
                     )
-                except Exception:
+                except Exception as e:
                     # Unsupported shape/pattern OR a VMEM-overflow
                     # compile failure on very wide sensors → XLA path.
-                    pass
+                    # Remember per engine (a failed Mosaic compile can
+                    # take minutes over the tunnel — never retry it per
+                    # slider tick) and say so once.
+                    self._pallas_grad_failed = True
+                    logger.info(
+                        "pallas X-Trans grad kernel unavailable for "
+                        "this image (%s: %s); using the XLA lane",
+                        type(e).__name__, str(e)[:120])
             return develop_xtrans(
                 self.mosaic, params, self.wb, self.cam_matrix,
                 self.white_level, self.black_level,

@@ -530,11 +530,17 @@ def run_batch_export(
             "(row axis of size 1)")
     # The batched fused kernel (±1 LSB) is the fastest single-chip
     # Bayer path; covers nearest/bilinear/malvar/grad demosaic, no row
-    # sharding. (X-Trans buckets additionally require nearest — the
-    # generic-CFA site table is a nearest scheme.)
+    # sharding. (X-Trans buckets use the kernel for GRAD only —
+    # nearest/smooth measured faster on XLA; see the dispatch sites.)
     pallas_ok = (use_pallas and mesh is None
                  and demosaic_method in ("nearest", "bilinear", "malvar",
                                          "grad"))
+    # Shape buckets whose Pallas attempt failed once (unsupported
+    # shape, backend without Mosaic, or a VMEM-overflow compile on
+    # ultra-wide sensors): retrying per flush would pay a failed
+    # multi-minute trace+compile for EVERY batch before each XLA
+    # fallback.
+    _pallas_failed: set = set()
     from raweditor_tpu.color import pallas_gamma_for, transfer16_for
 
     pallas_gamma = pallas_gamma_for(transfer)
@@ -856,7 +862,9 @@ def run_batch_export(
                 # 10+ composed stages and the fused kernel wins (8.0 ms
                 # vs 11.6 = 1.45×).
                 out = None
-                if pallas_ok and demosaic_method == "grad":
+                pl_key = (mosaics.shape, "grad", phase, xla_output)
+                if (pallas_ok and demosaic_method == "grad"
+                        and pl_key not in _pallas_failed):
                     from raweditor_tpu.ops.pallas_develop import (
                         pallas_batch_develop_rgba,
                     )
@@ -873,6 +881,7 @@ def run_batch_export(
                         )
                     except Exception:
                         out = None  # shape/VMEM unsupported → XLA path
+                        _pallas_failed.add(pl_key)
                 if out is None:
                     out = batch_develop_xtrans_rgba(
                         mosaics, params, wbs, cms, whites, blacks,
@@ -884,7 +893,9 @@ def run_batch_export(
                     )
             elif mesh is None:
                 out = None
-                if pallas_ok:
+                pl_key = (mosaics.shape, demosaic_method, phase,
+                          xla_output)
+                if pallas_ok and pl_key not in _pallas_failed:
                     from raweditor_tpu.ops.pallas_develop import (
                         pallas_batch_develop_rgba,
                     )
@@ -902,6 +913,7 @@ def run_batch_export(
                         )
                     except Exception:
                         out = None  # unsupported shape/backend → XLA path
+                        _pallas_failed.add(pl_key)
                 if out is None:
                     out = batch_develop_rgba(
                         mosaics, params, wbs, cms, whites, blacks,

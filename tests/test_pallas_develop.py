@@ -610,6 +610,43 @@ class TestXTransGradKernel:
         out = rgba_view(np.asarray(self._kernel(mosaic, block_h=8)))
         assert (out == out[0, 0]).all()
 
+    def test_batched_matches_single_and_ycbcr(self, rng):
+        """The batch launcher with pattern + grad — the exact lane
+        run_batch_export dispatches — must match the single-image
+        kernel, and its ycbcr420 planes must match converting the RGBA
+        output (within one step)."""
+        import jax
+
+        from raweditor_tpu.ops.cfa_generic import XTRANS_PATTERN
+        from raweditor_tpu.ops.jpeg import rgba_words_to_ycbcr420
+        from raweditor_tpu.ops.pallas_develop import (
+            pallas_batch_develop_rgba,
+        )
+        from raweditor_tpu.parallel.batch import pack_params
+
+        mosaics = rng.integers(0, 4096, size=(2, 40, 48),
+                               dtype=np.uint16)
+        plist = [FULL, EditParams(exposure=0.2)]
+        pp = pack_params(plist)
+        wbs = np.tile(WB, (2, 1))
+        cms = np.tile(REAL_MATRIX, (2, 1, 1))
+        kw = dict(pattern=XTRANS_PATTERN, demosaic="grad", gamma="srgb",
+                  matrix_transpose=False, interpret=True)
+        batch = np.asarray(pallas_batch_develop_rgba(
+            mosaics, pp, wbs, cms, **kw))
+        for j in range(2):
+            single = np.asarray(pallas_develop_rgba(
+                mosaics[j], plist[j], wbs[j], cms[j], **kw))
+            assert np.array_equal(batch[j], single)
+        y, cbcr = pallas_batch_develop_rgba(
+            mosaics, pp, wbs, cms, output="ycbcr420", **kw)
+        want = jax.jit(rgba_words_to_ycbcr420)(batch)
+        got = (np.asarray(y), np.asarray(cbcr)[:, :, 0::2],
+               np.asarray(cbcr)[:, :, 1::2])
+        for gpl, tpl, name in zip(got, want, ("y", "cb", "cr")):
+            diff = np.abs(gpl.astype(int) - np.asarray(tpl).astype(int))
+            assert diff.max() <= 1, name
+
 
 class TestYCbCr420Output:
     """In-kernel JPEG planes (output='ycbcr420'): Y + NV12-interleaved
