@@ -228,6 +228,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh-rows", type=int, default=0,
                    help="shard each image's rows over this many chips "
                         "(0 = no mesh, single device)")
+    p.add_argument("--auto", action="store_true",
+                   help="per-image auto exposure + white balance "
+                        "measured on device before export (applied on "
+                        "top of stored edits / CLI sliders; costs one "
+                        "extra decode per image)")
+    p.add_argument("--auto-levels", action="store_true",
+                   help="with --auto: also percentile auto-levels")
+    p.add_argument("--auto-contrast", action="store_true",
+                   help="with --auto: also IQR auto-contrast")
+    p.add_argument("--auto-tone", action="store_true",
+                   help="with --auto: also scene-aware "
+                        "shadows/highlights")
     p.add_argument("--num-hosts", type=int, default=1,
                    help="multi-host export: total process count (run "
                         "one process per host with distinct --host-id)")
@@ -703,6 +715,37 @@ def cmd_export(args) -> int:
         from raweditor_tpu.parallel import batch_row_mesh
 
         mesh = batch_row_mesh(row=args.mesh_rows)
+    auto_extras = [n for n in ("auto_levels", "auto_contrast",
+                               "auto_tone") if getattr(args, n, False)]
+    if getattr(args, "auto", False) or auto_extras:
+        # Per-image auto adjustments measured on device at preview
+        # resolution, applied on top of each job's params (stored edits
+        # or CLI overrides — same composition as the `auto`
+        # subcommand). This is a separate measurement pass, so each
+        # image is decoded once extra; decode errors are left for the
+        # export's per-image quarantine to report.
+        import dataclasses as _dc
+
+        from raweditor_tpu.pipeline.auto import suggest_auto
+        from raweditor_tpu.pipeline.engine import DevelopEngine
+        from raweditor_tpu.utils.logging import get_logger
+
+        _log = get_logger("raweditor_tpu.cli")
+        adjusted = []
+        for j in jobs:
+            try:
+                eng = DevelopEngine.open(j.raw_path)
+                j = _dc.replace(j, params=suggest_auto(
+                    eng, j.params,
+                    include_levels="auto_levels" in auto_extras,
+                    include_contrast="auto_contrast" in auto_extras,
+                    include_tone="auto_tone" in auto_extras,
+                ))
+            except Exception as e:
+                _log.info("auto pass skipped for %s (%s: %s)",
+                          j.raw_path, type(e).__name__, str(e)[:120])
+            adjusted.append(j)
+        jobs = adjusted
     report = run_batch_export(
         jobs, mesh=mesh, batch_size=args.batch_size,
         decode_threads=args.decode_threads, quality=args.quality,

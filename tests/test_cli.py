@@ -141,6 +141,31 @@ def test_export_failure_exit_code(tmp_path, capsys):
     assert json.loads(out)["failed"] == 1
 
 
+def test_export_auto_brightens_dark_image(tmp_path, capsys, rng):
+    """export --auto: the per-image measurement pass must lift a dark
+    scene (auto-exposure targets the highlight percentile); composition
+    matches the `auto` subcommand's suggest_auto-on-top-of-params."""
+    import numpy as np
+    from PIL import Image
+
+    from raweditor_tpu.raw.synth import write_synthetic_raw
+
+    dark = tmp_path / "dark.nef"
+    write_synthetic_raw(
+        dark, rng.integers(0, 300, size=(48, 64), dtype=np.uint16),
+        compression="nikon")
+    code, _ = run(capsys, "export", "-o", tmp_path / "plain",
+                  "--files", dark, "--decode-threads", "1")
+    assert code == 0
+    code, _ = run(capsys, "export", "-o", tmp_path / "auto",
+                  "--files", dark, "--decode-threads", "1",
+                  "--auto", "--auto-levels")
+    assert code == 0
+    plain = np.asarray(Image.open(tmp_path / "plain" / "dark.jpg"))
+    boosted = np.asarray(Image.open(tmp_path / "auto" / "dark.jpg"))
+    assert boosted.mean() > plain.mean() + 10
+
+
 def test_histogram_ascii(tmp_path, capsys, photos):
     code, out = run(capsys, "histogram", photos / "s0.nef", "--ascii")
     assert code == 0
