@@ -87,6 +87,17 @@ def _grad_block_height(h: int, bh: int, cap: int = 128) -> int:
     return bh
 
 
+def _roll_friendly_divisor(h: int, cap: int, side: int) -> int:
+    """Largest valid grad block height whose (bh+8)-row band is a
+    multiple of the CFA period ``side`` — the precondition for the
+    generic grad kernel's roll-based mask fast path. 0 when none."""
+    top = min(cap, h - 16)
+    for d in range(top - top % 8, 7, -8):
+        if h % d == 0 and (d + 8) % side == 0:
+            return d
+    return 0
+
+
 def _fold_scalars(params: EditParams, wb, cam_matrix, white_level,
                   black_level, matrix_transpose: bool):
     """Pack the whole edit stack into (24,) f32 of folded constants."""
@@ -528,14 +539,38 @@ def _demosaic_grad_generic_window(v, off, i, bh, w, pattern, true_h,
     at_r = mask(0, 0, 0)
     at_b = mask(2, 0, 0)
 
+    band = gw.shape[0]
+    if band % side == 0 and w % side == 0:
+        # Fast masks: when BOTH band dims are multiples of the pattern
+        # period, a circular roll of the base site mask is exactly its
+        # periodic shift (the wrapped rows/cols land on the same
+        # parity), so each tap mask costs ≤2 rolls of an f32 0/1 plane
+        # instead of an 11-op indicator select — the launchers pick
+        # roll-qualifying block heights and pad the width to
+        # lcm(128, side) to hit this path (~25% of the kernel at
+        # 24 MP). Multiplying by the 0/1 plane equals the masked
+        # select (and IS the XLA path's padded-value × mask form).
+        basef = {c: jnp.where(mask(c, 0, 0), _F(1.0), _F(0.0))
+                 for c in (0, g_chan, 2)}
+
+        def mask_mul(chan, dy, dx, tap):
+            m = basef[chan]
+            if dy:
+                m = pltpu.roll(m, (-dy) % band, axis=0)
+            if dx:
+                m = pltpu.roll(m, (-dx) % w, axis=1)
+            return tap * m
+    else:
+        def mask_mul(chan, dy, dx, tap):
+            return jnp.where(mask(chan, dy, dx), tap, _F(0.0))
+
     # --- G: directional normalized 1-D convs, inverse-gradient blend --
     u, d, l, r = up(v), dn(v), lf(v), rt(v)
-    gh_num = ((jnp.where(mask(g_chan, 0, -1), l, _F(0.0))
-               + jnp.where(at_g, v, _F(0.0)) * 2.0)
-              + jnp.where(mask(g_chan, 0, 1), r, _F(0.0)))
-    gv_num = ((jnp.where(mask(g_chan, -1, 0), u, _F(0.0))
-               + jnp.where(at_g, v, _F(0.0)) * 2.0)
-              + jnp.where(mask(g_chan, 1, 0), d, _F(0.0)))
+    vg = jnp.where(at_g, v, _F(0.0))
+    gh_num = ((mask_mul(g_chan, 0, -1, l) + vg * 2.0)
+              + mask_mul(g_chan, 0, 1, r))
+    gv_num = ((mask_mul(g_chan, -1, 0, u) + vg * 2.0)
+              + mask_mul(g_chan, 1, 0, d))
     den_h = tile_consts(_periodic_den_1d(grid, g_chan, 1, 1), 0, -1)
     den_v = tile_consts(_periodic_den_1d(grid, g_chan, 1, 0), -1, 0)
     gh = gh_num / den_h
@@ -561,10 +596,9 @@ def _demosaic_grad_generic_window(v, off, i, bh, w, pattern, true_h,
         else:
             dtaps = (du, diff, dd)
         for chan in (0, 2):
-            colsum = ((jnp.where(mask(chan, -1, dx), dtaps[0], _F(0.0))
-                       + jnp.where(mask(chan, 0, dx), dtaps[1],
-                                   _F(0.0)) * 2.0)
-                      + jnp.where(mask(chan, 1, dx), dtaps[2], _F(0.0)))
+            colsum = ((mask_mul(chan, -1, dx, dtaps[0])
+                       + mask_mul(chan, 0, dx, dtaps[1]) * 2.0)
+                      + mask_mul(chan, 1, dx, dtaps[2]))
             term = colsum * 2.0 if dx == 0 else colsum
             num[chan] = term if num[chan] is None else num[chan] + term
     den_r = tile_consts(_periodic_den_2d(grid, 0, 1), -1, -1)
@@ -1006,6 +1040,12 @@ def pallas_batch_develop_rgba(
     # bh=64 fits and measured fastest (8.0 ms vs 9.6 at bh=32 @24 MP).
     bh_cap = 64 if (pattern is not None and demosaic == "grad") else 128
     bh = block_h or _largest_even_divisor(h, bh_cap)
+    if block_h is None and pattern is not None and demosaic == "grad":
+        # Prefer a band that is a multiple of the CFA period: the
+        # kernel's mask fast path (rolls instead of indicator selects)
+        # needs it, and it outweighs a slightly larger natural block.
+        side = int(len(pattern) ** 0.5)
+        bh = _roll_friendly_divisor(h, bh_cap, side) or bh
     if block_h is None and demosaic == "grad":
         bh = _grad_block_height(h, bh, bh_cap)
     if block_h is None and bh == 0:
@@ -1027,7 +1067,13 @@ def pallas_batch_develop_rgba(
             f"divides H, and leaves room for the halo window "
             f"(H >= block_h+16; got {bh}); use the XLA path for this shape"
         )
-    wp = -(-w // 128) * 128
+    wmult = 128
+    if pattern is not None and demosaic == "grad":
+        import math
+
+        side = int(len(pattern) ** 0.5)
+        wmult = 128 * side // math.gcd(128, side)
+    wp = -(-w // wmult) * wmult
     if wp != w:  # see pallas_develop_rgba: lane alignment via edge pad
         out = pallas_batch_develop_rgba(
             jnp.pad(mosaics, ((0, 0), (0, 0), (0, wp - w)), mode="edge"),
@@ -1114,6 +1160,12 @@ def pallas_develop_rgba(
     # bh=64 fits and measured fastest (8.0 ms vs 9.6 at bh=32 @24 MP).
     bh_cap = 64 if (pattern is not None and demosaic == "grad") else 128
     bh = block_h or _largest_even_divisor(h, bh_cap)
+    if block_h is None and pattern is not None and demosaic == "grad":
+        # Prefer a band that is a multiple of the CFA period: the
+        # kernel's mask fast path (rolls instead of indicator selects)
+        # needs it, and it outweighs a slightly larger natural block.
+        side = int(len(pattern) ** 0.5)
+        bh = _roll_friendly_divisor(h, bh_cap, side) or bh
     if block_h is None and demosaic == "grad":
         bh = _grad_block_height(h, bh, bh_cap)
     # Heights with no multiple-of-8 divisor at all (e.g. 502 = 2·251)
@@ -1141,7 +1193,15 @@ def pallas_develop_rgba(
     # Mosaic requires lane-dimension slices to be 128-aligned; widths
     # that aren't are edge-padded up front (the clone column makes the
     # lane rolls reproduce clamp-to-edge exactly) and sliced after.
-    wp = -(-w // 128) * 128
+    # Pattern-grad pads to lcm(128, side) so the kernel's roll-based
+    # mask fast path applies (wrapped columns keep their parity).
+    wmult = 128
+    if pattern is not None and demosaic == "grad":
+        import math
+
+        side = int(len(pattern) ** 0.5)
+        wmult = 128 * side // math.gcd(128, side)
+    wp = -(-w // wmult) * wmult
     if wp != w:
         out = pallas_develop_rgba(
             jnp.pad(mosaic, ((0, 0), (0, wp - w)), mode="edge"),
