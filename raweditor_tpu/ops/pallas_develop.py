@@ -87,13 +87,15 @@ def _grad_block_height(h: int, bh: int, cap: int = 128) -> int:
     return bh
 
 
-def _roll_friendly_divisor(h: int, cap: int, side: int) -> int:
-    """Largest valid grad block height whose (bh+8)-row band is a
-    multiple of the CFA period ``side`` — the precondition for the
-    generic grad kernel's roll-based mask fast path. 0 when none."""
+def _roll_friendly_divisor(h: int, cap: int, side: int,
+                           band_pad: int = 8) -> int:
+    """Largest valid block height whose stage-array row count
+    (bh + band_pad — the bh+8 band for grad, bh itself for smooth) is
+    a multiple of the CFA period ``side`` — the precondition for the
+    generic kernels' roll-based mask fast path. 0 when none."""
     top = min(cap, h - 16)
     for d in range(top - top % 8, 7, -8):
-        if h % d == 0 and (d + 8) % side == 0:
+        if h % d == 0 and (d + band_pad) % side == 0:
             return d
     return 0
 
@@ -488,12 +490,32 @@ def _demosaic_smooth_generic(grows, w, pattern, center, up, down, left,
             (0, -1): left, (0, 0): center, (0, 1): right,
             (1, -1): dl, (1, 0): down, (1, 1): dr}
 
+    if bh % side == 0 and w % side == 0:
+        # Roll-based masks (see _demosaic_grad_generic_window): when
+        # both array dims are multiples of the CFA period, a circular
+        # roll of the base site mask IS its periodic shift.
+        basef = [jnp.where(mask_at(c, 0, 0), _F(1.0), _F(0.0))
+                 for c in range(3)]
+
+        def mv_fn(chan):
+            def mv(dy, dx):
+                m = basef[chan]
+                if dy:
+                    m = pltpu.roll(m, (-dy) % bh, axis=0)
+                if dx:
+                    m = pltpu.roll(m, (-dx) % w, axis=1)
+                return taps[(dy, dx)] * m
+            return mv
+    else:
+        def mv_fn(chan):
+            def mv(dy, dx):
+                return jnp.where(mask_at(chan, dy, dx), taps[(dy, dx)],
+                                 _F(0.0))
+            return mv
+
     planes = []
     for chan in range(3):
-        def mv(dy, dx):
-            return jnp.where(mask_at(chan, dy, dx), taps[(dy, dx)],
-                             _F(0.0))
-
+        mv = mv_fn(chan)
         colsum = {dx: (mv(-1, dx) + mv(0, dx) * 2.0) + mv(1, dx)
                   for dx in (-1, 0, 1)}
         num = (colsum[-1] + colsum[0] * 2.0) + colsum[1]
@@ -1044,6 +1066,10 @@ def pallas_batch_develop_rgba(
         # Prefer a band that is a multiple of the CFA period: the
         # kernel's mask fast path (rolls instead of indicator selects)
         # needs it, and it outweighs a slightly larger natural block.
+        # (Smooth deliberately does NOT take this path: common heights
+        # like 4016 admit no qualifying divisor, and paying the width
+        # pad without the rolls measured slower — 6.73 vs 6.05 ms;
+        # smooth routes to XLA anyway.)
         side = int(len(pattern) ** 0.5)
         bh = _roll_friendly_divisor(h, bh_cap, side) or bh
     if block_h is None and demosaic == "grad":
@@ -1164,6 +1190,10 @@ def pallas_develop_rgba(
         # Prefer a band that is a multiple of the CFA period: the
         # kernel's mask fast path (rolls instead of indicator selects)
         # needs it, and it outweighs a slightly larger natural block.
+        # (Smooth deliberately does NOT take this path: common heights
+        # like 4016 admit no qualifying divisor, and paying the width
+        # pad without the rolls measured slower — 6.73 vs 6.05 ms;
+        # smooth routes to XLA anyway.)
         side = int(len(pattern) ** 0.5)
         bh = _roll_friendly_divisor(h, bh_cap, side) or bh
     if block_h is None and demosaic == "grad":
