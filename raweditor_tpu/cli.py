@@ -717,35 +717,52 @@ def cmd_export(args) -> int:
         mesh = batch_row_mesh(row=args.mesh_rows)
     auto_extras = [n for n in ("auto_levels", "auto_contrast",
                                "auto_tone") if getattr(args, n, False)]
-    if getattr(args, "auto", False) or auto_extras:
+    if auto_extras and not getattr(args, "auto", False):
+        raise SystemExit(
+            f"--{auto_extras[0].replace('_', '-')} refines the --auto "
+            "pass and needs it; pass --auto as well")
+    if getattr(args, "auto", False):
         # Per-image auto adjustments measured on device at preview
         # resolution, applied on top of each job's params (stored edits
         # or CLI overrides — same composition as the `auto`
         # subcommand). This is a separate measurement pass, so each
-        # image is decoded once extra; decode errors are left for the
-        # export's per-image quarantine to report.
+        # image is decoded once extra; the per-image decodes are
+        # independent, so they run on the same thread width as the
+        # export proper. Decode errors are left for the export's
+        # per-image quarantine to report; anything else is a real
+        # problem (tunnel/compile/suggest bug) and must be visible at
+        # the default log level — the image still exports, un-adjusted.
         import dataclasses as _dc
+        from concurrent.futures import ThreadPoolExecutor as _TPE
 
         from raweditor_tpu.pipeline.auto import suggest_auto
         from raweditor_tpu.pipeline.engine import DevelopEngine
+        from raweditor_tpu.raw.decode import RawDecodeError
         from raweditor_tpu.utils.logging import get_logger
 
         _log = get_logger("raweditor_tpu.cli")
-        adjusted = []
-        for j in jobs:
+
+        def _measure(j):
             try:
                 eng = DevelopEngine.open(j.raw_path)
-                j = _dc.replace(j, params=suggest_auto(
+                return _dc.replace(j, params=suggest_auto(
                     eng, j.params,
                     include_levels="auto_levels" in auto_extras,
                     include_contrast="auto_contrast" in auto_extras,
                     include_tone="auto_tone" in auto_extras,
                 ))
-            except Exception as e:
+            except (OSError, RawDecodeError) as e:
                 _log.info("auto pass skipped for %s (%s: %s)",
                           j.raw_path, type(e).__name__, str(e)[:120])
-            adjusted.append(j)
-        jobs = adjusted
+            except Exception as e:
+                _log.warning(
+                    "auto pass failed for %s — exporting without auto "
+                    "adjustments (%s: %s)",
+                    j.raw_path, type(e).__name__, str(e)[:120])
+            return j
+
+        with _TPE(max_workers=max(1, args.decode_threads)) as pool:
+            jobs = list(pool.map(_measure, jobs))
     report = run_batch_export(
         jobs, mesh=mesh, batch_size=args.batch_size,
         decode_threads=args.decode_threads, quality=args.quality,

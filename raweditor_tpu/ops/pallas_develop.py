@@ -100,6 +100,44 @@ def _roll_friendly_divisor(h: int, cap: int, side: int,
     return 0
 
 
+def _block_and_wmult(h: int, block_h, pattern, demosaic):
+    """Shared launcher policy for (block height, width-pad multiple).
+
+    Block height: the generic-CFA grad kernel's live set (stage arrays
+    + parity indicators + per-tap masks) spills VMEM registers at
+    production widths — bh=128 needs ~163 MB against the 128 MB
+    budget, while bh=64 fits and measured fastest (8.0 ms vs 9.6 at
+    bh=32 @24 MP). For pattern-grad, prefer a band that is a multiple
+    of the CFA period: the kernel's mask fast path (rolls instead of
+    indicator selects) needs it, and it outweighs a slightly larger
+    natural block. (Smooth deliberately does NOT take this path:
+    common heights like 4016 admit no qualifying divisor, and paying
+    the width pad without the rolls measured slower — 6.73 vs
+    6.05 ms; smooth routes to XLA anyway.)
+
+    Width: pattern-grad pads to lcm(128, side) so wrapped columns keep
+    their CFA parity — but ONLY when the chosen block actually
+    satisfies the kernel's roll precondition ((bh+8) % side == 0);
+    padding without the rolls is a pure loss (same 6.73-vs-6.05
+    measurement), e.g. with an explicit block_h that doesn't qualify.
+    """
+    bh_cap = 64 if (pattern is not None and demosaic == "grad") else 128
+    bh = block_h or _largest_even_divisor(h, bh_cap)
+    if block_h is None and pattern is not None and demosaic == "grad":
+        side = int(len(pattern) ** 0.5)
+        bh = _roll_friendly_divisor(h, bh_cap, side) or bh
+    if block_h is None and demosaic == "grad":
+        bh = _grad_block_height(h, bh, bh_cap)
+    wmult = 128
+    if pattern is not None and demosaic == "grad" and bh:
+        import math
+
+        side = int(len(pattern) ** 0.5)
+        if (bh + 8) % side == 0:
+            wmult = 128 * side // math.gcd(128, side)
+    return bh, wmult
+
+
 def _fold_scalars(params: EditParams, wb, cam_matrix, white_level,
                   black_level, matrix_transpose: bool):
     """Pack the whole edit stack into (24,) f32 of folded constants."""
@@ -1056,24 +1094,7 @@ def pallas_batch_develop_rgba(
     if pattern is None and demosaic == "smooth":
         raise ValueError("'smooth' is the generic-CFA tier; Bayer uses "
                          "bilinear/malvar/grad")
-    # The generic-CFA grad kernel's live set (stage arrays + parity
-    # indicators + per-tap masks) spills VMEM registers at production
-    # widths — bh=128 needs ~163 MB against the 128 MB budget, while
-    # bh=64 fits and measured fastest (8.0 ms vs 9.6 at bh=32 @24 MP).
-    bh_cap = 64 if (pattern is not None and demosaic == "grad") else 128
-    bh = block_h or _largest_even_divisor(h, bh_cap)
-    if block_h is None and pattern is not None and demosaic == "grad":
-        # Prefer a band that is a multiple of the CFA period: the
-        # kernel's mask fast path (rolls instead of indicator selects)
-        # needs it, and it outweighs a slightly larger natural block.
-        # (Smooth deliberately does NOT take this path: common heights
-        # like 4016 admit no qualifying divisor, and paying the width
-        # pad without the rolls measured slower — 6.73 vs 6.05 ms;
-        # smooth routes to XLA anyway.)
-        side = int(len(pattern) ** 0.5)
-        bh = _roll_friendly_divisor(h, bh_cap, side) or bh
-    if block_h is None and demosaic == "grad":
-        bh = _grad_block_height(h, bh, bh_cap)
+    bh, wmult = _block_and_wmult(h, block_h, pattern, demosaic)
     if block_h is None and bh == 0:
         hp = -(-h // 128) * 128  # see pallas_develop_rgba: no divisor
         if hp != h:
@@ -1093,12 +1114,6 @@ def pallas_batch_develop_rgba(
             f"divides H, and leaves room for the halo window "
             f"(H >= block_h+16; got {bh}); use the XLA path for this shape"
         )
-    wmult = 128
-    if pattern is not None and demosaic == "grad":
-        import math
-
-        side = int(len(pattern) ** 0.5)
-        wmult = 128 * side // math.gcd(128, side)
     wp = -(-w // wmult) * wmult
     if wp != w:  # see pallas_develop_rgba: lane alignment via edge pad
         out = pallas_batch_develop_rgba(
@@ -1180,24 +1195,7 @@ def pallas_develop_rgba(
     if pattern is None and demosaic == "smooth":
         raise ValueError("'smooth' is the generic-CFA tier; Bayer uses "
                          "bilinear/malvar/grad")
-    # The generic-CFA grad kernel's live set (stage arrays + parity
-    # indicators + per-tap masks) spills VMEM registers at production
-    # widths — bh=128 needs ~163 MB against the 128 MB budget, while
-    # bh=64 fits and measured fastest (8.0 ms vs 9.6 at bh=32 @24 MP).
-    bh_cap = 64 if (pattern is not None and demosaic == "grad") else 128
-    bh = block_h or _largest_even_divisor(h, bh_cap)
-    if block_h is None and pattern is not None and demosaic == "grad":
-        # Prefer a band that is a multiple of the CFA period: the
-        # kernel's mask fast path (rolls instead of indicator selects)
-        # needs it, and it outweighs a slightly larger natural block.
-        # (Smooth deliberately does NOT take this path: common heights
-        # like 4016 admit no qualifying divisor, and paying the width
-        # pad without the rolls measured slower — 6.73 vs 6.05 ms;
-        # smooth routes to XLA anyway.)
-        side = int(len(pattern) ** 0.5)
-        bh = _roll_friendly_divisor(h, bh_cap, side) or bh
-    if block_h is None and demosaic == "grad":
-        bh = _grad_block_height(h, bh, bh_cap)
+    bh, wmult = _block_and_wmult(h, block_h, pattern, demosaic)
     # Heights with no multiple-of-8 divisor at all (e.g. 502 = 2·251)
     # are edge-padded to the next multiple of 128 and sliced after —
     # the clone rows reproduce clamp-to-edge. (Measured: padding heights
@@ -1223,14 +1221,8 @@ def pallas_develop_rgba(
     # Mosaic requires lane-dimension slices to be 128-aligned; widths
     # that aren't are edge-padded up front (the clone column makes the
     # lane rolls reproduce clamp-to-edge exactly) and sliced after.
-    # Pattern-grad pads to lcm(128, side) so the kernel's roll-based
-    # mask fast path applies (wrapped columns keep their parity).
-    wmult = 128
-    if pattern is not None and demosaic == "grad":
-        import math
-
-        side = int(len(pattern) ** 0.5)
-        wmult = 128 * side // math.gcd(128, side)
+    # Pattern-grad pads to lcm(128, side) when the roll fast path
+    # applies (wmult from _block_and_wmult).
     wp = -(-w // wmult) * wmult
     if wp != w:
         out = pallas_develop_rgba(

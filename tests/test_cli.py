@@ -166,6 +166,17 @@ def test_export_auto_brightens_dark_image(tmp_path, capsys, rng):
     assert boosted.mean() > plain.mean() + 10
 
 
+def test_export_auto_extras_require_auto(tmp_path, capsys, photos):
+    """--auto-levels/-contrast/-tone refine the --auto pass; alone they
+    must error rather than silently enabling full auto (help text says
+    'with --auto')."""
+    import pytest
+
+    with pytest.raises(SystemExit, match="--auto"):
+        run(capsys, "export", "-o", tmp_path / "x",
+            "--files", photos / "s0.nef", "--auto-levels")
+
+
 def test_histogram_ascii(tmp_path, capsys, photos):
     code, out = run(capsys, "histogram", photos / "s0.nef", "--ascii")
     assert code == 0

@@ -258,7 +258,10 @@ def test_xtrans_smooth_pattern_matches_xla(rng):
     from raweditor_tpu.ops.cfa_generic import XTRANS_PATTERN
     from raweditor_tpu.ops.develop import develop_xtrans
 
-    for shape in ((40, 48), (48, 132)):
+    # (48, 384): bh=24 and padded w=384 are both multiples of 6, so
+    # this shape exercises the roll-based mask fast path (the first
+    # two shapes only reach the indicator-select branch).
+    for shape in ((40, 48), (48, 132), (48, 384)):
         mosaic = rng.integers(0, 4096, size=shape, dtype=np.uint16)
         want = develop_xtrans(mosaic, FULL, WB, REAL_MATRIX, rgba=True,
                               demosaic_method="smooth", transfer="srgb",
@@ -300,6 +303,27 @@ def test_xtrans_pattern_batched(rng):
             mosaics[i], plist[i], wbs[i], cms[i], matrix_transpose=False,
             interpret=True, pattern=XTRANS_PATTERN))
         assert (out[i] == want).all(), i
+
+
+def test_block_and_wmult_roll_gating():
+    """The lcm(128, side) width pad is only paid when the chosen block
+    height satisfies the grad roll-mask precondition ((bh+8) % side
+    == 0); a non-qualifying explicit block_h must keep the plain
+    128-lane pad (padding without the rolls measured slower)."""
+    from raweditor_tpu.ops.cfa_generic import XTRANS_PATTERN
+    from raweditor_tpu.ops.pallas_develop import _block_and_wmult
+
+    # Auto selection at a production-like height picks a roll-friendly
+    # block (bh+8 ≡ 0 mod 6) and the lcm pad.
+    bh, wmult = _block_and_wmult(4032, None, XTRANS_PATTERN, "grad")
+    assert (bh + 8) % 6 == 0 and wmult == 384
+    # Explicit bh=8 (the kernel tests' lane): (8+8) % 6 != 0 — select
+    # path, so no lcm pad.
+    bh, wmult = _block_and_wmult(48, 8, XTRANS_PATTERN, "grad")
+    assert bh == 8 and wmult == 128
+    # Bayer and non-grad tiers never lcm-pad.
+    assert _block_and_wmult(48, None, None, "malvar")[1] == 128
+    assert _block_and_wmult(48, None, XTRANS_PATTERN, "smooth")[1] == 128
 
 
 def test_unaligned_width_edge_pad(rng):
