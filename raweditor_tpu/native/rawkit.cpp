@@ -3460,7 +3460,21 @@ static PyObject* py_huffman_pack(PyObject*, PyObject* args) {
       reinterpret_cast<const char*>(out.data()), out.size());
 }
 
+static PyObject* py_jpeg_simd(PyObject*, PyObject*) {
+  // Introspection for the CLI `doctor` self-check: which JPEG encode
+  // path the current host/env dispatch selects (the two paths are
+  // byte-identical; this only reports speed class).
+#ifdef RAWKIT_JPEG_AVX2
+  return PyUnicode_FromString(rawkit_has_avx2() ? "avx2" : "scalar");
+#else
+  return PyUnicode_FromString("scalar");
+#endif
+}
+
 static PyMethodDef RawkitMethods[] = {
+    {"jpeg_simd", py_jpeg_simd, METH_NOARGS,
+     "jpeg_simd() -> 'avx2' | 'scalar' (the JPEG encode path the "
+     "current host/env dispatch selects)"},
     {"scan_jpeg_spans", py_scan_jpeg_spans, METH_VARARGS,
      "scan_jpeg_spans(data) -> [(start, end), ...]"},
     {"unpack_bits", py_unpack_bits, METH_VARARGS,

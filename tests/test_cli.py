@@ -400,3 +400,41 @@ def test_histogram_accepts_catalog_id(tmp_path, rng, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip())
     assert len(out["r"]) == 256
+
+
+def test_doctor_healthy(tmp_path, capsys, photos):
+    """doctor: JSON report with every core check; native + backend ok
+    on the test box; xlat warn (no tables here) keeps exit code 0."""
+    db = str(tmp_path / "cat.db")
+    main(["--db", db, "import", str(photos), "--no-tiers"])
+    capsys.readouterr()
+    code, out = run(capsys, "--db", db, "doctor", "--probe")
+    assert code == 0
+    rep = json.loads(out.strip())
+    by = {c["check"]: c for c in rep["checks"]}
+    assert by["native"]["status"] == "ok"
+    assert by["jpeg_simd"]["status"] == "ok"
+    assert by["backend"]["status"] == "ok"
+    assert by["catalog"]["status"] == "ok" and "2 images" in \
+        by["catalog"]["detail"]
+    assert by["nikon_xlat"]["status"] == "warn"
+    assert "round trip" in by["probe"]["detail"]
+    assert rep["status"] == "warn"
+
+
+def test_doctor_stale_native_fails(capsys, monkeypatch):
+    """A loaded extension missing current bindings must be a hard fail
+    (exit 1) — the committed-.so-went-stale case."""
+    class _Stale:
+        scan_jpeg_spans = staticmethod(lambda b: [])
+
+    import raweditor_tpu.cli as cli_mod
+    import raweditor_tpu.native as nat
+
+    monkeypatch.setattr(nat, "get_rawkit", lambda: _Stale())
+    code, out = run(capsys, "doctor")
+    rep = json.loads(out.strip())
+    by = {c["check"]: c for c in rep["checks"]}
+    assert code == 1 and rep["status"] == "fail"
+    assert by["native"]["status"] == "fail"
+    assert "decode_ljpeg" in by["native"]["detail"]

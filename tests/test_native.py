@@ -130,7 +130,7 @@ def test_native_binary_current():
     for fn in ("scan_jpeg_spans", "unpack_bits", "unpack_bits2",
                "decode_ljpeg", "decode_nikon", "decode_arw2",
                "huffman_pack", "decode_canon_crw", "decode_srw1",
-               "decode_srw3", "decode_radc"):
+               "decode_srw3", "decode_radc", "jpeg_simd"):
         assert hasattr(rk, fn), f"stale _rawkit binary: missing {fn}"
 
 
