@@ -617,11 +617,16 @@ def cmd_develop(args) -> int:
             args.output, quality=args.quality
         )
     else:
-        eng.export(args.output, params, quality=args.quality,
-                   jpeg_optimize=(getattr(args, "optimize_jpeg", False)
-                                  or cfg.jpeg_optimize),
-                   chroma=getattr(args, "chroma", "420"),
-                   jpeg_restart_rows=getattr(args, "jpeg_restart", 0))
+        try:
+            eng.export(args.output, params, quality=args.quality,
+                       jpeg_optimize=(getattr(args, "optimize_jpeg", False)
+                                      or cfg.jpeg_optimize),
+                       chroma=getattr(args, "chroma", "420"),
+                       jpeg_restart_rows=getattr(args, "jpeg_restart", 0))
+        except ValueError as e:
+            # e.g. an unsupported output extension — a usage error, not
+            # a traceback.
+            raise SystemExit(f"develop: {e}")
     print(args.output)
     return 0
 

@@ -171,6 +171,34 @@ def batch_develop_xtrans_rgba(mosaics, params: EditParams, wb,
         output)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("matrix_transpose", "transfer", "output")
+)
+def batch_develop_linear_rgba(frames, params: EditParams, wb,
+                              cam_matrices, white_levels=None,
+                              black_levels=None,
+                              matrix_transpose: bool = False,
+                              transfer: str = "gamma22",
+                              output: str = "rgba_words"):
+    """Batch develop for already-demosaiced LinearRaw frames
+    ((N, H, W, 3) u16, DNG photometric 34892) → packed RGBA words.
+    ``output`` as in batch_develop_rgba: the JPEG-plane conversion
+    fuses into the same program instead of re-reading the RGBA batch
+    through HBM as a separate jit pass."""
+    from raweditor_tpu.ops.develop import develop_linear
+
+    n = frames.shape[0]
+    white_levels, black_levels = _default_levels(
+        n, white_levels, black_levels)
+    return _maybe_ycbcr(jax.vmap(
+        lambda m, p, w, c, wl, bl: develop_linear(
+            m, p, w, c, wl, bl, matrix_transpose=matrix_transpose,
+            rgba=True, transfer=transfer,
+        )
+    )(frames, params, wb, cam_matrices, white_levels, black_levels),
+        output)
+
+
 def _sharded_step(mosaics, params, wb, cms, whites, blacks, *, axis_name,
                   matrix_transpose, with_histogram, rgba=False,
                   cfa_phase=(0, 0), transfer="gamma22",

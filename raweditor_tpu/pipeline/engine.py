@@ -418,7 +418,8 @@ class DevelopEngine:
         if (self.use_pallas
                 and self.demosaic_method in ("nearest", "bilinear",
                                              "malvar", "grad")
-                and self.transfer in PALLAS_GAMMA_BY_TRANSFER):
+                and self.transfer in PALLAS_GAMMA_BY_TRANSFER
+                and not getattr(self, "_pallas_failed", False)):
             from raweditor_tpu.ops.pallas_develop import pallas_develop_rgba
 
             try:
@@ -431,8 +432,17 @@ class DevelopEngine:
                     gamma=pallas_gamma_for(self.transfer),
                     demosaic=self.demosaic_method,
                 )
-            except ValueError:
-                pass  # unsupported shape → XLA path
+            except Exception as e:
+                # Unsupported shape OR a non-ValueError kernel compile
+                # failure (e.g. VMEM overflow on very wide sensors) →
+                # XLA path. Memoized like the X-Trans lane above: a
+                # failed Mosaic compile can take minutes over the
+                # tunnel — never retry it per slider tick.
+                self._pallas_failed = True
+                logger.info(
+                    "pallas develop kernel unavailable for this image "
+                    "(%s: %s); using the XLA lane",
+                    type(e).__name__, str(e)[:120])
         return develop_rgba(
             self.mosaic, params, self.wb, self.cam_matrix,
             white_level=self.white_level, black_level=self.black_level,
@@ -461,6 +471,13 @@ class DevelopEngine:
 
         path = os.fspath(path)
         ext = os.path.splitext(path)[1].lower()
+        if ext not in (".tif", ".tiff", ".jpg", ".jpeg", ".png"):
+            # Same contract as the batch exporter's _encode_one:
+            # writing JPEG bytes under an unrecognized name (.webp, no
+            # extension) would report success with a mislabeled file.
+            raise ValueError(
+                f"unsupported export extension {ext!r} "
+                "(use .jpg/.jpeg/.png/.tif/.tiff)")
         if ext in (".tif", ".tiff"):
             return self.export_tiff16(path, params, long_edge=long_edge)
         if ext in (".jpg", ".jpeg") and (
@@ -497,7 +514,7 @@ class DevelopEngine:
                 img.save(tmp, format="PNG", exif=exif)
             else:
                 # The flags survive this PIL fallback (auto-orient, odd
-                # dims, missing extension): 4:4:4, optimize, and restart
+                # dims, native ext missing): 4:4:4, optimize, and restart
                 # markers (PIL's restart_marker_rows is the same MCU-row
                 # unit as the native encoder's restart_rows).
                 kw = {"subsampling": 0} if chroma == "444" else {}

@@ -451,6 +451,12 @@ def _encode_one_tiff16(out_path: str, rgb_u16: np.ndarray,
                        make: str = "", model: str = "",
                        orientation: int = 1) -> None:
     """Encode an (H, W, 3) u16 frame as 16-bit TIFF, atomically."""
+    ext = os.path.splitext(out_path)[1].lower()
+    if ext not in (".tif", ".tiff"):
+        # Same contract as _encode_one: TIFF bytes under a .jpg/.png
+        # name would report success and poison skip_existing reruns.
+        raise ValueError(f"unsupported 16-bit export extension {ext!r} "
+                         "(bits=16 writes .tif/.tiff)")
     from raweditor_tpu.raw.exif import SOFTWARE
     from raweditor_tpu.raw.tiff_out import write_tiff16
 
@@ -826,7 +832,9 @@ def run_batch_export(
                         )
                     )(mosaics, params, wbs, cms, whites, blacks)
             elif phase == "__linear__":
-                from raweditor_tpu.ops.develop import develop_linear
+                from raweditor_tpu.parallel.batch import (
+                    batch_develop_linear_rgba,
+                )
 
                 if mesh is not None:
                     # Data-parallel like the 16-bit lane: stage with
@@ -835,13 +843,15 @@ def run_batch_export(
                     # single-device under a mesh — code-review r3).
                     mosaics = jax.device_put(mosaics,
                                              batch_sharding(mesh))
-                out = jax.vmap(
-                    lambda m, p, w, c, wl, bl: develop_linear(
-                        m, p, w, c, wl, bl,
-                        matrix_transpose=matrix_transpose, rgba=True,
-                        transfer=transfer,
-                    )
-                )(mosaics, params, wbs, cms, whites, blacks)
+                # output=xla_output: JPEG planes fuse into the develop
+                # program like the Bayer/X-Trans lanes (the standalone
+                # pass re-read + re-wrote the RGBA batch through HBM —
+                # code-review r3).
+                out = batch_develop_linear_rgba(
+                    mosaics, params, wbs, cms, whites, blacks,
+                    matrix_transpose=matrix_transpose,
+                    transfer=transfer, output=xla_output,
+                )
             elif isinstance(phase, str):  # X-Trans bucket (pattern string)
                 from raweditor_tpu.parallel.batch import (
                     batch_develop_xtrans_rgba,

@@ -128,8 +128,23 @@ def generate_tiers(raw_path: str, image_id: int,
     if jpeg is not None:
         with Image.open(io.BytesIO(jpeg)) as img:
             img.load()
-            img = img.convert("RGB")
-            return _write_tiers(img, image_id, cache)
+            pimg = img.convert("RGB")
+        biggest = max(w for _, w in TIERS)
+        if not fallback_develop or pimg.width >= biggest:
+            return _write_tiers(pimg, image_id, cache)
+        # The embedded JPEG is smaller than the working tier — a grid
+        # thumb, not a preview. Upscaling it makes a blurry 1280 px
+        # cache entry; develop the sensor instead when that yields
+        # more real pixels (the engine preview caps at the working
+        # width). An undecodable sensor falls back to the small JPEG —
+        # a usable preview must never turn into a quarantine.
+        try:
+            dev = Image.fromarray(_develop_default(raw_path))
+        except Exception:
+            dev = None
+        if dev is not None and dev.width > pimg.width:
+            return _write_tiers(dev, image_id, cache)
+        return _write_tiers(pimg, image_id, cache)
     if not fallback_develop:
         raise ValueError(f"no embedded JPEG in {raw_path}")
     img = Image.fromarray(_develop_default(raw_path))

@@ -1069,7 +1069,12 @@ def extract_preview_jpeg(path_or_bytes) -> Optional[bytes]:
             ln = ifd.get_scalar(T.JPEG_INTERCHANGE_LEN)
             if off and ln and off + ln <= len(data):
                 cand = data[off : off + ln]
-                if best is None or len(cand) > len(best):
+                # SOI check like every other fast path here: corrupt
+                # tags pointing at in-bounds garbage must not suppress
+                # the marker-scan fallback (the tiers pipeline would
+                # mark the image 'failed' on the undecodable blob).
+                if cand[:2] == b"\xff\xd8" and (
+                        best is None or len(cand) > len(best)):
                     best = cand
             # Panasonic embeds the full preview as tag bytes.
             jfr = ifd.get(T.PANA_JPG_FROM_RAW)

@@ -1085,3 +1085,105 @@ def test_engine_export_long_edge(synth_file, tmp_path):
     assert res["ok"]
     with Image.open(tmp_path / "sess.jpg") as im:
         assert im.size == (30, 20)
+
+
+def test_engine_export_rejects_unknown_extension(synth_file, tmp_path):
+    """Same contract as the batch exporter's _encode_one: JPEG bytes
+    must not be written under an unrecognized name (code-review r3)."""
+    from raweditor_tpu.pipeline.engine import DevelopEngine
+
+    path, _ = synth_file
+    eng = DevelopEngine.open(str(path))
+    with pytest.raises(ValueError, match="extension"):
+        eng.export(tmp_path / "x.webp", EditParams())
+
+
+def test_export_16bit_wrong_extension_quarantined(tmp_path, rng):
+    """bits=16 with a .jpg out_path must fail the job (TIFF bytes under
+    a .jpg name would poison skip_existing reruns — code-review r3)."""
+    from raweditor_tpu.pipeline.export import ExportJob, run_batch_export
+
+    p = tmp_path / "w.dng"
+    write_synthetic_raw(
+        p, rng.integers(0, 4096, size=(16, 24), dtype=np.uint16))
+    rep = run_batch_export(
+        [ExportJob(raw_path=str(p), out_path=str(tmp_path / "w.jpg"))],
+        bits=16)
+    assert rep.succeeded == 0 and len(rep.failed) == 1
+    assert not (tmp_path / "w.jpg").exists()
+
+
+def test_engine_pallas_failure_memoized(synth_file, monkeypatch):
+    """A non-ValueError kernel failure (the VMEM-overflow class) must
+    fall back to the XLA lane AND not be retried on the next call — a
+    failed Mosaic compile can take minutes over the tunnel
+    (code-review r3; mirrors the X-Trans grad memo)."""
+    import raweditor_tpu.ops.pallas_develop as pd
+    from raweditor_tpu.pipeline.engine import DevelopEngine
+
+    path, _ = synth_file
+    eng = DevelopEngine.open(str(path), use_pallas=True)
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("simulated Mosaic VMEM overflow")
+
+    monkeypatch.setattr(pd, "pallas_develop_rgba", boom)
+    a = np.asarray(eng.full_rgba_device(EditParams()))
+    b = np.asarray(eng.full_rgba_device(EditParams()))
+    assert calls["n"] == 1
+    want = np.asarray(
+        DevelopEngine.open(str(path)).full_rgba_device(EditParams()))
+    assert (a == want).all() and (b == want).all()
+
+
+def test_tiers_prefer_develop_over_tiny_preview(tmp_path, rng):
+    """An embedded thumb smaller than the working tier must not be
+    upscaled into a blurry 1280 px cache entry when the sensor develop
+    yields more real pixels (code-review r3)."""
+    import io as _io
+
+    from PIL import Image as PILImage
+
+    red = PILImage.new("RGB", (64, 42), (220, 30, 30))
+    buf = _io.BytesIO()
+    red.save(buf, "JPEG", quality=90)
+    # Near-black wide sensor: the develop is dark, the thumb is red.
+    path = tmp_path / "thumbonly.nef"
+    write_synthetic_raw(path, np.zeros((40, 200), dtype=np.uint16),
+                        preview_jpeg=buf.getvalue())
+    _, _, working = generate_tiers(str(path), 9, cache_dir=tmp_path / "c")
+    with Image.open(working) as im:
+        assert im.width == 1280  # tier layout contract unchanged
+        arr = np.asarray(im.convert("RGB"))
+    assert arr[..., 0].mean() < 60, "working tier came from the thumb"
+    # Strict parity mode keeps the reference behavior (tier the JPEG).
+    _, _, working_p = generate_tiers(str(path), 10,
+                                     cache_dir=tmp_path / "cp",
+                                     fallback_develop=False)
+    with Image.open(working_p) as im:
+        arr_p = np.asarray(im.convert("RGB"))
+    assert arr_p[..., 0].mean() > 120
+
+
+def test_batch_develop_linear_planes_match_separate_pass(rng):
+    """The linear lane's fused ycbcr420 output equals the old separate
+    conversion pass bit-for-bit (code-review r3)."""
+    import jax
+
+    from raweditor_tpu.ops.jpeg import rgba_words_to_ycbcr420
+    from raweditor_tpu.parallel.batch import (batch_develop_linear_rgba,
+                                              pack_params)
+
+    frames = rng.integers(0, 4096, size=(2, 16, 24, 3), dtype=np.uint16)
+    params = pack_params([EditParams(exposure=0.2), EditParams()])
+    wbs = np.tile(np.array([2.0, 1.0, 1.4], np.float32), (2, 1))
+    cms = np.tile(np.eye(3, dtype=np.float32), (2, 1, 1))
+    words = batch_develop_linear_rgba(frames, params, wbs, cms)
+    planes = batch_develop_linear_rgba(frames, params, wbs, cms,
+                                       output="ycbcr420")
+    want = jax.jit(rgba_words_to_ycbcr420)(words)
+    assert isinstance(planes, tuple) and len(planes) == len(want)
+    for a, b in zip(planes, want):
+        assert (np.asarray(a) == np.asarray(b)).all()

@@ -671,3 +671,22 @@ def test_cr3_container_recognized(tmp_path, rng):
                                   )
     assert stats["cached"] == 1
     lib.close()
+
+
+def test_preview_tag_garbage_falls_back_to_scan(tmp_path, rng):
+    """JPEGInterchange tags pointing at in-bounds non-JPEG bytes must
+    not suppress the whole-file marker scan (code-review r3): the tag
+    fast path SOI-checks its candidate like every other fast path."""
+    import numpy as np
+
+    from raweditor_tpu.raw.decode import extract_preview_jpeg
+    from raweditor_tpu.raw.synth import (make_preview_jpeg,
+                                         write_synthetic_raw)
+
+    real = make_preview_jpeg()
+    path = tmp_path / "badtag.nef"
+    write_synthetic_raw(
+        path, rng.integers(0, 4096, size=(16, 24), dtype=np.uint16),
+        preview_jpeg=b"\x00\x00" + real)
+    got = extract_preview_jpeg(str(path))
+    assert got is not None and got[:2] == b"\xff\xd8"
