@@ -133,7 +133,8 @@ def apply_edit_stack(r, g, b, params: EditParams, wb, cam_matrix,
     return r, g, b
 
 
-def finish_to_u8(r, g, b, valid=None, transfer: str = "gamma22"):
+def finish_to_u8(r, g, b, valid=None, transfer: str = "gamma22",
+                 extras=None):
     """Steps 10–11 + output quantization: transfer, clamp, Rgba8Unorm
     round. ``transfer`` is "gamma22" for reference parity (plain 1/2.2
     pow, reference: gpu/shaders.rs:261), "gamma22_poly" for the fast
@@ -144,23 +145,34 @@ def finish_to_u8(r, g, b, valid=None, transfer: str = "gamma22"):
 
     ``valid`` optionally masks out-of-frame pixels to black, matching the
     shader's early return (reference: gpu/shaders.rs:173-178).
+
+    ``extras`` is None (bit-exact default) or a traced
+    (sharpen, denoise) pair: sharpening/denoise run on the encoded
+    planes just before quantization (ops/extras.py) — the ``extras``
+    flag of the develop entry points supplies it statically.
     """
     from raweditor_tpu.color import encoder_for
 
     encode = encoder_for(transfer)
+    # single source of truth for both curves (color.py)
+    r = jnp.minimum(encode(r), _F(1.0))
+    g = jnp.minimum(encode(g), _F(1.0))
+    b = jnp.minimum(encode(b), _F(1.0))
+    if extras is not None:
+        from raweditor_tpu.ops.extras import apply_finish_extras
 
-    def enc(c):
-        c = encode(c)  # single source of truth for both curves (color.py)
-        c = jnp.minimum(c, _F(1.0))
+        r, g, b = apply_finish_extras(r, g, b, *extras)
+
+    def quant(c):
         q = jnp.floor(c * _F(255.0) + _F(0.5))
         if valid is not None:
             q = jnp.where(valid, q, _F(0.0))
         return q.astype(jnp.uint8)
 
-    return enc(r), enc(g), enc(b)
+    return quant(r), quant(g), quant(b)
 
 
-def finish_to_u16(r, g, b, transfer: str = "gamma22"):
+def finish_to_u16(r, g, b, transfer: str = "gamma22", extras=None):
     """16-bit variant of finish_to_u8 (beyond the reference): same
     transfer curves, quantized to the full u16 range for high-bit-depth
     export (TIFF). Rounding mirrors the u8 path: floor(c*65535 + 0.5).
@@ -169,23 +181,42 @@ def finish_to_u16(r, g, b, transfer: str = "gamma22"):
     and are demoted to their exact parents here — the CLAUDE.md rule
     '16-bit outputs must always use the exact transfer' holds at this
     public API too, not just in the pipeline layers (code-review r3).
+
+    ``extras`` as in finish_to_u8 — the spatial finish ops apply to
+    16-bit output identically (they are filters, not transfers, so the
+    exact-transfer rule is untouched).
     """
     from raweditor_tpu.color import encoder_for, transfer16_for
 
     encode = encoder_for(transfer16_for(transfer))
+    r = jnp.minimum(encode(r), _F(1.0))
+    g = jnp.minimum(encode(g), _F(1.0))
+    b = jnp.minimum(encode(b), _F(1.0))
+    if extras is not None:
+        from raweditor_tpu.ops.extras import apply_finish_extras
 
-    def enc(c):
-        c = jnp.minimum(encode(c), _F(1.0))
+        r, g, b = apply_finish_extras(r, g, b, *extras)
+
+    def quant(c):
         q = jnp.floor(c * _F(65535.0) + _F(0.5))
         return q.astype(jnp.uint16)
 
-    return enc(r), enc(g), enc(b)
+    return quant(r), quant(g), quant(b)
+
+
+def _extras_of(params: EditParams, extras: bool):
+    """The (sharpen, denoise) traced pair for the finish stage, or None.
+
+    ``extras`` is STATIC (callers derive it host-side via
+    EditParams.has_finish_extras) so the default develop never traces
+    the spatial finish ops — bit-exactness by construction."""
+    return (params.sharpen, params.denoise) if extras else None
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("demosaic_method", "matrix_transpose", "transfer",
-                     "cfa_phase"),
+                     "cfa_phase", "extras"),
 )
 def develop_u16(
     mosaic,
@@ -198,24 +229,28 @@ def develop_u16(
     matrix_transpose: bool = True,
     transfer: str = "gamma22",
     cfa_phase=(0, 0),
+    extras: bool = False,
 ):
     """Full develop to (H, W, 3) u16 — the 16-bit export path."""
     norm = _normalize(mosaic, white_level, black_level)
     r, g, b = _demosaic.demosaic(norm, demosaic_method, cfa_phase)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix,
                                matrix_transpose)
-    r, g, b = finish_to_u16(r, g, b, transfer=transfer)
+    r, g, b = finish_to_u16(r, g, b, transfer=transfer,
+                            extras=_extras_of(params, extras))
     return jnp.stack([r, g, b], axis=-1)
 
 
-def finish_to_rgba_u32(r, g, b, valid=None, transfer: str = "gamma22"):
+def finish_to_rgba_u32(r, g, b, valid=None, transfer: str = "gamma22",
+                       extras=None):
     """Like finish_to_u8 but packs each pixel into one u32 RGBA word
     (byte order R,G,B,0xFF on little-endian hosts) — exactly the
     Rgba8Unorm bytes the reference reads back from its render target
     (reference: gpu/pipeline.rs:454,551). Packing with bitwise ORs keeps
     the whole develop one XLA fusion (no channel-interleave transpose),
     ~2× the throughput of the (H, W, 3) u8 layout on TPU."""
-    r8, g8, b8 = finish_to_u8(r, g, b, valid=valid, transfer=transfer)
+    r8, g8, b8 = finish_to_u8(r, g, b, valid=valid, transfer=transfer,
+                              extras=extras)
     return (
         r8.astype(jnp.uint32)
         | (g8.astype(jnp.uint32) << 8)
@@ -263,7 +298,7 @@ def _normalize(mosaic, white_level, black_level=0.0):
 @functools.partial(
     jax.jit,
     static_argnames=("demosaic_method", "matrix_transpose", "transfer",
-                     "cfa_phase"),
+                     "cfa_phase", "extras"),
 )
 def develop(
     mosaic,
@@ -276,6 +311,7 @@ def develop(
     matrix_transpose: bool = True,
     transfer: str = "gamma22",
     cfa_phase=(0, 0),
+    extras: bool = False,
 ):
     """Full-resolution develop: (H, W) u16 mosaic → (H, W, 3) u8 sRGB.
 
@@ -286,14 +322,15 @@ def develop(
     norm = _normalize(mosaic, white_level, black_level)
     r, g, b = _demosaic.demosaic(norm, demosaic_method, cfa_phase)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix, matrix_transpose)
-    r, g, b = finish_to_u8(r, g, b, transfer=transfer)
+    r, g, b = finish_to_u8(r, g, b, transfer=transfer,
+                           extras=_extras_of(params, extras))
     return jnp.stack([r, g, b], axis=-1)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("demosaic_method", "matrix_transpose", "transfer",
-                     "cfa_phase"),
+                     "cfa_phase", "extras"),
 )
 def develop_rgba(
     mosaic,
@@ -306,6 +343,7 @@ def develop_rgba(
     matrix_transpose: bool = True,
     transfer: str = "gamma22",
     cfa_phase=(0, 0),
+    extras: bool = False,
 ):
     """Full-resolution develop to packed RGBA: (H, W) u16 → (H, W) u32.
 
@@ -320,13 +358,14 @@ def develop_rgba(
     norm = _normalize(mosaic, white_level, black_level)
     r, g, b = _demosaic.demosaic(norm, demosaic_method, cfa_phase)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix, matrix_transpose)
-    return finish_to_rgba_u32(r, g, b, transfer=transfer)
+    return finish_to_rgba_u32(r, g, b, transfer=transfer,
+                              extras=_extras_of(params, extras))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("out_w", "out_h", "matrix_transpose", "transfer",
-                     "cfa_phase"),
+                     "cfa_phase", "extras"),
 )
 def develop_preview(
     mosaic,
@@ -343,6 +382,7 @@ def develop_preview(
     matrix_transpose: bool = True,
     transfer: str = "gamma22",
     cfa_phase=(0, 0),
+    extras: bool = False,
 ):
     """Preview develop at an arbitrary target size with zoom/pan.
 
@@ -350,6 +390,10 @@ def develop_preview(
     output fragment centers, then demosaic + develop at those full-res
     coordinates (reference: gpu/pipeline.rs:442-465). zoom/pan are traced:
     interactive pan/zoom never recompiles.
+
+    With ``extras``, the finish stencils run on the SAMPLED grid — the
+    live-preview approximation every interactive engine makes (the
+    full-res export applies them at native resolution).
 
     Returns (out_h, out_w, 3) u8.
     """
@@ -363,14 +407,15 @@ def develop_preview(
     norm = _normalize(mosaic, white_level, black_level)
     r, g, b = _demosaic.demosaic_nearest_sampled(norm, yi, xi, cfa_phase)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix, matrix_transpose)
-    r, g, b = finish_to_u8(r, g, b, valid=valid, transfer=transfer)
+    r, g, b = finish_to_u8(r, g, b, valid=valid, transfer=transfer,
+                           extras=_extras_of(params, extras))
     return jnp.stack([r, g, b], axis=-1)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("pattern", "matrix_transpose", "transfer", "rgba",
-                     "demosaic_method", "bits"),
+                     "demosaic_method", "bits", "extras"),
 )
 def develop_xtrans(
     mosaic,
@@ -385,6 +430,7 @@ def develop_xtrans(
     rgba: bool = False,
     demosaic_method: str = "nearest",
     bits: int = 8,
+    extras: bool = False,
 ):
     """Full develop of an X-Trans (or any repeating-CFA) mosaic — a
     capability beyond the reference, which only handles Bayer. Same edit
@@ -414,21 +460,22 @@ def develop_xtrans(
         )
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix,
                                matrix_transpose)
+    ex = _extras_of(params, extras)
     if rgba:
-        return finish_to_rgba_u32(r, g, b, transfer=transfer)
+        return finish_to_rgba_u32(r, g, b, transfer=transfer, extras=ex)
     if bits == 16:
         # Was silently ignored: bits=16 returned u8 that write_tiff16
         # widened into a near-black 16-bit image (code-review r3).
-        r, g, b = finish_to_u16(r, g, b, transfer=transfer)
+        r, g, b = finish_to_u16(r, g, b, transfer=transfer, extras=ex)
     else:
-        r, g, b = finish_to_u8(r, g, b, transfer=transfer)
+        r, g, b = finish_to_u8(r, g, b, transfer=transfer, extras=ex)
     return jnp.stack([r, g, b], axis=-1)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("out_w", "out_h", "pattern", "matrix_transpose",
-                     "transfer"),
+                     "transfer", "extras"),
 )
 def develop_xtrans_preview(
     mosaic,
@@ -445,6 +492,7 @@ def develop_xtrans_preview(
     pattern: str = None,
     matrix_transpose: bool = False,
     transfer: str = "gamma22",
+    extras: bool = False,
 ):
     """X-Trans preview: nearest-sample the mosaic at fragment centers,
     then demosaic+develop only the sampled sites (same shape of work as
@@ -465,13 +513,14 @@ def develop_xtrans_preview(
                                                side)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix,
                                matrix_transpose)
-    r, g, b = finish_to_u8(r, g, b, valid=valid, transfer=transfer)
+    r, g, b = finish_to_u8(r, g, b, valid=valid, transfer=transfer,
+                           extras=_extras_of(params, extras))
     return jnp.stack([r, g, b], axis=-1)
 
 
 @functools.partial(
     jax.jit, static_argnames=("matrix_transpose", "transfer", "rgba",
-                              "bits")
+                              "bits", "extras")
 )
 def develop_linear(
     rgb_u16,
@@ -484,6 +533,7 @@ def develop_linear(
     transfer: str = "gamma22",
     rgba: bool = False,
     bits: int = 8,
+    extras: bool = False,
 ):
     """Develop an already-demosaiced (H, W, 3) u16 frame (DNG LinearRaw,
     photometric 34892): the same edit stack, demosaic skipped. Channel
@@ -496,18 +546,20 @@ def develop_linear(
     b = _normalize(rgb_u16[..., 2], white_level, black_level)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix,
                                matrix_transpose)
+    ex = _extras_of(params, extras)
     if rgba:
-        return finish_to_rgba_u32(r, g, b, transfer=transfer)
+        return finish_to_rgba_u32(r, g, b, transfer=transfer, extras=ex)
     if bits == 16:
-        r, g, b = finish_to_u16(r, g, b, transfer=transfer)
+        r, g, b = finish_to_u16(r, g, b, transfer=transfer, extras=ex)
     else:
-        r, g, b = finish_to_u8(r, g, b, transfer=transfer)
+        r, g, b = finish_to_u8(r, g, b, transfer=transfer, extras=ex)
     return jnp.stack([r, g, b], axis=-1)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_w", "out_h", "matrix_transpose", "transfer"),
+    static_argnames=("out_w", "out_h", "matrix_transpose", "transfer",
+                     "extras"),
 )
 def develop_linear_preview(
     rgb_u16,
@@ -523,6 +575,7 @@ def develop_linear_preview(
     black_level=0.0,
     matrix_transpose: bool = False,
     transfer: str = "gamma22",
+    extras: bool = False,
 ):
     """LinearRaw preview: nearest-sample the RGB frame at fragment
     centers, then run the edit stack on the sampled sites."""
@@ -536,7 +589,8 @@ def develop_linear_preview(
     b = _normalize(sub[..., 2], white_level, black_level)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix,
                                matrix_transpose)
-    r, g, b = finish_to_u8(r, g, b, valid=valid, transfer=transfer)
+    r, g, b = finish_to_u8(r, g, b, valid=valid, transfer=transfer,
+                           extras=_extras_of(params, extras))
     return jnp.stack([r, g, b], axis=-1)
 
 
@@ -569,7 +623,7 @@ def histogram_256(rgb_u8):
 
 @functools.partial(
     jax.jit, static_argnames=("out_w", "out_h", "matrix_transpose",
-                              "transfer", "cfa_phase")
+                              "transfer", "cfa_phase", "extras")
 )
 def develop_histogram(
     mosaic,
@@ -586,6 +640,7 @@ def develop_histogram(
     matrix_transpose: bool = True,
     transfer: str = "gamma22",
     cfa_phase=(0, 0),
+    extras: bool = False,
 ):
     """The reference's live-histogram path: develop a tiny nearest-sampled
     render (128 px wide) and bin it (reference: gpu/pipeline.rs:615-736,
@@ -594,7 +649,7 @@ def develop_histogram(
     img = develop_preview(
         mosaic, params, wb, cam_matrix, out_w, out_h,
         zoom, pan_x, pan_y, white_level, black_level, matrix_transpose,
-        transfer, cfa_phase,
+        transfer, cfa_phase, extras,
     )
     return histogram_256(img)
 
@@ -602,7 +657,7 @@ def develop_histogram(
 @functools.partial(
     jax.jit,
     static_argnames=("out_w", "out_h", "pattern", "matrix_transpose",
-                     "transfer"),
+                     "transfer", "extras"),
 )
 def develop_xtrans_histogram(
     mosaic,
@@ -619,6 +674,7 @@ def develop_xtrans_histogram(
     pattern: str = None,
     matrix_transpose: bool = False,
     transfer: str = "gamma22",
+    extras: bool = False,
 ):
     """X-Trans live histogram: the 128-px render and the 256-bin
     scatter-add fuse into ONE XLA program, like the Bayer
@@ -626,14 +682,15 @@ def develop_xtrans_histogram(
     img = develop_xtrans_preview(
         mosaic, params, wb, cam_matrix, out_w, out_h, zoom, pan_x,
         pan_y, white_level, black_level, pattern, matrix_transpose,
-        transfer,
+        transfer, extras,
     )
     return histogram_256(img)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_w", "out_h", "matrix_transpose", "transfer"),
+    static_argnames=("out_w", "out_h", "matrix_transpose", "transfer",
+                     "extras"),
 )
 def develop_linear_histogram(
     rgb_u16,
@@ -649,10 +706,12 @@ def develop_linear_histogram(
     black_level=0.0,
     matrix_transpose: bool = False,
     transfer: str = "gamma22",
+    extras: bool = False,
 ):
     """LinearRaw live histogram, fused render+binning (one program)."""
     img = develop_linear_preview(
         rgb_u16, params, wb, cam_matrix, out_w, out_h, zoom, pan_x,
         pan_y, white_level, black_level, matrix_transpose, transfer,
+        extras,
     )
     return histogram_256(img)

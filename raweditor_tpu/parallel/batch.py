@@ -54,27 +54,30 @@ def _default_levels(n: int, white_levels, black_levels):
 
 def _develop_one(mosaic, params, wb, cm, white_level, black_level,
                  matrix_transpose, rgba=False, cfa_phase=(0, 0),
-                 transfer="gamma22", demosaic_method="nearest"):
-    from raweditor_tpu.ops.develop import _normalize
+                 transfer="gamma22", demosaic_method="nearest",
+                 extras=False):
+    from raweditor_tpu.ops.develop import _extras_of, _normalize
 
     norm = _normalize(mosaic, white_level, black_level)
     r, g, b = _demosaic.demosaic(norm, demosaic_method, cfa_phase)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cm, matrix_transpose)
+    ex = _extras_of(params, extras)
     if rgba:
-        return finish_to_rgba_u32(r, g, b, transfer=transfer)
-    r, g, b = finish_to_u8(r, g, b, transfer=transfer)
+        return finish_to_rgba_u32(r, g, b, transfer=transfer, extras=ex)
+    r, g, b = finish_to_u8(r, g, b, transfer=transfer, extras=ex)
     return jnp.stack([r, g, b], axis=-1)
 
 
 @functools.partial(
     jax.jit, static_argnames=("matrix_transpose", "cfa_phase", "transfer",
-                              "demosaic_method")
+                              "demosaic_method", "extras")
 )
 def batch_develop(mosaics, params: EditParams, wb, cam_matrices,
                   white_levels=None, black_levels=None,
                   matrix_transpose: bool = True, cfa_phase=(0, 0),
                   transfer: str = "gamma22",
-                  demosaic_method: str = "nearest"):
+                  demosaic_method: str = "nearest",
+                  extras: bool = False):
     """vmapped batch develop: (N, H, W) u16 → (N, H, W, 3) u8.
 
     white_levels/black_levels are optional per-image (N,) arrays
@@ -89,7 +92,7 @@ def batch_develop(mosaics, params: EditParams, wb, cam_matrices,
     return jax.vmap(
         functools.partial(_develop_one, matrix_transpose=matrix_transpose,
                           cfa_phase=cfa_phase, transfer=transfer,
-                          demosaic_method=demosaic_method)
+                          demosaic_method=demosaic_method, extras=extras)
     )(mosaics, params, wb, cam_matrices, white_levels, black_levels)
 
 
@@ -116,14 +119,15 @@ def _maybe_ycbcr(words, output: str):
 
 @functools.partial(
     jax.jit, static_argnames=("matrix_transpose", "cfa_phase", "transfer",
-                              "demosaic_method", "output")
+                              "demosaic_method", "output", "extras")
 )
 def batch_develop_rgba(mosaics, params: EditParams, wb, cam_matrices,
                        white_levels=None, black_levels=None,
                        matrix_transpose: bool = True, cfa_phase=(0, 0),
                        transfer: str = "gamma22",
                        demosaic_method: str = "nearest",
-                       output: str = "rgba_words"):
+                       output: str = "rgba_words",
+                       extras: bool = False):
     """batch_develop with packed-RGBA u32 output: (N, H, W) u16 →
     (N, H, W) u32 — the fast path for export (see develop_rgba).
     ``output`` = 'ycbcr420'/'ycbcr444' additionally converts to JPEG
@@ -135,7 +139,7 @@ def batch_develop_rgba(mosaics, params: EditParams, wb, cam_matrices,
         functools.partial(
             _develop_one, matrix_transpose=matrix_transpose, rgba=True,
             cfa_phase=cfa_phase, transfer=transfer,
-            demosaic_method=demosaic_method,
+            demosaic_method=demosaic_method, extras=extras,
         )
     )(mosaics, params, wb, cam_matrices, white_levels, black_levels),
         output)
@@ -143,7 +147,7 @@ def batch_develop_rgba(mosaics, params: EditParams, wb, cam_matrices,
 
 @functools.partial(
     jax.jit, static_argnames=("pattern", "matrix_transpose", "transfer",
-                              "demosaic_method", "output")
+                              "demosaic_method", "output", "extras")
 )
 def batch_develop_xtrans_rgba(mosaics, params: EditParams, wb,
                               cam_matrices, white_levels=None,
@@ -151,7 +155,8 @@ def batch_develop_xtrans_rgba(mosaics, params: EditParams, wb,
                               matrix_transpose: bool = False,
                               transfer: str = "gamma22",
                               demosaic_method: str = "nearest",
-                              output: str = "rgba_words"):
+                              output: str = "rgba_words",
+                              extras: bool = False):
     """Batch develop for X-Trans (generic-CFA) mosaics → packed RGBA.
     Data-parallel only (no row sharding; the 6×6 halo isn't worth the
     complexity for the export path). ``output`` as in
@@ -165,21 +170,23 @@ def batch_develop_xtrans_rgba(mosaics, params: EditParams, wb,
         lambda m, p, w, c, wl, bl: develop_xtrans(
             m, p, w, c, wl, bl, pattern=pattern,
             matrix_transpose=matrix_transpose, transfer=transfer,
-            rgba=True, demosaic_method=demosaic_method,
+            rgba=True, demosaic_method=demosaic_method, extras=extras,
         )
     )(mosaics, params, wb, cam_matrices, white_levels, black_levels),
         output)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("matrix_transpose", "transfer", "output")
+    jax.jit, static_argnames=("matrix_transpose", "transfer", "output",
+                              "extras")
 )
 def batch_develop_linear_rgba(frames, params: EditParams, wb,
                               cam_matrices, white_levels=None,
                               black_levels=None,
                               matrix_transpose: bool = False,
                               transfer: str = "gamma22",
-                              output: str = "rgba_words"):
+                              output: str = "rgba_words",
+                              extras: bool = False):
     """Batch develop for already-demosaiced LinearRaw frames
     ((N, H, W, 3) u16, DNG photometric 34892) → packed RGBA words.
     ``output`` as in batch_develop_rgba: the JPEG-plane conversion
@@ -193,7 +200,7 @@ def batch_develop_linear_rgba(frames, params: EditParams, wb,
     return _maybe_ycbcr(jax.vmap(
         lambda m, p, w, c, wl, bl: develop_linear(
             m, p, w, c, wl, bl, matrix_transpose=matrix_transpose,
-            rgba=True, transfer=transfer,
+            rgba=True, transfer=transfer, extras=extras,
         )
     )(frames, params, wb, cam_matrices, white_levels, black_levels),
         output)

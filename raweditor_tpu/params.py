@@ -4,9 +4,12 @@ The 10-slider edit model of the reference editor
 (reference: state/edit.rs:15-96), kept JSON round-trip compatible with
 the serde serialization the reference stores in SQLite
 (reference: state/edit.rs:105-112), so an existing catalog's ``edits``
-table replays unchanged.
+table replays unchanged — plus two finish extras beyond the reference
+(``sharpen``/``denoise``, ops/extras.py) that serialize only when
+used, so default-valued edits still emit the reference's exact
+10-field schema.
 
-``EditParams`` is registered as a JAX pytree whose leaves are the ten
+``EditParams`` is registered as a JAX pytree whose leaves are the
 slider values, so it can be passed straight into ``jax.jit``-compiled
 develop kernels as a *traced* argument: moving a slider never triggers
 recompilation.
@@ -21,8 +24,11 @@ from typing import Any
 import jax
 
 # Field order matters: it defines the pytree flatten order and the
-# packed-array layout used by the batch exporter.
-_FIELDS = (
+# packed-array layout used by the batch exporter. The first ten are
+# the reference's slider set (state/edit.rs:15-96); the finish extras
+# (sharpen / denoise — ops/extras.py, beyond the reference) append
+# after them so existing packed layouts keep their indices.
+_REF_FIELDS = (
     "exposure",
     "contrast",
     "highlights",
@@ -34,9 +40,14 @@ _FIELDS = (
     "temperature",
     "tint",
 )
+_EXTRA_FIELDS = (
+    "sharpen",
+    "denoise",
+)
+_FIELDS = _REF_FIELDS + _EXTRA_FIELDS
 
 # Defaults mirror the reference exactly: everything 0 except whites=1.0
-# (reference: state/edit.rs:79-96).
+# (reference: state/edit.rs:79-96). The extras default to 0 = off.
 _DEFAULTS = {name: 0.0 for name in _FIELDS}
 _DEFAULTS["whites"] = 1.0
 
@@ -55,6 +66,10 @@ RANGES = {
     "saturation": (-100.0, 100.0),
     "temperature": (-1.0, 1.0),
     "tint": (-1.0, 1.0),
+    # Finish extras (beyond the reference; ops/extras.py): luma
+    # unsharp-mask amount and edge-preserving denoise strength.
+    "sharpen": (0.0, 150.0),
+    "denoise": (0.0, 100.0),
 }
 
 
@@ -77,12 +92,24 @@ class EditParams:
     saturation: Any = 0.0
     temperature: Any = 0.0
     tint: Any = 0.0
+    sharpen: Any = 0.0
+    denoise: Any = 0.0
 
     # -- persistence (serde-compatible JSON) -----------------------------
     def to_json(self) -> str:
         """Serialize to the same JSON shape serde produces
-        (reference: state/edit.rs:105-107)."""
-        return json.dumps({name: float(getattr(self, name)) for name in _FIELDS})
+        (reference: state/edit.rs:105-107). The reference's ten fields
+        are always present; the finish extras (sharpen/denoise) are
+        emitted only when non-default, so any edit the reference could
+        express round-trips through its exact serde schema — a catalog
+        written here stays loadable by the reference unless an edit
+        actually uses a capability the reference lacks."""
+        data = {name: float(getattr(self, name)) for name in _REF_FIELDS}
+        for name in _EXTRA_FIELDS:
+            v = float(getattr(self, name))
+            if v != _DEFAULTS[name]:
+                data[name] = v
+        return json.dumps(data)
 
     @classmethod
     def from_json(cls, payload: str) -> "EditParams":
@@ -107,6 +134,19 @@ class EditParams:
         (reference: state/edit.rs:115-117)."""
         return all(
             float(getattr(self, name)) == _DEFAULTS[name] for name in _FIELDS
+        )
+
+    def has_finish_extras(self) -> bool:
+        """True when any finish extra (sharpen/denoise) is active.
+
+        Callers use this HOST-SIDE — before tracing — to pick the
+        static ``extras`` specialization of the develop programs (the
+        default path stays bit-exact and pays nothing; see
+        ops/extras.py). Raises on traced leaves by design: the flag
+        must never be data-dependent inside jit."""
+        return any(
+            float(getattr(self, name)) != _DEFAULTS[name]
+            for name in _EXTRA_FIELDS
         )
 
     def reset(self) -> "EditParams":

@@ -140,9 +140,13 @@ class DevelopEngine:
 
     # -- render paths ----------------------------------------------------
     def _preview_program(self, mosaic, params: EditParams, zoom,
-                         pan_x, pan_y):
+                         pan_x, pan_y, extras: bool = False):
         """The preview develop, parameterized on the mosaic so it can
-        be AOT-compiled (compile_preview) or jit-cached identically."""
+        be AOT-compiled (compile_preview) or jit-cached identically.
+        ``extras`` is the static finish-extras flag (sharpen/denoise,
+        ops/extras.py) — the AOT executables are compiled without it,
+        so extras-active params route through the jit cache instead
+        (preview_device/preview_tick decide)."""
         if self.linear:
             from raweditor_tpu.ops.develop import develop_linear_preview
 
@@ -153,7 +157,7 @@ class DevelopEngine:
                 white_level=self.white_level,
                 black_level=self.black_level,
                 matrix_transpose=self.matrix_transpose,
-                transfer=self.transfer,
+                transfer=self.transfer, extras=extras,
             )
         if self.xtrans_pattern is not None:
             from raweditor_tpu.ops.develop import develop_xtrans_preview
@@ -166,7 +170,7 @@ class DevelopEngine:
                 black_level=self.black_level,
                 pattern=self.xtrans_pattern,
                 matrix_transpose=self.matrix_transpose,
-                transfer=self.transfer,
+                transfer=self.transfer, extras=extras,
             )
         return develop_preview(
             mosaic, params, self.wb, self.cam_matrix,
@@ -175,10 +179,11 @@ class DevelopEngine:
             white_level=self.white_level, black_level=self.black_level,
             matrix_transpose=self.matrix_transpose,
             transfer=self.transfer, cfa_phase=self.cfa_phase,
+            extras=extras,
         )
 
     def _histogram_program(self, mosaic, params: EditParams, zoom,
-                           pan_x, pan_y):
+                           pan_x, pan_y, extras: bool = False):
         if self.linear:
             from raweditor_tpu.ops.develop import develop_linear_histogram
 
@@ -189,7 +194,7 @@ class DevelopEngine:
                 white_level=self.white_level,
                 black_level=self.black_level,
                 matrix_transpose=self.matrix_transpose,
-                transfer=self.transfer,
+                transfer=self.transfer, extras=extras,
             )
         if self.xtrans_pattern is not None:
             from raweditor_tpu.ops.develop import develop_xtrans_histogram
@@ -202,7 +207,7 @@ class DevelopEngine:
                 black_level=self.black_level,
                 pattern=self.xtrans_pattern,
                 matrix_transpose=self.matrix_transpose,
-                transfer=self.transfer,
+                transfer=self.transfer, extras=extras,
             )
         return develop_histogram(
             mosaic, params, self.wb, self.cam_matrix,
@@ -212,6 +217,7 @@ class DevelopEngine:
             black_level=self.black_level,
             matrix_transpose=self.matrix_transpose,
             transfer=self.transfer, cfa_phase=self.cfa_phase,
+            extras=extras,
         )
 
     @staticmethod
@@ -227,14 +233,15 @@ class DevelopEngine:
         """Preview render, left on device (reference: gpu/pipeline.rs:442-465
         minus the synchronous readback). Dispatches through the AOT
         executable when compile_preview() has run."""
-        if self._aot_preview is not None:
+        ex = params.has_finish_extras()
+        if self._aot_preview is not None and not ex:
             r, _ = self._aot_preview(self.mosaic,
                                      self._float_params(params),
                                      float(zoom),
                                      float(pan[0]), float(pan[1]))
             return r
         return self._preview_program(self.mosaic, params, zoom,
-                                     pan[0], pan[1])
+                                     pan[0], pan[1], extras=ex)
 
     def compile_preview(self):
         """AOT-compile the interactive preview + histogram programs at
@@ -272,6 +279,16 @@ class DevelopEngine:
         cache would pay). Returns the device-resident preview after
         its checksum byte has arrived on the host — the render is
         provably finished, not just enqueued."""
+        if params.has_finish_extras():
+            # The AOT executables are compiled extras-free; the jit
+            # cache holds the extras variant (one extra compile the
+            # first time a session enables sharpen/denoise).
+            import jax.numpy as jnp
+
+            r = self._preview_program(self.mosaic, params, zoom,
+                                      pan[0], pan[1], extras=True)
+            np.asarray(jnp.max(r))  # same transport-proof sync
+            return r
         self.compile_preview()
         r, s = self._aot_preview(self.mosaic, self._float_params(params),
                                  float(zoom),
@@ -287,6 +304,7 @@ class DevelopEngine:
     def full_device(self, params: EditParams):
         """Full-resolution develop, device-resident
         (reference: gpu/pipeline.rs:526-606)."""
+        ex = params.has_finish_extras()
         if self.linear:
             from raweditor_tpu.ops.develop import develop_linear
 
@@ -294,7 +312,7 @@ class DevelopEngine:
                 self.mosaic, params, self.wb, self.cam_matrix,
                 self.white_level, self.black_level,
                 matrix_transpose=self.matrix_transpose,
-                transfer=self.transfer,
+                transfer=self.transfer, extras=ex,
             )
         if self.xtrans_pattern is not None:
             from raweditor_tpu.ops.develop import develop_xtrans
@@ -306,13 +324,14 @@ class DevelopEngine:
                 matrix_transpose=self.matrix_transpose,
                 transfer=self.transfer,
                 demosaic_method=_generic_cfa_method(self.demosaic_method),
+                extras=ex,
             )
         return develop(
             self.mosaic, params, self.wb, self.cam_matrix,
             white_level=self.white_level, black_level=self.black_level,
             demosaic_method=self.demosaic_method,
             matrix_transpose=self.matrix_transpose,
-            transfer=self.transfer, cfa_phase=self.cfa_phase,
+            transfer=self.transfer, cfa_phase=self.cfa_phase, extras=ex,
         )
 
     def full(self, params: EditParams) -> np.ndarray:
@@ -344,12 +363,13 @@ class DevelopEngine:
         """(3, 256) int — the live-histogram path at 128 px
         (reference: gpu/pipeline.rs:615-736). Dispatches through the
         AOT executable when compile_preview() has run."""
-        if self._aot_histogram is not None:
+        ex = params.has_finish_extras()
+        if self._aot_histogram is not None and not ex:
             return np.asarray(self._aot_histogram(
                 self.mosaic, self._float_params(params), float(zoom),
                 float(pan[0]), float(pan[1])))
         return np.asarray(self._histogram_program(
-            self.mosaic, params, zoom, pan[0], pan[1]))
+            self.mosaic, params, zoom, pan[0], pan[1], extras=ex))
 
     # -- export ----------------------------------------------------------
     def full_rgba_device(self, params: EditParams):
@@ -358,6 +378,7 @@ class DevelopEngine:
         (reference: gpu/pipeline.rs:551). With ``use_pallas``, runs the
         hand-fused kernel (±1 LSB, see ops/pallas_develop.py) when the
         mosaic shape supports it."""
+        ex = params.has_finish_extras()
         if self.linear:
             from raweditor_tpu.ops.develop import develop_linear
 
@@ -365,7 +386,7 @@ class DevelopEngine:
                 self.mosaic, params, self.wb, self.cam_matrix,
                 self.white_level, self.black_level,
                 matrix_transpose=self.matrix_transpose,
-                transfer=self.transfer, rgba=True,
+                transfer=self.transfer, rgba=True, extras=ex,
             )
         if self.xtrans_pattern is not None:
             from raweditor_tpu.ops.develop import develop_xtrans
@@ -380,7 +401,11 @@ class DevelopEngine:
             # intermediates, and the fused kernel wins despite the
             # masks (8.0 ms vs 11.6 = 1.45×, kernel block_h capped at
             # 64 for VMEM).
-            if (self.use_pallas and self.demosaic_method == "grad"
+            # The hand-fused kernels don't implement the finish
+            # extras (sharpen/denoise) — extras-active params take the
+            # XLA lane, where the stencils fuse into the same program.
+            if (self.use_pallas and not ex
+                    and self.demosaic_method == "grad"
                     and self.transfer in PALLAS_GAMMA_BY_TRANSFER
                     and not getattr(self, "_pallas_grad_failed", False)):
                 from raweditor_tpu.ops.pallas_develop import (
@@ -414,8 +439,9 @@ class DevelopEngine:
                 matrix_transpose=self.matrix_transpose,
                 transfer=self.transfer,
                 demosaic_method=_generic_cfa_method(self.demosaic_method), rgba=True,
+                extras=ex,
             )
-        if (self.use_pallas
+        if (self.use_pallas and not ex
                 and self.demosaic_method in ("nearest", "bilinear",
                                              "malvar", "grad")
                 and self.transfer in PALLAS_GAMMA_BY_TRANSFER
@@ -448,7 +474,7 @@ class DevelopEngine:
             white_level=self.white_level, black_level=self.black_level,
             demosaic_method=self.demosaic_method,
             matrix_transpose=self.matrix_transpose,
-            transfer=self.transfer, cfa_phase=self.cfa_phase,
+            transfer=self.transfer, cfa_phase=self.cfa_phase, extras=ex,
         )
 
     def export(self, path: os.PathLike, params: EditParams,
@@ -607,6 +633,7 @@ class DevelopEngine:
         from raweditor_tpu.raw.tiff_out import write_tiff16
 
         transfer = transfer16_for(self.transfer)
+        ex = params.has_finish_extras()
 
         if self.linear:
             from raweditor_tpu.ops.develop import develop_linear
@@ -615,7 +642,7 @@ class DevelopEngine:
                 self.mosaic, params, self.wb, self.cam_matrix,
                 self.white_level, self.black_level,
                 matrix_transpose=self.matrix_transpose,
-                transfer=transfer, bits=16,
+                transfer=transfer, bits=16, extras=ex,
             ))
         elif self.xtrans_pattern is not None:
             from raweditor_tpu.ops.develop import develop_xtrans
@@ -627,7 +654,7 @@ class DevelopEngine:
                 matrix_transpose=self.matrix_transpose,
                 transfer=transfer,
                 demosaic_method=_generic_cfa_method(self.demosaic_method),
-                bits=16,
+                bits=16, extras=ex,
             ))
         else:
             rgb = np.asarray(develop_u16(
@@ -636,7 +663,7 @@ class DevelopEngine:
                 black_level=self.black_level,
                 demosaic_method=self.demosaic_method,
                 matrix_transpose=self.matrix_transpose,
-                transfer=transfer, cfa_phase=self.cfa_phase,
+                transfer=transfer, cfa_phase=self.cfa_phase, extras=ex,
             ))
         if long_edge:
             from raweditor_tpu.ops.resize import (long_edge_shape,

@@ -772,6 +772,11 @@ def run_batch_export(
             blacks = np.array([d.black_level for d in padded], np.float32)
 
             phase = batch[0].cfa_phase
+            # Finish extras (sharpen/denoise, ops/extras.py): static
+            # per-flush flag — only batches that actually use them pay
+            # the extra stencil work (zero-amount images inside such a
+            # batch develop within 1 LSB of their extras-off render).
+            ex_on = any(d.job.params.has_finish_extras() for d in batch)
             # JPEG-plane output folded into the develop program (see the
             # jpeg_planes_ok comment): decide per shape bucket — a
             # device-side long-edge resize needs RGBA words, so those
@@ -810,7 +815,7 @@ def run_batch_export(
                         lambda m, p, w, c, wl, bl: develop_linear(
                             m, p, w, c, wl, bl,
                             matrix_transpose=matrix_transpose,
-                            transfer=transfer16, bits=16,
+                            transfer=transfer16, bits=16, extras=ex_on,
                         )
                     )(mosaics, params, wbs, cms, whites, blacks)
                 elif isinstance(phase, str):
@@ -820,6 +825,7 @@ def run_batch_export(
                             matrix_transpose=matrix_transpose,
                             transfer=transfer16, bits=16,
                             demosaic_method=_generic_cfa_method(demosaic_method),
+                            extras=ex_on,
                         )
                     )(mosaics, params, wbs, cms, whites, blacks)
                 else:
@@ -829,6 +835,7 @@ def run_batch_export(
                             demosaic_method=demosaic_method,
                             matrix_transpose=matrix_transpose,
                             transfer=transfer16, cfa_phase=phase,
+                            extras=ex_on,
                         )
                     )(mosaics, params, wbs, cms, whites, blacks)
             elif phase == "__linear__":
@@ -850,7 +857,7 @@ def run_batch_export(
                 out = batch_develop_linear_rgba(
                     mosaics, params, wbs, cms, whites, blacks,
                     matrix_transpose=matrix_transpose,
-                    transfer=transfer, output=xla_output,
+                    transfer=transfer, output=xla_output, extras=ex_on,
                 )
             elif isinstance(phase, str):  # X-Trans bucket (pattern string)
                 from raweditor_tpu.parallel.batch import (
@@ -873,7 +880,9 @@ def run_batch_export(
                 # vs 11.6 = 1.45×).
                 out = None
                 pl_key = (mosaics.shape, "grad", phase, xla_output)
-                if (pallas_ok and demosaic_method == "grad"
+                # Extras-active batches take the XLA lane — the fused
+                # kernels don't implement the finish stencils.
+                if (pallas_ok and not ex_on and demosaic_method == "grad"
                         and pl_key not in _pallas_failed):
                     from raweditor_tpu.ops.pallas_develop import (
                         pallas_batch_develop_rgba,
@@ -899,13 +908,13 @@ def run_batch_export(
                         transfer=transfer,
                         demosaic_method=_generic_cfa_method(
                             demosaic_method),
-                        output=xla_output,
+                        output=xla_output, extras=ex_on,
                     )
             elif mesh is None:
                 out = None
                 pl_key = (mosaics.shape, demosaic_method, phase,
                           xla_output)
-                if pallas_ok and pl_key not in _pallas_failed:
+                if pallas_ok and not ex_on and pl_key not in _pallas_failed:
                     from raweditor_tpu.ops.pallas_develop import (
                         pallas_batch_develop_rgba,
                     )
@@ -929,21 +938,22 @@ def run_batch_export(
                         mosaics, params, wbs, cms, whites, blacks,
                         matrix_transpose=matrix_transpose, cfa_phase=phase,
                         transfer=transfer, demosaic_method=demosaic_method,
-                        output=xla_output,
+                        output=xla_output, extras=ex_on,
                     )
-            elif demosaic_method == "grad":
-                # grad's receptive field exceeds the shard_map path's
+            elif demosaic_method == "grad" or ex_on:
+                # grad's receptive field — and the finish extras'
+                # radius-2 stencils — exceed the shard_map path's
                 # fixed 2-row halo (parallel/spatial.HALO_DEMOSAICS) —
-                # shard it via GSPMD like the X-Trans buckets: stage
+                # shard via GSPMD like the X-Trans buckets: stage
                 # with the batch sharding and let XLA insert whatever
-                # boundary exchanges the stencil needs (value-exact
+                # boundary exchanges the stencils need (value-exact
                 # by construction).
                 staged = jax.device_put(mosaics, batch_sharding(mesh))
                 out = batch_develop_rgba(
                     staged, params, wbs, cms, whites, blacks,
                     matrix_transpose=matrix_transpose, cfa_phase=phase,
                     transfer=transfer, demosaic_method=demosaic_method,
-                    output=xla_output,
+                    output=xla_output, extras=ex_on,
                 )
             else:
                 staged = jax.device_put(mosaics, batch_sharding(mesh))

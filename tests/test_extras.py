@@ -1,0 +1,276 @@
+"""Finish extras (sharpen / denoise, ops/extras.py) — beyond the
+reference, whose develop chain ends at vibrance + gamma
+(reference: gpu/shaders.rs:171-267 has no spatial output filtering).
+
+Covers: the static gating contract (defaults never trace the extras;
+zero amounts inside an extras-enabled graph stay within 1 LSB), the
+image-quality claims (denoise raises PSNR on noisy input, sharpening
+raises edge acutance monotonically), serde-compat JSON, per-image
+amounts under the batch exporter's vmap, and mesh-path equality.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from raweditor_tpu.params import EditParams
+
+
+def _rgb_planes(rng, h=48, w=64, smooth=True):
+    """Encoded-domain [0,1] test planes: a smooth 2-D ramp scene."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = 0.25 + 0.5 * (xx / w) * (yy / h)
+    r = base
+    g = np.clip(base * 1.1, 0.0, 1.0)
+    b = np.clip(base * 0.8, 0.0, 1.0)
+    return r.astype(np.float32), g.astype(np.float32), b.astype(np.float32)
+
+
+def _apply(r, g, b, sharpen=0.0, denoise=0.0):
+    from raweditor_tpu.ops.extras import apply_finish_extras
+
+    out = apply_finish_extras(r, g, b, sharpen, denoise)
+    return tuple(np.asarray(c) for c in out)
+
+
+class TestKernel:
+    def test_zero_amounts_near_identity(self, rng):
+        r, g, b = _rgb_planes(rng)
+        r2, g2, b2 = _apply(r, g, b, 0.0, 0.0)
+        # The opponent round trip may cost 1 ULP; nothing visible.
+        for a, c in ((r, r2), (g, g2), (b, b2)):
+            assert np.max(np.abs(a - c)) < 1e-5
+
+    def test_denoise_raises_psnr(self, rng):
+        clean = _rgb_planes(rng)
+        noisy = tuple(
+            np.clip(c + rng.normal(0, 0.03, c.shape).astype(np.float32),
+                    0, 1)
+            for c in clean
+        )
+        den = _apply(*noisy, sharpen=0.0, denoise=80.0)
+
+        def mse(t):
+            return float(np.mean([(a - b) ** 2
+                                  for a, b in zip(t, clean)]))
+
+        assert mse(den) < 0.5 * mse(noisy)
+
+    def test_chroma_noise_strongly_suppressed(self, rng):
+        r, g, b = _rgb_planes(rng)
+        # Chroma-only noise: perturb r/b against g.
+        n = rng.normal(0, 0.04, r.shape).astype(np.float32)
+        rn = np.clip(r + n, 0, 1)
+        bn = np.clip(b - n, 0, 1)
+        r2, g2, b2 = _apply(rn, g, bn, denoise=100.0)
+        assert np.mean((r2 - r) ** 2) < 0.2 * np.mean((rn - r) ** 2)
+
+    def test_sharpen_monotonic_acutance(self, rng):
+        # A soft vertical edge; acutance = mean |horizontal gradient|.
+        h, w = 48, 64
+        xx = np.mgrid[0:h, 0:w][1].astype(np.float32)
+        soft = (1.0 / (1.0 + np.exp(-(xx - w / 2) / 3.0))).astype(
+            np.float32)
+        r = g = b = 0.2 + 0.6 * soft
+
+        def acutance(t):
+            y = 0.2126 * t[0] + 0.7152 * t[1] + 0.0722 * t[2]
+            return float(np.mean(np.abs(np.diff(y, axis=1))))
+
+        base = acutance((r, g, b))
+        a50 = acutance(_apply(r, g, b, sharpen=50.0))
+        a100 = acutance(_apply(r, g, b, sharpen=100.0))
+        assert base < a50 < a100
+
+    def test_output_clamped(self, rng):
+        # Hard edge at the top of the range: USM overshoot must clamp,
+        # not wrap the quantizers.
+        r, g, b = _rgb_planes(rng)
+        r = r.copy()
+        r[:, 32:] = 1.0
+        r[:, :32] = 0.0
+        out = _apply(r, g, b, sharpen=150.0, denoise=0.0)
+        for c in out:
+            assert c.min() >= 0.0 and c.max() <= 1.0
+
+    def test_batched_matches_loop(self, rng):
+        r, g, b = _rgb_planes(rng)
+        rb = np.stack([r, r * 0.5])
+        gb = np.stack([g, g * 0.5])
+        bb = np.stack([b, b * 0.5])
+        batched = _apply(rb, gb, bb, sharpen=60.0, denoise=30.0)
+        one = _apply(r, g, b, sharpen=60.0, denoise=30.0)
+        for big, small in zip(batched, one):
+            np.testing.assert_allclose(big[0], small, rtol=0, atol=1e-6)
+
+
+class TestDevelopGating:
+    def test_static_flag_ignores_params(self, rng):
+        from raweditor_tpu.ops.develop import develop
+
+        m = rng.integers(0, 4095, (32, 48)).astype(np.uint16)
+        wb = np.ones(3, np.float32)
+        cm = np.eye(3, dtype=np.float32)
+        base = np.asarray(develop(m, EditParams(), wb, cm))
+        ignored = np.asarray(
+            develop(m, EditParams(sharpen=100.0), wb, cm, extras=False))
+        assert (ignored == base).all()
+
+    def test_zero_amount_enabled_within_1lsb(self, rng):
+        from raweditor_tpu.ops.develop import develop
+
+        m = rng.integers(0, 4095, (32, 48)).astype(np.uint16)
+        wb = np.ones(3, np.float32)
+        cm = np.eye(3, dtype=np.float32)
+        base = np.asarray(develop(m, EditParams(), wb, cm))
+        z = np.asarray(develop(m, EditParams(), wb, cm, extras=True))
+        assert np.max(np.abs(z.astype(int) - base.astype(int))) <= 1
+
+    def test_extras_change_output(self, rng):
+        from raweditor_tpu.ops.develop import develop
+
+        m = rng.integers(0, 4095, (32, 48)).astype(np.uint16)
+        wb = np.ones(3, np.float32)
+        cm = np.eye(3, dtype=np.float32)
+        base = np.asarray(develop(m, EditParams(), wb, cm))
+        e = np.asarray(develop(
+            m, EditParams(sharpen=100.0, denoise=60.0), wb, cm,
+            extras=True))
+        assert (e != base).any()
+
+    def test_u16_lane(self, rng):
+        from raweditor_tpu.ops.develop import develop_u16
+
+        m = rng.integers(0, 4095, (32, 48)).astype(np.uint16)
+        wb = np.ones(3, np.float32)
+        cm = np.eye(3, dtype=np.float32)
+        base = np.asarray(develop_u16(m, EditParams(), wb, cm))
+        e = np.asarray(develop_u16(
+            m, EditParams(denoise=80.0), wb, cm, extras=True))
+        assert e.dtype == np.uint16 and (e != base).any()
+
+
+class TestParamsContract:
+    def test_has_finish_extras(self):
+        assert not EditParams().has_finish_extras()
+        assert EditParams(sharpen=10.0).has_finish_extras()
+        assert EditParams(denoise=5.0).has_finish_extras()
+
+    def test_default_json_is_reference_schema(self):
+        payload = json.loads(EditParams().to_json())
+        assert len(payload) == 10 and "sharpen" not in payload
+
+    def test_extras_json_round_trip(self):
+        p = EditParams(exposure=0.5, sharpen=75.0, denoise=25.0)
+        assert EditParams.from_json(p.to_json()) == p
+
+    def test_is_unedited_covers_extras(self):
+        assert not EditParams(sharpen=1.0).is_unedited()
+
+    def test_ranges_present_for_cli(self):
+        from raweditor_tpu.params import RANGES
+
+        assert "sharpen" in RANGES and "denoise" in RANGES
+
+
+class TestEngineAndExport:
+    @pytest.fixture
+    def raw_path(self, tmp_path, rng):
+        from raweditor_tpu.raw.synth import write_synthetic_raw
+
+        path = tmp_path / "x.dng"
+        mosaic = rng.integers(0, 4095, (64, 96)).astype(np.uint16)
+        write_synthetic_raw(str(path), mosaic)
+        return str(path)
+
+    def test_preview_tick_aot_fallback(self, raw_path):
+        from raweditor_tpu.pipeline.engine import DevelopEngine
+
+        eng = DevelopEngine.open(raw_path, mode="accurate")
+        eng.compile_preview()
+        p = EditParams(sharpen=100.0, denoise=50.0)
+        t0 = np.asarray(eng.preview_tick(EditParams()))
+        t = np.asarray(eng.preview_tick(p))
+        assert (t != t0).any()
+        # The jit path must agree with preview() for the same params.
+        assert (t == eng.preview(p)).all()
+
+    def test_engine_export_jpeg_and_tiff(self, raw_path, tmp_path):
+        from raweditor_tpu.pipeline.engine import DevelopEngine
+
+        eng = DevelopEngine.open(raw_path, mode="accurate")
+        p = EditParams(sharpen=80.0)
+        a = tmp_path / "a.jpg"
+        b = tmp_path / "b.jpg"
+        eng.export(str(a), EditParams(), quality=92)
+        eng.export(str(b), p, quality=92)
+        assert a.read_bytes() != b.read_bytes()
+        t16 = tmp_path / "a.tiff"
+        eng.export_tiff16(str(t16), p)
+        assert t16.stat().st_size > 0
+
+    def test_batch_per_image_amounts(self, rng):
+        """Each image in one vmapped batch gets its own amounts."""
+        from raweditor_tpu.ops.develop import develop_rgba
+        from raweditor_tpu.parallel.batch import (
+            batch_develop_rgba,
+            pack_params,
+        )
+
+        m = rng.integers(0, 4095, (2, 32, 48)).astype(np.uint16)
+        wb = np.ones((2, 3), np.float32)
+        cm = np.stack([np.eye(3, dtype=np.float32)] * 2)
+        plist = [EditParams(sharpen=120.0), EditParams(denoise=90.0)]
+        out = np.asarray(batch_develop_rgba(
+            m, pack_params(plist), wb, cm, extras=True))
+        for i, p in enumerate(plist):
+            single = np.asarray(develop_rgba(
+                m[i], p, wb[i], cm[i], extras=True))
+            assert (out[i] == single).all()
+
+    def test_batch_export_with_mesh(self, tmp_path, rng):
+        """Extras-active batches route GSPMD on a row-sharded mesh and
+        match the mesh-less output bit-for-bit."""
+        from raweditor_tpu.parallel.mesh import batch_row_mesh
+        from raweditor_tpu.pipeline.export import (
+            ExportJob,
+            run_batch_export,
+        )
+        from raweditor_tpu.raw.synth import write_synthetic_raw
+
+        paths = []
+        for i in range(2):
+            path = tmp_path / f"m{i}.dng"
+            mosaic = rng.integers(0, 4095, (64, 96)).astype(np.uint16)
+            write_synthetic_raw(str(path), mosaic)
+            paths.append(str(path))
+        p = EditParams(sharpen=90.0, denoise=40.0)
+
+        jobs_a = [ExportJob(pth, str(tmp_path / f"solo{i}.png"), p)
+                  for i, pth in enumerate(paths)]
+        rep = run_batch_export(jobs_a, mesh=None, batch_size=2)
+        assert rep.succeeded == 2 and not rep.failed
+
+        mesh = batch_row_mesh(8, row=4)
+        jobs_b = [ExportJob(pth, str(tmp_path / f"mesh{i}.png"), p)
+                  for i, pth in enumerate(paths)]
+        rep = run_batch_export(jobs_b, mesh=mesh, batch_size=2)
+        assert rep.succeeded == 2 and not rep.failed
+        from PIL import Image
+
+        for i in range(2):
+            a = np.asarray(Image.open(tmp_path / f"solo{i}.png"))
+            b = np.asarray(Image.open(tmp_path / f"mesh{i}.png"))
+            assert (a == b).all()
+
+    def test_catalog_round_trip(self, tmp_path, raw_path):
+        from raweditor_tpu.catalog import Library
+
+        lib = Library(str(tmp_path / "cat.db"))
+        img_id = lib.import_image(raw_path, os.path.basename(raw_path))
+        p = EditParams(exposure=0.3, sharpen=66.0)
+        lib.save_edit_params(img_id, p)
+        assert lib.load_edit_params(img_id) == p
+        lib.close()

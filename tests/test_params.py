@@ -46,9 +46,11 @@ def test_reset():
     assert p.reset().is_unedited()
 
 
-def test_is_pytree_of_ten_scalars():
+def test_is_pytree_of_twelve_scalars():
+    # The reference's ten sliders (state/edit.rs:15-96) + the two
+    # finish extras (sharpen/denoise, beyond the reference).
     leaves = jax.tree.leaves(EditParams())
-    assert len(leaves) == 10
+    assert len(leaves) == 12
 
 
 def test_slider_change_does_not_recompile():
