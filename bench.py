@@ -334,6 +334,39 @@ def _measure(results):
         pallas_grad_develops_per_sec=round(grad_wall_per_sec, 2))
     _kernel_device_lane("grad", "grad")
 
+    # --- finish extras lane (sharpen/denoise, late r3): the fused
+    # post-pass kernel over the develop's RGBA words — the cost of the
+    # two beyond-reference sliders on the fast lane
+    # (docs/performance.md "Finish extras").
+    _stage("extras lane")
+    try:
+        import tempfile
+
+        from raweditor_tpu.ops.pallas_develop import (
+            pallas_finish_extras_rgba,
+        )
+        from raweditor_tpu.utils.profiling import (device_execution_times,
+                                                   device_trace)
+
+        base_words = pallas_develop_rgba(mosaic, params, wb, real_cm,
+                                         gamma="poly")
+        np.asarray(checksum(pallas_finish_extras_rgba(
+            base_words, 80.0, 50.0)))  # compile
+        with tempfile.TemporaryDirectory() as tdir:
+            with device_trace(tdir):
+                for i in range(6):
+                    out = pallas_finish_extras_rgba(
+                        base_words, 80.0 + i, 50.0)
+                np.asarray(checksum(out))
+            durs = device_execution_times(
+                tdir, "jit_pallas_finish_extras_rgba")
+        if durs:
+            med_ms = float(np.percentile(durs, 50))
+            results.update(
+                extras_device_ms_per_image=round(med_ms, 4))
+    except Exception:
+        pass  # kernel unsupported on this backend → field absent
+
     # --- 1280 px preview re-render latency (slider change → preview
     # ready on device), decomposed so the number is defensible on a
     # tunneled dev chip (VERDICT r1 item 1):

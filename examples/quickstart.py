@@ -94,6 +94,16 @@ def main() -> None:
     eng2.export(tif, EditParams(exposure=0.3))
     print("16-bit tiff:", tif.stat().st_size, "bytes")
 
+    # 6. Finish extras (beyond the reference's ten sliders): luma
+    # unsharp mask + edge-preserving denoise, fused into the same
+    # develop program (ops/extras.py). Defaults off — parity stays
+    # bit-exact; the sliders persist through the catalog like any
+    # other edit.
+    crisp = work / "crisp.jpg"
+    eng2.export(crisp, EditParams(exposure=0.3, sharpen=80.0,
+                                  denoise=30.0), quality=92)
+    print("sharpened jpeg:", crisp.stat().st_size, "bytes")
+
 
 if __name__ == "__main__":
     main()

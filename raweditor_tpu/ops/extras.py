@@ -3,9 +3,7 @@
 Capability beyond the reference editor, whose develop chain ends at
 vibrance + gamma (reference: gpu/shaders.rs:171-267 has no spatial
 output filtering). These are the two most-requested develop controls
-its 10-slider model lacks; both are small fixed-radius stencils, so on
-TPU they fuse into the same HBM-bound develop program as everything
-else — enabling them never adds a device round trip.
+its 10-slider model lacks; both are small fixed-radius stencils.
 
 Placement: the extras run on the TRANSFER-ENCODED RGB planes in
 [0, 1], after the gamma/sRGB encode and immediately before output
@@ -41,6 +39,20 @@ the develop entry points only call into this module when their static
 ``extras`` flag is set (params.EditParams.has_finish_extras decides
 host-side), so an unedited develop never traces these ops at all.
 
+Two executions of the same math (single source of truth:
+:func:`extras_core`, parameterized over ±1-shift closures):
+
+- **XLA in-chain** (:func:`apply_finish_extras`): fused into the
+  develop program pre-quantization. Semantically the reference, but
+  XLA materializes each composed stencil stage through HBM — measured
+  12.7 ms on top of a 1.5 ms develop @24 MP (the same pathology that
+  sent the 'grad' demosaic in-kernel; docs/performance.md).
+- **Pallas post-pass** (ops/pallas_develop.pallas_finish_extras_rgba):
+  one fused kernel over the packed-RGBA u32 words ANY develop lane
+  emits — unpack u8→[0,1], same core, requantize. One extra HBM round
+  trip total. Operating post-quantization adds ≤1/255 of input noise,
+  inside the fast lanes' ±1 LSB contract.
+
 All helpers accept batched (..., H, W) planes — the batch exporter
 vmaps over images. Boundary handling is clamp-to-edge, like every
 other stencil in the chain. The radius-2 receptive field exceeds the
@@ -58,73 +70,96 @@ _F = np.float32
 _LUMA_R, _LUMA_G, _LUMA_B = _F(0.2126), _F(0.7152), _F(0.0722)
 
 
-def _shifts3(x):
-    """``s(dy, dx)`` → the plane shifted so each output pixel reads its
-    (dy, dx) neighbor, clamp-to-edge, for dy/dx in {-1, 0, 1}. One
-    edge pad, nine static slices — XLA fuses the lot."""
-    h, w = x.shape[-2], x.shape[-1]
-    pad = [(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)]
-    xp = jnp.pad(x, pad, mode="edge")
+def _pad_shift_fns():
+    """Clamp-to-edge ±1 shift closures over (..., H, W) planes for the
+    XLA path: ``up(x)`` is the value one row up (row 0 replicates),
+    etc. Corner taps compose (``lf(up(x))``) exactly like an edge pad
+    in both dims."""
 
-    def s(dy, dx):
-        return xp[..., 1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+    def up(x):
+        return jnp.concatenate([x[..., :1, :], x[..., :-1, :]], axis=-2)
 
-    return s
+    def dn(x):
+        return jnp.concatenate([x[..., 1:, :], x[..., -1:, :]], axis=-2)
 
+    def lf(x):
+        return jnp.concatenate([x[..., :, :1], x[..., :, :-1]], axis=-1)
 
-def _tent3(x):
-    """3×3 tent ([1,2,1]⊗[1,2,1] / 16) with clamp-to-edge."""
-    s = _shifts3(x)
-    return (
-        (s(-1, -1) + s(-1, 1) + s(1, -1) + s(1, 1))
-        + (s(-1, 0) + s(0, -1) + s(0, 1) + s(1, 0)) * _F(2.0)
-        + x * _F(4.0)
-    ) * _F(1.0 / 16.0)
+    def rt(x):
+        return jnp.concatenate([x[..., :, 1:], x[..., :, -1:]], axis=-1)
+
+    return up, dn, lf, rt
 
 
-def _bilateral3(y, sigma):
-    """One 3×3 bilateral-lite pass on luma: tent spatial weights × the
-    rational range kernel 1/(1 + (Δ/σ)²). σ may be a traced scalar."""
-    s = _shifts3(y)
-    inv_s2 = _F(1.0) / (sigma * sigma)
-    num = y * _F(4.0)
-    den = jnp.full_like(y, _F(4.0))
-    for dy, dx, wgt in ((-1, -1, 1.0), (-1, 0, 2.0), (-1, 1, 1.0),
-                        (0, -1, 2.0), (0, 1, 2.0),
-                        (1, -1, 1.0), (1, 0, 2.0), (1, 1, 1.0)):
-        n = s(dy, dx)
-        d = n - y
-        w = _F(wgt) / (_F(1.0) + d * d * inv_s2)
-        num = num + n * w
-        den = den + w
-    return num / den
-
-
-def apply_finish_extras(r, g, b, sharpen, denoise):
-    """Sharpen + denoise on transfer-encoded [0, 1] RGB planes.
-
-    ``sharpen``/``denoise`` are traced scalars (slider moves never
-    recompile); returns (r, g, b) clamped to [0, 1]. See the module
-    docstring for the pipeline."""
+def extras_core(r, g, b, sharpen, denoise, up, dn, lf, rt):
+    """The extras math on encoded [0, 1] planes, parameterized over
+    ±1-shift closures so the XLA path (edge-pad shifts) and the Pallas
+    kernel (roll + edge-fixup shifts, ops/pallas_develop.py) share one
+    definition. Tents are separable (row pass then column pass);
+    returns (r, g, b) clamped to [0, 1]."""
     sharpen = jnp.asarray(sharpen, jnp.float32)
     denoise = jnp.asarray(denoise, jnp.float32)
+
+    def tent3(x):
+        xv = (up(x) + x * _F(2.0)) + dn(x)
+        return ((lf(xv) + xv * _F(2.0)) + rt(xv)) * _F(1.0 / 16.0)
 
     y = _LUMA_R * r + _LUMA_G * g + _LUMA_B * b
     cr = r - y
     cb = b - y
 
     s = jnp.clip(denoise * _F(0.01), _F(0.0), _F(1.0))
-    cr = cr + (_tent3(_tent3(cr)) - cr) * s
-    cb = cb + (_tent3(_tent3(cb)) - cb) * s
+    cr = cr + (tent3(tent3(cr)) - cr) * s
+    cb = cb + (tent3(tent3(cb)) - cb) * s
 
+    # Bilateral-lite luma pass: tent spatial × rational range weights.
     sigma = _F(0.02) + _F(0.06) * s
-    y = y + (_bilateral3(y, sigma) - y) * s
+    inv_s2 = _F(1.0) / (sigma * sigma)
+    u, d = up(y), dn(y)
+    taps = ((lf(u), _F(1.0)), (u, _F(2.0)), (rt(u), _F(1.0)),
+            (lf(y), _F(2.0)), (rt(y), _F(2.0)),
+            (lf(d), _F(1.0)), (d, _F(2.0)), (rt(d), _F(1.0)))
+    num = y * _F(4.0)
+    den = jnp.full_like(y, _F(4.0))
+    for t, wgt in taps:
+        dlt = t - y
+        w_ = wgt / (_F(1.0) + dlt * dlt * inv_s2)
+        num = num + t * w_
+        den = den + w_
+    y = y + (num / den - y) * s
 
     a = jnp.maximum(sharpen, _F(0.0)) * _F(0.01)
-    y = y + (y - _tent3(y)) * a
+    y = y + (y - tent3(y)) * a
 
     r = y + cr
     b = y + cb
     g = (y - _LUMA_R * r - _LUMA_B * b) * _F(1.0 / 0.7152)
     clip = lambda c: jnp.clip(c, _F(0.0), _F(1.0))  # noqa: E731
     return clip(r), clip(g), clip(b)
+
+
+def apply_finish_extras(r, g, b, sharpen, denoise):
+    """Sharpen + denoise on transfer-encoded [0, 1] RGB planes — the
+    XLA in-chain execution of :func:`extras_core`.
+
+    ``sharpen``/``denoise`` are traced scalars (slider moves never
+    recompile); returns (r, g, b) clamped to [0, 1]."""
+    up, dn, lf, rt = _pad_shift_fns()
+    return extras_core(r, g, b, sharpen, denoise, up, dn, lf, rt)
+
+
+def finish_extras_rgba_words(words, sharpen, denoise):
+    """Behavioral reference for the Pallas post-pass: packed-RGBA u32
+    (..., H, W) → u32, extras applied on the quantized u8 values
+    rescaled to [0, 1], requantized with the finish rounding
+    (floor(c·255 + 0.5)). The kernel mirrors this exactly."""
+    scale = _F(1.0 / 255.0)
+    r = (words & 0xFF).astype(jnp.float32) * scale
+    g = ((words >> 8) & 0xFF).astype(jnp.float32) * scale
+    b = ((words >> 16) & 0xFF).astype(jnp.float32) * scale
+    r, g, b = apply_finish_extras(r, g, b, sharpen, denoise)
+
+    def q(c):
+        return jnp.floor(c * _F(255.0) + _F(0.5)).astype(jnp.uint32)
+
+    return (q(r) | (q(g) << 8) | (q(b) << 16) | jnp.uint32(0xFF000000))

@@ -1237,3 +1237,186 @@ def pallas_develop_rgba(
     return _launch_flat(scal[None], mosaic[None], 1, h, w, bh, cfa_phase,
                         gamma, pattern, demosaic, interpret,
                         true_hw=(th, tw))[0]
+
+
+# ---------------------------------------------------------------------------
+# Finish-extras post-pass kernel (sharpen / denoise on packed RGBA words)
+# ---------------------------------------------------------------------------
+
+
+def _extras_window(v_words, off, i, bh, w, true_h, true_w, sharpen,
+                   denoise):
+    """Extras over one realigned (bh+8)-row band of packed-RGBA words:
+    unpack u8 → [0, 1] planes, run ops/extras.extras_core with
+    roll-based shift closures, requantize with the finish rounding,
+    repack. The ±2-pixel receptive field sits well inside the band's
+    4-row halo. The shifts clamp at the TRUE image edges (pre-pad):
+    launch-time pad clones are exact for a single stencil but NOT for
+    composed stages (a clone's stage-1 output differs from the true
+    edge's — the same leak grad repairs with clampw), so true pixels
+    must never read a pad pixel's stage output. With reads clamped at
+    true_h/true_w they never do, and the pad region is sliced off."""
+    from raweditor_tpu.ops.extras import extras_core
+
+    v, gw, cols = _band_realign(v_words, off, i, bh, w)
+    n = gw.shape[0]
+
+    def up(a):
+        return jnp.where(gw == 0, a, pltpu.roll(a, 1, axis=0))
+
+    def dn(a):
+        return jnp.where(gw == true_h - 1, a,
+                         pltpu.roll(a, n - 1, axis=0))
+
+    def lf(a):
+        return jnp.where(cols == 0, a, pltpu.roll(a, 1, axis=1))
+
+    def rt(a):
+        return jnp.where(cols >= true_w - 1, a,
+                         pltpu.roll(a, w - 1, axis=1))
+    scale = _F(1.0 / 255.0)
+    # u32→f32 casts go through int32 (masked values are ≤ 255).
+    r = (v & 0xFF).astype(jnp.int32).astype(jnp.float32) * scale
+    g = ((v >> 8) & 0xFF).astype(jnp.int32).astype(jnp.float32) * scale
+    b = ((v >> 16) & 0xFF).astype(jnp.int32).astype(jnp.float32) * scale
+    r, g, b = extras_core(r, g, b, sharpen, denoise, up, dn, lf, rt)
+
+    def q(c):
+        # floor(c·255 + 0.5), f32→u32 via int32 (Mosaic cast rule).
+        return jnp.floor(c * _F(255.0) + _F(0.5)).astype(
+            jnp.int32).astype(jnp.uint32)
+
+    packed = (q(r) | (q(g) << 8) | (q(b) << 16)
+              | jnp.uint32(0xFF000000))
+    return packed[4 : 4 + bh]
+
+
+def _extras_kernel_flat(scal_ref, words_hbm, out_ref, scratch, sems, *,
+                        block_h: int, steps: int, total: int,
+                        img_h: int, width: int, true_h: int,
+                        true_w: int):
+    """Double-buffered flat-grid body for the extras post-pass — the
+    same window/DMA scheme as _kernel_flat, on u32 words."""
+    g = pl.program_id(0)
+    nimg = g // steps
+    i = g % steps
+    nwin = block_h + 16
+
+    def window(gg):
+        ii = gg % steps
+        s0 = jnp.clip(ii * block_h - 8, 0, img_h - nwin)
+        s0 = pl.multiple_of(s0, 8)
+        return (gg // steps) * img_h + s0, ii * block_h - s0
+
+    def copy_for(gg, slot):
+        row0, _ = window(gg)
+        return pltpu.make_async_copy(
+            words_hbm.at[pl.ds(row0, nwin)], scratch.at[slot],
+            sems.at[slot],
+        )
+
+    slot = jax.lax.rem(g, 2)
+
+    @pl.when(g == 0)
+    def _():
+        copy_for(g, slot).start()
+
+    @pl.when(g + 1 < total)
+    def _():
+        copy_for(g + 1, 1 - slot).start()
+
+    copy_for(g, slot).wait()
+    _, off = window(g)
+    out_ref[0] = _extras_window(scratch[slot], off, i, block_h, width,
+                                true_h, true_w, scal_ref[nimg, 0],
+                                scal_ref[nimg, 1])
+
+
+@functools.partial(jax.jit, static_argnames=("block_h", "interpret",
+                                              "_true_hw"))
+def pallas_finish_extras_rgba(words, sharpen=0.0, denoise=0.0,
+                              block_h: int | None = None,
+                              interpret: bool = False,
+                              _true_hw=None):
+    """Fused finish-extras post-pass: packed-RGBA u32 (H, W) or
+    (N, H, W) → same shape/dtype, sharpening + denoise applied
+    (ops/extras.py pipeline on the quantized u8 values, mirrored from
+    :func:`raweditor_tpu.ops.extras.finish_extras_rgba_words`).
+
+    One HBM round trip regardless of stage count — the XLA in-chain
+    execution materializes each composed stencil stage (measured
+    12.7 ms on top of develop @24 MP vs ~1 ms here), the same
+    pathology that put the 'grad' demosaic in-kernel. Because it runs
+    on the develop OUTPUT, it composes with every develop lane,
+    including the fused Pallas kernels the in-chain extras can't join.
+
+    ``sharpen``/``denoise`` are traced scalars, or (N,) arrays for
+    per-image amounts on batched input. Quantize-then-filter adds
+    ≤1/255 of input rounding vs the in-chain reference — inside the
+    fast lanes' ±1 LSB contract (pinned by test)."""
+    squeeze = words.ndim == 2
+    if squeeze:
+        words = words[None]
+    n, h, w = words.shape
+    th, tw = _true_hw if _true_hw is not None else (h, w)
+    sh = jnp.broadcast_to(jnp.asarray(sharpen, jnp.float32), (n,))
+    dn = jnp.broadcast_to(jnp.asarray(denoise, jnp.float32), (n,))
+
+    def _finish(out):
+        return out[0] if squeeze else out
+
+    # Lane alignment: edge-pad the width, slice after. The kernel's
+    # shift closures clamp at the TRUE width — pad values are never
+    # read by true pixels (see _extras_window).
+    wp = -(-w // 128) * 128
+    if wp != w:
+        out = pallas_finish_extras_rgba(
+            jnp.pad(words, ((0, 0), (0, 0), (0, wp - w)), mode="edge"),
+            sh, dn, block_h, interpret, _true_hw=(th, tw))
+        return _finish(out[:, :, :w])
+    # The band stages hold ~10 live (bh+8, W) f32 planes; bh=64 keeps
+    # the live set comfortably inside VMEM at production widths (the
+    # grad kernel's cap, same reasoning) AND measured fastest: @24 MP
+    # padded-4096 bh=64 runs 1.79 ms vs 2.33 at the natural bh=16
+    # (the (bh+16)/bh window overhead dominates small blocks) and 2.07
+    # at bh=128 (live-set pressure). Heights whose largest valid
+    # divisor is small are therefore edge-padded to the next 128
+    # multiple — exact here, since reads clamp at the true height.
+    bh = block_h or _largest_even_divisor(h, cap=64)
+    if block_h is None and (bh == 0 or (bh < 32 and h % 128)):
+        hp = max(-(-h // 128) * 128, 128)
+        out = pallas_finish_extras_rgba(
+            jnp.pad(words, ((0, 0), (0, hp - h), (0, 0)), mode="edge"),
+            sh, dn, block_h, interpret, _true_hw=(th, tw))
+        return _finish(out[:, :h])
+    if not bh or h % bh or bh % 8 or h < bh + 16:
+        raise ValueError(
+            f"H={h} needs a block height that is a multiple of 8, "
+            f"divides H, and leaves room for the halo window "
+            f"(H >= block_h+16; got {bh}); use the XLA path for this "
+            "shape")
+    steps = h // bh
+    scal = jnp.stack([sh, dn], axis=1)
+    flat = words.reshape(n * h, w)
+    out = pl.pallas_call(
+        functools.partial(_extras_kernel_flat, block_h=bh, steps=steps,
+                          total=n * steps, img_h=h, width=w,
+                          true_h=th, true_w=tw),
+        grid=(n * steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec((1, bh, w),
+                               lambda g: (g // steps, g % steps, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((2, bh + 16, w), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(scal, flat)
+    return _finish(out)

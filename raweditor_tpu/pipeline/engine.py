@@ -401,19 +401,21 @@ class DevelopEngine:
             # intermediates, and the fused kernel wins despite the
             # masks (8.0 ms vs 11.6 = 1.45×, kernel block_h capped at
             # 64 for VMEM).
-            # The hand-fused kernels don't implement the finish
-            # extras (sharpen/denoise) — extras-active params take the
-            # XLA lane, where the stencils fuse into the same program.
-            if (self.use_pallas and not ex
+            # Finish extras ride the fast lane as the fused
+            # post-pass kernel over the develop's RGBA words
+            # (pallas_finish_extras_rgba) — the XLA in-chain form
+            # materializes every stencil stage (~12.7 ms @24 MP).
+            if (self.use_pallas
                     and self.demosaic_method == "grad"
                     and self.transfer in PALLAS_GAMMA_BY_TRANSFER
                     and not getattr(self, "_pallas_grad_failed", False)):
                 from raweditor_tpu.ops.pallas_develop import (
                     pallas_develop_rgba,
+                    pallas_finish_extras_rgba,
                 )
 
                 try:
-                    return pallas_develop_rgba(
+                    words = pallas_develop_rgba(
                         self.mosaic, params, self.wb, self.cam_matrix,
                         white_level=self.white_level,
                         black_level=self.black_level,
@@ -421,6 +423,11 @@ class DevelopEngine:
                         pattern=self.xtrans_pattern, demosaic="grad",
                         gamma=pallas_gamma_for(self.transfer),
                     )
+                    if ex:
+                        words = pallas_finish_extras_rgba(
+                            words, float(params.sharpen),
+                            float(params.denoise))
+                    return words
                 except Exception as e:
                     # Unsupported shape/pattern OR a VMEM-overflow
                     # compile failure on very wide sensors → XLA path.
@@ -441,15 +448,18 @@ class DevelopEngine:
                 demosaic_method=_generic_cfa_method(self.demosaic_method), rgba=True,
                 extras=ex,
             )
-        if (self.use_pallas and not ex
+        if (self.use_pallas
                 and self.demosaic_method in ("nearest", "bilinear",
                                              "malvar", "grad")
                 and self.transfer in PALLAS_GAMMA_BY_TRANSFER
                 and not getattr(self, "_pallas_failed", False)):
-            from raweditor_tpu.ops.pallas_develop import pallas_develop_rgba
+            from raweditor_tpu.ops.pallas_develop import (
+                pallas_develop_rgba,
+                pallas_finish_extras_rgba,
+            )
 
             try:
-                return pallas_develop_rgba(
+                words = pallas_develop_rgba(
                     self.mosaic, params, self.wb, self.cam_matrix,
                     white_level=self.white_level,
                     black_level=self.black_level,
@@ -458,6 +468,13 @@ class DevelopEngine:
                     gamma=pallas_gamma_for(self.transfer),
                     demosaic=self.demosaic_method,
                 )
+                if ex:
+                    # Extras ride the fast lane as the fused post-pass
+                    # kernel (see the X-Trans branch note).
+                    words = pallas_finish_extras_rgba(
+                        words, float(params.sharpen),
+                        float(params.denoise))
+                return words
             except Exception as e:
                 # Unsupported shape OR a non-ValueError kernel compile
                 # failure (e.g. VMEM overflow on very wide sensors) →

@@ -777,6 +777,12 @@ def run_batch_export(
             # the extra stencil work (zero-amount images inside such a
             # batch develop within 1 LSB of their extras-off render).
             ex_on = any(d.job.params.has_finish_extras() for d in batch)
+
+            def _extras_amounts(ds, which):
+                field = ("sharpen", "denoise")[which]
+                return np.array(
+                    [float(getattr(d.job.params, field)) for d in ds],
+                    np.float32)
             # JPEG-plane output folded into the develop program (see the
             # jpeg_planes_ok comment): decide per shape bucket — a
             # device-side long-edge resize needs RGBA words, so those
@@ -879,13 +885,17 @@ def run_batch_export(
                 # 10+ composed stages and the fused kernel wins (8.0 ms
                 # vs 11.6 = 1.45×).
                 out = None
-                pl_key = (mosaics.shape, "grad", phase, xla_output)
-                # Extras-active batches take the XLA lane — the fused
-                # kernels don't implement the finish stencils.
-                if (pallas_ok and not ex_on and demosaic_method == "grad"
+                pl_key = (mosaics.shape, "grad", phase, xla_output,
+                          ex_on)
+                # Extras-active batches stay on the fused lane: the
+                # standalone post-pass kernel runs on the develop's
+                # RGBA words (so the kernel emits words, and the
+                # JPEG-plane conversion happens in the tail pass).
+                if (pallas_ok and demosaic_method == "grad"
                         and pl_key not in _pallas_failed):
                     from raweditor_tpu.ops.pallas_develop import (
                         pallas_batch_develop_rgba,
+                        pallas_finish_extras_rgba,
                     )
 
                     try:
@@ -896,8 +906,12 @@ def run_batch_export(
                             gamma=pallas_gamma,
                             output=("ycbcr420"
                                     if xla_output == "ycbcr420"
-                                    else "rgba"),
+                                    and not ex_on else "rgba"),
                         )
+                        if ex_on:
+                            out = pallas_finish_extras_rgba(
+                                out, _extras_amounts(padded, 0),
+                                _extras_amounts(padded, 1))
                     except Exception:
                         out = None  # shape/VMEM unsupported → XLA path
                         _pallas_failed.add(pl_key)
@@ -913,10 +927,11 @@ def run_batch_export(
             elif mesh is None:
                 out = None
                 pl_key = (mosaics.shape, demosaic_method, phase,
-                          xla_output)
-                if pallas_ok and not ex_on and pl_key not in _pallas_failed:
+                          xla_output, ex_on)
+                if pallas_ok and pl_key not in _pallas_failed:
                     from raweditor_tpu.ops.pallas_develop import (
                         pallas_batch_develop_rgba,
+                        pallas_finish_extras_rgba,
                     )
 
                     try:
@@ -928,8 +943,15 @@ def run_batch_export(
                             demosaic=demosaic_method,
                             output=("ycbcr420"
                                     if xla_output == "ycbcr420"
-                                    else "rgba"),
+                                    and not ex_on else "rgba"),
                         )
+                        if ex_on:
+                            # Finish extras as the fused post-pass over
+                            # the RGBA words (per-image amounts); the
+                            # JPEG-plane conversion runs in the tail.
+                            out = pallas_finish_extras_rgba(
+                                out, _extras_amounts(padded, 0),
+                                _extras_amounts(padded, 1))
                     except Exception:
                         out = None  # unsupported shape/backend → XLA path
                         _pallas_failed.add(pl_key)

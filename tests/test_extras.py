@@ -274,3 +274,83 @@ class TestEngineAndExport:
         lib.save_edit_params(img_id, p)
         assert lib.load_edit_params(img_id) == p
         lib.close()
+
+
+class TestPallasPostPass:
+    """pallas_finish_extras_rgba vs its XLA behavioral reference
+    (ops/extras.finish_extras_rgba_words) in interpreter mode — the
+    compiled kernel's on-chip timings live in docs/performance.md."""
+
+    def _words(self, rng, shape):
+        return (rng.integers(0, 2**24, shape).astype(np.uint32)
+                | np.uint32(0xFF000000))
+
+    def _diff(self, a, b):
+        return int(np.abs(a.view(np.uint8).astype(int)
+                          - b.view(np.uint8).astype(int)).max())
+
+    @pytest.mark.parametrize("shape", [(96, 128), (96, 130), (100, 128),
+                                       (50, 70), (2, 96, 128)])
+    def test_matches_reference(self, rng, shape):
+        import jax.numpy as jnp
+
+        from raweditor_tpu.ops.extras import finish_extras_rgba_words
+        from raweditor_tpu.ops.pallas_develop import (
+            pallas_finish_extras_rgba,
+        )
+
+        words = self._words(rng, shape)
+        ref = np.asarray(finish_extras_rgba_words(
+            jnp.asarray(words), 80.0, 50.0))
+        got = np.asarray(pallas_finish_extras_rgba(
+            jnp.asarray(words), 80.0, 50.0, interpret=True))
+        # ±1 LSB contract (FMA-contraction differences between fusion
+        # contexts); the pad-rescue paths must not leak clone pixels.
+        assert self._diff(ref, got) <= 1
+
+    def test_per_image_amounts(self, rng):
+        import jax.numpy as jnp
+
+        from raweditor_tpu.ops.extras import finish_extras_rgba_words
+        from raweditor_tpu.ops.pallas_develop import (
+            pallas_finish_extras_rgba,
+        )
+
+        words = self._words(rng, (2, 96, 128))
+        got = np.asarray(pallas_finish_extras_rgba(
+            jnp.asarray(words),
+            np.array([100.0, 0.0], np.float32),
+            np.array([0.0, 80.0], np.float32), interpret=True))
+        for i, (s, d) in enumerate([(100.0, 0.0), (0.0, 80.0)]):
+            ref = np.asarray(finish_extras_rgba_words(
+                jnp.asarray(words[i]), s, d))
+            assert self._diff(ref, got[i]) <= 1
+
+    def test_quantized_vs_inchain_within_contract(self, rng):
+        """Quantize-then-filter (the post-pass) vs filter-then-quantize
+        (the XLA in-chain form) stay within a couple of LSBs — the
+        fast-lane contract that lets the exporter/engine route extras
+        through the kernel."""
+        import jax.numpy as jnp
+
+        from raweditor_tpu.ops.extras import (
+            apply_finish_extras,
+            finish_extras_rgba_words,
+        )
+
+        r, g, b = _rgb_planes(rng)
+        words = (
+            np.floor(r * 255 + 0.5).astype(np.uint32)
+            | (np.floor(g * 255 + 0.5).astype(np.uint32) << 8)
+            | (np.floor(b * 255 + 0.5).astype(np.uint32) << 16)
+            | np.uint32(0xFF000000))
+        post = np.asarray(finish_extras_rgba_words(
+            jnp.asarray(words), 80.0, 50.0)).view(np.uint8).reshape(
+                words.shape + (4,))
+        rr, gg, bb = apply_finish_extras(r, g, b, 80.0, 50.0)
+        inchain = np.stack(
+            [np.floor(np.asarray(c) * 255 + 0.5) for c in (rr, gg, bb)],
+            axis=-1).astype(int)
+        got = np.stack([post[..., 0], post[..., 1], post[..., 2]],
+                       axis=-1).astype(int)
+        assert np.abs(got - inchain).max() <= 2

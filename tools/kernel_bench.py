@@ -81,6 +81,19 @@ def main() -> int:
             mosaic, p, wb, cm, gamma="srgb_poly", demosaic="grad"),
         "xla_poly": lambda p: develop_rgba(
             mosaic, p, wb, cm, transfer="gamma22_poly"),
+        # Finish extras (sharpen/denoise, ops/extras.py): the cost of
+        # the fused stencils on top of the same XLA develop.
+        "xla_poly_extras": lambda p: develop_rgba(
+            mosaic, p.replace(sharpen=80.0, denoise=50.0), wb, cm,
+            transfer="gamma22_poly", extras=True),
+        # The Pallas post-pass alternative: fused develop + the
+        # standalone extras kernel over the RGBA words.
+        "pallas_poly_extras_post": lambda p: __import__(
+            "raweditor_tpu.ops.pallas_develop",
+            fromlist=["pallas_finish_extras_rgba"],
+        ).pallas_finish_extras_rgba(
+            pallas_develop_rgba(mosaic, p, wb, cm, gamma="poly"),
+            80.0, 50.0),
         "xla_grad_srgb": lambda p: develop_rgba(
             mosaic, p, wb, cm, transfer="srgb",
             demosaic_method="grad"),
