@@ -873,9 +873,16 @@ def _finish_block(sc, r, g, b, bh, w, gamma, output):
     # FMA-contraction differences between fusion contexts and the chroma
     # 4-sum reassociation shift results by ≤1 step on each plane —
     # inside the Pallas path's ±1 LSB contract (pinned by test).
-    rf = q(r).astype(jnp.float32)
-    gf = q(g).astype(jnp.float32)
-    bf = q(b).astype(jnp.float32)
+    return _emit_ycbcr420(q(r), q(g), q(b), bh, w)
+
+
+def _emit_ycbcr420(rq, gq, bq, bh, w):
+    """Quantized int32 RGB (bh, w) → (Y u8 (bh, w), NV12-interleaved
+    CbCr u8 (bh/2, w)) — the in-kernel JPEG-plane emission shared by
+    the develop kernels and the finish-extras post-pass."""
+    rf = rq.astype(jnp.float32)
+    gf = gq.astype(jnp.float32)
+    bf = bq.astype(jnp.float32)
     yf = _F(0.299) * rf + _F(0.587) * gf + _F(0.114) * bf
     cbf = (_F(128.0) - _F(0.168735892) * rf - _F(0.331264108) * gf
            + _F(0.5) * bf)
@@ -1245,7 +1252,7 @@ def pallas_develop_rgba(
 
 
 def _extras_window(v_words, off, i, bh, w, true_h, true_w, sharpen,
-                   denoise):
+                   denoise, output="rgba"):
     """Extras over one realigned (bh+8)-row band of packed-RGBA words:
     unpack u8 → [0, 1] planes, run ops/extras.extras_core with
     roll-based shift closures, requantize with the finish rounding,
@@ -1281,22 +1288,32 @@ def _extras_window(v_words, off, i, bh, w, true_h, true_w, sharpen,
     b = ((v >> 16) & 0xFF).astype(jnp.int32).astype(jnp.float32) * scale
     r, g, b = extras_core(r, g, b, sharpen, denoise, up, dn, lf, rt)
 
-    def q(c):
-        # floor(c·255 + 0.5), f32→u32 via int32 (Mosaic cast rule).
+    def qi(c):
+        # floor(c·255 + 0.5); f32→u32 goes via int32 (Mosaic cast
+        # rule), so quantize to int32 and slice the block rows first.
         return jnp.floor(c * _F(255.0) + _F(0.5)).astype(
-            jnp.int32).astype(jnp.uint32)
+            jnp.int32)[4 : 4 + bh]
 
-    packed = (q(r) | (q(g) << 8) | (q(b) << 16)
-              | jnp.uint32(0xFF000000))
-    return packed[4 : 4 + bh]
+    rq, gq, bq = qi(r), qi(g), qi(b)
+    if output == "rgba":
+        return (rq.astype(jnp.uint32) | (gq.astype(jnp.uint32) << 8)
+                | (bq.astype(jnp.uint32) << 16)
+                | jnp.uint32(0xFF000000))
+    # "ycbcr420": JPEG planes straight out of the post-pass — same
+    # emission (and ±1 LSB contract) as the develop kernels.
+    return _emit_ycbcr420(rq, gq, bq, bh, w)
 
 
-def _extras_kernel_flat(scal_ref, words_hbm, out_ref, scratch, sems, *,
+def _extras_kernel_flat(scal_ref, words_hbm, *refs,
                         block_h: int, steps: int, total: int,
                         img_h: int, width: int, true_h: int,
-                        true_w: int):
+                        true_w: int, output: str = "rgba"):
     """Double-buffered flat-grid body for the extras post-pass — the
     same window/DMA scheme as _kernel_flat, on u32 words."""
+    if output == "rgba":
+        out_ref, scratch, sems = refs
+    else:  # "ycbcr420": Y plane + interleaved CbCr plane
+        out_y, out_c, scratch, sems = refs
     g = pl.program_id(0)
     nimg = g // steps
     i = g % steps
@@ -1327,16 +1344,22 @@ def _extras_kernel_flat(scal_ref, words_hbm, out_ref, scratch, sems, *,
 
     copy_for(g, slot).wait()
     _, off = window(g)
-    out_ref[0] = _extras_window(scratch[slot], off, i, block_h, width,
-                                true_h, true_w, scal_ref[nimg, 0],
-                                scal_ref[nimg, 1])
+    res = _extras_window(scratch[slot], off, i, block_h, width,
+                         true_h, true_w, scal_ref[nimg, 0],
+                         scal_ref[nimg, 1], output=output)
+    if output == "rgba":
+        out_ref[0] = res
+    else:
+        out_y[0] = res[0]
+        out_c[0] = res[1]
 
 
 @functools.partial(jax.jit, static_argnames=("block_h", "interpret",
-                                              "_true_hw"))
+                                              "output", "_true_hw"))
 def pallas_finish_extras_rgba(words, sharpen=0.0, denoise=0.0,
                               block_h: int | None = None,
                               interpret: bool = False,
+                              output: str = "rgba",
                               _true_hw=None):
     """Fused finish-extras post-pass: packed-RGBA u32 (H, W) or
     (N, H, W) → same shape/dtype, sharpening + denoise applied
@@ -1359,10 +1382,16 @@ def pallas_finish_extras_rgba(words, sharpen=0.0, denoise=0.0,
         words = words[None]
     n, h, w = words.shape
     th, tw = _true_hw if _true_hw is not None else (h, w)
+    if output not in ("rgba", "ycbcr420"):
+        raise ValueError(f"unknown output {output!r}")
+    if output == "ycbcr420" and (th % 2 or tw % 2):
+        raise ValueError("ycbcr420 output requires even H and W")
     sh = jnp.broadcast_to(jnp.asarray(sharpen, jnp.float32), (n,))
     dn = jnp.broadcast_to(jnp.asarray(denoise, jnp.float32), (n,))
 
     def _finish(out):
+        if output == "ycbcr420":
+            return (out[0][0], out[1][0]) if squeeze else out
         return out[0] if squeeze else out
 
     # Lane alignment: edge-pad the width, slice after. The kernel's
@@ -1372,45 +1401,76 @@ def pallas_finish_extras_rgba(words, sharpen=0.0, denoise=0.0,
     if wp != w:
         out = pallas_finish_extras_rgba(
             jnp.pad(words, ((0, 0), (0, 0), (0, wp - w)), mode="edge"),
-            sh, dn, block_h, interpret, _true_hw=(th, tw))
+            sh, dn, block_h, interpret, output, _true_hw=(th, tw))
+        if output == "ycbcr420":
+            return _finish((out[0][:, :, :w], out[1][:, :, :w]))
         return _finish(out[:, :, :w])
     # The band stages hold ~10 live (bh+8, W) f32 planes; bh=64 keeps
     # the live set comfortably inside VMEM at production widths (the
     # grad kernel's cap, same reasoning) AND measured fastest: @24 MP
-    # padded-4096 bh=64 runs 1.79 ms vs 2.33 at the natural bh=16
-    # (the (bh+16)/bh window overhead dominates small blocks) and 2.07
-    # at bh=128 (live-set pressure). Heights whose largest valid
-    # divisor is small are therefore edge-padded to the next 128
-    # multiple — exact here, since reads clamp at the true height.
+    # bh=64 runs 1.79 ms vs 2.33 at the natural bh=16 (the (bh+16)/bh
+    # window overhead dominates small blocks) and 2.07 at bh=128
+    # (live-set pressure). Heights whose largest valid divisor is
+    # small therefore run bh=64 with the GRID OVERHANGING the image:
+    # the DMA windows already clamp inside it, the true-edge fixups
+    # keep real rows exact, and the overhang's garbage rows are
+    # sliced off — no jnp.pad pass (a pad of the 96 MB word array
+    # costs ~0.6 ms in-program, most of the bh win). Measured @24 MP
+    # (4016×6016, whole program incl. the output slice): overhang
+    # bh=64 2.05 ms vs natural bh=16 2.33, in-program pad 2.38, and
+    # overhang bh=48 2.15.
     bh = block_h or _largest_even_divisor(h, cap=64)
-    if block_h is None and (bh == 0 or (bh < 32 and h % 128)):
+    overhang = 0
+    if (block_h is None and (bh == 0 or (bh < 32 and h % 128))
+            and h >= 64 + 16):
+        bh = 64
+        overhang = -(-h // bh) * bh - h
+    elif block_h is None and bh == 0:
+        # Tiny images (h < 80): edge-pad rows the plain way.
         hp = max(-(-h // 128) * 128, 128)
         out = pallas_finish_extras_rgba(
             jnp.pad(words, ((0, 0), (0, hp - h), (0, 0)), mode="edge"),
-            sh, dn, block_h, interpret, _true_hw=(th, tw))
+            sh, dn, block_h, interpret, output, _true_hw=(th, tw))
+        if output == "ycbcr420":
+            return _finish((out[0][:, :h], out[1][:, : h // 2]))
         return _finish(out[:, :h])
-    if not bh or h % bh or bh % 8 or h < bh + 16:
+    if (not bh or (h + overhang) % bh or bh % 8 or h < bh + 16):
         raise ValueError(
             f"H={h} needs a block height that is a multiple of 8, "
             f"divides H, and leaves room for the halo window "
             f"(H >= block_h+16; got {bh}); use the XLA path for this "
             "shape")
-    steps = h // bh
+    steps = (h + overhang) // bh
     scal = jnp.stack([sh, dn], axis=1)
     flat = words.reshape(n * h, w)
+    ho = h + overhang
+    if output == "rgba":
+        out_specs = pl.BlockSpec((1, bh, w),
+                                 lambda g: (g // steps, g % steps, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n, ho, w), jnp.uint32)
+    else:
+        out_specs = [
+            pl.BlockSpec((1, bh, w),
+                         lambda g: (g // steps, g % steps, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bh // 2, w),
+                         lambda g: (g // steps, g % steps, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = (jax.ShapeDtypeStruct((n, ho, w), jnp.uint8),
+                     jax.ShapeDtypeStruct((n, ho // 2, w), jnp.uint8))
     out = pl.pallas_call(
         functools.partial(_extras_kernel_flat, block_h=bh, steps=steps,
                           total=n * steps, img_h=h, width=w,
-                          true_h=th, true_w=tw),
+                          true_h=th, true_w=tw, output=output),
         grid=(n * steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        out_specs=pl.BlockSpec((1, bh, w),
-                               lambda g: (g // steps, g % steps, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.uint32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, bh + 16, w), jnp.uint32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -1419,4 +1479,7 @@ def pallas_finish_extras_rgba(words, sharpen=0.0, denoise=0.0,
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(scal, flat)
+    if overhang:
+        out = ((out[0][:, :h], out[1][:, : h // 2])
+               if output == "ycbcr420" else out[:, :h])
     return _finish(out)

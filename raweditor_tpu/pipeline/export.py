@@ -911,7 +911,10 @@ def run_batch_export(
                         if ex_on:
                             out = pallas_finish_extras_rgba(
                                 out, _extras_amounts(padded, 0),
-                                _extras_amounts(padded, 1))
+                                _extras_amounts(padded, 1),
+                                output=("ycbcr420"
+                                        if xla_output == "ycbcr420"
+                                        else "rgba"))
                     except Exception:
                         out = None  # shape/VMEM unsupported → XLA path
                         _pallas_failed.add(pl_key)
@@ -947,11 +950,15 @@ def run_batch_export(
                         )
                         if ex_on:
                             # Finish extras as the fused post-pass over
-                            # the RGBA words (per-image amounts); the
-                            # JPEG-plane conversion runs in the tail.
+                            # the RGBA words (per-image amounts), which
+                            # emits the JPEG planes directly on JPEG
+                            # runs — no separate conversion pass.
                             out = pallas_finish_extras_rgba(
                                 out, _extras_amounts(padded, 0),
-                                _extras_amounts(padded, 1))
+                                _extras_amounts(padded, 1),
+                                output=("ycbcr420"
+                                        if xla_output == "ycbcr420"
+                                        else "rgba"))
                     except Exception:
                         out = None  # unsupported shape/backend → XLA path
                         _pallas_failed.add(pl_key)

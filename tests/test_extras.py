@@ -354,3 +354,27 @@ class TestPallasPostPass:
         got = np.stack([post[..., 0], post[..., 1], post[..., 2]],
                        axis=-1).astype(int)
         assert np.abs(got - inchain).max() <= 2
+
+    @pytest.mark.parametrize("shape", [(96, 128), (96, 130), (100, 128)])
+    def test_ycbcr420_output(self, rng, shape):
+        """The post-pass can emit the JPEG planes directly (NV12
+        layout) — must match converting its RGBA output."""
+        import jax.numpy as jnp
+
+        from raweditor_tpu.ops.extras import finish_extras_rgba_words
+        from raweditor_tpu.ops.jpeg import rgba_words_to_ycbcr420
+        from raweditor_tpu.ops.pallas_develop import (
+            pallas_finish_extras_rgba,
+        )
+
+        words = self._words(rng, shape)
+        ref = rgba_words_to_ycbcr420(finish_extras_rgba_words(
+            jnp.asarray(words), 80.0, 50.0))
+        ry, rcb, rcr = (np.asarray(pl) for pl in ref)
+        y, c = pallas_finish_extras_rgba(
+            jnp.asarray(words), 80.0, 50.0, interpret=True,
+            output="ycbcr420")
+        y, c = np.asarray(y), np.asarray(c)
+        for got, want in ((y, ry), (c[..., 0::2], rcb),
+                          (c[..., 1::2], rcr)):
+            assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
