@@ -1266,14 +1266,11 @@ def _extras_window(v_words, off, i, bh, w, true_h, true_w, sharpen,
     from raweditor_tpu.ops.extras import extras_core
 
     v, gw, cols = _band_realign(v_words, off, i, bh, w)
-    n = gw.shape[0]
-
-    def up(a):
-        return jnp.where(gw == 0, a, pltpu.roll(a, 1, axis=0))
-
-    def dn(a):
-        return jnp.where(gw == true_h - 1, a,
-                         pltpu.roll(a, n - 1, axis=0))
+    # Row shifts are _clamp_shift_fns' (clamped at the true height);
+    # only the column shifts differ — they clamp reads at the TRUE
+    # width (a composed stage must never consume a pad column's
+    # stage output), which _shift_x's physical-edge fixup can't do.
+    up, dn, _lf_phys, _rt_phys = _clamp_shift_fns(gw, w, true_h)
 
     def lf(a):
         return jnp.where(cols == 0, a, pltpu.roll(a, 1, axis=1))
@@ -1421,19 +1418,28 @@ def pallas_finish_extras_rgba(words, sharpen=0.0, denoise=0.0,
     # overhang bh=48 2.15.
     bh = block_h or _largest_even_divisor(h, cap=64)
     overhang = 0
-    if (block_h is None and (bh == 0 or (bh < 32 and h % 128))
-            and h >= 64 + 16):
-        bh = 64
-        overhang = -(-h // bh) * bh - h
-    elif block_h is None and bh == 0:
-        # Tiny images (h < 80): edge-pad rows the plain way.
-        hp = max(-(-h // 128) * 128, 128)
-        out = pallas_finish_extras_rgba(
-            jnp.pad(words, ((0, 0), (0, hp - h), (0, 0)), mode="edge"),
-            sh, dn, block_h, interpret, output, _true_hw=(th, tw))
-        if output == "ycbcr420":
-            return _finish((out[0][:, :h], out[1][:, : h // 2]))
-        return _finish(out[:, :h])
+    if block_h is None and (bh == 0 or (bh < 32 and h % 128)):
+        if h % 8 == 0 and h >= 64 + 16:
+            # Overhang needs 8-aligned image heights: the clamped
+            # window start s0 = h-80 and the per-image base rows
+            # nimg*h must both honor the pl.multiple_of(s0, 8) DMA
+            # promise (code-review r3 — false on h % 8 != 0, and
+            # invisible under interpret=True where the hint is
+            # ignored).
+            bh = 64
+            overhang = -(-h // bh) * bh - h
+        else:
+            # Unaligned or tiny heights: edge-pad rows the plain way
+            # (the 128-multiple is 8-aligned, so the recursion lands
+            # in the natural-divisor path).
+            hp = max(-(-h // 128) * 128, 128)
+            out = pallas_finish_extras_rgba(
+                jnp.pad(words, ((0, 0), (0, hp - h), (0, 0)),
+                        mode="edge"),
+                sh, dn, block_h, interpret, output, _true_hw=(th, tw))
+            if output == "ycbcr420":
+                return _finish((out[0][:, :h], out[1][:, : h // 2]))
+            return _finish(out[:, :h])
     if (not bh or (h + overhang) % bh or bh % 8 or h < bh + 16):
         raise ValueError(
             f"H={h} needs a block height that is a multiple of 8, "

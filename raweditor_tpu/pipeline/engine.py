@@ -371,6 +371,28 @@ class DevelopEngine:
         return np.asarray(self._histogram_program(
             self.mosaic, params, zoom, pan[0], pan[1], extras=ex))
 
+    def _extras_post(self, words, params: EditParams, kernel):
+        """Finish extras on packed words via the fused post-pass
+        kernel, falling back to the XLA words form on kernel failure
+        — in its OWN memoized guard, so an extras-kernel problem
+        (e.g. a VMEM profile the develop kernel doesn't have) never
+        demotes extras-free renders off the working develop kernel
+        (code-review r3)."""
+        if not getattr(self, "_pallas_extras_failed", False):
+            try:
+                return kernel(words, float(params.sharpen),
+                              float(params.denoise))
+            except Exception as e:
+                self._pallas_extras_failed = True
+                logger.info(
+                    "pallas finish-extras kernel unavailable for this "
+                    "image (%s: %s); using the XLA words form",
+                    type(e).__name__, str(e)[:120])
+        from raweditor_tpu.ops.extras import finish_extras_rgba_words
+
+        return finish_extras_rgba_words(words, float(params.sharpen),
+                                        float(params.denoise))
+
     # -- export ----------------------------------------------------------
     def full_rgba_device(self, params: EditParams):
         """Full-res develop to packed RGBA u32 (H, W) — the fast output
@@ -424,9 +446,8 @@ class DevelopEngine:
                         gamma=pallas_gamma_for(self.transfer),
                     )
                     if ex:
-                        words = pallas_finish_extras_rgba(
-                            words, float(params.sharpen),
-                            float(params.denoise))
+                        words = self._extras_post(
+                            words, params, pallas_finish_extras_rgba)
                     return words
                 except Exception as e:
                     # Unsupported shape/pattern OR a VMEM-overflow
@@ -471,9 +492,8 @@ class DevelopEngine:
                 if ex:
                     # Extras ride the fast lane as the fused post-pass
                     # kernel (see the X-Trans branch note).
-                    words = pallas_finish_extras_rgba(
-                        words, float(params.sharpen),
-                        float(params.denoise))
+                    words = self._extras_post(
+                        words, params, pallas_finish_extras_rgba)
                 return words
             except Exception as e:
                 # Unsupported shape OR a non-ValueError kernel compile

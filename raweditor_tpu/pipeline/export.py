@@ -399,7 +399,14 @@ class _Batcher:
         self.buckets: Dict[Tuple[int, int], List[_Decoded]] = {}
 
     def add(self, item: _Decoded) -> Optional[List[_Decoded]]:
-        key = (item.mosaic.shape, item.cfa_phase)
+        # Finish extras split the bucket: an extras-enabled graph
+        # shifts zero-amount images by ±1 LSB (the opponent-split
+        # round trip), so mixing would make an UNEDITED image's bytes
+        # depend on which jobs share its batch — the bit-exact
+        # default must not be batch-composition-dependent
+        # (code-review r3).
+        key = (item.mosaic.shape, item.cfa_phase,
+               item.job.params.has_finish_extras())
         bucket = self.buckets.setdefault(key, [])
         bucket.append(item)
         if len(bucket) >= self.batch_size:
@@ -783,6 +790,34 @@ def run_batch_export(
                 return np.array(
                     [float(getattr(d.job.params, field)) for d in ds],
                     np.float32)
+
+            def _extras_post_batch(words, ds, kernel, xla_output):
+                """Fused extras post-pass over a batch of words (JPEG
+                planes emitted directly when the run wants them). A
+                kernel failure falls back to the XLA words form in its
+                own guard — it must not unwind into the enclosing
+                except, which would demote the WORKING develop kernel
+                for this shape too (code-review r3)."""
+                want = ("ycbcr420" if xla_output == "ycbcr420"
+                        else "rgba")
+                sh = _extras_amounts(ds, 0)
+                dn = _extras_amounts(ds, 1)
+                key = ("extras", words.shape, want)
+                if key not in _pallas_failed:
+                    try:
+                        return pallas_finish_extras_rgba(
+                            words, sh, dn, output=want)
+                    except Exception:
+                        _pallas_failed.add(key)
+                from raweditor_tpu.ops.extras import (
+                    finish_extras_rgba_words,
+                )
+
+                out = finish_extras_rgba_words(words, sh[:, None, None],
+                                               dn[:, None, None])
+                if want == "ycbcr420":
+                    out = _ycbcr420_jit()(out)
+                return out
             # JPEG-plane output folded into the develop program (see the
             # jpeg_planes_ok comment): decide per shape bucket — a
             # device-side long-edge resize needs RGBA words, so those
@@ -909,12 +944,9 @@ def run_batch_export(
                                     and not ex_on else "rgba"),
                         )
                         if ex_on:
-                            out = pallas_finish_extras_rgba(
-                                out, _extras_amounts(padded, 0),
-                                _extras_amounts(padded, 1),
-                                output=("ycbcr420"
-                                        if xla_output == "ycbcr420"
-                                        else "rgba"))
+                            out = _extras_post_batch(
+                                out, padded, pallas_finish_extras_rgba,
+                                xla_output)
                     except Exception:
                         out = None  # shape/VMEM unsupported → XLA path
                         _pallas_failed.add(pl_key)
@@ -953,12 +985,9 @@ def run_batch_export(
                             # the RGBA words (per-image amounts), which
                             # emits the JPEG planes directly on JPEG
                             # runs — no separate conversion pass.
-                            out = pallas_finish_extras_rgba(
-                                out, _extras_amounts(padded, 0),
-                                _extras_amounts(padded, 1),
-                                output=("ycbcr420"
-                                        if xla_output == "ycbcr420"
-                                        else "rgba"))
+                            out = _extras_post_batch(
+                                out, padded, pallas_finish_extras_rgba,
+                                xla_output)
                     except Exception:
                         out = None  # unsupported shape/backend → XLA path
                         _pallas_failed.add(pl_key)

@@ -378,3 +378,35 @@ class TestPallasPostPass:
         for got, want in ((y, ry), (c[..., 0::2], rcb),
                           (c[..., 1::2], rcr)):
             assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+    def test_batch_composition_determinism(self, tmp_path, rng):
+        """An extras-FREE image's exported bytes must not depend on
+        whether an extras-using job shares its batch: the bucketer
+        splits flushes by has_finish_extras (the extras-enabled graph
+        shifts zero-amount images by ±1 LSB — code-review r3)."""
+        from raweditor_tpu.pipeline.export import (
+            ExportJob,
+            run_batch_export,
+        )
+        from raweditor_tpu.raw.synth import write_synthetic_raw
+
+        raw = tmp_path / "plain.dng"
+        write_synthetic_raw(
+            str(raw), rng.integers(0, 4095, (64, 96)).astype(np.uint16))
+        raw2 = tmp_path / "edited.dng"
+        write_synthetic_raw(
+            str(raw2), rng.integers(0, 4095, (64, 96)).astype(np.uint16))
+
+        solo = tmp_path / "solo.png"
+        rep = run_batch_export(
+            [ExportJob(str(raw), str(solo))], batch_size=2)
+        assert rep.succeeded == 1
+
+        mixed = tmp_path / "mixed.png"
+        rep = run_batch_export(
+            [ExportJob(str(raw), str(mixed)),
+             ExportJob(str(raw2), str(tmp_path / "other.png"),
+                       EditParams(sharpen=120.0))],
+            batch_size=2)
+        assert rep.succeeded == 2
+        assert solo.read_bytes() == mixed.read_bytes()
