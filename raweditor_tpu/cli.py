@@ -60,6 +60,21 @@ def _params_from_args(args, base: EditParams = None) -> EditParams:
     return params.replace(**overrides)
 
 
+def _parse_crop(spec):
+    """--crop "L,T,W,H" → (left, top, width, height) ints, or None."""
+    if spec in (None, ""):
+        return None
+    parts = str(spec).split(",")
+    if len(parts) != 4:
+        raise SystemExit(
+            f"--crop expects L,T,W,H (four integers), got {spec!r}")
+    try:
+        return tuple(int(v) for v in parts)
+    except ValueError:
+        raise SystemExit(
+            f"--crop expects integers, got {spec!r}")
+
+
 def _clamp_zoom(zoom: float, cfg) -> float:
     """The reference's zoom clamp (main.rs:803) plus the finiteness
     guard sliders get — NaN passes min/max clamps unchanged and would
@@ -185,6 +200,15 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("gamma22", "srgb"),
                    help="output transfer curve (srgb = true IEC "
                         "61966-2-1 encode, beyond the reference)")
+    p.add_argument("--rotate", type=float, default=0.0, metavar="DEG",
+                   help="straighten: rotate the developed image by "
+                        "this many degrees, positive = clockwise "
+                        "(device-side bilinear; auto-crops the "
+                        "largest source-aspect rectangle unless "
+                        "--crop is given)")
+    p.add_argument("--crop", default=None, metavar="L,T,W,H",
+                   help="crop rectangle in output pixels (after "
+                        "--rotate), e.g. 100,50,3000,2000")
     _add_slider_args(p)
 
     p = sub.add_parser("rate", help="star rating / pick-reject flag")
@@ -622,7 +646,9 @@ def cmd_develop(args) -> int:
                        jpeg_optimize=(getattr(args, "optimize_jpeg", False)
                                       or cfg.jpeg_optimize),
                        chroma=getattr(args, "chroma", "420"),
-                       jpeg_restart_rows=getattr(args, "jpeg_restart", 0))
+                       jpeg_restart_rows=getattr(args, "jpeg_restart", 0),
+                       rotate=getattr(args, "rotate", 0.0),
+                       crop=_parse_crop(getattr(args, "crop", None)))
         except ValueError as e:
             # e.g. an unsupported output extension — a usage error, not
             # a traceback.

@@ -518,7 +518,8 @@ class DevelopEngine:
                quality: int = 95, long_edge: int = None,
                jpeg_optimize: bool = False,
                chroma: str = "420",
-               jpeg_restart_rows: int = 0) -> str:
+               jpeg_restart_rows: int = 0,
+               rotate: float = 0.0, crop=None) -> str:
         """Full-res develop → JPEG/PNG/TIFF by extension; RGBA→RGB strip
         for JPEG on the host like the reference
         (reference: main.rs:1744-1799, alpha strip at
@@ -529,7 +530,11 @@ class DevelopEngine:
         emits DRI/RSTn restart markers every that many MCU rows and
         encodes the independent segments across all host cores
         (byte-identical for any core count) — resilient streams +
-        parallel single-image encode."""
+        parallel single-image encode. ``rotate`` (degrees) straightens
+        and ``crop`` ((left, top, width, height), or None for the
+        automatic largest source-aspect rectangle) crops — both
+        device-side on the developed image, in the STORED sensor
+        frame (before EXIF auto-orientation; ops/geometry.py)."""
         from PIL import Image
 
         path = os.fspath(path)
@@ -542,23 +547,31 @@ class DevelopEngine:
                 f"unsupported export extension {ext!r} "
                 "(use .jpg/.jpeg/.png/.tif/.tiff)")
         if ext in (".tif", ".tiff"):
-            return self.export_tiff16(path, params, long_edge=long_edge)
+            return self.export_tiff16(path, params, long_edge=long_edge,
+                                      rotate=rotate, crop=crop)
         if ext in (".jpg", ".jpeg") and (
                 not self.auto_orient or self.raw.orientation == 1):
             jpeg = self._export_jpeg_planes(path, params, quality,
                                             long_edge=long_edge,
                                             optimize=jpeg_optimize,
                                             chroma=chroma,
-                                            restart_rows=jpeg_restart_rows)
+                                            restart_rows=jpeg_restart_rows,
+                                            rotate=rotate, crop=crop)
             if jpeg is not None:
                 return jpeg
         words_dev = self.full_rgba_device(params)
+        if rotate or crop is not None:
+            from raweditor_tpu.ops.geometry import rotate_crop_rgba_words
+
+            words_dev = rotate_crop_rgba_words(words_dev, float(rotate),
+                                               crop)
         if long_edge:
             from raweditor_tpu.ops.resize import (long_edge_shape,
                                                   resize_rgba_words)
 
-            oh, ow = long_edge_shape(self.height, self.width, long_edge)
-            if (oh, ow) != (self.height, self.width):
+            gh, gw = words_dev.shape
+            oh, ow = long_edge_shape(gh, gw, long_edge)
+            if (oh, ow) != (gh, gw):
                 words_dev = resize_rgba_words(words_dev, ow, oh)
         words = np.ascontiguousarray(np.asarray(words_dev))
         if self.auto_orient and self.raw.orientation != 1:
@@ -608,7 +621,8 @@ class DevelopEngine:
                             quality: int, long_edge: int = None,
                             optimize: bool = False,
                             chroma: str = "420",
-                            restart_rows: int = 0):
+                            restart_rows: int = 0,
+                            rotate: float = 0.0, crop=None):
         """JPEG export via device YCbCr planes + the native JFIF
         encoder (the batch exporter's transport-optimized path,
         ops/jpeg.py): 1.5 bytes/pixel fetched instead of 4 (chroma
@@ -619,19 +633,29 @@ class DevelopEngine:
         from raweditor_tpu.native import get_rawkit
 
         rk = get_rawkit()
-        out_h, out_w = self.height, self.width
+        geo_h, geo_w = self.height, self.width
+        if rotate or crop is not None:
+            from raweditor_tpu.ops.geometry import _resolve_geometry
+
+            geo_w, geo_h = _resolve_geometry(
+                self.height, self.width, float(rotate), crop)[:2]
+        out_h, out_w = geo_h, geo_w
         if long_edge:
             from raweditor_tpu.ops.resize import long_edge_shape
 
-            out_h, out_w = long_edge_shape(self.height, self.width,
-                                           long_edge)
+            out_h, out_w = long_edge_shape(geo_h, geo_w, long_edge)
         full_chroma = chroma == "444"
         encode_name = "encode_jpeg_444" if full_chroma else "encode_jpeg_420"
         if (rk is None or not hasattr(rk, encode_name)
                 or (not full_chroma and (out_h % 2 or out_w % 2))):
             return None
         words_dev = self.full_rgba_device(params)
-        if (out_h, out_w) != (self.height, self.width):
+        if rotate or crop is not None:
+            from raweditor_tpu.ops.geometry import rotate_crop_rgba_words
+
+            words_dev = rotate_crop_rgba_words(words_dev, float(rotate),
+                                               crop)
+        if (out_h, out_w) != (geo_h, geo_w):
             from raweditor_tpu.ops.resize import resize_rgba_words
 
             words_dev = resize_rgba_words(words_dev, out_w, out_h)
@@ -662,7 +686,8 @@ class DevelopEngine:
         return path
 
     def export_tiff16(self, path: os.PathLike, params: EditParams,
-                      long_edge: int = None) -> str:
+                      long_edge: int = None, rotate: float = 0.0,
+                      crop=None) -> str:
         """Full-res develop at 16 bits/channel → uncompressed RGB TIFF.
         The polynomial fast gamma is u8-accuracy (~6 LSBs of u16), so
         16-bit output always uses the exact transfer."""
@@ -702,6 +727,10 @@ class DevelopEngine:
                 matrix_transpose=self.matrix_transpose,
                 transfer=transfer, cfa_phase=self.cfa_phase, extras=ex,
             ))
+        if rotate or crop is not None:
+            from raweditor_tpu.ops.geometry import rotate_crop_u16
+
+            rgb = np.asarray(rotate_crop_u16(rgb, float(rotate), crop))
         if long_edge:
             from raweditor_tpu.ops.resize import (long_edge_shape,
                                                   resize_rgb16)

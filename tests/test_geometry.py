@@ -1,0 +1,170 @@
+"""Output-stage geometry (ops/geometry.py): straighten + crop.
+
+Beyond the reference, which renders mosaics as stored (its only
+geometry is the zoom/pan view transform, reference: main.rs:795-930).
+"""
+
+import numpy as np
+import pytest
+
+from raweditor_tpu.ops.geometry import (
+    largest_upright_rect,
+    rotate_crop_rgba_words,
+    rotate_crop_u8,
+    rotate_crop_u16,
+)
+
+
+def _img(rng, h=60, w=80):
+    return rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+
+
+class TestRect:
+    def test_identity_at_zero(self):
+        assert largest_upright_rect(80, 60, 0.0) == (80, 60)
+
+    def test_right_angle_round_trip(self):
+        assert largest_upright_rect(64, 64, 90.0) == (64, 64)
+
+    def test_45_square(self):
+        cw, ch = largest_upright_rect(64, 64, 45.0)
+        assert cw == ch == int(64 / np.sqrt(2))
+
+    def test_monotone_shrink(self):
+        prev = (80, 60)
+        for deg in (1, 3, 7, 15, 30):
+            cur = largest_upright_rect(80, 60, deg)
+            assert cur[0] <= prev[0] and cur[1] <= prev[1]
+            prev = cur
+
+    def test_aspect_preserved(self):
+        cw, ch = largest_upright_rect(4000, 3000, 5.0)
+        assert abs(cw / ch - 4000 / 3000) < 0.01
+
+
+class TestRotateCrop:
+    def test_identity(self, rng):
+        img = _img(rng)
+        out = np.asarray(rotate_crop_u8(img, 0.0))
+        assert (out == img).all()
+
+    def test_pure_crop_is_slice(self, rng):
+        img = _img(rng)
+        out = np.asarray(rotate_crop_u8(img, 0.0, crop=(10, 5, 32, 24)))
+        assert (out == img[5:29, 10:42]).all()
+
+    def test_crop_validation(self, rng):
+        img = _img(rng)
+        with pytest.raises(ValueError):
+            rotate_crop_u8(img, 0.0, crop=(70, 0, 32, 24))  # exceeds
+        with pytest.raises(ValueError):
+            rotate_crop_u8(img, 0.0, crop=(0, 0, 0, 24))  # empty
+
+    def test_rot90_gradient(self, rng):
+        """A horizontal gradient rotated 90° becomes a vertical one
+        (direction check pins the sign convention)."""
+        g = np.tile(np.arange(64, dtype=np.uint8)[None, :, None],
+                    (64, 1, 3))
+        out = np.asarray(rotate_crop_u8(g, 90.0))
+        # Constant along rows, ramping down columns (interior: the
+        # edge rows interpolate with the clamp).
+        assert np.abs(np.diff(out[1:-1, :, 0], axis=1)).max() == 0
+        col = out[:, 0, 0].astype(int)
+        assert col[0] < col[-1] or col[0] > col[-1]
+        assert np.all(np.diff(col) >= -1) or np.all(np.diff(col) <= 1)
+
+    def test_small_angle_correlates(self, rng):
+        """±3° then the inverse lands close to the original center
+        region (bilinear round trip)."""
+        img = _img(rng, 96, 128).astype(np.uint8)
+        once = np.asarray(rotate_crop_u8(img, 3.0, crop=(0, 0, 128, 96)))
+        back = np.asarray(rotate_crop_u8(once, -3.0,
+                                         crop=(0, 0, 128, 96)))
+        c0 = img[32:64, 48:80].astype(float)
+        c1 = back[32:64, 48:80].astype(float)
+        # Random-noise content blurs under double bilinear; correlation
+        # is the robust check, not per-pixel distance.
+        cc = np.corrcoef(c0.ravel(), c1.ravel())[0, 1]
+        assert cc > 0.5
+
+    def test_words_matches_u8(self, rng):
+        img = _img(rng)
+        w32 = (img[..., 0].astype(np.uint32)
+               | (img[..., 1].astype(np.uint32) << 8)
+               | (img[..., 2].astype(np.uint32) << 16)
+               | np.uint32(0xFF000000))
+        rw = np.asarray(rotate_crop_rgba_words(w32, 4.0))
+        ru = np.asarray(rotate_crop_u8(img, 4.0))
+        bytes_ = rw.view(np.uint8).reshape(rw.shape + (4,))[..., :3]
+        assert (bytes_ == ru).all()
+
+    def test_u16_consistent(self, rng):
+        img = _img(rng)
+        r8 = np.asarray(rotate_crop_u8(img, 4.0)).astype(int)
+        r16 = np.asarray(
+            rotate_crop_u16(img.astype(np.uint16) * 257, 4.0)).astype(int)
+        # Same resampling; 16-bit carries the same values ×257 within
+        # rounding.
+        assert np.abs(r16 - r8 * 257).max() <= 257
+
+
+class TestEngineExport:
+    @pytest.fixture
+    def raw_path(self, tmp_path, rng):
+        from raweditor_tpu.raw.synth import write_synthetic_raw
+
+        path = tmp_path / "g.dng"
+        write_synthetic_raw(
+            str(path),
+            rng.integers(0, 4095, (64, 96)).astype(np.uint16))
+        return str(path)
+
+    def test_export_rotate_crop_all_formats(self, raw_path, tmp_path):
+        from PIL import Image
+
+        from raweditor_tpu.params import EditParams
+        from raweditor_tpu.pipeline.engine import DevelopEngine
+
+        eng = DevelopEngine.open(raw_path, mode="accurate")
+        p = EditParams(exposure=0.2)
+        for name, kw, want in (
+            ("r.jpg", dict(rotate=5.0), None),
+            ("c.png", dict(crop=(8, 8, 48, 32)), (48, 32)),
+            ("rc.tiff", dict(rotate=-3.0, crop=(4, 4, 80, 48)),
+             (80, 48)),
+        ):
+            out = tmp_path / name
+            eng.export(str(out), p, **kw)
+            im = Image.open(out)
+            if want is not None:
+                assert im.size == want
+            else:
+                from raweditor_tpu.ops.geometry import (
+                    largest_upright_rect,
+                )
+
+                assert im.size == largest_upright_rect(96, 64, 5.0)
+
+    def test_jpeg_planes_path_geometry(self, raw_path, tmp_path):
+        """Even-dim crop keeps the native planes path; output matches
+        the PIL fallback route dimensionally and visually."""
+        from PIL import Image
+
+        from raweditor_tpu.params import EditParams
+        from raweditor_tpu.pipeline.engine import DevelopEngine
+
+        eng = DevelopEngine.open(raw_path, mode="accurate")
+        out = tmp_path / "planes.jpg"
+        eng.export(str(out), EditParams(), crop=(8, 8, 64, 40),
+                   quality=92)
+        assert Image.open(out).size == (64, 40)
+
+    def test_cli_crop_parse_errors(self):
+        from raweditor_tpu.cli import _parse_crop
+
+        assert _parse_crop(None) is None
+        assert _parse_crop("1,2,3,4") == (1, 2, 3, 4)
+        with pytest.raises(SystemExit):
+            _parse_crop("1,2,3")
+        with pytest.raises(SystemExit):
+            _parse_crop("a,b,c,d")
