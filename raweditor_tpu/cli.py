@@ -200,6 +200,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("gamma22", "srgb"),
                    help="output transfer curve (srgb = true IEC "
                         "61966-2-1 encode, beyond the reference)")
+    p.add_argument("--color-space", default="srgb",
+                   choices=("srgb", "display-p3", "adobe-rgb"),
+                   help="output color space (accurate mode; wide-gamut "
+                        "outputs embed a matching ICC profile)")
     p.add_argument("--rotate", type=float, default=0.0, metavar="DEG",
                    help="straighten: rotate the developed image by "
                         "this many degrees, positive = clockwise "
@@ -248,6 +252,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("nearest", "bilinear", "malvar", "grad"))
     p.add_argument("--transfer", default="gamma22",
                    choices=("gamma22", "srgb"))
+    p.add_argument("--color-space", default="srgb",
+                   choices=("srgb", "display-p3", "adobe-rgb"),
+                   help="output color space (accurate mode; wide-gamut "
+                        "outputs embed a matching ICC profile)")
     p.add_argument("--decode-threads", type=int, default=4)
     p.add_argument("--mesh-rows", type=int, default=0,
                    help="shard each image's rows over this many chips "
@@ -630,7 +638,9 @@ def cmd_develop(args) -> int:
                              demosaic_method=getattr(args, "demosaic",
                                                      "nearest"),
                              transfer=getattr(args, "transfer", "gamma22"),
-                             auto_orient=getattr(args, "auto_orient", False))
+                             auto_orient=getattr(args, "auto_orient", False),
+                             color_space=getattr(args, "color_space",
+                                                 "srgb"))
     if args.preview:
         from PIL import Image
 
@@ -820,6 +830,7 @@ def cmd_export(args) -> int:
                        or cfg.jpeg_optimize),
         chroma=getattr(args, "chroma", "420"),
         jpeg_restart_rows=getattr(args, "jpeg_restart", 0),
+        color_space=getattr(args, "color_space", "srgb"),
     )
     rep = report.as_dict()
     if num_hosts > 1:

@@ -215,9 +215,98 @@ def encoder_for(transfer: str):
             "gamma22_poly": gamma22_poly_encode,
             "srgb": srgb_encode,
             "srgb_poly": srgb_poly_encode,
+            "gamma_adobe": adobe_gamma_encode,
         }[transfer]
     except KeyError:
         raise ValueError(f"unknown transfer {transfer!r}") from None
+
+
+# ---------------------------------------------------------------------------
+# Output color spaces (beyond the reference, accurate mode): wide-gamut
+# export targets. The dcraw-style cam→output derivation is the sRGB one
+# with the target's RGB→XYZ matrix swapped in; docs/api.md "Wide-gamut
+# output". ICC profiles for tagging the files live in raweditor_tpu/icc.py.
+# ---------------------------------------------------------------------------
+
+
+def _rgb_to_xyz_from_chromaticities(primaries_xy, white_xy):
+    """Derive an RGB→XYZ (rows = X,Y,Z) matrix from primary and white
+    chromaticities (the standard colorimetric construction: scale the
+    primary columns so that RGB (1,1,1) lands on the white point with
+    Y = 1)."""
+    def xyz(x, y):
+        return np.array([x / y, 1.0, (1.0 - x - y) / y], np.float64)
+
+    prim = np.stack([xyz(x, y) for x, y in primaries_xy], axis=1)
+    white = xyz(*white_xy)
+    scale = np.linalg.solve(prim, white)
+    return prim * scale[None, :]
+
+
+_D65_XY = (0.3127, 0.3290)
+# Display P3 (SMPTE EG 432-1 primaries, D65, sRGB transfer).
+DISPLAY_P3_TO_XYZ = _rgb_to_xyz_from_chromaticities(
+    ((0.680, 0.320), (0.265, 0.690), (0.150, 0.060)), _D65_XY)
+# Adobe RGB (1998): 2.19921875 (= 563/256) gamma.
+ADOBE_RGB_TO_XYZ = _rgb_to_xyz_from_chromaticities(
+    ((0.640, 0.330), (0.210, 0.710), (0.150, 0.060)), _D65_XY)
+
+COLOR_SPACES = ("srgb", "display-p3", "adobe-rgb")
+# The transfer each space mandates ("srgb" keeps the caller's choice —
+# the parity/accurate transfer options already cover it).
+TRANSFER_BY_SPACE = {"display-p3": "srgb", "adobe-rgb": "gamma_adobe"}
+
+_RGB_TO_XYZ_BY_SPACE = {
+    "display-p3": DISPLAY_P3_TO_XYZ,
+    "adobe-rgb": ADOBE_RGB_TO_XYZ,
+}
+
+ADOBE_GAMMA = 563.0 / 256.0  # Adobe RGB (1998) spec, exactly 2.19921875
+
+
+def adobe_gamma_encode(x):
+    """Adobe RGB (1998) forward transfer: x^(256/563), negatives
+    clamped like the other pure-power encodes."""
+    import jax.numpy as jnp
+
+    xp = jnp if _is_jax(x) else np
+    x = xp.maximum(x, 0.0)
+    return xp.power(x, np.float32(1.0 / ADOBE_GAMMA))
+
+
+def cam_to_output_matrix(xyz_to_cam, mode: str = "parity",
+                         color_space: str = "srgb") -> np.ndarray:
+    """cam→linear-OUTPUT 3×3 for any supported color space: the
+    dcraw-style sRGB derivation (cam_to_srgb_matrix) with the target
+    space's RGB→XYZ swapped in. Parity mode is sRGB-only by definition
+    (it reproduces the reference's output bytes)."""
+    if color_space in (None, "srgb"):
+        return cam_to_srgb_matrix(xyz_to_cam, mode=mode)
+    if color_space not in _RGB_TO_XYZ_BY_SPACE:
+        raise ValueError(
+            f"unknown color space {color_space!r}; expected one of "
+            f"{COLOR_SPACES}")
+    if mode != "accurate":
+        raise ValueError(
+            "wide-gamut output requires mode='accurate' (parity is "
+            "defined as the reference's sRGB bytes)")
+    m = np.asarray(xyz_to_cam, dtype=np.float64).reshape(3, 3)
+    if is_identity_matrix(m):
+        return _IDENTITY.copy()
+    if np.any(np.abs(m) > 10.0):
+        m = m / 10000.0
+    cam_from_rgb = m @ _RGB_TO_XYZ_BY_SPACE[color_space]
+    row_sums = cam_from_rgb.sum(axis=1, keepdims=True)
+    if np.any(np.abs(row_sums) < 1e-8):
+        return _IDENTITY.copy()
+    cam_from_rgb = cam_from_rgb / row_sums
+    try:
+        out = np.linalg.inv(cam_from_rgb).astype(np.float32)
+    except np.linalg.LinAlgError:
+        return _IDENTITY.copy()
+    if not np.all(np.isfinite(out)) or np.any(np.abs(out) > 10.0):
+        return _IDENTITY.copy()
+    return out
 
 
 def srgb_encode(x):

@@ -55,7 +55,8 @@ class DevelopEngine:
                  fast_gamma: bool = False,
                  demosaic_method: str = "nearest",
                  transfer: str = "gamma22",
-                 auto_orient: bool = False):
+                 auto_orient: bool = False,
+                 color_space: str = "srgb"):
         import jax
 
         from raweditor_tpu.utils import ensure_backend
@@ -72,8 +73,23 @@ class DevelopEngine:
             histogram_width=histogram_width, use_pallas=use_pallas,
             fast_gamma=fast_gamma, demosaic_method=demosaic_method,
             transfer=transfer, auto_orient=auto_orient,
+            color_space=color_space,
         )
         self.use_pallas = use_pallas
+        # Wide-gamut output (beyond the reference, accurate mode):
+        # Display P3 / Adobe RGB matrices + mandated transfer, with
+        # the matching ICC profile embedded by every export path
+        # (an untagged wide-gamut file renders WRONG everywhere).
+        from raweditor_tpu.color import COLOR_SPACES, TRANSFER_BY_SPACE
+
+        color_space = (color_space or "srgb").lower()
+        if color_space not in COLOR_SPACES:
+            raise ValueError(
+                f"unknown color space {color_space!r}; expected one "
+                f"of {COLOR_SPACES}")
+        self.color_space = color_space
+        if color_space in TRANSFER_BY_SPACE:
+            transfer = TRANSFER_BY_SPACE[color_space]
         # Polynomial 1/2.2 gamma (two sqrts + degree-6 poly) instead of
         # the transcendental pow: ~17% faster develop, within 1 LSB of
         # the exact pow after u8 quantization (color.gamma22_poly_encode).
@@ -113,7 +129,10 @@ class DevelopEngine:
         mosaic = raw.fold_site_blacks() if mode == "accurate" else raw.mosaic
         self.mosaic = jax.device_put(np.ascontiguousarray(mosaic))
         self.wb = raw.wb_rgb()
-        self.cam_matrix = cam_to_srgb_matrix(raw.xyz_to_cam, mode=mode)
+        from raweditor_tpu.color import cam_to_output_matrix
+
+        self.cam_matrix = cam_to_output_matrix(
+            raw.xyz_to_cam, mode=mode, color_space=color_space)
         self.matrix_transpose = mode == "parity"
         if mode == "parity":
             # The reference hardcodes everything (gpu/shaders.rs:110-125).
@@ -585,9 +604,12 @@ class DevelopEngine:
         exif = self._exif_bytes()
         from raweditor_tpu.pipeline.export import _atomic_write
 
+        icc = self._icc_bytes()
+
         def write(tmp):
+            ikw = {"icc_profile": icc} if icc else {}
             if ext == ".png":
-                img.save(tmp, format="PNG", exif=exif)
+                img.save(tmp, format="PNG", exif=exif, **ikw)
             else:
                 # The flags survive this PIL fallback (auto-orient, odd
                 # dims, native ext missing): 4:4:4, optimize, and restart
@@ -598,13 +620,24 @@ class DevelopEngine:
                     kw["restart_marker_rows"] = int(jpeg_restart_rows)
                 img.convert("RGB").save(tmp, format="JPEG",
                                         quality=quality, exif=exif,
-                                        optimize=jpeg_optimize, **kw)
+                                        optimize=jpeg_optimize, **kw,
+                                        **ikw)
 
         # Atomic like every other exporter: an interrupted run must not
         # leave a truncated file a skip_existing rerun would trust
         # (code-review r3).
         _atomic_write(path, write)
         return path
+
+    def _icc_bytes(self):
+        """The embedded ICC profile bytes for non-sRGB output (None
+        for sRGB — consumers assume it, and the default export bytes
+        stay unchanged)."""
+        if self.color_space == "srgb":
+            return None
+        from raweditor_tpu.icc import profile_bytes
+
+        return profile_bytes(self.color_space)
 
     def _exif_bytes(self) -> bytes:
         """Export metadata: camera make/model + the orientation tag
@@ -675,6 +708,11 @@ class DevelopEngine:
         from raweditor_tpu.raw.exif import splice_exif
 
         data = splice_exif(data, self._exif_bytes())
+        icc = self._icc_bytes()
+        if icc:
+            from raweditor_tpu.icc import splice_icc_jpeg
+
+            data = splice_icc_jpeg(data, icc)
         path = os.fspath(path)
         from raweditor_tpu.pipeline.export import _atomic_write
 
@@ -751,7 +789,7 @@ class DevelopEngine:
             tmp, rgb, make=self.raw.camera_make,
             model=self.raw.camera_model,
             orientation=1 if self.auto_orient else self.raw.orientation,
-            software=SOFTWARE))
+            software=SOFTWARE, icc=self._icc_bytes()))
         return path
 
     def develop_tiers(self, params: EditParams,

@@ -28,7 +28,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from raweditor_tpu.color import cam_to_srgb_matrix
+from raweditor_tpu.color import cam_to_output_matrix as _cam_to_output
 from raweditor_tpu.ops.cfa_generic import \
     generic_cfa_method as _generic_cfa_method
 from raweditor_tpu.params import EditParams
@@ -139,7 +139,8 @@ class _Decoded:
     orientation: int = 1
 
 
-def _decode_job(job: ExportJob, mode: str, upload_pool=None):
+def _decode_job(job: ExportJob, mode: str, upload_pool=None,
+                color_space: str = "srgb"):
     """Returns (decoded, decode_seconds, stage_seconds).
 
     decode_seconds covers the codec + metadata work only; the staging
@@ -180,7 +181,7 @@ def _decode_job(job: ExportJob, mode: str, upload_pool=None):
         job=job,
         mosaic=raw.fold_site_blacks() if mode == "accurate" else raw.mosaic,
         wb=raw.wb_rgb(),
-        cam_matrix=cam_to_srgb_matrix(raw.xyz_to_cam, mode=mode),
+        cam_matrix=_cam_to_output(raw.xyz_to_cam, mode, color_space),
         white_level=white,
         black_level=black,
         cfa_phase=phase,
@@ -305,7 +306,8 @@ def _atomic_write(out_path: str, write_fn) -> None:
 
 def _encode_one(out_path: str, rgba_words: np.ndarray, quality: int,
                 exif: bytes = b"", optimize: bool = False,
-                chroma: str = "420", restart_rows: int = 0) -> None:
+                chroma: str = "420", restart_rows: int = 0,
+                icc: bytes = None) -> None:
     """Encode a (H, W) u32 packed-RGBA image. The RGBA→RGB strip for
     JPEG happens here on the host, exactly like the reference
     (reference: main.rs:1778-1781). ``exif`` carries the camera
@@ -332,15 +334,16 @@ def _encode_one(out_path: str, rgba_words: np.ndarray, quality: int,
                          "(use .jpg/.jpeg/.png, or bits=16 for .tif)")
 
     def write(tmp_path):
+        ikw = {"icc_profile": icc} if icc else {}
         if ext == ".png":
-            img.save(tmp_path, format="PNG", exif=exif)
+            img.save(tmp_path, format="PNG", exif=exif, **ikw)
         else:
             kw = {"subsampling": 0} if chroma == "444" else {}
             if restart_rows > 0:
                 kw["restart_marker_rows"] = int(restart_rows)
             img.convert("RGB").save(tmp_path, format="JPEG",
                                     quality=quality, exif=exif,
-                                    optimize=optimize, **kw)
+                                    optimize=optimize, **kw, **ikw)
 
     _atomic_write(out_path, write)
 
@@ -424,7 +427,8 @@ def _encode_one_jpeg420(out_path: str, y: np.ndarray, cb: np.ndarray,
                         exif: bytes = b"",
                         optimize: bool = False,
                         chroma: str = "420",
-                        restart_rows: int = 0) -> None:
+                        restart_rows: int = 0,
+                        icc: bytes = None) -> None:
     """Encode device-produced YCbCr planes (ops/jpeg.py) through the
     native baseline JFIF encoder — no host colorspace pass; 1.5
     bytes/pixel fetched instead of 4 for '420' (3 B/px for '444').
@@ -446,6 +450,10 @@ def _encode_one_jpeg420(out_path: str, y: np.ndarray, cb: np.ndarray,
         from raweditor_tpu.raw.exif import splice_exif
 
         data = splice_exif(data, exif)
+    if icc:
+        from raweditor_tpu.icc import splice_icc_jpeg
+
+        data = splice_icc_jpeg(data, icc)
 
     def write(tmp_path):
         with open(tmp_path, "wb") as f:
@@ -456,7 +464,8 @@ def _encode_one_jpeg420(out_path: str, y: np.ndarray, cb: np.ndarray,
 
 def _encode_one_tiff16(out_path: str, rgb_u16: np.ndarray,
                        make: str = "", model: str = "",
-                       orientation: int = 1) -> None:
+                       orientation: int = 1,
+                       icc: bytes = None) -> None:
     """Encode an (H, W, 3) u16 frame as 16-bit TIFF, atomically."""
     ext = os.path.splitext(out_path)[1].lower()
     if ext not in (".tif", ".tiff"):
@@ -469,7 +478,7 @@ def _encode_one_tiff16(out_path: str, rgb_u16: np.ndarray,
 
     _atomic_write(out_path, lambda tmp: write_tiff16(
         tmp, rgb_u16, make=make, model=model, orientation=orientation,
-        software=SOFTWARE))
+        software=SOFTWARE, icc=icc))
 
 
 def run_batch_export(
@@ -491,6 +500,7 @@ def run_batch_export(
     jpeg_optimize: bool = False,
     chroma: str = "420",
     jpeg_restart_rows: int = 0,
+    color_space: str = "srgb",
 ) -> ExportReport:
     """Develop and encode every job; returns a report with throughput
     and the per-image quarantine list.
@@ -507,6 +517,23 @@ def run_batch_export(
 
     if matrix_transpose is None:
         matrix_transpose = mode == "parity"
+    # Wide-gamut output (beyond the reference): the space mandates its
+    # transfer and the cam matrices target its primaries
+    # (color.cam_to_output_matrix); every encoder embeds the matching
+    # ICC profile below.
+    from raweditor_tpu.color import COLOR_SPACES, TRANSFER_BY_SPACE
+
+    color_space = (color_space or "srgb").lower()
+    if color_space not in COLOR_SPACES:
+        raise ValueError(
+            f"unknown color space {color_space!r}; expected one of "
+            f"{COLOR_SPACES}")
+    if color_space != "srgb" and mode != "accurate":
+        raise ValueError(
+            "wide-gamut output requires mode='accurate' (parity is "
+            "defined as the reference's sRGB bytes)")
+    if color_space in TRANSFER_BY_SPACE:
+        transfer = TRANSFER_BY_SPACE[color_space]
     # Polynomial 1/2.2 gamma: ~17% faster develop, within 1 LSB of the
     # exact pow after u8 quantization (see color.gamma22_poly_encode).
     if transfer is None:
@@ -517,15 +544,21 @@ def run_batch_export(
         transfer = "srgb_poly"
     if bits not in (8, 16):
         raise ValueError("bits must be 8 or 16")
-    from raweditor_tpu.color import PALLAS_GAMMA_BY_TRANSFER
+    from raweditor_tpu.color import PALLAS_GAMMA_BY_TRANSFER, encoder_for
 
-    if transfer not in PALLAS_GAMMA_BY_TRANSFER:
-        # Validated up front so the Pallas path can't silently render
-        # an unknown transfer with pow gamma while the XLA path would
-        # quarantine every batch (code-review r3).
+    try:
+        # Validated up front so an unknown transfer can't silently
+        # quarantine every batch deep in the flush (code-review r3).
+        encoder_for(transfer)
+    except ValueError:
         raise ValueError(
             f"unknown transfer {transfer!r}; expected one of "
-            f"{sorted(PALLAS_GAMMA_BY_TRANSFER)}")
+            f"{sorted(PALLAS_GAMMA_BY_TRANSFER) + ['gamma_adobe']}")
+    _icc = None
+    if color_space != "srgb":
+        from raweditor_tpu.icc import profile_bytes
+
+        _icc = profile_bytes(color_space)
     if mesh is not None and not {"batch", "row"} <= set(mesh.shape):
         # The staging/dispatch shardings name both axes; a mesh missing
         # one would fail deep inside the first flush and quarantine the
@@ -546,6 +579,7 @@ def run_batch_export(
     # sharding. (X-Trans buckets use the kernel for GRAD only —
     # nearest/smooth measured faster on XLA; see the dispatch sites.)
     pallas_ok = (use_pallas and mesh is None
+                 and transfer in PALLAS_GAMMA_BY_TRANSFER
                  and demosaic_method in ("nearest", "bilinear", "malvar",
                                          "grad"))
     # Shape buckets whose Pallas attempt failed once (unsupported
@@ -638,25 +672,26 @@ def run_batch_export(
                         _encode_one_jpeg420, d.job.out_path, y.copy(),
                         cbcr[:, 0::2].copy(), cbcr[:, 1::2].copy(),
                         quality, exif, jpeg_optimize, chroma,
-                        jpeg_restart_rows
+                        jpeg_restart_rows, _icc
                     )
                 elif isinstance(host, tuple):  # YCbCr plane triple
                     y, cb, cr = (p[i] for p in host)
                     fut = encode_pool.submit(
                         _encode_one_jpeg420, d.job.out_path, y.copy(),
                         cb.copy(), cr.copy(), quality, exif,
-                        jpeg_optimize, chroma, jpeg_restart_rows
+                        jpeg_optimize, chroma, jpeg_restart_rows, _icc
                     )
                 elif bits == 16:
                     fut = encode_pool.submit(
                         _encode_one_tiff16, d.job.out_path,
-                        host[i].copy(), d.make, d.model, d.orientation
+                        host[i].copy(), d.make, d.model, d.orientation,
+                        _icc
                     )
                 else:
                     fut = encode_pool.submit(
                         _encode_one, d.job.out_path, host[i].copy(),
                         quality, exif, jpeg_optimize, chroma,
-                        jpeg_restart_rows
+                        jpeg_restart_rows, _icc
                     )
                 encode_futures.append((fut, d.job))
             # Backpressure: the device can outrun host JPEG encode by ~20×;
@@ -1092,7 +1127,8 @@ def run_batch_export(
                 pending.append(
                     (decode_pool.submit(
                         _decode_job, job, mode,
-                        upload_pool if mesh is None else None), job)
+                        upload_pool if mesh is None else None,
+                        color_space), job)
                 )
                 return True
 

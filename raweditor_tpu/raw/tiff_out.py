@@ -20,12 +20,14 @@ PLANAR_CONFIG = 284  # chunky/planar tag (not needed by the readers
 
 def write_tiff16(path, rgb: np.ndarray, make: str = "",
                  model: str = "", orientation: int = 1,
-                 software: str = "") -> str:
+                 software: str = "", icc: bytes = None) -> str:
     """Write an (H, W, 3) uint16 array as an uncompressed RGB TIFF.
 
     Optional camera metadata lands as standard baseline tags (Make/
-    Model/Orientation/Software) so archival exports keep provenance."""
-    from raweditor_tpu.raw.synth import _TYPE_ASCII
+    Model/Orientation/Software) so archival exports keep provenance;
+    ``icc`` embeds an ICC profile (tag 34675 — wide-gamut outputs must
+    carry one, raweditor_tpu/icc.py)."""
+    from raweditor_tpu.raw.synth import _TYPE_ASCII, _TYPE_UNDEF
 
     rgb = np.ascontiguousarray(rgb, dtype=np.uint16)
     if rgb.ndim != 3 or rgb.shape[2] != 3:
@@ -53,6 +55,8 @@ def write_tiff16(path, rgb: np.ndarray, make: str = "",
         ifd.append((T.ORIENTATION, _TYPE_SHORT, [orientation]))
     if software:
         ifd.append((0x0131, _TYPE_ASCII, software))
+    if icc:
+        ifd.append((34675, _TYPE_UNDEF, icc))
     ifd.sort(key=lambda e: e[0])
     data = tw.build([ifd])
     import os
