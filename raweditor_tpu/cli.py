@@ -211,8 +211,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "largest source-aspect rectangle unless "
                         "--crop is given)")
     p.add_argument("--crop", default=None, metavar="L,T,W,H",
-                   help="crop rectangle in output pixels (after "
-                        "--rotate), e.g. 100,50,3000,2000")
+                   help="crop rectangle in STORED-frame pixels (after "
+                        "--rotate, before EXIF auto-orientation; "
+                        "combining with --auto-orient on a rotated "
+                        "shot is rejected), e.g. 100,50,3000,2000")
     _add_slider_args(p)
 
     p = sub.add_parser("rate", help="star rating / pick-reject flag")
@@ -632,23 +634,31 @@ def cmd_develop(args) -> int:
     path, base = _resolve_input(args)
     params = _params_from_args(args, base)
     zoom = _clamp_zoom(args.zoom, cfg)
-    eng = DevelopEngine.open(path, mode=args.mode,
-                             use_pallas=getattr(args, "fast", False),
-                             fast_gamma=getattr(args, "fast_gamma", False),
-                             demosaic_method=getattr(args, "demosaic",
-                                                     "nearest"),
-                             transfer=getattr(args, "transfer", "gamma22"),
-                             auto_orient=getattr(args, "auto_orient", False),
-                             color_space=getattr(args, "color_space",
-                                                 "srgb"))
+    try:
+        eng = DevelopEngine.open(
+            path, mode=args.mode,
+            use_pallas=getattr(args, "fast", False),
+            fast_gamma=getattr(args, "fast_gamma", False),
+            demosaic_method=getattr(args, "demosaic", "nearest"),
+            transfer=getattr(args, "transfer", "gamma22"),
+            auto_orient=getattr(args, "auto_orient", False),
+            color_space=getattr(args, "color_space", "srgb"))
+    except ValueError as e:
+        # e.g. --color-space with the default parity mode — a usage
+        # error, not a traceback (code-review r3).
+        raise SystemExit(f"develop: {e}")
     if args.preview:
         from PIL import Image
 
         img = eng.preview(params, zoom=zoom, pan=_finite_pan(args))
         if getattr(args, "auto_orient", False) and eng.raw.orientation != 1:
             img = eng.apply_orientation(img, eng.raw.orientation)
+        # Wide-gamut previews need the profile too — untagged
+        # wide-gamut pixels render desaturated (code-review r3).
+        icc = eng._icc_bytes()
+        kw = {"icc_profile": icc} if icc else {}
         Image.fromarray(np.ascontiguousarray(img)).save(
-            args.output, quality=args.quality
+            args.output, quality=args.quality, **kw
         )
     else:
         try:
@@ -815,7 +825,24 @@ def cmd_export(args) -> int:
 
         with _TPE(max_workers=max(1, args.decode_threads)) as pool:
             jobs = list(pool.map(_measure, jobs))
-    report = run_batch_export(
+    try:
+        report = _run_batch_export_checked(
+            run_batch_export, jobs, mesh, args, cfg, num_hosts)
+    except ValueError as e:
+        raise SystemExit(f"export: {e}")
+    rep = report.as_dict()
+    if num_hosts > 1:
+        rep["host_id"] = args.host_id
+        rep["num_hosts"] = num_hosts
+    print(json.dumps(rep))
+    return 0 if not report.failed else 1
+
+
+def _run_batch_export_checked(run_batch_export, jobs, mesh, args, cfg,
+                              num_hosts):
+    """The export invocation, separated so config ValueErrors surface
+    as usage errors (code-review r3)."""
+    return run_batch_export(
         jobs, mesh=mesh, batch_size=args.batch_size,
         decode_threads=args.decode_threads, quality=args.quality,
         mode=args.mode, skip_existing=args.resume,
@@ -832,12 +859,6 @@ def cmd_export(args) -> int:
         jpeg_restart_rows=getattr(args, "jpeg_restart", 0),
         color_space=getattr(args, "color_space", "srgb"),
     )
-    rep = report.as_dict()
-    if num_hosts > 1:
-        rep["host_id"] = args.host_id
-        rep["num_hosts"] = num_hosts
-    print(json.dumps(rep))
-    return 0 if not report.failed else 1
 
 
 def cmd_verify(args) -> int:

@@ -43,6 +43,40 @@ def is_identity_matrix(matrix, epsilon: float = 0.001) -> bool:
     return bool(np.all(np.abs(m - _IDENTITY) < epsilon))
 
 
+def _cam_matrix_body(m: np.ndarray, rgb_to_xyz: np.ndarray,
+                     fallback: np.ndarray) -> np.ndarray:
+    """The dcraw-style cam→linear-RGB derivation, shared by every
+    output space (one body — the scale heuristic, normalization, and
+    sanity clamps cannot drift between sRGB and the wide-gamut
+    targets; code-review r3). ``fallback`` is returned for identity /
+    degenerate / broken metadata."""
+    if is_identity_matrix(m):
+        return fallback.copy()
+    # Camera matrices in RAW metadata are often integer-scaled by 10000
+    # (the reference's disabled block guards for this too,
+    # reference: color.rs:63-73).
+    if np.any(np.abs(m) > 10.0):
+        m = m / 10000.0
+    # dcraw-style: cam_from_rgb = xyz_to_cam @ rgb_to_xyz, then
+    # normalize each row to sum to 1 so that output white (1,1,1) maps
+    # to camera white — this folds the white-point adaptation in and
+    # keeps the inversion well-conditioned.
+    cam_from_rgb = m @ np.asarray(rgb_to_xyz, np.float64)
+    row_sums = cam_from_rgb.sum(axis=1, keepdims=True)
+    if np.any(np.abs(row_sums) < 1e-8):
+        return fallback.copy()
+    cam_from_rgb = cam_from_rgb / row_sums
+    try:
+        out = np.linalg.inv(cam_from_rgb).astype(np.float32)
+    except np.linalg.LinAlgError:
+        return fallback.copy()
+    # Sanity clamp mirroring the reference's disabled guard
+    # (reference: color.rs:155-165): wild values mean broken metadata.
+    if not np.all(np.isfinite(out)) or np.any(np.abs(out) > 10.0):
+        return fallback.copy()
+    return out
+
+
 def cam_to_srgb_matrix(xyz_to_cam, mode: str = "parity") -> np.ndarray:
     """Compute the camera-RGB → linear-sRGB 3×3 matrix.
 
@@ -58,42 +92,11 @@ def cam_to_srgb_matrix(xyz_to_cam, mode: str = "parity") -> np.ndarray:
       (3,3) float32 row-major matrix.
     """
     m = np.asarray(xyz_to_cam, dtype=np.float64).reshape(3, 3)
-
     if mode == "parity":
         return _IDENTITY.copy()
     if mode != "accurate":
         raise ValueError(f"unknown mode: {mode!r}")
-
-    if is_identity_matrix(m):
-        return _IDENTITY.copy()
-
-    # Camera matrices in RAW metadata are often integer-scaled by 10000
-    # (the reference's disabled block guards for this too,
-    # reference: color.rs:63-73).
-    if np.any(np.abs(m) > 10.0):
-        m = m / 10000.0
-
-    # dcraw-style: cam_from_srgb = xyz_to_cam @ srgb_to_xyz, then
-    # normalize each row to sum to 1 so that sRGB white (1,1,1) maps to
-    # camera white — this folds the white-point adaptation in and keeps
-    # the inversion well-conditioned.
-    cam_from_srgb = m @ SRGB_TO_XYZ.astype(np.float64)
-    row_sums = cam_from_srgb.sum(axis=1, keepdims=True)
-    if np.any(np.abs(row_sums) < 1e-8):
-        return _IDENTITY.copy()
-    cam_from_srgb = cam_from_srgb / row_sums
-
-    try:
-        srgb_from_cam = np.linalg.inv(cam_from_srgb)
-    except np.linalg.LinAlgError:
-        return _IDENTITY.copy()
-
-    out = srgb_from_cam.astype(np.float32)
-    # Sanity clamp mirroring the reference's disabled guard
-    # (reference: color.rs:155-165): wild values mean broken metadata.
-    if not np.all(np.isfinite(out)) or np.any(np.abs(out) > 10.0):
-        return _IDENTITY.copy()
-    return out
+    return _cam_matrix_body(m, SRGB_TO_XYZ.astype(np.float64), _IDENTITY)
 
 
 # ---------------------------------------------------------------------------
@@ -291,22 +294,14 @@ def cam_to_output_matrix(xyz_to_cam, mode: str = "parity",
             "wide-gamut output requires mode='accurate' (parity is "
             "defined as the reference's sRGB bytes)")
     m = np.asarray(xyz_to_cam, dtype=np.float64).reshape(3, 3)
-    if is_identity_matrix(m):
-        return _IDENTITY.copy()
-    if np.any(np.abs(m) > 10.0):
-        m = m / 10000.0
-    cam_from_rgb = m @ _RGB_TO_XYZ_BY_SPACE[color_space]
-    row_sums = cam_from_rgb.sum(axis=1, keepdims=True)
-    if np.any(np.abs(row_sums) < 1e-8):
-        return _IDENTITY.copy()
-    cam_from_rgb = cam_from_rgb / row_sums
-    try:
-        out = np.linalg.inv(cam_from_rgb).astype(np.float32)
-    except np.linalg.LinAlgError:
-        return _IDENTITY.copy()
-    if not np.all(np.isfinite(out)) or np.any(np.abs(out) > 10.0):
-        return _IDENTITY.copy()
-    return out
+    # No/broken camera metadata means the pixels are effectively sRGB
+    # (decode_raw defaults xyz_to_cam to identity): the right fallback
+    # is the sRGB→target bridge, NOT identity — identity would tag
+    # sRGB-valued pixels as wide-gamut and render them oversaturated
+    # in every consumer (code-review r3).
+    bridge = (np.linalg.inv(_RGB_TO_XYZ_BY_SPACE[color_space])
+              @ SRGB_TO_XYZ.astype(np.float64)).astype(np.float32)
+    return _cam_matrix_body(m, _RGB_TO_XYZ_BY_SPACE[color_space], bridge)
 
 
 def srgb_encode(x):

@@ -49,8 +49,12 @@ def _xyz_tag(xyz) -> bytes:
 
 def _desc_tag(text: str) -> bytes:
     ascii_ = text.encode("ascii") + b"\0"
+    # Tail per the v2 textDescriptionType layout: Unicode lang (4) +
+    # Unicode count (4) + ScriptCode code (2) + count (1) + 67-byte
+    # Mac name = 78 bytes (a 79-byte tail is tolerated by lcms but
+    # rejected by strict CMMs; code-review r3).
     return (b"desc\0\0\0\0" + struct.pack(">I", len(ascii_)) + ascii_
-            + b"\0" * 12 + b"\0" * 67)
+            + b"\0" * 11 + b"\0" * 67)
 
 
 def _text_tag(text: str) -> bytes:

@@ -122,6 +122,24 @@ def _resolve_geometry(h: int, w: int, angle_deg: float,
     return cw, ch, (w - cw) / 2.0, (h - ch) / 2.0
 
 
+def _rotate_crop(img, angle_deg, crop, to_f32, from_f32):
+    """Shared skeleton for the three dtypes: resolve the rectangle,
+    take the identity / pure-crop fast paths, otherwise resample
+    (one body — the angle epsilon and slice semantics cannot drift;
+    code-review r3)."""
+    h, w = img.shape[0], img.shape[1]
+    out_w, out_h, off_x, off_y = _resolve_geometry(h, w, angle_deg, crop)
+    if (out_w, out_h) == (w, h) and abs(angle_deg) < 1e-12:
+        return img
+    if abs(angle_deg) < 1e-12:
+        # Pure crop: a device slice, no resampling.
+        t, l = int(off_y), int(off_x)
+        return img[t : t + out_h, l : l + out_w]
+    out = _rotate_sample(to_f32(img), float(angle_deg), out_w, out_h,
+                         off_x, off_y)
+    return from_f32(out)
+
+
 def rotate_crop_u8(img_u8, angle_deg: float = 0.0,
                    crop: Optional[Tuple[int, int, int, int]] = None):
     """(H, W, 3) u8 → straightened/cropped u8 on device. Positive
@@ -131,53 +149,36 @@ def rotate_crop_u8(img_u8, angle_deg: float = 0.0,
     (left, top, width, height) in output-frame pixels (after
     rotation); None auto-crops the largest source-aspect rectangle.
     angle 0 + crop None is the identity (returned as-is)."""
-    h, w = img_u8.shape[0], img_u8.shape[1]
-    out_w, out_h, off_x, off_y = _resolve_geometry(h, w, angle_deg, crop)
-    if (out_w, out_h) == (w, h) and abs(angle_deg) < 1e-12:
-        return img_u8
-    if abs(angle_deg) < 1e-12:
-        # Pure crop: a device slice, no resampling.
-        t, l = int(off_y), int(off_x)
-        return img_u8[t : t + out_h, l : l + out_w]
-    out = _rotate_sample(img_u8.astype(jnp.float32), float(angle_deg),
-                         out_w, out_h, off_x, off_y)
-    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+    return _rotate_crop(
+        img_u8, angle_deg, crop,
+        lambda x: x.astype(jnp.float32),
+        lambda o: jnp.clip(jnp.round(o), 0, 255).astype(jnp.uint8))
 
 
 def rotate_crop_u16(img_u16, angle_deg: float = 0.0,
                     crop: Optional[Tuple[int, int, int, int]] = None):
     """16-bit variant (TIFF export path)."""
-    h, w = img_u16.shape[0], img_u16.shape[1]
-    out_w, out_h, off_x, off_y = _resolve_geometry(h, w, angle_deg, crop)
-    if (out_w, out_h) == (w, h) and abs(angle_deg) < 1e-12:
-        return img_u16
-    if abs(angle_deg) < 1e-12:
-        t, l = int(off_y), int(off_x)
-        return img_u16[t : t + out_h, l : l + out_w]
-    out = _rotate_sample(img_u16.astype(jnp.float32), float(angle_deg),
-                         out_w, out_h, off_x, off_y)
-    return jnp.clip(jnp.round(out), 0, 65535).astype(jnp.uint16)
+    return _rotate_crop(
+        img_u16, angle_deg, crop,
+        lambda x: x.astype(jnp.float32),
+        lambda o: jnp.clip(jnp.round(o), 0, 65535).astype(jnp.uint16))
 
 
 def rotate_crop_rgba_words(words, angle_deg: float = 0.0,
                            crop: Optional[Tuple[int, int, int, int]] = None):
     """Packed-RGBA u32 (H, W) variant (the export fast path): unpack,
     resample, repack — one fused program."""
-    h, w = words.shape
-    out_w, out_h, off_x, off_y = _resolve_geometry(h, w, angle_deg, crop)
-    if (out_w, out_h) == (w, h) and abs(angle_deg) < 1e-12:
-        return words
-    if abs(angle_deg) < 1e-12:
-        t, l = int(off_y), int(off_x)
-        return words[t : t + out_h, l : l + out_w]
-    rgb = jnp.stack(
-        [(words & 0xFF), ((words >> 8) & 0xFF), ((words >> 16) & 0xFF)],
-        axis=-1).astype(jnp.float32)
-    out = _rotate_sample(rgb, float(angle_deg), out_w, out_h, off_x,
-                         off_y)
 
-    def q(c):
-        return jnp.clip(jnp.round(c), 0, 255).astype(jnp.uint32)
+    def unpack(w32):
+        return jnp.stack(
+            [(w32 & 0xFF), ((w32 >> 8) & 0xFF), ((w32 >> 16) & 0xFF)],
+            axis=-1).astype(jnp.float32)
 
-    return (q(out[..., 0]) | (q(out[..., 1]) << 8)
-            | (q(out[..., 2]) << 16) | jnp.uint32(0xFF000000))
+    def repack(o):
+        def q(c):
+            return jnp.clip(jnp.round(c), 0, 255).astype(jnp.uint32)
+
+        return (q(o[..., 0]) | (q(o[..., 1]) << 8)
+                | (q(o[..., 2]) << 16) | jnp.uint32(0xFF000000))
+
+    return _rotate_crop(words, angle_deg, crop, unpack, repack)

@@ -557,6 +557,18 @@ class DevelopEngine:
         from PIL import Image
 
         path = os.fspath(path)
+        if ((rotate or crop is not None) and self.auto_orient
+                and self.raw.orientation != 1):
+            # The geometry applies in the STORED sensor frame; with
+            # auto-orient on a rotated shot the user's rectangle would
+            # land on the wrong region of the upright picture — reject
+            # rather than silently miscrop (code-review r3).
+            raise ValueError(
+                "rotate/crop with auto_orient on a rotated shot "
+                f"(orientation {self.raw.orientation}) is not "
+                "supported: geometry applies in the stored sensor "
+                "frame — disable auto_orient or crop in stored "
+                "coordinates")
         ext = os.path.splitext(path)[1].lower()
         if ext not in (".tif", ".tiff", ".jpg", ".jpeg", ".png"):
             # Same contract as the batch exporter's _encode_one:
@@ -729,6 +741,14 @@ class DevelopEngine:
         """Full-res develop at 16 bits/channel → uncompressed RGB TIFF.
         The polynomial fast gamma is u8-accuracy (~6 LSBs of u16), so
         16-bit output always uses the exact transfer."""
+        if ((rotate or crop is not None) and self.auto_orient
+                and self.raw.orientation != 1):
+            raise ValueError(
+                "rotate/crop with auto_orient on a rotated shot "
+                f"(orientation {self.raw.orientation}) is not "
+                "supported: geometry applies in the stored sensor "
+                "frame — disable auto_orient or crop in stored "
+                "coordinates")
         from raweditor_tpu.ops.develop import develop_u16
         from raweditor_tpu.raw.tiff_out import write_tiff16
 

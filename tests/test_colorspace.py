@@ -250,3 +250,69 @@ class TestEngineAndBatch:
             mode="accurate", bits=16, color_space="display-p3")
         assert rep.succeeded == 1
         assert Image.open(out).info.get("icc_profile")
+
+
+class TestReviewRegressions:
+    def test_identity_metadata_uses_srgb_bridge(self):
+        """No/broken camera metadata (identity xyz_to_cam) must map
+        sRGB-valued pixels INTO the wide-gamut space, not tag them as
+        wide gamut unchanged (code-review r3)."""
+        from raweditor_tpu.color import (DISPLAY_P3_TO_XYZ, SRGB_TO_XYZ,
+                                         cam_to_output_matrix)
+
+        m = cam_to_output_matrix(np.eye(3), "accurate", "display-p3")
+        bridge = (np.linalg.inv(DISPLAY_P3_TO_XYZ)
+                  @ SRGB_TO_XYZ.astype(np.float64))
+        assert np.abs(m - bridge).max() < 1e-4
+        assert not np.allclose(m, np.eye(3), atol=1e-3)
+        # White is preserved by the bridge — to the accuracy of the
+        # published 4-decimal IEC sRGB constants (their white isn't
+        # exactly D65; ~1e-4 ≪ 1 u8 LSB).
+        assert np.abs(m @ np.ones(3) - 1.0).max() < 5e-4
+
+    def test_srgb_matrix_helper_delegates(self):
+        from raweditor_tpu.color import (cam_to_output_matrix,
+                                         cam_to_srgb_matrix)
+
+        assert (cam_to_srgb_matrix(_MILD_CAM, "accurate")
+                == cam_to_output_matrix(_MILD_CAM, "accurate",
+                                        "srgb")).all()
+
+    def test_desc_tag_v2_layout(self):
+        """textDescriptionType: 4 sig + 4 reserved + 4 count + ascii +
+        78-byte tail (strict CMMs validate the size; code-review r3)."""
+        from raweditor_tpu.icc import _desc_tag
+
+        tag = _desc_tag("X")
+        assert len(tag) == 12 + 2 + 78
+
+    @pytest.fixture
+    def raw_path(self, tmp_path, rng):
+        from raweditor_tpu.raw.synth import write_synthetic_raw
+
+        path = tmp_path / "r.dng"
+        write_synthetic_raw(
+            str(path),
+            rng.integers(0, 4095, (64, 96)).astype(np.uint16),
+            xyz_to_cam=_MILD_CAM)
+        return str(path)
+
+    def test_cli_preview_embeds_profile(self, raw_path, tmp_path,
+                                        capsys):
+        from PIL import Image
+
+        from raweditor_tpu.cli import main
+
+        out = tmp_path / "p.png"
+        rc = main(["develop", raw_path, "-o", str(out), "--preview",
+                   "--mode", "accurate", "--color-space", "display-p3"])
+        assert rc == 0
+        assert Image.open(out).info.get("icc_profile")
+
+    def test_cli_parity_wide_gamut_usage_error(self, raw_path,
+                                               tmp_path):
+        from raweditor_tpu.cli import main
+
+        with pytest.raises(SystemExit):
+            main(["develop", raw_path, "-o", str(tmp_path / "x.jpg"),
+                  "--color-space", "adobe-rgb"])  # default parity mode

@@ -61,17 +61,20 @@ class TestRotateCrop:
             rotate_crop_u8(img, 0.0, crop=(0, 0, 0, 24))  # empty
 
     def test_rot90_gradient(self, rng):
-        """A horizontal gradient rotated 90° becomes a vertical one
-        (direction check pins the sign convention)."""
+        """A horizontal gradient rotated 90° becomes a vertical one —
+        and the DIRECTION pins the sign convention: rotating a
+        dark-left/bright-right ramp CLOCKWISE (positive angle) puts
+        the bright edge at the BOTTOM. (The first version of this
+        assert accepted both directions — a flipped sin would have
+        passed; code-review r3.)"""
         g = np.tile(np.arange(64, dtype=np.uint8)[None, :, None],
                     (64, 1, 3))
         out = np.asarray(rotate_crop_u8(g, 90.0))
-        # Constant along rows, ramping down columns (interior: the
-        # edge rows interpolate with the clamp).
+        # Constant along rows, monotone non-decreasing down columns.
         assert np.abs(np.diff(out[1:-1, :, 0], axis=1)).max() == 0
         col = out[:, 0, 0].astype(int)
-        assert col[0] < col[-1] or col[0] > col[-1]
-        assert np.all(np.diff(col) >= -1) or np.all(np.diff(col) <= 1)
+        assert col[0] < col[-1]          # bright edge lands at bottom
+        assert np.all(np.diff(col) >= 0)
 
     def test_small_angle_correlates(self, rng):
         """±3° then the inverse lands close to the original center
@@ -168,3 +171,33 @@ class TestEngineExport:
             _parse_crop("1,2,3")
         with pytest.raises(SystemExit):
             _parse_crop("a,b,c,d")
+
+    def test_auto_orient_guard(self, tmp_path, rng):
+        """Geometry + auto_orient on a rotated shot is rejected (the
+        rectangle would land on the wrong region; code-review r3)."""
+        from raweditor_tpu.params import EditParams
+        from raweditor_tpu.pipeline.engine import DevelopEngine
+        from raweditor_tpu.raw.synth import write_synthetic_raw
+
+        path = tmp_path / "o6.dng"
+        write_synthetic_raw(
+            str(path),
+            rng.integers(0, 4095, (64, 96)).astype(np.uint16),
+            orientation=6)
+        eng = DevelopEngine.open(str(path), mode="accurate",
+                                 auto_orient=True)
+        with pytest.raises(ValueError):
+            eng.export(str(tmp_path / "x.jpg"), EditParams(),
+                       crop=(0, 0, 32, 32))
+        with pytest.raises(ValueError):
+            eng.export_tiff16(str(tmp_path / "x.tiff"), EditParams(),
+                              rotate=3.0)
+        # Orientation 1 composes fine.
+        path1 = tmp_path / "o1.dng"
+        write_synthetic_raw(
+            str(path1),
+            rng.integers(0, 4095, (64, 96)).astype(np.uint16))
+        eng1 = DevelopEngine.open(str(path1), mode="accurate",
+                                  auto_orient=True)
+        eng1.export(str(tmp_path / "ok.jpg"), EditParams(),
+                    crop=(0, 0, 32, 32))
