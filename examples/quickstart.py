@@ -104,6 +104,22 @@ def main() -> None:
                                   denoise=30.0), quality=92)
     print("sharpened jpeg:", crisp.stat().st_size, "bytes")
 
+    # 7. Output-stage geometry (straighten + crop) and wide-gamut
+    # output with an embedded ICC profile — both beyond the
+    # reference (ops/geometry.py, raweditor_tpu/icc.py).
+    level = work / "level.jpg"
+    eng2.export(level, EditParams(exposure=0.3), rotate=2.5)
+    print("straightened jpeg:", level.stat().st_size, "bytes")
+    from raweditor_tpu.pipeline.engine import DevelopEngine as _DE
+
+    p3 = work / "wide.jpg"
+    _DE.open(cr3, mode="accurate",
+             color_space="display-p3").export(p3, EditParams())
+    from PIL import Image
+
+    print("display-p3 jpeg:", p3.stat().st_size, "bytes, icc:",
+          bool(Image.open(p3).info.get("icc_profile")))
+
 
 if __name__ == "__main__":
     main()
