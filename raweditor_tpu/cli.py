@@ -39,8 +39,10 @@ from raweditor_tpu.params import EditParams, RANGES
 def _add_slider_args(p: argparse.ArgumentParser) -> None:
     for name in EditParams.field_names():
         lo, hi = RANGES[name]
+        # Dashed flags for multi-word sliders (--curve-shadows);
+        # argparse maps them back to the underscore dest.
         p.add_argument(
-            f"--{name}", type=float, default=None,
+            f"--{name.replace('_', '-')}", type=float, default=None,
             help=f"{name} ({lo:g}..{hi:g})",
         )
 

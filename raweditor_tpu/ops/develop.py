@@ -205,12 +205,17 @@ def finish_to_u16(r, g, b, transfer: str = "gamma22", extras=None):
 
 
 def _extras_of(params: EditParams, extras: bool):
-    """The (sharpen, denoise) traced pair for the finish stage, or None.
+    """The (sharpen, denoise, curve-4-tuple) traced amounts for the
+    finish stage, or None.
 
     ``extras`` is STATIC (callers derive it host-side via
     EditParams.has_finish_extras) so the default develop never traces
-    the spatial finish ops — bit-exactness by construction."""
-    return (params.sharpen, params.denoise) if extras else None
+    the finish ops — bit-exactness by construction."""
+    if not extras:
+        return None
+    return (params.sharpen, params.denoise,
+            (params.curve_shadows, params.curve_darks,
+             params.curve_lights, params.curve_highlights))
 
 
 @functools.partial(

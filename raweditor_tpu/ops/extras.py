@@ -91,12 +91,47 @@ def _pad_shift_fns():
     return up, dn, lf, rt
 
 
-def extras_core(r, g, b, sharpen, denoise, up, dn, lf, rt):
+def tone_curve(y, curve):
+    """Parametric tone curve on encoded luma: four region sliders
+    (shadows / darks / lights / highlights, ±100) move the interior
+    knots of a uniform 6-knot piecewise-linear remap (knot x = 0, .2,
+    .4, .6, .8, 1; full slider = ±0.15 lift at its knot; endpoints
+    pinned so black stays black and white stays white). Monotonicity
+    is guaranteed structurally: a forward-max / backward-min cascade
+    keeps the knot values strictly ascending before interpolation —
+    opposing extreme sliders soft-limit each other instead of
+    inverting the curve (the Lightroom parametric-curve behaviour).
+    At zero sliders the interpolation reduces to 0.2·Σ clip(5y−i) ≡ y
+    exactly (modulo one f32 rounding), so the curve is identity by
+    construction, not by approximation."""
+    amts = [jnp.asarray(c, jnp.float32) * _F(0.15 / 100.0)
+            for c in curve]
+    eps = _F(1e-3)
+    k = [jnp.clip(_F(0.2 * (i + 1)) + a, eps, _F(1.0) - eps)
+         for i, a in enumerate(amts)]
+    for i in range(1, 4):          # forward: ascending floors
+        k[i] = jnp.maximum(k[i], k[i - 1] + eps)
+    for i in range(2, -1, -1):     # backward: ascending ceilings
+        k[i] = jnp.minimum(k[i], k[i + 1] - eps)
+    t = jnp.clip(y, _F(0.0), _F(1.0)) * _F(5.0)
+    out = jnp.zeros_like(y)
+    prev = _F(0.0)
+    for i, kn in enumerate(k + [_F(1.0)]):
+        out = out + (kn - prev) * jnp.clip(t - _F(float(i)), _F(0.0),
+                                           _F(1.0))
+        prev = kn
+    return out
+
+
+def extras_core(r, g, b, sharpen, denoise, curve, up, dn, lf, rt):
     """The extras math on encoded [0, 1] planes, parameterized over
     ±1-shift closures so the XLA path (edge-pad shifts) and the Pallas
     kernel (roll + edge-fixup shifts, ops/pallas_develop.py) share one
     definition. Tents are separable (row pass then column pass);
-    returns (r, g, b) clamped to [0, 1]."""
+    ``curve`` is the 4-tuple of parametric tone-curve sliders
+    (:func:`tone_curve`, applied on the denoised luma before the
+    unsharp mask so sharpening acts on the final tonality); returns
+    (r, g, b) clamped to [0, 1]."""
     sharpen = jnp.asarray(sharpen, jnp.float32)
     denoise = jnp.asarray(denoise, jnp.float32)
 
@@ -128,6 +163,8 @@ def extras_core(r, g, b, sharpen, denoise, up, dn, lf, rt):
         den = den + w_
     y = y + (num / den - y) * s
 
+    y = tone_curve(y, curve)
+
     a = jnp.maximum(sharpen, _F(0.0)) * _F(0.01)
     y = y + (y - tent3(y)) * a
 
@@ -138,17 +175,24 @@ def extras_core(r, g, b, sharpen, denoise, up, dn, lf, rt):
     return clip(r), clip(g), clip(b)
 
 
-def apply_finish_extras(r, g, b, sharpen, denoise):
-    """Sharpen + denoise on transfer-encoded [0, 1] RGB planes — the
-    XLA in-chain execution of :func:`extras_core`.
+_ZERO_CURVE = (0.0, 0.0, 0.0, 0.0)
 
-    ``sharpen``/``denoise`` are traced scalars (slider moves never
-    recompile); returns (r, g, b) clamped to [0, 1]."""
+
+def apply_finish_extras(r, g, b, sharpen, denoise, curve=_ZERO_CURVE):
+    """Sharpen + denoise + parametric tone curve on transfer-encoded
+    [0, 1] RGB planes — the XLA in-chain execution of
+    :func:`extras_core`.
+
+    All amounts are traced scalars (slider moves never recompile);
+    ``curve`` is (shadows, darks, lights, highlights); returns
+    (r, g, b) clamped to [0, 1]."""
     up, dn, lf, rt = _pad_shift_fns()
-    return extras_core(r, g, b, sharpen, denoise, up, dn, lf, rt)
+    return extras_core(r, g, b, sharpen, denoise, curve, up, dn, lf,
+                       rt)
 
 
-def finish_extras_rgba_words(words, sharpen, denoise):
+def finish_extras_rgba_words(words, sharpen, denoise,
+                             curve=_ZERO_CURVE):
     """Behavioral reference for the Pallas post-pass: packed-RGBA u32
     (..., H, W) → u32, extras applied on the quantized u8 values
     rescaled to [0, 1], requantized with the finish rounding
@@ -157,7 +201,7 @@ def finish_extras_rgba_words(words, sharpen, denoise):
     r = (words & 0xFF).astype(jnp.float32) * scale
     g = ((words >> 8) & 0xFF).astype(jnp.float32) * scale
     b = ((words >> 16) & 0xFF).astype(jnp.float32) * scale
-    r, g, b = apply_finish_extras(r, g, b, sharpen, denoise)
+    r, g, b = apply_finish_extras(r, g, b, sharpen, denoise, curve)
 
     def q(c):
         return jnp.floor(c * _F(255.0) + _F(0.5)).astype(jnp.uint32)

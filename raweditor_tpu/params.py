@@ -43,6 +43,10 @@ _REF_FIELDS = (
 _EXTRA_FIELDS = (
     "sharpen",
     "denoise",
+    "curve_shadows",
+    "curve_darks",
+    "curve_lights",
+    "curve_highlights",
 )
 _FIELDS = _REF_FIELDS + _EXTRA_FIELDS
 
@@ -67,9 +71,14 @@ RANGES = {
     "temperature": (-1.0, 1.0),
     "tint": (-1.0, 1.0),
     # Finish extras (beyond the reference; ops/extras.py): luma
-    # unsharp-mask amount and edge-preserving denoise strength.
+    # unsharp-mask amount, edge-preserving denoise strength, and the
+    # four parametric tone-curve region sliders (ops/extras.tone_curve).
     "sharpen": (0.0, 150.0),
     "denoise": (0.0, 100.0),
+    "curve_shadows": (-100.0, 100.0),
+    "curve_darks": (-100.0, 100.0),
+    "curve_lights": (-100.0, 100.0),
+    "curve_highlights": (-100.0, 100.0),
 }
 
 
@@ -94,6 +103,10 @@ class EditParams:
     tint: Any = 0.0
     sharpen: Any = 0.0
     denoise: Any = 0.0
+    curve_shadows: Any = 0.0
+    curve_darks: Any = 0.0
+    curve_lights: Any = 0.0
+    curve_highlights: Any = 0.0
 
     # -- persistence (serde-compatible JSON) -----------------------------
     def to_json(self) -> str:
@@ -137,7 +150,8 @@ class EditParams:
         )
 
     def has_finish_extras(self) -> bool:
-        """True when any finish extra (sharpen/denoise) is active.
+        """True when any finish extra (sharpen/denoise/tone curve) is
+        active.
 
         Callers use this HOST-SIDE — before tracing — to pick the
         static ``extras`` specialization of the develop programs (the

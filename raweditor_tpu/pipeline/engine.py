@@ -397,10 +397,14 @@ class DevelopEngine:
         (e.g. a VMEM profile the develop kernel doesn't have) never
         demotes extras-free renders off the working develop kernel
         (code-review r3)."""
+        curve = (float(params.curve_shadows),
+                 float(params.curve_darks),
+                 float(params.curve_lights),
+                 float(params.curve_highlights))
         if not getattr(self, "_pallas_extras_failed", False):
             try:
                 return kernel(words, float(params.sharpen),
-                              float(params.denoise))
+                              float(params.denoise), curve)
             except Exception as e:
                 self._pallas_extras_failed = True
                 logger.info(
@@ -410,7 +414,7 @@ class DevelopEngine:
         from raweditor_tpu.ops.extras import finish_extras_rgba_words
 
         return finish_extras_rgba_words(words, float(params.sharpen),
-                                        float(params.denoise))
+                                        float(params.denoise), curve)
 
     # -- export ----------------------------------------------------------
     def full_rgba_device(self, params: EditParams):

@@ -820,11 +820,16 @@ def run_batch_export(
             # batch develop within 1 LSB of their extras-off render).
             ex_on = any(d.job.params.has_finish_extras() for d in batch)
 
-            def _extras_amounts(ds, which):
-                field = ("sharpen", "denoise")[which]
+            def _extras_amounts(ds, field):
                 return np.array(
                     [float(getattr(d.job.params, field)) for d in ds],
                     np.float32)
+
+            def _extras_curve(ds):
+                return tuple(
+                    _extras_amounts(ds, f)
+                    for f in ("curve_shadows", "curve_darks",
+                              "curve_lights", "curve_highlights"))
 
             def _extras_post_batch(words, ds, kernel, xla_output):
                 """Fused extras post-pass over a batch of words (JPEG
@@ -835,21 +840,23 @@ def run_batch_export(
                 for this shape too (code-review r3)."""
                 want = ("ycbcr420" if xla_output == "ycbcr420"
                         else "rgba")
-                sh = _extras_amounts(ds, 0)
-                dn = _extras_amounts(ds, 1)
+                sh = _extras_amounts(ds, "sharpen")
+                dn = _extras_amounts(ds, "denoise")
+                cv = _extras_curve(ds)
                 key = ("extras", words.shape, want)
                 if key not in _pallas_failed:
                     try:
                         return pallas_finish_extras_rgba(
-                            words, sh, dn, output=want)
+                            words, sh, dn, cv, output=want)
                     except Exception:
                         _pallas_failed.add(key)
                 from raweditor_tpu.ops.extras import (
                     finish_extras_rgba_words,
                 )
 
-                out = finish_extras_rgba_words(words, sh[:, None, None],
-                                               dn[:, None, None])
+                out = finish_extras_rgba_words(
+                    words, sh[:, None, None], dn[:, None, None],
+                    tuple(c[:, None, None] for c in cv))
                 if want == "ycbcr420":
                     out = _ycbcr420_jit()(out)
                 return out

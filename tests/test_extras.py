@@ -410,3 +410,99 @@ class TestPallasPostPass:
             batch_size=2)
         assert rep.succeeded == 2
         assert solo.read_bytes() == mixed.read_bytes()
+
+
+class TestToneCurve:
+    """Parametric tone curve (ops/extras.tone_curve) — four region
+    sliders over a monotone knot remap of encoded luma."""
+
+    def _curve(self, y, *c):
+        from raweditor_tpu.ops.extras import tone_curve
+
+        return np.asarray(tone_curve(np.asarray(y, np.float32), c))
+
+    def test_identity_at_zero(self):
+        y = np.linspace(0, 1, 257).astype(np.float32)
+        out = self._curve(y, 0.0, 0.0, 0.0, 0.0)
+        assert np.abs(out - y).max() < 1e-6
+
+    def test_endpoints_pinned(self):
+        for c in ((100, 100, 100, 100), (-100, -100, -100, -100),
+                  (100, -100, 100, -100)):
+            out = self._curve(np.array([0.0, 1.0]), *c)
+            assert abs(out[0]) < 2e-3 and abs(out[1] - 1.0) < 2e-3
+
+    def test_region_selectivity(self):
+        """The shadows slider lifts dark tones and leaves highlights
+        essentially alone (and vice versa)."""
+        y = np.linspace(0, 1, 101).astype(np.float32)
+        lifted = self._curve(y, 80.0, 0.0, 0.0, 0.0)
+        assert lifted[20] > y[20] + 0.05          # dark tone lifted
+        assert abs(lifted[90] - y[90]) < 1e-3     # highlight untouched
+        hi = self._curve(y, 0.0, 0.0, 0.0, -80.0)
+        assert hi[85] < y[85] - 0.03
+        assert abs(hi[10] - y[10]) < 1e-3
+
+    def test_monotone_under_opposing_extremes(self):
+        y = np.linspace(0, 1, 1001).astype(np.float32)
+        for c in ((100, -100, 100, -100), (-100, 100, -100, 100),
+                  (100, 100, -100, -100)):
+            out = self._curve(y, *c)
+            assert np.all(np.diff(out) >= -1e-6)
+
+    def test_develop_integration(self, rng):
+        from raweditor_tpu.ops.develop import develop
+
+        m = rng.integers(0, 4095, (32, 48)).astype(np.uint16)
+        wb = np.ones(3, np.float32)
+        cm = np.eye(3, dtype=np.float32)
+        base = np.asarray(develop(m, EditParams(), wb, cm))
+        e = np.asarray(develop(
+            m, EditParams(curve_shadows=80.0), wb, cm, extras=True))
+        assert (e != base).any()
+        # Slider participates in gating + serde-when-used.
+        p = EditParams(curve_lights=-30.0)
+        assert p.has_finish_extras()
+        assert EditParams.from_json(p.to_json()) == p
+        import json as _json
+
+        assert "curve_lights" not in _json.loads(
+            EditParams().to_json())
+
+    def test_kernel_parity_with_curve(self, rng):
+        import jax.numpy as jnp
+
+        from raweditor_tpu.ops.extras import finish_extras_rgba_words
+        from raweditor_tpu.ops.pallas_develop import (
+            pallas_finish_extras_rgba,
+        )
+
+        words = (rng.integers(0, 2**24, (96, 128)).astype(np.uint32)
+                 | np.uint32(0xFF000000))
+        curve = (60.0, -20.0, 30.0, -50.0)
+        ref = np.asarray(finish_extras_rgba_words(
+            jnp.asarray(words), 40.0, 20.0, curve))
+        got = np.asarray(pallas_finish_extras_rgba(
+            jnp.asarray(words), 40.0, 20.0, curve, interpret=True))
+        d = np.abs(ref.view(np.uint8).astype(int)
+                   - got.view(np.uint8).astype(int))
+        assert d.max() <= 1
+
+    def test_batch_per_image_curves(self, rng):
+        from raweditor_tpu.ops.develop import develop_rgba
+        from raweditor_tpu.parallel.batch import (
+            batch_develop_rgba,
+            pack_params,
+        )
+
+        m = rng.integers(0, 4095, (2, 32, 48)).astype(np.uint16)
+        wb = np.ones((2, 3), np.float32)
+        cm = np.stack([np.eye(3, dtype=np.float32)] * 2)
+        plist = [EditParams(curve_shadows=90.0),
+                 EditParams(curve_highlights=-70.0)]
+        out = np.asarray(batch_develop_rgba(
+            m, pack_params(plist), wb, cm, extras=True))
+        for i, p in enumerate(plist):
+            single = np.asarray(develop_rgba(
+                m[i], p, wb[i], cm[i], extras=True))
+            assert (out[i] == single).all()

@@ -46,11 +46,12 @@ def test_reset():
     assert p.reset().is_unedited()
 
 
-def test_is_pytree_of_twelve_scalars():
-    # The reference's ten sliders (state/edit.rs:15-96) + the two
-    # finish extras (sharpen/denoise, beyond the reference).
+def test_pytree_leaves_match_field_registry():
+    # The reference's ten sliders (state/edit.rs:15-96) + the finish
+    # extras (sharpen/denoise + 4 tone-curve regions, beyond the
+    # reference) — the pytree must track the field registry exactly.
     leaves = jax.tree.leaves(EditParams())
-    assert len(leaves) == 12
+    assert len(leaves) == len(EditParams.field_names()) == 16
 
 
 def test_slider_change_does_not_recompile():
