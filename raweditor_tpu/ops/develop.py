@@ -215,7 +215,8 @@ def _extras_of(params: EditParams, extras: bool):
         return None
     return (params.sharpen, params.denoise,
             (params.curve_shadows, params.curve_darks,
-             params.curve_lights, params.curve_highlights))
+             params.curve_lights, params.curve_highlights),
+            params.vignette)
 
 
 @functools.partial(

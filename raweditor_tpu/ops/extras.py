@@ -123,17 +123,38 @@ def tone_curve(y, curve):
     return out
 
 
-def extras_core(r, g, b, sharpen, denoise, curve, up, dn, lf, rt):
+def radial_sq(h, w, rows=None, cols=None):
+    """Normalized radial-distance² plane for the vignette: 0 at the
+    frame center, 1 at the corners. ``rows``/``cols`` override the
+    default output-grid iotas (the Pallas kernel passes its global-row
+    band iota; the full-frame XLA paths use the plain grid)."""
+    cy, cx = _F((h - 1) / 2.0), _F((w - 1) / 2.0)
+    if rows is None:
+        rows = jnp.arange(h, dtype=jnp.float32)[:, None]
+    if cols is None:
+        cols = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ry = (rows - cy) * _F(1.0 / max(cy, 1.0))
+    rx = (cols - cx) * _F(1.0 / max(cx, 1.0))
+    return (ry * ry + rx * rx) * _F(0.5)
+
+
+def extras_core(r, g, b, sharpen, denoise, curve, vignette, r2,
+                up, dn, lf, rt):
     """The extras math on encoded [0, 1] planes, parameterized over
     ±1-shift closures so the XLA path (edge-pad shifts) and the Pallas
     kernel (roll + edge-fixup shifts, ops/pallas_develop.py) share one
     definition. Tents are separable (row pass then column pass);
     ``curve`` is the 4-tuple of parametric tone-curve sliders
     (:func:`tone_curve`, applied on the denoised luma before the
-    unsharp mask so sharpening acts on the final tonality); returns
-    (r, g, b) clamped to [0, 1]."""
+    unsharp mask so sharpening acts on the final tonality);
+    ``vignette`` (±100) scales luma by 1 + (v/100)·0.75·r² — negative
+    darkens corners (artistic), positive lifts them (lens-falloff
+    correction), center always unchanged — with ``r2`` the
+    :func:`radial_sq` plane of the caller's grid; returns (r, g, b)
+    clamped to [0, 1]."""
     sharpen = jnp.asarray(sharpen, jnp.float32)
     denoise = jnp.asarray(denoise, jnp.float32)
+    vignette = jnp.asarray(vignette, jnp.float32)
 
     def tent3(x):
         xv = (up(x) + x * _F(2.0)) + dn(x)
@@ -165,6 +186,8 @@ def extras_core(r, g, b, sharpen, denoise, curve, up, dn, lf, rt):
 
     y = tone_curve(y, curve)
 
+    y = y * (_F(1.0) + vignette * _F(0.0075) * r2)
+
     a = jnp.maximum(sharpen, _F(0.0)) * _F(0.01)
     y = y + (y - tent3(y)) * a
 
@@ -178,21 +201,25 @@ def extras_core(r, g, b, sharpen, denoise, curve, up, dn, lf, rt):
 _ZERO_CURVE = (0.0, 0.0, 0.0, 0.0)
 
 
-def apply_finish_extras(r, g, b, sharpen, denoise, curve=_ZERO_CURVE):
-    """Sharpen + denoise + parametric tone curve on transfer-encoded
-    [0, 1] RGB planes — the XLA in-chain execution of
+def apply_finish_extras(r, g, b, sharpen, denoise, curve=_ZERO_CURVE,
+                        vignette=0.0):
+    """Sharpen + denoise + parametric tone curve + vignette on
+    transfer-encoded [0, 1] RGB planes — the XLA in-chain execution of
     :func:`extras_core`.
 
     All amounts are traced scalars (slider moves never recompile);
-    ``curve`` is (shadows, darks, lights, highlights); returns
-    (r, g, b) clamped to [0, 1]."""
+    ``curve`` is (shadows, darks, lights, highlights); the vignette's
+    radial plane is this grid's own (zoomed previews therefore
+    approximate it over the viewport — exports are full-frame and
+    exact); returns (r, g, b) clamped to [0, 1]."""
     up, dn, lf, rt = _pad_shift_fns()
-    return extras_core(r, g, b, sharpen, denoise, curve, up, dn, lf,
-                       rt)
+    r2 = radial_sq(r.shape[-2], r.shape[-1])
+    return extras_core(r, g, b, sharpen, denoise, curve, vignette, r2,
+                       up, dn, lf, rt)
 
 
 def finish_extras_rgba_words(words, sharpen, denoise,
-                             curve=_ZERO_CURVE):
+                             curve=_ZERO_CURVE, vignette=0.0):
     """Behavioral reference for the Pallas post-pass: packed-RGBA u32
     (..., H, W) → u32, extras applied on the quantized u8 values
     rescaled to [0, 1], requantized with the finish rounding
@@ -201,7 +228,8 @@ def finish_extras_rgba_words(words, sharpen, denoise,
     r = (words & 0xFF).astype(jnp.float32) * scale
     g = ((words >> 8) & 0xFF).astype(jnp.float32) * scale
     b = ((words >> 16) & 0xFF).astype(jnp.float32) * scale
-    r, g, b = apply_finish_extras(r, g, b, sharpen, denoise, curve)
+    r, g, b = apply_finish_extras(r, g, b, sharpen, denoise, curve,
+                                  vignette)
 
     def q(c):
         return jnp.floor(c * _F(255.0) + _F(0.5)).astype(jnp.uint32)

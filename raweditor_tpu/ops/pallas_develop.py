@@ -1252,7 +1252,7 @@ def pallas_develop_rgba(
 
 
 def _extras_window(v_words, off, i, bh, w, true_h, true_w, sharpen,
-                   denoise, curve, output="rgba"):
+                   denoise, curve, vignette, output="rgba"):
     """Extras over one realigned (bh+8)-row band of packed-RGBA words:
     unpack u8 → [0, 1] planes, run ops/extras.extras_core with
     roll-based shift closures, requantize with the finish rounding,
@@ -1283,8 +1283,12 @@ def _extras_window(v_words, off, i, bh, w, true_h, true_w, sharpen,
     r = (v & 0xFF).astype(jnp.int32).astype(jnp.float32) * scale
     g = ((v >> 8) & 0xFF).astype(jnp.int32).astype(jnp.float32) * scale
     b = ((v >> 16) & 0xFF).astype(jnp.int32).astype(jnp.float32) * scale
-    r, g, b = extras_core(r, g, b, sharpen, denoise, curve, up, dn,
-                          lf, rt)
+    from raweditor_tpu.ops.extras import radial_sq
+
+    r2 = radial_sq(true_h, true_w, rows=gw.astype(jnp.float32),
+                   cols=cols.astype(jnp.float32))
+    r, g, b = extras_core(r, g, b, sharpen, denoise, curve, vignette,
+                          r2, up, dn, lf, rt)
 
     def qi(c):
         # floor(c·255 + 0.5); f32→u32 goes via int32 (Mosaic cast
@@ -1346,7 +1350,7 @@ def _extras_kernel_flat(scal_ref, words_hbm, *refs,
                          true_h, true_w, scal_ref[nimg, 0],
                          scal_ref[nimg, 1],
                          tuple(scal_ref[nimg, kk] for kk in range(2, 6)),
-                         output=output)
+                         scal_ref[nimg, 6], output=output)
     if output == "rgba":
         out_ref[0] = res
     else:
@@ -1358,6 +1362,7 @@ def _extras_kernel_flat(scal_ref, words_hbm, *refs,
                                               "output", "_true_hw"))
 def pallas_finish_extras_rgba(words, sharpen=0.0, denoise=0.0,
                               curve=(0.0, 0.0, 0.0, 0.0),
+                              vignette=0.0,
                               block_h: int | None = None,
                               interpret: bool = False,
                               output: str = "rgba",
@@ -1391,6 +1396,7 @@ def pallas_finish_extras_rgba(words, sharpen=0.0, denoise=0.0,
     dn = jnp.broadcast_to(jnp.asarray(denoise, jnp.float32), (n,))
     cv = tuple(jnp.broadcast_to(jnp.asarray(c, jnp.float32), (n,))
                for c in curve)
+    vg = jnp.broadcast_to(jnp.asarray(vignette, jnp.float32), (n,))
 
     def _finish(out):
         if output == "ycbcr420":
@@ -1404,7 +1410,8 @@ def pallas_finish_extras_rgba(words, sharpen=0.0, denoise=0.0,
     if wp != w:
         out = pallas_finish_extras_rgba(
             jnp.pad(words, ((0, 0), (0, 0), (0, wp - w)), mode="edge"),
-            sh, dn, cv, block_h, interpret, output, _true_hw=(th, tw))
+            sh, dn, cv, vg, block_h, interpret, output,
+            _true_hw=(th, tw))
         if output == "ycbcr420":
             return _finish((out[0][:, :, :w], out[1][:, :, :w]))
         return _finish(out[:, :, :w])
@@ -1442,7 +1449,7 @@ def pallas_finish_extras_rgba(words, sharpen=0.0, denoise=0.0,
             out = pallas_finish_extras_rgba(
                 jnp.pad(words, ((0, 0), (0, hp - h), (0, 0)),
                         mode="edge"),
-                sh, dn, cv, block_h, interpret, output,
+                sh, dn, cv, vg, block_h, interpret, output,
                 _true_hw=(th, tw))
             if output == "ycbcr420":
                 return _finish((out[0][:, :h], out[1][:, : h // 2]))
@@ -1454,7 +1461,7 @@ def pallas_finish_extras_rgba(words, sharpen=0.0, denoise=0.0,
             f"(H >= block_h+16; got {bh}); use the XLA path for this "
             "shape")
     steps = (h + overhang) // bh
-    scal = jnp.stack([sh, dn, *cv], axis=1)
+    scal = jnp.stack([sh, dn, *cv, vg], axis=1)
     flat = words.reshape(n * h, w)
     ho = h + overhang
     if output == "rgba":

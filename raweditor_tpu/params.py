@@ -47,6 +47,7 @@ _EXTRA_FIELDS = (
     "curve_darks",
     "curve_lights",
     "curve_highlights",
+    "vignette",
 )
 _FIELDS = _REF_FIELDS + _EXTRA_FIELDS
 
@@ -79,6 +80,7 @@ RANGES = {
     "curve_darks": (-100.0, 100.0),
     "curve_lights": (-100.0, 100.0),
     "curve_highlights": (-100.0, 100.0),
+    "vignette": (-100.0, 100.0),
 }
 
 
@@ -107,6 +109,7 @@ class EditParams:
     curve_darks: Any = 0.0
     curve_lights: Any = 0.0
     curve_highlights: Any = 0.0
+    vignette: Any = 0.0
 
     # -- persistence (serde-compatible JSON) -----------------------------
     def to_json(self) -> str:

@@ -404,7 +404,8 @@ class DevelopEngine:
         if not getattr(self, "_pallas_extras_failed", False):
             try:
                 return kernel(words, float(params.sharpen),
-                              float(params.denoise), curve)
+                              float(params.denoise), curve,
+                              float(params.vignette))
             except Exception as e:
                 self._pallas_extras_failed = True
                 logger.info(
@@ -414,7 +415,8 @@ class DevelopEngine:
         from raweditor_tpu.ops.extras import finish_extras_rgba_words
 
         return finish_extras_rgba_words(words, float(params.sharpen),
-                                        float(params.denoise), curve)
+                                        float(params.denoise), curve,
+                                        float(params.vignette))
 
     # -- export ----------------------------------------------------------
     def full_rgba_device(self, params: EditParams):

@@ -843,11 +843,12 @@ def run_batch_export(
                 sh = _extras_amounts(ds, "sharpen")
                 dn = _extras_amounts(ds, "denoise")
                 cv = _extras_curve(ds)
+                vg = _extras_amounts(ds, "vignette")
                 key = ("extras", words.shape, want)
                 if key not in _pallas_failed:
                     try:
                         return pallas_finish_extras_rgba(
-                            words, sh, dn, cv, output=want)
+                            words, sh, dn, cv, vg, output=want)
                     except Exception:
                         _pallas_failed.add(key)
                 from raweditor_tpu.ops.extras import (
@@ -856,7 +857,8 @@ def run_batch_export(
 
                 out = finish_extras_rgba_words(
                     words, sh[:, None, None], dn[:, None, None],
-                    tuple(c[:, None, None] for c in cv))
+                    tuple(c[:, None, None] for c in cv),
+                    vg[:, None, None])
                 if want == "ycbcr420":
                     out = _ycbcr420_jit()(out)
                 return out

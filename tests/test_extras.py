@@ -506,3 +506,64 @@ class TestToneCurve:
             single = np.asarray(develop_rgba(
                 m[i], p, wb[i], cm[i], extras=True))
             assert (out[i] == single).all()
+
+
+class TestVignette:
+    def test_center_invariant_corners_scaled(self, rng):
+        from raweditor_tpu.ops.extras import apply_finish_extras
+
+        h, w = 65, 97  # odd dims -> exact center pixel
+        r = g = b = np.full((h, w), 0.5, np.float32)
+        out = apply_finish_extras(r, g, b, 0.0, 0.0,
+                                  vignette=-100.0)
+        y = 0.2126 * np.asarray(out[0]) + 0.7152 * np.asarray(out[1]) \
+            + 0.0722 * np.asarray(out[2])
+        assert abs(y[h // 2, w // 2] - 0.5) < 1e-3   # center unchanged
+        assert y[0, 0] < 0.5 - 0.2                   # corner darkened
+        lift = apply_finish_extras(r, g, b, 0.0, 0.0, vignette=100.0)
+        y2 = 0.2126 * np.asarray(lift[0]) + 0.7152 * np.asarray(
+            lift[1]) + 0.0722 * np.asarray(lift[2])
+        assert y2[0, 0] > 0.5 + 0.2                  # corner lifted
+
+    def test_zero_is_identity(self, rng):
+        from raweditor_tpu.ops.extras import apply_finish_extras
+
+        r, g, b = _rgb_planes(rng)
+        out0 = apply_finish_extras(r, g, b, 0.0, 0.0, vignette=0.0)
+        out = apply_finish_extras(r, g, b, 0.0, 0.0)
+        for a, c in zip(out0, out):
+            assert (np.asarray(a) == np.asarray(c)).all()
+
+    def test_kernel_parity_with_vignette(self, rng):
+        import jax.numpy as jnp
+
+        from raweditor_tpu.ops.extras import finish_extras_rgba_words
+        from raweditor_tpu.ops.pallas_develop import (
+            pallas_finish_extras_rgba,
+        )
+
+        for shape in ((96, 128), (100, 130)):  # aligned + pad-rescued
+            words = (rng.integers(0, 2**24, shape).astype(np.uint32)
+                     | np.uint32(0xFF000000))
+            ref = np.asarray(finish_extras_rgba_words(
+                jnp.asarray(words), 0.0, 0.0, vignette=-80.0))
+            got = np.asarray(pallas_finish_extras_rgba(
+                jnp.asarray(words), 0.0, 0.0, vignette=-80.0,
+                interpret=True))
+            d = np.abs(ref.view(np.uint8).astype(int)
+                       - got.view(np.uint8).astype(int))
+            assert d.max() <= 1, shape
+
+    def test_develop_and_params(self, rng):
+        from raweditor_tpu.ops.develop import develop
+
+        m = rng.integers(0, 4095, (32, 48)).astype(np.uint16)
+        wb = np.ones(3, np.float32)
+        cm = np.eye(3, dtype=np.float32)
+        base = np.asarray(develop(m, EditParams(), wb, cm))
+        e = np.asarray(develop(
+            m, EditParams(vignette=-80.0), wb, cm, extras=True))
+        assert (e != base).any()
+        assert EditParams(vignette=5.0).has_finish_extras()
+        p = EditParams(vignette=-25.0)
+        assert EditParams.from_json(p.to_json()) == p

@@ -48,10 +48,15 @@ def test_reset():
 
 def test_pytree_leaves_match_field_registry():
     # The reference's ten sliders (state/edit.rs:15-96) + the finish
-    # extras (sharpen/denoise + 4 tone-curve regions, beyond the
-    # reference) — the pytree must track the field registry exactly.
+    # extras (sharpen/denoise, 4 tone-curve regions, vignette — beyond
+    # the reference) — the pytree must track the field registry
+    # exactly, and the registry must lead with the reference's ten.
     leaves = jax.tree.leaves(EditParams())
-    assert len(leaves) == len(EditParams.field_names()) == 16
+    names = EditParams.field_names()
+    assert len(leaves) == len(names)
+    assert names[:10] == ("exposure", "contrast", "highlights",
+                          "shadows", "whites", "blacks", "vibrance",
+                          "saturation", "temperature", "tint")
 
 
 def test_slider_change_does_not_recompile():
