@@ -260,6 +260,14 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("srgb", "display-p3", "adobe-rgb"),
                    help="output color space (accurate mode; wide-gamut "
                         "outputs embed a matching ICC profile)")
+    p.add_argument("--rotate", type=float, default=0.0, metavar="DEG",
+                   help="uniform straighten applied to EVERY image "
+                        "(positive = clockwise; auto-crops the largest "
+                        "source-aspect rectangle unless --crop is "
+                        "given) — the fixed-rig batch workflow")
+    p.add_argument("--crop", default=None, metavar="L,T,W,H",
+                   help="uniform crop rectangle in STORED-frame pixels "
+                        "(after --rotate), applied to every image")
     p.add_argument("--decode-threads", type=int, default=4)
     p.add_argument("--mesh-rows", type=int, default=0,
                    help="shard each image's rows over this many chips "
@@ -860,6 +868,8 @@ def _run_batch_export_checked(run_batch_export, jobs, mesh, args, cfg,
         chroma=getattr(args, "chroma", "420"),
         jpeg_restart_rows=getattr(args, "jpeg_restart", 0),
         color_space=getattr(args, "color_space", "srgb"),
+        rotate=getattr(args, "rotate", 0.0),
+        crop=_parse_crop(getattr(args, "crop", None)),
     )
 
 

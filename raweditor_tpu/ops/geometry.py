@@ -164,6 +164,20 @@ def rotate_crop_u16(img_u16, angle_deg: float = 0.0,
         lambda o: jnp.clip(jnp.round(o), 0, 65535).astype(jnp.uint16))
 
 
+def rotate_crop_rgba_words_batch(words, angle_deg: float = 0.0,
+                                 crop=None):
+    """Batched (N, H, W) packed-RGBA variant: the same uniform
+    geometry applied to every image of a batch (the exporter's
+    ``rotate``/``crop`` options — one compiled program per shape
+    bucket, vmapped over images)."""
+    import jax
+
+    if abs(angle_deg) < 1e-12 and crop is None:
+        return words
+    return jax.vmap(
+        lambda w: rotate_crop_rgba_words(w, angle_deg, crop))(words)
+
+
 def rotate_crop_rgba_words(words, angle_deg: float = 0.0,
                            crop: Optional[Tuple[int, int, int, int]] = None):
     """Packed-RGBA u32 (H, W) variant (the export fast path): unpack,

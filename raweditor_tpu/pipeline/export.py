@@ -501,6 +501,8 @@ def run_batch_export(
     chroma: str = "420",
     jpeg_restart_rows: int = 0,
     color_space: str = "srgb",
+    rotate: float = 0.0,
+    crop=None,
 ) -> ExportReport:
     """Develop and encode every job; returns a report with throughput
     and the per-image quarantine list.
@@ -508,7 +510,12 @@ def run_batch_export(
     ``skip_existing`` makes a rerun resume where it stopped: jobs whose
     output file already exists are counted as skipped, the analogue of
     the reference's resumable pending-queue cache loop
-    (reference: main.rs:404-434)."""
+    (reference: main.rs:404-434).
+
+    ``rotate``/``crop`` apply UNIFORM output-stage geometry to every
+    image (ops/geometry.py; device-side, per shape bucket, in the
+    stored sensor frame) — the fixed-rig batch workflow. Per-image
+    geometry stays a single-image engine feature."""
     import jax
 
     from raweditor_tpu.utils import ensure_backend
@@ -873,8 +880,10 @@ def run_batch_export(
 
                 resize_changes = (
                     long_edge_shape(h_m, w_m, long_edge) != (h_m, w_m))
+            geometry_on = bool(rotate) or crop is not None
             xla_output = "rgba_words"
-            if jpeg_planes_ok and bits != 16 and not resize_changes:
+            if (jpeg_planes_ok and bits != 16 and not resize_changes
+                    and not geometry_on):
                 if chroma == "444":
                     xla_output = "ycbcr444"
                 elif h_m % 2 == 0 and w_m % 2 == 0:
@@ -1068,6 +1077,25 @@ def run_batch_export(
                     output=xla_output,
                 )
             h_, w_ = mosaics.shape[1], mosaics.shape[2]
+            if geometry_on:
+                # Uniform output-stage geometry, device-side before the
+                # fetch (and before long_edge, matching the engine's
+                # order). xla_output was forced to words above, so
+                # ``out`` is never YCbCr planes here.
+                if bits == 16:
+                    from raweditor_tpu.ops.geometry import rotate_crop_u16
+
+                    out = jax.vmap(
+                        lambda x: rotate_crop_u16(x, float(rotate),
+                                                  crop))(out)
+                else:
+                    from raweditor_tpu.ops.geometry import (
+                        rotate_crop_rgba_words_batch,
+                    )
+
+                    out = rotate_crop_rgba_words_batch(
+                        out, float(rotate), crop)
+                h_, w_ = out.shape[1], out.shape[2]
             if long_edge:
                 # Device-side long-edge resize (Lanczos3): only the
                 # resized pixels cross the link, so a 2048 px export of

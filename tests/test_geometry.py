@@ -201,3 +201,65 @@ class TestEngineExport:
                                   auto_orient=True)
         eng1.export(str(tmp_path / "ok.jpg"), EditParams(),
                     crop=(0, 0, 32, 32))
+
+    def test_batch_export_uniform_geometry(self, tmp_path, rng):
+        """run_batch_export(rotate=, crop=) applies the same geometry
+        to every image and matches the single-image engine export
+        byte-for-byte (PNG is lossless)."""
+        from PIL import Image
+
+        from raweditor_tpu.params import EditParams
+        from raweditor_tpu.pipeline.engine import DevelopEngine
+        from raweditor_tpu.pipeline.export import (
+            ExportJob,
+            run_batch_export,
+        )
+        from raweditor_tpu.raw.synth import write_synthetic_raw
+
+        paths = []
+        for i in range(2):
+            path = tmp_path / f"b{i}.dng"
+            write_synthetic_raw(
+                str(path),
+                rng.integers(0, 4095, (64, 96)).astype(np.uint16))
+            paths.append(str(path))
+        p = EditParams(exposure=0.1)
+        jobs = [ExportJob(pth, str(tmp_path / f"batch{i}.png"), p)
+                for i, pth in enumerate(paths)]
+        rep = run_batch_export(jobs, batch_size=2, rotate=4.0,
+                               crop=(6, 6, 64, 40))
+        assert rep.succeeded == 2 and not rep.failed
+        for i, pth in enumerate(paths):
+            single = tmp_path / f"single{i}.png"
+            DevelopEngine.open(pth).export(str(single), p, rotate=4.0,
+                                           crop=(6, 6, 64, 40))
+            a = np.asarray(Image.open(single))
+            b = np.asarray(Image.open(tmp_path / f"batch{i}.png"))
+            assert a.shape == b.shape == (40, 64, 4)
+            assert (a == b).all()
+
+    def test_batch_export_geometry_jpeg_and_tiff(self, tmp_path, rng):
+        from PIL import Image
+
+        from raweditor_tpu.pipeline.export import (
+            ExportJob,
+            run_batch_export,
+        )
+        from raweditor_tpu.raw.synth import write_synthetic_raw
+
+        path = tmp_path / "g.dng"
+        write_synthetic_raw(
+            str(path), rng.integers(0, 4095, (64, 96)).astype(np.uint16))
+        rep = run_batch_export(
+            [ExportJob(str(path), str(tmp_path / "r.jpg"))],
+            batch_size=1, rotate=5.0)
+        assert rep.succeeded == 1
+        from raweditor_tpu.ops.geometry import largest_upright_rect
+
+        assert (Image.open(tmp_path / "r.jpg").size
+                == largest_upright_rect(96, 64, 5.0))
+        rep = run_batch_export(
+            [ExportJob(str(path), str(tmp_path / "r.tif"))],
+            batch_size=1, bits=16, crop=(0, 0, 48, 32))
+        assert rep.succeeded == 1
+        assert Image.open(tmp_path / "r.tif").size == (48, 32)
