@@ -216,7 +216,7 @@ def _extras_of(params: EditParams, extras: bool):
     return (params.sharpen, params.denoise,
             (params.curve_shadows, params.curve_darks,
              params.curve_lights, params.curve_highlights),
-            params.vignette)
+            params.vignette, params.clarity)
 
 
 @functools.partial(

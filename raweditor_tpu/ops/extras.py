@@ -138,6 +138,62 @@ def radial_sq(h, w, rows=None, cols=None):
     return (ry * ry + rx * rx) * _F(0.5)
 
 
+def _clarity_blur(y):
+    """The clarity base layer: a large-radius low-pass via a resize
+    pyramid — downsample ~16× per axis (bilinear), one 3×3 tent on the
+    small grid, upsample back. Radius scales with the frame (~3% of
+    each dimension), so previews and full-res exports share the same
+    look. Three HBM-bound resize passes + a tiny stencil: XLA handles
+    them well (no composed-stencil pathology — this is why clarity is
+    NOT part of the in-kernel extras_core; the Pallas band can't see
+    the whole frame anyway)."""
+    import jax
+
+    h, w = y.shape[-2], y.shape[-1]
+    sh, sw = max(h // 16, 4), max(w // 16, 4)
+    small = jax.image.resize(y, y.shape[:-2] + (sh, sw), "linear")
+    up_, dn_, lf_, rt_ = _pad_shift_fns()
+    sv = (up_(small) + small * _F(2.0)) + dn_(small)
+    small = ((lf_(sv) + sv * _F(2.0)) + rt_(sv)) * _F(1.0 / 16.0)
+    return jax.image.resize(small, y.shape, "linear")
+
+
+def apply_clarity(r, g, b, clarity):
+    """Clarity (±100): midtone local contrast on encoded luma,
+    y′ = y + (c/100)·0.5·(y − blur(y))·4y(1−y) — the midtone weight
+    suppresses halos at the tonal extremes; negative values give the
+    soft-glow 'negative clarity' look. Identity at 0 by construction
+    (the correction term is scaled by the amount)."""
+    clarity = jnp.asarray(clarity, jnp.float32)
+    y = _LUMA_R * r + _LUMA_G * g + _LUMA_B * b
+    cr = r - y
+    cb = b - y
+    detail = y - _clarity_blur(y)
+    wgt = _F(4.0) * y * (_F(1.0) - y)
+    y = y + clarity * _F(0.005) * detail * wgt
+    r = y + cr
+    b = y + cb
+    g = (y - _LUMA_R * r - _LUMA_B * b) * _F(1.0 / 0.7152)
+    clip = lambda c: jnp.clip(c, _F(0.0), _F(1.0))  # noqa: E731
+    return clip(r), clip(g), clip(b)
+
+
+def apply_clarity_words(words, clarity):
+    """Clarity on packed-RGBA words — the fast lane's standalone pass
+    (runs between the develop kernel and the extras post-pass; the
+    pyramid needs the whole frame, which the Pallas band can't see)."""
+    scale = _F(1.0 / 255.0)
+    r = (words & 0xFF).astype(jnp.float32) * scale
+    g = ((words >> 8) & 0xFF).astype(jnp.float32) * scale
+    b = ((words >> 16) & 0xFF).astype(jnp.float32) * scale
+    r, g, b = apply_clarity(r, g, b, clarity)
+
+    def q(c):
+        return jnp.floor(c * _F(255.0) + _F(0.5)).astype(jnp.uint32)
+
+    return (q(r) | (q(g) << 8) | (q(b) << 16) | jnp.uint32(0xFF000000))
+
+
 def extras_core(r, g, b, sharpen, denoise, curve, vignette, r2,
                 up, dn, lf, rt):
     """The extras math on encoded [0, 1] planes, parameterized over
@@ -202,7 +258,7 @@ _ZERO_CURVE = (0.0, 0.0, 0.0, 0.0)
 
 
 def apply_finish_extras(r, g, b, sharpen, denoise, curve=_ZERO_CURVE,
-                        vignette=0.0):
+                        vignette=0.0, clarity=0.0):
     """Sharpen + denoise + parametric tone curve + vignette on
     transfer-encoded [0, 1] RGB planes — the XLA in-chain execution of
     :func:`extras_core`.
@@ -212,6 +268,7 @@ def apply_finish_extras(r, g, b, sharpen, denoise, curve=_ZERO_CURVE,
     radial plane is this grid's own (zoomed previews therefore
     approximate it over the viewport — exports are full-frame and
     exact); returns (r, g, b) clamped to [0, 1]."""
+    r, g, b = apply_clarity(r, g, b, clarity)
     up, dn, lf, rt = _pad_shift_fns()
     r2 = radial_sq(r.shape[-2], r.shape[-1])
     return extras_core(r, g, b, sharpen, denoise, curve, vignette, r2,
@@ -219,7 +276,8 @@ def apply_finish_extras(r, g, b, sharpen, denoise, curve=_ZERO_CURVE,
 
 
 def finish_extras_rgba_words(words, sharpen, denoise,
-                             curve=_ZERO_CURVE, vignette=0.0):
+                             curve=_ZERO_CURVE, vignette=0.0,
+                             clarity=0.0):
     """Behavioral reference for the Pallas post-pass: packed-RGBA u32
     (..., H, W) → u32, extras applied on the quantized u8 values
     rescaled to [0, 1], requantized with the finish rounding
@@ -229,7 +287,7 @@ def finish_extras_rgba_words(words, sharpen, denoise,
     g = ((words >> 8) & 0xFF).astype(jnp.float32) * scale
     b = ((words >> 16) & 0xFF).astype(jnp.float32) * scale
     r, g, b = apply_finish_extras(r, g, b, sharpen, denoise, curve,
-                                  vignette)
+                                  vignette, clarity)
 
     def q(c):
         return jnp.floor(c * _F(255.0) + _F(0.5)).astype(jnp.uint32)

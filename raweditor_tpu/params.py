@@ -48,6 +48,7 @@ _EXTRA_FIELDS = (
     "curve_lights",
     "curve_highlights",
     "vignette",
+    "clarity",
 )
 _FIELDS = _REF_FIELDS + _EXTRA_FIELDS
 
@@ -81,6 +82,7 @@ RANGES = {
     "curve_lights": (-100.0, 100.0),
     "curve_highlights": (-100.0, 100.0),
     "vignette": (-100.0, 100.0),
+    "clarity": (-100.0, 100.0),
 }
 
 
@@ -110,6 +112,7 @@ class EditParams:
     curve_lights: Any = 0.0
     curve_highlights: Any = 0.0
     vignette: Any = 0.0
+    clarity: Any = 0.0
 
     # -- persistence (serde-compatible JSON) -----------------------------
     def to_json(self) -> str:

@@ -391,16 +391,26 @@ class DevelopEngine:
             self.mosaic, params, zoom, pan[0], pan[1], extras=ex))
 
     def _extras_post(self, words, params: EditParams, kernel):
-        """Finish extras on packed words via the fused post-pass
-        kernel, falling back to the XLA words form on kernel failure
-        — in its OWN memoized guard, so an extras-kernel problem
-        (e.g. a VMEM profile the develop kernel doesn't have) never
-        demotes extras-free renders off the working develop kernel
+        """Finish extras on packed words: clarity first as its own XLA
+        pyramid pass (the whole-frame blur can't live in the banded
+        kernel), then the fused post-pass kernel for the band-local
+        extras — falling back to the XLA words form on kernel failure
+        in its OWN memoized guard, so an extras-kernel problem (e.g. a
+        VMEM profile the develop kernel doesn't have) never demotes
+        extras-free renders off the working develop kernel
         (code-review r3)."""
         curve = (float(params.curve_shadows),
                  float(params.curve_darks),
                  float(params.curve_lights),
                  float(params.curve_highlights))
+        clar = float(params.clarity)
+        if clar:
+            from raweditor_tpu.ops.extras import apply_clarity_words
+
+            words = apply_clarity_words(words, clar)
+        if not (float(params.sharpen) or float(params.denoise)
+                or any(curve) or float(params.vignette)):
+            return words  # clarity-only: skip the stencil kernel
         if not getattr(self, "_pallas_extras_failed", False):
             try:
                 return kernel(words, float(params.sharpen),
@@ -414,6 +424,8 @@ class DevelopEngine:
                     type(e).__name__, str(e)[:120])
         from raweditor_tpu.ops.extras import finish_extras_rgba_words
 
+        # Clarity was already applied above — amounts here cover the
+        # band-local stages only.
         return finish_extras_rgba_words(words, float(params.sharpen),
                                         float(params.denoise), curve,
                                         float(params.vignette))

@@ -851,6 +851,22 @@ def run_batch_export(
                 dn = _extras_amounts(ds, "denoise")
                 cv = _extras_curve(ds)
                 vg = _extras_amounts(ds, "vignette")
+                cl = _extras_amounts(ds, "clarity")
+                if cl.any():
+                    from raweditor_tpu.ops.extras import (
+                        apply_clarity_words,
+                    )
+
+                    # Whole-frame pyramid pass (can't live in the
+                    # banded kernel); per-image amounts broadcast.
+                    words = apply_clarity_words(words,
+                                                cl[:, None, None])
+                if not (sh.any() or dn.any() or vg.any()
+                        or any(c.any() for c in cv)):
+                    out = words  # clarity-only flush
+                    if want == "ycbcr420":
+                        out = _ycbcr420_jit()(out)
+                    return out
                 key = ("extras", words.shape, want)
                 if key not in _pallas_failed:
                     try:
@@ -862,6 +878,7 @@ def run_batch_export(
                     finish_extras_rgba_words,
                 )
 
+                # Clarity already applied above.
                 out = finish_extras_rgba_words(
                     words, sh[:, None, None], dn[:, None, None],
                     tuple(c[:, None, None] for c in cv),

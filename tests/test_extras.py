@@ -567,3 +567,88 @@ class TestVignette:
         assert EditParams(vignette=5.0).has_finish_extras()
         p = EditParams(vignette=-25.0)
         assert EditParams.from_json(p.to_json()) == p
+
+
+class TestClarity:
+    def test_identity_and_local_contrast(self, rng):
+        from raweditor_tpu.ops.extras import apply_clarity
+
+        yy, xx = np.mgrid[0:96, 0:128].astype(np.float32)
+        base = (0.4 + 0.2 * np.sin(xx / 5.0)).astype(np.float32)
+        r = g = b = base
+        out0 = apply_clarity(r, g, b, 0.0)
+        assert max(float(np.abs(np.asarray(a) - base).max())
+                   for a in out0) < 1e-6
+        hi = apply_clarity(r, g, b, 80.0)
+        lo = apply_clarity(r, g, b, -80.0)
+
+        def std(t):
+            return float((0.2126 * np.asarray(t[0])
+                          + 0.7152 * np.asarray(t[1])
+                          + 0.0722 * np.asarray(t[2])).std())
+
+        assert std(lo) < base.std() < std(hi)
+
+    def test_engine_fast_lane_clarity_only(self, tmp_path, rng):
+        """Clarity-only params skip the stencil kernel but still
+        change the output; matches the XLA in-chain render within
+        2 LSB (quantize-between-stages)."""
+        from raweditor_tpu.params import EditParams
+        from raweditor_tpu.pipeline.engine import DevelopEngine
+        from raweditor_tpu.raw.synth import write_synthetic_raw
+
+        path = tmp_path / "c.dng"
+        yy, xx = np.mgrid[0:64, 0:96]
+        write_synthetic_raw(
+            str(path),
+            (800 + 1500 * np.sin(xx / 4.0) ** 2).astype(np.uint16))
+        eng = DevelopEngine.open(str(path), mode="accurate")
+        p = EditParams(clarity=70.0)
+        base = np.asarray(eng.full_rgba_device(EditParams()))
+        out = np.asarray(eng.full_rgba_device(p))
+        assert (out != base).any()
+        eng_fast = DevelopEngine.open(str(path), mode="accurate",
+                                      use_pallas=True)
+        fast = np.asarray(eng_fast.full_rgba_device(p))
+        d = np.abs(fast.view(np.uint8).astype(int)
+                   - out.view(np.uint8).astype(int))
+        assert d.max() <= 2
+
+    def test_batch_clarity_per_image(self, tmp_path, rng):
+        from PIL import Image
+
+        from raweditor_tpu.params import EditParams
+        from raweditor_tpu.pipeline.engine import DevelopEngine
+        from raweditor_tpu.pipeline.export import (
+            ExportJob,
+            run_batch_export,
+        )
+        from raweditor_tpu.raw.synth import write_synthetic_raw
+
+        paths, plist = [], [EditParams(clarity=80.0),
+                            EditParams(clarity=-60.0)]
+        for i in range(2):
+            path = tmp_path / f"c{i}.dng"
+            yy, xx = np.mgrid[0:64, 0:96]
+            write_synthetic_raw(
+                str(path),
+                (700 + 1400 * np.sin((xx + 7 * i) / 4.0) ** 2).astype(
+                    np.uint16))
+            paths.append(str(path))
+        jobs = [ExportJob(pth, str(tmp_path / f"b{i}.png"), plist[i])
+                for i, pth in enumerate(paths)]
+        rep = run_batch_export(jobs, batch_size=2)
+        assert rep.succeeded == 2 and not rep.failed
+        for i, pth in enumerate(paths):
+            single = tmp_path / f"s{i}.png"
+            DevelopEngine.open(pth).export(str(single), plist[i])
+            a = np.asarray(Image.open(single))
+            b = np.asarray(Image.open(tmp_path / f"b{i}.png"))
+            assert (a == b).all()
+
+    def test_params_contract(self):
+        from raweditor_tpu.params import EditParams
+
+        assert EditParams(clarity=10.0).has_finish_extras()
+        p = EditParams(clarity=-33.0)
+        assert EditParams.from_json(p.to_json()) == p
