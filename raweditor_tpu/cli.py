@@ -62,6 +62,18 @@ def _params_from_args(args, base: EditParams = None) -> EditParams:
     return params.replace(**overrides)
 
 
+def _finite_rotate(args) -> float:
+    """--rotate with the same finiteness guard every other numeric
+    input gets — a NaN would otherwise surface as a confusing
+    per-batch quarantine deep in the flush (code-review r3)."""
+    import math
+
+    deg = float(getattr(args, "rotate", 0.0) or 0.0)
+    if not math.isfinite(deg):
+        raise SystemExit(f"--rotate must be finite, got {deg}")
+    return deg
+
+
 def _parse_crop(spec):
     """--crop "L,T,W,H" → (left, top, width, height) ints, or None."""
     if spec in (None, ""):
@@ -677,7 +689,7 @@ def cmd_develop(args) -> int:
                                       or cfg.jpeg_optimize),
                        chroma=getattr(args, "chroma", "420"),
                        jpeg_restart_rows=getattr(args, "jpeg_restart", 0),
-                       rotate=getattr(args, "rotate", 0.0),
+                       rotate=_finite_rotate(args),
                        crop=_parse_crop(getattr(args, "crop", None)))
         except ValueError as e:
             # e.g. an unsupported output extension — a usage error, not
@@ -868,7 +880,7 @@ def _run_batch_export_checked(run_batch_export, jobs, mesh, args, cfg,
         chroma=getattr(args, "chroma", "420"),
         jpeg_restart_rows=getattr(args, "jpeg_restart", 0),
         color_space=getattr(args, "color_space", "srgb"),
-        rotate=getattr(args, "rotate", 0.0),
+        rotate=_finite_rotate(args),
         crop=_parse_crop(getattr(args, "crop", None)),
     )
 

@@ -204,19 +204,25 @@ def finish_to_u16(r, g, b, transfer: str = "gamma22", extras=None):
     return quant(r), quant(g), quant(b)
 
 
-def _extras_of(params: EditParams, extras: bool):
-    """The (sharpen, denoise, curve-4-tuple) traced amounts for the
-    finish stage, or None.
+def _extras_of(params: EditParams, extras):
+    """The (sharpen, denoise, curve-4-tuple, vignette, clarity)
+    traced amounts for the finish stage, or None — the positional
+    contract of ``apply_finish_extras(r, g, b, *extras)``.
 
     ``extras`` is STATIC (callers derive it host-side via
-    EditParams.has_finish_extras) so the default develop never traces
-    the finish ops — bit-exactness by construction."""
+    EditParams.finish_extras_mode): False/None = off (the default
+    develop never traces the finish ops — bit-exactness by
+    construction); "base" = stencil/curve/vignette extras with
+    clarity statically OFF (a literal 0.0 sentinel lets
+    apply_finish_extras skip the whole-frame pyramid at trace time);
+    "full" (or the legacy True) = everything, clarity traced."""
     if not extras:
         return None
+    clar = params.clarity if extras in ("full", True) else 0.0
     return (params.sharpen, params.denoise,
             (params.curve_shadows, params.curve_darks,
              params.curve_lights, params.curve_highlights),
-            params.vignette, params.clarity)
+            params.vignette, clar)
 
 
 @functools.partial(

@@ -107,7 +107,16 @@ def tone_curve(y, curve):
     amts = [jnp.asarray(c, jnp.float32) * _F(0.15 / 100.0)
             for c in curve]
     eps = _F(1e-3)
-    k = [jnp.clip(_F(0.2 * (i + 1)) + a, eps, _F(1.0) - eps)
+    # Per-knot bounds spaced by eps so the cascades can never push a
+    # knot past the pinned endpoints: knot i lives in
+    # [(i+1)·eps, 1−(4−i)·eps], and since each ceiling is exactly eps
+    # above the previous one, the forward max (k[i] ≥ k[i−1]+eps)
+    # stays under its own ceiling — out-of-range sliders (the engine
+    # accepts any float) soft-limit instead of inverting the top
+    # segment (code-review r3: four +600 sliders compounded the old
+    # cascade to k=1.002 and a negative final-segment slope).
+    k = [jnp.clip(_F(0.2 * (i + 1)) + a, _F((i + 1) * 1e-3),
+                  _F(1.0 - (4 - i) * 1e-3))
          for i, a in enumerate(amts)]
     for i in range(1, 4):          # forward: ascending floors
         k[i] = jnp.maximum(k[i], k[i - 1] + eps)
@@ -178,20 +187,32 @@ def apply_clarity(r, g, b, clarity):
     return clip(r), clip(g), clip(b)
 
 
-def apply_clarity_words(words, clarity):
-    """Clarity on packed-RGBA words — the fast lane's standalone pass
-    (runs between the develop kernel and the extras post-pass; the
-    pyramid needs the whole frame, which the Pallas band can't see)."""
+def words_to_planes(words):
+    """Packed-RGBA u32 → [0, 1] f32 planes (the words-domain extras
+    contract: u8 values rescaled by 1/255). One definition shared by
+    every words-domain pass (code-review r3)."""
     scale = _F(1.0 / 255.0)
-    r = (words & 0xFF).astype(jnp.float32) * scale
-    g = ((words >> 8) & 0xFF).astype(jnp.float32) * scale
-    b = ((words >> 16) & 0xFF).astype(jnp.float32) * scale
-    r, g, b = apply_clarity(r, g, b, clarity)
+    return ((words & 0xFF).astype(jnp.float32) * scale,
+            ((words >> 8) & 0xFF).astype(jnp.float32) * scale,
+            ((words >> 16) & 0xFF).astype(jnp.float32) * scale)
+
+
+def planes_to_words(r, g, b):
+    """[0, 1] f32 planes → packed-RGBA u32 with the finish rounding
+    floor(c·255 + 0.5) and opaque alpha."""
 
     def q(c):
         return jnp.floor(c * _F(255.0) + _F(0.5)).astype(jnp.uint32)
 
     return (q(r) | (q(g) << 8) | (q(b) << 16) | jnp.uint32(0xFF000000))
+
+
+def apply_clarity_words(words, clarity):
+    """Clarity on packed-RGBA words — the fast lane's standalone pass
+    (runs between the develop kernel and the extras post-pass; the
+    pyramid needs the whole frame, which the Pallas band can't see)."""
+    r, g, b = words_to_planes(words)
+    return planes_to_words(*apply_clarity(r, g, b, clarity))
 
 
 def extras_core(r, g, b, sharpen, denoise, curve, vignette, r2,
@@ -268,7 +289,13 @@ def apply_finish_extras(r, g, b, sharpen, denoise, curve=_ZERO_CURVE,
     radial plane is this grid's own (zoomed previews therefore
     approximate it over the viewport — exports are full-frame and
     exact); returns (r, g, b) clamped to [0, 1]."""
-    r, g, b = apply_clarity(r, g, b, clarity)
+    if not (isinstance(clarity, (int, float)) and float(clarity) == 0.0):
+        # A LITERAL zero (the static "clarity off" sentinel from
+        # develop._extras_of) skips the whole-frame pyramid at trace
+        # time; a traced scalar always runs it. Without this, every
+        # sharpen-only in-chain render paid ~3 full-frame resize
+        # passes for a zero slider (code-review r3).
+        r, g, b = apply_clarity(r, g, b, clarity)
     up, dn, lf, rt = _pad_shift_fns()
     r2 = radial_sq(r.shape[-2], r.shape[-1])
     return extras_core(r, g, b, sharpen, denoise, curve, vignette, r2,
@@ -282,14 +309,7 @@ def finish_extras_rgba_words(words, sharpen, denoise,
     (..., H, W) → u32, extras applied on the quantized u8 values
     rescaled to [0, 1], requantized with the finish rounding
     (floor(c·255 + 0.5)). The kernel mirrors this exactly."""
-    scale = _F(1.0 / 255.0)
-    r = (words & 0xFF).astype(jnp.float32) * scale
-    g = ((words >> 8) & 0xFF).astype(jnp.float32) * scale
-    b = ((words >> 16) & 0xFF).astype(jnp.float32) * scale
+    r, g, b = words_to_planes(words)
     r, g, b = apply_finish_extras(r, g, b, sharpen, denoise, curve,
                                   vignette, clarity)
-
-    def q(c):
-        return jnp.floor(c * _F(255.0) + _F(0.5)).astype(jnp.uint32)
-
-    return (q(r) | (q(g) << 8) | (q(b) << 16) | jnp.uint32(0xFF000000))
+    return planes_to_words(r, g, b)

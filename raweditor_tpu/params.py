@@ -169,6 +169,16 @@ class EditParams:
             for name in _EXTRA_FIELDS
         )
 
+    def finish_extras_mode(self):
+        """The static ``extras`` specialization for the develop entry
+        points: False (off), "base" (extras without clarity — the
+        whole-frame clarity pyramid is skipped at trace time), or
+        "full" (clarity active). Host-side only, like
+        has_finish_extras."""
+        if not self.has_finish_extras():
+            return False
+        return "full" if float(self.clarity) != 0.0 else "base"
+
     def reset(self) -> "EditParams":
         """Return default parameters (reference: state/edit.rs:120-122).
 

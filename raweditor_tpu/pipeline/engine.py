@@ -252,7 +252,7 @@ class DevelopEngine:
         """Preview render, left on device (reference: gpu/pipeline.rs:442-465
         minus the synchronous readback). Dispatches through the AOT
         executable when compile_preview() has run."""
-        ex = params.has_finish_extras()
+        ex = params.finish_extras_mode()
         if self._aot_preview is not None and not ex:
             r, _ = self._aot_preview(self.mosaic,
                                      self._float_params(params),
@@ -304,8 +304,9 @@ class DevelopEngine:
             # first time a session enables sharpen/denoise).
             import jax.numpy as jnp
 
-            r = self._preview_program(self.mosaic, params, zoom,
-                                      pan[0], pan[1], extras=True)
+            r = self._preview_program(
+                self.mosaic, params, zoom, pan[0], pan[1],
+                extras=params.finish_extras_mode())
             np.asarray(jnp.max(r))  # same transport-proof sync
             return r
         self.compile_preview()
@@ -323,7 +324,7 @@ class DevelopEngine:
     def full_device(self, params: EditParams):
         """Full-resolution develop, device-resident
         (reference: gpu/pipeline.rs:526-606)."""
-        ex = params.has_finish_extras()
+        ex = params.finish_extras_mode()
         if self.linear:
             from raweditor_tpu.ops.develop import develop_linear
 
@@ -382,7 +383,7 @@ class DevelopEngine:
         """(3, 256) int — the live-histogram path at 128 px
         (reference: gpu/pipeline.rs:615-736). Dispatches through the
         AOT executable when compile_preview() has run."""
-        ex = params.has_finish_extras()
+        ex = params.finish_extras_mode()
         if self._aot_histogram is not None and not ex:
             return np.asarray(self._aot_histogram(
                 self.mosaic, self._float_params(params), float(zoom),
@@ -437,7 +438,7 @@ class DevelopEngine:
         (reference: gpu/pipeline.rs:551). With ``use_pallas``, runs the
         hand-fused kernel (±1 LSB, see ops/pallas_develop.py) when the
         mosaic shape supports it."""
-        ex = params.has_finish_extras()
+        ex = params.finish_extras_mode()
         if self.linear:
             from raweditor_tpu.ops.develop import develop_linear
 
@@ -771,7 +772,7 @@ class DevelopEngine:
         from raweditor_tpu.raw.tiff_out import write_tiff16
 
         transfer = transfer16_for(self.transfer)
-        ex = params.has_finish_extras()
+        ex = params.finish_extras_mode()
 
         if self.linear:
             from raweditor_tpu.ops.develop import develop_linear

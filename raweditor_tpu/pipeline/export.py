@@ -826,6 +826,14 @@ def run_batch_export(
             # the extra stencil work (zero-amount images inside such a
             # batch develop within 1 LSB of their extras-off render).
             ex_on = any(d.job.params.has_finish_extras() for d in batch)
+            # The static extras specialization for the XLA lanes:
+            # "base" skips the whole-frame clarity pyramid at trace
+            # time when no image in the flush uses clarity.
+            ex_mode = False
+            if ex_on:
+                ex_mode = ("full" if any(
+                    float(d.job.params.clarity) != 0.0 for d in batch)
+                    else "base")
 
             def _extras_amounts(ds, field):
                 return np.array(
@@ -926,7 +934,7 @@ def run_batch_export(
                         lambda m, p, w, c, wl, bl: develop_linear(
                             m, p, w, c, wl, bl,
                             matrix_transpose=matrix_transpose,
-                            transfer=transfer16, bits=16, extras=ex_on,
+                            transfer=transfer16, bits=16, extras=ex_mode,
                         )
                     )(mosaics, params, wbs, cms, whites, blacks)
                 elif isinstance(phase, str):
@@ -936,7 +944,7 @@ def run_batch_export(
                             matrix_transpose=matrix_transpose,
                             transfer=transfer16, bits=16,
                             demosaic_method=_generic_cfa_method(demosaic_method),
-                            extras=ex_on,
+                            extras=ex_mode,
                         )
                     )(mosaics, params, wbs, cms, whites, blacks)
                 else:
@@ -946,7 +954,7 @@ def run_batch_export(
                             demosaic_method=demosaic_method,
                             matrix_transpose=matrix_transpose,
                             transfer=transfer16, cfa_phase=phase,
-                            extras=ex_on,
+                            extras=ex_mode,
                         )
                     )(mosaics, params, wbs, cms, whites, blacks)
             elif phase == "__linear__":
@@ -968,7 +976,7 @@ def run_batch_export(
                 out = batch_develop_linear_rgba(
                     mosaics, params, wbs, cms, whites, blacks,
                     matrix_transpose=matrix_transpose,
-                    transfer=transfer, output=xla_output, extras=ex_on,
+                    transfer=transfer, output=xla_output, extras=ex_mode,
                 )
             elif isinstance(phase, str):  # X-Trans bucket (pattern string)
                 from raweditor_tpu.parallel.batch import (
@@ -1027,7 +1035,7 @@ def run_batch_export(
                         transfer=transfer,
                         demosaic_method=_generic_cfa_method(
                             demosaic_method),
-                        output=xla_output, extras=ex_on,
+                        output=xla_output, extras=ex_mode,
                     )
             elif mesh is None:
                 out = None
@@ -1066,7 +1074,7 @@ def run_batch_export(
                         mosaics, params, wbs, cms, whites, blacks,
                         matrix_transpose=matrix_transpose, cfa_phase=phase,
                         transfer=transfer, demosaic_method=demosaic_method,
-                        output=xla_output, extras=ex_on,
+                        output=xla_output, extras=ex_mode,
                     )
             elif demosaic_method == "grad" or ex_on:
                 # grad's receptive field — and the finish extras'
@@ -1081,7 +1089,7 @@ def run_batch_export(
                     staged, params, wbs, cms, whites, blacks,
                     matrix_transpose=matrix_transpose, cfa_phase=phase,
                     transfer=transfer, demosaic_method=demosaic_method,
-                    output=xla_output, extras=ex_on,
+                    output=xla_output, extras=ex_mode,
                 )
             else:
                 staged = jax.device_put(mosaics, batch_sharding(mesh))

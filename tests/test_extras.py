@@ -652,3 +652,59 @@ class TestClarity:
         assert EditParams(clarity=10.0).has_finish_extras()
         p = EditParams(clarity=-33.0)
         assert EditParams.from_json(p.to_json()) == p
+
+
+class TestExtrasReviewRegressions:
+    def test_tone_curve_bounded_for_wild_sliders(self):
+        """Out-of-range sliders (the engine accepts any float) must
+        not push knots past the endpoints or invert the curve
+        (code-review r3: four +600 sliders compounded the old cascade
+        to k=1.002 and a negative top-segment slope)."""
+        from raweditor_tpu.ops.extras import tone_curve
+
+        y = np.linspace(0, 1, 2001).astype(np.float32)
+        for c in ((600, 600, 600, 600), (-600, -600, -600, -600),
+                  (600, -600, 600, -600)):
+            out = np.asarray(tone_curve(y, c))
+            assert out.min() >= -1e-6 and out.max() <= 1.0 + 1e-6
+            assert np.all(np.diff(out) >= -1e-6)
+
+    def test_base_mode_skips_clarity_trace(self, rng):
+        """extras='base' must not trace the clarity pyramid: the
+        jaxpr of a base-mode develop contains no resize ops."""
+        import jax
+
+        from raweditor_tpu.ops.develop import develop
+
+        m = rng.integers(0, 4095, (32, 48)).astype(np.uint16)
+        wb = np.ones(3, np.float32)
+        cm = np.eye(3, dtype=np.float32)
+        base_jaxpr = str(jax.make_jaxpr(
+            lambda mm, p: develop.__wrapped__(mm, p, wb, cm,
+                                              extras="base"))(
+            m, EditParams(sharpen=50.0)))
+        full_jaxpr = str(jax.make_jaxpr(
+            lambda mm, p: develop.__wrapped__(mm, p, wb, cm,
+                                              extras="full"))(
+            m, EditParams(clarity=50.0)))
+        assert "resize" in full_jaxpr or "scale" in full_jaxpr or \
+            "gather" in full_jaxpr
+        assert base_jaxpr.count("resize") == 0
+
+    def test_extras_mode_helper(self):
+        assert EditParams().finish_extras_mode() is False
+        assert EditParams(sharpen=10.0).finish_extras_mode() == "base"
+        assert EditParams(clarity=10.0).finish_extras_mode() == "full"
+        assert EditParams(sharpen=1.0,
+                          clarity=1.0).finish_extras_mode() == "full"
+
+    def test_cli_rotate_nan_usage_error(self):
+        import argparse
+
+        from raweditor_tpu.cli import _finite_rotate
+
+        ns = argparse.Namespace(rotate=float("nan"))
+        import pytest as _pytest
+
+        with _pytest.raises(SystemExit):
+            _finite_rotate(ns)
