@@ -442,12 +442,19 @@ class DevelopEngine:
         if self.linear:
             from raweditor_tpu.ops.develop import develop_linear
 
-            return develop_linear(
+            words = develop_linear(
                 self.mosaic, params, self.wb, self.cam_matrix,
                 self.white_level, self.black_level,
                 matrix_transpose=self.matrix_transpose,
-                transfer=self.transfer, rgba=True, extras=ex,
+                transfer=self.transfer, rgba=True,
             )
+            if ex:
+                from raweditor_tpu.ops.pallas_develop import (
+                    pallas_finish_extras_rgba as _pk,
+                )
+
+                words = self._extras_post(words, params, _pk)
+            return words
         if self.xtrans_pattern is not None:
             from raweditor_tpu.ops.develop import develop_xtrans
 
@@ -498,15 +505,21 @@ class DevelopEngine:
                         "pallas X-Trans grad kernel unavailable for "
                         "this image (%s: %s); using the XLA lane",
                         type(e).__name__, str(e)[:120])
-            return develop_xtrans(
+            words = develop_xtrans(
                 self.mosaic, params, self.wb, self.cam_matrix,
                 self.white_level, self.black_level,
                 pattern=self.xtrans_pattern,
                 matrix_transpose=self.matrix_transpose,
                 transfer=self.transfer,
                 demosaic_method=_generic_cfa_method(self.demosaic_method), rgba=True,
-                extras=ex,
             )
+            if ex:
+                from raweditor_tpu.ops.pallas_develop import (
+                    pallas_finish_extras_rgba as _pk,
+                )
+
+                words = self._extras_post(words, params, _pk)
+            return words
         if (self.use_pallas
                 and self.demosaic_method in ("nearest", "bilinear",
                                              "malvar", "grad")
@@ -544,13 +557,25 @@ class DevelopEngine:
                     "pallas develop kernel unavailable for this image "
                     "(%s: %s); using the XLA lane",
                     type(e).__name__, str(e)[:120])
-        return develop_rgba(
+        words = develop_rgba(
             self.mosaic, params, self.wb, self.cam_matrix,
             white_level=self.white_level, black_level=self.black_level,
             demosaic_method=self.demosaic_method,
             matrix_transpose=self.matrix_transpose,
-            transfer=self.transfer, cfa_phase=self.cfa_phase, extras=ex,
+            transfer=self.transfer, cfa_phase=self.cfa_phase,
         )
+        if ex:
+            # Extras always ride the post-pass on the words paths —
+            # the fused kernel where it runs, the XLA words form
+            # otherwise — so default and --fast exports share one
+            # extras semantics (and the in-chain XLA stencil pathology
+            # is avoided: ~12.7 ms vs ~2.3 @24 MP).
+            from raweditor_tpu.ops.pallas_develop import (
+                pallas_finish_extras_rgba as _pk,
+            )
+
+            words = self._extras_post(words, params, _pk)
+        return words
 
     def export(self, path: os.PathLike, params: EditParams,
                quality: int = 95, long_edge: int = None,

@@ -846,6 +846,27 @@ def run_batch_export(
                     for f in ("curve_shadows", "curve_darks",
                               "curve_lights", "curve_highlights"))
 
+            def _extras_words_gspmd(words, ds):
+                """Words-form extras for SHARDED outputs: the same
+                post-quantize semantics as the fused kernel, executed
+                as XLA over the GSPMD-sharded words (XLA inserts the
+                stencil/resize boundary exchanges; the single-device
+                kernel can't run on a sharded array). Keeps extras
+                semantics identical across the mesh and mesh-less
+                routes — on the CPU test backend both reduce to this
+                exact function, so mesh-vs-solo stays byte-equal."""
+                from raweditor_tpu.ops.extras import (
+                    finish_extras_rgba_words,
+                )
+
+                return finish_extras_rgba_words(
+                    words,
+                    _extras_amounts(ds, "sharpen")[:, None, None],
+                    _extras_amounts(ds, "denoise")[:, None, None],
+                    tuple(c[:, None, None] for c in _extras_curve(ds)),
+                    _extras_amounts(ds, "vignette")[:, None, None],
+                    _extras_amounts(ds, "clarity")[:, None, None])
+
             def _extras_post_batch(words, ds, kernel, xla_output):
                 """Fused extras post-pass over a batch of words (JPEG
                 planes emitted directly when the run wants them). A
@@ -906,6 +927,14 @@ def run_batch_export(
                 resize_changes = (
                     long_edge_shape(h_m, w_m, long_edge) != (h_m, w_m))
             geometry_on = bool(rotate) or crop is not None
+            # Extras on mesh-less 8-bit flushes ALWAYS ride the fused
+            # post-pass kernel (with its own XLA-words fallback),
+            # regardless of --fast: the in-chain XLA extras
+            # materialize every stencil stage (~12.7 ms @24 MP vs
+            # ~2.3 for the kernel). Mesh flushes keep the value-exact
+            # in-chain GSPMD form (the post-pass is single-device);
+            # 16-bit stays in-chain (the words pass is u8).
+            post_extras = ex_on and mesh is None and bits != 16
             xla_output = "rgba_words"
             if (jpeg_planes_ok and bits != 16 and not resize_changes
                     and not geometry_on):
@@ -973,11 +1002,26 @@ def run_batch_export(
                 # program like the Bayer/X-Trans lanes (the standalone
                 # pass re-read + re-wrote the RGBA batch through HBM —
                 # code-review r3).
-                out = batch_develop_linear_rgba(
-                    mosaics, params, wbs, cms, whites, blacks,
-                    matrix_transpose=matrix_transpose,
-                    transfer=transfer, output=xla_output, extras=ex_mode,
-                )
+                if post_extras:
+                    from raweditor_tpu.ops.pallas_develop import (
+                        pallas_finish_extras_rgba,
+                    )
+
+                    out = batch_develop_linear_rgba(
+                        mosaics, params, wbs, cms, whites, blacks,
+                        matrix_transpose=matrix_transpose,
+                        transfer=transfer, output="rgba_words",
+                    )
+                    out = _extras_post_batch(
+                        out, padded, pallas_finish_extras_rgba,
+                        xla_output)
+                else:
+                    out = batch_develop_linear_rgba(
+                        mosaics, params, wbs, cms, whites, blacks,
+                        matrix_transpose=matrix_transpose,
+                        transfer=transfer, output=xla_output,
+                        extras=ex_mode,
+                    )
             elif isinstance(phase, str):  # X-Trans bucket (pattern string)
                 from raweditor_tpu.parallel.batch import (
                     batch_develop_xtrans_rgba,
@@ -1028,7 +1072,23 @@ def run_batch_export(
                     except Exception:
                         out = None  # shape/VMEM unsupported → XLA path
                         _pallas_failed.add(pl_key)
-                if out is None:
+                if out is None and post_extras:
+                    from raweditor_tpu.ops.pallas_develop import (
+                        pallas_finish_extras_rgba,
+                    )
+
+                    out = batch_develop_xtrans_rgba(
+                        mosaics, params, wbs, cms, whites, blacks,
+                        pattern=phase, matrix_transpose=matrix_transpose,
+                        transfer=transfer,
+                        demosaic_method=_generic_cfa_method(
+                            demosaic_method),
+                        output="rgba_words",
+                    )
+                    out = _extras_post_batch(
+                        out, padded, pallas_finish_extras_rgba,
+                        xla_output)
+                elif out is None:
                     out = batch_develop_xtrans_rgba(
                         mosaics, params, wbs, cms, whites, blacks,
                         pattern=phase, matrix_transpose=matrix_transpose,
@@ -1069,7 +1129,21 @@ def run_batch_export(
                     except Exception:
                         out = None  # unsupported shape/backend → XLA path
                         _pallas_failed.add(pl_key)
-                if out is None:
+                if out is None and post_extras:
+                    from raweditor_tpu.ops.pallas_develop import (
+                        pallas_finish_extras_rgba,
+                    )
+
+                    out = batch_develop_rgba(
+                        mosaics, params, wbs, cms, whites, blacks,
+                        matrix_transpose=matrix_transpose, cfa_phase=phase,
+                        transfer=transfer, demosaic_method=demosaic_method,
+                        output="rgba_words",
+                    )
+                    out = _extras_post_batch(
+                        out, padded, pallas_finish_extras_rgba,
+                        xla_output)
+                elif out is None:
                     out = batch_develop_rgba(
                         mosaics, params, wbs, cms, whites, blacks,
                         matrix_transpose=matrix_transpose, cfa_phase=phase,
@@ -1078,19 +1152,23 @@ def run_batch_export(
                     )
             elif demosaic_method == "grad" or ex_on:
                 # grad's receptive field — and the finish extras'
-                # radius-2 stencils — exceed the shard_map path's
-                # fixed 2-row halo (parallel/spatial.HALO_DEMOSAICS) —
-                # shard via GSPMD like the X-Trans buckets: stage
-                # with the batch sharding and let XLA insert whatever
-                # boundary exchanges the stencils need (value-exact
-                # by construction).
+                # stencils — exceed the shard_map path's fixed 2-row
+                # halo (parallel/spatial.HALO_DEMOSAICS) — shard via
+                # GSPMD like the X-Trans buckets: stage with the
+                # batch sharding and let XLA insert whatever boundary
+                # exchanges the stencils need (value-exact by
+                # construction). Extras run in the words form so the
+                # mesh route shares the mesh-less route's
+                # post-quantize semantics.
                 staged = jax.device_put(mosaics, batch_sharding(mesh))
                 out = batch_develop_rgba(
                     staged, params, wbs, cms, whites, blacks,
                     matrix_transpose=matrix_transpose, cfa_phase=phase,
                     transfer=transfer, demosaic_method=demosaic_method,
-                    output=xla_output, extras=ex_mode,
+                    output="rgba_words" if ex_on else xla_output,
                 )
+                if ex_on:
+                    out = _extras_words_gspmd(out, padded)
             else:
                 staged = jax.device_put(mosaics, batch_sharding(mesh))
                 out = batch_develop_sharded(
