@@ -45,12 +45,25 @@ def _add_slider_args(p: argparse.ArgumentParser) -> None:
             f"--{name.replace('_', '-')}", type=float, default=None,
             help=f"{name} ({lo:g}..{hi:g})",
         )
+    p.add_argument("--preset", default=None, metavar="NAME",
+                   help="apply a saved develop preset (sparse compose "
+                        "on top of stored edits/defaults; explicit "
+                        "slider flags override it; see the preset "
+                        "subcommand)")
 
 
 def _params_from_args(args, base: EditParams = None) -> EditParams:
     import math
 
     params = base if base is not None else EditParams()
+    preset = getattr(args, "preset", None)
+    if preset:
+        from raweditor_tpu.presets import apply_preset
+
+        try:
+            params = apply_preset(params, preset)
+        except (KeyError, ValueError) as e:
+            raise SystemExit(f"--preset: {e}")
     overrides = {
         name: getattr(args, name)
         for name in EditParams.field_names()
@@ -245,6 +258,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="collection name (not needed for list)")
     p.add_argument("ids", nargs="*", type=int,
                    help="image ids (for add/remove)")
+
+    p = sub.add_parser(
+        "preset",
+        help="named develop presets (sparse EditParams bundles)")
+    p.add_argument("action",
+                   choices=("save", "list", "show", "delete"))
+    p.add_argument("name", nargs="?", default=None,
+                   help="preset name (not needed for list)")
+    _add_slider_args(p)
 
     p = sub.add_parser("edit", help="save slider values for a catalog image")
     p.add_argument("image_id", type=int)
@@ -711,7 +733,7 @@ def cmd_edit(args) -> int:
             name for name in EditParams.field_names()
             if getattr(args, name, None) is not None
         }
-        if not overrides:
+        if not overrides and not getattr(args, "preset", None):
             # Query mode: print the stored params without writing.
             print(lib.load_edit_params(args.image_id).to_json())
             return 0
@@ -779,8 +801,9 @@ def cmd_export(args) -> int:
         # CLI slider overrides apply ON TOP of each image's stored
         # edits (the export parser advertises every slider; they were
         # silently dropped for catalog exports — code-review r3).
-        if any(getattr(args, n, None) is not None
-               for n in EditParams.field_names()):
+        if (getattr(args, "preset", None)
+                or any(getattr(args, n, None) is not None
+                       for n in EditParams.field_names())):
             import dataclasses as _dc
 
             jobs = [_dc.replace(j, params=_params_from_args(
@@ -1339,6 +1362,31 @@ def cmd_session(args) -> int:
     return 0
 
 
+def cmd_preset(args) -> int:
+    from raweditor_tpu import presets as _presets
+
+    if args.action == "list":
+        print(json.dumps({"presets": _presets.list_presets(),
+                          "dir": str(_presets.presets_dir())}))
+        return 0
+    if args.name is None:
+        raise SystemExit(f"preset {args.action} needs a name")
+    try:
+        if args.action == "save":
+            path = _presets.save_preset(
+                args.name, _params_from_args(args))
+            print(json.dumps({"saved": args.name, "path": path}))
+        elif args.action == "show":
+            print(json.dumps(_presets.load_preset(args.name),
+                             sort_keys=True))
+        elif args.action == "delete":
+            _presets.delete_preset(args.name)
+            print(json.dumps({"deleted": args.name}))
+    except (KeyError, ValueError) as e:
+        raise SystemExit(f"preset: {e}")
+    return 0
+
+
 _COMMANDS = {
     "import": cmd_import,
     "list": cmd_list,
@@ -1348,6 +1396,7 @@ _COMMANDS = {
     "collect": cmd_collect,
     "develop": cmd_develop,
     "edit": cmd_edit,
+    "preset": cmd_preset,
     "export": cmd_export,
     "tiers": cmd_tiers,
     "verify": cmd_verify,

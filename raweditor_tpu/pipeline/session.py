@@ -11,6 +11,7 @@ harness) can drive the engine without linking a GUI:
     zoom <z> | pan <x> <y>   view transform (clamped like the UI)
     render <path>            write current preview PNG
     frame [quality]          current preview as inline base64 JPEG
+    preset <name|list>       apply a saved develop preset / list them
                              (remote clients of the TCP service)
     auto [levels] [contrast] [tone] apply auto-adjust suggestions
     full <path> [long-edge]  full-resolution export (optional device
@@ -253,6 +254,29 @@ class DevelopSession:
                 "size": [self.engine.width, self.engine.height],
                 "params": json.loads(self.params.to_json())}
 
+    def preset(self, name: str = "list") -> dict:
+        """Apply a saved develop preset on top of the current params
+        (sparse compose, raweditor_tpu/presets.py) and re-render;
+        ``preset list`` enumerates what's available."""
+        from raweditor_tpu import presets as _presets
+
+        if name == "list":
+            return {"ok": True, "presets": _presets.list_presets()}
+        try:
+            self.params = _presets.apply_preset(self.params, name)
+        except (KeyError, ValueError) as e:
+            return {"ok": False, "error": str(e)}
+        if self.library is not None and self.image_id is not None:
+            self.library.save_edit_params(self.image_id, self.params,
+                                          append=self._frozen)
+            self._frozen = False
+        with self.latency.measure():
+            self.engine.preview_tick(self.params, self.zoom, self.pan)
+        ms = self.latency.samples[-1] * 1000.0
+        return {"ok": True, "preset": name,
+                "params": json.loads(self.params.to_json()),
+                "render_ms": round(ms, 3)}
+
     def stats(self) -> dict:
         return {"ok": True, "latency": self.latency.summary()}
 
@@ -303,6 +327,8 @@ class DevelopSession:
                 return self.history()
             if cmd == "auto":
                 return self.auto(*args)
+            if cmd == "preset":
+                return self.preset(*args)
             if cmd == "open":
                 return self.open(args[0])
             if cmd == "stats":

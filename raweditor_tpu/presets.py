@@ -1,0 +1,109 @@
+"""Develop presets: named, sparse EditParams bundles on disk.
+
+Beyond the reference (which has no preset/looks system). A preset
+stores only the fields it DEFINES (those differing from the defaults),
+so applying one composes like a look: ``apply_preset(base, name)``
+replaces exactly the preset's fields on top of the base params —
+stored catalog edits or CLI sliders the preset doesn't mention
+survive. Explicit CLI slider flags override the preset (they are
+applied after it).
+
+Storage: one ``<name>.json`` per preset under the presets directory —
+``$RAWEDITOR_TPU_PRESETS_DIR``, else ``$XDG_CONFIG_HOME/raw-editor/
+presets``, else ``~/.config/raw-editor/presets`` (the same root the
+reference's config derivation uses for its DB, state/library.rs:40-48).
+Files are plain sparse JSON (a strict subset of EditParams.to_json's
+schema), so presets are trivially shareable and hand-editable; unknown
+fields are rejected on load exactly like catalog payloads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from pathlib import Path
+from typing import Dict, List
+
+from raweditor_tpu.params import _DEFAULTS, _FIELDS, EditParams
+
+_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+
+
+def presets_dir() -> Path:
+    env = os.environ.get("RAWEDITOR_TPU_PRESETS_DIR")
+    if env:
+        return Path(env)
+    base = os.environ.get("XDG_CONFIG_HOME")
+    base = Path(base) if base else Path.home() / ".config"
+    return base / "raw-editor" / "presets"
+
+
+def _path_for(name: str) -> Path:
+    if not _NAME_RE.match(name):
+        raise ValueError(
+            f"invalid preset name {name!r} (letters, digits, '.', '_', "
+            "'-'; must not start with a separator)")
+    return presets_dir() / f"{name}.json"
+
+
+def save_preset(name: str, params: EditParams) -> str:
+    """Persist the NON-DEFAULT fields of ``params`` as ``name``.
+    Returns the file path. Saving all-defaults is rejected — an empty
+    preset applies as a no-op and is always a mistake."""
+    sparse = {
+        field: float(getattr(params, field))
+        for field in _FIELDS
+        if float(getattr(params, field)) != _DEFAULTS[field]
+    }
+    if not sparse:
+        raise ValueError(
+            "refusing to save an empty preset (all sliders at their "
+            "defaults)")
+    path = _path_for(name)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(".json.tmp")
+    tmp.write_text(json.dumps(sparse, indent=1, sort_keys=True))
+    os.replace(tmp, path)
+    return str(path)
+
+
+def load_preset(name: str) -> Dict[str, float]:
+    """The preset's sparse field dict. Unknown fields are rejected
+    like catalog payloads (EditParams.from_json's contract)."""
+    path = _path_for(name)
+    try:
+        data = json.loads(path.read_text())
+    except FileNotFoundError:
+        raise KeyError(
+            f"no preset {name!r} in {presets_dir()} "
+            f"(see `preset list`)") from None
+    except json.JSONDecodeError as e:
+        raise ValueError(f"preset {name!r} is not valid JSON: {e}")
+    if not isinstance(data, dict):
+        raise ValueError(f"preset {name!r} must be a JSON object")
+    unknown = set(data) - set(_FIELDS)
+    if unknown:
+        raise ValueError(
+            f"preset {name!r} has unknown field(s): {sorted(unknown)}")
+    return {k: float(v) for k, v in data.items()}
+
+
+def apply_preset(base: EditParams, name: str) -> EditParams:
+    """``base`` with the preset's fields replaced (sparse compose)."""
+    return base.replace(**load_preset(name))
+
+
+def list_presets() -> List[str]:
+    d = presets_dir()
+    if not d.is_dir():
+        return []
+    return sorted(p.stem for p in d.glob("*.json"))
+
+
+def delete_preset(name: str) -> None:
+    path = _path_for(name)
+    try:
+        path.unlink()
+    except FileNotFoundError:
+        raise KeyError(f"no preset {name!r} in {presets_dir()}") from None

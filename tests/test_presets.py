@@ -1,0 +1,143 @@
+"""Develop presets (raweditor_tpu/presets.py) — named sparse
+EditParams bundles, beyond the reference."""
+
+import json
+
+import numpy as np
+import pytest
+
+from raweditor_tpu.params import EditParams
+
+
+@pytest.fixture(autouse=True)
+def _preset_dir(tmp_path, monkeypatch):
+    monkeypatch.setenv("RAWEDITOR_TPU_PRESETS_DIR",
+                       str(tmp_path / "presets"))
+    yield
+
+
+class TestStore:
+    def test_round_trip_sparse(self):
+        from raweditor_tpu import presets
+
+        p = EditParams(exposure=0.4, sharpen=55.0)
+        path = presets.save_preset("warm", p)
+        data = json.loads(open(path).read())
+        assert data == {"exposure": 0.4, "sharpen": 55.0}  # sparse
+        assert presets.load_preset("warm") == data
+        assert presets.list_presets() == ["warm"]
+        presets.delete_preset("warm")
+        assert presets.list_presets() == []
+
+    def test_sparse_compose(self):
+        from raweditor_tpu import presets
+
+        presets.save_preset("look", EditParams(contrast=20.0))
+        base = EditParams(exposure=1.0, contrast=-5.0)
+        out = presets.apply_preset(base, "look")
+        # Preset fields replace; unmentioned fields survive.
+        assert out.contrast == 20.0 and out.exposure == 1.0
+
+    def test_empty_preset_rejected(self):
+        from raweditor_tpu import presets
+
+        with pytest.raises(ValueError):
+            presets.save_preset("noop", EditParams())
+
+    def test_bad_names_rejected(self):
+        from raweditor_tpu import presets
+
+        for name in ("../evil", ".hidden", "a/b", "", "x" * 80):
+            with pytest.raises(ValueError):
+                presets.save_preset(name, EditParams(exposure=1.0))
+
+    def test_unknown_field_rejected(self, tmp_path):
+        from raweditor_tpu import presets
+
+        d = presets.presets_dir()
+        d.mkdir(parents=True, exist_ok=True)
+        (d / "bad.json").write_text('{"bogus": 1.0}')
+        with pytest.raises(ValueError):
+            presets.load_preset("bad")
+
+    def test_missing_is_keyerror(self):
+        from raweditor_tpu import presets
+
+        with pytest.raises(KeyError):
+            presets.load_preset("nope")
+        with pytest.raises(KeyError):
+            presets.delete_preset("nope")
+
+
+class TestIntegration:
+    @pytest.fixture
+    def raw_path(self, tmp_path, rng):
+        from raweditor_tpu.raw.synth import write_synthetic_raw
+
+        path = tmp_path / "p.dng"
+        write_synthetic_raw(
+            str(path), rng.integers(0, 4095, (64, 96)).astype(np.uint16))
+        return str(path)
+
+    def test_cli_save_show_develop(self, raw_path, tmp_path, capsys):
+        from PIL import Image
+
+        from raweditor_tpu.cli import main
+
+        assert main(["preset", "save", "warm", "--temperature", "0.2",
+                     "--sharpen", "40"]) == 0
+        assert main(["preset", "show", "warm"]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out == {"sharpen": 40.0, "temperature": 0.2}
+        a = tmp_path / "a.png"
+        b = tmp_path / "b.png"
+        c = tmp_path / "c.png"
+        assert main(["develop", raw_path, "-o", str(a),
+                     "--preset", "warm"]) == 0
+        # Explicit flag overrides the preset field.
+        assert main(["develop", raw_path, "-o", str(b),
+                     "--preset", "warm", "--sharpen", "0"]) == 0
+        assert main(["develop", raw_path, "-o", str(c)]) == 0
+        ia, ib, ic = (np.asarray(Image.open(x)) for x in (a, b, c))
+        assert (ia != ic).any() and (ia != ib).any()
+
+    def test_cli_missing_preset_usage_error(self, raw_path, tmp_path):
+        from raweditor_tpu.cli import main
+
+        with pytest.raises(SystemExit):
+            main(["develop", raw_path, "-o", str(tmp_path / "x.png"),
+                  "--preset", "nope"])
+
+    def test_session_preset(self, raw_path):
+        from raweditor_tpu import presets
+        from raweditor_tpu.pipeline.session import DevelopSession
+
+        presets.save_preset("punch", EditParams(clarity=30.0,
+                                                contrast=10.0))
+        from raweditor_tpu.pipeline.engine import DevelopEngine
+
+        s = DevelopSession(DevelopEngine.open(raw_path))
+        r = s.handle("preset list")
+        assert r["ok"] and r["presets"] == ["punch"]
+        r = s.handle("preset punch")
+        assert r["ok"] and r["params"]["contrast"] == 10.0
+        assert float(s.params.clarity) == 30.0
+        r = s.handle("preset nope")
+        assert not r["ok"]
+
+    def test_export_with_preset(self, raw_path, tmp_path):
+        from PIL import Image
+
+        from raweditor_tpu import presets
+        from raweditor_tpu.cli import main
+
+        presets.save_preset("pop", EditParams(saturation=30.0))
+        out = tmp_path / "exp"
+        assert main(["export", "-o", str(out), "--files", raw_path,
+                     "--ext", "png", "--preset", "pop"]) == 0
+        plain = tmp_path / "plain"
+        assert main(["export", "-o", str(plain), "--files", raw_path,
+                     "--ext", "png"]) == 0
+        a = np.asarray(Image.open(next(out.glob("*.png"))))
+        b = np.asarray(Image.open(next(plain.glob("*.png"))))
+        assert (a != b).any()
