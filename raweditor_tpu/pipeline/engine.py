@@ -391,6 +391,22 @@ class DevelopEngine:
         return np.asarray(self._histogram_program(
             self.mosaic, params, zoom, pan[0], pan[1], extras=ex))
 
+    def _maybe_extras_post(self, words, params: EditParams, ex):
+        """Extras always ride the post-pass on the words paths — the
+        fused kernel where it runs, the XLA words form otherwise — so
+        default and --fast renders share one extras semantics (and
+        the in-chain XLA stencil pathology is avoided: ~12.7 ms vs
+        ~2.3 @24 MP). One tail for every XLA lane (code-review r3:
+        the wiring was copy-pasted per branch)."""
+        if not ex:
+            return words
+        from raweditor_tpu.ops.pallas_develop import (
+            pallas_finish_extras_rgba,
+        )
+
+        return self._extras_post(words, params,
+                                 pallas_finish_extras_rgba)
+
     def _extras_post(self, words, params: EditParams, kernel):
         """Finish extras on packed words: clarity first as its own XLA
         pyramid pass (the whole-frame blur can't live in the banded
@@ -448,13 +464,7 @@ class DevelopEngine:
                 matrix_transpose=self.matrix_transpose,
                 transfer=self.transfer, rgba=True,
             )
-            if ex:
-                from raweditor_tpu.ops.pallas_develop import (
-                    pallas_finish_extras_rgba as _pk,
-                )
-
-                words = self._extras_post(words, params, _pk)
-            return words
+            return self._maybe_extras_post(words, params, ex)
         if self.xtrans_pattern is not None:
             from raweditor_tpu.ops.develop import develop_xtrans
 
@@ -513,13 +523,7 @@ class DevelopEngine:
                 transfer=self.transfer,
                 demosaic_method=_generic_cfa_method(self.demosaic_method), rgba=True,
             )
-            if ex:
-                from raweditor_tpu.ops.pallas_develop import (
-                    pallas_finish_extras_rgba as _pk,
-                )
-
-                words = self._extras_post(words, params, _pk)
-            return words
+            return self._maybe_extras_post(words, params, ex)
         if (self.use_pallas
                 and self.demosaic_method in ("nearest", "bilinear",
                                              "malvar", "grad")
@@ -564,18 +568,7 @@ class DevelopEngine:
             matrix_transpose=self.matrix_transpose,
             transfer=self.transfer, cfa_phase=self.cfa_phase,
         )
-        if ex:
-            # Extras always ride the post-pass on the words paths —
-            # the fused kernel where it runs, the XLA words form
-            # otherwise — so default and --fast exports share one
-            # extras semantics (and the in-chain XLA stencil pathology
-            # is avoided: ~12.7 ms vs ~2.3 @24 MP).
-            from raweditor_tpu.ops.pallas_develop import (
-                pallas_finish_extras_rgba as _pk,
-            )
-
-            words = self._extras_post(words, params, _pk)
-        return words
+        return self._maybe_extras_post(words, params, ex)
 
     def export(self, path: os.PathLike, params: EditParams,
                quality: int = 95, long_edge: int = None,

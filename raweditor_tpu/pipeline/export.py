@@ -851,21 +851,31 @@ def run_batch_export(
                 post-quantize semantics as the fused kernel, executed
                 as XLA over the GSPMD-sharded words (XLA inserts the
                 stencil/resize boundary exchanges; the single-device
-                kernel can't run on a sharded array). Keeps extras
-                semantics identical across the mesh and mesh-less
-                routes — on the CPU test backend both reduce to this
-                exact function, so mesh-vs-solo stays byte-equal."""
+                kernel can't run on a sharded array). The composition
+                mirrors the mesh-less route EXACTLY — clarity as its
+                own requantizing words pass (skipped statically when
+                no image uses it), then the core extras with a
+                literal-zero clarity sentinel — so mesh-vs-solo stays
+                byte-equal wherever both reduce to the XLA words form
+                (the CPU test backend always does; code-review r3:
+                the old inline-clarity form both diverged by 1 LSB
+                and defeated the pyramid's trace-time skip)."""
                 from raweditor_tpu.ops.extras import (
+                    apply_clarity_words,
                     finish_extras_rgba_words,
                 )
 
+                cl = _extras_amounts(ds, "clarity")
+                if cl.any():
+                    words = apply_clarity_words(words,
+                                                cl[:, None, None])
                 return finish_extras_rgba_words(
                     words,
                     _extras_amounts(ds, "sharpen")[:, None, None],
                     _extras_amounts(ds, "denoise")[:, None, None],
                     tuple(c[:, None, None] for c in _extras_curve(ds)),
                     _extras_amounts(ds, "vignette")[:, None, None],
-                    _extras_amounts(ds, "clarity")[:, None, None])
+                    0.0)
 
             def _extras_post_batch(words, ds, kernel, xla_output):
                 """Fused extras post-pass over a batch of words (JPEG
@@ -931,9 +941,11 @@ def run_batch_export(
             # post-pass kernel (with its own XLA-words fallback),
             # regardless of --fast: the in-chain XLA extras
             # materialize every stencil stage (~12.7 ms @24 MP vs
-            # ~2.3 for the kernel). Mesh flushes keep the value-exact
-            # in-chain GSPMD form (the post-pass is single-device);
-            # 16-bit stays in-chain (the words pass is u8).
+            # ~2.3 for the kernel). Mesh flushes run the SAME
+            # words-form semantics as sharded XLA
+            # (_extras_words_gspmd — the single-device kernel can't
+            # take a sharded array); 16-bit stays in-chain (the words
+            # pass is u8).
             post_extras = ex_on and mesh is None and bits != 16
             xla_output = "rgba_words"
             if (jpeg_planes_ok and bits != 16 and not resize_changes
@@ -1002,26 +1014,26 @@ def run_batch_export(
                 # program like the Bayer/X-Trans lanes (the standalone
                 # pass re-read + re-wrote the RGBA batch through HBM —
                 # code-review r3).
+                out = batch_develop_linear_rgba(
+                    mosaics, params, wbs, cms, whites, blacks,
+                    matrix_transpose=matrix_transpose,
+                    transfer=transfer,
+                    output="rgba_words" if ex_on else xla_output,
+                )
                 if post_extras:
                     from raweditor_tpu.ops.pallas_develop import (
                         pallas_finish_extras_rgba,
                     )
 
-                    out = batch_develop_linear_rgba(
-                        mosaics, params, wbs, cms, whites, blacks,
-                        matrix_transpose=matrix_transpose,
-                        transfer=transfer, output="rgba_words",
-                    )
                     out = _extras_post_batch(
                         out, padded, pallas_finish_extras_rgba,
                         xla_output)
-                else:
-                    out = batch_develop_linear_rgba(
-                        mosaics, params, wbs, cms, whites, blacks,
-                        matrix_transpose=matrix_transpose,
-                        transfer=transfer, output=xla_output,
-                        extras=ex_mode,
-                    )
+                elif ex_on:
+                    # Sharded words-form extras (same semantics as the
+                    # mesh-less post-pass; code-review r3 — these mesh
+                    # buckets were left in-chain when the mesh-less
+                    # route switched).
+                    out = _extras_words_gspmd(out, padded)
             elif isinstance(phase, str):  # X-Trans bucket (pattern string)
                 from raweditor_tpu.parallel.batch import (
                     batch_develop_xtrans_rgba,
@@ -1072,31 +1084,25 @@ def run_batch_export(
                     except Exception:
                         out = None  # shape/VMEM unsupported → XLA path
                         _pallas_failed.add(pl_key)
-                if out is None and post_extras:
-                    from raweditor_tpu.ops.pallas_develop import (
-                        pallas_finish_extras_rgba,
+                if out is None:
+                    out = batch_develop_xtrans_rgba(
+                        mosaics, params, wbs, cms, whites, blacks,
+                        pattern=phase, matrix_transpose=matrix_transpose,
+                        transfer=transfer,
+                        demosaic_method=_generic_cfa_method(
+                            demosaic_method),
+                        output="rgba_words" if ex_on else xla_output,
                     )
+                    if post_extras:
+                        from raweditor_tpu.ops.pallas_develop import (
+                            pallas_finish_extras_rgba,
+                        )
 
-                    out = batch_develop_xtrans_rgba(
-                        mosaics, params, wbs, cms, whites, blacks,
-                        pattern=phase, matrix_transpose=matrix_transpose,
-                        transfer=transfer,
-                        demosaic_method=_generic_cfa_method(
-                            demosaic_method),
-                        output="rgba_words",
-                    )
-                    out = _extras_post_batch(
-                        out, padded, pallas_finish_extras_rgba,
-                        xla_output)
-                elif out is None:
-                    out = batch_develop_xtrans_rgba(
-                        mosaics, params, wbs, cms, whites, blacks,
-                        pattern=phase, matrix_transpose=matrix_transpose,
-                        transfer=transfer,
-                        demosaic_method=_generic_cfa_method(
-                            demosaic_method),
-                        output=xla_output, extras=ex_mode,
-                    )
+                        out = _extras_post_batch(
+                            out, padded, pallas_finish_extras_rgba,
+                            xla_output)
+                    elif ex_on:
+                        out = _extras_words_gspmd(out, padded)
             elif mesh is None:
                 out = None
                 pl_key = (mosaics.shape, demosaic_method, phase,
@@ -1129,27 +1135,21 @@ def run_batch_export(
                     except Exception:
                         out = None  # unsupported shape/backend → XLA path
                         _pallas_failed.add(pl_key)
-                if out is None and post_extras:
-                    from raweditor_tpu.ops.pallas_develop import (
-                        pallas_finish_extras_rgba,
+                if out is None:
+                    out = batch_develop_rgba(
+                        mosaics, params, wbs, cms, whites, blacks,
+                        matrix_transpose=matrix_transpose, cfa_phase=phase,
+                        transfer=transfer, demosaic_method=demosaic_method,
+                        output="rgba_words" if ex_on else xla_output,
                     )
+                    if post_extras:
+                        from raweditor_tpu.ops.pallas_develop import (
+                            pallas_finish_extras_rgba,
+                        )
 
-                    out = batch_develop_rgba(
-                        mosaics, params, wbs, cms, whites, blacks,
-                        matrix_transpose=matrix_transpose, cfa_phase=phase,
-                        transfer=transfer, demosaic_method=demosaic_method,
-                        output="rgba_words",
-                    )
-                    out = _extras_post_batch(
-                        out, padded, pallas_finish_extras_rgba,
-                        xla_output)
-                elif out is None:
-                    out = batch_develop_rgba(
-                        mosaics, params, wbs, cms, whites, blacks,
-                        matrix_transpose=matrix_transpose, cfa_phase=phase,
-                        transfer=transfer, demosaic_method=demosaic_method,
-                        output=xla_output, extras=ex_mode,
-                    )
+                        out = _extras_post_batch(
+                            out, padded, pallas_finish_extras_rgba,
+                            xla_output)
             elif demosaic_method == "grad" or ex_on:
                 # grad's receptive field — and the finish extras'
                 # stencils — exceed the shard_map path's fixed 2-row

@@ -328,6 +328,9 @@ class DevelopSession:
             if cmd == "auto":
                 return self.auto(*args)
             if cmd == "preset":
+                if len(args) > 1:
+                    return {"ok": False,
+                            "error": "usage: preset <name|list>"}
                 return self.preset(*args)
             if cmd == "open":
                 return self.open(args[0])

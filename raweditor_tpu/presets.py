@@ -20,6 +20,7 @@ fields are rejected on load exactly like catalog payloads.
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 from pathlib import Path
@@ -86,7 +87,23 @@ def load_preset(name: str) -> Dict[str, float]:
     if unknown:
         raise ValueError(
             f"preset {name!r} has unknown field(s): {sorted(unknown)}")
-    return {k: float(v) for k, v in data.items()}
+    out = {}
+    for k, v in data.items():
+        # The same finiteness discipline every other params input has
+        # (set_slider / _params_from_args): json.loads accepts the
+        # NaN/Infinity literals, and a NaN here would poison renders
+        # and persist into the edit store; lists/null would traceback
+        # as TypeError past the callers' (KeyError, ValueError)
+        # handlers (code-review r3).
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise ValueError(
+                f"preset {name!r} field {k!r} must be a number, "
+                f"got {v!r}")
+        if not math.isfinite(float(v)):
+            raise ValueError(
+                f"preset {name!r} field {k!r} must be finite, got {v}")
+        out[k] = float(v)
+    return out
 
 
 def apply_preset(base: EditParams, name: str) -> EditParams:

@@ -141,3 +141,96 @@ class TestIntegration:
         a = np.asarray(Image.open(next(out.glob("*.png"))))
         b = np.asarray(Image.open(next(plain.glob("*.png"))))
         assert (a != b).any()
+
+
+class TestReviewRegressions:
+    def test_nan_and_nonnumeric_rejected(self):
+        from raweditor_tpu import presets
+
+        d = presets.presets_dir()
+        d.mkdir(parents=True, exist_ok=True)
+        (d / "nan.json").write_text('{"exposure": NaN}')
+        (d / "lst.json").write_text('{"exposure": [1, 2]}')
+        (d / "nul.json").write_text('{"exposure": null}')
+        (d / "boo.json").write_text('{"exposure": true}')
+        for name in ("nan", "lst", "nul", "boo"):
+            with pytest.raises(ValueError):
+                presets.load_preset(name)
+
+    def test_session_preset_arity(self, tmp_path, rng):
+        from raweditor_tpu.pipeline.engine import DevelopEngine
+        from raweditor_tpu.pipeline.session import DevelopSession
+        from raweditor_tpu.raw.synth import write_synthetic_raw
+
+        path = tmp_path / "a.dng"
+        write_synthetic_raw(
+            str(path), rng.integers(0, 4095, (64, 96)).astype(np.uint16))
+        s = DevelopSession(DevelopEngine.open(str(path)))
+        r = s.handle("preset warm extra")
+        assert not r["ok"] and "usage" in r["error"]
+
+    def test_mesh_extras_matches_solo_with_clarity(self, tmp_path, rng):
+        """The mesh words-form extras must compose clarity EXACTLY
+        like the mesh-less route (separate requantizing pass), so
+        mesh-vs-solo stays byte-equal on the CPU backend even with
+        clarity active (code-review r3: the inline-clarity form
+        diverged by 1 LSB)."""
+        from PIL import Image
+
+        from raweditor_tpu.parallel.mesh import batch_row_mesh
+        from raweditor_tpu.pipeline.export import (
+            ExportJob,
+            run_batch_export,
+        )
+        from raweditor_tpu.raw.synth import write_synthetic_raw
+
+        raw = tmp_path / "m.dng"
+        yy, xx = np.mgrid[0:64, 0:96]
+        write_synthetic_raw(
+            str(raw),
+            (700 + 1400 * np.sin(xx / 4.0) ** 2).astype(np.uint16))
+        p = EditParams(clarity=60.0, sharpen=50.0)
+        solo = tmp_path / "solo.png"
+        rep = run_batch_export([ExportJob(str(raw), str(solo), p)],
+                               batch_size=1)
+        assert rep.succeeded == 1
+        mesh = batch_row_mesh(8, row=4)
+        meshed = tmp_path / "mesh.png"
+        rep = run_batch_export([ExportJob(str(raw), str(meshed), p)],
+                               mesh=mesh, batch_size=1)
+        assert rep.succeeded == 1
+        a = np.asarray(Image.open(solo))
+        b = np.asarray(Image.open(meshed))
+        assert (a == b).all()
+
+    def test_mesh_extras_linear_and_xtrans(self, tmp_path, rng):
+        """Linear-DNG and X-Trans mesh buckets use the words-form
+        extras too (they were left in-chain when the mesh-less route
+        switched; code-review r3)."""
+        from PIL import Image
+
+        from raweditor_tpu.parallel.mesh import batch_row_mesh
+        from raweditor_tpu.pipeline.export import (
+            ExportJob,
+            run_batch_export,
+        )
+        from raweditor_tpu.raw.synth import (
+            write_synthetic_linear_dng,
+        )
+
+        raw = tmp_path / "lin.dng"
+        rgb = rng.integers(0, 4095, (64, 96, 3)).astype(np.uint16)
+        write_synthetic_linear_dng(str(raw), rgb)
+        p = EditParams(sharpen=70.0)
+        solo = tmp_path / "lsolo.png"
+        rep = run_batch_export([ExportJob(str(raw), str(solo), p)],
+                               batch_size=1, mode="accurate")
+        assert rep.succeeded == 1, rep.failed
+        mesh = batch_row_mesh(8, row=2)
+        meshed = tmp_path / "lmesh.png"
+        rep = run_batch_export([ExportJob(str(raw), str(meshed), p)],
+                               mesh=mesh, batch_size=1, mode="accurate")
+        assert rep.succeeded == 1, rep.failed
+        a = np.asarray(Image.open(solo))
+        b = np.asarray(Image.open(meshed))
+        assert (a == b).all()
