@@ -1209,6 +1209,37 @@ def cmd_doctor(args) -> int:
             "no xlat tables (--xlat FILE / RAWEDITOR_NIKON_XLAT): "
             "0x0097 NEFs fall back to neutral WB")
 
+    # Presets: every stored preset must load cleanly (a shared or
+    # hand-edited file with NaN/unknown fields fails at apply time —
+    # surface it here instead).
+    from raweditor_tpu import presets as _presets
+
+    names = _presets.list_presets()
+    bad = []
+    for n in names:
+        try:
+            _presets.load_preset(n)
+        except (KeyError, ValueError) as e:
+            bad.append(f"{n}: {e}")
+    if bad:
+        add("presets", "warn",
+            f"{len(bad)}/{len(names)} presets unloadable: "
+            + "; ".join(bad)[:200])
+    else:
+        add("presets", "ok",
+            f"{len(names)} preset(s) in {_presets.presets_dir()}")
+
+    # ICC profiles: build + self-parse (wide-gamut exports embed them).
+    try:
+        from raweditor_tpu.icc import profile_bytes
+
+        sizes = {cs: len(profile_bytes(cs))
+                 for cs in ("srgb", "display-p3", "adobe-rgb")}
+        add("icc", "ok",
+            ", ".join(f"{k} {v}B" for k, v in sizes.items()))
+    except Exception as e:
+        add("icc", "fail", f"{type(e).__name__}: {str(e)[:160]}")
+
     # Catalog, when one was named.
     if getattr(args, "db", None):
         try:
