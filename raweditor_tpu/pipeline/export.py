@@ -251,16 +251,12 @@ _stage_used = 0
 _stage_runs = 0  # active run_batch_export calls (leak self-healing)
 
 
-def _ensure_stage_lock():
-    return _stage_lock
-
-
 def _stage_run_begin() -> None:
     """Mark a run active; if no other run holds staging, clear any
     budget leaked by an aborted previous run (its buffers are long
     garbage-collected — only the counter survived)."""
     global _stage_runs, _stage_used
-    with _ensure_stage_lock():
+    with _stage_lock:
         if _stage_runs == 0:
             _stage_used = 0
         _stage_runs += 1
@@ -268,13 +264,13 @@ def _stage_run_begin() -> None:
 
 def _stage_run_end() -> None:
     global _stage_runs
-    with _ensure_stage_lock():
+    with _stage_lock:
         _stage_runs = max(0, _stage_runs - 1)
 
 
 def _stage_budget_acquire(nbytes: int) -> bool:
     global _stage_used
-    with _ensure_stage_lock():
+    with _stage_lock:
         if _stage_used + nbytes > _STAGE_BUDGET:
             return False
         _stage_used += nbytes
@@ -283,7 +279,7 @@ def _stage_budget_acquire(nbytes: int) -> bool:
 
 def _stage_budget_release(nbytes: int) -> None:
     global _stage_used
-    with _ensure_stage_lock():
+    with _stage_lock:
         _stage_used = max(0, _stage_used - nbytes)
 
 
@@ -348,50 +344,46 @@ def _encode_one(out_path: str, rgba_words: np.ndarray, quality: int,
     _atomic_write(out_path, write)
 
 
-_UNPACK_JITS = {}
+_JIT_CACHE = {}
+
+
+def _cached_jit(key: str):
+    """Process-wide jitted helpers, one trace cache per function (a
+    fresh jax.jit per batch would retrace every flush). One keyed
+    cache replaces three copy-pasted global+getter pairs
+    (code-review r3)."""
+    if key not in _JIT_CACHE:
+        import jax
+
+        if key == "u12" or key == "u14":
+            from raweditor_tpu.ops.staging import (unpack12_rows,
+                                                   unpack14_rows)
+
+            fn = unpack12_rows if key == "u12" else unpack14_rows
+        elif key == "ycbcr420":
+            from raweditor_tpu.ops.jpeg import rgba_words_to_ycbcr420
+
+            fn = rgba_words_to_ycbcr420
+        elif key == "ycbcr444":
+            from raweditor_tpu.ops.jpeg import rgba_words_to_ycbcr444
+
+            fn = rgba_words_to_ycbcr444
+        else:
+            raise KeyError(key)
+        _JIT_CACHE[key] = jax.jit(fn)
+    return _JIT_CACHE[key]
 
 
 def _unpack_jit(fmt: str):
-    """Process-wide jitted staging unpacks (ops/staging.py)."""
-    if fmt not in _UNPACK_JITS:
-        import jax
-
-        from raweditor_tpu.ops.staging import (unpack12_rows,
-                                               unpack14_rows)
-
-        _UNPACK_JITS[fmt] = jax.jit(
-            unpack12_rows if fmt == "u12" else unpack14_rows)
-    return _UNPACK_JITS[fmt]
-
-
-_YCBCR420_JIT = None
+    return _cached_jit(fmt)
 
 
 def _ycbcr420_jit():
-    """Process-wide jitted RGBA→YCbCr 4:2:0 (one trace cache — a fresh
-    jax.jit per batch would retrace every flush)."""
-    global _YCBCR420_JIT
-    if _YCBCR420_JIT is None:
-        import jax
-
-        from raweditor_tpu.ops.jpeg import rgba_words_to_ycbcr420
-
-        _YCBCR420_JIT = jax.jit(rgba_words_to_ycbcr420)
-    return _YCBCR420_JIT
-
-
-_YCBCR444_JIT = None
+    return _cached_jit("ycbcr420")
 
 
 def _ycbcr444_jit():
-    global _YCBCR444_JIT
-    if _YCBCR444_JIT is None:
-        import jax
-
-        from raweditor_tpu.ops.jpeg import rgba_words_to_ycbcr444
-
-        _YCBCR444_JIT = jax.jit(rgba_words_to_ycbcr444)
-    return _YCBCR444_JIT
+    return _cached_jit("ycbcr444")
 
 
 class _Batcher:
@@ -909,8 +901,8 @@ def run_batch_export(
                 key = ("extras", words.shape, want)
                 if key not in _pallas_failed:
                     try:
-                        return pallas_finish_extras_rgba(
-                            words, sh, dn, cv, vg, output=want)
+                        return kernel(words, sh, dn, cv, vg,
+                                      output=want)
                     except Exception:
                         _pallas_failed.add(key)
                 from raweditor_tpu.ops.extras import (
@@ -1077,13 +1069,17 @@ def run_batch_export(
                                     if xla_output == "ycbcr420"
                                     and not ex_on else "rgba"),
                         )
-                        if ex_on:
-                            out = _extras_post_batch(
-                                out, padded, pallas_finish_extras_rgba,
-                                xla_output)
                     except Exception:
                         out = None  # shape/VMEM unsupported → XLA path
                         _pallas_failed.add(pl_key)
+                    if out is not None and ex_on:
+                        # OUTSIDE the develop guard: an extras failure
+                        # must quarantine the batch (flush()'s normal
+                        # policy), not demote the WORKING develop
+                        # kernel for the shape (code-review r3).
+                        out = _extras_post_batch(
+                            out, padded, pallas_finish_extras_rgba,
+                            xla_output)
                 if out is None:
                     out = batch_develop_xtrans_rgba(
                         mosaics, params, wbs, cms, whites, blacks,
@@ -1124,17 +1120,19 @@ def run_batch_export(
                                     if xla_output == "ycbcr420"
                                     and not ex_on else "rgba"),
                         )
-                        if ex_on:
-                            # Finish extras as the fused post-pass over
-                            # the RGBA words (per-image amounts), which
-                            # emits the JPEG planes directly on JPEG
-                            # runs — no separate conversion pass.
-                            out = _extras_post_batch(
-                                out, padded, pallas_finish_extras_rgba,
-                                xla_output)
                     except Exception:
                         out = None  # unsupported shape/backend → XLA path
                         _pallas_failed.add(pl_key)
+                    if out is not None and ex_on:
+                        # Finish extras as the fused post-pass over the
+                        # RGBA words (per-image amounts; JPEG planes
+                        # emitted directly on JPEG runs). OUTSIDE the
+                        # develop guard: an extras failure quarantines
+                        # the batch instead of demoting the working
+                        # develop kernel (code-review r3).
+                        out = _extras_post_batch(
+                            out, padded, pallas_finish_extras_rgba,
+                            xla_output)
                 if out is None:
                     out = batch_develop_rgba(
                         mosaics, params, wbs, cms, whites, blacks,
@@ -1150,15 +1148,20 @@ def run_batch_export(
                         out = _extras_post_batch(
                             out, padded, pallas_finish_extras_rgba,
                             xla_output)
-            elif demosaic_method == "grad" or ex_on:
+            elif (demosaic_method == "grad" or ex_on
+                  or h_m % (2 * dict(mesh.shape).get("row", 1))):
                 # grad's receptive field — and the finish extras'
                 # stencils — exceed the shard_map path's fixed 2-row
                 # halo (parallel/spatial.HALO_DEMOSAICS) — shard via
                 # GSPMD like the X-Trans buckets: stage with the
                 # batch sharding and let XLA insert whatever boundary
                 # exchanges the stencils need (value-exact by
-                # construction). Extras run in the words form so the
-                # mesh route shares the mesh-less route's
+                # construction). Buckets whose height the row shards
+                # can't divide (H % 2·rows ≠ 0) take this route too —
+                # batch_develop_sharded would reject them and
+                # quarantine every image of that camera
+                # (code-review r3). Extras run in the words form so
+                # the mesh route shares the mesh-less route's
                 # post-quantize semantics.
                 staged = jax.device_put(mosaics, batch_sharding(mesh))
                 out = batch_develop_rgba(

@@ -234,3 +234,21 @@ class TestReviewRegressions:
         a = np.asarray(Image.open(solo))
         b = np.asarray(Image.open(meshed))
         assert (a == b).all()
+
+
+def test_mesh_indivisible_height_routes_gspmd(tmp_path, rng):
+    """A camera height the row shards can't divide must develop via
+    the GSPMD route, not quarantine the whole run (code-review r3)."""
+    from raweditor_tpu.parallel.mesh import batch_row_mesh
+    from raweditor_tpu.pipeline.export import ExportJob, run_batch_export
+    from raweditor_tpu.raw.synth import write_synthetic_raw
+
+    raw = tmp_path / "odd.dng"
+    # H=60: 60 % (2*4) = 4 — indivisible by the row=4 mesh.
+    write_synthetic_raw(
+        str(raw), rng.integers(0, 4095, (60, 96)).astype(np.uint16))
+    mesh = batch_row_mesh(8, row=4)
+    rep = run_batch_export(
+        [ExportJob(str(raw), str(tmp_path / "o.png"))],
+        mesh=mesh, batch_size=1)
+    assert rep.succeeded == 1 and not rep.failed, rep.failed
