@@ -18,12 +18,11 @@ and straight matrix math.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
 from raweditor_tpu.color import (PALLAS_GAMMA_BY_TRANSFER,
-                                 cam_to_srgb_matrix,
                                  pallas_gamma_for,
                                  transfer16_for)
 from raweditor_tpu.ops.develop import (
@@ -259,8 +258,13 @@ class DevelopEngine:
                                      float(zoom),
                                      float(pan[0]), float(pan[1]))
             return r
-        return self._preview_program(self.mosaic, params, zoom,
-                                     pan[0], pan[1], extras=ex)
+        # Same dtype discipline as the AOT lane: an int-valued zoom
+        # or params leaf would open a fresh jit cache entry (a
+        # multi-minute compile over the tunnel; code-review r3).
+        return self._preview_program(self.mosaic,
+                                     self._float_params(params),
+                                     float(zoom), float(pan[0]),
+                                     float(pan[1]), extras=ex)
 
     def compile_preview(self):
         """AOT-compile the interactive preview + histogram programs at
@@ -287,8 +291,14 @@ class DevelopEngine:
 
         p0 = EditParams()
         args = (self.mosaic, p0, 1.0, 0.0, 0.0)
-        self._aot_preview = jax.jit(_preview).lower(*args).compile()
-        self._aot_histogram = jax.jit(_hist).lower(*args).compile()
+        # Compile BOTH before assigning either: a failure on the
+        # second compile must not leave the engine half-initialized
+        # with the idempotence guard blocking the retry
+        # (code-review r3).
+        preview_exe = jax.jit(_preview).lower(*args).compile()
+        hist_exe = jax.jit(_hist).lower(*args).compile()
+        self._aot_preview = preview_exe
+        self._aot_histogram = hist_exe
         return self
 
     def preview_tick(self, params: EditParams, zoom: float = 1.0,
@@ -323,8 +333,15 @@ class DevelopEngine:
 
     def full_device(self, params: EditParams):
         """Full-resolution develop, device-resident
-        (reference: gpu/pipeline.rs:526-606)."""
+        (reference: gpu/pipeline.rs:526-606). Extras-active params
+        route through the words post-pass (full_rgba_device) and
+        unpack on device, so full()/develop_tiers share the export
+        paths' extras semantics and cost (the in-chain XLA form's
+        stencil stages materialize through HBM; code-review r3)."""
         ex = params.finish_extras_mode()
+        if ex:
+            return self._words_to_rgb_device(
+                self.full_rgba_device(params))
         if self.linear:
             from raweditor_tpu.ops.develop import develop_linear
 
@@ -358,6 +375,16 @@ class DevelopEngine:
         return np.asarray(self.full_device(params))
 
     @staticmethod
+    def _words_to_rgb_device(words):
+        """Packed-RGBA u32 → (H, W, 3) u8 on device (one elementwise
+        pass)."""
+        import jax.numpy as jnp
+
+        return jnp.stack(
+            [(words & 0xFF), ((words >> 8) & 0xFF),
+             ((words >> 16) & 0xFF)], axis=-1).astype(jnp.uint8)
+
+    @staticmethod
     def apply_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
         """Apply a TIFF orientation (1/3/6/8 rotations; mirrored values
         2/4/5/7 flip) to an (H, W[, C]) host array. Beyond the
@@ -389,7 +416,8 @@ class DevelopEngine:
                 self.mosaic, self._float_params(params), float(zoom),
                 float(pan[0]), float(pan[1])))
         return np.asarray(self._histogram_program(
-            self.mosaic, params, zoom, pan[0], pan[1], extras=ex))
+            self.mosaic, self._float_params(params), float(zoom),
+            float(pan[0]), float(pan[1]), extras=ex))
 
     def _maybe_extras_post(self, words, params: EditParams, ex):
         """Extras always ride the post-pass on the words paths — the
@@ -488,9 +516,9 @@ class DevelopEngine:
                     and not getattr(self, "_pallas_grad_failed", False)):
                 from raweditor_tpu.ops.pallas_develop import (
                     pallas_develop_rgba,
-                    pallas_finish_extras_rgba,
                 )
 
+                words = None
                 try:
                     words = pallas_develop_rgba(
                         self.mosaic, params, self.wb, self.cam_matrix,
@@ -500,10 +528,6 @@ class DevelopEngine:
                         pattern=self.xtrans_pattern, demosaic="grad",
                         gamma=pallas_gamma_for(self.transfer),
                     )
-                    if ex:
-                        words = self._extras_post(
-                            words, params, pallas_finish_extras_rgba)
-                    return words
                 except Exception as e:
                     # Unsupported shape/pattern OR a VMEM-overflow
                     # compile failure on very wide sensors → XLA path.
@@ -515,6 +539,12 @@ class DevelopEngine:
                         "pallas X-Trans grad kernel unavailable for "
                         "this image (%s: %s); using the XLA lane",
                         type(e).__name__, str(e)[:120])
+                if words is not None:
+                    # Extras OUTSIDE the develop guard: an extras
+                    # failure must surface (or fall back inside
+                    # _extras_post's own memo), never demote the
+                    # WORKING develop kernel (code-review r3).
+                    return self._maybe_extras_post(words, params, ex)
             words = develop_xtrans(
                 self.mosaic, params, self.wb, self.cam_matrix,
                 self.white_level, self.black_level,
@@ -531,11 +561,11 @@ class DevelopEngine:
                 and not getattr(self, "_pallas_failed", False)):
             from raweditor_tpu.ops.pallas_develop import (
                 pallas_develop_rgba,
-                pallas_finish_extras_rgba,
             )
 
+            pwords = None
             try:
-                words = pallas_develop_rgba(
+                pwords = pallas_develop_rgba(
                     self.mosaic, params, self.wb, self.cam_matrix,
                     white_level=self.white_level,
                     black_level=self.black_level,
@@ -544,12 +574,6 @@ class DevelopEngine:
                     gamma=pallas_gamma_for(self.transfer),
                     demosaic=self.demosaic_method,
                 )
-                if ex:
-                    # Extras ride the fast lane as the fused post-pass
-                    # kernel (see the X-Trans branch note).
-                    words = self._extras_post(
-                        words, params, pallas_finish_extras_rgba)
-                return words
             except Exception as e:
                 # Unsupported shape OR a non-ValueError kernel compile
                 # failure (e.g. VMEM overflow on very wide sensors) →
@@ -561,6 +585,10 @@ class DevelopEngine:
                     "pallas develop kernel unavailable for this image "
                     "(%s: %s); using the XLA lane",
                     type(e).__name__, str(e)[:120])
+            if pwords is not None:
+                # See the X-Trans branch note: extras outside the
+                # develop guard.
+                return self._maybe_extras_post(pwords, params, ex)
         words = develop_rgba(
             self.mosaic, params, self.wb, self.cam_matrix,
             white_level=self.white_level, black_level=self.black_level,
@@ -594,18 +622,13 @@ class DevelopEngine:
         from PIL import Image
 
         path = os.fspath(path)
-        if ((rotate or crop is not None) and self.auto_orient
-                and self.raw.orientation != 1):
-            # The geometry applies in the STORED sensor frame; with
-            # auto-orient on a rotated shot the user's rectangle would
-            # land on the wrong region of the upright picture — reject
-            # rather than silently miscrop (code-review r3).
+        if chroma not in ("420", "444"):
+            # Library callers bypass argparse's choices= guard; a
+            # silently-mapped '422' would encode 4:2:0 under a
+            # mislabeled contract (code-review r3).
             raise ValueError(
-                "rotate/crop with auto_orient on a rotated shot "
-                f"(orientation {self.raw.orientation}) is not "
-                "supported: geometry applies in the stored sensor "
-                "frame — disable auto_orient or crop in stored "
-                "coordinates")
+                f"chroma must be '420' or '444', got {chroma!r}")
+        self._guard_geometry(rotate, crop)
         ext = os.path.splitext(path)[1].lower()
         if ext not in (".tif", ".tiff", ".jpg", ".jpeg", ".png"):
             # Same contract as the batch exporter's _encode_one:
@@ -687,6 +710,21 @@ class DevelopEngine:
         from raweditor_tpu.icc import profile_bytes
 
         return profile_bytes(self.color_space)
+
+    def _guard_geometry(self, rotate, crop) -> None:
+        """Geometry applies in the STORED sensor frame; with
+        auto-orient on a rotated shot the user's rectangle would land
+        on the wrong region of the upright picture — reject rather
+        than silently miscrop (code-review r3; one definition for the
+        export paths)."""
+        if ((rotate or crop is not None) and self.auto_orient
+                and self.raw.orientation != 1):
+            raise ValueError(
+                "rotate/crop with auto_orient on a rotated shot "
+                f"(orientation {self.raw.orientation}) is not "
+                "supported: geometry applies in the stored sensor "
+                "frame — disable auto_orient or crop in stored "
+                "coordinates")
 
     def _exif_bytes(self) -> bytes:
         """Export metadata: camera make/model + the orientation tag
@@ -778,14 +816,7 @@ class DevelopEngine:
         """Full-res develop at 16 bits/channel → uncompressed RGB TIFF.
         The polynomial fast gamma is u8-accuracy (~6 LSBs of u16), so
         16-bit output always uses the exact transfer."""
-        if ((rotate or crop is not None) and self.auto_orient
-                and self.raw.orientation != 1):
-            raise ValueError(
-                "rotate/crop with auto_orient on a rotated shot "
-                f"(orientation {self.raw.orientation}) is not "
-                "supported: geometry applies in the stored sensor "
-                "frame — disable auto_orient or crop in stored "
-                "coordinates")
+        self._guard_geometry(rotate, crop)
         from raweditor_tpu.ops.develop import develop_u16
         from raweditor_tpu.raw.tiff_out import write_tiff16
 
@@ -795,16 +826,16 @@ class DevelopEngine:
         if self.linear:
             from raweditor_tpu.ops.develop import develop_linear
 
-            rgb = np.asarray(develop_linear(
+            rgb = develop_linear(
                 self.mosaic, params, self.wb, self.cam_matrix,
                 self.white_level, self.black_level,
                 matrix_transpose=self.matrix_transpose,
                 transfer=transfer, bits=16, extras=ex,
-            ))
+            )
         elif self.xtrans_pattern is not None:
             from raweditor_tpu.ops.develop import develop_xtrans
 
-            rgb = np.asarray(develop_xtrans(
+            rgb = develop_xtrans(
                 self.mosaic, params, self.wb, self.cam_matrix,
                 self.white_level, self.black_level,
                 pattern=self.xtrans_pattern,
@@ -812,28 +843,33 @@ class DevelopEngine:
                 transfer=transfer,
                 demosaic_method=_generic_cfa_method(self.demosaic_method),
                 bits=16, extras=ex,
-            ))
+            )
         else:
-            rgb = np.asarray(develop_u16(
+            rgb = develop_u16(
                 self.mosaic, params, self.wb, self.cam_matrix,
                 white_level=self.white_level,
                 black_level=self.black_level,
                 demosaic_method=self.demosaic_method,
                 matrix_transpose=self.matrix_transpose,
                 transfer=transfer, cfa_phase=self.cfa_phase, extras=ex,
-            ))
+            )
+        # Stay device-resident through geometry + resize; ONE host
+        # fetch at the end (the old per-stage np.asarray ping-ponged
+        # ~144 MB of extra transfers at 24 MP over a link the docs
+        # describe as minutes-slow; code-review r3).
         if rotate or crop is not None:
             from raweditor_tpu.ops.geometry import rotate_crop_u16
 
-            rgb = np.asarray(rotate_crop_u16(rgb, float(rotate), crop))
+            rgb = rotate_crop_u16(rgb, float(rotate), crop)
         if long_edge:
             from raweditor_tpu.ops.resize import (long_edge_shape,
                                                   resize_rgb16)
 
             oh, ow = long_edge_shape(rgb.shape[0], rgb.shape[1],
                                      long_edge)
-            if (oh, ow) != rgb.shape[:2]:
-                rgb = np.asarray(resize_rgb16(rgb, ow, oh))
+            if (oh, ow) != tuple(rgb.shape[:2]):
+                rgb = resize_rgb16(rgb, ow, oh)
+        rgb = np.asarray(rgb)
         if self.auto_orient and self.raw.orientation != 1:
             rgb = np.ascontiguousarray(
                 self.apply_orientation(rgb, self.raw.orientation)
