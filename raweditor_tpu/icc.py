@@ -36,7 +36,11 @@ _BRADFORD = np.array([
     [-0.7502, 1.7135, 0.0367],
     [0.0389, -0.0685, 1.0296],
 ])
-_D50_XYZ = np.array([0.96422, 1.0, 0.82521])
+# The ICC-spec PCS illuminant (0x0000F6D6/0x00010000/0x0000D32D =
+# 0.9642/1.0/0.8249), NOT CIE's 0.96422/0.82521: the colorant sums
+# must agree with the header illuminant exactly or strict CMMs flag
+# the profile inconsistent (code-review r3).
+_D50_XYZ = np.array([0.9642, 1.0, 0.8249])
 
 
 def _s15f16(v: float) -> bytes:
@@ -105,8 +109,15 @@ def _build_profile(desc: str, rgb_to_xyz: np.ndarray, trc: bytes) -> bytes:
     offset = 128 + table_len
     table = struct.pack(">I", len(tags))
     body = b""
+    seen = {}  # identical tag data shares one offset (spec-legal —
+    # the three TRC curves are the same table, and duplicating a
+    # 1024-entry curv tripled every embedded profile; code-review r3)
     for sig, data in tags:
+        if data in seen:
+            table += sig + struct.pack(">II", seen[data], len(data))
+            continue
         pad = (-len(data)) % 4
+        seen[data] = offset + len(body)
         table += sig + struct.pack(">II", offset + len(body),
                                    len(data))
         body += data + b"\0" * pad

@@ -275,6 +275,21 @@ def extras_core(r, g, b, sharpen, denoise, curve, vignette, r2,
     return clip(r), clip(g), clip(b)
 
 
+def _is_static_zero(v) -> bool:
+    """True when ``v`` is a host-side (non-traced) scalar equal to 0 —
+    Python numbers, numpy scalars, and concrete 0-d arrays all
+    qualify (code-review r3: the isinstance(int, float) form missed
+    numpy zeros)."""
+    import jax
+
+    if isinstance(v, jax.core.Tracer):
+        return False
+    try:
+        return float(v) == 0.0
+    except (TypeError, ValueError):
+        return False
+
+
 _ZERO_CURVE = (0.0, 0.0, 0.0, 0.0)
 
 
@@ -289,9 +304,10 @@ def apply_finish_extras(r, g, b, sharpen, denoise, curve=_ZERO_CURVE,
     radial plane is this grid's own (zoomed previews therefore
     approximate it over the viewport — exports are full-frame and
     exact); returns (r, g, b) clamped to [0, 1]."""
-    if not (isinstance(clarity, (int, float)) and float(clarity) == 0.0):
-        # A LITERAL zero (the static "clarity off" sentinel from
-        # develop._extras_of) skips the whole-frame pyramid at trace
+    if not _is_static_zero(clarity):
+        # A statically-known zero (the "clarity off" sentinel from
+        # develop._extras_of, or any concrete host-side zero — numpy
+        # scalars included) skips the whole-frame pyramid at trace
         # time; a traced scalar always runs it. Without this, every
         # sharpen-only in-chain render paid ~3 full-frame resize
         # passes for a zero slider (code-review r3).

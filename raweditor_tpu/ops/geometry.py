@@ -18,8 +18,14 @@ Design notes (TPU):
 - The default crop is the largest axis-aligned rectangle with the
   SOURCE aspect ratio inscribed in the rotated frame (the behaviour
   of every "straighten" tool — no black corners, no letterboxing
-  decision to make). An explicit crop rectangle (in rotated-frame
-  pixels) overrides it; out-of-frame samples clamp to edge.
+  decision to make). An explicit crop rectangle overrides it,
+  specified in the SOURCE frame's own w×h coordinate box (the frame
+  the rotated content pivots inside, sharing its center) — for the
+  straighten use-case (small angles) this is the natural "crop the
+  picture I see" frame. Content a large rotation carries outside
+  that box is unreachable by an explicit crop (use the default
+  auto-crop there; a crop region the rotation left empty samples
+  clamp-to-edge). Out-of-frame samples clamp to edge.
 - Angles are static Python floats: a new angle recompiles (it changes
   the output dims), which is the right trade for an export-stage op —
   interactive straighten previews would go through the engine's
@@ -129,9 +135,13 @@ def _rotate_crop(img, angle_deg, crop, to_f32, from_f32):
     code-review r3)."""
     h, w = img.shape[0], img.shape[1]
     out_w, out_h, off_x, off_y = _resolve_geometry(h, w, angle_deg, crop)
-    if (out_w, out_h) == (w, h) and abs(angle_deg) < 1e-12:
+    # Same identity threshold as largest_upright_rect (1e-9): an
+    # angle below it already resolves to the identity rectangle, and
+    # a mismatched epsilon here ran the full resample for a no-op
+    # (code-review r3).
+    if (out_w, out_h) == (w, h) and abs(angle_deg) < 1e-9:
         return img
-    if abs(angle_deg) < 1e-12:
+    if abs(angle_deg) < 1e-9:
         # Pure crop: a device slice, no resampling.
         t, l = int(off_y), int(off_x)
         return img[t : t + out_h, l : l + out_w]
@@ -152,7 +162,11 @@ def rotate_crop_u8(img_u8, angle_deg: float = 0.0,
     return _rotate_crop(
         img_u8, angle_deg, crop,
         lambda x: x.astype(jnp.float32),
-        lambda o: jnp.clip(jnp.round(o), 0, 255).astype(jnp.uint8))
+        # floor(c + 0.5): the finish rounding every quantizer in the
+        # repo uses (jnp.round's half-to-even diverged on exact
+        # halves; code-review r3).
+        lambda o: jnp.clip(jnp.floor(o + 0.5), 0, 255).astype(
+            jnp.uint8))
 
 
 def rotate_crop_u16(img_u16, angle_deg: float = 0.0,
@@ -161,7 +175,8 @@ def rotate_crop_u16(img_u16, angle_deg: float = 0.0,
     return _rotate_crop(
         img_u16, angle_deg, crop,
         lambda x: x.astype(jnp.float32),
-        lambda o: jnp.clip(jnp.round(o), 0, 65535).astype(jnp.uint16))
+        lambda o: jnp.clip(jnp.floor(o + 0.5), 0, 65535).astype(
+            jnp.uint16))
 
 
 def rotate_crop_rgba_words_batch(words, angle_deg: float = 0.0,
@@ -170,9 +185,7 @@ def rotate_crop_rgba_words_batch(words, angle_deg: float = 0.0,
     geometry applied to every image of a batch (the exporter's
     ``rotate``/``crop`` options — one compiled program per shape
     bucket, vmapped over images)."""
-    import jax
-
-    if abs(angle_deg) < 1e-12 and crop is None:
+    if abs(angle_deg) < 1e-9 and crop is None:
         return words
     return jax.vmap(
         lambda w: rotate_crop_rgba_words(w, angle_deg, crop))(words)
@@ -183,16 +196,19 @@ def rotate_crop_rgba_words(words, angle_deg: float = 0.0,
     """Packed-RGBA u32 (H, W) variant (the export fast path): unpack,
     resample, repack — one fused program."""
 
+    from raweditor_tpu.ops.extras import (planes_to_words,
+                                          words_to_planes)
+
     def unpack(w32):
-        return jnp.stack(
-            [(w32 & 0xFF), ((w32 >> 8) & 0xFF), ((w32 >> 16) & 0xFF)],
-            axis=-1).astype(jnp.float32)
+        # The shared words contract (values ×255 for the sampler).
+        r, g, b = words_to_planes(w32)
+        return jnp.stack([r, g, b], axis=-1) * jnp.float32(255.0)
 
     def repack(o):
-        def q(c):
-            return jnp.clip(jnp.round(c), 0, 255).astype(jnp.uint32)
-
-        return (q(o[..., 0]) | (q(o[..., 1]) << 8)
-                | (q(o[..., 2]) << 16) | jnp.uint32(0xFF000000))
+        s = jnp.float32(1.0 / 255.0)
+        return planes_to_words(
+            jnp.clip(o[..., 0] * s, 0, 1),
+            jnp.clip(o[..., 1] * s, 0, 1),
+            jnp.clip(o[..., 2] * s, 0, 1))
 
     return _rotate_crop(words, angle_deg, crop, unpack, repack)
