@@ -101,8 +101,26 @@ def main() -> None:
     # other edit.
     crisp = work / "crisp.jpg"
     eng2.export(crisp, EditParams(exposure=0.3, sharpen=80.0,
-                                  denoise=30.0), quality=92)
-    print("sharpened jpeg:", crisp.stat().st_size, "bytes")
+                                  denoise=30.0, clarity=40.0,
+                                  curve_shadows=25.0, vignette=-20.0),
+                quality=92)
+    print("finished jpeg (sharpen+denoise+curve+clarity+vignette):",
+          crisp.stat().st_size, "bytes")
+
+    # Presets: save the look, reapply it by name.
+    import os as _os
+
+    _os.environ.setdefault("RAWEDITOR_TPU_PRESETS_DIR",
+                           str(work / "presets"))
+    from raweditor_tpu import presets as _presets
+
+    _presets.save_preset("tour-look", EditParams(sharpen=80.0,
+                                                 clarity=40.0))
+    looked = _presets.apply_preset(EditParams(exposure=0.3),
+                                   "tour-look")
+    print("preset 'tour-look' fields:",
+          sorted(_presets.load_preset("tour-look")),
+          "| applied exposure kept:", float(looked.exposure))
 
     # 7. Output-stage geometry (straighten + crop) and wide-gamut
     # output with an embedded ICC profile — both beyond the
