@@ -40,8 +40,8 @@ class _Handler(socketserver.StreamRequestHandler):
                         "protocol": "session/1",
                         "commands": "open set zoom pan render frame "
                                     "full histogram before auto "
-                                    "checkpoint undo history reset "
-                                    "stats quit"})
+                                    "preset checkpoint undo history "
+                                    "reset stats quit"})
             for raw_line in self.rfile:
                 line = raw_line.decode("utf-8", "replace").strip()
                 if not line:
@@ -53,9 +53,12 @@ class _Handler(socketserver.StreamRequestHandler):
                 # stats (latency summary) and reset work without an
                 # engine — only engine-touching commands need an image
                 # (the greeting advertises all of them).
+                # `preset list` needs no engine either (a client
+                # picks a look before opening; code-review r3).
                 if (session.engine is None
                         and line.split()[0] not in ("open", "stats",
-                                                    "reset")):
+                                                    "reset")
+                        and line.split()[:2] != ["preset", "list"]):
                     self._send({"ok": False,
                                 "error": "no image open — "
                                          "open <id|path> first"})

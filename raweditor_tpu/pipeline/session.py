@@ -11,9 +11,11 @@ harness) can drive the engine without linking a GUI:
     zoom <z> | pan <x> <y>   view transform (clamped like the UI)
     render <path>            write current preview PNG
     frame [quality]          current preview as inline base64 JPEG
-    preset <name|list>       apply a saved develop preset / list them
                              (remote clients of the TCP service)
+    preset <name|list>       apply a saved develop preset / list them
     auto [levels] [contrast] [tone] apply auto-adjust suggestions
+    checkpoint | undo | history   freeze the current edits row /
+                             revert to the previous row / list rows
     full <path> [long-edge]  full-resolution export (optional device
                              Lanczos3 resize to this long edge)
     histogram                print (3,256) JSON histogram
@@ -61,7 +63,12 @@ class DevelopSession:
         self.latency = LatencyStats()
         # After a checkpoint the latest edits row is frozen; the next
         # slider tick starts a new working row instead of updating it.
-        self._frozen = False
+        # A REPLAYED image's newest stored row may be a checkpoint
+        # from a previous process (we can't tell from here) — treat it
+        # as frozen so the first tick APPENDS instead of destroying
+        # checkpoint history, exactly like open() (code-review r3:
+        # the constructor path overwrote it).
+        self._frozen = image_id is not None
 
     # -- commands --------------------------------------------------------
     def set_slider(self, name: str, value: float) -> dict:
@@ -73,26 +80,38 @@ class DevelopSession:
             # unrepresentable value into the edit store.
             raise ValueError(f"{name} must be finite, got {value}")
         self.params = self.params.replace(**{name: value})
-        # Persist on every tick, like the reference
-        # (reference: main.rs:1095-1106). A frozen (checkpointed) row is
-        # never updated — the first tick after a checkpoint appends.
+        self._persist_params()
+        ms = self._timed_tick()
+        return {"ok": True, "slider": name, "value": float(value),
+                "render_ms": round(ms, 3)}
+
+    def _persist_params(self) -> None:
+        """Persist on every tick, like the reference
+        (reference: main.rs:1095-1106). A frozen (checkpointed) row is
+        never updated — the first tick after a checkpoint appends.
+        One definition for set/auto/preset (code-review r3)."""
         if self.library is not None and self.image_id is not None:
             self.library.save_edit_params(self.image_id, self.params,
                                           append=self._frozen)
             self._frozen = False
-        with self.latency.measure():
-            # preview_tick = AOT dispatch + checksum-byte sync: the
-            # render is provably finished when the timer stops (the
-            # measured slider→frame latency, not enqueue latency).
-            # First tick compiles the AOT executables (one-off).
-            self.engine.preview_tick(self.params, self.zoom, self.pan)
-        ms = self.latency.samples[-1] * 1000.0
-        return {"ok": True, "slider": name, "value": float(value),
-                "render_ms": round(ms, 3)}
+
+    def _timed_tick(self) -> float:
+        """Render the preview and record slider→frame latency — on
+        SUCCESS only (a context-managed measure() recorded
+        time-to-exception into the headline p50/p95 under the TCP
+        service's broad error handling; code-review r3). preview_tick
+        = AOT dispatch + checksum-byte sync: the render is provably
+        finished when the timer stops. First tick compiles the AOT
+        executables (one-off). Returns milliseconds."""
+        import time
+
+        t0 = time.perf_counter()
+        self.engine.preview_tick(self.params, self.zoom, self.pan)
+        dt = time.perf_counter() - t0
+        self.latency.record(dt)
+        return dt * 1000.0
 
     def set_zoom(self, zoom: float) -> dict:
-        import math
-
         # NaN passes min/max clamps unchanged (comparisons are False)
         # and would poison every later render AND emit RFC-invalid
         # JSON — reject like set_slider does (code-review r3).
@@ -103,8 +122,6 @@ class DevelopSession:
         return {"ok": True, "zoom": self.zoom}
 
     def set_pan(self, x: float, y: float) -> dict:
-        import math
-
         if not (math.isfinite(x) and math.isfinite(y)):
             raise ValueError("pan must be finite")
         self.pan = (x, y)
@@ -201,10 +218,7 @@ class DevelopSession:
             include_contrast="contrast" in options,
             include_tone="tone" in options,
         )
-        if self.library is not None and self.image_id is not None:
-            self.library.save_edit_params(self.image_id, self.params,
-                                          append=self._frozen)
-            self._frozen = False
+        self._persist_params()
         return {"ok": True, "params": json.loads(self.params.to_json())}
 
     def open(self, target: str) -> dict:
@@ -266,13 +280,8 @@ class DevelopSession:
             self.params = _presets.apply_preset(self.params, name)
         except (KeyError, ValueError) as e:
             return {"ok": False, "error": str(e)}
-        if self.library is not None and self.image_id is not None:
-            self.library.save_edit_params(self.image_id, self.params,
-                                          append=self._frozen)
-            self._frozen = False
-        with self.latency.measure():
-            self.engine.preview_tick(self.params, self.zoom, self.pan)
-        ms = self.latency.samples[-1] * 1000.0
+        self._persist_params()
+        ms = self._timed_tick()
         return {"ok": True, "preset": name,
                 "params": json.loads(self.params.to_json()),
                 "render_ms": round(ms, 3)}

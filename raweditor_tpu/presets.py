@@ -45,6 +45,11 @@ def _path_for(name: str) -> Path:
         raise ValueError(
             f"invalid preset name {name!r} (letters, digits, '.', '_', "
             "'-'; must not start with a separator)")
+    if name == "list":
+        # Reserved: the session protocol's `preset list` always
+        # enumerates, so a preset by this name would be unreachable
+        # there (code-review r3).
+        raise ValueError("'list' is a reserved preset name")
     return presets_dir() / f"{name}.json"
 
 
@@ -79,6 +84,11 @@ def load_preset(name: str) -> Dict[str, float]:
         raise KeyError(
             f"no preset {name!r} in {presets_dir()} "
             f"(see `preset list`)") from None
+    except OSError as e:
+        # Unreadable file / a directory named <name>.json: keep the
+        # documented KeyError/ValueError contract (doctor and the CLI
+        # catch exactly those; code-review r3).
+        raise ValueError(f"preset {name!r} is unreadable: {e}")
     except json.JSONDecodeError as e:
         raise ValueError(f"preset {name!r} is not valid JSON: {e}")
     if not isinstance(data, dict):
@@ -112,10 +122,15 @@ def apply_preset(base: EditParams, name: str) -> EditParams:
 
 
 def list_presets() -> List[str]:
+    """Names that :func:`load_preset` will actually accept — filtered
+    to regular files with valid names, so the list and load surfaces
+    never disagree about what exists (code-review r3)."""
     d = presets_dir()
     if not d.is_dir():
         return []
-    return sorted(p.stem for p in d.glob("*.json"))
+    return sorted(p.stem for p in d.glob("*.json")
+                  if p.is_file() and _NAME_RE.match(p.stem)
+                  and p.stem != "list")
 
 
 def delete_preset(name: str) -> None:

@@ -252,3 +252,71 @@ def test_mesh_indivisible_height_routes_gspmd(tmp_path, rng):
         [ExportJob(str(raw), str(tmp_path / "o.png"))],
         mesh=mesh, batch_size=1)
     assert rep.succeeded == 1 and not rep.failed, rep.failed
+
+
+class TestSessionReviewRegressions:
+    def test_checkpoint_survives_process_restart(self, tmp_path, rng):
+        """A new DevelopSession on a catalog image must not overwrite
+        the previous session's checkpoint row on its first tick
+        (code-review r3: the constructor left _frozen=False)."""
+        from raweditor_tpu.catalog import Library
+        from raweditor_tpu.pipeline.engine import DevelopEngine
+        from raweditor_tpu.pipeline.session import DevelopSession
+        from raweditor_tpu.raw.synth import write_synthetic_raw
+
+        raw = tmp_path / "c.dng"
+        write_synthetic_raw(
+            str(raw), rng.integers(0, 4095, (64, 96)).astype(np.uint16))
+        lib = Library(str(tmp_path / "cat.db"))
+        img_id = lib.import_image(str(raw), "c.dng")
+
+        s1 = DevelopSession(DevelopEngine.open(str(raw)), lib, img_id)
+        s1.handle("set exposure 1.0")
+        s1.handle("checkpoint")
+        # "process restart": a fresh session object on the same image.
+        s2 = DevelopSession(DevelopEngine.open(str(raw)), lib, img_id)
+        s2.handle("set exposure 2.0")
+        hist = s2.history()["history"]
+        assert len(hist) >= 2  # the checkpoint row survived
+        lib.close()
+
+    def test_reserved_name_and_list_filtering(self, tmp_path):
+        from raweditor_tpu import presets
+
+        with pytest.raises(ValueError):
+            presets.save_preset("list", EditParams(exposure=1.0))
+        d = presets.presets_dir()
+        d.mkdir(parents=True, exist_ok=True)
+        (d / "My Look.json").write_text("{}")      # invalid name
+        (d / "sub.json").mkdir()                    # directory
+        presets.save_preset("ok", EditParams(exposure=1.0))
+        assert presets.list_presets() == ["ok"]
+
+    def test_unreadable_preset_is_valueerror(self, tmp_path):
+        from raweditor_tpu import presets
+
+        d = presets.presets_dir()
+        d.mkdir(parents=True, exist_ok=True)
+        (d / "dirpreset.json").mkdir()
+        with pytest.raises(ValueError):
+            presets.load_preset("dirpreset")
+
+    def test_serve_preset_list_without_image(self, tmp_path):
+        import socket
+
+        from raweditor_tpu import presets
+        from raweditor_tpu.pipeline.serve import DevelopServer
+
+        presets.save_preset("tcp-look", EditParams(contrast=5.0))
+        srv = DevelopServer()
+        srv.serve_background()
+        host, port = srv.address
+        with socket.create_connection((host, port), timeout=10) as s:
+            f = s.makefile("rwb")
+            greeting = json.loads(f.readline())
+            assert "preset" in greeting["commands"]
+            f.write(b"preset list\n")
+            f.flush()
+            resp = json.loads(f.readline())
+            assert resp["ok"] and "tcp-look" in resp["presets"]
+        srv.shutdown()
