@@ -6,6 +6,7 @@ The reference is a GUI app; its workflows map to subcommands here:
            (reference: main.rs:1840-1924 + raw/processor.rs)
   list     catalog listing (reference library grid, main.rs:1295-1430)
   info     decode metadata for one file (reference: raw/loader.rs:75-143)
+  convert  rewrite RAW files as archival DNG (bit-exact sensor data)
   develop  one-shot develop of a file or catalog id to JPEG/PNG
            (reference develop tab + export, main.rs:1433-1799)
   edit     save/reset slider values for a catalog image
@@ -19,9 +20,11 @@ The reference is a GUI app; its workflows map to subcommands here:
   verify   catalog integrity check (startup self-healing, on demand)
   auto     auto exposure/WB (+ levels/contrast/tone) suggestions
   collect  named collections: add/remove/delete/list
+  preset   named develop presets: save/list/show/delete
   session  interactive develop loop on stdin (the develop tab, headless)
   serve    TCP develop service speaking the session protocol
   warmup   precompile develop programs for a sensor shape
+  doctor   production environment self-check (one JSON report)
   bench    run the headline benchmark
 """
 
@@ -126,6 +129,20 @@ def _open_library(args):
     from raweditor_tpu.catalog import Library
 
     return Library(args.db)
+
+
+def _open_engine(path, cmd_name: str, **kwargs):
+    """DevelopEngine.open with the usage-error contract every CLI
+    path should share: corrupt/missing inputs and config errors print
+    one clean line, not a traceback (code-review r3 — only ValueError
+    was caught, so RawDecodeError/FileNotFoundError tracebacked)."""
+    from raweditor_tpu.pipeline.engine import DevelopEngine
+    from raweditor_tpu.raw.decode import RawDecodeError
+
+    try:
+        return DevelopEngine.open(path, **kwargs)
+    except (ValueError, OSError, RawDecodeError) as e:
+        raise SystemExit(f"{cmd_name}: {e}")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -520,6 +537,11 @@ def cmd_list(args) -> int:
 def cmd_rate(args) -> int:
     with _open_library(args) as lib:
         if args.stars is None and args.flag is None:
+            if lib.get_image(args.image_id) is None:
+                # A typo'd id must not read as "real, unrated"
+                # (code-review r3).
+                raise SystemExit(f"rate: no catalog image "
+                                 f"{args.image_id}")
             rating, flag = lib.get_rating(args.image_id)
             print(json.dumps({"id": args.image_id, "rating": rating,
                               "flag": flag}))
@@ -678,19 +700,34 @@ def cmd_develop(args) -> int:
     path, base = _resolve_input(args)
     params = _params_from_args(args, base)
     zoom = _clamp_zoom(args.zoom, cfg)
-    try:
-        eng = DevelopEngine.open(
-            path, mode=args.mode,
-            use_pallas=getattr(args, "fast", False),
-            fast_gamma=getattr(args, "fast_gamma", False),
-            demosaic_method=getattr(args, "demosaic", "nearest"),
-            transfer=getattr(args, "transfer", "gamma22"),
-            auto_orient=getattr(args, "auto_orient", False),
-            color_space=getattr(args, "color_space", "srgb"))
-    except ValueError as e:
-        # e.g. --color-space with the default parity mode — a usage
-        # error, not a traceback (code-review r3).
-        raise SystemExit(f"develop: {e}")
+    # Branch-specific flags must error, not silently drop
+    # (code-review r3): geometry/JPEG-encoder options apply to the
+    # full-res export; zoom/pan apply to the preview render.
+    if getattr(args, "preview", False):
+        dropped = [f for f, on in (
+            ("--rotate", getattr(args, "rotate", 0.0)),
+            ("--crop", getattr(args, "crop", None)),
+            ("--optimize-jpeg", getattr(args, "optimize_jpeg", False)),
+            ("--jpeg-restart", getattr(args, "jpeg_restart", 0)),
+            ("--chroma 444", getattr(args, "chroma", "420") == "444"),
+        ) if on]
+        if dropped:
+            raise SystemExit(
+                f"develop: {', '.join(dropped)} do(es) not apply to "
+                "--preview renders (full-res export options)")
+    elif (args.zoom != 1.0 or getattr(args, "pan_x", 0.0)
+          or getattr(args, "pan_y", 0.0)):
+        raise SystemExit(
+            "develop: --zoom/--pan-x/--pan-y apply to --preview "
+            "renders only (the full-res export has no view transform)")
+    eng = _open_engine(
+        path, "develop", mode=args.mode,
+        use_pallas=getattr(args, "fast", False),
+        fast_gamma=getattr(args, "fast_gamma", False),
+        demosaic_method=getattr(args, "demosaic", "nearest"),
+        transfer=getattr(args, "transfer", "gamma22"),
+        auto_orient=getattr(args, "auto_orient", False),
+        color_space=getattr(args, "color_space", "srgb"))
     if args.preview:
         from PIL import Image
 
@@ -771,20 +808,33 @@ def cmd_export(args) -> int:
 
     cfg = Config.from_env()
     override = _params_from_args(args)
-    if args.files:
+    if args.files is not None:
+        # `is not None`: an EMPTY --files (a glob that matched
+        # nothing) must not silently fall through to a full-catalog
+        # export (code-review r3).
+        if not args.files:
+            raise SystemExit("export: --files matched no files")
         import os
 
-        jobs = [
-            ExportJob(
+        jobs = []
+        taken = set()
+        for f in args.files:
+            stem = os.path.splitext(os.path.basename(f))[0]
+            # Same stem-collision guard as jobs_from_catalog: two
+            # IMG_0001.NEF from different folders must not clobber
+            # each other (code-review r3).
+            name = f"{stem}.{args.ext}"
+            if name.lower() in taken:
+                i = 2
+                while f"{stem}_{i}.{args.ext}".lower() in taken:
+                    i += 1
+                name = f"{stem}_{i}.{args.ext}"
+            taken.add(name.lower())
+            jobs.append(ExportJob(
                 raw_path=f,
-                out_path=os.path.join(
-                    args.out_dir,
-                    os.path.splitext(os.path.basename(f))[0] + f".{args.ext}",
-                ),
+                out_path=os.path.join(args.out_dir, name),
                 params=override,
-            )
-            for f in args.files
-        ]
+            ))
     else:
         with _open_library(args) as lib:
             ids = args.ids
@@ -848,6 +898,14 @@ def cmd_export(args) -> int:
         from raweditor_tpu.utils.logging import get_logger
 
         _log = get_logger("raweditor_tpu.cli")
+
+        if getattr(args, "resume", False):
+            # skip_existing drops these jobs inside run_batch_export
+            # anyway — don't pay a decode + device measurement pass
+            # per already-exported image (code-review r3).
+            import os as _os
+
+            jobs = [j for j in jobs if not _os.path.exists(j.out_path)]
 
         def _measure(j):
             try:
@@ -932,7 +990,7 @@ def cmd_histogram(args) -> int:
     from raweditor_tpu.utils.config import Config
 
     path, base = _resolve_input(args)
-    eng = DevelopEngine.open(path)
+    eng = _open_engine(path, "histogram")
     hist = eng.histogram(_params_from_args(args, base),
                          zoom=_clamp_zoom(getattr(args, "zoom", 1.0),
                                           Config.from_env()),
@@ -948,9 +1006,13 @@ def cmd_histogram(args) -> int:
 def render_ascii_histogram(hist, width: int = 64, height: int = 8) -> str:
     """Terminal rendering of the (3, 256) histogram — the headless
     analogue of the reference's canvas widget, max-normalized like it
-    (reference: ui/histogram.rs:26-75)."""
-    import numpy as np
-
+    (reference: ui/histogram.rs:26-75). ``width`` must divide 256
+    (the bins collapse into whole columns)."""
+    if width <= 0 or 256 % width:
+        # The reshape below would raise an opaque 'cannot reshape'
+        # otherwise (code-review r3).
+        raise ValueError(
+            f"width must be a positive divisor of 256, got {width}")
     hist = np.asarray(hist, dtype=np.float64)
     # Collapse 256 bins into `width` columns.
     bins = hist.reshape(3, width, 256 // width).sum(axis=2)
@@ -971,7 +1033,6 @@ def render_ascii_histogram(hist, width: int = 64, height: int = 8) -> str:
 
 
 def cmd_synth(args) -> int:
-    import numpy as np
 
     from raweditor_tpu.raw.synth import write_synthetic_raw
 
@@ -1143,12 +1204,7 @@ def cmd_doctor(args) -> int:
             "_rawkit extension not loaded - Python fallback decoders "
             "active (slow); build with `make native`")
     else:
-        required = ("scan_jpeg_spans", "unpack_bits", "unpack_bits2",
-                    "decode_ljpeg", "decode_nikon", "decode_arw2",
-                    "huffman_pack", "decode_canon_crw", "decode_srw1",
-                    "decode_srw3", "decode_radc", "encode_jpeg_420",
-                    "encode_jpeg_444", "pack12_rows", "pack14_rows",
-                    "jpeg_simd")
+        from raweditor_tpu.native import REQUIRED_EXPORTS as required
         missing = [f for f in required if not hasattr(rk, f)]
         if missing:
             add("native", "fail",
@@ -1307,7 +1363,7 @@ def cmd_auto(args) -> int:
                 raise SystemExit(f"no catalog image {args.input}")
             path, image_id = img.path, img.id
             base = lib.load_edit_params(image_id)
-            eng = DevelopEngine.open(path)
+            eng = _open_engine(path, "auto")
             suggestion = suggest_auto(
                 eng, base,
                 include_levels=getattr(args, "levels", False),
@@ -1318,7 +1374,7 @@ def cmd_auto(args) -> int:
                 lib.save_edit_params(image_id, suggestion)
     else:
         path, base = args.input, EditParams()
-        eng = DevelopEngine.open(path)
+        eng = _open_engine(path, "auto")
         suggestion = suggest_auto(
             eng, base,
             include_levels=getattr(args, "levels", False),
@@ -1357,8 +1413,8 @@ def cmd_session(args) -> int:
             path, image_id = img.path, img.id
         else:
             path = args.input
-        eng = DevelopEngine.open(
-            path, mode=args.mode, use_pallas=args.fast,
+        eng = _open_engine(
+            path, "session", mode=args.mode, use_pallas=args.fast,
             fast_gamma=getattr(args, "fast_gamma", False),
             demosaic_method=getattr(args, "demosaic", "nearest"))
         if library is None and args.db is not None:

@@ -28,3 +28,17 @@ def get_rawkit():
     except ImportError:
         _cached = None
     return _cached
+
+
+# The canonical export list of the CURRENT rawkit.cpp bindings — the
+# single source of truth for both tests/test_native.py's stale-binary
+# check and the doctor subcommand (the two lists had drifted;
+# code-review r3). Extend this when adding a binding.
+REQUIRED_EXPORTS = (
+    "scan_jpeg_spans", "unpack_bits", "unpack_bits2",
+    "decode_ljpeg", "decode_nikon", "decode_arw2",
+    "huffman_pack", "decode_canon_crw", "decode_srw1",
+    "decode_srw3", "decode_radc", "encode_jpeg_420",
+    "encode_jpeg_444", "pack12_rows", "pack14_rows",
+    "jpeg_simd",
+)

@@ -438,3 +438,68 @@ def test_doctor_stale_native_fails(capsys, monkeypatch):
     assert code == 1 and rep["status"] == "fail"
     assert by["native"]["status"] == "fail"
     assert "decode_ljpeg" in by["native"]["detail"]
+
+
+class TestCliReviewRegressions:
+    def test_empty_files_list_errors(self, tmp_path):
+        from raweditor_tpu.cli import main
+
+        with pytest.raises(SystemExit):
+            main(["export", "-o", str(tmp_path / "o"), "--files"])
+
+    def test_files_stem_collision_disambiguated(self, tmp_path, rng):
+        from raweditor_tpu.cli import main
+        from raweditor_tpu.raw.synth import write_synthetic_raw
+
+        a = tmp_path / "a"
+        b = tmp_path / "b"
+        a.mkdir(), b.mkdir()
+        for d in (a, b):
+            write_synthetic_raw(
+                str(d / "IMG.dng"),
+                rng.integers(0, 4095, (64, 96)).astype(np.uint16))
+        out = tmp_path / "out"
+        assert main(["export", "-o", str(out), "--ext", "png",
+                     "--files", str(a / "IMG.dng"),
+                     str(b / "IMG.dng")]) == 0
+        assert len(list(out.glob("*.png"))) == 2  # no clobber
+
+    def test_preview_rejects_export_only_flags(self, tmp_path, rng):
+        from raweditor_tpu.cli import main
+        from raweditor_tpu.raw.synth import write_synthetic_raw
+
+        raw = tmp_path / "p.dng"
+        write_synthetic_raw(
+            str(raw), rng.integers(0, 4095, (64, 96)).astype(np.uint16))
+        with pytest.raises(SystemExit):
+            main(["develop", str(raw), "-o", str(tmp_path / "x.png"),
+                  "--preview", "--rotate", "5"])
+        with pytest.raises(SystemExit):
+            main(["develop", str(raw), "-o", str(tmp_path / "x.png"),
+                  "--zoom", "2"])  # zoom without --preview
+
+    def test_corrupt_input_is_usage_error(self, tmp_path):
+        from raweditor_tpu.cli import main
+
+        bad = tmp_path / "bad.nef"
+        bad.write_bytes(b"II*\0garbage")
+        with pytest.raises(SystemExit):
+            main(["develop", str(bad), "-o", str(tmp_path / "x.jpg")])
+
+    def test_rate_query_missing_id_errors(self, tmp_path):
+        from raweditor_tpu.cli import main
+
+        with pytest.raises(SystemExit):
+            main(["--db", str(tmp_path / "c.db"), "rate", "424242"])
+
+    def test_histogram_width_validated(self):
+        from raweditor_tpu.cli import render_ascii_histogram
+
+        with pytest.raises(ValueError):
+            render_ascii_histogram(np.zeros((3, 256)), width=60)
+
+    def test_native_symbol_list_is_shared(self):
+        from raweditor_tpu.native import REQUIRED_EXPORTS
+
+        assert "encode_jpeg_420" in REQUIRED_EXPORTS
+        assert "decode_radc" in REQUIRED_EXPORTS

@@ -127,10 +127,9 @@ def test_native_binary_current():
     binds — catches a stale binary after rawkit.cpp edits."""
     if rk is None:
         pytest.skip("native ext not built")
-    for fn in ("scan_jpeg_spans", "unpack_bits", "unpack_bits2",
-               "decode_ljpeg", "decode_nikon", "decode_arw2",
-               "huffman_pack", "decode_canon_crw", "decode_srw1",
-               "decode_srw3", "decode_radc", "jpeg_simd"):
+    from raweditor_tpu.native import REQUIRED_EXPORTS
+
+    for fn in REQUIRED_EXPORTS:
         assert hasattr(rk, fn), f"stale _rawkit binary: missing {fn}"
 
 
