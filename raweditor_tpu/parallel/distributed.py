@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-_initialized = None  # (coordinator, num_processes, process_id) once set
+_initialized = None  # (coordinator, n_proc, proc_id, device_ids) once set
 
 
 def init_distributed(coordinator: str, num_processes: int,
@@ -59,7 +59,9 @@ def init_distributed(coordinator: str, num_processes: int,
         raise ValueError(
             f"process_id {process_id} out of range for "
             f"{num_processes} processes")
-    topology = (coordinator, num_processes, process_id)
+    topology = (coordinator, num_processes, process_id,
+                tuple(local_device_ids) if local_device_ids is not None
+                else None)
     if _initialized is not None and _initialized != topology:
         raise RuntimeError(
             f"jax.distributed already initialized with {_initialized}; "

@@ -42,8 +42,11 @@ def watch_folder(lib, folder, cache_dir=None, interval: float = 2.0,
     A file is imported only once its (size, mtime) is unchanged across
     two consecutive polls, so a shot still streaming from the camera
     is never decoded half-written; if decoding a file still fails, its
-    'failed' status is retried whenever the file changes on disk.
-    Duplicate paths are skipped by the catalog's UNIQUE constraint.
+    'failed' status is retried once per on-disk file state — when the
+    file changes, and once at watcher start for failures recorded
+    before this run (the file may have finished writing while no
+    watcher was up). Already-imported paths are skipped without
+    touching the catalog (the UNIQUE constraint stays the backstop).
     ``iterations=None`` runs until KeyboardInterrupt; ``on_cycle(stats)``
     (when given) observes each cycle; ``tiers=False`` imports only.
 
@@ -55,10 +58,21 @@ def watch_folder(lib, folder, cache_dir=None, interval: float = 2.0,
 
     totals = {"cycles": 0, "imported": 0, "cached": 0, "failed": 0}
     seen: dict = {}  # path -> (size, mtime) from the previous poll
+    # Paths known to be in the catalog: without this, every stable
+    # file re-runs a failing INSERT on every poll — O(folder) catalog
+    # writes per cycle on a large archive.
+    imported_paths = {img.path for img in lib.get_all_images()}
+    failed_sigs: dict = {}  # path -> (size, mtime) that already failed
 
     def _scan() -> dict:
         sigs = {}
-        for root, _dirs, files in os.walk(folder, followlinks=True):
+        seen_dirs = set()  # realpath cycle guard (as Library.import_folder)
+        for root, dirs, files in os.walk(folder, followlinks=True):
+            real = os.path.realpath(root)
+            if real in seen_dirs:
+                dirs[:] = []  # symlink cycle: don't descend again
+                continue
+            seen_dirs.add(real)
             for name in sorted(files):
                 ext = os.path.splitext(name)[1].lstrip(".").lower()
                 if ext not in RAW_EXTENSIONS:
@@ -76,22 +90,39 @@ def watch_folder(lib, folder, cache_dir=None, interval: float = 2.0,
             sigs = _scan()
             imported = 0
             for full, sig in sigs.items():
-                if seen.get(full) != sig:
-                    continue  # new or still being written: wait a poll
+                if full in imported_paths or seen.get(full) != sig:
+                    continue  # known, or still being written: wait
                 try:
                     lib.import_image(full, os.path.basename(full))
                     imported += 1
                 except sqlite3.IntegrityError:
                     pass  # already imported
-            # Changed-on-disk failures get another chance (a truncated
-            # shot that finished writing after a failed decode).
+                imported_paths.add(full)
+            # Failures get another chance once the file is stable in a
+            # state that hasn't already failed this run: a truncated
+            # shot that finished writing after the failed decode —
+            # including one that finished while no watcher was running
+            # (a pre-run failure retries once on its first stable poll).
+            failed_at_start = set()
             for img_id, path in lib.get_failed_cache():
-                if (path in sigs
-                        and seen.get(path) not in (None, sigs[path])):
-                    lib.set_cache_status(img_id, "pending")
+                failed_at_start.add(path)
+                sig = sigs.get(path)
+                if sig is None or seen.get(path) != sig:
+                    continue  # gone, or still being written
+                if failed_sigs.get(path) == sig:
+                    continue  # these exact bytes already failed
+                failed_sigs[path] = sig
+                lib.set_cache_status(img_id, "pending")
             seen = sigs
             cache = (process_pending_cache(lib, cache_dir=cache_dir)
                      if tiers else {})
+            # Pin the file state each NEWLY failed image failed at, so
+            # its retry fires only when the file changes. (Pre-run
+            # failures are deliberately not pinned here — they keep
+            # their one first-stable-poll retry above.)
+            for _id, path in lib.get_failed_cache():
+                if path not in failed_at_start:
+                    failed_sigs[path] = sigs.get(path)
             totals["cycles"] += 1
             totals["imported"] += imported
             totals["cached"] += cache.get("cached", 0)
@@ -126,9 +157,18 @@ def generate_tiers(raw_path: str, image_id: int,
     cache = Path(cache_dir) if cache_dir else default_cache_dir()
     jpeg = extract_preview_jpeg(raw_path)
     if jpeg is not None:
-        with Image.open(io.BytesIO(jpeg)) as img:
-            img.load()
-            pimg = img.convert("RGB")
+        try:
+            with Image.open(io.BytesIO(jpeg)) as img:
+                img.load()
+                pimg = img.convert("RGB")
+        except Exception:
+            # A corrupt embedded JPEG (e.g. a marker scan hit inside a
+            # damaged file) must not quarantine an image whose sensor
+            # data decodes fine — fall through to the develop path.
+            if not fallback_develop:
+                raise
+            jpeg = None
+    if jpeg is not None:
         biggest = max(w for _, w in TIERS)
         if not fallback_develop or pimg.width >= biggest:
             return _write_tiers(pimg, image_id, cache)

@@ -64,7 +64,10 @@ def build_exif(make: str = "", model: str = "", orientation: int = 1,
             value = raw + b"\0" * (4 - len(raw))
         else:
             value = struct.pack("<I", out_of_line_at + len(tail))
-            tail += raw
+            # TIFF requires word-aligned value offsets; pad odd-length
+            # values so the next one starts even (padding is not
+            # counted in the entry's count field).
+            tail += raw + (b"\0" if len(raw) % 2 else b"")
         ifd += struct.pack("<HHI", tag, typ, count) + value
     ifd += struct.pack("<I", 0)  # no next IFD
     return b"Exif\0\0" + header + ifd + tail

@@ -41,7 +41,12 @@ class _TiffWriter:
     @staticmethod
     def _encode_values(typ: int, values) -> bytes:
         if typ == _TYPE_ASCII:
-            return values.encode("ascii") + b"\0"
+            # Lenient: decoded camera strings can carry U+FFFD (the
+            # reader itself decodes Make/Model with errors="replace",
+            # raw/tiff.py), and a strict encode would make write_dng/
+            # write_tiff16 crash on them. '?' per char keeps the byte
+            # count equal to _count()'s len(values).
+            return values.encode("ascii", "replace") + b"\0"
         if typ in (_TYPE_BYTE, _TYPE_UNDEF):
             return bytes(values)
         if typ == _TYPE_SHORT:

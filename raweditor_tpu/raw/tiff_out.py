@@ -29,9 +29,14 @@ def write_tiff16(path, rgb: np.ndarray, make: str = "",
     carry one, raweditor_tpu/icc.py)."""
     from raweditor_tpu.raw.synth import _TYPE_ASCII, _TYPE_UNDEF
 
-    rgb = np.ascontiguousarray(rgb, dtype=np.uint16)
+    rgb = np.asarray(rgb)
+    if rgb.dtype != np.uint16:
+        # Mirror write_dng's strictness: a silent cast would turn
+        # normalized-float input into an all-black "successful" export.
+        raise ValueError(f"rgb must be uint16, got {rgb.dtype}")
     if rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError(f"expected (H, W, 3) u16, got {rgb.shape}")
+    rgb = np.ascontiguousarray(rgb)
     h, w, _ = rgb.shape
     tw = _TiffWriter()
     strip = tw.add_blob(rgb.astype("<u2").tobytes())

@@ -128,3 +128,20 @@ def test_two_process_export_matches_single(photo_files, tmp_path):
         a = (out_single / name).read_bytes()
         b = (out_multi / name).read_bytes()
         assert a == b, f"{name}: multi-host output differs"
+
+
+def test_init_guard_covers_local_device_ids(monkeypatch):
+    """Re-calling init_distributed with the same coordinator/process
+    topology but different local_device_ids must raise, not silently
+    keep the old device binding (regression: the idempotency key
+    omitted local_device_ids)."""
+    import pytest
+
+    from raweditor_tpu.parallel import distributed as D
+
+    monkeypatch.setattr(D, "_initialized", ("h:1", 1, 0, None))
+    with pytest.raises(RuntimeError, match="already initialized"):
+        D.init_distributed("h:1", 1, 0, local_device_ids=[0, 1])
+    # Same full topology (device ids included) stays a no-op.
+    idx, count = D.init_distributed("h:1", 1, 0)
+    assert (idx, count) == (0, 1)

@@ -210,3 +210,15 @@ def test_cli_reference_covers_convert():
     text = open(os.path.join(os.path.dirname(__file__), os.pardir,
                              "docs", "cli.md")).read()
     assert "## `convert`" in text
+
+
+def test_non_ascii_camera_strings_sanitized():
+    """Decoded Make/Model can carry non-ASCII (raw/tiff.py decodes
+    with errors='replace', so U+FFFD is reachable); the writers must
+    sanitize to '?' instead of crashing with UnicodeEncodeError."""
+    img = decode_raw(write_synthetic_raw(None, _mosaic(16, 32)))
+    img.camera_make = "NI�KON"
+    img.camera_model = "Zé 8"
+    back = decode_raw(write_dng(None, img))
+    assert back.camera_make == "NI?KON"
+    assert back.camera_model == "Z? 8"

@@ -83,3 +83,31 @@ def test_codec_bench_tool_smoke():
     results = json.loads(out.stdout.strip().splitlines()[-1])
     assert set(results) == {"nikon", "srw3"}
     assert all(v["mps"] > 0 for v in results.values())
+
+
+def test_out_of_line_values_word_aligned():
+    """TIFF requires word-aligned value offsets; odd-length ASCII
+    values must be padded so the next out-of-line value starts even
+    (regression: values were packed back-to-back)."""
+    # All four raws (text + NUL) are odd-length -> every entry after
+    # the first would land on an odd offset without padding.
+    blob = build_exif("MAKEMAKE", "MODELMODEL", 1,
+                      software="SOFTWARE", description="DESCRIPTIONS")
+    tiff = blob[6:]
+    (ifd_off,) = struct.unpack_from("<I", tiff, 4)
+    (n,) = struct.unpack_from("<H", tiff, ifd_off)
+    out_of_line = 0
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from("<HHI", tiff, base)
+        if typ == 2 and count > 4:  # out-of-line ASCII
+            (off,) = struct.unpack_from("<I", tiff, base + 8)
+            assert off % 2 == 0, f"tag {tag:#x} at odd offset {off}"
+            # count excludes the alignment pad
+            assert tiff[off + count - 1] == 0
+            out_of_line += 1
+    assert out_of_line == 4
+    # Still a valid EXIF payload for PIL.
+    img = Image.new("RGB", (4, 4))
+    buf = io.BytesIO()
+    img.save(buf, "JPEG", exif=blob)

@@ -1187,3 +1187,99 @@ def test_batch_develop_linear_planes_match_separate_pass(rng):
     assert isinstance(planes, tuple) and len(planes) == len(want)
     for a, b in zip(planes, want):
         assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_generate_tiers_corrupt_embedded_jpeg_falls_back(tmp_path, rng):
+    """A corrupt embedded JPEG (e.g. a marker-scan hit inside a
+    damaged file) must not quarantine an image whose sensor data
+    decodes fine — the develop fallback takes over (regression: the
+    PIL failure propagated out of generate_tiers)."""
+    mosaic = rng.integers(0, 4096, size=(24, 32), dtype=np.uint16)
+    bad_jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 64 + b"\xff\xd9"
+    path = tmp_path / "shot.nef"
+    write_synthetic_raw(path, mosaic, preview_jpeg=bad_jpeg)
+
+    thumb, instant, working = generate_tiers(
+        path, 1, cache_dir=tmp_path / "cache")
+    with Image.open(working) as im:
+        assert im.width == 1280  # developed, tiered, usable
+
+    with pytest.raises(Exception):
+        generate_tiers(path, 2, cache_dir=tmp_path / "cache",
+                       fallback_develop=False)
+
+
+def test_watch_folder_retries_pre_run_failure_once(tmp_path, rng):
+    """An image quarantined before this watcher started (e.g. the file
+    finished writing while no watcher was up) gets exactly one retry
+    on its first stable poll; if the file is still bad it stays
+    quarantined without further churn."""
+    from raweditor_tpu.pipeline.tiers import watch_folder
+
+    photos = tmp_path / "ingest"
+    photos.mkdir()
+    good = rng.integers(0, 4096, size=(16, 24), dtype=np.uint16)
+    full = write_synthetic_raw(None, good)
+    shot = photos / "shot.nef"
+    shot.write_bytes(full[: len(full) // 3])  # truncated
+    lib = Library(tmp_path / "cat.db")
+    lib.import_image(str(shot), "shot.nef")
+    pre = process_pending_cache(lib, cache_dir=tmp_path / "cache")
+    assert pre == {"cached": 0, "failed": 1}
+
+    # The camera finished writing while the watcher was down.
+    shot.write_bytes(full)
+    totals = watch_folder(lib, photos, cache_dir=tmp_path / "cache",
+                          interval=0.01, iterations=3)
+    assert totals["cached"] == 1  # the startup retry healed it
+    assert totals["failed"] == 0
+
+    # A still-broken pre-run failure retries once, then stays put.
+    bad = photos / "bad.nef"
+    bad.write_bytes(full[: len(full) // 3])
+    lib.import_image(str(bad), "bad.nef")
+    assert process_pending_cache(
+        lib, cache_dir=tmp_path / "cache")["failed"] == 1
+    totals = watch_folder(lib, photos, cache_dir=tmp_path / "cache",
+                          interval=0.01, iterations=4)
+    assert totals["failed"] == 1  # exactly one retry, no per-poll churn
+
+
+def test_watch_folder_survives_symlink_cycle(tmp_path, rng):
+    """A directory symlink cycle in the watched tree must not make the
+    poll walk recurse forever (same realpath guard as
+    Library.import_folder)."""
+    from raweditor_tpu.pipeline.tiers import watch_folder
+
+    photos = tmp_path / "ingest"
+    sub = photos / "sub"
+    sub.mkdir(parents=True)
+    (sub / "loop").symlink_to(photos, target_is_directory=True)
+    mosaic = rng.integers(0, 4096, size=(16, 24), dtype=np.uint16)
+    write_synthetic_raw(photos / "a.nef", mosaic)
+    lib = Library(tmp_path / "cat.db")
+
+    totals = watch_folder(lib, photos, cache_dir=tmp_path / "cache",
+                          interval=0.01, iterations=3)
+    assert totals["imported"] == 1
+    assert len(lib.get_all_images()) == 1
+    lib.close()
+
+
+def test_tiff16_rejects_non_u16_and_sanitizes_strings(tmp_path):
+    """write_tiff16 must reject non-uint16 input (a silent cast turned
+    normalized float RGB into an all-black 'successful' export) and
+    survive non-ASCII camera strings like write_dng does."""
+    from raweditor_tpu.raw.tiff_out import write_tiff16
+
+    with pytest.raises(ValueError, match="uint16"):
+        write_tiff16(tmp_path / "f.tif",
+                     np.zeros((4, 5, 3), np.float32))
+    with pytest.raises(ValueError, match="uint16"):
+        write_tiff16(tmp_path / "b.tif", np.zeros((4, 5, 3), np.uint8))
+
+    out = write_tiff16(tmp_path / "ok.tif",
+                       np.full((4, 5, 3), 1000, np.uint16),
+                       make="NI�KON", model="Zé 8")
+    with Image.open(out) as im:
+        assert im.size == (5, 4)
