@@ -61,6 +61,9 @@ class MsbWriter:
         while self.n >= 8:
             self.n -= 8
             self.out.append((self.acc >> self.n) & 0xFF)
+        # Keep only the undrained low bits: without this the
+        # accumulator is an ever-growing bigint on long streams.
+        self.acc &= (1 << self.n) - 1
 
     def flush(self) -> bytes:
         if self.n:

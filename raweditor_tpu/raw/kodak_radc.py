@@ -61,6 +61,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from raweditor_tpu.raw import bitpack
+
 WHITE = 0x3FFF
 
 # (code length, value) pairs per table; each table is a complete
@@ -213,28 +215,15 @@ def _token(rd: _MsbReader, table: int) -> int:
     return int(val)
 
 
-class _MsbWriter:
-    def __init__(self):
-        self.out = bytearray()
-        self.acc = 0
-        self.n = 0
-
-    def put(self, v: int, k: int) -> None:
-        self.acc = (self.acc << k) | (v & ((1 << k) - 1))
-        self.n += k
-        while self.n >= 8:
-            self.n -= 8
-            self.out.append((self.acc >> self.n) & 0xFF)
-        self.acc &= (1 << self.n) - 1
+class _MsbWriter(bitpack.MsbWriter):
+    """bitpack.MsbWriter plus the RADC token table lookup."""
 
     def put_token(self, table: int, val: int) -> None:
         code, ln = _ENC[table][val]
         self.put(code, ln)
 
     def tobytes(self) -> bytes:
-        if self.n:
-            self.put(0, 8 - self.n)
-        return bytes(self.out)
+        return self.flush()
 
 
 def _predictor(buf: List[List[int]], c: int, y: int, x: int) -> int:
@@ -347,17 +336,6 @@ def decode_radc(data: bytes, width: int, height: int) -> np.ndarray:
                     raw[y, x] = max(val, 0)
     np.clip(raw, 0, 65535, out=raw)
     return _CURVE[raw.astype(np.uint16)]
-
-
-def _inv_curve(v: int) -> int:
-    """Smallest pre-curve sample mapping closest to ``v``."""
-    idx = int(np.searchsorted(_CURVE[:4096], v))
-    best = min(max(idx - 1, 0), 4095)
-    for cand in (idx, idx + 1):
-        cand = min(cand, 4095)
-        if abs(int(_CURVE[cand]) - v) < abs(int(_CURVE[best]) - v):
-            best = cand
-    return best
 
 
 # Inverse tone curve: nearest pre-curve sample for every reachable

@@ -132,7 +132,8 @@ def make_huff_spec(dep: int = 13, big_endian: bool = False) -> bytes:
 
 
 def encode_pentax(mosaic: np.ndarray, bps: int = 12,
-                  spec: Optional[bytes] = None) -> Tuple[bytes, bytes]:
+                  spec: Optional[bytes] = None,
+                  big_endian: bool = False) -> Tuple[bytes, bytes]:
     """Encode a mosaic as (stream, huff_spec). Lossless.
 
     Same residual structure as the Nikon encoder (cols 0-1 chain
@@ -140,8 +141,9 @@ def encode_pentax(mosaic: np.ndarray, bps: int = 12,
     left), so the packing goes through the shared vectorized/native
     ``bitpack.huffman_encode``."""
     if spec is None:
-        spec = make_huff_spec(dep=15 if bps > 12 else 13)
-    table = parse_huff_spec(spec)
+        spec = make_huff_spec(dep=15 if bps > 12 else 13,
+                              big_endian=big_endian)
+    table = parse_huff_spec(spec, big_endian=big_endian)
     mosaic = np.asarray(mosaic, np.int32)
     h, w = mosaic.shape
     if mosaic.max(initial=0) >= (1 << bps):

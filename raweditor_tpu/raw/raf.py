@@ -70,12 +70,19 @@ class RafFile:
         if not self.meta_length:
             return out
         pos = self.meta_offset
+        end = self.meta_offset + self.meta_length
         try:
             (count,) = struct.unpack_from(">I", self.data, pos)
             pos += 4
-            for _ in range(min(count, 4096)):
+            for _ in range(count):
+                if pos + 4 > end:
+                    raise ValueError(
+                        "RAF metadata record overruns meta section")
                 tag, size = struct.unpack_from(">HH", self.data, pos)
                 pos += 4
+                if pos + size > end:
+                    raise ValueError(
+                        "RAF metadata record overruns meta section")
                 out[tag] = self.data[pos : pos + size]
                 pos += size
         except struct.error as e:

@@ -103,3 +103,18 @@ def test_uncompressed_tiff_variants_decode(ext, tmp_path, rng):
     write_synthetic_raw(path, m, make=ext.upper())
     raw = decode_raw(path)
     assert np.array_equal(raw.mosaic, m)
+
+
+def test_pentax_big_endian_spec_round_trip(rng):
+    """encode_pentax honors big_endian specs end to end."""
+    m = rng.integers(0, 4096, size=(9, 14)).astype(np.uint16)
+    stream, spec = pentax.encode_pentax(m, big_endian=True)
+    out = pentax.decode_pentax(stream, 14, 9, 12, spec,
+                               big_endian_spec=True)
+    assert np.array_equal(out, m)
+    # A caller-supplied BE spec takes the same path.
+    spec2 = pentax.make_huff_spec(dep=13, big_endian=True)
+    stream2, _ = pentax.encode_pentax(m, spec=spec2, big_endian=True)
+    out2 = pentax.decode_pentax(stream2, 14, 9, 12, spec2,
+                                big_endian_spec=True)
+    assert np.array_equal(out2, m)

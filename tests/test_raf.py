@@ -60,3 +60,19 @@ def test_raf_fuzz(rng):
             decode_raw(bytes(blob))
         except RawDecodeError:
             pass
+
+
+def test_raf_meta_overrun_quarantines(rng):
+    """Metadata records must stay inside the declared meta section."""
+    m = rng.integers(0, 256, size=(4, 4), dtype=np.uint16)
+    base = write_raf(m)  # no jpeg → meta section starts at 0x6C
+    # Inflate the record count far past what the section can hold.
+    blob = bytearray(base)
+    blob[0x6C:0x70] = (1 << 20).to_bytes(4, "big")
+    with pytest.raises(RawDecodeError):
+        decode_raw(bytes(blob))
+    # Inflate the first record's size past the section end.
+    blob = bytearray(base)
+    blob[0x72:0x74] = (0x4000).to_bytes(2, "big")
+    with pytest.raises(RawDecodeError):
+        decode_raw(bytes(blob))
