@@ -110,8 +110,12 @@ class Library:
         ):
             try:
                 c.execute(ddl)
-            except sqlite3.OperationalError:
-                pass
+            except sqlite3.OperationalError as e:
+                # Only the idempotent case is harmless; a locked
+                # database here would silently skip the migration and
+                # break every _IMAGE_COLS query later.
+                if "duplicate column" not in str(e).lower():
+                    raise
         c.execute(
             "CREATE INDEX IF NOT EXISTS idx_images_cache_status "
             "ON images(cache_status)"

@@ -13,6 +13,19 @@ from __future__ import annotations
 import numpy as np
 
 
+def _check_packable(m: np.ndarray, bits: int, align: int) -> None:
+    """Enforce the documented pack preconditions — out-of-range samples
+    would otherwise wrap silently on the u8 assignment and reconstruct
+    as different pixels on device (code-review r3)."""
+    if m.ndim != 2 or m.shape[1] % align:
+        raise ValueError(
+            f"pack{bits}_rows needs a 2-D mosaic with width % {align}"
+            f" == 0, got {m.shape}")
+    if m.size and int(m.max()) >= (1 << bits):
+        raise ValueError(
+            f"pack{bits}_rows: sample >= 2^{bits} would wrap")
+
+
 def _native_pack(m: np.ndarray, attr: str):
     """C++ pack (GIL-released; ~15x the numpy path on 24 MP — decode
     workers keep streaming instead of serializing on a 200 ms
@@ -34,6 +47,7 @@ def pack12_rows(mosaic):
     host→device staging of 12-bit mosaics (the dominant sensor depth)
     by 25%; :func:`unpack12_rows` inverts it on device."""
     m = np.asarray(mosaic)
+    _check_packable(m, 12, 2)
     native = _native_pack(m, "pack12_rows")
     if native is not None:
         return native
@@ -65,6 +79,7 @@ def pack14_rows(mosaic):
     (H, W//4*7) u8, four samples per seven bytes (12.5% saved). Byte
     math only — the device inverse needs no 64-bit ops."""
     m = np.asarray(mosaic)
+    _check_packable(m, 14, 4)
     native = _native_pack(m, "pack14_rows")
     if native is not None:
         return native

@@ -25,6 +25,12 @@ import socketserver
 import threading
 from typing import Optional
 
+# Every verb session.handle dispatches — the greeting advertises these
+# and the engine guard below recognizes them.
+_COMMANDS = ("open", "set", "zoom", "pan", "render", "frame", "full",
+             "histogram", "before", "auto", "preset", "checkpoint",
+             "undo", "history", "reset", "stats", "quit")
+
 
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self) -> None:  # one connection
@@ -38,27 +44,28 @@ class _Handler(socketserver.StreamRequestHandler):
         try:
             self._send({"ok": True, "service": "raweditor-tpu",
                         "protocol": "session/1",
-                        "commands": "open set zoom pan render frame "
-                                    "full histogram before auto "
-                                    "preset checkpoint undo history "
-                                    "reset stats quit"})
+                        "commands": " ".join(_COMMANDS)})
             for raw_line in self.rfile:
                 line = raw_line.decode("utf-8", "replace").strip()
                 if not line:
                     continue
-                if line.split()[0] == "quit":
+                toks = line.split()
+                if toks[0] == "quit":
                     break
                 if session is None:
                     session = self._make_session(srv, library)
                 # stats (latency summary) and reset work without an
                 # engine — only engine-touching commands need an image
-                # (the greeting advertises all of them).
-                # `preset list` needs no engine either (a client
-                # picks a look before opening; code-review r3).
+                # (the greeting advertises all of them). `preset list`
+                # needs no engine either (a client picks a look before
+                # opening). Unknown verbs fall through to
+                # session.handle so a typo gets the accurate 'unknown
+                # command' diagnostic, not 'no image open'
+                # (code-review r3).
                 if (session.engine is None
-                        and line.split()[0] not in ("open", "stats",
-                                                    "reset")
-                        and line.split()[:2] != ["preset", "list"]):
+                        and toks[0] in _COMMANDS
+                        and toks[0] not in ("open", "stats", "reset")
+                        and toks[:2] != ["preset", "list"]):
                     self._send({"ok": False,
                                 "error": "no image open — "
                                          "open <id|path> first"})

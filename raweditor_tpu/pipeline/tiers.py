@@ -104,7 +104,11 @@ def watch_folder(lib, folder, cache_dir=None, interval: float = 2.0,
             # including one that finished while no watcher was running
             # (a pre-run failure retries once on its first stable poll).
             failed_at_start = set()
-            for img_id, path in lib.get_failed_cache():
+            # Import-only mode must not flip failed → pending: nothing
+            # would ever reprocess it, so the quarantine marker would
+            # just be destroyed (code-review r3).
+            for img_id, path in (lib.get_failed_cache() if tiers
+                                 else ()):
                 failed_at_start.add(path)
                 sig = sigs.get(path)
                 if sig is None or seen.get(path) != sig:

@@ -134,8 +134,11 @@ def _mosaic_from_tiles(tf: T.TiffFile, ifd: T.IFD, width: int, height: int,
     edge tiles are cropped after decode (TIFF 6.0 / DNG spec)."""
     tw = ifd.get_scalar(T.TILE_WIDTH)
     th = ifd.get_scalar(T.TILE_LENGTH)
-    if not tw or not th:
-        raise RawDecodeError("tiled IFD missing tile dimensions")
+    # Type-check, not just truthiness: a corrupt tag can carry a str
+    # (TypeError escape) or a negative SLONG (silent all-zero mosaic).
+    if (not isinstance(tw, int) or not isinstance(th, int)
+            or tw <= 0 or th <= 0):
+        raise RawDecodeError("tiled IFD missing/corrupt tile dimensions")
     tiles = tf.tile_data(ifd)
     tiles_across = (width + tw - 1) // tw
     tiles_down = (height + th - 1) // th
@@ -449,7 +452,7 @@ def _decode_rw2_container(tf: T.TiffFile, source_path: str) -> RawImage:
                                 (payload, width, height), width, height)
     except RawDecodeError:
         raise
-    except (ValueError, IndexError, struct.error) as e:
+    except (ValueError, TypeError, IndexError, struct.error) as e:
         raise RawDecodeError(f"corrupt sensor data: {e}") from e
 
     try:
@@ -618,7 +621,7 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
         # Canon CRW: CIFF heap + the original Canon codec.
         try:
             return _ciff.decode_crw(data, source_path)
-        except (ValueError, IndexError, struct.error) as e:
+        except (ValueError, TypeError, IndexError, struct.error) as e:
             raise RawDecodeError(f"corrupt CRW: {e}") from e
     if len(data) >= 12 and data[4:8] == b"ftyp":
         # ISO-BMFF container (Canon CR3 'crx ', HEIF, ...). Files with
@@ -631,7 +634,7 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
 
         try:
             img = _crx.decode_cr3(data, source_path)
-        except (ValueError, IndexError, struct.error) as e:
+        except (ValueError, TypeError, IndexError, struct.error) as e:
             raise RawDecodeError(f"corrupt CR3: {e}") from e
         if img is not None:
             return img
@@ -703,8 +706,10 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
     # it instead of quarantining (code-review r3).
     if sample_format == 3 and tf.is_tiled(ifd):
         raise UnsupportedRawError("tiled float sensor data not supported")
-    if (sample_format == 1 and bpp > 16
-            and (tf.is_tiled(ifd) or comp == T.COMPRESSION_NONE)):
+    # No integer sensor path carries >16-bit samples (LJPEG precision
+    # caps at 16 too) — a mutated tag otherwise sets white_level to
+    # 2^bpp-1 and develops a silent near-black image (code-review r3).
+    if sample_format == 1 and bpp > 16:
         raise UnsupportedRawError(
             f"integer BitsPerSample {bpp} > 16 not supported")
     try:
@@ -782,7 +787,7 @@ def decode_raw(path_or_bytes: Union[str, os.PathLike, bytes],
             raise UnsupportedRawError(f"compression {comp}")
     except RawDecodeError:
         raise
-    except (ValueError, IndexError, struct.error) as e:
+    except (ValueError, TypeError, IndexError, struct.error) as e:
         # Corrupt sensor payloads must surface as RawDecodeError — the
         # batch quarantine path depends on this contract.
         raise RawDecodeError(f"corrupt sensor data: {e}") from e
@@ -947,7 +952,7 @@ def _decode_linear(tf: T.TiffFile, ifd: T.IFD,
             raise UnsupportedRawError(f"linear compression {comp}")
     except RawDecodeError:
         raise
-    except (ValueError, IndexError, struct.error) as e:
+    except (ValueError, TypeError, IndexError, struct.error) as e:
         raise RawDecodeError(f"corrupt linear sensor data: {e}") from e
     try:
         return _finish_raw_image(tf, rgb, None, bpp, ifd, source_path)
@@ -1067,7 +1072,8 @@ def extract_preview_jpeg(path_or_bytes) -> Optional[bytes]:
         for ifd in tf.all_ifds():
             off = ifd.get_scalar(T.JPEG_INTERCHANGE)
             ln = ifd.get_scalar(T.JPEG_INTERCHANGE_LEN)
-            if off and ln and off + ln <= len(data):
+            if (isinstance(off, int) and isinstance(ln, int)
+                    and off > 0 and ln > 0 and off + ln <= len(data)):
                 cand = data[off : off + ln]
                 # SOI check like every other fast path here: corrupt
                 # tags pointing at in-bounds garbage must not suppress
@@ -1083,7 +1089,9 @@ def extract_preview_jpeg(path_or_bytes) -> Optional[bytes]:
                     and jfr[:2] == b"\xff\xd8"
                     and (best is None or len(jfr) > len(best))):
                 best = bytes(jfr)
-    except ValueError:
+    except (ValueError, TypeError):
+        # TypeError: corrupt tag types reaching arithmetic — the
+        # marker-scan fallback below must still run (code-review r3).
         pass
     if best is not None:
         return best

@@ -690,3 +690,82 @@ def test_preview_tag_garbage_falls_back_to_scan(tmp_path, rng):
         preview_jpeg=b"\x00\x00" + real)
     got = extract_preview_jpeg(str(path))
     assert got is not None and got[:2] == b"\xff\xd8"
+
+
+# --- corrupt tag *types* (code-review r3) ----------------------------------
+# A mutated type field makes get_scalar return non-int values (str,
+# rational float, negative SLONG); every such value must quarantine or
+# fall back, never escape as TypeError or a silent wrong decode.
+
+import struct as _struct
+
+
+def _patch_tag(data: bytes, tag: int, new_type=None, new_value=None):
+    """Rewrite a TIFF IFD entry's type/inline-value fields in place,
+    walking the IFD chain and SubIFDs."""
+    b = bytearray(data)
+    assert b[:4] == b"II*\0"
+    stack = [_struct.unpack_from("<I", b, 4)[0]]
+    while stack:
+        off = stack.pop()
+        if not off:
+            continue
+        (n,) = _struct.unpack_from("<H", b, off)
+        for i in range(n):
+            e = off + 2 + 12 * i
+            t, typ, cnt = _struct.unpack_from("<HHI", b, e)
+            if t == tag:
+                if new_type is not None:
+                    _struct.pack_into("<H", b, e + 2, new_type)
+                if new_value is not None:
+                    _struct.pack_into("<i", b, e + 8, new_value)
+                return bytes(b)
+            if t == 330:  # SubIFD offsets
+                if cnt == 1:
+                    stack.append(_struct.unpack_from("<I", b, e + 8)[0])
+                else:
+                    (voff,) = _struct.unpack_from("<I", b, e + 8)
+                    stack.extend(
+                        _struct.unpack_from(f"<{cnt}I", b, voff))
+        stack.append(_struct.unpack_from("<I", b, off + 2 + 12 * n)[0])
+    raise AssertionError(f"tag {tag} not found")
+
+
+def test_tile_dims_type_mutations_quarantine(rng):
+    m = rng.integers(0, 4096, size=(32, 32), dtype=np.uint16)
+    base = write_synthetic_raw(None, m, compression="ljpeg",
+                               tile_size=(16, 16))
+    assert (decode_raw(base).mosaic == m).all()
+    # TileWidth type → ASCII: arithmetic on a str must not escape as
+    # TypeError.
+    with pytest.raises(RawDecodeError):
+        decode_raw(_patch_tag(base, 322, new_type=2))
+    # TileWidth type → SLONG -16: empty range loops otherwise return a
+    # silent all-zero mosaic as a "successful" decode.
+    with pytest.raises(RawDecodeError):
+        decode_raw(_patch_tag(base, 322, new_type=9, new_value=-16))
+
+
+def test_ljpeg_bps_tag_mutation_quarantines(rng):
+    m = rng.integers(0, 4096, size=(16, 16), dtype=np.uint16)
+    base = write_synthetic_raw(None, m, compression="ljpeg")
+    assert (decode_raw(base).mosaic == m).all()
+    # BitsPerSample → 32 passes the SOF3 decode (precision comes from
+    # the scan header) but must not set white_level to 2^32-1 and
+    # develop near-black.
+    with pytest.raises(RawDecodeError):
+        decode_raw(_patch_tag(base, 258, new_value=32))
+
+
+def test_preview_tag_type_mutation_falls_back(rng):
+    m = rng.integers(0, 4096, size=(16, 16), dtype=np.uint16)
+    jpeg = make_preview_jpeg(24, 16)
+    base = write_synthetic_raw(None, m, preview_jpeg=jpeg)
+    assert extract_preview_jpeg(base) == jpeg
+    # JPEGInterchangeFormat type → ASCII / RATIONAL: the fast path must
+    # skip it and the marker scan must still find the embedded JPEG.
+    for new_type in (2, 5):
+        got = extract_preview_jpeg(_patch_tag(base, 513,
+                                              new_type=new_type))
+        assert got is not None and got[:2] == b"\xff\xd8"
+        assert got == jpeg

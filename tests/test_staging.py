@@ -41,8 +41,7 @@ def test_pack14_round_trip(rng):
 
 def test_native_pack_matches_numpy(rng, monkeypatch):
     """The C++ pack fast paths must be byte-identical to the numpy
-    reference — including OUT-OF-CONTRACT sample values (both sides
-    truncate the same way), non-contiguous inputs, and odd heights."""
+    reference — including non-contiguous inputs and odd heights."""
     import pytest
 
     from raweditor_tpu.native import get_rawkit
@@ -52,7 +51,6 @@ def test_native_pack_matches_numpy(rng, monkeypatch):
         pytest.skip("native extension not built")
     cases = [
         rng.integers(0, 4096, size=(11, 24), dtype=np.uint16),
-        rng.integers(0, 65536, size=(7, 16), dtype=np.uint16),  # wild
         np.asfortranarray(
             rng.integers(0, 4096, size=(6, 8), dtype=np.uint16)),
         rng.integers(0, 4096, size=(32, 64), dtype=np.uint16)[::2, :],
@@ -67,6 +65,28 @@ def test_native_pack_matches_numpy(rng, monkeypatch):
         monkeypatch.undo()
         assert np.array_equal(a12, b12)
         assert np.array_equal(a14, b14)
+
+
+def test_pack_rejects_out_of_range_and_misaligned(rng):
+    """Out-of-contract inputs must raise, not wrap silently — a >=2^bits
+    sample would truncate on the u8 assignment and reconstruct as a
+    DIFFERENT pixel on device (code-review r3)."""
+    import pytest
+
+    from raweditor_tpu.ops.staging import pack14_rows
+
+    wild = rng.integers(16384, 65536, size=(7, 16), dtype=np.uint16)
+    with pytest.raises(ValueError):
+        pack12_rows(wild)
+    with pytest.raises(ValueError):
+        pack14_rows(wild)
+    odd = rng.integers(0, 4096, size=(4, 3), dtype=np.uint16)
+    with pytest.raises(ValueError):
+        pack12_rows(odd)
+    with pytest.raises(ValueError):
+        pack14_rows(rng.integers(0, 4096, size=(4, 6), dtype=np.uint16))
+    with pytest.raises(ValueError):
+        pack12_rows(rng.integers(0, 4096, size=(8,), dtype=np.uint16))
 
 
 def test_export_stages_14bit_packed(tmp_path, rng):
