@@ -757,6 +757,77 @@ def test_ljpeg_bps_tag_mutation_quarantines(rng):
         decode_raw(_patch_tag(base, 258, new_value=32))
 
 
+def _ifd_entry_offsets(data: bytes):
+    """Byte offsets of every IFD entry in a little-endian TIFF-family
+    container (IFD chain + SubIFDs + Exif IFD)."""
+    b = data
+    assert b[:2] == b"II"
+    offs = []
+    stack = [_struct.unpack_from("<I", b, 4)[0]]
+    seen = set()
+    while stack:
+        off = stack.pop()
+        if not off or off in seen or off + 2 > len(b):
+            continue
+        seen.add(off)
+        (n,) = _struct.unpack_from("<H", b, off)
+        if off + 2 + 12 * n + 4 > len(b):
+            continue
+        for i in range(n):
+            e = off + 2 + 12 * i
+            offs.append(e)
+            t, typ, cnt = _struct.unpack_from("<HHI", b, e)
+            if t in (330, 34665):  # SubIFDs / Exif IFD
+                if cnt == 1:
+                    stack.append(_struct.unpack_from("<I", b, e + 8)[0])
+                else:
+                    (voff,) = _struct.unpack_from("<I", b, e + 8)
+                    if voff + 4 * cnt <= len(b):
+                        stack.extend(
+                            _struct.unpack_from(f"<{cnt}I", b, voff))
+        stack.append(_struct.unpack_from("<I", b, off + 2 + 12 * n)[0])
+    return offs
+
+
+def test_tag_type_mutation_sweep(rng):
+    """Systematic tag-TYPE corruption: for EVERY IFD entry of a set of
+    representative containers, rewrite the type field to ASCII /
+    RATIONAL / FLOAT (get_scalar then returns str/float) and to SLONG
+    with a negative inline value. Decode must succeed or raise
+    RawDecodeError — never TypeError/struct.error (code-review r3:
+    the random byte-flip fuzz above only rarely lands on type fields)."""
+    m = rng.integers(0, 4096, size=(10, 12), dtype=np.uint16)
+    bases = [
+        write_synthetic_raw(None, m, compression="none"),
+        write_synthetic_raw(None, m, compression="ljpeg"),
+        write_synthetic_raw(None, m, tile_size=(8, 4)),
+    ]
+    from raweditor_tpu.raw.synth import (write_synthetic_linear_dng,
+                                         write_synthetic_orf,
+                                         write_synthetic_rw2)
+
+    rgb = rng.integers(0, 4096, size=(6, 8, 3), dtype=np.uint16)
+    bases.append(write_synthetic_linear_dng(None, rgb, bpp=12))
+    bases.append(write_synthetic_orf(None, m))
+    from raweditor_tpu.raw.panasonic import rw2_representable
+
+    m14 = rw2_representable(
+        rng.integers(0, 4096, size=(8, 28), dtype=np.uint16))
+    bases.append(write_synthetic_rw2(None, m14))
+    for base in bases:
+        for e in _ifd_entry_offsets(base):
+            for new_type, new_val in ((2, None), (5, None), (9, -16),
+                                      (11, None)):
+                blob = bytearray(base)
+                _struct.pack_into("<H", blob, e + 2, new_type)
+                if new_val is not None:
+                    _struct.pack_into("<i", blob, e + 8, new_val)
+                try:
+                    decode_raw(bytes(blob))
+                except RawDecodeError:
+                    pass
+
+
 def test_preview_tag_type_mutation_falls_back(rng):
     m = rng.integers(0, 4096, size=(16, 16), dtype=np.uint16)
     jpeg = make_preview_jpeg(24, 16)
