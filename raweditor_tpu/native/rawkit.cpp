@@ -3425,7 +3425,11 @@ static PyObject* py_huffman_pack(PyObject*, PyObject* args) {
   std::string err;
   std::vector<uint8_t> out;
   int ncat = int(clens.len / 4);
-  if (int64_t(codes.len / 8) < ncat) {
+  if (itemsize != 2 && itemsize != 4 && itemsize != 8) {
+    // Must precede the division below: itemsize 0 would SIGFPE the
+    // whole process instead of raising.
+    err = "itemsize must be 2, 4, or 8";
+  } else if (int64_t(codes.len / 8) < ncat) {
     err = "code/length tables disagree";
   } else {
     int64_t n = diffs.len / itemsize;

@@ -180,3 +180,19 @@ def test_huffman_encode_category_not_in_tree(monkeypatch):
     monkeypatch.setattr("raweditor_tpu.native.get_rawkit", lambda: None)
     with pytest.raises(ValueError):
         bitpack.huffman_encode(diffs, code_tab, clen_tab)
+
+
+def test_huffman_pack_rejects_bad_itemsize():
+    """itemsize 0 must raise, not SIGFPE the process on the size
+    division (whole-file binding review, r3); other non-2/4/8 values
+    raise the same ValueError."""
+    import pytest
+
+    from raweditor_tpu.native import get_rawkit
+
+    rk = get_rawkit()
+    if rk is None or not hasattr(rk, "huffman_pack"):
+        pytest.skip("native extension not built")
+    for bad in (0, 1, 3, -2):
+        with pytest.raises(ValueError):
+            rk.huffman_pack(b"\x00\x00", bad, b"\x00" * 8, b"\x00" * 4, 0)
