@@ -13,15 +13,21 @@ from __future__ import annotations
 import numpy as np
 
 
-def _check_packable(m: np.ndarray, bits: int, align: int) -> None:
+def _check_packable(m: np.ndarray, bits: int, align: int,
+                    peak=None) -> None:
     """Enforce the documented pack preconditions — out-of-range samples
     would otherwise wrap silently on the u8 assignment and reconstruct
-    as different pixels on device (code-review r3)."""
+    as different pixels on device (code-review r3). ``peak`` lets a
+    caller that already scanned the mosaic (the exporter picks the pack
+    format from it) skip the second full-memory pass — it matters on
+    single-core hosts where the decode thread shares the core."""
     if m.ndim != 2 or m.shape[1] % align:
         raise ValueError(
             f"pack{bits}_rows needs a 2-D mosaic with width % {align}"
             f" == 0, got {m.shape}")
-    if m.size and int(m.max()) >= (1 << bits):
+    if peak is None:
+        peak = m.max() if m.size else 0
+    if int(peak) >= (1 << bits):
         raise ValueError(
             f"pack{bits}_rows: sample >= 2^{bits} would wrap")
 
@@ -41,13 +47,14 @@ def _native_pack(m: np.ndarray, attr: str):
     return np.frombuffer(packed, np.uint8).reshape(h, -1)
 
 
-def pack12_rows(mosaic):
+def pack12_rows(mosaic, peak=None):
     """Host-side: (H, W) u16 with samples < 4096 and even W → a
     (H, W//2*3) u8 buffer, two samples per three bytes. Cuts the
     host→device staging of 12-bit mosaics (the dominant sensor depth)
-    by 25%; :func:`unpack12_rows` inverts it on device."""
+    by 25%; :func:`unpack12_rows` inverts it on device. ``peak``:
+    optional precomputed ``mosaic.max()`` (skips the range re-scan)."""
     m = np.asarray(mosaic)
-    _check_packable(m, 12, 2)
+    _check_packable(m, 12, 2, peak)
     native = _native_pack(m, "pack12_rows")
     if native is not None:
         return native
@@ -74,12 +81,13 @@ def unpack12_rows(packed):
         packed.shape[:-1] + (-1,))
 
 
-def pack14_rows(mosaic):
+def pack14_rows(mosaic, peak=None):
     """Host-side: (H, W) u16 with samples < 16384 and W % 4 == 0 →
     (H, W//4*7) u8, four samples per seven bytes (12.5% saved). Byte
-    math only — the device inverse needs no 64-bit ops."""
+    math only — the device inverse needs no 64-bit ops. ``peak`` as in
+    :func:`pack12_rows`."""
     m = np.asarray(mosaic)
-    _check_packable(m, 14, 4)
+    _check_packable(m, 14, 4, peak)
     native = _native_pack(m, "pack14_rows")
     if native is not None:
         return native

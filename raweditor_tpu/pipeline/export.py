@@ -213,9 +213,15 @@ def _decode_job(job: ExportJob, mode: str, upload_pool=None,
                 from raweditor_tpu.ops.staging import (pack12_rows,
                                                        pack14_rows)
 
-                host_buf = {"u12": pack12_rows,
-                            "u14": pack14_rows}.get(
-                    fmt, np.ascontiguousarray)(m)
+                # `peak` was scanned above to pick the format; passing
+                # it skips the pack's own range re-scan (a full memory
+                # pass that matters on single-core hosts).
+                if fmt == "u12":
+                    host_buf = pack12_rows(m, peak)
+                elif fmt == "u14":
+                    host_buf = pack14_rows(m, peak)
+                else:
+                    host_buf = np.ascontiguousarray(m)
                 # Hand the enqueue to the upload thread; transfers
                 # serialize on the link anyway, and the worker moves
                 # straight to the next file.
