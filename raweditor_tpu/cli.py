@@ -213,7 +213,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pan-y", type=float, default=0.0)
     p.add_argument("--mode", choices=("parity", "accurate"),
                    default="parity")
-    p.add_argument("--quality", type=int, default=95)
+    p.add_argument("--quality", type=int, default=None,
+                   help="JPEG quality (default: Config.jpeg_quality, "
+                        "95)")
     p.add_argument("--optimize-jpeg", action="store_true",
                    help="per-image optimal Huffman tables (~3-5%% "
                         "smaller files, ~1.9x encode time)")
@@ -298,7 +300,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="export files directly instead of the catalog")
     p.add_argument("--ext", default="jpg", choices=("jpg", "png", "tif"),
                    help="tif = 16-bit TIFF (beyond the reference)")
-    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="images per device batch (default: "
+                        "Config.batch_size, 8)")
     p.add_argument("--fast", action="store_true",
                    help="batched fused Pallas kernel (±1 LSB)")
     p.add_argument("--fast-gamma", action="store_true",
@@ -319,8 +323,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--crop", default=None, metavar="L,T,W,H",
                    help="uniform crop rectangle in STORED-frame pixels "
                         "(after --rotate), applied to every image")
-    p.add_argument("--decode-threads", type=int, default=4)
-    p.add_argument("--mesh-rows", type=int, default=0,
+    p.add_argument("--decode-threads", type=int, default=None,
+                   help="host decode workers (default: "
+                        "Config.decode_threads, 4)")
+    p.add_argument("--mesh-rows", type=int, default=None,
                    help="shard each image's rows over this many chips "
                         "(0 = no mesh, single device)")
     p.add_argument("--auto", action="store_true",
@@ -345,7 +351,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "service (required when --num-hosts > 1)")
     p.add_argument("--mode", choices=("parity", "accurate"),
                    default="parity")
-    p.add_argument("--quality", type=int, default=95)
+    p.add_argument("--quality", type=int, default=None,
+                   help="JPEG quality (default: Config.jpeg_quality, "
+                        "95)")
     p.add_argument("--optimize-jpeg", action="store_true",
                    help="per-image optimal Huffman tables (~3-5%% "
                         "smaller files, ~1.9x encode time)")
@@ -697,6 +705,8 @@ def cmd_develop(args) -> int:
     from raweditor_tpu.utils.config import Config
 
     cfg = Config.from_env()
+    if args.quality is None:  # env-aware default (Config.jpeg_quality)
+        args.quality = cfg.jpeg_quality
     path, base = _resolve_input(args)
     params = _params_from_args(args, base)
     zoom = _clamp_zoom(args.zoom, cfg)
@@ -807,6 +817,18 @@ def cmd_export(args) -> int:
         init_distributed(args.coordinator, num_hosts, host_id)
 
     cfg = Config.from_env()
+    # Flags not given fall back to Config — so the documented
+    # RAWEDITOR_TPU_<FIELD> env overrides reach the CLI export too
+    # (they were silently ignored behind hardcoded argparse defaults;
+    # code-review r3).
+    if args.batch_size is None:
+        args.batch_size = cfg.batch_size
+    if args.decode_threads is None:
+        args.decode_threads = cfg.decode_threads
+    if args.mesh_rows is None:
+        args.mesh_rows = cfg.mesh_rows
+    if args.quality is None:
+        args.quality = cfg.jpeg_quality
     override = _params_from_args(args)
     if args.files is not None:
         # `is not None`: an EMPTY --files (a glob that matched
@@ -947,7 +969,8 @@ def _run_batch_export_checked(run_batch_export, jobs, mesh, args, cfg,
     as usage errors (code-review r3)."""
     return run_batch_export(
         jobs, mesh=mesh, batch_size=args.batch_size,
-        decode_threads=args.decode_threads, quality=args.quality,
+        decode_threads=args.decode_threads,
+        encode_threads=cfg.encode_threads, quality=args.quality,
         mode=args.mode, skip_existing=args.resume,
         fast_gamma=getattr(args, "fast_gamma", False),
         demosaic_method=getattr(args, "demosaic", "nearest"),

@@ -503,3 +503,38 @@ class TestCliReviewRegressions:
 
         assert "encode_jpeg_420" in REQUIRED_EXPORTS
         assert "decode_radc" in REQUIRED_EXPORTS
+
+
+def test_export_env_config_overrides_reach_export(tmp_path, capsys,
+                                                  photos, monkeypatch):
+    """RAWEDITOR_TPU_<FIELD> env overrides must reach the CLI export —
+    they were silently ignored behind hardcoded argparse defaults
+    (code-review r3). Explicit flags still win over the environment."""
+    import raweditor_tpu.pipeline.export as ex
+
+    captured = {}
+    real = ex.run_batch_export
+
+    def spy(jobs, **kw):
+        captured.update(kw)
+        return real(jobs, **kw)
+
+    monkeypatch.setattr(ex, "run_batch_export", spy)
+    monkeypatch.setenv("RAWEDITOR_TPU_BATCH_SIZE", "3")
+    monkeypatch.setenv("RAWEDITOR_TPU_DECODE_THREADS", "2")
+    monkeypatch.setenv("RAWEDITOR_TPU_ENCODE_THREADS", "2")
+    monkeypatch.setenv("RAWEDITOR_TPU_JPEG_QUALITY", "77")
+    code, _ = run(capsys, "export", "--files", photos / "s0.nef",
+                  "-o", tmp_path / "out")
+    assert code == 0
+    assert captured["batch_size"] == 3
+    assert captured["decode_threads"] == 2
+    assert captured["encode_threads"] == 2
+    assert captured["quality"] == 77
+    captured.clear()
+    code, _ = run(capsys, "export", "--files", photos / "s0.nef",
+                  "-o", tmp_path / "out2", "--batch-size", "1",
+                  "--quality", "90")
+    assert code == 0
+    assert captured["batch_size"] == 1
+    assert captured["quality"] == 90
