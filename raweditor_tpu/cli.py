@@ -125,6 +125,33 @@ def _finite_pan(args) -> tuple:
     return pan
 
 
+def _apply_env_config_defaults(args) -> None:
+    """Flags not given fall back to Config.from_env() — so every
+    documented RAWEDITOR_TPU_<FIELD> env override works on every
+    subcommand that has the matching flag (explicit flags always win;
+    code-review r3: several fields were silently ignored behind
+    hardcoded argparse defaults)."""
+    from raweditor_tpu.utils.config import Config
+
+    try:
+        cfg = Config.from_env()
+    except ValueError as e:
+        raise SystemExit(f"config: {e}")
+    for attr, value in (
+        ("db", cfg.db_path),
+        ("cache_dir", cfg.cache_dir),
+        ("mode", cfg.mode),
+        ("batch_size", cfg.batch_size),
+        ("decode_threads", cfg.decode_threads),
+        ("mesh_rows", cfg.mesh_rows),
+        ("quality", cfg.jpeg_quality),
+    ):
+        if hasattr(args, attr) and getattr(args, attr) is None:
+            setattr(args, attr, value)
+    if getattr(args, "fast", None) is False and cfg.use_pallas_kernel:
+        args.fast = True
+
+
 def _open_library(args):
     from raweditor_tpu.catalog import Library
 
@@ -135,10 +162,15 @@ def _open_engine(path, cmd_name: str, **kwargs):
     """DevelopEngine.open with the usage-error contract every CLI
     path should share: corrupt/missing inputs and config errors print
     one clean line, not a traceback (code-review r3 — only ValueError
-    was caught, so RawDecodeError/FileNotFoundError tracebacked)."""
+    was caught, so RawDecodeError/FileNotFoundError tracebacked).
+    Render-target sizes come from Config unless the caller pins them."""
     from raweditor_tpu.pipeline.engine import DevelopEngine
     from raweditor_tpu.raw.decode import RawDecodeError
+    from raweditor_tpu.utils.config import Config
 
+    cfg = Config.from_env()
+    kwargs.setdefault("max_preview_width", cfg.max_preview_width)
+    kwargs.setdefault("histogram_width", cfg.histogram_width)
     try:
         return DevelopEngine.open(path, **kwargs)
     except (ValueError, OSError, RawDecodeError) as e:
@@ -212,7 +244,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pan-x", type=float, default=0.0)
     p.add_argument("--pan-y", type=float, default=0.0)
     p.add_argument("--mode", choices=("parity", "accurate"),
-                   default="parity")
+                   default=None,
+                   help="develop semantics (default: Config.mode, "
+                        "parity)")
     p.add_argument("--quality", type=int, default=None,
                    help="JPEG quality (default: Config.jpeg_quality, "
                         "95)")
@@ -350,7 +384,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="host:port of process 0's JAX coordination "
                         "service (required when --num-hosts > 1)")
     p.add_argument("--mode", choices=("parity", "accurate"),
-                   default="parity")
+                   default=None,
+                   help="develop semantics (default: Config.mode, "
+                        "parity)")
     p.add_argument("--quality", type=int, default=None,
                    help="JPEG quality (default: Config.jpeg_quality, "
                         "95)")
@@ -406,7 +442,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", type=int, default=0,
                    help="0 = pick a free port (printed on startup)")
     p.add_argument("--mode", choices=("parity", "accurate"),
-                   default="parity")
+                   default=None,
+                   help="develop semantics (default: Config.mode, "
+                        "parity)")
     p.add_argument("--fast", action="store_true",
                    help="fused Pallas kernel for opened images")
     p.add_argument("--fast-gamma", action="store_true")
@@ -453,7 +491,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("input", help="RAW file path or catalog image id")
     p.add_argument("--mode", choices=("parity", "accurate"),
-                   default="parity")
+                   default=None,
+                   help="develop semantics (default: Config.mode, "
+                        "parity)")
     p.add_argument("--fast", action="store_true")
     p.add_argument("--fast-gamma", action="store_true",
                    help="polynomial gamma (~17%% faster, ±1 LSB)")
@@ -705,8 +745,6 @@ def cmd_develop(args) -> int:
     from raweditor_tpu.utils.config import Config
 
     cfg = Config.from_env()
-    if args.quality is None:  # env-aware default (Config.jpeg_quality)
-        args.quality = cfg.jpeg_quality
     path, base = _resolve_input(args)
     params = _params_from_args(args, base)
     zoom = _clamp_zoom(args.zoom, cfg)
@@ -817,18 +855,6 @@ def cmd_export(args) -> int:
         init_distributed(args.coordinator, num_hosts, host_id)
 
     cfg = Config.from_env()
-    # Flags not given fall back to Config — so the documented
-    # RAWEDITOR_TPU_<FIELD> env overrides reach the CLI export too
-    # (they were silently ignored behind hardcoded argparse defaults;
-    # code-review r3).
-    if args.batch_size is None:
-        args.batch_size = cfg.batch_size
-    if args.decode_threads is None:
-        args.decode_threads = cfg.decode_threads
-    if args.mesh_rows is None:
-        args.mesh_rows = cfg.mesh_rows
-    if args.quality is None:
-        args.quality = cfg.jpeg_quality
     override = _params_from_args(args)
     if args.files is not None:
         # `is not None`: an EMPTY --files (a glob that matched
@@ -1541,6 +1567,7 @@ def main(argv=None) -> int:
     # (DevelopEngine/exporter/bench) — catalog-only commands must not
     # touch the TPU runtime.
     args = build_parser().parse_args(argv)
+    _apply_env_config_defaults(args)
     if getattr(args, "xlat", None):
         from raweditor_tpu.raw import nikon_crypt
 

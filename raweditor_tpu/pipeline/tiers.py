@@ -26,6 +26,18 @@ TIERS = (("thumb", TIER_THUMB), ("instant", TIER_INSTANT),
          ("working", TIER_WORKING))
 
 
+def _tiers_spec():
+    """The (name, width) tier spec: the parity constants above overlaid
+    with the RAWEDITOR_TPU_TIER_* env config (utils/config.py declares
+    the fields; affects new generations only — stored cache paths keep
+    whatever widths they were built with)."""
+    from raweditor_tpu.utils.config import Config
+
+    cfg = Config.from_env()
+    return (("thumb", cfg.tier_thumb), ("instant", cfg.tier_instant),
+            ("working", cfg.tier_working))
+
+
 def default_cache_dir() -> Path:
     base = os.environ.get("XDG_CACHE_HOME")
     base = Path(base) if base else Path.home() / ".cache"
@@ -173,7 +185,7 @@ def generate_tiers(raw_path: str, image_id: int,
                 raise
             jpeg = None
     if jpeg is not None:
-        biggest = max(w for _, w in TIERS)
+        biggest = max(w for _, w in _tiers_spec())
         if not fallback_develop or pimg.width >= biggest:
             return _write_tiers(pimg, image_id, cache)
         # The embedded JPEG is smaller than the working tier — a grid
@@ -208,7 +220,7 @@ def _write_tiers(img, image_id: int, cache: Path) -> Tuple[str, str, str]:
     from PIL import Image
 
     paths = []
-    for tier_name, width in TIERS:
+    for tier_name, width in _tiers_spec():
         tier_dir = cache / tier_name
         tier_dir.mkdir(parents=True, exist_ok=True)
         out_path = tier_dir / f"{image_id}.jpg"

@@ -524,6 +524,8 @@ def test_export_env_config_overrides_reach_export(tmp_path, capsys,
     monkeypatch.setenv("RAWEDITOR_TPU_DECODE_THREADS", "2")
     monkeypatch.setenv("RAWEDITOR_TPU_ENCODE_THREADS", "2")
     monkeypatch.setenv("RAWEDITOR_TPU_JPEG_QUALITY", "77")
+    monkeypatch.setenv("RAWEDITOR_TPU_MODE", "accurate")
+    monkeypatch.setenv("RAWEDITOR_TPU_USE_PALLAS_KERNEL", "1")
     code, _ = run(capsys, "export", "--files", photos / "s0.nef",
                   "-o", tmp_path / "out")
     assert code == 0
@@ -531,6 +533,8 @@ def test_export_env_config_overrides_reach_export(tmp_path, capsys,
     assert captured["decode_threads"] == 2
     assert captured["encode_threads"] == 2
     assert captured["quality"] == 77
+    assert captured["mode"] == "accurate"
+    assert captured["use_pallas"] is True
     captured.clear()
     code, _ = run(capsys, "export", "--files", photos / "s0.nef",
                   "-o", tmp_path / "out2", "--batch-size", "1",
@@ -538,3 +542,20 @@ def test_export_env_config_overrides_reach_export(tmp_path, capsys,
     assert code == 0
     assert captured["batch_size"] == 1
     assert captured["quality"] == 90
+
+
+def test_tier_widths_env_config(tmp_path, photos, monkeypatch):
+    """RAWEDITOR_TPU_TIER_* env config resizes newly generated tiers
+    (stored cache paths keep their widths; code-review r3)."""
+    from PIL import Image
+
+    from raweditor_tpu.pipeline.tiers import generate_tiers
+
+    monkeypatch.setenv("RAWEDITOR_TPU_TIER_THUMB", "64")
+    monkeypatch.setenv("RAWEDITOR_TPU_TIER_INSTANT", "96")
+    monkeypatch.setenv("RAWEDITOR_TPU_TIER_WORKING", "128")
+    thumb, instant, working = generate_tiers(
+        str(photos / "s0.nef"), 1, cache_dir=tmp_path)
+    for path, w in ((thumb, 64), (instant, 96), (working, 128)):
+        with Image.open(path) as im:
+            assert im.width == w
