@@ -67,7 +67,22 @@ class Config:
     # -- sources ---------------------------------------------------------
     @classmethod
     def from_env(cls, base: Optional["Config"] = None) -> "Config":
-        """Overlay RAWEDITOR_TPU_<FIELD> environment variables."""
+        """Overlay RAWEDITOR_TPU_<FIELD> environment variables.
+
+        Without an explicit ``base``, a JSON config file named by
+        RAWEDITOR_TPU_CONFIG is the base layer (env variables still
+        win) — the deploy-file + per-run-env layering of every
+        production config system. A missing/unreadable file raises
+        ValueError like any other bad config value."""
+        if base is None:
+            path = os.environ.get("RAWEDITOR_TPU_CONFIG")
+            if path:
+                try:
+                    base = cls.from_json(path)
+                except OSError as e:
+                    raise ValueError(
+                        f"RAWEDITOR_TPU_CONFIG: cannot read {path}: {e}"
+                    ) from e
         cfg = dataclasses.replace(base) if base else cls()
         for f in dataclasses.fields(cls):
             raw = os.environ.get(f"RAWEDITOR_TPU_{f.name.upper()}")

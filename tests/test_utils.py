@@ -141,3 +141,32 @@ def test_device_execution_times_empty_on_cpu(tmp_path):
     with device_trace(str(tmp_path / "t")):
         f(jnp.ones((4,))).block_until_ready()
     assert device_execution_times(str(tmp_path / "t"), "jit_") == []
+
+
+def test_config_file_base_plus_env_overlay(tmp_path, monkeypatch):
+    """RAWEDITOR_TPU_CONFIG names a JSON base config; env variables
+    still win over the file (deploy-file + per-run-env layering)."""
+    import json
+
+    import pytest
+
+    path = tmp_path / "cfg.json"
+    path.write_text(json.dumps(
+        {"tier_working": 640, "jpeg_quality": 80, "mode": "accurate"}))
+    monkeypatch.setenv("RAWEDITOR_TPU_CONFIG", str(path))
+    cfg = Config.from_env()
+    assert cfg.tier_working == 640
+    assert cfg.jpeg_quality == 80
+    assert cfg.mode == "accurate"
+    monkeypatch.setenv("RAWEDITOR_TPU_JPEG_QUALITY", "70")
+    assert Config.from_env().jpeg_quality == 70  # env wins
+    # Explicit base still bypasses the file layer.
+    assert Config.from_env(Config()).tier_working == 1280
+
+    monkeypatch.setenv("RAWEDITOR_TPU_CONFIG", str(tmp_path / "no.json"))
+    with pytest.raises(ValueError):
+        Config.from_env()
+    path.write_text(json.dumps({"bogus_key": 1}))
+    monkeypatch.setenv("RAWEDITOR_TPU_CONFIG", str(path))
+    with pytest.raises(ValueError):
+        Config.from_env()
