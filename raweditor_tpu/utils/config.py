@@ -62,6 +62,8 @@ class Config:
                 raise ValueError(f"{field} must be positive")
         if not 1 <= self.jpeg_quality <= 100:
             raise ValueError("jpeg_quality must be in 1..100")
+        if self.mesh_rows < 0:
+            raise ValueError("mesh_rows must be >= 0 (0 = no mesh)")
         return self
 
     # -- sources ---------------------------------------------------------

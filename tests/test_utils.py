@@ -143,6 +143,14 @@ def test_device_execution_times_empty_on_cpu(tmp_path):
     assert device_execution_times(str(tmp_path / "t"), "jit_") == []
 
 
+def test_config_mesh_rows_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        Config(mesh_rows=-1).validate()
+    Config(mesh_rows=0).validate()
+
+
 def test_config_file_base_plus_env_overlay(tmp_path, monkeypatch):
     """RAWEDITOR_TPU_CONFIG names a JSON base config; env variables
     still win over the file (deploy-file + per-run-env layering)."""
