@@ -205,9 +205,10 @@ def finish_to_u16(r, g, b, transfer: str = "gamma22", extras=None):
 
 
 def _extras_of(params: EditParams, extras):
-    """The (sharpen, denoise, curve-4-tuple, vignette, clarity)
-    traced amounts for the finish stage, or None — the positional
-    contract of ``apply_finish_extras(r, g, b, *extras)``.
+    """The (sharpen, denoise, curve-4-tuple, vignette, clarity,
+    mixer, stencils) traced amounts for the finish stage, or None —
+    the positional contract of ``apply_finish_extras(r, g, b,
+    *extras)``.
 
     ``extras`` is STATIC (callers derive it host-side via
     EditParams.finish_extras_mode): False/None = off (the default
@@ -215,14 +216,21 @@ def _extras_of(params: EditParams, extras):
     construction); "base" = stencil/curve/vignette extras with
     clarity statically OFF (a literal 0.0 sentinel lets
     apply_finish_extras skip the whole-frame pyramid at trace time);
-    "full" (or the legacy True) = everything, clarity traced."""
+    "full" (or the legacy True) = everything, clarity traced;
+    "mixer" = the HSL mixer only (ops/mixer.py — the stencil stages
+    are skipped at trace time); "base+mixer"/"full+mixer" = both."""
     if not extras:
         return None
-    clar = params.clarity if extras in ("full", True) else 0.0
+    mixer_on = isinstance(extras, str) and "mixer" in extras
+    stencils = extras is True or extras in (
+        "base", "full", "base+mixer", "full+mixer")
+    clar = params.clarity if extras in (
+        True, "full", "full+mixer") else 0.0
+    mixer = params.mixer_values() if mixer_on else None
     return (params.sharpen, params.denoise,
             (params.curve_shadows, params.curve_darks,
              params.curve_lights, params.curve_highlights),
-            params.vignette, clar)
+            params.vignette, clar, mixer, stencils)
 
 
 @functools.partial(

@@ -216,7 +216,7 @@ def apply_clarity_words(words, clarity):
 
 
 def extras_core(r, g, b, sharpen, denoise, curve, vignette, r2,
-                up, dn, lf, rt):
+                up, dn, lf, rt, mixer=None, stencils=True):
     """The extras math on encoded [0, 1] planes, parameterized over
     ±1-shift closures so the XLA path (edge-pad shifts) and the Pallas
     kernel (roll + edge-fixup shifts, ops/pallas_develop.py) share one
@@ -228,7 +228,22 @@ def extras_core(r, g, b, sharpen, denoise, curve, vignette, r2,
     darkens corners (artistic), positive lifts them (lens-falloff
     correction), center always unchanged — with ``r2`` the
     :func:`radial_sq` plane of the caller's grid; returns (r, g, b)
-    clamped to [0, 1]."""
+    clamped to [0, 1].
+
+    ``mixer`` is None (statically off) or the 24-tuple of HSL-mixer
+    amounts (ops/mixer.py), applied POINTWISE before the stencil
+    stages — pointwise, so it joins the Pallas band and the XLA chain
+    identically. ``stencils`` is a STATIC flag: False skips every
+    stencil/curve/vignette stage at trace time (the "mixer"-only
+    extras mode — an in-chain XLA render would otherwise materialize
+    the tent stages for sliders known to be zero)."""
+    if mixer is not None:
+        from raweditor_tpu.ops.mixer import apply_hsl_mixer
+
+        r, g, b = apply_hsl_mixer(r, g, b, mixer)
+    if not stencils:
+        # Mixer-only: apply_hsl_mixer already clamped to [0, 1].
+        return r, g, b
     sharpen = jnp.asarray(sharpen, jnp.float32)
     denoise = jnp.asarray(denoise, jnp.float32)
     vignette = jnp.asarray(vignette, jnp.float32)
@@ -294,7 +309,8 @@ _ZERO_CURVE = (0.0, 0.0, 0.0, 0.0)
 
 
 def apply_finish_extras(r, g, b, sharpen, denoise, curve=_ZERO_CURVE,
-                        vignette=0.0, clarity=0.0):
+                        vignette=0.0, clarity=0.0, mixer=None,
+                        stencils=True):
     """Sharpen + denoise + parametric tone curve + vignette on
     transfer-encoded [0, 1] RGB planes — the XLA in-chain execution of
     :func:`extras_core`.
@@ -303,7 +319,10 @@ def apply_finish_extras(r, g, b, sharpen, denoise, curve=_ZERO_CURVE,
     ``curve`` is (shadows, darks, lights, highlights); the vignette's
     radial plane is this grid's own (zoomed previews therefore
     approximate it over the viewport — exports are full-frame and
-    exact); returns (r, g, b) clamped to [0, 1]."""
+    exact); ``mixer``/``stencils`` as in :func:`extras_core` (both
+    static in structure: clarity runs first, then the mixer, then the
+    stencil stages — the same order as the words-domain composition,
+    so every route agrees); returns (r, g, b) clamped to [0, 1]."""
     if not _is_static_zero(clarity):
         # A statically-known zero (the "clarity off" sentinel from
         # develop._extras_of, or any concrete host-side zero — numpy
@@ -315,17 +334,18 @@ def apply_finish_extras(r, g, b, sharpen, denoise, curve=_ZERO_CURVE,
     up, dn, lf, rt = _pad_shift_fns()
     r2 = radial_sq(r.shape[-2], r.shape[-1])
     return extras_core(r, g, b, sharpen, denoise, curve, vignette, r2,
-                       up, dn, lf, rt)
+                       up, dn, lf, rt, mixer=mixer, stencils=stencils)
 
 
 def finish_extras_rgba_words(words, sharpen, denoise,
                              curve=_ZERO_CURVE, vignette=0.0,
-                             clarity=0.0):
+                             clarity=0.0, mixer=None, stencils=True):
     """Behavioral reference for the Pallas post-pass: packed-RGBA u32
     (..., H, W) → u32, extras applied on the quantized u8 values
     rescaled to [0, 1], requantized with the finish rounding
     (floor(c·255 + 0.5)). The kernel mirrors this exactly."""
     r, g, b = words_to_planes(words)
     r, g, b = apply_finish_extras(r, g, b, sharpen, denoise, curve,
-                                  vignette, clarity)
+                                  vignette, clarity, mixer=mixer,
+                                  stencils=stencils)
     return planes_to_words(r, g, b)

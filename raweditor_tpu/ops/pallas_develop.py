@@ -1252,7 +1252,8 @@ def pallas_develop_rgba(
 
 
 def _extras_window(v_words, off, i, bh, w, true_h, true_w, sharpen,
-                   denoise, curve, vignette, output="rgba"):
+                   denoise, curve, vignette, mixer=None, stencils=True,
+                   output="rgba"):
     """Extras over one realigned (bh+8)-row band of packed-RGBA words:
     unpack u8 → [0, 1] planes, run ops/extras.extras_core with
     roll-based shift closures, requantize with the finish rounding,
@@ -1288,7 +1289,8 @@ def _extras_window(v_words, off, i, bh, w, true_h, true_w, sharpen,
     r2 = radial_sq(true_h, true_w, rows=gw.astype(jnp.float32),
                    cols=cols.astype(jnp.float32))
     r, g, b = extras_core(r, g, b, sharpen, denoise, curve, vignette,
-                          r2, up, dn, lf, rt)
+                          r2, up, dn, lf, rt, mixer=mixer,
+                          stencils=stencils)
 
     def qi(c):
         # floor(c·255 + 0.5); f32→u32 goes via int32 (Mosaic cast
@@ -1309,7 +1311,8 @@ def _extras_window(v_words, off, i, bh, w, true_h, true_w, sharpen,
 def _extras_kernel_flat(scal_ref, words_hbm, *refs,
                         block_h: int, steps: int, total: int,
                         img_h: int, width: int, true_h: int,
-                        true_w: int, output: str = "rgba"):
+                        true_w: int, mixer_on: bool = False,
+                        stencils: bool = True, output: str = "rgba"):
     """Double-buffered flat-grid body for the extras post-pass — the
     same window/DMA scheme as _kernel_flat, on u32 words."""
     if output == "rgba":
@@ -1346,11 +1349,14 @@ def _extras_kernel_flat(scal_ref, words_hbm, *refs,
 
     copy_for(g, slot).wait()
     _, off = window(g)
+    mix = (tuple(scal_ref[nimg, kk] for kk in range(7, 31))
+           if mixer_on else None)
     res = _extras_window(scratch[slot], off, i, block_h, width,
                          true_h, true_w, scal_ref[nimg, 0],
                          scal_ref[nimg, 1],
                          tuple(scal_ref[nimg, kk] for kk in range(2, 6)),
-                         scal_ref[nimg, 6], output=output)
+                         scal_ref[nimg, 6], mixer=mix,
+                         stencils=stencils, output=output)
     if output == "rgba":
         out_ref[0] = res
     else:
@@ -1359,13 +1365,16 @@ def _extras_kernel_flat(scal_ref, words_hbm, *refs,
 
 
 @functools.partial(jax.jit, static_argnames=("block_h", "interpret",
-                                              "output", "_true_hw"))
+                                              "output", "stencils",
+                                              "_true_hw"))
 def pallas_finish_extras_rgba(words, sharpen=0.0, denoise=0.0,
                               curve=(0.0, 0.0, 0.0, 0.0),
                               vignette=0.0,
+                              mixer=None,
                               block_h: int | None = None,
                               interpret: bool = False,
                               output: str = "rgba",
+                              stencils: bool = True,
                               _true_hw=None):
     """Fused finish-extras post-pass: packed-RGBA u32 (H, W) or
     (N, H, W) → same shape/dtype, sharpening + denoise applied
@@ -1380,9 +1389,13 @@ def pallas_finish_extras_rgba(words, sharpen=0.0, denoise=0.0,
     including the fused Pallas kernels the in-chain extras can't join.
 
     ``sharpen``/``denoise`` are traced scalars, or (N,) arrays for
-    per-image amounts on batched input. Quantize-then-filter adds
-    ≤1/255 of input rounding vs the in-chain reference — inside the
-    fast lanes' ±1 LSB contract (pinned by test)."""
+    per-image amounts on batched input. ``mixer`` is None (statically
+    off) or the 24 HSL-mixer amounts (ops/mixer.py) as (24,) or
+    (N, 24) — applied pointwise inside the band before the stencil
+    stages; ``stencils=False`` (static) skips the stencil stages for
+    mixer-only flushes. Quantize-then-filter adds ≤1/255 of input
+    rounding vs the in-chain reference — inside the fast lanes'
+    ±1 LSB contract (pinned by test)."""
     squeeze = words.ndim == 2
     if squeeze:
         words = words[None]
@@ -1397,6 +1410,10 @@ def pallas_finish_extras_rgba(words, sharpen=0.0, denoise=0.0,
     cv = tuple(jnp.broadcast_to(jnp.asarray(c, jnp.float32), (n,))
                for c in curve)
     vg = jnp.broadcast_to(jnp.asarray(vignette, jnp.float32), (n,))
+    # HSL mixer (ops/mixer.py): None (statically off — the scal table
+    # keeps its 7 columns) or 24 amounts per image, (24,) or (n, 24).
+    mx = (None if mixer is None else jnp.broadcast_to(
+        jnp.asarray(mixer, jnp.float32), (n, 24)))
 
     def _finish(out):
         if output == "ycbcr420":
@@ -1410,8 +1427,8 @@ def pallas_finish_extras_rgba(words, sharpen=0.0, denoise=0.0,
     if wp != w:
         out = pallas_finish_extras_rgba(
             jnp.pad(words, ((0, 0), (0, 0), (0, wp - w)), mode="edge"),
-            sh, dn, cv, vg, block_h, interpret, output,
-            _true_hw=(th, tw))
+            sh, dn, cv, vg, mx, block_h, interpret, output,
+            stencils=stencils, _true_hw=(th, tw))
         if output == "ycbcr420":
             return _finish((out[0][:, :, :w], out[1][:, :, :w]))
         return _finish(out[:, :, :w])
@@ -1449,8 +1466,8 @@ def pallas_finish_extras_rgba(words, sharpen=0.0, denoise=0.0,
             out = pallas_finish_extras_rgba(
                 jnp.pad(words, ((0, 0), (0, hp - h), (0, 0)),
                         mode="edge"),
-                sh, dn, cv, vg, block_h, interpret, output,
-                _true_hw=(th, tw))
+                sh, dn, cv, vg, mx, block_h, interpret, output,
+                stencils=stencils, _true_hw=(th, tw))
             if output == "ycbcr420":
                 return _finish((out[0][:, :h], out[1][:, : h // 2]))
             return _finish(out[:, :h])
@@ -1462,6 +1479,8 @@ def pallas_finish_extras_rgba(words, sharpen=0.0, denoise=0.0,
             "shape")
     steps = (h + overhang) // bh
     scal = jnp.stack([sh, dn, *cv, vg], axis=1)
+    if mx is not None:
+        scal = jnp.concatenate([scal, mx], axis=1)
     flat = words.reshape(n * h, w)
     ho = h + overhang
     if output == "rgba":
@@ -1483,7 +1502,8 @@ def pallas_finish_extras_rgba(words, sharpen=0.0, denoise=0.0,
     out = pl.pallas_call(
         functools.partial(_extras_kernel_flat, block_h=bh, steps=steps,
                           total=n * steps, img_h=h, width=w,
-                          true_h=th, true_w=tw, output=output),
+                          true_h=th, true_w=tw, mixer_on=mx is not None,
+                          stencils=stencils, output=output),
         grid=(n * steps,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

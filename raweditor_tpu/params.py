@@ -50,6 +50,21 @@ _EXTRA_FIELDS = (
     "vignette",
     "clarity",
 )
+# 8-band HSL color mixer (ops/mixer.py) — hue / saturation / luminance
+# per band, in the band order ops.mixer.BAND_NAMES. Appended after the
+# finish extras so existing packed layouts keep their indices.
+_MIXER_BANDS = ("red", "orange", "yellow", "green", "aqua", "blue",
+                "purple", "magenta")
+MIXER_FIELDS = tuple(
+    f"{ctl}_{band}" for ctl in ("hue", "sat", "lum")
+    for band in _MIXER_BANDS
+)
+_EXTRA_FIELDS = _EXTRA_FIELDS + MIXER_FIELDS
+# The band-local stencil/curve extras (everything the fused post-pass
+# kernel traces when ``stencils`` is on; clarity and the mixer are
+# gated separately — see finish_extras_mode).
+_STENCIL_FIELDS = ("sharpen", "denoise", "curve_shadows", "curve_darks",
+                   "curve_lights", "curve_highlights", "vignette")
 _FIELDS = _REF_FIELDS + _EXTRA_FIELDS
 
 # Defaults mirror the reference exactly: everything 0 except whites=1.0
@@ -84,6 +99,9 @@ RANGES = {
     "vignette": (-100.0, 100.0),
     "clarity": (-100.0, 100.0),
 }
+# HSL mixer sliders (ops/mixer.py): ±100 each — hue = ±30° shift,
+# sat = full desaturation … 2× chroma, lum = ×0.595 … ×1.68 value.
+RANGES.update({name: (-100.0, 100.0) for name in MIXER_FIELDS})
 
 
 @jax.tree_util.register_dataclass
@@ -113,6 +131,31 @@ class EditParams:
     curve_highlights: Any = 0.0
     vignette: Any = 0.0
     clarity: Any = 0.0
+    # HSL mixer (ops/mixer.py; field order = MIXER_FIELDS)
+    hue_red: Any = 0.0
+    hue_orange: Any = 0.0
+    hue_yellow: Any = 0.0
+    hue_green: Any = 0.0
+    hue_aqua: Any = 0.0
+    hue_blue: Any = 0.0
+    hue_purple: Any = 0.0
+    hue_magenta: Any = 0.0
+    sat_red: Any = 0.0
+    sat_orange: Any = 0.0
+    sat_yellow: Any = 0.0
+    sat_green: Any = 0.0
+    sat_aqua: Any = 0.0
+    sat_blue: Any = 0.0
+    sat_purple: Any = 0.0
+    sat_magenta: Any = 0.0
+    lum_red: Any = 0.0
+    lum_orange: Any = 0.0
+    lum_yellow: Any = 0.0
+    lum_green: Any = 0.0
+    lum_aqua: Any = 0.0
+    lum_blue: Any = 0.0
+    lum_purple: Any = 0.0
+    lum_magenta: Any = 0.0
 
     # -- persistence (serde-compatible JSON) -----------------------------
     def to_json(self) -> str:
@@ -169,15 +212,40 @@ class EditParams:
             for name in _EXTRA_FIELDS
         )
 
+    def has_mixer(self) -> bool:
+        """True when any HSL-mixer slider (ops/mixer.py) is active.
+        Host-side only, like has_finish_extras."""
+        return any(
+            float(getattr(self, name)) != 0.0 for name in MIXER_FIELDS
+        )
+
+    def mixer_values(self) -> tuple:
+        """The flat 24-tuple of mixer slider values in MIXER_FIELDS
+        order (hue×8, sat×8, lum×8) — the positional contract of
+        ops.mixer.apply_hsl_mixer. Leaves pass through unconverted so
+        traced scalars survive (the batch paths vmap over them)."""
+        return tuple(getattr(self, name) for name in MIXER_FIELDS)
+
     def finish_extras_mode(self):
         """The static ``extras`` specialization for the develop entry
-        points: False (off), "base" (extras without clarity — the
-        whole-frame clarity pyramid is skipped at trace time), or
-        "full" (clarity active). Host-side only, like
-        has_finish_extras."""
+        points: False (off), "base" (stencil extras without clarity —
+        the whole-frame clarity pyramid is skipped at trace time),
+        "full" (clarity active), "mixer" (HSL mixer only — the
+        stencil stages are skipped at trace time too), or the
+        "base+mixer" / "full+mixer" combinations. Host-side only,
+        like has_finish_extras."""
         if not self.has_finish_extras():
             return False
-        return "full" if float(self.clarity) != 0.0 else "base"
+        mix = self.has_mixer()
+        stencils = any(
+            float(getattr(self, name)) != _DEFAULTS[name]
+            for name in _STENCIL_FIELDS
+        )
+        clar = float(self.clarity) != 0.0
+        if not (stencils or clar):
+            return "mixer"
+        mode = "full" if clar else "base"
+        return mode + "+mixer" if mix else mode
 
     def reset(self) -> "EditParams":
         """Return default parameters (reference: state/edit.rs:120-122).

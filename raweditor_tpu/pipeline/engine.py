@@ -453,14 +453,18 @@ class DevelopEngine:
             from raweditor_tpu.ops.extras import apply_clarity_words
 
             words = apply_clarity_words(words, clar)
-        if not (float(params.sharpen) or float(params.denoise)
-                or any(curve) or float(params.vignette)):
+        mixer = (tuple(float(v) for v in params.mixer_values())
+                 if params.has_mixer() else None)
+        stencils = bool(float(params.sharpen) or float(params.denoise)
+                        or any(curve) or float(params.vignette))
+        if not stencils and mixer is None:
             return words  # clarity-only: skip the stencil kernel
         if not getattr(self, "_pallas_extras_failed", False):
             try:
                 return kernel(words, float(params.sharpen),
                               float(params.denoise), curve,
-                              float(params.vignette))
+                              float(params.vignette), mixer=mixer,
+                              stencils=stencils)
             except Exception as e:
                 self._pallas_extras_failed = True
                 logger.info(
@@ -473,7 +477,8 @@ class DevelopEngine:
         # band-local stages only.
         return finish_extras_rgba_words(words, float(params.sharpen),
                                         float(params.denoise), curve,
-                                        float(params.vignette))
+                                        float(params.vignette),
+                                        mixer=mixer, stencils=stencils)
 
     # -- export ----------------------------------------------------------
     def full_rgba_device(self, params: EditParams):

@@ -826,12 +826,26 @@ def run_batch_export(
             ex_on = any(d.job.params.has_finish_extras() for d in batch)
             # The static extras specialization for the XLA lanes:
             # "base" skips the whole-frame clarity pyramid at trace
-            # time when no image in the flush uses clarity.
+            # time when no image in the flush uses clarity; the
+            # "+mixer" axis (ops/mixer.py) joins when any image uses
+            # HSL sliders, and a mixer-only flush skips the stencil
+            # stages entirely ("mixer").
             ex_mode = False
             if ex_on:
-                ex_mode = ("full" if any(
+                from raweditor_tpu.params import _STENCIL_FIELDS
+
+                clar_any = any(
                     float(d.job.params.clarity) != 0.0 for d in batch)
-                    else "base")
+                stenc_any = clar_any or any(
+                    float(getattr(d.job.params, f)) != 0.0
+                    for d in batch for f in _STENCIL_FIELDS)
+                mix_any = any(d.job.params.has_mixer() for d in batch)
+                if not stenc_any:
+                    ex_mode = "mixer"
+                else:
+                    ex_mode = "full" if clar_any else "base"
+                    if mix_any:
+                        ex_mode += "+mixer"
 
             def _extras_amounts(ds, field):
                 return np.array(
@@ -843,6 +857,16 @@ def run_batch_export(
                     _extras_amounts(ds, f)
                     for f in ("curve_shadows", "curve_darks",
                               "curve_lights", "curve_highlights"))
+
+            def _extras_mixer(ds):
+                """(n, 24) per-image HSL-mixer amounts, or None when
+                no image in the flush uses the mixer (statically off
+                in both the kernel and the XLA words form)."""
+                if not any(d.job.params.has_mixer() for d in ds):
+                    return None
+                return np.array(
+                    [[float(v) for v in d.job.params.mixer_values()]
+                     for d in ds], np.float32)
 
             def _extras_words_gspmd(words, ds):
                 """Words-form extras for SHARDED outputs: the same
@@ -867,13 +891,23 @@ def run_batch_export(
                 if cl.any():
                     words = apply_clarity_words(words,
                                                 cl[:, None, None])
+                sh = _extras_amounts(ds, "sharpen")
+                dn = _extras_amounts(ds, "denoise")
+                cv = _extras_curve(ds)
+                vg = _extras_amounts(ds, "vignette")
+                mix = _extras_mixer(ds)
+                stencils = bool(sh.any() or dn.any() or vg.any()
+                                or any(c.any() for c in cv))
                 return finish_extras_rgba_words(
                     words,
-                    _extras_amounts(ds, "sharpen")[:, None, None],
-                    _extras_amounts(ds, "denoise")[:, None, None],
-                    tuple(c[:, None, None] for c in _extras_curve(ds)),
-                    _extras_amounts(ds, "vignette")[:, None, None],
-                    0.0)
+                    sh[:, None, None],
+                    dn[:, None, None],
+                    tuple(c[:, None, None] for c in cv),
+                    vg[:, None, None],
+                    0.0,
+                    mixer=(None if mix is None else tuple(
+                        mix[:, k, None, None] for k in range(24))),
+                    stencils=stencils)
 
             def _extras_post_batch(words, ds, kernel, xla_output):
                 """Fused extras post-pass over a batch of words (JPEG
@@ -889,6 +923,7 @@ def run_batch_export(
                 cv = _extras_curve(ds)
                 vg = _extras_amounts(ds, "vignette")
                 cl = _extras_amounts(ds, "clarity")
+                mix = _extras_mixer(ds)
                 if cl.any():
                     from raweditor_tpu.ops.extras import (
                         apply_clarity_words,
@@ -898,16 +933,19 @@ def run_batch_export(
                     # banded kernel); per-image amounts broadcast.
                     words = apply_clarity_words(words,
                                                 cl[:, None, None])
-                if not (sh.any() or dn.any() or vg.any()
-                        or any(c.any() for c in cv)):
+                stencils = bool(sh.any() or dn.any() or vg.any()
+                                or any(c.any() for c in cv))
+                if not stencils and mix is None:
                     out = words  # clarity-only flush
                     if want == "ycbcr420":
                         out = _ycbcr420_jit()(out)
                     return out
-                key = ("extras", words.shape, want)
+                key = ("extras", words.shape, want, stencils,
+                       mix is not None)
                 if key not in _pallas_failed:
                     try:
                         return kernel(words, sh, dn, cv, vg,
+                                      mixer=mix, stencils=stencils,
                                       output=want)
                     except Exception:
                         _pallas_failed.add(key)
@@ -919,7 +957,10 @@ def run_batch_export(
                 out = finish_extras_rgba_words(
                     words, sh[:, None, None], dn[:, None, None],
                     tuple(c[:, None, None] for c in cv),
-                    vg[:, None, None])
+                    vg[:, None, None],
+                    mixer=(None if mix is None else tuple(
+                        mix[:, k, None, None] for k in range(24))),
+                    stencils=stencils)
                 if want == "ycbcr420":
                     out = _ycbcr420_jit()(out)
                 return out
