@@ -90,6 +90,38 @@ def _finite_rotate(args) -> float:
     return deg
 
 
+def _add_lens_args(p, batch: bool = False) -> None:
+    every = " (uniform, every image)" if batch else ""
+    p.add_argument("--lens-k1", type=float, default=0.0, metavar="K",
+                   help="radial distortion r^2 coefficient"
+                        " (r normalized to the half-diagonal; positive"
+                        " corrects pincushion, negative corrects"
+                        f" barrel){every}")
+    p.add_argument("--lens-k2", type=float, default=0.0, metavar="K",
+                   help=f"radial distortion r^4 coefficient{every}")
+    p.add_argument("--lens-ca-r", type=float, default=0.0, metavar="A",
+                   help="lateral CA: red-plane magnification delta in"
+                        f" 1e-4 units{every}")
+    p.add_argument("--lens-ca-b", type=float, default=0.0, metavar="A",
+                   help="lateral CA: blue-plane magnification delta in"
+                        f" 1e-4 units{every}")
+
+
+def _parse_lens(args):
+    """(k1, k2, ca_r, ca_b) from the --lens-* flags, or None when all
+    are zero/absent (finiteness enforced like every numeric flag)."""
+    import math
+
+    vals = tuple(float(getattr(args, n, 0.0) or 0.0)
+                 for n in ("lens_k1", "lens_k2", "lens_ca_r",
+                           "lens_ca_b"))
+    for name, v in zip(("--lens-k1", "--lens-k2", "--lens-ca-r",
+                        "--lens-ca-b"), vals):
+        if not math.isfinite(v):
+            raise SystemExit(f"{name} must be finite, got {v}")
+    return vals if any(vals) else None
+
+
 def _parse_crop(spec):
     """--crop "L,T,W,H" → (left, top, width, height) ints, or None."""
     if spec in (None, ""):
@@ -295,6 +327,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "--rotate, before EXIF auto-orientation; "
                         "combining with --auto-orient on a rotated "
                         "shot is rejected), e.g. 100,50,3000,2000")
+    _add_lens_args(p)
     _add_slider_args(p)
 
     p = sub.add_parser("rate", help="star rating / pick-reject flag")
@@ -357,6 +390,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--crop", default=None, metavar="L,T,W,H",
                    help="uniform crop rectangle in STORED-frame pixels "
                         "(after --rotate), applied to every image")
+    _add_lens_args(p, batch=True)
     p.add_argument("--decode-threads", type=int, default=None,
                    help="host decode workers (default: "
                         "Config.decode_threads, 4)")
@@ -758,6 +792,7 @@ def cmd_develop(args) -> int:
             ("--optimize-jpeg", getattr(args, "optimize_jpeg", False)),
             ("--jpeg-restart", getattr(args, "jpeg_restart", 0)),
             ("--chroma 444", getattr(args, "chroma", "420") == "444"),
+            ("--lens-*", _parse_lens(args) is not None),
         ) if on]
         if dropped:
             raise SystemExit(
@@ -797,7 +832,8 @@ def cmd_develop(args) -> int:
                        chroma=getattr(args, "chroma", "420"),
                        jpeg_restart_rows=getattr(args, "jpeg_restart", 0),
                        rotate=_finite_rotate(args),
-                       crop=_parse_crop(getattr(args, "crop", None)))
+                       crop=_parse_crop(getattr(args, "crop", None)),
+                       lens=_parse_lens(args))
         except ValueError as e:
             # e.g. an unsupported output extension — a usage error, not
             # a traceback.
@@ -1012,6 +1048,7 @@ def _run_batch_export_checked(run_batch_export, jobs, mesh, args, cfg,
         color_space=getattr(args, "color_space", "srgb"),
         rotate=_finite_rotate(args),
         crop=_parse_crop(getattr(args, "crop", None)),
+        lens=_parse_lens(args),
     )
 
 

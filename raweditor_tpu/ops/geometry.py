@@ -30,6 +30,20 @@ Design notes (TPU):
   the output dims), which is the right trade for an export-stage op —
   interactive straighten previews would go through the engine's
   preview path at fixed size instead.
+- **Lens corrections** (beyond the reference) compose into the SAME
+  inverse map, so straighten + distortion + CA cost one resample:
+  ``lens=(k1, k2, ca_r, ca_b)`` applies the radial polynomial
+  r_src = r·(1 + k1·r̂² + k2·r̂⁴) about the source frame's center
+  (r̂ normalized to the half-diagonal, so k coefficients are
+  frame-size invariant). POSITIVE k1 samples outward — content moves
+  toward the center — correcting PINCUSHION; negative k1 corrects
+  BARREL. ``ca_r``/``ca_b`` add a per-channel magnification delta of
+  1e-4 per unit (the first-order lateral-CA model: red/blue fringes
+  are the R/B planes rendered at slightly different magnification);
+  with either nonzero the R and B planes sample at their own
+  coordinates (three gathers instead of one). Correction can pull
+  out-of-frame coordinates at the edges; those clamp — crop (or the
+  rotation auto-crop) covers the usual cases.
 """
 
 from __future__ import annotations
@@ -68,16 +82,47 @@ def largest_upright_rect(w: int, h: int, angle_deg: float) -> Tuple[int, int]:
     return max(1, int(cw + 1e-6)), max(1, int(ch + 1e-6))
 
 
+def _bilerp(img_f32, sx, sy, channel=None):
+    """Clamp-to-edge bilinear gather of (H, W, C) f32 (or one channel
+    of it) at fractional source coordinates (sy, sx)."""
+    h, w = img_f32.shape[0], img_f32.shape[1]
+    x0 = jnp.clip(jnp.floor(sx), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(sy), 0, h - 1)
+    fx = jnp.clip(sx - x0, 0.0, 1.0)
+    fy = jnp.clip(sy - y0, 0.0, 1.0)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    if channel is None:
+        fx, fy = fx[..., None], fy[..., None]
+
+        def tap(yi, xi):
+            return img_f32[yi, xi]
+    else:
+        plane = img_f32[..., channel]
+
+        def tap(yi, xi):
+            return plane[yi, xi]
+
+    top = tap(y0i, x0i) * (1 - fx) + tap(y0i, x1i) * fx
+    bot = tap(y1i, x0i) * (1 - fx) + tap(y1i, x1i) * fx
+    return top * (1 - fy) + bot * fy
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("angle_deg", "out_w", "out_h", "off_x", "off_y"),
+    static_argnames=("angle_deg", "out_w", "out_h", "off_x", "off_y",
+                     "lens"),
 )
 def _rotate_sample(img_f32, angle_deg: float, out_w: int, out_h: int,
-                   off_x: float, off_y: float):
+                   off_x: float, off_y: float, lens=None):
     """Bilinear inverse-map sample of (H, W, C) f32: output pixel
     (y, x) reads the source at R(−θ)·(p_out − c_out) + c_src, where
     c_out is the output-rect center offset (off_x/off_y place the
-    rect inside the rotated frame). Clamp-to-edge out of range."""
+    rect inside the rotated frame). ``lens`` optionally composes the
+    radial distortion / CA correction about the source center into
+    the same map (module docstring). Clamp-to-edge out of range."""
     h, w = img_f32.shape[0], img_f32.shape[1]
     th = math.radians(angle_deg)
     cos_t, sin_t = math.cos(th), math.sin(th)
@@ -93,21 +138,23 @@ def _rotate_sample(img_f32, angle_deg: float, out_w: int, out_h: int,
     sx = _F(cos_t) * vx + _F(sin_t) * vy + _F(cx)
     sy = _F(-sin_t) * vx + _F(cos_t) * vy + _F(cy)
 
-    x0 = jnp.clip(jnp.floor(sx), 0, w - 1)
-    y0 = jnp.clip(jnp.floor(sy), 0, h - 1)
-    fx = jnp.clip(sx - x0, 0.0, 1.0)
-    fy = jnp.clip(sy - y0, 0.0, 1.0)
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    x1i = jnp.minimum(x0i + 1, w - 1)
-    y1i = jnp.minimum(y0i + 1, h - 1)
-
-    def tap(yi, xi):
-        return img_f32[yi, xi]
-
-    top = tap(y0i, x0i) * (1 - fx)[..., None] + tap(y0i, x1i) * fx[..., None]
-    bot = tap(y1i, x0i) * (1 - fx)[..., None] + tap(y1i, x1i) * fx[..., None]
-    return top * (1 - fy)[..., None] + bot * fy[..., None]
+    if lens is None:
+        return _bilerp(img_f32, sx, sy)
+    k1, k2, ca_r, ca_b = lens
+    dx = sx - _F(cx)
+    dy = sy - _F(cy)
+    # r̂² normalized to the half-diagonal: corners sit at r̂ = 1, so
+    # the k coefficients mean the same thing at every resolution.
+    rn2 = (dx * dx + dy * dy) * _F(1.0 / (cx * cx + cy * cy))
+    base = _F(1.0) + _F(k1) * rn2 + _F(k2) * rn2 * rn2
+    if ca_r == 0.0 and ca_b == 0.0:
+        return _bilerp(img_f32, _F(cx) + dx * base, _F(cy) + dy * base)
+    out = []
+    for ci, ca in enumerate((ca_r, 0.0, ca_b)):
+        f = base * _F(1.0 + ca * 1e-4) if ca else base
+        out.append(_bilerp(img_f32, _F(cx) + dx * f, _F(cy) + dy * f,
+                           channel=ci))
+    return jnp.stack(out, axis=-1)
 
 
 def _resolve_geometry(h: int, w: int, angle_deg: float,
@@ -128,37 +175,58 @@ def _resolve_geometry(h: int, w: int, angle_deg: float,
     return cw, ch, (w - cw) / 2.0, (h - ch) / 2.0
 
 
-def _rotate_crop(img, angle_deg, crop, to_f32, from_f32):
+def _resolve_lens(lens):
+    """Normalize a lens tuple: None when absent or all-zero (the
+    identity / pure-crop fast paths stay available), else the
+    validated static (k1, k2, ca_r, ca_b) floats."""
+    if lens is None:
+        return None
+    k1, k2, ca_r, ca_b = (float(v) for v in lens)
+    for name, v in (("k1", k1), ("k2", k2), ("ca_r", ca_r),
+                    ("ca_b", ca_b)):
+        if not math.isfinite(v):
+            raise ValueError(f"lens {name} must be finite, got {v}")
+    if k1 == 0.0 and k2 == 0.0 and ca_r == 0.0 and ca_b == 0.0:
+        return None
+    return (k1, k2, ca_r, ca_b)
+
+
+def _rotate_crop(img, angle_deg, crop, to_f32, from_f32, lens=None):
     """Shared skeleton for the three dtypes: resolve the rectangle,
     take the identity / pure-crop fast paths, otherwise resample
     (one body — the angle epsilon and slice semantics cannot drift;
     code-review r3)."""
     h, w = img.shape[0], img.shape[1]
+    lens = _resolve_lens(lens)
     out_w, out_h, off_x, off_y = _resolve_geometry(h, w, angle_deg, crop)
     # Same identity threshold as largest_upright_rect (1e-9): an
     # angle below it already resolves to the identity rectangle, and
     # a mismatched epsilon here ran the full resample for a no-op
     # (code-review r3).
-    if (out_w, out_h) == (w, h) and abs(angle_deg) < 1e-9:
-        return img
-    if abs(angle_deg) < 1e-9:
-        # Pure crop: a device slice, no resampling.
-        t, l = int(off_y), int(off_x)
-        return img[t : t + out_h, l : l + out_w]
+    if lens is None:
+        if (out_w, out_h) == (w, h) and abs(angle_deg) < 1e-9:
+            return img
+        if abs(angle_deg) < 1e-9:
+            # Pure crop: a device slice, no resampling.
+            t, l = int(off_y), int(off_x)
+            return img[t : t + out_h, l : l + out_w]
     out = _rotate_sample(to_f32(img), float(angle_deg), out_w, out_h,
-                         off_x, off_y)
+                         off_x, off_y, lens=lens)
     return from_f32(out)
 
 
 def rotate_crop_u8(img_u8, angle_deg: float = 0.0,
-                   crop: Optional[Tuple[int, int, int, int]] = None):
+                   crop: Optional[Tuple[int, int, int, int]] = None,
+                   lens=None):
     """(H, W, 3) u8 → straightened/cropped u8 on device. Positive
     angles rotate the image CLOCKWISE on screen (a horizon that sits
     low on the LEFT is fixed with a positive angle — pinned by
     tests/test_geometry.py's gradient test). ``crop`` is
     (left, top, width, height) in output-frame pixels (after
     rotation); None auto-crops the largest source-aspect rectangle.
-    angle 0 + crop None is the identity (returned as-is)."""
+    ``lens`` = (k1, k2, ca_r, ca_b) composes the distortion/CA
+    correction into the same resample (module docstring). angle 0 +
+    crop None + no lens is the identity (returned as-is)."""
     return _rotate_crop(
         img_u8, angle_deg, crop,
         lambda x: x.astype(jnp.float32),
@@ -166,33 +234,37 @@ def rotate_crop_u8(img_u8, angle_deg: float = 0.0,
         # repo uses (jnp.round's half-to-even diverged on exact
         # halves; code-review r3).
         lambda o: jnp.clip(jnp.floor(o + 0.5), 0, 255).astype(
-            jnp.uint8))
+            jnp.uint8), lens=lens)
 
 
 def rotate_crop_u16(img_u16, angle_deg: float = 0.0,
-                    crop: Optional[Tuple[int, int, int, int]] = None):
+                    crop: Optional[Tuple[int, int, int, int]] = None,
+                    lens=None):
     """16-bit variant (TIFF export path)."""
     return _rotate_crop(
         img_u16, angle_deg, crop,
         lambda x: x.astype(jnp.float32),
         lambda o: jnp.clip(jnp.floor(o + 0.5), 0, 65535).astype(
-            jnp.uint16))
+            jnp.uint16), lens=lens)
 
 
 def rotate_crop_rgba_words_batch(words, angle_deg: float = 0.0,
-                                 crop=None):
+                                 crop=None, lens=None):
     """Batched (N, H, W) packed-RGBA variant: the same uniform
     geometry applied to every image of a batch (the exporter's
-    ``rotate``/``crop`` options — one compiled program per shape
-    bucket, vmapped over images)."""
-    if abs(angle_deg) < 1e-9 and crop is None:
+    ``rotate``/``crop``/``lens`` options — one compiled program per
+    shape bucket, vmapped over images)."""
+    if (abs(angle_deg) < 1e-9 and crop is None
+            and _resolve_lens(lens) is None):
         return words
     return jax.vmap(
-        lambda w: rotate_crop_rgba_words(w, angle_deg, crop))(words)
+        lambda w: rotate_crop_rgba_words(w, angle_deg, crop,
+                                         lens=lens))(words)
 
 
 def rotate_crop_rgba_words(words, angle_deg: float = 0.0,
-                           crop: Optional[Tuple[int, int, int, int]] = None):
+                           crop: Optional[Tuple[int, int, int, int]] = None,
+                           lens=None):
     """Packed-RGBA u32 (H, W) variant (the export fast path): unpack,
     resample, repack — one fused program."""
 
@@ -211,4 +283,5 @@ def rotate_crop_rgba_words(words, angle_deg: float = 0.0,
             jnp.clip(o[..., 1] * s, 0, 1),
             jnp.clip(o[..., 2] * s, 0, 1))
 
-    return _rotate_crop(words, angle_deg, crop, unpack, repack)
+    return _rotate_crop(words, angle_deg, crop, unpack, repack,
+                        lens=lens)

@@ -608,7 +608,7 @@ class DevelopEngine:
                jpeg_optimize: bool = False,
                chroma: str = "420",
                jpeg_restart_rows: int = 0,
-               rotate: float = 0.0, crop=None) -> str:
+               rotate: float = 0.0, crop=None, lens=None) -> str:
         """Full-res develop → JPEG/PNG/TIFF by extension; RGBA→RGB strip
         for JPEG on the host like the reference
         (reference: main.rs:1744-1799, alpha strip at
@@ -623,7 +623,11 @@ class DevelopEngine:
         and ``crop`` ((left, top, width, height), or None for the
         automatic largest source-aspect rectangle) crops — both
         device-side on the developed image, in the STORED sensor
-        frame (before EXIF auto-orientation; ops/geometry.py)."""
+        frame (before EXIF auto-orientation; ops/geometry.py).
+        ``lens`` = (k1, k2, ca_r, ca_b) composes radial distortion /
+        lateral-CA correction into the same resample
+        (ops/geometry.py module docstring for the model and sign
+        conventions)."""
         from PIL import Image
 
         path = os.fspath(path)
@@ -634,6 +638,9 @@ class DevelopEngine:
             raise ValueError(
                 f"chroma must be '420' or '444', got {chroma!r}")
         self._guard_geometry(rotate, crop)
+        from raweditor_tpu.ops.geometry import _resolve_lens
+
+        lens = _resolve_lens(lens)
         ext = os.path.splitext(path)[1].lower()
         if ext not in (".tif", ".tiff", ".jpg", ".jpeg", ".png"):
             # Same contract as the batch exporter's _encode_one:
@@ -644,7 +651,8 @@ class DevelopEngine:
                 "(use .jpg/.jpeg/.png/.tif/.tiff)")
         if ext in (".tif", ".tiff"):
             return self.export_tiff16(path, params, long_edge=long_edge,
-                                      rotate=rotate, crop=crop)
+                                      rotate=rotate, crop=crop,
+                                      lens=lens)
         if ext in (".jpg", ".jpeg") and (
                 not self.auto_orient or self.raw.orientation == 1):
             jpeg = self._export_jpeg_planes(path, params, quality,
@@ -652,15 +660,16 @@ class DevelopEngine:
                                             optimize=jpeg_optimize,
                                             chroma=chroma,
                                             restart_rows=jpeg_restart_rows,
-                                            rotate=rotate, crop=crop)
+                                            rotate=rotate, crop=crop,
+                                            lens=lens)
             if jpeg is not None:
                 return jpeg
         words_dev = self.full_rgba_device(params)
-        if rotate or crop is not None:
+        if rotate or crop is not None or lens is not None:
             from raweditor_tpu.ops.geometry import rotate_crop_rgba_words
 
             words_dev = rotate_crop_rgba_words(words_dev, float(rotate),
-                                               crop)
+                                               crop, lens=lens)
         if long_edge:
             from raweditor_tpu.ops.resize import (long_edge_shape,
                                                   resize_rgba_words)
@@ -747,7 +756,7 @@ class DevelopEngine:
                             optimize: bool = False,
                             chroma: str = "420",
                             restart_rows: int = 0,
-                            rotate: float = 0.0, crop=None):
+                            rotate: float = 0.0, crop=None, lens=None):
         """JPEG export via device YCbCr planes + the native JFIF
         encoder (the batch exporter's transport-optimized path,
         ops/jpeg.py): 1.5 bytes/pixel fetched instead of 4 (chroma
@@ -775,11 +784,11 @@ class DevelopEngine:
                 or (not full_chroma and (out_h % 2 or out_w % 2))):
             return None
         words_dev = self.full_rgba_device(params)
-        if rotate or crop is not None:
+        if rotate or crop is not None or lens is not None:
             from raweditor_tpu.ops.geometry import rotate_crop_rgba_words
 
             words_dev = rotate_crop_rgba_words(words_dev, float(rotate),
-                                               crop)
+                                               crop, lens=lens)
         if (out_h, out_w) != (geo_h, geo_w):
             from raweditor_tpu.ops.resize import resize_rgba_words
 
@@ -817,7 +826,7 @@ class DevelopEngine:
 
     def export_tiff16(self, path: os.PathLike, params: EditParams,
                       long_edge: int = None, rotate: float = 0.0,
-                      crop=None) -> str:
+                      crop=None, lens=None) -> str:
         """Full-res develop at 16 bits/channel → uncompressed RGB TIFF.
         The polynomial fast gamma is u8-accuracy (~6 LSBs of u16), so
         16-bit output always uses the exact transfer."""
@@ -862,10 +871,10 @@ class DevelopEngine:
         # fetch at the end (the old per-stage np.asarray ping-ponged
         # ~144 MB of extra transfers at 24 MP over a link the docs
         # describe as minutes-slow; code-review r3).
-        if rotate or crop is not None:
+        if rotate or crop is not None or lens is not None:
             from raweditor_tpu.ops.geometry import rotate_crop_u16
 
-            rgb = rotate_crop_u16(rgb, float(rotate), crop)
+            rgb = rotate_crop_u16(rgb, float(rotate), crop, lens=lens)
         if long_edge:
             from raweditor_tpu.ops.resize import (long_edge_shape,
                                                   resize_rgb16)

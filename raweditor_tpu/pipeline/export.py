@@ -501,6 +501,7 @@ def run_batch_export(
     color_space: str = "srgb",
     rotate: float = 0.0,
     crop=None,
+    lens=None,
 ) -> ExportReport:
     """Develop and encode every job; returns a report with throughput
     and the per-image quarantine list.
@@ -975,7 +976,8 @@ def run_batch_export(
 
                 resize_changes = (
                     long_edge_shape(h_m, w_m, long_edge) != (h_m, w_m))
-            geometry_on = bool(rotate) or crop is not None
+            geometry_on = (bool(rotate) or crop is not None
+                           or lens is not None)
             # Extras on mesh-less 8-bit flushes ALWAYS ride the fused
             # post-pass kernel (with its own XLA-words fallback),
             # regardless of --fast: the in-chain XLA extras
@@ -1240,14 +1242,14 @@ def run_batch_export(
 
                     out = jax.vmap(
                         lambda x: rotate_crop_u16(x, float(rotate),
-                                                  crop))(out)
+                                                  crop, lens=lens))(out)
                 else:
                     from raweditor_tpu.ops.geometry import (
                         rotate_crop_rgba_words_batch,
                     )
 
                     out = rotate_crop_rgba_words_batch(
-                        out, float(rotate), crop)
+                        out, float(rotate), crop, lens=lens)
                 h_, w_ = out.shape[1], out.shape[2]
             if long_edge:
                 # Device-side long-edge resize (Lanczos3): only the
