@@ -48,11 +48,43 @@ def _add_slider_args(p: argparse.ArgumentParser) -> None:
             f"--{name.replace('_', '-')}", type=float, default=None,
             help=f"{name} ({lo:g}..{hi:g})",
         )
+    p.add_argument("--local", action="append", default=None,
+                   metavar="KIND:K=V,...",
+                   help="append a local-adjustment mask (repeatable): "
+                        "KIND in {linear,radial,luma} with "
+                        "comma-separated fields, e.g. "
+                        "'linear:x0=0.5,y0=0,x1=0.5,y1=0.6,exposure=-1' "
+                        "or 'radial:x0=0.3,y0=0.4,x1=0.2,y1=0.2,"
+                        "saturation=40' (ops/local_adjust.py for the "
+                        "field list; composes on top of stored masks)")
     p.add_argument("--preset", default=None, metavar="NAME",
                    help="apply a saved develop preset (sparse compose "
                         "on top of stored edits/defaults; explicit "
                         "slider flags override it; see the preset "
                         "subcommand)")
+
+
+def _parse_local_spec(spec: str):
+    """'kind:k=v,k=v' → LocalAdjust (usage errors, not tracebacks)."""
+    from raweditor_tpu.ops.local_adjust import LocalAdjust
+
+    kind, _, rest = spec.partition(":")
+    data = {"kind": kind.strip()}
+    if rest.strip():
+        for part in rest.split(","):
+            k, eq, v = part.partition("=")
+            if not eq:
+                raise SystemExit(
+                    f"--local: expected K=V, got {part!r} in {spec!r}")
+            try:
+                data[k.strip()] = float(v)
+            except ValueError:
+                raise SystemExit(
+                    f"--local: {k.strip()} needs a number, got {v!r}")
+    try:
+        return LocalAdjust.from_dict(data)
+    except ValueError as e:
+        raise SystemExit(f"--local: {e}")
 
 
 def _params_from_args(args, base: EditParams = None) -> EditParams:
@@ -75,6 +107,10 @@ def _params_from_args(args, base: EditParams = None) -> EditParams:
     for name, value in overrides.items():
         if not math.isfinite(value):
             raise SystemExit(f"--{name} must be finite, got {value}")
+    specs = getattr(args, "local", None) or ()
+    if specs:
+        masks = tuple(_parse_local_spec(sp) for sp in specs)
+        overrides["locals"] = tuple(params.locals) + masks
     return params.replace(**overrides)
 
 
@@ -936,6 +972,7 @@ def cmd_export(args) -> int:
         # edits (the export parser advertises every slider; they were
         # silently dropped for catalog exports — code-review r3).
         if (getattr(args, "preset", None)
+                or getattr(args, "local", None)
                 or any(getattr(args, n, None) is not None
                        for n in EditParams.field_names())):
             import dataclasses as _dc

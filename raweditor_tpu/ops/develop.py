@@ -204,6 +204,30 @@ def finish_to_u16(r, g, b, transfer: str = "gamma22", extras=None):
     return quant(r), quant(g), quant(b)
 
 
+def _apply_locals(r, g, b, params: EditParams, full_h: int, full_w: int,
+                  xi=None, yi=None):
+    """Local-adjustment stage (ops/local_adjust.py) on the linear
+    planes, right after the global edit stack. Gated STRUCTURALLY:
+    ``params.locals`` is part of the params pytree, so this branch is
+    static under jit and the default empty tuple adds nothing to the
+    trace. ``xi``/``yi`` are the sampled source indices on preview
+    grids (None = full render), so masks select the same PICTURE
+    regions at every zoom."""
+    if not params.locals:
+        return r, g, b
+    from raweditor_tpu.ops.local_adjust import (
+        apply_local_adjustments,
+        full_grid_norm,
+        sampled_grid_norm,
+    )
+
+    if xi is None:
+        cols, rows = full_grid_norm(full_h, full_w)
+    else:
+        cols, rows = sampled_grid_norm(xi, yi, full_w, full_h)
+    return apply_local_adjustments(r, g, b, params.locals, cols, rows)
+
+
 def _extras_of(params: EditParams, extras):
     """The (sharpen, denoise, curve-4-tuple, vignette, clarity,
     mixer, stencils) traced amounts for the finish stage, or None —
@@ -256,6 +280,7 @@ def develop_u16(
     r, g, b = _demosaic.demosaic(norm, demosaic_method, cfa_phase)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix,
                                matrix_transpose)
+    r, g, b = _apply_locals(r, g, b, params, *mosaic.shape)
     r, g, b = finish_to_u16(r, g, b, transfer=transfer,
                             extras=_extras_of(params, extras))
     return jnp.stack([r, g, b], axis=-1)
@@ -342,6 +367,7 @@ def develop(
     norm = _normalize(mosaic, white_level, black_level)
     r, g, b = _demosaic.demosaic(norm, demosaic_method, cfa_phase)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix, matrix_transpose)
+    r, g, b = _apply_locals(r, g, b, params, *mosaic.shape)
     r, g, b = finish_to_u8(r, g, b, transfer=transfer,
                            extras=_extras_of(params, extras))
     return jnp.stack([r, g, b], axis=-1)
@@ -378,6 +404,7 @@ def develop_rgba(
     norm = _normalize(mosaic, white_level, black_level)
     r, g, b = _demosaic.demosaic(norm, demosaic_method, cfa_phase)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix, matrix_transpose)
+    r, g, b = _apply_locals(r, g, b, params, *mosaic.shape)
     return finish_to_rgba_u32(r, g, b, transfer=transfer,
                               extras=_extras_of(params, extras))
 
@@ -427,6 +454,7 @@ def develop_preview(
     norm = _normalize(mosaic, white_level, black_level)
     r, g, b = _demosaic.demosaic_nearest_sampled(norm, yi, xi, cfa_phase)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix, matrix_transpose)
+    r, g, b = _apply_locals(r, g, b, params, h, w, xi=xi, yi=yi)
     r, g, b = finish_to_u8(r, g, b, valid=valid, transfer=transfer,
                            extras=_extras_of(params, extras))
     return jnp.stack([r, g, b], axis=-1)
@@ -480,6 +508,7 @@ def develop_xtrans(
         )
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix,
                                matrix_transpose)
+    r, g, b = _apply_locals(r, g, b, params, *mosaic.shape)
     ex = _extras_of(params, extras)
     if rgba:
         return finish_to_rgba_u32(r, g, b, transfer=transfer, extras=ex)
@@ -533,6 +562,7 @@ def develop_xtrans_preview(
                                                side)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix,
                                matrix_transpose)
+    r, g, b = _apply_locals(r, g, b, params, h, w, xi=xi, yi=yi)
     r, g, b = finish_to_u8(r, g, b, valid=valid, transfer=transfer,
                            extras=_extras_of(params, extras))
     return jnp.stack([r, g, b], axis=-1)
@@ -566,6 +596,7 @@ def develop_linear(
     b = _normalize(rgb_u16[..., 2], white_level, black_level)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix,
                                matrix_transpose)
+    r, g, b = _apply_locals(r, g, b, params, *rgb_u16.shape[:2])
     ex = _extras_of(params, extras)
     if rgba:
         return finish_to_rgba_u32(r, g, b, transfer=transfer, extras=ex)
@@ -609,6 +640,7 @@ def develop_linear_preview(
     b = _normalize(sub[..., 2], white_level, black_level)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix,
                                matrix_transpose)
+    r, g, b = _apply_locals(r, g, b, params, h, w, xi=xi, yi=yi)
     r, g, b = finish_to_u8(r, g, b, valid=valid, transfer=transfer,
                            extras=_extras_of(params, extras))
     return jnp.stack([r, g, b], axis=-1)

@@ -30,14 +30,41 @@ _F = jnp.float32
 
 
 def pack_params(params_list) -> EditParams:
-    """Stack a list of EditParams into one EditParams of (N,) leaves."""
+    """Stack a list of EditParams into one EditParams of (N,) leaves.
+
+    Local-adjustment masks pack too (per-mask (N,) leaves) when every
+    image shares the same mask STRUCTURE (count + kinds) — the batch
+    exporter buckets by that signature, so inside one batch this
+    always holds; a mixed list is a caller bug and raises."""
+    sigs = {tuple(m.kind for m in p.locals) for p in params_list}
+    if len(sigs) > 1:
+        raise ValueError(
+            f"pack_params needs a uniform locals structure, got {sigs}")
+    kinds = sigs.pop() if sigs else ()
+    extra = {}
+    if kinds:
+        from raweditor_tpu.ops.local_adjust import (
+            _DATA_FIELDS,
+            LocalAdjust,
+        )
+
+        extra["locals"] = tuple(
+            LocalAdjust(kind=k, **{
+                f: jnp.asarray(
+                    [float(getattr(p.locals[i], f))
+                     for p in params_list], dtype=_F)
+                for f in _DATA_FIELDS
+            })
+            for i, k in enumerate(kinds)
+        )
     return EditParams(
         **{
             name: jnp.asarray(
                 [float(getattr(p, name)) for p in params_list], dtype=_F
             )
             for name in EditParams.field_names()
-        }
+        },
+        **extra,
     )
 
 
@@ -56,11 +83,13 @@ def _develop_one(mosaic, params, wb, cm, white_level, black_level,
                  matrix_transpose, rgba=False, cfa_phase=(0, 0),
                  transfer="gamma22", demosaic_method="nearest",
                  extras=False):
-    from raweditor_tpu.ops.develop import _extras_of, _normalize
+    from raweditor_tpu.ops.develop import (_apply_locals, _extras_of,
+                                           _normalize)
 
     norm = _normalize(mosaic, white_level, black_level)
     r, g, b = _demosaic.demosaic(norm, demosaic_method, cfa_phase)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cm, matrix_transpose)
+    r, g, b = _apply_locals(r, g, b, params, *mosaic.shape)
     ex = _extras_of(params, extras)
     if rgba:
         return finish_to_rgba_u32(r, g, b, transfer=transfer, extras=ex)

@@ -156,6 +156,12 @@ class EditParams:
     lum_blue: Any = 0.0
     lum_purple: Any = 0.0
     lum_magenta: Any = 0.0
+    # Local adjustments (ops/local_adjust.py): an ordered tuple of
+    # LocalAdjust masks. Part of the pytree STRUCTURE, so the develop
+    # programs specialize on the mask count/kinds statically — the
+    # default empty tuple adds nothing to the trace (parity bit-exact
+    # by construction) and dragging a mask never recompiles.
+    locals: Any = ()
 
     # -- persistence (serde-compatible JSON) -----------------------------
     def to_json(self) -> str:
@@ -171,6 +177,8 @@ class EditParams:
             v = float(getattr(self, name))
             if v != _DEFAULTS[name]:
                 data[name] = v
+        if self.locals:
+            data["locals"] = [m.to_dict() for m in self.locals]
         return json.dumps(data)
 
     @classmethod
@@ -183,18 +191,27 @@ class EditParams:
         to survive forward-compatible catalogs).
         """
         data = json.loads(payload)
+        locals_ = ()
+        if "locals" in data:
+            from raweditor_tpu.ops.local_adjust import LocalAdjust
+
+            raw = data.pop("locals")
+            if not isinstance(raw, list):
+                raise ValueError("'locals' must be a list of masks")
+            locals_ = tuple(LocalAdjust.from_dict(m) for m in raw)
         unknown = set(data) - set(_FIELDS)
         if unknown:
             raise ValueError(f"unknown edit parameter(s): {sorted(unknown)}")
         merged = dict(_DEFAULTS)
         merged.update({k: float(v) for k, v in data.items()})
-        return cls(**merged)
+        return cls(locals=locals_, **merged)
 
     # -- convenience -----------------------------------------------------
     def is_unedited(self) -> bool:
         """True when every slider is at its default
-        (reference: state/edit.rs:115-117)."""
-        return all(
+        (reference: state/edit.rs:115-117) and no local-adjustment
+        masks exist."""
+        return not self.locals and all(
             float(getattr(self, name)) == _DEFAULTS[name] for name in _FIELDS
         )
 

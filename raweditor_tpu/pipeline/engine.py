@@ -242,9 +242,18 @@ class DevelopEngine:
     def _float_params(params: EditParams) -> EditParams:
         """AOT executables are compiled for weak-f32 param leaves; an
         integer-valued EditParams (legal for the jit path) must not
-        turn into an aval-mismatch TypeError at dispatch."""
+        turn into an aval-mismatch TypeError at dispatch. Local masks
+        are preserved (floated) — callers route locals-active params
+        off the AOT lane, but the jit lanes reuse this for the same
+        dtype discipline."""
+        locals_ = tuple(
+            m.replace(**{f: float(getattr(m, f))
+                         for f in type(m).__dataclass_fields__
+                         if f != "kind"})
+            for m in params.locals)
         return EditParams(**{n: float(getattr(params, n))
-                             for n in EditParams.field_names()})
+                             for n in EditParams.field_names()},
+                          locals=locals_)
 
     def preview_device(self, params: EditParams, zoom: float = 1.0,
                        pan: Tuple[float, float] = (0.0, 0.0)):
@@ -252,7 +261,7 @@ class DevelopEngine:
         minus the synchronous readback). Dispatches through the AOT
         executable when compile_preview() has run."""
         ex = params.finish_extras_mode()
-        if self._aot_preview is not None and not ex:
+        if self._aot_preview is not None and not ex and not params.locals:
             r, _ = self._aot_preview(self.mosaic,
                                      self._float_params(params),
                                      float(zoom),
@@ -308,10 +317,10 @@ class DevelopEngine:
         cache would pay). Returns the device-resident preview after
         its checksum byte has arrived on the host — the render is
         provably finished, not just enqueued."""
-        if params.has_finish_extras():
-            # The AOT executables are compiled extras-free; the jit
-            # cache holds the extras variant (one extra compile the
-            # first time a session enables sharpen/denoise).
+        if params.has_finish_extras() or params.locals:
+            # The AOT executables are compiled extras-free and
+            # mask-free; the jit cache holds those variants (one extra
+            # compile the first time a session enables them).
             import jax.numpy as jnp
 
             r = self._preview_program(
@@ -411,7 +420,8 @@ class DevelopEngine:
         (reference: gpu/pipeline.rs:615-736). Dispatches through the
         AOT executable when compile_preview() has run."""
         ex = params.finish_extras_mode()
-        if self._aot_histogram is not None and not ex:
+        if (self._aot_histogram is not None and not ex
+                and not params.locals):
             return np.asarray(self._aot_histogram(
                 self.mosaic, self._float_params(params), float(zoom),
                 float(pan[0]), float(pan[1])))
@@ -518,6 +528,7 @@ class DevelopEngine:
             if (self.use_pallas
                     and self.demosaic_method == "grad"
                     and self.transfer in PALLAS_GAMMA_BY_TRANSFER
+                    and not params.locals
                     and not getattr(self, "_pallas_grad_failed", False)):
                 from raweditor_tpu.ops.pallas_develop import (
                     pallas_develop_rgba,
@@ -563,6 +574,7 @@ class DevelopEngine:
                 and self.demosaic_method in ("nearest", "bilinear",
                                              "malvar", "grad")
                 and self.transfer in PALLAS_GAMMA_BY_TRANSFER
+                and not params.locals
                 and not getattr(self, "_pallas_failed", False)):
             from raweditor_tpu.ops.pallas_develop import (
                 pallas_develop_rgba,

@@ -406,8 +406,12 @@ class _Batcher:
         # depend on which jobs share its batch — the bit-exact
         # default must not be batch-composition-dependent
         # (code-review r3).
+        # Locals split the bucket too: the mask structure (count +
+        # kinds) is part of the compiled program AND pack_params needs
+        # it uniform per batch.
         key = (item.mosaic.shape, item.cfa_phase,
-               item.job.params.has_finish_extras())
+               item.job.params.has_finish_extras(),
+               tuple(m.kind for m in item.job.params.locals))
         bucket = self.buckets.setdefault(key, [])
         bucket.append(item)
         if len(bucket) >= self.batch_size:
@@ -825,6 +829,12 @@ def run_batch_export(
             # the extra stencil work (zero-amount images inside such a
             # batch develop within 1 LSB of their extras-off render).
             ex_on = any(d.job.params.has_finish_extras() for d in batch)
+            # Local adjustments (ops/local_adjust.py): the bucket key
+            # guarantees a uniform mask structure per batch. The fused
+            # Pallas kernels don't carry the locals stage, so
+            # locals-active batches stay on the XLA lanes (which fuse
+            # the pointwise masks into the develop program for free).
+            locals_on = bool(batch[0].job.params.locals)
             # The static extras specialization for the XLA lanes:
             # "base" skips the whole-frame clarity pyramid at trace
             # time when no image in the flush uses clarity; the
@@ -1102,6 +1112,7 @@ def run_batch_export(
                 # RGBA words (so the kernel emits words, and the
                 # JPEG-plane conversion happens in the tail pass).
                 if (pallas_ok and demosaic_method == "grad"
+                        and not locals_on
                         and pl_key not in _pallas_failed):
                     from raweditor_tpu.ops.pallas_develop import (
                         pallas_batch_develop_rgba,
@@ -1152,7 +1163,8 @@ def run_batch_export(
                 out = None
                 pl_key = (mosaics.shape, demosaic_method, phase,
                           xla_output, ex_on)
-                if pallas_ok and pl_key not in _pallas_failed:
+                if (pallas_ok and not locals_on
+                        and pl_key not in _pallas_failed):
                     from raweditor_tpu.ops.pallas_develop import (
                         pallas_batch_develop_rgba,
                         pallas_finish_extras_rgba,
@@ -1197,7 +1209,7 @@ def run_batch_export(
                         out = _extras_post_batch(
                             out, padded, pallas_finish_extras_rgba,
                             xla_output)
-            elif (demosaic_method == "grad" or ex_on
+            elif (demosaic_method == "grad" or ex_on or locals_on
                   or h_m % (2 * dict(mesh.shape).get("row", 1))):
                 # grad's receptive field — and the finish extras'
                 # stencils — exceed the shard_map path's fixed 2-row

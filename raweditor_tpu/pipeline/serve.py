@@ -28,8 +28,8 @@ from typing import Optional
 # Every verb session.handle dispatches — the greeting advertises these
 # and the engine guard below recognizes them.
 _COMMANDS = ("open", "set", "zoom", "pan", "render", "frame", "full",
-             "histogram", "before", "auto", "preset", "checkpoint",
-             "undo", "history", "reset", "stats", "quit")
+             "histogram", "before", "auto", "preset", "local",
+             "checkpoint", "undo", "history", "reset", "stats", "quit")
 
 
 class _Handler(socketserver.StreamRequestHandler):

@@ -85,6 +85,77 @@ class DevelopSession:
         return {"ok": True, "slider": name, "value": float(value),
                 "render_ms": round(ms, 3)}
 
+    def local_cmd(self, *args) -> dict:
+        """Local-adjustment masks (ops/local_adjust.py):
+        ``local list`` / ``local add <kind> [K=V ...]`` /
+        ``local set <index> <field> <value>`` / ``local del <index>``
+        / ``local clear``. Mask geometry/deltas re-render and persist
+        like any slider tick."""
+        from raweditor_tpu.ops.local_adjust import (
+            _DATA_FIELDS,
+            LocalAdjust,
+        )
+
+        op = args[0] if args else "list"
+        if op == "list":
+            return {"ok": True,
+                    "locals": [m.to_dict() for m in self.params.locals]}
+        if op == "clear":
+            self.params = self.params.replace(locals=())
+            self._persist_params()
+            ms = self._timed_tick()
+            return {"ok": True, "locals": [],
+                    "render_ms": round(ms, 3)}
+        if op == "add":
+            if len(args) < 2:
+                raise ValueError("usage: local add <kind> [K=V ...]")
+            data = {"kind": args[1]}
+            for part in args[2:]:
+                k, eq, v = part.partition("=")
+                if not eq:
+                    raise ValueError(f"expected K=V, got {part!r}")
+                data[k] = float(v)
+            mask = LocalAdjust.from_dict(data)
+            self.params = self.params.replace(
+                locals=tuple(self.params.locals) + (mask,))
+            self._persist_params()
+            ms = self._timed_tick()
+            return {"ok": True, "index": len(self.params.locals) - 1,
+                    "mask": mask.to_dict(), "render_ms": round(ms, 3)}
+        if op in ("set", "del"):
+            if len(args) < (4 if op == "set" else 2):
+                raise ValueError(
+                    "usage: local set <index> <field> <value> | "
+                    "local del <index>")
+            idx = int(args[1])
+            masks = list(self.params.locals)
+            if not (0 <= idx < len(masks)):
+                raise ValueError(
+                    f"no local adjustment at index {idx} "
+                    f"({len(masks)} defined)")
+            if op == "del":
+                masks.pop(idx)
+            else:
+                field = args[2]
+                if field not in _DATA_FIELDS:
+                    raise ValueError(
+                        f"unknown mask field {field!r} "
+                        f"(one of {_DATA_FIELDS})")
+                value = float(args[3])
+                if not math.isfinite(value):
+                    raise ValueError(f"{field} must be finite, got "
+                                     f"{value}")
+                masks[idx] = masks[idx].replace(**{field: value})
+            self.params = self.params.replace(locals=tuple(masks))
+            self._persist_params()
+            ms = self._timed_tick()
+            out = {"ok": True, "locals": [m.to_dict()
+                                          for m in self.params.locals],
+                   "render_ms": round(ms, 3)}
+            return out
+        raise ValueError(
+            f"unknown local op {op!r} (list|add|set|del|clear)")
+
     def _persist_params(self) -> None:
         """Persist on every tick, like the reference
         (reference: main.rs:1095-1106). A frozen (checkpointed) row is
@@ -343,6 +414,8 @@ class DevelopSession:
                 return self.preset(*args)
             if cmd == "open":
                 return self.open(args[0])
+            if cmd == "local":
+                return self.local_cmd(*args)
             if cmd == "stats":
                 return self.stats()
             return {"ok": False, "error": f"unknown command {cmd!r}"}

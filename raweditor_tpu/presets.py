@@ -62,6 +62,10 @@ def save_preset(name: str, params: EditParams) -> str:
         for field in _FIELDS
         if float(getattr(params, field)) != _DEFAULTS[field]
     }
+    if params.locals:
+        # Local-adjustment masks are preset-able too (the "graduated
+        # sky" workflow): stored as their sparse dicts.
+        sparse["locals"] = [m.to_dict() for m in params.locals]
     if not sparse:
         raise ValueError(
             "refusing to save an empty preset (all sliders at their "
@@ -93,6 +97,7 @@ def load_preset(name: str) -> Dict[str, float]:
         raise ValueError(f"preset {name!r} is not valid JSON: {e}")
     if not isinstance(data, dict):
         raise ValueError(f"preset {name!r} must be a JSON object")
+    locals_raw = data.pop("locals", None)
     unknown = set(data) - set(_FIELDS)
     if unknown:
         raise ValueError(
@@ -113,6 +118,17 @@ def load_preset(name: str) -> Dict[str, float]:
             raise ValueError(
                 f"preset {name!r} field {k!r} must be finite, got {v}")
         out[k] = float(v)
+    if locals_raw is not None:
+        from raweditor_tpu.ops.local_adjust import LocalAdjust
+
+        if not isinstance(locals_raw, list):
+            raise ValueError(
+                f"preset {name!r}: 'locals' must be a list of masks")
+        try:
+            out["locals"] = tuple(
+                LocalAdjust.from_dict(m) for m in locals_raw)
+        except (TypeError, ValueError) as e:
+            raise ValueError(f"preset {name!r}: {e}")
     return out
 
 
