@@ -102,10 +102,14 @@ def main() -> None:
     crisp = work / "crisp.jpg"
     eng2.export(crisp, EditParams(exposure=0.3, sharpen=80.0,
                                   denoise=30.0, clarity=40.0,
-                                  curve_shadows=25.0, vignette=-20.0),
+                                  curve_shadows=25.0, vignette=-20.0,
+                                  grade_shadow_hue=30.0,
+                                  grade_shadow_sat=25.0,
+                                  grade_high_hue=220.0,
+                                  grade_high_sat=15.0),
                 quality=92)
-    print("finished jpeg (sharpen+denoise+curve+clarity+vignette):",
-          crisp.stat().st_size, "bytes")
+    print("finished jpeg (sharpen+denoise+curve+clarity+vignette"
+          "+split-tone):", crisp.stat().st_size, "bytes")
 
     # Presets: save the look, reapply it by name.
     import os as _os

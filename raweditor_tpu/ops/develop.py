@@ -230,31 +230,31 @@ def _apply_locals(r, g, b, params: EditParams, full_h: int, full_w: int,
 
 def _extras_of(params: EditParams, extras):
     """The (sharpen, denoise, curve-4-tuple, vignette, clarity,
-    mixer, stencils) traced amounts for the finish stage, or None —
-    the positional contract of ``apply_finish_extras(r, g, b,
+    mixer, grading, stencils) traced amounts for the finish stage, or
+    None — the positional contract of ``apply_finish_extras(r, g, b,
     *extras)``.
 
     ``extras`` is STATIC (callers derive it host-side via
     EditParams.finish_extras_mode): False/None = off (the default
     develop never traces the finish ops — bit-exactness by
-    construction); "base" = stencil/curve/vignette extras with
-    clarity statically OFF (a literal 0.0 sentinel lets
+    construction), True = the legacy everything-on flag, otherwise a
+    "+"-joined combination of parts: "base" = stencil/curve/vignette
+    extras with clarity statically OFF (a literal 0.0 sentinel lets
     apply_finish_extras skip the whole-frame pyramid at trace time);
-    "full" (or the legacy True) = everything, clarity traced;
-    "mixer" = the HSL mixer only (ops/mixer.py — the stencil stages
-    are skipped at trace time); "base+mixer"/"full+mixer" = both."""
+    "full" = stencils with clarity traced; "mixer" = the HSL mixer
+    (ops/mixer.py); "grading" = color grading (ops/grading.py). A
+    mode without base/full skips the stencil stages at trace time."""
     if not extras:
         return None
-    mixer_on = isinstance(extras, str) and "mixer" in extras
-    stencils = extras is True or extras in (
-        "base", "full", "base+mixer", "full+mixer")
-    clar = params.clarity if extras in (
-        True, "full", "full+mixer") else 0.0
-    mixer = params.mixer_values() if mixer_on else None
+    parts = set(extras.split("+")) if isinstance(extras, str) else set()
+    stencils = extras is True or bool(parts & {"base", "full"})
+    clar = params.clarity if (extras is True or "full" in parts) else 0.0
+    mixer = params.mixer_values() if "mixer" in parts else None
+    grading = params.grading_values() if "grading" in parts else None
     return (params.sharpen, params.denoise,
             (params.curve_shadows, params.curve_darks,
              params.curve_lights, params.curve_highlights),
-            params.vignette, clar, mixer, stencils)
+            params.vignette, clar, mixer, grading, stencils)
 
 
 @functools.partial(

@@ -216,7 +216,8 @@ def apply_clarity_words(words, clarity):
 
 
 def extras_core(r, g, b, sharpen, denoise, curve, vignette, r2,
-                up, dn, lf, rt, mixer=None, stencils=True):
+                up, dn, lf, rt, mixer=None, grading=None,
+                stencils=True):
     """The extras math on encoded [0, 1] planes, parameterized over
     ±1-shift closures so the XLA path (edge-pad shifts) and the Pallas
     kernel (roll + edge-fixup shifts, ops/pallas_develop.py) share one
@@ -231,18 +232,24 @@ def extras_core(r, g, b, sharpen, denoise, curve, vignette, r2,
     clamped to [0, 1].
 
     ``mixer`` is None (statically off) or the 24-tuple of HSL-mixer
-    amounts (ops/mixer.py), applied POINTWISE before the stencil
-    stages — pointwise, so it joins the Pallas band and the XLA chain
-    identically. ``stencils`` is a STATIC flag: False skips every
-    stencil/curve/vignette stage at trace time (the "mixer"-only
-    extras mode — an in-chain XLA render would otherwise materialize
-    the tent stages for sliders known to be zero)."""
+    amounts (ops/mixer.py), and ``grading`` None or the 7-tuple of
+    color-grading amounts (ops/grading.py) — both applied POINTWISE
+    (mixer first, then grading) before the stencil stages, so they
+    join the Pallas band and the XLA chain identically. ``stencils``
+    is a STATIC flag: False skips every stencil/curve/vignette stage
+    at trace time (the pointwise-only extras modes — an in-chain XLA
+    render would otherwise materialize the tent stages for sliders
+    known to be zero)."""
     if mixer is not None:
         from raweditor_tpu.ops.mixer import apply_hsl_mixer
 
         r, g, b = apply_hsl_mixer(r, g, b, mixer)
+    if grading is not None:
+        from raweditor_tpu.ops.grading import apply_color_grading
+
+        r, g, b = apply_color_grading(r, g, b, grading)
     if not stencils:
-        # Mixer-only: apply_hsl_mixer already clamped to [0, 1].
+        # Pointwise-only: the mixer/grading already clamped to [0, 1].
         return r, g, b
     sharpen = jnp.asarray(sharpen, jnp.float32)
     denoise = jnp.asarray(denoise, jnp.float32)
@@ -310,7 +317,7 @@ _ZERO_CURVE = (0.0, 0.0, 0.0, 0.0)
 
 def apply_finish_extras(r, g, b, sharpen, denoise, curve=_ZERO_CURVE,
                         vignette=0.0, clarity=0.0, mixer=None,
-                        stencils=True):
+                        grading=None, stencils=True):
     """Sharpen + denoise + parametric tone curve + vignette on
     transfer-encoded [0, 1] RGB planes — the XLA in-chain execution of
     :func:`extras_core`.
@@ -319,10 +326,11 @@ def apply_finish_extras(r, g, b, sharpen, denoise, curve=_ZERO_CURVE,
     ``curve`` is (shadows, darks, lights, highlights); the vignette's
     radial plane is this grid's own (zoomed previews therefore
     approximate it over the viewport — exports are full-frame and
-    exact); ``mixer``/``stencils`` as in :func:`extras_core` (both
-    static in structure: clarity runs first, then the mixer, then the
-    stencil stages — the same order as the words-domain composition,
-    so every route agrees); returns (r, g, b) clamped to [0, 1]."""
+    exact); ``mixer``/``grading``/``stencils`` as in
+    :func:`extras_core` (all static in structure: clarity runs first,
+    then the mixer, then grading, then the stencil stages — the same
+    order as the words-domain composition, so every route agrees);
+    returns (r, g, b) clamped to [0, 1]."""
     if not _is_static_zero(clarity):
         # A statically-known zero (the "clarity off" sentinel from
         # develop._extras_of, or any concrete host-side zero — numpy
@@ -334,12 +342,14 @@ def apply_finish_extras(r, g, b, sharpen, denoise, curve=_ZERO_CURVE,
     up, dn, lf, rt = _pad_shift_fns()
     r2 = radial_sq(r.shape[-2], r.shape[-1])
     return extras_core(r, g, b, sharpen, denoise, curve, vignette, r2,
-                       up, dn, lf, rt, mixer=mixer, stencils=stencils)
+                       up, dn, lf, rt, mixer=mixer, grading=grading,
+                       stencils=stencils)
 
 
 def finish_extras_rgba_words(words, sharpen, denoise,
                              curve=_ZERO_CURVE, vignette=0.0,
-                             clarity=0.0, mixer=None, stencils=True):
+                             clarity=0.0, mixer=None, grading=None,
+                             stencils=True):
     """Behavioral reference for the Pallas post-pass: packed-RGBA u32
     (..., H, W) → u32, extras applied on the quantized u8 values
     rescaled to [0, 1], requantized with the finish rounding
@@ -347,5 +357,5 @@ def finish_extras_rgba_words(words, sharpen, denoise,
     r, g, b = words_to_planes(words)
     r, g, b = apply_finish_extras(r, g, b, sharpen, denoise, curve,
                                   vignette, clarity, mixer=mixer,
-                                  stencils=stencils)
+                                  grading=grading, stencils=stencils)
     return planes_to_words(r, g, b)

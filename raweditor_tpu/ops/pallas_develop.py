@@ -1252,8 +1252,8 @@ def pallas_develop_rgba(
 
 
 def _extras_window(v_words, off, i, bh, w, true_h, true_w, sharpen,
-                   denoise, curve, vignette, mixer=None, stencils=True,
-                   output="rgba"):
+                   denoise, curve, vignette, mixer=None, grading=None,
+                   stencils=True, output="rgba"):
     """Extras over one realigned (bh+8)-row band of packed-RGBA words:
     unpack u8 → [0, 1] planes, run ops/extras.extras_core with
     roll-based shift closures, requantize with the finish rounding,
@@ -1290,7 +1290,7 @@ def _extras_window(v_words, off, i, bh, w, true_h, true_w, sharpen,
                    cols=cols.astype(jnp.float32))
     r, g, b = extras_core(r, g, b, sharpen, denoise, curve, vignette,
                           r2, up, dn, lf, rt, mixer=mixer,
-                          stencils=stencils)
+                          grading=grading, stencils=stencils)
 
     def qi(c):
         # floor(c·255 + 0.5); f32→u32 goes via int32 (Mosaic cast
@@ -1312,6 +1312,7 @@ def _extras_kernel_flat(scal_ref, words_hbm, *refs,
                         block_h: int, steps: int, total: int,
                         img_h: int, width: int, true_h: int,
                         true_w: int, mixer_on: bool = False,
+                        grading_on: bool = False,
                         stencils: bool = True, output: str = "rgba"):
     """Double-buffered flat-grid body for the extras post-pass — the
     same window/DMA scheme as _kernel_flat, on u32 words."""
@@ -1351,11 +1352,15 @@ def _extras_kernel_flat(scal_ref, words_hbm, *refs,
     _, off = window(g)
     mix = (tuple(scal_ref[nimg, kk] for kk in range(7, 31))
            if mixer_on else None)
+    # Grading columns sit after the (optional) mixer block.
+    g0 = 7 + (24 if mixer_on else 0)
+    grd = (tuple(scal_ref[nimg, kk] for kk in range(g0, g0 + 7))
+           if grading_on else None)
     res = _extras_window(scratch[slot], off, i, block_h, width,
                          true_h, true_w, scal_ref[nimg, 0],
                          scal_ref[nimg, 1],
                          tuple(scal_ref[nimg, kk] for kk in range(2, 6)),
-                         scal_ref[nimg, 6], mixer=mix,
+                         scal_ref[nimg, 6], mixer=mix, grading=grd,
                          stencils=stencils, output=output)
     if output == "rgba":
         out_ref[0] = res
@@ -1371,6 +1376,7 @@ def pallas_finish_extras_rgba(words, sharpen=0.0, denoise=0.0,
                               curve=(0.0, 0.0, 0.0, 0.0),
                               vignette=0.0,
                               mixer=None,
+                              grading=None,
                               block_h: int | None = None,
                               interpret: bool = False,
                               output: str = "rgba",
@@ -1391,11 +1397,13 @@ def pallas_finish_extras_rgba(words, sharpen=0.0, denoise=0.0,
     ``sharpen``/``denoise`` are traced scalars, or (N,) arrays for
     per-image amounts on batched input. ``mixer`` is None (statically
     off) or the 24 HSL-mixer amounts (ops/mixer.py) as (24,) or
-    (N, 24) — applied pointwise inside the band before the stencil
-    stages; ``stencils=False`` (static) skips the stencil stages for
-    mixer-only flushes. Quantize-then-filter adds ≤1/255 of input
-    rounding vs the in-chain reference — inside the fast lanes'
-    ±1 LSB contract (pinned by test)."""
+    (N, 24), and ``grading`` None or the 7 color-grading amounts
+    (ops/grading.py) as (7,) or (N, 7) — both applied pointwise
+    inside the band before the stencil stages; ``stencils=False``
+    (static) skips the stencil stages for pointwise-only flushes.
+    Quantize-then-filter adds ≤1/255 of input rounding vs the
+    in-chain reference — inside the fast lanes' ±1 LSB contract
+    (pinned by test)."""
     squeeze = words.ndim == 2
     if squeeze:
         words = words[None]
@@ -1414,6 +1422,10 @@ def pallas_finish_extras_rgba(words, sharpen=0.0, denoise=0.0,
     # keeps its 7 columns) or 24 amounts per image, (24,) or (n, 24).
     mx = (None if mixer is None else jnp.broadcast_to(
         jnp.asarray(mixer, jnp.float32), (n, 24)))
+    # Color grading (ops/grading.py): None (statically off) or 7
+    # amounts per image, appended after the mixer block.
+    gr = (None if grading is None else jnp.broadcast_to(
+        jnp.asarray(grading, jnp.float32), (n, 7)))
 
     def _finish(out):
         if output == "ycbcr420":
@@ -1427,7 +1439,7 @@ def pallas_finish_extras_rgba(words, sharpen=0.0, denoise=0.0,
     if wp != w:
         out = pallas_finish_extras_rgba(
             jnp.pad(words, ((0, 0), (0, 0), (0, wp - w)), mode="edge"),
-            sh, dn, cv, vg, mx, block_h, interpret, output,
+            sh, dn, cv, vg, mx, gr, block_h, interpret, output,
             stencils=stencils, _true_hw=(th, tw))
         if output == "ycbcr420":
             return _finish((out[0][:, :, :w], out[1][:, :, :w]))
@@ -1466,7 +1478,7 @@ def pallas_finish_extras_rgba(words, sharpen=0.0, denoise=0.0,
             out = pallas_finish_extras_rgba(
                 jnp.pad(words, ((0, 0), (0, hp - h), (0, 0)),
                         mode="edge"),
-                sh, dn, cv, vg, mx, block_h, interpret, output,
+                sh, dn, cv, vg, mx, gr, block_h, interpret, output,
                 stencils=stencils, _true_hw=(th, tw))
             if output == "ycbcr420":
                 return _finish((out[0][:, :h], out[1][:, : h // 2]))
@@ -1481,6 +1493,8 @@ def pallas_finish_extras_rgba(words, sharpen=0.0, denoise=0.0,
     scal = jnp.stack([sh, dn, *cv, vg], axis=1)
     if mx is not None:
         scal = jnp.concatenate([scal, mx], axis=1)
+    if gr is not None:
+        scal = jnp.concatenate([scal, gr], axis=1)
     flat = words.reshape(n * h, w)
     ho = h + overhang
     if output == "rgba":
@@ -1503,6 +1517,7 @@ def pallas_finish_extras_rgba(words, sharpen=0.0, denoise=0.0,
         functools.partial(_extras_kernel_flat, block_h=bh, steps=steps,
                           total=n * steps, img_h=h, width=w,
                           true_h=th, true_w=tw, mixer_on=mx is not None,
+                          grading_on=gr is not None,
                           stencils=stencils, output=output),
         grid=(n * steps,),
         in_specs=[

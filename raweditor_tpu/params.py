@@ -59,7 +59,15 @@ MIXER_FIELDS = tuple(
     f"{ctl}_{band}" for ctl in ("hue", "sat", "lum")
     for band in _MIXER_BANDS
 )
-_EXTRA_FIELDS = _EXTRA_FIELDS + MIXER_FIELDS
+# Color grading / split toning (ops/grading.py) — hue + saturation per
+# tonal region plus the balance slider, in ops.grading.GRADE_ORDER.
+# Appended after the mixer so existing packed layouts keep their
+# indices.
+GRADE_FIELDS = ("grade_shadow_hue", "grade_shadow_sat",
+                "grade_mid_hue", "grade_mid_sat",
+                "grade_high_hue", "grade_high_sat",
+                "grade_balance")
+_EXTRA_FIELDS = _EXTRA_FIELDS + MIXER_FIELDS + GRADE_FIELDS
 # The band-local stencil/curve extras (everything the fused post-pass
 # kernel traces when ``stencils`` is on; clarity and the mixer are
 # gated separately — see finish_extras_mode).
@@ -102,6 +110,18 @@ RANGES = {
 # HSL mixer sliders (ops/mixer.py): ±100 each — hue = ±30° shift,
 # sat = full desaturation … 2× chroma, lum = ×0.595 … ×1.68 value.
 RANGES.update({name: (-100.0, 100.0) for name in MIXER_FIELDS})
+# Color grading (ops/grading.py): wheel hues in degrees, saturations
+# 0–100 (full wheel = 0.25 chroma push), balance ±100 (±0.35 of the
+# tonal range).
+RANGES.update({
+    "grade_shadow_hue": (0.0, 360.0),
+    "grade_shadow_sat": (0.0, 100.0),
+    "grade_mid_hue": (0.0, 360.0),
+    "grade_mid_sat": (0.0, 100.0),
+    "grade_high_hue": (0.0, 360.0),
+    "grade_high_sat": (0.0, 100.0),
+    "grade_balance": (-100.0, 100.0),
+})
 
 
 @jax.tree_util.register_dataclass
@@ -156,6 +176,14 @@ class EditParams:
     lum_blue: Any = 0.0
     lum_purple: Any = 0.0
     lum_magenta: Any = 0.0
+    # Color grading (ops/grading.py; field order = GRADE_FIELDS)
+    grade_shadow_hue: Any = 0.0
+    grade_shadow_sat: Any = 0.0
+    grade_mid_hue: Any = 0.0
+    grade_mid_sat: Any = 0.0
+    grade_high_hue: Any = 0.0
+    grade_high_sat: Any = 0.0
+    grade_balance: Any = 0.0
     # Local adjustments (ops/local_adjust.py): an ordered tuple of
     # LocalAdjust masks. Part of the pytree STRUCTURE, so the develop
     # programs specialize on the mask count/kinds statically — the
@@ -243,26 +271,53 @@ class EditParams:
         traced scalars survive (the batch paths vmap over them)."""
         return tuple(getattr(self, name) for name in MIXER_FIELDS)
 
+    def has_grading(self) -> bool:
+        """True when color grading (ops/grading.py) has any visible
+        effect — a wheel saturation or the balance is non-zero (hue
+        alone tints nothing at zero saturation; balance alone is
+        gated too since it only repartitions zero offsets). Host-side
+        only, like has_finish_extras."""
+        return any(
+            float(getattr(self, name)) != 0.0
+            for name in ("grade_shadow_sat", "grade_mid_sat",
+                         "grade_high_sat")
+        )
+
+    def grading_values(self) -> tuple:
+        """The flat 7-tuple of grading slider values in GRADE_FIELDS
+        order — the positional contract of
+        ops.grading.apply_color_grading. Leaves pass through
+        unconverted so traced scalars survive."""
+        return tuple(getattr(self, name) for name in GRADE_FIELDS)
+
     def finish_extras_mode(self):
         """The static ``extras`` specialization for the develop entry
-        points: False (off), "base" (stencil extras without clarity —
-        the whole-frame clarity pyramid is skipped at trace time),
-        "full" (clarity active), "mixer" (HSL mixer only — the
-        stencil stages are skipped at trace time too), or the
-        "base+mixer" / "full+mixer" combinations. Host-side only,
-        like has_finish_extras."""
+        points: False (off) or a "+"-joined combination of parts —
+        "base" (stencil extras without clarity — the whole-frame
+        clarity pyramid is skipped at trace time) or "full" (clarity
+        active), "mixer" (the HSL mixer), and "grading" (color
+        grading, ops/grading.py). A mode without base/full skips the
+        stencil stages at trace time (pointwise-only extras).
+        Host-side only, like has_finish_extras."""
         if not self.has_finish_extras():
             return False
-        mix = self.has_mixer()
         stencils = any(
             float(getattr(self, name)) != _DEFAULTS[name]
             for name in _STENCIL_FIELDS
         )
         clar = float(self.clarity) != 0.0
-        if not (stencils or clar):
-            return "mixer"
-        mode = "full" if clar else "base"
-        return mode + "+mixer" if mix else mode
+        parts = []
+        if stencils or clar:
+            parts.append("full" if clar else "base")
+        if self.has_mixer():
+            parts.append("mixer")
+        if self.has_grading():
+            parts.append("grading")
+        if not parts:
+            # Only inert extras differ from default (e.g. a grading
+            # hue with zero saturation): nothing to trace.
+            return False
+        return "+".join(parts)
 
     def reset(self) -> "EditParams":
         """Return default parameters (reference: state/edit.rs:120-122).

@@ -465,16 +465,18 @@ class DevelopEngine:
             words = apply_clarity_words(words, clar)
         mixer = (tuple(float(v) for v in params.mixer_values())
                  if params.has_mixer() else None)
+        grading = (tuple(float(v) for v in params.grading_values())
+                   if params.has_grading() else None)
         stencils = bool(float(params.sharpen) or float(params.denoise)
                         or any(curve) or float(params.vignette))
-        if not stencils and mixer is None:
+        if not stencils and mixer is None and grading is None:
             return words  # clarity-only: skip the stencil kernel
         if not getattr(self, "_pallas_extras_failed", False):
             try:
                 return kernel(words, float(params.sharpen),
                               float(params.denoise), curve,
                               float(params.vignette), mixer=mixer,
-                              stencils=stencils)
+                              grading=grading, stencils=stencils)
             except Exception as e:
                 self._pallas_extras_failed = True
                 logger.info(
@@ -488,7 +490,8 @@ class DevelopEngine:
         return finish_extras_rgba_words(words, float(params.sharpen),
                                         float(params.denoise), curve,
                                         float(params.vignette),
-                                        mixer=mixer, stencils=stencils)
+                                        mixer=mixer, grading=grading,
+                                        stencils=stencils)
 
     # -- export ----------------------------------------------------------
     def full_rgba_device(self, params: EditParams):

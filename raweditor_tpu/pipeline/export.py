@@ -838,9 +838,9 @@ def run_batch_export(
             # The static extras specialization for the XLA lanes:
             # "base" skips the whole-frame clarity pyramid at trace
             # time when no image in the flush uses clarity; the
-            # "+mixer" axis (ops/mixer.py) joins when any image uses
-            # HSL sliders, and a mixer-only flush skips the stencil
-            # stages entirely ("mixer").
+            # "+mixer" (ops/mixer.py) and "+grading" (ops/grading.py)
+            # axes join when any image uses them, and a pointwise-only
+            # flush skips the stencil stages entirely.
             ex_mode = False
             if ex_on:
                 from raweditor_tpu.params import _STENCIL_FIELDS
@@ -851,12 +851,17 @@ def run_batch_export(
                     float(getattr(d.job.params, f)) != 0.0
                     for d in batch for f in _STENCIL_FIELDS)
                 mix_any = any(d.job.params.has_mixer() for d in batch)
-                if not stenc_any:
-                    ex_mode = "mixer"
-                else:
-                    ex_mode = "full" if clar_any else "base"
-                    if mix_any:
-                        ex_mode += "+mixer"
+                grade_any = any(
+                    d.job.params.has_grading() for d in batch)
+                parts = []
+                if stenc_any:
+                    parts.append("full" if clar_any else "base")
+                if mix_any:
+                    parts.append("mixer")
+                if grade_any:
+                    parts.append("grading")
+                ex_mode = "+".join(parts) if parts else False
+                ex_on = bool(parts)
 
             def _extras_amounts(ds, field):
                 return np.array(
@@ -877,6 +882,16 @@ def run_batch_export(
                     return None
                 return np.array(
                     [[float(v) for v in d.job.params.mixer_values()]
+                     for d in ds], np.float32)
+
+            def _extras_grading(ds):
+                """(n, 7) per-image color-grading amounts
+                (ops/grading.py), or None when no image in the flush
+                grades (statically off, like the mixer)."""
+                if not any(d.job.params.has_grading() for d in ds):
+                    return None
+                return np.array(
+                    [[float(v) for v in d.job.params.grading_values()]
                      for d in ds], np.float32)
 
             def _extras_words_gspmd(words, ds):
@@ -907,6 +922,7 @@ def run_batch_export(
                 cv = _extras_curve(ds)
                 vg = _extras_amounts(ds, "vignette")
                 mix = _extras_mixer(ds)
+                grd = _extras_grading(ds)
                 stencils = bool(sh.any() or dn.any() or vg.any()
                                 or any(c.any() for c in cv))
                 return finish_extras_rgba_words(
@@ -918,6 +934,8 @@ def run_batch_export(
                     0.0,
                     mixer=(None if mix is None else tuple(
                         mix[:, k, None, None] for k in range(24))),
+                    grading=(None if grd is None else tuple(
+                        grd[:, k, None, None] for k in range(7))),
                     stencils=stencils)
 
             def _extras_post_batch(words, ds, kernel, xla_output):
@@ -935,6 +953,7 @@ def run_batch_export(
                 vg = _extras_amounts(ds, "vignette")
                 cl = _extras_amounts(ds, "clarity")
                 mix = _extras_mixer(ds)
+                grd = _extras_grading(ds)
                 if cl.any():
                     from raweditor_tpu.ops.extras import (
                         apply_clarity_words,
@@ -946,17 +965,18 @@ def run_batch_export(
                                                 cl[:, None, None])
                 stencils = bool(sh.any() or dn.any() or vg.any()
                                 or any(c.any() for c in cv))
-                if not stencils and mix is None:
+                if not stencils and mix is None and grd is None:
                     out = words  # clarity-only flush
                     if want == "ycbcr420":
                         out = _ycbcr420_jit()(out)
                     return out
                 key = ("extras", words.shape, want, stencils,
-                       mix is not None)
+                       mix is not None, grd is not None)
                 if key not in _pallas_failed:
                     try:
                         return kernel(words, sh, dn, cv, vg,
-                                      mixer=mix, stencils=stencils,
+                                      mixer=mix, grading=grd,
+                                      stencils=stencils,
                                       output=want)
                     except Exception:
                         _pallas_failed.add(key)
@@ -971,6 +991,8 @@ def run_batch_export(
                     vg[:, None, None],
                     mixer=(None if mix is None else tuple(
                         mix[:, k, None, None] for k in range(24))),
+                    grading=(None if grd is None else tuple(
+                        grd[:, k, None, None] for k in range(7))),
                     stencils=stencils)
                 if want == "ycbcr420":
                     out = _ycbcr420_jit()(out)
