@@ -268,6 +268,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(tethered ingest; Ctrl-C to stop)")
     p.add_argument("--interval", type=float, default=2.0,
                    help="poll interval in seconds with --watch")
+    p.add_argument("--sidecars", action="store_true",
+                   help="after importing, apply any .xmp sidecar "
+                        "found next to each RAW (edits + rating)")
 
     p = sub.add_parser("list", help="list catalog images")
     p.add_argument("--min-rating", type=int, default=0)
@@ -371,6 +374,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stars", type=int, default=None, help="0..5")
     p.add_argument("--flag", choices=("pick", "reject", "none"),
                    default=None)
+
+    p = sub.add_parser(
+        "sidecar",
+        help="XMP sidecar interchange: edits + ratings as .xmp files "
+             "next to the RAW (raweditor_tpu/xmp.py)")
+    p.add_argument("action", choices=("write", "apply"),
+                   help="write = catalog -> .xmp sidecars; "
+                        "apply = .xmp sidecars -> catalog")
+    p.add_argument("ids", nargs="*", type=int,
+                   help="image ids (default: every catalog image)")
+    p.add_argument("--force", action="store_true",
+                   help="apply: overwrite existing catalog edits "
+                        "even when the image already has some")
 
     p = sub.add_parser("collect",
                        help="named collections (beyond the reference)")
@@ -613,9 +629,72 @@ def cmd_import(args) -> int:
             return 0
         stats = lib.import_folder(args.folder)
         out = {"imported": stats["imported"], "duplicates": stats["skipped"]}
+        if getattr(args, "sidecars", False):
+            out["sidecars_applied"] = _apply_sidecars(lib)["applied"]
         if not args.no_tiers:
             out.update(process_pending_cache(lib, args.cache_dir))
         print(json.dumps(out))
+    return 0
+
+
+def _apply_sidecars(lib, ids=None, force=False) -> dict:
+    """Apply .xmp sidecars found next to catalog RAWs: edits (unless
+    the image already has catalog edits and ``force`` is off — the
+    catalog is the primary store; a stale sidecar must not clobber
+    newer in-catalog work) and rating/flag (always — they're cheap to
+    re-rate and third-party tools routinely update them)."""
+    from raweditor_tpu.xmp import find_sidecar, read_sidecar
+
+    images = (lib.get_all_images() if ids is None
+              else [lib.get_image(i) for i in ids])
+    applied, skipped, errors = 0, 0, []
+    for img in images:
+        if img is None or img.is_deleted():
+            continue
+        sc = find_sidecar(img.path)
+        if sc is None:
+            continue
+        try:
+            params, rating, flag, _label = read_sidecar(sc)
+        except (ValueError, OSError) as e:
+            errors.append({"path": sc, "error": str(e)})
+            continue
+        if not params.is_unedited():
+            if lib.has_edits(img.id) and not force:
+                skipped += 1
+            else:
+                lib.save_edit_params(img.id, params)
+        if rating is not None or flag != "none":
+            lib.set_rating(img.id, rating=rating,
+                           flag=flag if flag != "none" else None)
+        applied += 1
+    return {"applied": applied, "skipped_edits": skipped,
+            "errors": errors}
+
+
+def cmd_sidecar(args) -> int:
+    from raweditor_tpu.xmp import write_sidecar
+
+    with _open_library(args) as lib:
+        ids = args.ids or None
+        if args.action == "apply":
+            out = _apply_sidecars(lib, ids=ids, force=args.force)
+            print(json.dumps(out))
+            return 1 if out["errors"] else 0
+        images = (lib.get_all_images() if ids is None
+                  else [lib.get_image(i) for i in ids])
+        written = []
+        for img in images:
+            if img is None or img.is_deleted():
+                continue
+            rating, flag = lib.get_rating(img.id)
+            path = write_sidecar(
+                img.path, lib.load_edit_params(img.id),
+                rating=rating if (rating or flag != "none") else None,
+                flag=flag)
+            written.append(path)
+        print(json.dumps({"written": len(written),
+                          "paths": written}))
     return 0
 
 
@@ -1603,6 +1682,7 @@ _COMMANDS = {
     "info": cmd_info,
     "convert": cmd_convert,
     "rate": cmd_rate,
+    "sidecar": cmd_sidecar,
     "collect": cmd_collect,
     "develop": cmd_develop,
     "edit": cmd_edit,
