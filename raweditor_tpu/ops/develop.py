@@ -230,9 +230,9 @@ def _apply_locals(r, g, b, params: EditParams, full_h: int, full_w: int,
 
 def _extras_of(params: EditParams, extras):
     """The (sharpen, denoise, curve-4-tuple, vignette, clarity,
-    mixer, grading, stencils) traced amounts for the finish stage, or
-    None — the positional contract of ``apply_finish_extras(r, g, b,
-    *extras)``.
+    dehaze, mixer, grading, grain, stencils) traced amounts for the
+    finish stage, or None — the positional contract of
+    ``apply_finish_extras(r, g, b, *extras)``.
 
     ``extras`` is STATIC (callers derive it host-side via
     EditParams.finish_extras_mode): False/None = off (the default
@@ -248,13 +248,18 @@ def _extras_of(params: EditParams, extras):
         return None
     parts = set(extras.split("+")) if isinstance(extras, str) else set()
     stencils = extras is True or bool(parts & {"base", "full"})
-    clar = params.clarity if (extras is True or "full" in parts) else 0.0
+    full = extras is True or "full" in parts
+    clar = params.clarity if full else 0.0
+    haze = params.dehaze if full else 0.0
     mixer = params.mixer_values() if "mixer" in parts else None
     grading = params.grading_values() if "grading" in parts else None
+    grain = ((params.grain, params.grain_size)
+             if (extras is True or "grain" in parts) else None)
     return (params.sharpen, params.denoise,
             (params.curve_shadows, params.curve_darks,
              params.curve_lights, params.curve_highlights),
-            params.vignette, clar, mixer, grading, stencils)
+            params.vignette, clar, haze, mixer, grading, grain,
+            stencils)
 
 
 @functools.partial(

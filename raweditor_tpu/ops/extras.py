@@ -215,6 +215,125 @@ def apply_clarity_words(words, clarity):
     return planes_to_words(*apply_clarity(r, g, b, clarity))
 
 
+def apply_dehaze(r, g, b, amount):
+    """Dehaze (±100) on encoded [0, 1] planes: veil estimation +
+    atmospheric-scattering inversion, the Lightroom-class haze
+    control.
+
+    Per image (reductions keep the leading batch axes):
+
+    1. Veil color A per channel: the max of the 16×-downsampled plane
+       (robust to isolated hot pixels), clamped to [0.55, 1] — haze is
+       a BRIGHT veil; clamping keeps dark frames from inventing one.
+    2. Haze proxy: the dark channel dk = min_c(c/A_c), low-passed by
+       the clarity pyramid blur (the transmission field is smooth by
+       nature; the shared blur keeps look consistent across sizes).
+    3. Positive amounts invert the scattering model I = J·t + A(1−t):
+       t = max(1 − 0.85·(a/100)·blur(dk), 0.15),
+       J = (I − A)/t + A. Hazy regions (dk → 1) get deep contrast
+       restoration; clear regions (dk → 0, t → 1) are untouched.
+    4. Negative amounts ADD the veil: out = I + 0.5·(|a|/100)·(A − I)
+       — the artistic "haze" look.
+
+    Identity at 0 by construction (t ≡ 1 and the negative blend is
+    scaled by the amount). A whole-frame stage like clarity — the per
+    -image A reduction and the pyramid blur can't live in the banded
+    Pallas kernel — so it shares clarity's wiring: the "full" extras
+    mode, its own words pass on the fast lanes, and per-image amounts
+    under the batch exporter. Zoomed previews estimate A over the
+    viewport (the vignette/clarity approximation; exports are
+    full-frame and exact)."""
+    import jax
+
+    amount = jnp.asarray(amount, jnp.float32)
+    a = amount * _F(0.01)
+    h, w = r.shape[-2], r.shape[-1]
+    sh, sw = max(h // 16, 4), max(w // 16, 4)
+
+    def veil(c):
+        small = jax.image.resize(c, c.shape[:-2] + (sh, sw), "linear")
+        return jnp.clip(small.max(axis=(-2, -1), keepdims=True),
+                        _F(0.55), _F(1.0))
+
+    ar, ag, ab = veil(r), veil(g), veil(b)
+    dk = jnp.minimum(jnp.minimum(r / ar, g / ag), b / ab)
+    dkb = jnp.clip(_clarity_blur(dk), _F(0.0), _F(1.0))
+    t = jnp.maximum(
+        _F(1.0) - _F(0.85) * jnp.clip(a, _F(0.0), _F(1.0)) * dkb,
+        _F(0.15))
+    v = _F(0.5) * jnp.clip(-a, _F(0.0), _F(1.0))
+    pos = a >= _F(0.0)
+
+    def out(c, ac):
+        dehazed = (c - ac) / t + ac
+        hazed = c + v * (ac - c)
+        return jnp.clip(jnp.where(pos, dehazed, hazed),
+                        _F(0.0), _F(1.0))
+
+    return out(r, ar), out(g, ag), out(b, ab)
+
+
+def apply_dehaze_words(words, amount):
+    """Dehaze on packed-RGBA words — the fast lane's standalone pass,
+    composed BEFORE clarity (remove the veil, then work the local
+    contrast), mirroring apply_finish_extras' plane order."""
+    r, g, b = words_to_planes(words)
+    return planes_to_words(*apply_dehaze(r, g, b, amount))
+
+
+def apply_grain(r, g, b, amount, size=0.0):
+    """Film grain (amount 0–100, size 0–100) on encoded [0, 1]
+    planes — the LAST finish stage (grain must not be re-sharpened or
+    denoised, so it lands after every other extra).
+
+    Monochrome (luma-correlated) grain, the film look: one noise
+    offset shared by all three channels so it never reads as chroma
+    noise. The noise field is DETERMINISTIC — a fixed-key
+    ``jax.random`` normal per frame shape — so the same edit always
+    produces the same bytes (exports are reproducible, a batch
+    contract). ``size`` blends a 2×-coarser octave (upsampled
+    bilinear, variance-compensated) over the per-pixel octave:
+    0 = fine digital-film grain, 100 = soft coarse grain.
+
+    The amplitude rides a midtone weight √(4y(1−y)) — film grain is
+    strongest in the midtones and vanishes at the tonal extremes
+    (deep blacks stay clean, highlights don't speckle). Full slider =
+    ±0.10 peak-normal luma offset before clamping. Identity at 0 by
+    construction (the offset is scaled by the amount); callers gate
+    statically (the "grain" extras-mode part) so a grain-free render
+    never traces the noise generation."""
+    import jax
+
+    amount = jnp.asarray(amount, jnp.float32)
+    size = jnp.asarray(size, jnp.float32)
+    h, w = r.shape[-2], r.shape[-1]
+    key = jax.random.PRNGKey(0x9A417)
+    kf, kc = jax.random.split(key)
+    fine = jax.random.normal(kf, (h, w), jnp.float32)
+    ch, cw = max(h // 2, 1), max(w // 2, 1)
+    coarse = jax.image.resize(
+        jax.random.normal(kc, (ch, cw), jnp.float32), (h, w), "linear")
+    s = jnp.clip(size * _F(0.01), _F(0.0), _F(1.0))
+    # The bilinear upsample of the coarse octave loses ~45% of its
+    # std; 1.8 restores comparable visual amplitude at size=100.
+    noise = fine * (_F(1.0) - s) + coarse * (s * _F(1.8))
+    a = jnp.clip(amount * _F(0.01), _F(0.0), _F(1.0))
+    y = _LUMA_R * r + _LUMA_G * g + _LUMA_B * b
+    wgt = jnp.sqrt(jnp.maximum(
+        _F(4.0) * y * (_F(1.0) - y), _F(0.0)))
+    d = a * _F(0.10) * noise * wgt
+    clip = lambda c: jnp.clip(c + d, _F(0.0), _F(1.0))  # noqa: E731
+    return clip(r), clip(g), clip(b)
+
+
+def apply_grain_words(words, amount, size=0.0):
+    """Film grain on packed-RGBA words — the fast lane's standalone
+    pass, composed AFTER the banded extras kernel (grain is the last
+    stage on every route)."""
+    r, g, b = words_to_planes(words)
+    return planes_to_words(*apply_grain(r, g, b, amount, size))
+
+
 def extras_core(r, g, b, sharpen, denoise, curve, vignette, r2,
                 up, dn, lf, rt, mixer=None, grading=None,
                 stencils=True):
@@ -316,8 +435,9 @@ _ZERO_CURVE = (0.0, 0.0, 0.0, 0.0)
 
 
 def apply_finish_extras(r, g, b, sharpen, denoise, curve=_ZERO_CURVE,
-                        vignette=0.0, clarity=0.0, mixer=None,
-                        grading=None, stencils=True):
+                        vignette=0.0, clarity=0.0, dehaze=0.0,
+                        mixer=None, grading=None, grain=None,
+                        stencils=True):
     """Sharpen + denoise + parametric tone curve + vignette on
     transfer-encoded [0, 1] RGB planes — the XLA in-chain execution of
     :func:`extras_core`.
@@ -327,10 +447,16 @@ def apply_finish_extras(r, g, b, sharpen, denoise, curve=_ZERO_CURVE,
     radial plane is this grid's own (zoomed previews therefore
     approximate it over the viewport — exports are full-frame and
     exact); ``mixer``/``grading``/``stencils`` as in
-    :func:`extras_core` (all static in structure: clarity runs first,
-    then the mixer, then grading, then the stencil stages — the same
-    order as the words-domain composition, so every route agrees);
-    returns (r, g, b) clamped to [0, 1]."""
+    :func:`extras_core`; ``grain`` is None (statically off) or the
+    (amount, size) pair for :func:`apply_grain`. All static in
+    structure: dehaze runs first, then clarity, then the mixer, then
+    grading, then the stencil stages, then grain LAST — the same
+    order as the words-domain composition, so every route agrees.
+    Returns (r, g, b) clamped to [0, 1]."""
+    if not _is_static_zero(dehaze):
+        # Same statically-known-zero skip as clarity below: the veil
+        # estimate + pyramid blur never trace for a zero slider.
+        r, g, b = apply_dehaze(r, g, b, dehaze)
     if not _is_static_zero(clarity):
         # A statically-known zero (the "clarity off" sentinel from
         # develop._extras_of, or any concrete host-side zero — numpy
@@ -341,21 +467,25 @@ def apply_finish_extras(r, g, b, sharpen, denoise, curve=_ZERO_CURVE,
         r, g, b = apply_clarity(r, g, b, clarity)
     up, dn, lf, rt = _pad_shift_fns()
     r2 = radial_sq(r.shape[-2], r.shape[-1])
-    return extras_core(r, g, b, sharpen, denoise, curve, vignette, r2,
-                       up, dn, lf, rt, mixer=mixer, grading=grading,
-                       stencils=stencils)
+    r, g, b = extras_core(r, g, b, sharpen, denoise, curve, vignette,
+                          r2, up, dn, lf, rt, mixer=mixer,
+                          grading=grading, stencils=stencils)
+    if grain is not None:
+        r, g, b = apply_grain(r, g, b, *grain)
+    return r, g, b
 
 
 def finish_extras_rgba_words(words, sharpen, denoise,
                              curve=_ZERO_CURVE, vignette=0.0,
-                             clarity=0.0, mixer=None, grading=None,
-                             stencils=True):
+                             clarity=0.0, dehaze=0.0, mixer=None,
+                             grading=None, grain=None, stencils=True):
     """Behavioral reference for the Pallas post-pass: packed-RGBA u32
     (..., H, W) → u32, extras applied on the quantized u8 values
     rescaled to [0, 1], requantized with the finish rounding
     (floor(c·255 + 0.5)). The kernel mirrors this exactly."""
     r, g, b = words_to_planes(words)
     r, g, b = apply_finish_extras(r, g, b, sharpen, denoise, curve,
-                                  vignette, clarity, mixer=mixer,
-                                  grading=grading, stencils=stencils)
+                                  vignette, clarity, dehaze,
+                                  mixer=mixer, grading=grading,
+                                  grain=grain, stencils=stencils)
     return planes_to_words(r, g, b)

@@ -49,6 +49,9 @@ _EXTRA_FIELDS = (
     "curve_highlights",
     "vignette",
     "clarity",
+    "dehaze",
+    "grain",
+    "grain_size",
 )
 # 8-band HSL color mixer (ops/mixer.py) — hue / saturation / luminance
 # per band, in the band order ops.mixer.BAND_NAMES. Appended after the
@@ -106,6 +109,13 @@ RANGES = {
     "curve_highlights": (-100.0, 100.0),
     "vignette": (-100.0, 100.0),
     "clarity": (-100.0, 100.0),
+    # Dehaze (±100, ops/extras.apply_dehaze): veil removal via the
+    # scattering-model inversion; negative adds the veil back.
+    "dehaze": (-100.0, 100.0),
+    # Film grain (ops/extras.apply_grain): deterministic monochrome
+    # luma grain; size blends a 2x-coarser octave.
+    "grain": (0.0, 100.0),
+    "grain_size": (0.0, 100.0),
 }
 # HSL mixer sliders (ops/mixer.py): ±100 each — hue = ±30° shift,
 # sat = full desaturation … 2× chroma, lum = ×0.595 … ×1.68 value.
@@ -151,6 +161,9 @@ class EditParams:
     curve_highlights: Any = 0.0
     vignette: Any = 0.0
     clarity: Any = 0.0
+    dehaze: Any = 0.0
+    grain: Any = 0.0
+    grain_size: Any = 0.0
     # HSL mixer (ops/mixer.py; field order = MIXER_FIELDS)
     hue_red: Any = 0.0
     hue_orange: Any = 0.0
@@ -305,7 +318,10 @@ class EditParams:
             float(getattr(self, name)) != _DEFAULTS[name]
             for name in _STENCIL_FIELDS
         )
-        clar = float(self.clarity) != 0.0
+        # Clarity and dehaze are both whole-frame XLA stages behind
+        # the "full" flag (the banded kernel can't host them).
+        clar = (float(self.clarity) != 0.0
+                or float(self.dehaze) != 0.0)
         parts = []
         if stencils or clar:
             parts.append("full" if clar else "base")
@@ -313,6 +329,10 @@ class EditParams:
             parts.append("mixer")
         if self.has_grading():
             parts.append("grading")
+        if float(self.grain) != 0.0:
+            # Film grain (ops/extras.apply_grain); grain_size alone
+            # is inert — it only shapes an amount of zero.
+            parts.append("grain")
         if not parts:
             # Only inert extras differ from default (e.g. a grading
             # hue with zero saturation): nothing to trace.

@@ -458,6 +458,13 @@ class DevelopEngine:
                  float(params.curve_darks),
                  float(params.curve_lights),
                  float(params.curve_highlights))
+        haze = float(params.dehaze)
+        if haze:
+            from raweditor_tpu.ops.extras import apply_dehaze_words
+
+            # Veil removal first, then local contrast — the plane
+            # order of apply_finish_extras.
+            words = apply_dehaze_words(words, haze)
         clar = float(params.clarity)
         if clar:
             from raweditor_tpu.ops.extras import apply_clarity_words
@@ -469,14 +476,27 @@ class DevelopEngine:
                    if params.has_grading() else None)
         stencils = bool(float(params.sharpen) or float(params.denoise)
                         or any(curve) or float(params.vignette))
+
+        def _grain_tail(out):
+            # Film grain is the LAST stage on every route (it must
+            # not be re-filtered by the banded stages).
+            if float(params.grain):
+                from raweditor_tpu.ops.extras import apply_grain_words
+
+                out = apply_grain_words(out, float(params.grain),
+                                        float(params.grain_size))
+            return out
+
         if not stencils and mixer is None and grading is None:
-            return words  # clarity-only: skip the stencil kernel
+            # dehaze/clarity/grain-only: skip the stencil kernel.
+            return _grain_tail(words)
         if not getattr(self, "_pallas_extras_failed", False):
             try:
-                return kernel(words, float(params.sharpen),
-                              float(params.denoise), curve,
-                              float(params.vignette), mixer=mixer,
-                              grading=grading, stencils=stencils)
+                return _grain_tail(
+                    kernel(words, float(params.sharpen),
+                           float(params.denoise), curve,
+                           float(params.vignette), mixer=mixer,
+                           grading=grading, stencils=stencils))
             except Exception as e:
                 self._pallas_extras_failed = True
                 logger.info(
@@ -487,11 +507,10 @@ class DevelopEngine:
 
         # Clarity was already applied above — amounts here cover the
         # band-local stages only.
-        return finish_extras_rgba_words(words, float(params.sharpen),
-                                        float(params.denoise), curve,
-                                        float(params.vignette),
-                                        mixer=mixer, grading=grading,
-                                        stencils=stencils)
+        return _grain_tail(finish_extras_rgba_words(
+            words, float(params.sharpen), float(params.denoise), curve,
+            float(params.vignette), mixer=mixer, grading=grading,
+            stencils=stencils))
 
     # -- export ----------------------------------------------------------
     def full_rgba_device(self, params: EditParams):

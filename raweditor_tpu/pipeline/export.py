@@ -846,13 +846,17 @@ def run_batch_export(
                 from raweditor_tpu.params import _STENCIL_FIELDS
 
                 clar_any = any(
-                    float(d.job.params.clarity) != 0.0 for d in batch)
+                    float(d.job.params.clarity) != 0.0
+                    or float(d.job.params.dehaze) != 0.0
+                    for d in batch)
                 stenc_any = clar_any or any(
                     float(getattr(d.job.params, f)) != 0.0
                     for d in batch for f in _STENCIL_FIELDS)
                 mix_any = any(d.job.params.has_mixer() for d in batch)
                 grade_any = any(
                     d.job.params.has_grading() for d in batch)
+                grain_any = any(
+                    float(d.job.params.grain) != 0.0 for d in batch)
                 parts = []
                 if stenc_any:
                     parts.append("full" if clar_any else "base")
@@ -860,6 +864,8 @@ def run_batch_export(
                     parts.append("mixer")
                 if grade_any:
                     parts.append("grading")
+                if grain_any:
+                    parts.append("grain")
                 ex_mode = "+".join(parts) if parts else False
                 ex_on = bool(parts)
 
@@ -910,9 +916,16 @@ def run_batch_export(
                 and defeated the pyramid's trace-time skip)."""
                 from raweditor_tpu.ops.extras import (
                     apply_clarity_words,
+                    apply_dehaze_words,
                     finish_extras_rgba_words,
                 )
 
+                hz = _extras_amounts(ds, "dehaze")
+                if hz.any():
+                    # Veil removal before clarity — the plane order of
+                    # apply_finish_extras on every route.
+                    words = apply_dehaze_words(words,
+                                               hz[:, None, None])
                 cl = _extras_amounts(ds, "clarity")
                 if cl.any():
                     words = apply_clarity_words(words,
@@ -923,20 +936,36 @@ def run_batch_export(
                 vg = _extras_amounts(ds, "vignette")
                 mix = _extras_mixer(ds)
                 grd = _extras_grading(ds)
+                ga = _extras_amounts(ds, "grain")
+                gs = _extras_amounts(ds, "grain_size")
                 stencils = bool(sh.any() or dn.any() or vg.any()
                                 or any(c.any() for c in cv))
-                return finish_extras_rgba_words(
-                    words,
-                    sh[:, None, None],
-                    dn[:, None, None],
-                    tuple(c[:, None, None] for c in cv),
-                    vg[:, None, None],
-                    0.0,
-                    mixer=(None if mix is None else tuple(
-                        mix[:, k, None, None] for k in range(24))),
-                    grading=(None if grd is None else tuple(
-                        grd[:, k, None, None] for k in range(7))),
-                    stencils=stencils)
+                if stencils or mix is not None or grd is not None:
+                    words = finish_extras_rgba_words(
+                        words,
+                        sh[:, None, None],
+                        dn[:, None, None],
+                        tuple(c[:, None, None] for c in cv),
+                        vg[:, None, None],
+                        0.0,
+                        mixer=(None if mix is None else tuple(
+                            mix[:, k, None, None] for k in range(24))),
+                        grading=(None if grd is None else tuple(
+                            grd[:, k, None, None] for k in range(7))),
+                        stencils=stencils)
+                if ga.any():
+                    # Grain as its own requantizing words pass, LAST —
+                    # the exact composition of the mesh-less route
+                    # (_extras_post_batch applies it after the
+                    # kernel), keeping mesh-vs-solo byte-equal.
+                    from raweditor_tpu.ops.extras import (
+                        apply_grain_words,
+                    )
+
+                    words = apply_grain_words(words,
+                                              ga[:, None, None],
+                                              gs[:, None, None])
+                return words
 
             def _extras_post_batch(words, ds, kernel, xla_output):
                 """Fused extras post-pass over a batch of words (JPEG
@@ -952,8 +981,18 @@ def run_batch_export(
                 cv = _extras_curve(ds)
                 vg = _extras_amounts(ds, "vignette")
                 cl = _extras_amounts(ds, "clarity")
+                hz = _extras_amounts(ds, "dehaze")
                 mix = _extras_mixer(ds)
                 grd = _extras_grading(ds)
+                if hz.any():
+                    from raweditor_tpu.ops.extras import (
+                        apply_dehaze_words,
+                    )
+
+                    # Veil removal before clarity (whole-frame stage,
+                    # can't live in the banded kernel).
+                    words = apply_dehaze_words(words,
+                                               hz[:, None, None])
                 if cl.any():
                     from raweditor_tpu.ops.extras import (
                         apply_clarity_words,
@@ -965,19 +1004,42 @@ def run_batch_export(
                                                 cl[:, None, None])
                 stencils = bool(sh.any() or dn.any() or vg.any()
                                 or any(c.any() for c in cv))
-                if not stencils and mix is None and grd is None:
-                    out = words  # clarity-only flush
+                ga = _extras_amounts(ds, "grain")
+                gs = _extras_amounts(ds, "grain_size")
+                grain_on = bool(ga.any())
+
+                def _tail(out_words):
+                    """Film grain LAST, then the JPEG-plane convert —
+                    grain must land on RGBA words, so a grain-active
+                    flush asks the kernel for RGBA and converts
+                    here."""
+                    if grain_on:
+                        from raweditor_tpu.ops.extras import (
+                            apply_grain_words,
+                        )
+
+                        out_words = apply_grain_words(
+                            out_words, ga[:, None, None],
+                            gs[:, None, None])
                     if want == "ycbcr420":
-                        out = _ycbcr420_jit()(out)
-                    return out
-                key = ("extras", words.shape, want, stencils,
+                        out_words = _ycbcr420_jit()(out_words)
+                    return out_words
+
+                if not stencils and mix is None and grd is None:
+                    # dehaze/clarity/grain-only flush.
+                    return _tail(words)
+                kern_out = "rgba" if grain_on else want
+                key = ("extras", words.shape, kern_out, stencils,
                        mix is not None, grd is not None)
                 if key not in _pallas_failed:
                     try:
-                        return kernel(words, sh, dn, cv, vg,
-                                      mixer=mix, grading=grd,
-                                      stencils=stencils,
-                                      output=want)
+                        out = kernel(words, sh, dn, cv, vg,
+                                     mixer=mix, grading=grd,
+                                     stencils=stencils,
+                                     output=kern_out)
+                        if kern_out == want and not grain_on:
+                            return out
+                        return _tail(out)
                     except Exception:
                         _pallas_failed.add(key)
                 from raweditor_tpu.ops.extras import (
@@ -994,9 +1056,7 @@ def run_batch_export(
                     grading=(None if grd is None else tuple(
                         grd[:, k, None, None] for k in range(7))),
                     stencils=stencils)
-                if want == "ycbcr420":
-                    out = _ycbcr420_jit()(out)
-                return out
+                return _tail(out)
             # JPEG-plane output folded into the develop program (see the
             # jpeg_planes_ok comment): decide per shape bucket — a
             # device-side long-edge resize needs RGBA words, so those
