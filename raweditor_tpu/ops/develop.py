@@ -237,7 +237,9 @@ def _extras_of(params: EditParams, extras):
     ``extras`` is STATIC (callers derive it host-side via
     EditParams.finish_extras_mode): False/None = off (the default
     develop never traces the finish ops — bit-exactness by
-    construction), True = the legacy everything-on flag, otherwise a
+    construction), True = the legacy "full" flag (stencils + traced
+    clarity/dehaze; grain, like mixer/grading, needs the string
+    mode), otherwise a
     "+"-joined combination of parts: "base" = stencil/curve/vignette
     extras with clarity statically OFF (a literal 0.0 sentinel lets
     apply_finish_extras skip the whole-frame pyramid at trace time);
@@ -253,8 +255,11 @@ def _extras_of(params: EditParams, extras):
     haze = params.dehaze if full else 0.0
     mixer = params.mixer_values() if "mixer" in parts else None
     grading = params.grading_values() if "grading" in parts else None
+    # True means exactly the legacy "full" set — grain (like
+    # mixer/grading) is only traced when named in the string mode, so
+    # long-standing extras=True benchmark lanes keep comparable cost.
     grain = ((params.grain, params.grain_size)
-             if (extras is True or "grain" in parts) else None)
+             if "grain" in parts else None)
     return (params.sharpen, params.denoise,
             (params.curve_shadows, params.curve_darks,
              params.curve_lights, params.curve_highlights),

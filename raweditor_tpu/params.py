@@ -286,10 +286,10 @@ class EditParams:
 
     def has_grading(self) -> bool:
         """True when color grading (ops/grading.py) has any visible
-        effect — a wheel saturation or the balance is non-zero (hue
-        alone tints nothing at zero saturation; balance alone is
-        gated too since it only repartitions zero offsets). Host-side
-        only, like has_finish_extras."""
+        effect — any wheel saturation is non-zero (hue or balance
+        alone is inert: hue tints nothing at zero saturation, and
+        balance only repartitions zero offsets). Host-side only, like
+        has_finish_extras."""
         return any(
             float(getattr(self, name)) != 0.0
             for name in ("grade_shadow_sat", "grade_mid_sat",

@@ -857,17 +857,17 @@ def run_batch_export(
                     d.job.params.has_grading() for d in batch)
                 grain_any = any(
                     float(d.job.params.grain) != 0.0 for d in batch)
-                parts = []
+                mode_parts = []
                 if stenc_any:
-                    parts.append("full" if clar_any else "base")
+                    mode_parts.append("full" if clar_any else "base")
                 if mix_any:
-                    parts.append("mixer")
+                    mode_parts.append("mixer")
                 if grade_any:
-                    parts.append("grading")
+                    mode_parts.append("grading")
                 if grain_any:
-                    parts.append("grain")
-                ex_mode = "+".join(parts) if parts else False
-                ex_on = bool(parts)
+                    mode_parts.append("grain")
+                ex_mode = "+".join(mode_parts) if mode_parts else False
+                ex_on = bool(mode_parts)
 
             def _extras_amounts(ds, field):
                 return np.array(

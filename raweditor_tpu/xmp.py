@@ -71,9 +71,13 @@ def params_to_xmp(params: EditParams, rating: Optional[int] = None,
     rdf = ET.SubElement(root, f"{{{RDF_NS}}}RDF")
     desc = ET.SubElement(rdf, f"{{{RDF_NS}}}Description")
     desc.set(f"{{{RDF_NS}}}about", "")
-    if rating is not None:
-        shown = -1 if flag == "reject" else int(rating)
-        desc.set(f"{{{XMP_NS}}}Rating", str(shown))
+    if flag == "reject":
+        # Always write the portable reject marker, stars or not — a
+        # read→write round trip (xmp_to_params returns rating=None for
+        # rejects) must not drop the Adobe-visible Rating="-1".
+        desc.set(f"{{{XMP_NS}}}Rating", "-1")
+    elif rating is not None:
+        desc.set(f"{{{XMP_NS}}}Rating", str(int(rating)))
     if label:
         desc.set(f"{{{XMP_NS}}}Label", str(label))
     if flag and flag != "none":
