@@ -6,11 +6,32 @@ Run on one real TPU chip by the driver. Prints ONE JSON line:
 Baselines (BASELINE.md): reference full-res render+readback is 1-2 s per
 24 MP image on the reference GPU; driver target is >=50 develops/sec per
 chip and <16 ms p50 1280 px preview re-render.
+
+Structure (wedge-proof by construction — the round-3 driver record was
+all-zero because the very first 24 MP device sync wedged for the whole
+budget):
+  1. HOST lanes first — per-codec decode MP/s + JPEG-encode MP/s on a
+     ~2 MP fixture. No TPU involved; real measurements land in <30 s no
+     matter what the tunnel does.
+  2. Device WEDGE PROBE — a no-op scalar program with a hard deadline
+     on a helper thread, one retry. On double timeout the record gets
+     ``tunnel_wedged: true`` and the host lanes stand alone.
+  3. SMALL-SHAPE device lane — a fixed ~2 MP develop (same shape every
+     round, so the persistent compile cache makes it seconds) puts the
+     first measured device number + a provisional extrapolated headline
+     in the record before the 24 MP shape is ever touched.
+  4. Roofline — HLO cost analysis of the compiled develop: ops/pixel,
+     model flops/bytes, and (on TPU) a VPU-utilization MFU-analogue
+     against an explicitly published assumed peak.
+  5. The 24 MP lanes (throughput / accurate / grad / extras / preview /
+     session / e2e) — first sync guarded by the same deadline helper
+     with one retry.
 """
 
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -25,9 +46,270 @@ def _stage(msg):
           file=sys.stderr, flush=True)
 
 
+def _with_deadline(fn, seconds, retries=0, label=""):
+    """Run ``fn()`` on a daemon thread with a hard deadline.
+
+    Returns ``(True, value)`` on success, ``(False, None)`` when every
+    attempt either timed out or raised. A wedged attempt's thread is
+    abandoned (daemon), so a stalled device RPC cannot take the whole
+    bench down with it — the reason BENCH_r03 recorded nothing.
+    """
+    for attempt in range(retries + 1):
+        box = {}
+        done = threading.Event()
+
+        def run():
+            try:
+                box["value"] = fn()
+            except BaseException as e:  # noqa: BLE001 - recorded below
+                box["error"] = e
+            finally:
+                done.set()
+
+        th = threading.Thread(target=run, daemon=True)
+        th.start()
+        done.wait(seconds)
+        if done.is_set():
+            if "error" in box:
+                _stage(f"{label or 'lane'} attempt {attempt + 1} "
+                       f"failed: {box['error']}")
+                continue
+            return True, box.get("value")
+        _stage(f"{label or 'lane'} attempt {attempt + 1} timed out "
+               f"({seconds:.0f}s)")
+    return False, None
+
+
+# ---------------------------------------------------------------------
+# 1. Host-only lanes (no TPU): codec decode + JPEG encode throughput.
+# ---------------------------------------------------------------------
+
+def _host_mosaic(mp, rng):
+    h = int((mp * 1e6 * 3 / 4) ** 0.5)
+    w = int(h * 4 / 3)
+    # Width multiple of 32: the ARW2 writer packs 32-px blocks.
+    return rng.integers(0, 4096, size=(max(h - h % 4, 4),
+                                       max(w - w % 32, 32)),
+                        dtype=np.uint16)
+
+
+def _host_lanes(results):
+    """Per-codec host decode MP/s + JPEG-encode MP/s on a ~2 MP
+    fixture. Pure host measurements (tools/codec_bench.py is the
+    full-matrix version); they guarantee the bench record carries real
+    numbers even when the device never responds at all."""
+    from raweditor_tpu.raw.decode import decode_raw
+    from raweditor_tpu.raw.synth import write_synthetic_raw
+
+    mp = 0.5 if os.environ.get("RAWEDITOR_TPU_BENCH_SMALL") else 2.0
+    rng = np.random.default_rng(0)
+    mosaic = _host_mosaic(mp, rng)
+    mpx = mosaic.shape[0] * mosaic.shape[1] / 1e6
+    for codec in ("nikon", "ljpeg", "arw2"):
+        try:
+            blob = write_synthetic_raw(None, mosaic, compression=codec)
+            decode_raw(blob)  # warm (imports, tables)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                decode_raw(blob)
+                best = min(best, time.perf_counter() - t0)
+            results[f"host_decode_{codec}_mps"] = round(mpx / best, 1)
+        except Exception as e:  # noqa: BLE001 - lanes are independent
+            _stage(f"host decode lane {codec} failed: {e}")
+    try:
+        from raweditor_tpu.native import get_rawkit
+
+        rk = get_rawkit()
+        if rk is not None:
+            h, w = mosaic.shape
+            h -= h % 2
+            w -= w % 2
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = 128 + 100 * np.sin(xx / 97.0) * np.cos(yy / 61.0)
+            y = np.clip(base + rng.normal(0, 6, (h, w)), 0,
+                        255).astype(np.uint8).tobytes()
+            cbase = np.clip(base[::2, ::2] * 0.5 + 64, 0,
+                            255).astype(np.uint8)
+            cb, cr = cbase.tobytes(), cbase[::-1].tobytes()
+            empx = h * w / 1e6
+            for name, opt in (("host_jpeg420_encode_mps", False),
+                              ("host_jpeg420_opt_encode_mps", True)):
+                rk.encode_jpeg_420(y, cb, cr, w, h, 90, opt)  # warm
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    rk.encode_jpeg_420(y, cb, cr, w, h, 90, opt)
+                    best = min(best, time.perf_counter() - t0)
+                results[name] = round(empx / best, 1)
+    except Exception as e:  # noqa: BLE001 - encode lanes independent
+        _stage(f"host jpeg lanes failed: {e}")
+    results["host_lane_mp"] = round(mpx, 2)
+
+
+# ---------------------------------------------------------------------
+# 2. Device wedge probe.
+# ---------------------------------------------------------------------
+
+def _probe_device(results):
+    """No-op scalar program end-to-end (upload + execute + 4-byte
+    fetch) under a hard deadline with one retry. Double timeout marks
+    the record ``tunnel_wedged`` so a stalled transport is an explicit
+    measurement, not an absence of one."""
+    if os.environ.get("RAWEDITOR_TPU_BENCH_FAKE_WEDGE"):
+        # Test hook: behave exactly like a wedged tunnel.
+        results["tunnel_wedged"] = True
+        return False
+
+    def probe():
+        import jax
+
+        t0 = time.perf_counter()
+        tiny = jax.device_put(np.float32(1.0))
+        val = np.asarray(jax.jit(lambda v: v + 1.0)(tiny))
+        assert float(val) == 2.0
+        return (time.perf_counter() - t0) * 1000.0
+
+    deadline = float(os.environ.get("RAWEDITOR_TPU_BENCH_PROBE_S", "90"))
+    ok, ms = _with_deadline(probe, deadline, retries=1,
+                            label="wedge probe")
+    if ok:
+        results["tunnel_probe_ms"] = round(ms, 1)
+        return True
+    results["tunnel_wedged"] = True
+    return False
+
+
+# ---------------------------------------------------------------------
+# 3. Small-shape device lane + 4. roofline.
+# ---------------------------------------------------------------------
+
+def _small_device_lane(results, params, wb, cm, full_px):
+    """A fixed ~2 MP develop (stable shape across rounds → persistent
+    compile cache) that puts the first measured device throughput into
+    the record within seconds, plus a pixel-scaled provisional headline
+    (labeled ``value_source``) that the 24 MP lanes overwrite."""
+    import jax
+
+    from raweditor_tpu.ops.develop import develop_rgba
+
+    if os.environ.get("RAWEDITOR_TPU_BENCH_SMALL"):
+        sh, sw = 384, 576
+    else:
+        sh, sw = 1200, 1824  # ~2.2 MP, fixed across rounds
+    rng = np.random.default_rng(1)
+    small = jax.device_put(
+        rng.integers(0, 4096, size=(sh, sw), dtype=np.uint16))
+    checksum = jax.jit(lambda x: x.reshape(-1)[::8191].max())
+
+    def first_sync():
+        out = develop_rgba(small, params, wb, cm)
+        np.asarray(checksum(out))
+        return True
+
+    deadline = float(os.environ.get("RAWEDITOR_TPU_BENCH_PROBE_S", "90"))
+    ok, _ = _with_deadline(first_sync, max(deadline, 120.0), retries=1,
+                           label="small-lane compile")
+    if not ok:
+        results["small_lane_wedged"] = True
+        return
+    iters = 16
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = develop_rgba(small, params.replace(exposure=0.5 + 0.01 * i),
+                           wb, cm)
+    np.asarray(checksum(out))
+    rate = iters / (time.perf_counter() - t0)
+    results.update(small_develops_per_sec_2mp=round(rate, 2),
+                   small_lane_px=sh * sw)
+    # Provisional headline: pixel-scaled from the small lane. Honest
+    # about its provenance via value_source; the 24 MP quick lane
+    # replaces it with a real full-shape measurement.
+    provisional = rate * (sh * sw) / full_px
+    results.update(value=round(provisional, 2),
+                   vs_baseline=round(provisional / 50.0, 3),
+                   value_source="extrapolated_from_2mp")
+
+
+#: Assumed f32 VPU peaks per chip for the MFU-analogue, derived from
+#: the public (8,128)-vreg × 4-ALU × FMA shape at published clocks.
+#: Published in the JSON (vpu_peak_assumed_gflops) so the utilization
+#: figure is auditable; absent kinds emit achieved GFLOP/s only.
+_VPU_PEAK_GFLOPS = {
+    "TPU v2": 8 * 128 * 4 * 2 * 0.70,
+    "TPU v3": 8 * 128 * 4 * 2 * 0.94,
+    "TPU v4": 8 * 128 * 4 * 2 * 1.05,
+    "TPU v5e": 8 * 128 * 4 * 2 * 1.00,
+    "TPU v5 lite": 8 * 128 * 4 * 2 * 1.00,
+    "TPU v5p": 8 * 128 * 4 * 2 * 1.75,
+    "TPU v6e": 8 * 128 * 4 * 2 * 1.70,
+}
+
+
+def _roofline_lane(results, mosaic, params, wb, cm):
+    """HLO cost analysis of the compiled full-res XLA develop: the
+    ops/pixel + model-flops numbers that back the 'at the VPU bound'
+    claim (docs/performance.md) as driver-checkable fields rather than
+    prose. ``_finish_utilization`` divides by the measured device time
+    once the batch device lane lands."""
+    import jax
+
+    from raweditor_tpu.ops.develop import develop_rgba
+
+    try:
+        comp = (jax.jit(lambda p: develop_rgba(mosaic, p, wb, cm))
+                .lower(params).compile())
+        ca = comp.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", 0.0))
+        byts = float(ca.get("bytes accessed", 0.0))
+        px = mosaic.shape[0] * mosaic.shape[1]
+        if flops > 0:
+            results.update(
+                model_flops=round(flops),
+                ops_per_pixel=round(flops / px, 2),
+                model_bytes_accessed=round(byts),
+                model_arith_intensity=round(flops / max(byts, 1.0), 3),
+            )
+    except Exception as e:  # noqa: BLE001 - cost analysis is additive
+        _stage(f"roofline lane failed: {e}")
+
+
+def _finish_utilization(results):
+    """vpu_utilization = model_flops (XLA cost analysis of the same
+    develop math) × develops_per_sec_device (profiler-measured batched
+    kernel) ÷ assumed VPU peak. An MFU-analogue: the flops model is
+    the XLA program's, the time is the fused kernel's — both published
+    separately so the division is auditable."""
+    import jax
+
+    snap = results.snapshot() if hasattr(results, "snapshot") \
+        else dict(results)
+    flops = snap.get("model_flops", 0.0)
+    rate = snap.get("develops_per_sec_device", 0.0)
+    if not (flops and rate):
+        return
+    achieved = flops * rate / 1e9
+    results["vpu_gflops_achieved"] = round(achieved, 1)
+    kind = getattr(jax.devices()[0], "device_kind", "")
+    for known, peak in _VPU_PEAK_GFLOPS.items():
+        if kind.lower().startswith(known.lower()):
+            results.update(vpu_peak_assumed_gflops=round(peak),
+                           vpu_utilization=round(achieved / peak, 4))
+            break
+
+
+# ---------------------------------------------------------------------
+# 5. The full-shape lanes.
+# ---------------------------------------------------------------------
+
 def _measure(results):
     """Run all measurements, updating `results` at section boundaries
     so a stalled tunnel still leaves partial numbers to print."""
+    _stage("host lanes")
+    _host_lanes(results)
+
     from raweditor_tpu.utils import ensure_backend
 
     ensure_backend()  # also enables the persistent compile cache
@@ -46,14 +328,26 @@ def _measure(results):
     mosaic_host = rng.integers(0, 4096, size=(h, w), dtype=np.uint16)
     wb = np.array([2.07, 1.0, 1.32], dtype=np.float32)
     cm = np.eye(3, dtype=np.float32)
+    params = EditParams(exposure=0.5, contrast=10.0, saturation=20.0)
+
+    _stage("wedge probe")
+    if not _probe_device(results):
+        _stage("tunnel wedged - host lanes stand alone")
+        return
+    results["device"] = str(jax.devices()[0])
+
+    _stage("small device lane")
+    _small_device_lane(results, params, wb, cm, h * w)
 
     mosaic = jax.device_put(mosaic_host)
     jax.block_until_ready(mosaic)
 
+    _stage("roofline")
+    _roofline_lane(results, mosaic, params, wb, cm)
+
     # --- full-res develop throughput (packed-RGBA output, the export
     # format — the same RGBA8 bytes/pixel the reference reads back,
     # reference: gpu/pipeline.rs:551) ----------------------------------
-    params = EditParams(exposure=0.5, contrast=10.0, saturation=20.0)
     checksum = jax.jit(lambda x: jnp.max(x))
 
     def timed_throughput(fn, iters=64, passes=2):
@@ -80,11 +374,21 @@ def _measure(results):
     # Quick headline first (8 iters, 1 pass): lands SOME develops/sec
     # number within seconds of the backend responding at all, so a
     # tunnel that wedges mid-bench still leaves a real measurement in
-    # the partial record. The full lanes below refine it.
-    quick = timed_throughput(lambda p: develop_rgba(mosaic, p, wb, cm),
-                             iters=8, passes=1)
+    # the partial record. First 24 MP compile+sync runs under a hard
+    # deadline with one retry (the r3 wedge hit exactly here).
+    quick_deadline = float(
+        os.environ.get("RAWEDITOR_TPU_BENCH_FIRSTSYNC_S", "240"))
+    ok, quick = _with_deadline(
+        lambda: timed_throughput(
+            lambda p: develop_rgba(mosaic, p, wb, cm), iters=8, passes=1),
+        quick_deadline, retries=1, label="24MP first sync")
+    if not ok:
+        results["full_shape_wedged"] = True
+        _stage("24 MP lane wedged twice - smaller lanes stand")
+        return
     results.update(value=round(quick, 2),
                    vs_baseline=round(quick / 50.0, 3),
+                   value_source="measured_24mp",
                    quick_develops_per_sec=round(quick, 2))
     _stage(f"quick headline: {quick:.0f}/s")
     t_lane = time.perf_counter()
@@ -179,6 +483,7 @@ def _measure(results):
                     develops_per_sec_device=round(nb * 1000.0 / med_ms,
                                                   2),
                 )
+                _finish_utilization(results)
         except Exception:
             pass  # no trace support → wall lanes stand alone
         # Fused JPEG-planes lane (late r3): the all-JPEG exporter runs
@@ -498,7 +803,29 @@ def _measure(results):
         session_p50_ms=round(float(sess_stats["p50_ms"]), 2),
         session_p95_ms=round(float(sess_stats["p95_ms"]), 2),
     )
-    del eng, sess
+
+    # Pipelined steady-state mode (VERDICT r3 item 4): depth-2
+    # in-flight ticks — each tick dispatches its render and retires
+    # the one two behind it, so the per-tick wall latency is the
+    # amortized per-frame cost, not a transport round trip. This is
+    # the number to hold against the <16 ms bar on a tunneled
+    # transport; frames lag the slider by 2 ticks (the standard
+    # triple-buffering trade).
+    from raweditor_tpu.utils.config import Config as _Config
+
+    sess_p = DevelopSession(eng, None, None,
+                            config=_Config(session_pipeline_depth=2))
+    sess_p.set_slider("exposure", 0.1)  # AOT executables are warm
+    sess_p.latency = LatencyStats()
+    for i in range(60):
+        sess_p.set_slider("exposure", 0.3 + 0.005 * i)
+    eng.flush_pipeline()
+    pipe_stats = sess_p.latency.summary()
+    results.update(
+        session_pipelined_p50_ms=round(float(pipe_stats["p50_ms"]), 2),
+        session_pipelined_p95_ms=round(float(pipe_stats["p95_ms"]), 2),
+    )
+    del eng, sess, sess_p
 
     # --- end-to-end batch export (decode -> develop -> encode): the
     # BASELINE batch config ("1,000 NEFs -> sRGB JPEG") at reduced
@@ -645,7 +972,6 @@ def main():
     whatever landed by the deadline is printed as THE one JSON line —
     a wedged tunnel (observed: a single lane stalling 18+ minutes)
     must never leave the driver with no bench record at all."""
-    import threading
 
     class _LockedResults(dict):
         """The worker mutates this from a daemon thread while the

@@ -17,6 +17,7 @@ and straight matrix math.
 
 from __future__ import annotations
 
+import collections
 import os
 from typing import Tuple
 
@@ -155,6 +156,9 @@ class DevelopEngine:
         # AOT preview/histogram executables (compile_preview).
         self._aot_preview = None
         self._aot_histogram = None
+        # In-flight (render, checksum) pairs for the pipelined slider
+        # mode (preview_tick_pipelined); oldest first.
+        self._inflight = collections.deque()
 
     # -- render paths ----------------------------------------------------
     def _preview_program(self, mosaic, params: EditParams, zoom,
@@ -334,6 +338,50 @@ class DevelopEngine:
                                  float(pan[0]), float(pan[1]))
         np.asarray(s)  # single-byte fetch = transport-proof sync
         return r
+
+    def preview_tick_pipelined(self, params: EditParams,
+                               zoom: float = 1.0,
+                               pan: Tuple[float, float] = (0.0, 0.0),
+                               depth: int = 2):
+        """Steady-state slider mode: dispatch THIS tick, then sync the
+        tick ``depth`` behind it. Up to ``depth`` renders stay in
+        flight, so per-tick wall latency amortizes the transport round
+        trip instead of paying it in full every tick — on a tunneled
+        transport with a ~30 ms RPC floor this lands near the ~2 ms
+        amortized device cost while every returned frame is still
+        provably finished (its checksum byte arrived). The returned
+        preview is ``depth`` ticks behind the slider — the standard
+        triple-buffering trade every interactive renderer makes.
+
+        Returns the newest provably-finished device-resident preview,
+        or None during the first ``depth`` ticks of a burst (pipeline
+        still filling). extras/locals-active params fall back to the
+        true-sync :meth:`preview_tick` (those variants run through the
+        jit cache, not the AOT executable)."""
+        if params.has_finish_extras() or params.locals:
+            return self.preview_tick(params, zoom, pan)
+        self.compile_preview()
+        r, s = self._aot_preview(self.mosaic, self._float_params(params),
+                                 float(zoom),
+                                 float(pan[0]), float(pan[1]))
+        self._inflight.append((r, s))
+        if len(self._inflight) <= max(0, int(depth)):
+            return None
+        r0, s0 = self._inflight.popleft()
+        np.asarray(s0)  # single-byte fetch = transport-proof sync
+        return r0
+
+    def flush_pipeline(self):
+        """Sync every in-flight pipelined tick (preview_tick_pipelined)
+        and return the newest finished preview, or None if nothing was
+        in flight. Fetch paths (frame/render/histogram) call this so a
+        burst's tail is retired before a fresh frame is produced."""
+        last = None
+        while self._inflight:
+            r0, s0 = self._inflight.popleft()
+            np.asarray(s0)
+            last = r0
+        return last
 
     def preview(self, params: EditParams, zoom: float = 1.0,
                 pan: Tuple[float, float] = (0.0, 0.0)) -> np.ndarray:

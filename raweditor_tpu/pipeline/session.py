@@ -173,14 +173,33 @@ class DevelopSession:
         service's broad error handling; code-review r3). preview_tick
         = AOT dispatch + checksum-byte sync: the render is provably
         finished when the timer stops. First tick compiles the AOT
-        executables (one-off). Returns milliseconds."""
+        executables (one-off). Returns milliseconds.
+
+        With config.session_pipeline_depth > 0 the tick runs in the
+        pipelined steady-state mode instead: up to N renders stay in
+        flight and each tick retires the one N behind it, so the
+        recorded latency is the amortized per-frame cost rather than
+        a full transport round trip per tick (frames lag the slider
+        by N ticks — flushed before any fetch, see _flush_pipeline)."""
         import time
 
         t0 = time.perf_counter()
-        self.engine.preview_tick(self.params, self.zoom, self.pan)
+        depth = int(getattr(self.config, "session_pipeline_depth", 0))
+        if depth > 0:
+            self.engine.preview_tick_pipelined(self.params, self.zoom,
+                                               self.pan, depth=depth)
+        else:
+            self.engine.preview_tick(self.params, self.zoom, self.pan)
         dt = time.perf_counter() - t0
         self.latency.record(dt)
         return dt * 1000.0
+
+    def _flush_pipeline(self) -> None:
+        """Retire any in-flight pipelined ticks before a fetch-side
+        command produces a frame, so bursts don't leave stragglers
+        holding device buffers."""
+        if self.engine is not None:
+            self.engine.flush_pipeline()
 
     def set_zoom(self, zoom: float) -> dict:
         # NaN passes min/max clamps unchanged (comparisons are False)
@@ -201,6 +220,8 @@ class DevelopSession:
     def render(self, path: str, params: Optional[EditParams] = None) -> dict:
         from PIL import Image
 
+        self._flush_pipeline()
+
         img = self.engine.preview(params or self.params, self.zoom,
                                   self.pan)
         Image.fromarray(img).save(path)
@@ -220,6 +241,7 @@ class DevelopSession:
 
         if not 1 <= int(quality) <= 100:
             raise ValueError("quality must be 1..100")
+        self._flush_pipeline()
         img = self.engine.preview(params or self.params, self.zoom,
                                   self.pan)
         buf = io.BytesIO()
@@ -231,12 +253,14 @@ class DevelopSession:
                 "jpeg_base64": base64.b64encode(data).decode("ascii")}
 
     def full(self, path: str, long_edge: int = 0) -> dict:
+        self._flush_pipeline()
         return {"ok": True,
                 "path": self.engine.export(
                     path, self.params,
                     long_edge=int(long_edge) or None)}
 
     def histogram(self) -> dict:
+        self._flush_pipeline()
         hist = self.engine.histogram(self.params, self.zoom, self.pan)
         return {"ok": True, "r": hist[0].tolist(), "g": hist[1].tolist(),
                 "b": hist[2].tolist()}

@@ -35,6 +35,11 @@ class Config:
     # Interaction (reference: main.rs:803 zoom clamp 0.1-10).
     zoom_min: float = 0.1
     zoom_max: float = 10.0
+    # Slider ticks keep up to N renders in flight (engine
+    # preview_tick_pipelined): per-tick wall latency amortizes the
+    # transport round trip; returned frames lag the slider by N ticks.
+    # 0 = classic true-sync mode (every tick waits for its own frame).
+    session_pipeline_depth: int = 0
 
     # Develop semantics.
     mode: str = "parity"  # parity | accurate
@@ -64,6 +69,10 @@ class Config:
             raise ValueError("jpeg_quality must be in 1..100")
         if self.mesh_rows < 0:
             raise ValueError("mesh_rows must be >= 0 (0 = no mesh)")
+        if not 0 <= self.session_pipeline_depth <= 8:
+            # >8 in-flight frames buys nothing (the transport round
+            # trip is amortized by 2-3) and holds device buffers.
+            raise ValueError("session_pipeline_depth must be in 0..8")
         return self
 
     # -- sources ---------------------------------------------------------

@@ -38,8 +38,33 @@ def test_bench_happy_path_small():
     assert "error" not in doc
     for field in ("xla_develops_per_sec", "accurate_develops_per_sec",
                   "preview_p50_ms", "e2e_develops_per_sec",
-                  "e2e_link_mbps", "device"):
+                  "e2e_link_mbps", "device",
+                  # wedge-proof structure: host lanes + probe + small
+                  # device lane land before any full-shape sync
+                  "host_decode_nikon_mps", "host_jpeg420_encode_mps",
+                  "tunnel_probe_ms", "small_develops_per_sec_2mp",
+                  # roofline: cost-analysis-backed fields
+                  "ops_per_pixel", "model_flops",
+                  # steady-state interactive mode
+                  "session_pipelined_p50_ms"):
         assert field in doc, field
+    # The headline was measured at the full shape, not extrapolated.
+    assert doc["value_source"] == "measured_24mp"
+    assert doc["host_decode_nikon_mps"] > 0
+    assert doc["ops_per_pixel"] > 10  # a real develop is >>10 ops/px
+
+
+def test_bench_wedged_tunnel_still_emits_host_lanes():
+    """The r3 failure mode: the device never responds. The record must
+    still carry real host measurements + an explicit wedged marker."""
+    doc = _run_bench({"RAWEDITOR_TPU_BENCH_SMALL": "1",
+                      "RAWEDITOR_TPU_BENCH_FAKE_WEDGE": "1",
+                      "RAWEDITOR_TPU_BENCH_BUDGET_S": "300"},
+                     timeout=330)
+    assert doc["tunnel_wedged"] is True
+    measured = [k for k in doc
+                if k.startswith("host_") and doc[k] > 0]
+    assert len(measured) >= 4, doc
 
 
 def test_bench_budget_prints_partials():

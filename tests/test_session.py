@@ -257,3 +257,70 @@ def test_auto_with_levels_and_contrast_tokens(session):
     assert out["ok"] is True
     out = sess.handle("auto bogus")
     assert out["ok"] is False and "usage" in out["error"]
+
+
+# -- pipelined slider mode (engine.preview_tick_pipelined) ---------------
+
+def _pipelined_session(tmp_path, rng, depth):
+    from raweditor_tpu.utils.config import Config
+
+    path = tmp_path / "p.nef"
+    write_synthetic_raw(
+        path, rng.integers(0, 4096, size=(24, 32), dtype=np.uint16)
+    )
+    eng = DevelopEngine.open(path)
+    return eng, DevelopSession(
+        eng, None, None, config=Config(session_pipeline_depth=depth))
+
+
+def test_pipelined_frames_match_true_sync(tmp_path, rng):
+    """Depth-2 pipeline: the first 2 ticks return None (filling), then
+    each tick retires the render from 2 ticks ago — bit-identical to a
+    true-sync render of those same params."""
+    eng, _ = _pipelined_session(tmp_path, rng, 2)
+    values = [0.1, 0.4, 0.7, 1.0, 1.3]
+    got = []
+    for v in values:
+        got.append(eng.preview_tick_pipelined(
+            EditParams(exposure=v), depth=2))
+    assert got[0] is None and got[1] is None
+    for i, frame in enumerate(got[2:]):
+        want = np.asarray(eng.preview_tick(EditParams(exposure=values[i])))
+        np.testing.assert_array_equal(np.asarray(frame), want)
+    # flush retires the remaining 2 and returns the newest.
+    last = eng.flush_pipeline()
+    want = np.asarray(eng.preview_tick(EditParams(exposure=values[-1])))
+    np.testing.assert_array_equal(np.asarray(last), want)
+    assert eng.flush_pipeline() is None  # idempotent when drained
+
+
+def test_pipelined_session_ticks_and_fetches(tmp_path, rng):
+    """The session path: sliders tick pipelined, and a fetch command
+    (frame) flushes stragglers before producing the current frame."""
+    eng, sess = _pipelined_session(tmp_path, rng, 2)
+    for i in range(6):
+        out = sess.set_slider("exposure", 0.1 * i)
+        assert out["ok"]
+    assert sess.stats()["latency"]["count"] == 6
+    out = sess.frame(quality=80)
+    assert out["ok"] and out["bytes"] > 0
+    assert len(eng._inflight) == 0  # flushed
+
+
+def test_pipelined_extras_falls_back_to_true_sync(tmp_path, rng):
+    """extras-active params run through the jit cache, not the AOT
+    pipeline — the tick must return a finished frame immediately."""
+    eng, _ = _pipelined_session(tmp_path, rng, 2)
+    frame = eng.preview_tick_pipelined(EditParams(sharpen=50.0), depth=2)
+    assert frame is not None
+    assert len(eng._inflight) == 0
+
+
+def test_pipeline_depth_validated():
+    from raweditor_tpu.utils.config import Config
+
+    with pytest.raises(ValueError):
+        Config(session_pipeline_depth=-1).validate()
+    with pytest.raises(ValueError):
+        Config(session_pipeline_depth=9).validate()
+    Config(session_pipeline_depth=2).validate()
