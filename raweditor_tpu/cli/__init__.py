@@ -69,7 +69,7 @@ from raweditor_tpu.cli.develop_cmds import (
     cmd_synth,
     render_ascii_histogram,
 )
-from raweditor_tpu.cli.diag import cmd_bench, cmd_doctor
+from raweditor_tpu.cli.diag import cmd_bench, cmd_doctor, cmd_validate
 from raweditor_tpu.cli.export_cmds import (
     _run_batch_export_checked,
     cmd_export,
@@ -91,6 +91,7 @@ _COMMANDS = {
     "export": cmd_export,
     "tiers": cmd_tiers,
     "verify": cmd_verify,
+    "validate": cmd_validate,
     "histogram": cmd_histogram,
     "serve": cmd_serve,
     "synth": cmd_synth,

@@ -271,6 +271,29 @@ def build_parser() -> argparse.ArgumentParser:
              "files, tombstone missing RAW files",
     )
 
+    p = sub.add_parser(
+        "validate",
+        help="validate the decoder stack against a folder of real RAW "
+             "files: decode, develop, and score structural agreement "
+             "with each file's embedded camera preview "
+             "(pipeline/validate.py; rawpy is used as a differential "
+             "oracle when importable)",
+    )
+    p.add_argument("dir", help="folder of RAW files (walked recursively)")
+    p.add_argument("--limit", type=int, default=None,
+                   help="validate at most N files")
+    p.add_argument("--threshold", type=float, default=None,
+                   help="correlation below this marks a mismatch "
+                        "(default 0.5)")
+    p.add_argument("--preview-px", type=int, default=256,
+                   help="width of the develop used for scoring")
+    p.add_argument("--no-recursive", action="store_true",
+                   help="top-level files only")
+    p.add_argument("--json", dest="json_out", default=None,
+                   help="also write the full per-file report here")
+    p.add_argument("--per-file", action="store_true",
+                   help="include per-file records on stdout")
+
     p = sub.add_parser("tiers", help="generate pending preview tiers")
     p.add_argument("--cache-dir", default=None)
 

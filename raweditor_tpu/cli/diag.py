@@ -1,9 +1,10 @@
-"""Diagnostics: the doctor self-check and the bench runner."""
+"""Diagnostics: the doctor self-check, real-file decoder validation,
+and the bench runner."""
 
 from __future__ import annotations
 
 import json
-
+import os
 
 from raweditor_tpu.cli._shared import _open_library
 
@@ -175,6 +176,32 @@ def cmd_doctor(args) -> int:
              else "ok")
     print(json.dumps({"status": worst, "checks": checks}))
     return 1 if worst == "fail" else 0
+
+
+def cmd_validate(args) -> int:
+    """Real-file decoder validation (pipeline/validate.py): the
+    day-one button for a camera corpus. Exit 1 when any file
+    quarantined or structurally mismatched — CI-composable."""
+    from raweditor_tpu.pipeline.validate import (DEFAULT_THRESHOLD,
+                                                 validate_dir)
+
+    if not os.path.isdir(args.dir):
+        raise SystemExit(f"not a directory: {args.dir}")
+    report = validate_dir(
+        args.dir, limit=args.limit,
+        preview_px=args.preview_px,
+        threshold=(args.threshold if args.threshold is not None
+                   else DEFAULT_THRESHOLD),
+        recursive=not args.no_recursive,
+    )
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(report, f, indent=1)
+    out = dict(report)
+    if not args.per_file:
+        out.pop("files")
+    print(json.dumps(out))
+    return 0 if report["summary"]["passed"] else 1
 
 
 def cmd_bench(args) -> int:

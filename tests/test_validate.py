@@ -1,0 +1,144 @@
+"""Real-file validation harness (pipeline/validate.py + CLI).
+
+No real camera corpus exists in this environment, so the harness is
+exercised on synthetic files whose embedded previews are either the
+develop of the same scene (must score "ok"), an unrelated scene (must
+score "mismatch"), garbage (decode quarantine), or absent.
+"""
+
+import io
+import json
+
+import numpy as np
+import pytest
+
+from raweditor_tpu.params import EditParams
+from raweditor_tpu.pipeline.validate import (
+    DEFAULT_THRESHOLD,
+    _correlation,
+    _luma_grid,
+    validate_dir,
+    validate_file,
+)
+from raweditor_tpu.raw.synth import write_synthetic_raw
+
+
+def _scene_mosaic(h=96, w=128, invert=False):
+    """A structured (non-noise) scene: diagonal gradient + blob."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    v = (xx / w + yy / h) / 2.0
+    v += 0.4 * np.exp(-(((yy - h / 3) / (h / 6)) ** 2
+                        + ((xx - w / 3) / (w / 6)) ** 2))
+    if invert:
+        v = v.max() - v
+    v = v / v.max()
+    return (200 + v * 3600).astype(np.uint16)
+
+
+def _own_preview_jpeg(path):
+    """Develop the file through the product engine and JPEG it — a
+    stand-in for the camera's own embedded rendering."""
+    from PIL import Image
+
+    from raweditor_tpu.pipeline.engine import DevelopEngine
+
+    eng = DevelopEngine.open(path, mode="accurate",
+                             max_preview_width=128,
+                             demosaic_method="malvar", transfer="srgb")
+    img = eng.preview(EditParams())
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=90)
+    return buf.getvalue()
+
+
+@pytest.fixture
+def corpus(tmp_path):
+    mosaic = _scene_mosaic()
+    # Two-step: write once to learn the scene's own develop, rewrite
+    # with that develop embedded as the "camera preview".
+    good = tmp_path / "good.nef"
+    write_synthetic_raw(good, mosaic, compression="nikon")
+    preview = _own_preview_jpeg(good)
+    write_synthetic_raw(good, mosaic, compression="nikon",
+                        preview_jpeg=preview)
+    return tmp_path, mosaic, preview
+
+
+def test_agreeing_preview_scores_ok(corpus):
+    tmp_path, _, _ = corpus
+    rec = validate_file(str(tmp_path / "good.nef"))
+    assert rec["status"] == "ok", rec
+    assert rec["correlation"] > 0.8
+    assert rec["codec"] == "nef"
+    assert rec["sensor_shape"] == [96, 128]
+    # channel means agree within JPEG + demosaic tolerance
+    assert all(abs(d) < 16 for d in rec["channel_mean_delta"]), rec
+
+
+def test_unrelated_preview_scores_mismatch(corpus):
+    tmp_path, mosaic, _ = corpus
+    bad_scene = tmp_path / "inv.nef"
+    write_synthetic_raw(bad_scene, _scene_mosaic(invert=True),
+                        compression="nikon")
+    wrong_preview = _own_preview_jpeg(bad_scene)
+    path = tmp_path / "wrong.nef"
+    write_synthetic_raw(path, mosaic, compression="nikon",
+                        preview_jpeg=wrong_preview)
+    rec = validate_file(str(path))
+    assert rec["status"] == "mismatch", rec
+    assert rec["correlation"] < DEFAULT_THRESHOLD
+
+
+def test_corrupt_file_quarantined(tmp_path):
+    path = tmp_path / "junk.nef"
+    path.write_bytes(b"not a raw file at all" * 100)
+    rec = validate_file(str(path))
+    assert rec["status"] == "quarantined"
+    assert "error" in rec
+
+
+def test_directory_rollup_and_verdict(corpus):
+    tmp_path, _, _ = corpus
+    (tmp_path / "junk.arw").write_bytes(b"garbage" * 64)
+    (tmp_path / "ignored.txt").write_text("not raw")
+    report = validate_dir(str(tmp_path))
+    assert report["summary"]["total"] == 2  # .txt filtered out
+    assert report["per_codec"]["nef"]["ok"] == 1
+    assert report["per_codec"]["arw"]["quarantined"] == 1
+    assert report["summary"]["passed"] is False
+    # without the junk file the corpus passes
+    (tmp_path / "junk.arw").unlink()
+    report = validate_dir(str(tmp_path))
+    assert report["summary"]["passed"] is True
+
+
+def test_luma_grid_and_correlation_basics():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    g = _luma_grid(img)
+    assert g.shape == (32, 32)
+    assert _correlation(g, g) == pytest.approx(1.0)
+    assert _correlation(g, -g) == pytest.approx(-1.0)
+    flat = np.full((32, 32), 7.0)
+    assert _correlation(g, flat) == 0.0  # constant carries no evidence
+
+
+def test_cli_validate(corpus, capsys):
+    tmp_path, _, _ = corpus
+    from raweditor_tpu.cli import main
+
+    out_json = tmp_path / "report.json"
+    code = main(["validate", str(tmp_path), "--json", str(out_json),
+                 "--per-file"])
+    doc = json.loads(capsys.readouterr().out.strip())
+    assert code == 0
+    assert doc["summary"]["passed"] is True
+    assert doc["files"][0]["status"] == "ok"
+    on_disk = json.loads(out_json.read_text())
+    assert on_disk["summary"] == doc["summary"]
+    # a quarantine flips the exit code
+    (tmp_path / "junk.arw").write_bytes(b"garbage" * 64)
+    code = main(["validate", str(tmp_path)])
+    doc = json.loads(capsys.readouterr().out.strip())
+    assert code == 1
+    assert "files" not in doc  # per-file detail only with --per-file
