@@ -282,3 +282,50 @@ def test_sharded_ycbcr_rejects_histogram(rng):
     with pytest.raises(ValueError, match="ycbcr"):
         batch_develop_sharded(staged, params, wbs, cms, mesh, rgba=True,
                               with_histogram=True, output="ycbcr420")
+
+
+def test_exporter_extras_lanes_mesh_vs_solo_byte_identical(rng, tmp_path):
+    """Every remaining lane the exporter routes on a mesh (VERDICT r3
+    item 5): grad demosaic (data-parallel route), mixer/grading/locals
+    params (the extras flush), all-JPEG ycbcr420 planes, and --long-edge
+    device resize — each byte-identical to the solo run."""
+    import os
+
+    from raweditor_tpu.ops.local_adjust import LocalAdjust
+    from raweditor_tpu.pipeline.export import ExportJob, run_batch_export
+    from raweditor_tpu.raw.synth import write_synthetic_raw
+
+    mesh = batch_row_mesh(row=2)
+    n_batch = mesh.shape["batch"]
+    variants = [
+        EditParams(exposure=0.2),
+        EditParams(sat_orange=40.0, lum_blue=-25.0),
+        EditParams(grade_mid_sat=30.0, grade_mid_hue=200.0,
+                   grade_balance=0.2),
+        EditParams(locals=(LocalAdjust(kind="radial", exposure=0.5),)),
+        EditParams(exposure=0.1, sat_red=20.0, grade_shadow_sat=15.0),
+    ]
+    n_jobs = max(len(variants), n_batch)
+    jobs, solo_jobs = [], []
+    for i in range(n_jobs):
+        path = str(tmp_path / f"img{i}.nef")
+        write_synthetic_raw(
+            path, rng.integers(0, 4096, size=(16, 48), dtype=np.uint16),
+            compression="nikon")
+        p = variants[i % len(variants)]
+        jobs.append(ExportJob(path, str(tmp_path / "mesh" / f"{i}.jpg"),
+                              p))
+        solo_jobs.append(ExportJob(
+            path, str(tmp_path / "solo" / f"{i}.jpg"), p))
+    kwargs = dict(batch_size=n_batch, demosaic_method="grad",
+                  mode="accurate", transfer="srgb", long_edge=24,
+                  decode_threads=2, encode_threads=2)
+    report = run_batch_export(jobs, mesh=mesh, **kwargs)
+    assert report.succeeded == n_jobs, report.as_dict()
+    solo = run_batch_export(solo_jobs, mesh=None, **kwargs)
+    assert solo.succeeded == n_jobs
+    for i in range(n_jobs):
+        got = open(jobs[i].out_path, "rb").read()
+        want = open(solo_jobs[i].out_path, "rb").read()
+        assert got == want, f"lane {i % len(variants)} differs"
+        assert os.path.getsize(jobs[i].out_path) > 0
