@@ -1,0 +1,347 @@
+#!/usr/bin/env python
+"""Quality-tier scoreboard: the one-command source of docs/quality.md.
+
+    PYTHONPATH=/root/repo:$PYTHONPATH python tools/quality_bench.py \
+        [--size 256] [--write-doc]
+
+Every quality claim in the docs (+4 dB grad-over-malvar etc.) becomes a
+reproducible artifact: pinned synthetic scenes (seeded, parametric — the
+exact generators live in this file) are mosaicked per CFA, demosaicked
+through each tier, and scored against the ground truth with PSNR (u8,
+sRGB-encoded — the display domain) and CIE76 ΔE (via linear RGB → Lab —
+the perceptual domain). A second table scores the denoise/sharpen finish
+extras on a noise-injected sensor. Prints one JSON document; --write-doc
+regenerates docs/quality.md (a test pins the committed doc against this
+tool, so the table cannot go stale).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # runnable without PYTHONPATH
+
+#: Scenes are pinned: (name, builder). Each returns linear RGB [0,1]
+#: f32 of shape (h, w, 3). Sizes are divisible by 12 (X-Trans 6x6 and
+#: Bayer 2x2 tile cleanly).
+SCENE_SEED = 20240817
+
+
+def _scene_natural(h, w, rng):
+    """Smooth gradients + soft blobs: the easy case every tier should
+    ace — a regression here is a decode-level bug, not a tier trade."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    r = 0.25 + 0.5 * xx / w
+    g = 0.3 + 0.4 * yy / h
+    b = 0.5 - 0.3 * xx / w + 0.2 * yy / h
+    for _ in range(6):
+        cy, cx = rng.uniform(0, h), rng.uniform(0, w)
+        s = rng.uniform(h / 12, h / 4)
+        blob = np.exp(-(((yy - cy) / s) ** 2 + ((xx - cx) / s) ** 2))
+        ch = rng.integers(0, 3)
+        amp = rng.uniform(-0.25, 0.25)
+        (r, g, b)[ch][...] += amp * blob
+    return np.clip(np.stack([r, g, b], -1), 0.0, 1.0)
+
+
+def _scene_edges(h, w, rng):
+    """Step edges at several angles + period-8 bar gratings, then a
+    3x3 tent prefilter: a lens band-limits every real capture, and an
+    unfiltered beyond-Nyquist binary pattern would reward blur instead
+    of reconstruction (measured: it inverts the tier order)."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.full((h, w), 0.35, np.float32)
+    for ang in (0.0, 0.35, 0.79, 1.2):
+        c, s = np.cos(ang), np.sin(ang)
+        d = (xx - w / 2) * c + (yy - h / 2) * s
+        img += 0.12 * (np.sign(np.sin(d / 8.0 + ang * 7)) > 0)
+    bars = (xx % 16 < 8).astype(np.float32) * (yy < h / 3)
+    img = np.clip(img + 0.2 * bars, 0, 1)
+    rgb = np.clip(
+        np.stack([img, 1.0 - 0.7 * img, 0.4 + 0.5 * img], -1), 0.0, 1.0)
+    # separable [1,2,1]/4 optical low-pass
+    for axis in (0, 1):
+        rgb = (np.roll(rgb, 1, axis) + 2 * rgb
+               + np.roll(rgb, -1, axis)) / 4.0
+    return rgb.astype(np.float32)
+
+
+def _scene_zoneplate(h, w, rng):
+    """Radial chirp: aliasing torture — frequencies sweep through every
+    CFA Nyquist; the hardest scene for any demosaic."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    r2 = ((yy - h / 2) ** 2 + (xx - w / 2) ** 2)
+    z = 0.5 + 0.5 * np.cos(r2 * np.pi / (1.2 * max(h, w)))
+    rgb = np.stack([z, z, z], -1)  # luma chirp, neutral chroma
+    return rgb.astype(np.float32)
+
+
+def _scene_chroma(h, w, rng):
+    """Saturated patch grid with luma texture: chroma-bleed stressor."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    colors = np.array([
+        [0.9, 0.1, 0.1], [0.1, 0.8, 0.2], [0.15, 0.2, 0.9],
+        [0.9, 0.8, 0.1], [0.8, 0.1, 0.8], [0.1, 0.8, 0.8],
+    ], np.float32)
+    cell_h, cell_w = h // 2, w // 3
+    idx = (yy // cell_h).astype(int) * 3 + (xx // cell_w).astype(int)
+    idx = np.clip(idx, 0, 5)
+    rgb = colors[idx]
+    tex = 0.12 * np.sin(xx / 2.5) * np.cos(yy / 3.5)
+    return np.clip(rgb + tex[..., None], 0.0, 1.0).astype(np.float32)
+
+
+SCENES = (("natural", _scene_natural), ("edges", _scene_edges),
+          ("zoneplate", _scene_zoneplate), ("chroma", _scene_chroma))
+
+#: Tier matrix (VERDICT r3 item 8): method names as the engine/CLI
+#: expose them. X-Trans 'smooth' is its bilinear-class tier.
+BAYER_METHODS = ("nearest", "bilinear", "malvar", "grad")
+XTRANS_METHODS = ("nearest", "smooth", "grad")
+
+
+def _mosaic_bayer(rgb):
+    """Sample RGGB: channel index per (y%2, x%2) site."""
+    h, w, _ = rgb.shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    ch = np.where((yy % 2 == 0) & (xx % 2 == 0), 0,
+                  np.where((yy % 2 == 1) & (xx % 2 == 1), 2, 1))
+    return np.take_along_axis(rgb, ch[..., None], -1)[..., 0]
+
+
+def _mosaic_xtrans(rgb):
+    from raweditor_tpu.ops.cfa_generic import XTRANS_PATTERN
+
+    h, w, _ = rgb.shape
+    chan = {"R": 0, "G": 1, "B": 2}
+    grid = np.array([[chan[XTRANS_PATTERN[r * 6 + c]]
+                      for c in range(6)] for r in range(6)])
+    yy, xx = np.mgrid[0:h, 0:w]
+    ch = grid[yy % 6, xx % 6]
+    return np.take_along_axis(rgb, ch[..., None], -1)[..., 0]
+
+
+def _demosaic(mosaic, cfa, method):
+    import jax
+
+    if cfa == "bayer":
+        from raweditor_tpu.ops.demosaic import demosaic
+
+        r, g, b = jax.jit(
+            lambda m: demosaic(m, method), static_argnums=())(mosaic)
+    else:
+        from raweditor_tpu.ops.cfa_generic import (XTRANS_PATTERN,
+                                                   demosaic_grad_generic,
+                                                   demosaic_nearest_generic,
+                                                   demosaic_smooth_generic)
+
+        fn = {"nearest": demosaic_nearest_generic,
+              "smooth": demosaic_smooth_generic,
+              "grad": demosaic_grad_generic}[method]
+        r, g, b = jax.jit(
+            lambda m: fn(m, XTRANS_PATTERN, 6, 6))(mosaic)
+    return np.asarray(r), np.asarray(g), np.asarray(b)
+
+
+def _srgb_u8(rgb_linear):
+    from raweditor_tpu.color import srgb_encode
+
+    enc = np.asarray(srgb_encode(np.clip(rgb_linear, 0.0, 1.0)))
+    return np.clip(np.round(enc * 255.0), 0, 255).astype(np.uint8)
+
+
+def _psnr_u8(a_u8, b_u8, trim=8):
+    """PSNR over u8 with a border trim: edge handling differs by a few
+    pixels between tiers and is not what the ladder measures."""
+    a = a_u8[trim:-trim, trim:-trim].astype(np.float64)
+    b = b_u8[trim:-trim, trim:-trim].astype(np.float64)
+    mse = np.mean((a - b) ** 2)
+    return 99.0 if mse == 0 else float(20 * np.log10(255.0 / np.sqrt(mse)))
+
+
+def _lab(rgb_linear):
+    """Linear sRGB-primaries RGB → CIE Lab (D65)."""
+    m = np.array([[0.4124564, 0.3575761, 0.1804375],
+                  [0.2126729, 0.7151522, 0.0721750],
+                  [0.0193339, 0.1191920, 0.9503041]])
+    xyz = np.clip(rgb_linear, 0.0, 1.0) @ m.T
+    t = xyz / np.array([0.95047, 1.0, 1.08883])
+    d = 6.0 / 29.0
+    f = np.where(t > d ** 3, np.cbrt(t), t / (3 * d * d) + 4.0 / 29.0)
+    return np.stack([116 * f[..., 1] - 16,
+                     500 * (f[..., 0] - f[..., 1]),
+                     200 * (f[..., 1] - f[..., 2])], -1)
+
+
+def _delta_e(a_linear, b_linear, trim=8):
+    de = np.linalg.norm(_lab(a_linear) - _lab(b_linear), axis=-1)
+    de = de[trim:-trim, trim:-trim]
+    return float(np.mean(de)), float(np.percentile(de, 95))
+
+
+def run_ladder(size=256):
+    """The demosaic-tier ladder: scene × CFA × method → PSNR/ΔE."""
+    h = size - size % 12
+    w = (size * 3 // 2) - (size * 3 // 2) % 12
+    rows = []
+    for scene_name, builder in SCENES:
+        rng = np.random.default_rng(SCENE_SEED)
+        gt = builder(h, w, rng)
+        gt_u8 = _srgb_u8(gt)
+        for cfa, methods, mosaic_fn in (
+                ("bayer", BAYER_METHODS, _mosaic_bayer),
+                ("xtrans", XTRANS_METHODS, _mosaic_xtrans)):
+            # 12-bit sensor quantization, like a real capture.
+            mosaic = np.round(mosaic_fn(gt) * 4095.0) / 4095.0
+            mosaic = mosaic.astype(np.float32)
+            for method in methods:
+                r, g, b = _demosaic(mosaic, cfa, method)
+                out = np.stack([r, g, b], -1)
+                de_mean, de_p95 = _delta_e(out, gt)
+                rows.append({
+                    "scene": scene_name, "cfa": cfa, "method": method,
+                    "psnr_db": round(_psnr_u8(_srgb_u8(out), gt_u8), 2),
+                    "delta_e_mean": round(de_mean, 3),
+                    "delta_e_p95": round(de_p95, 3),
+                })
+    return rows
+
+
+def run_extras(size=256):
+    """Denoise on a noisy sensor / sharpen on a clean one, both through
+    the malvar tier + the production finish-extras op."""
+    import jax
+
+    from raweditor_tpu.color import srgb_encode
+    from raweditor_tpu.ops.demosaic import demosaic
+    from raweditor_tpu.ops.extras import apply_finish_extras
+
+    h = size - size % 12
+    w = (size * 3 // 2) - (size * 3 // 2) % 12
+    rng = np.random.default_rng(SCENE_SEED)
+    gt = _scene_natural(h, w, rng)
+    gt_u8 = _srgb_u8(gt)
+    clean = np.round(_mosaic_bayer(gt) * 4095.0) / 4095.0
+    noisy = np.clip(
+        clean + rng.normal(0.0, 0.02, clean.shape), 0.0, 1.0)
+
+    @jax.jit
+    def lane(mosaic, sharpen, denoise):
+        r, g, b = demosaic(mosaic.astype(np.float32), "malvar")
+        r, g, b = (srgb_encode(jax.numpy.clip(c, 0.0, 1.0))
+                   for c in (r, g, b))
+        r, g, b = apply_finish_extras(r, g, b, sharpen, denoise)
+        return jax.numpy.stack([r, g, b], -1)
+
+    def score(mosaic, sharpen, denoise):
+        enc = np.asarray(lane(mosaic, float(sharpen), float(denoise)))
+        u8 = np.clip(np.round(enc * 255.0), 0, 255).astype(np.uint8)
+        return round(_psnr_u8(u8, gt_u8), 2)
+
+    rows = []
+    for amt in (0.0, 30.0, 60.0):
+        rows.append({"lane": "denoise_on_noisy", "amount": amt,
+                     "psnr_db": score(noisy, 0.0, amt)})
+    for amt in (0.0, 30.0, 60.0):
+        rows.append({"lane": "sharpen_on_clean", "amount": amt,
+                     "psnr_db": score(clean, amt, 0.0)})
+    return rows
+
+
+def render_doc(ladder, extras, size):
+    """docs/quality.md content from the measured rows."""
+    out = [
+        "# Quality-tier scoreboard",
+        "",
+        "Generated by `tools/quality_bench.py` (CPU backend, "
+        f"`--size {size}`); a test pins this file against the tool, "
+        "so the numbers cannot go stale. Scenes are pinned seeded "
+        "generators in the tool (natural gradients, angled edges + "
+        "bars, a zone-plate chirp, saturated chroma patches); each is "
+        "12-bit sensor-quantized, mosaicked per CFA, demosaicked "
+        "through each tier, and scored against ground truth — PSNR "
+        "over sRGB-encoded u8 (display domain, 8-px border trim) and "
+        "CIE76 ΔE via linear RGB → Lab (perceptual domain).",
+        "",
+        "## Demosaic-tier ladder",
+        "",
+        "| scene | CFA | tier | PSNR (dB) | ΔE mean | ΔE p95 |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in ladder:
+        out.append(f"| {r['scene']} | {r['cfa']} | {r['method']} | "
+                   f"{r['psnr_db']:.2f} | {r['delta_e_mean']:.3f} | "
+                   f"{r['delta_e_p95']:.3f} |")
+    means = {}
+    for r in ladder:
+        means.setdefault((r["cfa"], r["method"]), []).append(r["psnr_db"])
+    out += ["", "### Mean PSNR across scenes", "",
+            "| CFA | tier | mean PSNR (dB) |", "|---|---|---|"]
+    for (cfa, method), vals in means.items():
+        out.append(f"| {cfa} | {method} | "
+                   f"{sum(vals) / len(vals):.2f} |")
+    out += [
+        "",
+        "Reading the ladder: linear tiers (bilinear/smooth) lead on "
+        "band-limited smooth content by construction — they ARE the "
+        "optical low-pass. The grad tier's advantage concentrates "
+        "where demosaic quality is actually at stake: the zone-plate "
+        "chirp (frequencies through CFA Nyquist), where it leads "
+        "malvar by ~4 dB on Bayer and smooth by ~9 dB on X-Trans, and "
+        "the saturated-chroma scene (chroma bleed). Pick malvar for "
+        "speed, grad for detail; the perf cost of each tier is in "
+        "docs/performance.md \"Quality-lane costs\".",
+    ]
+    out += [
+        "",
+        "## Finish extras (malvar tier, natural scene)",
+        "",
+        "Denoise is scored on a sensor with σ=0.02 Gaussian noise "
+        "injected (PSNR should rise with amount); sharpen on the "
+        "clean sensor (acutance up, PSNR-vs-truth down — reported "
+        "honestly as the cost of the look).",
+        "",
+        "| lane | amount | PSNR (dB) |",
+        "|---|---|---|",
+    ]
+    for r in extras:
+        out.append(f"| {r['lane']} | {r['amount']:.0f} | "
+                   f"{r['psnr_db']:.2f} |")
+    out.append("")
+    return "\n".join(out)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=256,
+                    help="scene height (width = 1.5x)")
+    ap.add_argument("--write-doc", action="store_true",
+                    help="regenerate docs/quality.md")
+    args = ap.parse_args()
+
+    # The doc is pinned against CPU numerics (tests run there), and
+    # quality is backend-independent math — never touch the tunneled
+    # chip for this. Must happen before ANY jax use: the axon
+    # sitecustomize pins the platform once a backend initializes.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    ladder = run_ladder(args.size)
+    extras = run_extras(args.size)
+    doc = render_doc(ladder, extras, args.size)
+    if args.write_doc:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "docs", "quality.md")
+        with open(path, "w") as f:
+            f.write(doc)
+        print(f"wrote {path}", file=sys.stderr)
+    print(json.dumps({"ladder": ladder, "extras": extras}))
+
+
+if __name__ == "__main__":
+    main()
