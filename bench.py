@@ -816,15 +816,24 @@ def _measure(results):
     sess_p = DevelopSession(eng, None, None,
                             config=_Config(session_pipeline_depth=2))
     sess_p.set_slider("exposure", 0.1)  # AOT executables are warm
+    eng.flush_pipeline()
     sess_p.latency = LatencyStats()
+    t0 = time.perf_counter()
     for i in range(60):
         sess_p.set_slider("exposure", 0.3 + 0.005 * i)
     eng.flush_pipeline()
+    burst_ms = (time.perf_counter() - t0) * 1000.0
     pipe_stats = sess_p.latency.summary()
     results.update(
+        # Per-tick wall latency in steady state: dispatch + handoff to
+        # the background syncer (the <16 ms bar on this transport's
+        # wall clock). The amortized figure includes the flush, so a
+        # 60-tick burst's total wall is on record next to it.
         session_pipelined_p50_ms=round(float(pipe_stats["p50_ms"]), 2),
         session_pipelined_p95_ms=round(float(pipe_stats["p95_ms"]), 2),
+        session_pipelined_amortized_ms=round(burst_ms / 60.0, 3),
     )
+    eng.close_pipeline()
     del eng, sess, sess_p
 
     # --- end-to-end batch export (decode -> develop -> encode): the

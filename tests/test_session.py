@@ -274,24 +274,34 @@ def _pipelined_session(tmp_path, rng, depth):
 
 
 def test_pipelined_frames_match_true_sync(tmp_path, rng):
-    """Depth-2 pipeline: the first 2 ticks return None (filling), then
-    each tick retires the render from 2 ticks ago — bit-identical to a
-    true-sync render of those same params."""
+    """Latest-wins pipeline: the first tick returns None (nothing
+    proven yet); flush waits for the tail and returns a frame
+    bit-identical to a true-sync render of the NEWEST params (stream
+    order proves the intermediates; their frames are skipped, not
+    fetched)."""
     eng, _ = _pipelined_session(tmp_path, rng, 2)
     values = [0.1, 0.4, 0.7, 1.0, 1.3]
-    got = []
-    for v in values:
-        got.append(eng.preview_tick_pipelined(
-            EditParams(exposure=v), depth=2))
-    assert got[0] is None and got[1] is None
-    for i, frame in enumerate(got[2:]):
-        want = np.asarray(eng.preview_tick(EditParams(exposure=values[i])))
-        np.testing.assert_array_equal(np.asarray(frame), want)
-    # flush retires the remaining 2 and returns the newest.
+    first = eng.preview_tick_pipelined(EditParams(exposure=values[0]))
+    assert first is None
+    for v in values[1:]:
+        frame = eng.preview_tick_pipelined(EditParams(exposure=v))
+        # Any returned frame is a checksum-proven earlier render
+        # (possibly None early in the burst) — device-resident u8.
+        if frame is not None:
+            assert np.asarray(frame).dtype == np.uint8
     last = eng.flush_pipeline()
     want = np.asarray(eng.preview_tick(EditParams(exposure=values[-1])))
     np.testing.assert_array_equal(np.asarray(last), want)
-    assert eng.flush_pipeline() is None  # idempotent when drained
+    # After a flush the syncer is idle; another flush is a no-op that
+    # still returns the newest proven frame.
+    np.testing.assert_array_equal(np.asarray(eng.flush_pipeline()), want)
+    eng.close_pipeline()
+    assert eng._pipe is None
+    # A tick after close restarts the syncer transparently.
+    eng.preview_tick_pipelined(EditParams(exposure=0.6))
+    got = eng.flush_pipeline()
+    want = np.asarray(eng.preview_tick(EditParams(exposure=0.6)))
+    np.testing.assert_array_equal(np.asarray(got), want)
 
 
 def test_pipelined_session_ticks_and_fetches(tmp_path, rng):
@@ -304,7 +314,8 @@ def test_pipelined_session_ticks_and_fetches(tmp_path, rng):
     assert sess.stats()["latency"]["count"] == 6
     out = sess.frame(quality=80)
     assert out["ok"] and out["bytes"] > 0
-    assert len(eng._inflight) == 0  # flushed
+    st = eng._pipe
+    assert st is not None and st["synced_seq"] == st["seq"]  # flushed
 
 
 def test_pipelined_extras_falls_back_to_true_sync(tmp_path, rng):
@@ -313,7 +324,7 @@ def test_pipelined_extras_falls_back_to_true_sync(tmp_path, rng):
     eng, _ = _pipelined_session(tmp_path, rng, 2)
     frame = eng.preview_tick_pipelined(EditParams(sharpen=50.0), depth=2)
     assert frame is not None
-    assert len(eng._inflight) == 0
+    assert eng._pipe is None  # the syncer was never started
 
 
 def test_pipeline_depth_validated():
