@@ -245,6 +245,21 @@ _VPU_PEAK_GFLOPS = {
     "TPU v6e": 8 * 128 * 4 * 2 * 1.70,
 }
 
+#: Assumed HBM bandwidth per chip (GB/s, public figures) — the other
+#: roofline axis. The fused kernel's MINIMAL traffic model is 6 B/px
+#: (u16 mosaic read + RGBA word write, nothing materialized between);
+#: its achieved GB/s against this peak says how far the kernel sits
+#: from the memory roofline (low = compute-bound, as designed).
+_HBM_PEAK_GBPS = {
+    "TPU v2": 700.0,
+    "TPU v3": 900.0,
+    "TPU v4": 1228.0,
+    "TPU v5e": 819.0,
+    "TPU v5 lite": 819.0,
+    "TPU v5p": 2765.0,
+    "TPU v6e": 1640.0,
+}
+
 
 def _roofline_lane(results, mosaic, params, wb, cm):
     """HLO cost analysis of the compiled full-res XLA develop: the
@@ -276,28 +291,43 @@ def _roofline_lane(results, mosaic, params, wb, cm):
         _stage(f"roofline lane failed: {e}")
 
 
-def _finish_utilization(results):
+def _finish_utilization(results, px=None):
     """vpu_utilization = model_flops (XLA cost analysis of the same
     develop math) × develops_per_sec_device (profiler-measured batched
     kernel) ÷ assumed VPU peak. An MFU-analogue: the flops model is
     the XLA program's, the time is the fused kernel's — both published
-    separately so the division is auditable."""
+    separately so the division is auditable. With ``px``, also emits
+    the memory-roofline side from the fused kernel's minimal traffic
+    model (6 B/px: u16 mosaic in + RGBA words out, no intermediates)."""
     import jax
 
     snap = results.snapshot() if hasattr(results, "snapshot") \
         else dict(results)
     flops = snap.get("model_flops", 0.0)
     rate = snap.get("develops_per_sec_device", 0.0)
-    if not (flops and rate):
+    if not rate:
         return
-    achieved = flops * rate / 1e9
-    results["vpu_gflops_achieved"] = round(achieved, 1)
     kind = getattr(jax.devices()[0], "device_kind", "")
-    for known, peak in _VPU_PEAK_GFLOPS.items():
-        if kind.lower().startswith(known.lower()):
-            results.update(vpu_peak_assumed_gflops=round(peak),
-                           vpu_utilization=round(achieved / peak, 4))
-            break
+    if flops:
+        achieved = flops * rate / 1e9
+        results["vpu_gflops_achieved"] = round(achieved, 1)
+        for known, peak in _VPU_PEAK_GFLOPS.items():
+            if kind.lower().startswith(known.lower()):
+                results.update(vpu_peak_assumed_gflops=round(peak),
+                               vpu_utilization=round(achieved / peak, 4))
+                break
+    if px:
+        min_bytes = 6.0 * px
+        hbm_achieved = min_bytes * rate / 1e9
+        results.update(
+            kernel_min_bytes_per_image=round(min_bytes),
+            hbm_gbps_achieved_min_model=round(hbm_achieved, 1))
+        for known, peak in _HBM_PEAK_GBPS.items():
+            if kind.lower().startswith(known.lower()):
+                results.update(hbm_peak_assumed_gbps=peak,
+                               hbm_utilization=round(
+                                   hbm_achieved / peak, 4))
+                break
 
 
 # ---------------------------------------------------------------------
@@ -483,7 +513,7 @@ def _measure(results):
                     develops_per_sec_device=round(nb * 1000.0 / med_ms,
                                                   2),
                 )
-                _finish_utilization(results)
+                _finish_utilization(results, px=h * w)
         except Exception:
             pass  # no trace support → wall lanes stand alone
         # Fused JPEG-planes lane (late r3): the all-JPEG exporter runs
