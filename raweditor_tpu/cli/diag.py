@@ -96,6 +96,20 @@ def cmd_doctor(args) -> int:
         add("backend", "fail",
             f"backend init failed: {type(e).__name__}: {str(e)[:200]}")
 
+    # glibc malloc arenas: long batch-export runs move GB of 36 MB/img
+    # transfer buffers across several threads; default per-thread
+    # arenas retain them and RSS grows with cumulative volume
+    # (measured: +3.4 GB over a 100-image 24 MP soak, flat with
+    # MALLOC_ARENA_MAX=1 — docs/bench_r04_session1/4.json).
+    arena = os.environ.get("MALLOC_ARENA_MAX")
+    if arena and arena.isdigit() and int(arena) <= 2:
+        add("malloc_arenas", "ok", f"MALLOC_ARENA_MAX={arena}")
+    else:
+        add("malloc_arenas", "warn",
+            "MALLOC_ARENA_MAX unset - long export runs retain RSS via "
+            "glibc arenas (~35 MB/image observed); set "
+            "MALLOC_ARENA_MAX=1 or 2 for production batch hosts")
+
     # Nikon 0x0097 xlat tables (modern-NEF white balance).
     from raweditor_tpu.raw import nikon_crypt
 

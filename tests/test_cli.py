@@ -422,6 +422,20 @@ def test_doctor_healthy(tmp_path, capsys, photos):
     assert rep["status"] == "warn"
 
 
+def test_doctor_malloc_arena_check(capsys, monkeypatch):
+    """Long export runs retain RSS via default glibc arenas
+    (docs/bench_r04_session1/4.json); doctor warns unless
+    MALLOC_ARENA_MAX is pinned low."""
+    monkeypatch.delenv("MALLOC_ARENA_MAX", raising=False)
+    _, out = run(capsys, "doctor")
+    by = {c["check"]: c for c in json.loads(out.strip())["checks"]}
+    assert by["malloc_arenas"]["status"] == "warn"
+    monkeypatch.setenv("MALLOC_ARENA_MAX", "1")
+    _, out = run(capsys, "doctor")
+    by = {c["check"]: c for c in json.loads(out.strip())["checks"]}
+    assert by["malloc_arenas"]["status"] == "ok"
+
+
 def test_doctor_stale_native_fails(capsys, monkeypatch):
     """A loaded extension missing current bindings must be a hard fail
     (exit 1) — the committed-.so-went-stale case."""
