@@ -46,6 +46,12 @@ def _quantize_u8(p):
     return jnp.clip(jnp.round(p), 0.0, 255.0).astype(jnp.uint8)
 
 
+def _box2(p):
+    s = p.shape
+    p = p.reshape(s[:-2] + (s[-2] // 2, 2, s[-1] // 2, 2))
+    return (p.sum(axis=(-3, -1)) * np.float32(0.25))
+
+
 def rgba_words_to_ycbcr420(words):
     """Packed-RGBA u32 (..., H, W) → (Y u8 (..., H, W),
     Cb u8 (..., H/2, W/2), Cr u8 (..., H/2, W/2))."""
@@ -53,13 +59,32 @@ def rgba_words_to_ycbcr420(words):
     if h % 2 or w % 2:
         raise ValueError("ycbcr420 requires even dimensions")
     y, cb, cr = _rgb_to_ycbcr(words)
+    return _quantize_u8(y), _quantize_u8(_box2(cb)), \
+        _quantize_u8(_box2(cr))
 
-    def box2(p):
-        s = p.shape
-        p = p.reshape(s[:-2] + (s[-2] // 2, 2, s[-1] // 2, 2))
-        return (p.sum(axis=(-3, -1)) * np.float32(0.25))
 
-    return _quantize_u8(y), _quantize_u8(box2(cb)), _quantize_u8(box2(cr))
+def rgb_u8_to_ycbcr420(img):
+    """(H, W, 3) u8 RGB → (Y, Cb/2, Cr/2) u8 planes — the same
+    transform as the packed-words path (one coefficient source,
+    _rgb_to_ycbcr), entered from channel-last u8 instead. Used by the
+    preview frame path: converting + subsampling on device cuts the
+    preview fetch from 3 to 1.5 B/px before the native encoder."""
+    import jax.numpy as jnp
+
+    h, w = img.shape[0], img.shape[1]
+    if h % 2 or w % 2:
+        raise ValueError("ycbcr420 requires even dimensions")
+    r = img[..., 0].astype(jnp.float32)
+    g = img[..., 1].astype(jnp.float32)
+    b = img[..., 2].astype(jnp.float32)
+    # Pack into the words layout the shared transform reads. Cheaper
+    # than duplicating the coefficients: one u32 pack, fused by XLA.
+    words = (r.astype(jnp.uint32)
+             | (g.astype(jnp.uint32) << 8)
+             | (b.astype(jnp.uint32) << 16))
+    y, cb, cr = _rgb_to_ycbcr(words)
+    return _quantize_u8(y), _quantize_u8(_box2(cb)), \
+        _quantize_u8(_box2(cr))
 
 
 def rgba_words_to_ycbcr444(words):

@@ -455,6 +455,45 @@ class DevelopEngine:
         """(preview_h, preview_w, 3) u8 on host."""
         return np.asarray(self.preview_device(params, zoom, pan))
 
+    def preview_jpeg(self, params: EditParams, zoom: float = 1.0,
+                     pan: Tuple[float, float] = (0.0, 0.0),
+                     quality: int = 80) -> Tuple[bytes, int, int]:
+        """Current preview as JFIF bytes → (data, width, height) — the
+        remote-GUI frame transport. The colorspace conversion + 4:2:0
+        subsample run ON DEVICE (ops/jpeg.rgb_u8_to_ycbcr420, same
+        transform as the batch exporter's planes path), so the fetch
+        is 1.5 B/px instead of 3, and the native JFIF encoder replaces
+        PIL — on the bandwidth-starved tunnel the fetch halving is the
+        difference that matters (preview_fetch_p50 ~190 ms there).
+        Falls back to fetch-RGB + PIL when the native encoder is
+        unavailable or the preview dims are odd."""
+        from raweditor_tpu.native import get_rawkit
+
+        rk = get_rawkit()
+        dev = self.preview_device(params, zoom, pan)
+        h, w = int(dev.shape[0]), int(dev.shape[1])
+        if (rk is None or not hasattr(rk, "encode_jpeg_420")
+                or h % 2 or w % 2):
+            import io
+
+            from PIL import Image
+
+            img = np.asarray(dev)
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, format="JPEG",
+                                      quality=int(quality))
+            return buf.getvalue(), w, h
+        import jax
+
+        from raweditor_tpu.ops.jpeg import rgb_u8_to_ycbcr420
+
+        y, cb, cr = jax.jit(rgb_u8_to_ycbcr420)(dev)
+        y, cb, cr = np.asarray(y), np.asarray(cb), np.asarray(cr)
+        data = rk.encode_jpeg_420(
+            np.ascontiguousarray(y), np.ascontiguousarray(cb),
+            np.ascontiguousarray(cr), w, h, int(quality), False)
+        return data, w, h
+
     def full_device(self, params: EditParams):
         """Full-resolution develop, device-resident
         (reference: gpu/pipeline.rs:526-606). Extras-active params

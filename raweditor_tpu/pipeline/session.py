@@ -233,22 +233,19 @@ class DevelopSession:
         """Current preview as an inline base64 JPEG — the transport
         for remote GUI clients of the TCP service (``render`` writes
         to the SERVER's filesystem, which a remote client can't see).
-        ~100 KB at quality 80 vs 2.7 MB of raw preview RGB."""
+        ~100 KB at quality 80 vs 2.7 MB of raw preview RGB. The
+        colorspace + 4:2:0 subsample run on device and the native
+        encoder produces the bytes (engine.preview_jpeg) — the fetch
+        is 1.5 B/px instead of 3 on bandwidth-starved transports."""
         import base64
-        import io
-
-        from PIL import Image
 
         if not 1 <= int(quality) <= 100:
             raise ValueError("quality must be 1..100")
         self._flush_pipeline()
-        img = self.engine.preview(params or self.params, self.zoom,
-                                  self.pan)
-        buf = io.BytesIO()
-        Image.fromarray(img).save(buf, format="JPEG",
-                                  quality=int(quality))
-        data = buf.getvalue()
-        return {"ok": True, "size": [img.shape[1], img.shape[0]],
+        data, w, h = self.engine.preview_jpeg(
+            params or self.params, self.zoom, self.pan,
+            quality=int(quality))
+        return {"ok": True, "size": [w, h],
                 "quality": int(quality), "bytes": len(data),
                 "jpeg_base64": base64.b64encode(data).decode("ascii")}
 

@@ -112,15 +112,29 @@ def test_frame_inline_jpeg(session):
     assert out["bytes"] == len(jpeg)
     with Image.open(io.BytesIO(jpeg)) as im:
         assert [im.width, im.height] == out["size"]
-    # Byte-identical to PIL encoding the same preview at the same
-    # quality — the frame is exactly the current render, not a cache.
+    # The frame is the CURRENT render, not a cache: decoded pixels
+    # must match PIL's q80 encode of the same preview. (The bytes come
+    # from the native encoder via device-side 4:2:0 planes since r4 —
+    # engine.preview_jpeg — so byte-equality with PIL no longer holds;
+    # on this noise fixture both encoders sit ~24 mean-abs from the
+    # raw render (4:2:0 chroma on noise), within ~1.5 of each other.)
     ref = s.engine.preview(s.params, s.zoom, s.pan)
     buf = io.BytesIO()
     Image.fromarray(ref).save(buf, format="JPEG", quality=80)
-    assert jpeg == buf.getvalue()
+    with Image.open(buf) as im:
+        pil_px = np.asarray(im.convert("RGB"), np.float32)
+    with Image.open(io.BytesIO(jpeg)) as im:
+        got = np.asarray(im.convert("RGB"), np.float32)
+    assert np.abs(got - pil_px).mean() < 3.0
+    # ...and tracks param changes (a stale frame would still pass the
+    # tolerance check against its own old render).
+    s.set_slider("exposure", -1.5)
+    out2 = s.handle("frame")
+    jpeg2 = base64.b64decode(out2["jpeg_base64"])
+    assert jpeg2 != jpeg
     # lower quality → smaller payload
     small = s.handle("frame 30")
-    assert small["ok"] and small["bytes"] < out["bytes"]
+    assert small["ok"] and small["bytes"] < out2["bytes"]
     assert not s.handle("frame 0")["ok"]
 
 
