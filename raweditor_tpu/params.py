@@ -70,7 +70,10 @@ GRADE_FIELDS = ("grade_shadow_hue", "grade_shadow_sat",
                 "grade_mid_hue", "grade_mid_sat",
                 "grade_high_hue", "grade_high_sat",
                 "grade_balance")
-_EXTRA_FIELDS = _EXTRA_FIELDS + MIXER_FIELDS + GRADE_FIELDS
+_EXTRA_FIELDS = (_EXTRA_FIELDS + MIXER_FIELDS + GRADE_FIELDS
+                 # Clipped-highlight reconstruction (ops/highlights.py);
+                 # appended last so packed layouts keep their indices.
+                 + ("highlight_recovery",))
 # The band-local stencil/curve extras (everything the fused post-pass
 # kernel traces when ``stencils`` is on; clarity and the mixer are
 # gated separately — see finish_extras_mode).
@@ -132,6 +135,9 @@ RANGES.update({
     "grade_high_sat": (0.0, 100.0),
     "grade_balance": (-100.0, 100.0),
 })
+# Clipped-highlight reconstruction (ops/highlights.py): blend strength
+# of the WB-ratio estimate written over sensor-clipped CFA sites.
+RANGES["highlight_recovery"] = (0.0, 100.0)
 
 
 @jax.tree_util.register_dataclass
@@ -197,6 +203,12 @@ class EditParams:
     grade_high_hue: Any = 0.0
     grade_high_sat: Any = 0.0
     grade_balance: Any = 0.0
+    # Clipped-highlight reconstruction (ops/highlights.py): estimate
+    # sensor-clipped CFA sites from the unclipped channels via the WB
+    # ratios, pre-demosaic — the dcraw -H / Lightroom "recover"
+    # capability (the reference has no analogue). 0 = off (bit-exact
+    # passthrough); 100 = full reconstruction.
+    highlight_recovery: Any = 0.0
     # Local adjustments (ops/local_adjust.py): an ordered tuple of
     # LocalAdjust masks. Part of the pytree STRUCTURE, so the develop
     # programs specialize on the mask count/kinds statically — the

@@ -158,6 +158,40 @@ class DevelopEngine:
         # Background-syncer state for the pipelined slider mode
         # (preview_tick_pipelined); created lazily on first use.
         self._pipe = None
+        # (amount, device mosaic) of the last highlight-recovery
+        # reconstruction (_render_mosaic) — slider drags re-run the
+        # one fused pass only when the amount changes.
+        self._hl_cache = None
+
+    def _render_mosaic(self, params: EditParams):
+        """The mosaic the render paths develop: the device-resident
+        original, or — when the highlight_recovery slider is active —
+        the reconstructed one (ops/highlights.py), same shape/dtype,
+        so every AOT/jit/Pallas develop program is oblivious. Clip
+        detection uses the mode-resolved levels — the same convention
+        the develop normalizes by (and the batch exporter gates by),
+        so engine and exporter renders stay byte-identical; accurate
+        mode therefore detects clipping at the sensor's real white."""
+        amt = float(params.highlight_recovery)
+        if amt == 0.0:
+            return self.mosaic
+        if self._hl_cache is not None and self._hl_cache[0] == amt:
+            return self._hl_cache[1]
+        from raweditor_tpu.ops.highlights import (
+            _HL_JIT_LINEAR,
+            _HL_JIT_MOSAIC,
+        )
+
+        if self.linear:
+            m = _HL_JIT_LINEAR(self.mosaic, self.wb, amt,
+                               self.white_level, self.black_level)
+        else:
+            m = _HL_JIT_MOSAIC(self.mosaic, self.wb, amt,
+                               self.white_level, self.black_level,
+                               cfa_phase=self.cfa_phase,
+                               xtrans_pattern=self.xtrans_pattern)
+        self._hl_cache = (amt, m)
+        return m
 
     # -- render paths ----------------------------------------------------
     def _preview_program(self, mosaic, params: EditParams, zoom,
@@ -265,7 +299,7 @@ class DevelopEngine:
         executable when compile_preview() has run."""
         ex = params.finish_extras_mode()
         if self._aot_preview is not None and not ex and not params.locals:
-            r, _ = self._aot_preview(self.mosaic,
+            r, _ = self._aot_preview(self._render_mosaic(params),
                                      self._float_params(params),
                                      float(zoom),
                                      float(pan[0]), float(pan[1]))
@@ -273,7 +307,7 @@ class DevelopEngine:
         # Same dtype discipline as the AOT lane: an int-valued zoom
         # or params leaf would open a fresh jit cache entry (a
         # multi-minute compile over the tunnel; code-review r3).
-        return self._preview_program(self.mosaic,
+        return self._preview_program(self._render_mosaic(params),
                                      self._float_params(params),
                                      float(zoom), float(pan[0]),
                                      float(pan[1]), extras=ex)
@@ -327,12 +361,12 @@ class DevelopEngine:
             import jax.numpy as jnp
 
             r = self._preview_program(
-                self.mosaic, params, zoom, pan[0], pan[1],
+                self._render_mosaic(params), params, zoom, pan[0], pan[1],
                 extras=params.finish_extras_mode())
             np.asarray(jnp.max(r))  # same transport-proof sync
             return r
         self.compile_preview()
-        r, s = self._aot_preview(self.mosaic, self._float_params(params),
+        r, s = self._aot_preview(self._render_mosaic(params), self._float_params(params),
                                  float(zoom),
                                  float(pan[0]), float(pan[1]))
         np.asarray(s)  # single-byte fetch = transport-proof sync
@@ -369,7 +403,7 @@ class DevelopEngine:
         if params.has_finish_extras() or params.locals:
             return self.preview_tick(params, zoom, pan)
         self.compile_preview()
-        r, s = self._aot_preview(self.mosaic, self._float_params(params),
+        r, s = self._aot_preview(self._render_mosaic(params), self._float_params(params),
                                  float(zoom),
                                  float(pan[0]), float(pan[1]))
         st = self._pipe_state()
@@ -509,7 +543,7 @@ class DevelopEngine:
             from raweditor_tpu.ops.develop import develop_linear
 
             return develop_linear(
-                self.mosaic, params, self.wb, self.cam_matrix,
+                self._render_mosaic(params), params, self.wb, self.cam_matrix,
                 self.white_level, self.black_level,
                 matrix_transpose=self.matrix_transpose,
                 transfer=self.transfer, extras=ex,
@@ -518,7 +552,7 @@ class DevelopEngine:
             from raweditor_tpu.ops.develop import develop_xtrans
 
             return develop_xtrans(
-                self.mosaic, params, self.wb, self.cam_matrix,
+                self._render_mosaic(params), params, self.wb, self.cam_matrix,
                 self.white_level, self.black_level,
                 pattern=self.xtrans_pattern,
                 matrix_transpose=self.matrix_transpose,
@@ -527,7 +561,7 @@ class DevelopEngine:
                 extras=ex,
             )
         return develop(
-            self.mosaic, params, self.wb, self.cam_matrix,
+            self._render_mosaic(params), params, self.wb, self.cam_matrix,
             white_level=self.white_level, black_level=self.black_level,
             demosaic_method=self.demosaic_method,
             matrix_transpose=self.matrix_transpose,
@@ -577,10 +611,10 @@ class DevelopEngine:
         if (self._aot_histogram is not None and not ex
                 and not params.locals):
             return np.asarray(self._aot_histogram(
-                self.mosaic, self._float_params(params), float(zoom),
+                self._render_mosaic(params), self._float_params(params), float(zoom),
                 float(pan[0]), float(pan[1])))
         return np.asarray(self._histogram_program(
-            self.mosaic, self._float_params(params), float(zoom),
+            self._render_mosaic(params), self._float_params(params), float(zoom),
             float(pan[0]), float(pan[1]), extras=ex))
 
     def _maybe_extras_post(self, words, params: EditParams, ex):
@@ -678,7 +712,7 @@ class DevelopEngine:
             from raweditor_tpu.ops.develop import develop_linear
 
             words = develop_linear(
-                self.mosaic, params, self.wb, self.cam_matrix,
+                self._render_mosaic(params), params, self.wb, self.cam_matrix,
                 self.white_level, self.black_level,
                 matrix_transpose=self.matrix_transpose,
                 transfer=self.transfer, rgba=True,
@@ -713,7 +747,7 @@ class DevelopEngine:
                 words = None
                 try:
                     words = pallas_develop_rgba(
-                        self.mosaic, params, self.wb, self.cam_matrix,
+                        self._render_mosaic(params), params, self.wb, self.cam_matrix,
                         white_level=self.white_level,
                         black_level=self.black_level,
                         matrix_transpose=self.matrix_transpose,
@@ -738,7 +772,7 @@ class DevelopEngine:
                     # WORKING develop kernel (code-review r3).
                     return self._maybe_extras_post(words, params, ex)
             words = develop_xtrans(
-                self.mosaic, params, self.wb, self.cam_matrix,
+                self._render_mosaic(params), params, self.wb, self.cam_matrix,
                 self.white_level, self.black_level,
                 pattern=self.xtrans_pattern,
                 matrix_transpose=self.matrix_transpose,
@@ -759,7 +793,7 @@ class DevelopEngine:
             pwords = None
             try:
                 pwords = pallas_develop_rgba(
-                    self.mosaic, params, self.wb, self.cam_matrix,
+                    self._render_mosaic(params), params, self.wb, self.cam_matrix,
                     white_level=self.white_level,
                     black_level=self.black_level,
                     matrix_transpose=self.matrix_transpose,
@@ -783,7 +817,7 @@ class DevelopEngine:
                 # develop guard.
                 return self._maybe_extras_post(pwords, params, ex)
         words = develop_rgba(
-            self.mosaic, params, self.wb, self.cam_matrix,
+            self._render_mosaic(params), params, self.wb, self.cam_matrix,
             white_level=self.white_level, black_level=self.black_level,
             demosaic_method=self.demosaic_method,
             matrix_transpose=self.matrix_transpose,
@@ -1029,7 +1063,7 @@ class DevelopEngine:
             from raweditor_tpu.ops.develop import develop_linear
 
             rgb = develop_linear(
-                self.mosaic, params, self.wb, self.cam_matrix,
+                self._render_mosaic(params), params, self.wb, self.cam_matrix,
                 self.white_level, self.black_level,
                 matrix_transpose=self.matrix_transpose,
                 transfer=transfer, bits=16, extras=ex,
@@ -1038,7 +1072,7 @@ class DevelopEngine:
             from raweditor_tpu.ops.develop import develop_xtrans
 
             rgb = develop_xtrans(
-                self.mosaic, params, self.wb, self.cam_matrix,
+                self._render_mosaic(params), params, self.wb, self.cam_matrix,
                 self.white_level, self.black_level,
                 pattern=self.xtrans_pattern,
                 matrix_transpose=self.matrix_transpose,
@@ -1048,7 +1082,7 @@ class DevelopEngine:
             )
         else:
             rgb = develop_u16(
-                self.mosaic, params, self.wb, self.cam_matrix,
+                self._render_mosaic(params), params, self.wb, self.cam_matrix,
                 white_level=self.white_level,
                 black_level=self.black_level,
                 demosaic_method=self.demosaic_method,

@@ -824,6 +824,31 @@ def run_batch_export(
             blacks = np.array([d.black_level for d in padded], np.float32)
 
             phase = batch[0].cfa_phase
+            # Clipped-highlight reconstruction (ops/highlights.py):
+            # statically gated per flush like the extras; inside an
+            # active batch the per-image traced amounts keep
+            # zero-amount images bit-exact (u16 where-passthrough), so
+            # no bucket split is needed. Runs on the stacked mosaics
+            # before develop — every downstream route (XLA / Pallas /
+            # mesh / planes / 16-bit) sees a plain u16 batch.
+            if any(float(d.job.params.highlight_recovery) != 0.0
+                   for d in batch):
+                from raweditor_tpu.ops import highlights as _hl
+
+                amounts = np.array(
+                    [float(d.job.params.highlight_recovery)
+                     for d in padded], np.float32)
+                if phase == "__linear__":
+                    mosaics = _hl._HL_JIT_BATCH_LINEAR(
+                        mosaics, wbs, amounts, whites, blacks)
+                elif isinstance(phase, str):
+                    mosaics = _hl._HL_JIT_BATCH_MOSAIC(
+                        mosaics, wbs, amounts, whites, blacks,
+                        cfa_phase=(0, 0), xtrans_pattern=phase)
+                else:
+                    mosaics = _hl._HL_JIT_BATCH_MOSAIC(
+                        mosaics, wbs, amounts, whites, blacks,
+                        cfa_phase=phase)
             # Finish extras (sharpen/denoise, ops/extras.py): static
             # per-flush flag — only batches that actually use them pay
             # the extra stencil work (zero-amount images inside such a
