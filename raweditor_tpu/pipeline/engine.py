@@ -489,6 +489,79 @@ class DevelopEngine:
         """(preview_h, preview_w, 3) u8 on host."""
         return np.asarray(self.preview_device(params, zoom, pan))
 
+    def pick_wb(self, x: float, y: float,
+                radius: float = 0.02) -> Tuple[float, float]:
+        """White-balance picker: (temperature, tint) slider values that
+        neutralize the patch at frame-normalized ``(x, y)`` (0–1 of
+        the full sensor; a GUI converts its view coords).
+
+        Every interactive RAW editor has the eyedropper; the headless
+        form returns slider values instead of mutating state. The math
+        works in the chain's own model — post-WB channel means of the
+        patch (r, g, b) through the temp/tint stage
+        (ops/develop.apply_edit_stack steps 2–2.5: r·(1+0.3t),
+        b·(1−0.3t), g·(1+0.3u)) — solving r' = b' for t, then
+        g' = r' for u, both clamped to the slider range:
+
+            t = (b − r) / (0.3 · (r + b))
+            u = ((1 + 0.3t) · r / g − 1) / 0.3
+
+        Channel means come straight from the mosaic window (one small
+        host fetch of the device-resident mosaic): per-CFA-site means,
+        black-subtracted, times the camera WB gains. Raises ValueError
+        when the patch is unusable (out of frame, clipped, or black).
+        """
+        h, w = self.height, self.width
+        if not (0.0 <= x <= 1.0 and 0.0 <= y <= 1.0):
+            raise ValueError("pick point must be inside 0..1")
+        r_px = max(2, int(radius * max(h, w)))
+        cy, cx = int(y * (h - 1)), int(x * (w - 1))
+        y0, y1 = max(0, cy - r_px), min(h, cy + r_px + 1)
+        x0, x1 = max(0, cx - r_px), min(w, cx + r_px + 1)
+        win = np.asarray(self.mosaic[y0:y1, x0:x1], np.float32)
+        black = float(self.black_level)
+        white = float(self.white_level)
+        lin = np.clip(win - black, 0.0, None) / max(white - black, 1.0)
+        if self.linear:
+            means = [float(lin[..., c].mean()) for c in range(3)]
+        else:
+            # Window-local channel masks from absolute site indices
+            # (host-side numpy — no full-frame device mask fetch).
+            yy, xx = np.mgrid[y0:y1, x0:x1]
+            if self.xtrans_pattern is not None:
+                chan = {"R": 0, "G": 1, "B": 2}
+                grid = np.array(
+                    [[chan[self.xtrans_pattern[r * 6 + c]]
+                      for c in range(6)] for r in range(6)])
+                idx = grid[yy % 6, xx % 6]
+                masks = [idx == c for c in range(3)]
+            else:
+                py, px = self.cfa_phase
+                ye = ((yy + py) % 2) == 0
+                xe = ((xx + px) % 2) == 0
+                is_r = ye & xe
+                is_b = (~ye) & (~xe)
+                masks = [is_r, ~(is_r | is_b), is_b]
+            means = []
+            for msk in masks:
+                if not msk.any():
+                    raise ValueError(
+                        "patch too small for this CFA - pick elsewhere "
+                        "or enlarge radius")
+                means.append(float(lin[msk].mean()))
+        if max(means) >= 0.98:
+            raise ValueError("patch is clipped - pick a dimmer neutral")
+        if max(means) <= 1e-4:
+            raise ValueError("patch is black - pick a brighter neutral")
+        wbv = np.asarray(self.wb, np.float32)
+        r, g, b = (means[0] * float(wbv[0]), means[1] * float(wbv[1]),
+                   means[2] * float(wbv[2]))
+        t = (b - r) / (0.3 * max(r + b, 1e-6))
+        t = float(np.clip(t, -1.0, 1.0))
+        u = ((1.0 + 0.3 * t) * r / max(g, 1e-6) - 1.0) / 0.3
+        u = float(np.clip(u, -1.0, 1.0))
+        return t, u
+
     def preview_jpeg(self, params: EditParams, zoom: float = 1.0,
                      pan: Tuple[float, float] = (0.0, 0.0),
                      quality: int = 80) -> Tuple[bytes, int, int]:

@@ -19,6 +19,9 @@ harness) can drive the engine without linking a GUI:
     full <path> [long-edge]  full-resolution export (optional device
                              Lanczos3 resize to this long edge)
     histogram                print (3,256) JSON histogram
+    wb <x> <y>               white-balance eyedropper: neutralize the
+                             patch at frame-normalized (x, y) via the
+                             temperature/tint sliders
     before <path>            preview with default params (before view)
     reset                    defaults (deletes stored edits when --db)
     stats                    latency percentiles for this session
@@ -155,6 +158,20 @@ class DevelopSession:
             return out
         raise ValueError(
             f"unknown local op {op!r} (list|add|set|del|clear)")
+
+    def pick_wb(self, x: float, y: float) -> dict:
+        """White-balance eyedropper: sample the patch at
+        frame-normalized (x, y), set the temperature/tint sliders that
+        neutralize it (engine.pick_wb), persist, and re-render — the
+        click-a-gray-card workflow, headless."""
+        if not (math.isfinite(x) and math.isfinite(y)):
+            raise ValueError("wb point must be finite")
+        t, u = self.engine.pick_wb(x, y)
+        self.params = self.params.replace(temperature=t, tint=u)
+        self._persist_params()
+        ms = self._timed_tick()
+        return {"ok": True, "temperature": round(t, 4),
+                "tint": round(u, 4), "render_ms": round(ms, 3)}
 
     def _persist_params(self) -> None:
         """Persist on every tick, like the reference
@@ -392,12 +409,13 @@ class DevelopSession:
         # Arity check up front so a missing operand reads as usage help,
         # not a bare IndexError message.
         min_args = {"set": 2, "zoom": 1, "pan": 2, "render": 1, "full": 1,
-                    "before": 1, "open": 1}
+                    "before": 1, "open": 1, "wb": 2}
         usage = {"set": "set <slider> <value>", "zoom": "zoom <factor>",
                  "pan": "pan <x> <y>", "render": "render <path>",
                  "full": "full <path> [long-edge]",
                  "before": "before <path>",
-                 "open": "open <image-id|path>"}
+                 "open": "open <image-id|path>",
+                 "wb": "wb <x> <y>  (frame-normalized 0..1)"}
         if len(args) < min_args.get(cmd, 0):
             return {"ok": False, "error": f"usage: {usage[cmd]}"}
         try:
@@ -416,6 +434,8 @@ class DevelopSession:
                                  int(args[1]) if len(args) > 1 else 0)
             if cmd == "histogram":
                 return self.histogram()
+            if cmd == "wb":
+                return self.pick_wb(float(args[0]), float(args[1]))
             if cmd == "before":
                 return self.render(args[0], EditParams())
             if cmd == "reset":

@@ -349,3 +349,78 @@ def test_pipeline_depth_validated():
     with pytest.raises(ValueError):
         Config(session_pipeline_depth=9).validate()
     Config(session_pipeline_depth=2).validate()
+
+
+# -- white-balance eyedropper (engine.pick_wb + `wb` command) ------------
+
+def _cast_nef(tmp_path, rng, r_scale=0.8, b_scale=1.15):
+    """A flat mid-gray scene whose develop carries a known cast: the
+    file's WB gains are (2, 1, 1.4) but the sensor values are scaled
+    so the result is warm/cool shifted."""
+    from raweditor_tpu.raw.synth import write_synthetic_raw
+
+    h, w = 48, 64
+    m = np.zeros((h, w), np.uint16)
+    yy, xx = np.mgrid[0:h, 0:w]
+    is_r = (yy % 2 == 0) & (xx % 2 == 0)
+    is_b = (yy % 2 == 1) & (xx % 2 == 1)
+    is_g = ~(is_r | is_b)
+    white = 4095
+    m[is_r] = int(0.25 * r_scale * white)
+    m[is_g] = int(0.5 * white)
+    m[is_b] = int(0.35 * b_scale * white)
+    path = tmp_path / "cast.nef"
+    write_synthetic_raw(path, m, wb_neutral=(0.5, 1.0, 1.0 / 1.4))
+    return path
+
+
+def test_pick_wb_neutralizes_patch(tmp_path, rng):
+    from raweditor_tpu.params import EditParams as EP
+
+    path = _cast_nef(tmp_path, rng)
+    eng = DevelopEngine.open(path, mode="accurate",
+                             demosaic_method="malvar", transfer="srgb")
+    t, u = eng.pick_wb(0.5, 0.5)
+    assert -1.0 <= t <= 1.0 and -1.0 <= u <= 1.0
+    before = eng.preview(EP()).astype(int)[8:-8, 8:-8]
+    after = eng.preview(EP(temperature=t, tint=u)).astype(int)[8:-8, 8:-8]
+    gap = lambda img: (abs(img[..., 0] - img[..., 1]).mean()
+                       + abs(img[..., 2] - img[..., 1]).mean())
+    assert gap(before) > 5      # the cast exists
+    assert gap(after) < gap(before) / 3  # and the pick removes most
+
+
+def test_pick_wb_rejects_bad_patches(tmp_path, rng):
+    from raweditor_tpu.raw.synth import write_synthetic_raw
+
+    clipped = np.full((24, 32), 4095, np.uint16)
+    p1 = tmp_path / "clip.nef"
+    write_synthetic_raw(p1, clipped)
+    eng = DevelopEngine.open(p1, mode="accurate")
+    with pytest.raises(ValueError, match="clipped"):
+        eng.pick_wb(0.5, 0.5)
+    black = np.zeros((24, 32), np.uint16)
+    p2 = tmp_path / "black.nef"
+    write_synthetic_raw(p2, black)
+    eng2 = DevelopEngine.open(p2, mode="accurate")
+    with pytest.raises(ValueError, match="black"):
+        eng2.pick_wb(0.5, 0.5)
+    with pytest.raises(ValueError, match="0..1"):
+        eng2.pick_wb(1.5, 0.5)
+
+
+def test_wb_command_protocol(session):
+    s, lib, image_id = session
+    out = s.handle("wb 0.5 0.5")
+    if out["ok"]:
+        assert "temperature" in out and "tint" in out
+        # persisted like any slider tick
+        stored = lib.load_edit_params(image_id)
+        assert float(stored.temperature) == pytest.approx(
+            out["temperature"], abs=1e-3)
+    else:
+        # the random fixture's patch may be rejected (clipped/black) -
+        # the protocol must answer with a usable error either way
+        assert "error" in out
+    assert not s.handle("wb 0.5")["ok"]   # usage error
+    assert not s.handle("wb nan 0.5")["ok"]
