@@ -110,6 +110,13 @@ def _add_lens_args(p, batch: bool = False) -> None:
     p.add_argument("--lens-ca-b", type=float, default=0.0, metavar="A",
                    help="lateral CA: blue-plane magnification delta in"
                         f" 1e-4 units{every}")
+    p.add_argument("--keystone-v", type=float, default=0.0, metavar="AMT",
+                   help="vertical keystone correction, ±100 (fixes"
+                        " converging verticals: positive when the"
+                        f" camera was tilted up){every}")
+    p.add_argument("--keystone-h", type=float, default=0.0, metavar="AMT",
+                   help="horizontal keystone correction, ±100 (fixes"
+                        f" converging horizontals){every}")
 
 
 def _parse_lens(args):
@@ -125,6 +132,21 @@ def _parse_lens(args):
         if not math.isfinite(v):
             raise SystemExit(f"{name} must be finite, got {v}")
     return vals if any(vals) else None
+
+
+def _parse_perspective(args):
+    """(kv, kh) warp coefficients from the ±100 --keystone-* flags
+    (full deflection = 0.3 — a 30% trapezoid), or None when zero."""
+    import math
+
+    kv = float(getattr(args, "keystone_v", 0.0) or 0.0)
+    kh = float(getattr(args, "keystone_h", 0.0) or 0.0)
+    for name, v in (("--keystone-v", kv), ("--keystone-h", kh)):
+        if not math.isfinite(v) or abs(v) > 100.0:
+            raise SystemExit(f"{name} must be within ±100, got {v}")
+    if kv == 0.0 and kh == 0.0:
+        return None
+    return (kv * 0.003, kh * 0.003)
 
 
 def _parse_crop(spec):

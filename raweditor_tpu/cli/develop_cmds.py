@@ -17,6 +17,7 @@ from raweditor_tpu.cli._shared import (
     _params_from_args,
     _parse_crop,
     _parse_lens,
+    _parse_perspective,
 )
 
 
@@ -151,6 +152,7 @@ def cmd_develop(args) -> int:
             ("--jpeg-restart", getattr(args, "jpeg_restart", 0)),
             ("--chroma 444", getattr(args, "chroma", "420") == "444"),
             ("--lens-*", _parse_lens(args) is not None),
+            ("--keystone-*", _parse_perspective(args) is not None),
         ) if on]
         if dropped:
             raise SystemExit(
@@ -191,7 +193,8 @@ def cmd_develop(args) -> int:
                        jpeg_restart_rows=getattr(args, "jpeg_restart", 0),
                        rotate=_finite_rotate(args),
                        crop=_parse_crop(getattr(args, "crop", None)),
-                       lens=_parse_lens(args))
+                       lens=_parse_lens(args),
+                       perspective=_parse_perspective(args))
         except ValueError as e:
             # e.g. an unsupported output extension — a usage error, not
             # a traceback.

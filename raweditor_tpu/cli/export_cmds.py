@@ -13,6 +13,7 @@ from raweditor_tpu.cli._shared import (
     _params_from_args,
     _parse_crop,
     _parse_lens,
+    _parse_perspective,
 )
 
 
@@ -202,6 +203,7 @@ def _run_batch_export_checked(run_batch_export, jobs, mesh, args, cfg,
         rotate=_finite_rotate(args),
         crop=_parse_crop(getattr(args, "crop", None)),
         lens=_parse_lens(args),
+        perspective=_parse_perspective(args),
     )
 
 

@@ -113,16 +113,18 @@ def _bilerp(img_f32, sx, sy, channel=None):
 @functools.partial(
     jax.jit,
     static_argnames=("angle_deg", "out_w", "out_h", "off_x", "off_y",
-                     "lens"),
+                     "lens", "perspective"),
 )
 def _rotate_sample(img_f32, angle_deg: float, out_w: int, out_h: int,
-                   off_x: float, off_y: float, lens=None):
+                   off_x: float, off_y: float, lens=None,
+                   perspective=None):
     """Bilinear inverse-map sample of (H, W, C) f32: output pixel
     (y, x) reads the source at R(−θ)·(p_out − c_out) + c_src, where
     c_out is the output-rect center offset (off_x/off_y place the
     rect inside the rotated frame). ``lens`` optionally composes the
     radial distortion / CA correction about the source center into
-    the same map (module docstring). Clamp-to-edge out of range."""
+    the same map (module docstring); ``perspective`` composes the
+    keystone warp before the rotation. Clamp-to-edge out of range."""
     h, w = img_f32.shape[0], img_f32.shape[1]
     th = math.radians(angle_deg)
     cos_t, sin_t = math.cos(th), math.sin(th)
@@ -135,6 +137,19 @@ def _rotate_sample(img_f32, angle_deg: float, out_w: int, out_h: int,
           + _F(off_x - cx)) + jnp.zeros((out_h, 1), jnp.float32)
     vy = (jnp.arange(out_h, dtype=jnp.float32)[:, None]
           + _F(off_y - cy)) + jnp.zeros((1, out_w), jnp.float32)
+    if perspective is not None:
+        # Keystone (first-order projective) correction, composed
+        # before the rotation in frame-normalized coords: kv makes
+        # the horizontal sampling scale vary with height (fixes
+        # converging VERTICALS — camera tilted up/down), kh the dual
+        # (fixes converging horizontals — camera panned). The warp
+        # widens one edge and narrows the opposite one, exactly
+        # undoing the trapezoid a tilted camera records.
+        kv, kh = perspective
+        u = vx * _F(1.0 / cx)
+        v = vy * _F(1.0 / cy)
+        vx = u * (_F(1.0) + _F(kv) * v) * _F(cx)
+        vy = v * (_F(1.0) + _F(kh) * u) * _F(cy)
     sx = _F(cos_t) * vx + _F(sin_t) * vy + _F(cx)
     sy = _F(-sin_t) * vx + _F(cos_t) * vy + _F(cy)
 
@@ -191,19 +206,40 @@ def _resolve_lens(lens):
     return (k1, k2, ca_r, ca_b)
 
 
-def _rotate_crop(img, angle_deg, crop, to_f32, from_f32, lens=None):
+def _resolve_perspective(perspective):
+    """Normalize a (kv, kh) keystone pair: None when absent/zero,
+    else validated static floats. Amounts are the raw warp
+    coefficients (callers map UI sliders to them); |k| is capped at
+    0.95 so the edge scale factor 1+k·v stays positive."""
+    if perspective is None:
+        return None
+    kv, kh = (float(v) for v in perspective)
+    for name, v in (("kv", kv), ("kh", kh)):
+        if not math.isfinite(v):
+            raise ValueError(f"perspective {name} must be finite")
+        if abs(v) > 0.95:
+            raise ValueError(
+                f"perspective {name} must be within ±0.95, got {v}")
+    if kv == 0.0 and kh == 0.0:
+        return None
+    return (kv, kh)
+
+
+def _rotate_crop(img, angle_deg, crop, to_f32, from_f32, lens=None,
+                 perspective=None):
     """Shared skeleton for the three dtypes: resolve the rectangle,
     take the identity / pure-crop fast paths, otherwise resample
     (one body — the angle epsilon and slice semantics cannot drift;
     code-review r3)."""
     h, w = img.shape[0], img.shape[1]
     lens = _resolve_lens(lens)
+    perspective = _resolve_perspective(perspective)
     out_w, out_h, off_x, off_y = _resolve_geometry(h, w, angle_deg, crop)
     # Same identity threshold as largest_upright_rect (1e-9): an
     # angle below it already resolves to the identity rectangle, and
     # a mismatched epsilon here ran the full resample for a no-op
     # (code-review r3).
-    if lens is None:
+    if lens is None and perspective is None:
         if (out_w, out_h) == (w, h) and abs(angle_deg) < 1e-9:
             return img
         if abs(angle_deg) < 1e-9:
@@ -211,13 +247,14 @@ def _rotate_crop(img, angle_deg, crop, to_f32, from_f32, lens=None):
             t, l = int(off_y), int(off_x)
             return img[t : t + out_h, l : l + out_w]
     out = _rotate_sample(to_f32(img), float(angle_deg), out_w, out_h,
-                         off_x, off_y, lens=lens)
+                         off_x, off_y, lens=lens,
+                         perspective=perspective)
     return from_f32(out)
 
 
 def rotate_crop_u8(img_u8, angle_deg: float = 0.0,
                    crop: Optional[Tuple[int, int, int, int]] = None,
-                   lens=None):
+                   lens=None, perspective=None):
     """(H, W, 3) u8 → straightened/cropped u8 on device. Positive
     angles rotate the image CLOCKWISE on screen (a horizon that sits
     low on the LEFT is fixed with a positive angle — pinned by
@@ -234,37 +271,40 @@ def rotate_crop_u8(img_u8, angle_deg: float = 0.0,
         # repo uses (jnp.round's half-to-even diverged on exact
         # halves; code-review r3).
         lambda o: jnp.clip(jnp.floor(o + 0.5), 0, 255).astype(
-            jnp.uint8), lens=lens)
+            jnp.uint8), lens=lens, perspective=perspective)
 
 
 def rotate_crop_u16(img_u16, angle_deg: float = 0.0,
                     crop: Optional[Tuple[int, int, int, int]] = None,
-                    lens=None):
+                    lens=None, perspective=None):
     """16-bit variant (TIFF export path)."""
     return _rotate_crop(
         img_u16, angle_deg, crop,
         lambda x: x.astype(jnp.float32),
         lambda o: jnp.clip(jnp.floor(o + 0.5), 0, 65535).astype(
-            jnp.uint16), lens=lens)
+            jnp.uint16), lens=lens, perspective=perspective)
 
 
 def rotate_crop_rgba_words_batch(words, angle_deg: float = 0.0,
-                                 crop=None, lens=None):
+                                 crop=None, lens=None,
+                                 perspective=None):
     """Batched (N, H, W) packed-RGBA variant: the same uniform
     geometry applied to every image of a batch (the exporter's
     ``rotate``/``crop``/``lens`` options — one compiled program per
     shape bucket, vmapped over images)."""
     if (abs(angle_deg) < 1e-9 and crop is None
-            and _resolve_lens(lens) is None):
+            and _resolve_lens(lens) is None
+            and _resolve_perspective(perspective) is None):
         return words
     return jax.vmap(
-        lambda w: rotate_crop_rgba_words(w, angle_deg, crop,
-                                         lens=lens))(words)
+        lambda w: rotate_crop_rgba_words(
+            w, angle_deg, crop, lens=lens,
+            perspective=perspective))(words)
 
 
 def rotate_crop_rgba_words(words, angle_deg: float = 0.0,
                            crop: Optional[Tuple[int, int, int, int]] = None,
-                           lens=None):
+                           lens=None, perspective=None):
     """Packed-RGBA u32 (H, W) variant (the export fast path): unpack,
     resample, repack — one fused program."""
 
@@ -284,4 +324,4 @@ def rotate_crop_rgba_words(words, angle_deg: float = 0.0,
             jnp.clip(o[..., 2] * s, 0, 1))
 
     return _rotate_crop(words, angle_deg, crop, unpack, repack,
-                        lens=lens)
+                        lens=lens, perspective=perspective)

@@ -903,7 +903,8 @@ class DevelopEngine:
                jpeg_optimize: bool = False,
                chroma: str = "420",
                jpeg_restart_rows: int = 0,
-               rotate: float = 0.0, crop=None, lens=None) -> str:
+               rotate: float = 0.0, crop=None, lens=None,
+               perspective=None) -> str:
         """Full-res develop → JPEG/PNG/TIFF by extension; RGBA→RGB strip
         for JPEG on the host like the reference
         (reference: main.rs:1744-1799, alpha strip at
@@ -947,7 +948,8 @@ class DevelopEngine:
         if ext in (".tif", ".tiff"):
             return self.export_tiff16(path, params, long_edge=long_edge,
                                       rotate=rotate, crop=crop,
-                                      lens=lens)
+                                      lens=lens,
+                                      perspective=perspective)
         if ext in (".jpg", ".jpeg") and (
                 not self.auto_orient or self.raw.orientation == 1):
             jpeg = self._export_jpeg_planes(path, params, quality,
@@ -956,15 +958,18 @@ class DevelopEngine:
                                             chroma=chroma,
                                             restart_rows=jpeg_restart_rows,
                                             rotate=rotate, crop=crop,
-                                            lens=lens)
+                                            lens=lens,
+                                            perspective=perspective)
             if jpeg is not None:
                 return jpeg
         words_dev = self.full_rgba_device(params)
-        if rotate or crop is not None or lens is not None:
+        if (rotate or crop is not None or lens is not None
+                or perspective is not None):
             from raweditor_tpu.ops.geometry import rotate_crop_rgba_words
 
-            words_dev = rotate_crop_rgba_words(words_dev, float(rotate),
-                                               crop, lens=lens)
+            words_dev = rotate_crop_rgba_words(
+                words_dev, float(rotate), crop, lens=lens,
+                perspective=perspective)
         if long_edge:
             from raweditor_tpu.ops.resize import (long_edge_shape,
                                                   resize_rgba_words)
@@ -1051,7 +1056,8 @@ class DevelopEngine:
                             optimize: bool = False,
                             chroma: str = "420",
                             restart_rows: int = 0,
-                            rotate: float = 0.0, crop=None, lens=None):
+                            rotate: float = 0.0, crop=None, lens=None,
+                            perspective=None):
         """JPEG export via device YCbCr planes + the native JFIF
         encoder (the batch exporter's transport-optimized path,
         ops/jpeg.py): 1.5 bytes/pixel fetched instead of 4 (chroma
@@ -1079,11 +1085,13 @@ class DevelopEngine:
                 or (not full_chroma and (out_h % 2 or out_w % 2))):
             return None
         words_dev = self.full_rgba_device(params)
-        if rotate or crop is not None or lens is not None:
+        if (rotate or crop is not None or lens is not None
+                or perspective is not None):
             from raweditor_tpu.ops.geometry import rotate_crop_rgba_words
 
-            words_dev = rotate_crop_rgba_words(words_dev, float(rotate),
-                                               crop, lens=lens)
+            words_dev = rotate_crop_rgba_words(
+                words_dev, float(rotate), crop, lens=lens,
+                perspective=perspective)
         if (out_h, out_w) != (geo_h, geo_w):
             from raweditor_tpu.ops.resize import resize_rgba_words
 
@@ -1121,7 +1129,7 @@ class DevelopEngine:
 
     def export_tiff16(self, path: os.PathLike, params: EditParams,
                       long_edge: int = None, rotate: float = 0.0,
-                      crop=None, lens=None) -> str:
+                      crop=None, lens=None, perspective=None) -> str:
         """Full-res develop at 16 bits/channel → uncompressed RGB TIFF.
         The polynomial fast gamma is u8-accuracy (~6 LSBs of u16), so
         16-bit output always uses the exact transfer."""
@@ -1166,10 +1174,12 @@ class DevelopEngine:
         # fetch at the end (the old per-stage np.asarray ping-ponged
         # ~144 MB of extra transfers at 24 MP over a link the docs
         # describe as minutes-slow; code-review r3).
-        if rotate or crop is not None or lens is not None:
+        if (rotate or crop is not None or lens is not None
+                or perspective is not None):
             from raweditor_tpu.ops.geometry import rotate_crop_u16
 
-            rgb = rotate_crop_u16(rgb, float(rotate), crop, lens=lens)
+            rgb = rotate_crop_u16(rgb, float(rotate), crop, lens=lens,
+                                  perspective=perspective)
         if long_edge:
             from raweditor_tpu.ops.resize import (long_edge_shape,
                                                   resize_rgb16)

@@ -506,6 +506,7 @@ def run_batch_export(
     rotate: float = 0.0,
     crop=None,
     lens=None,
+    perspective=None,
 ) -> ExportReport:
     """Develop and encode every job; returns a report with throughput
     and the per-image quarantine list.
@@ -1094,7 +1095,8 @@ def run_batch_export(
                 resize_changes = (
                     long_edge_shape(h_m, w_m, long_edge) != (h_m, w_m))
             geometry_on = (bool(rotate) or crop is not None
-                           or lens is not None)
+                           or lens is not None
+                           or perspective is not None)
             # Extras on mesh-less 8-bit flushes ALWAYS ride the fused
             # post-pass kernel (with its own XLA-words fallback),
             # regardless of --fast: the in-chain XLA extras
@@ -1360,15 +1362,17 @@ def run_batch_export(
                     from raweditor_tpu.ops.geometry import rotate_crop_u16
 
                     out = jax.vmap(
-                        lambda x: rotate_crop_u16(x, float(rotate),
-                                                  crop, lens=lens))(out)
+                        lambda x: rotate_crop_u16(
+                            x, float(rotate), crop, lens=lens,
+                            perspective=perspective))(out)
                 else:
                     from raweditor_tpu.ops.geometry import (
                         rotate_crop_rgba_words_batch,
                     )
 
                     out = rotate_crop_rgba_words_batch(
-                        out, float(rotate), crop, lens=lens)
+                        out, float(rotate), crop, lens=lens,
+                        perspective=perspective)
                 h_, w_ = out.shape[1], out.shape[2]
             if long_edge:
                 # Device-side long-edge resize (Lanczos3): only the

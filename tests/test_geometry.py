@@ -263,3 +263,85 @@ class TestEngineExport:
             batch_size=1, bits=16, crop=(0, 0, 48, 32))
         assert rep.succeeded == 1
         assert Image.open(tmp_path / "r.tif").size == (48, 32)
+
+
+# -- perspective (keystone) correction -----------------------------------
+
+class TestKeystone:
+    def _grad(self, h=40, w=64):
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([(xx * 255 / (w - 1)),
+                        (yy * 255 / (h - 1)),
+                        np.full((h, w), 128)], -1)
+        return img.astype(np.uint8)
+
+    def test_zero_is_identity(self):
+        img = self._grad()
+        out = rotate_crop_u8(img, 0.0, None, perspective=(0.0, 0.0))
+        assert out is img  # the resolve collapses zeros to None
+
+    def test_center_row_and_column_invariant(self):
+        """kv warps the horizontal scale BY HEIGHT: the center row
+        (v=0) must sample identically; dually for kh and the center
+        column."""
+        img = self._grad()
+        out = np.asarray(rotate_crop_u8(img, 0.0, None,
+                                        perspective=(0.3, 0.0)))
+        # (h-1)/2 is fractional for even h; use an odd-size image so
+        # the exact center row/column exist as integer indices
+        img2 = self._grad(h=41, w=65)
+        out2 = np.asarray(rotate_crop_u8(img2, 0.0, None,
+                                         perspective=(0.3, 0.0)))
+        np.testing.assert_array_equal(out2[20], img2[20])
+        out3 = np.asarray(rotate_crop_u8(img2, 0.0, None,
+                                         perspective=(0.0, 0.3)))
+        np.testing.assert_array_equal(out3[:, 32], img2[:, 32])
+        assert (out != img).any() and (out2 != img2).any()
+
+    def test_top_row_samples_match_model(self):
+        """Output top row with kv reads source x = u·(1+kv·v)·cx — the
+        trapezoid inversion; check a sampled point against the model."""
+        img = self._grad(h=41, w=65)
+        kv = 0.3
+        out = np.asarray(rotate_crop_u8(img, 0.0, None,
+                                        perspective=(kv, 0.0)))
+        cx, cy = 32.0, 20.0
+        # pick output (y=0, x=48): u = 0.5, v = -1
+        u, v = (48 - cx) / cx, (0 - cy) / cy
+        sx = u * (1 + kv * v) * cx + cx
+        expect = img[0, int(round(sx)), 0]
+        got = int(out[0, 48, 0])
+        assert abs(got - int(expect)) <= 3  # bilinear + rounding
+
+    def test_validation(self):
+        img = self._grad()
+        with pytest.raises(ValueError, match="finite"):
+            rotate_crop_u8(img, 0.0, None,
+                           perspective=(float("nan"), 0.0))
+        with pytest.raises(ValueError, match="0.95"):
+            rotate_crop_u8(img, 0.0, None, perspective=(1.2, 0.0))
+
+    def test_composes_with_rotate_and_lens(self):
+        img = self._grad()
+        out = np.asarray(rotate_crop_u8(
+            img, 3.0, None, lens=(0.05, 0.0, 0.0, 0.0),
+            perspective=(0.2, -0.1)))
+        assert out.shape[2] == 3 and out.dtype == np.uint8
+
+    def test_batch_matches_single(self):
+        from raweditor_tpu.ops.geometry import (
+            rotate_crop_rgba_words_batch,
+            rotate_crop_rgba_words,
+        )
+        from raweditor_tpu.ops.extras import planes_to_words
+
+        rng = np.random.default_rng(0)
+        imgs = rng.random((3, 24, 32, 3)).astype(np.float32)
+        words = np.stack([np.asarray(planes_to_words(
+            i[..., 0], i[..., 1], i[..., 2])) for i in imgs])
+        got = np.asarray(rotate_crop_rgba_words_batch(
+            words, 0.0, None, perspective=(0.25, 0.0)))
+        for i in range(3):
+            want = np.asarray(rotate_crop_rgba_words(
+                words[i], 0.0, None, perspective=(0.25, 0.0)))
+            np.testing.assert_array_equal(got[i], want)
