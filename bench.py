@@ -372,9 +372,6 @@ def _measure(results):
     mosaic = jax.device_put(mosaic_host)
     jax.block_until_ready(mosaic)
 
-    _stage("roofline")
-    _roofline_lane(results, mosaic, params, wb, cm)
-
     # --- full-res develop throughput (packed-RGBA output, the export
     # format — the same RGBA8 bytes/pixel the reference reads back,
     # reference: gpu/pipeline.rs:551) ----------------------------------
@@ -421,6 +418,13 @@ def _measure(results):
                    value_source="measured_24mp",
                    quick_develops_per_sec=round(quick, 2))
     _stage(f"quick headline: {quick:.0f}/s")
+    # Roofline AFTER the deadline-guarded first 24 MP sync: its
+    # unguarded .compile() is a 24 MP backend interaction and a wedge
+    # there would stall the worker past every later lane, defeating
+    # the wedge-proof structure (code-review r4). The compile is
+    # cache-warm now (the quick lane just built this program).
+    _stage("roofline")
+    _roofline_lane(results, mosaic, params, wb, cm)
     t_lane = time.perf_counter()
     xla_per_sec = timed_throughput(
         lambda p: develop_rgba(mosaic, p, wb, cm)

@@ -33,6 +33,22 @@ _CHAN = {"R": 0, "G": 1, "B": 2}
 
 
 @functools.lru_cache(maxsize=16)
+def channel_grid(pattern: str = XTRANS_PATTERN, ph: int = 6,
+                 pw: int = 6):
+    """(ph, pw) int32 ndarray of channel ids (0=R, 1=G, 2=B) for a
+    repeating pattern string — the one definition shared by the WB
+    eyedropper, highlight reconstruction, and the quality scoreboard
+    (each previously rebuilt it; code-review r4)."""
+    import numpy as np
+
+    if len(pattern) != ph * pw:
+        raise ValueError(
+            f"pattern length {len(pattern)} != {ph}x{pw}")
+    return np.array([[_CHAN[pattern[r * pw + c]] for c in range(pw)]
+                     for r in range(ph)], dtype=np.int32)
+
+
+@functools.lru_cache(maxsize=16)
 def nearest_offsets(pattern: str, ph: int, pw: int):
     """For each pattern cell and channel, the offset (dy, dx) of the
     nearest site of that channel (Euclidean, deterministic tie-break by

@@ -235,6 +235,25 @@ def _rotate_crop(img, angle_deg, crop, to_f32, from_f32, lens=None,
     lens = _resolve_lens(lens)
     perspective = _resolve_perspective(perspective)
     out_w, out_h, off_x, off_y = _resolve_geometry(h, w, angle_deg, crop)
+    if perspective is not None and crop is None:
+        # Keystone widens one edge's sampling reach by (1+|k|); shrink
+        # the default rect by that factor so no output pixel samples
+        # outside the frame (the widened edge would otherwise smear
+        # clamp-to-edge streaks across its corners — the same reason
+        # rotation auto-crops). Shrink amounts keep the parity of the
+        # original dims so the centered offsets stay integral and the
+        # unwarped center row/column remain exact copies. An explicit
+        # crop overrides, exactly like rotation.
+        kv, kh = perspective
+        new_w = max(1, int(out_w / (1.0 + abs(kv))))
+        new_h = max(1, int(out_h / (1.0 + abs(kh))))
+        if (out_w - new_w) % 2 and new_w > 1:
+            new_w -= 1
+        if (out_h - new_h) % 2 and new_h > 1:
+            new_h -= 1
+        off_x += (out_w - new_w) / 2.0
+        off_y += (out_h - new_h) / 2.0
+        out_w, out_h = new_w, new_h
     # Same identity threshold as largest_upright_rect (1e-9): an
     # angle below it already resolves to the identity rectangle, and
     # a mismatched epsilon here ran the full resample for a no-op

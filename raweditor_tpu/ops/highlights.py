@@ -52,9 +52,9 @@ def _site_channel_masks(h, w, cfa_phase, xtrans_pattern):
     import jax.numpy as jnp
 
     if xtrans_pattern is not None:
-        chan = {"R": 0, "G": 1, "B": 2}
-        grid = np.array([[chan[xtrans_pattern[r * 6 + c]]
-                          for c in range(6)] for r in range(6)], np.int32)
+        from raweditor_tpu.ops.cfa_generic import channel_grid
+
+        grid = channel_grid(xtrans_pattern)
         yy = jnp.arange(h, dtype=jnp.int32)[:, None] % 6
         xx = jnp.arange(w, dtype=jnp.int32)[None, :] % 6
         # iota-compare selects (no gather): 6x6 distinct values.

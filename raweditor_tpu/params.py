@@ -79,6 +79,13 @@ _EXTRA_FIELDS = (_EXTRA_FIELDS + MIXER_FIELDS + GRADE_FIELDS
 # gated separately — see finish_extras_mode).
 _STENCIL_FIELDS = ("sharpen", "denoise", "curve_shadows", "curve_darks",
                    "curve_lights", "curve_highlights", "vignette")
+# The finish-panel subset of the extras: highlight_recovery is NOT a
+# finish extra (it rewrites the mosaic pre-demosaic; engines/exporters
+# gate it separately) — including it in has_finish_extras would kick
+# recovery-only params off the AOT/pipelined hot paths and split
+# export batches for a stage the develop program never traces.
+_FINISH_FIELDS = tuple(f for f in _EXTRA_FIELDS
+                       if f != "highlight_recovery")
 _FIELDS = _REF_FIELDS + _EXTRA_FIELDS
 
 # Defaults mirror the reference exactly: everything 0 except whites=1.0
@@ -279,7 +286,7 @@ class EditParams:
         must never be data-dependent inside jit."""
         return any(
             float(getattr(self, name)) != _DEFAULTS[name]
-            for name in _EXTRA_FIELDS
+            for name in _FINISH_FIELDS
         )
 
     def has_mixer(self) -> bool:

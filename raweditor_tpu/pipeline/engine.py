@@ -443,9 +443,21 @@ class DevelopEngine:
                     st["pending"] = None
                 # Transport round trip OUTSIDE the lock: dispatches
                 # keep landing (and superseding) while this one syncs.
-                np.asarray(item[1])
+                err = None
+                try:
+                    np.asarray(item[1])
+                except Exception as e:  # noqa: BLE001 - surfaced at
+                    # flush; a dead syncer would deadlock every later
+                    # fetch command in `while synced_seq < seq: wait()`
+                    err = e
                 with st["lock"]:
-                    st["completed"] = item[0]
+                    if err is None:
+                        st["completed"] = item[0]
+                    else:
+                        st["error"] = err
+                    # Advance even on failure: the sequence is "dealt
+                    # with" either way, and flush raises the recorded
+                    # error instead of hanging.
                     st["synced_seq"] = max(st["synced_seq"], seq)
                     st["idle"].notify_all()
 
@@ -462,22 +474,32 @@ class DevelopEngine:
         newest dispatch — stream order covers the rest) and return the
         newest finished frame, or None if pipelining was never used.
         Fetch paths (frame/render/histogram) call this so a burst's
-        tail is retired before a fresh frame is produced."""
+        tail is retired before a fresh frame is produced. A sync that
+        FAILED (transport drop) is re-raised here — the command that
+        fetches gets the error instead of a permanent hang."""
         st = self._pipe
         if st is None:
             return None
         with st["lock"]:
             while st["synced_seq"] < st["seq"]:
                 st["idle"].wait()
+            err = st.pop("error", None)
+            if err is not None:
+                raise RuntimeError(
+                    "pipelined preview sync failed") from err
             return st["completed"]
 
     def close_pipeline(self):
         """Stop the background syncer (after proving the tail synced).
-        Safe to call repeatedly; the next pipelined tick restarts it."""
+        Safe to call repeatedly; the next pipelined tick restarts it.
+        A failed tail sync must not prevent the shutdown itself."""
         st = self._pipe
         if st is None:
             return
-        self.flush_pipeline()
+        try:
+            self.flush_pipeline()
+        except RuntimeError:
+            pass  # the error was the transport's; the thread still stops
         with st["lock"]:
             st["stop"] = True
             st["wake"].notify_all()
@@ -529,11 +551,9 @@ class DevelopEngine:
             # (host-side numpy — no full-frame device mask fetch).
             yy, xx = np.mgrid[y0:y1, x0:x1]
             if self.xtrans_pattern is not None:
-                chan = {"R": 0, "G": 1, "B": 2}
-                grid = np.array(
-                    [[chan[self.xtrans_pattern[r * 6 + c]]
-                      for c in range(6)] for r in range(6)])
-                idx = grid[yy % 6, xx % 6]
+                from raweditor_tpu.ops.cfa_generic import channel_grid
+
+                idx = channel_grid(self.xtrans_pattern)[yy % 6, xx % 6]
                 masks = [idx == c for c in range(3)]
             else:
                 py, px = self.cfa_phase

@@ -28,7 +28,7 @@ from typing import Optional
 # Every verb session.handle dispatches — the greeting advertises these
 # and the engine guard below recognizes them.
 _COMMANDS = ("open", "set", "zoom", "pan", "render", "frame", "full",
-             "histogram", "before", "auto", "preset", "local",
+             "histogram", "wb", "before", "auto", "preset", "local",
              "checkpoint", "undo", "history", "reset", "stats", "quit")
 
 

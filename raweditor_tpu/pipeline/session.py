@@ -360,9 +360,19 @@ class DevelopSession:
             # settings come from the server defaults.
             kwargs = dict(getattr(self, "_engine_defaults", {}) or {})
         try:
-            self.engine = DevelopEngine.open(path, **kwargs)
+            new_engine = DevelopEngine.open(path, **kwargs)
         except Exception as e:  # quarantine, stay on the current image
             return {"ok": False, "error": f"decode: {e}"}
+        if eng is not None:
+            # Retire the outgoing engine's pipelined-syncer thread and
+            # its device-resident frames — a long serve session
+            # switching images must not leak one parked thread plus
+            # HBM buffers per open (code-review r4).
+            try:
+                eng.close_pipeline()
+            except Exception:  # noqa: BLE001 - a wedged tail sync
+                pass           # must not block the image switch
+        self.engine = new_engine
         self.image_id = image_id
         self.params = (self.library.load_edit_params(image_id)
                        if self.library is not None and image_id is not None

@@ -132,6 +132,13 @@ def validate_file(path: str, preview_px: int = 256,
         rec.update(status="quarantined",
                    error=f"{type(e).__name__}: {e}"[:200])
         return rec
+    except (OSError, ValueError) as e:
+        # Unreadable (permissions, vanished between walk and open,
+        # NFS) or structurally impossible input: one bad file must
+        # not abort a 10,000-file corpus run and discard its report.
+        rec.update(status="unreadable",
+                   error=f"{type(e).__name__}: {e}"[:200])
+        return rec
     raw = eng.raw
     rec.update(
         sensor_shape=list(raw.mosaic.shape),
@@ -144,8 +151,13 @@ def validate_file(path: str, preview_px: int = 256,
         rec.update(oracle)
 
     ours = eng.preview(EditParams())
-    with open(path, "rb") as f:
-        preview_bytes = extract_preview_jpeg(f.read())
+    try:
+        with open(path, "rb") as f:
+            preview_bytes = extract_preview_jpeg(f.read())
+    except OSError as e:
+        rec.update(status="unreadable",
+                   error=f"{type(e).__name__}: {e}"[:200])
+        return rec
     if not preview_bytes:
         rec["status"] = "no_preview"
         return rec
@@ -196,7 +208,7 @@ def validate_dir(root: str, limit: Optional[int] = None,
 
     ``files``      per-file records (validate_file)
     ``per_codec``  {ext: {decoded, ok, mismatch, no_preview,
-                   quarantined}}
+                   quarantined, unreadable}}
     ``summary``    totals + the pass verdict (ok iff nothing
                    quarantined or mismatched)
     """
@@ -222,13 +234,13 @@ def validate_dir(root: str, limit: Optional[int] = None,
         files.append(rec)
         bucket = per_codec.setdefault(rec["codec"], {
             "decoded": 0, "ok": 0, "mismatch": 0, "no_preview": 0,
-            "quarantined": 0,
+            "quarantined": 0, "unreadable": 0,
         })
-        if rec["status"] != "quarantined":
+        if rec["status"] not in ("quarantined", "unreadable"):
             bucket["decoded"] += 1
         bucket[rec["status"]] += 1
 
-    n_bad = sum(b["quarantined"] + b["mismatch"]
+    n_bad = sum(b["quarantined"] + b["mismatch"] + b["unreadable"]
                 for b in per_codec.values())
     return {
         "root": os.fspath(root),
@@ -243,6 +255,8 @@ def validate_dir(root: str, limit: Optional[int] = None,
                               for b in per_codec.values()),
             "quarantined": sum(b["quarantined"]
                                for b in per_codec.values()),
+            "unreadable": sum(b["unreadable"]
+                              for b in per_codec.values()),
             "passed": n_bad == 0,
         },
     }

@@ -280,23 +280,43 @@ class TestKeystone:
         out = rotate_crop_u8(img, 0.0, None, perspective=(0.0, 0.0))
         assert out is img  # the resolve collapses zeros to None
 
-    def test_center_row_and_column_invariant(self):
-        """kv warps the horizontal scale BY HEIGHT: the center row
-        (v=0) must sample identically; dually for kh and the center
-        column."""
-        img = self._grad()
+    def test_auto_shrink_keeps_samples_in_frame(self):
+        """The default rect shrinks by 1/(1+|k|) per axis so the
+        widened edge never samples outside the frame (no clamp-to-edge
+        corner streaks — the rotation-auto-crop policy applied to the
+        keystone warp)."""
+        img = self._grad(h=40, w=64)
         out = np.asarray(rotate_crop_u8(img, 0.0, None,
                                         perspective=(0.3, 0.0)))
-        # (h-1)/2 is fractional for even h; use an odd-size image so
-        # the exact center row/column exist as integer indices
-        img2 = self._grad(h=41, w=65)
-        out2 = np.asarray(rotate_crop_u8(img2, 0.0, None,
-                                         perspective=(0.3, 0.0)))
-        np.testing.assert_array_equal(out2[20], img2[20])
-        out3 = np.asarray(rotate_crop_u8(img2, 0.0, None,
+        assert out.shape[1] == 48  # int(64/1.3)=49, parity-adjusted to 48
+        assert out.shape[0] == 40             # kh = 0: height kept
+        # bottom row (widest sampling) corners: a clamp streak would
+        # repeat the edge gradient value; the gradient must keep
+        # strictly increasing instead.
+        bottom = out[-1, :, 0].astype(int)
+        assert bottom[1] > bottom[0] and bottom[-1] > bottom[-2]
+
+    def test_center_row_and_column_invariant(self):
+        """kv warps the horizontal scale BY HEIGHT: the center row
+        (v=0) must be an exact centered crop of the source center row;
+        dually for kh and the center column."""
+        # odd dims: the exact center row/column exist as integers and
+        # the parity-preserving shrink keeps offsets integral
+        img = self._grad(h=41, w=65)
+        out = np.asarray(rotate_crop_u8(img, 0.0, None,
+                                        perspective=(0.3, 0.0)))
+        ow = out.shape[1]
+        off = (65 - ow) // 2
+        np.testing.assert_array_equal(
+            out[(out.shape[0] - 1) // 2],
+            img[20, off:off + ow])
+        out3 = np.asarray(rotate_crop_u8(img, 0.0, None,
                                          perspective=(0.0, 0.3)))
-        np.testing.assert_array_equal(out3[:, 32], img2[:, 32])
-        assert (out != img).any() and (out2 != img2).any()
+        oh = out3.shape[0]
+        offy = (41 - oh) // 2
+        np.testing.assert_array_equal(
+            out3[:, (out3.shape[1] - 1) // 2],
+            img[offy:offy + oh, 32])
 
     def test_top_row_samples_match_model(self):
         """Output top row with kv reads source x = u·(1+kv·v)·cx — the
@@ -305,13 +325,17 @@ class TestKeystone:
         kv = 0.3
         out = np.asarray(rotate_crop_u8(img, 0.0, None,
                                         perspective=(kv, 0.0)))
+        oh, ow = out.shape[:2]
+        off_x, off_y = (65 - ow) / 2.0, (41 - oh) / 2.0
         cx, cy = 32.0, 20.0
-        # pick output (y=0, x=48): u = 0.5, v = -1
-        u, v = (48 - cx) / cx, (0 - cy) / cy
+        xo, yo = ow - 2, 0  # near the top-right of the shrunk rect
+        u = (xo + off_x - cx) / cx
+        v = (yo + off_y - cy) / cy
         sx = u * (1 + kv * v) * cx + cx
-        expect = img[0, int(round(sx)), 0]
-        got = int(out[0, 48, 0])
-        assert abs(got - int(expect)) <= 3  # bilinear + rounding
+        expect = float(img[int(round(yo + off_y)),
+                           int(round(sx)), 0])
+        got = float(out[yo, xo, 0])
+        assert abs(got - expect) <= 4  # bilinear + rounding
 
     def test_validation(self):
         img = self._grad()

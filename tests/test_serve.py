@@ -85,6 +85,10 @@ def test_serve_stats_and_reset_before_open(server):
     assert c.ask("reset")["ok"]
     out = c.ask("set exposure 1.0")  # engine commands still gated
     assert not out["ok"] and "no image open" in out["error"]
+    out = c.ask("wb 0.5 0.5")  # the eyedropper is gated too
+    # (it was missing from _COMMANDS and dereferenced a None engine;
+    # code-review r4)
+    assert not out["ok"] and "no image open" in out["error"]
     assert c.ask(f"open {image_id}")["ok"]
     c.close()
 

@@ -424,3 +424,58 @@ def test_wb_command_protocol(session):
         assert "error" in out
     assert not s.handle("wb 0.5")["ok"]   # usage error
     assert not s.handle("wb nan 0.5")["ok"]
+
+
+def test_pipelined_sync_failure_surfaces_not_hangs(tmp_path, rng):
+    """A transport error inside the background syncer must surface at
+    the next flush as an error — the first implementation's thread
+    died silently and flush_pipeline blocked forever (code-review r4)."""
+    eng, _ = _pipelined_session(tmp_path, rng, 2)
+    eng.preview_tick_pipelined(EditParams(exposure=0.2))
+    eng.flush_pipeline()
+
+    class _Poison:
+        def __array__(self, *a, **k):
+            raise RuntimeError("transport dropped")
+
+    st = eng._pipe
+    with st["lock"]:
+        st["pending"] = (None, _Poison())
+        st["seq"] += 1
+        st["wake"].notify_all()
+    with pytest.raises(RuntimeError, match="pipelined preview sync"):
+        eng.flush_pipeline()
+    # the syncer survives: later ticks and flushes work again
+    eng.preview_tick_pipelined(EditParams(exposure=0.4))
+    assert eng.flush_pipeline() is not None
+    eng.close_pipeline()
+
+
+def test_open_closes_previous_pipeline(tmp_path, rng):
+    """Image switches must retire the outgoing engine's syncer thread
+    (a long serve session would otherwise leak one per open)."""
+    eng, sess = _pipelined_session(tmp_path, rng, 2)
+    sess.set_slider("exposure", 0.5)
+    assert eng._pipe is not None
+    other = tmp_path / "other.nef"
+    write_synthetic_raw(
+        other, rng.integers(0, 4096, size=(24, 32), dtype=np.uint16))
+    out = sess.open(str(other))
+    assert out["ok"]
+    assert eng._pipe is None  # old engine's syncer stopped
+    assert sess.engine is not eng
+
+
+def test_recovery_only_params_stay_on_hot_paths(tmp_path, rng):
+    """highlight_recovery is NOT a finish extra: recovery-only params
+    must keep the AOT + pipelined hot paths (code-review r4 — the
+    _EXTRA_FIELDS membership had kicked them onto true-sync)."""
+    p = EditParams(highlight_recovery=50.0)
+    assert not p.has_finish_extras()
+    assert p.finish_extras_mode() is False
+    eng, _ = _pipelined_session(tmp_path, rng, 2)
+    first = eng.preview_tick_pipelined(p)
+    assert first is None  # pipelined path taken (extras would return
+    # a finished frame immediately via the true-sync fallback)
+    eng.flush_pipeline()
+    eng.close_pipeline()

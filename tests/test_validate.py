@@ -142,3 +142,18 @@ def test_cli_validate(corpus, capsys):
     doc = json.loads(capsys.readouterr().out.strip())
     assert code == 1
     assert "files" not in doc  # per-file detail only with --per-file
+
+
+def test_unreadable_file_recorded_not_fatal(tmp_path, corpus):
+    """One unreadable path (here: a directory with a RAW extension)
+    must be a per-file 'unreadable' record, not a corpus-run abort
+    (code-review r4)."""
+    corpus_dir, _, _ = corpus
+    # dangling symlink: listed by the walk, open() raises OSError
+    (corpus_dir / "imposter.nef").symlink_to(corpus_dir / "gone.nef")
+    report = validate_dir(str(corpus_dir))
+    by_status = {f["status"] for f in report["files"]}
+    assert "unreadable" in by_status
+    assert report["summary"]["unreadable"] == 1
+    assert report["summary"]["passed"] is False
+    assert report["per_codec"]["nef"]["ok"] == 1  # the good file still ran
