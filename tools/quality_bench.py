@@ -114,14 +114,11 @@ def _mosaic_bayer(rgb):
 
 
 def _mosaic_xtrans(rgb):
-    from raweditor_tpu.ops.cfa_generic import XTRANS_PATTERN
+    from raweditor_tpu.ops.cfa_generic import channel_grid
 
     h, w, _ = rgb.shape
-    chan = {"R": 0, "G": 1, "B": 2}
-    grid = np.array([[chan[XTRANS_PATTERN[r * 6 + c]]
-                      for c in range(6)] for r in range(6)])
     yy, xx = np.mgrid[0:h, 0:w]
-    ch = grid[yy % 6, xx % 6]
+    ch = channel_grid()[yy % 6, xx % 6]
     return np.take_along_axis(rgb, ch[..., None], -1)[..., 0]
 
 
