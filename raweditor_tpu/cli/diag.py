@@ -101,11 +101,26 @@ def cmd_doctor(args) -> int:
     # arenas retain them and RSS grows with cumulative volume
     # (measured: +3.4 GB over a 100-image 24 MP soak, flat with
     # MALLOC_ARENA_MAX=1 — docs/bench_r04_session1/4.json).
+    # run_batch_export now applies the fix in-process (mallopt arena
+    # cap + per-flush malloc_trim, utils/memory.py) unless disabled.
     arena = os.environ.get("MALLOC_ARENA_MAX")
+    from raweditor_tpu.utils.memory import _get_libc, arena_cap_from_env
+
+    cap = arena_cap_from_env()
     if arena and arena.isdigit() and int(arena) <= 2:
         add("malloc_arenas", "ok", f"MALLOC_ARENA_MAX={arena}")
+    elif cap and _get_libc() is not None:
+        add("malloc_arenas", "ok",
+            f"exporter caps arenas in-process (mallopt M_ARENA_MAX={cap} "
+            "+ per-flush malloc_trim; RAWEDITOR_TPU_MALLOC_ARENA_CAP=0 "
+            "disables)")
+    elif cap:
+        add("malloc_arenas", "warn",
+            "non-glibc libc: in-process arena cap unavailable; RSS "
+            "retention behavior unknown on this platform")
     else:
         add("malloc_arenas", "warn",
+            "arena cap disabled (RAWEDITOR_TPU_MALLOC_ARENA_CAP=0) and "
             "MALLOC_ARENA_MAX unset - long export runs retain RSS via "
             "glibc arenas (~35 MB/image observed); set "
             "MALLOC_ARENA_MAX=1 or 2 for production batch hosts")

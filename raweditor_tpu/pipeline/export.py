@@ -523,8 +523,17 @@ def run_batch_export(
     import jax
 
     from raweditor_tpu.utils import ensure_backend
+    from raweditor_tpu.utils.memory import (
+        arena_cap_from_env, cap_malloc_arenas, trim_malloc)
 
     ensure_backend()  # must precede thread-pool creation (see utils.device)
+    # glibc arena retention made long-run RSS track cumulative decode
+    # volume (~35 MB/image) instead of the working set; cap arenas
+    # before the pools below can create them, and trim between flushes
+    # (utils/memory.py has the soak evidence). 0 disables both.
+    _arena_cap = arena_cap_from_env()
+    if _arena_cap:
+        cap_malloc_arenas(_arena_cap)
 
     if matrix_transpose is None:
         matrix_transpose = mode == "parity"
@@ -1425,6 +1434,10 @@ def run_batch_export(
             inflight.append(
                 (fetch_pool.submit(_fetch_batch, out, batch, t0), batch))
             drain_inflight(encode_pool, depth=1)
+            if _arena_cap:
+                # The batch's mosaics/planes were just freed; hand the
+                # pages back instead of letting arenas retain them.
+                trim_malloc()
 
         with ThreadPoolExecutor(decode_threads) as decode_pool, \
                 ThreadPoolExecutor(encode_threads) as encode_pool, \

@@ -1,0 +1,103 @@
+"""glibc malloc hygiene for long batch runs.
+
+The 24 MP on-chip soak (docs/bench_r04_session1.json) showed RSS
+growing ~35 MB/image: the exporter's decode/encode threads move a
+~36 MB mosaic + planes per image through glibc malloc, per-thread
+arenas retain the freed blocks, and RSS tracks cumulative volume
+instead of the working set. Re-running with MALLOC_ARENA_MAX=1 made
+RSS peak at 1.77 GB and *decline* by run end (session4) — the growth
+is arena retention, not a leak.
+
+MALLOC_ARENA_MAX only works if set before the process starts (glibc
+reads it at malloc init, long before any Python code runs). These
+helpers give the exporter the same fix from inside the process:
+
+- ``cap_malloc_arenas(n)`` — ``mallopt(M_ARENA_MAX, n)``; caps how
+  many arenas glibc may create from this point on. Called before the
+  exporter spawns its thread pools, it bounds retention the same way
+  the env var does.
+- ``trim_malloc()`` — ``malloc_trim(0)``; walks the free lists and
+  returns whole free pages to the OS, including inside arena heaps
+  (glibc >= 2.8). The exporter calls it between flushes, where the
+  36 MB/image traffic has just been freed.
+
+Both are no-ops (returning False) on non-glibc platforms; the
+behavior they tune is itself glibc-specific. The reference app never
+needed any of this — it develops one image at a time in a GUI
+(reference: main.rs:481-490's one-image cache loop).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+# glibc malloc.h: mallopt parameter for the arena limit.
+M_ARENA_MAX = -8
+
+_libc = None
+_libc_failed = False
+
+
+def _get_libc():
+    global _libc, _libc_failed
+    if _libc is None and not _libc_failed:
+        try:
+            _libc = ctypes.CDLL(None, use_errno=True)
+        except OSError:
+            _libc_failed = True
+    return _libc
+
+
+def cap_malloc_arenas(n: int) -> bool:
+    """Cap glibc's malloc arena count at ``n`` for the rest of the
+    process. Returns True if the cap was applied.
+
+    Arenas that already exist survive, so call this before spawning
+    the worker threads whose allocations would create new ones.
+    ``n <= 0`` is a no-op (the "don't touch malloc" setting).
+    """
+    if n <= 0:
+        return False
+    libc = _get_libc()
+    if libc is None or not hasattr(libc, "mallopt"):
+        return False
+    try:
+        return bool(libc.mallopt(M_ARENA_MAX, int(n)))
+    except (ctypes.ArgumentError, OSError):  # pragma: no cover
+        return False
+
+
+def trim_malloc() -> bool:
+    """Release free malloc memory back to the OS (``malloc_trim(0)``).
+
+    Returns True if any memory was released. Cheap relative to the
+    work between exporter flushes (it takes the arena locks briefly);
+    do not call it inside per-pixel hot loops.
+    """
+    libc = _get_libc()
+    if libc is None or not hasattr(libc, "malloc_trim"):
+        return False
+    try:
+        return bool(libc.malloc_trim(0))
+    except (ctypes.ArgumentError, OSError):  # pragma: no cover
+        return False
+
+
+def arena_cap_from_env(default: int = 2) -> int:
+    """The exporter's arena cap: ``RAWEDITOR_TPU_MALLOC_ARENA_CAP``
+    (0 disables), defaulting to ``default``.
+
+    If the operator already launched with ``MALLOC_ARENA_MAX`` set,
+    glibc applied it at startup and a second in-process cap is
+    redundant — return 0 so their setting stands untouched.
+    """
+    if os.environ.get("MALLOC_ARENA_MAX", "").strip():
+        return 0
+    raw = os.environ.get("RAWEDITOR_TPU_MALLOC_ARENA_CAP", "").strip()
+    if raw:
+        try:
+            return max(0, int(raw))
+        except ValueError:
+            pass
+    return default

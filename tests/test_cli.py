@@ -424,9 +424,17 @@ def test_doctor_healthy(tmp_path, capsys, photos):
 
 def test_doctor_malloc_arena_check(capsys, monkeypatch):
     """Long export runs retain RSS via default glibc arenas
-    (docs/bench_r04_session1/4.json); doctor warns unless
-    MALLOC_ARENA_MAX is pinned low."""
+    (docs/bench_r04_session1/4.json). The exporter now caps arenas
+    in-process (utils/memory.py), so doctor reports ok unless that is
+    disabled AND MALLOC_ARENA_MAX is unset."""
     monkeypatch.delenv("MALLOC_ARENA_MAX", raising=False)
+    monkeypatch.delenv("RAWEDITOR_TPU_MALLOC_ARENA_CAP", raising=False)
+    _, out = run(capsys, "doctor")
+    by = {c["check"]: c for c in json.loads(out.strip())["checks"]}
+    # glibc in CI: the in-process cap is available and on by default.
+    assert by["malloc_arenas"]["status"] == "ok"
+    assert "in-process" in by["malloc_arenas"]["detail"]
+    monkeypatch.setenv("RAWEDITOR_TPU_MALLOC_ARENA_CAP", "0")
     _, out = run(capsys, "doctor")
     by = {c["check"]: c for c in json.loads(out.strip())["checks"]}
     assert by["malloc_arenas"]["status"] == "warn"
