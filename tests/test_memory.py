@@ -63,3 +63,50 @@ def test_libc_handle_cached():
     assert first is memory._get_libc()
     if IS_GLIBC:
         assert isinstance(first, ctypes.CDLL)
+
+
+def test_exporter_invokes_memory_hooks(tmp_path, monkeypatch):
+    """run_batch_export must cap arenas before its pools exist and trim
+    after each flush; pin the wiring (the soak regression this guards
+    is only observable over GBs of decode volume)."""
+    import numpy as np
+
+    from raweditor_tpu.params import EditParams
+    from raweditor_tpu.pipeline.export import ExportJob, run_batch_export
+    from raweditor_tpu.raw.synth import write_synthetic_raw
+
+    calls = {"cap": [], "trim": 0}
+    monkeypatch.setattr(memory, "cap_malloc_arenas",
+                        lambda n: calls["cap"].append(n) or True)
+
+    real_trim = memory.trim_malloc
+
+    def counting_trim():
+        calls["trim"] += 1
+        return real_trim()
+
+    monkeypatch.setattr(memory, "trim_malloc", counting_trim)
+    rng = np.random.default_rng(7)
+    jobs = []
+    for i in range(3):
+        p = tmp_path / f"m{i}.nef"
+        write_synthetic_raw(p, rng.integers(0, 4095, (40, 64),
+                                            dtype=np.uint16))
+        jobs.append(ExportJob(raw_path=str(p),
+                              out_path=str(tmp_path / f"m{i}.jpg"),
+                              params=EditParams()))
+    rep = run_batch_export(jobs, batch_size=2, decode_threads=1,
+                           encode_threads=1)
+    assert rep.succeeded == 3 and not rep.failed
+    assert calls["cap"] == [2]      # default cap, applied once
+    assert calls["trim"] >= 2       # one per flush (2 batches here)
+    # Explicit disable: neither hook fires.
+    calls = {"cap": [], "trim": 0}
+    monkeypatch.setattr(memory, "cap_malloc_arenas",
+                        lambda n: calls["cap"].append(n) or True)
+    monkeypatch.setattr(memory, "trim_malloc", counting_trim)
+    monkeypatch.setenv("RAWEDITOR_TPU_MALLOC_ARENA_CAP", "0")
+    rep = run_batch_export(jobs[:1], batch_size=1, decode_threads=1,
+                           encode_threads=1)
+    assert rep.succeeded == 1
+    assert calls["cap"] == []
