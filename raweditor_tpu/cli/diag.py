@@ -111,9 +111,10 @@ def cmd_doctor(args) -> int:
         add("malloc_arenas", "ok", f"MALLOC_ARENA_MAX={arena}")
     elif cap and _get_libc() is not None:
         add("malloc_arenas", "ok",
-            f"exporter caps arenas in-process (mallopt M_ARENA_MAX={cap} "
-            "+ per-flush malloc_trim; RAWEDITOR_TPU_MALLOC_ARENA_CAP=0 "
-            "disables)")
+            f"exporter mitigates in-process (mallopt M_ARENA_MAX={cap} "
+            "+ 1 MB mmap threshold + per-flush malloc_trim); for the "
+            "strictest RSS bound launch with MALLOC_ARENA_MAX=1 "
+            "(docs/performance.md, RSS finding)")
     elif cap:
         add("malloc_arenas", "warn",
             "non-glibc libc: in-process arena cap unavailable; RSS "

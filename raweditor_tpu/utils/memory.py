@@ -32,8 +32,19 @@ from __future__ import annotations
 import ctypes
 import os
 
-# glibc malloc.h: mallopt parameter for the arena limit.
+# glibc malloc.h: mallopt parameters.
 M_ARENA_MAX = -8
+M_MMAP_THRESHOLD = -3
+
+#: Allocations at or above this size bypass arenas entirely (mmap'd,
+#: returned to the OS on free). Pinning it DISABLES glibc's dynamic
+#: threshold growth — the mechanism that moves the exporter's MB-scale
+#: transfer buffers into arenas in the first place: freeing an mmap'd
+#: block raises the dynamic threshold to that block's size (capped
+#: 32 MB), after which same-size buffers are served from arena heaps
+#: and retained. 1 MB keeps small allocations fast while every image
+#: plane/strip goes the mmap route.
+MMAP_THRESHOLD_BYTES = 1 << 20
 
 _libc = None
 _libc_failed = False
@@ -63,7 +74,13 @@ def cap_malloc_arenas(n: int) -> bool:
     if libc is None or not hasattr(libc, "mallopt"):
         return False
     try:
-        return bool(libc.mallopt(M_ARENA_MAX, int(n)))
+        ok = bool(libc.mallopt(M_ARENA_MAX, int(n)))
+        # Pin the mmap threshold with the cap: arenas that existed
+        # before the cap keep serving requests, so without this the
+        # dynamic-threshold mechanism still routes the large transfer
+        # buffers into them (see MMAP_THRESHOLD_BYTES).
+        libc.mallopt(M_MMAP_THRESHOLD, MMAP_THRESHOLD_BYTES)
+        return ok
     except (ctypes.ArgumentError, OSError):  # pragma: no cover
         return False
 
