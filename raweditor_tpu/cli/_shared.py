@@ -26,6 +26,12 @@ def _add_slider_args(p: argparse.ArgumentParser) -> None:
                         "or 'radial:x0=0.3,y0=0.4,x1=0.2,y1=0.2,"
                         "saturation=40' (ops/local_adjust.py for the "
                         "field list; composes on top of stored masks)")
+    p.add_argument("--curve", default=None, metavar="X,Y X,Y ...",
+                   help="point tone curve: space-separated x,y control "
+                        "points in 0..1 on the encoded tone axis, "
+                        "e.g. '0,0 0.25,0.18 0.75,0.82 1,1' "
+                        "(monotone PCHIP spline per channel, "
+                        "ops/curve.py; replaces any stored curve)")
     p.add_argument("--preset", default=None, metavar="NAME",
                    help="apply a saved develop preset (sparse compose "
                         "on top of stored edits/defaults; explicit "
@@ -80,7 +86,31 @@ def _params_from_args(args, base: EditParams = None) -> EditParams:
     if specs:
         masks = tuple(_parse_local_spec(sp) for sp in specs)
         overrides["locals"] = tuple(params.locals) + masks
+    curve = getattr(args, "curve", None)
+    if curve:
+        overrides["point_curve"] = _parse_curve_spec(curve)
     return params.replace(**overrides)
+
+
+def _parse_curve_spec(spec: str):
+    """'x,y x,y ...' → validated point tuple (usage errors, not
+    tracebacks)."""
+    from raweditor_tpu.ops.curve import validate_points
+
+    pts = []
+    for tok in spec.split():
+        x, comma, y = tok.partition(",")
+        if not comma:
+            raise SystemExit(
+                f"--curve: expected x,y pairs, got {tok!r}")
+        try:
+            pts.append((float(x), float(y)))
+        except ValueError:
+            raise SystemExit(f"--curve: {tok!r} is not numeric")
+    try:
+        return validate_points(pts)
+    except ValueError as e:
+        raise SystemExit(f"--curve: {e}")
 
 
 def _finite_rotate(args) -> float:

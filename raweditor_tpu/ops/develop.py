@@ -134,7 +134,7 @@ def apply_edit_stack(r, g, b, params: EditParams, wb, cam_matrix,
 
 
 def finish_to_u8(r, g, b, valid=None, transfer: str = "gamma22",
-                 extras=None):
+                 extras=None, point_curve=None):
     """Steps 10–11 + output quantization: transfer, clamp, Rgba8Unorm
     round. ``transfer`` is "gamma22" for reference parity (plain 1/2.2
     pow, reference: gpu/shaders.rs:261), "gamma22_poly" for the fast
@@ -150,6 +150,12 @@ def finish_to_u8(r, g, b, valid=None, transfer: str = "gamma22",
     (sharpen, denoise) pair: sharpening/denoise run on the encoded
     planes just before quantization (ops/extras.py) — the ``extras``
     flag of the develop entry points supplies it statically.
+
+    ``point_curve`` is the params' (x, y) control-point tuple or None
+    (ops/curve.py; structural gate — the entry points pass
+    ``_point_curve_of(params)``). Applied per channel on the encoded
+    planes BEFORE the finish extras, the tone-curve-then-detail order
+    desktop editors use.
     """
     from raweditor_tpu.color import encoder_for
 
@@ -158,6 +164,12 @@ def finish_to_u8(r, g, b, valid=None, transfer: str = "gamma22",
     r = jnp.minimum(encode(r), _F(1.0))
     g = jnp.minimum(encode(g), _F(1.0))
     b = jnp.minimum(encode(b), _F(1.0))
+    if point_curve:
+        from raweditor_tpu.ops.curve import apply_point_curve
+
+        r = apply_point_curve(r, point_curve)
+        g = apply_point_curve(g, point_curve)
+        b = apply_point_curve(b, point_curve)
     if extras is not None:
         from raweditor_tpu.ops.extras import apply_finish_extras
 
@@ -172,7 +184,8 @@ def finish_to_u8(r, g, b, valid=None, transfer: str = "gamma22",
     return quant(r), quant(g), quant(b)
 
 
-def finish_to_u16(r, g, b, transfer: str = "gamma22", extras=None):
+def finish_to_u16(r, g, b, transfer: str = "gamma22", extras=None,
+                  point_curve=None):
     """16-bit variant of finish_to_u8 (beyond the reference): same
     transfer curves, quantized to the full u16 range for high-bit-depth
     export (TIFF). Rounding mirrors the u8 path: floor(c*65535 + 0.5).
@@ -182,9 +195,10 @@ def finish_to_u16(r, g, b, transfer: str = "gamma22", extras=None):
     '16-bit outputs must always use the exact transfer' holds at this
     public API too, not just in the pipeline layers (code-review r3).
 
-    ``extras`` as in finish_to_u8 — the spatial finish ops apply to
-    16-bit output identically (they are filters, not transfers, so the
-    exact-transfer rule is untouched).
+    ``extras`` and ``point_curve`` as in finish_to_u8 — the spatial
+    finish ops and the point curve apply to 16-bit output identically
+    (they are filters/curves, not transfers, so the exact-transfer
+    rule is untouched).
     """
     from raweditor_tpu.color import encoder_for, transfer16_for
 
@@ -192,6 +206,12 @@ def finish_to_u16(r, g, b, transfer: str = "gamma22", extras=None):
     r = jnp.minimum(encode(r), _F(1.0))
     g = jnp.minimum(encode(g), _F(1.0))
     b = jnp.minimum(encode(b), _F(1.0))
+    if point_curve:
+        from raweditor_tpu.ops.curve import apply_point_curve
+
+        r = apply_point_curve(r, point_curve)
+        g = apply_point_curve(g, point_curve)
+        b = apply_point_curve(b, point_curve)
     if extras is not None:
         from raweditor_tpu.ops.extras import apply_finish_extras
 
@@ -267,6 +287,14 @@ def _extras_of(params: EditParams, extras):
             stencils)
 
 
+def _point_curve_of(params: EditParams):
+    """``params.point_curve`` as the finish stage's ``point_curve``
+    argument: the (x, y) tuple, or None when empty — a STRUCTURAL
+    gate like ``_apply_locals`` (the tuple is pytree structure, so
+    the branch is static under jit and the default traces nothing)."""
+    return tuple(params.point_curve) or None
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("demosaic_method", "matrix_transpose", "transfer",
@@ -292,12 +320,13 @@ def develop_u16(
                                matrix_transpose)
     r, g, b = _apply_locals(r, g, b, params, *mosaic.shape)
     r, g, b = finish_to_u16(r, g, b, transfer=transfer,
-                            extras=_extras_of(params, extras))
+                            extras=_extras_of(params, extras),
+                           point_curve=_point_curve_of(params))
     return jnp.stack([r, g, b], axis=-1)
 
 
 def finish_to_rgba_u32(r, g, b, valid=None, transfer: str = "gamma22",
-                       extras=None):
+                       extras=None, point_curve=None):
     """Like finish_to_u8 but packs each pixel into one u32 RGBA word
     (byte order R,G,B,0xFF on little-endian hosts) — exactly the
     Rgba8Unorm bytes the reference reads back from its render target
@@ -305,7 +334,7 @@ def finish_to_rgba_u32(r, g, b, valid=None, transfer: str = "gamma22",
     the whole develop one XLA fusion (no channel-interleave transpose),
     ~2× the throughput of the (H, W, 3) u8 layout on TPU."""
     r8, g8, b8 = finish_to_u8(r, g, b, valid=valid, transfer=transfer,
-                              extras=extras)
+                              extras=extras, point_curve=point_curve)
     return (
         r8.astype(jnp.uint32)
         | (g8.astype(jnp.uint32) << 8)
@@ -379,7 +408,8 @@ def develop(
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix, matrix_transpose)
     r, g, b = _apply_locals(r, g, b, params, *mosaic.shape)
     r, g, b = finish_to_u8(r, g, b, transfer=transfer,
-                           extras=_extras_of(params, extras))
+                           extras=_extras_of(params, extras),
+                           point_curve=_point_curve_of(params))
     return jnp.stack([r, g, b], axis=-1)
 
 
@@ -416,7 +446,8 @@ def develop_rgba(
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix, matrix_transpose)
     r, g, b = _apply_locals(r, g, b, params, *mosaic.shape)
     return finish_to_rgba_u32(r, g, b, transfer=transfer,
-                              extras=_extras_of(params, extras))
+                              extras=_extras_of(params, extras),
+                           point_curve=_point_curve_of(params))
 
 
 @functools.partial(
@@ -466,7 +497,8 @@ def develop_preview(
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix, matrix_transpose)
     r, g, b = _apply_locals(r, g, b, params, h, w, xi=xi, yi=yi)
     r, g, b = finish_to_u8(r, g, b, valid=valid, transfer=transfer,
-                           extras=_extras_of(params, extras))
+                           extras=_extras_of(params, extras),
+                           point_curve=_point_curve_of(params))
     return jnp.stack([r, g, b], axis=-1)
 
 
@@ -520,14 +552,18 @@ def develop_xtrans(
                                matrix_transpose)
     r, g, b = _apply_locals(r, g, b, params, *mosaic.shape)
     ex = _extras_of(params, extras)
+    pc = _point_curve_of(params)
     if rgba:
-        return finish_to_rgba_u32(r, g, b, transfer=transfer, extras=ex)
+        return finish_to_rgba_u32(r, g, b, transfer=transfer, extras=ex,
+                                  point_curve=pc)
     if bits == 16:
         # Was silently ignored: bits=16 returned u8 that write_tiff16
         # widened into a near-black 16-bit image (code-review r3).
-        r, g, b = finish_to_u16(r, g, b, transfer=transfer, extras=ex)
+        r, g, b = finish_to_u16(r, g, b, transfer=transfer, extras=ex,
+                                point_curve=pc)
     else:
-        r, g, b = finish_to_u8(r, g, b, transfer=transfer, extras=ex)
+        r, g, b = finish_to_u8(r, g, b, transfer=transfer, extras=ex,
+                               point_curve=pc)
     return jnp.stack([r, g, b], axis=-1)
 
 
@@ -574,7 +610,8 @@ def develop_xtrans_preview(
                                matrix_transpose)
     r, g, b = _apply_locals(r, g, b, params, h, w, xi=xi, yi=yi)
     r, g, b = finish_to_u8(r, g, b, valid=valid, transfer=transfer,
-                           extras=_extras_of(params, extras))
+                           extras=_extras_of(params, extras),
+                           point_curve=_point_curve_of(params))
     return jnp.stack([r, g, b], axis=-1)
 
 
@@ -608,12 +645,16 @@ def develop_linear(
                                matrix_transpose)
     r, g, b = _apply_locals(r, g, b, params, *rgb_u16.shape[:2])
     ex = _extras_of(params, extras)
+    pc = _point_curve_of(params)
     if rgba:
-        return finish_to_rgba_u32(r, g, b, transfer=transfer, extras=ex)
+        return finish_to_rgba_u32(r, g, b, transfer=transfer, extras=ex,
+                                  point_curve=pc)
     if bits == 16:
-        r, g, b = finish_to_u16(r, g, b, transfer=transfer, extras=ex)
+        r, g, b = finish_to_u16(r, g, b, transfer=transfer, extras=ex,
+                                point_curve=pc)
     else:
-        r, g, b = finish_to_u8(r, g, b, transfer=transfer, extras=ex)
+        r, g, b = finish_to_u8(r, g, b, transfer=transfer, extras=ex,
+                               point_curve=pc)
     return jnp.stack([r, g, b], axis=-1)
 
 
@@ -652,7 +693,8 @@ def develop_linear_preview(
                                matrix_transpose)
     r, g, b = _apply_locals(r, g, b, params, h, w, xi=xi, yi=yi)
     r, g, b = finish_to_u8(r, g, b, valid=valid, transfer=transfer,
-                           extras=_extras_of(params, extras))
+                           extras=_extras_of(params, extras),
+                           point_curve=_point_curve_of(params))
     return jnp.stack([r, g, b], axis=-1)
 
 

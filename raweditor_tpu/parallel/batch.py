@@ -57,6 +57,23 @@ def pack_params(params_list) -> EditParams:
             })
             for i, k in enumerate(kinds)
         )
+    # Point curves pack the same way (per-point (N,) coordinate
+    # leaves) when every image has the same point COUNT — the
+    # exporter buckets by it; curves may differ per image freely.
+    csigs = {len(p.point_curve) for p in params_list}
+    if len(csigs) > 1:
+        raise ValueError(
+            f"pack_params needs a uniform point-curve length, "
+            f"got {sorted(csigs)}")
+    npts = csigs.pop() if csigs else 0
+    if npts:
+        extra["point_curve"] = tuple(
+            (jnp.asarray([float(p.point_curve[i][0])
+                          for p in params_list], dtype=_F),
+             jnp.asarray([float(p.point_curve[i][1])
+                          for p in params_list], dtype=_F))
+            for i in range(npts)
+        )
     return EditParams(
         **{
             name: jnp.asarray(
@@ -84,16 +101,19 @@ def _develop_one(mosaic, params, wb, cm, white_level, black_level,
                  transfer="gamma22", demosaic_method="nearest",
                  extras=False):
     from raweditor_tpu.ops.develop import (_apply_locals, _extras_of,
-                                           _normalize)
+                                           _normalize, _point_curve_of)
 
     norm = _normalize(mosaic, white_level, black_level)
     r, g, b = _demosaic.demosaic(norm, demosaic_method, cfa_phase)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cm, matrix_transpose)
     r, g, b = _apply_locals(r, g, b, params, *mosaic.shape)
     ex = _extras_of(params, extras)
+    pc = _point_curve_of(params)
     if rgba:
-        return finish_to_rgba_u32(r, g, b, transfer=transfer, extras=ex)
-    r, g, b = finish_to_u8(r, g, b, transfer=transfer, extras=ex)
+        return finish_to_rgba_u32(r, g, b, transfer=transfer, extras=ex,
+                                  point_curve=pc)
+    r, g, b = finish_to_u8(r, g, b, transfer=transfer, extras=ex,
+                           point_curve=pc)
     return jnp.stack([r, g, b], axis=-1)
 
 

@@ -109,9 +109,15 @@ def develop_block(block_u16, params: EditParams, wb, cam_matrix,
         r, g, b = demosaic_nearest_vpadded(padded, row_offset, cfa_phase)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix,
                                matrix_transpose)
+    # Point curve (ops/curve.py): pointwise, so it shards with the
+    # rows for free. Locals/extras need the dp routes (export.py).
+    from raweditor_tpu.ops.develop import _point_curve_of
+
+    pc = _point_curve_of(params)
     if rgba:
-        return finish_to_rgba_u32(r, g, b, transfer=transfer)
-    r, g, b = finish_to_u8(r, g, b, transfer=transfer)
+        return finish_to_rgba_u32(r, g, b, transfer=transfer,
+                                  point_curve=pc)
+    r, g, b = finish_to_u8(r, g, b, transfer=transfer, point_curve=pc)
     return jnp.stack([r, g, b], axis=-1)
 
 

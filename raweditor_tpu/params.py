@@ -222,6 +222,12 @@ class EditParams:
     # default empty tuple adds nothing to the trace (parity bit-exact
     # by construction) and dragging a mask never recompiles.
     locals: Any = ()
+    # Point tone curve (ops/curve.py): a tuple of (x, y) control
+    # points on the encoded 0..1 tone axis, interpolated by the
+    # monotone PCHIP spline per channel. Structural like ``locals``:
+    # the empty default traces nothing (bit-exact parity), dragging a
+    # point never recompiles, adding/removing one recompiles once.
+    point_curve: Any = ()
 
     # -- persistence (serde-compatible JSON) -----------------------------
     def to_json(self) -> str:
@@ -239,6 +245,9 @@ class EditParams:
                 data[name] = v
         if self.locals:
             data["locals"] = [m.to_dict() for m in self.locals]
+        if self.point_curve:
+            data["point_curve"] = [
+                [float(x), float(y)] for x, y in self.point_curve]
         return json.dumps(data)
 
     @classmethod
@@ -259,19 +268,28 @@ class EditParams:
             if not isinstance(raw, list):
                 raise ValueError("'locals' must be a list of masks")
             locals_ = tuple(LocalAdjust.from_dict(m) for m in raw)
+        curve_ = ()
+        if "point_curve" in data:
+            from raweditor_tpu.ops.curve import validate_points
+
+            raw = data.pop("point_curve")
+            if not isinstance(raw, list):
+                raise ValueError(
+                    "'point_curve' must be a list of [x, y] pairs")
+            curve_ = validate_points(raw)
         unknown = set(data) - set(_FIELDS)
         if unknown:
             raise ValueError(f"unknown edit parameter(s): {sorted(unknown)}")
         merged = dict(_DEFAULTS)
         merged.update({k: float(v) for k, v in data.items()})
-        return cls(locals=locals_, **merged)
+        return cls(locals=locals_, point_curve=curve_, **merged)
 
     # -- convenience -----------------------------------------------------
     def is_unedited(self) -> bool:
         """True when every slider is at its default
         (reference: state/edit.rs:115-117) and no local-adjustment
-        masks exist."""
-        return not self.locals and all(
+        masks or point-curve control points exist."""
+        return not self.locals and not self.point_curve and all(
             float(getattr(self, name)) == _DEFAULTS[name] for name in _FIELDS
         )
 

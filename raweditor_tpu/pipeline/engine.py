@@ -290,7 +290,10 @@ class DevelopEngine:
             for m in params.locals)
         return EditParams(**{n: float(getattr(params, n))
                              for n in EditParams.field_names()},
-                          locals=locals_)
+                          locals=locals_,
+                          point_curve=tuple(
+                              (float(x), float(y))
+                              for x, y in params.point_curve))
 
     def preview_device(self, params: EditParams, zoom: float = 1.0,
                        pan: Tuple[float, float] = (0.0, 0.0)):
@@ -298,7 +301,8 @@ class DevelopEngine:
         minus the synchronous readback). Dispatches through the AOT
         executable when compile_preview() has run."""
         ex = params.finish_extras_mode()
-        if self._aot_preview is not None and not ex and not params.locals:
+        if (self._aot_preview is not None and not ex
+                and not params.locals and not params.point_curve):
             r, _ = self._aot_preview(self._render_mosaic(params),
                                      self._float_params(params),
                                      float(zoom),
@@ -354,7 +358,8 @@ class DevelopEngine:
         cache would pay). Returns the device-resident preview after
         its checksum byte has arrived on the host — the render is
         provably finished, not just enqueued."""
-        if params.has_finish_extras() or params.locals:
+        if (params.has_finish_extras() or params.locals
+                or params.point_curve):
             # The AOT executables are compiled extras-free and
             # mask-free; the jit cache holds those variants (one extra
             # compile the first time a session enables them).
@@ -400,7 +405,8 @@ class DevelopEngine:
         at one regardless. extras/locals-active params fall back to
         the true-sync :meth:`preview_tick` (those variants run through
         the jit cache, not the AOT executable)."""
-        if params.has_finish_extras() or params.locals:
+        if (params.has_finish_extras() or params.locals
+                or params.point_curve):
             return self.preview_tick(params, zoom, pan)
         self.compile_preview()
         r, s = self._aot_preview(self._render_mosaic(params), self._float_params(params),
@@ -702,7 +708,8 @@ class DevelopEngine:
         AOT executable when compile_preview() has run."""
         ex = params.finish_extras_mode()
         if (self._aot_histogram is not None and not ex
-                and not params.locals):
+                and not params.locals
+                and not params.point_curve):
             return np.asarray(self._aot_histogram(
                 self._render_mosaic(params), self._float_params(params), float(zoom),
                 float(pan[0]), float(pan[1])))
@@ -832,6 +839,7 @@ class DevelopEngine:
                     and self.demosaic_method == "grad"
                     and self.transfer in PALLAS_GAMMA_BY_TRANSFER
                     and not params.locals
+                    and not params.point_curve
                     and not getattr(self, "_pallas_grad_failed", False)):
                 from raweditor_tpu.ops.pallas_develop import (
                     pallas_develop_rgba,
@@ -878,6 +886,7 @@ class DevelopEngine:
                                              "malvar", "grad")
                 and self.transfer in PALLAS_GAMMA_BY_TRANSFER
                 and not params.locals
+                and not params.point_curve
                 and not getattr(self, "_pallas_failed", False)):
             from raweditor_tpu.ops.pallas_develop import (
                 pallas_develop_rgba,

@@ -408,10 +408,13 @@ class _Batcher:
         # (code-review r3).
         # Locals split the bucket too: the mask structure (count +
         # kinds) is part of the compiled program AND pack_params needs
-        # it uniform per batch.
+        # it uniform per batch. Same for the point-curve length
+        # (ops/curve.py): point COUNT is structure, coordinates are
+        # per-image traced leaves.
         key = (item.mosaic.shape, item.cfa_phase,
                item.job.params.has_finish_extras(),
-               tuple(m.kind for m in item.job.params.locals))
+               tuple(m.kind for m in item.job.params.locals),
+               len(item.job.params.point_curve))
         bucket = self.buckets.setdefault(key, [])
         bucket.append(item)
         if len(bucket) >= self.batch_size:
@@ -870,6 +873,11 @@ def run_batch_export(
             # locals-active batches stay on the XLA lanes (which fuse
             # the pointwise masks into the develop program for free).
             locals_on = bool(batch[0].job.params.locals)
+            # Point curves ride the XLA finish (ops/curve.py, applied
+            # inside finish_to_* pre-quantize); the fused Pallas
+            # kernels don't trace the stage, so curve-active batches
+            # stay on the XLA lanes like locals-active ones.
+            curve_on = bool(batch[0].job.params.point_curve)
             # The static extras specialization for the XLA lanes:
             # "base" skips the whole-frame clarity pyramid at trace
             # time when no image in the flush uses clarity; the
@@ -1230,7 +1238,7 @@ def run_batch_export(
                 # RGBA words (so the kernel emits words, and the
                 # JPEG-plane conversion happens in the tail pass).
                 if (pallas_ok and demosaic_method == "grad"
-                        and not locals_on
+                        and not locals_on and not curve_on
                         and pl_key not in _pallas_failed):
                     from raweditor_tpu.ops.pallas_develop import (
                         pallas_batch_develop_rgba,
@@ -1281,7 +1289,7 @@ def run_batch_export(
                 out = None
                 pl_key = (mosaics.shape, demosaic_method, phase,
                           xla_output, ex_on)
-                if (pallas_ok and not locals_on
+                if (pallas_ok and not locals_on and not curve_on
                         and pl_key not in _pallas_failed):
                     from raweditor_tpu.ops.pallas_develop import (
                         pallas_batch_develop_rgba,

@@ -29,7 +29,8 @@ from typing import Optional
 # and the engine guard below recognizes them.
 _COMMANDS = ("open", "set", "zoom", "pan", "render", "frame", "full",
              "histogram", "wb", "before", "auto", "preset", "local",
-             "checkpoint", "undo", "history", "reset", "stats", "quit")
+             "curve", "checkpoint", "undo", "history", "reset", "stats",
+             "quit")
 
 
 class _Handler(socketserver.StreamRequestHandler):

@@ -159,6 +159,38 @@ class DevelopSession:
         raise ValueError(
             f"unknown local op {op!r} (list|add|set|del|clear)")
 
+    def curve_cmd(self, *args) -> dict:
+        """Point tone curve (ops/curve.py): ``curve list`` /
+        ``curve set x1 y1 x2 y2 ...`` / ``curve clear``. ``set``
+        replaces the whole control-point list (the natural protocol
+        for a curve widget dragging points); coordinates validate
+        through ops.curve.validate_points."""
+        from raweditor_tpu.ops.curve import validate_points
+
+        op = args[0] if args else "list"
+        if op == "list":
+            return {"ok": True,
+                    "points": [[float(x), float(y)]
+                               for x, y in self.params.point_curve]}
+        if op == "clear":
+            self.params = self.params.replace(point_curve=())
+        elif op == "set":
+            coords = [float(v) for v in args[1:]]
+            if not coords or len(coords) % 2:
+                raise ValueError(
+                    "usage: curve set x1 y1 x2 y2 ... (pairs)")
+            pts = validate_points(list(zip(coords[0::2], coords[1::2])))
+            self.params = self.params.replace(point_curve=pts)
+        else:
+            raise ValueError(
+                f"unknown curve op {op!r} (list|set|clear)")
+        self._persist_params()
+        ms = self._timed_tick()
+        return {"ok": True,
+                "points": [[float(x), float(y)]
+                           for x, y in self.params.point_curve],
+                "render_ms": round(ms, 3)}
+
     def pick_wb(self, x: float, y: float) -> dict:
         """White-balance eyedropper: sample the patch at
         frame-normalized (x, y), set the temperature/tint sliders that
@@ -467,6 +499,8 @@ class DevelopSession:
                 return self.open(args[0])
             if cmd == "local":
                 return self.local_cmd(*args)
+            if cmd == "curve":
+                return self.curve_cmd(*args)
             if cmd == "stats":
                 return self.stats()
             return {"ok": False, "error": f"unknown command {cmd!r}"}

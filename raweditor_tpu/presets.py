@@ -66,6 +66,11 @@ def save_preset(name: str, params: EditParams) -> str:
         # Local-adjustment masks are preset-able too (the "graduated
         # sky" workflow): stored as their sparse dicts.
         sparse["locals"] = [m.to_dict() for m in params.locals]
+    if params.point_curve:
+        # The "film S-curve" workflow: point curves are the classic
+        # thing to bottle as a preset.
+        sparse["point_curve"] = [[float(x), float(y)]
+                                 for x, y in params.point_curve]
     if not sparse:
         raise ValueError(
             "refusing to save an empty preset (all sliders at their "
@@ -98,6 +103,7 @@ def load_preset(name: str) -> Dict[str, float]:
     if not isinstance(data, dict):
         raise ValueError(f"preset {name!r} must be a JSON object")
     locals_raw = data.pop("locals", None)
+    curve_raw = data.pop("point_curve", None)
     unknown = set(data) - set(_FIELDS)
     if unknown:
         raise ValueError(
@@ -127,6 +133,17 @@ def load_preset(name: str) -> Dict[str, float]:
         try:
             out["locals"] = tuple(
                 LocalAdjust.from_dict(m) for m in locals_raw)
+        except (TypeError, ValueError) as e:
+            raise ValueError(f"preset {name!r}: {e}")
+    if curve_raw is not None:
+        from raweditor_tpu.ops.curve import validate_points
+
+        if not isinstance(curve_raw, list):
+            raise ValueError(
+                f"preset {name!r}: 'point_curve' must be a list of "
+                "[x, y] pairs")
+        try:
+            out["point_curve"] = validate_points(curve_raw)
         except (TypeError, ValueError) as e:
             raise ValueError(f"preset {name!r}: {e}")
     return out
