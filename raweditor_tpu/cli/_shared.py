@@ -31,7 +31,8 @@ def _add_slider_args(p: argparse.ArgumentParser) -> None:
                         "points in 0..1 on the encoded tone axis, "
                         "e.g. '0,0 0.25,0.18 0.75,0.82 1,1' "
                         "(monotone PCHIP spline per channel, "
-                        "ops/curve.py; replaces any stored curve)")
+                        "ops/curve.py; replaces any stored curve; "
+                        "--curve '' clears it)")
     p.add_argument("--preset", default=None, metavar="NAME",
                    help="apply a saved develop preset (sparse compose "
                         "on top of stored edits/defaults; explicit "
@@ -87,14 +88,18 @@ def _params_from_args(args, base: EditParams = None) -> EditParams:
         masks = tuple(_parse_local_spec(sp) for sp in specs)
         overrides["locals"] = tuple(params.locals) + masks
     curve = getattr(args, "curve", None)
-    if curve:
+    if curve is not None:
+        # '' is an explicit clear (the help text promises --curve
+        # replaces any stored curve; validate_points maps no points
+        # to the no-curve default) — `if curve:` silently ignored it
+        # (code-review r4).
         overrides["point_curve"] = _parse_curve_spec(curve)
     return params.replace(**overrides)
 
 
 def _parse_curve_spec(spec: str):
-    """'x,y x,y ...' → validated point tuple (usage errors, not
-    tracebacks)."""
+    """'x,y x,y ...' → validated point tuple ('' → no curve; usage
+    errors, not tracebacks)."""
     from raweditor_tpu.ops.curve import validate_points
 
     pts = []

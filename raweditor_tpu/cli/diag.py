@@ -101,30 +101,40 @@ def cmd_doctor(args) -> int:
     # arenas retain them and RSS grows with cumulative volume
     # (measured: +3.4 GB over a 100-image 24 MP soak, flat with
     # MALLOC_ARENA_MAX=1 — docs/bench_r04_session1/4.json).
-    # run_batch_export now applies the fix in-process (mallopt arena
-    # cap + per-flush malloc_trim, utils/memory.py) unless disabled.
-    arena = os.environ.get("MALLOC_ARENA_MAX")
-    from raweditor_tpu.utils.memory import _get_libc, arena_cap_from_env
+    # run_batch_export applies an in-process mitigation (mallopt arena
+    # cap + mmap-threshold pin + per-flush malloc_trim,
+    # utils/memory.py) unless disabled; a strict launch-time
+    # MALLOC_ARENA_MAX remains the strongest setting.
+    arena = os.environ.get("MALLOC_ARENA_MAX", "").strip()
+    from raweditor_tpu.utils.memory import arena_cap_from_env, can_cap
 
     cap = arena_cap_from_env()
-    if arena and arena.isdigit() and int(arena) <= 2:
+    if arena.isdigit() and 0 < int(arena) <= 2:
         add("malloc_arenas", "ok", f"MALLOC_ARENA_MAX={arena}")
-    elif cap and _get_libc() is not None:
-        add("malloc_arenas", "ok",
-            f"exporter mitigates in-process (mallopt M_ARENA_MAX={cap} "
-            "+ 1 MB mmap threshold + per-flush malloc_trim); for the "
-            "strictest RSS bound launch with MALLOC_ARENA_MAX=1 "
-            "(docs/performance.md, RSS finding)")
+    elif cap and can_cap():
+        detail = (f"exporter mitigates in-process (mallopt "
+                  f"M_ARENA_MAX={cap} + 1 MB mmap threshold + "
+                  "per-flush malloc_trim); for the strictest RSS bound "
+                  "launch with MALLOC_ARENA_MAX=1 "
+                  "(docs/performance.md, RSS finding)")
+        if arena:
+            detail = (f"MALLOC_ARENA_MAX={arena} is weaker than the "
+                      "soak-validated <=2; " + detail)
+        add("malloc_arenas", "ok", detail)
     elif cap:
         add("malloc_arenas", "warn",
-            "non-glibc libc: in-process arena cap unavailable; RSS "
-            "retention behavior unknown on this platform")
+            "libc without mallopt (non-glibc): in-process arena cap "
+            "unavailable; RSS retention behavior unknown on this "
+            "platform")
     else:
         add("malloc_arenas", "warn",
-            "arena cap disabled (RAWEDITOR_TPU_MALLOC_ARENA_CAP=0) and "
-            "MALLOC_ARENA_MAX unset - long export runs retain RSS via "
-            "glibc arenas (~35 MB/image observed); set "
-            "MALLOC_ARENA_MAX=1 or 2 for production batch hosts")
+            "in-process arena cap disabled "
+            "(RAWEDITOR_TPU_MALLOC_ARENA_CAP=0"
+            + (f"; MALLOC_ARENA_MAX={arena} set but >2" if arena
+               else "; MALLOC_ARENA_MAX unset")
+            + ") - long export runs retain RSS via glibc arenas "
+            "(~35 MB/image observed); set MALLOC_ARENA_MAX=1 or 2 "
+            "for production batch hosts")
 
     # Nikon 0x0097 xlat tables (modern-NEF white balance).
     from raweditor_tpu.raw import nikon_crypt

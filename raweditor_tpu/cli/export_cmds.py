@@ -90,7 +90,7 @@ def cmd_export(args) -> int:
         # silently dropped for catalog exports — code-review r3).
         if (getattr(args, "preset", None)
                 or getattr(args, "local", None)
-                or getattr(args, "curve", None)
+                or getattr(args, "curve", None) is not None
                 or any(getattr(args, n, None) is not None
                        for n in EditParams.field_names())):
             import dataclasses as _dc

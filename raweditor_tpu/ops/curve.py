@@ -32,10 +32,10 @@ control flow — so XLA fuses the whole stage into the develop program
 like every other pointwise extra (a 6-point curve costs ~90
 flops/pixel/channel on the VPU).
 
-Placement: applied per-channel to the ENCODED RGB planes (after the
-transfer encode and the finish extras, immediately before output
-quantization) — display-referred tone mapping, matching the
-point-curve semantics of desktop RAW editors.
+Placement: applied per-channel to the ENCODED RGB planes — after the
+transfer encode, BEFORE the finish extras (sharpen/denoise/etc.), the
+tone-curve-then-detail order desktop RAW editors use
+(ops/develop.finish_to_u8) — display-referred tone mapping.
 """
 
 from __future__ import annotations
@@ -68,7 +68,14 @@ def validate_points(points) -> Tuple[Tuple[float, float], ...]:
     """
     pts = []
     for p in points:
-        pair = tuple(float(v) for v in p)
+        try:
+            pair = tuple(float(v) for v in p)
+        except (TypeError, ValueError):
+            # A flat number / string / None entry must keep the
+            # documented ValueError contract (sidecar/catalog parsing
+            # quarantines per file on ValueError, not TypeError).
+            raise ValueError(
+                f"point_curve entries must be (x, y) pairs, got {p!r}")
         if len(pair) != 2:
             raise ValueError(
                 f"point_curve entries must be (x, y) pairs, got {p!r}")

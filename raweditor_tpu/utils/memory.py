@@ -85,6 +85,15 @@ def cap_malloc_arenas(n: int) -> bool:
         return False
 
 
+def can_cap() -> bool:
+    """True when the loaded libc actually exposes ``mallopt`` — the
+    capability check callers (doctor) need. Merely loading a libc
+    handle is not enough: ``CDLL(None)`` succeeds on macOS/musl too,
+    where mallopt is absent or a stub (code-review r4)."""
+    libc = _get_libc()
+    return libc is not None and hasattr(libc, "mallopt")
+
+
 def trim_malloc() -> bool:
     """Release free malloc memory back to the OS (``malloc_trim(0)``).
 
@@ -105,16 +114,22 @@ def arena_cap_from_env(default: int = 2) -> int:
     """The exporter's arena cap: ``RAWEDITOR_TPU_MALLOC_ARENA_CAP``
     (0 disables), defaulting to ``default``.
 
-    If the operator already launched with ``MALLOC_ARENA_MAX`` set,
-    glibc applied it at startup and a second in-process cap is
-    redundant — return 0 so their setting stands untouched.
+    If the operator launched with ``MALLOC_ARENA_MAX`` set AT LEAST AS
+    STRICT as ``default``, glibc applied it at startup and the
+    in-process cap is redundant — return 0 so their setting stands. A
+    WEAKER pre-set value (e.g. a container base image shipping
+    MALLOC_ARENA_MAX=8 for some other workload) must NOT stand down
+    the mitigation: the repo's soak data needs <=2 (code-review r4).
+    The explicit RAWEDITOR_TPU_MALLOC_ARENA_CAP always wins either
+    way.
     """
-    if os.environ.get("MALLOC_ARENA_MAX", "").strip():
-        return 0
     raw = os.environ.get("RAWEDITOR_TPU_MALLOC_ARENA_CAP", "").strip()
     if raw:
         try:
             return max(0, int(raw))
         except ValueError:
             pass
+    launch = os.environ.get("MALLOC_ARENA_MAX", "").strip()
+    if launch.isdigit() and 0 < int(launch) <= default:
+        return 0
     return default

@@ -270,3 +270,32 @@ def test_xmp_round_trip_with_curve(tmp_path):
     side.write_text(xmp.params_to_xmp(p))
     back = xmp.xmp_to_params(side.read_text())[0]
     assert back.point_curve == S_CURVE and back.exposure == 0.5
+
+
+def test_validate_points_non_pair_entries_are_valueerror():
+    """Flat numbers / None entries must keep the ValueError contract —
+    sidecar/catalog parsing quarantines per file on ValueError, and a
+    TypeError escape aborted whole sidecar runs (code-review r4)."""
+    for bad in ([0.5, 0.9], [None, (1.0, 1.0)], ["ab", (1.0, 1.0)]):
+        with pytest.raises(ValueError, match="pairs"):
+            validate_points(bad)
+    from raweditor_tpu.params import EditParams
+
+    with pytest.raises(ValueError):
+        EditParams.from_json('{"point_curve": [0.5, 0.9]}')
+
+
+def test_cli_curve_empty_string_clears(tmp_path):
+    """--curve '' is an explicit clear of a stored curve
+    (code-review r4: truthiness silently ignored it)."""
+    import argparse
+
+    from raweditor_tpu.cli._shared import _params_from_args
+    from raweditor_tpu.params import EditParams
+
+    base = EditParams(point_curve=S_CURVE)
+    ns = argparse.Namespace(curve="", preset=None, local=None)
+    got = _params_from_args(ns, base)
+    assert got.point_curve == ()
+    ns = argparse.Namespace(curve=None, preset=None, local=None)
+    assert _params_from_args(ns, base).point_curve == S_CURVE

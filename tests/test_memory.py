@@ -51,11 +51,31 @@ def test_arena_cap_env_resolution(monkeypatch):
     assert memory.arena_cap_from_env() == 0  # explicit disable
     monkeypatch.setenv("RAWEDITOR_TPU_MALLOC_ARENA_CAP", "junk")
     assert memory.arena_cap_from_env() == 2  # unparseable -> default
-    # Operator already pinned it at process start: glibc applied the
+    # Operator pinned it STRICTLY at process start: glibc applied the
     # env var before Python ran, so the in-process cap stands down.
     monkeypatch.setenv("MALLOC_ARENA_MAX", "1")
     monkeypatch.delenv("RAWEDITOR_TPU_MALLOC_ARENA_CAP", raising=False)
     assert memory.arena_cap_from_env() == 0
+    # A WEAK pre-set value (container base image shipping 8 for some
+    # other workload) must NOT stand down the mitigation
+    # (code-review r4).
+    monkeypatch.setenv("MALLOC_ARENA_MAX", "8")
+    assert memory.arena_cap_from_env() == 2
+    monkeypatch.setenv("MALLOC_ARENA_MAX", "junk")
+    assert memory.arena_cap_from_env() == 2
+    # Explicit knob still wins over any launch value.
+    monkeypatch.setenv("RAWEDITOR_TPU_MALLOC_ARENA_CAP", "0")
+    assert memory.arena_cap_from_env() == 0
+
+
+def test_can_cap_matches_mallopt_presence():
+    # On the glibc CI platform the capability is real; the check must
+    # be mallopt presence, not merely a loaded libc handle
+    # (code-review r4: CDLL(None) loads on macOS/musl too).
+    if IS_GLIBC:
+        assert memory.can_cap() is True
+    else:
+        assert memory.can_cap() in (True, False)
 
 
 def test_libc_handle_cached():

@@ -149,11 +149,15 @@ def main() -> None:
             prev_t, prev_d = s["t_s"], s["done"]
 
     doc = {
+        # The canned comment must describe what to READ, not assert a
+        # conclusion the samples may contradict (code-review r4: a
+        # capture recorded "rss flat" above samples that grew).
         "_comment": (
             "Sustained full-resolution export soak "
             "(tools/export_soak.py): BASELINE batch config shape-true "
-            "on the live backend. quartile_img_per_s flat + rss flat "
-            "= no degradation over the run."),
+            "on the live backend. Judge degradation from the recorded "
+            "samples: quartile_img_per_s for rate stability, the rss_mb "
+            "series for memory behavior."),
         "mosaic": f"{w}x{h}",
         "compression": args.compression,
         "e2e_images": args.images,
