@@ -68,15 +68,19 @@ def validate_points(points) -> Tuple[Tuple[float, float], ...]:
     """
     pts = []
     for p in points:
+        # Entries must be 2-sequences, not merely float-convertible
+        # iterables: a digit string like "00" iterates to two chars
+        # and would silently become the (0.0, 0.0) control point —
+        # malformed catalog/sidecar JSON must fail loudly instead
+        # (advisor r4). Strings/numbers/None keep the documented
+        # ValueError contract (per-file quarantine catches ValueError,
+        # not TypeError).
+        if not isinstance(p, (list, tuple)) or len(p) != 2:
+            raise ValueError(
+                f"point_curve entries must be (x, y) pairs, got {p!r}")
         try:
             pair = tuple(float(v) for v in p)
         except (TypeError, ValueError):
-            # A flat number / string / None entry must keep the
-            # documented ValueError contract (sidecar/catalog parsing
-            # quarantines per file on ValueError, not TypeError).
-            raise ValueError(
-                f"point_curve entries must be (x, y) pairs, got {p!r}")
-        if len(pair) != 2:
             raise ValueError(
                 f"point_curve entries must be (x, y) pairs, got {p!r}")
         if not all(np.isfinite(v) and 0.0 <= v <= 1.0 for v in pair):

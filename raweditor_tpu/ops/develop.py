@@ -313,7 +313,12 @@ def develop_u16(
     cfa_phase=(0, 0),
     extras: bool = False,
 ):
-    """Full develop to (H, W, 3) u16 — the 16-bit export path."""
+    """Full develop to (H, W, 3) u16 — the 16-bit export path.
+
+    ``extras``: pass ``params.finish_extras_mode()``; the legacy bool
+    True is the "full" set only — grain/mixer/grading need the string
+    mode (see ``develop``'s docstring / _extras_of).
+    """
     norm = _normalize(mosaic, white_level, black_level)
     r, g, b = _demosaic.demosaic(norm, demosaic_method, cfa_phase)
     r, g, b = apply_edit_stack(r, g, b, params, wb, cam_matrix,
@@ -402,6 +407,12 @@ def develop(
     The TPU analogue of the reference's full-res export render
     (reference: gpu/pipeline.rs:526-606), without the 96 MB synchronous
     readback: the output stays on device until the caller fetches it.
+
+    ``extras`` is the static finish-extras mode: pass the string from
+    ``params.finish_extras_mode()``. The legacy ``extras=True`` bool
+    means exactly the "full" stencil set — grain/mixer/grading are
+    only traced when named in the string mode (see _extras_of), so
+    bool callers with those params set get them silently skipped.
     """
     norm = _normalize(mosaic, white_level, black_level)
     r, g, b = _demosaic.demosaic(norm, demosaic_method, cfa_phase)
@@ -440,6 +451,10 @@ def develop_rgba(
     the channel-last layout. Use ``rgba_view`` on the host to reinterpret
     as (H, W, 4) u8; the alpha strip for JPEG happens host-side exactly
     like the reference (reference: main.rs:1778-1781).
+
+    ``extras``: pass ``params.finish_extras_mode()``; the legacy bool
+    True is the "full" set only — grain/mixer/grading need the string
+    mode (see ``develop``'s docstring / _extras_of).
     """
     norm = _normalize(mosaic, white_level, black_level)
     r, g, b = _demosaic.demosaic(norm, demosaic_method, cfa_phase)
@@ -481,7 +496,10 @@ def develop_preview(
 
     With ``extras``, the finish stencils run on the SAMPLED grid — the
     live-preview approximation every interactive engine makes (the
-    full-res export applies them at native resolution).
+    full-res export applies them at native resolution). Pass
+    ``params.finish_extras_mode()``; the legacy bool True is the
+    "full" set only — grain/mixer/grading need the string mode (see
+    ``develop``'s docstring / _extras_of).
 
     Returns (out_h, out_w, 3) u8.
     """

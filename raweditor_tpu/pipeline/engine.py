@@ -43,6 +43,25 @@ logger = get_logger("raweditor_tpu.engine")
 MAX_PREVIEW_WIDTH = 1280  # (reference: gpu/pipeline.rs:125)
 HISTOGRAM_WIDTH = 128  # (reference: gpu/pipeline.rs:131)
 
+_YCBCR420_JIT = None
+
+
+def _ycbcr420_jit():
+    """Module-level jitted RGB→YCbCr 4:2:0 converter for preview_jpeg
+    (the ops/highlights._make_jits convention): a fresh jax.jit wrapper
+    per frame misses the C++ fast-path dispatch cache even though the
+    trace cache hits — avoidable overhead on the interactive transport
+    this method exists to optimize (advisor r4). Lazy so importing the
+    engine never imports jax eagerly."""
+    global _YCBCR420_JIT
+    if _YCBCR420_JIT is None:
+        import jax
+
+        from raweditor_tpu.ops.jpeg import rgb_u8_to_ycbcr420
+
+        _YCBCR420_JIT = jax.jit(rgb_u8_to_ycbcr420)
+    return _YCBCR420_JIT
+
 
 class DevelopEngine:
     """Device-resident develop session for a decoded RawImage."""
@@ -616,11 +635,7 @@ class DevelopEngine:
             Image.fromarray(img).save(buf, format="JPEG",
                                       quality=int(quality))
             return buf.getvalue(), w, h
-        import jax
-
-        from raweditor_tpu.ops.jpeg import rgb_u8_to_ycbcr420
-
-        y, cb, cr = jax.jit(rgb_u8_to_ycbcr420)(dev)
+        y, cb, cr = _ycbcr420_jit()(dev)
         y, cb, cr = np.asarray(y), np.asarray(cb), np.asarray(cr)
         data = rk.encode_jpeg_420(
             np.ascontiguousarray(y), np.ascontiguousarray(cb),

@@ -79,6 +79,11 @@ class _Handler(socketserver.StreamRequestHandler):
                 if result is not None:
                     self._send(result)
         finally:
+            if session is not None:
+                # Retire the pipelined-syncer thread + device frames
+                # on connection teardown, not just on image switch
+                # (advisor r4; session.close is best-effort).
+                session.close()
             if library is not None:
                 library.close()
 

@@ -440,6 +440,20 @@ class DevelopSession:
     def stats(self) -> dict:
         return {"ok": True, "latency": self.latency.summary()}
 
+    def close(self) -> None:
+        """Session teardown: retire the engine's pipelined-syncer
+        thread and its device-resident frames. Without this, each
+        long-lived serve connection (or a `quit` REPL) left the daemon
+        syncer parked and the last frames referenced until GC — only
+        the `open` image-switch path retired it (advisor r4).
+        Best-effort like open()'s: a wedged tail sync must not block
+        shutdown."""
+        if self.engine is not None:
+            try:
+                self.engine.close_pipeline()
+            except Exception:  # noqa: BLE001 - transport error on the
+                pass           # tail sync; the thread still stops
+
     # -- line protocol ---------------------------------------------------
     def handle(self, line: str) -> Optional[dict]:
         parts = line.strip().split()
@@ -513,13 +527,17 @@ class DevelopSession:
     def repl(self, stdin=None, stdout=None) -> None:
         stdin = stdin or sys.stdin
         stdout = stdout or sys.stdout
-        for line in stdin:
-            # First-token match like the TCP service (serve.py): a
-            # "quit" with trailing tokens must exit, not be swallowed
-            # with no response (a synchronous client would deadlock).
-            if line.split() and line.split()[0] == "quit":
-                break
-            result = self.handle(line)
-            if result is not None:
-                stdout.write(json.dumps(result) + "\n")
-                stdout.flush()
+        try:
+            for line in stdin:
+                # First-token match like the TCP service (serve.py): a
+                # "quit" with trailing tokens must exit, not be
+                # swallowed with no response (a synchronous client
+                # would deadlock).
+                if line.split() and line.split()[0] == "quit":
+                    break
+                result = self.handle(line)
+                if result is not None:
+                    stdout.write(json.dumps(result) + "\n")
+                    stdout.flush()
+        finally:
+            self.close()

@@ -125,6 +125,19 @@ def test_validate_points_contract():
         validate_points([(0.0, float("nan")), (1.0, 1.0)])
     with pytest.raises(ValueError, match="pairs"):
         validate_points([(0.0, 0.0, 0.0), (1.0, 1.0)])
+    # Non-sequence entries must be rejected even when they'd
+    # float-convert elementwise: a digit string like "00" iterates to
+    # two chars and previously passed as (0.0, 0.0) (advisor r4).
+    with pytest.raises(ValueError, match="pairs"):
+        validate_points(["00", (1.0, 1.0)])
+    with pytest.raises(ValueError, match="pairs"):
+        validate_points([(0.0, 0.0), 5.0])
+    with pytest.raises(ValueError, match="pairs"):
+        validate_points([None, (1.0, 1.0)])
+    # Numeric-string coordinates inside a real pair still convert
+    # (JSON round-trips sometimes stringify numbers).
+    assert validate_points([["0", "0"], ["1", "1"]]) == \
+        ((0.0, 0.0), (1.0, 1.0))
     too_many = [(i / (MAX_POINTS + 1), 0.5) for i in range(MAX_POINTS + 1)]
     with pytest.raises(ValueError, match="at most"):
         validate_points(too_many)

@@ -341,6 +341,22 @@ def test_pipelined_extras_falls_back_to_true_sync(tmp_path, rng):
     assert eng._pipe is None  # the syncer was never started
 
 
+def test_quit_closes_pipeline(tmp_path, rng):
+    """Session shutdown must retire the background syncer thread —
+    a `quit` previously left it parked (with the last device frames
+    referenced) until the engine was GC'd; only the `open`
+    image-switch path closed it (advisor r4)."""
+    import io
+
+    eng, sess = _pipelined_session(tmp_path, rng, 2)
+    out = io.StringIO()
+    sess.repl(stdin=io.StringIO("set exposure 0.5\nquit\n"), stdout=out)
+    assert eng._pipe is None
+    # close() is idempotent and safe without an engine.
+    sess.close()
+    DevelopSession(None, None, None).close()
+
+
 def test_pipeline_depth_validated():
     from raweditor_tpu.utils.config import Config
 
