@@ -324,6 +324,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("nearest", "bilinear", "malvar", "grad"))
     p.add_argument("--transfer", default="gamma22",
                    choices=("gamma22", "srgb"))
+    p.add_argument("--no-pipeline", action="store_true",
+                   help="true-sync slider ticks (disable the default "
+                        "latest-wins pipelined preview mode)")
 
     p = sub.add_parser("synth", help="write a synthetic RAW fixture")
     p.add_argument("output")
@@ -371,6 +374,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="polynomial gamma (~17%% faster, ±1 LSB)")
     p.add_argument("--demosaic", default="nearest",
                    choices=("nearest", "bilinear", "malvar", "grad"))
+    p.add_argument("--no-pipeline", action="store_true",
+                   help="true-sync slider ticks (disable the default "
+                        "latest-wins pipelined preview mode)")
 
     p = sub.add_parser(
         "warmup",

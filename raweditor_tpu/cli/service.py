@@ -5,6 +5,19 @@ from __future__ import annotations
 from raweditor_tpu.cli._shared import _open_engine, _open_library
 
 
+def _session_config(args):
+    """The session Config: env/JSON layers, with --no-pipeline forcing
+    true-sync slider ticks over the default pipelined mode."""
+    import dataclasses
+
+    from raweditor_tpu.utils.config import Config
+
+    cfg = Config.from_env()
+    if getattr(args, "no_pipeline", False):
+        cfg = dataclasses.replace(cfg, session_pipeline_depth=0)
+    return cfg
+
+
 def cmd_serve(args) -> int:
     from raweditor_tpu.pipeline.serve import serve
 
@@ -14,14 +27,13 @@ def cmd_serve(args) -> int:
         "fast_gamma": getattr(args, "fast_gamma", False),
         "demosaic_method": getattr(args, "demosaic", "nearest"),
         "transfer": getattr(args, "transfer", "gamma22"),
-    })
+    }, session_config=_session_config(args))
     return 0
 
 
 def cmd_session(args) -> int:
     from raweditor_tpu.pipeline.engine import DevelopEngine
     from raweditor_tpu.pipeline.session import DevelopSession
-    from raweditor_tpu.utils.config import Config
 
     library = image_id = None
     try:
@@ -59,7 +71,8 @@ def cmd_session(args) -> int:
                     )
                 except _sq.IntegrityError:
                     image_id = None
-        DevelopSession(eng, library, image_id, Config.from_env()).repl()
+        DevelopSession(eng, library, image_id,
+                       _session_config(args)).repl()
     finally:
         # Close on every exit path — a decode error or an exception
         # escaping repl() must not leak the sqlite connection

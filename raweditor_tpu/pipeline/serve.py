@@ -93,6 +93,7 @@ class _Handler(socketserver.StreamRequestHandler):
         # Image-less start: a session shell whose engine arrives with
         # the first `open`, configured from the server defaults.
         return DevelopSession(None, library,
+                              config=srv.session_config,
                               engine_defaults=srv.engine_kwargs)
 
     def _send(self, obj: dict) -> None:
@@ -106,9 +107,13 @@ class DevelopServer(socketserver.ThreadingTCPServer):
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
                  db_path: Optional[str] = None,
-                 engine_kwargs: Optional[dict] = None):
+                 engine_kwargs: Optional[dict] = None,
+                 session_config=None):
         self.db_path = db_path
         self.engine_kwargs = engine_kwargs or {}
+        # None → each session uses Config() defaults (pipelined slider
+        # ticks); the CLI's --no-pipeline passes an explicit config.
+        self.session_config = session_config
         super().__init__((host, port), _Handler)
 
     @property
@@ -122,11 +127,13 @@ class DevelopServer(socketserver.ThreadingTCPServer):
 
 
 def serve(host: str, port: int, db_path: Optional[str],
-          engine_kwargs: Optional[dict] = None) -> None:
+          engine_kwargs: Optional[dict] = None,
+          session_config=None) -> None:
     """Blocking entry point for the CLI."""
     import sys
 
-    with DevelopServer(host, port, db_path, engine_kwargs) as srv:
+    with DevelopServer(host, port, db_path, engine_kwargs,
+                       session_config=session_config) as srv:
         print(json.dumps({"listening": list(srv.address)}), flush=True)
         try:
             srv.serve_forever()

@@ -39,7 +39,13 @@ class Config:
     # preview_tick_pipelined): per-tick wall latency amortizes the
     # transport round trip; returned frames lag the slider by N ticks.
     # 0 = classic true-sync mode (every tick waits for its own frame).
-    session_pipeline_depth: int = 0
+    # Default ON (depth 2, the latest-wins frame discipline every
+    # interactive renderer ships): slider p50 is the dispatch cost, not
+    # a transport round trip. Fetch commands (render/full/histogram/
+    # frame) still flush and stay true-sync; `--no-pipeline` or
+    # RAWEDITOR_TPU_SESSION_PIPELINE_DEPTH=0 restores per-tick sync
+    # (VERDICT r4 item 3).
+    session_pipeline_depth: int = 2
 
     # Develop semantics.
     mode: str = "parity"  # parity | accurate

@@ -367,6 +367,36 @@ def test_pipeline_depth_validated():
     Config(session_pipeline_depth=2).validate()
 
 
+def test_pipeline_default_on(tmp_path, rng):
+    """The latest-wins pipelined slider mode is the DEFAULT session
+    path (VERDICT r4 item 3): a no-config session ticks through the
+    background syncer, and --no-pipeline (depth 0) restores per-tick
+    true sync."""
+    from raweditor_tpu.utils.config import Config
+
+    assert Config().session_pipeline_depth >= 1
+    path = tmp_path / "d.nef"
+    write_synthetic_raw(
+        path, rng.integers(0, 4096, size=(24, 32), dtype=np.uint16))
+    eng = DevelopEngine.open(path)
+    sess = DevelopSession(eng, None, None)  # default config
+    sess.set_slider("exposure", 0.4)
+    assert eng._pipe is not None  # ticks went through the syncer
+    sess.close()
+    assert eng._pipe is None
+    # The CLI escape hatch maps to depth 0 → true-sync, no syncer.
+    import argparse
+
+    from raweditor_tpu.cli.service import _session_config
+
+    cfg = _session_config(argparse.Namespace(no_pipeline=True))
+    assert cfg.session_pipeline_depth == 0
+    eng2 = DevelopEngine.open(path)
+    sess2 = DevelopSession(eng2, None, None, config=cfg)
+    sess2.set_slider("exposure", 0.4)
+    assert eng2._pipe is None
+
+
 # -- white-balance eyedropper (engine.pick_wb + `wb` command) ------------
 
 def _cast_nef(tmp_path, rng, r_scale=0.8, b_scale=1.15):
