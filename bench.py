@@ -215,6 +215,21 @@ def _host_lanes(results):
                 results[name] = round(empx / best, 1)
     except Exception as e:  # noqa: BLE001 - encode lanes independent
         _stage(f"host jpeg lanes failed: {e}")
+    # Decode-POOL scaling (cores allowing): aggregate Nikon MP/s at 4
+    # threads — the measured basis for the exporter's thread-pool
+    # arithmetic (tools/codec_bench.py --threads is the full sweep).
+    if (os.cpu_count() or 1) >= 4:
+        try:
+            from tools.codec_bench import decode_pool_mps
+
+            blob = write_synthetic_raw(None, mosaic,
+                                       compression="nikon")
+            results["host_decode_nikon_pool4_mps"] = round(
+                decode_pool_mps(blob, 4, per_thread=3, repeats=2), 1)
+            results["host_decode_pool_threads"] = 4
+        except Exception as e:  # noqa: BLE001 - lane is additive
+            _stage(f"decode-pool lane failed: {e}")
+    results["host_cpu_count"] = os.cpu_count() or 1
     results["host_lane_mp"] = round(mpx, 2)
 
 

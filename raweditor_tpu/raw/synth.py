@@ -192,7 +192,10 @@ class _TiffWriter:
 
 
 def make_preview_jpeg(width: int = 64, height: int = 42) -> bytes:
-    """A small camera-preview-style JPEG."""
+    """A small camera-preview-style JPEG (a fixed gradient UNRELATED
+    to any mosaic — use only via ``uncorrelated_preview=True``; the
+    writers' default preview is rendered from the mosaic so
+    synth → validate demonstrates the ok path, VERDICT r4 item 5)."""
     from PIL import Image
 
     yy, xx = np.mgrid[0:height, 0:width]
@@ -206,6 +209,73 @@ def make_preview_jpeg(width: int = 64, height: int = 42) -> bytes:
     ).astype(np.uint8)
     buf = io.BytesIO()
     Image.fromarray(rgb).save(buf, format="JPEG", quality=90)
+    return buf.getvalue()
+
+
+def preview_from_mosaic(mosaic: np.ndarray,
+                        wb_neutral=(0.5, 1.0, 0.7),
+                        black_level: int = 0,
+                        white_level: Optional[int] = None,
+                        bpp: int = 12,
+                        cfa: str = "RGGB",
+                        max_edge: int = 512,
+                        quality: int = 90) -> bytes:
+    """A preview JPEG actually DEVELOPED from the mosaic — half-res
+    2×2-quad demosaic + WB (gains = 1/neutral, green-normalized) +
+    1/2.2 gamma — so the structural-agreement score in
+    pipeline/validate.py sees what a real camera embeds: a render of
+    the same sensor data. Cameras embed exactly this (a developed
+    small JPEG); the old fixed-gradient preview made the repo's own
+    fixtures report a red `mismatch` on the validation harness's
+    first run (VERDICT r4 item 5).
+
+    (h, w, 3) input (linear-RGB DNG writers) renders directly.
+    Non-Bayer CFA strings fall back to a box-downsampled gray render —
+    the harness's correlation is luma-only, so the score still works.
+    """
+    from PIL import Image
+
+    m = np.asarray(mosaic, np.float32)
+    if white_level is None:
+        white_level = (1 << bpp) - 1
+    # Per-CFA-site black levels (tuple) collapse to their mean — the
+    # preview only needs structural agreement, not level exactness.
+    blk = float(np.mean(black_level))
+    lin = np.clip((m - blk) / max(float(white_level) - blk, 1.0),
+                  0.0, 1.0)
+    gains = np.array([1.0 / max(float(v), 1e-6) for v in wb_neutral],
+                     np.float32)
+    gains /= max(gains[1], 1e-6)  # green-normalized, like the decoders
+    if lin.ndim == 3 and lin.shape[-1] == 3:
+        rgb = lin * gains
+    else:
+        h2, w2 = lin.shape[0] - lin.shape[0] % 2, \
+            lin.shape[1] - lin.shape[1] % 2
+        lin = lin[:h2, :w2]
+        quads = (lin[0::2, 0::2], lin[0::2, 1::2],
+                 lin[1::2, 0::2], lin[1::2, 1::2])
+        pat = (cfa or "").upper()
+        planes = {"R": [], "G": [], "B": []}
+        if len(pat) == 4 and set(pat) <= set("RGB"):
+            for ch, q in zip(pat, quads):
+                planes[ch].append(q)
+        if all(planes[c] for c in "RGB"):
+            rgb = np.stack(
+                [np.mean(planes[c], axis=0) * gains[i]
+                 for i, c in enumerate("RGB")], axis=-1)
+        else:  # X-Trans / exotic: gray render, structure intact
+            gray = np.mean(quads, axis=0)
+            rgb = np.stack([gray, gray, gray], axis=-1)
+    srgbish = np.clip(rgb, 0.0, 1.0) ** np.float32(1.0 / 2.2)
+    img = Image.fromarray(
+        np.round(srgbish * 255.0).astype(np.uint8))
+    if max(img.size) > max_edge:
+        scale = max_edge / max(img.size)
+        img = img.resize((max(1, int(img.size[0] * scale)),
+                          max(1, int(img.size[1] * scale))),
+                         Image.LANCZOS)
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=quality)
     return buf.getvalue()
 
 
@@ -233,13 +303,19 @@ def write_synthetic_raw(
     srw_wb: bool = False,
     srw_black: Optional[Tuple[int, int, int, int]] = None,
     srw3_optflags: int = 0,
+    uncorrelated_preview: bool = False,
 ) -> bytes:
     """Write a DNG/NEF-style CFA TIFF. Returns the bytes (also written
     to ``path`` unless None).
 
     tile_size=(tw, th) writes a tiled plane instead of one strip (DNG
     lossless layout). float_samples stores the mosaic as f32 in [0, 1]
-    (DNG SampleFormat=3; values mosaic/(2^bpp-1))."""
+    (DNG SampleFormat=3; values mosaic/(2^bpp-1)).
+
+    The embedded preview defaults to a render OF THE MOSAIC
+    (preview_from_mosaic) so the validation harness's structural score
+    sees camera-like agreement; ``uncorrelated_preview=True`` embeds
+    the old fixed gradient instead (the harness's mismatch tests)."""
     mosaic = np.asarray(mosaic, dtype=np.uint16)
     h, w = mosaic.shape
     if white_level is None:
@@ -247,7 +323,12 @@ def write_synthetic_raw(
     if xyz_to_cam is None:
         xyz_to_cam = np.eye(3, dtype=np.float32)
     if preview_jpeg is None:
-        preview_jpeg = make_preview_jpeg()
+        if uncorrelated_preview:
+            preview_jpeg = make_preview_jpeg()
+        else:
+            preview_jpeg = preview_from_mosaic(
+                mosaic, wb_neutral=wb_neutral, black_level=black_level,
+                white_level=white_level, bpp=bpp, cfa=cfa)
 
     makernote = None
     tiles: Optional[list] = None
@@ -550,6 +631,7 @@ def write_synthetic_linear_dng(
     wb_neutral: Tuple[float, float, float] = (0.5, 1.0, 0.7),
     black_level: int = 0,
     white_level: Optional[int] = None,
+    uncorrelated_preview: bool = False,
 ) -> bytes:
     """Write a LinearRaw DNG: (H, W, 3) u16 RGB, photometric 34892."""
     rgb = np.asarray(rgb, dtype=np.uint16)
@@ -567,7 +649,10 @@ def write_synthetic_linear_dng(
         raise ValueError(f"compression {compression!r}")
 
     wtr = _TiffWriter()
-    preview = make_preview_jpeg()
+    preview = (make_preview_jpeg() if uncorrelated_preview
+               else preview_from_mosaic(
+                   rgb, wb_neutral=wb_neutral, black_level=black_level,
+                   white_level=white_level, bpp=bpp))
     preview_idx = wtr.add_blob(preview)
     sensor_idx = wtr.add_blob(sensor)
 
@@ -636,6 +721,7 @@ def write_synthetic_orf(
     model: str = "E-M10",
     cfa: str = "RGGB",
     preview_jpeg: Optional[bytes] = None,
+    uncorrelated_preview: bool = False,
 ) -> bytes:
     """Write an ORF-style container: TIFF structure with the 'RO'
     magic, sensor plane in IFD0 with compression marked 1 regardless
@@ -646,7 +732,15 @@ def write_synthetic_orf(
     mosaic = np.asarray(mosaic, dtype=np.uint16)
     h, w = mosaic.shape
     if preview_jpeg is None:
-        preview_jpeg = make_preview_jpeg()
+        if uncorrelated_preview:
+            preview_jpeg = make_preview_jpeg()
+        else:
+            # wb_rb are gains at g=1 → neutral is their reciprocal.
+            preview_jpeg = preview_from_mosaic(
+                mosaic,
+                wb_neutral=(1.0 / max(wb_rb[0], 1e-6), 1.0,
+                            1.0 / max(wb_rb[1], 1e-6)),
+                black_level=black_level, white_level=4095, cfa=cfa)
     if compression == "olympus":
         from raweditor_tpu.native import get_rawkit
 
@@ -708,6 +802,7 @@ def write_synthetic_rw2(
     cfa: str = "RGGB",
     model: str = "DMC-GX8",
     preview_jpeg: Optional[bytes] = None,
+    uncorrelated_preview: bool = False,
 ) -> bytes:
     """Write an RW2-style container: TIFF structure with the 0x55
     magic, PanasonicRaw tag vocabulary, v4 payload at tag 0x0118
@@ -719,7 +814,16 @@ def write_synthetic_rw2(
     mosaic = np.asarray(mosaic, dtype=np.uint16)
     h, w = mosaic.shape
     if preview_jpeg is None:
-        preview_jpeg = make_preview_jpeg()
+        if uncorrelated_preview:
+            preview_jpeg = make_preview_jpeg()
+        else:
+            # wb_rgb are 256-scale gains → neutral = 256/gain.
+            preview_jpeg = preview_from_mosaic(
+                mosaic,
+                wb_neutral=tuple(256.0 / max(float(v), 1e-6)
+                                 for v in wb_rgb),
+                black_level=float(np.mean(black_rgb)),
+                white_level=4095, cfa=cfa)
     from raweditor_tpu.native import get_rawkit
 
     rk = get_rawkit()

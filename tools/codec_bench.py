@@ -9,10 +9,18 @@ For each codec, synthesizes a ~``--mp``-megapixel fixture with the
 project's own writers, then times ``decode_raw`` (the full product
 path: container walk + native codec + metadata) over ``--repeats``
 runs and prints the best as MP/s alongside the sensor-payload
-fraction. Numbers on the 1-vCPU dev box are per-thread; the batch
-exporter scales them linearly across its decode pool (C++ paths
-release the GIL). Run it alone — any concurrent CPU work (pytest,
-bench.py's e2e lane) poisons the numbers.
+fraction. Run it alone — any concurrent CPU work (pytest, bench.py's
+e2e lane) poisons the numbers.
+
+``--threads 1 2 4 8`` adds a decode-POOL scaling sweep per codec:
+aggregate MP/s with N concurrent decoder threads (ThreadPoolExecutor
+over ``decode_raw`` on independent blob copies — exactly the batch
+exporter's pool shape). The C++ codecs release the GIL, so aggregate
+throughput should scale near-linearly until the memory bus saturates;
+this sweep MEASURES that curve instead of assuming it (the ≥50 img/s
+end-to-end arithmetic rests on it — VERDICT r4 weak-2). On a 1-vCPU
+box the sweep still runs but measures contention, not scaling; the
+suite test asserting ≥2.5× at 4 threads skips below 4 cores.
 
 ``--codec jpeg_encode`` adds the JPEG *encoder* lanes (420/444 ×
 single-pass/optimize at q90, natural-content planes) — the source of
@@ -125,6 +133,32 @@ def _bench_jpeg_encode(mp: float, repeats: int, results: dict) -> None:
               f"{mpx / best:7.1f} MP/s", flush=True)
 
 
+def decode_pool_mps(blob, n_threads: int, per_thread: int = 4,
+                    repeats: int = 2) -> float:
+    """Aggregate decode MP/s with ``n_threads`` concurrent decode_raw
+    workers, each decoding its OWN copy of ``blob`` ``per_thread``
+    times (independent buffers, like the exporter's pool feeding
+    distinct files). Returns the best aggregate over ``repeats``
+    trials. Importable by the suite's scaling test."""
+    import concurrent.futures as cf
+
+    raw = decode_raw(blob)  # warm: tables, imports, page cache
+    mp = raw.mosaic.shape[0] * raw.mosaic.shape[1] / 1e6
+    blobs = [bytes(blob) for _ in range(n_threads)]
+
+    def work(b):
+        for _ in range(per_thread):
+            decode_raw(b)
+
+    best = float("inf")
+    with cf.ThreadPoolExecutor(max_workers=n_threads) as pool:
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            list(pool.map(work, blobs))
+            best = min(best, time.perf_counter() - t0)
+    return n_threads * per_thread * mp / best
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mp", type=float, default=8.0,
@@ -133,6 +167,10 @@ def main():
     ap.add_argument("--codec", nargs="*", default=None,
                     help="subset of codecs (default: all decoders; "
                          "'jpeg_encode' adds the encoder lanes)")
+    ap.add_argument("--threads", nargs="*", type=int, default=None,
+                    help="decode-pool sizes for the scaling sweep "
+                         "(e.g. --threads 1 2 4 8); aggregate MP/s "
+                         "per codec per pool size")
     args = ap.parse_args()
     rng = np.random.default_rng(0)
     fixtures = _fixtures(args.mp, rng)
@@ -158,6 +196,17 @@ def main():
         }
         print(f"{name:12s} {mp:6.2f} MP  {best * 1000:8.1f} ms  "
               f"{mp / best:7.1f} MP/s", flush=True)
+        if args.threads:
+            scaling = {}
+            for n in args.threads:
+                agg = decode_pool_mps(blob, n,
+                                      repeats=max(args.repeats - 1, 1))
+                scaling[str(n)] = round(agg, 1)
+                print(f"  pool x{n:<2d} {agg:7.1f} MP/s aggregate "
+                      f"({agg / results[name]['mps']:.2f}x 1-thread)",
+                      flush=True)
+            results[name]["threads"] = scaling
+            results[name]["cpu_count"] = os.cpu_count()
     print(json.dumps(results))
 
 
