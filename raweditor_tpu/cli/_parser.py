@@ -293,6 +293,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also write the full per-file report here")
     p.add_argument("--per-file", action="store_true",
                    help="include per-file records on stdout")
+    p.add_argument("--manifest", default=None,
+                   help="validate against a pinned corpus manifest "
+                        "(JSON file list with per-file SHA-256 and "
+                        "expected codec; see "
+                        "docs/corpus_manifest.template.json)")
+    p.add_argument("--pin", action="store_true",
+                   help="with --manifest: record SHA-256 for present "
+                        "files whose hash is still null "
+                        "(trust-on-first-use)")
 
     p = sub.add_parser("tiers", help="generate pending preview tiers")
     p.add_argument("--cache-dir", default=None)

@@ -223,17 +223,25 @@ def cmd_validate(args) -> int:
     day-one button for a camera corpus. Exit 1 when any file
     quarantined or structurally mismatched — CI-composable."""
     from raweditor_tpu.pipeline.validate import (DEFAULT_THRESHOLD,
-                                                 validate_dir)
+                                                 validate_dir,
+                                                 validate_manifest)
 
     if not os.path.isdir(args.dir):
         raise SystemExit(f"not a directory: {args.dir}")
-    report = validate_dir(
-        args.dir, limit=args.limit,
-        preview_px=args.preview_px,
-        threshold=(args.threshold if args.threshold is not None
-                   else DEFAULT_THRESHOLD),
-        recursive=not args.no_recursive,
-    )
+    threshold = (args.threshold if args.threshold is not None
+                 else DEFAULT_THRESHOLD)
+    if getattr(args, "manifest", None):
+        report = validate_manifest(
+            args.dir, args.manifest, pin=getattr(args, "pin", False),
+            preview_px=args.preview_px, threshold=threshold,
+        )
+    else:
+        report = validate_dir(
+            args.dir, limit=args.limit,
+            preview_px=args.preview_px,
+            threshold=threshold,
+            recursive=not args.no_recursive,
+        )
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(report, f, indent=1)

