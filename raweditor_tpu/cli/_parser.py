@@ -209,6 +209,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode-threads", type=int, default=None,
                    help="host decode workers (default: "
                         "Config.decode_threads, 4)")
+    p.add_argument("--arena-respawn", action="store_true",
+                   help="re-exec with MALLOC_ARENA_MAX=1 before any "
+                        "thread starts (the measured best-case RSS "
+                        "profile: peak-then-decline) unless already "
+                        "launched that strict; also "
+                        "RAWEDITOR_TPU_ARENA_RESPAWN=1")
     p.add_argument("--mesh-rows", type=int, default=None,
                    help="shard each image's rows over this many chips "
                         "(0 = no mesh, single device)")

@@ -18,6 +18,15 @@ from raweditor_tpu.cli._shared import (
 
 
 def cmd_export(args) -> int:
+    # FIRST: the opt-in arena respawn must run before thread pools or
+    # the JAX backend exist (exec replaces the process; glibc reads
+    # MALLOC_ARENA_MAX only at startup). No-op unless --arena-respawn
+    # or RAWEDITOR_TPU_ARENA_RESPAWN=1.
+    from raweditor_tpu.utils.memory import maybe_respawn_for_arena_cap
+
+    maybe_respawn_for_arena_cap(
+        enabled=getattr(args, "arena_respawn", False))
+
     from raweditor_tpu.pipeline.export import (
         ExportJob,
         jobs_from_catalog,

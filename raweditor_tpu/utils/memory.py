@@ -110,6 +110,59 @@ def trim_malloc() -> bool:
         return False
 
 
+#: Loop guard for maybe_respawn_for_arena_cap: present in the child's
+#: environment so the re-exec happens at most once.
+_RESPAWN_MARKER = "RAWEDITOR_TPU_ARENA_RESPAWNED"
+
+
+def maybe_respawn_for_arena_cap(enabled: bool = False,
+                                max_arenas: int = 1) -> bool:
+    """Opt-in best-case malloc environment: re-exec THIS process with
+    ``MALLOC_ARENA_MAX=<max_arenas>`` when it wasn't launched that way
+    (VERDICT r4 item 7).
+
+    The in-process cap (cap_malloc_arenas) bounds the soak slope to
+    ~27.6 MB/image, but the measured BEST case — peak-then-decline,
+    1.77 GB — needs glibc to read MALLOC_ARENA_MAX at startup, which
+    only an env var at launch achieves. This gives the exporter that
+    launch without operator setup: enable with ``--arena-respawn`` or
+    ``RAWEDITOR_TPU_ARENA_RESPAWN=1``.
+
+    Call it EARLY (before thread pools / JAX backend init): exec
+    replaces the process image. Returns False when no respawn happens
+    (disabled, already strict, already respawned, or non-glibc);
+    on success it does not return. Uses ``sys.orig_argv`` so
+    ``python -m raweditor_tpu ...`` re-execs correctly.
+    """
+    import sys
+
+    env_flag = os.environ.get("RAWEDITOR_TPU_ARENA_RESPAWN",
+                              "").strip().lower()
+    if not enabled and env_flag not in ("1", "true", "yes"):
+        return False
+    if os.environ.get(_RESPAWN_MARKER):
+        return False  # already the respawned child
+    launch = os.environ.get("MALLOC_ARENA_MAX", "").strip()
+    if launch.isdigit() and 0 < int(launch) <= max_arenas:
+        return False  # operator already launched strict
+    if not can_cap():
+        return False  # non-glibc: the env var would be meaningless
+    env = dict(os.environ)
+    env["MALLOC_ARENA_MAX"] = str(int(max_arenas))
+    env[_RESPAWN_MARKER] = "1"
+    sys.stdout.flush()
+    sys.stderr.flush()
+    argv = list(getattr(sys, "orig_argv", None)
+                or [sys.executable] + sys.argv)
+    # orig_argv[0] is the interpreter AS INVOKED (possibly a bare
+    # "python" that execve would not PATH-resolve); sys.executable is
+    # the same interpreter as an absolute path.
+    target = argv[0] if os.path.isabs(argv[0]) and \
+        os.path.exists(argv[0]) else sys.executable
+    os.execve(target, argv, env)
+    return False  # unreachable
+
+
 def arena_cap_from_env(default: int = 2) -> int:
     """The exporter's arena cap: ``RAWEDITOR_TPU_MALLOC_ARENA_CAP``
     (0 disables), defaulting to ``default``.

@@ -130,3 +130,55 @@ def test_exporter_invokes_memory_hooks(tmp_path, monkeypatch):
                            encode_threads=1)
     assert rep.succeeded == 1
     assert calls["cap"] == []
+
+
+# -- opt-in arena respawn (VERDICT r4 item 7) ----------------------------
+
+def test_respawn_noops(monkeypatch):
+    """Every non-respawn path returns False without exec'ing (an exec
+    here would replace the pytest process)."""
+    monkeypatch.delenv("RAWEDITOR_TPU_ARENA_RESPAWN", raising=False)
+    monkeypatch.delenv(memory._RESPAWN_MARKER, raising=False)
+    # disabled (no flag, no env)
+    assert memory.maybe_respawn_for_arena_cap() is False
+    # already the respawned child
+    monkeypatch.setenv(memory._RESPAWN_MARKER, "1")
+    assert memory.maybe_respawn_for_arena_cap(enabled=True) is False
+    monkeypatch.delenv(memory._RESPAWN_MARKER)
+    # operator already launched at least as strict
+    monkeypatch.setenv("MALLOC_ARENA_MAX", "1")
+    assert memory.maybe_respawn_for_arena_cap(enabled=True) is False
+
+
+@pytest.mark.skipif(not IS_GLIBC, reason="glibc-only behavior")
+def test_respawn_reexecs_with_arena_env(tmp_path):
+    """RAWEDITOR_TPU_ARENA_RESPAWN=1 re-execs once with
+    MALLOC_ARENA_MAX=1 + the loop-guard marker (subprocess: exec
+    replaces the process image)."""
+    import json
+    import os
+    import subprocess
+
+    script = tmp_path / "probe.py"
+    script.write_text(
+        "import json, os, sys\n"
+        "sys.path.insert(0, %r)\n"
+        "from raweditor_tpu.utils.memory import "
+        "maybe_respawn_for_arena_cap\n"
+        "maybe_respawn_for_arena_cap()\n"
+        "print(json.dumps({'arena': os.environ.get('MALLOC_ARENA_MAX'),"
+        " 'marker': os.environ.get('RAWEDITOR_TPU_ARENA_RESPAWNED'),"
+        " 'argv': sys.argv[1:]}))\n"
+        % os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    env = dict(os.environ)
+    env.pop("MALLOC_ARENA_MAX", None)
+    env.pop("RAWEDITOR_TPU_ARENA_RESPAWNED", None)
+    env["RAWEDITOR_TPU_ARENA_RESPAWN"] = "1"
+    out = subprocess.run(
+        [sys.executable, str(script), "--some", "arg"],
+        capture_output=True, text=True, timeout=60, env=env)
+    assert out.returncode == 0, out.stderr
+    doc = json.loads(out.stdout.strip().splitlines()[-1])
+    assert doc["arena"] == "1"        # child sees the strict launch env
+    assert doc["marker"] == "1"       # loop guard set
+    assert doc["argv"] == ["--some", "arg"]  # argv preserved exactly
