@@ -888,7 +888,10 @@ def _emit_ycbcr420(rq, gq, bq, bh, w):
            + _F(0.5) * bf)
     crf = (_F(128.0) + _F(0.5) * rf - _F(0.418687589) * gf
            - _F(0.081312411) * bf)
-    yq = jnp.clip(jnp.round(yf), 0.0, 255.0).astype(jnp.uint8)
+    # f32→u8 is unsupported in Mosaic (like f32→u32 in _finish_block);
+    # narrow through int32 — values are already clamped to 0..255.
+    yq = jnp.clip(jnp.round(yf), 0.0, 255.0).astype(jnp.int32) \
+        .astype(jnp.uint8)
     # 2×2 box via one sublane roll (row pairs never cross a block: bh is
     # even and blocks start on even image rows) + one lane roll (w is
     # even — the launcher guards both), then interleave Cb/Cr along
@@ -904,7 +907,8 @@ def _emit_ycbcr420(rq, gq, bq, bh, w):
     inter = jnp.where(col % 2 == 0, scb,
                       pltpu.roll(scr, 1, axis=1)) * _F(0.25)
     inter = inter.reshape(bh // 2, 2, w)[:, 0, :]  # even rows only
-    cq = jnp.clip(jnp.round(inter), 0.0, 255.0).astype(jnp.uint8)
+    cq = jnp.clip(jnp.round(inter), 0.0, 255.0).astype(jnp.int32) \
+        .astype(jnp.uint8)
     return yq, cq
 
 
