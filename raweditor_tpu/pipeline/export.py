@@ -611,6 +611,20 @@ def run_batch_export(
     # multi-minute trace+compile for EVERY batch before each XLA
     # fallback.
     _pallas_failed: set = set()
+
+    def _note_pallas_demotion(key, exc):
+        """Record a failed Pallas lane AND say so: the r5 planes-lane
+        bug (f32→u8 cast unsupported in Mosaic on real chips, passing
+        in CPU interpret mode) hid behind this exact silence for two
+        rounds — every all-JPEG hardware run quietly took the slower
+        conversion-pass path. A demotion is legitimate (exotic
+        shapes, non-Mosaic backends) but must be visible."""
+        _pallas_failed.add(key)
+        from raweditor_tpu.utils.logging import get_logger
+
+        get_logger("raweditor_tpu.export").warning(
+            "Pallas lane %s demoted to the XLA path: %s: %s",
+            key, type(exc).__name__, str(exc)[:200])
     from raweditor_tpu.color import pallas_gamma_for, transfer16_for
 
     pallas_gamma = pallas_gamma_for(transfer)
@@ -1083,8 +1097,8 @@ def run_batch_export(
                         if kern_out == want and not grain_on:
                             return out
                         return _tail(out)
-                    except Exception:
-                        _pallas_failed.add(key)
+                    except Exception as e:
+                        _note_pallas_demotion(key, e)
                 from raweditor_tpu.ops.extras import (
                     finish_extras_rgba_words,
                 )
@@ -1255,9 +1269,9 @@ def run_batch_export(
                                     if xla_output == "ycbcr420"
                                     and not ex_on else "rgba"),
                         )
-                    except Exception:
+                    except Exception as e:
                         out = None  # shape/VMEM unsupported → XLA path
-                        _pallas_failed.add(pl_key)
+                        _note_pallas_demotion(pl_key, e)
                     if out is not None and ex_on:
                         # OUTSIDE the develop guard: an extras failure
                         # must quarantine the batch (flush()'s normal
@@ -1307,9 +1321,9 @@ def run_batch_export(
                                     if xla_output == "ycbcr420"
                                     and not ex_on else "rgba"),
                         )
-                    except Exception:
+                    except Exception as e:
                         out = None  # unsupported shape/backend → XLA path
-                        _pallas_failed.add(pl_key)
+                        _note_pallas_demotion(pl_key, e)
                     if out is not None and ex_on:
                         # Finish extras as the fused post-pass over the
                         # RGBA words (per-image amounts; JPEG planes
