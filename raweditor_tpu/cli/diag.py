@@ -115,8 +115,10 @@ def cmd_doctor(args) -> int:
         detail = (f"exporter mitigates in-process (mallopt "
                   f"M_ARENA_MAX={cap} + 1 MB mmap threshold + "
                   "per-flush malloc_trim); for the strictest RSS bound "
-                  "launch with MALLOC_ARENA_MAX=1 "
-                  "(docs/performance.md, RSS finding)")
+                  "launch with MALLOC_ARENA_MAX=1 or use "
+                  "`export --arena-respawn` / "
+                  "RAWEDITOR_TPU_ARENA_RESPAWN=1 (re-execs once with "
+                  "it set; docs/performance.md, RSS finding)")
         if arena:
             detail = (f"MALLOC_ARENA_MAX={arena} is weaker than the "
                       "soak-validated <=2; " + detail)
