@@ -381,11 +381,14 @@ class DevelopEngine:
                 or params.point_curve):
             # The AOT executables are compiled extras-free and
             # mask-free; the jit cache holds those variants (one extra
-            # compile the first time a session enables them).
+            # compile the first time a session enables them). Same
+            # float discipline as the AOT lane — an int-valued leaf
+            # would open a fresh multi-minute jit entry per tick.
             import jax.numpy as jnp
 
             r = self._preview_program(
-                self._render_mosaic(params), params, zoom, pan[0], pan[1],
+                self._render_mosaic(params), self._float_params(params),
+                float(zoom), float(pan[0]), float(pan[1]),
                 extras=params.finish_extras_mode())
             np.asarray(jnp.max(r))  # same transport-proof sync
             return r
@@ -421,16 +424,30 @@ class DevelopEngine:
         Returns the newest checksum-proven device-resident preview, or
         None while the first frame is still in flight. ``depth`` is
         accepted for API stability; latest-wins bounds in-flight syncs
-        at one regardless. extras/locals-active params fall back to
-        the true-sync :meth:`preview_tick` (those variants run through
-        the jit cache, not the AOT executable)."""
+        at one regardless. extras/locals/curve-active params run
+        through the jit cache instead of the AOT executable (one extra
+        compile the first time a session enables them) but PIPELINE
+        THE SAME WAY — their checksum is dispatched, not fetched, so
+        dragging a curve point or a local-mask slider costs the
+        dispatch alone too, not a transport round trip per tick (r5;
+        previously these variants fell back to true-sync and a curve
+        drag measured the full ~30 ms RPC floor on tunneled
+        transports)."""
         if (params.has_finish_extras() or params.locals
                 or params.point_curve):
-            return self.preview_tick(params, zoom, pan)
-        self.compile_preview()
-        r, s = self._aot_preview(self._render_mosaic(params), self._float_params(params),
-                                 float(zoom),
-                                 float(pan[0]), float(pan[1]))
+            import jax.numpy as jnp
+
+            r = self._preview_program(
+                self._render_mosaic(params), self._float_params(params),
+                float(zoom), float(pan[0]), float(pan[1]),
+                extras=params.finish_extras_mode())
+            s = jnp.max(r)  # dispatched; the syncer fetches it
+        else:
+            self.compile_preview()
+            r, s = self._aot_preview(self._render_mosaic(params),
+                                     self._float_params(params),
+                                     float(zoom),
+                                     float(pan[0]), float(pan[1]))
         st = self._pipe_state()
         with st["lock"]:
             st["pending"] = (r, s)

@@ -332,13 +332,27 @@ def test_pipelined_session_ticks_and_fetches(tmp_path, rng):
     assert st is not None and st["synced_seq"] == st["seq"]  # flushed
 
 
-def test_pipelined_extras_falls_back_to_true_sync(tmp_path, rng):
-    """extras-active params run through the jit cache, not the AOT
-    pipeline — the tick must return a finished frame immediately."""
+def test_pipelined_extras_locals_curve_pipeline_too(tmp_path, rng):
+    """extras/locals/curve-active params run through the jit cache,
+    not the AOT executable — but since r5 they PIPELINE the same way
+    (checksum dispatched, fetched by the syncer): a curve/mask drag
+    costs the dispatch alone, not a transport round trip per tick.
+    Flushed frames must be bit-identical to the true-sync render."""
+    from raweditor_tpu.ops.curve import validate_points
+
     eng, _ = _pipelined_session(tmp_path, rng, 2)
-    frame = eng.preview_tick_pipelined(EditParams(sharpen=50.0), depth=2)
-    assert frame is not None
-    assert eng._pipe is None  # the syncer was never started
+    variants = [
+        EditParams(sharpen=50.0),
+        EditParams(point_curve=validate_points(
+            [(0.0, 0.0), (0.5, 0.62), (1.0, 1.0)])),
+    ]
+    for p in variants:
+        first = eng.preview_tick_pipelined(p, depth=2)
+        assert eng._pipe is not None  # went through the syncer
+        got = np.asarray(eng.flush_pipeline())
+        want = np.asarray(eng.preview_tick(p))
+        np.testing.assert_array_equal(got, want)
+        eng.close_pipeline()
 
 
 def test_quit_closes_pipeline(tmp_path, rng):
