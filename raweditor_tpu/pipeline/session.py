@@ -518,10 +518,16 @@ class DevelopSession:
             if cmd == "stats":
                 return self.stats()
             return {"ok": False, "error": f"unknown command {cmd!r}"}
-        except (IndexError, ValueError, OSError) as e:
+        except (IndexError, ValueError, OSError, RuntimeError) as e:
             # OSError covers filesystem failures from render/full/frame
             # targets (bad directory, permissions) — a typo'd path must
             # error the command, not kill the session (code-review r3).
+            # RuntimeError covers a failed pipelined tail sync
+            # (engine.flush_pipeline re-raises a transport drop): the
+            # fetch command reports it and the session lives — the
+            # syncer restarts on the next tick (r5; the TCP service
+            # already survived this via its broad handler, the REPL
+            # died with a traceback).
             return {"ok": False, "error": str(e)}
 
     def repl(self, stdin=None, stdout=None) -> None:

@@ -381,6 +381,25 @@ def test_pipeline_depth_validated():
     Config(session_pipeline_depth=2).validate()
 
 
+def test_failed_tail_sync_errors_command_not_session(tmp_path, rng):
+    """A transport drop surfaces as the fetch command's error (the
+    syncer recorded it; flush re-raises RuntimeError) — the REPL must
+    answer {"ok": false} and keep serving, like the TCP service."""
+    eng, sess = _pipelined_session(tmp_path, rng, 2)
+    sess.set_slider("exposure", 0.4)
+    eng.flush_pipeline()
+    st = eng._pipe
+    with st["lock"]:
+        st["error"] = RuntimeError("transport dropped")
+    out = sess.handle("histogram")
+    assert out["ok"] is False and "pipelined preview sync" in out["error"]
+    # The error was consumed; the session keeps working.
+    out = sess.set_slider("exposure", 0.5)
+    assert out["ok"]
+    assert sess.handle("histogram")["ok"]
+    sess.close()
+
+
 def test_pipeline_default_on(tmp_path, rng):
     """The latest-wins pipelined slider mode is the DEFAULT session
     path (VERDICT r4 item 3): a no-config session ticks through the
