@@ -624,9 +624,22 @@ class DevelopEngine:
         u = float(np.clip(u, -1.0, 1.0))
         return t, u
 
+    def newest_pipelined_frame(self):
+        """The newest checksum-PROVEN device frame from the pipelined
+        slider mode, or None (pipelining unused / nothing proven yet).
+        Costs nothing device-side: the proof already happened on the
+        background syncer. The frame lags the newest tick by the
+        transport's round-trip cadence — the latest-wins trade."""
+        st = self._pipe
+        if st is None:
+            return None
+        with st["lock"]:
+            return st["completed"]
+
     def preview_jpeg(self, params: EditParams, zoom: float = 1.0,
                      pan: Tuple[float, float] = (0.0, 0.0),
-                     quality: int = 80) -> Tuple[bytes, int, int]:
+                     quality: int = 80,
+                     frame=None) -> Tuple[bytes, int, int]:
         """Current preview as JFIF bytes → (data, width, height) — the
         remote-GUI frame transport. The colorspace conversion + 4:2:0
         subsample run ON DEVICE (ops/jpeg.rgb_u8_to_ycbcr420, same
@@ -635,11 +648,14 @@ class DevelopEngine:
         PIL — on the bandwidth-starved tunnel the fetch halving is the
         difference that matters (preview_fetch_p50 ~190 ms there).
         Falls back to fetch-RGB + PIL when the native encoder is
-        unavailable or the preview dims are odd."""
+        unavailable or the preview dims are odd. ``frame`` short-cuts
+        the render with an already-proven device frame (the session's
+        `frame latest`, via newest_pipelined_frame)."""
         from raweditor_tpu.native import get_rawkit
 
         rk = get_rawkit()
-        dev = self.preview_device(params, zoom, pan)
+        dev = (frame if frame is not None
+               else self.preview_device(params, zoom, pan))
         h, w = int(dev.shape[0]), int(dev.shape[1])
         if (rk is None or not hasattr(rk, "encode_jpeg_420")
                 or h % 2 or w % 2):

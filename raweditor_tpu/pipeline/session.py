@@ -10,8 +10,11 @@ harness) can drive the engine without linking a GUI:
     open <id|path>           switch to another image (replays its edits)
     zoom <z> | pan <x> <y>   view transform (clamped like the UI)
     render <path>            write current preview PNG
-    frame [quality]          current preview as inline base64 JPEG
-                             (remote clients of the TCP service)
+    frame [quality] [latest] current preview as inline base64 JPEG
+                             (remote clients of the TCP service);
+                             `latest` returns the newest PROVEN
+                             pipelined frame with zero device wait
+                             (lags the newest tick; "lagged": true)
     preset <name|list>       apply a saved develop preset / list them
     auto [levels] [contrast] [tone] apply auto-adjust suggestions
     checkpoint | undo | history   freeze the current edits row /
@@ -278,24 +281,46 @@ class DevelopSession:
                 "size": [img.shape[1], img.shape[0]]}
 
     def frame(self, quality: int = 80,
-              params: Optional[EditParams] = None) -> dict:
+              params: Optional[EditParams] = None,
+              latest: bool = False) -> dict:
         """Current preview as an inline base64 JPEG — the transport
         for remote GUI clients of the TCP service (``render`` writes
         to the SERVER's filesystem, which a remote client can't see).
         ~100 KB at quality 80 vs 2.7 MB of raw preview RGB. The
         colorspace + 4:2:0 subsample run on device and the native
         encoder produces the bytes (engine.preview_jpeg) — the fetch
-        is 1.5 B/px instead of 3 on bandwidth-starved transports."""
+        is 1.5 B/px instead of 3 on bandwidth-starved transports.
+
+        ``frame <q> latest`` is the pipelined-mode companion: return
+        the newest already-PROVEN frame without flushing or rendering
+        — zero device wait, so a GUI can tick sliders at dispatch
+        cost and poll frames at its own cadence (the returned frame
+        lags the newest tick by the transport round trip; ``lagged``
+        in the response says so). Falls back to the synchronous path
+        when nothing is proven yet. Measured on the tunneled dev
+        chip: saves the flush round trip (~24 ms of a 241 ms frame;
+        the remainder is the 1.5 B/px plane fetch + encode, which
+        both paths pay) — the win scales with transport latency, the
+        fetch with transport bandwidth."""
         import base64
 
         if not 1 <= int(quality) <= 100:
             raise ValueError("quality must be 1..100")
-        self._flush_pipeline()
-        data, w, h = self.engine.preview_jpeg(
-            params or self.params, self.zoom, self.pan,
-            quality=int(quality))
+        dev = self.engine.newest_pipelined_frame() if latest else None
+        if dev is None:
+            self._flush_pipeline()
+            data, w, h = self.engine.preview_jpeg(
+                params or self.params, self.zoom, self.pan,
+                quality=int(quality))
+            lagged = False
+        else:
+            data, w, h = self.engine.preview_jpeg(
+                params or self.params, self.zoom, self.pan,
+                quality=int(quality), frame=dev)
+            lagged = True
         return {"ok": True, "size": [w, h],
                 "quality": int(quality), "bytes": len(data),
+                "lagged": lagged,
                 "jpeg_base64": base64.b64encode(data).decode("ascii")}
 
     def full(self, path: str, long_edge: int = 0) -> dict:
@@ -484,7 +509,10 @@ class DevelopSession:
             if cmd == "render":
                 return self.render(args[0])
             if cmd == "frame":
-                return self.frame(int(args[0]) if args else 80)
+                latest = "latest" in args
+                nums = [a for a in args if a != "latest"]
+                return self.frame(int(nums[0]) if nums else 80,
+                                  latest=latest)
             if cmd == "full":
                 return self.full(args[0],
                                  int(args[1]) if len(args) > 1 else 0)

@@ -381,6 +381,28 @@ def test_pipeline_depth_validated():
     Config(session_pipeline_depth=2).validate()
 
 
+def test_frame_latest_returns_proven_frame_without_flush(tmp_path, rng):
+    """`frame <q> latest`: the newest checksum-proven pipelined frame,
+    no flush, marked lagged — the GUI polling transport. Before any
+    proof it falls back to the synchronous path (lagged false)."""
+    eng, sess = _pipelined_session(tmp_path, rng, 2)
+    out = sess.handle("frame 80 latest")
+    assert out["ok"] and out["lagged"] is False  # nothing proven yet
+    for i in range(5):
+        sess.set_slider("exposure", 0.1 * i)
+    eng.flush_pipeline()  # prove the tail so a frame exists
+    sess.set_slider("exposure", 0.9)  # newest tick is now in flight
+    out = sess.handle("frame 80 latest")
+    assert out["ok"] and out["lagged"] is True
+    assert out["bytes"] > 0
+    st = eng._pipe
+    # latest must NOT have flushed the in-flight tick itself (the
+    # syncer may or may not have retired it yet; the command must not
+    # block on it) — just assert the session still works after.
+    assert sess.handle("frame 80")["ok"]  # sync path still fine
+    sess.close()
+
+
 def test_failed_tail_sync_errors_command_not_session(tmp_path, rng):
     """A transport drop surfaces as the fetch command's error (the
     syncer recorded it; flush re-raises RuntimeError) — the REPL must
