@@ -27,10 +27,10 @@ from typing import Optional
 
 # Every verb session.handle dispatches — the greeting advertises these
 # and the engine guard below recognizes them.
-_COMMANDS = ("open", "set", "zoom", "pan", "render", "frame", "full",
-             "histogram", "wb", "before", "auto", "preset", "local",
-             "curve", "checkpoint", "undo", "history", "reset", "stats",
-             "quit")
+_COMMANDS = ("open", "prefetch", "set", "zoom", "pan", "render",
+             "frame", "full", "histogram", "wb", "before", "auto",
+             "preset", "local", "curve", "checkpoint", "undo",
+             "history", "reset", "stats", "quit")
 
 
 class _Handler(socketserver.StreamRequestHandler):
@@ -65,7 +65,8 @@ class _Handler(socketserver.StreamRequestHandler):
                 # (code-review r3).
                 if (session.engine is None
                         and toks[0] in _COMMANDS
-                        and toks[0] not in ("open", "stats", "reset")
+                        and toks[0] not in ("open", "prefetch", "stats",
+                                            "reset")
                         and toks[:2] != ["preset", "list"]):
                     self._send({"ok": False,
                                 "error": "no image open — "

@@ -8,6 +8,9 @@ harness) can drive the engine without linking a GUI:
 
     set <slider> <value>     update one slider (persists when --db)
     open <id|path>           switch to another image (replays its edits)
+    prefetch <id|path>       decode + upload the next image in the
+                             background so the following `open` is
+                             instant (one slot, latest wins)
     zoom <z> | pan <x> <y>   view transform (clamped like the UI)
     render <path>            write current preview PNG
     frame [quality] [latest] current preview as inline base64 JPEG
@@ -392,34 +395,18 @@ class DevelopSession:
         develop-tab image selection (reference: main.rs:497-527):
         decode, replay its stored edits, reset the view transform.
         ``target`` is a catalog image id (with --db) or a file path."""
-        import os
-
-        path = target
-        image_id = None
-        if self.library is not None and target.isdigit():
-            image_id = int(target)
-            row = self.library.get_image(image_id)
-            if row is None:
-                return {"ok": False,
-                        "error": f"no catalog image {image_id}"}
-            path = row.path
-        if not os.path.exists(path):
-            return {"ok": False, "error": f"no such file: {path}"}
-        eng = self.engine
-        if eng is not None:
-            # The engine's as-constructed settings — including preview
-            # and histogram sizes — carry over to the next image
-            # (engine.ctor_kwargs stores the pre-resolution transfer,
-            # so fast_gamma re-resolves identically).
-            kwargs = dict(eng.ctor_kwargs)
-        else:
-            # Image-less session shell (the TCP service): engine
-            # settings come from the server defaults.
-            kwargs = dict(getattr(self, "_engine_defaults", {}) or {})
         try:
-            new_engine = DevelopEngine.open(path, **kwargs)
-        except Exception as e:  # quarantine, stay on the current image
-            return {"ok": False, "error": f"decode: {e}"}
+            path, image_id = self._resolve_target(target)
+        except ValueError as e:
+            return {"ok": False, "error": str(e)}
+        eng = self.engine
+        kwargs = self._engine_kwargs()
+        new_engine = self._take_prefetched(path, kwargs)
+        if new_engine is None:
+            try:
+                new_engine = DevelopEngine.open(path, **kwargs)
+            except Exception as e:  # quarantine, stay on current image
+                return {"ok": False, "error": f"decode: {e}"}
         if eng is not None:
             # Retire the outgoing engine's pipelined-syncer thread and
             # its device-resident frames — a long serve session
@@ -443,6 +430,83 @@ class DevelopSession:
         return {"ok": True, "path": path, "image_id": image_id,
                 "size": [self.engine.width, self.engine.height],
                 "params": json.loads(self.params.to_json())}
+
+    def _resolve_target(self, target: str):
+        """(path, image_id) for an `open`/`prefetch` target — a
+        catalog image id (with --db) or a file path. Raises ValueError
+        with the user-facing message."""
+        import os
+
+        path = target
+        image_id = None
+        if self.library is not None and target.isdigit():
+            image_id = int(target)
+            row = self.library.get_image(image_id)
+            if row is None:
+                raise ValueError(f"no catalog image {image_id}")
+            path = row.path
+        if not os.path.exists(path):
+            raise ValueError(f"no such file: {path}")
+        return path, image_id
+
+    def _engine_kwargs(self) -> dict:
+        """The next engine's constructor settings: the current
+        engine's as-constructed kwargs (preview/histogram sizes and
+        the pre-resolution transfer carry over, so fast_gamma
+        re-resolves identically), or the server defaults for an
+        image-less shell."""
+        if self.engine is not None:
+            return dict(self.engine.ctor_kwargs)
+        return dict(getattr(self, "_engine_defaults", {}) or {})
+
+    def prefetch(self, target: str) -> dict:
+        """Decode + device-upload the NEXT image on a background
+        thread so a following ``open`` is instant — the filmstrip
+        pre-load every interactive editor does (the reference decodes
+        synchronously on selection, its "slow 3-second operation",
+        reference: main.rs:580). One slot, latest wins; the engine is
+        built with the same settings ``open`` would use and is only
+        consumed if those settings still match at open time. Decode
+        errors are deferred: ``open`` falls back to its synchronous
+        path and reports them normally."""
+        import threading
+
+        try:
+            path, _ = self._resolve_target(target)
+        except ValueError as e:
+            return {"ok": False, "error": str(e)}
+        slot = getattr(self, "_prefetch", None)
+        if slot is not None and slot[0] == path \
+                and (slot[1].is_alive() or "engine" in slot[2]):
+            return {"ok": True, "path": path, "pending": True}
+        kwargs = self._engine_kwargs()
+        box = {}
+
+        def work():
+            try:
+                box["engine"] = DevelopEngine.open(path, **kwargs)
+            except Exception as e:  # noqa: BLE001 - deferred to open()
+                box["error"] = f"{type(e).__name__}: {e}"
+
+        th = threading.Thread(target=work, daemon=True,
+                              name="raweditor-prefetch")
+        self._prefetch = (path, th, box, kwargs)
+        th.start()
+        return {"ok": True, "path": path, "pending": True}
+
+    def _take_prefetched(self, path: str, kwargs: dict):
+        """Consume the prefetch slot if it holds ``path`` built with
+        ``kwargs``; returns the engine or None. Waits for an in-flight
+        prefetch of the right path (it started earlier, so this is
+        still faster than re-decoding)."""
+        slot = getattr(self, "_prefetch", None)
+        if slot is None or slot[0] != path or slot[3] != kwargs:
+            return None
+        self._prefetch = None
+        slot[1].join(timeout=120.0)
+        if slot[1].is_alive():  # wedged decode: fall back
+            return None
+        return slot[2].get("engine")  # None on recorded error → fall back
 
     def preset(self, name: str = "list") -> dict:
         """Apply a saved develop preset on top of the current params
@@ -473,6 +537,7 @@ class DevelopSession:
         the `open` image-switch path retired it (advisor r4).
         Best-effort like open()'s: a wedged tail sync must not block
         shutdown."""
+        self._prefetch = None  # drop any pre-loaded engine with it
         if self.engine is not None:
             try:
                 self.engine.close_pipeline()
@@ -490,12 +555,13 @@ class DevelopSession:
         # Arity check up front so a missing operand reads as usage help,
         # not a bare IndexError message.
         min_args = {"set": 2, "zoom": 1, "pan": 2, "render": 1, "full": 1,
-                    "before": 1, "open": 1, "wb": 2}
+                    "before": 1, "open": 1, "prefetch": 1, "wb": 2}
         usage = {"set": "set <slider> <value>", "zoom": "zoom <factor>",
                  "pan": "pan <x> <y>", "render": "render <path>",
                  "full": "full <path> [long-edge]",
                  "before": "before <path>",
                  "open": "open <image-id|path>",
+                 "prefetch": "prefetch <image-id|path>",
                  "wb": "wb <x> <y>  (frame-normalized 0..1)"}
         if len(args) < min_args.get(cmd, 0):
             return {"ok": False, "error": f"usage: {usage[cmd]}"}
@@ -539,6 +605,8 @@ class DevelopSession:
                 return self.preset(*args)
             if cmd == "open":
                 return self.open(args[0])
+            if cmd == "prefetch":
+                return self.prefetch(args[0])
             if cmd == "local":
                 return self.local_cmd(*args)
             if cmd == "curve":

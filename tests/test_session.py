@@ -381,6 +381,70 @@ def test_pipeline_depth_validated():
     Config(session_pipeline_depth=2).validate()
 
 
+def test_prefetch_makes_open_instant(tmp_path, rng, monkeypatch):
+    """`prefetch <target>` decodes + uploads on a background thread;
+    the following `open` consumes the ready engine instead of calling
+    DevelopEngine.open again — and behaves identically."""
+    import time
+
+    paths = []
+    for name in ("a.nef", "b.nef"):
+        p = tmp_path / name
+        write_synthetic_raw(
+            p, rng.integers(0, 4096, size=(24, 32), dtype=np.uint16))
+        paths.append(str(p))
+    eng = DevelopEngine.open(paths[0])
+    sess = DevelopSession(eng, None, None)
+    calls = {"n": 0}
+    real_open = DevelopEngine.open
+
+    def counting_open(path, **kw):
+        calls["n"] += 1
+        return real_open(path, **kw)
+
+    monkeypatch.setattr(DevelopEngine, "open", staticmethod(counting_open))
+    out = sess.prefetch(paths[1])
+    assert out["ok"] and out["pending"]
+    # idempotent while pending/ready for the same path
+    assert sess.prefetch(paths[1])["ok"]
+    for _ in range(200):  # let the background decode finish
+        slot = sess._prefetch
+        if slot is not None and not slot[1].is_alive():
+            break
+        time.sleep(0.05)
+    assert calls["n"] == 1  # one background build (second prefetch no-op)
+    out = sess.open(paths[1])
+    assert out["ok"] and out["path"] == paths[1]
+    assert calls["n"] == 1  # open consumed the prefetched engine
+    assert sess._prefetch is None
+    # the consumed engine works end to end
+    assert sess.set_slider("exposure", 0.4)["ok"]
+    # a later open without prefetch decodes normally
+    out = sess.open(paths[0])
+    assert out["ok"] and calls["n"] == 2
+    sess.close()
+
+
+def test_prefetch_error_defers_to_open(tmp_path, rng):
+    """A corrupt prefetch target records its error; `open` falls back
+    to the synchronous path and reports the decode failure normally.
+    A missing target errors immediately."""
+    path = tmp_path / "junk.nef"
+    path.write_bytes(b"not raw" * 64)
+    good = tmp_path / "g.nef"
+    write_synthetic_raw(
+        good, rng.integers(0, 4096, size=(24, 32), dtype=np.uint16))
+    sess = DevelopSession(DevelopEngine.open(str(good)), None, None)
+    assert sess.prefetch(str(tmp_path / "nope.nef"))["ok"] is False
+    out = sess.prefetch(str(path))
+    assert out["ok"]
+    out = sess.open(str(path))
+    assert out["ok"] is False and "decode" in out["error"]
+    # session stays on the previous image and keeps working
+    assert sess.set_slider("exposure", 0.2)["ok"]
+    sess.close()
+
+
 def test_frame_latest_returns_proven_frame_without_flush(tmp_path, rng):
     """`frame <q> latest`: the newest checksum-proven pipelined frame,
     no flush, marked lagged — the GUI polling transport. Before any
