@@ -30,7 +30,7 @@ from typing import Optional
 _COMMANDS = ("open", "prefetch", "set", "zoom", "pan", "render",
              "frame", "full", "histogram", "wb", "before", "auto",
              "preset", "local", "curve", "checkpoint", "undo",
-             "history", "reset", "stats", "quit")
+             "history", "rate", "reset", "stats", "quit")
 
 
 class _Handler(socketserver.StreamRequestHandler):

@@ -22,6 +22,9 @@ harness) can drive the engine without linking a GUI:
     auto [levels] [contrast] [tone] apply auto-adjust suggestions
     checkpoint | undo | history   freeze the current edits row /
                              revert to the previous row / list rows
+    rate [0-5] [pick|reject|none] star/flag the current image in the
+                             catalog (culling from the develop view);
+                             bare `rate` reads both back
     full <path> [long-edge]  full-resolution export (optional device
                              Lanczos3 resize to this long edge)
     histogram                print (3,256) JSON histogram
@@ -526,6 +529,33 @@ class DevelopSession:
                 "params": json.loads(self.params.to_json()),
                 "render_ms": round(ms, 3)}
 
+    def rate(self, *args) -> dict:
+        """Culling from the develop view (beyond the reference):
+        ``rate <0-5>`` stars and/or ``rate pick|reject|none`` the
+        CURRENT image; ``rate`` alone reads back both. Requires a
+        catalog-attached session (the rating lives in the catalog's
+        side table, shared with the CLI `rate`/`list --min-rating`
+        workflow)."""
+        if self.library is None or self.image_id is None:
+            return {"ok": False, "error": "no catalog attached"}
+        rating = flag = None
+        for a in args:
+            if a in self.library.FLAGS:
+                flag = a
+            else:
+                try:
+                    rating = int(a)
+                except ValueError:
+                    return {"ok": False,
+                            "error": f"usage: rate [0-5] "
+                                     f"[{'|'.join(self.library.FLAGS)}]"}
+        if rating is not None or flag is not None:
+            self.library.set_rating(self.image_id, rating=rating,
+                                    flag=flag)
+        cur_rating, cur_flag = self.library.get_rating(self.image_id)
+        return {"ok": True, "image_id": self.image_id,
+                "rating": cur_rating, "flag": cur_flag}
+
     def stats(self) -> dict:
         return {"ok": True, "latency": self.latency.summary()}
 
@@ -607,6 +637,8 @@ class DevelopSession:
                 return self.open(args[0])
             if cmd == "prefetch":
                 return self.prefetch(args[0])
+            if cmd == "rate":
+                return self.rate(*args)
             if cmd == "local":
                 return self.local_cmd(*args)
             if cmd == "curve":

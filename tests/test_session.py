@@ -381,6 +381,25 @@ def test_pipeline_depth_validated():
     Config(session_pipeline_depth=2).validate()
 
 
+def test_rate_from_develop_view(session):
+    """`rate` stars/flags the current image in the catalog — the
+    culling verb GUIs need from the develop view."""
+    sess, lib, image_id = session
+    out = sess.handle("rate")
+    assert out == {"ok": True, "image_id": image_id,
+                   "rating": 0, "flag": "none"}
+    out = sess.handle("rate 4 pick")
+    assert out["ok"] and out["rating"] == 4 and out["flag"] == "pick"
+    assert lib.get_rating(image_id) == (4, "pick")
+    out = sess.handle("rate reject")
+    assert out["rating"] == 4 and out["flag"] == "reject"
+    assert sess.handle("rate 9")["ok"] is False   # range via library
+    assert sess.handle("rate banana")["ok"] is False
+    # catalog-less sessions say so
+    no_cat = DevelopSession(sess.engine, None, None)
+    assert no_cat.handle("rate 3")["ok"] is False
+
+
 def test_prefetch_makes_open_instant(tmp_path, rng, monkeypatch):
     """`prefetch <target>` decodes + uploads on a background thread;
     the following `open` consumes the ready engine instead of calling
