@@ -122,14 +122,28 @@ def compact_headline(snapshot, full_path=None):
     doc = {k: snapshot[k] for k in COMPACT_KEYS if k in snapshot}
     if full_path:
         doc["full_record"] = full_path
+    # The driver contract AND the failure markers survive truncation —
+    # a record that sheds its own error field first would read as a
+    # clean run exactly when it isn't.
+    keep = ("metric", "value", "unit", "vs_baseline", "error",
+            "tunnel_wedged", "small_lane_wedged", "full_shape_wedged",
+            "e2e_error")
     line = json.dumps(doc)
     while len(line) > COMPACT_MAX_CHARS:
         for key in reversed(list(doc)):
-            if key not in ("metric", "value", "unit", "vs_baseline"):
+            if key not in keep:
                 del doc[key]
                 break
         else:
-            break  # only the contract fields remain
+            # Only protected fields remain: as a last resort clip the
+            # free-text error payloads (they're capped at 300 chars
+            # upstream, but belt and braces).
+            for key in ("e2e_error", "error"):
+                if isinstance(doc.get(key), str) and len(doc[key]) > 80:
+                    doc[key] = doc[key][:80]
+                    break
+            else:
+                break
         line = json.dumps(doc)
     return line
 

@@ -129,6 +129,10 @@ def test_compact_headline_fits_tail_capture_fully_populated():
     for k in ("metric", "value", "unit", "vs_baseline"):
         assert k in doc
     assert "extra_lane_0_develops_per_sec" not in doc
+    # Failure markers survive truncation — a truncated record must
+    # never read as a clean run.
+    assert doc["tunnel_wedged"] is True
+    assert "error" in doc
 
 
 def test_compact_headline_never_drops_driver_contract():
