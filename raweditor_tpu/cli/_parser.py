@@ -209,6 +209,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode-threads", type=int, default=None,
                    help="host decode workers (default: "
                         "Config.decode_threads, 4)")
+    p.add_argument("--progress", action="store_true",
+                   help="print a JSON progress line (done/failed/"
+                        "total/rate/ETA) to stderr ~1/s as images "
+                        "complete")
     p.add_argument("--arena-respawn", action="store_true",
                    help="re-exec with MALLOC_ARENA_MAX=1 before any "
                         "thread starts (the measured best-case RSS "

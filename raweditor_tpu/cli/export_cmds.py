@@ -214,7 +214,31 @@ def _run_batch_export_checked(run_batch_export, jobs, mesh, args, cfg,
         crop=_parse_crop(getattr(args, "crop", None)),
         lens=_parse_lens(args),
         perspective=_parse_perspective(args),
+        on_progress=(_progress_printer()
+                     if getattr(args, "progress", False) else None),
     )
+
+
+def _progress_printer():
+    """--progress: one JSON line per update on stderr (stdout stays
+    the single report line) with done/failed/total, rate, and an ETA
+    from the completed-image rate."""
+    import sys
+    import time as _time
+
+    def emit(done, failed, total, seconds):
+        rate = done / seconds if seconds > 0 else 0.0
+        left = total - done - failed
+        eta = left / rate if rate > 0 else None
+        print(json.dumps({
+            "progress": True, "done": done, "failed": failed,
+            "total": total, "seconds": round(seconds, 1),
+            "images_per_sec": round(rate, 3),
+            "eta_seconds": round(eta, 1) if eta is not None else None,
+            "ts": _time.strftime("%H:%M:%S"),
+        }), file=sys.stderr, flush=True)
+
+    return emit
 
 
 def cmd_warmup(args) -> int:

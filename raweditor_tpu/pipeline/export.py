@@ -510,9 +510,16 @@ def run_batch_export(
     crop=None,
     lens=None,
     perspective=None,
+    on_progress=None,
 ) -> ExportReport:
     """Develop and encode every job; returns a report with throughput
     and the per-image quarantine list.
+
+    ``on_progress(done, failed, total, seconds)`` is called (at most
+    ~1/s) as images complete — a 1,000-image production run should not
+    be silent for its whole duration (the CLI's ``--progress`` prints
+    a JSON line per call to stderr). Exceptions from the callback are
+    swallowed: observability must never fail the run.
 
     ``skip_existing`` makes a rerun resume where it stopped: jobs whose
     output file already exists are counted as skipped, the analogue of
@@ -637,6 +644,24 @@ def run_batch_export(
             batch_size = ((batch_size // n_b) + 1) * n_b
 
     report = ExportReport(total=len(jobs))
+    t_start_progress = time.perf_counter()
+    _progress_last = [0.0]
+
+    def _note_progress(force: bool = False):
+        """Rate-limited completion callback (≥1 s apart unless forced);
+        never raises into the run."""
+        if on_progress is None:
+            return
+        now = time.perf_counter()
+        if not force and now - _progress_last[0] < 1.0:
+            return
+        _progress_last[0] = now
+        try:
+            on_progress(report.succeeded, len(report.failed),
+                        report.total, now - t_start_progress)
+        except Exception:  # noqa: BLE001 - observability must not
+            pass           # fail the export
+
     if skip_existing:
         remaining = []
         for job in jobs:
@@ -743,6 +768,7 @@ def run_batch_export(
                 except Exception as e:
                     report.failed.append((job.raw_path, f"encode: {e}"))
                 report.encode_seconds += time.perf_counter() - t_enc
+                _note_progress()
 
         def _fetch_batch(out, batch, t0):
             """Runs on the fetch thread: sync compute, then pull the batch
@@ -785,6 +811,7 @@ def run_batch_export(
                     for d in batch:
                         report.failed.append(
                             (d.job.raw_path, f"device: {e}"))
+                    _note_progress()
                     continue
                 report.device_seconds += dev_s
                 report.fetch_seconds += fetch_s
@@ -1442,6 +1469,7 @@ def run_batch_export(
                 # a long run.
                 for d in batch:
                     report.failed.append((d.job.raw_path, f"develop: {e}"))
+                    _note_progress()
                 return
             finally:
                 # Release staging budget only now: until dispatch, the
@@ -1492,6 +1520,7 @@ def run_batch_export(
                     decoded, decode_s, stage_s = fut.result()
                 except Exception as e:
                     report.failed.append((job.raw_path, f"decode: {e}"))
+                    _note_progress()
                 else:
                     # Sum of worker time (can exceed wall clock with
                     # multiple decode threads — it's the host-CPU budget).
@@ -1516,7 +1545,9 @@ def run_batch_export(
                     report.succeeded += 1
                 except Exception as e:
                     report.failed.append((job.raw_path, f"encode: {e}"))
+                _note_progress()
             report.encode_seconds += time.perf_counter() - t0
+            _note_progress(force=True)
 
     finally:
         # Always balance the run counter: an exception or

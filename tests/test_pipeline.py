@@ -1283,3 +1283,32 @@ def test_tiff16_rejects_non_u16_and_sanitizes_strings(tmp_path):
                        make="NI�KON", model="Zé 8")
     with Image.open(out) as im:
         assert im.size == (5, 4)
+
+
+def test_export_progress_callback(tmp_path, rng):
+    """on_progress fires as images complete (rate-limited, forced at
+    the end) and callback exceptions never fail the run."""
+    from raweditor_tpu.params import EditParams
+    from raweditor_tpu.pipeline.export import ExportJob, run_batch_export
+    from raweditor_tpu.raw.synth import write_synthetic_raw
+
+    jobs = []
+    for i in range(3):
+        p = tmp_path / f"pg{i}.nef"
+        write_synthetic_raw(p, rng.integers(0, 4095, (40, 64),
+                                            dtype=np.uint16))
+        jobs.append(ExportJob(raw_path=str(p),
+                              out_path=str(tmp_path / f"pg{i}.jpg"),
+                              params=EditParams()))
+    calls = []
+
+    def on_progress(done, failed, total, seconds):
+        calls.append((done, failed, total))
+        raise RuntimeError("observability must not fail the run")
+
+    rep = run_batch_export(jobs, batch_size=2, decode_threads=1,
+                           encode_threads=1, on_progress=on_progress)
+    assert rep.succeeded == 3 and not rep.failed
+    assert calls, "no progress callbacks fired"
+    assert calls[-1] == (3, 0, 3)  # forced final call sees everything
+    assert all(t == 3 for _, _, t in calls)
