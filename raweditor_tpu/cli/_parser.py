@@ -297,6 +297,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default 0.5)")
     p.add_argument("--preview-px", type=int, default=256,
                    help="width of the develop used for scoring")
+    p.add_argument("--threads", type=int, default=1,
+                   help="validate N files concurrently (decode is "
+                        "GIL-released; scales with host cores)")
     p.add_argument("--no-recursive", action="store_true",
                    help="top-level files only")
     p.add_argument("--json", dest="json_out", default=None,

@@ -243,6 +243,7 @@ def cmd_validate(args) -> int:
             preview_px=args.preview_px,
             threshold=threshold,
             recursive=not args.no_recursive,
+            threads=max(1, getattr(args, "threads", 1)),
         )
     if args.json_out:
         with open(args.json_out, "w") as f:

@@ -157,6 +157,10 @@ def test_directory_rollup_and_verdict(corpus):
     assert report["per_codec"]["nef"]["ok"] == 1
     assert report["per_codec"]["arw"]["quarantined"] == 1
     assert report["summary"]["passed"] is False
+    # threaded mode: identical records in identical (corpus) order
+    threaded = validate_dir(str(tmp_path), threads=3)
+    assert threaded["files"] == report["files"]
+    assert threaded["summary"] == report["summary"]
     # without the junk file the corpus passes
     (tmp_path / "junk.arw").unlink()
     report = validate_dir(str(tmp_path))
