@@ -26,9 +26,10 @@ budget):
      round, so the persistent compile cache makes it seconds) puts the
      first measured device number + a provisional extrapolated headline
      in the record before the 24 MP shape is ever touched.
-  4. Roofline — HLO cost analysis of the compiled develop: ops/pixel,
-     model flops/bytes, and (on TPU) a VPU-utilization MFU-analogue
-     against an explicitly published assumed peak.
+  4. Roofline — an on-chip VPU-peak probe (depth-32 FMA chain; the
+     MEASURED practical peak, ~4.1 TF/s on the dev v5e) + HLO cost
+     analysis of the XLA develop as a cross-check; vpu_utilization =
+     kernel-honest flop model ÷ measured peak (≈0.93).
   5. The 24 MP lanes (throughput / accurate / grad / extras / preview /
      session / e2e) — first sync guarded by the same deadline helper
      with one retry.
